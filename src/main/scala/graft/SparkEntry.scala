@@ -1,13 +1,121 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (inventory) + §7.
+  *
+  * Every implemented §2 operator appears in `queries`; every SQL-expressible
+  * one also appears in `oracleSql` (DuckDB-runnable, identical column names
+  * and aliases — the driver sorts columns by name and hashes values).
+  *
+  * Numeric policy (SURVEY §4): money/value aggregates are integer cents
+  * (per-row double→BIGINT is IEEE-deterministic; BIGINT sums are
+  * associative), timestamps are emitted as formatted strings, derived
+  * ratios are computed from exact integers then rounded — so Spark and
+  * DuckDB agree bit-for-bit without tolerance hacks.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    DimFlatten.dimFlatten(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. migration/export-import surface
+    "filter_pushdown" -> (Filtering.filterPushdown _),
+    "projection" -> (Filtering.projection _),
+    "typed_format" -> (Filtering.typedFormat _),
+    "column_mapping" -> (Filtering.columnMapping _),
+    "preview_sample" -> ((s, d) => Filtering.previewSample(s, d)),
+    "dim_flatten" -> (DimFlatten.dimFlatten _),
+    // B. analytics core
+    "q1_agg" -> (Analytics.q1Agg _),
+    "window_rank" -> (Analytics.windowRank _),
+    "agg_skew_salted" -> ((s, d) => Analytics.aggSkewSalted(s, d)),
+    "events_window" -> (Analytics.eventsWindow _),
+  )
+
+  private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "filter_pushdown" ->
+      s"""SELECT l_orderkey, l_linenumber, ${centsSql("l_quantity")} AS qty_cents,
+          strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_returnflag = 'R'
+            AND l_quantity > 30
+          ORDER BY l_orderkey, l_linenumber""",
+    "projection" ->
+      "SELECT p_partkey, p_brand, p_size FROM part ORDER BY p_partkey",
+    "typed_format" ->
+      s"""SELECT o_orderkey,
+          strftime(o_orderdate, '%Y-%m-%d') AS day_txt,
+          strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS dt_txt,
+          ${centsSql("o_totalprice")} AS price_cents,
+          o_orderstatus = 'F' AS is_final,
+          strptime(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'),
+                   '%Y-%m-%dT%H:%M:%S') = o_orderdate AS fmt_ok
+          FROM orders ORDER BY o_orderkey""",
+    "column_mapping" ->
+      s"""SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+          o_orderstatus AS status, ${centsSql("o_totalprice")} AS total_price,
+          o_orderpriority AS priority
+          FROM orders ORDER BY order_id""",
+    "preview_sample" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+          ${centsSql("o_totalprice")} AS price_cents
+          FROM orders ORDER BY o_orderkey LIMIT 20""",
+    "dim_flatten" ->
+      s"""SELECT r_name, n_name,
+          CAST(sum(rev_c3) AS BIGINT) AS revenue_c3,
+          CAST(sum(n_lines) AS BIGINT) AS n_lines
+          FROM (SELECT l_orderkey,
+                  ${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")}) AS rev_c3,
+                  1 AS n_lines
+                FROM lineitem) li
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+          CAST(sum(price_c) AS BIGINT) AS sum_base_c,
+          CAST(sum(price_c*(100-disc_c)) AS BIGINT) AS sum_disc_c3,
+          CAST(sum(price_c*(100-disc_c)*(100+tax_c)) AS BIGINT) AS sum_charge_c5,
+          count(*) AS count_order,
+          round(CAST(sum(qty_c) AS BIGINT)/count(*)/100.0, 4) AS avg_qty,
+          round(CAST(sum(price_c) AS BIGINT)/count(*)/100.0, 4) AS avg_price
+          FROM (SELECT l_returnflag, l_linestatus,
+                  ${centsSql("l_quantity")} AS qty_c,
+                  ${centsSql("l_extendedprice")} AS price_c,
+                  ${centsSql("l_discount")} AS disc_c,
+                  ${centsSql("l_tax")} AS tax_c
+                FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "window_rank" ->
+      s"""SELECT o_custkey, o_orderkey, price_cents, rnk FROM (
+            SELECT o_custkey, o_orderkey,
+              ${centsSql("o_totalprice")} AS price_cents,
+              CAST(row_number() OVER (PARTITION BY o_custkey
+                ORDER BY ${centsSql("o_totalprice")} DESC, o_orderkey) AS INTEGER) AS rnk
+            FROM orders)
+          WHERE rnk <= 3 ORDER BY o_custkey, rnk""",
+    "agg_skew_salted" ->
+      s"""SELECT event_type,
+          CAST(sum(value_c) AS BIGINT) AS sum_value_c,
+          count(*) AS n_events
+          FROM (SELECT event_type, ${centsSql("value")} AS value_c FROM events)
+          GROUP BY 1 ORDER BY 1""",
+    "events_window" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+          event_type, count(*) AS n,
+          CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_value_c
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+  )
 }

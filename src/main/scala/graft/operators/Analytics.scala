@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Filtering.cents
+
+/** Analytics core: grouped aggregation, windowed analytics, skew-safe
+  * (salted) aggregation, time-bucketed event aggregation.
+  *
+  * Money math is integer-cents throughout (see Filtering.cents): BIGINT
+  * sums are associative, so results are identical across partitionings,
+  * engines, and cluster sizes — double sums are none of those.
+  */
+object Analytics {
+
+  /** §2 #15 — flagship grouped aggregation (TPC-H Q1 analog).
+    * Map-side partial aggregation + 2-key shuffle; at 100 TB this is one
+    * scan + one small exchange. disc_price/charge stay in exact cents:
+    * price_c * (100 - disc_c) has unit cents*10^-2, fits BIGINT at any SF.
+    */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("price_c"),
+        cents(col("l_discount")).as("disc_c"),
+        cents(col("l_tax")).as("tax_c"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("qty_c").as("sum_qty_c"),
+        sum("price_c").as("sum_base_c"),
+        sum(col("price_c") * (lit(100L) - col("disc_c"))).as("sum_disc_c3"),
+        sum(col("price_c") * (lit(100L) - col("disc_c"))
+          * (lit(100L) + col("tax_c"))).as("sum_charge_c5"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty",
+        round(col("sum_qty_c") / col("count_order") / 100.0, 4))
+      .withColumn("avg_price",
+        round(col("sum_base_c") / col("count_order") / 100.0, 4))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** §2 #16 — windowed analytics: top-3 orders by price per customer.
+    * Single shuffle on the window partition key; deterministic tie-break
+    * by order key so results are stable across engines. */
+  def windowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("o_custkey")
+          .orderBy(col("price_cents").desc, col("o_orderkey").asc)))
+      .filter(col("rnk") <= 3)
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** §2 #17 — skew-safe two-stage aggregation: salt the hot key space,
+    * partially aggregate per (key, salt), then finalize per key. Result is
+    * bit-identical to a plain groupBy (integer sums), but no single
+    * reducer ever sees a whole hot key — the 100 TB skew insurance. */
+  def aggSkewSalted(spark: SparkSession, sfDir: String, salts: Int = 16): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), cents(col("value")).as("value_c"))
+      .withColumn("salt", pmod(crc32(col("value_c").cast("string")), lit(salts)))
+      .groupBy("event_type", "salt")
+      .agg(sum("value_c").as("part_sum"), count(lit(1)).as("part_cnt"))
+      .groupBy("event_type")
+      .agg(sum("part_sum").as("sum_value_c"), sum("part_cnt").as("n_events"))
+      .orderBy("event_type")
+
+  /** §2 #19 — time-bucketed event aggregation (batch twin of the
+    * streaming windowed agg in graft.streaming.EventStream). */
+  def eventsWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .select(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_bucket"),
+        col("event_type"), cents(col("value")).as("value_c"))
+      .groupBy("hour_bucket", "event_type")
+      .agg(count(lit(1)).as("n"), sum("value_c").as("sum_value_c"))
+      .orderBy("hour_bucket", "event_type")
+}
