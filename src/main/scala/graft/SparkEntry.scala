@@ -30,6 +30,12 @@ object SparkEntry {
     "column_mapping" -> (Filtering.columnMapping _),
     "preview_sample" -> ((s, d) => Filtering.previewSample(s, d)),
     "dim_flatten" -> (DimFlatten.dimFlatten _),
+    "xml_roundtrip" -> (ExportImport.xmlRoundtrip _),
+    "csv_roundtrip" -> (ExportImport.csvRoundtrip _),
+    "compressed_io" -> (ExportImport.compressedIo _),
+    "package_roundtrip" -> (ExportImport.packageRoundtrip _),
+    "schema_gen" -> (SchemaTools.schemaGen _),
+    "package_metadata" -> (SchemaTools.packageMetadata _),
     // B. analytics core
     "q1_agg" -> (Analytics.q1Agg _),
     "window_rank" -> (Analytics.windowRank _),
@@ -42,6 +48,28 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "xml_roundtrip" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+          CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_price_c,
+          strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
+          strftime(max(o_orderdate), '%Y-%m-%d') AS last_day
+          FROM orders GROUP BY 1 ORDER BY 1""",
+    "csv_roundtrip" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+          CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+          CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_c,
+          CAST(0 AS BIGINT) AS n_corrupt
+          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "compressed_io" ->
+      s"""SELECT c_mktsegment, count(*) AS n,
+          CAST(sum(${centsSql("c_acctbal")}) AS BIGINT) AS sum_bal_c
+          FROM customer GROUP BY 1 ORDER BY 1""",
+    "package_roundtrip" ->
+      SchemaTools.packageCountsOracle(
+        Seq("orders", "customer", "nation"), SchemaTools.tableCols),
+    "schema_gen" -> SchemaTools.schemaGenOracle,
+    "package_metadata" ->
+      SchemaTools.packageCountsOracle(Tables.names, SchemaTools.tableCols),
     "filter_pushdown" ->
       s"""SELECT l_orderkey, l_linenumber, ${centsSql("l_quantity")} AS qty_cents,
           strftime(l_shipdate, '%Y-%m-%d') AS ship_day

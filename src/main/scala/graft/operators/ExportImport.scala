@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.operators.Filtering.cents
+import graft.sources.PackageIO
+
+/** Export/import round-trips: XML, CSV (Excel analog), compressed, and
+  * whole-package. Each query exports through a real DataFrameWriter,
+  * re-imports through a schema-checked reader, and returns an aggregate
+  * that must equal the same aggregate on the source table — proving
+  * byte-level fidelity of the exchange without ever collecting data to
+  * the driver.
+  *
+  * Reference semantics: Codeunit 60000 - Config. XML Exchange.al:254/267
+  * `ExportPackage(XML)`, :385/419 `ImportPackage(XML)`, :706
+  * `FillPackageDataFromXML`; Codeunit 60001:96 `ExportExcel`, :326
+  * `ImportExcel`, :369 `ReadWorksheetData`; compression 60000:1103/1111.
+  * The reference walks records one RecordRef at a time; here every byte
+  * moves through executor-parallel writers/readers, which is the only
+  * shape that survives 100 TB.
+  */
+object ExportImport {
+
+  /** Scratch space inside the repo (the build dir is the only place we
+    * are allowed to write outside testdata). */
+  def scratch(name: String): String = {
+    val d = s"/root/repo/target/graft-tmp/$name"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    d
+  }
+
+  /** §2 #1 — XML export → import round-trip on orders. Timestamps are
+    * exported via the engine's typed formatter (ISO strings, the XML-mode
+    * branch of FormatFieldValue) and re-parsed on import. */
+  def xmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("xml-orders")
+    Tables.load(spark, sfDir, "orders")
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").format("xml").option("rowTag", "order").save(dir)
+
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", StringType),
+      StructField("o_orderpriority", StringType)))
+    spark.read.format("xml").option("rowTag", "order").schema(schema).load(dir)
+      .select(col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_c"),
+        to_timestamp(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("od"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("price_c").as("sum_price_c"),
+        date_format(min("od"), "yyyy-MM-dd").as("first_day"),
+        date_format(max("od"), "yyyy-MM-dd").as("last_day"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** §2 #2 — CSV (Excel-worksheet analog) export → schema-checked import
+    * with PERMISSIVE bad-record capture. `n_corrupt` must be 0: a clean
+    * round-trip imports every exported row. */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("csv-lineitem")
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("l_shipdate"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_shipdate", StringType),
+      StructField("_corrupt", StringType)))
+    spark.read.option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema).csv(dir)
+      .select(col("l_returnflag"), cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("price_c"), col("_corrupt"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("qty_c").as("sum_qty_c"),
+        sum("price_c").as("sum_price_c"),
+        count(col("_corrupt")).as("n_corrupt"))
+      .orderBy("l_returnflag")
+  }
+
+  /** §2 #11 — compressed package I/O: gzip CSV out, transparent
+    * decompress-on-read back (DecompressPackage analog). */
+  def compressedIo(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("gz-customer")
+    Tables.load(spark, sfDir, "customer")
+      .write.mode("overwrite").option("header", "true")
+      .option("compression", "gzip").csv(dir)
+
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    spark.read.option("header", "true").schema(schema).csv(dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(cents(col("c_acctbal"))).as("sum_bal_c"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** §2 #14 — whole-package round-trip: manifest + per-table parquet out,
+    * re-read each table and report (table, rows, cols) from the re-read
+    * data — equality with the source proves the package is lossless. */
+  def packageRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("package")
+    val tables = Seq("orders", "customer", "nation")
+    PackageIO.writePackage(spark, dir,
+      tables.map(t => t -> Tables.load(spark, sfDir, t)).toMap)
+    val summaries = tables.sorted.map { t =>
+      val df = PackageIO.readTable(spark, dir, t)
+      df.select(lit(t).as("tab"), lit(df.columns.length).as("n_cols"))
+        .groupBy("tab", "n_cols").agg(count(lit(1)).as("n_rows"))
+    }
+    summaries.reduce(_.unionAll(_)).select("tab", "n_rows", "n_cols")
+      .orderBy("tab")
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Schema generation + package/table metadata.
+  *
+  * Reference semantics: Codeunit 60000 - Config. XML Exchange.al:1030
+  * `GetXSDType` (AL field type → XSD type), Codeunit 60001:495
+  * `CreateSchemaFile` (per-table schema manifest) and :600
+  * `AddPackageAndTableInformation` (package header: codes + counts).
+  * Both are metadata-only: the schema query never scans data, the
+  * metadata query scans only what a count aggregate needs.
+  */
+object SchemaTools {
+
+  /** Spark type → XSD-style type, extending the reference's mapping
+    * (Integer→integer, Date→date, Boolean→boolean, DateTime→dateTime,
+    * else string) with the numeric/binary types Spark distinguishes. */
+  def xsdType(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => "xsd:integer"
+    case FloatType | DoubleType => "xsd:double"
+    case _: DecimalType => "xsd:decimal"
+    case BooleanType => "xsd:boolean"
+    case DateType => "xsd:date"
+    case TimestampType | TimestampNTZType => "xsd:dateTime"
+    case BinaryType => "xsd:base64Binary"
+    case _ => "xsd:string"
+  }
+
+  /** §2 #3 — schema manifest for every package table. */
+  def schemaGen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.names
+      .flatMap { t =>
+        Tables.load(spark, sfDir, t).schema.fields
+          .map(f => (t, f.name, xsdType(f.dataType)))
+      }
+      .toDF("tab", "col_name", "xsd_type")
+      .orderBy("tab", "col_name")
+  }
+
+  /** §2 #12 — package/table metadata: per-table row + column counts. */
+  def packageMetadata(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.names.sorted.map { t =>
+      val df = Tables.load(spark, sfDir, t)
+      df.select(lit(t).as("tab"), lit(df.columns.length).as("n_cols"))
+        .groupBy("tab", "n_cols").agg(count(lit(1)).as("n_rows"))
+    }.reduce(_.unionAll(_)).select("tab", "n_rows", "n_cols").orderBy("tab")
+
+  /** The asserted expectation for schemaGen's oracle: hand-maintained,
+    * so the oracle is independent of the code that derives the answer. */
+  val expectedSchema: Seq[(String, String, String)] = Seq(
+    ("region", "r_regionkey", "xsd:integer"), ("region", "r_name", "xsd:string"),
+    ("nation", "n_nationkey", "xsd:integer"), ("nation", "n_name", "xsd:string"),
+    ("nation", "n_regionkey", "xsd:integer"),
+    ("customer", "c_custkey", "xsd:integer"), ("customer", "c_name", "xsd:string"),
+    ("customer", "c_nationkey", "xsd:integer"),
+    ("customer", "c_acctbal", "xsd:double"),
+    ("customer", "c_mktsegment", "xsd:string"),
+    ("supplier", "s_suppkey", "xsd:integer"), ("supplier", "s_name", "xsd:string"),
+    ("supplier", "s_nationkey", "xsd:integer"),
+    ("supplier", "s_acctbal", "xsd:double"),
+    ("part", "p_partkey", "xsd:integer"), ("part", "p_name", "xsd:string"),
+    ("part", "p_brand", "xsd:string"), ("part", "p_type", "xsd:string"),
+    ("part", "p_size", "xsd:integer"), ("part", "p_retailprice", "xsd:double"),
+    ("orders", "o_orderkey", "xsd:integer"), ("orders", "o_custkey", "xsd:integer"),
+    ("orders", "o_orderstatus", "xsd:string"),
+    ("orders", "o_totalprice", "xsd:double"),
+    ("orders", "o_orderdate", "xsd:dateTime"),
+    ("orders", "o_orderpriority", "xsd:string"),
+    ("lineitem", "l_orderkey", "xsd:integer"),
+    ("lineitem", "l_partkey", "xsd:integer"),
+    ("lineitem", "l_suppkey", "xsd:integer"),
+    ("lineitem", "l_linenumber", "xsd:integer"),
+    ("lineitem", "l_quantity", "xsd:double"),
+    ("lineitem", "l_extendedprice", "xsd:double"),
+    ("lineitem", "l_discount", "xsd:double"),
+    ("lineitem", "l_tax", "xsd:double"),
+    ("lineitem", "l_returnflag", "xsd:string"),
+    ("lineitem", "l_linestatus", "xsd:string"),
+    ("lineitem", "l_shipdate", "xsd:dateTime"),
+    ("events", "event_id", "xsd:integer"), ("events", "ts", "xsd:dateTime"),
+    ("events", "user_id", "xsd:integer"), ("events", "event_type", "xsd:string"),
+    ("events", "value", "xsd:double"), ("events", "props", "xsd:string"),
+    ("documents", "doc_id", "xsd:integer"), ("documents", "text", "xsd:string"),
+    ("documents", "lang", "xsd:string"), ("documents", "source", "xsd:string"),
+    ("documents", "n_chars", "xsd:integer"),
+    ("embeddings", "vec_id", "xsd:integer"),
+    ("embeddings", "embedding", "xsd:string"),
+    ("embeddings", "label", "xsd:integer"))
+
+  def schemaGenOracle: String =
+    expectedSchema
+      .map { case (t, c, x) => s"('$t','$c','$x')" }
+      .mkString(
+        "SELECT tab, col_name, xsd_type FROM (VALUES ",
+        ", ",
+        ") AS t(tab, col_name, xsd_type) ORDER BY tab, col_name")
+
+  def packageCountsOracle(tables: Seq[String], nCols: Map[String, Int]): String =
+    tables.sorted.map { t =>
+      s"SELECT '$t' AS tab, CAST(count(*) AS BIGINT) AS n_rows, ${nCols(t)} AS n_cols FROM $t"
+    }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tab")
+
+  val tableCols: Map[String, Int] = Map(
+    "region" -> 2, "nation" -> 3, "customer" -> 5, "supplier" -> 4,
+    "part" -> 6, "orders" -> 6, "lineitem" -> 11, "events" -> 6,
+    "documents" -> 5, "embeddings" -> 3)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ExportImport, SchemaTools}
+import graft.sources.PackageIO
+
+class ExportImportSpec extends SparkSpec {
+
+  test("xml_roundtrip: re-imported aggregate equals source aggregate") {
+    val rt = ExportImport.xmlRoundtrip(spark, sf).collect()
+    val src = Tables.load(spark, sf, "orders")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus").collect()
+    assert(rt.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      src.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("csv_roundtrip: zero corrupt records on a clean round-trip") {
+    val rows = ExportImport.csvRoundtrip(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_corrupt") == 0L))
+  }
+
+  test("csv import: malformed rows land in the corrupt-record column") {
+    import spark.implicits._
+    val dir = ExportImport.scratch("csv-bad")
+    Seq("l_orderkey,l_quantity", "1,2.5", "oops,not_a_number", "3,4.0")
+      .toDF("line").coalesce(1).write.mode("overwrite").text(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("l_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("l_quantity",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_corrupt",
+        org.apache.spark.sql.types.StringType)))
+    // Spark disallows querying only the corrupt column on a raw scan —
+    // cache the parsed result first (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    val df = spark.read.option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt").schema(schema).csv(dir)
+      .cache()
+    assert(df.filter(col("_corrupt").isNotNull).count() == 1)
+    assert(df.filter(col("_corrupt").isNull).count() == 2)
+  }
+
+  test("compressed_io: gzip files on disk, transparent re-read") {
+    ExportImport.compressedIo(spark, sf).collect()
+    val files = new java.io.File(ExportImport.scratch("gz-customer"))
+      .listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".csv.gz")), files.mkString(","))
+  }
+
+  test("package_roundtrip: manifest lists every table with its row count") {
+    ExportImport.packageRoundtrip(spark, sf).collect()
+    val manifest = PackageIO.manifest(ExportImport.scratch("package"))
+    assert(manifest.contains("\"table\":\"orders\""))
+    assert(manifest.contains("\"columns\""))
+  }
+
+  test("schema_gen: covers every table and every column") {
+    val rows = SchemaTools.schemaGen(spark, sf).collect()
+    assert(rows.length == SchemaTools.tableCols.values.sum)
+    assert(rows.map(_.getString(0)).distinct.sorted.toSeq ==
+      Tables.names.sorted)
+  }
+}
