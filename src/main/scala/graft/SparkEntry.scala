@@ -36,6 +36,13 @@ object SparkEntry {
     "package_roundtrip" -> (ExportImport.packageRoundtrip _),
     "schema_gen" -> (SchemaTools.schemaGen _),
     "package_metadata" -> (SchemaTools.packageMetadata _),
+    "blob_base64" -> (Blob.blobBase64 _),
+    "media_metadata" -> ((s, d) => Blob.mediaMetadata(s, d)),
+    // C. LLM-data-pipeline: dedup family
+    "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
+    "dedup_ngram_exactjoin" -> ((s, d) => Dedup.dedupNgramExactjoin(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)), // weak: no SQL oracle
     // B. analytics core
     "q1_agg" -> (Analytics.q1Agg _),
     "window_rank" -> (Analytics.windowRank _),
@@ -70,6 +77,29 @@ object SparkEntry {
     "schema_gen" -> SchemaTools.schemaGenOracle,
     "package_metadata" ->
       SchemaTools.packageCountsOracle(Tables.names, SchemaTools.tableCols),
+    "blob_base64" ->
+      """SELECT doc_id, to_base64(encode(text)) AS b64,
+         decode(from_base64(to_base64(encode(text)))) = text AS ok
+         FROM documents ORDER BY doc_id""",
+    "media_metadata" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS sha_hex,
+         'text/plain' AS mime,
+         CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+         CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height,
+         CAST(octet_length(encode(text)) % 30 AS INTEGER) AS frames
+         FROM documents ORDER BY doc_id""",
+    "dedup_exact" ->
+      """SELECT content_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
+         FROM (SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                 AS content_hash, doc_id
+               FROM documents)
+         GROUP BY 1 ORDER BY 1""",
+    "dedup_minhash" ->
+      graft.functions.TextShingles.duckdbAllPairsOracle(0.5),
+    "dedup_ngram_exactjoin" ->
+      graft.functions.TextShingles.duckdbAllPairsOracle(0.3),
     "filter_pushdown" ->
       s"""SELECT l_orderkey, l_linenumber, ${centsSql("l_quantity")} AS qty_cents,
           strftime(l_shipdate, '%Y-%m-%d') AS ship_day

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextShingles._
+
+/** Deduplication family: exact (hash), MinHash+LSH (banded), exact
+  * set-similarity join (prefix filtering), SimHash (banded Hamming).
+  *
+  * Scale doctrine (SURVEY §4): candidate generation is ALWAYS bucketed —
+  * band keys (MinHash/SimHash) or global-frequency prefixes (PPJoin-style)
+  * — never an all-pairs crossJoin. All-pairs appears only in the DuckDB
+  * oracle, which is the point: the oracle brute-forces what the engine
+  * must reach via buckets.
+  */
+object Dedup {
+
+  /** §2 #21 — exact dedup on normalized content hash: cluster size and
+    * canonical (minimum) id per distinct content. One hash-shuffle. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    Tables.load(spark, sfDir, "documents")
+      .select(sha2(norm.cast("binary"), 256).as("content_hash"), col("doc_id"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_dups"), min("doc_id").as("canonical_id"))
+      .orderBy("content_hash")
+  }
+
+  /** MinHash permutation constants (a·x + b mod p over a Murmur3 base
+    * hash), fixed seed so signatures are stable across runs/executors. */
+  private val P = 2147483647L // 2^31 - 1
+  private[operators] val perms: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(64)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** doc_id + distinct 3-word shingles (map-only). */
+  private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), shingles3(words(col("text"))).as("sh"))
+
+  /** §2 #22 — MinHash+LSH near-dup pairs, exact-Jaccard verified.
+    *
+    * Pipeline (every stage executor-parallel):
+    *  1. signature: 64 minhashes per doc, computed map-only with nested
+    *     array transforms (no explode, no shuffle);
+    *  2. banding: 32 bands × r=2 → explode to (band_key, doc_id);
+    *  3. buckets: equi-join on band_key (docs sharing a band collide);
+    *     mega-buckets are capped — identical boilerplate belongs to
+    *     exact dedup, and the cap bounds worst-case pair blowup at scale;
+    *  4. verify: exact Jaccard on the shingle sets, keep ≥ tau.
+    *
+    * With b=32,r=2 a pair at the tau=0.5 boundary is missed with
+    * p=(1-0.25)^32 ≈ 1e-4 — and the check below is deterministic, so the
+    * driver sees exactly what local verification sees. */
+  def dedupMinhash(spark: SparkSession, sfDir: String,
+                   tau: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val docs = docShingles(spark, sfDir)
+    val hashes = docs.select(col("doc_id"), col("sh"),
+      transform(col("sh"), s => pmod(hash(s).cast("long"), lit(P))).as("hx"))
+
+    val aArr = array(perms.map(p => lit(p._1)): _*)
+    val bArr = array(perms.map(p => lit(p._2)): _*)
+    val sig = hashes.select(col("doc_id"), col("sh"),
+      transform(sequence(lit(0), lit(63)), i =>
+        array_min(transform(col("hx"), x =>
+          pmod(element_at(aArr, i + 1) * x + element_at(bArr, i + 1), lit(P)))))
+        .as("sig"))
+
+    val banded = sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(31)), b =>
+        concat_ws(":", b,
+          element_at(col("sig"), b * 2 + 1),
+          element_at(col("sig"), b * 2 + 2)))).as("band_key"))
+
+    val buckets = banded.groupBy("band_key")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pairs = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+
+    verifyPairs(pairs, docs, tau)
+  }
+
+  /** §2 #23 — EXACT set-similarity join via prefix filtering (AllPairs/
+    * PPJoin family): tokens ordered by ascending global frequency; a pair
+    * with Jaccard ≥ tau must share a token in both prefixes of length
+    * n − ⌈tau·n⌉ + 1, so blocking on prefix tokens has perfect recall —
+    * same output as the all-pairs oracle without the O(n²) plan. */
+  def dedupNgramExactjoin(spark: SparkSession, sfDir: String,
+                          tau: Double = 0.3): DataFrame = {
+    val docs = docShingles(spark, sfDir)
+    val tokFreq = docs.select(explode(col("sh")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+
+    // order each doc's tokens rare-first (freq, tok) — deterministic
+    val ordered = docs.select(col("doc_id"), explode(col("sh")).as("tok"))
+      .join(tokFreq, "tok")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("freq"), col("tok")))).as("ft"))
+      .select(col("doc_id"),
+        transform(col("ft"), x => x.getField("tok")).as("toks"))
+
+    val prefixed = ordered.select(col("doc_id"), size(col("toks")).as("n"),
+      slice(col("toks"), lit(1),
+        (size(col("toks")) - ceil(lit(tau) * size(col("toks"))) + 1)
+          .cast("int")).as("prefix"))
+    val probes = prefixed.select(col("doc_id"), col("n"),
+      explode(col("prefix")).as("tok"))
+
+    val a = probes.select(col("tok"), col("doc_id").as("id_a"), col("n").as("na"))
+    val b = probes.select(col("tok"), col("doc_id").as("id_b"), col("n").as("nb"))
+    val pairs = a.join(b, Seq("tok"))
+      .filter(col("id_a") < col("id_b")
+        && col("nb") >= ceil(lit(tau) * col("na"))
+        && col("na") >= ceil(lit(tau) * col("nb")))
+      .select("id_a", "id_b").distinct()
+
+    verifyPairs(pairs, docShingles(spark, sfDir), tau)
+  }
+
+  /** §2 #24 — SimHash: 64-bit fingerprint from per-shingle xxhash64 bit
+    * votes; banded on 8×8-bit chunks. With 8 bands, any pair at Hamming
+    * ≤ 7 has a clean band by pigeonhole — recall at the default threshold
+    * is GUARANTEED, not probabilistic (Manku et al.'s block trick).
+    * No SQL oracle (weak check) — correctness covered by DedupSpec. */
+  def dedupSimhash(spark: SparkSession, sfDir: String,
+                   maxHamming: Int = 7): DataFrame =
+    dedupSimhashFrom(docShingles(spark, sfDir), maxHamming)
+
+  private[graft] def dedupSimhashFrom(docsWithShingles: DataFrame,
+                                      maxHamming: Int): DataFrame = {
+    val docs = docsWithShingles
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        transform(col("sh"), s => xxhash64(s)).as("hx"))
+
+    // bit k of the fingerprint = majority vote of bit k over shingle
+    // hashes (expr: SQL shiftright accepts a column bit-index, the Scala
+    // helper does not)
+    val fp = docs.select(col("doc_id"),
+      expr("""transform(sequence(0, 63), k ->
+                CASE WHEN size(filter(hx, h -> (shiftright(h, k) & 1) = 1)) * 2
+                          > size(hx)
+                     THEN 1 ELSE 0 END)""").as("bits"))
+
+    val banded = fp.select(col("doc_id"), col("bits"),
+      explode(expr(
+        """transform(sequence(0, 7), b ->
+             concat(b, ':', concat_ws('',
+               transform(slice(bits, b*8 + 1, 8), x -> CAST(x AS STRING)))))"""))
+        .as("band_key"))
+
+    val a = banded.select(col("band_key"), col("doc_id").as("id_a"),
+      col("bits").as("bits_a"))
+    val b = banded.select(col("band_key"), col("doc_id").as("id_b"),
+      col("bits").as("bits_b"))
+    a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("aggregate(zip_with(bits_a, bits_b, (x, y) -> abs(x - y)), 0, (acc, v) -> acc + v)")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against shingle sets. */
+  private def verifyPairs(pairs: DataFrame, docs: DataFrame,
+                          tau: Double): DataFrame = {
+    val sa = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val sb = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("j"), 4).as("j4"))
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Blob, Dedup}
+import graft.functions.TextShingles
+
+class DedupSpec extends SparkSpec {
+
+  test("dedup_exact: one cluster per distinct normalized content") {
+    val df = Dedup.dedupExact(spark, sf)
+    assert(df.count() ==
+      Tables.load(spark, sf, "documents")
+        .select(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+        .distinct().count())
+  }
+
+  test("dedup_minhash: finds the planted near-dup pairs, no cartesian") {
+    val df = Dedup.dedupMinhash(spark, sf)
+    val pairs = df.collect()
+    assert(pairs.nonEmpty, "sf0.001 documents contain planted near-dups")
+    assert(pairs.forall(_.getAs[Double]("j4") >= 0.5))
+    assertNoCartesian(Dedup.dedupMinhash(spark, sf))
+  }
+
+  test("dedup_minhash: LSH recall is total on planted dups (vs all-pairs)") {
+    // brute-force reference on the tiny SF only
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        TextShingles.shingles3(TextShingles.words(col("text"))).as("sh"))
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(TextShingles.jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lsh = Dedup.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.toSet == brute.toSet)
+  }
+
+  test("dedup_ngram_exactjoin: exact same pairs as brute force (prefix filter is lossless)") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        TextShingles.shingles3(TextShingles.words(col("text"))).as("sh"))
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(TextShingles.jaccard(col("sh_a"), col("sh_b")) >= 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pf = Dedup.dedupNgramExactjoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pf.toSet == brute.toSet)
+    assertNoCartesian(Dedup.dedupNgramExactjoin(spark, sf))
+  }
+
+  test("dedup_simhash: near-identical docs collide, distant docs don't") {
+    import spark.implicits._
+    // planted: 1↔2 differ by one word in 500 (few bit-votes swing, so
+    // Hamming lands within the guaranteed ≤7 band window); 3 is unrelated
+    val base = (1 to 500).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 500).map(i => if (i == 250) "changed" else s"tok$i")
+      .mkString(" ")
+    val far = (1 to 500).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextShingles.shingles3(TextShingles.words(col("text"))).as("sh"))
+    val pairs = Dedup.dedupSimhashFrom(docs, maxHamming = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-identical docs must collide: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"unrelated docs must not collide: $pairs")
+    // and on real data: hits respect the hamming bound
+    assert(Dedup.dedupSimhash(spark, sf).collect()
+      .forall(_.getAs[Int]("hamming") <= 7))
+  }
+
+  test("blob_base64: canonical (unwrapped) base64, round-trip ok") {
+    val rows = Blob.blobBase64(spark, sf).collect()
+    assert(rows.forall(_.getAs[Boolean]("ok")))
+    assert(rows.forall(!_.getAs[String]("b64").contains("\r")))
+  }
+
+  test("media_metadata: stub decode is deterministic and schema-stable") {
+    val df = Blob.mediaMetadata(spark, sf)
+    assert(df.columns.toSeq == Seq("doc_id", "n_bytes", "sha_hex", "mime",
+      "width", "height", "frames"))
+    val r = df.filter(col("doc_id") === 0).collect().head
+    assert(r.getAs[Int]("width") == (r.getAs[Long]("n_bytes") % 640).toInt)
+  }
+}
