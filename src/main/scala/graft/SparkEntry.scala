@@ -43,6 +43,10 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_ngram_exactjoin" -> ((s, d) => Dedup.dedupNgramExactjoin(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)), // weak: no SQL oracle
+    // C. LLM-data-pipeline: similarity / ANN
+    "embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(s, d)),
+    "ann_bruteforce" -> ((s, d) => Similarity.annBruteforce(s, d)),
+    "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)), // weak: no SQL oracle
     // B. analytics core
     "q1_agg" -> (Analytics.q1Agg _),
     "window_rank" -> (Analytics.windowRank _),
@@ -51,6 +55,17 @@ object SparkEntry {
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
+
+  /** DuckDB left-fold dot product — the oracle twin of
+    * [[graft.functions.VectorFunctions.dot]] (bit-identical by
+    * construction: per-element double casts, left fold). */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+
+  private val duckNormCte: String =
+    s"""WITH n AS (SELECT vec_id, label, embedding,
+        sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings)"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -100,6 +115,25 @@ object SparkEntry {
       graft.functions.TextShingles.duckdbAllPairsOracle(0.5),
     "dedup_ngram_exactjoin" ->
       graft.functions.TextShingles.duckdbAllPairsOracle(0.3),
+    "embedding_dedup" ->
+      s"""$duckNormCte
+          SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(${duckDot("a.embedding", "b.embedding")}
+                       / (a.nrm * b.nrm), 6) AS cos6
+          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+          ORDER BY id_a, id_b""",
+    "ann_bruteforce" ->
+      s"""$duckNormCte
+          SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos6 FROM (
+            SELECT query_id, neighbor_id, cos,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+            FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+                  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+                  WHERE q.vec_id < 10))
+          WHERE rnk <= 5 ORDER BY query_id, rnk""",
     "filter_pushdown" ->
       s"""SELECT l_orderkey, l_linenumber, ${centsSql("l_quantity")} AS qty_cents,
           strftime(l_shipdate, '%Y-%m-%d') AS ship_day

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Embedding similarity: near-dup pairs and approximate-nearest-neighbor
+  * search over the `embeddings` table (`array<float>`, 64-dim).
+  *
+  * Scale shapes:
+  *  - near-dup (#25) blocks on an equi-join key (label) — at 100 TB the
+  *    block key is an LSH bucket or a coarse quantizer cell; the plan
+  *    shape (bounded blocks → pairs within block) is identical;
+  *  - brute-force ANN (#26) broadcasts the (small) query set and scans
+  *    candidates linearly — the correct brute-force baseline at any
+  *    scale: one pass, per-partition top-k, tiny final merge;
+  *  - LSH ANN (#27) buckets by random-hyperplane signature bands so each
+  *    query only scores candidates sharing a band.
+  */
+object Similarity {
+
+  /** vec_id + embedding + precomputed L2 norm (map-only). */
+  private def vectors(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+
+  /** §2 #25 — embedding-cosine near-dup pairs within label blocks. */
+  def embeddingDedup(spark: SparkSession, sfDir: String,
+                     tau: Double = 0.4): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val a = v.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val b = v.select(col("label"), col("vec_id").as("id_b"),
+      col("embedding").as("e_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        cosineWithNorms(dot(col("e_a"), col("e_b")), col("n_a"), col("n_b"))
+          .as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("label"), col("id_a"), col("id_b"),
+        round(col("cos"), 6).as("cos6"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** §2 #26 — brute-force cosine top-k: the exact baseline every ANN
+    * variant is measured against. Query set broadcast; candidates
+    * scanned once; row_number window ranks with an id tie-break. */
+  def annBruteforce(spark: SparkSession, sfDir: String,
+                    nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val queries = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"))
+    val cands = v.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("e_c"), col("nrm").as("n_c"))
+    val scored = cands.join(broadcast(queries),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
+          .as("cos"))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos6"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Random hyperplanes for LSH signatures: nBits × dim, fixed seed. */
+  private[graft] def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** §2 #27 — LSH-bucketed ANN: 16 sign bits → 8 bands × 2 bits; a
+    * candidate is scored only if it shares ≥1 band with the query.
+    * Band width trades candidate count against recall: the synthetic
+    * embeddings are near-uniform (LSH's worst case), so bands are short;
+    * clustered production embeddings would use wider bands for a larger
+    * candidate-set reduction at the same recall.
+    * Approximate (weak oracle) — SimilaritySpec asserts recall vs the
+    * brute-force baseline. */
+  def annLsh(spark: SparkSession, sfDir: String,
+             nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val planes = hyperplanes(16, 64)
+    val bitCols: Seq[Column] = planes.map { h =>
+      val lits = array(h.map(lit): _*)
+      when(dot(col("embedding"), lits) > 0, "1").otherwise("0")
+    }
+    val v = vectors(spark, sfDir)
+      .withColumn("bits", concat(bitCols: _*))
+    val banded = v.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(expr(
+        """transform(sequence(0, 7), b ->
+             concat(b, ':', substring(bits, b*2 + 1, 2)))""")).as("band_key"))
+
+    val q = banded.filter(col("vec_id") < nQueries)
+      .select(col("band_key"), col("vec_id").as("query_id"),
+        col("embedding").as("e_q"), col("nrm").as("n_q"))
+    val c = banded.select(col("band_key"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("e_c"), col("nrm").as("n_c"))
+    q.join(c, Seq("band_key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "e_q", "n_q", "e_c", "n_c")
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
+          .as("cos"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos6"))
+      .orderBy("query_id", "rnk")
+  }
+}

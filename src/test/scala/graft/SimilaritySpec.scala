@@ -1,0 +1,31 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  test("ann_bruteforce: k neighbors per query, broadcast query set") {
+    val df = Similarity.annBruteforce(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 50) // 10 queries × k=5
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    val plan = planOf(Similarity.annBruteforce(spark, sf))
+    assert(plan.contains("Broadcast"), plan)
+  }
+
+  test("ann_lsh: bucketed candidates, recall@5 >= 0.5 vs brute force") {
+    val brute = Similarity.annBruteforce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.annLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@5 = $recall")
+    assertNoCartesian(Similarity.annLsh(spark, sf))
+  }
+
+  test("embedding_dedup: pairs stay within label blocks, no cartesian") {
+    val rows = Similarity.embeddingDedup(spark, sf).collect()
+    assert(rows.forall(_.getAs[Double]("cos6") >= 0.4))
+    assertNoCartesian(Similarity.embeddingDedup(spark, sf))
+  }
+}
