@@ -47,6 +47,12 @@ object SparkEntry {
     "embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)), // weak: no SQL oracle
+    // C. LLM-data-pipeline: text analysis
+    "text_stats" -> (TextAnalysis.textStats _),
+    "lang_id" -> (TextAnalysis.langId _),
+    "token_count" -> (TextAnalysis.tokenCount _),
+    "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    "text_shingles" -> (TextAnalysis.textShingles _),
     // B. analytics core
     "q1_agg" -> (Analytics.q1Agg _),
     "window_rank" -> (Analytics.windowRank _),
@@ -134,6 +140,62 @@ object SparkEntry {
                   FROM n q JOIN n c ON c.vec_id <> q.vec_id
                   WHERE q.vec_id < 10))
           WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "text_stats" ->
+      """SELECT doc_id, n_chars_calc, n_words, n_punct, n_stop,
+          round(n_stop / n_words, 4) AS stop_ratio,
+          round(n_punct / n_chars_calc, 4) AS punct_ratio,
+          round(least(n_words / 50.0, 1.0) * 0.5 + (n_stop / n_words) * 0.5, 4)
+            AS quality
+          FROM (SELECT doc_id,
+                  CAST(length(text) AS BIGINT) AS n_chars_calc,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                    AS n_words,
+                  CAST(len(regexp_extract_all(text, '[.,!?;:]', 0)) AS BIGINT)
+                    AS n_punct,
+                  CAST(len(regexp_extract_all(lower(text),
+                    '\b(?:the|and|is|of|to)\b', 0)) AS BIGINT) AS n_stop
+                FROM documents)
+          ORDER BY doc_id""",
+    "lang_id" ->
+      s"""SELECT doc_id, pred_lang, pred_lang = lang AS is_match FROM (
+            SELECT doc_id, lang, ${graft.operators.TextAnalysis.langCaseSql}
+              AS pred_lang
+            FROM (SELECT doc_id, lang,
+                    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]', 0))
+                      AS c_zh,
+                    len(regexp_extract_all(lower(text),
+                      '\\b(?:the|and|is|of|to)\\b', 0)) AS c_en,
+                    len(regexp_extract_all(lower(text),
+                      '\\b(?:der|die|und|ist|das)\\b', 0)) AS c_de,
+                    len(regexp_extract_all(lower(text),
+                      '\\b(?:le|la|et|est|les)\\b', 0)) AS c_fr,
+                    len(regexp_extract_all(lower(text),
+                      '\\b(?:el|los|y|es|una)\\b', 0)) AS c_es
+                  FROM documents))
+          ORDER BY doc_id""",
+    "token_count" ->
+      """SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+            AS ws_tokens,
+          CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]', 0))
+            AS BIGINT) AS bpe_tokens,
+          CAST(length(text) AS BIGINT) AS n_chars_calc
+          FROM documents ORDER BY doc_id""",
+    "doc_fingerprint" ->
+      s"""${graft.functions.TextShingles.duckdbShingleCte}
+          SELECT doc_id,
+            sha256(list_aggregate(list_sort(s), 'string_agg', '|'))
+              AS fingerprint,
+            CAST(len(s) AS BIGINT) AS n_shingles
+          FROM sh ORDER BY doc_id""",
+    "text_shingles" ->
+      """SELECT doc_id,
+          CASE WHEN length(text) >= 3
+               THEN CAST(len(list_distinct([substring(text, i, 3)
+                      for i in range(1, CAST(length(text) AS INTEGER) - 1)]))
+                    AS INTEGER)
+               ELSE 0 END AS n_shingles3
+          FROM documents ORDER BY doc_id""",
     "filter_pushdown" ->
       s"""SELECT l_orderkey, l_linenumber, ${centsSql("l_quantity")} AS qty_cents,
           strftime(l_shipdate, '%Y-%m-%d') AS ship_day

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextShingles
+
+/** Text analysis for training-data pipelines: quality stats, language ID,
+  * token counting, document fingerprinting, char-shingle profiles.
+  *
+  * All map-only (no shuffle except the final presentation sort): at
+  * 100 TB these run at scan speed, entirely inside whole-stage codegen
+  * (regexp + array built-ins, no UDFs).
+  *
+  * Cross-engine contract: every regex below uses constructs with
+  * identical semantics in Java (Spark) and RE2 (DuckDB) — `\b`, `\s`,
+  * non-capturing groups, explicit `\x{...}` code points — and every
+  * ratio is a double derived from exact integers.
+  */
+object TextAnalysis {
+
+  /** §2 #28 — quality scoring: lengths, word/punct/stopword counts and
+    * ratios. The blend mirrors the usual pretraining heuristics
+    * (length prior + stopword density). */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = size(split(trim(col("text")), "\\s+"))
+    val punct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+    val stop = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(?:the|and|is|of|to)\\b"), lit(0)))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        words.cast("long").as("n_words"), punct.cast("long").as("n_punct"),
+        stop.cast("long").as("n_stop"),
+        round(stop / words, 4).as("stop_ratio"),
+        round(punct / length(col("text")), 4).as("punct_ratio"),
+        round(least(words / lit(50.0), lit(1.0)) * 0.5 + (stop / words) * 0.5, 4)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language stopword-count patterns (shared with the oracle). */
+  val langPatterns: Seq[(String, String)] = Seq(
+    "en" -> "\\b(?:the|and|is|of|to)\\b",
+    "de" -> "\\b(?:der|die|und|ist|das)\\b",
+    "fr" -> "\\b(?:le|la|et|est|les)\\b",
+    "es" -> "\\b(?:el|los|y|es|una)\\b")
+
+  /** The decision rule, as one SQL CASE fragment evaluated verbatim by
+    * BOTH engines over the per-language counts — the rule cannot drift
+    * between implementation and oracle. */
+  val langCaseSql: String =
+    """CASE WHEN c_zh > 0 THEN 'zh'
+            WHEN c_de > c_en AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+            WHEN c_fr > c_en AND c_fr >= c_es THEN 'fr'
+            WHEN c_es > c_en THEN 'es'
+            ELSE 'en' END"""
+
+  /** §2 #29 — language ID: n-gram/stopword heuristic. On this synthetic
+    * corpus the `lang` column is uncorrelated with the text (all docs
+    * share one vocabulary), so `is_match` measures agreement with the
+    * label, not classifier quality; the operator contract is the
+    * deterministic scoring itself. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = langPatterns.foldLeft(
+      Tables.load(spark, sfDir, "documents")
+        .withColumn("c_zh", size(regexp_extract_all(col("text"),
+          lit("[\\x{4e00}-\\x{9fff}]"), lit(0))))) {
+      case (df, (l, pat)) =>
+        df.withColumn(s"c_$l",
+          size(regexp_extract_all(lower(col("text")), lit(pat), lit(0))))
+    }
+    counts
+      .withColumn("pred_lang", expr(langCaseSql))
+      .select(col("doc_id"), col("pred_lang"),
+        (col("pred_lang") === col("lang")).as("is_match"))
+      .orderBy("doc_id")
+  }
+
+  /** §2 #30 — token counting: whitespace tokens + a BPE-ish regex
+    * (letter runs, single digits, single punctuation marks). */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
+          .as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+      .orderBy("doc_id")
+
+  /** §2 #31 — document fingerprint: order-independent digest of the
+    * distinct shingle set (sorted + joined + SHA-256) — the set-level
+    * analog of content hashing, stable under shingle reordering. */
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = TextShingles.shingles3(TextShingles.words(col("text")))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        sha2(concat_ws("|", array_sort(sh)).cast("binary"), 256)
+          .as("fingerprint"),
+        size(sh).cast("long").as("n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  /** §2 #32 — character 3-gram profile: distinct shingle count per doc. */
+  def textShingles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        when(length(col("text")) >= 3,
+          // expr: the Scala substring() helper takes literal positions,
+          // the SQL one accepts the lambda-bound index column
+          size(array_distinct(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))))
+          .otherwise(0).as("n_shingles3"))
+      .orderBy("doc_id")
+}

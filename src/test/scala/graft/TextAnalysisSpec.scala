@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("text_stats: ratios derive from the exact counts") {
+    val r = TextAnalysis.textStats(spark, sf)
+      .filter(col("doc_id") === 0).collect().head
+    val stop = r.getAs[Long]("n_stop"); val words = r.getAs[Long]("n_words")
+    assert(r.getAs[Double]("stop_ratio") ==
+      math.round(stop.toDouble / words * 10000) / 10000.0)
+    assert(words > 0 && r.getAs[Long]("n_chars_calc") > 0)
+  }
+
+  test("lang_id: chinese text routes to zh, default routes to en") {
+    import spark.implicits._
+    // same CASE rule as the operator, exercised on crafted rows
+    val df = Seq((1L, "中文文本", "zh"),
+        (2L, "the cat and the dog is here", "en"))
+      .toDF("doc_id", "text", "lang")
+    df.createOrReplaceTempView("documents_crafted")
+    val zh = size(regexp_extract_all(col("text"),
+      lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val out = df.withColumn("c_zh", zh)
+      .withColumn("c_en", lit(0)).withColumn("c_de", lit(0))
+      .withColumn("c_fr", lit(0)).withColumn("c_es", lit(0))
+      .withColumn("pred", expr(TextAnalysis.langCaseSql))
+      .collect().map(r => r.getAs[String]("pred"))
+    assert(out.toSeq == Seq("zh", "en"))
+  }
+
+  test("token_count: bpe tokens >= whitespace tokens") {
+    val rows = TextAnalysis.tokenCount(spark, sf).collect()
+    assert(rows.forall(r =>
+      r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("ws_tokens")))
+  }
+
+  test("doc_fingerprint: equal shingle sets, equal fingerprints") {
+    val fp = TextAnalysis.docFingerprint(spark, sf)
+    assert(fp.select("fingerprint").distinct().count() ==
+      fp.count()) // this corpus has no exact dup shingle sets
+    assert(fp.collect().forall(_.getAs[String]("fingerprint").length == 64))
+  }
+
+  test("text_shingles: bounded by length-2") {
+    val joined = TextAnalysis.textShingles(spark, sf)
+      .join(Tables.load(spark, sf, "documents"), "doc_id")
+    assert(joined.filter(
+      col("n_shingles3") > length(col("text")) - 2).count() == 0)
+  }
+}
