@@ -58,6 +58,8 @@ object SparkEntry {
     "window_rank" -> (Analytics.windowRank _),
     "agg_skew_salted" -> ((s, d) => Analytics.aggSkewSalted(s, d)),
     "events_window" -> (Analytics.eventsWindow _),
+    "asof_join" -> (AsofJoin.asofJoin _),
+    "sessionize" -> ((s, d) => Sessionize.sessionize(s, d)),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -140,6 +142,8 @@ object SparkEntry {
                   FROM n q JOIN n c ON c.vec_id <> q.vec_id
                   WHERE q.vec_id < 10))
           WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "asof_join" -> AsofJoin.oracle,
+    "sessionize" -> Sessionize.oracle(),
     "text_stats" ->
       """SELECT doc_id, n_chars_calc, n_words, n_punct, n_stop,
           round(n_stop / n_words, 4) AS stop_ratio,

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2 #33 — Structured Streaming ingestion of the events table:
+  * readStream → event-time watermark → tumbling-window aggregate.
+  * Batch twin: graft.operators.Analytics.eventsWindow (same buckets,
+  * same cents-exact sums), so batch backfill and streaming tail can be
+  * unioned without reconciliation.
+  */
+object EventStream {
+
+  /** events schema as the file source sees it under
+    * spark.sql.legacy.parquet.nanosAsLong (ts = nanos BIGINT). */
+  val eventsNanosSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over the events parquet, nanos → µs timestamps
+    * (same conversion as Tables.load). */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsNanosSchema)
+      // file source needs a directory; select just the events file
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked tumbling-window aggregate. State is bounded: windows
+    * older than watermark are finalized and dropped — the only shape
+    * that survives an unbounded stream. */
+  def hourlyAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
+        col("event_type"), col("n"), col("sum_value_c"))
+}

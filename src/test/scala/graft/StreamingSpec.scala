@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+import graft.streaming.{EventStream, Sessionizer}
+
+class StreamingSpec extends SparkSpec {
+
+  test("event stream: windowed agg matches the batch twin (complete mode)") {
+    val agg = EventStream.hourlyAgg(EventStream.readEventStream(spark, sf))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_hourly").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_hourly")
+      .orderBy("hour_bucket", "event_type").collect()
+    val batch = Analytics.eventsWindow(spark, sf).collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq ==
+      batch.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq)
+  }
+
+  test("sessionizer: gap splits and watermark timeout close sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(user: Long, id: Long, minute: Long) = Sessionizer.SessionEvent(
+      user, id, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(minute.toInt)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss"))))
+
+    val input = MemoryStream[Sessionizer.SessionEvent]
+    val q = Sessionizer.sessions(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_sessions").start()
+    try {
+      // user 1: two sessions split by a 40-minute gap; user 2: one session
+      input.addData(ev(1, 1, 0), ev(1, 2, 10), ev(1, 3, 50), ev(2, 4, 0))
+      q.processAllAvailable()
+      // sentinel far in the future advances the watermark past all gaps
+      input.addData(ev(9, 99, 10000))
+      q.processAllAvailable()
+      input.addData(ev(9, 100, 20000))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("stream_sessions")
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val t0 = ev(1, 1, 0).ts.getTime * 1000
+    def us(minute: Long) = t0 + minute * 60000000L
+    assert(out.contains((1L, us(0), us(10), 2L)), s"first session of user 1: $out")
+    assert(out.contains((1L, us(50), us(50), 1L)), s"second session of user 1: $out")
+    assert(out.contains((2L, us(0), us(0), 1L)), s"user 2 session: $out")
+  }
+}
