@@ -15,17 +15,12 @@ object TextShingles {
   /** `array<string>` of whitespace tokens of trim(lower(text)). */
   def words(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Distinct 3-word shingles; empty array when fewer than 3 words
-    * (sequence() would count DOWN for size<3 — guard required). */
+  /** Distinct 3-word shingles; empty array when fewer than 3 words.
+    * Native expression ([[WordShingles]]) — the composed
+    * transform/concat_ws/array_distinct chain runs interpreted and
+    * dominated every dedup query at sf0.1. */
   def shingles3(wordsCol: Column): Column =
-    when(size(wordsCol) >= 3,
-      array_distinct(transform(
-        sequence(lit(1), size(wordsCol) - 2),
-        i => concat_ws(" ",
-          element_at(wordsCol, i),
-          element_at(wordsCol, i + 1),
-          element_at(wordsCol, i + 2)))))
-      .otherwise(array().cast("array<string>"))
+    WordShinglesExpr.wordShingles(wordsCol, 3)
 
   /** Exact Jaccard of two distinct-element string arrays, as a DOUBLE
     * built from exact integer set sizes (identical across engines). */

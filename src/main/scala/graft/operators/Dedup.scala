@@ -30,7 +30,7 @@ object Dedup {
   /** MinHash permutation constants (a·x + b mod p over a Murmur3 base
     * hash), fixed seed so signatures are stable across runs/executors. */
   private val P = 2147483647L // 2^31 - 1
-  private[operators] val perms: Seq[(Long, Long)] = {
+  private[graft] val perms: Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(64)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
       rnd.nextInt(Int.MaxValue).toLong))
@@ -61,13 +61,8 @@ object Dedup {
     val hashes = docs.select(col("doc_id"), col("sh"),
       transform(col("sh"), s => pmod(hash(s).cast("long"), lit(P))).as("hx"))
 
-    val aArr = array(perms.map(p => lit(p._1)): _*)
-    val bArr = array(perms.map(p => lit(p._2)): _*)
     val sig = hashes.select(col("doc_id"), col("sh"),
-      transform(sequence(lit(0), lit(63)), i =>
-        array_min(transform(col("hx"), x =>
-          pmod(element_at(aArr, i + 1) * x + element_at(bArr, i + 1), lit(P)))))
-        .as("sig"))
+      graft.functions.MinHash.minhashSignature(col("hx"), perms, P).as("sig"))
 
     val banded = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(31)), b =>
