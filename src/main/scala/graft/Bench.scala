@@ -25,6 +25,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // warm up codegen/JIT and the parquet reader path so the first timed
+    // query measures the query, not session start-up
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.load(spark, sfDir, "region").count()
+
     val names = headline.filter(SparkEntry.queries.contains)
     val timed = names.map { name =>
       val t0 = System.nanoTime()
