@@ -60,6 +60,8 @@ object SparkEntry {
     "events_window" -> (Analytics.eventsWindow _),
     "asof_join" -> (AsofJoin.asofJoin _),
     "sessionize" -> ((s, d) => Sessionize.sessionize(s, d)),
+    "json_props" -> (JsonOps.jsonProps _),
+    "partitioned_write" -> (ExportImport.partitionedWrite _),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -144,6 +146,12 @@ object SparkEntry {
           WHERE rnk <= 5 ORDER BY query_id, rnk""",
     "asof_join" -> AsofJoin.oracle,
     "sessionize" -> Sessionize.oracle(),
+    "json_props" -> JsonOps.oracle,
+    "partitioned_write" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+          CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_c
+          FROM orders WHERE o_orderstatus = 'F'
+          GROUP BY 1 ORDER BY 1""",
     "text_stats" ->
       """SELECT doc_id, n_chars_calc, n_words, n_punct, n_stop,
           round(n_stop / n_words, 4) AS stop_ratio,

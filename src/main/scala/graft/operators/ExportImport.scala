@@ -112,6 +112,25 @@ object ExportImport {
       .orderBy("c_mktsegment")
   }
 
+  /** §2 #36 — partitioned export + partition-pruned import: write orders
+    * hive-partitioned by status, read back filtered to one partition.
+    * At 100 TB this is THE layout decision: the filtered re-read must
+    * list and scan only the matching partition directory (the spec
+    * asserts `PartitionFilters` in the scan). */
+  def partitionedWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("part-orders")
+    Tables.load(spark, sfDir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    partitionedRead(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_c"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** The pruned re-read (separate so the spec can inspect its plan). */
+  def partitionedRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+
   /** §2 #14 — whole-package round-trip: manifest + per-table parquet out,
     * re-read each table and report (table, rows, cols) from the re-read
     * data — equality with the source proves the package is lossless. */

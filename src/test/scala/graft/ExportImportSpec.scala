@@ -56,6 +56,27 @@ class ExportImportSpec extends SparkSpec {
     assert(manifest.contains("\"columns\""))
   }
 
+  test("partitioned_write: filtered re-read prunes to one partition") {
+    ExportImport.partitionedWrite(spark, sf).collect()
+    val dir = ExportImport.scratch("part-orders")
+    val pruned = ExportImport.partitionedRead(spark, dir)
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the status predicate must be a partition filter, not a data filter
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan)
+    assert(!plan.contains("PushedFilters: [IsNotNull(o_orderstatus"), plan)
+    val expected = Tables.load(spark, sf, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F").count()
+    assert(pruned.count() == expected)
+  }
+
+  test("json_props: typed extraction handles every row") {
+    val out = graft.operators.JsonOps.jsonProps(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n")).sum ==
+      Tables.load(spark, sf, "events").count())
+    assert(out.forall(r => r.getAs[Long]("n_with_k") <= r.getAs[Long]("n")))
+  }
+
   test("schema_gen: covers every table and every column") {
     val rows = SchemaTools.schemaGen(spark, sf).collect()
     assert(rows.length == SchemaTools.tableCols.values.sum)
