@@ -29,6 +29,13 @@ object EventStream {
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** Streaming exact dedup: drop replayed/duplicate event ids, keeping
+    * state only within the watermark horizon (bounded, unlike a plain
+    * dropDuplicates whose state grows forever on a stream). */
+  def dedupedStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Watermarked tumbling-window aggregate. State is bounded: windows
     * older than watermark are finalized and dropped — the only shape
     * that survives an unbounded stream. */

@@ -20,6 +20,62 @@ class StreamingSpec extends SparkSpec {
       batch.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq)
   }
 
+  test("streaming dedup: replayed events are dropped within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("event_id", "ts")
+    val q = EventStream.dedupedStream(events, "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup").start()
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    try {
+      input.addData((1L, t), (2L, t), (1L, t)) // replay of id 1
+      q.processAllAvailable()
+      input.addData((2L, t), (3L, t)) // replay of id 2 across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("stream_dedup").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("sessionizer: streaming sessions equal batch sessions on real events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[Sessionizer.SessionEvent].collect().sortBy(_.ts.getTime)
+
+    val input = MemoryStream[Sessionizer.SessionEvent]
+    val q = Sessionizer.sessions(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_sessions_real").start()
+    try {
+      input.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      // sentinel advances watermark far past every session's gap window
+      input.addData(Sessionizer.SessionEvent(-1L, -1L,
+        java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+      q.processAllAvailable()
+      input.addData(Sessionizer.SessionEvent(-1L, -2L,
+        java.sql.Timestamp.valueOf("2031-01-01 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("stream_sessions_real")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.operators.Sessionize.sessionize(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("start_us") + r.getAs[Long]("duration_us"),
+        r.getAs[Long]("n_events"))).toSet
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("sessionizer: gap splits and watermark timeout close sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
