@@ -62,6 +62,8 @@ object SparkEntry {
     "sessionize" -> ((s, d) => Sessionize.sessionize(s, d)),
     "json_props" -> (JsonOps.jsonProps _),
     "partitioned_write" -> (ExportImport.partitionedWrite _),
+    "package_filter" -> (PackageFilter.packageFilter _),
+    "merge_upsert" -> (MergeImport.mergeUpsert _),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -147,6 +149,8 @@ object SparkEntry {
     "asof_join" -> AsofJoin.oracle,
     "sessionize" -> Sessionize.oracle(),
     "json_props" -> JsonOps.oracle,
+    "package_filter" -> PackageFilter.oracle,
+    "merge_upsert" -> MergeImport.oracle,
     "partitioned_write" ->
       s"""SELECT o_orderstatus, count(*) AS n,
           CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_c
