@@ -145,13 +145,10 @@ object Dedup {
         transform(col("sh"), s => xxhash64(s)).as("hx"))
 
     // bit k of the fingerprint = majority vote of bit k over shingle
-    // hashes (expr: SQL shiftright accepts a column bit-index, the Scala
-    // helper does not)
+    // hashes — native expression (the interpreted transform/filter form
+    // scanned the hash array 64 times per row)
     val fp = docs.select(col("doc_id"),
-      expr("""transform(sequence(0, 63), k ->
-                CASE WHEN size(filter(hx, h -> (shiftright(h, k) & 1) = 1)) * 2
-                          > size(hx)
-                     THEN 1 ELSE 0 END)""").as("bits"))
+      graft.functions.SimHash.simhashBits(col("hx")).as("bits"))
 
     val banded = fp.select(col("doc_id"), col("bits"),
       explode(expr(
