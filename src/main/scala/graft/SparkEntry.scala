@@ -64,6 +64,8 @@ object SparkEntry {
     "partitioned_write" -> (ExportImport.partitionedWrite _),
     "package_filter" -> (PackageFilter.packageFilter _),
     "merge_upsert" -> (MergeImport.mergeUpsert _),
+    "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)), // weak: no SQL oracle
+    "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -151,6 +153,19 @@ object SparkEntry {
     "json_props" -> JsonOps.oracle,
     "package_filter" -> PackageFilter.oracle,
     "merge_upsert" -> MergeImport.oracle,
+    "quality_filter" ->
+      """SELECT doc_id, n_words, quality FROM (
+           SELECT doc_id, n_words,
+             round(least(n_words / 50.0, 1.0) * 0.5 + (n_stop / n_words) * 0.5, 4)
+               AS quality
+           FROM (SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                     AS n_words,
+                   CAST(len(regexp_extract_all(lower(text),
+                     '\b(?:the|and|is|of|to)\b', 0)) AS BIGINT) AS n_stop
+                 FROM documents))
+         WHERE n_words >= 20 AND quality >= 0.3
+         ORDER BY doc_id""",
     "partitioned_write" ->
       s"""SELECT o_orderstatus, count(*) AS n,
           CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_c

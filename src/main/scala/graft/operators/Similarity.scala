@@ -71,6 +71,52 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** §2 #39 — IVF-style ANN: a fixed coarse quantizer (here: the first
+    * `nCells` vectors as centroids — a real system trains k-means once,
+    * offline) assigns every vector to its nearest cell; queries probe
+    * their `nProbe` nearest cells only. The candidate set shrinks by
+    * ~nCells/nProbe at any scale; cells are an equi-join key, so the
+    * probe is a hash join, never a cross product.
+    * Approximate (weak oracle) — SimilaritySpec asserts recall vs brute.
+    */
+  def annIvf(spark: SparkSession, sfDir: String, nCells: Int = 16,
+             nProbe: Int = 4, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val cents = v.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("e_cent"),
+        col("nrm").as("n_cent"))
+
+    // nearest cell per vector (rank over the small broadcast centroid set)
+    val scored = v.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        cosineWithNorms(dot(col("embedding"), col("e_cent")),
+          col("nrm"), col("n_cent")).as("sim"))
+    def topCells(n: Int) = scored
+      .withColumn("crnk", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("cell").asc)))
+      .filter(col("crnk") <= n)
+
+    val assigned = topCells(1)
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("e_c"), col("nrm").as("n_c"))
+    val probes = topCells(nProbe).filter(col("vec_id") < nQueries)
+      .select(col("cell"), col("vec_id").as("query_id"),
+        col("embedding").as("e_q"), col("nrm").as("n_q"))
+
+    probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
+          .as("cos"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos6"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Random hyperplanes for LSH signatures: nBits × dim, fixed seed. */
   private[graft] def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(7)

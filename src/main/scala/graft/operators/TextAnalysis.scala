@@ -39,6 +39,16 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** §2 #40 — quality-gate filter: the standard pretraining corpus cut.
+    * Keeps documents passing length + quality-score thresholds; a pure
+    * pushdown-friendly filter over the map-only stats. */
+  def qualityFilter(spark: SparkSession, sfDir: String,
+                    minWords: Int = 20, minQuality: Double = 0.3): DataFrame =
+    textStats(spark, sfDir)
+      .filter(col("n_words") >= minWords && col("quality") >= minQuality)
+      .select(col("doc_id"), col("n_words"), col("quality"))
+      .orderBy("doc_id")
+
   /** Per-language stopword-count patterns (shared with the oracle). */
   val langPatterns: Seq[(String, String)] = Seq(
     "en" -> "\\b(?:the|and|is|of|to)\\b",

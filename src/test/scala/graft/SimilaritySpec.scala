@@ -23,6 +23,15 @@ class SimilaritySpec extends SparkSpec {
     assertNoCartesian(Similarity.annLsh(spark, sf))
   }
 
+  test("ann_ivf: probed cells bound candidates, recall@5 >= 0.5 vs brute") {
+    val brute = Similarity.annBruteforce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@5 = $recall")
+  }
+
   test("embedding_dedup: pairs stay within label blocks, no cartesian") {
     val rows = Similarity.embeddingDedup(spark, sf).collect()
     assert(rows.forall(_.getAs[Double]("cos6") >= 0.4))
