@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{Base64NoWrap, MinHashSignature, SimHashBits, WordShingles}
+import graft.operators.Dedup
+
+/** SparkSessionExtensions entry point: makes graft's custom Catalyst
+  * expressions callable from SQL —
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * // or: --conf spark.sql.extensions=graft.GraftExtensions
+  * spark.sql("SELECT base64_nowrap(CAST(text AS BINARY)) FROM docs")
+  * }}}
+  *
+  * Registered: base64_nowrap, word_shingles(words, n),
+  * minhash_signature(hashes) (engine-default 64 permutations),
+  * simhash_bits(hashes).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("base64_nowrap"),
+      new ExpressionInfo(classOf[Base64NoWrap].getName, "base64_nowrap"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Base64NoWrap(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      exprs => WordShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      exprs => MinHashSignature(exprs.head,
+        Dedup.perms.map(_._1).toArray, Dedup.perms.map(_._2).toArray,
+        2147483647L)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
+      exprs => SimHashBits(exprs.head)))
+  }
+}

@@ -66,6 +66,7 @@ object SparkEntry {
     "merge_upsert" -> (MergeImport.mergeUpsert _),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)), // weak: no SQL oracle
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
+    "topk_frequent" -> ((s, d) => Analytics.topkFrequent(s, d)),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -153,6 +154,9 @@ object SparkEntry {
     "json_props" -> JsonOps.oracle,
     "package_filter" -> PackageFilter.oracle,
     "merge_upsert" -> MergeImport.oracle,
+    "topk_frequent" ->
+      """SELECT event_type AS item, count(*) AS cnt FROM events
+         GROUP BY 1 ORDER BY cnt DESC, item LIMIT 3""",
     "quality_filter" ->
       """SELECT doc_id, n_words, quality FROM (
            SELECT doc_id, n_words,

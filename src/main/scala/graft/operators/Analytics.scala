@@ -72,6 +72,18 @@ object Analytics {
       .agg(sum("part_sum").as("sum_value_c"), sum("part_cnt").as("n_events"))
       .orderBy("event_type")
 
+  /** §2 #41 — top-k frequent items via the custom mergeable aggregate
+    * ([[graft.functions.TopKFrequent]]): partial dictionaries per
+    * partition, binary-buffer merge at the reducer — the sketch operator
+    * shape, exact at this cardinality so the oracle can check it. */
+  def topkFrequent(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .agg(graft.functions.TopKAggregate.topkFrequent(col("event_type"), k)
+        .as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.item").as("item"), col("t.cnt").as("cnt"))
+      .orderBy(desc("cnt"), asc("item"))
+
   /** §2 #19 — time-bucketed event aggregation (batch twin of the
     * streaming windowed agg in graft.streaming.EventStream). */
   def eventsWindow(spark: SparkSession, sfDir: String): DataFrame =

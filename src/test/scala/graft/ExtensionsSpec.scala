@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  // extensions are applied at session INSTANTIATION — getOrCreate would
+  // silently reuse another suite's extension-less session, so clear the
+  // default/active sessions first (the SparkContext is still shared)
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    Tables.configure(SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+  }
+
+  test("SQL users can call the graft expressions by name") {
+    import spark.implicits._
+    Seq(("hello world fine day", 1)).toDF("t", "i")
+      .createOrReplaceTempView("ext_docs")
+    val row = spark.sql(
+      """SELECT base64_nowrap(CAST(t AS BINARY)) AS b64,
+                word_shingles(split(t, ' '), 3) AS sh,
+                minhash_signature(transform(word_shingles(split(t, ' '), 3),
+                  s -> pmod(hash(s), 2147483647L))) AS sig,
+                simhash_bits(transform(word_shingles(split(t, ' '), 3),
+                  s -> xxhash64(s))) AS bits
+         FROM ext_docs""").collect().head
+    assert(row.getAs[String]("b64") ==
+      java.util.Base64.getEncoder.encodeToString(
+        "hello world fine day".getBytes("UTF-8")))
+    assert(row.getSeq[String](1) ==
+      Seq("hello world fine", "world fine day"))
+    assert(row.getSeq[Long](2).length == 64)
+    assert(row.getSeq[Int](3).length == 64)
+  }
+
+  test("topk_frequent aggregate equals GROUP BY/LIMIT") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+      Seq("d")).toDF("v")
+    val top = df.agg(graft.functions.TopKAggregate.topkFrequent(col("v"), 2)
+      .as("t")).select(explode(col("t")).as("e"))
+      .select("e.item", "e.cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq == Seq(("a", 5L), ("b", 3L))) // ties: item asc
+  }
+
+  test("topk_frequent fails loudly past the exactness bound") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toString).toDF("v")
+    val ex = intercept[Exception] {
+      df.agg(graft.functions.TopKAggregate.topkFrequent(col("v"), 3, maxDict = 10))
+        .collect()
+    }
+    assert(ex.getMessage.contains("dictionary exceeded")
+      || ex.getCause != null)
+  }
+}
