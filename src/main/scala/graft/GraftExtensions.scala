@@ -22,6 +22,7 @@ import graft.operators.Dedup
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinNative.AsofStrategy)
     ext.injectFunction((
       FunctionIdentifier("base64_nowrap"),
       new ExpressionInfo(classOf[Base64NoWrap].getName, "base64_nowrap"),

@@ -67,6 +67,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)), // weak: no SQL oracle
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     "topk_frequent" -> ((s, d) => Analytics.topkFrequent(s, d)),
+    "asof_join_native" -> (graft.plans.AsofJoinNative.asofJoinNative _),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -150,6 +151,7 @@ object SparkEntry {
                   WHERE q.vec_id < 10))
           WHERE rnk <= 5 ORDER BY query_id, rnk""",
     "asof_join" -> AsofJoin.oracle,
+    "asof_join_native" -> AsofJoin.oracle,
     "sessionize" -> Sessionize.oracle(),
     "json_props" -> JsonOps.oracle,
     "package_filter" -> PackageFilter.oracle,

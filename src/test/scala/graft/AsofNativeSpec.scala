@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsofJoinNative
+
+class AsofNativeSpec extends SparkSpec {
+
+  test("native as-of join plans AsofJoinExec with sort-merge shape") {
+    val df = AsofJoinNative.asofJoinNative(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("AsofJoin"), plan)
+    // co-partition + sort both sides, like one sort-merge join
+    assert(plan.contains("Sort ["), plan)
+  }
+
+  test("native as-of join equals the composed window implementation") {
+    val native = AsofJoinNative.asofJoinNative(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Int])))
+    val composed = graft.operators.AsofJoin.asofJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Int])))
+    assert(native.toSeq == composed.toSeq)
+  }
+
+  test("asof semantics: strictly earlier only, nulls for first event") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (3L, 1L, "r3"))
+      .toDF("rk", "rt", "rtag")
+    val out = AsofJoinNative.asofJoin(left, right, "k", "rk", "t", "rt")
+      .select("k", "t", "tag", "rtag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    assert(out == Set(
+      (1L, 10L, "l1", None),          // rt=10 is NOT strictly earlier
+      (1L, 20L, "l2", Some("r15")),   // latest rt < 20
+      (2L, 5L, "l3", None)))          // no key-2 rows on the right
+  }
+}
