@@ -12,8 +12,9 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "dim_flatten", "window_rank", "agg_skew_salted",
     "events_window", "filter_pushdown", "dedup_exact", "dedup_minhash",
-    "dedup_ngram_exactjoin", "ann_bruteforce", "asof_join", "sessionize",
-    "text_stats", "token_count")
+    "dedup_ngram_exactjoin", "ann_bruteforce", "asof_join",
+    "asof_join_native", "sessionize", "text_stats", "token_count",
+    "json_props", "merge_upsert", "topk_frequent", "package_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
