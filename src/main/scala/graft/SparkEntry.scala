@@ -68,6 +68,7 @@ object SparkEntry {
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     "topk_frequent" -> ((s, d) => Analytics.topkFrequent(s, d)),
     "asof_join_native" -> (graft.plans.AsofJoinNative.asofJoinNative _),
+    "import_validation" -> (ExportImport.importValidation _),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -152,6 +153,22 @@ object SparkEntry {
           WHERE rnk <= 5 ORDER BY query_id, rnk""",
     "asof_join" -> AsofJoin.oracle,
     "asof_join_native" -> AsofJoin.oracle,
+    "import_validation" ->
+      """SELECT count(*) AS n_rows,
+          count(CASE WHEN bad_price THEN 1 END) AS n_bad_price,
+          count(CASE WHEN bad_date THEN 1 END) AS n_bad_date,
+          count(CASE WHEN NOT bad_price AND NOT bad_date THEN 1 END)
+            AS n_clean
+         FROM (
+           SELECT NOT regexp_matches(price_txt, '^[0-9]+(\.[0-9]+)?$')
+                    AS bad_price,
+                  try_strptime(date_txt, '%Y-%m-%d') IS NULL AS bad_date
+           FROM (
+             SELECT CASE WHEN o_orderkey % 97 = 0 THEN 'not-a-number'
+                         ELSE CAST(o_totalprice AS VARCHAR) END AS price_txt,
+                    CASE WHEN o_orderkey % 101 = 0 THEN '31-13-2020'
+                         ELSE strftime(o_orderdate, '%Y-%m-%d') END AS date_txt
+             FROM orders))""",
     "sessionize" -> Sessionize.oracle(),
     "json_props" -> JsonOps.oracle,
     "package_filter" -> PackageFilter.oracle,

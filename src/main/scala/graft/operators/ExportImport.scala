@@ -112,6 +112,36 @@ object ExportImport {
       .orderBy("c_mktsegment")
   }
 
+  /** §2 #43 — typed import validation: incoming values arrive as text
+    * (the worksheet/XML reality), every field is `try_cast` to its target
+    * type, and the operator reports per-column violation counts plus the
+    * clean-row total — the declarative analog of per-field
+    * `ConfigValidateMgt.EvaluateValue` error records
+    * (Codeunit 60000:419 import path). Corruption is simulated
+    * deterministically (keys divisible by 97 get a non-numeric price,
+    * by 101 a malformed date) so the oracle can reproduce it. */
+  def importValidation(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, lit("not-a-number"))
+          .otherwise(col("o_totalprice").cast("string")).as("price_txt"),
+        when(col("o_orderkey") % 101 === 0, lit("31-13-2020"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .as("date_txt"))
+    // validity checks chosen for identical cross-engine semantics:
+    // numeric shape via regex (format-model parsers differ), date via
+    // try-parse (never throws, ANSI or not)
+    staged.select(
+      col("o_orderkey"),
+      (!col("price_txt").rlike("^[0-9]+(\\.[0-9]+)?$")).as("bad_price"),
+      try_to_timestamp(col("date_txt"), lit("yyyy-MM-dd")).isNull
+        .as("bad_date"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("bad_price"), 1)).as("n_bad_price"),
+        count(when(col("bad_date"), 1)).as("n_bad_date"),
+        count(when(!col("bad_price") && !col("bad_date"), 1)).as("n_clean"))
+  }
+
   /** §2 #36 — partitioned export + partition-pruned import: write orders
     * hive-partitioned by status, read back filtered to one partition.
     * At 100 TB this is THE layout decision: the filtered re-read must
