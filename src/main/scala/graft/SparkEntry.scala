@@ -69,6 +69,7 @@ object SparkEntry {
     "topk_frequent" -> ((s, d) => Analytics.topkFrequent(s, d)),
     "asof_join_native" -> (graft.plans.AsofJoinNative.asofJoinNative _),
     "import_validation" -> (ExportImport.importValidation _),
+    "jsonl_roundtrip" -> (ExportImport.jsonlRoundtrip _),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -100,6 +101,10 @@ object SparkEntry {
           CAST(0 AS BIGINT) AS n_corrupt
           FROM lineitem GROUP BY 1 ORDER BY 1""",
     "compressed_io" ->
+      s"""SELECT c_mktsegment, count(*) AS n,
+          CAST(sum(${centsSql("c_acctbal")}) AS BIGINT) AS sum_bal_c
+          FROM customer GROUP BY 1 ORDER BY 1""",
+    "jsonl_roundtrip" ->
       s"""SELECT c_mktsegment, count(*) AS n,
           CAST(sum(${centsSql("c_acctbal")}) AS BIGINT) AS sum_bal_c
           FROM customer GROUP BY 1 ORDER BY 1""",

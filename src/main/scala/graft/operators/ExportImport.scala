@@ -112,6 +112,24 @@ object ExportImport {
       .orderBy("c_mktsegment")
   }
 
+  /** §2 #44 — JSON-lines export → schema-checked import round-trip
+    * (completes the interchange-format matrix: parquet, CSV, XML, gzip,
+    * hive-partitioned, package, JSONL). */
+  def jsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("jsonl-customer")
+    Tables.load(spark, sfDir, "customer")
+      .write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    spark.read.schema(schema).json(dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(cents(col("c_acctbal"))).as("sum_bal_c"))
+      .orderBy("c_mktsegment")
+  }
+
   /** §2 #43 — typed import validation: incoming values arrive as text
     * (the worksheet/XML reality), every field is `try_cast` to its target
     * type, and the operator reports per-column violation counts plus the
