@@ -70,6 +70,7 @@ object SparkEntry {
     "asof_join_native" -> (graft.plans.AsofJoinNative.asofJoinNative _),
     "import_validation" -> (ExportImport.importValidation _),
     "jsonl_roundtrip" -> (ExportImport.jsonlRoundtrip _),
+    "doc_winnow" -> (TextAnalysis.docWinnow _),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -247,6 +248,26 @@ object SparkEntry {
               AS fingerprint,
             CAST(len(s) AS BIGINT) AS n_shingles
           FROM sh ORDER BY doc_id""",
+    "doc_winnow" ->
+      """SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+          sha256(list_aggregate(list_transform(fp, x -> CAST(x AS VARCHAR)),
+                 'string_agg', ',')) AS fp_digest
+         FROM (
+           SELECT doc_id,
+             list_sort(list_distinct(
+               CASE WHEN len(h) < 4 THEN [list_min(h)]
+                    ELSE [list_min(h[i:i+3]) for i in range(1, len(h) - 2)]
+               END)) AS fp
+           FROM (
+             SELECT doc_id,
+               [list_reduce(cp[i:i+4], (a, c) -> (a*257 + c) % 1000000007)
+                for i in range(1, len(cp) - 3)] AS h
+             FROM (
+               SELECT doc_id,
+                 [CAST(unicode(text[i]) AS BIGINT)
+                  for i in range(1, CAST(length(text) AS INTEGER) + 1)] AS cp
+               FROM documents)))
+         ORDER BY doc_id""",
     "text_shingles" ->
       """SELECT doc_id,
           CASE WHEN length(text) >= 3

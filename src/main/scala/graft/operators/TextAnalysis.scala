@@ -112,6 +112,23 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** §2 #45 — rolling-hash (winnowing) fingerprint: the positional
+    * plagiarism/near-dup fingerprint from the Schleimer et al. scheme,
+    * via the custom [[graft.functions.WinnowFingerprint]] expression.
+    * Output is the fingerprint cardinality + a digest, both reproduced
+    * exactly by the DuckDB oracle's list-comprehension twin. */
+  def docWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = graft.functions.Winnow.winnowFingerprint(col("text"))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), fp.as("fp"))
+      .select(col("doc_id"),
+        size(col("fp")).cast("long").as("n_fp"),
+        sha2(concat_ws(",",
+          transform(col("fp"), x => x.cast("string"))).cast("binary"), 256)
+          .as("fp_digest"))
+      .orderBy("doc_id")
+  }
+
   /** §2 #32 — character 3-gram profile: distinct shingle count per doc. */
   def textShingles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")

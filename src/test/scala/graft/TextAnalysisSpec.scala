@@ -44,6 +44,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp.collect().forall(_.getAs[String]("fingerprint").length == 64))
   }
 
+  test("doc_winnow: shared substrings yield shared fingerprints") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = a.replace("lazy", "very") // one word differs
+    val c = "completely unrelated content with different characters xyz"
+    val fps = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.Winnow.winnowFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def overlap(x: Set[Long], y: Set[Long]) =
+      (x intersect y).size.toDouble / math.min(x.size, y.size)
+    assert(overlap(fps(1L), fps(2L)) > 0.5,
+      s"near-identical docs must share fingerprints: ${overlap(fps(1L), fps(2L))}")
+    assert(overlap(fps(1L), fps(3L)) < 0.2,
+      s"unrelated docs must not: ${overlap(fps(1L), fps(3L))}")
+  }
+
   test("text_shingles: bounded by length-2") {
     val joined = TextAnalysis.textShingles(spark, sf)
       .join(Tables.load(spark, sf, "documents"), "doc_id")
