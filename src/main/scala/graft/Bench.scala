@@ -14,7 +14,8 @@ object Bench {
     "events_window", "filter_pushdown", "dedup_exact", "dedup_minhash",
     "dedup_ngram_exactjoin", "ann_bruteforce", "asof_join",
     "asof_join_native", "sessionize", "text_stats", "token_count",
-    "json_props", "merge_upsert", "topk_frequent", "package_filter")
+    "json_props", "merge_upsert", "topk_frequent", "package_filter",
+    "doc_winnow")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
