@@ -250,12 +250,14 @@ object SparkEntry {
           FROM sh ORDER BY doc_id""",
     "doc_winnow" ->
       """SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
-          sha256(list_aggregate(list_transform(fp, x -> CAST(x AS VARCHAR)),
-                 'string_agg', ',')) AS fp_digest
+          sha256(coalesce(list_aggregate(
+                   list_transform(fp, x -> CAST(x AS VARCHAR)),
+                   'string_agg', ','), '')) AS fp_digest
          FROM (
            SELECT doc_id,
              list_sort(list_distinct(
-               CASE WHEN len(h) < 4 THEN [list_min(h)]
+               CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+                    WHEN len(h) < 4 THEN [list_min(h)]
                     ELSE [list_min(h[i:i+3]) for i in range(1, len(h) - 2)]
                END)) AS fp
            FROM (

@@ -58,6 +58,11 @@ case class TopKFrequent(child: Expression, k: Int, maxDict: Int,
   override def merge(a: mutable.HashMap[UTF8String, Long],
                      b: mutable.HashMap[UTF8String, Long]): mutable.HashMap[UTF8String, Long] = {
     b.foreach { case (key, n) => a.update(key, a.getOrElse(key, 0L) + n) }
+    // same loud bound as update(): a reducer merging many partials must
+    // not exceed the promised memory envelope silently
+    require(a.size <= maxDict,
+      s"topk_frequent merged dictionary exceeded $maxDict distinct keys — " +
+        "use a sketch variant for high-cardinality input")
     a
   }
 

@@ -70,8 +70,16 @@ object Dedup {
           element_at(col("sig"), b * 2 + 1),
           element_at(col("sig"), b * 2 + 2)))).as("band_key"))
 
+    // No silent cap (SURVEY §4): every execution reports how many
+    // mega-buckets were dropped via an observed metric — zero extra jobs,
+    // visible in queryExecution.observedMetrics / any listener. Dropped
+    // buckets mean boilerplate-identical docs that belong to exact dedup.
     val buckets = banded.groupBy("band_key")
       .agg(collect_list("doc_id").as("ids"))
+      .observe("dedup_minhash_buckets",
+        sum(when(size(col("ids")) > maxBucket, 1).otherwise(0))
+          .as("n_capped_buckets"),
+        coalesce(max(size(col("ids"))), lit(0)).as("max_bucket_size"))
       .filter(size(col("ids")).between(2, maxBucket))
     val pairs = buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))

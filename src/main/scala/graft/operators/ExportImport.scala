@@ -24,10 +24,13 @@ import graft.sources.PackageIO
   */
 object ExportImport {
 
-  /** Scratch space inside the repo (the build dir is the only place we
-    * are allowed to write outside testdata). */
+  /** Scratch space under the build dir (the only place we write outside
+    * testdata). Rooted at the JVM working directory — overridable with
+    * -Dgraft.scratch.dir — so the library works from any checkout. */
   def scratch(name: String): String = {
-    val d = s"/root/repo/target/graft-tmp/$name"
+    val root = sys.props.getOrElse("graft.scratch.dir",
+      sys.props("user.dir") + "/target/graft-tmp")
+    val d = s"$root/$name"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
     d
   }

@@ -139,21 +139,33 @@ object Similarity {
       when(dot(col("embedding"), lits) > 0, "1").otherwise("0")
     }
     val v = vectors(spark, sfDir)
-      .withColumn("bits", concat(bitCols: _*))
-    val banded = v.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(expr(
-        """transform(sequence(0, 7), b ->
-             concat(b, ':', substring(bits, b*2 + 1, 2)))""")).as("band_key"))
-
-    val q = banded.filter(col("vec_id") < nQueries)
-      .select(col("band_key"), col("vec_id").as("query_id"),
-        col("embedding").as("e_q"), col("nrm").as("n_q"))
-    val c = banded.select(col("band_key"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("e_c"), col("nrm").as("n_c"))
-    q.join(c, Seq("band_key"))
+    // candidate generation moves (band_key, id) pairs ONLY — the band
+    // join and the pair-distinct exchange never carry embeddings (at
+    // 100 TB the 64-float payload is ~30× the id, so this is the
+    // difference between shuffling ids and shuffling the corpus)
+    val banded = v.withColumn("bits", concat(bitCols: _*))
+      .select(col("vec_id"),
+        explode(expr(
+          """transform(sequence(0, 7), b ->
+               concat(b, ':', substring(bits, b*2 + 1, 2)))""")).as("band_key"))
+    val qIds = banded.filter(col("vec_id") < nQueries)
+      .select(col("band_key"), col("vec_id").as("query_id"))
+    val cIds = banded.select(col("band_key"), col("vec_id").as("neighbor_id"))
+    val pairIds = qIds.join(cIds, Seq("band_key"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "e_q", "n_q", "e_c", "n_c")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+
+    // embeddings re-join AFTER the distinct: query side broadcast (tiny),
+    // candidate side one hash join on the already-deduped pairs
+    val qv = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"))
+    val cv = v.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("e_c"), col("nrm").as("n_c"))
+    pairIds
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
           .as("cos"))

@@ -66,6 +66,13 @@ object AsofJoinNative {
           s"asof join keys/times must be integral/timestamp, got $other")
     }
 
+    /** Null-safe eval: None for a null key/time. A left row with a null
+      * key or time matches nothing (SQL null-join semantics → emit the
+      * null-extended row, like DuckDB's ASOF LEFT JOIN); a right row
+      * with nulls can never be a match and is skipped. */
+    private def evalLong(e: Expression, row: InternalRow): Option[Long] =
+      Option(e.eval(row)).map(asLong)
+
     override protected def doExecute(): RDD[InternalRow] = {
       val lKey = BindReferences.bindReference(leftKey, left.output)
       val lTime = BindReferences.bindReference(leftTime, left.output)
@@ -85,20 +92,32 @@ object AsofJoinNative {
         var haveKey = false
 
         lIter.map { l =>
-          val lk = asLong(lKey.eval(l))
-          val lt = asLong(lTime.eval(l))
-          if (!haveKey || matchKey != lk) { lastMatch = null }
-          // skip right keys before ours (their matches can never be used
-          // again: left keys only grow)
-          while (rBuf.hasNext && asLong(rKey.eval(rBuf.head)) < lk)
-            rBuf.next()
-          // fold in right rows of our key strictly before our time
-          while (rBuf.hasNext && asLong(rKey.eval(rBuf.head)) == lk
-            && asLong(rTime.eval(rBuf.head)) < lt) {
-            lastMatch = rBuf.next()
+          val lkOpt = evalLong(lKey, l)
+          val ltOpt = evalLong(lTime, l)
+          if (lkOpt.isEmpty || ltOpt.isEmpty) {
+            // null key/time joins nothing: emit the null-extended row
+            proj(joined(l, nullRight))
+          } else {
+            val lk = lkOpt.get
+            val lt = ltOpt.get
+            if (!haveKey || matchKey != lk) { lastMatch = null }
+            // skip right rows that can never match any left row: null
+            // key/time, or keys before ours (left keys only grow)
+            var scanning = true
+            while (scanning && rBuf.hasNext) {
+              val rk = evalLong(rKey, rBuf.head)
+              if (rk.isEmpty || evalLong(rTime, rBuf.head).isEmpty
+                || rk.get < lk) rBuf.next()
+              else scanning = false
+            }
+            // fold in right rows of our key strictly before our time
+            while (rBuf.hasNext && evalLong(rKey, rBuf.head).contains(lk)
+              && evalLong(rTime, rBuf.head).exists(_ < lt)) {
+              lastMatch = rBuf.next()
+            }
+            matchKey = lk; haveKey = true
+            proj(joined(l, if (lastMatch == null) nullRight else lastMatch))
           }
-          matchKey = lk; haveKey = true
-          proj(joined(l, if (lastMatch == null) nullRight else lastMatch))
         }
       }
     }

@@ -38,4 +38,19 @@ class AsofNativeSpec extends SparkSpec {
       (1L, 20L, "l2", Some("r15")),   // latest rt < 20
       (2L, 5L, "l3", None)))          // no key-2 rows on the right
   }
+
+  test("asof nulls: null left key/time emits null-extended row; null right rows never match") {
+    import spark.implicits._
+    val left = Seq((Some(1L), Some(20L), "ok"), (None, Some(20L), "nullkey"),
+      (Some(1L), None, "nulltime")).toDF("k", "t", "tag")
+    val right = Seq((Some(1L), Some(10L), "r10"), (Some(1L), None, "rnull"),
+      (None, Some(5L), "rnullkey")).toDF("rk", "rt", "rtag")
+    val out = AsofJoinNative.asofJoin(left, right, "k", "rk", "t", "rt")
+      .select("tag", "rtag").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(out == Set(
+      ("ok", Some("r10")),     // only the non-null right row matches
+      ("nullkey", None),       // null key joins nothing, row survives
+      ("nulltime", None)))     // null time joins nothing, row survives
+  }
 }

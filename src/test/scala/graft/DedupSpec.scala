@@ -52,6 +52,15 @@ class DedupSpec extends SparkSpec {
     assertNoCartesian(Dedup.dedupNgramExactjoin(spark, sf))
   }
 
+  test("dedup_minhash: bucket cap is observable, zero capped on testdata") {
+    val df = Dedup.dedupMinhash(spark, sf)
+    df.collect()
+    val metrics = df.queryExecution.observedMetrics("dedup_minhash_buckets")
+    assert(metrics.getAs[Long]("n_capped_buckets") == 0L,
+      s"testdata must not hit the bucket cap: $metrics")
+    assert(metrics.getAs[Int]("max_bucket_size") >= 2)
+  }
+
   test("dedup_simhash: near-identical docs collide, distant docs don't") {
     import spark.implicits._
     // planted: 1↔2 differ by one word in 500 (few bit-votes swing, so
