@@ -71,41 +71,75 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
-  /** §2 #39 — IVF-style ANN: a fixed coarse quantizer (here: the first
-    * `nCells` vectors as centroids — a real system trains k-means once,
-    * offline) assigns every vector to its nearest cell; queries probe
-    * their `nProbe` nearest cells only. The candidate set shrinks by
-    * ~nCells/nProbe at any scale; cells are an equi-join key, so the
-    * probe is a hash join, never a cross product.
+  /** Spherical k-means coarse quantizer, trained as DataFrame
+    * aggregations. Each iteration is map-only assignment (the
+    * [[graft.functions.NearestCells]] expression folds the centroid
+    * matrix per row) + one partially-aggregated mean: the exchange
+    * carries at most partitions × nCells × dims partial rows, never the
+    * corpus. The driver only ever holds the nCells × dims centroid
+    * matrix (the broadcast literal of the next iteration) — bounded
+    * model state, not data.
+    *
+    * Determinism: init = first nCells vectors by id; per-iteration means
+    * are quantized to 1e-6 before re-normalizing so float summation
+    * order cannot leak into the trained model across runs.
+    */
+  private[graft] def trainCentroids(v: DataFrame, nCells: Int,
+                                    iters: Int = 3): Array[Array[Double]] = {
+    import v.sparkSession.implicits._
+    def normalize(c: Array[Array[Double]]): Array[Array[Double]] =
+      c.map { a =>
+        val n = math.sqrt(a.map(x => x * x).sum)
+        if (n == 0.0) a else a.map(_ / n)
+      }
+    var cents: Array[Array[Double]] =
+      normalize(v.filter(col("vec_id") < nCells).orderBy("vec_id")
+        .select("embedding").as[Array[Float]].collect()
+        .map(_.map(_.toDouble)))
+    for (_ <- 1 to iters) {
+      val means = v.select(
+          element_at(graft.functions.VectorQuantize.nearestCells(
+            col("embedding"), cents, 1), 1).as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = Array.tabulate(cents.length)(i => cents(i).clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = math.rint(r.getDouble(2) * 1e6) / 1e6
+      }
+      cents = normalize(next)
+    }
+    cents
+  }
+
+  /** §2 #39 — IVF ANN: a k-means coarse quantizer assigns every vector
+    * to its nearest cell; queries probe their `nProbe` nearest cells
+    * only. Cell assignment is MAP-ONLY (one codegen'd argmax per row
+    * over the broadcast centroid matrix — zero exchanges before the
+    * probe), cells are an equi-join key, and the candidate set shrinks
+    * by ~nProbe/nCells at any scale. Each neighbor lives in exactly one
+    * cell and a query's probed cells are distinct, so candidate pairs
+    * are unique by construction — no distinct needed.
     * Approximate (weak oracle) — SimilaritySpec asserts recall vs brute.
     */
   def annIvf(spark: SparkSession, sfDir: String, nCells: Int = 16,
              nProbe: Int = 4, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val v = vectors(spark, sfDir)
-    val cents = v.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("e_cent"),
-        col("nrm").as("n_cent"))
+    val cents = trainCentroids(v, nCells)
+    def cellsOf(n: Int) =
+      graft.functions.VectorQuantize.nearestCells(col("embedding"), cents, n)
 
-    // nearest cell per vector (rank over the small broadcast centroid set)
-    val scored = v.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
-        cosineWithNorms(dot(col("embedding"), col("e_cent")),
-          col("nrm"), col("n_cent")).as("sim"))
-    def topCells(n: Int) = scored
-      .withColumn("crnk", row_number().over(Window.partitionBy("vec_id")
-        .orderBy(col("sim").desc, col("cell").asc)))
-      .filter(col("crnk") <= n)
+    val assigned = v.select(
+      element_at(cellsOf(1), 1).as("cell"),
+      col("vec_id").as("neighbor_id"),
+      col("embedding").as("e_c"), col("nrm").as("n_c"))
+    val probes = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"), explode(cellsOf(nProbe)).as("cell"))
 
-    val assigned = topCells(1)
-      .select(col("cell"), col("vec_id").as("neighbor_id"),
-        col("embedding").as("e_c"), col("nrm").as("n_c"))
-    val probes = topCells(nProbe).filter(col("vec_id") < nQueries)
-      .select(col("cell"), col("vec_id").as("query_id"),
-        col("embedding").as("e_q"), col("nrm").as("n_q"))
-
-    probes.join(assigned, Seq("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
           .as("cos"))

@@ -30,6 +30,23 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall@5 = $recall")
+    // cell assignment is map-only: no nested-loop centroid cross product
+    // (the pre-rewrite plan had one) and no cartesian anywhere
+    assertNoCartesian(Similarity.annIvf(spark, sf))
+  }
+
+  test("ann_ivf: trained centroids are unit-norm and deterministic") {
+    val v = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "label", "embedding",
+        "sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)) AS nrm")
+    val c1 = Similarity.trainCentroids(v, nCells = 8, iters = 2)
+    val c2 = Similarity.trainCentroids(v, nCells = 8, iters = 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq,
+      "k-means training must be run-to-run deterministic")
+    c1.foreach { cent =>
+      val n = math.sqrt(cent.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"centroid norm $n")
+    }
   }
 
   test("embedding_dedup: pairs stay within label blocks, no cartesian") {
