@@ -42,7 +42,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_ngram_exactjoin" -> ((s, d) => Dedup.dedupNgramExactjoin(s, d)),
-    "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)), // weak: no SQL oracle
+    "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     // C. LLM-data-pipeline: similarity / ANN
     "embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.annBruteforce(s, d)),
@@ -136,6 +136,28 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     "dedup_minhash" ->
       graft.functions.TextShingles.duckdbAllPairsOracle(0.5),
+    // all-pairs brute force over the SAME 54-bit KR-hash SimHash
+    // fingerprints the engine computes — exact equality is guaranteed
+    // because 6-band blocking has total recall at hamming <= 5
+    "dedup_simhash" ->
+      s"""${graft.functions.TextShingles.duckdbShingleCte},
+          hx AS (SELECT doc_id, list_transform(s, t ->
+                   list_reduce([CAST(unicode(t[i]) AS BIGINT)
+                                for i in range(1, CAST(len(t) AS INTEGER) + 1)],
+                               (a, c) -> (a * 257 + c) % ${graft.functions.KrHashF.M})) AS h
+                 FROM sh WHERE len(s) > 0),
+          fp AS (SELECT doc_id,
+                   CAST(list_sum([CASE WHEN 2 * list_sum([CAST((h2 >> k) & 1 AS BIGINT)
+                                                          for h2 in h]) > len(h)
+                                       THEN (CAST(1 AS BIGINT) << k)
+                                       ELSE CAST(0 AS BIGINT) END
+                                  for k in range(0, 54)]) AS BIGINT) AS f
+                 FROM hx)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.f, b.f)) <= 5
+          ORDER BY id_a, id_b""",
     "dedup_ngram_exactjoin" ->
       graft.functions.TextShingles.duckdbAllPairsOracle(0.3),
     "embedding_dedup" ->

@@ -136,44 +136,56 @@ object Dedup {
     verifyPairs(pairs, hashed, tau)
   }
 
-  /** §2 #24 — SimHash: 64-bit fingerprint from per-shingle xxhash64 bit
-    * votes; banded on 8×8-bit chunks. With 8 bands, any pair at Hamming
-    * ≤ 7 has a clean band by pigeonhole — recall at the default threshold
-    * is GUARANTEED, not probabilistic (Manku et al.'s block trick).
-    * No SQL oracle (weak check) — correctness covered by DedupSpec. */
+  /** SimHash geometry: 54-bit fingerprint (the usable width of the
+    * cross-engine Karp-Rabin base hash), 6 bands × 9 bits. */
+  private[graft] val SimHashBits = 54
+  private[graft] val SimHashBands = 6
+  private[graft] val SimHashBandBits = 9
+
+  /** §2 #24 — SimHash: 54-bit fingerprint from per-shingle Karp-Rabin
+    * bit votes, banded on 6×9-bit chunks. With 6 bands, any pair at
+    * Hamming ≤ 5 has a clean band by pigeonhole — recall at the default
+    * threshold is GUARANTEED, not probabilistic (Manku et al.'s block
+    * trick), which makes the banded plan EXACTLY equal to the all-pairs
+    * oracle. The base hash is [[graft.functions.KrHash]] (reproducible
+    * in SQL), so this query is oracle-checked — the banding is the
+    * engine's scale path, the oracle brute-forces the same pairs. */
   def dedupSimhash(spark: SparkSession, sfDir: String,
-                   maxHamming: Int = 7): DataFrame =
+                   maxHamming: Int = 5): DataFrame =
     dedupSimhashFrom(docShingles(spark, sfDir), maxHamming)
 
   private[graft] def dedupSimhashFrom(docsWithShingles: DataFrame,
                                       maxHamming: Int): DataFrame = {
+    require(maxHamming < SimHashBands,
+      s"pigeonhole recall guarantee needs maxHamming < $SimHashBands bands")
     val docs = docsWithShingles
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
-        transform(col("sh"), s => xxhash64(s)).as("hx"))
+        transform(col("sh"), s => graft.functions.KrHashF.krHash(s)).as("hx"))
 
     // bit k of the fingerprint = majority vote of bit k over shingle
-    // hashes — native expression (the interpreted transform/filter form
-    // scanned the hash array 64 times per row)
+    // hashes, packed into one long — native expression (one pass over
+    // the hash array per row, stays in whole-stage codegen)
     val fp = docs.select(col("doc_id"),
-      graft.functions.SimHash.simhashBits(col("hx")).as("bits"))
+      graft.functions.SimHash.simhashFingerprint(col("hx"), SimHashBits)
+        .as("fp"))
 
-    val banded = fp.select(col("doc_id"), col("bits"),
+    // band b = 9-bit slice of the fingerprint; the band join moves only
+    // (band_key, id, fp) — 3 scalar columns
+    val banded = fp.select(col("doc_id"), col("fp"),
       explode(expr(
-        """transform(sequence(0, 7), b ->
-             concat(b, ':', concat_ws('',
-               transform(slice(bits, b*8 + 1, 8), x -> CAST(x AS STRING)))))"""))
+        s"""transform(sequence(0, ${SimHashBands - 1}), b ->
+              concat(b, ':', shiftright(fp, b * $SimHashBandBits) & ${(1 << SimHashBandBits) - 1}))"""))
         .as("band_key"))
 
     val a = banded.select(col("band_key"), col("doc_id").as("id_a"),
-      col("bits").as("bits_a"))
+      col("fp").as("fp_a"))
     val b = banded.select(col("band_key"), col("doc_id").as("id_b"),
-      col("bits").as("bits_b"))
+      col("fp").as("fp_b"))
     a.join(b, Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        expr("aggregate(zip_with(bits_a, bits_b, (x, y) -> abs(x - y)), 0, (acc, v) -> acc + v)")
-          .as("hamming"))
+        expr("CAST(bit_count(fp_a ^ fp_b) AS INT)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")

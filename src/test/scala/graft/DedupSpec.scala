@@ -72,14 +72,36 @@ class DedupSpec extends SparkSpec {
     val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
       .select(col("doc_id"),
         TextShingles.shingles3(TextShingles.words(col("text"))).as("sh"))
-    val pairs = Dedup.dedupSimhashFrom(docs, maxHamming = 7).collect()
+    val pairs = Dedup.dedupSimhashFrom(docs, maxHamming = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)), s"near-identical docs must collide: $pairs")
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
       s"unrelated docs must not collide: $pairs")
     // and on real data: hits respect the hamming bound
     assert(Dedup.dedupSimhash(spark, sf).collect()
-      .forall(_.getAs[Int]("hamming") <= 7))
+      .forall(_.getAs[Int]("hamming") <= 5))
+  }
+
+  test("dedup_simhash: banded pairs equal brute-force all-pairs (pigeonhole is lossless)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        TextShingles.shingles3(TextShingles.words(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        transform(col("sh"), s => graft.functions.KrHashF.krHash(s)).as("hx"))
+      .select(col("doc_id"),
+        graft.functions.SimHash.simhashFingerprint(col("hx"), 54).as("fp"))
+    val a = docs.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(expr("bit_count(fp_a ^ fp_b)") <= 5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.dedupSimhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"banded must equal brute: extra=${banded -- brute} missing=${brute -- banded}")
   }
 
   test("blob_base64: canonical (unwrapped) base64, round-trip ok") {
