@@ -42,6 +42,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_ngram_exactjoin" -> ((s, d) => Dedup.dedupNgramExactjoin(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     // C. LLM-data-pipeline: similarity / ANN
     "embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(s, d)),
@@ -160,6 +161,28 @@ object SparkEntry {
           ORDER BY id_a, id_b""",
     "dedup_ngram_exactjoin" ->
       graft.functions.TextShingles.duckdbAllPairsOracle(0.3),
+    // connected components over the same exact verified pairs, via a
+    // recursive transitive-closure CTE; min reachable id = cluster id
+    "dedup_clusters" ->
+      s"""${graft.functions.TextShingles.duckdbShingleCte
+              .replaceFirst("WITH sh", "WITH RECURSIVE sh")},
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+          reach(id, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+          lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+          SELECT id AS doc_id, cluster_id,
+                 CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS n_members,
+                 id = cluster_id AS is_canonical
+          FROM lab ORDER BY doc_id""",
     "embedding_dedup" ->
       s"""$duckNormCte
           SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,

@@ -191,6 +191,63 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** §2 #46 — near-dup CLUSTER formation: the step an actual corpus
+    * dedup run consumes. Verified candidate pairs (here: the exact
+    * prefix-filter join, so the oracle can reproduce them) become edges;
+    * connected components assign every document a cluster id (the
+    * minimum doc_id reachable), a cluster size, and a canonical flag —
+    * keep `is_canonical`, drop the rest, and the corpus is deduped.
+    *
+    * Scale shape: driver-controlled min-label propagation — each
+    * iteration is one equi-join + one partial-aggregated min, converging
+    * in O(component diameter) rounds (near-dup clusters are shallow; the
+    * loop fails loudly at `maxIters` rather than spinning). Labels are
+    * persisted per round so the growing lineage is never re-executed;
+    * at petabyte scale you'd checkpoint every few rounds and switch to
+    * large-star/small-star for log-round convergence — same join shape.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String,
+                    tau: Double = 0.3, maxIters: Int = 20): DataFrame = {
+    val pairs = dedupNgramExactjoin(spark, sfDir, tau).select("id_a", "id_b")
+    clustersFromPairs(
+      Tables.load(spark, sfDir, "documents").select(col("doc_id")),
+      pairs, maxIters)
+  }
+
+  private[graft] def clustersFromPairs(nodes: DataFrame, pairs: DataFrame,
+                                       maxIters: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val next = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+        .union(labels)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      it += 1
+    }
+    require(converged,
+      s"label propagation did not converge in $maxIters iterations")
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        col("n_members"), (col("id") === col("lbl")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** Exact-Jaccard verification of candidate pairs against shingle sets. */
   private def verifyPairs(pairs: DataFrame, docs: DataFrame,
                           tau: Double): DataFrame = {

@@ -104,6 +104,28 @@ class DedupSpec extends SparkSpec {
       s"banded must equal brute: extra=${banded -- brute} missing=${brute -- banded}")
   }
 
+  test("dedup_clusters: components are closed over pairs, canonical is min id") {
+    import spark.implicits._
+    // hand graph: {1-2, 2-3} one chain, {5-6} a pair, 9 a singleton
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.clustersFromPairs(nodes, pairs, maxIters = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (5L, 5L, 2L, true), (6L, 5L, 2L, false),
+      (9L, 9L, 1L, true)))
+    // real data: every doc labeled, cluster members agree with pairs
+    val real = Dedup.dedupClusters(spark, sf).collect()
+    assert(real.length ==
+      Tables.load(spark, sf, "documents").count())
+    val byCluster = real.groupBy(_.getLong(1))
+    assert(byCluster.forall { case (cid, ms) =>
+      ms.map(_.getLong(0)).min == cid && ms.forall(_.getLong(2) == ms.length)
+    })
+  }
+
   test("blob_base64: canonical (unwrapped) base64, round-trip ok") {
     val rows = Blob.blobBase64(spark, sf).collect()
     assert(rows.forall(_.getAs[Boolean]("ok")))
