@@ -38,6 +38,7 @@ object SparkEntry {
     "package_metadata" -> (SchemaTools.packageMetadata _),
     "blob_base64" -> (Blob.blobBase64 _),
     "media_metadata" -> ((s, d) => Blob.mediaMetadata(s, d)),
+    "media_roundtrip" -> (Blob.mediaRoundtrip _),
     // C. LLM-data-pipeline: dedup family
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -119,6 +120,11 @@ object SparkEntry {
     "blob_base64" ->
       """SELECT doc_id, to_base64(encode(text)) AS b64,
          decode(from_base64(to_base64(encode(text)))) = text AS ok
+         FROM documents ORDER BY doc_id""",
+    "media_roundtrip" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS sha_hex
          FROM documents ORDER BY doc_id""",
     "media_metadata" ->
       """SELECT doc_id,

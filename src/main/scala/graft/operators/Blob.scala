@@ -57,6 +57,44 @@ object Blob {
         frames = (payload.length % 30).toInt)
   }
 
+  /** §2 #47 — media-set FILE round-trip (Codeunit 60000:1144
+    * `ExportMediaSet` / :1171 `ExportMedia` / :1256
+    * `ImportMediaSetFromFile`): every binary payload is written as its
+    * own file in a package media folder by PER-PARTITION writers (no
+    * driver byte ever moves), then re-imported through Spark's
+    * `binaryFile` source and fingerprinted. Output equals the same
+    * fingerprints computed directly on the source column — proving the
+    * file layer is lossless.
+    *
+    * In local mode the folder is a local dir; on a cluster the same code
+    * targets a shared store (the writer runs where the partition lives
+    * either way). */
+  def mediaRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = ExportImport.scratch("media-files")
+    // overwrite semantics: clear stale exports so a shrunk corpus can't
+    // leave orphan files behind
+    val d = Paths.get(dir)
+    Files.list(d).forEach(p => Files.deleteIfExists(p))
+
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          Files.write(Paths.get(s"$dir/${r.getLong(0)}.bin"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+
+    spark.read.format("binaryFile").load(s"$dir/*.bin")
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long")
+          .as("doc_id"),
+        col("length").as("n_bytes"),
+        sha2(col("content"), 256).as("sha_hex"))
+      .orderBy("doc_id")
+  }
+
   /** §2 #10 — media pipeline: binary payload column → per-partition batch
     * decode → typed metadata rows. The scan and the shuffle-free batch
     * shape are the real 100 TB plumbing; only `decoder` is fake. */

@@ -132,6 +132,19 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(!_.getAs[String]("b64").contains("\r")))
   }
 
+  test("media_roundtrip: per-file export + binaryFile import is lossless") {
+    val got = Blob.mediaRoundtrip(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val src = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha_hex"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == src.toSeq,
+      "re-imported file fingerprints must equal the source column's")
+  }
+
   test("media_metadata: stub decode is deterministic and schema-stable") {
     val df = Blob.mediaMetadata(spark, sf)
     assert(df.columns.toSeq == Seq("doc_id", "n_bytes", "sha_hex", "mime",
