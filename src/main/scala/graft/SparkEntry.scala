@@ -32,6 +32,8 @@ object SparkEntry {
     "dim_flatten" -> (DimFlatten.dimFlatten _),
     "xml_roundtrip" -> (ExportImport.xmlRoundtrip _),
     "csv_roundtrip" -> (ExportImport.csvRoundtrip _),
+    "xlsx_roundtrip" -> (ExportImport.xlsxRoundtrip _),
+    "template_export" -> (SchemaTools.templateExport _),
     "compressed_io" -> (ExportImport.compressedIo _),
     "package_roundtrip" -> (ExportImport.packageRoundtrip _),
     "schema_gen" -> (SchemaTools.schemaGen _),
@@ -97,6 +99,15 @@ object SparkEntry {
           strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
           strftime(max(o_orderdate), '%Y-%m-%d') AS last_day
           FROM orders GROUP BY 1 ORDER BY 1""",
+    // identical source aggregate as xml_roundtrip: the round-trip must
+    // reproduce the orders table regardless of interchange format
+    "xlsx_roundtrip" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+          CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_price_c,
+          strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
+          strftime(max(o_orderdate), '%Y-%m-%d') AS last_day
+          FROM orders GROUP BY 1 ORDER BY 1""",
+    "template_export" -> SchemaTools.templateExportOracle,
     "csv_roundtrip" ->
       s"""SELECT l_returnflag, count(*) AS n,
           CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,

@@ -86,7 +86,7 @@ object Blob {
         }
       }
 
-    spark.read.format("binaryFile").load(s"$dir/*.bin")
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
       .select(
         regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long")
           .as("doc_id"),

@@ -96,6 +96,45 @@ object ExportImport {
       .orderBy("l_returnflag")
   }
 
+  /** §2 #48 — REAL OpenXML .xlsx round-trip (the reference's headline
+    * "Export BLOB to Excel / Import BLOB from Excel" feature —
+    * Codeunit 60001:96 `ExportExcel`, :326 `ImportExcel`, :369
+    * `ReadWorksheetData`): orders exported as executor-written workbook
+    * part files (data worksheet + `_package` metadata worksheet per
+    * part, via [[graft.sources.XlsxIO]]), re-imported through a
+    * binaryFile scan + StAX parse with header-name column alignment,
+    * then aggregated — equality with the same aggregate on the source
+    * proves the OpenXML layer is lossless. */
+  def xlsxRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("xlsx-orders")
+    graft.sources.XlsxTables.clearDir(dir)
+    graft.sources.XlsxTables.write(
+      Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss")
+            .as("o_orderdate"),
+          col("o_orderpriority")),
+      dir, table = "orders", packageCode = "GRAFT.ORDERS")
+
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", StringType),
+      StructField("o_orderpriority", StringType)))
+    graft.sources.XlsxTables.read(spark, dir, schema)
+      .select(col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_c"),
+        to_timestamp(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("od"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("price_c").as("sum_price_c"),
+        date_format(min("od"), "yyyy-MM-dd").as("first_day"),
+        date_format(max("od"), "yyyy-MM-dd").as("last_day"))
+      .orderBy("o_orderstatus")
+  }
+
   /** §2 #11 — compressed package I/O: gzip CSV out, transparent
     * decompress-on-read back (DecompressPackage analog). */
   def compressedIo(spark: SparkSession, sfDir: String): DataFrame = {

@@ -100,6 +100,51 @@ object SchemaTools {
         ", ",
         ") AS t(tab, col_name, xsd_type) ORDER BY tab, col_name")
 
+  /** Tables exported by the schema-only template (fixed, so the oracle
+    * literal below can be hand-maintained). */
+  val templateTables: Seq[String] = Seq("customer", "orders")
+
+  /** §2 #49 — template-mode export (Codeunit 60001:88
+    * `ExportExcelTemplateFromTables` / the `SkipData` branch of :96):
+    * a schema-only typed workbook — one worksheet per table, header row,
+    * zero data rows — that a user fills in and feeds back through the
+    * import path. Metadata-only (single tiny driver-side file, like
+    * schema_gen); the returned manifest is read back FROM THE FILE,
+    * proving the emitted template is a parseable workbook. */
+  def templateExport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = ExportImport.scratch("xlsx-template")
+    val sheets = templateTables.map { t =>
+      graft.sources.XlsxIO.WorkSheet(t,
+        Tables.load(spark, sfDir, t).schema.fieldNames.toSeq,
+        Iterator.empty)
+    }
+    val path = Paths.get(s"$dir/template.xlsx")
+    val out = Files.newOutputStream(path)
+    try graft.sources.XlsxIO.writeWorkbook(out, sheets) finally out.close()
+
+    graft.sources.XlsxIO.readWorkbook(Files.readAllBytes(path))
+      .flatMap { case (sheet, rows) =>
+        rows.headOption.toSeq.flatMap(_.toSeq.zipWithIndex.map {
+          case (cname, i) => (sheet, i + 1, cname)
+        })
+      }
+      .toDF("tab", "col_pos", "col_name")
+      .orderBy("tab", "col_pos")
+  }
+
+  def templateExportOracle: String = {
+    val rows = templateTables.flatMap { t =>
+      expectedSchema.filter(_._1 == t).zipWithIndex.map {
+        case ((_, c, _), i) => (t, i + 1, c)
+      }
+    }
+    rows.map { case (t, p, c) => s"('$t',$p,'$c')" }
+      .mkString("SELECT tab, col_pos, col_name FROM (VALUES ", ", ",
+        ") AS t(tab, col_pos, col_name) ORDER BY tab, col_pos")
+  }
+
   def packageCountsOracle(tables: Seq[String], nCols: Map[String, Int]): String =
     tables.sorted.map { t =>
       s"SELECT '$t' AS tab, CAST(count(*) AS BIGINT) AS n_rows, ${nCols(t)} AS n_cols FROM $t"

@@ -1,0 +1,76 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** DataFrame ↔ .xlsx directory exchange built on [[XlsxIO]].
+  *
+  * Layout mirrors every other graft sink: a directory of part files, one
+  * per partition, written executor-side — `part-00007.xlsx` is a small,
+  * complete, Excel-openable workbook. A single workbook cannot be the
+  * unit of scale (2^20-row sheet cap, non-splittable zip), so the
+  * directory is the dataset, exactly as with csv/parquet.
+  *
+  * Each part file carries the data worksheet plus a `_package` metadata
+  * worksheet (package code, table name, column count) — the analog of
+  * the reference's package/table information cells
+  * (Codeunit 60001:600 `AddPackageAndTableInformation`).
+  */
+object XlsxTables {
+
+  /** Export `df` as .xlsx part files under `dir` (executor-parallel). */
+  def write(df: DataFrame, dir: String, table: String,
+            packageCode: String): Unit = {
+    val names = df.schema.fieldNames.toSeq
+    val n = names.length
+    df.foreachPartition { rows: Iterator[Row] =>
+      val pid = TaskContext.getPartitionId()
+      val out = Files.newOutputStream(Paths.get(f"$dir/part-$pid%05d.xlsx"))
+      try XlsxIO.writeWorkbook(out, Seq(
+        XlsxIO.WorkSheet(table, names,
+          rows.map(r => (0 until n).map(r.get))),
+        XlsxIO.WorkSheet("_package",
+          Seq("package_code", "table_name", "n_cols"),
+          Iterator(Seq(packageCode, table, n)))))
+      finally out.close()
+    }
+  }
+
+  /** Import a directory of .xlsx part files: binaryFile scan →
+    * per-partition StAX parse → typed cast against `schema`. Columns
+    * align by worksheet header name, so column order in the file does
+    * not matter (Codeunit 60001:687 `InitColumnMapping` semantics). */
+  def read(spark: SparkSession, dir: String, schema: StructType,
+           sheetName: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val names = schema.fieldNames.toSeq
+    val parsed = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx").load(dir)
+      .select("content").as[Array[Byte]]
+      .flatMap(bytes => XlsxIO.readSheetAligned(bytes, names, sheetName))
+    parsed.select(names.zipWithIndex.map { case (nm, i) =>
+      col("value")(i).cast(schema.fields(i).dataType).as(nm)
+    }: _*)
+  }
+
+  /** The `_package` metadata rows of every part file (deduped: all parts
+    * of one export carry the same package stamp). */
+  def readPackageMeta(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir,
+      StructType.fromDDL(
+        "package_code STRING, table_name STRING, n_cols INT"),
+      sheetName = Some("_package"))
+      .distinct()
+
+  /** Remove stale part files so re-exports have overwrite semantics. */
+  def clearDir(dir: String): Unit = {
+    val d = Paths.get(dir)
+    if (Files.exists(d))
+      Files.list(d).forEach { p =>
+        if (p.toString.endsWith(".xlsx")) Files.deleteIfExists(p)
+      }
+  }
+}
