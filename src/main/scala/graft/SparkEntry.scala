@@ -73,6 +73,7 @@ object SparkEntry {
     "topk_frequent" -> ((s, d) => Analytics.topkFrequent(s, d)),
     "asof_join_native" -> (graft.plans.AsofJoinNative.asofJoinNative _),
     "import_validation" -> (ExportImport.importValidation _),
+    "import_errors" -> (ExportImport.importErrors _),
     "jsonl_roundtrip" -> (ExportImport.jsonlRoundtrip _),
     "doc_winnow" -> (TextAnalysis.docWinnow _),
   )
@@ -237,6 +238,26 @@ object SparkEntry {
                     CASE WHEN o_orderkey % 101 = 0 THEN '31-13-2020'
                          ELSE strftime(o_orderdate, '%Y-%m-%d') END AS date_txt
              FROM orders))""",
+    "import_errors" ->
+      """WITH staged AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 97 = 0 THEN 'not-a-number'
+                       ELSE CAST(o_totalprice AS VARCHAR) END AS price_txt,
+                  CASE WHEN o_orderkey % 101 = 0 THEN '31-13-2020'
+                       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS date_txt
+           FROM orders)
+         SELECT * FROM (
+           SELECT o_orderkey, 'o_totalprice' AS field,
+                  price_txt AS raw_value,
+                  'not a valid decimal' AS reason
+           FROM staged
+           WHERE NOT regexp_matches(price_txt, '^[0-9]+(\.[0-9]+)?$')
+           UNION ALL
+           SELECT o_orderkey, 'o_orderdate' AS field,
+                  date_txt AS raw_value, 'not a valid date' AS reason
+           FROM staged
+           WHERE try_strptime(date_txt, '%Y-%m-%d') IS NULL)
+         ORDER BY o_orderkey, field""",
     "sessionize" -> Sessionize.oracle(),
     "json_props" -> JsonOps.oracle,
     "package_filter" -> PackageFilter.oracle,

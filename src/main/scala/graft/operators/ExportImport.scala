@@ -35,10 +35,21 @@ object ExportImport {
     d
   }
 
+  /** BC-style display names a real table hands the XML writer —
+    * spaces, dots, leading digits; none is a valid XML element name
+    * as-is (GetElementName's problem, Codeunit 60000:925). */
+  private[graft] val bcDisplayNames = Seq(
+    "No.", "Customer No.", "Status", "Amount Incl. VAT",
+    "Document Date", "2. Priority")
+
   /** §2 #1 — XML export → import round-trip on orders. Timestamps are
     * exported via the engine's typed formatter (ISO strings, the XML-mode
-    * branch of FormatFieldValue) and re-parsed on import. */
+    * branch of FormatFieldValue) and re-parsed on import. Columns travel
+    * under BC-style display names, `_xHHHH_`-encoded for the writer
+    * ([[graft.sources.XmlNames]]) and decoded after the read — proving
+    * the exchange survives names no XML element may carry verbatim. */
   def xmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.XmlNames
     val dir = scratch("xml-orders")
     Tables.load(spark, sfDir, "orders")
       .select(
@@ -46,15 +57,23 @@ object ExportImport {
         col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("o_orderdate"),
         col("o_orderpriority"))
+      .toDF(bcDisplayNames.map(XmlNames.encode): _*)
       .write.mode("overwrite").format("xml").option("rowTag", "order").save(dir)
 
-    val schema = StructType(Seq(
-      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
-      StructField("o_orderstatus", StringType),
-      StructField("o_totalprice", DoubleType),
-      StructField("o_orderdate", StringType),
-      StructField("o_orderpriority", StringType)))
-    spark.read.format("xml").option("rowTag", "order").schema(schema).load(dir)
+    val types = Seq(LongType, LongType, StringType, DoubleType,
+      StringType, StringType)
+    val schema = StructType(bcDisplayNames.map(XmlNames.encode).zip(types)
+      .map { case (n, t) => StructField(n, t) })
+    val decoded = {
+      val back = spark.read.format("xml").option("rowTag", "order")
+        .schema(schema).load(dir)
+      val names = back.columns.map(XmlNames.decode).toSeq
+      require(names == bcDisplayNames,
+        s"decoded element names must restore the display names: $names")
+      back.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+    }
+    decoded
       .select(col("o_orderstatus"),
         cents(col("o_totalprice")).as("price_c"),
         to_timestamp(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("od"))
@@ -180,14 +199,21 @@ object ExportImport {
     * (Codeunit 60000:419 import path). Corruption is simulated
     * deterministically (keys divisible by 97 get a non-numeric price,
     * by 101 a malformed date) so the oracle can reproduce it. */
-  def importValidation(spark: SparkSession, sfDir: String): DataFrame = {
-    val staged = Tables.load(spark, sfDir, "orders")
+  /** Text-staged orders with deterministic corruption (keys divisible by
+    * 97 get a non-numeric price, by 101 a malformed date) — the shared
+    * input of importValidation / importErrors, reproduced verbatim by
+    * their oracles. */
+  private def stagedOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
       .select(col("o_orderkey"),
         when(col("o_orderkey") % 97 === 0, lit("not-a-number"))
           .otherwise(col("o_totalprice").cast("string")).as("price_txt"),
         when(col("o_orderkey") % 101 === 0, lit("31-13-2020"))
           .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
           .as("date_txt"))
+
+  def importValidation(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stagedOrders(spark, sfDir)
     // validity checks chosen for identical cross-engine semantics:
     // numeric shape via regex (format-model parsers differ), date via
     // try-parse (never throws, ANSI or not)
@@ -200,6 +226,27 @@ object ExportImport {
         count(when(col("bad_price"), 1)).as("n_bad_price"),
         count(when(col("bad_date"), 1)).as("n_bad_date"),
         count(when(!col("bad_price") && !col("bad_date"), 1)).as("n_clean"))
+  }
+
+  /** §2 #50 — per-row import ERROR RECORDS: every failed field
+    * evaluation becomes an addressable row (key, field, raw value,
+    * reason) — the ConfigPackageError analog of the reference's apply
+    * path (Codeunit 60000:419), where a migration operator drills into
+    * exactly which cell of which row refused to parse.
+    * importValidation reports the counts; this emits the evidence. */
+  def importErrors(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stagedOrders(spark, sfDir)
+    val priceErr = staged
+      .filter(!col("price_txt").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .select(col("o_orderkey"), lit("o_totalprice").as("field"),
+        col("price_txt").as("raw_value"),
+        lit("not a valid decimal").as("reason"))
+    val dateErr = staged
+      .filter(try_to_timestamp(col("date_txt"), lit("yyyy-MM-dd")).isNull)
+      .select(col("o_orderkey"), lit("o_orderdate").as("field"),
+        col("date_txt").as("raw_value"),
+        lit("not a valid date").as("reason"))
+    priceErr.unionAll(dateErr).orderBy("o_orderkey", "field")
   }
 
   /** §2 #36 — partitioned export + partition-pruned import: write orders

@@ -46,6 +46,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("XmlNames: decode∘encode = id on arbitrary strings; encoded names are XML-safe") {
+    val nasty = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '.', '_', 'x', '-', '/', '&', 'é', '漢'),
+      Gen.const('_'))).map(_.mkString)
+    (1L to 50L).foreach { seed =>
+      val s = sample(nasty, seed)
+      val enc = graft.sources.XmlNames.encode(s)
+      assert(graft.sources.XmlNames.decode(enc) == s, s"name=<$s> enc=<$enc>")
+      assert(enc.isEmpty || enc.matches("^[A-Za-z_].*"), s"bad start: <$enc>")
+      assert(enc.forall(c => c.isLetterOrDigit && c < 128 || c == '_'),
+        s"non-XML-safe char survives: <$enc>")
+    }
+    // the reference's own motivating cases
+    assert(graft.sources.XmlNames.encode("No.") == "No_x002E_")
+    assert(graft.sources.XmlNames.encode("Currency Code") == "Currency_x0020_Code")
+    assert(graft.sources.XmlNames.encode("2. Priority") == "_x0032__x002E__x0020_Priority")
+    assert(graft.sources.XmlNames.decode("_x0032__x002E__x0020_Priority") == "2. Priority")
+  }
+
   test("TopKFrequent == groupBy count ranking, arbitrary multisets") {
     import spark.implicits._
     (1L to 15L).foreach { seed =>
