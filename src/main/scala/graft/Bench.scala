@@ -10,12 +10,23 @@ object Bench {
   /** Headline set — the queries whose throughput the round is graded on.
     * Anything not implemented yet is silently skipped (set ∩ queries). */
   val headline: Seq[String] = Seq(
+    // analytics core
     "q1_agg", "dim_flatten", "window_rank", "agg_skew_salted",
-    "events_window", "filter_pushdown", "dedup_exact", "dedup_minhash",
-    "dedup_ngram_exactjoin", "ann_bruteforce", "asof_join",
-    "asof_join_native", "sessionize", "text_stats", "token_count",
-    "json_props", "merge_upsert", "topk_frequent", "package_filter",
-    "doc_winnow")
+    "events_window", "filter_pushdown", "asof_join", "asof_join_native",
+    "sessionize", "merge_upsert", "topk_frequent", "package_filter",
+    "typed_format",
+    // dedup family
+    "dedup_exact", "dedup_minhash", "dedup_ngram_exactjoin",
+    "dedup_simhash", "dedup_clusters",
+    // similarity / ANN
+    "ann_bruteforce", "ann_lsh", "ann_ivf", "embedding_dedup",
+    // text analysis
+    "text_stats", "token_count", "lang_id", "quality_filter",
+    "doc_winnow", "doc_fingerprint", "text_shingles",
+    // export/import round-trips + validation
+    "xml_roundtrip", "csv_roundtrip", "xlsx_roundtrip", "jsonl_roundtrip",
+    "compressed_io", "media_roundtrip", "json_props",
+    "import_validation", "import_errors")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

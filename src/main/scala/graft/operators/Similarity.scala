@@ -48,7 +48,10 @@ object Similarity {
 
   /** §2 #26 — brute-force cosine top-k: the exact baseline every ANN
     * variant is measured against. Query set broadcast; candidates
-    * scanned once; row_number window ranks with an id tie-break. */
+    * scanned once; ranking via the bounded [[graft.functions.TopKByScore]]
+    * aggregate — partial top-k per map partition, so the exchange moves
+    * at most k rows per (query, partition) instead of shuffling the
+    * whole N×Q scored set into a window sort. */
   def annBruteforce(spark: SparkSession, sfDir: String,
                     nQueries: Int = 10, k: Int = 5): DataFrame = {
     val v = vectors(spark, sfDir)
@@ -62,12 +65,13 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
           .as("cos"))
-    scored
-      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("neighbor_id").asc)))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("cos"), 6).as("cos6"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.topkByScore(
+        col("neighbor_id"), col("cos"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        round(col("e.cos"), 6).as("cos6"))
       .orderBy("query_id", "rnk")
   }
 
