@@ -14,7 +14,8 @@ object Bench {
     "q1_agg", "dim_flatten", "window_rank", "agg_skew_salted",
     "events_window", "filter_pushdown", "asof_join", "asof_join_native",
     "sessionize", "merge_upsert", "topk_frequent", "package_filter",
-    "typed_format",
+    "typed_format", "pivot_status", "rollup_agg", "pctile_value",
+    "snapshot_diff",
     // dedup family
     "dedup_exact", "dedup_minhash", "dedup_ngram_exactjoin",
     "dedup_simhash", "dedup_clusters",

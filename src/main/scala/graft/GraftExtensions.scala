@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{Base64NoWrap, MinHashSignature, SimHashBits, WordShingles}
+import graft.functions.{Base64NoWrap, KrHash, KrHashF, MinHashSignature, SimHashBits, SimHashLong, WordShingles}
 import graft.operators.Dedup
 
 /** SparkSessionExtensions entry point: makes graft's custom Catalyst
@@ -43,5 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
       exprs => SimHashBits(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("kr_hash"),
+      new ExpressionInfo(classOf[KrHash].getName, "kr_hash"),
+      exprs => KrHash(exprs.head, KrHashF.B, KrHashF.M)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[SimHashLong].getName, "simhash_fp"),
+      exprs => SimHashLong(exprs.head, Dedup.SimHashBits)))
   }
 }

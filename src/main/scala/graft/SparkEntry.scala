@@ -62,6 +62,10 @@ object SparkEntry {
     "window_rank" -> (Analytics.windowRank _),
     "agg_skew_salted" -> ((s, d) => Analytics.aggSkewSalted(s, d)),
     "events_window" -> (Analytics.eventsWindow _),
+    "pivot_status" -> (Analytics.pivotStatus _),
+    "rollup_agg" -> (Analytics.rollupAgg _),
+    "pctile_value" -> (Analytics.pctileValue _),
+    "snapshot_diff" -> (MergeImport.snapshotDiff _),
     "asof_join" -> (AsofJoin.asofJoin _),
     "sessionize" -> ((s, d) => Sessionize.sessionize(s, d)),
     "json_props" -> (JsonOps.jsonProps _),
@@ -436,5 +440,35 @@ object SparkEntry {
           event_type, count(*) AS n,
           CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_value_c
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "pivot_status" ->
+      s"""SELECT o_orderpriority,
+          CAST(sum(CASE WHEN o_orderstatus = 'F' THEN price_c END) AS BIGINT)
+            AS sum_f_c,
+          CAST(sum(CASE WHEN o_orderstatus = 'O' THEN price_c END) AS BIGINT)
+            AS sum_o_c,
+          CAST(sum(CASE WHEN o_orderstatus = 'P' THEN price_c END) AS BIGINT)
+            AS sum_p_c
+          FROM (SELECT o_orderpriority, o_orderstatus,
+                  ${centsSql("o_totalprice")} AS price_c FROM orders)
+          GROUP BY 1 ORDER BY 1""",
+    "rollup_agg" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+          CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+            AS INTEGER) AS gid
+          FROM (SELECT o_orderstatus, o_orderpriority,
+                  ${centsSql("o_totalprice")} AS price_c FROM orders)
+          GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+          ORDER BY gid, o_orderstatus NULLS FIRST,
+            o_orderpriority NULLS FIRST""",
+    "pctile_value" ->
+      s"""SELECT event_type,
+          CAST(quantile_disc(v_c, 0.5) AS BIGINT) AS p50_c,
+          CAST(quantile_disc(v_c, 0.9) AS BIGINT) AS p90_c,
+          CAST(quantile_disc(v_c, 0.99) AS BIGINT) AS p99_c,
+          count(*) AS n
+          FROM (SELECT event_type, ${centsSql("value")} AS v_c FROM events)
+          GROUP BY 1 ORDER BY 1""",
+    "snapshot_diff" -> MergeImport.diffOracle,
   )
 }

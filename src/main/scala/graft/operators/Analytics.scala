@@ -84,6 +84,57 @@ object Analytics {
       .select(col("t.item").as("item"), col("t.cnt").as("cnt"))
       .orderBy(desc("cnt"), asc("item"))
 
+  /** §2 #51 — pivot: long→wide conditional aggregation (the worksheet
+    * cross-tab view a migration UI shows). Spark compiles `pivot` to one
+    * hash aggregate with a CASE per cell — one exchange, no joins; the
+    * value list is explicit so the plan never needs the extra distinct
+    * scan of auto-discovery. */
+  def pivotStatus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_c"))
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum("price_c"))
+      .toDF("o_orderpriority", "sum_f_c", "sum_o_c", "sum_p_c")
+      .orderBy("o_orderpriority")
+
+  /** §2 #52 — rollup: multi-level aggregation in ONE pass (grand total,
+    * per-status, per-(status, priority)) — Spark expands grouping sets
+    * map-side, so the cost stays a single scan + one exchange instead of
+    * three queries. `gid` is computed from `grouping()` bits identically
+    * in the oracle, pinning the NULL-marker semantics cross-engine. */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_c"))
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("price_c").as("sum_price_c"),
+        (grouping(col("o_orderstatus")) * 2
+          + grouping(col("o_orderpriority"))).cast("int").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** §2 #53 — exact discrete percentiles per group (`percentile_disc`,
+    * the SQL-standard WITHIN GROUP form): the distribution profile a
+    * data-quality gate reads. Exact disc quantiles are oracle-checkable
+    * (no interpolation arithmetic to drift cross-engine); at 100 TB the
+    * same call shape swaps to `approx_percentile` (t-digest sketch) —
+    * group memory is bounded by distinct values, not rows, either way. */
+  def pctileValue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), cents(col("value")).as("v_c"))
+      .groupBy("event_type")
+      .agg(
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v_c) AS BIGINT)")
+          .as("p50_c"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY v_c) AS BIGINT)")
+          .as("p90_c"),
+        expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY v_c) AS BIGINT)")
+          .as("p99_c"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** §2 #19 — time-bucketed event aggregation (batch twin of the
     * streaming windowed agg in graft.streaming.EventStream). */
   def eventsWindow(spark: SparkSession, sfDir: String): DataFrame =

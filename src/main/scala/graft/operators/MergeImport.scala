@@ -51,4 +51,60 @@ object MergeImport {
                         THEN o_totalprice + 1000.0
                         ELSE o_totalprice END * 100) AS BIGINT) AS price_cents
        FROM orders ORDER BY o_orderkey"""
+
+  /** Generic snapshot diff: rows added/removed/changed between two
+    * keyed snapshots — one co-partitioned full-outer join (the canonical
+    * CDC shape: a single sort-merge exchange on the key at any scale). */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+           compareCol: String): DataFrame = {
+    val o = oldSnap.select(col(key).as("k"), col(compareCol).as("old_val"))
+    val n = newSnap.select(col(key).as("k"), col(compareCol).as("new_val"))
+    o.join(n, Seq("k"), "full_outer")
+      .select(col("k").as(key),
+        when(col("old_val").isNull, "added")
+          .when(col("new_val").isNull, "removed")
+          .when(col("old_val") =!= col("new_val"), "changed")
+          .otherwise("same").as("change_type"),
+        col("old_val"), col("new_val"))
+      .filter(col("change_type") =!= "same")
+  }
+
+  /** §2 #54 — snapshot diff query: the orders table against a
+    * deterministically mutated next version (keys %127 removed, %113
+    * re-priced, %131 cloned under a shifted key) — what a migration run
+    * reports before applying an incremental package. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("k"),
+        cents(col("o_totalprice")).as("price_c"))
+    val newSnap = src.filter(col("k") % 127 =!= 0)
+      .select(col("k"),
+        when(col("k") % 113 === 0, col("price_c") + 11)
+          .otherwise(col("price_c")).as("price_c"))
+      .unionAll(src.filter(col("k") % 131 === 0)
+        .select((col("k") + 100000000L).as("k"), col("price_c")))
+    diff(src, newSnap, "k", "price_c")
+      .select(col("k").as("o_orderkey"), col("change_type"),
+        col("old_val").as("old_price_c"), col("new_val").as("new_price_c"))
+      .orderBy("o_orderkey", "change_type")
+  }
+
+  val diffOracle: String =
+    """WITH src AS (SELECT o_orderkey AS k,
+             CAST(round(o_totalprice*100) AS BIGINT) AS price_c FROM orders),
+       new_snap AS (
+         SELECT k, CASE WHEN k % 113 = 0 THEN price_c + 11
+                        ELSE price_c END AS price_c
+         FROM src WHERE k % 127 <> 0
+         UNION ALL
+         SELECT k + 100000000, price_c FROM src WHERE k % 131 = 0)
+       SELECT * FROM (
+         SELECT coalesce(o.k, n.k) AS o_orderkey,
+           CASE WHEN o.k IS NULL THEN 'added'
+                WHEN n.k IS NULL THEN 'removed'
+                WHEN o.price_c <> n.price_c THEN 'changed'
+                ELSE 'same' END AS change_type,
+           o.price_c AS old_price_c, n.price_c AS new_price_c
+         FROM src o FULL OUTER JOIN new_snap n ON o.k = n.k)
+       WHERE change_type <> 'same' ORDER BY o_orderkey, change_type"""
 }

@@ -34,6 +34,45 @@ class AnalyticsSpec extends SparkSpec {
       plain.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("pivot_status: wide cells re-sum to the per-priority totals") {
+    val wide = Analytics.pivotStatus(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        Seq(1, 2, 3).map(i => if (r.isNullAt(i)) 0L else r.getLong(i)).sum)
+      .toMap
+    val long = Tables.load(spark, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(sum(graft.operators.Filtering.cents(col("o_totalprice"))).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == long)
+  }
+
+  test("rollup_agg: one pass yields grand total, per-status, and leaf levels") {
+    val rows = Analytics.rollupAgg(spark, sf).collect()
+    val byGid = rows.groupBy(_.getAs[Int]("gid"))
+    val grand = byGid(3).head
+    assert(byGid(3).length == 1 && grand.isNullAt(0) && grand.isNullAt(1))
+    assert(grand.getAs[Long]("n") ==
+      Tables.load(spark, sf, "orders").count())
+    // leaf sums roll up exactly to the status level and the grand total
+    val leafSum = byGid(0).map(_.getAs[Long]("sum_price_c")).sum
+    val statusSum = byGid(1).map(_.getAs[Long]("sum_price_c")).sum
+    assert(leafSum == statusSum && statusSum == grand.getAs[Long]("sum_price_c"))
+  }
+
+  test("pctile_value: discrete percentiles are real values and monotone") {
+    val rows = Analytics.pctileValue(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(p50 <= p90 && p90 <= p99, s"monotone: $r")
+    }
+    // discrete percentile = an actual data value, not an interpolation
+    val vals = Tables.load(spark, sf, "events")
+      .select(graft.operators.Filtering.cents(col("value")).as("v"))
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => vals.contains(r.getLong(1))))
+  }
+
   test("events_window: buckets are whole hours") {
     val rows = Analytics.eventsWindow(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -6,6 +6,23 @@ import graft.sources.PackageIO
 
 class ExportImportSpec extends SparkSpec {
 
+  test("snapshot_diff: planted mutations are detected exactly, nothing else") {
+    import graft.operators.MergeImport
+    val rows = MergeImport.snapshotDiff(spark, sf).collect()
+    val byType = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val keys = Tables.load(spark, sf, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    assert(byType.getOrElse("removed", 0) == keys.count(_ % 127 == 0))
+    assert(byType.getOrElse("changed", 0) ==
+      keys.count(k => k % 113 == 0 && k % 127 != 0))
+    assert(byType.getOrElse("added", 0) == keys.count(_ % 131 == 0))
+    assert(byType.values.sum == rows.length)
+    // changed rows carry both sides, delta is the planted +11 cents
+    rows.filter(_.getString(1) == "changed").foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) == 11L)
+    }
+  }
+
   test("xml_roundtrip: re-imported aggregate equals source aggregate") {
     val rt = ExportImport.xmlRoundtrip(spark, sf).collect()
     val src = Tables.load(spark, sf, "orders")

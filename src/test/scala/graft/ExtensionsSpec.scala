@@ -42,6 +42,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[Int](3).length == 64)
   }
 
+  test("kr_hash and simhash_fp are SQL-callable and match the library values") {
+    import spark.implicits._
+    Seq(("abc", 1)).toDF("t", "i").createOrReplaceTempView("ext_kr")
+    val row = spark.sql(
+      """SELECT kr_hash(t) AS h,
+                simhash_fp(array(kr_hash(t))) AS fp
+         FROM ext_kr""").collect().head
+    // fold by hand: 'a'=97 'b'=98 'c'=99 → (97*257 + 98)*257 + 99
+    val expected = ((97L * 257 + 98) * 257 + 99) % graft.functions.KrHashF.M
+    assert(row.getLong(0) == expected)
+    // a single hash votes all its own bits through
+    assert(row.getLong(1) == expected)
+  }
+
   test("topk_frequent aggregate equals GROUP BY/LIMIT") {
     import spark.implicits._
     val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
