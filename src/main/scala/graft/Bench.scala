@@ -15,7 +15,8 @@ object Bench {
     "events_window", "filter_pushdown", "asof_join", "asof_join_native",
     "sessionize", "merge_upsert", "topk_frequent", "package_filter",
     "typed_format", "pivot_status", "rollup_agg", "pctile_value",
-    "snapshot_diff",
+    "snapshot_diff", "fk_orphans", "deterministic_sample",
+    "value_histogram", "profile_table",
     // dedup family
     "dedup_exact", "dedup_minhash", "dedup_ngram_exactjoin",
     "dedup_simhash", "dedup_clusters",

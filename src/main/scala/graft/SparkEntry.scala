@@ -66,6 +66,10 @@ object SparkEntry {
     "rollup_agg" -> (Analytics.rollupAgg _),
     "pctile_value" -> (Analytics.pctileValue _),
     "snapshot_diff" -> (MergeImport.snapshotDiff _),
+    "fk_orphans" -> (Quality.fkOrphans _),
+    "deterministic_sample" -> ((s, d) => Quality.deterministicSample(s, d)),
+    "value_histogram" -> ((s, d) => Quality.valueHistogram(s, d)),
+    "profile_table" -> (Quality.profileTable _),
     "asof_join" -> (AsofJoin.asofJoin _),
     "sessionize" -> ((s, d) => Sessionize.sessionize(s, d)),
     "json_props" -> (JsonOps.jsonProps _),
@@ -470,5 +474,23 @@ object SparkEntry {
           FROM (SELECT event_type, ${centsSql("value")} AS v_c FROM events)
           GROUP BY 1 ORDER BY 1""",
     "snapshot_diff" -> MergeImport.diffOracle,
+    "fk_orphans" ->
+      """SELECT count(*) AS n_orphan_lines,
+          count(DISTINCT l_orderkey) AS n_orphan_keys,
+          min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+         FROM lineitem
+         WHERE l_orderkey NOT IN
+           (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0)""",
+    "deterministic_sample" ->
+      s"""SELECT o_orderkey, ${centsSql("o_totalprice")} AS price_cents
+          FROM orders
+          WHERE (o_orderkey * 2654435761) % 4294967296 < 429496720
+          ORDER BY o_orderkey""",
+    "value_histogram" ->
+      s"""SELECT CAST(floor(v_c / 2500.0) AS BIGINT) AS bin,
+          count(*) AS n, min(v_c) AS min_c, max(v_c) AS max_c
+          FROM (SELECT ${centsSql("value")} AS v_c FROM events)
+          GROUP BY 1 ORDER BY 1""",
+    "profile_table" -> Quality.profileOracle,
   )
 }

@@ -36,6 +36,24 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** §2 #55 — stream-static enrichment join: the event stream joined to
+    * a static dimension (customer → market segment), then windowed.
+    * The static side is broadcast at every micro-batch's planning — the
+    * streaming twin of the batch bounded-dim broadcast rule
+    * (SURVEY §4); stream state stays bounded by the watermark exactly
+    * as in [[hourlyAgg]]. */
+  def enrichedBySegment(events: DataFrame, customers: DataFrame,
+                        watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .join(broadcast(customers.select(col("c_custkey"),
+        col("c_mktsegment"))), col("user_id") === col("c_custkey"), "left")
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
+        col("c_mktsegment"), col("n"), col("sum_value_c"))
+
   /** Watermarked tumbling-window aggregate. State is bounded: windows
     * older than watermark are finalized and dropped — the only shape
     * that survives an unbounded stream. */

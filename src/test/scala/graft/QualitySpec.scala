@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Quality
+
+class QualitySpec extends SparkSpec {
+
+  test("fk_orphans: exactly the children of thinned parents, via anti join") {
+    val r = Quality.fkOrphans(spark, sf).collect().head
+    val expected = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_orderkey") % 97 === 0).count()
+    assert(r.getAs[Long]("n_orphan_lines") == expected)
+    assert(r.getAs[Long]("n_orphan_keys") <= r.getAs[Long]("n_orphan_lines"))
+    val plan = planOf(Quality.fkOrphans(spark, sf))
+    assert(plan.contains("Anti"), plan)
+  }
+
+  test("deterministic_sample: stable membership, roughly pct-sized") {
+    val a = Quality.deterministicSample(spark, sf).collect()
+      .map(_.getLong(0)).toSeq
+    val b = Quality.deterministicSample(spark, sf).collect()
+      .map(_.getLong(0)).toSeq
+    assert(a == b, "sample must be identical across runs")
+    val total = Tables.load(spark, sf, "orders").count()
+    val frac = a.length.toDouble / total
+    assert(frac > 0.05 && frac < 0.15, s"~10% expected, got $frac")
+  }
+
+  test("value_histogram: bins cover every row, bounds inside bins") {
+    val rows = Quality.valueHistogram(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.load(spark, sf, "events").count())
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(r.getAs[Long]("min_c") >= bin * 2500
+        && r.getAs[Long]("max_c") < (bin + 1) * 2500, r.toString)
+    }
+  }
+
+  test("profile_table: one row per column, exact counts, single-pass plan") {
+    val rows = Quality.profileTable(spark, sf).collect()
+    assert(rows.length == 6)
+    val n = Tables.load(spark, sf, "orders").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_nulls") == 0L)
+      assert(r.getAs[Long]("n_distinct") >= 1L)
+    }
+    val status = rows.find(_.getString(0) == "o_orderstatus").get
+    assert(status.getAs[Long]("n_distinct") <= 3)
+    // single pass: exactly one parquet scan in the (AQE-final) plan
+    val plan = planOf(Quality.profileTable(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(plan.split("Scan parquet").length - 1 == 1, plan)
+  }
+}

@@ -20,6 +20,29 @@ class StreamingSpec extends SparkSpec {
       batch.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq)
   }
 
+  test("stream-static enrich: per-segment windowed agg matches the batch twin") {
+    val customers = Tables.load(spark, sf, "customer")
+    val agg = EventStream.enrichedBySegment(
+      EventStream.readEventStream(spark, sf), customers)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_enriched").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_enriched")
+      .orderBy("hour_bucket", "c_mktsegment").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val batch = Tables.load(spark, sf, "events")
+      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"), "left")
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_bucket"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
+      .orderBy("hour_bucket", "c_mktsegment").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming dedup: replayed events are dropped within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
