@@ -33,7 +33,9 @@ object SparkEntry {
     "xml_roundtrip" -> (ExportImport.xmlRoundtrip _),
     "csv_roundtrip" -> (ExportImport.csvRoundtrip _),
     "xlsx_roundtrip" -> (ExportImport.xlsxRoundtrip _),
+    "xlsx_keys" -> ((s, d) => ExportImport.xlsxKeys(s, d)),
     "template_export" -> (SchemaTools.templateExport _),
+    "xsd_export" -> (SchemaTools.xsdExport _),
     "compressed_io" -> (ExportImport.compressedIo _),
     "package_roundtrip" -> (ExportImport.packageRoundtrip _),
     "schema_gen" -> (SchemaTools.schemaGen _),
@@ -117,6 +119,9 @@ object SparkEntry {
           strftime(max(o_orderdate), '%Y-%m-%d') AS last_day
           FROM orders GROUP BY 1 ORDER BY 1""",
     "template_export" -> SchemaTools.templateExportOracle,
+    "xsd_export" -> SchemaTools.xsdExportOracle,
+    "xlsx_keys" ->
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20",
     "csv_roundtrip" ->
       s"""SELECT l_returnflag, count(*) AS n,
           CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,

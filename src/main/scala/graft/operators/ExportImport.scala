@@ -58,7 +58,13 @@ object ExportImport {
         date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("o_orderdate"),
         col("o_orderpriority"))
       .toDF(bcDisplayNames.map(XmlNames.encode): _*)
-      .write.mode("overwrite").format("xml").option("rowTag", "order").save(dir)
+      // attributePrefix: the XML source's default "_" would silently turn
+      // any encoded name with an escaped FIRST character (e.g.
+      // "_x0032_..." from "2. Priority") into an XML attribute — "@"
+      // keeps every field an element, matching the XSD
+      .write.mode("overwrite").format("xml")
+      .option("rootTag", "orders").option("rowTag", "order")
+      .option("attributePrefix", "@").save(dir)
 
     val types = Seq(LongType, LongType, StringType, DoubleType,
       StringType, StringType)
@@ -66,7 +72,7 @@ object ExportImport {
       .map { case (n, t) => StructField(n, t) })
     val decoded = {
       val back = spark.read.format("xml").option("rowTag", "order")
-        .schema(schema).load(dir)
+        .option("attributePrefix", "@").schema(schema).load(dir)
       val names = back.columns.map(XmlNames.decode).toSeq
       require(names == bcDisplayNames,
         s"decoded element names must restore the display names: $names")
@@ -124,7 +130,9 @@ object ExportImport {
     * binaryFile scan + StAX parse with header-name column alignment,
     * then aggregated — equality with the same aggregate on the source
     * proves the OpenXML layer is lossless. */
-  def xlsxRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared xlsx export of orders (the package both xlsx queries read). */
+  private[graft] def exportOrdersXlsx(spark: SparkSession,
+                                      sfDir: String): String = {
     val dir = scratch("xlsx-orders")
     graft.sources.XlsxTables.clearDir(dir)
     graft.sources.XlsxTables.write(
@@ -135,6 +143,23 @@ object ExportImport {
             .as("o_orderdate"),
           col("o_orderpriority")),
       dir, table = "orders", packageCode = "GRAFT.ORDERS")
+    dir
+  }
+
+  /** §2 #60 — key/preview read from the .xlsx package
+    * (Codeunit 60001:272 `ReadPackageTableKeysFromExcel`): parse ONLY
+    * the key column out of every part workbook (the header-aligned
+    * reader projects it; non-key cells never reach Spark), then the
+    * ordered key preview an import UI shows. */
+  def xlsxKeys(spark: SparkSession, sfDir: String, n: Int = 20): DataFrame = {
+    val dir = exportOrdersXlsx(spark, sfDir)
+    graft.sources.XlsxTables.read(spark, dir,
+      StructType(Seq(StructField("o_orderkey", LongType))))
+      .orderBy("o_orderkey").limit(n)
+  }
+
+  def xlsxRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = exportOrdersXlsx(spark, sfDir)
 
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType), StructField("o_custkey", LongType),

@@ -134,6 +134,77 @@ object SchemaTools {
       .orderBy("tab", "col_pos")
   }
 
+  /** The element/type layout of the XML orders export: BC display names
+    * `_xHHHH_`-encoded exactly as the writer emits them, with XSD types
+    * that VALIDATE the exported lexical forms (dates travel as ISO
+    * strings → xsd:dateTime). */
+  private[graft] val xmlOrdersElements: Seq[(String, String)] = {
+    import graft.sources.XmlNames.encode
+    Seq(
+      encode("No.") -> "xsd:integer",
+      encode("Customer No.") -> "xsd:integer",
+      encode("Status") -> "xsd:string",
+      encode("Amount Incl. VAT") -> "xsd:double",
+      encode("Document Date") -> "xsd:dateTime",
+      encode("2. Priority") -> "xsd:string")
+  }
+
+  /** §2 #61 — REAL XSD schema file (Codeunit 60001:495 `CreateSchemaFile`,
+    * 60000:1030 `GetXSDType`): generates the W3C schema describing the
+    * XML package export (root `orders`, row `order`, typed field elements)
+    * and returns the manifest parsed back FROM THE FILE. The spec
+    * validates actual exported XML part files against this schema with
+    * `javax.xml.validation` — the artifact is a working schema, not
+    * documentation. Metadata-only (no data scan). */
+  def xsdExport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = ExportImport.scratch("xsd")
+    val fields = xmlOrdersElements.map { case (n, t) =>
+      s"""          <xsd:element name="$n" type="$t"/>"""
+    }.mkString("\n")
+    val xsd =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<xsd:schema xmlns:xsd="http://www.w3.org/2001/XMLSchema">
+         |  <xsd:element name="orders">
+         |    <xsd:complexType><xsd:sequence>
+         |      <xsd:element name="order" maxOccurs="unbounded">
+         |        <xsd:complexType><xsd:sequence>
+         |$fields
+         |        </xsd:sequence></xsd:complexType>
+         |      </xsd:element>
+         |    </xsd:sequence></xsd:complexType>
+         |  </xsd:element>
+         |</xsd:schema>
+         |""".stripMargin
+    val path = Paths.get(s"$dir/orders.xsd")
+    Files.writeString(path, xsd)
+
+    // manifest re-parsed from the written file (proves it is valid XML
+    // with the declared leaf elements, in order)
+    val reader = javax.xml.stream.XMLInputFactory.newInstance()
+      .createXMLStreamReader(Files.newInputStream(path))
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (reader.hasNext) {
+      if (reader.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT
+          && reader.getLocalName == "element"
+          && reader.getAttributeValue(null, "type") != null)
+        leaves += ((reader.getAttributeValue(null, "name"),
+          reader.getAttributeValue(null, "type")))
+    }
+    reader.close()
+    leaves.toSeq.zipWithIndex
+      .map { case ((n, t), i) => (i + 1, n, t) }
+      .toDF("pos", "element", "xsd_type")
+      .orderBy("pos")
+  }
+
+  def xsdExportOracle: String =
+    xmlOrdersElements.zipWithIndex
+      .map { case ((n, t), i) => s"(${i + 1},'$n','$t')" }
+      .mkString("SELECT pos, element, xsd_type FROM (VALUES ", ", ",
+        ") AS t(pos, element, xsd_type) ORDER BY pos")
+
   def templateExportOracle: String = {
     val rows = templateTables.flatMap { t =>
       expectedSchema.filter(_._1 == t).zipWithIndex.map {

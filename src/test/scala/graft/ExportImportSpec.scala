@@ -6,6 +6,31 @@ import graft.sources.PackageIO
 
 class ExportImportSpec extends SparkSpec {
 
+  test("xsd_export: exported XML part files validate against the generated schema") {
+    import javax.xml.XMLConstants
+    import javax.xml.transform.stream.StreamSource
+    import javax.xml.validation.SchemaFactory
+    ExportImport.xmlRoundtrip(spark, sf).collect() // materialize the export
+    SchemaTools.xsdExport(spark, sf).collect()     // materialize the schema
+    val xsd = new java.io.File(ExportImport.scratch("xsd"), "orders.xsd")
+    val validator = SchemaFactory
+      .newInstance(XMLConstants.W3C_XML_SCHEMA_NS_URI)
+      .newSchema(xsd).newValidator()
+    val parts = new java.io.File(ExportImport.scratch("xml-orders"))
+      .listFiles.filter(_.getName.endsWith(".xml"))
+    assert(parts.nonEmpty, "xml export must produce part files")
+    // validate every part — a schema violation throws SAXException
+    parts.foreach(f => validator.validate(new StreamSource(f)))
+  }
+
+  test("xlsx_keys: preview equals the ordered key head of the source table") {
+    val keys = ExportImport.xlsxKeys(spark, sf).collect().map(_.getLong(0))
+    val expected = Tables.load(spark, sf, "orders")
+      .select("o_orderkey").orderBy("o_orderkey").limit(20)
+      .collect().map(_.getLong(0))
+    assert(keys.toSeq == expected.toSeq)
+  }
+
   test("snapshot_diff: planted mutations are detected exactly, nothing else") {
     import graft.operators.MergeImport
     val rows = MergeImport.snapshotDiff(spark, sf).collect()
