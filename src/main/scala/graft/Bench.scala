@@ -16,7 +16,8 @@ object Bench {
     "sessionize", "merge_upsert", "topk_frequent", "package_filter",
     "typed_format", "pivot_status", "rollup_agg", "pctile_value",
     "snapshot_diff", "fk_orphans", "deterministic_sample",
-    "value_histogram", "profile_table",
+    "value_histogram", "profile_table", "compact_files",
+    "schema_evolution", "xlsx_keys",
     // dedup family
     "dedup_exact", "dedup_minhash", "dedup_ngram_exactjoin",
     "dedup_simhash", "dedup_clusters",

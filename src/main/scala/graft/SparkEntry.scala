@@ -72,6 +72,8 @@ object SparkEntry {
     "deterministic_sample" -> ((s, d) => Quality.deterministicSample(s, d)),
     "value_histogram" -> ((s, d) => Quality.valueHistogram(s, d)),
     "profile_table" -> (Quality.profileTable _),
+    "compact_files" -> ((s, d) => Maintenance.compactFiles(s, d)),
+    "schema_evolution" -> (Maintenance.schemaEvolution _),
     "asof_join" -> (AsofJoin.asofJoin _),
     "sessionize" -> ((s, d) => Sessionize.sessionize(s, d)),
     "json_props" -> (JsonOps.jsonProps _),
@@ -497,5 +499,11 @@ object SparkEntry {
           FROM (SELECT ${centsSql("value")} AS v_c FROM events)
           GROUP BY 1 ORDER BY 1""",
     "profile_table" -> Quality.profileOracle,
+    "compact_files" ->
+      s"""SELECT count(*) AS n_rows,
+          CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_price_c,
+          count(DISTINCT o_orderkey) AS n_keys
+          FROM orders""",
+    "schema_evolution" -> Maintenance.schemaEvolutionOracle,
   )
 }

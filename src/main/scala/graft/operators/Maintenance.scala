@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Filtering.cents
+
+/** Lakehouse maintenance — the operational half of running the engine at
+  * 100 TB: small-file compaction (the #1 operational killer of large
+  * parquet tables) and schema-evolution reads (packages exported before
+  * and after a column was added must land in one table).
+  */
+object Maintenance {
+
+  /** §2 #62 — small-file compaction: a fragmented table directory
+    * (simulated: 32 splinter files) is rewritten into a small number of
+    * size-targeted files. The query returns the aggregate of the
+    * COMPACTED copy — equality with the source proves compaction is
+    * lossless; the spec additionally asserts the file count actually
+    * dropped. At scale the repartition target comes from
+    * `sum(file sizes)/targetFileSize` and AQE coalescing; the rewrite
+    * shape (one shuffle, executor-parallel writers) is identical. */
+  def compactFiles(spark: SparkSession, sfDir: String,
+                   targetFiles: Int = 4): DataFrame = {
+    val fragDir = ExportImport.scratch("frag-orders")
+    val compDir = ExportImport.scratch("compact-orders")
+    Tables.load(spark, sfDir, "orders")
+      .repartition(32) // simulate a fragmented ingest
+      .write.mode("overwrite").parquet(fragDir)
+    spark.read.parquet(fragDir)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(compDir)
+    spark.read.parquet(compDir)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("o_totalprice"))).as("sum_price_c"),
+        countDistinct(col("o_orderkey")).as("n_keys"))
+  }
+
+  /** §2 #63 — schema-evolution read: two package snapshots written
+    * before/after a column was added (`o_channel` exists only in v2),
+    * read as ONE table via parquet schema merging; v1 rows surface the
+    * new column as null. The deterministic split (even keys = v1) lets
+    * the oracle reproduce the exact result from the source table. */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val v1Dir = ExportImport.scratch("evo-v1")
+    val v2Dir = ExportImport.scratch("evo-v2")
+    val src = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+    src.filter(col("o_orderkey") % 2 === 0)
+      .write.mode("overwrite").parquet(v1Dir)
+    src.filter(col("o_orderkey") % 2 =!= 0)
+      .withColumn("o_channel",
+        when(col("o_orderkey") % 3 === 0, "web").otherwise("store"))
+      .write.mode("overwrite").parquet(v2Dir)
+
+    spark.read.option("mergeSchema", "true").parquet(v1Dir, v2Dir)
+      .groupBy(coalesce(col("o_channel"), lit("unknown")).as("channel"))
+      .agg(count(lit(1)).as("n"), sum("price_c").as("sum_price_c"))
+      .orderBy("channel")
+  }
+
+  val schemaEvolutionOracle: String =
+    """SELECT channel, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+          AS sum_price_c
+       FROM (SELECT o_totalprice,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'unknown'
+                    WHEN o_orderkey % 3 = 0 THEN 'web'
+                    ELSE 'store' END AS channel
+             FROM orders)
+       GROUP BY 1 ORDER BY 1"""
+}

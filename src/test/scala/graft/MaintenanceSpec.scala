@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ExportImport, Maintenance}
+
+class MaintenanceSpec extends SparkSpec {
+
+  private def parquetFiles(dir: String): Int =
+    new java.io.File(dir).listFiles
+      .count(_.getName.endsWith(".parquet"))
+
+  test("compact_files: file count drops, data is lossless") {
+    val r = Maintenance.compactFiles(spark, sf).collect().head
+    val nFrag = parquetFiles(ExportImport.scratch("frag-orders"))
+    val nComp = parquetFiles(ExportImport.scratch("compact-orders"))
+    assert(nFrag == 32, s"fragmented dir should have 32 files, has $nFrag")
+    assert(nComp == 4, s"compacted dir should have 4 files, has $nComp")
+    val orders = Tables.load(spark, sf, "orders")
+    assert(r.getAs[Long]("n_rows") == orders.count())
+    assert(r.getAs[Long]("n_keys") == orders.select("o_orderkey").distinct().count())
+  }
+
+  test("schema_evolution: merged read surfaces v1 rows with null new column") {
+    val rows = Maintenance.schemaEvolution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val keys = Tables.load(spark, sf, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    assert(rows("unknown") == keys.count(_ % 2 == 0))
+    assert(rows("web") == keys.count(k => k % 2 != 0 && k % 3 == 0))
+    assert(rows("store") == keys.count(k => k % 2 != 0 && k % 3 != 0))
+  }
+}
