@@ -65,6 +65,61 @@ class PropertySpec extends SparkSpec {
     assert(graft.sources.XmlNames.decode("_x0032__x002E__x0020_Priority") == "2. Priority")
   }
 
+  test("KrHash == BigInt reference fold, arbitrary unicode strings") {
+    import spark.implicits._
+    import graft.functions.KrHashF
+    val anyText = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', 'é', '漢', 'ÿ', 'ሴ'),
+      Gen.choose(' ', '߿'))).map(_.mkString)
+    (1L to 40L).foreach { seed =>
+      val s = sample(anyText, seed)
+      val expected =
+        if (s.isEmpty) 0L
+        else s.codePoints().toArray.map(BigInt(_))
+          .reduceLeft((a, c) => (a * KrHashF.B + c) % KrHashF.M).toLong
+      val got = Seq(s).toDF("t")
+        .select(KrHashF.krHash(col("t"))).collect().head.getLong(0)
+      assert(got == expected, s"text=<$s>")
+    }
+  }
+
+  test("TopKByScore == sort-and-take ranking, arbitrary scored sets with ties") {
+    import spark.implicits._
+    val pair = for {
+      id <- Gen.chooseNum(0L, 30L)
+      s <- Gen.oneOf(0.1, 0.5, 0.5, 0.9, 1.0) // deliberate tie mass
+    } yield (id, s)
+    (1L to 20L).foreach { seed =>
+      val xs = sample(Gen.nonEmptyListOf(pair), seed).distinct
+      val expected = xs.sortBy { case (id, s) => (-s, id) }.take(4)
+      val got = xs.toDF("id", "s").repartition(3)
+        .agg(graft.functions.TopKByScoreAgg.topkByScore(col("id"), col("s"), 4)
+          .as("t"))
+        .select(explode(col("t")).as("e"))
+        .select("e.neighbor_id", "e.cos").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == expected, s"xs=$xs")
+    }
+  }
+
+  test("NearestCells == naive argmax over the same centroid matrix") {
+    import spark.implicits._
+    val vec = Gen.listOfN(8, Gen.chooseNum(-5, 5).map(_.toFloat))
+    val cents: Array[Array[Double]] = Array.tabulate(5, 8) {
+      (c, d) => math.sin(c * 8 + d) // fixed, includes negatives
+    }
+    (1L to 20L).foreach { seed =>
+      val v = sample(vec, seed).toArray
+      val naive = cents.indices
+        .map(c => c -> cents(c).zip(v).map { case (a, b) => a * b.toDouble }.sum)
+        .sortBy { case (c, s) => (-s, c) }.take(3).map(_._1)
+      val got = Seq(Tuple1(v)).toDF("e")
+        .select(graft.functions.VectorQuantize.nearestCells(col("e"), cents, 3))
+        .collect().head.getSeq[Int](0)
+      assert(got == naive, s"v=${v.toSeq}")
+    }
+  }
+
   test("TopKFrequent == groupBy count ranking, arbitrary multisets") {
     import spark.implicits._
     (1L to 15L).foreach { seed =>

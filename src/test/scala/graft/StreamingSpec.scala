@@ -63,6 +63,35 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("stream upsert: micro-batched CDC apply converges to latest-per-key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = graft.operators.ExportImport.scratch("stream-upsert") + "/t"
+    val ckpt = graft.operators.ExportImport.scratch("stream-upsert") + "/ckpt"
+    Seq(target, ckpt, target + ".staging").foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    val input = MemoryStream[(Long, String, Int)]
+    val q = graft.streaming.StreamUpsert.applyStream(
+      input.toDF().toDF("k", "v", "ver"), target, "k", ckpt)
+    try {
+      input.addData((1L, "a0", 0), (2L, "b0", 0))
+      q.processAllAvailable()
+      input.addData((1L, "a1", 1), (3L, "c0", 0)) // update 1, insert 3
+      q.processAllAvailable()
+      input.addData((2L, "b2", 2)) // update 2 again
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(target)
+      .select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a1"), (2L, "b2"), (3L, "c0")))
+  }
+
   test("sessionizer: streaming sessions equal batch sessions on real events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
