@@ -15,6 +15,7 @@ object Bench {
     "events_window", "filter_pushdown", "asof_join", "asof_join_native",
     "sessionize", "merge_upsert", "topk_frequent", "package_filter",
     "typed_format", "pivot_status", "rollup_agg", "pctile_value",
+    "running_total",
     "snapshot_diff", "fk_orphans", "deterministic_sample",
     "value_histogram", "profile_table", "compact_files",
     "schema_evolution", "xlsx_keys",

@@ -67,6 +67,7 @@ object SparkEntry {
     "pivot_status" -> (Analytics.pivotStatus _),
     "rollup_agg" -> (Analytics.rollupAgg _),
     "pctile_value" -> (Analytics.pctileValue _),
+    "running_total" -> (Analytics.runningTotal _),
     "snapshot_diff" -> (MergeImport.snapshotDiff _),
     "fk_orphans" -> (Quality.fkOrphans _),
     "deterministic_sample" -> ((s, d) => Quality.deterministicSample(s, d)),
@@ -481,6 +482,13 @@ object SparkEntry {
           FROM (SELECT event_type, ${centsSql("value")} AS v_c FROM events)
           GROUP BY 1 ORDER BY 1""",
     "snapshot_diff" -> MergeImport.diffOracle,
+    "running_total" ->
+      s"""SELECT o_custkey, o_orderkey,
+          ${centsSql("o_totalprice")} AS price_cents,
+          CAST(sum(${centsSql("o_totalprice")}) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT)
+            AS running_c
+          FROM orders ORDER BY o_custkey, o_orderkey""",
     "fk_orphans" ->
       """SELECT count(*) AS n_orphan_lines,
           count(DISTINCT l_orderkey) AS n_orphan_keys,

@@ -135,6 +135,20 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** §2 #65 — running total per key (cumulative window aggregate): the
+    * per-customer balance-over-time view. One shuffle on the partition
+    * key; the frame is the default RANGE UNBOUNDED PRECEDING..CURRENT
+    * ROW in both engines (keys are unique per customer, so RANGE and
+    * ROWS agree — pinned by the oracle). */
+  def runningTotal(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("running_c",
+        sum("price_cents").over(Window.partitionBy("o_custkey")
+          .orderBy("o_orderkey")))
+      .orderBy("o_custkey", "o_orderkey")
+
   /** §2 #19 — time-bucketed event aggregation (batch twin of the
     * streaming windowed agg in graft.streaming.EventStream). */
   def eventsWindow(spark: SparkSession, sfDir: String): DataFrame =

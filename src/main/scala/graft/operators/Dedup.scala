@@ -241,6 +241,9 @@ object Dedup {
     }
     require(converged,
       s"label propagation did not converge in $maxIters iterations")
+    // edges (holding the whole verified-pair lineage) are no longer
+    // needed — only the final (small) labels frame backs the result
+    edges.unpersist()
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))
     labels.join(sizes, "lbl")
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),

@@ -42,18 +42,47 @@ object XlsxTables {
   /** Import a directory of .xlsx part files: binaryFile scan →
     * per-partition StAX parse → typed cast against `schema`. Columns
     * align by worksheet header name, so column order in the file does
-    * not matter (Codeunit 60001:687 `InitColumnMapping` semantics). */
+    * not matter (Codeunit 60001:687 `InitColumnMapping` semantics).
+    *
+    * `permissive = false` (default): an unparseable workbook fails the
+    * job loudly. `permissive = true`: corrupt files contribute zero
+    * rows — pair it with [[corruptFiles]], which reports exactly which
+    * files were quarantined (no silent drop, per SURVEY §4). */
   def read(spark: SparkSession, dir: String, schema: StructType,
-           sheetName: Option[String] = None): DataFrame = {
+           sheetName: Option[String] = None,
+           permissive: Boolean = false): DataFrame = {
     import spark.implicits._
     val names = schema.fieldNames.toSeq
     val parsed = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xlsx").load(dir)
       .select("content").as[Array[Byte]]
-      .flatMap(bytes => XlsxIO.readSheetAligned(bytes, names, sheetName))
+      .flatMap { bytes =>
+        if (!permissive) XlsxIO.readSheetAligned(bytes, names, sheetName)
+        else
+          try XlsxIO.readSheetAligned(bytes, names, sheetName)
+          catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }
     parsed.select(names.zipWithIndex.map { case (nm, i) =>
       col("value")(i).cast(schema.fields(i).dataType).as(nm)
     }: _*)
+  }
+
+  /** The quarantine report for [[read]]'s permissive mode: one row per
+    * workbook that fails to parse (path + error), executor-parallel. */
+  def corruptFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx").load(dir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        try { XlsxIO.readWorkbook(bytes); None }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            Some((p, Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+      .toDF("path", "error")
   }
 
   /** The `_package` metadata rows of every part file (deduped: all parts

@@ -98,6 +98,28 @@ class XlsxSpec extends SparkSpec {
     assert(m.getInt(2) == 6)
   }
 
+  test("corrupt workbook: loud by default, quarantined-and-reported in permissive mode") {
+    import java.nio.file.{Files, Paths}
+    ExportImport.xlsxRoundtrip(spark, sf).collect() // fresh clean export
+    val dir = ExportImport.scratch("xlsx-orders")
+    val schema = StructType(Seq(StructField("o_orderkey", LongType)))
+    val cleanCount = XlsxTables.read(spark, dir, schema).count()
+
+    // plant a truncated workbook (a real prefix, so it LOOKS like a zip)
+    val good = Files.readAllBytes(Paths.get(s"$dir/part-00000.xlsx"))
+    Files.write(Paths.get(s"$dir/zz-truncated.xlsx"), good.take(100))
+    try {
+      intercept[org.apache.spark.SparkException] {
+        XlsxTables.read(spark, dir, schema).count() // default: fail loudly
+      }
+      val lenient = XlsxTables.read(spark, dir, schema, permissive = true)
+      assert(lenient.count() == cleanCount, "corrupt file contributes 0 rows")
+      val bad = XlsxTables.corruptFiles(spark, dir).collect()
+      assert(bad.length == 1 && bad.head.getString(0).endsWith("zz-truncated.xlsx"),
+        s"quarantine must name exactly the corrupt file: ${bad.mkString(",")}")
+    } finally Files.deleteIfExists(Paths.get(s"$dir/zz-truncated.xlsx"))
+  }
+
   test("template_export: schema-only workbook parses back to the declared manifest") {
     val rows = SchemaTools.templateExport(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
