@@ -52,7 +52,7 @@ object SparkEntry {
     // C. LLM-data-pipeline: similarity / ANN
     "embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.annBruteforce(s, d)),
-    "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)), // weak: no SQL oracle
+    "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     // C. LLM-data-pipeline: text analysis
     "text_stats" -> (TextAnalysis.textStats _),
     "lang_id" -> (TextAnalysis.langId _),
@@ -236,6 +236,9 @@ object SparkEntry {
                   FROM n q JOIN n c ON c.vec_id <> q.vec_id
                   WHERE q.vec_id < 10))
           WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // static-hyperplane LSH is fully deterministic — the oracle inlines
+    // the seeded planes and replays sign-bit banding + ranking exactly
+    "ann_lsh" -> Similarity.lshOracle(),
     "asof_join" -> AsofJoin.oracle,
     "asof_join_native" -> AsofJoin.oracle,
     "import_validation" ->

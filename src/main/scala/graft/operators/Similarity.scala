@@ -161,6 +161,45 @@ object Similarity {
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** DuckDB oracle for [[annLsh]]. The hyperplanes are FIXED (seeded),
+    * so the whole pipeline — sign bits, banding, candidate pairs,
+    * cosine, ranking — is static SQL: the planes are inlined as list
+    * literals (Double.toString round-trips exactly, and the left-fold
+    * dot contract matches `VectorFunctions.dot` bit-for-bit, as already
+    * proven by the embedding_dedup oracle). This flips ann_lsh from a
+    * weak rows-only check to a full value-hash oracle match. */
+  def lshOracle(nQueries: Int = 10, k: Int = 5): String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val planes = hyperplanes(16, 64)
+    val bitExprs = planes.map { p =>
+      val lit = p.mkString("[", ", ", "]")
+      s"CASE WHEN ${dot("embedding", lit)} > 0 THEN '1' ELSE '0' END"
+    }.mkString("concat(", ", ", ")")
+    s"""WITH n AS (SELECT vec_id, embedding,
+          sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+        bits AS (SELECT vec_id, embedding, nrm, $bitExprs AS bits FROM n),
+        banded AS (
+          SELECT vec_id, b.b || ':' || substring(bits, b.b * 2 + 1, 2)
+                   AS band_key
+          FROM bits, (SELECT unnest(range(0, 8)) AS b) b),
+        pair_ids AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM banded q JOIN banded c ON q.band_key = c.band_key
+          WHERE q.vec_id < $nQueries AND q.vec_id <> c.vec_id)
+        SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos6 FROM (
+          SELECT p.query_id, p.neighbor_id,
+            ${dot("qv.embedding", "cv.embedding")} / (qv.nrm * cv.nrm) AS cos,
+            CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY
+              ${dot("qv.embedding", "cv.embedding")} / (qv.nrm * cv.nrm) DESC,
+              p.neighbor_id) AS INTEGER) AS rnk
+          FROM pair_ids p
+          JOIN bits qv ON qv.vec_id = p.query_id
+          JOIN bits cv ON cv.vec_id = p.neighbor_id)
+        WHERE rnk <= $k ORDER BY query_id, rnk"""
+  }
+
   /** §2 #27 — LSH-bucketed ANN: 16 sign bits → 8 bands × 2 bits; a
     * candidate is scored only if it shares ≥1 band with the query.
     * Band width trades candidate count against recall: the synthetic
