@@ -23,7 +23,8 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_ngram_exactjoin",
     "dedup_simhash", "dedup_clusters",
     // similarity / ANN
-    "ann_bruteforce", "ann_lsh", "ann_ivf", "embedding_dedup",
+    "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_static",
+    "embedding_dedup",
     // text analysis
     "text_stats", "token_count", "lang_id", "quality_filter",
     "doc_winnow", "doc_fingerprint", "text_shingles",

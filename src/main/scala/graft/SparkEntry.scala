@@ -81,7 +81,8 @@ object SparkEntry {
     "partitioned_write" -> (ExportImport.partitionedWrite _),
     "package_filter" -> (PackageFilter.packageFilter _),
     "merge_upsert" -> (MergeImport.mergeUpsert _),
-    "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)), // weak: no SQL oracle
+    "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)), // weak: trained centroids
+    "ann_ivf_static" -> ((s, d) => Similarity.annIvfStatic(s, d)),
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     "topk_frequent" -> ((s, d) => Analytics.topkFrequent(s, d)),
     "asof_join_native" -> (graft.plans.AsofJoinNative.asofJoinNative _),
@@ -239,6 +240,7 @@ object SparkEntry {
     // static-hyperplane LSH is fully deterministic — the oracle inlines
     // the seeded planes and replays sign-bit banding + ranking exactly
     "ann_lsh" -> Similarity.lshOracle(),
+    "ann_ivf_static" -> Similarity.ivfStaticOracle(),
     "asof_join" -> AsofJoin.oracle,
     "asof_join_native" -> AsofJoin.oracle,
     "import_validation" ->

@@ -88,14 +88,26 @@ object Similarity {
     * are quantized to 1e-6 before re-normalizing so float summation
     * order cannot leak into the trained model across runs.
     */
+  private def normalize(c: Array[Array[Double]]): Array[Array[Double]] =
+    c.map { a =>
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0.0) a else a.map(_ / n)
+    }
+
+  /** Static coarse quantizer (seeded unit vectors) for the
+    * oracle-checked IVF variant — the stand-in for centroids a real
+    * deployment trains ONCE, offline, and ships as a constant. Being a
+    * compile-time constant is exactly what makes the full IVF
+    * probe/rank pipeline statically replayable by a SQL oracle. */
+  private[graft] def staticCentroids(nCells: Int = 16,
+                                     dim: Int = 64): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(11)
+    normalize(Array.fill(nCells)(Array.fill(dim)(rnd.nextGaussian())))
+  }
+
   private[graft] def trainCentroids(v: DataFrame, nCells: Int,
                                     iters: Int = 3): Array[Array[Double]] = {
     import v.sparkSession.implicits._
-    def normalize(c: Array[Array[Double]]): Array[Array[Double]] =
-      c.map { a =>
-        val n = math.sqrt(a.map(x => x * x).sum)
-        if (n == 0.0) a else a.map(_ / n)
-      }
     var cents: Array[Array[Double]] =
       normalize(v.filter(col("vec_id") < nCells).orderBy("vec_id")
         .select("embedding").as[Array[Float]].collect()
@@ -130,7 +142,19 @@ object Similarity {
   def annIvf(spark: SparkSession, sfDir: String, nCells: Int = 16,
              nProbe: Int = 4, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val v = vectors(spark, sfDir)
-    val cents = trainCentroids(v, nCells)
+    annIvfWith(v, trainCentroids(v, nCells), nProbe, nQueries, k)
+  }
+
+  /** §2 #66 — oracle-checked IVF variant: same map-only assignment and
+    * probe pipeline as [[annIvf]], over the STATIC quantizer — so a SQL
+    * oracle can replay cell assignment, probing, and ranking exactly
+    * (see [[ivfStaticOracle]]). */
+  def annIvfStatic(spark: SparkSession, sfDir: String, nProbe: Int = 4,
+                   nQueries: Int = 10, k: Int = 5): DataFrame =
+    annIvfWith(vectors(spark, sfDir), staticCentroids(), nProbe, nQueries, k)
+
+  private def annIvfWith(v: DataFrame, cents: Array[Array[Double]],
+                         nProbe: Int, nQueries: Int, k: Int): DataFrame = {
     def cellsOf(n: Int) =
       graft.functions.VectorQuantize.nearestCells(col("embedding"), cents, n)
 
@@ -197,6 +221,42 @@ object Similarity {
           FROM pair_ids p
           JOIN bits qv ON qv.vec_id = p.query_id
           JOIN bits cv ON cv.vec_id = p.neighbor_id)
+        WHERE rnk <= $k ORDER BY query_id, rnk"""
+  }
+
+  /** DuckDB oracle for [[annIvfStatic]]: centroid rows inlined as VALUES
+    * list literals; assignment/probing replayed with a ranked 16-way
+    * expansion (the ORACLE may brute-force what the engine does
+    * map-only — that asymmetry is the point). */
+  def ivfStaticOracle(nProbe: Int = 4, nQueries: Int = 10,
+                      k: Int = 5): String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val centRows = staticCentroids().zipWithIndex.map { case (c, i) =>
+      s"(${i}, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    s"""WITH n AS (SELECT vec_id, embedding,
+          sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+        cents(cell, cv) AS (VALUES $centRows),
+        ranked AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              ${dot("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+          FROM n v, cents c),
+        assigned AS (SELECT cell, vec_id AS neighbor_id, embedding AS e_c,
+                       nrm AS n_c FROM ranked WHERE crnk = 1),
+        probes AS (SELECT cell, vec_id AS query_id, embedding AS e_q,
+                     nrm AS n_q
+                   FROM ranked WHERE crnk <= $nProbe AND vec_id < $nQueries)
+        SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos6 FROM (
+          SELECT p.query_id, a.neighbor_id,
+            ${dot("p.e_q", "a.e_c")} / (p.n_q * a.n_c) AS cos,
+            CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY
+              ${dot("p.e_q", "a.e_c")} / (p.n_q * a.n_c) DESC,
+              a.neighbor_id) AS INTEGER) AS rnk
+          FROM probes p JOIN assigned a ON p.cell = a.cell
+          WHERE p.query_id <> a.neighbor_id)
         WHERE rnk <= $k ORDER BY query_id, rnk"""
   }
 
