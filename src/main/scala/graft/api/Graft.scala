@@ -1,0 +1,112 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** The DataFrame-first public API of the graft library — the one import
+  * a user migrating off the reference extension needs:
+  *
+  * {{{
+  * import graft.api.Graft
+  * Graft.writeXlsx(df, "/out/pkg", table = "orders", packageCode = "P1")
+  * val merged = Graft.upsert(existing, incoming, key = "id")
+  * val clusters = Graft.nearDupClusters(allDocs, verifiedPairs)
+  * }}}
+  *
+  * Every method delegates to an operator whose semantics are pinned by
+  * the driver-oracle queries and the spec suite; nothing here is bound
+  * to the test fixtures. (The fixture-bound `SparkEntry.queries` wrappers
+  * exist only so the DuckDB correctness gate can replay them.)
+  */
+object Graft {
+
+  // ------------------------------------------------------ export/import
+
+  /** Export `df` as OpenXML .xlsx part files (one complete workbook per
+    * partition, plus a `_package` metadata worksheet each). */
+  def writeXlsx(df: DataFrame, dir: String, table: String,
+                packageCode: String): Unit =
+    graft.sources.XlsxTables.write(df, dir, table, packageCode)
+
+  /** Import a directory of .xlsx part files, aligning columns by header
+    * name. `permissive = true` quarantines unparseable workbooks (see
+    * [[xlsxCorruptFiles]]); the default fails loudly. */
+  def readXlsx(spark: SparkSession, dir: String, schema: StructType,
+               sheetName: Option[String] = None,
+               permissive: Boolean = false): DataFrame =
+    graft.sources.XlsxTables.read(spark, dir, schema, sheetName, permissive)
+
+  /** Quarantine report: (path, error) per unparseable workbook. */
+  def xlsxCorruptFiles(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.XlsxTables.corruptFiles(spark, dir)
+
+  /** Encode/decode raw business column names ↔ XML element names. */
+  def encodeXmlName(name: String): String = graft.sources.XmlNames.encode(name)
+  def decodeXmlName(name: String): String = graft.sources.XmlNames.decode(name)
+
+  // ----------------------------------------------------- joins & merges
+
+  /** As-of join: for every left row, the latest right row with the same
+    * key and strictly earlier time (custom operator, one sort-merge). */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String): DataFrame =
+    graft.plans.AsofJoinNative.asofJoin(left, right, leftKey, rightKey,
+      leftTime, rightTime)
+
+  /** Keyed upsert: incoming versions win per key; one key shuffle. */
+  def upsert(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
+    graft.operators.MergeImport.upsert(existing, incoming, key)
+
+  /** CDC diff between two keyed snapshots: added/removed/changed rows. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+                   compareCol: String): DataFrame =
+    graft.operators.MergeImport.diff(oldSnap, newSnap, key, compareCol)
+
+  // ------------------------------------------------------------- dedup
+
+  /** MinHash+LSH near-dup candidate pairs, exact-Jaccard verified.
+    * `docs` = (doc_id LONG, sh ARRAY<STRING> of distinct shingles). */
+  def nearDupPairs(docs: DataFrame, tau: Double = 0.5,
+                   maxBucket: Int = 1000): DataFrame =
+    graft.operators.Dedup.dedupMinhashFrom(docs, tau, maxBucket)
+
+  /** SimHash banded near-dup pairs (exact at hamming ≤ 5). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 5): DataFrame =
+    graft.operators.Dedup.dedupSimhashFrom(docs, maxHamming)
+
+  /** Connected components over verified pairs → (doc_id, cluster_id,
+    * n_members, is_canonical). `nodes` = every doc_id to label. */
+  def nearDupClusters(nodes: DataFrame, pairs: DataFrame,
+                      maxIters: Int = 20): DataFrame =
+    graft.operators.Dedup.clustersFromPairs(nodes, pairs, maxIters)
+
+  // ------------------------------------------------------ data quality
+
+  /** Child rows whose key is missing from the parent table (summary). */
+  def fkOrphans(child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String): DataFrame =
+    graft.operators.Quality.fkOrphanSummary(child, childKey, parent, parentKey)
+
+  /** Filter predicate keeping ~pct% of rows by integer key,
+    * deterministically (same rows in any engine, any run). */
+  def sampleByKey(key: String, pct: Int): Column =
+    graft.operators.Quality.sampleByKey(key, pct)
+
+  /** Fixed-width histogram of a LONG column. */
+  def histogram(df: DataFrame, valueCol: String, binWidth: Long): DataFrame =
+    graft.operators.Quality.histogram(df, valueCol, binWidth)
+
+  /** Rows/nulls/distinct/min/max per column, in one pass. */
+  def profile(df: DataFrame): DataFrame =
+    graft.operators.Quality.profile(df)
+
+  // --------------------------------------------------------- streaming
+
+  /** Continuous CDC apply: merge a stream of keyed record versions into
+    * a parquet target, latest version winning per key. */
+  def applyStream(updates: DataFrame, target: String, key: String,
+                  checkpoint: String): StreamingQuery =
+    graft.streaming.StreamUpsert.applyStream(updates, target, key, checkpoint)
+}

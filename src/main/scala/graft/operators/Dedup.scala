@@ -56,8 +56,12 @@ object Dedup {
     * p=(1-0.25)^32 ≈ 1e-4 — and the check below is deterministic, so the
     * driver sees exactly what local verification sees. */
   def dedupMinhash(spark: SparkSession, sfDir: String,
-                   tau: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
-    val docs = docShingles(spark, sfDir)
+                   tau: Double = 0.5, maxBucket: Int = 1000): DataFrame =
+    dedupMinhashFrom(docShingles(spark, sfDir), tau, maxBucket)
+
+  /** Generic core: near-dup pairs for ANY (doc_id, sh) frame. */
+  def dedupMinhashFrom(docs: DataFrame, tau: Double = 0.5,
+                       maxBucket: Int = 1000): DataFrame = {
     val hashes = docs.select(col("doc_id"), col("sh"),
       transform(col("sh"), s => pmod(hash(s).cast("long"), lit(P))).as("hx"))
 

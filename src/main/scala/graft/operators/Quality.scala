@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.Tables
 import graft.operators.Filtering.cents
 
@@ -10,99 +11,111 @@ import graft.operators.Filtering.cents
   * checks a migration operator runs BEFORE applying a package (the
   * reference's validation surface generalized to table-level audits).
   *
-  * All four are single-pass or single-join shapes that hold at 100 TB:
-  * an anti join on the key, a map-only arithmetic filter, one hash
-  * aggregate, and one multi-aggregate pass stacked into rows.
+  * Each check has a GENERIC DataFrame-first core (usable on any input,
+  * exposed through [[graft.api.Graft]]) plus a fixture-bound query
+  * wrapper that the driver's oracle validates. All four are single-pass
+  * or single-join shapes that hold at 100 TB: an anti join on the key, a
+  * map-only arithmetic filter, one hash aggregate, and one
+  * multi-aggregate pass stacked into rows.
   */
 object Quality {
 
-  /** §2 #56 — referential-integrity audit: child rows whose parent key
-    * is missing. Parents are deterministically thinned (keys % 97
-    * dropped) so the check has something to find; the real shape is the
-    * left-anti join on the key — one co-partitioned exchange, no
-    * row explosion at any scale. */
-  def fkOrphans(spark: SparkSession, sfDir: String): DataFrame = {
-    val parents = Tables.load(spark, sfDir, "orders")
-      .filter(col("o_orderkey") % 97 =!= 0)
-      .select(col("o_orderkey"))
-    Tables.load(spark, sfDir, "lineitem")
-      .select(col("l_orderkey"))
-      .join(parents, col("l_orderkey") === col("o_orderkey"), "left_anti")
+  /** Generic core: children of `child` whose `childKey` has no match in
+    * `parent.parentKey` — one anti join, summarized. */
+  def fkOrphanSummary(child: DataFrame, childKey: String,
+                      parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey)),
+        col(childKey) === col(parentKey), "left_anti")
       .agg(count(lit(1)).as("n_orphan_lines"),
-        countDistinct(col("l_orderkey")).as("n_orphan_keys"),
-        min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
-  }
+        countDistinct(col(childKey)).as("n_orphan_keys"),
+        min(childKey).as("min_key"), max(childKey).as("max_key"))
+
+  /** §2 #56 — referential-integrity audit on the fixture: parents are
+    * deterministically thinned (keys % 97 dropped) so the check has
+    * something to find. */
+  def fkOrphans(spark: SparkSession, sfDir: String): DataFrame =
+    fkOrphanSummary(
+      Tables.load(spark, sfDir, "lineitem"), "l_orderkey",
+      Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderkey") % 97 =!= 0), "o_orderkey")
 
   /** Knuth multiplicative hash — pure 64-bit arithmetic, so the SAME
     * rows are selected by any engine, any run, any partitioning. */
   private val KnuthA = 2654435761L
   private val Mod32 = 4294967296L
 
-  /** §2 #57 — deterministic systematic sample (~pct% of rows by key):
-    * the reproducible debug/preview slice a pipeline run logs. Unlike
-    * TABLESAMPLE/rand(), membership is a pure function of the key —
-    * map-only, pushdown-eligible, identical across engines. */
-  def deterministicSample(spark: SparkSession, sfDir: String,
-                          pct: Int = 10): DataFrame = {
+  /** Generic core: predicate keeping ~pct% of rows, membership a pure
+    * function of the integer key column — map-only, pushdown-eligible,
+    * engine-independent. */
+  def sampleByKey(key: String, pct: Int): Column = {
     require(pct >= 1 && pct <= 100)
-    Tables.load(spark, sfDir, "orders")
-      .filter(pmod(col("o_orderkey") * KnuthA, lit(Mod32))
-        < lit(Mod32 / 100 * pct))
-      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
-      .orderBy("o_orderkey")
+    pmod(col(key) * KnuthA, lit(Mod32)) < lit(Mod32 / 100 * pct)
   }
 
-  /** §2 #58 — fixed-width value histogram (distribution profile of the
-    * events value column, in cents): one hash aggregate over a map-only
-    * bin computation. */
-  def valueHistogram(spark: SparkSession, sfDir: String,
-                     binWidth: Long = 2500L): DataFrame =
-    Tables.load(spark, sfDir, "events")
-      .select(cents(col("value")).as("v_c"))
-      .groupBy(floor(col("v_c") / lit(binWidth.toDouble)).cast("long")
+  /** §2 #57 — deterministic systematic sample of orders (~pct%): the
+    * reproducible debug/preview slice a pipeline run logs. */
+  def deterministicSample(spark: SparkSession, sfDir: String,
+                          pct: Int = 10): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .filter(sampleByKey("o_orderkey", pct))
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+      .orderBy("o_orderkey")
+
+  /** Generic core: fixed-width histogram of a LONG column. */
+  def histogram(df: DataFrame, valueCol: String,
+                binWidth: Long): DataFrame =
+    df.select(col(valueCol).as("v"))
+      .groupBy(floor(col("v") / lit(binWidth.toDouble)).cast("long")
         .as("bin"))
       .agg(count(lit(1)).as("n"),
-        min("v_c").as("min_c"), max("v_c").as("max_c"))
+        min("v").as("min_c"), max("v").as("max_c"))
       .orderBy("bin")
 
-  /** §2 #59 — column profile of the orders table: rows, nulls, distinct
-    * count, min/max per column — the summary a migration pre-check
-    * prints. ONE pass over the data (a single multi-aggregate), stacked
-    * into per-column rows afterwards; doubles surface as exact cents
-    * and timestamps as formatted days so the text is engine-stable. */
-  def profileTable(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = Tables.load(spark, sfDir, "orders")
-    // (column, min-as-text, max-as-text) with type-aware formatting
-    def txt(c: String, f: Column => Column): (Column, Column) =
-      (f(min(col(c))).cast("string"), f(max(col(c))).cast("string"))
-    val specs: Seq[(String, (Column, Column))] = Seq(
-      "o_orderkey" -> txt("o_orderkey", identity),
-      "o_custkey" -> txt("o_custkey", identity),
-      "o_orderstatus" -> txt("o_orderstatus", identity),
-      "o_totalprice" ->
-        (cents(min(col("o_totalprice"))).cast("string"),
-          cents(max(col("o_totalprice"))).cast("string")),
-      "o_orderdate" ->
-        (date_format(min(col("o_orderdate")), "yyyy-MM-dd"),
-          date_format(max(col("o_orderdate")), "yyyy-MM-dd")),
-      "o_orderpriority" -> txt("o_orderpriority", identity))
+  /** §2 #58 — value distribution of events, in cents. */
+  def valueHistogram(spark: SparkSession, sfDir: String,
+                     binWidth: Long = 2500L): DataFrame =
+    histogram(Tables.load(spark, sfDir, "events")
+      .select(cents(col("value")).as("v_c")), "v_c", binWidth)
 
-    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: specs.flatMap {
-      case (c, (mn, mx)) => Seq(
+  /** Generic core: rows/nulls/distinct/min/max per column for ANY frame,
+    * in ONE pass (a single multi-aggregate stacked into rows). Min/max
+    * surface as engine-stable text: doubles as exact cents, timestamps
+    * as formatted seconds, everything else as its string cast. */
+  def profile(df: DataFrame): DataFrame = {
+    def txt(c: String): (Column, Column) =
+      df.schema(c).dataType match {
+        case DoubleType | FloatType =>
+          (cents(min(col(c))).cast("string"),
+            cents(max(col(c))).cast("string"))
+        case TimestampType | TimestampNTZType =>
+          (date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss"),
+            date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss"))
+        case _ =>
+          (min(col(c)).cast("string"), max(col(c)).cast("string"))
+      }
+    val cols = df.columns.toSeq
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      val (mn, mx) = txt(c)
+      Seq(
         count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
         countDistinct(col(c)).as(s"${c}__nd"),
         mn.as(s"${c}__mn"), mx.as(s"${c}__mx"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = specs.map { case (c, _) =>
+    val stackArgs = cols.map { c =>
       s"'$c', ${c}__nulls, ${c}__nd, ${c}__mn, ${c}__mx"
     }.mkString(", ")
     one.selectExpr("n_rows",
-        s"stack(${specs.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_txt, max_txt)")
+        s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_txt, max_txt)")
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_txt"), col("max_txt"))
       .orderBy("col_name")
   }
+
+  /** §2 #59 — column profile of the orders table. */
+  def profileTable(spark: SparkSession, sfDir: String): DataFrame =
+    profile(Tables.load(spark, sfDir, "orders"))
 
   /** Oracle twin of [[profileTable]] (UNION ALL, one leg per column). */
   val profileOracle: String = {
@@ -121,8 +134,8 @@ object Quality {
       leg("o_totalprice",
         "CAST(CAST(round(min(o_totalprice)*100) AS BIGINT) AS VARCHAR)",
         "CAST(CAST(round(max(o_totalprice)*100) AS BIGINT) AS VARCHAR)"),
-      leg("o_orderdate", "strftime(min(o_orderdate), '%Y-%m-%d')",
-        "strftime(max(o_orderdate), '%Y-%m-%d')"),
+      leg("o_orderdate", "strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+        "strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')"),
       leg("o_orderpriority", "CAST(min(o_orderpriority) AS VARCHAR)",
         "CAST(max(o_orderpriority) AS VARCHAR)"))
     legs.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api.Graft
+
+/** The facade exercised on data that does NOT look like the test
+  * fixtures — proving the library is reusable, not fixture-bound. */
+class UsageSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("facade: xlsx write/read on an arbitrary frame") {
+    val dir = graft.operators.ExportImport.scratch("usage-xlsx")
+    graft.sources.XlsxTables.clearDir(dir)
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta & <co>", -2.0))
+      .toDF("id", "name", "score")
+    Graft.writeXlsx(df, dir, table = "things", packageCode = "USAGE")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    val back = Graft.readXlsx(spark, dir, schema).orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      == Seq((1L, "alpha", 1.5), (2L, "beta & <co>", -2.0)))
+  }
+
+  test("facade: upsert + snapshotDiff on a toy ledger") {
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val incoming = Seq((2L, 25L), (3L, 30L)).toDF("k", "v")
+    val merged = Graft.upsert(base, incoming, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged == Set((1L, 10L), (2L, 25L), (3L, 30L)))
+    val d = Graft.snapshotDiff(base, incoming, "k", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d == Set((1L, "removed"), (2L, "changed"), (3L, "added")))
+  }
+
+  test("facade: near-dup pairs + clusters on ad-hoc documents") {
+    val mk = (s: String) =>
+      graft.functions.TextShingles.shingles3(
+        graft.functions.TextShingles.words(lit(s)))
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok20", "changed")
+    val docs = Seq((1L, base), (2L, near), (3L, "totally different words here entirely"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.TextShingles.shingles3(
+        graft.functions.TextShingles.words(col("text"))).as("sh"))
+    val pairs = Graft.nearDupPairs(docs, tau = 0.5)
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == Set((1L, 2L)))
+    val clusters = Graft.nearDupClusters(
+      Seq(1L, 2L, 3L).toDF("doc_id"), pairs.select("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("facade: quality checks on arbitrary frames") {
+    val child = Seq((1L, "a"), (2L, "b"), (9L, "x")).toDF("fk", "payload")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val orphans = Graft.fkOrphans(child, "fk", parent, "pk").collect().head
+    assert(orphans.getAs[Long]("n_orphan_lines") == 1L
+      && orphans.getAs[Long]("min_key") == 9L)
+
+    val sampled = spark.range(10000).toDF("id")
+      .filter(Graft.sampleByKey("id", 20)).count()
+    assert(sampled > 1500 && sampled < 2500, s"~20% expected, got $sampled")
+
+    val hist = Graft.histogram(
+      Seq(1L, 2L, 11L, 12L, 25L).toDF("v"), "v", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hist == Map(0L -> 2L, 1L -> 2L, 2L -> 1L))
+
+    val prof = Graft.profile(Seq(("x", 1.0), ("y", 2.5)).toDF("s", "d"))
+      .collect().map(r => r.getString(0) -> (r.getString(4), r.getString(5)))
+      .toMap
+    assert(prof("d") == ("100", "250")) // doubles surface as exact cents text
+  }
+
+  test("facade: asof join on an arbitrary ticker") {
+    val quotes = Seq((1L, 10L, 100L), (1L, 20L, 110L)).toDF("qk", "qt", "px")
+    val trades = Seq((1L, 15L), (1L, 25L), (1L, 5L)).toDF("k", "t")
+    val joined = Graft.asofJoin(trades, quotes, "k", "qk", "t", "qt")
+      .select("t", "px").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(joined == Set((15L, Some(100L)), (25L, Some(110L)), (5L, None)))
+  }
+}
