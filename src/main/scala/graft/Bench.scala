@@ -30,6 +30,7 @@ object Bench {
     "doc_winnow", "doc_fingerprint", "text_shingles",
     // export/import round-trips + validation
     "xml_roundtrip", "csv_roundtrip", "xlsx_roundtrip", "jsonl_roundtrip",
+    "nested_docs",
     "compressed_io", "media_roundtrip", "json_props",
     "import_validation", "import_errors")
 

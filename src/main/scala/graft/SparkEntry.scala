@@ -89,6 +89,7 @@ object SparkEntry {
     "import_validation" -> (ExportImport.importValidation _),
     "import_errors" -> (ExportImport.importErrors _),
     "jsonl_roundtrip" -> (ExportImport.jsonlRoundtrip _),
+    "nested_docs" -> (ExportImport.nestedDocs _),
     "doc_winnow" -> (TextAnalysis.docWinnow _),
   )
 
@@ -140,6 +141,16 @@ object SparkEntry {
       s"""SELECT c_mktsegment, count(*) AS n,
           CAST(sum(${centsSql("c_acctbal")}) AS BIGINT) AS sum_bal_c
           FROM customer GROUP BY 1 ORDER BY 1""",
+    // flat twin of the nested-document round-trip: the assembled docs
+    // must explode back to exactly this join aggregate
+    "nested_docs" ->
+      s"""SELECT o_orderstatus,
+          count(DISTINCT o_orderkey) AS n_orders,
+          count(*) AS n_lines,
+          CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+          CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_c
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1 ORDER BY 1""",
     "package_roundtrip" ->
       SchemaTools.packageCountsOracle(
         Seq("orders", "customer", "nation"), SchemaTools.tableCols),

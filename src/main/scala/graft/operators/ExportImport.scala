@@ -216,6 +216,49 @@ object ExportImport {
       .orderBy("c_mktsegment")
   }
 
+  /** §2 #67 — relational → DOCUMENT assembly round-trip: lineitems are
+    * folded into their parent order as a sorted array of structs (the
+    * nested-document export shape — JSON per business entity), written
+    * as JSONL, re-read schema-checked, exploded back to relational, and
+    * aggregated. Equality with the flat join aggregate proves the
+    * nesting/unnesting is lossless.
+    *
+    * Scale shape: document assembly is ONE groupBy on the parent key
+    * (collect_list is bounded by lines-per-order, not table size) + one
+    * key-shuffle join; unnesting is a map-only explode. */
+  def nestedDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("nested-orders")
+    val lines = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"),
+        struct(col("l_linenumber"),
+          cents(col("l_quantity")).as("qty_c"),
+          cents(col("l_extendedprice")).as("price_c")).as("line"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list("line")).as("lines"))
+    Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("lines"))
+      .write.mode("overwrite").json(dir)
+
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("lines", ArrayType(StructType(Seq(
+        StructField("l_linenumber", IntegerType),
+        StructField("qty_c", LongType),
+        StructField("price_c", LongType)))))))
+    spark.read.schema(schema).json(dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        explode(col("lines")).as("ln"))
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"),
+        sum("ln.qty_c").as("sum_qty_c"),
+        sum("ln.price_c").as("sum_price_c"))
+      .orderBy("o_orderstatus")
+  }
+
   /** §2 #43 — typed import validation: incoming values arrive as text
     * (the worksheet/XML reality), every field is `try_cast` to its target
     * type, and the operator reports per-column violation counts plus the

@@ -31,6 +31,28 @@ class ExportImportSpec extends SparkSpec {
     assert(keys.toSeq == expected.toSeq)
   }
 
+  test("nested_docs: document assembly round-trips losslessly; lines stay sorted") {
+    val got = ExportImport.nestedDocs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val flat = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(countDistinct("o_orderkey").as("n_orders"),
+        count(lit(1)).as("n_lines"),
+        sum(graft.operators.Filtering.cents(col("l_quantity"))).as("q"))
+      .orderBy("o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == flat.toSeq)
+    // the written documents carry their line arrays sorted by linenumber
+    val doc = spark.read.json(ExportImport.scratch("nested-orders"))
+      .selectExpr("transform(lines, x -> x.l_linenumber) AS lns")
+      .collect()
+    assert(doc.forall { r =>
+      val lns = r.getSeq[Long](0); lns == lns.sorted
+    })
+  }
+
   test("snapshot_diff: planted mutations are detected exactly, nothing else") {
     import graft.operators.MergeImport
     val rows = MergeImport.snapshotDiff(spark, sf).collect()
