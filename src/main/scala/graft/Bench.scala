@@ -27,7 +27,7 @@ object Bench {
     "embedding_dedup",
     // text analysis
     "text_stats", "token_count", "lang_id", "quality_filter",
-    "doc_winnow", "doc_fingerprint", "text_shingles",
+    "doc_winnow", "doc_fingerprint", "text_shingles", "seq_pack",
     // export/import round-trips + validation
     "xml_roundtrip", "csv_roundtrip", "xlsx_roundtrip", "jsonl_roundtrip",
     "nested_docs",

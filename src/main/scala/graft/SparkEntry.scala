@@ -91,6 +91,7 @@ object SparkEntry {
     "jsonl_roundtrip" -> (ExportImport.jsonlRoundtrip _),
     "nested_docs" -> (ExportImport.nestedDocs _),
     "doc_winnow" -> (TextAnalysis.docWinnow _),
+    "seq_pack" -> ((s, d) => TextAnalysis.seqPack(s, d)),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -385,6 +386,18 @@ object SparkEntry {
                   for i in range(1, CAST(length(text) AS INTEGER) + 1)] AS cp
                FROM documents)))
          ORDER BY doc_id""",
+    "seq_pack" ->
+      """SELECT seq_id, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+          min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM (SELECT doc_id, n_tok,
+                 (sum(n_tok) OVER (ORDER BY doc_id) - n_tok) // 2048
+                   AS seq_id
+               FROM (SELECT doc_id,
+                       CAST(len(string_split_regex(trim(text), '\s+'))
+                         AS BIGINT) AS n_tok
+                     FROM documents))
+         GROUP BY 1 ORDER BY 1""",
     "text_shingles" ->
       """SELECT doc_id,
           CASE WHEN length(text) >= 3

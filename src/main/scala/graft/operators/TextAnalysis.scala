@@ -129,6 +129,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** §2 #68 — training-sequence PACKING: documents are laid out
+    * contiguously in doc_id order and cut into fixed-token-budget
+    * sequences (`seq_id = tokens-before div maxTokens`) — the layout
+    * step between a cleaned corpus and a training run.
+    *
+    * The global running total is computed SCALABLY: range-partition by
+    * doc_id, per-partition prefix sums via a window bounded to that
+    * partition, plus driver-computed partition offsets (nPartitions
+    * numbers — model state, not data). No single-partition window
+    * anywhere, which is what a naive `ORDER BY` cumsum would plan. */
+  def seqPack(spark: SparkSession, sfDir: String, maxTokens: Long = 2048L,
+              nRanges: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val ranged = toks.repartitionByRange(nRanges, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // per-range totals → prefix offsets (tiny, driver-side by design)
+    import spark.implicits._
+    val partSums = ranged.groupBy("pid").agg(sum("n_tok").as("psum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offDf = partSums.map(_._1)
+      .zip(partSums.map(_._2).scanLeft(0L)(_ + _))
+      .toSeq.toDF("pid", "offset")
+
+    val within = Window.partitionBy("pid").orderBy("doc_id")
+    ranged.join(broadcast(offDf), Seq("pid"))
+      .withColumn("cum_before",
+        col("offset") + sum("n_tok").over(within) - col("n_tok"))
+      .withColumn("seq_id", expr(s"cum_before div $maxTokens"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("seq_id")
+  }
+
   /** §2 #32 — character 3-gram profile: distinct shingle count per doc. */
   def textShingles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")

@@ -67,4 +67,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(joined.filter(
       col("n_shingles3") > length(col("text")) - 2).count() == 0)
   }
+
+  test("seq_pack: distributed prefix sums equal a single global cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val got = TextAnalysis.seqPack(spark, sf, maxTokens = 512, nRanges = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // naive reference: one global window (fine at spec scale)
+    val naive = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("seq_id",
+        expr("(sum(n_tok) OVER (ORDER BY doc_id) - n_tok) div 512"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == naive.toSeq)
+    // packing is a partition of the corpus: every doc lands exactly once
+    assert(got.map(_._2).sum ==
+      Tables.load(spark, sf, "documents").count())
+  }
 }
