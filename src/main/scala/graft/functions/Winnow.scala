@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.CatalystBridge
@@ -22,13 +22,33 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int,
                              b: Long, m: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fingerprint"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+  override protected def nullSafeEval(input: Any): Any =
+    Winnow.compute(input.asInstanceOf[UTF8String], k, w, b, m)
+
+  /** Codegen: one static-kernel call per row (the same pattern many
+    * Spark built-ins use for non-trivial algorithms) — the surrounding
+    * stage stays inside whole-stage codegen, no interpreter wall. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Winnow.compute($c, $k, $w, ${b}L, ${m}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
+object Winnow {
+  val K = 5; val W = 4; val B = 257L; val M = 1000000007L
+
+  /** The winnowing kernel, shared by interpreted eval and generated
+    * code (static forwarder makes it Janino-callable). */
+  def compute(input: UTF8String, k: Int, w: Int, b: Long,
+              m: Long): GenericArrayData = {
+    val cps = input.toString.codePoints().toArray
     val n = cps.length
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val nh = n - k + 1
@@ -58,13 +78,6 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int,
     new GenericArrayData(
       minima.distinct.sorted.map(java.lang.Long.valueOf).toArray[Any])
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
-    copy(child = newChild)
-}
-
-object Winnow {
-  val K = 5; val W = 4; val B = 257L; val M = 1000000007L
 
   def winnowFingerprint(text: Column): Column =
     CatalystBridge.column(

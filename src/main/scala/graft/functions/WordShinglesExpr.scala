@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.CatalystBridge
@@ -18,19 +18,34 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Why an Expression: the composed form runs interpreted (higher-order
   * lambdas are CodegenFallback) at ~40 µs/element; this is one tight JVM
-  * loop per row. CodegenFallback here is fine — the expression itself is
-  * the loop, not a per-element lambda.
+  * loop per row. Codegen emits one static-kernel call, so the shingle
+  * step no longer breaks the whole-stage span every dedup/fingerprint
+  * pipeline starts with (CodegenSpec pins this).
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
+  override protected def nullSafeEval(input: Any): Any =
+    WordShinglesExpr.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShinglesExpr.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShinglesExpr {
+
   private val sep = UTF8String.fromString(" ")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[ArrayData]
+  /** The shingle kernel, shared by interpreted eval and generated code
+    * (static forwarder makes it Janino-callable). */
+  def compute(words: ArrayData, n: Int): GenericArrayData = {
     val count = words.numElements()
     if (count < n) new GenericArrayData(Array.empty[Any])
     else {
@@ -47,11 +62,6 @@ case class WordShingles(child: Expression, n: Int)
     }
   }
 
-  override protected def withNewChildInternal(newChild: Expression): WordShingles =
-    copy(child = newChild)
-}
-
-object WordShinglesExpr {
   def wordShingles(words: Column, n: Int): Column =
     CatalystBridge.column(WordShingles(CatalystBridge.expression(words), n))
 }

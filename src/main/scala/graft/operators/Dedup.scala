@@ -165,7 +165,9 @@ object Dedup {
     val docs = docsWithShingles
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
-        transform(col("sh"), s => graft.functions.KrHashF.krHash(s)).as("hx"))
+        // fused per-element KR hash (a `transform` lambda here would be
+        // an interpreter wall — CodegenSpec pins this)
+        graft.functions.KrHashF.krHashArray(col("sh")).as("hx"))
 
     // bit k of the fingerprint = majority vote of bit k over shingle
     // hashes, packed into one long — native expression (one pass over

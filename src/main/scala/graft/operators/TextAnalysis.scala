@@ -106,7 +106,9 @@ object TextAnalysis {
     val sh = TextShingles.shingles3(TextShingles.words(col("text")))
     Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
-        sha2(concat_ws("|", array_sort(sh)).cast("binary"), 256)
+        // sort_array, NOT array_sort: the comparator-lambda form is a
+        // higher-order function and breaks whole-stage codegen
+        sha2(concat_ws("|", sort_array(sh)).cast("binary"), 256)
           .as("fingerprint"),
         size(sh).cast("long").as("n_shingles"))
       .orderBy("doc_id")
@@ -123,9 +125,11 @@ object TextAnalysis {
       .select(col("doc_id"), fp.as("fp"))
       .select(col("doc_id"),
         size(col("fp")).cast("long").as("n_fp"),
-        sha2(concat_ws(",",
-          transform(col("fp"), x => x.cast("string"))).cast("binary"), 256)
-          .as("fp_digest"))
+        // array<long> → array<string> via Cast (codegen'd, element
+        // text identical) — a transform lambda here would be an
+        // interpreter wall
+        sha2(concat_ws(",", col("fp").cast("array<string>")).cast("binary"),
+          256).as("fp_digest"))
       .orderBy("doc_id")
   }
 

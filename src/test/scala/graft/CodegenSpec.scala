@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.{Analytics, Dedup, TextAnalysis}
+
+/** No interpreter walls in the hot paths (SURVEY §4): the map-only text
+  * and analytics operators — including every custom expression — must
+  * execute inside WholeStageCodegen. A CodegenFallback expression in
+  * one of these plans would silently break the span and row-by-row
+  * interpret the scan at 100 TB. */
+class CodegenSpec extends SparkSpec {
+
+  private def assertCodegen(name: String,
+                            df: org.apache.spark.sql.DataFrame): Unit = {
+    // `*(n)` prefixes mark whole-stage-codegen'd operators in the plan
+    // string; every Project feeding these map-only pipelines must carry
+    // one — an unstarred Project is an interpreter wall
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert(plan.contains("*("),
+      s"$name must run inside whole-stage codegen:\n$plan")
+    val unstarred = plan.linesIterator
+      .filter(l => l.contains("+- Project") || l.trim.startsWith("Project"))
+      .filterNot(_.contains("*(")).toSeq
+    assert(unstarred.isEmpty,
+      s"$name has interpreted Project stages:\n${unstarred.mkString("\n")}\n$plan")
+  }
+
+  test("map-only text operators stay inside whole-stage codegen") {
+    assertCodegen("text_stats", TextAnalysis.textStats(spark, sf))
+    assertCodegen("token_count", TextAnalysis.tokenCount(spark, sf))
+    assertCodegen("doc_fingerprint", TextAnalysis.docFingerprint(spark, sf))
+    // doc_winnow's custom expression was a CodegenFallback until the
+    // static-kernel doGenCode landed — keep it pinned
+    assertCodegen("doc_winnow", TextAnalysis.docWinnow(spark, sf))
+    assertCodegen("lang_id", TextAnalysis.langId(spark, sf))
+  }
+
+  test("custom-expression pipelines stay inside whole-stage codegen") {
+    assertCodegen("q1_agg", Analytics.q1Agg(spark, sf))
+    assertCodegen("dedup_exact", Dedup.dedupExact(spark, sf))
+    assertCodegen("dedup_simhash", Dedup.dedupSimhash(spark, sf))
+  }
+}
