@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Dedup, TextAnalysis}
+
+/** Results must be a pure function of the DATA, never of the physical
+  * layout: the same query over the same rows must produce identical
+  * bytes at any partition count (the numeric doctrine — integer cents,
+  * left folds, explicit tie-breaks — exists exactly for this). A 1000-
+  * executor cluster repartitions constantly; any layout-sensitivity
+  * here would surface as nondeterminism at scale. */
+class InvarianceSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("aggregations are partition-count invariant") {
+    val one = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val p1 = (rows(Analytics.q1Agg(spark, sf)),
+        rows(Analytics.aggSkewSalted(spark, sf)),
+        rows(Analytics.topkFrequent(spark, sf)))
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val p13 = (rows(Analytics.q1Agg(spark, sf)),
+        rows(Analytics.aggSkewSalted(spark, sf)),
+        rows(Analytics.topkFrequent(spark, sf)))
+      assert(p1 == p13)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", one)
+  }
+
+  test("dedup pipelines are partition-count invariant") {
+    val one = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val p1 = (rows(Dedup.dedupMinhash(spark, sf)),
+        rows(Dedup.dedupSimhash(spark, sf)))
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val p13 = (rows(Dedup.dedupMinhash(spark, sf)),
+        rows(Dedup.dedupSimhash(spark, sf)))
+      assert(p1 == p13)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", one)
+  }
+
+  test("seq_pack is invariant to the number of range partitions") {
+    val a = rows(TextAnalysis.seqPack(spark, sf, maxTokens = 512, nRanges = 1))
+    val b = rows(TextAnalysis.seqPack(spark, sf, maxTokens = 512, nRanges = 7))
+    assert(a == b)
+  }
+}
