@@ -32,7 +32,7 @@ object Bench {
     "xml_roundtrip", "csv_roundtrip", "xlsx_roundtrip", "jsonl_roundtrip",
     "nested_docs",
     "compressed_io", "media_roundtrip", "json_props",
-    "import_validation", "import_errors")
+    "import_validation", "import_errors", "package_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

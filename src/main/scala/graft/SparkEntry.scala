@@ -81,6 +81,7 @@ object SparkEntry {
     "partitioned_write" -> (ExportImport.partitionedWrite _),
     "package_filter" -> (PackageFilter.packageFilter _),
     "merge_upsert" -> (MergeImport.mergeUpsert _),
+    "package_apply" -> (MergeImport.packageApply _),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)), // weak: trained centroids
     "ann_ivf_static" -> ((s, d) => Similarity.annIvfStatic(s, d)),
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
@@ -295,6 +296,7 @@ object SparkEntry {
     "json_props" -> JsonOps.oracle,
     "package_filter" -> PackageFilter.oracle,
     "merge_upsert" -> MergeImport.oracle,
+    "package_apply" -> MergeImport.packageApplyOracle,
     "topk_frequent" ->
       """SELECT event_type AS item, count(*) AS cnt FROM events
          GROUP BY 1 ORDER BY cnt DESC, item LIMIT 3""",

@@ -52,6 +52,49 @@ object MergeImport {
                         ELSE o_totalprice END * 100) AS BIGINT) AS price_cents
        FROM orders ORDER BY o_orderkey"""
 
+  /** §2 #69 — the reference's END-TO-END flow composed: stage an
+    * incremental package (orders re-priced for keys %10, customers
+    * re-segmented for keys %7) through the real package sink, re-import
+    * each table, upsert it into its base table, and report per-table
+    * applied counts FROM THE MERGED RESULT — the `ApplyPackages` loop
+    * (Codeunit 60000:419) as one declarative pipeline. Every stage is
+    * the already-proven operator: PackageIO write/read + [[upsert]]. */
+  def packageApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.operators.ExportImport.scratch("apply-pkg")
+    val orders = Tables.load(spark, sfDir, "orders")
+    val customer = Tables.load(spark, sfDir, "customer")
+    val ordersInc = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("o_orderstatus", lit("U"))
+    val custInc = customer.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_mktsegment", lit("UPDATED"))
+    graft.sources.PackageIO.writePackage(spark, dir,
+      Map("orders" -> ordersInc, "customer" -> custInc))
+
+    val appliedOrders = upsert(orders,
+      graft.sources.PackageIO.readTable(spark, dir, "orders"), "o_orderkey")
+    val appliedCust = upsert(customer,
+      graft.sources.PackageIO.readTable(spark, dir, "customer"), "c_custkey")
+    appliedCust
+      .agg(lit("customer").as("tab"), count(lit(1)).as("n_rows"),
+        count(when(col("c_mktsegment") === "UPDATED", 1)).as("n_changed"))
+      .unionAll(appliedOrders
+        .agg(lit("orders").as("tab"), count(lit(1)).as("n_rows"),
+          count(when(col("o_orderstatus") === "U", 1)).as("n_changed")))
+      .orderBy("tab")
+  }
+
+  val packageApplyOracle: String =
+    """SELECT * FROM (
+         SELECT 'customer' AS tab, count(*) AS n_rows,
+                count(CASE WHEN c_custkey % 7 = 0 THEN 1 END) AS n_changed
+         FROM customer
+         UNION ALL
+         SELECT 'orders' AS tab, count(*) AS n_rows,
+                count(CASE WHEN o_orderkey % 10 = 0 THEN 1 END) AS n_changed
+         FROM orders)
+       ORDER BY tab"""
+
   /** Generic snapshot diff: rows added/removed/changed between two
     * keyed snapshots — one co-partitioned full-outer join (the canonical
     * CDC shape: a single sort-merge exchange on the key at any scale). */
