@@ -82,7 +82,7 @@ object SparkEntry {
     "package_filter" -> (PackageFilter.packageFilter _),
     "merge_upsert" -> (MergeImport.mergeUpsert _),
     "package_apply" -> (MergeImport.packageApply _),
-    "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)), // weak: trained centroids
+    "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "ann_ivf_static" -> ((s, d) => Similarity.annIvfStatic(s, d)),
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     "topk_frequent" -> ((s, d) => Analytics.topkFrequent(s, d)),
@@ -254,6 +254,9 @@ object SparkEntry {
     // the seeded planes and replays sign-bit banding + ranking exactly
     "ann_lsh" -> Similarity.lshOracle(),
     "ann_ivf_static" -> Similarity.ivfStaticOracle(),
+    // oracle takes the deterministically-trained quantizer as given
+    // (training is property-specced); everything downstream is exact
+    "ann_ivf" -> Similarity.ivfTrainedOracle(),
     "asof_join" -> AsofJoin.oracle,
     "asof_join_native" -> AsofJoin.oracle,
     "import_validation" ->

@@ -229,11 +229,33 @@ object Similarity {
     * expansion (the ORACLE may brute-force what the engine does
     * map-only — that asymmetry is the point). */
   def ivfStaticOracle(nProbe: Int = 4, nQueries: Int = 10,
-                      k: Int = 5): String = {
+                      k: Int = 5): String =
+    ivfOracleFor(staticCentroids(), nProbe, nQueries, k)
+
+  /** Oracle for the TRAINED IVF query: inlines the centroid matrix the
+    * engine deterministically trains on the verify SF (set by Verify via
+    * -Dgraft.oracle.sfdir), so everything downstream of training —
+    * assignment, probing, ranking — is oracle-checked exactly. Training
+    * itself is covered by the determinism/unit-norm property spec; the
+    * oracle takes the quantizer as given, as any oracle must for a
+    * data-dependent model. */
+  def ivfTrainedOracle(nCells: Int = 16, nProbe: Int = 4, nQueries: Int = 10,
+                       k: Int = 5): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    ivfOracleFor(trainCentroids(vectors(spark, sfDir), nCells),
+      nProbe, nQueries, k)
+  }
+
+  private def ivfOracleFor(cents: Array[Array[Double]], nProbe: Int,
+                           nQueries: Int, k: Int): String = {
     val dot = (a: String, b: String) =>
       s"""list_reduce(list_transform(list_zip($a, $b),
           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
-    val centRows = staticCentroids().zipWithIndex.map { case (c, i) =>
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
       s"(${i}, ${c.mkString("[", ", ", "]")})"
     }.mkString(", ")
     s"""WITH n AS (SELECT vec_id, embedding,
