@@ -48,6 +48,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_ngram_exactjoin" -> ((s, d) => Dedup.dedupNgramExactjoin(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_corpus" -> ((s, d) => Dedup.dedupCorpus(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     // C. LLM-data-pipeline: similarity / ANN
     "embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(s, d)),
@@ -209,6 +210,37 @@ object SparkEntry {
           ORDER BY id_a, id_b""",
     "dedup_ngram_exactjoin" ->
       graft.functions.TextShingles.duckdbAllPairsOracle(0.3),
+    // the full corpus-dedup audit: exact canonicals → near-dup clusters
+    // on the survivors → canonical keepers, counted end to end
+    "dedup_corpus" ->
+      s"""WITH RECURSIVE norm AS (
+            SELECT doc_id,
+              sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+            FROM documents),
+          canon AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY h),
+          sh AS (SELECT d.doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w)-1)]) AS s
+                 FROM (SELECT doc_id,
+                         string_split_regex(trim(lower(text)), '\\s+') AS w
+                       FROM documents) d JOIN canon c ON d.doc_id = c.doc_id),
+          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+          reach(id, lbl) AS (
+            SELECT doc_id, doc_id FROM canon
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+          lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+          SELECT (SELECT count(*) FROM documents) AS n_in,
+                 (SELECT count(*) FROM documents) - (SELECT count(*) FROM canon)
+                   AS n_exact_removed,
+                 (SELECT count(*) FROM lab WHERE id <> cluster_id)
+                   AS n_near_removed,
+                 (SELECT count(*) FROM lab WHERE id = cluster_id) AS n_out""",
     // connected components over the same exact verified pairs, via a
     // recursive transitive-closure CTE; min reachable id = cluster id
     "dedup_clusters" ->

@@ -82,6 +82,12 @@ object Graft {
                       maxIters: Int = 20): DataFrame =
     graft.operators.Dedup.clustersFromPairs(nodes, pairs, maxIters)
 
+  /** End-to-end corpus dedup: exact dedup → exact near-dup pairs on the
+    * survivors → cluster canonicals. `docs` = (doc_id LONG, text
+    * STRING); returns the kept doc_ids. */
+  def dedupCorpus(docs: DataFrame, tau: Double = 0.3): DataFrame =
+    graft.operators.Dedup.dedupCorpusKept(docs, tau)
+
   // ------------------------------------------------------ data quality
 
   /** Child rows whose key is missing from the parent table (summary). */

@@ -100,9 +100,13 @@ object Dedup {
     * n − ⌈tau·n⌉ + 1, so blocking on prefix tokens has perfect recall —
     * same output as the all-pairs oracle without the O(n²) plan. */
   def dedupNgramExactjoin(spark: SparkSession, sfDir: String,
-                          tau: Double = 0.3): DataFrame = {
+                          tau: Double = 0.3): DataFrame =
+    dedupNgramExactjoinFrom(docShingles(spark, sfDir), tau)
+
+  /** Generic core: exact set-similarity join for ANY (doc_id, sh) frame. */
+  def dedupNgramExactjoinFrom(docs: DataFrame,
+                              tau: Double = 0.3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = docShingles(spark, sfDir)
     // token → 64-bit hash: all ordering/grouping/joining below runs on
     // longs, not 20-char strings. Exactness survives: the prefix-filter
     // theorem needs only a CONSISTENT global token order (rare-first is a
@@ -255,6 +259,52 @@ object Dedup {
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
         col("n_members"), (col("id") === col("lbl")).as("is_canonical"))
       .orderBy("doc_id")
+  }
+
+  /** §2 #70 — the END-TO-END corpus dedup a training-data run actually
+    * executes, as one call: exact dedup (normalized content hash, keep
+    * the min-id canonical) → exact near-dup pairs on the survivors →
+    * connected components → keep only cluster canonicals. Returns the
+    * audit summary (in, exact-removed, near-removed, out); the kept
+    * corpus itself is `dedupCorpusKept`.
+    *
+    * Every stage is the already-proven operator, so the composition
+    * inherits their scale shapes: one hash shuffle, one prefix-blocked
+    * join, O(diameter) label rounds. */
+  def dedupCorpus(spark: SparkSession, sfDir: String,
+                  tau: Double = 0.3): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val kept = dedupCorpusKept(docs, tau)
+    val nIn = docs.select(col("doc_id"))
+    val exactCanon = exactCanonical(docs)
+    nIn.agg(count(lit(1)).as("n_in"))
+      .crossJoin(exactCanon.agg(count(lit(1)).as("n_exact_canon")))
+      .crossJoin(kept.agg(count(lit(1)).as("n_out")))
+      .select(col("n_in"),
+        (col("n_in") - col("n_exact_canon")).as("n_exact_removed"),
+        (col("n_exact_canon") - col("n_out")).as("n_near_removed"),
+        col("n_out"))
+  }
+
+  /** Canonical (min doc_id) survivor per distinct normalized content. */
+  private def exactCanonical(docs: DataFrame): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    docs.select(sha2(norm.cast("binary"), 256).as("h"), col("doc_id"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+  }
+
+  /** The deduped corpus: doc_ids that survive exact AND near dedup. */
+  def dedupCorpusKept(docs: DataFrame, tau: Double = 0.3): DataFrame = {
+    val canonIds = exactCanonical(docs)
+    val survivors = docs.join(canonIds, "doc_id")
+      .select(col("doc_id"),
+        graft.functions.TextShingles.shingles3(
+          graft.functions.TextShingles.words(col("text"))).as("sh"))
+    val pairs = dedupNgramExactjoinFrom(survivors, tau).select("id_a", "id_b")
+    clustersFromPairs(survivors.select("doc_id"), pairs, maxIters = 20)
+      .filter(col("is_canonical"))
+      .select("doc_id")
   }
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets. */

@@ -126,6 +126,24 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("dedup_corpus: kept set = survivors of exact dedup minus non-canonical near-dups") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = base.replace("w30", "x")        // near-dup of 1
+    val docs = Seq(
+      (1L, base), (2L, near), (3L, base),       // 3 = exact dup of 1
+      (4L, "something else entirely different here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpusKept(docs, tau = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L),
+      s"exact dup 3 and near dup 2 must fold into 1: $kept")
+    // the audit query balances on real data
+    val r = Dedup.dedupCorpus(spark, sf).collect().head
+    assert(r.getLong(0) ==
+      r.getLong(1) + r.getLong(2) + r.getLong(3))
+  }
+
   test("blob_base64: canonical (unwrapped) base64, round-trip ok") {
     val rows = Blob.blobBase64(spark, sf).collect()
     assert(rows.forall(_.getAs[Boolean]("ok")))
