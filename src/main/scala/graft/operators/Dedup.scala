@@ -230,7 +230,18 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+    // only nodes touching an edge can ever change label — iterate over
+    // THOSE (typically a small fraction of the corpus); untouched nodes
+    // are singleton clusters appended once at the end. At scale this is
+    // the difference between propagating over near-dup candidates and
+    // re-shuffling the whole corpus every round.
+    // materialize the edge cache BEFORE anything derives from it: two
+    // scans of an unmaterialized cached frame inside one job each
+    // recompute the (expensive) pair lineage — eager-populating once
+    // makes every later consumer a cache read
+    edges.count()
+    val touched = edges.select(col("src").as("id")).distinct()
+    var labels = touched.select(col("id"), col("id").as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var it = 0
     var converged = false
@@ -251,14 +262,18 @@ object Dedup {
     }
     require(converged,
       s"label propagation did not converge in $maxIters iterations")
-    // edges (holding the whole verified-pair lineage) are no longer
-    // needed — only the final (small) labels frame backs the result
-    edges.unpersist()
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))
-    labels.join(sizes, "lbl")
+    val clustered = labels.join(sizes, "lbl")
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
         col("n_members"), (col("id") === col("lbl")).as("is_canonical"))
-      .orderBy("doc_id")
+    // untouched nodes are singleton clusters by construction — appended
+    // without ever entering the propagation loop (touched re-derives
+    // from the cached edges, so the anti-join reads the cache)
+    val singletons = nodes.select(col("doc_id").as("id"))
+      .join(touched, Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"), col("id").as("cluster_id"),
+        lit(1L).as("n_members"), lit(true).as("is_canonical"))
+    clustered.union(singletons).orderBy("doc_id")
   }
 
   /** §2 #70 — the END-TO-END corpus dedup a training-data run actually
@@ -297,10 +312,15 @@ object Dedup {
   /** The deduped corpus: doc_ids that survive exact AND near dedup. */
   def dedupCorpusKept(docs: DataFrame, tau: Double = 0.3): DataFrame = {
     val canonIds = exactCanonical(docs)
+    // the survivor set is consumed several times downstream (token
+    // frequency, prefixes, verification, cluster nodes) — persist so the
+    // exact-dedup shuffle behind it runs once, not once per consumer
     val survivors = docs.join(canonIds, "doc_id")
       .select(col("doc_id"),
         graft.functions.TextShingles.shingles3(
           graft.functions.TextShingles.words(col("text"))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    survivors.count() // eager: the prefix join scans it multiple times
     val pairs = dedupNgramExactjoinFrom(survivors, tau).select("id_a", "id_b")
     clustersFromPairs(survivors.select("doc_id"), pairs, maxIters = 20)
       .filter(col("is_canonical"))
