@@ -138,20 +138,36 @@ object TextAnalysis {
     * sequences (`seq_id = tokens-before div maxTokens`) — the layout
     * step between a cleaned corpus and a training run.
     *
-    * The global running total is computed SCALABLY: range-partition by
-    * doc_id, per-partition prefix sums via a window bounded to that
-    * partition, plus driver-computed partition offsets (nPartitions
-    * numbers — model state, not data). No single-partition window
-    * anywhere, which is what a naive `ORDER BY` cumsum would plan. */
+    * The global running total is computed SCALABLY: bucket by a
+    * DETERMINISTIC pure function of doc_id (equal-width ranges over
+    * [min, max] — contiguous in doc_id order, so per-bucket prefix sums
+    * compose), per-bucket prefix sums via a window bounded to that
+    * bucket, plus driver-computed bucket offsets (nRanges numbers —
+    * model state, not data). No single-partition window anywhere, which
+    * is what a naive `ORDER BY` cumsum would plan.
+    *
+    * Why not `repartitionByRange` + `spark_partition_id`: the range
+    * partitioner's sample seed incorporates the RDD id, so the offsets
+    * job and the final job can draw DIFFERENT boundaries — the
+    * partition ids then disagree between the two evaluations and the
+    * prefix offsets silently mis-align (observed as a flaky hash
+    * mismatch at r03). A bucket that is a pure function of the key is
+    * identical in every evaluation by construction. */
   def seqPack(spark: SparkSession, sfDir: String, maxTokens: Long = 2048L,
               nRanges: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
-    val ranged = toks.repartitionByRange(nRanges, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-    // per-range totals → prefix offsets (tiny, driver-side by design)
+    // deterministic contiguous buckets: equal-width doc_id ranges
+    val Array(bounds) = toks.agg(min("doc_id").cast("long"),
+      max("doc_id").cast("long")).collect()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(hi - lo + 1L, 1L)
+    val bucket = ((col("doc_id").cast("long") - lit(lo)) * nRanges / span)
+      .cast("int")
+    val ranged = toks.withColumn("pid", bucket)
+    // per-bucket totals → prefix offsets (tiny, driver-side by design)
     import spark.implicits._
     val partSums = ranged.groupBy("pid").agg(sum("n_tok").as("psum"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
