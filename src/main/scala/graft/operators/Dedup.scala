@@ -224,6 +224,10 @@ object Dedup {
       pairs, maxIters)
   }
 
+  /** Rounds the last clustersFromPairs call took to converge (debug/spec
+    * seam — the pointer-halving loop should stay at O(log diameter)). */
+  @volatile private[graft] var lastPropagationRounds: Int = 0
+
   private[graft] def clustersFromPairs(nodes: DataFrame, pairs: DataFrame,
                                        maxIters: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -242,24 +246,61 @@ object Dedup {
     edges.count()
     val touched = edges.select(col("src").as("id")).distinct()
     var labels = touched.select(col("id"), col("id").as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prevCached: Option[DataFrame] = None
     var it = 0
     var converged = false
+    // Convergence witness: each round's label is a min over values that
+    // include the node's own previous label, so labels are pointwise
+    // non-increasing round over round — the label sum strictly decreases
+    // until the fixpoint, and an UNCHANGED sum ⇔ no label moved. One
+    // scalar aggregate per round (which also eagerly materializes the
+    // persist) replaces the old join-with-previous-labels + count.
+    // DECIMAL(38,0) so the witness stays exact at any id magnitude.
+    var prevSum: Option[java.math.BigDecimal] = None
     while (!converged && it < maxIters) {
-      val next = edges.join(labels, edges("src") === labels("id"))
+      // hop: min label over {self} ∪ in-neighbors
+      val hop = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
         .union(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
+      // pointer-halving: follow lbl → label(lbl) once more, doubling the
+      // propagation distance per round — O(log diameter) rounds instead
+      // of O(diameter), i.e. fewer Spark jobs, the real per-round cost.
+      // (hop's shuffle is planned twice but executed once: identical
+      // subplans become a ReusedExchange.) Still monotone: label(lbl) ≤
+      // lbl, so the sum witness stays valid.
+      // The halving join is TOTAL, hence inner: every label value is the
+      // min of some subset of touched node ids, and hop carries a row
+      // for EVERY touched id (the union(labels) branch guarantees it) —
+      // so h.lbl always finds its g.lid.
+      val next0 = hop.as("h")
+        .join(hop.select(col("id").as("lid"), col("lbl").as("lbl2")).as("g"),
+          col("h.lbl") === col("g.lid"))
+        .select(col("h.id").as("id"), col("lbl2").as("lbl"))
+      // CUT THE LOGICAL LINEAGE each round: the round-N plan otherwise
+      // embeds the round-(N-1) plan 4× (join + union + self-join), so
+      // ANALYSIS time grows 4^N even when execution only reads caches —
+      // measured as multi-second planning by round 3 on a 256-pair
+      // graph. createDataFrame(rdd, schema) restarts the logical plan
+      // from a leaf (a localCheckpoint would too, but its LogicalRDD
+      // drags origin constraints along and trips Union constraint
+      // rewriting); the persist below makes execution read round N-1's
+      // cache, not its lineage. On a real cluster swap for
+      // checkpoint(dir) — same shape, fault-tolerant lineage cut.
+      val next = hop.sparkSession.createDataFrame(next0.rdd, next0.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .count()
-      labels.unpersist()
+      val curSum = Option(
+        next.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0).get(0))
+        .map(_.asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO)
+      prevCached.foreach(_.unpersist())
+      prevCached = Some(next)
       labels = next
-      converged = changed == 0L
+      converged = prevSum.exists(_.compareTo(curSum) == 0)
+      prevSum = Some(curSum)
       it += 1
     }
+    lastPropagationRounds = it
     require(converged,
       s"label propagation did not converge in $maxIters iterations")
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))
@@ -289,9 +330,14 @@ object Dedup {
   def dedupCorpus(spark: SparkSession, sfDir: String,
                   tau: Double = 0.3): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val kept = dedupCorpusKept(docs, tau)
-    val nIn = docs.select(col("doc_id"))
+    // the canonical-id set feeds BOTH the survivor pipeline and the
+    // audit count — persist so the exact-dedup shuffle runs once
+    // persisted lazily: the survivor materialization scans it exactly
+    // once, which populates the cache as a side effect — no extra job
     val exactCanon = exactCanonical(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = dedupCorpusKeptFrom(docs, exactCanon, tau)
+    val nIn = docs.select(col("doc_id"))
     nIn.agg(count(lit(1)).as("n_in"))
       .crossJoin(exactCanon.agg(count(lit(1)).as("n_exact_canon")))
       .crossJoin(kept.agg(count(lit(1)).as("n_out")))
@@ -310,8 +356,11 @@ object Dedup {
   }
 
   /** The deduped corpus: doc_ids that survive exact AND near dedup. */
-  def dedupCorpusKept(docs: DataFrame, tau: Double = 0.3): DataFrame = {
-    val canonIds = exactCanonical(docs)
+  def dedupCorpusKept(docs: DataFrame, tau: Double = 0.3): DataFrame =
+    dedupCorpusKeptFrom(docs, exactCanonical(docs), tau)
+
+  private def dedupCorpusKeptFrom(docs: DataFrame, canonIds: DataFrame,
+                                  tau: Double): DataFrame = {
     // the survivor set is consumed several times downstream (token
     // frequency, prefixes, verification, cluster nodes) — persist so the
     // exact-dedup shuffle behind it runs once, not once per consumer
