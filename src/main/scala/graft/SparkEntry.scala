@@ -94,6 +94,11 @@ object SparkEntry {
     "nested_docs" -> (ExportImport.nestedDocs _),
     "doc_winnow" -> (TextAnalysis.docWinnow _),
     "seq_pack" -> ((s, d) => TextAnalysis.seqPack(s, d)),
+    // C. corpus curation
+    "decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
+    "doc_chunk" -> ((s, d) => Curation.docChunk(s, d)),
+    "mixture_sample" -> ((s, d) => Curation.mixtureSample(s, d)),
+    "tfidf_topterms" -> ((s, d) => Curation.tfidfTopterms(s, d)),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -423,6 +428,57 @@ object SparkEntry {
                   for i in range(1, CAST(length(text) AS INTEGER) + 1)] AS cp
                FROM documents)))
          ORDER BY doc_id""",
+    "decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), '\s+') AS w
+                    FROM documents),
+          g AS (SELECT doc_id,
+                  unnest(list_distinct(
+                    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                     for i in range(1, len(w) - 2)])) AS gram
+                FROM w),
+          bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+         SELECT doc_id, count(*) AS n_hit_grams
+         FROM g WHERE doc_id % 50 <> 0 AND gram IN (SELECT gram FROM bench)
+         GROUP BY 1 ORDER BY 1""",
+    "doc_chunk" ->
+      """SELECT doc_id, CAST(ix AS INTEGER) AS chunk_ix,
+          CAST(length(substring(text, CAST(ix*150+1 AS INTEGER), 200))
+               AS INTEGER) AS c_len,
+          sha256(substring(text, CAST(ix*150+1 AS INTEGER), 200)) AS c_sha
+         FROM (SELECT doc_id, text,
+                 unnest(range(0, (length(text) - 1) // 150 + 1)) AS ix
+               FROM documents)
+         ORDER BY doc_id, chunk_ix""",
+    "mixture_sample" ->
+      """SELECT source, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM (SELECT source, n_tok,
+                 sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id)
+                   AS cum
+               FROM (SELECT doc_id, source,
+                       CAST(len(string_split_regex(trim(text), '\s+'))
+                         AS BIGINT) AS n_tok,
+                       (doc_id * 2654435761) % 4294967296 AS h
+                     FROM documents))
+         WHERE cum <= 1000 GROUP BY 1 ORDER BY 1""",
+    "tfidf_topterms" ->
+      """WITH t AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(lower(text)), '\s+'))
+                        AS term
+                    FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                       round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE)
+                                        / (dfreq.df + 1)), 4) AS score
+                     FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         SELECT doc_id, term, tf, df, score
+         FROM (SELECT *, row_number()
+                 OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+               FROM scored)
+         WHERE rk <= 3 ORDER BY doc_id, term""",
     "seq_pack" ->
       """SELECT seq_id, count(*) AS n_docs,
           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,

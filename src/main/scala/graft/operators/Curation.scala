@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextShingles
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between "cleaned corpus" and "training run": benchmark
+  * decontamination, chunking, per-source mixture budgeting, and TF-IDF
+  * term profiling. All four are declarative DataFrame pipelines with
+  * DuckDB-reproducible semantics (the correctness gate), shaped for the
+  * 100 TB deployment (broadcast eval sets, map-only explodes, two-phase
+  * prefix sums — never a global window or a driver-side data loop).
+  */
+object Curation {
+
+  /** §2 #71 — benchmark DECONTAMINATION (the GPT-3-style n-gram overlap
+    * check): flag training documents sharing any distinct `n`-word gram
+    * with an evaluation/benchmark set — here the deterministic
+    * `doc_id % benchMod == 0` slice stands in for the eval suite.
+    * Output: contaminated train docs with their distinct hit-gram count.
+    *
+    * Scale shape: eval suites are orders of magnitude smaller than the
+    * corpus, so their distinct gram set is BROADCAST — the train-side
+    * gram explode is map-only and never shuffles gram strings; the only
+    * exchange carries the (doc_id, gram) HITS (tiny). */
+  def decontaminate(spark: SparkSession, sfDir: String,
+                    n: Int = 4, benchMod: Int = 50): DataFrame = {
+    val grams = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.WordShinglesExpr.wordShingles(
+          TextShingles.words(col("text")), n)).as("gram"))
+    val benchGrams = grams.filter(col("doc_id") % benchMod === 0)
+      .select("gram").distinct()
+    grams.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(benchGrams), Seq("gram"))
+      // wordShingles is per-doc distinct, so (doc_id, gram) is unique —
+      // the count below is the distinct-hit-gram count with no extra
+      // distinct shuffle
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** §2 #72 — document CHUNKING (RAG / training-window prep): fixed
+    * `chunkSize`-char windows every `stride` chars (overlap =
+    * chunkSize − stride), with per-chunk fingerprints. Start positions
+    * run 0, stride, 2·stride … while < length (the final chunk may be
+    * short). Map-only explode — no shuffle at all; the orderBy is the
+    * presentation contract, not part of the operator. */
+  def docChunk(spark: SparkSession, sfDir: String,
+               chunkSize: Int = 200, stride: Int = 150): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(expr(
+          s"sequence(0, cast(floor((length(text) - 1) / $stride) as int))"))
+          .as("chunk_ix"))
+      .select(col("doc_id"), col("chunk_ix"),
+        expr(s"substring(text, chunk_ix * $stride + 1, $chunkSize)")
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_ix"),
+        length(col("chunk")).as("c_len"),
+        sha2(col("chunk").cast("binary"), 256).as("c_sha"))
+      .orderBy("doc_id", "chunk_ix")
+
+  /** §2 #73 — MIXTURE sampling: a training-data mixture is an absolute
+    * token budget per source; keep each source's documents in
+    * deterministic (Knuth-hash) order until the budget is exhausted.
+    * Output: per-source kept-doc and kept-token counts.
+    *
+    * The per-source running total uses the same TWO-PHASE DISTRIBUTED
+    * PREFIX SUM as seq_pack: hash-range buckets within each source,
+    * per-bucket windows, and driver-held bucket offsets (sources ×
+    * nRanges numbers — model state, not data). No per-source global
+    * window, which would put an entire source's documents in one
+    * partition at 100 TB. */
+  def mixtureSample(spark: SparkSession, sfDir: String,
+                    budgetTokens: Long = 1000L, nRanges: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spanPerBucket = 4294967296L / nRanges
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("h"))
+      .withColumn("bucket", expr(s"cast(h div $spanPerBucket as int)"))
+    import spark.implicits._
+    val partSums = toks.groupBy("source", "bucket")
+      .agg(sum("n_tok").as("psum"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .flatMap { case (src, rows) =>
+        val sorted = rows.sortBy(_._2)
+        sorted.map(_._2)
+          .zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+          .map { case (bucket, off) => (src, bucket, off) }
+      }.toSeq.toDF("source", "bucket", "offset")
+
+    val within = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
+    toks.join(broadcast(partSums), Seq("source", "bucket"))
+      .withColumn("cum",
+        col("offset") + sum("n_tok").over(within))
+      .filter(col("cum") <= budgetTokens)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("source")
+  }
+
+  /** §2 #74 — TF-IDF top terms per document (the classic corpus term
+    * profile): tf = in-doc term count, df = docs containing the term,
+    * score = tf · ln((N+1)/(df+1)), top `k` terms per doc by
+    * (score desc, term asc). Two hash aggregations + one broadcast of
+    * the 1-row corpus count + one per-doc window — each exchange
+    * carries (doc, term) pairs, never raw text. */
+  def tfidfTopterms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sfDir, "documents")
+    val terms = docs.select(col("doc_id"),
+      explode(TextShingles.words(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val byScore = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1).cast("double")
+          / (col("df") + 1)), 4))
+      .withColumn("rk", row_number().over(byScore))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "term")
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+import graft.functions.TextShingles
+
+class CurationSpec extends SparkSpec {
+
+  test("decontaminate: exactly the docs sharing a 4-gram with the bench slice; bench side broadcast") {
+    // brute-force reference on the tiny SF
+    val grams = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.WordShinglesExpr.wordShingles(
+          TextShingles.words(col("text")), 4)).as("gram"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bench = grams.filter(_._1 % 50 == 0).map(_._2).toSet
+    val expect = grams.filter { case (id, g) => id % 50 != 0 && bench(g) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length).toMap
+    val got = Curation.decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expect.map { case (k, v) => (k, v.toLong) })
+    assert(got.keySet.forall(_ % 50 != 0), "benchmark docs are never flagged")
+    val plan = planOf(Curation.decontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the benchmark gram set must broadcast:\n$plan")
+  }
+
+  test("doc_chunk: chunks reassemble the document exactly (stride prefixes + final tail)") {
+    val text = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val chunks = Curation.docChunk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // per doc: every chunk but the last is full-size-or-tail consistent;
+    // start offsets tile the text with stride 150, so lengths determine
+    // exact reconstruction: len_i = min(200, L - 150*i)
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val l = text(id).length
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq, "dense chunk_ix")
+      sorted.foreach { case (_, ix, cLen, _) =>
+        assert(cLen == math.min(200, l - 150 * ix),
+          s"doc $id chunk $ix length $cLen (L=$l)")
+      }
+      assert(sorted.length == (l - 1) / 150 + 1)
+    }
+    // map-only: the only shuffle is the presentation sort's range
+    // partitioning — no hash exchange (join/agg) anywhere
+    val plan = planOf(Curation.docChunk(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunking must not hash-shuffle:\n$plan")
+  }
+
+  test("mixture_sample: per-source budget respected and maximal in hash order") {
+    val rows = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val got = Curation.mixtureSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    val bySource = rows.groupBy(_._2)
+    got.foreach { case (src, nDocs, nTok) =>
+      val ordered = bySource(src)
+        .sortBy { case (id, _, _) => ((id * 2654435761L) % 4294967296L, id) }
+      // greedy prefix under the budget
+      val cum = ordered.map(_._3).scanLeft(0L)(_ + _).tail
+      val keep = cum.takeWhile(_ <= 1000L).length
+      assert(nDocs == keep.toLong, s"$src kept $nDocs != expected $keep")
+      assert(nTok == ordered.take(keep).map(_._3).sum && nTok <= 1000L)
+    }
+    assert(got.map(_._1).toSet == bySource.keySet, "every source reports")
+  }
+
+  test("tfidf_topterms: df counts docs containing the term; top-3 per doc by score") {
+    val out = Curation.tfidfTopterms(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val words = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), TextShingles.words(col("text")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val docCount = words.length
+    val dfRef = words.flatMap { case (_, w) => w.distinct }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    out.foreach { case (id, term, tf, df, score) =>
+      assert(df == dfRef(term), s"df($term)")
+      val ws = words.toMap.apply(id)
+      assert(tf == ws.count(_ == term).toLong, s"tf($id,$term)")
+      val expect = BigDecimal(tf * math.log((docCount + 1).toDouble / (df + 1)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(score - expect) < 1e-9, s"score($id,$term)")
+    }
+    assert(out.groupBy(_._1).forall(_._2.length <= 3))
+    // rank-3 cutoff really is the 3 best: no unpicked term beats a picked one
+    val picked = out.groupBy(_._1).view.mapValues(_.map(_._5).min).toMap
+    words.foreach { case (id, w) =>
+      val counts = w.groupBy(identity).view.mapValues(_.length).toMap
+      val best = counts.map { case (t, n) =>
+        BigDecimal(n * math.log((docCount + 1).toDouble / (dfRef(t) + 1)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toSeq.sorted.reverse
+      val kth = best.take(3).last
+      assert(picked(id) >= kth - 1e-9, s"doc $id picked ${picked(id)} < $kth")
+    }
+  }
+}
