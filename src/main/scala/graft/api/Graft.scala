@@ -88,6 +88,28 @@ object Graft {
   def dedupCorpus(docs: DataFrame, tau: Double = 0.3): DataFrame =
     graft.operators.Dedup.dedupCorpusKept(docs, tau)
 
+  // --------------------------------------------------- corpus curation
+
+  /** Training docs sharing any distinct `n`-word gram with the
+    * benchmark corpus → (doc_id, n_hit_grams). Both frames are
+    * (doc_id LONG, text STRING); the benchmark side is broadcast. */
+  def decontaminate(train: DataFrame, bench: DataFrame, n: Int = 4): DataFrame =
+    graft.operators.Curation.decontaminateFrom(train, bench, n)
+
+  /** Fixed-size char windows every `stride` chars with per-chunk
+    * sha256 → (doc_id, chunk_ix, c_len, c_sha). Map-only. */
+  def chunk(docs: DataFrame, chunkSize: Int = 200, stride: Int = 150): DataFrame =
+    graft.operators.Curation.chunkFrom(docs, chunkSize, stride)
+
+  /** Per-source token budget consumed in deterministic hash order →
+    * (source, n_docs, n_tokens). `docs` = (doc_id, source, text). */
+  def mixtureSample(docs: DataFrame, budgetTokens: Long): DataFrame =
+    graft.operators.Curation.mixtureFrom(docs, budgetTokens)
+
+  /** Top-k TF-IDF terms per document → (doc_id, term, tf, df, score). */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame =
+    graft.operators.Curation.tfidfFrom(docs, k)
+
   // ------------------------------------------------------ data quality
 
   /** Child rows whose key is missing from the parent table (summary). */

@@ -27,13 +27,21 @@ object Curation {
     * exchange carries the (doc_id, gram) HITS (tiny). */
   def decontaminate(spark: SparkSession, sfDir: String,
                     n: Int = 4, benchMod: Int = 50): DataFrame = {
-    val grams = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        explode(graft.functions.WordShinglesExpr.wordShingles(
-          TextShingles.words(col("text")), n)).as("gram"))
-    val benchGrams = grams.filter(col("doc_id") % benchMod === 0)
-      .select("gram").distinct()
-    grams.filter(col("doc_id") % benchMod =!= 0)
+    val docs = Tables.load(spark, sfDir, "documents")
+    decontaminateFrom(
+      docs.filter(col("doc_id") % benchMod =!= 0),
+      docs.filter(col("doc_id") % benchMod === 0), n)
+  }
+
+  /** Generic core: contamination of ANY (doc_id, text) train corpus
+    * against ANY (doc_id, text) benchmark corpus. */
+  def decontaminateFrom(train: DataFrame, bench: DataFrame,
+                        n: Int = 4): DataFrame = {
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.functions.WordShinglesExpr.wordShingles(
+        TextShingles.words(col("text")), n)).as("gram"))
+    val benchGrams = grams(bench).select("gram").distinct()
+    grams(train)
       .join(broadcast(benchGrams), Seq("gram"))
       // wordShingles is per-doc distinct, so (doc_id, gram) is unique —
       // the count below is the distinct-hit-gram count with no extra
@@ -50,7 +58,14 @@ object Curation {
     * presentation contract, not part of the operator. */
   def docChunk(spark: SparkSession, sfDir: String,
                chunkSize: Int = 200, stride: Int = 150): DataFrame =
-    Tables.load(spark, sfDir, "documents")
+    chunkFrom(Tables.load(spark, sfDir, "documents"), chunkSize, stride)
+
+  /** Generic core: chunk ANY (doc_id, text) frame. */
+  def chunkFrom(docs: DataFrame,
+                chunkSize: Int = 200, stride: Int = 150): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunk=$chunkSize")
+    docs
       .select(col("doc_id"), col("text"),
         explode(expr(
           s"sequence(0, cast(floor((length(text) - 1) / $stride) as int))"))
@@ -62,6 +77,7 @@ object Curation {
         length(col("chunk")).as("c_len"),
         sha2(col("chunk").cast("binary"), 256).as("c_sha"))
       .orderBy("doc_id", "chunk_ix")
+  }
 
   /** §2 #73 — MIXTURE sampling: a training-data mixture is an absolute
     * token budget per source; keep each source's documents in
@@ -75,10 +91,16 @@ object Curation {
     * window, which would put an entire source's documents in one
     * partition at 100 TB. */
   def mixtureSample(spark: SparkSession, sfDir: String,
-                    budgetTokens: Long = 1000L, nRanges: Int = 8): DataFrame = {
+                    budgetTokens: Long = 1000L, nRanges: Int = 8): DataFrame =
+    mixtureFrom(Tables.load(spark, sfDir, "documents"), budgetTokens, nRanges)
+
+  /** Generic core: budget ANY (doc_id, source, text) frame. */
+  def mixtureFrom(docs: DataFrame,
+                  budgetTokens: Long = 1000L, nRanges: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
     val spanPerBucket = 4294967296L / nRanges
-    val toks = Tables.load(spark, sfDir, "documents")
+    val toks = docs
       .select(col("doc_id"), col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
         pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("h"))
@@ -111,9 +133,12 @@ object Curation {
     * (score desc, term asc). Two hash aggregations + one broadcast of
     * the 1-row corpus count + one per-doc window — each exchange
     * carries (doc, term) pairs, never raw text. */
-  def tfidfTopterms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+  def tfidfTopterms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
+    tfidfFrom(Tables.load(spark, sfDir, "documents"), k)
+
+  /** Generic core: TF-IDF top terms for ANY (doc_id, text) frame. */
+  def tfidfFrom(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(spark, sfDir, "documents")
     val terms = docs.select(col("doc_id"),
       explode(TextShingles.words(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

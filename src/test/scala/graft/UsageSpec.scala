@@ -84,4 +84,31 @@ class UsageSpec extends SparkSpec {
       .toSet
     assert(joined == Set((15L, Some(100L)), (25L, Some(110L)), (5L, None)))
   }
+
+  test("facade: curation on arbitrary frames") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),
+      (3L, "unrelated words only here now")).toDF("doc_id", "text")
+    val bench = Seq((100L, "zzz alpha beta gamma delta qqq")).toDF("doc_id", "text")
+    val hits = Graft.decontaminate(train, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits == Map(1L -> 1L)) // the one aligned 4-gram window
+
+    val chunks = Graft.chunk(Seq((7L, "a" * 310)).toDF("doc_id", "text"),
+      chunkSize = 200, stride = 150).collect()
+    assert(chunks.map(_.getInt(2)).toSeq == Seq(200, 160, 10))
+
+    val mix = Graft.mixtureSample(
+      Seq((1L, "s", "w1 w2 w3"), (2L, "s", "w1 w2"), (3L, "t", "w1"))
+        .toDF("doc_id", "source", "text"), budgetTokens = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // source s: hash order decides which doc fits the 3-token budget
+    assert(mix.exists(_._1 == "t") && mix.forall(_._3 <= 3L))
+
+    val tfidf = Graft.tfidfTopTerms(
+      Seq((1L, "x x y"), (2L, "y z z")).toDF("doc_id", "text"), k = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(tfidf == Map(1L -> "x", 2L -> "z")) // rare repeated term wins
+  }
 }
