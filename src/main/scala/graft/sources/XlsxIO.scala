@@ -31,6 +31,22 @@ object XlsxIO {
   case class WorkSheet(name: String, header: Seq[String],
                        rows: Iterator[Seq[Any]])
 
+  /** Excel worksheet-name rules, per the reference's
+    * GetExcelWorksheetName (Codeunit 60001:758): names are capped at 31
+    * chars (Excel's hard limit; over-long captions get the table id
+    * prefixed before the cut so truncated names stay unique). On top of
+    * the cap, the characters Excel forbids (: \ / ? * [ ]) are replaced
+    * with '_' and an empty result falls back to the id. */
+  def sheetName(caption: String, tableId: String): String = {
+    val clean = caption.map {
+      case c if ":\\/?*[]".indexOf(c.toInt) >= 0 => '_'
+      case c => c
+    }
+    val capped =
+      if (clean.length > 31) (tableId + " " + clean).take(31) else clean
+    if (capped.isEmpty) tableId.take(31) else capped
+  }
+
   // ---------------------------------------------------------------- write
 
   private def xmlEscape(s: String): String = {

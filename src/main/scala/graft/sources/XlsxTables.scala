@@ -26,11 +26,14 @@ object XlsxTables {
             packageCode: String): Unit = {
     val names = df.schema.fieldNames.toSeq
     val n = names.length
+    // Excel-legal worksheet name (31-char cap, forbidden chars) — the
+    // reference's GetExcelWorksheetName contract (Codeunit 60001:758)
+    val sheet = XlsxIO.sheetName(table, table.hashCode.abs.toString)
     df.foreachPartition { rows: Iterator[Row] =>
       val pid = TaskContext.getPartitionId()
       val out = Files.newOutputStream(Paths.get(f"$dir/part-$pid%05d.xlsx"))
       try XlsxIO.writeWorkbook(out, Seq(
-        XlsxIO.WorkSheet(table, names,
+        XlsxIO.WorkSheet(sheet, names,
           rows.map(r => (0 until n).map(r.get))),
         XlsxIO.WorkSheet("_package",
           Seq("package_code", "table_name", "n_cols"),

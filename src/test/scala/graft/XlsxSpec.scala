@@ -136,4 +136,24 @@ class XlsxSpec extends SparkSpec {
       sheetName = Some("orders"))
     assert(asTable.count() == 0)
   }
+
+  test("worksheet names obey Excel rules (31-char cap, forbidden chars) per 60001:758") {
+    assert(XlsxIO.sheetName("orders", "42") == "orders")
+    assert(XlsxIO.sheetName("a/b:c?d*e[f]g\\h", "1") == "a_b_c_d_e_f_g_h")
+    val long = "Customer Ledger Entry Dimension Overflow Caption"
+    val capped = XlsxIO.sheetName(long, "379")
+    assert(capped.length == 31 && capped.startsWith("379 "))
+    assert(XlsxIO.sheetName("", "99") == "99")
+    // a hostile table name still round-trips end-to-end
+    import spark.implicits._
+    val dir = ExportImport.scratch("xlsx-hostile-name")
+    XlsxTables.clearDir(dir)
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    XlsxTables.write(df.repartition(1), dir,
+      "Really:Long/Caption?That*Needs[Truncation]And Then Some More", "PKG")
+    val back = XlsxTables.read(spark, dir,
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == Set((1L, "x"), (2L, "y")))
+  }
 }
