@@ -162,4 +162,32 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((1L, us(50), us(50), 1L)), s"second session of user 1: $out")
     assert(out.contains((2L, us(0), us(0), 1L)), s"user 2 session: $out")
   }
+
+  test("doc ingest: streaming gate+dedup decisions equal the batch operators") {
+    import graft.streaming.DocIngest
+    val out = DocIngest.cleaned(DocIngest.readDocStream(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_ingest").start()
+    try out.processAllAvailable() finally out.stop()
+    val got = spark.table("stream_ingest").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    // kept fingerprints = batch exact-dedup distinct set over the SAME
+    // quality-gated population, each exactly once
+    val batchKept = graft.operators.TextAnalysis.qualityFilter(spark, sf)
+      .join(Tables.load(spark, sf, "documents"), "doc_id")
+      .select(org.apache.spark.sql.functions.sha2(
+        org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.trim(
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.col("text"), "\\s+", " ")))
+          .cast("binary"), 256).as("h"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(got.map(_._1).toSet == batchKept, "kept fingerprint sets differ")
+    assert(got.map(_._1).distinct.length == got.length, "a fingerprint was kept twice")
+    // per-doc quality numbers equal the batch textStats values
+    val batchQ = graft.operators.TextAnalysis.qualityFilter(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val gotByDoc = spark.table("stream_ingest").collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getDouble(3)))).toMap
+    gotByDoc.foreach { case (id, v) => assert(batchQ(id) == v, s"doc $id") }
+  }
 }
