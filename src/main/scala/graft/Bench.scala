@@ -24,7 +24,7 @@ object Bench {
     "dedup_simhash", "dedup_clusters", "dedup_corpus",
     // similarity / ANN
     "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_static",
-    "embedding_dedup",
+    "embedding_dedup", "embedding_quantize",
     // text analysis
     "text_stats", "token_count", "lang_id", "quality_filter",
     "doc_winnow", "doc_fingerprint", "text_shingles", "seq_pack",

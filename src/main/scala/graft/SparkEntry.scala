@@ -99,6 +99,7 @@ object SparkEntry {
     "doc_chunk" -> ((s, d) => Curation.docChunk(s, d)),
     "mixture_sample" -> ((s, d) => Curation.mixtureSample(s, d)),
     "tfidf_topterms" -> ((s, d) => Curation.tfidfTopterms(s, d)),
+    "embedding_quantize" -> (Similarity.embeddingQuantize _),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -428,6 +429,31 @@ object SparkEntry {
                   for i in range(1, CAST(length(text) AS INTEGER) + 1)] AS cp
                FROM documents)))
          ORDER BY doc_id""",
+    "embedding_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+                      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(embedding,
+                          v -> abs(CAST(v AS DOUBLE)))),
+                        (a, b) -> greatest(a, b)) AS maxabs
+                    FROM embeddings),
+          s AS (SELECT vec_id, embedding, maxabs,
+                  CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 1.0 END
+                    AS scale
+                FROM m),
+          qt AS (SELECT vec_id, embedding, maxabs, scale,
+                   list_transform(embedding,
+                     v -> CAST(least(greatest(
+                            round(CAST(v AS DOUBLE) * scale), -127.0),
+                            127.0) AS BIGINT)) AS q
+                 FROM s)
+         SELECT vec_id, round(scale, 4) AS scale4,
+           CAST(list_sum([q[i] * i for i in range(1, len(q) + 1)])
+                AS BIGINT) AS checksum,
+           round(list_max([abs(CAST(embedding[i] AS DOUBLE)
+                               - CAST(q[i] AS DOUBLE) / scale)
+                           for i in range(1, len(q) + 1)]), 6) AS max_err6,
+           round(maxabs, 6) AS maxabs6
+         FROM qt ORDER BY vec_id""",
     "decontaminate" ->
       """WITH w AS (SELECT doc_id,
                       string_split_regex(trim(lower(text)), '\s+') AS w

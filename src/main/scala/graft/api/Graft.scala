@@ -110,6 +110,11 @@ object Graft {
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame =
     graft.operators.Curation.tfidfFrom(docs, k)
 
+  /** Per-vector int8 max-abs quantization summary → (vec_id, scale4,
+    * checksum, max_err6, maxabs6). `embs` = (vec_id, embedding). */
+  def quantizeEmbeddings(embs: DataFrame): DataFrame =
+    graft.operators.Similarity.quantizeFrom(embs)
+
   // ------------------------------------------------------ data quality
 
   /** Child rows whose key is missing from the parent table (summary). */

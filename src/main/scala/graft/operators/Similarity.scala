@@ -335,4 +335,46 @@ object Similarity {
         round(col("cos"), 6).as("cos6"))
       .orderBy("query_id", "rnk")
   }
+
+  /** §2 #76 — embedding QUANTIZATION (int8, per-vector max-abs scale):
+    * the compression step an ANN index at 100 TB actually stores —
+    * 4 bytes/dim float32 → 1 byte/dim int8 + one scale. Output per
+    * vector: the scale, an exact integer checksum of the quantized
+    * codes (position-weighted, so any code or permutation change
+    * surfaces), and the max reconstruction error.
+    *
+    * Map-only — zero exchanges (spec-asserted). The arithmetic is the
+    * repo's standard cross-engine contract: per-element double casts,
+    * left folds, round-half-away — DuckDB reproduces every cell
+    * bit-exactly. Reconstruction error is bounded by maxabs/254 by
+    * construction (|x·s| ≤ 127 means rounding is the only loss), which
+    * the spec asserts row by row. */
+  def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame =
+    quantizeFrom(Tables.load(spark, sfDir, "embeddings"))
+
+  /** Generic core: quantize ANY (vec_id, embedding ARRAY<FLOAT>) frame. */
+  def quantizeFrom(embs: DataFrame): DataFrame = {
+    val x = col("embedding")
+    val maxabs = aggregate(x, lit(0.0),
+      (a, v) => greatest(a, abs(v.cast("double"))))
+    embs
+      .select(col("vec_id"), x, maxabs.as("maxabs"))
+      .withColumn("scale",
+        when(col("maxabs") > 0, lit(127.0) / col("maxabs")).otherwise(lit(1.0)))
+      .withColumn("q", transform(x, v =>
+        least(greatest(round(v.cast("double") * col("scale"), 0),
+          lit(-127.0)), lit(127.0)).cast("long")))
+      .select(col("vec_id"),
+        round(col("scale"), 4).as("scale4"),
+        aggregate(
+          zip_with(col("q"), sequence(lit(1), size(col("q"))),
+            (qq, i) => qq * i.cast("long")),
+          lit(0L), (acc, v) => acc + v).as("checksum"),
+        round(aggregate(
+          zip_with(x, col("q"),
+            (xx, qq) => abs(xx.cast("double") - qq.cast("double") / col("scale"))),
+          lit(0.0), (acc, v) => greatest(acc, v)), 6).as("max_err6"),
+        round(col("maxabs"), 6).as("maxabs6"))
+      .orderBy("vec_id")
+  }
 }

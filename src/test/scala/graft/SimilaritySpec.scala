@@ -54,4 +54,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("cos6") >= 0.4))
     assertNoCartesian(Similarity.embeddingDedup(spark, sf))
   }
+
+  test("embedding_quantize: int8 range, positional checksum, error bound maxabs/254") {
+    val rows = Similarity.embeddingQuantize(spark, sf).collect()
+    assert(rows.length ==
+      Tables.load(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      val (scale4, maxErr, maxAbs) =
+        (r.getDouble(1), r.getDouble(3), r.getDouble(4))
+      assert(scale4 > 0)
+      // q = round(x*scale) with |x*scale| <= 127 => loss is rounding only
+      assert(maxErr <= maxAbs / 254.0 + 1e-6,
+        s"vec ${r.getLong(0)}: err $maxErr > bound ${maxAbs / 254.0}")
+    }
+    // map-only: no hash exchange anywhere in the plan
+    val plan = planOf(Similarity.embeddingQuantize(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"quantization must not shuffle:\n$plan")
+  }
 }
