@@ -29,7 +29,8 @@ object Bench {
     "text_stats", "token_count", "lang_id", "quality_filter",
     "doc_winnow", "doc_fingerprint", "text_shingles", "seq_pack",
     // corpus curation
-    "decontaminate", "doc_chunk", "mixture_sample", "tfidf_topterms",
+    "decontaminate", "decontaminate_fuzzy", "doc_chunk",
+    "mixture_sample", "tfidf_topterms",
     // export/import round-trips + validation
     "xml_roundtrip", "csv_roundtrip", "xlsx_roundtrip", "jsonl_roundtrip",
     "nested_docs",

@@ -100,6 +100,7 @@ object SparkEntry {
     "mixture_sample" -> ((s, d) => Curation.mixtureSample(s, d)),
     "tfidf_topterms" -> ((s, d) => Curation.tfidfTopterms(s, d)),
     "embedding_quantize" -> (Similarity.embeddingQuantize _),
+    "decontaminate_fuzzy" -> ((s, d) => Curation.decontaminateFuzzy(s, d)),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -467,6 +468,27 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_hit_grams
          FROM g WHERE doc_id % 50 <> 0 AND gram IN (SELECT gram FROM bench)
          GROUP BY 1 ORDER BY 1""",
+    "decontaminate_fuzzy" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w)-1)]) AS s
+           FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS w
+                 FROM documents)),
+          p AS (SELECT t.doc_id AS doc_id, b.doc_id AS bench_id,
+                  round(CAST(len(list_intersect(t.s, b.s)) AS DOUBLE)
+                    / (len(t.s) + len(b.s) - len(list_intersect(t.s, b.s))),
+                    4) AS j4
+                FROM sh t JOIN sh b
+                  ON t.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+                WHERE CAST(len(list_intersect(t.s, b.s)) AS DOUBLE)
+                  / (len(t.s) + len(b.s) - len(list_intersect(t.s, b.s)))
+                  >= 0.5)
+         SELECT doc_id, bench_id AS best_bench_id, j4
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY j4 DESC, bench_id DESC) AS rk FROM p)
+         WHERE rk = 1 ORDER BY doc_id""",
     "doc_chunk" ->
       """SELECT doc_id, CAST(ix AS INTEGER) AS chunk_ix,
           CAST(length(substring(text, CAST(ix*150+1 AS INTEGER), 200))

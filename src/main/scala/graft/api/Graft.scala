@@ -96,6 +96,13 @@ object Graft {
   def decontaminate(train: DataFrame, bench: DataFrame, n: Int = 4): DataFrame =
     graft.operators.Curation.decontaminateFrom(train, bench, n)
 
+  /** Near-dup contamination: train docs whose shingle-set Jaccard vs
+    * any benchmark doc reaches `tau` → (doc_id, best_bench_id, j4).
+    * Requires disjoint non-negative id spaces. */
+  def decontaminateFuzzy(train: DataFrame, bench: DataFrame,
+                         tau: Double = 0.5): DataFrame =
+    graft.operators.Curation.decontaminateFuzzyFrom(train, bench, tau)
+
   /** Fixed-size char windows every `stride` chars with per-chunk
     * sha256 → (doc_id, chunk_ix, c_len, c_sha). Map-only. */
   def chunk(docs: DataFrame, chunkSize: Int = 200, stride: Int = 150): DataFrame =

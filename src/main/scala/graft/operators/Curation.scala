@@ -50,6 +50,50 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** §2 #77 — FUZZY decontamination: exact n-gram overlap (#71) misses
+    * lightly-edited benchmark leakage, so this flags train docs whose
+    * shingle-set Jaccard vs ANY benchmark doc reaches `tau` — the
+    * near-dup variant of the decontamination check.
+    *
+    * Zero new machinery: both corpora union into one frame with a side
+    * tag and run the SAME exact prefix-filter set-similarity join the
+    * dedup family proved (perfect recall, no O(n²)); only cross-side
+    * pairs survive. Output: (doc_id, best_bench_id, j4) per
+    * contaminated train doc. */
+  def decontaminateFuzzy(spark: SparkSession, sfDir: String,
+                         tau: Double = 0.5, benchMod: Int = 50): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    decontaminateFuzzyFrom(
+      docs.filter(col("doc_id") % benchMod =!= 0),
+      docs.filter(col("doc_id") % benchMod === 0), tau)
+  }
+
+  /** Generic core: near-dup contamination of ANY train corpus against
+    * ANY benchmark corpus (both (doc_id, text)). Requires the two id
+    * spaces to be disjoint (checked cheaply via the pair side-tags). */
+  def decontaminateFuzzyFrom(train: DataFrame, bench: DataFrame,
+                             tau: Double = 0.5): DataFrame = {
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      TextShingles.shingles3(TextShingles.words(col("text"))).as("sh"))
+    // side-tagged union: bench ids are negated so one prefix join serves
+    // both corpora and the side of each pair member stays readable
+    val tagged = sh(train)
+      .unionByName(sh(bench).select((-col("doc_id") - 1).as("doc_id"),
+        col("sh")))
+    Dedup.dedupNgramExactjoinFrom(tagged, tau)
+      // a (train, bench) pair has exactly one negative member
+      .filter((col("id_a") < 0) =!= (col("id_b") < 0))
+      .select(
+        greatest(col("id_a"), col("id_b")).as("doc_id"),
+        (-least(col("id_a"), col("id_b")) - 1).as("bench_id"),
+        col("j4"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("j4"), col("bench_id"))).as("best"))
+      .select(col("doc_id"), col("best.bench_id").as("best_bench_id"),
+        col("best.j4").as("j4"))
+      .orderBy("doc_id")
+  }
+
   /** §2 #72 — document CHUNKING (RAG / training-window prep): fixed
     * `chunkSize`-char windows every `stride` chars (overlap =
     * chunkSize − stride), with per-chunk fingerprints. Start positions

@@ -102,4 +102,30 @@ class CurationSpec extends SparkSpec {
       assert(picked(id) >= kth - 1e-9, s"doc $id picked ${picked(id)} < $kth")
     }
   }
+
+  test("decontaminate_fuzzy: equals brute-force cross-corpus Jaccard argmax; no cartesian") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        TextShingles.shingles3(TextShingles.words(col("text"))).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val (bench, train) = docs.partition(_._1 % 50 == 0)
+    val expect = train.flatMap { case (tid, ts) =>
+      val hits = bench.flatMap { case (bid, bs) =>
+        val inter = (ts & bs).size
+        val denom = ts.size + bs.size - inter
+        val j = if (denom == 0) 0.0 else inter.toDouble / denom
+        if (j >= 0.5) Some((bid, j)) else None
+      }
+      if (hits.isEmpty) None
+      else {
+        val best = hits.maxBy { case (bid, j) =>
+          (BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP), bid) }
+        Some((tid, best._1))
+      }
+    }.toMap
+    val got = Curation.decontaminateFuzzy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expect)
+    assertNoCartesian(Curation.decontaminateFuzzy(spark, sf))
+  }
 }
