@@ -30,7 +30,7 @@ object Bench {
     "doc_winnow", "doc_fingerprint", "text_shingles", "seq_pack",
     // corpus curation
     "decontaminate", "decontaminate_fuzzy", "doc_chunk",
-    "mixture_sample", "tfidf_topterms",
+    "mixture_sample", "mixture_upsample", "tfidf_topterms",
     // export/import round-trips + validation
     "xml_roundtrip", "csv_roundtrip", "xlsx_roundtrip", "jsonl_roundtrip",
     "nested_docs",

@@ -101,6 +101,7 @@ object SparkEntry {
     "tfidf_topterms" -> ((s, d) => Curation.tfidfTopterms(s, d)),
     "embedding_quantize" -> (Similarity.embeddingQuantize _),
     "decontaminate_fuzzy" -> ((s, d) => Curation.decontaminateFuzzy(s, d)),
+    "mixture_upsample" -> (Curation.upsampleMixture _),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -510,6 +511,21 @@ object SparkEntry {
                        (doc_id * 2654435761) % 4294967296 AS h
                      FROM documents))
          WHERE cum <= 1000 GROUP BY 1 ORDER BY 1""",
+    "mixture_upsample" ->
+      """SELECT source, count(DISTINCT doc_id) AS n_docs,
+          count(*) AS n_emitted,
+          CAST(sum(n_tok) AS BIGINT) AS tokens_emitted,
+          CAST(min((doc_id * 31 + epoch) * 2654435761 % 4294967296)
+               AS BIGINT) AS first_pos
+         FROM (SELECT doc_id, source,
+                 CAST(len(string_split_regex(trim(text), '\s+'))
+                   AS BIGINT) AS n_tok,
+                 unnest(range(1, CASE
+                   WHEN source IN ('src0', 'src1') THEN 3
+                   WHEN source IN ('src2', 'src3') THEN 2
+                   ELSE 1 END + 1)) AS epoch
+               FROM documents)
+         GROUP BY 1 ORDER BY 1""",
     "tfidf_topterms" ->
       """WITH t AS (SELECT doc_id,
                       unnest(string_split_regex(trim(lower(text)), '\s+'))

@@ -113,6 +113,12 @@ object Graft {
   def mixtureSample(docs: DataFrame, budgetTokens: Long): DataFrame =
     graft.operators.Curation.mixtureFrom(docs, budgetTokens)
 
+  /** Per-source epoch upsampling audit → (source, n_docs, n_emitted,
+    * tokens_emitted, first_pos). `docs` = (doc_id, source, text). */
+  def upsampleMixture(docs: DataFrame, epochsBySource: Map[String, Int],
+                      defaultEpochs: Int = 1): DataFrame =
+    graft.operators.Curation.upsampleFrom(docs, epochsBySource, defaultEpochs)
+
   /** Top-k TF-IDF terms per document → (doc_id, term, tf, df, score). */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame =
     graft.operators.Curation.tfidfFrom(docs, k)

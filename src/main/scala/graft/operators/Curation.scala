@@ -171,6 +171,50 @@ object Curation {
       .orderBy("source")
   }
 
+  /** §2 #78 — mixture UPSAMPLING: the other half of mixture curation —
+    * high-value sources are repeated for several epochs (weights > 1)
+    * while the rest pass through once. Emits each document
+    * `epochs(source)` times with an epoch index and a deterministic
+    * interleave position (so the training order is reproducible), and
+    * returns the per-source audit: docs in, rows emitted, tokens
+    * emitted, and the first interleave position (a witness that the
+    * emitted stream, not just arithmetic, was produced).
+    *
+    * Map-only explode (bounded by max epochs) + one hash agg — the
+    * explode multiplies rows BEFORE the aggregate's map-side partial,
+    * so nothing amplified ever shuffles. */
+  def upsampleMixture(spark: SparkSession, sfDir: String): DataFrame =
+    upsampleFrom(Tables.load(spark, sfDir, "documents"),
+      Map("src0" -> 3, "src1" -> 3, "src2" -> 2, "src3" -> 2))
+
+  /** Generic core: upsample ANY (doc_id, source, text) frame by
+    * per-source epoch counts (missing source → `defaultEpochs`). */
+  def upsampleFrom(docs: DataFrame, epochsBySource: Map[String, Int],
+                   defaultEpochs: Int = 1): DataFrame = {
+    require(defaultEpochs >= 1 && epochsBySource.values.forall(_ >= 1),
+      "epoch counts must be >= 1")
+    val epochs = epochsBySource.foldLeft(lit(defaultEpochs)) {
+      case (acc, (src, n)) => when(col("source") === src, lit(n)).otherwise(acc)
+    }
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        epochs.as("epochs"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        explode(sequence(lit(1), col("epochs"))).as("epoch"))
+      // deterministic interleave position: Knuth hash of (doc, epoch) —
+      // reproducible in any engine, spreads epochs of one doc apart
+      .withColumn("pos",
+        pmod((col("doc_id") * 31 + col("epoch")) * lit(2654435761L),
+          lit(4294967296L)))
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_emitted"),
+        sum("n_tok").as("tokens_emitted"),
+        min("pos").as("first_pos"))
+      .orderBy("source")
+  }
+
   /** §2 #74 — TF-IDF top terms per document (the classic corpus term
     * profile): tf = in-doc term count, df = docs containing the term,
     * score = tf · ln((N+1)/(df+1)), top `k` terms per doc by

@@ -128,4 +128,25 @@ class CurationSpec extends SparkSpec {
     assert(got == expect)
     assertNoCartesian(Curation.decontaminateFuzzy(spark, sf))
   }
+
+  test("mixture_upsample: per-source epoch multiplication is exact; positions deterministic") {
+    val src = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val weights = Map("src0" -> 3L, "src1" -> 3L, "src2" -> 2L, "src3" -> 2L)
+    val got = Curation.upsampleMixture(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    src.groupBy(_._2).foreach { case (source, docs) =>
+      val e = weights.getOrElse(source, 1L)
+      val (nDocs, nEmit, toks) = got(source)
+      assert(nDocs == docs.length.toLong)
+      assert(nEmit == docs.length * e, s"$source emitted")
+      assert(toks == docs.map(_._3).sum * e, s"$source tokens")
+    }
+    // deterministic: two runs agree exactly (positions included)
+    val again = Curation.upsampleMixture(spark, sf).collect().toSeq.map(_.toString)
+    assert(again == Curation.upsampleMixture(spark, sf).collect().toSeq.map(_.toString))
+  }
 }
