@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Left-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Left-fold dot product in double precision. Native codegen'd
+    * expression ([[DotProduct]]) — the composed
+    * `aggregate(zip_with(...))` form is CodegenFallback and ran
+    * interpreted once per ANN candidate pair; the arithmetic
+    * (per-element double casts, strict left fold) is unchanged, so
+    * every DuckDB `list_reduce` oracle still matches bit-for-bit. */
+  def dot(a: Column, b: Column): Column = DotProduct.dot(a, b)
 
   /** L2 norm (left-fold sum of squares). */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
