@@ -51,5 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_fp"),
       new ExpressionInfo(classOf[SimHashLong].getName, "simhash_fp"),
       exprs => SimHashLong(exprs.head, Dedup.SimHashBits)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName,
+        "dot_product"),
+      exprs => graft.functions.DotProduct(exprs.head, exprs(1))))
   }
 }

@@ -39,4 +39,15 @@ class CodegenSpec extends SparkSpec {
     assertCodegen("dedup_exact", Dedup.dedupExact(spark, sf))
     assertCodegen("dedup_simhash", Dedup.dedupSimhash(spark, sf))
   }
+
+  test("ANN scoring (dot product) stays inside whole-stage codegen") {
+    // the pair-scoring Project must be starred — aggregate/zip_with
+    // here would be a CodegenFallback on the hottest inner loop
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.dot(
+          col("embedding"), col("embedding")).as("d"))
+    assertCodegen("dot_product", e)
+  }
 }
