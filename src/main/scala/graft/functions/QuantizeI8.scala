@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.CatalystBridge
+import org.apache.spark.sql.types._
+
+/** int8 max-abs quantization summary of an `array<float>` embedding as
+  * ONE fused codegen'd expression:
+  * `struct(scale DOUBLE, checksum BIGINT, max_err DOUBLE, maxabs DOUBLE)`.
+  *
+  * The composed form (three aggregate/zip_with folds + a transform) is
+  * CodegenFallback — an interpreter wall on a full-corpus map at
+  * 100 TB. The kernel reproduces its arithmetic EXACTLY: per-element
+  * double casts, strict left-to-right folds, rounding half-away-from-
+  * zero (Spark's Round(HALF_UP) == DuckDB round), clamp to ±127 — so
+  * the DuckDB oracle is unchanged.
+  */
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("max_err", DoubleType, nullable = false),
+    StructField("maxabs", DoubleType, nullable = false)))
+
+  override def prettyName: String = "quantize_i8"
+
+  override protected def nullSafeEval(input: Any): Any =
+    QuantizeI8.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.QuantizeI8.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeI8 =
+    copy(child = newChild)
+}
+
+object QuantizeI8 {
+
+  /** Round half away from zero — Spark Round(HALF_UP) / DuckDB round. */
+  private def roundHalfAway(v: Double): Double =
+    if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
+
+  def compute(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(arr.getFloat(i).toDouble)
+      if (a > maxabs) maxabs = a
+      i += 1
+    }
+    val scale = if (maxabs > 0) 127.0 / maxabs else 1.0
+    var checksum = 0L
+    var maxErr = 0.0
+    i = 0
+    while (i < n) {
+      val x = arr.getFloat(i).toDouble
+      var q = roundHalfAway(x * scale)
+      if (q < -127.0) q = -127.0
+      if (q > 127.0) q = 127.0
+      val ql = q.toLong
+      checksum += ql * (i + 1)
+      val err = math.abs(x - ql.toDouble / scale)
+      if (err > maxErr) maxErr = err
+      i += 1
+    }
+    InternalRow(scale, checksum, maxErr, maxabs)
+  }
+
+  def quantize(emb: Column): Column =
+    CatalystBridge.column(QuantizeI8(CatalystBridge.expression(emb)))
+}

@@ -352,29 +352,18 @@ object Similarity {
   def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame =
     quantizeFrom(Tables.load(spark, sfDir, "embeddings"))
 
-  /** Generic core: quantize ANY (vec_id, embedding ARRAY<FLOAT>) frame. */
-  def quantizeFrom(embs: DataFrame): DataFrame = {
-    val x = col("embedding")
-    val maxabs = aggregate(x, lit(0.0),
-      (a, v) => greatest(a, abs(v.cast("double"))))
+  /** Generic core: quantize ANY (vec_id, embedding ARRAY<FLOAT>) frame.
+    * One fused codegen'd kernel per row ([[graft.functions.QuantizeI8]])
+    * — the composed aggregate/zip_with/transform form was an
+    * interpreter wall on a full-corpus map (CodegenSpec pins this). */
+  def quantizeFrom(embs: DataFrame): DataFrame =
     embs
-      .select(col("vec_id"), x, maxabs.as("maxabs"))
-      .withColumn("scale",
-        when(col("maxabs") > 0, lit(127.0) / col("maxabs")).otherwise(lit(1.0)))
-      .withColumn("q", transform(x, v =>
-        least(greatest(round(v.cast("double") * col("scale"), 0),
-          lit(-127.0)), lit(127.0)).cast("long")))
       .select(col("vec_id"),
-        round(col("scale"), 4).as("scale4"),
-        aggregate(
-          zip_with(col("q"), sequence(lit(1), size(col("q"))),
-            (qq, i) => qq * i.cast("long")),
-          lit(0L), (acc, v) => acc + v).as("checksum"),
-        round(aggregate(
-          zip_with(x, col("q"),
-            (xx, qq) => abs(xx.cast("double") - qq.cast("double") / col("scale"))),
-          lit(0.0), (acc, v) => greatest(acc, v)), 6).as("max_err6"),
-        round(col("maxabs"), 6).as("maxabs6"))
+        graft.functions.QuantizeI8.quantize(col("embedding")).as("qz"))
+      .select(col("vec_id"),
+        round(col("qz.scale"), 4).as("scale4"),
+        col("qz.checksum").as("checksum"),
+        round(col("qz.max_err"), 6).as("max_err6"),
+        round(col("qz.maxabs"), 6).as("maxabs6"))
       .orderBy("vec_id")
-  }
 }

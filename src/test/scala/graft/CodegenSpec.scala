@@ -49,5 +49,7 @@ class CodegenSpec extends SparkSpec {
         graft.functions.VectorFunctions.dot(
           col("embedding"), col("embedding")).as("d"))
     assertCodegen("dot_product", e)
+    assertCodegen("embedding_quantize",
+      graft.operators.Similarity.embeddingQuantize(spark, sf))
   }
 }
