@@ -28,6 +28,7 @@ object Bench {
     // text analysis
     "text_stats", "token_count", "lang_id", "quality_filter",
     "doc_winnow", "doc_fingerprint", "text_shingles", "seq_pack",
+    "ngram_lm",
     // corpus curation
     "decontaminate", "decontaminate_fuzzy", "doc_chunk",
     "mixture_sample", "mixture_upsample", "tfidf_topterms",

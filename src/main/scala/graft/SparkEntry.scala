@@ -102,6 +102,7 @@ object SparkEntry {
     "embedding_quantize" -> (Similarity.embeddingQuantize _),
     "decontaminate_fuzzy" -> ((s, d) => Curation.decontaminateFuzzy(s, d)),
     "mixture_upsample" -> (Curation.upsampleMixture _),
+    "ngram_lm" -> ((s, d) => TextAnalysis.ngramLm(s, d)),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -511,6 +512,18 @@ object SparkEntry {
                        (doc_id * 2654435761) % 4294967296 AS h
                      FROM documents))
          WHERE cum <= 1000 GROUP BY 1 ORDER BY 1""",
+    "ngram_lm" ->
+      """WITH w AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+                    FROM documents),
+          bg AS (SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+                               for i in range(1, len(w))]) AS s
+                 FROM w),
+          c AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS n
+                FROM bg GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT w1, w2, n, CAST(rk AS INTEGER) AS rk
+         FROM (SELECT *, row_number()
+                 OVER (PARTITION BY w1 ORDER BY n DESC, w2) AS rk FROM c)
+         WHERE rk <= 3 ORDER BY w1, rk""",
     "mixture_upsample" ->
       """SELECT source, count(DISTINCT doc_id) AS n_docs,
           count(*) AS n_emitted,

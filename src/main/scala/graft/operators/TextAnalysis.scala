@@ -186,6 +186,32 @@ object TextAnalysis {
       .orderBy("seq_id")
   }
 
+  /** §2 #79 — corpus BIGRAM model counts (the n-gram-LM table a
+    * data-quality pass builds): for each leading word, the top-3
+    * following words by count (count desc, word asc tie-break),
+    * restricted to bigrams seen ≥ `minCount` times. One explode + one
+    * hash agg + one per-word window; exchanges carry (w1, w2, count)
+    * triples only — raw text never shuffles. */
+  def ngramLm(spark: SparkSession, sfDir: String, k: Int = 3,
+              minCount: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = graft.functions.TextShingles.words(col("text"))
+    val bigrams = Tables.load(spark, sfDir, "documents")
+      .select(w.as("w"))
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val byCount = Window.partitionBy("w1")
+      .orderBy(col("n").desc, col("w2"))
+    counts.withColumn("rk", row_number().over(byCount))
+      .filter(col("rk") <= k)
+      .select(col("w1"), col("w2"), col("n"), col("rk"))
+      .orderBy("w1", "rk")
+  }
+
   /** §2 #32 — character 3-gram profile: distinct shingle count per doc. */
   def textShingles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")

@@ -87,4 +87,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.map(_._2).sum ==
       Tables.load(spark, sf, "documents").count())
   }
+
+  test("ngram_lm: top-3 next words by count with deterministic tie-break") {
+    val rows = TextAnalysis.ngramLm(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // brute force on the tiny SF
+    val words = Tables.load(spark, sf, "documents")
+      .select(graft.functions.TextShingles.words(col("text")).as("w"))
+      .collect().map(_.getSeq[String](0))
+    val counts = words.flatMap(w => w.zip(w.tail))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .filter(_._2 >= 5L)
+    val expect = counts.toSeq.map { case ((w1, w2), n) => (w1, w2, n) }
+      .groupBy(_._1).toSeq.flatMap { case (w1, g) =>
+        g.sortBy { case (_, w2, n) => (-n, w2) }.take(3).zipWithIndex
+          .map { case ((a, b, n), i) => (a, b, n, i + 1) }
+      }.sortBy(r => (r._1, r._4))
+    assert(rows.toSeq == expect)
+  }
 }
