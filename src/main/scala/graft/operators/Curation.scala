@@ -110,6 +110,10 @@ object Curation {
     require(stride > 0 && chunkSize >= stride,
       s"need 0 < stride <= chunkSize, got stride=$stride chunk=$chunkSize")
     docs
+      // empty text → zero chunks. Without the guard, Spark's
+      // sequence(0, -1) yields a DESCENDING [0, -1] — a latent
+      // divergence from the oracle's empty range(0, 0).
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         explode(expr(
           s"sequence(0, cast(floor((length(text) - 1) / $stride) as int))"))

@@ -44,6 +44,13 @@ class CurationSpec extends SparkSpec {
       }
       assert(sorted.length == (l - 1) / 150 + 1)
     }
+    // empty / sub-stride texts: zero chunks for "", one chunk otherwise
+    import spark.implicits._
+    val edge = Curation.chunkFrom(
+      Seq((1L, ""), (2L, "ab"), (3L, "x" * 150), (4L, "y" * 151))
+        .toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(edge.toSeq == Seq((2L, 0, 2), (3L, 0, 150), (4L, 0, 151), (4L, 1, 1)))
     // map-only: the only shuffle is the presentation sort's range
     // partitioning — no hash exchange (join/agg) anywhere
     val plan = planOf(Curation.docChunk(spark, sf))
