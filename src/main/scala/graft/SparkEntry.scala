@@ -103,6 +103,7 @@ object SparkEntry {
     "decontaminate_fuzzy" -> ((s, d) => Curation.decontaminateFuzzy(s, d)),
     "mixture_upsample" -> (Curation.upsampleMixture _),
     "ngram_lm" -> ((s, d) => TextAnalysis.ngramLm(s, d)),
+    "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -512,6 +513,40 @@ object SparkEntry {
                        (doc_id * 2654435761) % 4294967296 AS h
                      FROM documents))
          WHERE cum <= 1000 GROUP BY 1 ORDER BY 1""",
+    "dedup_incremental" ->
+      s"""${graft.functions.TextShingles.duckdbShingleCte},
+          hx AS (SELECT doc_id,
+                   sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                     AS h,
+                   doc_id % 10 >= 8 AS is_delta
+                 FROM documents),
+          ex AS (SELECT d.doc_id,
+                   (EXISTS (SELECT 1 FROM hx b
+                            WHERE NOT b.is_delta AND b.h = d.h)
+                    OR EXISTS (SELECT 1 FROM hx p
+                               WHERE p.is_delta AND p.h = d.h
+                                 AND p.doc_id < d.doc_id)) AS exact_dropped
+                 FROM hx d WHERE d.is_delta),
+          pairs AS (SELECT p.doc_id AS id_a, c.doc_id AS id_b
+                    FROM sh p JOIN sh c
+                      ON p.doc_id % 10 >= 8 AND p.doc_id <> c.doc_id
+                    WHERE CAST(len(list_intersect(p.s, c.s)) AS DOUBLE)
+                      / (len(p.s) + len(c.s) - len(list_intersect(p.s, c.s)))
+                      >= 0.5),
+          nb AS (SELECT DISTINCT id_a AS doc_id FROM pairs
+                 WHERE id_b % 10 < 8),
+          nd AS (SELECT DISTINCT p.id_a AS doc_id
+                 FROM pairs p JOIN ex e ON e.doc_id = p.id_b
+                 WHERE p.id_b % 10 >= 8 AND p.id_b < p.id_a
+                   AND NOT e.exact_dropped)
+         SELECT ex.doc_id,
+           CASE WHEN ex.exact_dropped THEN 'exact'
+                WHEN nb.doc_id IS NOT NULL OR nd.doc_id IS NOT NULL
+                  THEN 'near'
+                ELSE 'kept' END AS decision
+         FROM ex LEFT JOIN nb ON nb.doc_id = ex.doc_id
+                 LEFT JOIN nd ON nd.doc_id = ex.doc_id
+         ORDER BY ex.doc_id""",
     "ngram_lm" ->
       """WITH w AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
                     FROM documents),

@@ -88,6 +88,14 @@ object Graft {
   def dedupCorpus(docs: DataFrame, tau: Double = 0.3): DataFrame =
     graft.operators.Dedup.dedupCorpusKept(docs, tau)
 
+  /** Incremental dedup: per delta doc, 'exact' / 'near' / 'kept'
+    * against the base corpus and earlier delta docs. Pair-generation
+    * cost is proportional to the delta, not the base. Both frames are
+    * (doc_id LONG, text STRING) with disjoint ids. */
+  def dedupIncremental(base: DataFrame, delta: DataFrame,
+                       tau: Double = 0.5): DataFrame =
+    graft.operators.Dedup.incrementalFrom(base, delta, tau)
+
   // --------------------------------------------------- corpus curation
 
   /** Training docs sharing any distinct `n`-word gram with the

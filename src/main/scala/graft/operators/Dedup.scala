@@ -144,6 +144,42 @@ object Dedup {
     verifyPairs(pairs, hashed, tau)
   }
 
+  /** Two-frame variant of the exact set-similarity join: every pair
+    * (p, c) with p ∈ probe, c ∈ corpus, p ≠ c, Jaccard ≥ tau. The
+    * prefix-filter theorem holds for ANY pair under one global token
+    * order (computed over `corpus`, which must be a superset of
+    * `probe`), so joining probe-prefixes × corpus-prefixes finds every
+    * qualifying pair that touches the probe set — corpus×corpus pairs
+    * NEVER materialize, which is what makes incremental dedup probe
+    * cost proportional to the delta, not the history. */
+  private[graft] def crossPairsFrom(probe: DataFrame, corpus: DataFrame,
+                                    tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = corpus.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("tok"))
+      .select(col("doc_id"), col("n"), xxhash64(col("tok")).as("tok_h"))
+    val tokFreq = toks.groupBy("tok_h").agg(count(lit(1)).as("freq"))
+    val byRarity = Window.partitionBy("doc_id").orderBy("freq", "tok_h")
+    val prefixes = toks.join(tokFreq, "tok_h")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      .select(col("tok_h"), col("doc_id"), col("n"))
+    val probeIds = probe.select(col("doc_id").as("id_p"))
+    val p = prefixes.join(probeIds,
+        prefixes("doc_id") === probeIds("id_p"))
+      .select(col("tok_h"), col("id_p"), col("n").as("np"))
+    val c = prefixes.select(col("tok_h"), col("doc_id").as("id_c"),
+      col("n").as("nc"))
+    val pairs = p.join(c, Seq("tok_h"))
+      .filter(col("id_p") =!= col("id_c")
+        && col("nc") >= ceil(lit(tau) * col("np"))
+        && col("np") >= ceil(lit(tau) * col("nc")))
+      .select(col("id_p").as("id_a"), col("id_c").as("id_b")).distinct()
+    val hashed = corpus.select(col("doc_id"),
+      transform(col("sh"), s => xxhash64(s)).as("sh"))
+    verifyPairs(pairs, hashed, tau)
+  }
+
   /** SimHash geometry: 54-bit fingerprint (the usable width of the
     * cross-engine Karp-Rabin base hash), 6 bands × 9 bits. */
   private[graft] val SimHashBits = 54
@@ -374,6 +410,81 @@ object Dedup {
     clustersFromPairs(survivors.select("doc_id"), pairs, maxIters = 20)
       .filter(col("is_canonical"))
       .select("doc_id")
+  }
+
+  /** §2 #80 — INCREMENTAL dedup: the production shape — a daily delta
+    * batch deduped against the accumulated base corpus without ever
+    * re-pairing the base with itself. Per delta document:
+    *   'exact' — its normalized content hash appears in the base or in
+    *             a smaller-id delta doc;
+    *   'near'  — otherwise, its shingle Jaccard reaches `tau` against
+    *             any base doc or any smaller-id exact-surviving delta
+    *             doc (pairwise rule, deliberately non-transitive so the
+    *             decision is order-free and oracle-replayable);
+    *   'kept'  — neither.
+    * The %-slice stands in for the delta batch in the driver query.
+    *
+    * Scale shape: exact = one hash join against the base hash index;
+    * near = [[crossPairsFrom]], whose probe side is the DELTA prefixes
+    * only — pair-generation cost is proportional to the increment, not
+    * the history. */
+  def dedupIncremental(spark: SparkSession, sfDir: String,
+                       tau: Double = 0.5, mod: Int = 10,
+                       deltaFrom: Int = 8): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val isDelta = col("doc_id") % mod >= deltaFrom
+    incrementalFrom(docs.filter(!isDelta), docs.filter(isDelta), tau)
+  }
+
+  /** Generic core: dedup ANY delta (doc_id, text) frame against ANY
+    * base frame (disjoint doc_ids). Returns (doc_id, decision). */
+  def incrementalFrom(base: DataFrame, delta: DataFrame,
+                      tau: Double = 0.5): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    def hashes(df: DataFrame) =
+      df.select(col("doc_id"), sha2(norm.cast("binary"), 256).as("h"))
+    val baseH = hashes(base).select(col("h")).distinct()
+      .withColumn("in_base", lit(true))
+    val deltaH = hashes(delta)
+    val minDelta = deltaH.groupBy("h").agg(min("doc_id").as("min_delta_id"))
+    val exact = deltaH
+      .join(baseH, Seq("h"), "left")
+      .join(minDelta, Seq("h"))
+      .select(col("doc_id"),
+        (coalesce(col("in_base"), lit(false))
+          || col("min_delta_id") < col("doc_id")).as("exact_dropped"))
+
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      graft.functions.TextShingles.shingles3(
+        graft.functions.TextShingles.words(col("text"))).as("sh"))
+    val corpus = sh(base).unionByName(sh(delta))
+    // id_a ∈ delta for every pair; id_b ranges over base ∪ delta
+    val pairs = crossPairsFrom(sh(delta), corpus, tau)
+      .select("id_a", "id_b")
+    val bTag = delta.select(col("doc_id").as("id_b"))
+      .withColumn("b_is_delta", lit(true))
+    val tagged = pairs.join(bTag, Seq("id_b"), "left")
+      .withColumn("b_is_delta", coalesce(col("b_is_delta"), lit(false)))
+    val nearBase = tagged.filter(!col("b_is_delta"))
+      .select(col("id_a").as("doc_id")).distinct()
+      .withColumn("near_base", lit(true))
+    val nearDelta = tagged
+      .filter(col("b_is_delta") && col("id_b") < col("id_a"))
+      .join(exact.select(col("doc_id").as("id_b"),
+        col("exact_dropped").as("b_exact")), Seq("id_b"))
+      .filter(!col("b_exact"))
+      .select(col("id_a").as("doc_id")).distinct()
+      .withColumn("near_delta", lit(true))
+
+    exact
+      .join(nearBase, Seq("doc_id"), "left")
+      .join(nearDelta, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_dropped"), lit("exact"))
+          .when(coalesce(col("near_base"), lit(false))
+            || coalesce(col("near_delta"), lit(false)), lit("near"))
+          .otherwise(lit("kept")).as("decision"))
+      .orderBy("doc_id")
   }
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets. */

@@ -170,4 +170,30 @@ class DedupSpec extends SparkSpec {
     val r = df.filter(col("doc_id") === 0).collect().head
     assert(r.getAs[Int]("width") == (r.getAs[Long]("n_bytes") % 640).toInt)
   }
+
+  test("dedup_incremental: exact vs base, exact within delta, near rules; probe-side pairs only") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, (1 to 40).map(i => s"b$i").mkString(" ")),
+      (2L, "some other corpus text entirely here")).toDF("doc_id", "text")
+    val nearOfBase = (1 to 40).map(i => if (i == 40) "zz" else s"b$i").mkString(" ")
+    val fresh = (1 to 40).map(i => s"f$i").mkString(" ")
+    val freshNear = (1 to 40).map(i => if (i == 39) "qq" else s"f$i").mkString(" ")
+    val delta = Seq(
+      (10L, (1 to 40).map(i => s"b$i").mkString(" ")),  // exact dup of base 1
+      (11L, nearOfBase),                                 // near-dup of base 1
+      (12L, fresh),                                      // kept
+      (13L, fresh),                                      // exact dup of delta 12
+      (14L, freshNear)                                   // near-dup of kept delta 12
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalFrom(base, delta, tau = 0.5).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(10L -> "exact", 11L -> "near", 12L -> "kept",
+      13L -> "exact", 14L -> "near"), got.toString)
+    // real data: every delta doc gets exactly one decision
+    val real = Dedup.dedupIncremental(spark, sf).collect()
+    assert(real.length ==
+      Tables.load(spark, sf, "documents").filter(col("doc_id") % 10 >= 8).count())
+    assert(real.map(_.getString(1)).forall(Set("kept", "exact", "near")))
+  }
 }
