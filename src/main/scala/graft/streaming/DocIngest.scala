@@ -56,4 +56,32 @@ object DocIngest {
       .dropDuplicatesWithinWatermark("h")
       .select("doc_id", "h", "n_words", "quality")
   }
+
+  /** Streaming DECONTAMINATION: arriving documents checked against the
+    * (static, small) benchmark gram set — the stream-static twin of the
+    * batch decontaminate operator. Emits (doc_id, n_hit_grams) per
+    * contaminated arriving doc.
+    *
+    * STATELESS by construction, so append mode needs no watermark: the
+    * benchmark grams collapse to a single broadcast array row
+    * (stream-static inner join), and each arriving doc counts its
+    * distinct-gram overlap with one `array_intersect` — no streaming
+    * aggregation, no state store. Same distinct-gram-count semantics as
+    * the batch operator (wordShingles is per-doc distinct). */
+  def contaminated(docs: DataFrame, bench: DataFrame, n: Int = 4): DataFrame = {
+    import graft.functions.{TextShingles, WordShinglesExpr}
+    val benchArr = bench.select(
+      explode(WordShinglesExpr.wordShingles(
+        TextShingles.words(col("text")), n)).as("gram")).distinct()
+      .agg(collect_set("gram").as("bench_grams"))
+    docs
+      .select(col("doc_id"),
+        WordShinglesExpr.wordShingles(
+          TextShingles.words(col("text")), n).as("grams"))
+      .join(broadcast(benchArr), lit(true), "inner")
+      .select(col("doc_id"),
+        size(array_intersect(col("grams"), col("bench_grams")))
+          .as("n_hit_grams"))
+      .filter(col("n_hit_grams") > 0)
+  }
 }

@@ -190,4 +190,22 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), (r.getLong(2), r.getDouble(3)))).toMap
     gotByDoc.foreach { case (id, v) => assert(batchQ(id) == v, s"doc $id") }
   }
+
+  test("streaming decontamination equals the batch operator (stateless append)") {
+    import graft.streaming.DocIngest
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf, "documents")
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val stream = DocIngest.readDocStream(spark, sf)
+      .filter(col("doc_id") % 50 =!= 0)
+    val q = DocIngest.contaminated(stream, bench)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_decontam").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_decontam").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    val batch = graft.operators.Curation.decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == batch, s"stream=$got batch=$batch")
+  }
 }
