@@ -104,6 +104,7 @@ object SparkEntry {
     "mixture_upsample" -> (Curation.upsampleMixture _),
     "ngram_lm" -> ((s, d) => TextAnalysis.ngramLm(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
+    "schema_diff" -> (Maintenance.schemaDiff _),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -547,6 +548,10 @@ object SparkEntry {
          FROM ex LEFT JOIN nb ON nb.doc_id = ex.doc_id
                  LEFT JOIN nd ON nd.doc_id = ex.doc_id
          ORDER BY ex.doc_id""",
+    "schema_diff" ->
+      """SELECT * FROM (VALUES
+           ('o_channel', 'added', CAST(NULL AS VARCHAR), 'string'))
+         AS t(col_name, change, v1_type, v2_type) ORDER BY col_name""",
     "ngram_lm" ->
       """WITH w AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
                     FROM documents),

@@ -151,7 +151,11 @@ object Dedup {
     * `probe`), so joining probe-prefixes × corpus-prefixes finds every
     * qualifying pair that touches the probe set — corpus×corpus pairs
     * NEVER materialize, which is what makes incremental dedup probe
-    * cost proportional to the delta, not the history. */
+    * cost proportional to the delta, not the history. (At deployment
+    * scale the corpus-side token frequencies and prefixes are computed
+    * once per base version and PERSISTED — a daily delta then pays only
+    * its own prefix build plus the equi-join; the plan shape below is
+    * unchanged, the corpus legs just read from storage.) */
   private[graft] def crossPairsFrom(probe: DataFrame, corpus: DataFrame,
                                     tau: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -59,6 +59,39 @@ object Maintenance {
       .orderBy("channel")
   }
 
+  /** §2 #82 — SCHEMA DIFF between two package snapshots: the
+    * pre-import validation a migration run does before applying a new
+    * package version — added / removed / retyped columns, as data (so
+    * the check composes with import_errors instead of being a log
+    * line). Reuses the schemaEvolution v1/v2 snapshot dirs; pure
+    * metadata — the parquet FOOTERS are read, never the data. */
+  def schemaDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    schemaEvolution(spark, sfDir).count() // ensure snapshots exist
+    val v1 = spark.read.parquet(ExportImport.scratch("evo-v1")).schema
+    val v2 = spark.read.parquet(ExportImport.scratch("evo-v2")).schema
+    diffSchemas(spark, v1, v2)
+  }
+
+  /** Generic core: column-level diff of two StructTypes as a DataFrame
+    * (col_name, change ∈ added|removed|retyped, v1_type, v2_type). */
+  def diffSchemas(spark: SparkSession,
+                  v1: org.apache.spark.sql.types.StructType,
+                  v2: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    val m1 = v1.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val m2 = v2.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows =
+      (m2.keySet -- m1.keySet).toSeq.sorted.map(c =>
+        (c, "added", null: String, m2(c))) ++
+      (m1.keySet -- m2.keySet).toSeq.sorted.map(c =>
+        (c, "removed", m1(c), null: String)) ++
+      (m1.keySet & m2.keySet).toSeq.sorted
+        .filter(c => m1(c) != m2(c))
+        .map(c => (c, "retyped", m1(c), m2(c)))
+    rows.toDF("col_name", "change", "v1_type", "v2_type")
+      .orderBy("col_name")
+  }
+
   val schemaEvolutionOracle: String =
     """SELECT channel, count(*) AS n,
         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)

@@ -29,4 +29,21 @@ class MaintenanceSpec extends SparkSpec {
     assert(rows("web") == keys.count(k => k % 2 != 0 && k % 3 == 0))
     assert(rows("store") == keys.count(k => k % 2 != 0 && k % 3 != 0))
   }
+
+  test("schema_diff: added/removed/retyped columns surface as data") {
+    import org.apache.spark.sql.types._
+    val v1 = StructType(Seq(StructField("k", LongType),
+      StructField("gone", StringType), StructField("t", IntegerType)))
+    val v2 = StructType(Seq(StructField("k", LongType),
+      StructField("fresh", DoubleType), StructField("t", LongType)))
+    val d = Maintenance.diffSchemas(spark, v1, v2).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3))))
+    assert(d.toSeq == Seq(
+      ("fresh", "added", None, Some("double")),
+      ("gone", "removed", Some("string"), None),
+      ("t", "retyped", Some("int"), Some("bigint"))))
+    // identical schemas diff to zero rows
+    assert(Maintenance.diffSchemas(spark, v1, v1).count() == 0)
+  }
 }
