@@ -78,10 +78,18 @@ object Quality {
     histogram(Tables.load(spark, sfDir, "events")
       .select(cents(col("value")).as("v_c")), "v_c", binWidth)
 
-  /** Generic core: rows/nulls/distinct/min/max per column for ANY frame,
-    * in ONE pass (a single multi-aggregate stacked into rows). Min/max
-    * surface as engine-stable text: doubles as exact cents, timestamps
-    * as formatted seconds, everything else as its string cast. */
+  /** Generic core: rows/nulls/distinct/min/max per column for ANY frame
+    * — one aggregate LEG per column, unioned (one job). Min/max surface
+    * as engine-stable text: doubles as exact cents, timestamps as
+    * formatted seconds, everything else as its string cast.
+    *
+    * Plan shape: the previous single wide aggregate with six
+    * `countDistinct`s planned an Expand that amplified every input row
+    * 6× through the exchange — measured 10× slower than this union of
+    * per-column legs, whose scans are column-PRUNED (each leg reads one
+    * parquet column, so total I/O equals the one-pass scan) and whose
+    * distinct pre-aggregations dedup map-side per column. Same shape
+    * the DuckDB oracle uses. */
   def profile(df: DataFrame): DataFrame = {
     def txt(c: String): (Column, Column) =
       df.schema(c).dataType match {
@@ -94,22 +102,16 @@ object Quality {
         case _ =>
           (min(col(c)).cast("string"), max(col(c)).cast("string"))
       }
-    val cols = df.columns.toSeq
-    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+    df.columns.toSeq.map { c =>
       val (mn, mx) = txt(c)
-      Seq(
-        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__nd"),
-        mn.as(s"${c}__mn"), mx.as(s"${c}__mx"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map { c =>
-      s"'$c', ${c}__nulls, ${c}__nd, ${c}__mn, ${c}__mx"
-    }.mkString(", ")
-    one.selectExpr("n_rows",
-        s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_txt, max_txt)")
-      .select(col("col_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_txt"), col("max_txt"))
+      df.select(col(c)).agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col(c).isNull, 1)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        mn.as("min_txt"), mx.as("max_txt"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_txt"), col("max_txt"))
+    }.reduce(_ unionByName _)
       .orderBy("col_name")
   }
 

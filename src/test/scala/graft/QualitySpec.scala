@@ -37,7 +37,7 @@ class QualitySpec extends SparkSpec {
     }
   }
 
-  test("profile_table: one row per column, exact counts, single-pass plan") {
+  test("profile_table: one row per column, exact counts, pruned per-column legs") {
     val rows = Quality.profileTable(spark, sf).collect()
     assert(rows.length == 6)
     val n = Tables.load(spark, sf, "orders").count()
@@ -48,9 +48,13 @@ class QualitySpec extends SparkSpec {
     }
     val status = rows.find(_.getString(0) == "o_orderstatus").get
     assert(status.getAs[Long]("n_distinct") <= 3)
-    // single pass: exactly one parquet scan in the (AQE-final) plan
+    // one leg per column, each scan PRUNED to its single column (total
+    // I/O = the one-pass scan, without the 6x distinct-Expand blowup)
     val plan = planOf(Quality.profileTable(spark, sf))
       .split("== Initial Plan ==").head
-    assert(plan.split("Scan parquet").length - 1 == 1, plan)
+    assert(plan.split("Scan parquet").length - 1 == 6, plan)
+    assert(!plan.contains("Expand"), s"no distinct-expand:\n$plan")
+    assert("ReadSchema: struct<o_orderkey:bigint>".r
+      .findAllIn(plan).length == 1, plan)
   }
 }
