@@ -152,7 +152,9 @@ object Graft {
   def histogram(df: DataFrame, valueCol: String, binWidth: Long): DataFrame =
     graft.operators.Quality.histogram(df, valueCol, binWidth)
 
-  /** Rows/nulls/distinct/min/max per column, in one pass. */
+  /** Rows/nulls/distinct/min/max per column (one pruned aggregate leg
+    * per column, one job). Persist `df` first if it is the result of
+    * an expensive computation — each leg re-evaluates the input plan. */
   def profile(df: DataFrame): DataFrame =
     graft.operators.Quality.profile(df)
 

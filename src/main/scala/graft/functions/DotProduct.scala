@@ -51,10 +51,18 @@ object DotProduct {
 
   /** Strict left fold in double precision (the cross-engine contract).
     * `aFloat`/`bFloat` select the element accessor; the per-element
-    * value is the same double the old zip_with cast produced. */
+    * value is the same double the old zip_with cast produced.
+    *
+    * Contract: equal-length vectors of NON-NULL elements (every graft
+    * embedding column). Ragged inputs fail LOUDLY — the replaced
+    * zip_with form returned a silent NULL there, and a null-element
+    * slot would read as 0; a thrown mismatch beats both. */
   def compute(a: ArrayData, b: ArrayData,
               aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product: vector lengths differ ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -21,6 +21,15 @@ import org.apache.spark.sql.types._
   */
 case class QuantizeI8(child: Expression) extends UnaryExpression {
 
+  // validate at plan time, not per row: getFloat on a double array
+  // would silently reinterpret bytes into garbage
+  private lazy val elemFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"quantize_i8 needs array<float|double>, got $t")
+  }
+
   override def dataType: DataType = StructType(Seq(
     StructField("scale", DoubleType, nullable = false),
     StructField("checksum", LongType, nullable = false),
@@ -30,11 +39,11 @@ case class QuantizeI8(child: Expression) extends UnaryExpression {
   override def prettyName: String = "quantize_i8"
 
   override protected def nullSafeEval(input: Any): Any =
-    QuantizeI8.compute(input.asInstanceOf[ArrayData])
+    QuantizeI8.compute(input.asInstanceOf[ArrayData], elemFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.QuantizeI8.compute($c);")
+      s"${ev.value} = graft.functions.QuantizeI8.compute($c, $elemFloat);")
 
   override protected def withNewChildInternal(newChild: Expression): QuantizeI8 =
     copy(child = newChild)
@@ -46,12 +55,14 @@ object QuantizeI8 {
   private def roundHalfAway(v: Double): Double =
     if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
 
-  def compute(arr: ArrayData): InternalRow = {
+  def compute(arr: ArrayData, elemFloat: Boolean): InternalRow = {
     val n = arr.numElements()
+    def at(i: Int): Double =
+      if (elemFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
     var maxabs = 0.0
     var i = 0
     while (i < n) {
-      val a = math.abs(arr.getFloat(i).toDouble)
+      val a = math.abs(at(i))
       if (a > maxabs) maxabs = a
       i += 1
     }
@@ -60,7 +71,7 @@ object QuantizeI8 {
     var maxErr = 0.0
     i = 0
     while (i < n) {
-      val x = arr.getFloat(i).toDouble
+      val x = at(i)
       var q = roundHalfAway(x * scale)
       if (q < -127.0) q = -127.0
       if (q > 127.0) q = 127.0

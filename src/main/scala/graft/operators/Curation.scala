@@ -69,24 +69,25 @@ object Curation {
   }
 
   /** Generic core: near-dup contamination of ANY train corpus against
-    * ANY benchmark corpus (both (doc_id, text)). Requires the two id
-    * spaces to be disjoint (checked cheaply via the pair side-tags). */
+    * ANY benchmark corpus (both (doc_id, text)), non-negative ids.
+    * The benchmark side (orders of magnitude smaller) is the PROBE of
+    * the asymmetric prefix join [[Dedup.crossPairsFrom]], so only
+    * bench×(train ∪ bench) candidates ever materialize — train×train
+    * pairs, the bulk of a naive self-join, are never generated. */
   def decontaminateFuzzyFrom(train: DataFrame, bench: DataFrame,
                              tau: Double = 0.5): DataFrame = {
     def sh(df: DataFrame) = df.select(col("doc_id"),
       TextShingles.shingles3(TextShingles.words(col("text"))).as("sh"))
-    // side-tagged union: bench ids are negated so one prefix join serves
-    // both corpora and the side of each pair member stays readable
-    val tagged = sh(train)
-      .unionByName(sh(bench).select((-col("doc_id") - 1).as("doc_id"),
-        col("sh")))
-    Dedup.dedupNgramExactjoinFrom(tagged, tau)
-      // a (train, bench) pair has exactly one negative member
-      .filter((col("id_a") < 0) =!= (col("id_b") < 0))
-      .select(
-        greatest(col("id_a"), col("id_b")).as("doc_id"),
-        (-least(col("id_a"), col("id_b")) - 1).as("bench_id"),
-        col("j4"))
+    // bench ids negated: one corpus-wide token order serves both sides
+    // and the side of each pair member stays readable from its sign
+    val benchTagged = sh(bench)
+      .select((-col("doc_id") - 1).as("doc_id"), col("sh"))
+    val corpus = sh(train).unionByName(benchTagged)
+    Dedup.crossPairsFrom(benchTagged, corpus, tau)
+      // id_a ∈ bench (negative); keep train partners only
+      .filter(col("id_b") >= 0)
+      .select(col("id_b").as("doc_id"),
+        (-col("id_a") - 1).as("bench_id"), col("j4"))
       .groupBy("doc_id")
       .agg(max(struct(col("j4"), col("bench_id"))).as("best"))
       .select(col("doc_id"), col("best.bench_id").as("best_bench_id"),

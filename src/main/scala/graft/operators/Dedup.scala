@@ -447,16 +447,24 @@ object Dedup {
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
     def hashes(df: DataFrame) =
       df.select(col("doc_id"), sha2(norm.cast("binary"), 256).as("h"))
-    val baseH = hashes(base).select(col("h")).distinct()
+    // SQL null-equality semantics, matching the oracle's EXISTS: a null
+    // hash (null text) matches NOTHING — it must neither join-drop the
+    // doc from the output (left joins below) nor let two null-text
+    // delta docs "exact-match" each other (null h excluded from the
+    // min-delta index)
+    val baseH = hashes(base).filter(col("h").isNotNull)
+      .select(col("h")).distinct()
       .withColumn("in_base", lit(true))
     val deltaH = hashes(delta)
-    val minDelta = deltaH.groupBy("h").agg(min("doc_id").as("min_delta_id"))
+    val minDelta = deltaH.filter(col("h").isNotNull)
+      .groupBy("h").agg(min("doc_id").as("min_delta_id"))
     val exact = deltaH
       .join(baseH, Seq("h"), "left")
-      .join(minDelta, Seq("h"))
+      .join(minDelta, Seq("h"), "left")
       .select(col("doc_id"),
         (coalesce(col("in_base"), lit(false))
-          || col("min_delta_id") < col("doc_id")).as("exact_dropped"))
+          || coalesce(col("min_delta_id") < col("doc_id"), lit(false)))
+          .as("exact_dropped"))
 
     def sh(df: DataFrame) = df.select(col("doc_id"),
       graft.functions.TextShingles.shingles3(

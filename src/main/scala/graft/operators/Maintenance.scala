@@ -66,7 +66,9 @@ object Maintenance {
     * line). Reuses the schemaEvolution v1/v2 snapshot dirs; pure
     * metadata — the parquet FOOTERS are read, never the data. */
   def schemaDiff(spark: SparkSession, sfDir: String): DataFrame = {
-    schemaEvolution(spark, sfDir).count() // ensure snapshots exist
+    // the snapshot writes inside schemaEvolution are EAGER (write is an
+    // action); the returned frame is lazy and can be dropped unexecuted
+    schemaEvolution(spark, sfDir)
     val v1 = spark.read.parquet(ExportImport.scratch("evo-v1")).schema
     val v2 = spark.read.parquet(ExportImport.scratch("evo-v2")).schema
     diffSchemas(spark, v1, v2)

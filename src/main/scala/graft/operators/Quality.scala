@@ -89,7 +89,12 @@ object Quality {
     * per-column legs, whose scans are column-PRUNED (each leg reads one
     * parquet column, so total I/O equals the one-pass scan) and whose
     * distinct pre-aggregations dedup map-side per column. Same shape
-    * the DuckDB oracle uses. */
+    * the DuckDB oracle uses.
+    *
+    * Caveat for DERIVED frames: each leg re-evaluates the input plan,
+    * and the pruning argument only holds for columnar sources — when
+    * profiling the result of an expensive join/aggregation, persist it
+    * first (one materialization, then N cache reads). */
   def profile(df: DataFrame): DataFrame = {
     def txt(c: String): (Column, Column) =
       df.schema(c).dataType match {

@@ -162,6 +162,12 @@ object TextAnalysis {
     // deterministic contiguous buckets: equal-width doc_id ranges
     val Array(bounds) = toks.agg(min("doc_id").cast("long"),
       max("doc_id").cast("long")).collect()
+    // empty input → empty packing (min/max aggregate to null)
+    if (bounds.isNullAt(0))
+      return toks.sparkSession.emptyDataFrame
+        .select(lit(0L).as("seq_id"), lit(0L).as("n_docs"),
+          lit(0L).as("sum_tokens"), lit(0L).as("first_doc"),
+          lit(0L).as("last_doc"))
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(hi - lo + 1L, 1L)
     val bucket = ((col("doc_id").cast("long") - lit(lo)) * nRanges / span)
@@ -198,6 +204,10 @@ object TextAnalysis {
     val w = graft.functions.TextShingles.words(col("text"))
     val bigrams = Tables.load(spark, sfDir, "documents")
       .select(w.as("w"))
+      // single-token docs: sequence(1, 0) would DESCEND to [1, 0] and
+      // emit null bigrams the oracle's empty range never produces —
+      // same trap as chunkFrom's empty-text guard
+      .filter(size(col("w")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
         .as("bg"))

@@ -195,5 +195,13 @@ class DedupSpec extends SparkSpec {
     assert(real.length ==
       Tables.load(spark, sf, "documents").filter(col("doc_id") % 10 >= 8).count())
     assert(real.map(_.getString(1)).forall(Set("kept", "exact", "near")))
+    // null-text delta docs follow SQL null semantics: never exact-match
+    // anything (not even each other), surface as their own decision row
+    val nb = Seq((1L, "regular base document text here")).toDF("doc_id", "text")
+    val nd = Seq((10L, null.asInstanceOf[String]),
+      (11L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val nullGot = Dedup.incrementalFrom(nb, nd).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(nullGot == Map(10L -> "kept", 11L -> "kept"), nullGot.toString)
   }
 }

@@ -105,4 +105,19 @@ class TextAnalysisSpec extends SparkSpec {
       }.sortBy(r => (r._1, r._4))
     assert(rows.toSeq == expect)
   }
+
+  test("seq_pack: empty input packs to zero sequences, not an NPE") {
+    import spark.implicits._
+    val empty = Tables.load(spark, sf, "documents").filter(col("doc_id") < 0)
+    // route through the operator on a filtered-to-empty corpus
+    val before = TextAnalysis.seqPack(spark, sf).count()
+    assert(before > 0)
+    // direct empty-frame path: build a view-equivalent via the same SF
+    // dir but an always-false pushdown filter
+    val dirWithNoDocs = java.nio.file.Files
+      .createTempDirectory("graft-empty-docs").toString
+    empty.write.mode("overwrite")
+      .parquet(s"$dirWithNoDocs/documents.parquet")
+    assert(TextAnalysis.seqPack(spark, dirWithNoDocs).count() == 0)
+  }
 }
