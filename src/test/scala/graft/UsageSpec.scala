@@ -111,4 +111,32 @@ class UsageSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(tfidf == Map(1L -> "x", 2L -> "z")) // rare repeated term wins
   }
+
+  test("facade: round-4 curation/similarity entry points on arbitrary frames") {
+    val base = Seq((1L, (1 to 30).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, (1 to 30).map(i => s"b$i").mkString(" ")),
+      (11L, "completely unrelated fresh words")).toDF("doc_id", "text")
+    val inc = Graft.dedupIncremental(base, delta).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(inc == Map(10L -> "exact", 11L -> "kept"))
+
+    val fuzzy = Graft.decontaminateFuzzy(
+      Seq((1L, (1 to 30).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text"),
+      Seq((5L, (1 to 30).map(i => if (i == 30) "x" else s"w$i").mkString(" ")))
+        .toDF("doc_id", "text")).collect()
+    assert(fuzzy.length == 1 && fuzzy.head.getLong(0) == 1L
+      && fuzzy.head.getLong(1) == 5L)
+
+    val up = Graft.upsampleMixture(
+      Seq((1L, "a", "t t t"), (2L, "b", "u u")).toDF("doc_id", "source", "text"),
+      Map("a" -> 2)).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+    assert(up == Set(("a", 2L, 6L), ("b", 1L, 2L)))
+
+    val qz = Graft.quantizeEmbeddings(
+      Seq((7L, Array(0.5f, -1.0f, 0.25f))).toDF("vec_id", "embedding"))
+      .collect().head
+    assert(qz.getDouble(1) == 127.0 && qz.getDouble(4) == 1.0)
+  }
 }
