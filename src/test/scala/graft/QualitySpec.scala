@@ -57,4 +57,17 @@ class QualitySpec extends SparkSpec {
     assert("ReadSchema: struct<o_orderkey:bigint>".r
       .findAllIn(plan).length == 1, plan)
   }
+
+  test("profileApprox: HLL estimates within rsd bounds of the exact profile") {
+    val exact = Quality.profile(Tables.load(spark, sf, "orders")).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = Quality.profileApprox(Tables.load(spark, sf, "orders"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (c, est) =>
+      val e = exact(c).toDouble
+      assert(math.abs(est - e) <= math.max(3, e * 0.15),
+        s"$c: est $est vs exact $e")
+    }
+  }
 }
