@@ -42,6 +42,16 @@ for name, sql in sorted(oracle.items()):
             tuple(norm(v) for _, v in sorted(zip(got.columns, r)))
             for r in got.fetchall())
         exp = con.sql(sql)
+        # HUGEINT survives fetchall() as int (so this script would pass)
+        # but becomes float64 through pandas/pyarrow — the driver-side
+        # comparator then hashes "5.0" vs "5". Fail loudly here instead.
+        hugeint = [c for c, t in zip(exp.columns, exp.types)
+                   if str(t) in ("HUGEINT", "UHUGEINT")]
+        if hugeint:
+            print(f"FAIL {name}: oracle cols {hugeint} are HUGEINT — "
+                  f"CAST them to BIGINT (pandas turns HUGEINT into float64)")
+            fails += 1
+            continue
         exp_cols = sorted(exp.columns)
         exp_rows = sorted(
             tuple(norm(v) for _, v in sorted(zip(exp.columns, r)))

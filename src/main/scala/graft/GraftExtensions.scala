@@ -21,40 +21,53 @@ import graft.operators.Dedup
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  /** Every builder validates arity up front: a mis-aritied SQL call
+    * gets Spark's own WRONG_NUM_ARGS AnalysisException instead of a
+    * bare NoSuchElementException out of `exprs(i)`. */
+  private def arity(name: String, n: Int)(exprs: Seq[Expression]): Seq[Expression] = {
+    if (exprs.length != n)
+      throw CatalystBridge.wrongNumArgs(name, n, exprs.length)
+    exprs
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinNative.AsofStrategy)
     ext.injectFunction((
       FunctionIdentifier("base64_nowrap"),
       new ExpressionInfo(classOf[Base64NoWrap].getName, "base64_nowrap"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Base64NoWrap(exprs.head)))
+      exprs => Base64NoWrap(arity("base64_nowrap", 1)(exprs).head)))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      exprs => WordShingles(exprs.head,
-        exprs(1).eval().asInstanceOf[Int])))
+      exprs => { arity("word_shingles", 2)(exprs)
+        WordShingles(exprs.head, exprs(1).eval().asInstanceOf[Int]) }))
     ext.injectFunction((
       FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
-      exprs => MinHashSignature(exprs.head,
+      exprs => MinHashSignature(arity("minhash_signature", 1)(exprs).head,
         Dedup.perms.map(_._1).toArray, Dedup.perms.map(_._2).toArray,
         2147483647L)))
     ext.injectFunction((
       FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
-      exprs => SimHashBits(exprs.head)))
+      exprs => SimHashBits(arity("simhash_bits", 1)(exprs).head)))
     ext.injectFunction((
       FunctionIdentifier("kr_hash"),
       new ExpressionInfo(classOf[KrHash].getName, "kr_hash"),
-      exprs => KrHash(exprs.head, KrHashF.B, KrHashF.M)))
+      exprs => KrHash(arity("kr_hash", 1)(exprs).head, KrHashF.B, KrHashF.M)))
     ext.injectFunction((
       FunctionIdentifier("simhash_fp"),
       new ExpressionInfo(classOf[SimHashLong].getName, "simhash_fp"),
-      exprs => SimHashLong(exprs.head, Dedup.SimHashBits)))
+      exprs => SimHashLong(arity("simhash_fp", 1)(exprs).head,
+        Dedup.SimHashBits)))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName,
         "dot_product"),
-      exprs => graft.functions.DotProduct(exprs.head, exprs(1))))
+      exprs => { arity("dot_product", 2)(exprs)
+        graft.functions.DotProduct(exprs.head, exprs(1)) }))
   }
 }

@@ -503,15 +503,15 @@ object SparkEntry {
                FROM documents)
          ORDER BY doc_id, chunk_ix""",
     "mixture_sample" ->
-      """SELECT source, count(*) AS n_docs,
+      s"""SELECT source, count(*) AS n_docs,
           CAST(sum(n_tok) AS BIGINT) AS n_tokens
          FROM (SELECT source, n_tok,
                  sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id)
                    AS cum
                FROM (SELECT doc_id, source,
-                       CAST(len(string_split_regex(trim(text), '\s+'))
+                       CAST(len(string_split_regex(trim(text), '\\s+'))
                          AS BIGINT) AS n_tok,
-                       (doc_id * 2654435761) % 4294967296 AS h
+                       ${Quality.knuthSql("doc_id")} AS h
                      FROM documents))
          WHERE cum <= 1000 GROUP BY 1 ORDER BY 1""",
     "dedup_incremental" ->
@@ -565,13 +565,13 @@ object SparkEntry {
                  OVER (PARTITION BY w1 ORDER BY n DESC, w2) AS rk FROM c)
          WHERE rk <= 3 ORDER BY w1, rk""",
     "mixture_upsample" ->
-      """SELECT source, count(DISTINCT doc_id) AS n_docs,
+      s"""SELECT source, count(DISTINCT doc_id) AS n_docs,
           count(*) AS n_emitted,
           CAST(sum(n_tok) AS BIGINT) AS tokens_emitted,
-          CAST(min((doc_id * 31 + epoch) * 2654435761 % 4294967296)
+          CAST(min(${Quality.knuthSql("(doc_id % 4294967296) * 31 + epoch")})
                AS BIGINT) AS first_pos
          FROM (SELECT doc_id, source,
-                 CAST(len(string_split_regex(trim(text), '\s+'))
+                 CAST(len(string_split_regex(trim(text), '\\s+'))
                    AS BIGINT) AS n_tok,
                  unnest(range(1, CASE
                    WHEN source IN ('src0', 'src1') THEN 3
@@ -596,13 +596,18 @@ object SparkEntry {
                  OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
                FROM scored)
          WHERE rk <= 3 ORDER BY doc_id, term""",
+    // seq_id MUST be cast back to BIGINT: DuckDB's integer window sum
+    // yields HUGEINT, which survives fetchall() as a Python int (local
+    // check green) but turns into float64 through the pandas/pyarrow
+    // path a driver-side comparator uses — "0.0" vs "0" = the r3/r4
+    // hash-only mismatch on this one query.
     "seq_pack" ->
       """SELECT seq_id, count(*) AS n_docs,
           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
           min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM (SELECT doc_id, n_tok,
-                 (sum(n_tok) OVER (ORDER BY doc_id) - n_tok) // 2048
-                   AS seq_id
+                 CAST((sum(n_tok) OVER (ORDER BY doc_id) - n_tok) // 2048
+                   AS BIGINT) AS seq_id
                FROM (SELECT doc_id,
                        CAST(len(string_split_regex(trim(text), '\s+'))
                          AS BIGINT) AS n_tok
@@ -738,7 +743,7 @@ object SparkEntry {
     "deterministic_sample" ->
       s"""SELECT o_orderkey, ${centsSql("o_totalprice")} AS price_cents
           FROM orders
-          WHERE (o_orderkey * 2654435761) % 4294967296 < 429496720
+          WHERE ${Quality.knuthSql("o_orderkey")} < 429496720
           ORDER BY o_orderkey""",
     "value_histogram" ->
       s"""SELECT CAST(floor(v_c / 2500.0) AS BIGINT) AS bin,

@@ -152,7 +152,9 @@ object Curation {
     val toks = docs
       .select(col("doc_id"), col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
-        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("h"))
+        // overflow-safe Knuth hash (same values as the naive multiply
+        // in its non-overflowing range — see Quality.knuth32)
+        Quality.knuth32(col("doc_id")).as("h"))
       .withColumn("bucket", expr(s"cast(h div $spanPerBucket as int)"))
     import spark.implicits._
     val partSums = toks.groupBy("source", "bucket")
@@ -208,10 +210,14 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_tok"),
         explode(sequence(lit(1), col("epochs"))).as("epoch"))
       // deterministic interleave position: Knuth hash of (doc, epoch) —
-      // reproducible in any engine, spreads epochs of one doc apart
+      // reproducible in any engine, spreads epochs of one doc apart.
+      // doc_id is reduced mod 2^32 BEFORE the *31 fold so neither
+      // engine's int64 ever overflows (values unchanged in-range:
+      // (d*31+e) mod 2^32 == ((d mod 2^32)*31+e) mod 2^32)
       .withColumn("pos",
-        pmod((col("doc_id") * 31 + col("epoch")) * lit(2654435761L),
-          lit(4294967296L)))
+        Quality.knuth32(
+          pmod(pmod(col("doc_id"), lit(4294967296L)) * 31 + col("epoch"),
+            lit(4294967296L))))
       .groupBy("source")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_emitted"),

@@ -42,15 +42,40 @@ object Quality {
 
   /** Knuth multiplicative hash — pure 64-bit arithmetic, so the SAME
     * rows are selected by any engine, any run, any partitioning. */
-  private val KnuthA = 2654435761L
-  private val Mod32 = 4294967296L
+  private[operators] val KnuthA = 2654435761L
+  private[operators] val Mod32 = 4294967296L
+
+  /** Overflow-safe `((key mod 2^32) * KnuthA) mod 2^32`.
+    *
+    * A plain `key * KnuthA` wraps silently in Spark but RAISES an
+    * out-of-range error in DuckDB once the product passes 2^63
+    * (key ≈ 3.4e9) — the cross-engine contract would diverge exactly at
+    * the id ranges a 100 TB corpus reaches. Splitting the reduced key
+    * into 16-bit halves keeps every intermediate below 2^48:
+    * `a*K mod 2^32 = (a0*K mod 2^32 + (a1*K mod 2^16)*2^16) mod 2^32`
+    * for `a = a1*2^16 + a0`. Values are IDENTICAL to the naive formula
+    * wherever it didn't overflow. SQL twin: [[knuthSql]]. */
+  def knuth32(key: Column): Column = {
+    val a = pmod(key.cast("long"), lit(Mod32))
+    val a1 = (a / 65536L).cast("long")
+    val a0 = pmod(a, lit(65536L))
+    pmod(pmod(a0 * KnuthA, lit(Mod32)) +
+      pmod(a1 * KnuthA, lit(65536L)) * 65536L, lit(Mod32))
+  }
+
+  /** DuckDB twin of [[knuth32]] (same split-multiply, same values). */
+  def knuthSql(key: String): String = {
+    val a = s"(($key) % 4294967296)"
+    s"((($a % 65536) * 2654435761) % 4294967296 + " +
+      s"((($a // 65536) * 2654435761) % 65536) * 65536) % 4294967296"
+  }
 
   /** Generic core: predicate keeping ~pct% of rows, membership a pure
     * function of the integer key column — map-only, pushdown-eligible,
     * engine-independent. */
   def sampleByKey(key: String, pct: Int): Column = {
     require(pct >= 1 && pct <= 100)
-    pmod(col(key) * KnuthA, lit(Mod32)) < lit(Mod32 / 100 * pct)
+    knuth32(col(key)) < lit(Mod32 / 100 * pct)
   }
 
   /** §2 #57 — deterministic systematic sample of orders (~pct%): the

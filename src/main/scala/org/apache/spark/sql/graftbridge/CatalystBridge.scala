@@ -21,6 +21,19 @@ object CatalystBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The AnalysisException Spark itself raises for a mis-aritied SQL
+    * function call (error class WRONG_NUM_ARGS, SQLSTATE 42605) — used
+    * by graft's injected-function builders, which otherwise die with a
+    * bare NoSuchElementException from `exprs(i)`. */
+  def wrongNumArgs(functionName: String, expected: Int,
+                   actual: Int): org.apache.spark.sql.AnalysisException =
+    new org.apache.spark.sql.AnalysisException(
+      "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      Map("functionName" -> s"`$functionName`",
+        "expectedNum" -> expected.toString,
+        "actualNum" -> actual.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+
   /** The analyzed logical plan of a DataFrame. */
   def analyzed(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =

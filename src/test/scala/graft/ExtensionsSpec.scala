@@ -77,4 +77,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("dictionary exceeded")
       || ex.getCause != null)
   }
+
+  test("dot_product propagates NULL for null element slots (SQL arrays)") {
+    // array(1.0, NULL) is containsNull=true: the old kernel read the
+    // null slot as 0.0 and returned a silently wrong number
+    val rows = spark.sql(
+      """SELECT dot_product(array(1.0D, CAST(NULL AS DOUBLE)),
+                            array(2.0D, 3.0D)) AS withnull,
+                dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS clean"""
+    ).collect().head
+    assert(rows.isNullAt(0), "null element slot must yield NULL")
+    assert(rows.getDouble(1) == 11.0)
+  }
+
+  test("dot_product still fails loudly on ragged lengths") {
+    val ex = intercept[Exception] {
+      spark.sql("SELECT dot_product(array(1.0D), array(1.0D, 2.0D))")
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(ex).exists(m => m != null && m.contains("lengths differ")))
+  }
+
+  test("mis-aritied graft SQL functions raise WRONG_NUM_ARGS, not NoSuchElement") {
+    for (bad <- Seq("dot_product(array(1.0D))", "dot_product()",
+                    "kr_hash()", "base64_nowrap()")) {
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $bad").collect()
+      }
+      assert(ex.getErrorClass != null &&
+        ex.getErrorClass.startsWith("WRONG_NUM_ARGS"),
+        s"$bad raised ${ex.getErrorClass}: ${ex.getMessage}")
+    }
+  }
 }

@@ -26,6 +26,50 @@ class QualitySpec extends SparkSpec {
     assert(frac > 0.05 && frac < 0.15, s"~10% expected, got $frac")
   }
 
+  test("knuth32: equals the naive multiply in-range, stays finite past 2^32") {
+    import spark.implicits._
+    // in the naive formula's non-overflowing range the split multiply
+    // must reproduce it bit-for-bit (no oracle churn from the fix)
+    val small = Seq(0L, 1L, 7L, 65535L, 65536L, 123456789L, 2147483647L,
+      3000000000L).toDF("k")
+      .select(col("k"), Quality.knuth32(col("k")).as("h"),
+        pmod(col("k") * 2654435761L, lit(4294967296L)).as("naive"))
+      .collect()
+    small.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
+    // beyond ~3.4e9 the naive multiply overflows int64 (Spark wraps,
+    // DuckDB raises); the split form must stay defined and in-range
+    val huge = Seq(4294967296L, 1L << 40, Long.MaxValue).toDF("k")
+      .select(Quality.knuth32(col("k")).as("h")).collect()
+    huge.foreach { r =>
+      val h = r.getLong(0)
+      assert(h >= 0L && h < 4294967296L, s"out of range: $h")
+    }
+    // and match the mathematically exact (key mod 2^32) * A mod 2^32
+    val exp = Seq(4294967296L, 1L << 40, Long.MaxValue).map { k =>
+      (BigInt(k).mod(BigInt(2).pow(32)) * 2654435761L)
+        .mod(BigInt(2).pow(32)).toLong
+    }
+    assert(huge.map(_.getLong(0)).toSeq == exp)
+  }
+
+  test("mixture/upsample hashes survive 100TB-scale doc ids without overflow") {
+    import spark.implicits._
+    val docs = Seq(
+      (5000000000L, "src0", "alpha beta gamma"),
+      ((1L << 40) + 17L, "src1", "delta epsilon"),
+      (42L, "src2", "zeta eta theta iota")).toDF("doc_id", "source", "text")
+    val up = operators.Curation.upsampleFrom(docs, Map("src0" -> 2))
+      .collect()
+    assert(up.length == 3)
+    up.foreach { r =>
+      val pos = r.getAs[Long]("first_pos")
+      assert(pos >= 0L && pos < 4294967296L, s"pos out of range: $pos")
+    }
+    val mix = operators.Curation.mixtureFrom(docs, budgetTokens = 100L)
+      .collect()
+    assert(mix.length == 3)
+  }
+
   test("value_histogram: bins cover every row, bounds inside bins") {
     val rows = Quality.valueHistogram(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n")).sum
