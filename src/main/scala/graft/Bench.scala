@@ -28,7 +28,8 @@ object Bench {
     // text analysis
     "text_stats", "token_count", "lang_id", "quality_filter",
     "doc_winnow", "doc_fingerprint", "text_shingles", "seq_pack",
-    "ngram_lm",
+    "ngram_lm", "quality_repetition", "lm_perplexity",
+    "stratified_sample",
     // corpus curation
     "decontaminate", "decontaminate_fuzzy", "doc_chunk",
     "mixture_sample", "mixture_upsample", "tfidf_topterms",

@@ -72,6 +72,7 @@ object SparkEntry {
     "snapshot_diff" -> (MergeImport.snapshotDiff _),
     "fk_orphans" -> (Quality.fkOrphans _),
     "deterministic_sample" -> ((s, d) => Quality.deterministicSample(s, d)),
+    "stratified_sample" -> ((s, d) => Quality.stratifiedSample(s, d)),
     "value_histogram" -> ((s, d) => Quality.valueHistogram(s, d)),
     "profile_table" -> (Quality.profileTable _),
     "compact_files" -> ((s, d) => Maintenance.compactFiles(s, d)),
@@ -103,6 +104,8 @@ object SparkEntry {
     "decontaminate_fuzzy" -> ((s, d) => Curation.decontaminateFuzzy(s, d)),
     "mixture_upsample" -> (Curation.upsampleMixture _),
     "ngram_lm" -> ((s, d) => TextAnalysis.ngramLm(s, d)),
+    "quality_repetition" -> (TextAnalysis.qualityRepetition _),
+    "lm_perplexity" -> (TextAnalysis.lmPerplexity _),
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "schema_diff" -> (Maintenance.schemaDiff _),
   )
@@ -552,6 +555,57 @@ object SparkEntry {
       """SELECT * FROM (VALUES
            ('o_channel', 'added', CAST(NULL AS VARCHAR), 'string'))
          AS t(col_name, change, v1_type, v2_type) ORDER BY col_name""",
+    "quality_repetition" ->
+      """WITH w AS (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), '\s+') AS w
+                    FROM documents),
+          topc AS (SELECT doc_id, max(c) AS top_c
+                   FROM (SELECT doc_id, word, count(*) AS c
+                         FROM (SELECT doc_id, unnest(w) AS word FROM w)
+                         GROUP BY 1, 2)
+                   GROUP BY 1),
+          g AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                  CASE WHEN len(w) >= 2
+                       THEN [w[i] || ' ' || w[i+1]
+                             for i in range(1, CAST(len(w) AS INTEGER))]
+                       ELSE [] END AS g2,
+                  CASE WHEN len(w) >= 3
+                       THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in range(1, CAST(len(w) AS INTEGER) - 1)]
+                       ELSE [] END AS g3
+                FROM w)
+         SELECT doc_id, n_words, top_word_frac, dup2_frac, dup3_frac,
+           (top_word_frac > 0.20 OR dup2_frac > 0.18 OR dup3_frac > 0.16)
+             AS repetitive
+         FROM (SELECT g.doc_id, g.n_words,
+                 round(CAST(top_c AS DOUBLE) / g.n_words, 4) AS top_word_frac,
+                 CASE WHEN len(g2) > 0
+                      THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                             / len(g2), 4)
+                      ELSE 0.0 END AS dup2_frac,
+                 CASE WHEN len(g3) > 0
+                      THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                             / len(g3), 4)
+                      ELSE 0.0 END AS dup3_frac
+               FROM g JOIN topc ON topc.doc_id = g.doc_id)
+         ORDER BY doc_id""",
+    "lm_perplexity" ->
+      """WITH w AS (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), '\s+') AS w
+                    FROM documents),
+          b AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2
+                FROM (SELECT doc_id,
+                        unnest([{'w1': w[i], 'w2': w[i+1]}
+                                for i in range(1, len(w))]) AS s
+                      FROM w WHERE len(w) >= 2)),
+          c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+          c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+          v AS (SELECT count(DISTINCT w2) AS v FROM b)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(CAST(sum(CAST(round(-ln((c2 + 1.0) / (c1 + v)), 8)
+                   AS DECIMAL(18,8))) AS DOUBLE) / count(*), 4) AS avg_nll
+         FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+         GROUP BY doc_id ORDER BY doc_id""",
     "ngram_lm" ->
       """WITH w AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
                     FROM documents),
@@ -745,6 +799,15 @@ object SparkEntry {
           FROM orders
           WHERE ${Quality.knuthSql("o_orderkey")} < 429496720
           ORDER BY o_orderkey""",
+    "stratified_sample" ->
+      s"""SELECT stratum, CAST(rk AS INTEGER) AS rk, doc_id,
+          CAST(h AS BIGINT) AS h
+         FROM (SELECT lang AS stratum, doc_id, h, row_number()
+                 OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+               FROM (SELECT lang, doc_id,
+                       ${Quality.knuthSql("doc_id")} AS h
+                     FROM documents))
+         WHERE rk <= 10 ORDER BY stratum, rk""",
     "value_histogram" ->
       s"""SELECT CAST(floor(v_c / 2500.0) AS BIGINT) AS bin,
           count(*) AS n, min(v_c) AS min_c, max(v_c) AS max_c

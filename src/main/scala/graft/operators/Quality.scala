@@ -78,6 +78,39 @@ object Quality {
     knuth32(col(key)) < lit(Mod32 / 100 * pct)
   }
 
+  /** Generic core: STRATIFIED deterministic sample — exactly `k` rows
+    * per stratum, membership a pure function of the key (Knuth-hash
+    * order, doc_id tie-break), so any engine and any partitioning draws
+    * the same rows. The class-balanced pick a training-mixture builder
+    * needs (equal per-language slices from a skewed corpus).
+    *
+    * Scale shape: ONE hash aggregate whose [[graft.functions.TopKByScore]]
+    * buffers carry at most k rows per stratum per map partition — NOT a
+    * `row_number().over(Window.partitionBy(stratum))`, which would sort
+    * every row of a stratum inside one task at 100 TB. */
+  def stratifiedSampleFrom(docs: DataFrame, stratumCol: String,
+                           keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    docs.select(col(stratumCol).as("stratum"), col(keyCol).as("id"),
+      knuth32(col(keyCol)).as("h"))
+      // TopKByScore keeps score DESC / id ASC — negate h to draw the
+      // smallest hashes first (exact long→double below 2^53)
+      .groupBy("stratum")
+      .agg(graft.functions.TopKByScoreAgg
+        .topkByScore(col("id"), -col("h").cast("double"), k).as("top"))
+      .select(col("stratum"), posexplode(col("top")))
+      .select(col("stratum"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.neighbor_id").as("doc_id"),
+        (-col("col.cos")).cast("long").as("h"))
+      .orderBy("stratum", "rk")
+  }
+
+  /** §2 #84 — per-language stratified sample of the document corpus. */
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+                       k: Int = 10): DataFrame =
+    stratifiedSampleFrom(Tables.load(spark, sfDir, "documents"),
+      "lang", "doc_id", k)
+
   /** §2 #57 — deterministic systematic sample of orders (~pct%): the
     * reproducible debug/preview slice a pipeline run logs. */
   def deterministicSample(spark: SparkSession, sfDir: String,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.TextShingles
 
@@ -192,6 +193,57 @@ object TextAnalysis {
       .orderBy("seq_id")
   }
 
+  /** Generic core: Gopher-style REPETITION signals for ANY
+    * (doc_id, text) frame — the standard pretraining quality gates from
+    * Rae et al. 2021 (Gopher, §A1.1): fraction of the doc taken by its
+    * single most frequent word, and the duplicate share of its 2-gram
+    * and 3-gram occurrences. A template-generated or looping document
+    * scores high on all three long before exact/near dedup would pair
+    * it with anything.
+    *
+    * Shape at 100 TB: the n-gram metrics are map-only (per-row array
+    * expressions); only the top-word count needs an aggregation, and
+    * its exchange carries (doc_id, word, count) triples — raw text
+    * never shuffles. Fractions are rounded to 4 dp BEFORE the boolean
+    * gate so the decision is bit-identical cross-engine. */
+  def repetitionFrom(docs: DataFrame, topWordMax: Double = 0.20,
+                     dup2Max: Double = 0.18, dup3Max: Double = 0.16): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      graft.functions.TextShingles.words(col("text")).as("w"))
+    // one exchange of (doc_id, word) pairs → per-doc modal word count
+    val topc = base.select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_c"))
+    // map-only n-gram duplicate shares; sequence() DESCENDS below its
+    // floor, so each gram list needs an explicit emptiness guard
+    val grams = base.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_words"),
+      when(size(col("w")) >= 2, expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))
+        .otherwise(expr("array()").cast("array<string>")).as("g2"),
+      when(size(col("w")) >= 3, expr(
+        "transform(sequence(2, size(w) - 1), i -> concat(w[i-2], ' ', w[i-1], ' ', w[i]))"))
+        .otherwise(expr("array()").cast("array<string>")).as("g3"))
+    def dupFrac(g: String) =
+      when(size(col(g)) > 0,
+        round(lit(1.0) - size(array_distinct(col(g)))
+          / size(col(g)).cast("double"), 4))
+        .otherwise(lit(0.0))
+    grams.join(topc, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        round(col("top_c") / col("n_words").cast("double"), 4)
+          .as("top_word_frac"),
+        dupFrac("g2").as("dup2_frac"), dupFrac("g3").as("dup3_frac"))
+      .withColumn("repetitive",
+        col("top_word_frac") > topWordMax || col("dup2_frac") > dup2Max ||
+          col("dup3_frac") > dup3Max)
+      .orderBy("doc_id")
+  }
+
+  /** §2 #83 — repetition-signal quality gate over the fixture corpus. */
+  def qualityRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionFrom(Tables.load(spark, sfDir, "documents"))
+
   /** §2 #79 — corpus BIGRAM model counts (the n-gram-LM table a
     * data-quality pass builds): for each leading word, the top-3
     * following words by count (count desc, word asc tie-break),
@@ -221,6 +273,49 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("n"), col("rk"))
       .orderBy("w1", "rk")
   }
+
+  /** Generic core: per-document LM NEGATIVE LOG-LIKELIHOOD under the
+    * corpus's own bigram model (add-one smoothing over the
+    * following-word vocabulary) — the KenLM-style perplexity gate a
+    * pretraining pipeline runs to drop gibberish: text whose bigrams
+    * the corpus has never seen scores high.
+    *
+    * Determinism: a float `avg()` depends on accumulation order across
+    * partitions, so each bigram's −ln p is rounded to 8 dp and summed
+    * as DECIMAL(18,8) — exact, order-independent, reproduced digit-
+    * for-digit by the DuckDB oracle — then averaged and rounded to 4.
+    *
+    * Scale shape: two hash aggregations for the model (bigram +
+    * leading-word counts), a 1-row broadcast vocab size, and count
+    * joins that carry (doc, w1, w2) triples only — raw text never
+    * shuffles; the model tables join by word keys, so the big side
+    * shuffles once. */
+  def perplexityFrom(docs: DataFrame): DataFrame = {
+    val w = graft.functions.TextShingles.words(col("text"))
+    val bg = docs.select(col("doc_id"), w.as("w"))
+      // single-word docs have no bigrams (and sequence(1,0) DESCENDS)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = bg.agg(countDistinct(col("w2")).as("v"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll",
+        round(-log((col("c2") + 1).cast("double") / (col("c1") + col("v"))), 8)
+          .cast(DecimalType(18, 8)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 4).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** §2 #85 — corpus-LM perplexity scoring over the fixture corpus. */
+  def lmPerplexity(spark: SparkSession, sfDir: String): DataFrame =
+    perplexityFrom(Tables.load(spark, sfDir, "documents"))
 
   /** §2 #32 — character 3-gram profile: distinct shingle count per doc. */
   def textShingles(spark: SparkSession, sfDir: String): DataFrame =

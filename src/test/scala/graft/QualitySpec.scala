@@ -70,6 +70,29 @@ class QualitySpec extends SparkSpec {
     assert(mix.length == 3)
   }
 
+  test("stratified_sample: exactly k per stratum, equals the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 10
+    val got = Quality.stratifiedSample(spark, sf, k).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // every stratum contributes exactly k (fixture has >> k docs per lang)
+    got.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.length == k, s"stratum $s: ${rows.length}")
+    }
+    // the bounded aggregate must equal the naive per-stratum window
+    val byH = Window.partitionBy("lang").orderBy("h", "doc_id")
+    val naive = Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("doc_id"),
+        Quality.knuth32(col("doc_id")).as("h"))
+      .withColumn("rk", row_number().over(byH))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"), col("h"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.sortBy(r => (r._1, r._2)).toSeq ==
+      naive.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("value_histogram: bins cover every row, bounds inside bins") {
     val rows = Quality.valueHistogram(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n")).sum

@@ -120,4 +120,45 @@ class TextAnalysisSpec extends SparkSpec {
       .parquet(s"$dirWithNoDocs/documents.parquet")
     assert(TextAnalysis.seqPack(spark, dirWithNoDocs).count() == 0)
   }
+
+  test("lm_perplexity: common-bigram docs score below novel-bigram docs") {
+    import spark.implicits._
+    val docs = (Seq((1L, "the cat sat"), (2L, "the cat sat"),
+      (3L, "the cat sat"), (4L, "the cat sat")) :+
+      (5L, "zq xv qqj pw")).toDF("doc_id", "text")
+    val r = TextAnalysis.perplexityFrom(docs).collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("avg_nll")).toMap
+    // docs 1-4 share every bigram (c2=4); doc 5's are singletons
+    assert(r(1L) == r(4L))
+    assert(r(5L) > r(1L), s"novel ${r(5L)} must exceed common ${r(1L)}")
+    // decimal-summed NLL: re-evaluation is bit-identical
+    val again = TextAnalysis.perplexityFrom(docs).collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("avg_nll")).toMap
+    assert(r == again)
+  }
+
+  test("quality_repetition: flags looping docs, passes diverse ones, exact fracs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),          // one word everywhere
+      (2L, "alpha beta gamma delta epsilon"),    // fully diverse
+      (3L, "go stop go stop go stop go stop"),   // duplicated bigrams
+      (4L, "one"),                               // no 2-grams at all
+      (5L, "")                                   // degenerate
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionFrom(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Double]("top_word_frac") == 1.0 &&
+      r(1L).getAs[Boolean]("repetitive"))
+    // 4 distinct of 4 bigrams → dup2 = 0; five distinct words → 0.2 top
+    assert(r(2L).getAs[Double]("dup2_frac") == 0.0 &&
+      !r(2L).getAs[Boolean]("repetitive"))
+    // "go stop"×4 + "stop go"×3 = 7 bigrams, 2 distinct → 1 - 2/7
+    assert(r(3L).getAs[Double]("dup2_frac") == 0.7143 &&
+      r(3L).getAs[Boolean]("repetitive"))
+    // single word: gram lists empty, top frac 1, no NPE/descending seq
+    assert(r(4L).getAs[Double]("dup2_frac") == 0.0 &&
+      r(4L).getAs[Double]("dup3_frac") == 0.0)
+    assert(r(5L).getAs[Long]("n_words") == 1L) // split("") = [""]
+  }
 }
