@@ -31,7 +31,8 @@ object Bench {
     "ngram_lm", "quality_repetition", "lm_perplexity",
     "stratified_sample",
     // corpus curation
-    "decontaminate", "decontaminate_fuzzy", "doc_chunk",
+    "decontaminate", "decontaminate_fuzzy", "bloom_decontaminate",
+    "doc_chunk", "pii_scrub", "range_join",
     "mixture_sample", "mixture_upsample", "tfidf_topterms",
     // export/import round-trips + validation
     "xml_roundtrip", "csv_roundtrip", "xlsx_roundtrip", "jsonl_roundtrip",

@@ -65,6 +65,7 @@ object SparkEntry {
     "window_rank" -> (Analytics.windowRank _),
     "agg_skew_salted" -> ((s, d) => Analytics.aggSkewSalted(s, d)),
     "events_window" -> (Analytics.eventsWindow _),
+    "range_join" -> ((s, d) => Analytics.rangeJoinPairs(s, d)),
     "pivot_status" -> (Analytics.pivotStatus _),
     "rollup_agg" -> (Analytics.rollupAgg _),
     "pctile_value" -> (Analytics.pctileValue _),
@@ -108,6 +109,8 @@ object SparkEntry {
     "lm_perplexity" -> (TextAnalysis.lmPerplexity _),
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "schema_diff" -> (Maintenance.schemaDiff _),
+    "bloom_decontaminate" -> ((s, d) => Curation.bloomDecontaminate(s, d)),
+    "pii_scrub" -> (TextAnalysis.piiScrub _),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -475,6 +478,42 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_hit_grams
          FROM g WHERE doc_id % 50 <> 0 AND gram IN (SELECT gram FROM bench)
          GROUP BY 1 ORDER BY 1""",
+    // replays the Bloom bitmap bit-for-bit: same KR hash, same
+    // double-hashed positions — membership in the bitmap == the
+    // position triple being a subset of the bench side's set bits
+    "bloom_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), '\s+') AS w
+                    FROM documents),
+          g AS (SELECT doc_id,
+                  unnest(list_distinct(
+                    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                     for i in range(1, len(w) - 2)])) AS gram
+                FROM w),
+          k AS (SELECT doc_id, gram,
+                  list_reduce(
+                    [CAST(unicode(gram[i]) AS BIGINT)
+                     for i in range(1, CAST(length(gram) AS INTEGER) + 1)],
+                    (a, c) -> (a * 257 + c) % 18014398509481984) AS h
+                FROM g),
+          pp AS (SELECT doc_id, gram,
+                   h % 65536 AS p0,
+                   (h % 65536 + (1 + ((h // 65536) % 65535))) % 65536 AS p1,
+                   (h % 65536 + 2 * (1 + ((h // 65536) % 65535))) % 65536
+                     AS p2
+                 FROM k),
+          bpos AS (SELECT DISTINCT unnest([p0, p1, p2]) AS bp
+                   FROM pp WHERE doc_id % 50 = 0),
+          cand AS (SELECT doc_id, gram FROM pp
+                   WHERE doc_id % 50 <> 0
+                     AND p0 IN (SELECT bp FROM bpos)
+                     AND p1 IN (SELECT bp FROM bpos)
+                     AND p2 IN (SELECT bp FROM bpos)),
+          bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+         SELECT c.doc_id, count(*) AS n_cand_grams,
+           count(b.gram) AS n_hit_grams
+         FROM cand c LEFT JOIN bench b ON b.gram = c.gram
+         GROUP BY 1 ORDER BY 1""",
     "decontaminate_fuzzy" ->
       """WITH sh AS (
            SELECT doc_id,
@@ -589,6 +628,33 @@ object SparkEntry {
                       ELSE 0.0 END AS dup3_frac
                FROM g JOIN topc ON topc.doc_id = g.doc_id)
          ORDER BY doc_id""",
+    "pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN text || ' contact user' ||
+                           CAST(doc_id AS VARCHAR) || '@example.com now'
+                      WHEN doc_id % 11 = 0
+                      THEN text || ' from 10.0.' ||
+                           CAST(doc_id % 256 AS VARCHAR) || '.7 logged'
+                      ELSE text END AS text
+               FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             AS BIGINT) AS n_ips,
+           sha256(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             'g'), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+             AS scrubbed_sha,
+           (CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+            + CAST(len(regexp_extract_all(text,
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)) > 0
+             AS had_pii
+         FROM t ORDER BY doc_id""",
     "lm_perplexity" ->
       """WITH w AS (SELECT doc_id,
                       string_split_regex(trim(lower(text)), '\s+') AS w
@@ -750,6 +816,14 @@ object SparkEntry {
           event_type, count(*) AS n,
           CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_value_c
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "range_join" ->
+      """SELECT a.user_id AS user_id, count(*) AS n_pairs,
+          min(abs(epoch_us(a.ts) - epoch_us(b.ts))) AS min_gap_us,
+          max(abs(epoch_us(a.ts) - epoch_us(b.ts))) AS max_gap_us
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
+         GROUP BY 1 ORDER BY 1""",
     "pivot_status" ->
       s"""SELECT o_orderpriority,
           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN price_c END) AS BIGINT)

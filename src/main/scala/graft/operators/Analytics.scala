@@ -151,6 +151,38 @@ object Analytics {
 
   /** §2 #19 — time-bucketed event aggregation (batch twin of the
     * streaming windowed agg in graft.streaming.EventStream). */
+  /** §2 #88 — bounded RANGE JOIN: pairs of events from the same user
+    * within `windowSec` of each other (temporal-proximity correlation —
+    * fraud/coordination detection shape). A naive `t BETWEEN t±W` theta
+    * join plans a per-key cartesian (BroadcastNestedLoop at cluster
+    * scale); BANDING by `t div W` turns it into an EQUI-join on
+    * (user, bucket): the probe side duplicates into its 3 adjacent
+    * buckets (bounded 3×), every qualifying pair lands in exactly ONE
+    * bucket match (the build row's own bucket), so no post-join dedup,
+    * and the exchange is an ordinary hash shuffle that AQE can size.
+    * Pairs are (smaller event_id, larger event_id), audited per user. */
+  def rangeJoinPairs(spark: SparkSession, sfDir: String,
+                     windowSec: Int = 600): DataFrame = {
+    val w = windowSec * 1000000L
+    val ev = Tables.load(spark, sfDir, "events")
+      // integral micros: exact arithmetic, identical in the oracle
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"))
+    val build = ev.withColumn("bucket", expr(s"t div $w"))
+    val probe = ev.withColumn("bucket",
+      explode(expr(s"array(t div $w - 1, t div $w, t div $w + 1)")))
+    build.alias("a").join(probe.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.event_id") < col("b.event_id") &&
+          abs(col("a.t") - col("b.t")) <= w)
+      .groupBy(col("a.user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("a.t") - col("b.t"))).as("min_gap_us"),
+        max(abs(col("a.t") - col("b.t"))).as("max_gap_us"))
+      .orderBy("user_id")
+  }
+
   def eventsWindow(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "events")
       .select(

@@ -50,6 +50,79 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** §2 #86 — BLOOM-prefiltered decontamination: the runtime-filter
+    * shape the exact check (#71) needs at 100 TB. #71 broadcasts the
+    * bench gram STRINGS; at a realistic eval-suite size (10^8 grams)
+    * that broadcast no longer fits, while an m-bit Bloom bitmap (1 bit
+    * per slot, here m/8 bytes total) still does. Train grams probe the
+    * broadcast bitmap map-only; only the surviving candidates (true
+    * hits + the bounded false-positive tail) reach the exact
+    * verify join against the bench grams, which can then be a plain
+    * shuffle join. Output: per train doc, candidate grams that passed
+    * the bitmap and exactly-verified hit grams (n_hit_grams = #71's
+    * answer; n_cand − n_hit = observed false positives).
+    *
+    * Everything is engine-replayable: positions come from the proven
+    * Karp-Rabin string hash via double hashing
+    * (`h1 + i·h2 mod m`, Kirsch–Mitzenmacher), so the DuckDB oracle
+    * rebuilds the same bitmap bit-for-bit — false positives included. */
+  def bloomDecontaminate(spark: SparkSession, sfDir: String, n: Int = 4,
+                         benchMod: Int = 50, mBits: Int = 65536): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    bloomDecontaminateFrom(
+      docs.filter(col("doc_id") % benchMod =!= 0),
+      docs.filter(col("doc_id") % benchMod === 0), n, mBits)
+  }
+
+  /** Generic core: Bloom-prefiltered contamination of ANY train corpus
+    * against ANY benchmark corpus (both (doc_id, text)). */
+  def bloomDecontaminateFrom(train: DataFrame, bench: DataFrame,
+                             n: Int = 4, mBits: Int = 65536): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits=$mBits must be a power of two >= 64")
+    val spark = train.sparkSession
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.functions.WordShinglesExpr.wordShingles(
+        TextShingles.words(col("text")), n)).as("gram"))
+    // k=3 probe positions per gram: Kirsch–Mitzenmacher double hashing
+    // over the 54-bit KR hash — pure integer arithmetic, so the oracle
+    // derives identical positions. `div` keeps the 2^54-scale hash out
+    // of double arithmetic (a / would lose low bits past 2^53).
+    def withPositions(df: DataFrame): DataFrame = df
+      .withColumn("h", graft.functions.KrHashF.krHash(col("gram")))
+      .withColumn("h1", pmod(col("h"), lit(mBits.toLong)))
+      .withColumn("h2", expr(s"1 + ((h div $mBits) % ${mBits - 1})"))
+      .withColumn("p0", col("h1"))
+      .withColumn("p1", pmod(col("h1") + col("h2"), lit(mBits.toLong)))
+      .withColumn("p2", pmod(col("h1") + col("h2") * 2, lit(mBits.toLong)))
+    // the bitmap is MODEL STATE (m/64 longs), not data: built from the
+    // small bench side and shipped as a literal, like IVF centroids
+    val words = new Array[Long](mBits / 64)
+    withPositions(grams(bench))
+      .select(explode(array(col("p0"), col("p1"), col("p2"))).as("p"))
+      .distinct().collect()
+      .foreach { r =>
+        val p = r.getLong(0).toInt
+        words(p >> 6) |= 1L << (p & 63)
+      }
+    val probe = (p: String) =>
+      s"((shiftright(element_at(bloom, cast(($p div 64) as int) + 1), " +
+        s"cast($p % 64 as int)) & 1) = 1)"
+    val cand = withPositions(grams(train))
+      .withColumn("bloom", typedLit(words.toSeq))
+      .filter(expr(s"${probe("p0")} AND ${probe("p1")} AND ${probe("p2")}"))
+      .select(col("doc_id"), col("gram"))
+    // exact verify: a plain (shuffle-able) join — deliberately NOT
+    // broadcast, because at the scale where the Bloom stage matters the
+    // bench gram strings don't broadcast
+    val benchGrams = grams(bench).select("gram").distinct()
+    cand.join(benchGrams.withColumn("hit", lit(1)), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_cand_grams"),
+        count(col("hit")).as("n_hit_grams"))
+      .orderBy("doc_id")
+  }
+
   /** §2 #77 — FUZZY decontamination: exact n-gram overlap (#71) misses
     * lightly-edited benchmark leakage, so this flags train docs whose
     * shingle-set Jaccard vs ANY benchmark doc reaches `tau` — the

@@ -317,6 +317,44 @@ object TextAnalysis {
   def lmPerplexity(spark: SparkSession, sfDir: String): DataFrame =
     perplexityFrom(Tables.load(spark, sfDir, "documents"))
 
+  /** Email/IPv4 patterns shared verbatim with the oracle: every
+    * construct here (classes, bounded repeats, `\b`) has identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Generic core: PII SCRUB over ANY (doc_id, text) frame — redact
+    * emails then IPv4s, report per-doc counts and the fingerprint of
+    * the redacted text. The compliance pass every shipped corpus runs;
+    * map-only (regex count + replace per row, codegen'd built-ins), so
+    * it rides along with any other scan at 100 TB. */
+  def piiScrubFrom(docs: DataFrame): DataFrame = {
+    val nEmails = regexp_count(col("text"), lit(EmailRe)).cast("long")
+    val nIps = regexp_count(col("text"), lit(Ipv4Re)).cast("long")
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+    docs.select(col("doc_id"), nEmails.as("n_emails"), nIps.as("n_ips"),
+      sha2(scrubbed.cast("binary"), 256).as("scrubbed_sha"))
+      .withColumn("had_pii", col("n_emails") + col("n_ips") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** §2 #87 — PII scrub over the fixture corpus. The synthetic corpus
+    * carries no PII, so (like fk_orphans' thinned parents) a
+    * deterministic slice gets addresses/IPs injected FIRST — the same
+    * injection the oracle applies — and the scrub has real work whose
+    * counts and redacted digests both engines must agree on. */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    piiScrubFrom(Tables.load(spark, sfDir, "documents")
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com now")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" from 10.0."), col("doc_id") % 256,
+              lit(".7 logged")))
+          .otherwise(col("text"))))
+
   /** §2 #32 — character 3-gram profile: distinct shingle count per doc. */
   def textShingles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")

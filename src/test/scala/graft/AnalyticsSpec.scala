@@ -85,4 +85,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assertNoCartesian(df)
   }
+
+  test("range_join: banded equi-join equals the naive theta join, no cartesian") {
+    val w = 600 * 1000000L
+    val got = Analytics.rangeJoinPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // naive reference: per-user all-pairs on the tiny SF
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expect = ev.toSeq.flatMap { case (u, es) =>
+      val pairs = for {
+        a <- es; b <- es
+        if a._2 < b._2 && math.abs(a._3 - b._3) <= w
+      } yield math.abs(a._3 - b._3)
+      if (pairs.isEmpty) None
+      else Some((u, pairs.length.toLong, pairs.min, pairs.max))
+    }.sortBy(_._1)
+    assert(got.toSeq == expect)
+    // the banding must keep the plan an equi-join
+    assertNoCartesian(Analytics.rangeJoinPairs(spark, sf))
+  }
 }

@@ -25,6 +25,24 @@ class CurationSpec extends SparkSpec {
       s"the benchmark gram set must broadcast:\n$plan")
   }
 
+  test("bloom_decontaminate: hit grams equal the exact check; candidates bound FPs") {
+    val exact = Curation.decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bloom = Curation.bloomDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the bitmap never loses a true hit: per-doc hit counts match #71
+    val bloomHits = bloom.filter(_._3 > 0).map(r => (r._1, r._3)).toMap
+    assert(bloomHits == exact)
+    // candidates ⊇ hits, and the FP tail is small at this m/n ratio
+    bloom.foreach { case (id, cand, hit) =>
+      assert(cand >= hit, s"doc $id: cand $cand < hit $hit")
+    }
+    val fps = bloom.map(r => r._2 - r._3).sum
+    val cands = bloom.map(_._2).sum
+    assert(fps.toDouble / math.max(cands, 1) < 0.5,
+      s"false-positive share $fps/$cands out of spec for m=65536")
+  }
+
   test("doc_chunk: chunks reassemble the document exactly (stride prefixes + final tail)") {
     val text = Tables.load(spark, sf, "documents")
       .select("doc_id", "text").collect()

@@ -121,6 +121,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.seqPack(spark, dirWithNoDocs).count() == 0)
   }
 
+  test("pii_scrub: counts and redacted digests are exact on hand-built rows") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def sha(s: String) = MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "mail a.user+tag@sub.example.org and bob@x.co today"),
+      (2L, "server 192.168.0.1 talked to 10.0.0.7"),
+      (3L, "nothing sensitive here"),
+      (4L, "mixed: eve@corp.io from 172.16.254.3")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrubFrom(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("n_emails") == 2 && r(1L).getAs[Long]("n_ips") == 0)
+    assert(r(1L).getAs[String]("scrubbed_sha") ==
+      sha("mail <EMAIL> and <EMAIL> today"))
+    assert(r(2L).getAs[Long]("n_ips") == 2 &&
+      r(2L).getAs[String]("scrubbed_sha") ==
+        sha("server <IP> talked to <IP>"))
+    assert(!r(3L).getAs[Boolean]("had_pii") &&
+      r(3L).getAs[String]("scrubbed_sha") == sha("nothing sensitive here"))
+    assert(r(4L).getAs[String]("scrubbed_sha") ==
+      sha("mixed: <EMAIL> from <IP>"))
+  }
+
   test("lm_perplexity: common-bigram docs score below novel-bigram docs") {
     import spark.implicits._
     val docs = (Seq((1L, "the cat sat"), (2L, "the cat sat"),
