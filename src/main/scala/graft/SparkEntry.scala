@@ -87,6 +87,7 @@ object SparkEntry {
     "package_apply" -> (MergeImport.packageApply _),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "ann_ivf_static" -> ((s, d) => Similarity.annIvfStatic(s, d)),
+    "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     "topk_frequent" -> ((s, d) => Analytics.topkFrequent(s, d)),
     "asof_join_native" -> (graft.plans.AsofJoinNative.asofJoinNative _),
@@ -303,6 +304,7 @@ object SparkEntry {
     // the seeded planes and replays sign-bit banding + ranking exactly
     "ann_lsh" -> Similarity.lshOracle(),
     "ann_ivf_static" -> Similarity.ivfStaticOracle(),
+    "ann_pq" -> Similarity.pqTrainedOracle(),
     // oracle takes the deterministically-trained quantizer as given
     // (training is property-specced); everything downstream is exact
     "ann_ivf" -> Similarity.ivfTrainedOracle(),

@@ -23,11 +23,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * the input row.
   */
 case class NearestCells(child: Expression, centroids: Array[Array[Double]],
-                        n: Int)
+                        n: Int,
+                        biases: Array[Double] = Array.empty)
     extends UnaryExpression {
 
   require(n >= 1 && n <= centroids.length,
     s"n=$n must be within 1..${centroids.length} cells")
+  require(biases.isEmpty || biases.length == centroids.length,
+    s"biases (${biases.length}) must match centroids (${centroids.length})")
+
+  /** Per-cell additive bias, e.g. −‖c‖²/2 turns the dot-product argmax
+    * into an L2 argmin over UNNORMALIZED centroids (product-quantizer
+    * codebooks keep their magnitudes). Empty = all zero (the IVF
+    * unit-norm case). */
+  private val biasOf: Array[Double] =
+    if (biases.isEmpty) Array.fill(centroids.length)(0.0) else biases
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_cells"
@@ -44,7 +54,7 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
       var acc = 0.0
       var j = 0
       while (j < d) { acc += arr.getFloat(j).toDouble * cent(j); j += 1 }
-      sims(c) = acc
+      sims(c) = acc + biasOf(c)
       c += 1
     }
     val out = new Array[Any](n)
@@ -67,6 +77,7 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val centRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val biasRef = ctx.addReferenceObj("biases", biasOf, "double[]")
       val dims = ctx.freshName("dims")
       val nc = ctx.freshName("nc")
       val sims = ctx.freshName("sims")
@@ -90,7 +101,7 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
          |  for (int $j = 0; $j < $d; $j++) {
          |    $acc += ((double) $c.getFloat($j)) * $cent[$j];
          |  }
-         |  $sims[$i] = $acc;
+         |  $sims[$i] = $acc + $biasRef[$i];
          |}
          |int[] $out = new int[$n];
          |boolean[] $used = new boolean[$nc];
@@ -117,4 +128,12 @@ object VectorQuantize {
                    n: Int): Column =
     CatalystBridge.column(
       NearestCells(CatalystBridge.expression(embedding), centroids, n))
+
+  /** Biased variant: ranks cells by `dot + bias_c` — with
+    * `bias = −‖c‖²/2` this is the L2 argmin over unnormalized
+    * codebooks a product quantizer needs. */
+  def nearestCellsBiased(embedding: Column, centroids: Array[Array[Double]],
+                         biases: Array[Double], n: Int): Column =
+    CatalystBridge.column(
+      NearestCells(CatalystBridge.expression(embedding), centroids, n, biases))
 }

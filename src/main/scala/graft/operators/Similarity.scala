@@ -282,6 +282,201 @@ object Similarity {
         WHERE rnk <= $k ORDER BY query_id, rnk"""
   }
 
+  /** `−‖c‖²/2` per codeword: the bias that turns a dot-product argmax
+    * into an L2 argmin over UNNORMALIZED codebooks. */
+  private def l2Biases(cb: Array[Array[Double]]): Array[Double] =
+    cb.map(c => -0.5 * c.map(x => x * x).sum)
+
+  /** PQ codebooks: one k-means quantizer PER SUB-SPACE. Unlike the IVF
+    * coarse quantizer these are PLAIN L2 k-means — codewords keep their
+    * magnitudes (a unit 64-dim vector's 8-dim sub-vectors have norm
+    * ≈ 1/√8, and normalizing them away wrecks the ADC reconstruction:
+    * measured recall@5 was ~0.2 spherical vs 0.7 L2 + re-rank at
+    * sf0.01). Same determinism
+    * contract as [[trainCentroids]]: init by first vectors, means
+    * quantized to 1e-6 per iteration, so the oracle can inline the
+    * trained model. */
+  private[graft] def trainPqCodebooks(v: DataFrame, m: Int = 8, k: Int = 16,
+                                      sub: Int = 8,
+                                      iters: Int = 3): Array[Array[Array[Double]]] =
+    Array.tabulate(m) { mi =>
+      val s = v.select(col("vec_id"),
+        expr(s"slice(embedding, ${mi * sub + 1}, $sub)").as("embedding"))
+      import s.sparkSession.implicits._
+      var cents: Array[Array[Double]] =
+        s.filter(col("vec_id") < k).orderBy("vec_id")
+          .select("embedding").as[Array[Float]].collect()
+          .map(_.map(_.toDouble))
+      for (_ <- 1 to iters) {
+        val means = s.select(
+            element_at(graft.functions.VectorQuantize.nearestCellsBiased(
+              col("embedding"), cents, l2Biases(cents), 1), 1).as("cell"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg(avg(col("x")).as("m"))
+          .collect()
+        val next = Array.tabulate(cents.length)(i => cents(i).clone())
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = math.rint(r.getDouble(2) * 1e6) / 1e6
+        }
+        cents = next
+      }
+      cents
+    }
+
+  /** §2 #89 — PRODUCT-QUANTIZATION ANN (Jégou et al. 2011): each 64-dim
+    * vector is encoded as 8 sub-space codes (4 bits each — 8 codes vs
+    * 256 raw bytes, the 32× compression an ANN index stores at 100 TB);
+    * queries score candidates ASYMMETRICALLY (ADC): the full query
+    * sub-vector against the candidate's reconstructed codeword, summed
+    * over sub-spaces in fixed order; the ADC shortlist (4k ids) is then
+    * EXACT-reranked by true cosine — the standard two-stage serving
+    * shape (compressed scan → tiny exact gather).
+    *
+    * Scale shape: encoding is MAP-ONLY (one [[graft.functions.NearestCells]]
+    * L2-argmin per sub-space over the broadcast codebook — zero
+    * exchanges); the big scan reads the CODES table (8 ints/vector),
+    * never raw embeddings; shortlisting uses the bounded
+    * [[graft.functions.TopKByScore]] aggregate (≤ 4k rows per query per
+    * partition); the re-rank gathers only R×Q full vectors by an
+    * id equi-join. The whole pipeline — encode, ADC, shortlist,
+    * re-rank — is replayed exactly by [[pqTrainedOracle]]. */
+  def annPq(spark: SparkSession, sfDir: String,
+            nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = vectors(spark, sfDir)
+    annPqWith(v, trainPqCodebooks(v), nQueries, k)
+  }
+
+  private def annPqWith(v: DataFrame, cbs: Array[Array[Array[Double]]],
+                        nQueries: Int, k: Int,
+                        shortlistFactor: Int = 8): DataFrame = {
+    val nSub = cbs.length
+    val sub = cbs.head.head.length
+    val shortlist = shortlistFactor * k
+    val codeCols = (0 until nSub).map { m =>
+      element_at(graft.functions.VectorQuantize.nearestCellsBiased(
+        expr(s"slice(embedding, ${m * sub + 1}, $sub)"), cbs(m),
+        l2Biases(cbs(m)), 1), 1)
+        .as(s"c$m")
+    }
+    val coded = v.select(col("vec_id").as("neighbor_id") +: codeCols: _*)
+    val queries = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"))
+    // ADC: fixed left-to-right sub-space sum — the oracle adds in the
+    // same order, so the double is bit-identical
+    val score = (0 until nSub).map { m =>
+      graft.functions.VectorFunctions.dot(
+        expr(s"slice(e_q, ${m * sub + 1}, $sub)"),
+        element_at(typedLit(cbs(m).map(_.toSeq).toSeq), col(s"c$m") + 1))
+    }.reduceLeft(_ + _)
+    // stage 1 — ADC shortlist over the CODES table (compressed scan)
+    val short = coded
+      .join(broadcast(queries.select("query_id", "e_q")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), score.as("score"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.topkByScore(
+        col("neighbor_id"), col("score"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top.neighbor_id"))
+        .as("neighbor_id"))
+    // stage 2 — EXACT re-rank: gather only the shortlisted vectors by
+    // id (an equi-join, R×Q rows) and rank by true cosine
+    short
+      .join(v.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("e_c"), col("nrm").as("n_c")), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
+          .as("cos"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.topkByScore(
+        col("neighbor_id"), col("cos"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        round(col("e.cos"), 6).as("cos6"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Oracle for [[annPq]]: inlines the codebooks the engine
+    * deterministically trains on the verify SF (the
+    * [[ivfTrainedOracle]] stance — training is covered by the
+    * determinism property spec; encode, ADC, and rank are replayed
+    * EXACTLY downstream of the model). */
+  def pqTrainedOracle(nQueries: Int = 10, k: Int = 5): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    pqOracleFor(trainPqCodebooks(vectors(spark, sfDir)), nQueries, k)
+  }
+
+  /** DuckDB replay for a GIVEN codebook set: per-sub-space code
+    * assignment via a ranked 16-way expansion (dot DESC, code ASC —
+    * [[graft.functions.NearestCells]]' exact tie-break), ADC summed in
+    * the same fixed sub-space order. */
+  private def pqOracleFor(cbs: Array[Array[Array[Double]]],
+                          nQueries: Int, k: Int): String = {
+    val nSub = cbs.length
+    val sub = cbs.head.head.length
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    // bias inlined as the SAME Scala-computed double the kernel adds,
+    // so `dot + bias` is bit-identical in both engines
+    val cbRows = (for {
+      m <- 0 until nSub
+      kk <- cbs(m).indices
+    } yield s"($m, $kk, ${cbs(m)(kk).mkString("[", ", ", "]")}, " +
+      s"${l2Biases(cbs(m))(kk)})")
+      .mkString(", ")
+    val codePivot = (0 until nSub)
+      .map(m => s"max(CASE WHEN m = $m THEN kk END) AS c$m").mkString(", ")
+    val adc = (0 until nSub).map { m =>
+      val lo = m * sub + 1
+      val hi = (m + 1) * sub
+      s"${dot(s"q.embedding[$lo:$hi]", s"cbl.cb[${m + 1}][n.c$m + 1]")}"
+    }.mkString(" + ")
+    val cbLit = cbs.map(_.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH cb(m, kk, cv, bias) AS (VALUES $cbRows),
+        cbl AS (SELECT $cbLit AS cb),
+        sub AS (SELECT vec_id, mm.m AS m,
+                  embedding[mm.m * $sub + 1 : (mm.m + 1) * $sub] AS s
+                FROM embeddings,
+                     (SELECT unnest(range(0, $nSub)) AS m) mm),
+        coded AS (SELECT vec_id, m, kk FROM (
+                    SELECT sub.vec_id, sub.m, cb.kk,
+                      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                        ORDER BY (${dot("sub.s", "cb.cv")} + cb.bias) DESC,
+                          cb.kk) AS r
+                    FROM sub JOIN cb ON cb.m = sub.m)
+                  WHERE r = 1),
+        codes AS (SELECT vec_id, $codePivot FROM coded GROUP BY 1),
+        nv AS (SELECT vec_id, embedding,
+                 sqrt(${dot("embedding", "embedding")}) AS nrm
+               FROM embeddings),
+        short AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ($adc) DESC, n.vec_id) AS r
+            FROM embeddings q, codes n, cbl
+            WHERE q.vec_id < $nQueries AND n.vec_id <> q.vec_id)
+          WHERE r <= ${8 * k})
+        SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos6 FROM (
+          SELECT s.query_id, s.neighbor_id,
+            ${dot("qv.embedding", "cv.embedding")} / (qv.nrm * cv.nrm) AS cos,
+            CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY
+              ${dot("qv.embedding", "cv.embedding")} / (qv.nrm * cv.nrm) DESC,
+              s.neighbor_id) AS INTEGER) AS rnk
+          FROM short s
+          JOIN nv qv ON qv.vec_id = s.query_id
+          JOIN nv cv ON cv.vec_id = s.neighbor_id)
+        WHERE rnk <= $k ORDER BY query_id, rnk"""
+  }
+
   /** §2 #27 — LSH-bucketed ANN: 16 sign bits → 8 bands × 2 bits; a
     * candidate is scored only if it shares ≥1 band with the query.
     * Band width trades candidate count against recall: the synthetic

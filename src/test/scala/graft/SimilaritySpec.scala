@@ -35,6 +35,29 @@ class SimilaritySpec extends SparkSpec {
     assertNoCartesian(Similarity.annIvf(spark, sf))
   }
 
+  test("ann_pq: trained codebooks deterministic; recall@5 >= 0.5 after re-rank") {
+    val brute = Similarity.annBruteforce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.annPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@5 = $recall")
+    // stage 1 is a DELIBERATE scan of every code row per broadcast
+    // query (the same shape as ann_bruteforce, over 32-bit codes
+    // instead of 256-byte vectors) — assert the broadcast, not
+    // no-cartesian
+    assert(planOf(Similarity.annPq(spark, sf)).contains("Broadcast"))
+    // training determinism (the property the trained-inline oracle
+    // stands on): two trainings yield identical codebooks
+    val v = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "label", "embedding",
+        "sqrt(aggregate(transform(embedding, x -> double(x) * double(x)), 0D, (a, b) -> a + b)) AS nrm")
+    val a = Similarity.trainPqCodebooks(v)
+    val b = Similarity.trainPqCodebooks(v)
+    assert(a.length == 8 && a.head.length == 16 && a.head.head.length == 8)
+    assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq)
+  }
+
   test("ann_ivf: trained centroids are unit-norm and deterministic") {
     val v = Tables.load(spark, sf, "embeddings")
       .selectExpr("vec_id", "label", "embedding",
