@@ -96,15 +96,18 @@ object Curation {
       .withColumn("p1", pmod(col("h1") + col("h2"), lit(mBits.toLong)))
       .withColumn("p2", pmod(col("h1") + col("h2") * 2, lit(mBits.toLong)))
     // the bitmap is MODEL STATE (m/64 longs), not data: built from the
-    // small bench side and shipped as a literal, like IVF centroids
+    // small bench side and shipped as a literal, like IVF centroids.
+    // The OR-fold happens distributively (bit_or partial-aggregates
+    // map-side), so the driver pull is bounded by m/64 word rows —
+    // 1024 for the default 65536 bits, ~16M for a 10^9-bit bitmap —
+    // never by the (up to mBits) count of distinct set positions.
     val words = new Array[Long](mBits / 64)
     withPositions(grams(bench))
       .select(explode(array(col("p0"), col("p1"), col("p2"))).as("p"))
-      .distinct().collect()
-      .foreach { r =>
-        val p = r.getLong(0).toInt
-        words(p >> 6) |= 1L << (p & 63)
-      }
+      .groupBy(expr("p div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(p % 64 as int)))").as("bits"))
+      .collect()
+      .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
     val probe = (p: String) =>
       s"((shiftright(element_at(bloom, cast(($p div 64) as int) + 1), " +
         s"cast($p % 64 as int)) & 1) = 1)"

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
@@ -65,6 +64,17 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
           .as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** Shared final ranking for every ANN variant: one hash aggregate with
+    * the bounded [[graft.functions.TopKByScore]] buffer — partial top-k
+    * per map partition, so the exchange moves at most k rows per
+    * (query, partition) instead of hash-partitioning ALL surviving
+    * candidates into a per-query window sort (at nProbe/nCells = 1/4
+    * that window would land ~N/4 rows in ONE task per query). Tie-break
+    * is (score desc, id asc), identical to the SQL oracles' row_number. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(graft.functions.TopKByScoreAgg.topkByScore(
         col("neighbor_id"), col("cos"), k).as("top"))
@@ -73,7 +83,6 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rnk"),
         round(col("e.cos"), 6).as("cos6"))
       .orderBy("query_id", "rnk")
-  }
 
   /** Spherical k-means coarse quantizer, trained as DataFrame
     * aggregations. Each iteration is map-only assignment (the
@@ -166,17 +175,13 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
         col("nrm").as("n_q"), explode(cellsOf(nProbe)).as("cell"))
 
-    assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
-          .as("cos"))
-      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("neighbor_id").asc)))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("cos"), 6).as("cos6"))
-      .orderBy("query_id", "rnk")
+    rankTopK(
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
+            .as("cos")),
+      k)
   }
 
   /** Random hyperplanes for LSH signatures: nBits × dim, fixed seed. */
@@ -517,18 +522,14 @@ object Similarity {
         col("nrm").as("n_q"))
     val cv = v.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("e_c"), col("nrm").as("n_c"))
-    pairIds
-      .join(broadcast(qv), Seq("query_id"))
-      .join(cv, Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
-          .as("cos"))
-      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("neighbor_id").asc)))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("cos"), 6).as("cos6"))
-      .orderBy("query_id", "rnk")
+    rankTopK(
+      pairIds
+        .join(broadcast(qv), Seq("query_id"))
+        .join(cv, Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
+            .as("cos")),
+      k)
   }
 
   /** §2 #76 — embedding QUANTIZATION (int8, per-vector max-abs scale):

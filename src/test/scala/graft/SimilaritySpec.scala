@@ -21,6 +21,11 @@ class SimilaritySpec extends SparkSpec {
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall@5 = $recall")
     assertNoCartesian(Similarity.annLsh(spark, sf))
+    // final ranking is the bounded TopKByScore aggregate, not a
+    // per-query window sort (which would funnel every surviving
+    // candidate of a query into one task at scale)
+    assert(!planOf(Similarity.annLsh(spark, sf)).contains("Window"),
+      "ann_lsh final ranking must not use a window")
   }
 
   test("ann_ivf: probed cells bound candidates, recall@5 >= 0.5 vs brute") {
@@ -33,6 +38,9 @@ class SimilaritySpec extends SparkSpec {
     // cell assignment is map-only: no nested-loop centroid cross product
     // (the pre-rewrite plan had one) and no cartesian anywhere
     assertNoCartesian(Similarity.annIvf(spark, sf))
+    // bounded TopKByScore ranking, no per-query window sort
+    assert(!planOf(Similarity.annIvfStatic(spark, sf)).contains("Window"),
+      "ann_ivf final ranking must not use a window")
   }
 
   test("ann_pq: trained codebooks deterministic; recall@5 >= 0.5 after re-rank") {
