@@ -404,6 +404,168 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** §2 #90 — IVFADC (Jégou et al. 2011 §IV): the coarse quantizer
+    * (#39/#66) composed with product quantization (#89) — the actual
+    * 100 TB serving index. Every vector is coarse-assigned to one cell
+    * AND PQ-encoded, both MAP-ONLY over broadcast model state; a query
+    * probes its `nProbe` nearest cells and ADC-scores ONLY the codes in
+    * those cells (the scan shrinks by ~nProbe/nCells AND reads 8 ints
+    * per candidate instead of 256 raw bytes — the two compressions
+    * multiply); the shortlist is exact-reranked by true cosine.
+    *
+    * Cells partition the corpus and a query's probed cells are
+    * distinct, so (query, candidate) pairs are unique by construction —
+    * no distinct. Both ranking stages are the bounded
+    * [[graft.functions.TopKByScore]] aggregate. Everything downstream
+    * of the two trained models is replayed exactly by
+    * [[ivfPqTrainedOracle]]. */
+  def annIvfPq(spark: SparkSession, sfDir: String, nCells: Int = 16,
+               nProbe: Int = 4, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = vectors(spark, sfDir)
+    annIvfPqWith(v, trainCentroids(v, nCells), trainPqCodebooks(v),
+      nProbe, nQueries, k)
+  }
+
+  private def annIvfPqWith(v: DataFrame, cents: Array[Array[Double]],
+                           cbs: Array[Array[Array[Double]]],
+                           nProbe: Int, nQueries: Int, k: Int,
+                           shortlistFactor: Int = 8): DataFrame = {
+    val nSub = cbs.length
+    val sub = cbs.head.head.length
+    val shortlist = shortlistFactor * k
+    def cellsOf(n: Int) =
+      graft.functions.VectorQuantize.nearestCells(col("embedding"), cents, n)
+    val codeCols = (0 until nSub).map { m =>
+      element_at(graft.functions.VectorQuantize.nearestCellsBiased(
+        expr(s"slice(embedding, ${m * sub + 1}, $sub)"), cbs(m),
+        l2Biases(cbs(m)), 1), 1)
+        .as(s"c$m")
+    }
+    // one map-only pass builds the whole index row: coarse cell + codes
+    val coded = v.select(element_at(cellsOf(1), 1).as("cell") +:
+      col("vec_id").as("neighbor_id") +: codeCols: _*)
+    val queries = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"))
+    val probes = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        explode(cellsOf(nProbe)).as("cell"))
+    val score = (0 until nSub).map { m =>
+      graft.functions.VectorFunctions.dot(
+        expr(s"slice(e_q, ${m * sub + 1}, $sub)"),
+        element_at(typedLit(cbs(m).map(_.toSeq).toSeq), col(s"c$m") + 1))
+    }.reduceLeft(_ + _)
+    // stage 1 — ADC shortlist over the codes of PROBED CELLS only
+    val short = coded
+      .join(broadcast(probes.select("cell", "query_id", "e_q")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), score.as("score"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.topkByScore(
+        col("neighbor_id"), col("score"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top.neighbor_id"))
+        .as("neighbor_id"))
+    // stage 2 — exact re-rank of the shortlist by true cosine
+    rankTopK(
+      short
+        .join(v.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("e_c"), col("nrm").as("n_c")),
+          Seq("neighbor_id"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
+            .as("cos")),
+      k)
+  }
+
+  /** Oracle for [[annIvfPq]]: both trained models inlined (the
+    * [[ivfTrainedOracle]] stance); coarse assignment, probing, PQ
+    * encoding, ADC, shortlist, and re-rank replayed exactly. */
+  def ivfPqTrainedOracle(nCells: Int = 16, nProbe: Int = 4,
+                         nQueries: Int = 10, k: Int = 5): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val v = vectors(spark, sfDir)
+    ivfPqOracleFor(trainCentroids(v, nCells), trainPqCodebooks(v),
+      nProbe, nQueries, k)
+  }
+
+  private def ivfPqOracleFor(cents: Array[Array[Double]],
+                             cbs: Array[Array[Array[Double]]],
+                             nProbe: Int, nQueries: Int, k: Int): String = {
+    val nSub = cbs.length
+    val sub = cbs.head.head.length
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"(${i}, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    val cbRows = (for {
+      m <- 0 until nSub
+      kk <- cbs(m).indices
+    } yield s"($m, $kk, ${cbs(m)(kk).mkString("[", ", ", "]")}, " +
+      s"${l2Biases(cbs(m))(kk)})")
+      .mkString(", ")
+    val codePivot = (0 until nSub)
+      .map(m => s"max(CASE WHEN m = $m THEN kk END) AS c$m").mkString(", ")
+    val adc = (0 until nSub).map { m =>
+      val lo = m * sub + 1
+      val hi = (m + 1) * sub
+      s"${dot(s"p.e_q[$lo:$hi]", s"cbl.cb[${m + 1}][n.c$m + 1]")}"
+    }.mkString(" + ")
+    val cbLit = cbs.map(_.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH cents(cell, cv) AS (VALUES $centRows),
+        cb(m, kk, cv, bias) AS (VALUES $cbRows),
+        cbl AS (SELECT $cbLit AS cb),
+        nv AS (SELECT vec_id, embedding,
+                 sqrt(${dot("embedding", "embedding")}) AS nrm
+               FROM embeddings),
+        ranked AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              ${dot("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+          FROM nv v, cents c),
+        sub AS (SELECT vec_id, mm.m AS m,
+                  embedding[mm.m * $sub + 1 : (mm.m + 1) * $sub] AS s
+                FROM embeddings,
+                     (SELECT unnest(range(0, $nSub)) AS m) mm),
+        coded AS (SELECT vec_id, m, kk FROM (
+                    SELECT sub.vec_id, sub.m, cb.kk,
+                      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                        ORDER BY (${dot("sub.s", "cb.cv")} + cb.bias) DESC,
+                          cb.kk) AS r
+                    FROM sub JOIN cb ON cb.m = sub.m)
+                  WHERE r = 1),
+        codes AS (SELECT vec_id, $codePivot FROM coded GROUP BY 1),
+        acodes AS (SELECT a.cell, c.* FROM codes c
+                   JOIN (SELECT vec_id, cell FROM ranked WHERE crnk = 1) a
+                     ON a.vec_id = c.vec_id),
+        probes AS (SELECT cell, vec_id AS query_id, embedding AS e_q
+                   FROM ranked WHERE crnk <= $nProbe AND vec_id < $nQueries),
+        short AS (SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, n.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                ($adc) DESC, n.vec_id) AS r
+            FROM probes p, acodes n, cbl
+            WHERE n.cell = p.cell AND n.vec_id <> p.query_id)
+          WHERE r <= ${8 * k})
+        SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos6 FROM (
+          SELECT s.query_id, s.neighbor_id,
+            ${dot("qv.embedding", "cv.embedding")} / (qv.nrm * cv.nrm) AS cos,
+            CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY
+              ${dot("qv.embedding", "cv.embedding")} / (qv.nrm * cv.nrm) DESC,
+              s.neighbor_id) AS INTEGER) AS rnk
+          FROM short s
+          JOIN nv qv ON qv.vec_id = s.query_id
+          JOIN nv cv ON cv.vec_id = s.neighbor_id)
+        WHERE rnk <= $k ORDER BY query_id, rnk"""
+  }
+
   /** Oracle for [[annPq]]: inlines the codebooks the engine
     * deterministically trains on the verify SF (the
     * [[ivfTrainedOracle]] stance — training is covered by the

@@ -43,6 +43,19 @@ class SimilaritySpec extends SparkSpec {
       "ann_ivf final ranking must not use a window")
   }
 
+  test("ann_ivfpq: IVFADC recall@5 >= 0.5; no window, no cartesian") {
+    val brute = Similarity.annBruteforce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.annIvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@5 = $recall")
+    val plan = planOf(Similarity.annIvfPq(spark, sf))
+    assert(!plan.contains("Window"),
+      "ann_ivfpq ranking must use the bounded aggregate, not a window")
+    assert(!plan.contains("Cartesian"), "probe join must be an equi-join")
+  }
+
   test("ann_pq: trained codebooks deterministic; recall@5 >= 0.5 after re-rank") {
     val brute = Similarity.annBruteforce(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
