@@ -188,14 +188,20 @@ object SparkEntry {
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          sha256(text) AS sha_hex
          FROM documents ORDER BY doc_id""",
+    // the engine wraps each payload in a real 24-bpp BMP (16 px wide,
+    // 48-byte aligned rows, 54-byte header) and PARSES the header back;
+    // the writer is a pure function of payload length, so the oracle
+    // replays every parsed field arithmetically
     "media_metadata" ->
       """SELECT doc_id,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(54 + 48 * greatest(1, (octet_length(encode(text)) + 47) // 48)
+           AS BIGINT) AS n_bytes,
          sha256(text) AS sha_hex,
-         'text/plain' AS mime,
-         CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
-         CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height,
-         CAST(octet_length(encode(text)) % 30 AS INTEGER) AS frames
+         'image/bmp' AS mime,
+         CAST(16 AS INTEGER) AS width,
+         CAST(greatest(1, (octet_length(encode(text)) + 47) // 48)
+           AS INTEGER) AS height,
+         CAST(1 AS INTEGER) AS frames
          FROM documents ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT content_hash, count(*) AS n_dups, min(doc_id) AS canonical_id

@@ -163,12 +163,41 @@ class DedupSpec extends SparkSpec {
       "re-imported file fingerprints must equal the source column's")
   }
 
-  test("media_metadata: stub decode is deterministic and schema-stable") {
+  test("media_metadata: real BMP wrap + real header parse, schema-stable") {
     val df = Blob.mediaMetadata(spark, sf)
     assert(df.columns.toSeq == Seq("doc_id", "n_bytes", "sha_hex", "mime",
       "width", "height", "frames"))
     val r = df.filter(col("doc_id") === 0).collect().head
-    assert(r.getAs[Int]("width") == (r.getAs[Long]("n_bytes") % 640).toInt)
+    assert(r.getAs[String]("mime") == "image/bmp")
+    assert(r.getAs[Int]("width") == 16)
+    // parsed height must satisfy the container arithmetic exactly
+    assert(r.getAs[Long]("n_bytes") == 54L + 48L * r.getAs[Int]("height"))
+  }
+
+  test("MediaCodec: parses a real hand-built PNG; BMP wrap round-trips") {
+    import graft.sources.MediaCodec
+    // minimal real PNG: signature + IHDR(640x480) — the exact byte
+    // layout a libpng encoder emits for the first 24 bytes
+    val png = java.nio.ByteBuffer.allocate(33)
+      .put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      .putInt(13).put("IHDR".getBytes)
+      .putInt(640).putInt(480)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    assert(MediaCodec.sniff(png).contains(
+      MediaCodec.Dims("image/png", 640, 480, 1)))
+    // BMP wrap of arbitrary bytes parses back to the written dimensions
+    val payload = Array.tabulate(100)(_.toByte)
+    val bmp = MediaCodec.encodeBmp(payload)
+    assert(bmp.length == 54 + 48 * 3) // ceil(100/48) = 3 rows
+    assert(MediaCodec.sniff(bmp).contains(
+      MediaCodec.Dims("image/bmp", 16, 3, 1)))
+    // payload bytes land verbatim at the pixel-array offset
+    assert(bmp.slice(54, 154).toSeq == payload.toSeq)
+    // truncated/garbage payloads degrade to None, never throw
+    assert(MediaCodec.sniff(Array[Byte]()).isEmpty)
+    assert(MediaCodec.sniff("not an image".getBytes).isEmpty)
   }
 
   test("dedup_incremental: exact vs base, exact within delta, near rules; probe-side pairs only") {
