@@ -57,6 +57,61 @@ object DocIngest {
       .select("doc_id", "h", "n_words", "quality")
   }
 
+  /** Streaming QUALITY/COMPLIANCE gate: PII scrub + Gopher repetition
+    * signals per arriving document — the checks a compliance pass runs
+    * AT INGEST, not after the corpus ships. Decisions are EXACTLY the
+    * batch operators' ([[graft.operators.TextAnalysis.piiScrubFrom]] /
+    * `repetitionFrom` — spec-proven equal per doc).
+    *
+    * STATELESS map-only, so append mode needs no watermark or state
+    * store. The one non-map-only piece of the batch twin — the per-doc
+    * modal word count, which batch computes via explode + two hash aggs
+    * — is replaced here by a per-ROW fold: the modal count of a word
+    * list is the longest run in its sorted form, an O(n log n)
+    * `aggregate(array_sort(words), …)` — same value, zero exchanges,
+    * which is exactly what a per-arrival gate wants. */
+  def gated(docs: DataFrame, topWordMax: Double = 0.20,
+            dup2Max: Double = 0.18, dup3Max: Double = 0.16): DataFrame = {
+    import graft.operators.TextAnalysis.{EmailRe, Ipv4Re}
+    val nEmails = regexp_count(col("text"), lit(EmailRe)).cast("long")
+    val nIps = regexp_count(col("text"), lit(Ipv4Re)).cast("long")
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+    // longest run in the sorted word list == modal word count
+    val topC = expr(
+      """aggregate(array_sort(w),
+           named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+           (a, x) -> named_struct(
+             'prev', x,
+             'run',  if(a.prev is not null and x = a.prev, a.run + 1, 1L),
+             'best', greatest(a.best,
+               if(a.prev is not null and x = a.prev, a.run + 1, 1L))),
+           a -> a.best)""")
+    def dupFrac(g: String) =
+      when(size(col(g)) > 0,
+        round(lit(1.0) - size(array_distinct(col(g)))
+          / size(col(g)).cast("double"), 4))
+        .otherwise(lit(0.0))
+    docs
+      .withColumn("w", graft.functions.TextShingles.words(col("text")))
+      .withColumn("g2", when(size(col("w")) >= 2, expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))
+        .otherwise(expr("array()").cast("array<string>")))
+      .withColumn("g3", when(size(col("w")) >= 3, expr(
+        "transform(sequence(2, size(w) - 1), i -> concat(w[i-2], ' ', w[i-1], ' ', w[i]))"))
+        .otherwise(expr("array()").cast("array<string>")))
+      .select(col("doc_id"),
+        nEmails.as("n_emails"), nIps.as("n_ips"),
+        sha2(scrubbed.cast("binary"), 256).as("scrubbed_sha"),
+        (nEmails + nIps > 0).as("had_pii"),
+        size(col("w")).cast("long").as("n_words"),
+        round(topC / size(col("w")).cast("double"), 4).as("top_word_frac"),
+        dupFrac("g2").as("dup2_frac"), dupFrac("g3").as("dup3_frac"))
+      .withColumn("repetitive",
+        col("top_word_frac") > topWordMax || col("dup2_frac") > dup2Max ||
+          col("dup3_frac") > dup3Max)
+  }
+
   /** Streaming DECONTAMINATION: arriving documents checked against the
     * (static, small) benchmark gram set — the stream-static twin of the
     * batch decontaminate operator. Emits (doc_id, n_hit_grams) per

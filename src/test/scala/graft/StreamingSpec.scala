@@ -191,6 +191,45 @@ class StreamingSpec extends SparkSpec {
     gotByDoc.foreach { case (id, v) => assert(batchQ(id) == v, s"doc $id") }
   }
 
+  test("streaming PII/repetition gate equals the batch operators per doc") {
+    import graft.streaming.DocIngest
+    import org.apache.spark.sql.functions.col
+    val stream = DocIngest.readDocStream(spark, sf)
+      // same deterministic PII injection as the batch pii_scrub query
+      .withColumn("text",
+        org.apache.spark.sql.functions.when(col("doc_id") % 7 === 0,
+          org.apache.spark.sql.functions.concat(col("text"),
+            org.apache.spark.sql.functions.lit(
+              " contact bob@example.com from 10.1.2.3")))
+          .otherwise(col("text")))
+    val q = DocIngest.gated(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_gate").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_gate").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3),
+        r.getBoolean(4), r.getLong(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8), r.getBoolean(9)))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .withColumn("text",
+        org.apache.spark.sql.functions.when(col("doc_id") % 7 === 0,
+          org.apache.spark.sql.functions.concat(col("text"),
+            org.apache.spark.sql.functions.lit(
+              " contact bob@example.com from 10.1.2.3")))
+          .otherwise(col("text")))
+    val pii = graft.operators.TextAnalysis.piiScrubFrom(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3),
+        r.getBoolean(4)))).toMap
+    val rep = graft.operators.TextAnalysis.repetitionFrom(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got.keySet == pii.keySet && got.keySet == rep.keySet)
+    got.foreach { case (id, (ne, ni, sha, had, nw, twf, d2, d3, rpt)) =>
+      assert(pii(id) == ((ne, ni, sha, had)), s"pii mismatch doc $id")
+      assert(rep(id) == ((nw, twf, d2, d3, rpt)), s"repetition mismatch doc $id")
+    }
+  }
+
   test("streaming decontamination equals the batch operator (stateless append)") {
     import graft.streaming.DocIngest
     import org.apache.spark.sql.functions.col
