@@ -149,11 +149,42 @@ object Quality {
     * distinct pre-aggregations dedup map-side per column. Same shape
     * the DuckDB oracle uses.
     *
-    * Caveat for DERIVED frames: each leg re-evaluates the input plan,
-    * and the pruning argument only holds for columnar sources — when
-    * profiling the result of an expensive join/aggregation, persist it
-    * first (one materialization, then N cache reads). */
-  def profile(df: DataFrame): DataFrame = {
+    * DERIVED frames self-protect: each leg re-evaluates the input plan,
+    * and the pruning argument only holds for columnar sources — so when
+    * the input is not a plain scan leg (projection/filter over a
+    * relation), [[profile]] persists and EAGERLY materializes it first
+    * (one materialization, then N cache reads; eager because all N legs
+    * share ONE job, and sibling scans of a lazy cache each recompute
+    * the lineage). The cache is left populated for the caller. */
+  def profile(df: DataFrame): DataFrame = profileWith(df, countDistinct(_))
+
+  /** True for plans whose per-leg re-evaluation is free-ish: a relation
+    * scan, possibly under projection/filter/alias — exactly the shapes
+    * whose legs stay column-pruned at the source. */
+  private def scanLike(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: LeafNode => true
+      case pr: Project => scanLike(pr.child)
+      case f: Filter => scanLike(f.child)
+      case a: SubqueryAlias => scanLike(a.child)
+      case _ => false
+    }
+  }
+
+  private def selfProtect(df: DataFrame): DataFrame =
+    if (scanLike(df.queryExecution.logical)) df
+    else {
+      val cached = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached.count() // materialize ONCE before the N sibling cache reads
+      cached
+    }
+
+  private def profileWith(input: DataFrame,
+                          distinctAgg: Column => Column): DataFrame = {
+    val df = selfProtect(input)
     def txt(c: String): (Column, Column) =
       df.schema(c).dataType match {
         case DoubleType | FloatType =>
@@ -170,7 +201,7 @@ object Quality {
       df.select(col(c)).agg(
         count(lit(1)).as("n_rows"),
         count(when(col(c).isNull, 1)).as("n_nulls"),
-        countDistinct(col(c)).as("n_distinct"),
+        distinctAgg(col(c)).as("n_distinct"),
         mn.as("min_txt"), mx.as("max_txt"))
         .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
           col("n_distinct"), col("min_txt"), col("max_txt"))
@@ -183,30 +214,8 @@ object Quality {
     * exact distinct aggregation — same output shape, `n_distinct`
     * becomes an estimate with the given relative standard deviation.
     * Use when exact per-column distinct state would spill. */
-  def profileApprox(df: DataFrame, rsd: Double = 0.05): DataFrame = {
-    def txt(c: String): (Column, Column) =
-      df.schema(c).dataType match {
-        case DoubleType | FloatType =>
-          (cents(min(col(c))).cast("string"),
-            cents(max(col(c))).cast("string"))
-        case TimestampType | TimestampNTZType =>
-          (date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss"),
-            date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss"))
-        case _ =>
-          (min(col(c)).cast("string"), max(col(c)).cast("string"))
-      }
-    df.columns.toSeq.map { c =>
-      val (mn, mx) = txt(c)
-      df.select(col(c)).agg(
-        count(lit(1)).as("n_rows"),
-        count(when(col(c).isNull, 1)).as("n_nulls"),
-        approx_count_distinct(col(c), rsd).as("n_distinct"),
-        mn.as("min_txt"), mx.as("max_txt"))
-        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
-          col("n_distinct"), col("min_txt"), col("max_txt"))
-    }.reduce(_ unionByName _)
-      .orderBy("col_name")
-  }
+  def profileApprox(df: DataFrame, rsd: Double = 0.05): DataFrame =
+    profileWith(df, approx_count_distinct(_, rsd))
 
   /** §2 #59 — column profile of the orders table. */
   def profileTable(spark: SparkSession, sfDir: String): DataFrame =

@@ -75,6 +75,23 @@ class UsageSpec extends SparkSpec {
     assert(prof("d") == ("100", "250")) // doubles surface as exact cents text
   }
 
+  test("profile self-protects derived inputs: auto-persist, one materialization") {
+    import graft.operators.Quality
+    val joined = spark.range(100).toDF("id")
+      .join(spark.range(100).selectExpr("id", "id * 2 AS v"), "id")
+    val prof = Quality.profile(joined)
+    val plan = planOf(prof)
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCache"),
+      s"derived input must be profiled from a cache, not re-joined per leg:\n$plan")
+    val rows = prof.collect()
+    assert(rows.length == 2 && rows.forall(_.getAs[Long]("n_rows") == 100L))
+    joined.unpersist()
+    // plain scans are NOT persisted — the column-pruned legs stay
+    val scan = Tables.load(spark, sf, "orders")
+    Quality.profile(scan)
+    assert(scan.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("facade: asof join on an arbitrary ticker") {
     val quotes = Seq((1L, 10L, 100L), (1L, 20L, 110L)).toDF("qk", "qt", "px")
     val trades = Seq((1L, 15L), (1L, 25L), (1L, 5L)).toDF("k", "t")
