@@ -123,10 +123,18 @@ object Dedup {
     val ranked = toks.join(tokFreq, "tok_h")
       .withColumn("rn", row_number().over(byRarity))
 
-    // prefix of length n − ⌈tau·n⌉ + 1 (rare tokens first)
+    // prefix of length n − ⌈tau·n⌉ + 1 (rare tokens first). PERSISTED:
+    // the self-join below consumes it twice and Spark does not reuse
+    // the exchange across the aliased legs — without the cache the
+    // explode + freq-join + window pipeline (and its tokFreq
+    // aggregation) executes twice. Eager count because both cache
+    // scans share ONE job (sibling scans of a lazy cache would each
+    // recompute the lineage).
     val probes = ranked
       .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")) + 1)
       .select(col("tok_h"), col("doc_id"), col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    probes.count()
 
     val a = probes.select(col("tok_h"), col("doc_id").as("id_a"), col("n").as("na"))
     val b = probes.select(col("tok_h"), col("doc_id").as("id_b"), col("n").as("nb"))
@@ -164,10 +172,14 @@ object Dedup {
       .select(col("doc_id"), col("n"), xxhash64(col("tok")).as("tok_h"))
     val tokFreq = toks.groupBy("tok_h").agg(count(lit(1)).as("freq"))
     val byRarity = Window.partitionBy("doc_id").orderBy("freq", "tok_h")
+    // persisted for the same reason as dedupNgramExactjoinFrom's
+    // probes: the probe and corpus legs below both read it
     val prefixes = toks.join(tokFreq, "tok_h")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")) + 1)
       .select(col("tok_h"), col("doc_id"), col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prefixes.count()
     val probeIds = probe.select(col("doc_id").as("id_p"))
     val p = prefixes.join(probeIds,
         prefixes("doc_id") === probeIds("id_p"))
