@@ -33,7 +33,7 @@ object Bench {
     "stratified_sample",
     // corpus curation
     "decontaminate", "decontaminate_fuzzy", "bloom_decontaminate",
-    "doc_chunk", "pii_scrub", "range_join",
+    "doc_chunk", "pii_scrub", "c4_clean", "range_join",
     "mixture_sample", "mixture_upsample", "tfidf_topterms",
     // export/import round-trips + validation
     "xml_roundtrip", "csv_roundtrip", "xlsx_roundtrip", "jsonl_roundtrip",

@@ -113,6 +113,7 @@ object SparkEntry {
     "schema_diff" -> (Maintenance.schemaDiff _),
     "bloom_decontaminate" -> ((s, d) => Curation.bloomDecontaminate(s, d)),
     "pii_scrub" -> (TextAnalysis.piiScrub _),
+    "c4_clean" -> (Curation.c4Clean _),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -665,6 +666,7 @@ object SparkEntry {
               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)) > 0
              AS had_pii
          FROM t ORDER BY doc_id""",
+    "c4_clean" -> Curation.c4Oracle(),
     "lm_perplexity" ->
       """WITH w AS (SELECT doc_id,
                       string_split_regex(trim(lower(text)), '\s+') AS w

@@ -331,4 +331,96 @@ object Curation {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
       .orderBy("doc_id", "term")
   }
+
+  /** Generic core: C4-style page/line cleaning (Raffel et al. 2020
+    * §2.2) for ANY (doc_id, text) frame whose text is newline-separated
+    * lines. A line is KEPT iff it ends in terminal punctuation
+    * (`. ! ? "`), has ≥ `minLineWords` words, and does not mention
+    * "javascript"; the whole PAGE is dropped if it contains
+    * "lorem ipsum" or a curly brace, or fewer than `minKeptLines` lines
+    * survive. Output per doc: line counts, the page decision, and the
+    * fingerprint of the cleaned text.
+    *
+    * Entirely map-only (per-row array filters, codegen'd built-ins) —
+    * the boilerplate pass rides along with any other corpus scan at
+    * 100 TB, which is exactly how C4 itself was produced. */
+  def c4CleanFrom(docs: DataFrame, minLineWords: Int = 3,
+                  minKeptLines: Int = 3): DataFrame =
+    docs
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("kept", expr(
+        s"""filter(lines, l -> right(l, 1) IN ('.', '!', '?', '"')
+              AND size(split(l, ' ')) >= $minLineWords
+              AND NOT contains(lower(l), 'javascript'))"""))
+      .select(col("doc_id"),
+        size(col("lines")).as("n_lines"),
+        size(col("kept")).as("n_kept"),
+        (lower(col("text")).contains("lorem ipsum")
+          || col("text").contains("{")
+          || size(col("kept")) < minKeptLines).as("page_drop"),
+        sha2(array_join(col("kept"), "\n").cast("binary"), 256)
+          .as("kept_sha"))
+      .orderBy("doc_id")
+
+  /** §2 #92 — C4 cleaning over the fixture corpus. The synthetic docs
+    * are single-line word salad, so (pii_scrub's stance) a
+    * deterministic page structure is synthesized FIRST — words chunked
+    * into 8-word sentences, 1 in 3 left without terminal punctuation,
+    * "javascript"/"lorem ipsum"/brace content planted on fixed doc_id
+    * slices — identically in both engines; the C4 rules then have real
+    * work whose per-line decisions both engines must agree on. */
+  def c4Clean(spark: SparkSession, sfDir: String): DataFrame = {
+    val page = expr(
+      """array_join(concat(
+           transform(
+             sequence(0, greatest(1, (size(split(text, ' ')) + 7) div 8) - 1),
+             i -> concat(
+               array_join(slice(split(text, ' '), i * 8 + 1, 8), ' '),
+               if(i = 0 and doc_id % 11 = 0, ' javascript', ''),
+               if(i = greatest(1, (size(split(text, ' ')) + 7) div 8) - 1
+                  and doc_id % 17 = 0, ' {', ''),
+               if((doc_id + i) % 3 = 2, '', '.'))),
+           if(doc_id % 13 = 0, array('lorem ipsum.'),
+              cast(array() as array<string>))),
+         '\n')""")
+    c4CleanFrom(Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), page.as("text")))
+  }
+
+  /** DuckDB oracle for [[c4Clean]]: the page synthesis and every line
+    * rule replayed with list comprehensions (chr(10) = the engine's
+    * '\n'; single-space splits agree because the synthesis only ever
+    * joins with single spaces). */
+  def c4Oracle(minLineWords: Int = 3, minKeptLines: Int = 3): String =
+    s"""WITH pages AS (
+          SELECT doc_id,
+            list_transform(range(0, nS), i ->
+              array_to_string(ws[i*8+1 : i*8+8], ' ') ||
+              CASE WHEN i = 0 AND doc_id % 11 = 0
+                   THEN ' javascript' ELSE '' END ||
+              CASE WHEN i = nS - 1 AND doc_id % 17 = 0
+                   THEN ' {' ELSE '' END ||
+              CASE WHEN (doc_id + i) % 3 = 2 THEN '' ELSE '.' END)
+            || CASE WHEN doc_id % 13 = 0 THEN ['lorem ipsum.']
+                    ELSE [] END AS lines
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+                  greatest(1,
+                    (len(string_split(text, ' ')) + 7) // 8) AS nS
+                FROM documents)),
+        cleaned AS (
+          SELECT doc_id, lines,
+            list_filter(lines, l ->
+              right(l, 1) IN ('.', '!', '?', '"')
+              AND len(string_split(l, ' ')) >= $minLineWords
+              AND NOT contains(lower(l), 'javascript')) AS kept,
+            array_to_string(lines, chr(10)) AS full_text
+          FROM pages)
+        SELECT doc_id,
+          CAST(len(lines) AS INTEGER) AS n_lines,
+          CAST(len(kept) AS INTEGER) AS n_kept,
+          (contains(lower(full_text), 'lorem ipsum')
+            OR contains(full_text, '{')
+            OR len(kept) < $minKeptLines) AS page_drop,
+          sha256(coalesce(array_to_string(kept, chr(10)), '')) AS kept_sha
+        FROM cleaned ORDER BY doc_id"""
 }

@@ -174,4 +174,35 @@ class CurationSpec extends SparkSpec {
     val again = Curation.upsampleMixture(spark, sf).collect().toSeq.map(_.toString)
     assert(again == Curation.upsampleMixture(spark, sf).collect().toSeq.map(_.toString))
   }
+
+  test("c4_clean: each C4 rule decides exactly as specified") {
+    import spark.implicits._
+    val docs = Seq(
+      // all lines clean and terminal-punctuated -> kept page
+      (1L, "one two three.\nfour five six!\nseven eight nine?"),
+      // unterminated + short lines dropped; page dies on < 3 kept
+      (2L, "one two three\nfour five six.\nno."),
+      // javascript line dropped, others survive
+      (3L, "good line here.\nthis javascript menu.\nmore text here.\nlast good line."),
+      // lorem ipsum kills the page even with clean lines
+      (4L, "one two three.\nfour five six.\nlorem ipsum dolor.\nseven eight nine."),
+      // curly brace kills the page
+      (5L, "one two three.\nfunction() {\nfour five six.\nseven eight nine.")
+    ).toDF("doc_id", "text")
+    val got = Curation.c4CleanFrom(docs).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getBoolean(3))))
+      .toMap
+    assert(got(1L) == ((3, 3, false)))
+    assert(got(2L) == ((3, 1, true))) // only "four five six." survives
+    assert(got(3L) == ((4, 3, false)))
+    assert(got(4L) == ((4, 4, true))) // lorem ipsum: page-level kill
+    assert(got(5L) == ((4, 3, true))) // brace: page-level kill
+    // the cleaned fingerprint is of the KEPT lines only
+    val sha3 = Curation.c4CleanFrom(docs).filter(col("doc_id") === 3)
+      .collect().head.getString(4)
+    val manual = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("good line here.\nmore text here.\nlast good line."
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(sha3 == manual)
+  }
 }
