@@ -36,7 +36,8 @@ object Bench {
     "doc_chunk", "pii_scrub", "c4_clean", "range_join",
     "mixture_sample", "mixture_upsample", "tfidf_topterms",
     // export/import round-trips + validation
-    "xml_roundtrip", "csv_roundtrip", "xlsx_roundtrip", "jsonl_roundtrip",
+    "xml_roundtrip", "csv_roundtrip", "orc_roundtrip", "xlsx_roundtrip",
+    "jsonl_roundtrip", "integrity_checksum",
     "nested_docs",
     "compressed_io", "media_roundtrip", "json_props",
     "import_validation", "import_errors", "package_apply")

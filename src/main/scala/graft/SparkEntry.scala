@@ -32,6 +32,8 @@ object SparkEntry {
     "dim_flatten" -> (DimFlatten.dimFlatten _),
     "xml_roundtrip" -> (ExportImport.xmlRoundtrip _),
     "csv_roundtrip" -> (ExportImport.csvRoundtrip _),
+    "orc_roundtrip" -> (ExportImport.orcRoundtrip _),
+    "integrity_checksum" -> (Quality.integrityChecksum _),
     "xlsx_roundtrip" -> (ExportImport.xlsxRoundtrip _),
     "xlsx_keys" -> ((s, d) => ExportImport.xlsxKeys(s, d)),
     "template_export" -> (SchemaTools.templateExport _),
@@ -156,6 +158,12 @@ object SparkEntry {
           CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_c,
           CAST(0 AS BIGINT) AS n_corrupt
           FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "orc_roundtrip" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+          CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+          CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_c
+          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "integrity_checksum" -> Quality.integrityOracle,
     "compressed_io" ->
       s"""SELECT c_mktsegment, count(*) AS n,
           CAST(sum(${centsSql("c_acctbal")}) AS BIGINT) AS sum_bal_c

@@ -121,6 +121,27 @@ object ExportImport {
       .orderBy("l_returnflag")
   }
 
+  /** §2 #94 — ORC round-trip: the columnar exchange format alternative
+    * to parquet (Spark-native ORC source/sink — type-preserving, so no
+    * corrupt-record channel is needed). Write lineitem columns to ORC,
+    * re-import, aggregate; equality with the same aggregate on the
+    * source proves the ORC layer is lossless. Scale: columnar scan with
+    * predicate pushdown/column pruning exactly like the parquet path. */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("orc-lineitem")
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+      .write.mode("overwrite").orc(dir)
+    spark.read.orc(dir)
+      .select(col("l_returnflag"), cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("price_c"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("qty_c").as("sum_qty_c"),
+        sum("price_c").as("sum_price_c"))
+      .orderBy("l_returnflag")
+  }
+
   /** §2 #48 — REAL OpenXML .xlsx round-trip (the reference's headline
     * "Export BLOB to Excel / Import BLOB from Excel" feature —
     * Codeunit 60001:96 `ExportExcel`, :326 `ImportExcel`, :369

@@ -221,6 +221,54 @@ object Quality {
   def profileTable(spark: SparkSession, sfDir: String): DataFrame =
     profile(Tables.load(spark, sfDir, "orders"))
 
+  /** Generic core: ORDER-INDEPENDENT per-group integrity checksum — the
+    * cheap cross-engine equality certificate a migration runs on source
+    * and target (reference: the import-validation surface, 60000:283's
+    * per-row checks lifted to table level). Each row's canonical text
+    * is hashed with the proven cross-engine Karp-Rabin fold and SUMMED
+    * per group as DECIMAL(38,0): summation commutes, so the checksum is
+    * independent of row order, partitioning, and engine — two sides
+    * agree iff (modulo 54-bit collisions) the group contents agree.
+    * One hash aggregate; exchanges carry (group, count, sum) only. */
+  def integrityChecksumFrom(df: DataFrame, rowText: Column,
+                            groupCol: Column): DataFrame =
+    df.select(groupCol.as("grp"),
+      graft.functions.KrHashF.krHash(rowText).as("h"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h").cast("decimal(38,0)")).as("checksum"))
+      .orderBy("grp")
+
+  /** §2 #93 — integrity checksum of orders by status. The canonical row
+    * text uses the repo's engine-stable casts (cents for doubles,
+    * formatted seconds for timestamps). */
+  def integrityChecksum(spark: SparkSession, sfDir: String): DataFrame = {
+    val rowText = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      cents(col("o_totalprice")),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+      col("o_orderpriority"))
+    integrityChecksumFrom(Tables.load(spark, sfDir, "orders"),
+      rowText, col("o_orderstatus"))
+  }
+
+  /** DuckDB oracle for [[integrityChecksum]]: same canonical text, same
+    * KR fold (the bloom_decontaminate-proven replay), same decimal sum. */
+  val integrityOracle: String =
+    """WITH t AS (SELECT o_orderstatus AS grp,
+           o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+           CAST(round(o_totalprice*100) AS BIGINT) || '|' ||
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+           o_orderpriority AS s
+         FROM orders)
+       SELECT grp, count(*) AS n_rows,
+         CAST(sum(list_reduce(
+           [CAST(unicode(s[i]) AS BIGINT)
+            for i in range(1, CAST(length(s) AS INTEGER) + 1)],
+           (a, c) -> (a * 257 + c) % 18014398509481984))
+           AS DECIMAL(38,0)) AS checksum
+       FROM t GROUP BY grp ORDER BY grp"""
+
   /** Oracle twin of [[profileTable]] (UNION ALL, one leg per column). */
   val profileOracle: String = {
     def leg(c: String, mn: String, mx: String) =

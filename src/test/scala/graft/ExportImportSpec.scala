@@ -85,6 +85,38 @@ class ExportImportSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_corrupt") == 0L))
   }
 
+  test("orc_roundtrip: ORC re-import aggregates equal the parquet source's") {
+    val got = ExportImport.orcRoundtrip(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val src = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+        graft.operators.Filtering.cents(col("l_quantity")).as("q"),
+        graft.operators.Filtering.cents(col("l_extendedprice")).as("p"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)), sum("q"), sum("p"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == src, "ORC round-trip must be lossless")
+  }
+
+  test("integrity_checksum: order-independent, content-sensitive") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Quality.integrityChecksumFrom(
+        df, concat_ws("|", col("k"), col("v")), lit("all"))
+        .collect().head
+    val s1 = sums(base)
+    // same rows, different order and partitioning -> identical checksum
+    val s2 = sums(base.orderBy(col("k").desc).repartition(3))
+    assert(s1.getDecimal(2) == s2.getDecimal(2) && s1.getLong(1) == 3L)
+    // one changed cell -> different checksum
+    val s3 = sums(Seq((1L, "a"), (2L, "X"), (3L, "c")).toDF("k", "v"))
+    assert(s1.getDecimal(2) != s3.getDecimal(2))
+  }
+
   test("csv import: malformed rows land in the corrupt-record column") {
     import spark.implicits._
     val dir = ExportImport.scratch("csv-bad")
