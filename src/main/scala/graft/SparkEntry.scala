@@ -68,6 +68,7 @@ object SparkEntry {
     "agg_skew_salted" -> ((s, d) => Analytics.aggSkewSalted(s, d)),
     "events_window" -> (Analytics.eventsWindow _),
     "range_join" -> ((s, d) => Analytics.rangeJoinPairs(s, d)),
+    "funnel_steps" -> ((s, d) => Analytics.funnelSteps(s, d)),
     "pivot_status" -> (Analytics.pivotStatus _),
     "rollup_agg" -> (Analytics.rollupAgg _),
     "pctile_value" -> (Analytics.pctileValue _),
@@ -844,6 +845,29 @@ object SparkEntry {
            ON a.user_id = b.user_id AND a.event_id < b.event_id
           AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
          GROUP BY 1 ORDER BY 1""",
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
+                    FROM events),
+          s1 AS (SELECT user_id, min(t) AS t_cur FROM e
+                 WHERE event_type = 'view' GROUP BY 1),
+          s2 AS (SELECT e.user_id, min(e.t) AS t_cur, min(s1.t_cur) AS t_prev
+                 FROM e JOIN s1 ON e.user_id = s1.user_id
+                 WHERE e.event_type = 'click' AND e.t > s1.t_cur GROUP BY 1),
+          s3 AS (SELECT e.user_id, min(e.t) AS t_cur, min(s2.t_cur) AS t_prev
+                 FROM e JOIN s2 ON e.user_id = s2.user_id
+                 WHERE e.event_type = 'purchase' AND e.t > s2.t_cur
+                 GROUP BY 1)
+         SELECT CAST(1 AS INTEGER) AS step, count(*) AS n_users,
+                0.0 AS avg_gap_s FROM s1
+         UNION ALL
+         SELECT CAST(2 AS INTEGER), count(*),
+                round(CAST(sum(t_cur - t_prev) AS DOUBLE)
+                      / count(*) / 1e6, 4) FROM s2
+         UNION ALL
+         SELECT CAST(3 AS INTEGER), count(*),
+                round(CAST(sum(t_cur - t_prev) AS DOUBLE)
+                      / count(*) / 1e6, 4) FROM s3
+         ORDER BY step""",
     "pivot_status" ->
       s"""SELECT o_orderpriority,
           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN price_c END) AS BIGINT)

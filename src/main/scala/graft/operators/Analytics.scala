@@ -183,6 +183,50 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** §2 #95 — FUNNEL conversion over ordered event steps: per user, the
+    * first `view`, the first `click` strictly after it, the first
+    * `purchase` strictly after that; summarized per step as (n_users,
+    * 4-dp mean seconds from the previous step). The step dependency is
+    * inherently sequential, so the plan is one conditional-min hash
+    * aggregate PER STEP, each joined to the previous step's (user,
+    * t_prev) frame — never a per-user ordered window over the raw
+    * events. At 100 TB each step's scan is pushdown-filtered to one
+    * event type, every exchange carries (user_id, timestamp) pairs
+    * only, and the per-user frames shrink monotonically down the
+    * funnel. Exact integral micros arithmetic (unix_micros), identical
+    * in the oracle. */
+  def funnelSteps(spark: SparkSession, sfDir: String,
+                  steps: Seq[String] = Seq("view", "click", "purchase"))
+      : DataFrame =
+    funnelStepsFrom(
+      Tables.load(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t")),
+      steps)
+
+  /** Generic core: funnel over ANY (user_id, event_type, t) frame. */
+  def funnelStepsFrom(ev: DataFrame, steps: Seq[String]): DataFrame = {
+    var prev = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("t").as("t_cur"))
+      .withColumn("gap_us", lit(0L))
+    var out = prev.agg(lit(1).as("step"),
+      count(lit(1)).as("n_users"), lit(0.0).as("avg_gap_s"))
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      val cur = ev.filter(col("event_type") === s)
+        .join(prev.select(col("user_id"), col("t_cur").as("t_prev")), "user_id")
+        .filter(col("t") > col("t_prev"))
+        .groupBy("user_id")
+        .agg(min("t").as("t_cur"), min("t_prev").as("t_prev"))
+        .withColumn("gap_us", col("t_cur") - col("t_prev"))
+      out = out.unionByName(cur.agg(lit(i + 1).as("step"),
+        count(lit(1)).as("n_users"),
+        round(sum(col("gap_us")).cast("double") / count(lit(1)) / 1e6, 4)
+          .as("avg_gap_s")))
+      prev = cur
+    }
+    out.orderBy("step")
+  }
+
   def eventsWindow(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "events")
       .select(

@@ -86,6 +86,32 @@ class AnalyticsSpec extends SparkSpec {
     assertNoCartesian(df)
   }
 
+  test("funnel_steps: strictly-ordered steps, monotone user counts") {
+    import spark.implicits._
+    // u1 completes the funnel; u2 clicks BEFORE viewing (no conversion);
+    // u3 views only; u4 re-views after clicking (first view counts)
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      (2L, "click", 100L), (2L, "view", 200L),
+      (3L, "view", 50L),
+      (4L, "view", 10L), (4L, "click", 20L), (4L, "view", 5L)
+    ).toDF("user_id", "event_type", "t")
+    val got = graft.operators.Analytics
+      .funnelStepsFrom(ev, Seq("view", "click", "purchase")).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1) == ((4L, 0.0)))
+    // u4's first view is t=5, click at 20 counts (gap 15us); u2 does not
+    assert(got(2)._1 == 2L)
+    assert(got(3) == ((1L, (300L - 200L) / 1e6)))
+    // strictly-after: a click AT the view instant must not convert
+    val tie = Seq((9L, "view", 100L), (9L, "click", 100L))
+      .toDF("user_id", "event_type", "t")
+    val g2 = graft.operators.Analytics
+      .funnelStepsFrom(tie, Seq("view", "click", "purchase")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(g2(2) == 0L && g2(3) == 0L)
+  }
+
   test("range_join: banded equi-join equals the naive theta join, no cartesian") {
     val w = 600 * 1000000L
     val got = Analytics.rangeJoinPairs(spark, sf).collect()
