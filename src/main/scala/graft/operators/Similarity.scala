@@ -150,9 +150,17 @@ object Similarity {
     */
   def annIvf(spark: SparkSession, sfDir: String, nCells: Int = 16,
              nProbe: Int = 4, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val v = vectors(spark, sfDir)
+    val v = trainCache(vectors(spark, sfDir))
     annIvfWith(v, trainCentroids(v, nCells), nProbe, nQueries, k)
   }
+
+  /** Training scans the vectors frame once per k-means iteration (and
+    * per PQ sub-space) — persist it so the 30-odd training jobs read
+    * the cache, not the parquet, exactly as a real deployment trains
+    * on a cached sample. Lazy persist: the first training job's scan
+    * populates it. */
+  private def trainCache(v: DataFrame): DataFrame =
+    v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** §2 #66 — oracle-checked IVF variant: same map-only assignment and
     * probe pipeline as [[annIvf]], over the STATIC quantizer — so a SQL
@@ -303,31 +311,44 @@ object Similarity {
     * trained model. */
   private[graft] def trainPqCodebooks(v: DataFrame, m: Int = 8, k: Int = 16,
                                       sub: Int = 8,
-                                      iters: Int = 3): Array[Array[Array[Double]]] =
-    Array.tabulate(m) { mi =>
-      val s = v.select(col("vec_id"),
-        expr(s"slice(embedding, ${mi * sub + 1}, $sub)").as("embedding"))
-      import s.sparkSession.implicits._
-      var cents: Array[Array[Double]] =
-        s.filter(col("vec_id") < k).orderBy("vec_id")
-          .select("embedding").as[Array[Float]].collect()
-          .map(_.map(_.toDouble))
-      for (_ <- 1 to iters) {
-        val means = s.select(
-            element_at(graft.functions.VectorQuantize.nearestCellsBiased(
-              col("embedding"), cents, l2Biases(cents), 1), 1).as("cell"),
-            posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos")
-          .agg(avg(col("x")).as("m"))
-          .collect()
-        val next = Array.tabulate(cents.length)(i => cents(i).clone())
-        means.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) = math.rint(r.getDouble(2) * 1e6) / 1e6
-        }
-        cents = next
+                                      iters: Int = 3): Array[Array[Array[Double]]] = {
+    import v.sparkSession.implicits._
+    // init: first k vectors (one collect), sliced per sub-space driver-side
+    val init = v.filter(col("vec_id") < k).orderBy("vec_id")
+      .select("embedding").as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    var cbs: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(mi => init.map(_.slice(mi * sub, (mi + 1) * sub)))
+    // ALL sub-spaces per iteration in ONE job: stack each row into its m
+    // (sub-space, sub-vector) rows, branch the argmin on the sub-space
+    // id, aggregate every (m, cell, pos) mean at once — iters+1 jobs
+    // total instead of m×(iters+1), and one corpus pass per iteration,
+    // which is the distributed-training shape that matters at scale.
+    val stackArgs = (0 until m)
+      .map(mi => s"$mi, slice(embedding, ${mi * sub + 1}, $sub)")
+      .mkString(", ")
+    for (_ <- 1 to iters) {
+      val cellCol = (0 until m).foldLeft(lit(null).cast("int")) { (acc, mi) =>
+        when(col("m") === mi,
+          element_at(graft.functions.VectorQuantize.nearestCellsBiased(
+            col("s"), cbs(mi), l2Biases(cbs(mi)), 1), 1)).otherwise(acc)
       }
-      cents
+      val means = v
+        .select(expr(s"stack($m, $stackArgs) AS (m, s)"))
+        .select(col("m"), cellCol.as("cell"),
+          posexplode(col("s")).as(Seq("pos", "x")))
+        .groupBy("m", "cell", "pos")
+        .agg(avg(col("x")).as("mn"))
+        .collect()
+      val next = Array.tabulate(m)(mi => cbs(mi).map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          math.rint(r.getDouble(3) * 1e6) / 1e6
+      }
+      cbs = next
     }
+    cbs
+  }
 
   /** §2 #89 — PRODUCT-QUANTIZATION ANN (Jégou et al. 2011): each 64-dim
     * vector is encoded as 8 sub-space codes (4 bits each — 8 codes vs
@@ -348,7 +369,7 @@ object Similarity {
     * re-rank — is replayed exactly by [[pqTrainedOracle]]. */
   def annPq(spark: SparkSession, sfDir: String,
             nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val v = vectors(spark, sfDir)
+    val v = trainCache(vectors(spark, sfDir))
     annPqWith(v, trainPqCodebooks(v), nQueries, k)
   }
 
@@ -421,7 +442,7 @@ object Similarity {
     * [[ivfPqTrainedOracle]]. */
   def annIvfPq(spark: SparkSession, sfDir: String, nCells: Int = 16,
                nProbe: Int = 4, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val v = vectors(spark, sfDir)
+    val v = trainCache(vectors(spark, sfDir))
     annIvfPqWith(v, trainCentroids(v, nCells), trainPqCodebooks(v),
       nProbe, nQueries, k)
   }
