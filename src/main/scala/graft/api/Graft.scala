@@ -131,6 +131,34 @@ object Graft {
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame =
     graft.operators.Curation.tfidfFrom(docs, k)
 
+  /** C4-style boilerplate cleaning of newline-structured docs →
+    * (doc_id, n_lines, n_kept, page_drop, kept_sha). Map-only. */
+  def c4Clean(docs: DataFrame, minLineWords: Int = 3,
+              minKeptLines: Int = 3): DataFrame =
+    graft.operators.Curation.c4CleanFrom(docs, minLineWords, minKeptLines)
+
+  /** PII scrub → per-doc email/IPv4 counts, redacted-text sha, flag.
+    * Map-only codegen'd regexes. `docs` = (doc_id, text). */
+  def piiScrub(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.piiScrubFrom(docs)
+
+  /** Gopher-style repetition signals → (doc_id, n_words,
+    * top_word_frac, dup2_frac, dup3_frac, repetitive). */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.repetitionFrom(docs)
+
+  /** Bloom-prefiltered decontamination (build side aggregated
+    * distributively; m-bit bitmap broadcast) → (doc_id, n_cand_grams,
+    * n_hit_grams). */
+  def bloomDecontaminate(train: DataFrame, bench: DataFrame, n: Int = 4,
+                         mBits: Int = 65536): DataFrame =
+    graft.operators.Curation.bloomDecontaminateFrom(train, bench, n, mBits)
+
+  /** Funnel conversion over (user_id, event_type, t) events: per-step
+    * user counts + mean gap seconds, strictly-ordered first events. */
+  def funnelSteps(events: DataFrame, steps: Seq[String]): DataFrame =
+    graft.operators.Analytics.funnelStepsFrom(events, steps)
+
   /** Per-vector int8 max-abs quantization summary → (vec_id, scale4,
     * checksum, max_err6, maxabs6). `embs` = (vec_id, embedding). */
   def quantizeEmbeddings(embs: DataFrame): DataFrame =
@@ -153,10 +181,17 @@ object Graft {
     graft.operators.Quality.histogram(df, valueCol, binWidth)
 
   /** Rows/nulls/distinct/min/max per column (one pruned aggregate leg
-    * per column, one job). Persist `df` first if it is the result of
-    * an expensive computation — each leg re-evaluates the input plan. */
+    * per column, one job). Derived inputs (joins, aggregations) are
+    * persisted and materialized once automatically. */
   def profile(df: DataFrame): DataFrame =
     graft.operators.Quality.profile(df)
+
+  /** Order-independent per-group integrity checksum: KR hash of each
+    * row's canonical text, summed as DECIMAL(38,0) → (grp, n_rows,
+    * checksum). Two engines/sides agree iff group contents agree. */
+  def integrityChecksum(df: DataFrame, rowText: Column,
+                        groupCol: Column): DataFrame =
+    graft.operators.Quality.integrityChecksumFrom(df, rowText, groupCol)
 
   // --------------------------------------------------------- streaming
 

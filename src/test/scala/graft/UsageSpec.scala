@@ -156,4 +156,49 @@ class UsageSpec extends SparkSpec {
       .collect().head
     assert(qz.getDouble(1) == 127.0 && qz.getDouble(4) == 1.0)
   }
+
+  test("facade: round-6 entry points on arbitrary frames") {
+    // C4 cleaning on an ad-hoc two-line page
+    val c4 = Graft.c4Clean(Seq(
+      (1L, "good first line.\nbad line\nanother good line.")
+    ).toDF("doc_id", "text"), minKeptLines = 2).collect().head
+    assert(c4.getInt(1) == 3 && c4.getInt(2) == 2 && !c4.getBoolean(3))
+
+    // PII scrub + repetition on the same ad-hoc docs
+    val docs = Seq(
+      (1L, "mail me at a@b.co or ping 10.0.0.1 thanks"),
+      (2L, "spam spam spam spam spam")).toDF("doc_id", "text")
+    val pii = Graft.piiScrub(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(pii(1L) == ((1L, 1L)) && pii(2L) == ((0L, 0L)))
+    val rep = Graft.repetitionSignals(docs).collect()
+      .map(r => (r.getLong(0), r.getBoolean(5))).toMap
+    assert(rep(2L) && !rep(1L))
+
+    // bloom decontamination agrees with exact decontamination
+    val train = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val bench = Seq((100L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val hits = Graft.bloomDecontaminate(train, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val exact = Graft.decontaminate(train, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits.filter(_._2 > 0L) == exact)
+
+    // funnel on a toy event log
+    val fun = Graft.funnelSteps(
+      Seq((1L, "a", 1L), (1L, "b", 2L), (2L, "a", 5L))
+        .toDF("user_id", "event_type", "t"), Seq("a", "b")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(fun == Map(1 -> 2L, 2 -> 1L))
+
+    // checksum certificate equality source vs re-partitioned copy
+    val src = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val a = Graft.integrityChecksum(src, concat_ws("|", col("k"), col("v")),
+      lit("t")).collect().head
+    val b = Graft.integrityChecksum(src.repartition(5),
+      concat_ws("|", col("k"), col("v")), lit("t")).collect().head
+    assert(a.getDecimal(2) == b.getDecimal(2))
+  }
 }
