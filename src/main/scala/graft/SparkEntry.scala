@@ -92,6 +92,7 @@ object SparkEntry {
     "ann_ivf_static" -> ((s, d) => Similarity.annIvfStatic(s, d)),
     "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
     "ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
+    "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     "topk_frequent" -> ((s, d) => Analytics.topkFrequent(s, d)),
     "asof_join_native" -> (graft.plans.AsofJoinNative.asofJoinNative _),
@@ -323,6 +324,7 @@ object SparkEntry {
     "ann_ivf_static" -> Similarity.ivfStaticOracle(),
     "ann_pq" -> Similarity.pqTrainedOracle(),
     "ann_ivfpq" -> Similarity.ivfPqTrainedOracle(),
+    "semantic_dedup" -> Similarity.semanticDedupOracle(),
     // oracle takes the deterministically-trained quantizer as given
     // (training is property-specced); everything downstream is exact
     "ann_ivf" -> Similarity.ivfTrainedOracle(),

@@ -192,6 +192,83 @@ object Similarity {
       k)
   }
 
+  /** §2 #96 — SEMANTIC dedup (SemDeDup, Abbas et al. 2023): cluster
+    * the corpus with the k-means coarse quantizer, then drop any vector
+    * that has a lower-id near-duplicate (cosine ≥ tau) in ITS OWN
+    * cluster — the embedding-space analogue of exact dedup's
+    * keep-the-canonical rule, and the standard way to de-duplicate at
+    * the scale where all-pairs cosine is impossible. The decision rule
+    * (exists a lower-id in-cell dup) is pairwise and order-free, so the
+    * oracle replays it exactly.
+    *
+    * Scale shape: cell assignment map-only over the broadcast centroid
+    * matrix; the only join is within-cell pairs (blocks bounded by the
+    * quantizer, ~N/nCells each — at 100 TB nCells grows with the corpus
+    * so blocks stay bounded); output decisions via one left join. */
+  def semanticDedup(spark: SparkSession, sfDir: String, nCells: Int = 16,
+                    tau: Double = 0.4): DataFrame = {
+    val v = trainCache(vectors(spark, sfDir))
+    semanticDedupWith(v, trainCentroids(v, nCells), tau)
+  }
+
+  private def semanticDedupWith(v: DataFrame, cents: Array[Array[Double]],
+                                tau: Double): DataFrame = {
+    val assigned = v.select(
+      element_at(graft.functions.VectorQuantize.nearestCells(
+        col("embedding"), cents, 1), 1).as("cell"),
+      col("vec_id"), col("embedding"), col("nrm"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("e_b"), col("nrm").as("n_b"))
+    val dupOf = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineWithNorms(dot(col("e_a"), col("e_b")),
+        col("n_a"), col("n_b")) >= tau)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNotNull.as("dropped"), col("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle for [[semanticDedup]]: trained centroids inlined, ranked
+    * assignment + within-cell pairwise replay. */
+  def semanticDedupOracle(nCells: Int = 16, tau: Double = 0.4): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val cents = trainCentroids(vectors(spark, sfDir), nCells)
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"(${i}, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    s"""WITH n AS (SELECT vec_id, embedding,
+          sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+        cents(cell, cv) AS (VALUES $centRows),
+        assigned AS (SELECT vec_id, embedding, nrm, cell FROM (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              ${dot("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+          FROM n v, cents c) WHERE crnk = 1),
+        dup AS (SELECT b.vec_id, min(a.vec_id) AS dup_of
+                FROM assigned a JOIN assigned b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE ${dot("a.embedding", "b.embedding")}
+                        / (a.nrm * b.nrm) >= $tau
+                GROUP BY 1)
+        SELECT s.vec_id, s.cell, dup.dup_of IS NOT NULL AS dropped,
+               dup.dup_of
+        FROM assigned s LEFT JOIN dup ON dup.vec_id = s.vec_id
+        ORDER BY s.vec_id"""
+  }
+
   /** Random hyperplanes for LSH signatures: nBits × dim, fixed seed. */
   private[graft] def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(7)

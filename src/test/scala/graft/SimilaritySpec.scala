@@ -56,6 +56,31 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), "probe join must be an equi-join")
   }
 
+  test("semantic_dedup: in-cell near-dups drop to lower-id canonical; no cartesian") {
+    val rows = Similarity.semanticDedup(spark, sf).collect()
+    assert(rows.length == 500)
+    // every dropped vector names a LOWER-id canonical; kept rows name none
+    rows.foreach { r =>
+      if (r.getBoolean(2)) assert(r.getLong(3) < r.getLong(0))
+      else assert(r.isNullAt(3))
+    }
+    // decisions agree with a brute-force within-cell replay
+    val v = Tables.load(spark, sf, "embeddings").selectExpr("vec_id",
+      "embedding",
+      "sqrt(aggregate(transform(embedding, x -> double(x) * double(x)), 0D, (a, b) -> a + b)) AS nrm")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val cellOf = rows.map(r => (r.getLong(0), r.getInt(1))).toMap
+    def cos(a: (Long, Array[Float], Double), b: (Long, Array[Float], Double)) =
+      a._2.zip(b._2).map { case (x, y) => x.toDouble * y.toDouble }.sum / (a._3 * b._3)
+    val expectDropped = (for {
+      x <- v; y <- v
+      if y._1 < x._1 && cellOf(x._1) == cellOf(y._1) && cos(y, x) >= 0.4
+    } yield x._1).toSet
+    assert(rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet == expectDropped)
+    assertNoCartesian(Similarity.semanticDedup(spark, sf))
+  }
+
   test("ann_pq: trained codebooks deterministic; recall@5 >= 0.5 after re-rank") {
     val brute = Similarity.annBruteforce(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
