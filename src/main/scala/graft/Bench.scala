@@ -16,7 +16,7 @@ object Bench {
     "asof_join_native",
     "sessionize", "merge_upsert", "topk_frequent", "package_filter",
     "typed_format", "pivot_status", "rollup_agg", "pctile_value",
-    "running_total",
+    "running_total", "rolling_window",
     "snapshot_diff", "fk_orphans", "deterministic_sample",
     "value_histogram", "profile_table", "compact_files",
     "schema_evolution", "xlsx_keys",

@@ -69,6 +69,7 @@ object SparkEntry {
     "events_window" -> (Analytics.eventsWindow _),
     "range_join" -> ((s, d) => Analytics.rangeJoinPairs(s, d)),
     "funnel_steps" -> ((s, d) => Analytics.funnelSteps(s, d)),
+    "rolling_window" -> ((s, d) => Analytics.rollingWindow(s, d)),
     "pivot_status" -> (Analytics.pivotStatus _),
     "rollup_agg" -> (Analytics.rollupAgg _),
     "pctile_value" -> (Analytics.pctileValue _),
@@ -870,6 +871,15 @@ object SparkEntry {
                 round(CAST(sum(t_cur - t_prev) AS DOUBLE)
                       / count(*) / 1e6, 4) FROM s3
          ORDER BY step""",
+    "rolling_window" ->
+      """SELECT user_id, event_id,
+           count(*) OVER w AS n_1h,
+           round(avg(v_c) OVER w / 100, 4) AS avg_value_1h
+         FROM (SELECT user_id, event_id, epoch_us(ts) AS t,
+                 CAST(round(value*100) AS BIGINT) AS v_c FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY t
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
     "pivot_status" ->
       s"""SELECT o_orderpriority,
           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN price_c END) AS BIGINT)

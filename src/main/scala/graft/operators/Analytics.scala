@@ -149,6 +149,28 @@ object Analytics {
           .orderBy("o_orderkey")))
       .orderBy("o_custkey", "o_orderkey")
 
+  /** §2 #97 — RANGE-frame rolling window: per event, the count and
+    * 4-dp mean value of the SAME USER's events in the trailing hour —
+    * the time-based moving aggregate (rate limiting, anomaly baselines)
+    * that a ROWS frame cannot express when event spacing is irregular.
+    * One exchange hash-partitions by user; the range frame then scans
+    * each user's time-sorted partition once with a sliding two-pointer
+    * (Spark's WindowExec), so cost is O(events) after the shuffle, not
+    * O(events × window). Exact integral micros; identical RANGE peer
+    * semantics in the oracle. */
+  def rollingWindow(spark: SparkSession, sfDir: String,
+                    windowSec: Long = 3600): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("t")
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"), cents(col("value")).as("v_c"))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(avg(col("v_c")).over(w) / 100.0, 4).as("avg_value_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** §2 #19 — time-bucketed event aggregation (batch twin of the
     * streaming windowed agg in graft.streaming.EventStream). */
   /** §2 #88 — bounded RANGE JOIN: pairs of events from the same user

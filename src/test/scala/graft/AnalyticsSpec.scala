@@ -86,6 +86,30 @@ class AnalyticsSpec extends SparkSpec {
     assertNoCartesian(df)
   }
 
+  test("rolling_window: trailing range frame counts exactly the in-window events") {
+    val rows = graft.operators.Analytics.rollingWindow(spark, sf).collect()
+    assert(rows.length > 0)
+    // every row counts at least itself; the frame never exceeds the
+    // user's total event count
+    val byUser = rows.groupBy(_.getLong(0))
+    rows.foreach { r =>
+      val n = r.getLong(2)
+      assert(n >= 1 && n <= byUser(r.getLong(0)).length)
+    }
+    // brute-force replay on one user
+    val u = rows.head.getLong(0)
+    val ev = Tables.load(spark, sf, "events")
+      .filter(col("user_id") === u)
+      .selectExpr("event_id", "unix_micros(ts) AS t").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = byUser(u).map(r => (r.getLong(1), r.getLong(2))).toMap
+    ev.foreach { case (eid, t) =>
+      val expect = ev.count { case (_, t2) =>
+        t2 <= t && t2 >= t - 3600L * 1000000L }
+      assert(got(eid) == expect.toLong, s"event $eid")
+    }
+  }
+
   test("funnel_steps: strictly-ordered steps, monotone user counts") {
     import spark.implicits._
     // u1 completes the funnel; u2 clicks BEFORE viewing (no conversion);
