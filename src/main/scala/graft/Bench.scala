@@ -18,7 +18,7 @@ object Bench {
     "typed_format", "pivot_status", "rollup_agg", "pctile_value",
     "running_total", "rolling_window",
     "snapshot_diff", "fk_orphans", "deterministic_sample",
-    "value_histogram", "profile_table", "compact_files",
+    "value_histogram", "profile_table", "outlier_fences", "compact_files",
     "schema_evolution", "xlsx_keys",
     // dedup family
     "dedup_exact", "dedup_minhash", "dedup_ngram_exactjoin",

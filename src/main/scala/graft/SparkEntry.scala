@@ -80,6 +80,7 @@ object SparkEntry {
     "stratified_sample" -> ((s, d) => Quality.stratifiedSample(s, d)),
     "value_histogram" -> ((s, d) => Quality.valueHistogram(s, d)),
     "profile_table" -> (Quality.profileTable _),
+    "outlier_fences" -> (Quality.outlierFences _),
     "compact_files" -> ((s, d) => Maintenance.compactFiles(s, d)),
     "schema_evolution" -> (Maintenance.schemaEvolution _),
     "asof_join" -> (AsofJoin.asofJoin _),
@@ -944,6 +945,7 @@ object SparkEntry {
           FROM (SELECT ${centsSql("value")} AS v_c FROM events)
           GROUP BY 1 ORDER BY 1""",
     "profile_table" -> Quality.profileOracle,
+    "outlier_fences" -> Quality.outlierOracle,
     "compact_files" ->
       s"""SELECT count(*) AS n_rows,
           CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_price_c,

@@ -221,6 +221,60 @@ object Quality {
   def profileTable(spark: SparkSession, sfDir: String): DataFrame =
     profile(Tables.load(spark, sfDir, "orders"))
 
+  /** §2 #98 — IQR-fence outlier detection per group (Tukey fences at
+    * q1 − 1.5·IQR / q3 + 1.5·IQR): the distribution-free outlier gate a
+    * migration/quality pass runs on numeric columns. Built on EXACT
+    * discrete percentiles (engine-equal, unlike variance-based z-scores
+    * whose float summation order can flip borderline flags) and
+    * doubled-integer fence comparisons so the 0.5-cent fence positions
+    * never touch floats. Two passes: one tiny per-group percentile
+    * aggregate (broadcast back), one scan counting outliers — both hash
+    * aggregates, no window. */
+  def outlierFences(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), cents(col("value")).as("v_c"))
+    val fences = ev.groupBy("event_type").agg(
+      expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v_c) AS BIGINT)")
+        .as("q1_c"),
+      expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v_c) AS BIGINT)")
+        .as("q3_c"))
+      .withColumn("iqr", col("q3_c") - col("q1_c"))
+    // 2·v < 2·q1 − 3·iqr  ⇔  v < q1 − 1.5·iqr, in pure integers
+    val isOut = col("v_c") * 2 < col("q1_c") * 2 - col("iqr") * 3 ||
+      col("v_c") * 2 > col("q3_c") * 2 + col("iqr") * 3
+    ev.join(broadcast(fences), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min("q1_c").as("q1_c"), min("q3_c").as("q3_c"),
+        sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+        min(when(isOut, col("v_c"))).as("min_out_c"),
+        max(when(isOut, col("v_c"))).as("max_out_c"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[outlierFences]] (quantile_disc ==
+    * percentile_disc, proven by pctile_value). */
+  val outlierOracle: String =
+    """WITH ev AS (SELECT event_type,
+           CAST(round(value*100) AS BIGINT) AS v_c FROM events),
+        f AS (SELECT event_type,
+           CAST(quantile_disc(v_c, 0.25) AS BIGINT) AS q1_c,
+           CAST(quantile_disc(v_c, 0.75) AS BIGINT) AS q3_c
+         FROM ev GROUP BY 1)
+       SELECT ev.event_type, count(*) AS n,
+         min(q1_c) AS q1_c, min(q3_c) AS q3_c,
+         CAST(sum(CASE WHEN v_c*2 < q1_c*2 - (q3_c-q1_c)*3
+                    OR v_c*2 > q3_c*2 + (q3_c-q1_c)*3
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         min(CASE WHEN v_c*2 < q1_c*2 - (q3_c-q1_c)*3
+                    OR v_c*2 > q3_c*2 + (q3_c-q1_c)*3
+                  THEN v_c END) AS min_out_c,
+         max(CASE WHEN v_c*2 < q1_c*2 - (q3_c-q1_c)*3
+                    OR v_c*2 > q3_c*2 + (q3_c-q1_c)*3
+                  THEN v_c END) AS max_out_c
+       FROM ev JOIN f ON ev.event_type = f.event_type
+       GROUP BY 1 ORDER BY 1"""
+
   /** Generic core: ORDER-INDEPENDENT per-group integrity checksum — the
     * cheap cross-engine equality certificate a migration runs on source
     * and target (reference: the import-validation surface, 60000:283's

@@ -104,6 +104,21 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("outlier_fences: flags exactly the values beyond the Tukey fences") {
+    val rows = Quality.outlierFences(spark, sf).collect()
+    assert(rows.length == 5) // one per event_type
+    rows.foreach { r =>
+      val (q1, q3) = (r.getLong(2), r.getLong(3))
+      val iqr = q3 - q1
+      assert(q3 >= q1)
+      if (r.getLong(4) > 0) {
+        // every reported outlier extreme actually breaches a fence
+        val breach = (v: Long) => v * 2 < q1 * 2 - iqr * 3 || v * 2 > q3 * 2 + iqr * 3
+        assert(breach(r.getLong(5)) && breach(r.getLong(6)))
+      } else assert(r.isNullAt(5) && r.isNullAt(6))
+    }
+  }
+
   test("profile_table: one row per column, exact counts, pruned per-column legs") {
     val rows = Quality.profileTable(spark, sf).collect()
     assert(rows.length == 6)
