@@ -30,7 +30,7 @@ object Bench {
     // text analysis
     "text_stats", "token_count", "lang_id", "quality_filter",
     "doc_winnow", "doc_fingerprint", "text_shingles", "seq_pack",
-    "ngram_lm", "quality_repetition", "lm_perplexity",
+    "ngram_lm", "quality_repetition", "lm_perplexity", "charset_gate",
     "stratified_sample",
     // corpus curation
     "decontaminate", "decontaminate_fuzzy", "bloom_decontaminate",

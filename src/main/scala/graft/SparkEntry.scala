@@ -120,6 +120,7 @@ object SparkEntry {
     "bloom_decontaminate" -> ((s, d) => Curation.bloomDecontaminate(s, d)),
     "pii_scrub" -> (TextAnalysis.piiScrub _),
     "c4_clean" -> (Curation.c4Clean _),
+    "charset_gate" -> (TextAnalysis.charsetGate _),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -680,6 +681,7 @@ object SparkEntry {
              AS had_pii
          FROM t ORDER BY doc_id""",
     "c4_clean" -> Curation.c4Oracle(),
+    "charset_gate" -> TextAnalysis.charsetOracle,
     "lm_perplexity" ->
       """WITH w AS (SELECT doc_id,
                       string_split_regex(trim(lower(text)), '\s+') AS w

@@ -339,6 +339,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Generic core: CHARSET/mojibake gate over ANY (doc_id, text) frame
+    * — counts U+FFFD replacement characters (the fingerprint of a
+    * mis-decoded byte stream) and C0 control characters (excluding
+    * tab/newline/CR), plus the clean-character fraction; `charset_ok`
+    * is the admission decision. The standard encoding-sanity gate a
+    * crawl corpus runs before anything downstream trusts the text.
+    * Map-only codegen'd regex counts — rides any scan at 100 TB. */
+  def charsetGateFrom(docs: DataFrame): DataFrame = {
+    val nRepl = regexp_count(col("text"), lit("�")).cast("long")
+    val nCtrl = regexp_count(col("text"),
+      lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).cast("long")
+    docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      nRepl.as("n_replacement"), nCtrl.as("n_control"))
+      .withColumn("clean_frac",
+        round(lit(1.0) - (col("n_replacement") + col("n_control"))
+          / col("n_chars").cast("double"), 4))
+      .withColumn("charset_ok",
+        col("n_replacement") === 0 && col("n_control") === 0)
+      .orderBy("doc_id")
+  }
+
+  /** §2 #99 — charset gate over the fixture corpus; clean synthetic
+    * text gets deterministic mojibake injected first (pii_scrub's
+    * stance), identically in both engines. */
+  def charsetGate(spark: SparkSession, sfDir: String): DataFrame =
+    charsetGateFrom(Tables.load(spark, sfDir, "documents")
+      .withColumn("text", expr(
+        // Spark's char(n) wraps at 256, so the replacement character
+        // must be a literal; char(7) (BEL) is safe
+        """concat(text,
+             if(doc_id % 9 = 0,
+                repeat('�', cast(doc_id % 3 + 1 as int)), ''),
+             if(doc_id % 15 = 0, char(7), ''))""")))
+
+  /** DuckDB oracle for [[charsetGate]]. */
+  val charsetOracle: String =
+    """WITH t AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 9 = 0
+                THEN repeat(chr(65533), CAST(doc_id % 3 + 1 AS INTEGER))
+                ELSE '' END ||
+           CASE WHEN doc_id % 15 = 0 THEN chr(7) ELSE '' END AS text
+         FROM documents),
+        c AS (SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT)
+             AS n_replacement,
+           CAST(len(regexp_extract_all(text,
+             '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_control
+         FROM t)
+       SELECT doc_id, n_chars, n_replacement, n_control,
+         round(1.0 - (n_replacement + n_control)
+               / CAST(n_chars AS DOUBLE), 4) AS clean_frac,
+         (n_replacement = 0 AND n_control = 0) AS charset_ok
+       FROM c ORDER BY doc_id"""
+
   /** §2 #87 — PII scrub over the fixture corpus. The synthetic corpus
     * carries no PII, so (like fk_orphans' thinned parents) a
     * deterministic slice gets addresses/IPs injected FIRST — the same

@@ -121,6 +121,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.seqPack(spark, dirWithNoDocs).count() == 0)
   }
 
+  test("charset_gate: replacement and control chars counted exactly; tab/newline clean") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "perfectly clean text"),
+      (2L, "bad �� decode"),
+      (3L, "bellcontrol"),
+      (4L, "tabs\tand\nnewlines\rok")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.charsetGateFrom(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getBoolean(5))))
+      .toMap
+    assert(got(1L) == ((0L, 0L, true)))
+    assert(got(2L) == ((2L, 0L, false)))
+    assert(got(3L) == ((0L, 1L, false)))
+    assert(got(4L) == ((0L, 0L, true))) // whitespace controls are fine
+  }
+
   test("pii_scrub: counts and redacted digests are exact on hand-built rows") {
     import spark.implicits._
     import java.security.MessageDigest
