@@ -25,7 +25,7 @@ object Bench {
     "dedup_simhash", "dedup_clusters", "dedup_corpus", "dedup_incremental",
     // similarity / ANN
     "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_static",
-    "ann_pq", "ann_ivfpq", "semantic_dedup",
+    "ann_pq", "ann_ivfpq", "semantic_dedup", "hard_negatives",
     "embedding_dedup", "embedding_quantize",
     // text analysis
     "text_stats", "token_count", "lang_id", "quality_filter",

@@ -95,6 +95,7 @@ object SparkEntry {
     "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
     "ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
     "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     "topk_frequent" -> ((s, d) => Analytics.topkFrequent(s, d)),
     "asof_join_native" -> (graft.plans.AsofJoinNative.asofJoinNative _),
@@ -319,6 +320,17 @@ object SparkEntry {
             FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                     ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
                   FROM n q JOIN n c ON c.vec_id <> q.vec_id
+                  WHERE q.vec_id < 10))
+          WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "hard_negatives" ->
+      s"""$duckNormCte
+          SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos6 FROM (
+            SELECT query_id, neighbor_id, cos,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+            FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+                  FROM n q JOIN n c ON c.label <> q.label
                   WHERE q.vec_id < 10))
           WHERE rnk <= 5 ORDER BY query_id, rnk""",
     // static-hyperplane LSH is fully deterministic — the oracle inlines

@@ -192,6 +192,32 @@ object Similarity {
       k)
   }
 
+  /** §2 #100 — HARD-NEGATIVE mining for contrastive training: for each
+    * anchor, the top-k most-similar vectors with a DIFFERENT label —
+    * the near-misses that teach an embedding model its decision
+    * boundary (the complement of near-dup removal: there we drop
+    * same-meaning neighbors, here we keep different-meaning ones).
+    * Same scale shape as the brute-force baseline: anchors broadcast,
+    * candidates scanned once, bounded TopKByScore ranking; at corpus
+    * scale the scan side is replaced by any of the ANN index paths
+    * (#27/#39/#89/#90) unchanged above the scoring join. */
+  def hardNegatives(spark: SparkSession, sfDir: String,
+                    nAnchors: Int = 10, k: Int = 5): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val anchors = v.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("query_id"), col("label").as("lab_q"),
+        col("embedding").as("e_q"), col("nrm").as("n_q"))
+    val cands = v.select(col("vec_id").as("neighbor_id"),
+      col("label").as("lab_c"), col("embedding").as("e_c"),
+      col("nrm").as("n_c"))
+    rankTopK(
+      cands.join(broadcast(anchors), col("lab_q") =!= col("lab_c"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
+            .as("cos")),
+      k)
+  }
+
   /** §2 #96 — SEMANTIC dedup (SemDeDup, Abbas et al. 2023): cluster
     * the corpus with the k-means coarse quantizer, then drop any vector
     * that has a lower-id near-duplicate (cosine ≥ tau) in ITS OWN

@@ -56,6 +56,20 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), "probe join must be an equi-join")
   }
 
+  test("hard_negatives: every mined negative crosses the label boundary") {
+    val rows = Similarity.hardNegatives(spark, sf).collect()
+    assert(rows.length == 50)
+    val label = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.get(1).toString)).toMap
+    rows.foreach { r =>
+      assert(label(r.getLong(0)) != label(r.getLong(1)),
+        s"anchor ${r.getLong(0)} mined a same-label neighbor")
+    }
+    // bounded ranking, not a window
+    assert(!planOf(Similarity.hardNegatives(spark, sf)).contains("Window"))
+  }
+
   test("semantic_dedup: in-cell near-dups drop to lower-id canonical; no cartesian") {
     val rows = Similarity.semanticDedup(spark, sf).collect()
     assert(rows.length == 500)
