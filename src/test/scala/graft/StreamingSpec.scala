@@ -92,6 +92,53 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "a1"), (2L, "b2"), (3L, "c0")))
   }
 
+  test("stream dedup: per-batch decisions equal sequential incremental dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = graft.operators.ExportImport.scratch("stream-dedup")
+    val (baseDir, outDir, ckpt) = (root + "/base", root + "/out", root + "/ckpt")
+    Seq(baseDir, outDir, ckpt).foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    val d1 = Seq(
+      (1L, (1 to 40).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"a$i").mkString(" ")),        // exact dup of 1
+      (3L, "totally different content here"))
+    val nearOf1 = (1 to 40).map(i => if (i == 40) "zz" else s"a$i").mkString(" ")
+    val d2 = Seq(
+      (10L, nearOf1),                                        // near-dup of base 1
+      (11L, (1 to 40).map(i => s"a$i").mkString(" ")),       // exact vs base
+      (12L, "brand new words entirely fresh"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamDedup.applyStream(
+      input.toDF().toDF("doc_id", "text"), baseDir, outDir, ckpt)
+    try {
+      input.addData(d1: _*); q.processAllAvailable()
+      input.addData(d2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // sequential batch replay: batch 1 vs empty base, batch 2 vs survivors
+    val b1 = d1.toDF("doc_id", "text")
+    val b2 = d2.toDF("doc_id", "text")
+    val dec1 = graft.operators.Dedup
+      .incrementalFrom(b1.filter(lit(false)), b1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val base1 = b1.filter(col("doc_id")
+      .isin(dec1.filter(_._2 == "kept").keys.toSeq: _*))
+    val dec2 = graft.operators.Dedup.incrementalFrom(base1, b2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == dec1 ++ dec2, s"got=$got expect=${dec1 ++ dec2}")
+    // and the accumulated base holds exactly the survivors
+    val baseIds = spark.read.parquet(baseDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(baseIds == (dec1 ++ dec2).filter(_._2 == "kept").keySet)
+  }
+
   test("sessionizer: streaming sessions equal batch sessions on real events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
