@@ -21,7 +21,7 @@ object Bench {
     "value_histogram", "profile_table", "outlier_fences", "compact_files",
     "schema_evolution", "xlsx_keys",
     // dedup family
-    "dedup_exact", "dedup_minhash", "dedup_ngram_exactjoin",
+    "dedup_exact", "para_dedup", "dedup_minhash", "dedup_ngram_exactjoin",
     "dedup_simhash", "dedup_clusters", "dedup_corpus", "dedup_incremental",
     // similarity / ANN
     "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_static",

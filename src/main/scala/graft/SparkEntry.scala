@@ -47,6 +47,7 @@ object SparkEntry {
     "media_roundtrip" -> (Blob.mediaRoundtrip _),
     // C. LLM-data-pipeline: dedup family
     "dedup_exact" -> (Dedup.dedupExact _),
+    "para_dedup" -> (Dedup.paraDedup _),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_ngram_exactjoin" -> ((s, d) => Dedup.dedupNgramExactjoin(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
@@ -224,6 +225,7 @@ object SparkEntry {
                  AS content_hash, doc_id
                FROM documents)
          GROUP BY 1 ORDER BY 1""",
+    "para_dedup" -> Dedup.paraOracle,
     "dedup_minhash" ->
       graft.functions.TextShingles.duckdbAllPairsOracle(0.5),
     // all-pairs brute force over the SAME 54-bit KR-hash SimHash

@@ -27,6 +27,67 @@ object Dedup {
       .orderBy("content_hash")
   }
 
+  /** Generic core: PARAGRAPH-level global dedup with document
+    * reassembly (the C4/Lee-et-al. unit of exact dedup — finer than
+    * whole-document, coarser than n-grams). Input: one row per
+    * (doc_id, pos, para). A paragraph is kept only at its globally
+    * FIRST occurrence (min (doc_id, pos), encoded as one integral key
+    * so both engines order identically); every document is then
+    * reassembled from its surviving paragraphs in position order and
+    * fingerprinted.
+    *
+    * Scale shape: ONE hash aggregate over (para → first key), one join
+    * back, one per-doc aggregate whose collect_list is bounded by the
+    * document's own paragraph count — raw text shuffles once, as
+    * paragraph rows. */
+  def paraDedupFrom(paras: DataFrame, maxParasPerDoc: Int = 4096): DataFrame = {
+    val key = col("doc_id") * maxParasPerDoc + col("pos")
+    val own = paras.groupBy("para").agg(min(key).as("okey"))
+    paras.join(own, "para")
+      .withColumn("kept", key === col("okey"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sha2(array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(pos, para) END)), x -> x.para)"),
+          "\n").cast("binary"), 256).as("kept_sha"))
+      .orderBy("doc_id")
+  }
+
+  /** §2 #102 — paragraph dedup over the fixture corpus; paragraphs are
+    * synthesized as consecutive 12-word chunks (the corpus is
+    * single-line), identically in the oracle. */
+  def paraDedup(spark: SparkSession, sfDir: String): DataFrame =
+    paraDedupFrom(Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(
+        """posexplode(transform(
+             sequence(0, greatest(1, (size(split(text, ' ')) + 11) div 12) - 1),
+             i -> array_join(slice(split(text, ' '), i * 12 + 1, 12), ' ')))
+           AS (pos, para)""")))
+
+  /** DuckDB oracle for [[paraDedup]]. */
+  val paraOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+           greatest(1, (len(string_split(text, ' ')) + 11) // 12) AS nP
+         FROM documents),
+        px AS (SELECT doc_id,
+           unnest(list_transform(range(0, nP), i -> struct_pack(
+             pos := i,
+             para := array_to_string(ws[i*12+1 : i*12+12], ' ')))) AS u
+         FROM w),
+        p2 AS (SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.para AS para
+               FROM px),
+        own AS (SELECT para, min(doc_id * 4096 + pos) AS okey
+                FROM p2 GROUP BY 1),
+        k AS (SELECT p2.doc_id, p2.pos, p2.para,
+                (p2.doc_id * 4096 + p2.pos) = own.okey AS kept
+              FROM p2 JOIN own USING (para))
+       SELECT doc_id, count(*) AS n_paras,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         sha256(coalesce(string_agg(CASE WHEN kept THEN para END,
+           chr(10) ORDER BY pos), '')) AS kept_sha
+       FROM k GROUP BY doc_id ORDER BY doc_id"""
+
   /** MinHash permutation constants (a·x + b mod p over a Murmur3 base
     * hash), fixed seed so signatures are stable across runs/executors. */
   private val P = 2147483647L // 2^31 - 1

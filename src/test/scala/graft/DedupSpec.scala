@@ -150,6 +150,24 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(!_.getAs[String]("b64").contains("\r")))
   }
 
+  test("para_dedup: first occurrence wins globally; docs reassemble in order") {
+    import spark.implicits._
+    val paras = Seq(
+      (1L, 0, "shared paragraph"), (1L, 1, "unique to one"),
+      (2L, 0, "shared paragraph"), (2L, 1, "unique to two"),
+      (3L, 0, "unique to three"), (3L, 1, "shared paragraph")
+    ).toDF("doc_id", "pos", "para")
+    val got = Dedup.paraDedupFrom(paras).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1 owns the shared para (first occurrence); 2 and 3 lose it
+    assert(got(1L) == ((2L, 2L, sha("shared paragraph\nunique to one"))))
+    assert(got(2L) == ((2L, 1L, sha("unique to two"))))
+    assert(got(3L) == ((2L, 1L, sha("unique to three"))))
+  }
+
   test("media_roundtrip: per-file export + binaryFile import is lossless") {
     val got = Blob.mediaRoundtrip(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
