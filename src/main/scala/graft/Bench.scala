@@ -19,10 +19,11 @@ object Bench {
     "running_total", "rolling_window",
     "snapshot_diff", "fk_orphans", "deterministic_sample",
     "value_histogram", "profile_table", "outlier_fences", "compact_files",
-    "schema_evolution", "xlsx_keys",
+    "schema_evolution", "xlsx_keys", "retention_cohorts", "scd2_intervals",
     // dedup family
     "dedup_exact", "para_dedup", "dedup_minhash", "dedup_ngram_exactjoin",
     "dedup_simhash", "dedup_clusters", "dedup_corpus", "dedup_incremental",
+    "doc_containment",
     // similarity / ANN
     "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_static",
     "ann_pq", "ann_ivfpq", "semantic_dedup", "hard_negatives",
@@ -31,11 +32,12 @@ object Bench {
     "text_stats", "token_count", "lang_id", "quality_filter",
     "doc_winnow", "doc_fingerprint", "text_shingles", "seq_pack",
     "ngram_lm", "quality_repetition", "lm_perplexity", "charset_gate",
-    "stratified_sample",
+    "stratified_sample", "vocab_coverage", "word_pmi", "quality_model",
     // corpus curation
     "decontaminate", "decontaminate_fuzzy", "bloom_decontaminate",
     "doc_chunk", "pii_scrub", "c4_clean", "range_join",
-    "mixture_sample", "mixture_upsample", "tfidf_topterms",
+    "mixture_sample", "mixture_upsample", "tfidf_topterms", "shard_assign",
+    "bm25_search",
     // export/import round-trips + validation
     "xml_roundtrip", "csv_roundtrip", "orc_roundtrip", "xlsx_roundtrip",
     "jsonl_roundtrip", "integrity_checksum",

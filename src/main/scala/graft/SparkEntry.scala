@@ -123,6 +123,14 @@ object SparkEntry {
     "pii_scrub" -> (TextAnalysis.piiScrub _),
     "c4_clean" -> (Curation.c4Clean _),
     "charset_gate" -> (TextAnalysis.charsetGate _),
+    "vocab_coverage" -> (TextAnalysis.vocabCoverage _),
+    "word_pmi" -> (TextAnalysis.wordPmi _),
+    "quality_model" -> (TextAnalysis.qualityModel _),
+    "shard_assign" -> (Curation.shardAssign _),
+    "retention_cohorts" -> (Analytics.retentionCohorts _),
+    "scd2_intervals" -> (MergeImport.scd2Intervals _),
+    "bm25_search" -> (Curation.bm25Search _),
+    "doc_containment" -> (Dedup.docContainment _),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -696,6 +704,14 @@ object SparkEntry {
          FROM t ORDER BY doc_id""",
     "c4_clean" -> Curation.c4Oracle(),
     "charset_gate" -> TextAnalysis.charsetOracle,
+    "vocab_coverage" -> TextAnalysis.vocabOracle,
+    "word_pmi" -> TextAnalysis.pmiOracle,
+    "quality_model" -> TextAnalysis.qualityModelOracle,
+    "shard_assign" -> Curation.shardOracle(),
+    "retention_cohorts" -> Analytics.retentionOracle,
+    "scd2_intervals" -> MergeImport.scd2Oracle,
+    "bm25_search" -> Curation.bm25Oracle(),
+    "doc_containment" -> Dedup.containmentOracle(),
     "lm_perplexity" ->
       """WITH w AS (SELECT doc_id,
                       string_split_regex(trim(lower(text)), '\s+') AS w

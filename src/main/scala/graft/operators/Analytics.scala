@@ -258,4 +258,45 @@ object Analytics {
       .groupBy("hour_bucket", "event_type")
       .agg(count(lit(1)).as("n"), sum("value_c").as("sum_value_c"))
       .orderBy("hour_bucket", "event_type")
+
+  /** Generic core: RETENTION COHORTS over ANY (user_id, wk) frame of
+    * per-user activity weeks — users are grouped by their first active
+    * ISO week (the cohort) and counted at each later week offset: the
+    * standard product-analytics retention triangle.
+    *
+    * Scale shape: one hash aggregate for first-activity (user_id keys),
+    * one equi-join back on user_id (co-partitioned with the aggregate's
+    * exchange, so AQE reuses the partitioning), one (cohort, offset)
+    * aggregate whose distinct-user count shuffles (cohort, offset,
+    * user_id) triples — bounded by activity rows, never wider. */
+  def retentionCohortsFrom(ev: DataFrame): DataFrame = {
+    val first = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    ev.join(first, "user_id")
+      .withColumn("week_offset",
+        expr("datediff(wk, cohort_wk) div 7").cast("int"))
+      .groupBy("cohort_wk", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  /** §2 #107 — weekly retention cohorts of the events stream. Both
+    * engines truncate to the ISO week's Monday, so offsets are exact
+    * multiples of 7 days by construction. */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame =
+    retentionCohortsFrom(Tables.load(spark, sfDir, "events")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk")))
+
+  /** DuckDB oracle for [[retentionCohorts]]. */
+  val retentionOracle: String =
+    """WITH a AS (SELECT user_id,
+            CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        f AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id)
+       SELECT cohort_wk,
+              CAST(date_diff('day', cohort_wk, wk) // 7 AS INTEGER)
+                AS week_offset,
+              count(DISTINCT a.user_id) AS n_users
+       FROM a JOIN f ON a.user_id = f.user_id
+       GROUP BY cohort_wk, week_offset
+       ORDER BY cohort_wk, week_offset"""
 }

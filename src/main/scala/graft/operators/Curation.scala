@@ -423,4 +423,150 @@ object Curation {
             OR len(kept) < $minKeptLines) AS page_drop,
           sha256(coalesce(array_to_string(kept, chr(10)), '')) AS kept_sha
         FROM cleaned ORDER BY doc_id"""
+
+  /** Generic core: BM25 KEYWORD RETRIEVAL over ANY (doc_id, text)
+    * frame for a fixed bag of query terms (Robertson–Spärck Jones
+    * idf, k1/b saturation) — the lexical-search half of every corpus
+    * exploration / eval-set retrieval tool, and the classic sparse
+    * leg of a hybrid (BM25 + ANN) retriever.
+    *
+    * Determinism: idf and the per-term saturation are computed with
+    * one explicitly parenthesized double expression per term, summed
+    * left-to-right in term order, rounded to 4 dp BEFORE the
+    * (score desc, doc_id) top-k order — exact cross-engine.
+    *
+    * Scale shape: per-term tf is a map-only array count; df and
+    * (sum dl, count) are two tiny aggregates broadcast back (model
+    * state, like IVF centroids); the top-k is TakeOrderedAndProject —
+    * per-partition heaps, no global sort. One corpus scan total. */
+  def bm25SearchFrom(docs: DataFrame, terms: Seq[String], k: Int = 20,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
+      "terms must be lowercase word tokens")
+    val base = docs.select(col("doc_id"),
+      TextShingles.words(col("text")).as("w"))
+      .select(col("doc_id") +: size(col("w")).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          expr(s"size(filter(w, x -> x = '$t'))").cast("long").as(s"tf_$i")
+        }: _*)
+    // corpus stats: N + per-term df in ONE aggregate row, broadcast
+    val aggCols = count(lit(1)).as("n_docs") +: sum("dl").as("sum_dl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+      .withColumn("score", round(terms.indices.map { i =>
+        val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$i") + lit(0.5))
+          / (col(s"df_$i") + lit(0.5)))
+        val sat = (col(s"tf_$i").cast("double") * (lit(k1) + lit(1.0))) /
+          (col(s"tf_$i") + lit(k1) * (lit(1.0) - lit(b)
+            + lit(b) * (col("dl") / (col("sum_dl").cast("double") / col("n_docs")))))
+        idf * sat
+      }.reduce(_ + _), 4))
+    scored
+      .select(col("doc_id") +: col("dl") +:
+        terms.indices.map(i => col(s"tf_$i")) :+ col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** §2 #109 — BM25 retrieval over the fixture corpus for a fixed
+    * 3-term query. */
+  def bm25Search(spark: SparkSession, sfDir: String): DataFrame =
+    bm25SearchFrom(Tables.load(spark, sfDir, "documents"),
+      Seq("data", "filter", "join"))
+
+  /** DuckDB oracle for [[bm25Search]]. */
+  def bm25Oracle(terms: Seq[String] = Seq("data", "filter", "join"),
+                 k: Int = 20, k1: Double = 1.2, b: Double = 0.75): String = {
+    val tf = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(", ")
+    val df = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+      .mkString(", ")
+    val score = terms.indices.map(i =>
+      s"(ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5)) * " +
+        s"((CAST(tf_$i AS DOUBLE) * ($k1 + 1.0)) / " +
+        s"(tf_$i + $k1 * ((1.0 - $b) + $b * " +
+        s"(dl / (CAST(sum_dl AS DOUBLE) / n_docs))))))")
+      .mkString(" + ")
+    val tfCols = terms.indices.map(i => s"tf_$i").mkString(", ")
+    s"""WITH base AS (SELECT doc_id,
+            CAST(len(w) AS BIGINT) AS dl, $tf
+          FROM (SELECT doc_id,
+                  string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents)),
+        stats AS (SELECT count(*) AS n_docs,
+            CAST(sum(dl) AS BIGINT) AS sum_dl, $df FROM base)
+       SELECT doc_id, dl, $tfCols, round($score, 4) AS score
+       FROM base, stats
+       ORDER BY score DESC, doc_id LIMIT $k"""
+  }
+
+  /** Generic core: deterministic GLOBAL SHUFFLE + SHARD layout over ANY
+    * (doc_id, text) frame — the last step before a training run: every
+    * document gets a pseudo-random position (Knuth hash of its id), the
+    * corpus is cut into `nShards` shards by hash residue, and within a
+    * shard documents are ordered by (hash, doc_id). Any engine, any
+    * partitioning, any run produces the SAME layout, so a training job
+    * can be resumed or re-sharded reproducibly.
+    *
+    * Output: one row per (shard, head position) — shard-level token/doc
+    * totals (the balance check: Knuth residues spread skewed id ranges
+    * uniformly) plus the first `headK` doc_ids in shuffle order (the
+    * auditable witness that the order itself is reproducible).
+    *
+    * Scale shape: hash + shard are map-only; ONE hash aggregate per
+    * shard whose [[graft.functions.TopKByScore]] buffers carry ≤ headK
+    * rows per shard per map partition — NOT a per-shard sort (a shard
+    * is 1/nShards of the corpus; sorting one inside a task is the
+    * classic 100 TB faceplant). The full in-shard order never has to be
+    * materialized anywhere — it is DEFINED by the pure hash function
+    * and only sampled here. */
+  def shardAssignFrom(docs: DataFrame, nShards: Int = 8,
+                      headK: Int = 8): DataFrame = {
+    require(nShards >= 1 && headK >= 1)
+    val base = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+      Quality.knuth32(col("doc_id")).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+    base.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"),
+        // smallest hash first (score desc ⇒ negate; h < 2^32 is exact
+        // in double), doc_id asc on ties — the shuffle order itself
+        graft.functions.TopKByScoreAgg
+          .topkByScore(col("doc_id"), -col("h").cast("double"), headK)
+          .as("head"))
+      .select(col("shard"), col("n_docs"), col("sum_tokens"),
+        posexplode(col("head")))
+      .select(col("shard"), col("n_docs"), col("sum_tokens"),
+        (col("pos") + 1).cast("int").as("rk"),
+        col("col.neighbor_id").as("doc_id"))
+      .orderBy("shard", "rk")
+  }
+
+  /** §2 #106 — shard layout of the fixture corpus. */
+  def shardAssign(spark: SparkSession, sfDir: String): DataFrame =
+    shardAssignFrom(Tables.load(spark, sfDir, "documents"))
+
+  /** DuckDB oracle for [[shardAssign]]. */
+  def shardOracle(nShards: Int = 8, headK: Int = 8): String =
+    s"""WITH d AS (SELECT doc_id,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+              AS n_tok,
+            ${Quality.knuthSql("doc_id")} AS h
+          FROM documents),
+        s AS (SELECT doc_id, n_tok, h,
+                CAST(h % $nShards AS INTEGER) AS shard FROM d),
+        agg AS (SELECT shard, count(*) AS n_docs,
+                  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+                FROM s GROUP BY shard),
+        head AS (SELECT shard, doc_id,
+                   CAST(row_number() OVER (PARTITION BY shard
+                          ORDER BY h, doc_id) AS INTEGER) AS rk
+                 FROM s)
+       SELECT a.shard, a.n_docs, a.sum_tokens, head.rk, head.doc_id
+       FROM agg a JOIN head ON a.shard = head.shard
+       WHERE head.rk <= $headK
+       ORDER BY a.shard, head.rk"""
 }

@@ -572,6 +572,91 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Generic core: CONTAINMENT pairs from winnowing fingerprints over
+    * ANY (doc_id, text) frame — documents sharing ≥ `minShared` of the
+    * Schleimer-et-al positional fingerprints already proven by
+    * doc_winnow, scored by containment = shared / min(|fp_a|, |fp_b|).
+    * Jaccard dedup misses a short doc EMBEDDED in a long one (the union
+    * dwarfs the overlap); containment is the copied-passage /
+    * quote-extraction detector a corpus audit runs alongside it.
+    *
+    * Scale shape: the standard inverted-fingerprint join — explode the
+    * (already per-doc-distinct, sorted) fingerprint arrays, drop
+    * fingerprints appearing in more than `maxDf` documents FIRST (a
+    * ubiquitous fingerprint is boilerplate, carries no containment
+    * signal, and is exactly the hot key that would quadratic-blow the
+    * self-join at 100 TB — same stance as the prefix filter's
+    * rare-first ordering), self-join the survivors on the fingerprint,
+    * count per pair. Denominators count the SAME df-capped sets, so
+    * the score is consistent under the cap and both engines replay it
+    * bit-for-bit. */
+  def docContainmentFrom(docs: DataFrame, maxDf: Long = 50L,
+                         minShared: Long = 2L, tau: Double = 0.5): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+      explode(graft.functions.Winnow.winnowFingerprint(col("text"))).as("fp"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val kept = fps.join(rare, "fp")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    kept.select(col("fp"), col("doc_id").as("id_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("id_b")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_fp").as("n_fp_a")),
+        "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_fp").as("n_fp_b")),
+        "id_b")
+      .withColumn("containment",
+        round(col("shared") / least(col("n_fp_a"), col("n_fp_b"))
+          .cast("double"), 4))
+      .filter(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"), col("shared"), col("n_fp_a"),
+        col("n_fp_b"), col("containment"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** §2 #110 — containment pairs over the fixture corpus. */
+  def docContainment(spark: SparkSession, sfDir: String): DataFrame =
+    docContainmentFrom(Tables.load(spark, sfDir, "documents"))
+
+  /** DuckDB oracle for [[docContainment]]: the doc_winnow fingerprint
+    * replay + df cap + fingerprint self-join. */
+  def containmentOracle(maxDf: Long = 50L, minShared: Long = 2L,
+                        tau: Double = 0.5): String =
+    s"""WITH fpl AS (
+          SELECT doc_id,
+            list_sort(list_distinct(
+              CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+                   WHEN len(h) < 4 THEN [list_min(h)]
+                   ELSE [list_min(h[i:i+3]) for i in range(1, len(h) - 2)]
+              END)) AS fp
+          FROM (
+            SELECT doc_id,
+              [list_reduce(cp[i:i+4], (a, c) -> (a*257 + c) % 1000000007)
+               for i in range(1, len(cp) - 3)] AS h
+            FROM (
+              SELECT doc_id,
+                [CAST(unicode(text[i]) AS BIGINT)
+                 for i in range(1, CAST(length(text) AS INTEGER) + 1)] AS cp
+              FROM documents))),
+        f AS (SELECT doc_id, unnest(fp) AS fp FROM fpl),
+        rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= $maxDf),
+        kept AS (SELECT f.doc_id, f.fp FROM f JOIN rare ON f.fp = rare.fp),
+        sizes AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= $minShared)
+       SELECT id_a, id_b, shared, sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+              round(shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 4)
+                AS containment
+       FROM pairs JOIN sizes sa ON pairs.id_a = sa.doc_id
+                  JOIN sizes sb ON pairs.id_b = sb.doc_id
+       WHERE round(shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 4)
+             >= $tau
+       ORDER BY id_a, id_b"""
+
   /** Exact-Jaccard verification of candidate pairs against shingle sets. */
   private def verifyPairs(pairs: DataFrame, docs: DataFrame,
                           tau: Double): DataFrame = {

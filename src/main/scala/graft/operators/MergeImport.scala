@@ -150,4 +150,59 @@ object MergeImport {
            o.price_c AS old_price_c, n.price_c AS new_price_c
          FROM src o FULL OUTER JOIN new_snap n ON o.k = n.k)
        WHERE change_type <> 'same' ORDER BY o_orderkey, change_type"""
+
+  /** Generic core: SCD TYPE-2 interval build over ANY
+    * (user_id, event_id, t, status) change stream — collapse
+    * consecutive equal statuses and emit versioned validity intervals
+    * (valid_from, valid_to, is_current): the dimension-history table a
+    * warehouse migration materializes from a mutation log (the
+    * reference's change-tracking import is the row-at-a-time version
+    * of exactly this).
+    *
+    * Scale shape: both windows partition by user_id over the SAME
+    * (t, event_id) order, so Spark plans ONE exchange + ONE sort and
+    * evaluates lag/lead/row_number in a single window pass per
+    * partition — the canonical keyed-history shape that scales with
+    * users, not with history depth per machine. */
+  def scd2IntervalsFrom(ev: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("event_id"))
+    val changes = ev
+      .withColumn("prev", lag("status", 1).over(byTime))
+      .filter(col("prev").isNull || col("prev") =!= col("status"))
+    changes
+      .withColumn("version", row_number().over(byTime))
+      .withColumn("valid_to_us", lead("t", 1).over(byTime))
+      .select(col("user_id"), col("version"), col("status"),
+        col("t").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** §2 #108 — SCD2 status history of the events stream (event_type
+    * plays the tracked attribute; micros keep the interval bounds
+    * engine-exact). */
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame =
+    scd2IntervalsFrom(Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"), col("event_type").as("status")))
+
+  /** DuckDB oracle for [[scd2Intervals]]. */
+  val scd2Oracle: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+            event_type AS status FROM events),
+        c AS (SELECT *,
+                lag(status) OVER (PARTITION BY user_id
+                                  ORDER BY t, event_id) AS prev
+              FROM e),
+        ch AS (SELECT * FROM c
+               WHERE prev IS NULL OR prev <> status)
+       SELECT user_id,
+              CAST(row_number() OVER w AS INTEGER) AS version,
+              status, t AS valid_from_us,
+              lead(t) OVER w AS valid_to_us,
+              lead(t) OVER w IS NULL AS is_current
+       FROM ch
+       WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+       ORDER BY user_id, version"""
 }

@@ -411,6 +411,173 @@ object TextAnalysis {
               lit(".7 logged")))
           .otherwise(col("text"))))
 
+  /** Generic core: tokenizer VOCABULARY COVERAGE over ANY
+    * (doc_id, text) frame — the table a tokenizer-training pass builds
+    * first: the global top-`k` words by count with rank and cumulative
+    * corpus-coverage fraction (what share of all token occurrences the
+    * first r vocabulary entries explain). The coverage curve decides
+    * vocab size and flags corpora whose head is template boilerplate.
+    *
+    * Scale shape: one hash aggregate (word → count; partial map-side
+    * combine, exchange carries (word, count) pairs only), then
+    * `orderBy.limit(k)` — which Spark plans as TakeOrderedAndProject:
+    * each partition keeps its own top-k heap and the driver merges
+    * nParts·k rows, never a global sort. The rank/cumsum window after
+    * it runs over ≤ k rows by construction (bounded model state, same
+    * stance as seq_pack's offsets), so the empty-frame Window warning
+    * does not apply at any corpus size. */
+  def vocabCoverageFrom(docs: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(TextShingles.words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    val byCount = Window.orderBy(col("n").desc, col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.orderBy(col("n").desc, col("word")).limit(k)
+      .crossJoin(broadcast(total))
+      .select(
+        row_number().over(Window.orderBy(col("n").desc, col("word")))
+          .as("rank"),
+        col("word"), col("n"),
+        round(sum("n").over(byCount) / col("total").cast("double"), 4)
+          .as("cum_frac"))
+      .orderBy("rank")
+  }
+
+  /** §2 #103 — vocabulary coverage over the fixture corpus. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    vocabCoverageFrom(Tables.load(spark, sfDir, "documents"))
+
+  /** DuckDB oracle for [[vocabCoverage]]. */
+  val vocabOracle: String =
+    """WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+             AS word FROM documents),
+        c AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        top AS (SELECT word, n FROM c ORDER BY n DESC, word LIMIT 100)
+       SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS INTEGER)
+                AS rank,
+              word, n,
+              round(CAST(sum(n) OVER (ORDER BY n DESC, word
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) / CAST(total AS DOUBLE), 4) AS cum_frac
+       FROM top, t ORDER BY rank"""
+
+  /** Generic core: bigram COLLOCATIONS by pointwise mutual information
+    * over ANY (doc_id, text) frame — PMI = ln(P(w1 w2) / (P(w1)·P(w2)))
+    * with unigram probabilities over all token occurrences and bigram
+    * probabilities over all adjacent pairs, restricted to pairs seen
+    * ≥ `minCount` times (the classic Church–Hanks collocation score; a
+    * curation pass uses it to spot boilerplate phrases and to build
+    * phrase-aware tokenizers).
+    *
+    * Determinism: the PMI double is computed with one explicitly
+    * parenthesized expression evaluated identically by both engines,
+    * rounded to 4 dp BEFORE the (pmi desc, w1, w2) ordering, so the
+    * top-k cut is a total order with no float-tie ambiguity.
+    *
+    * Scale shape: two hash aggregates (unigram + bigram counts), two
+    * equi-joins of the surviving pairs against the unigram table
+    * (pairs after the ≥ minCount cut are the vocabulary² head, not the
+    * corpus), two 1-row broadcast totals, and a TakeOrderedAndProject
+    * top-k — raw text never shuffles. */
+  def wordPmiFrom(docs: DataFrame, minCount: Long = 5L,
+                  k: Int = 50): DataFrame = {
+    val toks = docs.select(TextShingles.words(col("text")).as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    val nWords = uni.agg(sum("c1").as("n_words"))
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val pairs = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val nBigrams = pairs.agg(sum("n_pair").as("n_bigrams"))
+    pairs.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("t").as("w1"), col("c1").as("n_w1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c1").as("n_w2")), "w2")
+      .crossJoin(broadcast(nWords)).crossJoin(broadcast(nBigrams))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        round(log((col("n_pair").cast("double") * col("n_words") * col("n_words"))
+          / (col("n_bigrams").cast("double") * col("n_w1") * col("n_w2"))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k)
+  }
+
+  /** §2 #104 — top bigram collocations over the fixture corpus. */
+  def wordPmi(spark: SparkSession, sfDir: String): DataFrame =
+    wordPmiFrom(Tables.load(spark, sfDir, "documents"))
+
+  /** DuckDB oracle for [[wordPmi]]. */
+  val pmiOracle: String =
+    """WITH w AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+           FROM documents),
+        uni AS (SELECT unnest(w) AS t FROM w),
+        c1 AS (SELECT t, count(*) AS c1 FROM uni GROUP BY t),
+        nw AS (SELECT CAST(sum(c1) AS BIGINT) AS n_words FROM c1),
+        bg AS (SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+                              for i in range(1, len(w))]) AS s
+               FROM w WHERE len(w) >= 2),
+        c2 AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS n_pair
+               FROM bg GROUP BY 1, 2),
+        nb AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_bigrams FROM c2)
+       SELECT w1, w2, n_pair, a.c1 AS n_w1, b.c1 AS n_w2,
+              round(ln((CAST(n_pair AS DOUBLE) * n_words * n_words)
+                    / (CAST(n_bigrams AS DOUBLE) * a.c1 * b.c1)), 4) AS pmi
+       FROM c2 JOIN c1 a ON c2.w1 = a.t JOIN c1 b ON c2.w2 = b.t, nw, nb
+       WHERE n_pair >= 5
+       ORDER BY pmi DESC, w1, w2 LIMIT 50"""
+
+  /** Generic core: MODEL-BASED quality score over the [[textStats]]
+    * feature frame — a fixed-weight logistic regression (the shape of
+    * the fastText/CCNet-style quality classifier every pretraining
+    * pipeline runs; the weights here stand in for a trained model,
+    * the plumbing — feature extraction, scoring, thresholding — is the
+    * operator). Map-only on top of the map-only stats: at 100 TB this
+    * rides the same scan as the rest of the quality gates.
+    *
+    * Determinism: features enter z already rounded (textStats' 4 dp
+    * ratios), the linear form is one explicitly parenthesized
+    * expression, and the sigmoid is rounded to 4 dp before the ≥ 0.5
+    * admission compare — both engines evaluate identical arithmetic. */
+  def qualityModelFrom(stats: DataFrame): DataFrame =
+    stats.select(col("doc_id"),
+      (lit(-2.0) + lit(0.9) * log(col("n_words") + lit(1.0))
+        + lit(3.0) * col("stop_ratio") - lit(8.0) * col("punct_ratio"))
+        .as("z"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("score"))
+      .withColumn("accepted", col("score") >= 0.5)
+      .orderBy("doc_id")
+
+  /** §2 #105 — logistic quality model over the fixture corpus. */
+  def qualityModel(spark: SparkSession, sfDir: String): DataFrame =
+    qualityModelFrom(textStats(spark, sfDir))
+
+  /** DuckDB oracle for [[qualityModel]] (features = the text_stats
+    * oracle's, verbatim). */
+  val qualityModelOracle: String =
+    """WITH s AS (SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_calc,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_words,
+             CAST(len(regexp_extract_all(text, '[.,!?;:]', 0)) AS BIGINT)
+               AS n_punct,
+             CAST(len(regexp_extract_all(lower(text),
+               '\b(?:the|and|is|of|to)\b', 0)) AS BIGINT) AS n_stop
+           FROM documents),
+        f AS (SELECT doc_id, n_words,
+             round(n_stop / n_words, 4) AS stop_ratio,
+             round(n_punct / n_chars_calc, 4) AS punct_ratio FROM s),
+        z AS (SELECT doc_id,
+             -2.0 + 0.9 * ln(n_words + 1.0)
+               + 3.0 * stop_ratio - 8.0 * punct_ratio AS z FROM f)
+       SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS score,
+              round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS accepted
+       FROM z ORDER BY doc_id"""
+
   /** §2 #32 — character 3-gram profile: distinct shingle count per doc. */
   def textShingles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")

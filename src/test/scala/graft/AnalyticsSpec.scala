@@ -157,4 +157,56 @@ class AnalyticsSpec extends SparkSpec {
     // the banding must keep the plan an equi-join
     assertNoCartesian(Analytics.rangeJoinPairs(spark, sf))
   }
+
+  test("retention_cohorts: triangle matches a hand-rolled reference; offset 0 = cohort size") {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val first = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expect = ev.map { case (u, wk) =>
+      val c = first(u)
+      ((c, java.time.temporal.ChronoUnit.DAYS.between(c, wk).toInt / 7), u)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    val got = Analytics.retentionCohorts(spark, sf).collect()
+      .map(r => ((r.getDate(0).toLocalDate, r.getInt(1)), r.getLong(2))).toMap
+    assert(got == expect)
+    // every user appears in their cohort at offset 0
+    val cohortSizes = first.toSeq.groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    cohortSizes.foreach { case (wk, n) => assert(got((wk, 0)) == n) }
+  }
+
+  test("scd2_intervals: versions collapse runs, intervals tile the history, one sort") {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val got = graft.operators.MergeImport.scd2Intervals(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+    got.groupBy(_._1).foreach { case (u, rows) =>
+      val hist = ev.filter(_._1 == u).sortBy(e => (e._3, e._2))
+      // reference run-length collapse
+      val expect = hist.foldLeft(Vector.empty[(String, Long)]) {
+        case (acc, (_, _, t, s)) =>
+          if (acc.nonEmpty && acc.last._1 == s) acc else acc :+ (s, t)
+      }
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to expect.length), s"user $u versions")
+      assert(sorted.map(r => (r._3, r._4)).toSeq == expect, s"user $u runs")
+      // intervals tile: valid_to = next valid_from; only the last is open
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5.contains(b._4) && !a._6)
+        case _ => ()
+      }
+      assert(sorted.last._5.isEmpty && sorted.last._6)
+    }
+    // both windows share one partitioning+order: exactly one Sort below
+    // AQE's toString repeats the plan under "== Initial Plan ==" —
+    // audit only the final section
+    val plan = planOf(graft.operators.MergeImport.scd2Intervals(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"one keyed exchange expected:\n$plan")
+  }
 }

@@ -205,4 +205,60 @@ class CurationSpec extends SparkSpec {
         .getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(sha3 == manual)
   }
+
+  test("shard_assign: balanced Knuth shards, exact heads in (hash, id) order, no window") {
+    def knuth(id: Long): Long = {
+      val a = ((id % 4294967296L) + 4294967296L) % 4294967296L
+      val a1 = a / 65536L; val a0 = a % 65536L
+      (a0 * 2654435761L % 4294967296L +
+        a1 * 2654435761L % 65536L * 65536L) % 4294967296L
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").length.toLong))
+    val byShard = docs.groupBy { case (id, _) => (knuth(id) % 8).toInt }
+    val got = Curation.shardAssign(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4)))
+    got.groupBy(_._1).foreach { case (shard, rows) =>
+      val members = byShard(shard)
+      assert(rows.head._2 == members.length.toLong, s"shard $shard n_docs")
+      assert(rows.head._3 == members.map(_._2).sum, s"shard $shard tokens")
+      val expectHead = members.map(_._1)
+        .sortBy(id => (knuth(id), id)).take(8)
+      assert(rows.sortBy(_._4).map(_._5).toSeq == expectHead.toSeq,
+        s"shard $shard head order")
+    }
+    assert(got.map(_._1).distinct.sorted.toSeq == byShard.keySet.toSeq.sorted)
+    // bounded top-k aggregate, never a per-shard sort/window
+    val plan = planOf(Curation.shardAssign(spark, sf))
+    assert(!plan.contains("Window"), s"no window in shard_assign:\n$plan")
+  }
+
+  test("bm25_search: scores match a hand-rolled reference, top-k ordered") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase.split("\\s+")))
+    val terms = Seq("data", "filter", "join")
+    val n = docs.length.toLong
+    val sumDl = docs.map(_._2.length.toLong).sum
+    val dfs = terms.map(t => docs.count(_._2.contains(t)).toLong)
+    val expect = docs.map { case (id, w) =>
+      val dl = w.length.toLong
+      val score = terms.zipWithIndex.map { case (t, i) =>
+        val tf = w.count(_ == t).toLong
+        val idf = math.log(1.0 + (n - dfs(i) + 0.5) / (dfs(i) + 0.5))
+        idf * ((tf.toDouble * (1.2 + 1.0)) /
+          (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (sumDl.toDouble / n)))))
+      }.reduce(_ + _)
+      (id, BigDecimal(score)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, s) => (-s, id) }.take(20)
+    val got = Curation.bm25Search(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(5)))
+    assert(got.toSeq == expect.toSeq)
+    val plan = planOf(Curation.bm25Search(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a heap merge:\n$plan")
+  }
 }

@@ -251,4 +251,27 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(nullGot == Map(10L -> "kept", 11L -> "kept"), nullGot.toString)
   }
+
+  test("doc_containment: pairs equal a brute-force fingerprint-set reference") {
+    val fps = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.Winnow.winnowFingerprint(col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet))
+    // df cap then brute-force pairwise shared counts
+    val df = fps.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val kept = fps.map { case (id, s) => (id, s.filter(df(_) <= 50)) }
+      .filter(_._2.nonEmpty)
+    val expect = (for {
+      (a, sa) <- kept; (b, sb) <- kept if a < b
+      shared = (sa intersect sb).size.toLong if shared >= 2L
+      cont = BigDecimal(shared.toDouble / math.min(sa.size, sb.size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cont >= 0.5
+    } yield (a, b, shared, sa.size.toLong, sb.size.toLong, cont))
+      .sortBy(p => (p._1, p._2))
+    val got = graft.operators.Dedup.docContainment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == expect.toSeq)
+  }
 }

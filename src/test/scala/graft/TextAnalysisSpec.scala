@@ -201,4 +201,68 @@ class TextAnalysisSpec extends SparkSpec {
       r(4L).getAs[Double]("dup3_frac") == 0.0)
     assert(r(5L).getAs[Long]("n_words") == 1L) // split("") = [""]
   }
+
+  test("vocab_coverage: top-k by count, exact cumulative coverage, TakeOrdered plan") {
+    val words = Tables.load(spark, sf, "documents")
+      .select(col("text")).collect().flatMap(
+        _.getString(0).trim.toLowerCase.split("\\s+"))
+    val counts = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = words.length.toLong
+    val expect = counts.toSeq.sortBy { case (w, n) => (-n, w) }.take(100)
+    val got = TextAnalysis.vocabCoverage(spark, sf).collect()
+    assert(got.map(r => (r.getString(1), r.getLong(2))).toSeq == expect)
+    // ranks dense from 1; cum_frac = prefix sum / total, rounded to 4
+    assert(got.map(_.getInt(0)).toSeq == (1 to got.length))
+    var cum = 0L
+    got.foreach { r =>
+      cum += r.getLong(2)
+      assert(r.getDouble(3) ==
+        BigDecimal(cum.toDouble / total)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the top-k must be a per-partition heap merge, not a global sort
+    val plan = planOf(TextAnalysis.vocabCoverage(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan TakeOrderedAndProject:\n$plan")
+  }
+
+  test("word_pmi: PMI matches a hand-rolled reference on the tiny SF") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("text")).collect()
+      .map(_.getString(0).trim.toLowerCase.split("\\s+").toSeq)
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nW = docs.map(_.length.toLong).sum
+    val bigrams = docs.filter(_.length >= 2)
+      .flatMap(w => w.zip(w.tail))
+    val c2 = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nB = bigrams.length.toLong
+    def pmi(p: (String, String)): Double = {
+      val raw = math.log((c2(p).toDouble * nW * nW)
+        / (nB.toDouble * uni(p._1) * uni(p._2)))
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = c2.keys.filter(c2(_) >= 5L).toSeq
+      .map(p => (p._1, p._2, c2(p), uni(p._1), uni(p._2), pmi(p)))
+      .sortBy { case (w1, w2, _, _, _, s) => (-s, w1, w2) }.take(50)
+    val got = TextAnalysis.wordPmi(spark, sf).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == expect)
+  }
+
+  test("quality_model: sigmoid of the fixed linear form over textStats features") {
+    val stats = TextAnalysis.textStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(5), r.getDouble(6)))
+    val got = TextAnalysis.qualityModel(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(got.size == stats.length)
+    stats.foreach { case (id, nWords, stopR, punctR) =>
+      val z = -2.0 + 0.9 * math.log(nWords + 1.0) + 3.0 * stopR - 8.0 * punctR
+      val score = BigDecimal(1.0 / (1.0 + math.exp(-z)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (s, acc) = got(id)
+      assert(s == score, s"doc $id: $s != $score")
+      assert(acc == (score >= 0.5))
+    }
+  }
 }
