@@ -20,6 +20,7 @@ object Bench {
     "snapshot_diff", "fk_orphans", "deterministic_sample",
     "value_histogram", "profile_table", "outlier_fences", "compact_files",
     "schema_evolution", "xlsx_keys", "retention_cohorts", "scd2_intervals",
+    "event_dedup",
     // dedup family
     "dedup_exact", "para_dedup", "dedup_minhash", "dedup_ngram_exactjoin",
     "dedup_simhash", "dedup_clusters", "dedup_corpus", "dedup_incremental",
@@ -33,6 +34,7 @@ object Bench {
     "doc_winnow", "doc_fingerprint", "text_shingles", "seq_pack",
     "ngram_lm", "quality_repetition", "lm_perplexity", "charset_gate",
     "stratified_sample", "vocab_coverage", "word_pmi", "quality_model",
+    "inverted_index", "source_mix_report",
     // corpus curation
     "decontaminate", "decontaminate_fuzzy", "bloom_decontaminate",
     "doc_chunk", "pii_scrub", "c4_clean", "range_join",

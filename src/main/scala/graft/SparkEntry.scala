@@ -131,6 +131,9 @@ object SparkEntry {
     "scd2_intervals" -> (MergeImport.scd2Intervals _),
     "bm25_search" -> (Curation.bm25Search _),
     "doc_containment" -> (Dedup.docContainment _),
+    "inverted_index" -> (TextAnalysis.invertedIndex _),
+    "source_mix_report" -> (TextAnalysis.sourceMixReport _),
+    "event_dedup" -> (Analytics.eventDedup _),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -712,6 +715,9 @@ object SparkEntry {
     "scd2_intervals" -> MergeImport.scd2Oracle,
     "bm25_search" -> Curation.bm25Oracle(),
     "doc_containment" -> Dedup.containmentOracle(),
+    "inverted_index" -> TextAnalysis.invertedIndexOracle,
+    "source_mix_report" -> TextAnalysis.sourceMixOracle,
+    "event_dedup" -> Analytics.eventDedupOracle,
     "lm_perplexity" ->
       """WITH w AS (SELECT doc_id,
                       string_split_regex(trim(lower(text)), '\s+') AS w

@@ -259,6 +259,63 @@ object Analytics {
       .agg(count(lit(1)).as("n"), sum("value_c").as("sum_value_c"))
       .orderBy("hour_bucket", "event_type")
 
+  /** Generic core: duplicate-EVENT detection over ANY
+    * (event_id, user_id, event_type, t, v_c) stream — an event is a
+    * duplicate when the same (user, type, value) occurred within
+    * `windowUs` before it (at-least-once delivery, client retries,
+    * replayed batches: the ingestion-hygiene check every event
+    * pipeline runs before aggregating). Emits the duplicates with
+    * their gap to the previous occurrence.
+    *
+    * Scale shape: ONE window partitioned by the full identity key
+    * (user, type, value) ordered by (t, event_id) — high-cardinality
+    * partitions, so no task ever sees more than one identity's
+    * history; a lag(1) per row, then a pushable filter. */
+  def eventDedupFrom(ev: DataFrame, windowUs: Long): DataFrame = {
+    val byIdent = Window.partitionBy("user_id", "event_type", "v_c")
+      .orderBy(col("t"), col("event_id"))
+    ev.withColumn("prev_t", lag("t", 1).over(byIdent))
+      .filter(col("prev_t").isNotNull
+        && col("t") - col("prev_t") <= windowUs)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("t") - col("prev_t")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** §2 #113 — duplicate events in the fixture stream (10-minute
+    * identity window; value in exact cents). The synthetic stream has
+    * no natural identity repeats, so a deterministic REPLAYED-BATCH
+    * slice is unioned in first (every 101st event re-delivered 1 s
+    * later under a new id — exactly what at-least-once redelivery
+    * produces), identically in both engines (pii_scrub's stance). */
+  def eventDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), cents(col("value")).as("v_c"))
+    val replayed = ev.filter(col("event_id") % 101 === 0)
+      .select((col("event_id") + 10000000L).as("event_id"), col("user_id"),
+        col("event_type"), (col("t") + 1000000L).as("t"), col("v_c"))
+    eventDedupFrom(ev.unionAll(replayed), 600000000L)
+  }
+
+  /** DuckDB oracle for [[eventDedup]]. */
+  val eventDedupOracle: String =
+    """WITH base AS (SELECT event_id, user_id, event_type,
+            epoch_us(ts) AS t, CAST(round(value*100) AS BIGINT) AS v_c
+          FROM events),
+        ev AS (SELECT * FROM base
+               UNION ALL
+               SELECT event_id + 10000000, user_id, event_type,
+                      t + 1000000, v_c
+               FROM base WHERE event_id % 101 = 0)
+       SELECT event_id, user_id, event_type, t - prev_t AS gap_us
+       FROM (SELECT event_id, user_id, event_type, t,
+               lag(t) OVER (PARTITION BY user_id, event_type, v_c
+                            ORDER BY t, event_id) AS prev_t
+             FROM ev)
+       WHERE prev_t IS NOT NULL AND t - prev_t <= 600000000
+       ORDER BY event_id"""
+
   /** Generic core: RETENTION COHORTS over ANY (user_id, wk) frame of
     * per-user activity weeks — users are grouped by their first active
     * ISO week (the cohort) and counted at each later week offset: the

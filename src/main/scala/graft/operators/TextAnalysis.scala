@@ -578,6 +578,120 @@ object TextAnalysis {
               round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS accepted
        FROM z ORDER BY doc_id"""
 
+  /** Generic core: INVERTED-INDEX build over ANY (doc_id, text) frame
+    * — per term: document frequency, collection frequency, posting
+    * span, and an ORDER-INDEPENDENT postings checksum (decimal sum of
+    * the Knuth-hashed doc ids — the integrity_checksum stance), top-k
+    * terms by df. With vocab_coverage and bm25_search this completes
+    * the lexical-search path: vocabulary → postings → scoring.
+    *
+    * Scale shape: one (term, doc) hash aggregate with map-side
+    * combine, one term-level aggregate whose per-term state is FIVE
+    * scalars — a hot term's billion-row posting list is never
+    * collected anywhere, its checksum folds commutatively — then a
+    * TakeOrderedAndProject top-k. */
+  def invertedIndexFrom(docs: DataFrame, k: Int = 50): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(TextShingles.words(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    perDoc
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        sum(Quality.knuth32(col("doc_id")).cast(DecimalType(38, 0)))
+          .cast("decimal(38,0)").as("postings_check"))
+      .orderBy(col("df").desc, col("term")).limit(k)
+  }
+
+  /** §2 #111 — inverted index of the fixture corpus. */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    invertedIndexFrom(Tables.load(spark, sfDir, "documents"))
+
+  /** DuckDB oracle for [[invertedIndex]]. */
+  val invertedIndexOracle: String =
+    s"""WITH t AS (SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+          FROM documents),
+        pd AS (SELECT term, doc_id, count(*) AS tf
+               FROM t GROUP BY term, doc_id)
+       SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+              min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+              CAST(sum(CAST(${Quality.knuthSql("doc_id")} AS DECIMAL(38,0)))
+                AS DECIMAL(38,0)) AS postings_check
+       FROM pd GROUP BY term
+       ORDER BY df DESC, term LIMIT 50"""
+
+  /** Generic core: per-source MIXTURE REPORT over ANY
+    * (doc_id, source, lang, text) frame — document/token shares and
+    * the Shannon entropy (bits) of each source's language
+    * distribution: the diagnostics a mixture builder reads before
+    * setting per-source budgets (a zero-entropy source is
+    * monolingual; a high-entropy one needs per-language sub-budgets).
+    *
+    * Determinism: each language's −p·log2(p) term is rounded to 8 dp
+    * and summed as DECIMAL (order-independent, the lm_perplexity
+    * stance) before the final 4 dp rounding; token counts and shares
+    * are exact integers and one double division.
+    *
+    * Scale shape: two hash aggregates — (source, lang) then source —
+    * plus a 1-row broadcast total; exchanges carry count triples. */
+  def sourceMixReportFrom(docs: DataFrame): DataFrame = {
+    val byLang = docs.select(col("source"), col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"), sum("n_tok").as("toks"))
+    val bySource = byLang.groupBy("source")
+      .agg(sum("n").as("n_docs"), sum("toks").as("sum_tokens"),
+        count(lit(1)).as("n_langs"))
+    val total = bySource.agg(sum("sum_tokens").as("all_tokens"))
+    // p·ln(p) / −ln2 = −p·log2(p), with ln in BOTH engines (a native
+    // log2 could differ in the last ulp from ln(x)/ln(2))
+    val p = col("n") / col("nd").cast("double")
+    val ent = byLang.join(bySource.select(col("source"),
+        col("n_docs").as("nd")), "source")
+      .withColumn("term",
+        round((p * log(p)) / lit(-0.6931471805599453), 8)
+          .cast(DecimalType(18, 8)))
+      .groupBy("source").agg(sum("term").as("ent_sum"))
+    bySource.join(ent, "source").crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("sum_tokens"),
+        round(col("sum_tokens") / col("all_tokens").cast("double"), 4)
+          .as("token_share"),
+        round(col("ent_sum").cast("double"), 4).as("lang_entropy_bits"))
+      .orderBy("source")
+  }
+
+  /** §2 #112 — mixture report of the fixture corpus. */
+  def sourceMixReport(spark: SparkSession, sfDir: String): DataFrame =
+    sourceMixReportFrom(Tables.load(spark, sfDir, "documents"))
+
+  /** DuckDB oracle for [[sourceMixReport]]. */
+  val sourceMixOracle: String =
+    """WITH bl AS (SELECT source, lang, count(*) AS n,
+            CAST(sum(len(string_split_regex(trim(text), '\s+')))
+              AS BIGINT) AS toks
+          FROM documents GROUP BY source, lang),
+        bs AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+                 CAST(sum(toks) AS BIGINT) AS sum_tokens,
+                 count(*) AS n_langs
+               FROM bl GROUP BY source),
+        tot AS (SELECT CAST(sum(sum_tokens) AS BIGINT) AS all_tokens
+                FROM bs),
+        ent AS (SELECT bl.source,
+                  sum(CAST(round(((n / CAST(n_docs AS DOUBLE))
+                    * ln(n / CAST(n_docs AS DOUBLE)))
+                    / -0.6931471805599453, 8)
+                    AS DECIMAL(18,8))) AS ent_sum
+                FROM bl JOIN bs ON bl.source = bs.source
+                GROUP BY bl.source)
+       SELECT bs.source, n_docs, n_langs, sum_tokens,
+              round(sum_tokens / CAST(all_tokens AS DOUBLE), 4)
+                AS token_share,
+              round(CAST(ent_sum AS DOUBLE), 4) AS lang_entropy_bits
+       FROM bs JOIN ent ON bs.source = ent.source, tot
+       ORDER BY bs.source"""
+
   /** §2 #32 — character 3-gram profile: distinct shingle count per doc. */
   def textShingles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")

@@ -58,10 +58,11 @@ object DocIngest {
   }
 
   /** Streaming QUALITY/COMPLIANCE gate: PII scrub + Gopher repetition
-    * signals per arriving document — the checks a compliance pass runs
-    * AT INGEST, not after the corpus ships. Decisions are EXACTLY the
-    * batch operators' ([[graft.operators.TextAnalysis.piiScrubFrom]] /
-    * `repetitionFrom` — spec-proven equal per doc).
+    * signals + charset/mojibake counts per arriving document — the
+    * checks a compliance pass runs AT INGEST, not after the corpus
+    * ships. Decisions are EXACTLY the batch operators'
+    * ([[graft.operators.TextAnalysis.piiScrubFrom]] / `repetitionFrom`
+    * / `charsetGateFrom` — spec-proven equal per doc).
     *
     * STATELESS map-only, so append mode needs no watermark or state
     * store. The one non-map-only piece of the batch twin — the per-doc
@@ -106,10 +107,17 @@ object DocIngest {
         (nEmails + nIps > 0).as("had_pii"),
         size(col("w")).cast("long").as("n_words"),
         round(topC / size(col("w")).cast("double"), 4).as("top_word_frac"),
-        dupFrac("g2").as("dup2_frac"), dupFrac("g3").as("dup3_frac"))
+        dupFrac("g2").as("dup2_frac"), dupFrac("g3").as("dup3_frac"),
+        regexp_count(col("text"), lit("�")).cast("long")
+          .as("n_replacement"),
+        regexp_count(col("text"),
+          lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).cast("long")
+          .as("n_control"))
       .withColumn("repetitive",
         col("top_word_frac") > topWordMax || col("dup2_frac") > dup2Max ||
           col("dup3_frac") > dup3Max)
+      .withColumn("charset_ok",
+        col("n_replacement") === 0 && col("n_control") === 0)
   }
 
   /** Streaming DECONTAMINATION: arriving documents checked against the

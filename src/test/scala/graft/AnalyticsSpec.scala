@@ -209,4 +209,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
       s"one keyed exchange expected:\n$plan")
   }
+
+  test("event_dedup: exactly the within-window identity repeats, gaps exact") {
+    val base = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        math.round(r.getDouble(4) * 100)))
+    // the operator's deterministic replayed slice
+    val ev = base ++ base.filter(_._1 % 101 == 0)
+      .map(e => (e._1 + 10000000L, e._2, e._3, e._4 + 1000000L, e._5))
+    assert(ev.length > base.length, "replay slice must be non-empty")
+    val expect = ev.groupBy(e => (e._2, e._3, e._5)).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._4, e._1)).toSeq
+      sorted.zip(sorted.tail).collect {
+        case (a, b) if b._4 - a._4 <= 600000000L =>
+          (b._1, b._2, b._3, b._4 - a._4)
+      }
+    }.toSeq.sortBy(_._1)
+    val got = Analytics.eventDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == expect)
+  }
 }

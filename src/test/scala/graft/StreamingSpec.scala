@@ -256,7 +256,10 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("stream_gate").collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3),
         r.getBoolean(4), r.getLong(5), r.getDouble(6), r.getDouble(7),
-        r.getDouble(8), r.getBoolean(9)))).toMap
+        r.getDouble(8), r.getBoolean(11)))).toMap
+    val gotCharset = spark.table("stream_gate").collect()
+      .map(r => (r.getLong(0), (r.getLong(9), r.getLong(10),
+        r.getBoolean(12)))).toMap
     val docs = Tables.load(spark, sf, "documents")
       .withColumn("text",
         org.apache.spark.sql.functions.when(col("doc_id") % 7 === 0,
@@ -270,10 +273,14 @@ class StreamingSpec extends SparkSpec {
     val rep = graft.operators.TextAnalysis.repetitionFrom(docs).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3),
         r.getDouble(4), r.getBoolean(5)))).toMap
+    val charset = graft.operators.TextAnalysis.charsetGateFrom(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3),
+        r.getBoolean(5)))).toMap
     assert(got.keySet == pii.keySet && got.keySet == rep.keySet)
     got.foreach { case (id, (ne, ni, sha, had, nw, twf, d2, d3, rpt)) =>
       assert(pii(id) == ((ne, ni, sha, had)), s"pii mismatch doc $id")
       assert(rep(id) == ((nw, twf, d2, d3, rpt)), s"repetition mismatch doc $id")
+      assert(charset(id) == gotCharset(id), s"charset mismatch doc $id")
     }
   }
 

@@ -265,4 +265,50 @@ class TextAnalysisSpec extends SparkSpec {
       assert(acc == (score >= 0.5))
     }
   }
+
+  test("inverted_index: df/cf/span/checksum equal a brute-force reference") {
+    def knuth(id: Long): Long = {
+      val a = ((id % 4294967296L) + 4294967296L) % 4294967296L
+      val a1 = a / 65536L; val a0 = a % 65536L
+      (a0 * 2654435761L % 4294967296L +
+        a1 * 2654435761L % 65536L * 65536L) % 4294967296L
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase.split("\\s+")))
+    val byTerm = docs.flatMap { case (id, ws) => ws.map(w => (w, id)) }
+      .groupBy(_._1)
+    val expect = byTerm.map { case (term, occ) =>
+      val ids = occ.map(_._2)
+      val distinctIds = ids.distinct
+      (term, (distinctIds.length.toLong, ids.length.toLong,
+        distinctIds.min, distinctIds.max,
+        distinctIds.map(i => BigInt(knuth(i))).sum))
+    }
+    val got = TextAnalysis.invertedIndex(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), BigInt(r.getDecimal(5).toBigInteger))))
+    val expectTop = expect.toSeq
+      .sortBy { case (t, (df, _, _, _, _)) => (-df, t) }.take(50)
+    assert(got.toSeq == expectTop)
+  }
+
+  test("source_mix_report: shares and entropy equal a reference; monolingual source = 0 bits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "en", "one two three"), (2L, "a", "en", "four five"),
+      (3L, "b", "en", "six"), (4L, "b", "de", "sieben acht"),
+      (5L, "b", "fr", "neuf"), (6L, "b", "fr", "dix elf zwolf"))
+      .toDF("doc_id", "source", "lang", "text")
+    val got = TextAnalysis.sourceMixReportFrom(docs).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("a") == ((2L, 1L, 5L, r4(5.0 / 12), 0.0)))
+    // b: langs en 1/4, de 1/4, fr 2/4 -> 1.5 bits
+    val (nd, nl, toks, share, ent) = got("b")
+    assert((nd, nl, toks) == ((4L, 3L, 7L)) && share == r4(7.0 / 12))
+    assert(math.abs(ent - 1.5) < 1e-9, s"entropy $ent")
+  }
 }
