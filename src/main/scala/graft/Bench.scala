@@ -83,7 +83,24 @@ object Bench {
       val res =
         try { SparkEntry.queries(name)(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n')) }
-      (name, (System.nanoTime() - t0) / 1e9, res)
+      val t = (System.nanoTime() - t0) / 1e9
+      // session boundary BETWEEN queries (outside the timed region):
+      // free operator-transient caches and anything else pinned in the
+      // block manager so query N+1 starts from the same clean state
+      // query N did — without this, leaked storage blocks crowd out
+      // execution memory and the later heavy queries measure spill,
+      // not their own plan (observed 14x on dedup_simhash at sf0.1).
+      operators.TransientCaches.release()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      // broadcast and shuffle blocks are reaped by the ContextCleaner
+      // only when driver GC collects their handles — force it so ~90
+      // queries of accumulated blocks don't slow the tail of the run
+      // (observed 3-4x on the export round-trips at the end of a full
+      // sweep). Equivalent to spark.cleaner.periodicGC on a cluster.
+      System.gc()
+      (name, t, res)
     }
     val ok = timed.collect { case (n, s, None) => (n, s) }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -191,14 +191,19 @@ object Dedup {
     // aggregation) executes twice. Eager count because both cache
     // scans share ONE job (sibling scans of a lazy cache would each
     // recompute the lineage).
-    val probes = ranked
+    val probes = TransientCaches.register(ranked
       .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")) + 1)
       .select(col("tok_h"), col("doc_id"), col("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     probes.count()
 
     val a = probes.select(col("tok_h"), col("doc_id").as("id_a"), col("n").as("na"))
     val b = probes.select(col("tok_h"), col("doc_id").as("id_b"), col("n").as("nb"))
+    // the candidate set stays LAZY: it runs to millions of rows and
+    // streams (whole-stage fused) straight into the verify join — an
+    // eager materialization here measured +160% on this query. The
+    // probes cache it reads is freed at the session boundary via
+    // TransientCaches (registered above).
     val pairs = a.join(b, Seq("tok_h"))
       .filter(col("id_a") < col("id_b")
         && col("nb") >= ceil(lit(tau) * col("na"))
@@ -233,14 +238,21 @@ object Dedup {
       .select(col("doc_id"), col("n"), xxhash64(col("tok")).as("tok_h"))
     val tokFreq = toks.groupBy("tok_h").agg(count(lit(1)).as("freq"))
     val byRarity = Window.partitionBy("doc_id").orderBy("freq", "tok_h")
-    // persisted for the same reason as dedupNgramExactjoinFrom's
-    // probes: the probe and corpus legs below both read it
+    // deliberately NOT persisted (unlike dedupNgramExactjoinFrom's
+    // probes): the probe and corpus legs below both contain this
+    // subplan, but their upstream exchanges (the tokFreq aggregation
+    // and the window's doc_id repartition) are IDENTICAL in both legs,
+    // so Spark plans the second leg as ReusedExchange — the pipeline
+    // executes once either way, and a cache would only add a
+    // materialization barrier plus columnar encode on the hot path
+    // (measured 6x slower on incremental dedup at sf0.1). At
+    // deployment scale the corpus-side prefixes are computed once per
+    // base version and written to a TABLE (see scaladoc above), which
+    // is the durable form of the same reuse.
     val prefixes = toks.join(tokFreq, "tok_h")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")) + 1)
       .select(col("tok_h"), col("doc_id"), col("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    prefixes.count()
     val probeIds = probe.select(col("doc_id").as("id_p"))
     val p = prefixes.join(probeIds,
         prefixes("doc_id") === probeIds("id_p"))
@@ -427,6 +439,11 @@ object Dedup {
       .join(touched, Seq("id"), "left_anti")
       .select(col("id").as("doc_id"), col("id").as("cluster_id"),
         lit(1L).as("n_members"), lit(true).as("is_canonical"))
+    // the edge cache and the final round's label cache are still read
+    // by the returned (lazy) frame — they are freed at the session
+    // boundary via TransientCaches, not here
+    TransientCaches.register(edges)
+    prevCached.foreach(TransientCaches.register)
     clustered.union(singletons).orderBy("doc_id")
   }
 
@@ -447,8 +464,8 @@ object Dedup {
     // audit count — persist so the exact-dedup shuffle runs once
     // persisted lazily: the survivor materialization scans it exactly
     // once, which populates the cache as a side effect — no extra job
-    val exactCanon = exactCanonical(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactCanon = TransientCaches.register(exactCanonical(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val kept = dedupCorpusKeptFrom(docs, exactCanon, tau)
     val nIn = docs.select(col("doc_id"))
     nIn.agg(count(lit(1)).as("n_in"))
@@ -483,6 +500,7 @@ object Dedup {
           graft.functions.TextShingles.words(col("text"))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     survivors.count() // eager: the prefix join scans it multiple times
+    TransientCaches.register(survivors)
     val pairs = dedupNgramExactjoinFrom(survivors, tau).select("id_a", "id_b")
     clustersFromPairs(survivors.select("doc_id"), pairs, maxIters = 20)
       .filter(col("is_canonical"))

@@ -176,8 +176,8 @@ object Quality {
   private def selfProtect(df: DataFrame): DataFrame =
     if (scanLike(df.queryExecution.logical)) df
     else {
-      val cached = df.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cached = TransientCaches.register(df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       cached.count() // materialize ONCE before the N sibling cache reads
       cached
     }

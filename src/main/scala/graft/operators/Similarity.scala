@@ -150,17 +150,24 @@ object Similarity {
     */
   def annIvf(spark: SparkSession, sfDir: String, nCells: Int = 16,
              nProbe: Int = 4, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val v = trainCache(vectors(spark, sfDir))
-    annIvfWith(v, trainCentroids(v, nCells), nProbe, nQueries, k)
+    val v = vectors(spark, sfDir)
+    annIvfWith(v, withTrainCache(v)(trainCentroids(_, nCells)),
+      nProbe, nQueries, k)
   }
 
   /** Training scans the vectors frame once per k-means iteration (and
     * per PQ sub-space) — persist it so the 30-odd training jobs read
     * the cache, not the parquet, exactly as a real deployment trains
     * on a cached sample. Lazy persist: the first training job's scan
-    * populates it. */
-  private def trainCache(v: DataFrame): DataFrame =
+    * populates it. SCOPED to training: once the (driver-bounded) model
+    * arrays exist the cache is released, so the serving plan reads the
+    * source — which is also the only honest option at 100 TB, where the
+    * vectors don't fit in cache and a leaked MEMORY_AND_DISK footprint
+    * would crowd out every later job's execution memory. */
+  private def withTrainCache[M](v: DataFrame)(train: DataFrame => M): M = {
     v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try train(v) finally v.unpersist(blocking = false)
+  }
 
   /** §2 #66 — oracle-checked IVF variant: same map-only assignment and
     * probe pipeline as [[annIvf]], over the STATIC quantizer — so a SQL
@@ -233,8 +240,8 @@ object Similarity {
     * so blocks stay bounded); output decisions via one left join. */
   def semanticDedup(spark: SparkSession, sfDir: String, nCells: Int = 16,
                     tau: Double = 0.4): DataFrame = {
-    val v = trainCache(vectors(spark, sfDir))
-    semanticDedupWith(v, trainCentroids(v, nCells), tau)
+    val v = vectors(spark, sfDir)
+    semanticDedupWith(v, withTrainCache(v)(trainCentroids(_, nCells)), tau)
   }
 
   private def semanticDedupWith(v: DataFrame, cents: Array[Array[Double]],
@@ -472,8 +479,8 @@ object Similarity {
     * re-rank — is replayed exactly by [[pqTrainedOracle]]. */
   def annPq(spark: SparkSession, sfDir: String,
             nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val v = trainCache(vectors(spark, sfDir))
-    annPqWith(v, trainPqCodebooks(v), nQueries, k)
+    val v = vectors(spark, sfDir)
+    annPqWith(v, withTrainCache(v)(trainPqCodebooks(_)), nQueries, k)
   }
 
   private def annPqWith(v: DataFrame, cbs: Array[Array[Array[Double]]],
@@ -545,9 +552,11 @@ object Similarity {
     * [[ivfPqTrainedOracle]]. */
   def annIvfPq(spark: SparkSession, sfDir: String, nCells: Int = 16,
                nProbe: Int = 4, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val v = trainCache(vectors(spark, sfDir))
-    annIvfPqWith(v, trainCentroids(v, nCells), trainPqCodebooks(v),
-      nProbe, nQueries, k)
+    val v = vectors(spark, sfDir)
+    val (cents, cbs) =
+      withTrainCache(v)(vc => (trainCentroids(vc, nCells),
+        trainPqCodebooks(vc)))
+    annIvfPqWith(v, cents, cbs, nProbe, nQueries, k)
   }
 
   private def annIvfPqWith(v: DataFrame, cents: Array[Array[Double]],

@@ -47,4 +47,27 @@ class InvarianceSpec extends SparkSpec {
     val b = rows(TextAnalysis.seqPack(spark, sf, maxTokens = 512, nRanges = 7))
     assert(a == b)
   }
+
+  test("round-6 top-k, checksum, and entropy operators are partition-count invariant") {
+    import graft.operators.{Curation, MergeImport}
+    def all() = (
+      rows(TextAnalysis.vocabCoverage(spark, sf)),
+      rows(TextAnalysis.wordPmi(spark, sf)),
+      rows(TextAnalysis.invertedIndex(spark, sf)),
+      rows(TextAnalysis.sourceMixReport(spark, sf)),
+      rows(Curation.shardAssign(spark, sf)),
+      rows(Curation.bm25Search(spark, sf)),
+      rows(Analytics.retentionCohorts(spark, sf)),
+      rows(Analytics.eventDedup(spark, sf)),
+      rows(MergeImport.scd2Intervals(spark, sf)),
+      rows(Dedup.docContainment(spark, sf)))
+    val one = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val p1 = all()
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val p13 = all()
+      assert(p1 == p13)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", one)
+  }
 }
