@@ -22,7 +22,8 @@ object Bench {
     "schema_evolution", "xlsx_keys", "retention_cohorts", "scd2_intervals",
     "event_dedup",
     // dedup family
-    "dedup_exact", "para_dedup", "dedup_minhash", "dedup_ngram_exactjoin",
+    "dedup_exact", "para_dedup", "line_dedup", "text_normalize",
+    "dedup_minhash", "dedup_ngram_exactjoin",
     "dedup_simhash", "dedup_clusters", "dedup_corpus", "dedup_incremental",
     "doc_containment",
     // similarity / ANN

@@ -59,6 +59,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KrHash].getName, "kr_hash"),
       exprs => KrHash(arity("kr_hash", 1)(exprs).head, KrHashF.B, KrHashF.M)))
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      exprs => graft.functions.NfcNormalize(
+        arity("nfc_normalize", 1)(exprs).head)))
+    ext.injectFunction((
       FunctionIdentifier("simhash_fp"),
       new ExpressionInfo(classOf[SimHashLong].getName, "simhash_fp"),
       exprs => SimHashLong(arity("simhash_fp", 1)(exprs).head,

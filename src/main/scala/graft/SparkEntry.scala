@@ -48,6 +48,8 @@ object SparkEntry {
     // C. LLM-data-pipeline: dedup family
     "dedup_exact" -> (Dedup.dedupExact _),
     "para_dedup" -> (Dedup.paraDedup _),
+    "line_dedup" -> ((s, d) => Dedup.lineDedup(s, d)),
+    "text_normalize" -> (TextAnalysis.textNormalize _),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_ngram_exactjoin" -> ((s, d) => Dedup.dedupNgramExactjoin(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
@@ -237,6 +239,8 @@ object SparkEntry {
                FROM documents)
          GROUP BY 1 ORDER BY 1""",
     "para_dedup" -> Dedup.paraOracle,
+    "line_dedup" -> Dedup.lineDedupOracle(),
+    "text_normalize" -> TextAnalysis.textNormalizeOracle,
     "dedup_minhash" ->
       graft.functions.TextShingles.duckdbAllPairsOracle(0.5),
     // all-pairs brute force over the SAME 54-bit KR-hash SimHash

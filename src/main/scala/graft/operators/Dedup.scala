@@ -88,6 +88,88 @@ object Dedup {
            chr(10) ORDER BY pos), '')) AS kept_sha
        FROM k GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Generic core: corpus-level BOILERPLATE line removal by document
+    * frequency (the CCNet / RefinedWeb line-dedup pass — complement of
+    * [[paraDedupFrom]], which keeps a repeated unit's FIRST occurrence;
+    * boilerplate must be dropped from EVERY document, including the
+    * first: cookie banners, nav menus, share buttons appear verbatim
+    * across a large fraction of a crawl). A line is boilerplate iff it
+    * occurs in more than `maxDf` distinct documents. Input: one row per
+    * (doc_id, pos, line); output per doc: line counts and the
+    * fingerprint of the document reassembled from surviving lines.
+    *
+    * Scale shape: one hash aggregate (line → distinct-doc count), one
+    * join back, one per-doc aggregate bounded by the document's own
+    * line count. The DF table is Zipf-shaped, so at corpus scale the
+    * high-DF head that actually decides drops is tiny — the same
+    * partial-aggregation + broadcast refinement the decontamination
+    * operators use applies unchanged. */
+  def lineDedupFrom(lines: DataFrame, maxDf: Long = 2L): DataFrame = {
+    val dfreq = lines.groupBy("line")
+      .agg(countDistinct("doc_id").as("df"))
+    lines.join(dfreq, "line")
+      .withColumn("kept", col("df") <= maxDf)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sha2(array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(pos, line) END)), x -> x.line)"),
+          "\n").cast("binary"), 256).as("kept_sha"))
+      .orderBy("doc_id")
+  }
+
+  /** §2 #114 — boilerplate line removal over the fixture corpus. The
+    * synthetic docs are single-line word salad, so line structure is
+    * synthesized first (10-word chunks), then two boilerplate lines
+    * are PLANTED on fixed doc_id slices (a cookie banner on every 3rd
+    * doc, a nav menu on every 4th) — identically in the oracle — so
+    * the DF threshold has real cross-document repeats to catch while
+    * the organic chunks stay below it. */
+  def lineDedup(spark: SparkSession, sfDir: String,
+                maxDf: Long = 2L): DataFrame =
+    lineDedupFrom(Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(
+        """posexplode(concat(
+             transform(
+               sequence(0, greatest(1, (size(split(text, ' ')) + 9) div 10) - 1),
+               i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' ')),
+             if(doc_id % 3 = 0,
+                array('accept all cookies to continue reading this site'),
+                cast(array() as array<string>)),
+             if(doc_id % 4 = 1,
+                array('home about products contact privacy terms sitemap'),
+                cast(array() as array<string>))))
+           AS (pos, line)""")), maxDf)
+
+  /** DuckDB oracle for [[lineDedup]]. */
+  def lineDedupOracle(maxDf: Long = 2L): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+           greatest(1, (len(string_split(text, ' ')) + 9) // 10) AS nL
+         FROM documents),
+        px AS (SELECT doc_id,
+           unnest(list_concat(list_concat(
+             list_transform(range(0, nL), i ->
+               array_to_string(ws[i*10+1 : i*10+10], ' ')),
+             CASE WHEN doc_id % 3 = 0
+               THEN ['accept all cookies to continue reading this site']
+               ELSE [] END),
+             CASE WHEN doc_id % 4 = 1
+               THEN ['home about products contact privacy terms sitemap']
+               ELSE [] END)) AS line,
+           unnest(range(0, nL
+             + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+             + CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END)) AS pos
+         FROM w),
+        dfreq AS (SELECT line, count(DISTINCT doc_id) AS df
+                  FROM px GROUP BY 1),
+        k AS (SELECT px.doc_id, px.pos, px.line, dfreq.df <= $maxDf AS kept
+              FROM px JOIN dfreq USING (line))
+       SELECT doc_id, count(*) AS n_lines,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         sha256(coalesce(string_agg(CASE WHEN kept THEN line END,
+           chr(10) ORDER BY pos), '')) AS kept_sha
+       FROM k GROUP BY doc_id ORDER BY doc_id"""
+
   /** MinHash permutation constants (a·x + b mod p over a Murmur3 base
     * hash), fixed seed so signatures are stable across runs/executors. */
   private val P = 2147483647L // 2^31 - 1

@@ -692,6 +692,66 @@ object TextAnalysis {
        FROM bs JOIN ent ON bs.source = ent.source, tot
        ORDER BY bs.source"""
 
+  /** Generic core: Unicode canonicalization (NFC + whitespace collapse
+    * + trim) via the codegen'd [[graft.functions.NfcNormalize]]
+    * expression — the pass that must run BEFORE any exact-hash dedup:
+    * composed vs decomposed code point sequences (é as U+00E9 or
+    * e+U+0301) render identically but hash differently, so without it
+    * the exact/paragraph/line dedup operators silently under-merge.
+    * Map-only, rides along with any corpus scan at 100 TB. */
+  def textNormalizeFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CatalystBridge
+    val collapsed = trim(regexp_replace(col("text"), "\\s+", " "))
+    val norm = CatalystBridge.column(
+      graft.functions.NfcNormalize(CatalystBridge.expression(collapsed)))
+    docs
+      .withColumn("norm", norm)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(col("norm")).cast("long").as("n_chars_norm"),
+        (col("norm") =!= col("text")).as("changed"),
+        sha2(col("norm").cast("binary"), 256).as("norm_sha"))
+      .orderBy("doc_id")
+  }
+
+  /** §2 #115 — NFC normalization over the fixture corpus. The corpus
+    * is pure ASCII (already NFC), so decomposed sequences are PLANTED
+    * on fixed doc_id slices — e+COMBINING ACUTE (NFC composes to é),
+    * the ANGSTROM SIGN singleton (U+212B → U+00C5), A+COMBINING RING
+    * (→ U+00C5) — identically in both engines, so the oracle checks
+    * real composition work, not an identity map. */
+  def textNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    textNormalizeFrom(Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" unit \u212B")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" ring A\u030A")).otherwise(lit("")))
+        .as("text")))
+
+  /** DuckDB oracle for [[textNormalize]] (chr(769)=U+0301 COMBINING
+    * ACUTE, chr(8491)=U+212B ANGSTROM SIGN, chr(778)=U+030A COMBINING
+    * RING — DuckDB's nfc_normalize applies the same UAX #15 tables as
+    * java.text.Normalizer). */
+  val textNormalizeOracle: String =
+    """WITH t AS (SELECT doc_id,
+           text || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+                        ELSE '' END
+                || CASE WHEN doc_id % 5 = 0 THEN ' unit ' || chr(8491)
+                        ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN ' ring A' || chr(778)
+                        ELSE '' END AS text
+         FROM documents),
+        n AS (SELECT doc_id, text,
+           nfc_normalize(trim(regexp_replace(text, '\s+', ' ', 'g')))
+             AS norm
+         FROM t)
+       SELECT doc_id,
+         length(text) AS n_chars_raw,
+         length(norm) AS n_chars_norm,
+         norm <> text AS changed,
+         sha256(norm) AS norm_sha
+       FROM n ORDER BY doc_id"""
+
   /** §2 #32 — character 3-gram profile: distinct shingle count per doc. */
   def textShingles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")

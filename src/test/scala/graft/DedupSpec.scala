@@ -168,6 +168,27 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((2L, 1L, sha("unique to three"))))
   }
 
+  test("line_dedup: boilerplate above the DF threshold drops from EVERY doc") {
+    import spark.implicits._
+    val lines = Seq(
+      (1L, 0, "cookie banner"), (1L, 1, "real content one"),
+      (2L, 0, "cookie banner"), (2L, 1, "real content two"),
+      (3L, 0, "cookie banner"), (3L, 1, "shared twice"),
+      (4L, 0, "shared twice"), (4L, 1, "real content four")
+    ).toDF("doc_id", "pos", "line")
+    val got = Dedup.lineDedupFrom(lines, maxDf = 2).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // "cookie banner" has df=3 > 2: dropped from ALL docs, unlike
+    // para_dedup no doc keeps a first occurrence; "shared twice" df=2 stays
+    assert(got(1L) == ((2L, 1L, sha("real content one"))))
+    assert(got(2L) == ((2L, 1L, sha("real content two"))))
+    assert(got(3L) == ((2L, 1L, sha("shared twice"))))
+    assert(got(4L) == ((2L, 2L, sha("shared twice\nreal content four"))))
+  }
+
   test("media_roundtrip: per-file export + binaryFile import is lossless") {
     val got = Blob.mediaRoundtrip(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

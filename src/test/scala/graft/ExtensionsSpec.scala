@@ -100,9 +100,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(chain(ex).exists(m => m != null && m.contains("lengths differ")))
   }
 
+  test("nfc_normalize is SQL-callable and composes decomposed sequences") {
+    val row = spark.sql(
+      "SELECT nfc_normalize('café') AS n, " +
+        "length(nfc_normalize('café')) AS l").collect().head
+    assert(row.getString(0) == "café" && row.getInt(1) == 4)
+  }
+
   test("mis-aritied graft SQL functions raise WRONG_NUM_ARGS, not NoSuchElement") {
     for (bad <- Seq("dot_product(array(1.0D))", "dot_product()",
-                    "kr_hash()", "base64_nowrap()")) {
+                    "kr_hash()", "base64_nowrap()", "nfc_normalize()")) {
       val ex = intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql(s"SELECT $bad").collect()
       }

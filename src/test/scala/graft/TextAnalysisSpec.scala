@@ -311,4 +311,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert((nd, nl, toks) == ((4L, 3L, 7L)) && share == r4(7.0 / 12))
     assert(math.abs(ent - 1.5) < 1e-9, s"entropy $ent")
   }
+
+  test("text_normalize: decomposed and singleton code points compose to NFC") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain ascii stays"),       // already NFC - unchanged
+      (2L, "cafe\u0301"),              // e + combining acute -> e-acute
+      (3L, "unit \u212B"),             // ANGSTROM SIGN -> U+00C5
+      (4L, "ring A\u030A"),            // A + combining ring -> U+00C5
+      (5L, "  spaced\t out  ")         // whitespace collapse + trim
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.textNormalizeFrom(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getString(4)))).toMap
+    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((17L, 17L, false, sha("plain ascii stays"))))
+    assert(got(2L) == ((5L, 4L, true, sha("caf\u00E9"))))
+    assert(got(3L) == ((6L, 6L, true, sha("unit \u00C5"))))
+    assert(got(4L) == ((7L, 6L, true, sha("ring \u00C5"))))
+    assert(got(5L) == ((15L, 10L, true, sha("spaced out"))))
+  }
 }
