@@ -23,7 +23,7 @@ object Bench {
     "event_dedup",
     // dedup family
     "dedup_exact", "para_dedup", "line_dedup", "text_normalize",
-    "dedup_minhash", "dedup_ngram_exactjoin",
+    "dedup_minhash", "dedup_eval", "dedup_ngram_exactjoin",
     "dedup_simhash", "dedup_clusters", "dedup_corpus", "dedup_incremental",
     "doc_containment",
     // similarity / ANN

@@ -50,6 +50,7 @@ object SparkEntry {
     "para_dedup" -> (Dedup.paraDedup _),
     "line_dedup" -> ((s, d) => Dedup.lineDedup(s, d)),
     "text_normalize" -> (TextAnalysis.textNormalize _),
+    "dedup_eval" -> ((s, d) => Dedup.dedupEval(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_ngram_exactjoin" -> ((s, d) => Dedup.dedupNgramExactjoin(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
@@ -241,6 +242,7 @@ object SparkEntry {
     "para_dedup" -> Dedup.paraOracle,
     "line_dedup" -> Dedup.lineDedupOracle(),
     "text_normalize" -> TextAnalysis.textNormalizeOracle,
+    "dedup_eval" -> Dedup.dedupEvalOracle(),
     "dedup_minhash" ->
       graft.functions.TextShingles.duckdbAllPairsOracle(0.5),
     // all-pairs brute force over the SAME 54-bit KR-hash SimHash

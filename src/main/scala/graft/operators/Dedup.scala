@@ -170,6 +170,108 @@ object Dedup {
            chr(10) ORDER BY pos), '')) AS kept_sha
        FROM k GROUP BY doc_id ORDER BY doc_id"""
 
+  /** §2 #116 — DEDUP-PIPELINE EVALUATION: precision/recall of MinHash
+    * LSH CANDIDATE generation against exact-Jaccard ground truth ("
+    * measure, don't guess" applied to the pipeline itself). The banded
+    * signature scheme is probabilistic — a pair at Jaccard j becomes a
+    * candidate with P = 1-(1-j^r)^b — and this operator reports what
+    * the b×r geometry actually delivers on a corpus: candidate count,
+    * hit count, precision (verification work wasted on false
+    * candidates) and recall (true near-dup pairs the bands missed).
+    *
+    * Signatures here use the KR base hash reduced mod p (not murmur),
+    * so the WHOLE pipeline — base hash, 64 permutations, band keys,
+    * bucket pairs, exact truth — is replayed bit-for-bit by the DuckDB
+    * oracle; the production [[dedupMinhash]] keeps its murmur base.
+    *
+    * Scale shape: candidates via the same banded bucket join the
+    * production pass uses; truth via the exact prefix-filter join
+    * (bounded, but the expensive audit half) — at 100 TB this eval
+    * runs on a sampled slice, which the 1-row output makes cheap to
+    * compare across geometries. */
+  def dedupEval(spark: SparkSession, sfDir: String, tau: Double = 0.5,
+                bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    dedupEvalFrom(docShingles(spark, sfDir), tau, bands, rowsPerBand)
+
+  /** Generic core of [[dedupEval]] over any (doc_id, sh) frame. */
+  private[graft] def dedupEvalFrom(docsWithShingles: DataFrame, tau: Double,
+                                   bands: Int, rowsPerBand: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CatalystBridge
+    require(bands * rowsPerBand == perms.length,
+      s"bands*rowsPerBand must equal ${perms.length} permutations")
+    val p = P
+    val docs = docsWithShingles.filter(size(col("sh")) > 0)
+    // KR base hash mod p (so a*x+b stays under 2^62, same bound the
+    // murmur path relies on), then the codegen'd 64-perm signature
+    val hr = CatalystBridge.column(graft.functions.KrHashArray(
+      CatalystBridge.expression(col("sh")), graft.functions.KrHashF.B, p))
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.MinHash.minhashSignature(hr, perms, p).as("sig"))
+    val bnd = sigs.select(col("doc_id"), posexplode(expr(
+      s"""transform(sequence(0, $bands - 1),
+            i -> array_join(transform(slice(sig, i * $rowsPerBand + 1,
+              $rowsPerBand), x -> cast(x as string)), ','))""")))
+      .select(col("doc_id"), col("pos").as("band_idx"),
+        col("col").as("bsig"))
+    val cand = bnd.as("a").join(bnd.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.bsig") === col("b.bsig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val truth = dedupNgramExactjoinFrom(docs, tau).select("id_a", "id_b")
+    val hits = cand.join(truth, Seq("id_a", "id_b"))
+    cand.agg(count(lit(1)).as("n_cand"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        round(col("n_hit") / col("n_cand"), 4).as("precision"),
+        round(col("n_hit") / col("n_truth"), 4).as("recall"))
+  }
+
+  /** DuckDB oracle for [[dedupEval]]: base hash, permutations, band
+    * keys, bucket pairs and exact truth all replayed in SQL. */
+  def dedupEvalOracle(tau: Double = 0.5, bands: Int = 16,
+                      rowsPerBand: Int = 4): String = {
+    val permExprs = perms.map { case (a, b) =>
+      s"list_min(list_transform(h, x -> ($a * x + $b) % $P))"
+    }.mkString("[", ",\n                   ", "]")
+    s"""${graft.functions.TextShingles.duckdbShingleCte},
+        hx AS (SELECT doc_id, list_transform(s, t ->
+                 list_reduce([CAST(unicode(t[i]) AS BIGINT)
+                              for i in range(1, CAST(len(t) AS INTEGER) + 1)],
+                             (a, c) -> (a * 257 + c) % $P)) AS h
+               FROM sh WHERE len(s) > 0),
+        sig AS (SELECT doc_id, $permExprs AS sg FROM hx),
+        bnd AS (SELECT doc_id,
+                  unnest(range(0, $bands)) AS band_idx,
+                  unnest([array_to_string(
+                            sg[i*$rowsPerBand+1 : i*$rowsPerBand+$rowsPerBand],
+                            ',')
+                          for i in range(0, $bands)]) AS bsig
+                FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bnd a JOIN bnd b
+                   ON a.band_idx = b.band_idx AND a.bsig = b.bsig
+                      AND a.doc_id < b.doc_id),
+        truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(a.s) > 0 AND len(b.s) > 0
+                    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / (len(a.s) + len(b.s)
+                           - len(list_intersect(a.s, b.s))) >= $tau),
+        hit AS (SELECT * FROM cand JOIN truth USING (id_a, id_b))
+       SELECT (SELECT count(*) FROM truth) AS n_truth,
+              (SELECT count(*) FROM cand) AS n_cand,
+              (SELECT count(*) FROM hit) AS n_hit,
+              round((SELECT count(*) FROM hit)
+                    / CAST((SELECT count(*) FROM cand) AS DOUBLE), 4)
+                AS precision,
+              round((SELECT count(*) FROM hit)
+                    / CAST((SELECT count(*) FROM truth) AS DOUBLE), 4)
+                AS recall"""
+  }
+
   /** MinHash permutation constants (a·x + b mod p over a Murmur3 base
     * hash), fixed seed so signatures are stable across runs/executors. */
   private val P = 2147483647L // 2^31 - 1

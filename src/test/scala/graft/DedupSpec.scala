@@ -189,6 +189,27 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((2L, 2L, sha("shared twice\nreal content four"))))
   }
 
+  test("dedup_eval: exact duplicates are always candidates; disjoint docs never are") {
+    import spark.implicits._
+    val mk = (s: String) => s.split(" ").toSeq
+      .sliding(3).map(_.mkString(" ")).toSeq.distinct
+    val docs = Seq(
+      (1L, mk("alpha beta gamma delta epsilon zeta eta theta")),
+      (2L, mk("alpha beta gamma delta epsilon zeta eta theta")), // dup of 1
+      (3L, mk("one two three four five six seven eight nine"))   // unrelated
+    ).toDF("doc_id", "sh")
+    val r = Dedup.dedupEvalFrom(docs, tau = 0.5, bands = 16, rowsPerBand = 4)
+      .collect().head
+    // identical shingle sets share every band -> candidate AND truth
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+    // invariants on the fixture corpus: hits bounded, rates in [0,1]
+    val f = Dedup.dedupEval(spark, sf).collect().head
+    assert(f.getLong(2) <= math.min(f.getLong(0), f.getLong(1)))
+    assert(f.getDouble(3) >= 0 && f.getDouble(3) <= 1
+      && f.getDouble(4) >= 0 && f.getDouble(4) <= 1)
+  }
+
   test("media_roundtrip: per-file export + binaryFile import is lossless") {
     val got = Blob.mediaRoundtrip(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
