@@ -17,7 +17,8 @@ object Bench {
     "sessionize", "merge_upsert", "topk_frequent", "package_filter",
     "typed_format", "pivot_status", "rollup_agg", "pctile_value",
     "running_total", "rolling_window",
-    "snapshot_diff", "fk_orphans", "deterministic_sample",
+    "snapshot_diff", "fk_orphans", "join_skew_report",
+    "deterministic_sample",
     "value_histogram", "profile_table", "outlier_fences", "compact_files",
     "schema_evolution", "xlsx_keys", "retention_cohorts", "scd2_intervals",
     "event_dedup",
@@ -27,7 +28,7 @@ object Bench {
     "dedup_simhash", "dedup_clusters", "dedup_corpus", "dedup_incremental",
     "doc_containment",
     // similarity / ANN
-    "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_static",
+    "ann_bruteforce", "knn_graph", "ann_lsh", "ann_ivf", "ann_ivf_static",
     "ann_pq", "ann_ivfpq", "semantic_dedup", "hard_negatives",
     "embedding_dedup", "embedding_quantize",
     // text analysis

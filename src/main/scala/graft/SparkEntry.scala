@@ -59,6 +59,7 @@ object SparkEntry {
     // C. LLM-data-pipeline: similarity / ANN
     "embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.annBruteforce(s, d)),
+    "knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     // C. LLM-data-pipeline: text analysis
     "text_stats" -> (TextAnalysis.textStats _),
@@ -80,6 +81,7 @@ object SparkEntry {
     "running_total" -> (Analytics.runningTotal _),
     "snapshot_diff" -> (MergeImport.snapshotDiff _),
     "fk_orphans" -> (Quality.fkOrphans _),
+    "join_skew_report" -> (Quality.joinSkewReport _),
     "deterministic_sample" -> ((s, d) => Quality.deterministicSample(s, d)),
     "stratified_sample" -> ((s, d) => Quality.stratifiedSample(s, d)),
     "value_histogram" -> ((s, d) => Quality.valueHistogram(s, d)),
@@ -341,6 +343,22 @@ object SparkEntry {
                   FROM n q JOIN n c ON c.vec_id <> q.vec_id
                   WHERE q.vec_id < 10))
           WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "knn_graph" ->
+      s"""$duckNormCte,
+          e AS (SELECT query_id, neighbor_id, rnk, cos FROM (
+            SELECT query_id, neighbor_id, cos,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+            FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+                  FROM n q JOIN n c ON c.vec_id <> q.vec_id))
+          WHERE rnk <= 5)
+          SELECT e.query_id AS src_id, e.neighbor_id AS dst_id,
+                 e.rnk AS rnk, round(e.cos, 6) AS cos6,
+                 (r.query_id IS NOT NULL) AS mutual
+          FROM e LEFT JOIN e r ON r.query_id = e.neighbor_id
+                              AND r.neighbor_id = e.query_id
+          ORDER BY src_id, e.rnk""",
     "hard_negatives" ->
       s"""$duckNormCte
           SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos6 FROM (
@@ -969,6 +987,7 @@ object SparkEntry {
          FROM lineitem
          WHERE l_orderkey NOT IN
            (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0)""",
+    "join_skew_report" -> Quality.joinSkewOracle,
     "deterministic_sample" ->
       s"""SELECT o_orderkey, ${centsSql("o_totalprice")} AS price_cents
           FROM orders

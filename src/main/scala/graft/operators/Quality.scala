@@ -323,6 +323,69 @@ object Quality {
            AS DECIMAL(38,0)) AS checksum
        FROM t GROUP BY grp ORDER BY grp"""
 
+  /** §2 #118 — JOIN-SKEW diagnostics for a key column: the numbers
+    * that decide whether a join/aggregation on this key needs salting
+    * or AQE skew handling BEFORE the job is launched at 100 TB —
+    * per-key count distribution (p50/p99/max), skew factor (max over
+    * mean), and the single heaviest key with its share. The engine's
+    * own salted operators (agg_skew_salted, the banded joins) exist
+    * precisely for keys this report flags.
+    *
+    * Scale shape: one hash aggregate over the key (the same exchange
+    * the candidate join itself would pay), then a second aggregate
+    * over the per-key counts — n_keys rows, never the data. */
+  def joinSkewReportFrom(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.agg(
+      sum("cnt").as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      expr("percentile(cnt, 0.5D)").as("p50"),
+      expr("percentile(cnt, 0.99D)").as("p99"),
+      max("cnt").as("max_rows"),
+      // heaviest key, smallest key on count ties (max over (cnt, -key))
+      max(struct(col("cnt"), (-col("key")).as("nk"))).as("m"))
+      .select(col("n_rows"), col("n_keys"),
+        round(col("n_rows") / col("n_keys"), 4).as("avg_rows"),
+        round(col("p50"), 4).as("p50_rows"),
+        round(col("p99"), 4).as("p99_rows"),
+        col("max_rows"),
+        round(col("max_rows") / (col("n_rows") / col("n_keys")), 4)
+          .as("skew_factor"),
+        (-col("m.nk")).as("top_key"),
+        round(col("m.cnt") / col("n_rows"), 4).as("top_share"))
+  }
+
+  /** Skew report over the event stream's user key (the key sessionize
+    * and the windowed aggregations shuffle on). */
+  def joinSkewReport(spark: SparkSession, sfDir: String): DataFrame =
+    joinSkewReportFrom(Tables.load(spark, sfDir, "events"), "user_id")
+
+  /** DuckDB oracle for [[joinSkewReport]] (quantile_cont = Spark's
+    * interpolating percentile; explicit DOUBLE casts because DuckDB's
+    * `/` on integers is integer division). */
+  val joinSkewOracle: String =
+    """WITH c AS (SELECT user_id AS key, count(*) AS cnt
+                  FROM events GROUP BY 1),
+        a AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                     count(*) AS n_keys,
+                     quantile_cont(cnt, 0.5) AS p50,
+                     quantile_cont(cnt, 0.99) AS p99,
+                     max(cnt) AS max_rows
+              FROM c),
+        t AS (SELECT key AS top_key, cnt AS top_cnt
+              FROM c ORDER BY cnt DESC, key LIMIT 1)
+       SELECT n_rows, n_keys,
+         round(n_rows / CAST(n_keys AS DOUBLE), 4) AS avg_rows,
+         round(p50, 4) AS p50_rows,
+         round(p99, 4) AS p99_rows,
+         max_rows,
+         round(max_rows / (n_rows / CAST(n_keys AS DOUBLE)), 4)
+           AS skew_factor,
+         top_key,
+         round(top_cnt / CAST(n_rows AS DOUBLE), 4) AS top_share
+       FROM a, t"""
+
   /** Oracle twin of [[profileTable]] (UNION ALL, one leg per column). */
   val profileOracle: String = {
     def leg(c: String, mn: String, mx: String) =

@@ -67,6 +67,36 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** §2 #117 — k-NN GRAPH build: every vector's top-k cosine neighbors
+    * plus the MUTUAL flag (edge (a,b) is mutual iff b also ranks a) —
+    * the input structure for graph-based clustering and SemDeDup-style
+    * community pruning, where mutual edges are the high-precision
+    * subset. Brute-force scoring is the exact baseline (same shape as
+    * [[annBruteforce]] with every vector as a query); at corpus scale
+    * the scoring join swaps onto any of the ANN index paths
+    * (#27/#39/#89/#90) unchanged above the ranking, exactly like
+    * [[hardNegatives]]. The mutual flag is ONE self-equi-join of the
+    * (already ≤ N×k row) edge list on the reversed key. */
+  def knnGraph(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val queries = v.select(col("vec_id").as("query_id"),
+      col("embedding").as("e_q"), col("nrm").as("n_q"))
+    val cands = v.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("e_c"), col("nrm").as("n_c"))
+    val edges = rankTopK(cands.join(broadcast(queries),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
+          .as("cos")), k)
+    val rev = edges.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id"), lit(true).as("rev"))
+    edges.join(rev, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("dst_id"),
+        col("rnk"), col("cos6"),
+        coalesce(col("rev"), lit(false)).as("mutual"))
+      .orderBy("src_id", "rnk")
+  }
+
   /** Shared final ranking for every ANN variant: one hash aggregate with
     * the bounded [[graft.functions.TopKByScore]] buffer — partial top-k
     * per map partition, so the exchange moves at most k rows per

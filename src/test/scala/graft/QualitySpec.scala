@@ -152,4 +152,19 @@ class QualitySpec extends SparkSpec {
         s"$c: est $est vs exact $e")
     }
   }
+
+  test("join_skew_report: hand-built skew yields exact distribution numbers") {
+    import spark.implicits._
+    import graft.operators.Quality
+    // key 7 -> 6 rows, keys 1..3 -> 1 row each: n=9, keys=4, avg=2.25
+    val df = (Seq.fill(6)(7L) ++ Seq(1L, 2L, 3L)).map(k => (k, "x"))
+      .toDF("k", "v")
+    val r = Quality.joinSkewReportFrom(df, "k").collect().head
+    assert(r.getLong(0) == 9L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 2.25)            // avg
+    assert(r.getDouble(3) == 1.0)             // p50 of (1,1,1,6)
+    assert(r.getLong(5) == 6L)                // max
+    assert(r.getDouble(6) == math.round(6 / 2.25 * 10000) / 10000.0)
+    assert(r.getLong(7) == 7L && r.getDouble(8) == 0.6667)
+  }
 }

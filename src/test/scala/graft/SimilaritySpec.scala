@@ -155,4 +155,20 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"quantization must not shuffle:\n$plan")
   }
+
+  test("knn_graph: mutual flags are symmetric and edges bound by k") {
+    val edges = Similarity.knnGraph(spark, sf, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    val set = edges.map(e => (e._1, e._2)).toSet
+    // mutual(a,b) must equal "(b,a) is also an edge", for every edge
+    edges.foreach { case (a, b, m) =>
+      assert(m == set.contains((b, a)), s"mutual flag wrong for ($a,$b)")
+    }
+    // per-node degree == k (every node has >= k candidates here)
+    edges.groupBy(_._1).foreach { case (src, es) =>
+      assert(es.length == 3, s"node $src has ${es.length} edges")
+    }
+    // ranking stays the bounded aggregate, not a window sort
+    assert(!planOf(Similarity.knnGraph(spark, sf)).contains("Window"))
+  }
 }
