@@ -28,7 +28,8 @@ object Bench {
     "dedup_simhash", "dedup_clusters", "dedup_corpus", "dedup_incremental",
     "doc_containment",
     // similarity / ANN
-    "ann_bruteforce", "knn_graph", "ann_lsh", "ann_ivf", "ann_ivf_static",
+    "ann_bruteforce", "knn_graph", "ann_recall_eval",
+    "ann_lsh", "ann_ivf", "ann_ivf_static",
     "ann_pq", "ann_ivfpq", "semantic_dedup", "hard_negatives",
     "embedding_dedup", "embedding_quantize",
     // text analysis
@@ -40,7 +41,8 @@ object Bench {
     // corpus curation
     "decontaminate", "decontaminate_fuzzy", "bloom_decontaminate",
     "doc_chunk", "pii_scrub", "c4_clean", "range_join",
-    "mixture_sample", "mixture_upsample", "tfidf_topterms", "shard_assign",
+    "mixture_sample", "mixture_temperature", "mixture_upsample",
+    "tfidf_topterms", "shard_assign",
     "bm25_search",
     // export/import round-trips + validation
     "xml_roundtrip", "csv_roundtrip", "orc_roundtrip", "xlsx_roundtrip",

@@ -59,6 +59,7 @@ object SparkEntry {
     // C. LLM-data-pipeline: similarity / ANN
     "embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.annBruteforce(s, d)),
+    "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
     "knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     // C. LLM-data-pipeline: text analysis
@@ -115,6 +116,7 @@ object SparkEntry {
     "decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
     "doc_chunk" -> ((s, d) => Curation.docChunk(s, d)),
     "mixture_sample" -> ((s, d) => Curation.mixtureSample(s, d)),
+    "mixture_temperature" -> ((s, d) => Curation.mixtureTemperature(s, d)),
     "tfidf_topterms" -> ((s, d) => Curation.tfidfTopterms(s, d)),
     "embedding_quantize" -> (Similarity.embeddingQuantize _),
     "decontaminate_fuzzy" -> ((s, d) => Curation.decontaminateFuzzy(s, d)),
@@ -153,6 +155,20 @@ object SparkEntry {
   private val duckNormCte: String =
     s"""WITH n AS (SELECT vec_id, label, embedding,
         sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings)"""
+
+  /** Brute-force cosine top-k in SQL — the ann_bruteforce oracle, also
+    * embedded as the ground truth inside ann_recall_eval's oracle. */
+  private val bruteAnnSql: String =
+    s"""$duckNormCte
+        SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos6 FROM (
+          SELECT query_id, neighbor_id, cos,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+          FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+                FROM n q JOIN n c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < 10))
+        WHERE rnk <= 5 ORDER BY query_id, rnk"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -332,17 +348,21 @@ object SparkEntry {
           FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
           WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
           ORDER BY id_a, id_b""",
-    "ann_bruteforce" ->
-      s"""$duckNormCte
-          SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos6 FROM (
-            SELECT query_id, neighbor_id, cos,
-              CAST(row_number() OVER (PARTITION BY query_id
-                ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
-            FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                    ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
-                  FROM n q JOIN n c ON c.vec_id <> q.vec_id
-                  WHERE q.vec_id < 10))
-          WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "ann_bruteforce" -> bruteAnnSql,
+    "ann_recall_eval" -> {
+      def rec(variant: String, sql: String) =
+        s"""SELECT '$variant' AS variant,
+              (SELECT count(*) FROM ($bruteAnnSql)) AS n_truth,
+              (SELECT count(*) FROM ($sql) v JOIN ($bruteAnnSql) b
+                 ON v.query_id = b.query_id
+                AND v.neighbor_id = b.neighbor_id) AS n_hit"""
+      s"""SELECT variant, n_truth, n_hit,
+            round(n_hit / CAST(n_truth AS DOUBLE), 4) AS recall
+          FROM (${rec("ann_ivf_static", Similarity.ivfStaticOracle())}
+                UNION ALL
+                ${rec("ann_lsh", Similarity.lshOracle())})
+          ORDER BY variant"""
+    },
     "knn_graph" ->
       s"""$duckNormCte,
           e AS (SELECT query_id, neighbor_id, rnk, cos FROM (
@@ -630,6 +650,7 @@ object SparkEntry {
                        ${Quality.knuthSql("doc_id")} AS h
                      FROM documents))
          WHERE cum <= 1000 GROUP BY 1 ORDER BY 1""",
+    "mixture_temperature" -> Curation.mixtureTemperatureOracle(),
     "dedup_incremental" ->
       s"""${graft.functions.TextShingles.duckdbShingleCte},
           hx AS (SELECT doc_id,

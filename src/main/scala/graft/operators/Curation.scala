@@ -221,7 +221,18 @@ object Curation {
 
   /** Generic core: budget ANY (doc_id, source, text) frame. */
   def mixtureFrom(docs: DataFrame,
-                  budgetTokens: Long = 1000L, nRanges: Int = 8): DataFrame = {
+                  budgetTokens: Long = 1000L, nRanges: Int = 8): DataFrame =
+    sourceCum(docs, nRanges)
+      .filter(col("cum") <= budgetTokens)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("source")
+
+  /** Shared running-total core of the mixture operators: every doc with
+    * its per-source cumulative token count in deterministic Knuth-hash
+    * order, via the two-phase distributed prefix sum (hash-range
+    * buckets + per-bucket windows + driver-held bucket offsets). */
+  private def sourceCum(docs: DataFrame, nRanges: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     val spanPerBucket = 4294967296L / nRanges
@@ -248,11 +259,70 @@ object Curation {
     toks.join(broadcast(partSums), Seq("source", "bucket"))
       .withColumn("cum",
         col("offset") + sum("n_tok").over(within))
-      .filter(col("cum") <= budgetTokens)
-      .groupBy("source")
+  }
+
+  /** §2 #120 — TEMPERATURE-scaled mixture: per-source budgets set
+    * proportional to share^alpha with alpha = 0.5 (the multilingual
+    * re-balancing exponent — upweights tail sources, downweights the
+    * head), then the same deterministic Knuth-order selection as
+    * [[mixtureFrom]]. alpha is FIXED at 0.5 because sqrt is correctly
+    * rounded by IEEE 754 in both engines (pow is not), and the weights
+    * are then rounded to integer micro-units so budget arithmetic is
+    * pure BIGINT — bit-exact cross-engine with no float-sum order
+    * sensitivity.
+    *
+    * Scale shape: per-source totals = one hash agg (sources × 1 rows);
+    * budgets = driver-free BIGINT arithmetic over that tiny frame,
+    * broadcast back; selection = the proven two-phase prefix sum. */
+  def mixtureTemperature(spark: SparkSession, sfDir: String,
+                         budgetTokens: Long = 2000L,
+                         nRanges: Int = 8): DataFrame =
+    mixtureTemperatureFrom(Tables.load(spark, sfDir, "documents"),
+      budgetTokens, nRanges)
+
+  /** Generic core: temperature-budget ANY (doc_id, source, text) frame. */
+  def mixtureTemperatureFrom(docs: DataFrame, budgetTokens: Long,
+                             nRanges: Int = 8): DataFrame = {
+    val cum = sourceCum(docs, nRanges)
+    val srcW = cum.groupBy("source")
+      .agg(sum("n_tok").as("src_tokens"))
+      .withColumn("w6",
+        round(sqrt(col("src_tokens").cast("double")) * 1e6).cast("long"))
+    val wSum = srcW.agg(sum("w6").as("w_sum"))
+    val budgets = srcW.crossJoin(broadcast(wSum))
+      .select(col("source"), col("src_tokens"),
+        expr(s"(${budgetTokens}L * w6) div w_sum").as("budget_tokens"))
+    cum.join(broadcast(budgets), "source")
+      .filter(col("cum") <= col("budget_tokens"))
+      .groupBy("source", "src_tokens", "budget_tokens")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
       .orderBy("source")
   }
+
+  /** DuckDB oracle for [[mixtureTemperature]]. */
+  def mixtureTemperatureOracle(budgetTokens: Long = 2000L): String =
+    s"""WITH t AS (SELECT doc_id, source,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             AS n_tok,
+           ${graft.operators.Quality.knuthSql("doc_id")} AS h
+         FROM documents),
+        s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens,
+                CAST(round(sqrt(CAST(sum(n_tok) AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS w6
+              FROM t GROUP BY 1),
+        w AS (SELECT CAST(sum(w6) AS BIGINT) AS w_sum FROM s),
+        b AS (SELECT source, src_tokens,
+                ($budgetTokens * w6) // w_sum AS budget_tokens
+              FROM s, w),
+        c AS (SELECT source, n_tok,
+                sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id)
+                  AS cum
+              FROM t)
+       SELECT b.source, b.src_tokens, b.budget_tokens,
+         count(*) AS n_docs, CAST(sum(c.n_tok) AS BIGINT) AS n_tokens
+       FROM c JOIN b USING (source)
+       WHERE c.cum <= b.budget_tokens
+       GROUP BY 1, 2, 3 ORDER BY 1"""
 
   /** §2 #78 — mixture UPSAMPLING: the other half of mixture curation —
     * high-value sources are repeated for several epochs (weights > 1)

@@ -97,6 +97,36 @@ object Similarity {
       .orderBy("src_id", "rnk")
   }
 
+  /** §2 #119 — ANN RECALL evaluation: recall@k of the two fully
+    * deterministic index paths (static-quantizer IVF, static-plane
+    * LSH) against the exact brute-force truth — the eval that decides
+    * nCells/nProbe/band geometry BEFORE an index is built over 100 TB
+    * of vectors ([[Dedup.dedupEval]]'s stance applied to similarity
+    * search; the trained paths share the same plan shapes, so the
+    * static variants' recall is the representative measurement the
+    * oracle can replay exactly). Output: one row per variant with
+    * truth/hit counts and recall@k.
+    *
+    * Scale shape: three already-proven pipelines (each bounded
+    * TopKByScore), then joins of ≤ nQueries×k edge lists — at corpus
+    * scale the eval runs on a query SAMPLE, which the per-variant
+    * 1-row output makes cheap to sweep across geometries. */
+  def annRecallEval(spark: SparkSession, sfDir: String,
+                    nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val key = Seq("query_id", "neighbor_id")
+    val truth = annBruteforce(spark, sfDir, nQueries, k).select(key.head, key.tail: _*)
+    def one(variant: String, edges: DataFrame): DataFrame = {
+      val hits = edges.select(key.head, key.tail: _*).join(truth, key)
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(lit(variant).as("variant"), col("n_truth"), col("n_hit"),
+          round(col("n_hit") / col("n_truth"), 4).as("recall"))
+    }
+    one("ann_ivf_static", annIvfStatic(spark, sfDir, nQueries = nQueries, k = k))
+      .unionByName(one("ann_lsh", annLsh(spark, sfDir, nQueries = nQueries, k = k)))
+      .orderBy("variant")
+  }
+
   /** Shared final ranking for every ANN variant: one hash aggregate with
     * the bounded [[graft.functions.TopKByScore]] buffer — partial top-k
     * per map partition, so the exchange moves at most k rows per

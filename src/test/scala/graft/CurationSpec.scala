@@ -261,4 +261,18 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must be a heap merge:\n$plan")
   }
+
+  test("mixture_temperature: sqrt flattens a 4:1 corpus to 2:1 budgets") {
+    import spark.implicits._
+    // src a: 4 docs x 100 tokens = 400; src b: 1 doc x 100 = 100
+    val word100 = Seq.fill(100)("w").mkString(" ")
+    val docs = ((1L to 4L).map(i => (i, "a", word100)) :+
+      ((5L, "b", word100))).toDF("doc_id", "source", "text")
+    val got = Curation.mixtureTemperatureFrom(docs, budgetTokens = 300L)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // w6(a)=20e6, w6(b)=10e6 -> budgets 300*2/3=200, 300*1/3=100
+    assert(got("a") == ((400L, 200L, 2L, 200L)))
+    assert(got("b") == ((100L, 100L, 1L, 100L)))
+  }
 }

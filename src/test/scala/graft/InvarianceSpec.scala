@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Dedup, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Similarity, TextAnalysis}
 
 /** Results must be a pure function of the DATA, never of the physical
   * layout: the same query over the same rows must produce identical
@@ -61,6 +61,26 @@ class InvarianceSpec extends SparkSpec {
       rows(Analytics.eventDedup(spark, sf)),
       rows(MergeImport.scd2Intervals(spark, sf)),
       rows(Dedup.docContainment(spark, sf)))
+    val one = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val p1 = all()
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val p13 = all()
+      assert(p1 == p13)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", one)
+  }
+
+  test("dedup/eval/mixture additions are partition-count invariant") {
+    import graft.operators.{Curation, Quality}
+    def all() = (
+      rows(Dedup.lineDedup(spark, sf)),
+      rows(TextAnalysis.textNormalize(spark, sf)),
+      rows(Dedup.dedupEval(spark, sf)),
+      rows(Similarity.knnGraph(spark, sf)),
+      rows(Quality.joinSkewReport(spark, sf)),
+      rows(Similarity.annRecallEval(spark, sf)),
+      rows(Curation.mixtureTemperature(spark, sf)))
     val one = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "1")

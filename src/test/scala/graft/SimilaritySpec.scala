@@ -156,6 +156,17 @@ class SimilaritySpec extends SparkSpec {
       s"quantization must not shuffle:\n$plan")
   }
 
+  test("ann_recall_eval: recall bounded by 1, brute truth size = nQueries*k") {
+    val rows = Similarity.annRecallEval(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq("ann_ivf_static", "ann_lsh"))
+    rows.foreach { case (v, truth, hit, recall) =>
+      assert(truth == 50L, s"$v truth $truth")
+      assert(hit <= truth && recall >= 0.0 && recall <= 1.0)
+      assert(recall == math.round(hit.toDouble / truth * 10000) / 10000.0)
+    }
+  }
+
   test("knn_graph: mutual flags are symmetric and edges bound by k") {
     val edges = Similarity.knnGraph(spark, sf, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
