@@ -31,7 +31,7 @@ object Bench {
     "ann_bruteforce", "knn_graph", "ann_recall_eval",
     "ann_lsh", "ann_ivf", "ann_ivf_static",
     "ann_pq", "ann_ivfpq", "semantic_dedup", "hard_negatives",
-    "embedding_dedup", "embedding_quantize",
+    "embedding_dedup", "embedding_quantize", "quantize_eval",
     // text analysis
     "text_stats", "token_count", "lang_id", "quality_filter",
     "doc_winnow", "doc_fingerprint", "text_shingles", "seq_pack",

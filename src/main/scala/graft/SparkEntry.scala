@@ -119,6 +119,7 @@ object SparkEntry {
     "mixture_temperature" -> ((s, d) => Curation.mixtureTemperature(s, d)),
     "tfidf_topterms" -> ((s, d) => Curation.tfidfTopterms(s, d)),
     "embedding_quantize" -> (Similarity.embeddingQuantize _),
+    "quantize_eval" -> (Similarity.quantizeEval _),
     "decontaminate_fuzzy" -> ((s, d) => Curation.decontaminateFuzzy(s, d)),
     "mixture_upsample" -> (Curation.upsampleMixture _),
     "ngram_lm" -> ((s, d) => TextAnalysis.ngramLm(s, d)),
@@ -559,6 +560,48 @@ object SparkEntry {
                            for i in range(1, len(q) + 1)]), 6) AS max_err6,
            round(maxabs, 6) AS maxabs6
          FROM qt ORDER BY vec_id""",
+    "quantize_eval" ->
+      """WITH m AS (SELECT vec_id, embedding,
+                      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(embedding,
+                          v -> abs(CAST(v AS DOUBLE)))),
+                        (a, b) -> greatest(a, b)) AS maxabs
+                    FROM embeddings),
+          s AS (SELECT vec_id, embedding, maxabs,
+                  CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 1.0 END
+                    AS scale
+                FROM m),
+          qt AS (SELECT vec_id, embedding, scale,
+                   list_transform(embedding,
+                     v -> CAST(least(greatest(
+                            round(CAST(v AS DOUBLE) * scale), -127.0),
+                            127.0) AS BIGINT)) AS q
+                 FROM s),
+          acc AS (SELECT vec_id,
+                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      [CAST(embedding[i] AS DOUBLE)
+                         * (CAST(q[i] AS DOUBLE) / scale)
+                       for i in range(1, len(q) + 1)]),
+                      (a, b) -> a + b) AS dp,
+                    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      [CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[i] AS DOUBLE)
+                       for i in range(1, len(q) + 1)]),
+                      (a, b) -> a + b))
+                    * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      [(CAST(q[i] AS DOUBLE) / scale)
+                         * (CAST(q[i] AS DOUBLE) / scale)
+                       for i in range(1, len(q) + 1)]),
+                      (a, b) -> a + b)) AS den
+                  FROM qt),
+          d AS (SELECT vec_id,
+                  round(CASE WHEN den = 0 THEN 0.0
+                             ELSE 1.0 - dp / den END, 8) AS d8
+                FROM acc)
+         SELECT count(*) AS n_vecs, max(d8) AS max_dist8,
+           round(CAST(sum(CAST(d8 AS DECIMAL(38,8))) AS DOUBLE)
+                 / count(*), 8) AS mean_dist8
+         FROM d""",
     "decontaminate" ->
       """WITH w AS (SELECT doc_id,
                       string_split_regex(trim(lower(text)), '\s+') AS w

@@ -86,4 +86,74 @@ object QuantizeI8 {
 
   def quantize(emb: Column): Column =
     CatalystBridge.column(QuantizeI8(CatalystBridge.expression(emb)))
+
+  def distortion(emb: Column): Column =
+    CatalystBridge.column(QuantizeDistortion(CatalystBridge.expression(emb)))
+}
+
+/** COSINE DISTORTION of int8 max-abs quantization: `1 - cos(x, dq(x))`
+  * where dq = the dequantized vector (q / scale) — the quality number a
+  * retrieval system actually cares about when deciding whether int8
+  * storage is safe. Same fused-kernel stance as [[QuantizeI8]] and the
+  * same cross-engine arithmetic contract: double casts, strict
+  * left-to-right accumulation for the dot product and both norms
+  * (matching the SQL oracle's sequential list_reduce folds), IEEE sqrt.
+  * A zero vector (either side) has distortion 0 by definition. */
+case class QuantizeDistortion(child: Expression) extends UnaryExpression {
+
+  private lazy val elemFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"quantize_distortion needs array<float|double>, got $t")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quantize_distortion"
+
+  override protected def nullSafeEval(input: Any): Any =
+    QuantizeDistortion.compute(input.asInstanceOf[ArrayData], elemFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.QuantizeDistortion.compute($c, $elemFloat);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): QuantizeDistortion = copy(child = newChild)
+}
+
+object QuantizeDistortion {
+  private def roundHalfAway(v: Double): Double =
+    if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
+
+  def compute(arr: ArrayData, elemFloat: Boolean): Double = {
+    val n = arr.numElements()
+    def at(i: Int): Double =
+      if (elemFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(at(i))
+      if (a > maxabs) maxabs = a
+      i += 1
+    }
+    val scale = if (maxabs > 0) 127.0 / maxabs else 1.0
+    // strict left-to-right folds, one per accumulator — the same
+    // association order as three sequential list_reduce calls in SQL
+    var dp = 0.0; var nx = 0.0; var nd = 0.0
+    i = 0
+    while (i < n) {
+      val x = at(i)
+      var q = roundHalfAway(x * scale)
+      if (q < -127.0) q = -127.0
+      if (q > 127.0) q = 127.0
+      val d = q / scale
+      dp += x * d
+      nx += x * x
+      nd += d * d
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(nd)
+    if (denom == 0.0) 0.0 else 1.0 - dp / denom
+  }
 }

@@ -917,4 +917,29 @@ object Similarity {
         round(col("qz.max_err"), 6).as("max_err6"),
         round(col("qz.maxabs"), 6).as("maxabs6"))
       .orderBy("vec_id")
+
+  /** §2 #121 — QUANTIZATION distortion evaluation: corpus-level cosine
+    * distortion of int8 storage (1 - cos(x, dequant(x)) per vector,
+    * then count/max/mean) — the third leg of the engine's eval family
+    * (dedup_eval, ann_recall_eval): it answers "is int8 safe for THIS
+    * corpus" with one number, before 4x-compressing 100 TB of vectors.
+    *
+    * Map-only fused kernel ([[graft.functions.QuantizeDistortion]]) +
+    * ONE aggregate. Per-vector distortion is rounded to 8 dp and the
+    * mean is decimal-summed, so the corpus aggregate is independent of
+    * row order and partitioning. */
+  def quantizeEval(spark: SparkSession, sfDir: String): DataFrame =
+    quantizeEvalFrom(Tables.load(spark, sfDir, "embeddings"))
+
+  /** Generic core over ANY (vec_id, embedding) frame. */
+  def quantizeEvalFrom(embs: DataFrame): DataFrame =
+    embs
+      .select(round(
+        graft.functions.QuantizeI8.distortion(col("embedding")), 8).as("d8"))
+      .agg(count(lit(1)).as("n_vecs"),
+        max(col("d8")).as("max_dist8"),
+        sum(col("d8").cast("decimal(38,8)")).as("sum_dist8"))
+      .select(col("n_vecs"), col("max_dist8"),
+        round(col("sum_dist8").cast("double") / col("n_vecs"), 8)
+          .as("mean_dist8"))
 }

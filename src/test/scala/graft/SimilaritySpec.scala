@@ -156,6 +156,32 @@ class SimilaritySpec extends SparkSpec {
       s"quantization must not shuffle:\n$plan")
   }
 
+  test("quantize_eval: distortion matches a hand-computed vector; zero vec = 0") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeEvalFrom(embs).collect().head
+    // mirror the kernel arithmetic on vec 1 (vec 2 contributes 0)
+    val x = Array(1.0f, -0.5f, 0.25f).map(_.toDouble)
+    val scale = 127.0 / 1.0
+    // half AWAY from zero, like the kernel (math.round would give -63
+    // for -63.5 where the kernel gives -64)
+    def rha(v: Double) =
+      if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
+    val d = x.map(v => math.min(math.max(rha(v * scale), -127.0), 127.0)
+      / scale)
+    val cos = x.zip(d).map { case (a, b) => a * b }.sum /
+      (math.sqrt(x.map(v => v * v).sum) * math.sqrt(d.map(v => v * v).sum))
+    val d8 = BigDecimal(1.0 - cos)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == d8)                  // max = vec 1's distortion
+    assert(r.getDouble(2) == BigDecimal(d8 / 2)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("ann_recall_eval: recall bounded by 1, brute truth size = nQueries*k") {
     val rows = Similarity.annRecallEval(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
