@@ -80,6 +80,7 @@ class InvarianceSpec extends SparkSpec {
       rows(Similarity.knnGraph(spark, sf)),
       rows(Quality.joinSkewReport(spark, sf)),
       rows(Similarity.annRecallEval(spark, sf)),
+      rows(Similarity.quantizeEval(spark, sf)),
       rows(Curation.mixtureTemperature(spark, sf)))
     val one = spark.conf.get("spark.sql.shuffle.partitions")
     try {
