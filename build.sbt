@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A ~100-query sweep compiles thousands of Janino-generated classes;
+  // the JDK default ReservedCodeCacheSize (240 MB) fills mid-sweep, at
+  // which point HotSpot silently disables JIT compilation and every
+  // later generated join/aggregate runs interpreted (observed as a
+  // 10-40x slowdown on the tail of the round-6 bench sweep). Size the
+  // code cache for the whole sweep and let cold nmethods be flushed.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

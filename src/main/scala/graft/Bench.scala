@@ -24,7 +24,7 @@ object Bench {
     "event_dedup",
     // dedup family
     "dedup_exact", "para_dedup", "line_dedup", "text_normalize",
-    "dedup_minhash", "dedup_eval", "dedup_ngram_exactjoin",
+    "dedup_minhash", "dedup_eval_sample", "dedup_ngram_exactjoin",
     "dedup_simhash", "dedup_clusters", "dedup_corpus", "dedup_incremental",
     "doc_containment",
     // similarity / ANN
@@ -82,6 +82,23 @@ object Bench {
     // optional args restrict to a subset (dev loop); driver passes none
     val names = (if (args.nonEmpty) headline.filter(args.toSet) else headline)
       .filter(SparkEntry.queries.contains)
+    // JVM health probe, printed to stderr after each query: code-cache
+    // and metaspace occupancy. If "CodeHeap 'non-profiled nmethods'"
+    // (or the unsegmented "CodeCache") approaches its max, HotSpot
+    // disables JIT compilation and every later codegen'd stage runs
+    // interpreted — exactly the cumulative 10-40x collapse the round-6
+    // sweep showed. This probe makes that failure visible in the log
+    // instead of masquerading as slow operators.
+    def jvmHealth(): String = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.contains("CodeHeap") ||
+          p.getName.contains("CodeCache") || p.getName == "Metaspace")
+        .map { p =>
+          val u = p.getUsage
+          f"${p.getName}=${u.getUsed / 1e6}%.0f/${u.getMax / 1e6}%.0fMB"
+        }.mkString(" ")
+    }
     val timed = names.map { name =>
       val t0 = System.nanoTime()
       val res =
@@ -104,6 +121,7 @@ object Bench {
       // (observed 3-4x on the export round-trips at the end of a full
       // sweep). Equivalent to spark.cleaner.periodicGC on a cluster.
       System.gc()
+      System.err.println(f"[bench] $name%-24s ${t}%8.2fs  ${jvmHealth()}")
       (name, t, res)
     }
     val ok = timed.collect { case (n, s, None) => (n, s) }

@@ -193,6 +193,19 @@ object Dedup {
                 bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
     dedupEvalFrom(docShingles(spark, sfDir), tau, bands, rowsPerBand)
 
+  /** §2 #116 (sampled) — the SAME precision/recall evaluation on a
+    * deterministic 1-in-5 slice of the corpus. This IS the 100 TB form
+    * of the eval (the full-corpus scaladoc above says so): the b×r
+    * geometry is a corpus-level property, so measuring it on a slice
+    * answers the same question at 1/25th of the exact-truth pair cost —
+    * the full-corpus variant stays for the oracle/audit path, the
+    * benchmark sweep measures this one. The slice predicate is a pure
+    * modulus on doc_id so both engines select the identical slice. */
+  def dedupEvalSample(spark: SparkSession, sfDir: String, tau: Double = 0.5,
+                      bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    dedupEvalFrom(docShingles(spark, sfDir).filter(col("doc_id") % 5 === 0),
+      tau, bands, rowsPerBand)
+
   /** Generic core of [[dedupEval]] over any (doc_id, sh) frame. */
   private[graft] def dedupEvalFrom(docsWithShingles: DataFrame, tau: Double,
                                    bands: Int, rowsPerBand: Int): DataFrame = {
@@ -225,18 +238,23 @@ object Dedup {
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
       .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
       .select(col("n_truth"), col("n_cand"), col("n_hit"),
-        round(col("n_hit") / col("n_cand"), 4).as("precision"),
-        round(col("n_hit") / col("n_truth"), 4).as("recall"))
+        // null (not an ANSI divide error) when a sampled slice has no
+        // candidates/truth pairs — both engines emit NULL identically
+        when(col("n_cand") > 0,
+          round(col("n_hit") / col("n_cand"), 4)).as("precision"),
+        when(col("n_truth") > 0,
+          round(col("n_hit") / col("n_truth"), 4)).as("recall"))
   }
 
   /** DuckDB oracle for [[dedupEval]]: base hash, permutations, band
     * keys, bucket pairs and exact truth all replayed in SQL. */
   def dedupEvalOracle(tau: Double = 0.5, bands: Int = 16,
-                      rowsPerBand: Int = 4): String = {
+                      rowsPerBand: Int = 4, docWhere: String = ""): String = {
     val permExprs = perms.map { case (a, b) =>
       s"list_min(list_transform(h, x -> ($a * x + $b) % $P))"
     }.mkString("[", ",\n                   ", "]")
-    s"""${graft.functions.TextShingles.duckdbShingleCte},
+    s"""${graft.functions.TextShingles.duckdbShingleCte
+            .replace("FROM documents)", s"FROM documents$docWhere)")},
         hx AS (SELECT doc_id, list_transform(s, t ->
                  list_reduce([CAST(unicode(t[i]) AS BIGINT)
                               for i in range(1, CAST(len(t) AS INTEGER) + 1)],
@@ -264,12 +282,14 @@ object Dedup {
        SELECT (SELECT count(*) FROM truth) AS n_truth,
               (SELECT count(*) FROM cand) AS n_cand,
               (SELECT count(*) FROM hit) AS n_hit,
-              round((SELECT count(*) FROM hit)
-                    / CAST((SELECT count(*) FROM cand) AS DOUBLE), 4)
-                AS precision,
-              round((SELECT count(*) FROM hit)
-                    / CAST((SELECT count(*) FROM truth) AS DOUBLE), 4)
-                AS recall"""
+              CASE WHEN (SELECT count(*) FROM cand) > 0 THEN
+                round((SELECT count(*) FROM hit)
+                      / CAST((SELECT count(*) FROM cand) AS DOUBLE), 4)
+              END AS precision,
+              CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+                round((SELECT count(*) FROM hit)
+                      / CAST((SELECT count(*) FROM truth) AS DOUBLE), 4)
+              END AS recall"""
   }
 
   /** MinHash permutation constants (a·x + b mod p over a Murmur3 base

@@ -282,7 +282,11 @@ object Quality {
     * is hashed with the proven cross-engine Karp-Rabin fold and SUMMED
     * per group as DECIMAL(38,0): summation commutes, so the checksum is
     * independent of row order, partitioning, and engine — two sides
-    * agree iff (modulo 54-bit collisions) the group contents agree.
+    * agree iff (modulo 61-bit collisions) the group contents agree.
+    * The exact decimal sum is folded mod the Mersenne prime 2^61-1 and
+    * emitted as BIGINT: a certificate column must itself fit int64, or
+    * downstream hashers (including the verification harness) cannot
+    * normalize it identically across engines.
     * One hash aggregate; exchanges carry (group, count, sum) only. */
   def integrityChecksumFrom(df: DataFrame, rowText: Column,
                             groupCol: Column): DataFrame =
@@ -290,7 +294,8 @@ object Quality {
       graft.functions.KrHashF.krHash(rowText).as("h"))
       .groupBy("grp")
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("h").cast("decimal(38,0)")).as("checksum"))
+        (sum(col("h").cast("decimal(38,0)")) % lit(2305843009213693951L))
+          .cast("long").as("checksum"))
       .orderBy("grp")
 
   /** §2 #93 — integrity checksum of orders by status. The canonical row
@@ -316,11 +321,11 @@ object Quality {
            o_orderpriority AS s
          FROM orders)
        SELECT grp, count(*) AS n_rows,
-         CAST(sum(list_reduce(
+         CAST(sum(CAST(list_reduce(
            [CAST(unicode(s[i]) AS BIGINT)
             for i in range(1, CAST(length(s) AS INTEGER) + 1)],
-           (a, c) -> (a * 257 + c) % 18014398509481984))
-           AS DECIMAL(38,0)) AS checksum
+           (a, c) -> (a * 257 + c) % 18014398509481984) AS HUGEINT))
+           % 2305843009213693951 AS BIGINT) AS checksum
        FROM t GROUP BY grp ORDER BY grp"""
 
   /** §2 #118 — JOIN-SKEW diagnostics for a key column: the numbers

@@ -598,8 +598,11 @@ object TextAnalysis {
       .groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
-        sum(Quality.knuth32(col("doc_id")).cast(DecimalType(38, 0)))
-          .cast("decimal(38,0)").as("postings_check"))
+        // exact decimal sum of the 32-bit posting hashes, folded mod
+        // 2^61-1 into BIGINT — the checksum must fit int64 so every
+        // downstream hasher normalizes it identically on both engines
+        (sum(Quality.knuth32(col("doc_id")).cast(DecimalType(38, 0)))
+          % lit(2305843009213693951L)).cast("long").as("postings_check"))
       .orderBy(col("df").desc, col("term")).limit(k)
   }
 
@@ -616,8 +619,8 @@ object TextAnalysis {
                FROM t GROUP BY term, doc_id)
        SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
               min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-              CAST(sum(CAST(${Quality.knuthSql("doc_id")} AS DECIMAL(38,0)))
-                AS DECIMAL(38,0)) AS postings_check
+              CAST(sum(CAST(${Quality.knuthSql("doc_id")} AS HUGEINT))
+                % 2305843009213693951 AS BIGINT) AS postings_check
        FROM pd GROUP BY term
        ORDER BY df DESC, term LIMIT 50"""
 

@@ -101,6 +101,61 @@ class ExportImportSpec extends SparkSpec {
     assert(got == src, "ORC round-trip must be lossless")
   }
 
+  test("package_apply: processing order applies parents before children") {
+    import spark.implicits._
+    import graft.operators.MergeImport
+    // base: region 1, nation 1->1, customer 100->1
+    val region = Seq((1L, "EU")).toDF("r_regionkey", "r_name")
+    val nation = Seq((1L, "FR", 1L)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq((100L, "alice", 1L))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    // package: NEW region 90, nation 90 -> region 90 (same package),
+    // customer 9000 -> nation 90 (same package), customer 9001 -> 999
+    // (nowhere: a genuine orphan, rejected regardless of order)
+    val pkg = Map(
+      "region" -> Seq((90L, "XX")).toDF("r_regionkey", "r_name"),
+      "nation" -> Seq((90L, "ZZ", 90L))
+        .toDF("n_nationkey", "n_name", "n_regionkey"),
+      "customer" -> Seq((9000L, "bob", 90L), (9001L, "eve", 999L))
+        .toDF("c_custkey", "c_name", "c_nationkey"))
+    val base = Map("region" -> region, "nation" -> nation,
+      "customer" -> customer)
+    val keys = Map("region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "customer" -> "c_custkey")
+    val fks = Map(
+      "nation" -> (("n_regionkey", "region", "r_regionkey")),
+      "customer" -> (("c_nationkey", "nation", "n_nationkey")))
+
+    // parents-first: everything chained through the package lands
+    val dir1 = ExportImport.scratch("pkg-ordered")
+    PackageIO.writePackage(spark, dir1, pkg,
+      processingOrder = Map("region" -> 1, "nation" -> 2, "customer" -> 3))
+    val ordered = MergeImport
+      .applyPackageOrdered(spark, dir1, base, keys, fks)
+      .map(r => r.name -> r).toMap
+    assert(ordered.keySet == Set("region", "nation", "customer"))
+    // manifest order honored: region, nation, customer
+    assert(PackageIO.tablesInOrder(dir1).map(_._1)
+      == Seq("region", "nation", "customer"))
+    assert(ordered("nation").rejected.count() == 0L)
+    assert(ordered("nation").applied.count() == 2L)
+    assert(ordered("customer").applied.count() == 2L) // alice + bob
+    assert(ordered("customer").rejected.select("c_custkey").as[Long]
+      .collect().toSeq == Seq(9001L))
+
+    // child-first: customer 9000 is validated against a nation state
+    // that does NOT yet contain 90 -> rejected; the order is semantics
+    val dir2 = ExportImport.scratch("pkg-reversed")
+    PackageIO.writePackage(spark, dir2, pkg,
+      processingOrder = Map("customer" -> 1, "nation" -> 2, "region" -> 3))
+    val reversed = MergeImport
+      .applyPackageOrdered(spark, dir2, base, keys, fks)
+      .map(r => r.name -> r).toMap
+    assert(reversed("customer").rejected.select("c_custkey")
+      .as[Long].collect().toSet == Set(9000L, 9001L))
+    assert(reversed("customer").applied.count() == 1L) // alice only
+  }
+
   test("integrity_checksum: order-independent, content-sensitive") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
@@ -111,10 +166,10 @@ class ExportImportSpec extends SparkSpec {
     val s1 = sums(base)
     // same rows, different order and partitioning -> identical checksum
     val s2 = sums(base.orderBy(col("k").desc).repartition(3))
-    assert(s1.getDecimal(2) == s2.getDecimal(2) && s1.getLong(1) == 3L)
+    assert(s1.getLong(2) == s2.getLong(2) && s1.getLong(1) == 3L)
     // one changed cell -> different checksum
     val s3 = sums(Seq((1L, "a"), (2L, "X"), (3L, "c")).toDF("k", "v"))
-    assert(s1.getDecimal(2) != s3.getDecimal(2))
+    assert(s1.getLong(2) != s3.getLong(2))
   }
 
   test("csv import: malformed rows land in the corrupt-record column") {

@@ -199,6 +199,6 @@ class UsageSpec extends SparkSpec {
       lit("t")).collect().head
     val b = Graft.integrityChecksum(src.repartition(5),
       concat_ws("|", col("k"), col("v")), lit("t")).collect().head
-    assert(a.getDecimal(2) == b.getDecimal(2))
+    assert(a.getLong(2) == b.getLong(2))
   }
 }
