@@ -52,13 +52,63 @@ object MergeImport {
                         ELSE o_totalprice END * 100) AS BIGINT) AS price_cents
        FROM orders ORDER BY o_orderkey"""
 
+  /** One table's outcome from an ordered package apply: the merged
+    * frame plus the incoming rows the FK gate rejected (both lazy —
+    * the caller decides what to aggregate/materialize). */
+  case class AppliedTable(name: String, procOrder: Int,
+                          applied: DataFrame, rejected: DataFrame)
+
+  /** ORDERED package apply — the reference's `ApplyPackages` loop with
+    * `SETCURRENTKEY(..., "Processing Order")` (Codeunit 60000:58-65,
+    * :204, :329): tables are applied parents-first in the manifest's
+    * processing order, and each table's incoming rows are FK-validated
+    * against the parent's ALREADY-APPLIED state — so a child row
+    * referencing a parent key that arrives in the SAME package is
+    * accepted, while one referencing a key in no base/package table is
+    * rejected (the reference records an apply error; here the rejected
+    * rows come back as a frame).
+    *
+    * Scale shape: per table, one upsert window shuffle on the key plus
+    * (for FK-gated tables) one left-semi/left-anti join pair against
+    * the applied parent — key-partitioned joins, no broadcast
+    * assumption (a parent dimension can be huge at 100 TB). The loop
+    * itself is driver-side over the handful of manifest entries, never
+    * over rows; everything row-shaped stays in one lazy DAG.
+    *
+    * @param keys primary-key column per table
+    * @param fks  child table -> (child FK col, parent table, parent PK col)
+    */
+  def applyPackageOrdered(spark: SparkSession, dir: String,
+                          base: Map[String, DataFrame],
+                          keys: Map[String, String],
+                          fks: Map[String, (String, String, String)] = Map.empty)
+      : Seq[AppliedTable] = {
+    val state = scala.collection.mutable.Map(base.toSeq: _*)
+    graft.sources.PackageIO.tablesInOrder(dir).map { case (name, ord) =>
+      val inc = graft.sources.PackageIO.readTable(spark, dir, name)
+      val (accepted, rejected) = fks.get(name) match {
+        case Some((childCol, parent, parentCol)) =>
+          // validate against the parent AS ALREADY APPLIED this run —
+          // the whole point of processing order
+          val pKeys = state(parent).select(col(parentCol).as(childCol))
+          (inc.join(pKeys, Seq(childCol), "left_semi"),
+            inc.join(pKeys, Seq(childCol), "left_anti"))
+        case None => (inc, inc.limit(0))
+      }
+      val applied = upsert(state(name), accepted, keys(name))
+      state(name) = applied
+      AppliedTable(name, ord, applied, rejected)
+    }
+  }
+
   /** §2 #69 — the reference's END-TO-END flow composed: stage an
     * incremental package (orders re-priced for keys %10, customers
-    * re-segmented for keys %7) through the real package sink, re-import
-    * each table, upsert it into its base table, and report per-table
-    * applied counts FROM THE MERGED RESULT — the `ApplyPackages` loop
-    * (Codeunit 60000:419) as one declarative pipeline. Every stage is
-    * the already-proven operator: PackageIO write/read + [[upsert]]. */
+    * re-segmented for keys %7) through the real package sink with
+    * explicit processing order (customer=1 before orders=2 — orders
+    * carries the o_custkey FK), then [[applyPackageOrdered]]: re-import
+    * each table IN ORDER, FK-gate orders against the applied customer
+    * set, upsert into the base tables, and report per-table
+    * (order, applied, changed, rejected) FROM THE MERGED RESULT. */
   def packageApply(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = graft.operators.ExportImport.scratch("apply-pkg")
     val orders = Tables.load(spark, sfDir, "orders")
@@ -69,31 +119,37 @@ object MergeImport {
     val custInc = customer.filter(col("c_custkey") % 7 === 0)
       .withColumn("c_mktsegment", lit("UPDATED"))
     graft.sources.PackageIO.writePackage(spark, dir,
-      Map("orders" -> ordersInc, "customer" -> custInc))
+      Map("orders" -> ordersInc, "customer" -> custInc),
+      processingOrder = Map("customer" -> 1, "orders" -> 2))
 
-    val appliedOrders = upsert(orders,
-      graft.sources.PackageIO.readTable(spark, dir, "orders"), "o_orderkey")
-    val appliedCust = upsert(customer,
-      graft.sources.PackageIO.readTable(spark, dir, "customer"), "c_custkey")
-    appliedCust
-      .agg(lit("customer").as("tab"), count(lit(1)).as("n_rows"),
-        count(when(col("c_mktsegment") === "UPDATED", 1)).as("n_changed"))
-      .unionAll(appliedOrders
-        .agg(lit("orders").as("tab"), count(lit(1)).as("n_rows"),
-          count(when(col("o_orderstatus") === "U", 1)).as("n_changed")))
-      .orderBy("tab")
+    val results = applyPackageOrdered(spark, dir,
+      base = Map("orders" -> orders, "customer" -> customer),
+      keys = Map("orders" -> "o_orderkey", "customer" -> "c_custkey"),
+      fks = Map("orders" -> ("o_custkey", "customer", "c_custkey")))
+    results.map { r =>
+      val changed = r.name match {
+        case "customer" => count(when(col("c_mktsegment") === "UPDATED", 1))
+        case _          => count(when(col("o_orderstatus") === "U", 1))
+      }
+      r.applied.agg(lit(r.name).as("tab"),
+          lit(r.procOrder).as("proc_order"),
+          count(lit(1)).as("n_rows"), changed.as("n_changed"))
+        .crossJoin(r.rejected.agg(count(lit(1)).as("n_rejected")))
+    }.reduce(_.unionAll(_)).orderBy("proc_order")
   }
 
   val packageApplyOracle: String =
     """SELECT * FROM (
-         SELECT 'customer' AS tab, count(*) AS n_rows,
-                count(CASE WHEN c_custkey % 7 = 0 THEN 1 END) AS n_changed
+         SELECT 'customer' AS tab, 1 AS proc_order, count(*) AS n_rows,
+                count(CASE WHEN c_custkey % 7 = 0 THEN 1 END) AS n_changed,
+                CAST(0 AS BIGINT) AS n_rejected
          FROM customer
          UNION ALL
-         SELECT 'orders' AS tab, count(*) AS n_rows,
-                count(CASE WHEN o_orderkey % 10 = 0 THEN 1 END) AS n_changed
+         SELECT 'orders' AS tab, 2 AS proc_order, count(*) AS n_rows,
+                count(CASE WHEN o_orderkey % 10 = 0 THEN 1 END) AS n_changed,
+                CAST(0 AS BIGINT) AS n_rejected
          FROM orders)
-       ORDER BY tab"""
+       ORDER BY proc_order"""
 
   /** Generic snapshot diff: rows added/removed/changed between two
     * keyed snapshots — one co-partitioned full-outer join (the canonical

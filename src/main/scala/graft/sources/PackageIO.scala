@@ -16,21 +16,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PackageIO {
 
-  case class TableMeta(name: String, columns: Seq[(String, String)], rows: Long)
+  case class TableMeta(name: String, columns: Seq[(String, String)],
+                       rows: Long, procOrder: Int)
 
+  /** Write a package. `processingOrder` is the reference's per-table
+    * `"Processing Order"` (Codeunit 60000:615, 60001:307): the apply
+    * sequence — parents before children — persisted in the manifest so
+    * a later [[graft.operators.MergeImport.applyPackageOrdered]] replays
+    * tables in the order the package author declared, not in whatever
+    * order a directory listing yields. Tables absent from the map get
+    * their 1-based alphabetical position (a deterministic default). */
   def writePackage(spark: SparkSession, dir: String,
-                   tables: Map[String, DataFrame]): Seq[TableMeta] = {
-    val metas = tables.toSeq.sortBy(_._1).map { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$dir/data/$name")
-      // re-read for the authoritative count: cheap (parquet footers only)
-      val rows = spark.read.parquet(s"$dir/data/$name").count()
-      TableMeta(name, df.schema.fields.map(f => f.name -> f.dataType.sql), rows)
-    }
+                   tables: Map[String, DataFrame],
+                   processingOrder: Map[String, Int] = Map.empty)
+      : Seq[TableMeta] = {
+    val metas = tables.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((name, df), idx) =>
+        df.write.mode("overwrite").parquet(s"$dir/data/$name")
+        // re-read for the authoritative count: cheap (parquet footers only)
+        val rows = spark.read.parquet(s"$dir/data/$name").count()
+        TableMeta(name, df.schema.fields.map(f => f.name -> f.dataType.sql),
+          rows, processingOrder.getOrElse(name, idx + 1))
+      }.sortBy(m => (m.procOrder, m.name))
     val json = metas.map { m =>
       val cols = m.columns
         .map { case (n, t) => s"""{"name":"$n","type":"$t"}""" }
         .mkString("[", ",", "]")
-      s"""{"table":"${m.name}","rows":${m.rows},"columns":$cols}"""
+      s"""{"table":"${m.name}","rows":${m.rows},"proc_order":${m.procOrder},"columns":$cols}"""
     }.mkString("[", ",", "]")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.writeString(
@@ -44,4 +56,15 @@ object PackageIO {
   def manifest(dir: String): String =
     java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$dir/_manifest.json"))
+
+  /** Package tables in ascending processing order (then name), parsed
+    * back from the manifest the package was written with — the apply
+    * loop's `SETCURRENTKEY(..., "Processing Order")` equivalent. */
+  def tablesInOrder(dir: String): Seq[(String, Int)] = {
+    val m = manifest(dir)
+    val entry = """"table":"([^"]+)","rows":\d+,"proc_order":(\d+)""".r
+    entry.findAllMatchIn(m)
+      .map(g => (g.group(1), g.group(2).toInt)).toSeq
+      .sortBy { case (n, o) => (o, n) }
+  }
 }
