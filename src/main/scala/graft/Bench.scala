@@ -28,7 +28,7 @@ object Bench {
     "dedup_simhash", "dedup_clusters", "dedup_corpus", "dedup_incremental",
     "doc_containment",
     // similarity / ANN
-    "ann_bruteforce", "knn_graph", "ann_recall_eval",
+    "ann_bruteforce", "knn_graph", "knn_graph_ann", "ann_recall_eval",
     "ann_lsh", "ann_ivf", "ann_ivf_static",
     "ann_pq", "ann_ivfpq", "semantic_dedup", "hard_negatives",
     "embedding_dedup", "embedding_quantize", "quantize_eval",

@@ -62,6 +62,7 @@ object SparkEntry {
     "ann_bruteforce" -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
     "knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "knn_graph_ann" -> ((s, d) => Similarity.knnGraphAnn(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     // C. LLM-data-pipeline: text analysis
     "text_stats" -> (TextAnalysis.textStats _),
@@ -398,6 +399,7 @@ object SparkEntry {
     // the seeded planes and replays sign-bit banding + ranking exactly
     "ann_lsh" -> Similarity.lshOracle(),
     "ann_ivf_static" -> Similarity.ivfStaticOracle(),
+    "knn_graph_ann" -> Similarity.knnGraphAnnOracle(),
     "ann_pq" -> Similarity.pqTrainedOracle(),
     "ann_ivfpq" -> Similarity.ivfPqTrainedOracle(),
     "semantic_dedup" -> Similarity.semanticDedupOracle(),

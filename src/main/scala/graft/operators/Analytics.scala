@@ -292,8 +292,11 @@ object Analytics {
     val ev = Tables.load(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("t"), cents(col("value")).as("v_c"))
+    // replayed ids live in the NEGATIVE namespace — disjoint from real
+    // (non-negative) ids at any table size, unlike a fixed additive
+    // offset which collides once the table outgrows it
     val replayed = ev.filter(col("event_id") % 101 === 0)
-      .select((col("event_id") + 10000000L).as("event_id"), col("user_id"),
+      .select((-(col("event_id") + 1L)).as("event_id"), col("user_id"),
         col("event_type"), (col("t") + 1000000L).as("t"), col("v_c"))
     eventDedupFrom(ev.unionAll(replayed), 600000000L)
   }
@@ -305,7 +308,7 @@ object Analytics {
           FROM events),
         ev AS (SELECT * FROM base
                UNION ALL
-               SELECT event_id + 10000000, user_id, event_type,
+               SELECT -(event_id + 1), user_id, event_type,
                       t + 1000000, v_c
                FROM base WHERE event_id % 101 = 0)
        SELECT event_id, user_id, event_type, t - prev_t AS gap_us

@@ -289,9 +289,14 @@ object Curation {
       .withColumn("w6",
         round(sqrt(col("src_tokens").cast("double")) * 1e6).cast("long"))
     val wSum = srcW.agg(sum("w6").as("w_sum"))
+    // budget * w6 can exceed int64 for large corpora (w6 ~ sqrt(tokens)
+    // * 1e6); multiply in DECIMAL(38,0) so the product is exact in both
+    // engines — `div` (integral divide) lands the quotient back in
+    // BIGINT, which it always fits (w6 <= w_sum ⇒ quotient <= budget)
     val budgets = srcW.crossJoin(broadcast(wSum))
       .select(col("source"), col("src_tokens"),
-        expr(s"(${budgetTokens}L * w6) div w_sum").as("budget_tokens"))
+        expr(s"(cast(${budgetTokens} as decimal(38,0)) * w6) div w_sum")
+          .as("budget_tokens"))
     cum.join(broadcast(budgets), "source")
       .filter(col("cum") <= col("budget_tokens"))
       .groupBy("source", "src_tokens", "budget_tokens")
@@ -312,7 +317,8 @@ object Curation {
               FROM t GROUP BY 1),
         w AS (SELECT CAST(sum(w6) AS BIGINT) AS w_sum FROM s),
         b AS (SELECT source, src_tokens,
-                ($budgetTokens * w6) // w_sum AS budget_tokens
+                CAST((CAST($budgetTokens AS HUGEINT) * w6) // w_sum
+                  AS BIGINT) AS budget_tokens
               FROM s, w),
         c AS (SELECT source, n_tok,
                 sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id)

@@ -610,13 +610,16 @@ object Dedup {
       // embeds the round-(N-1) plan 4× (join + union + self-join), so
       // ANALYSIS time grows 4^N even when execution only reads caches —
       // measured as multi-second planning by round 3 on a 256-pair
-      // graph. createDataFrame(rdd, schema) restarts the logical plan
-      // from a leaf (a localCheckpoint would too, but its LogicalRDD
+      // graph. internalLeaf restarts the logical plan from a LogicalRDD
+      // leaf over the round's own InternalRow RDD: columnar end to end
+      // (no Row encode/decode, the round stays inside whole-stage
+      // codegen) and constraint-free (localCheckpoint's LogicalRDD
       // drags origin constraints along and trips Union constraint
       // rewriting); the persist below makes execution read round N-1's
       // cache, not its lineage. On a real cluster swap for
       // checkpoint(dir) — same shape, fault-tolerant lineage cut.
-      val next = hop.sparkSession.createDataFrame(next0.rdd, next0.schema)
+      val next = org.apache.spark.sql.graftbridge.CatalystBridge
+        .internalLeaf(next0)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val curSum = Option(
         next.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0).get(0))

@@ -342,14 +342,19 @@ object Quality {
   def joinSkewReportFrom(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("cnt"))
+    // heaviest key, smallest key on count ties — TakeOrdered over the
+    // per-key counts (works for ANY orderable key type; a max(struct(
+    // cnt, -key)) tie-break would null out on string keys). Catalyst
+    // reuses the counts exchange between the two consumers.
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(1)
+      .select(col("key").as("top_key"), col("cnt").as("top_cnt"))
     counts.agg(
       sum("cnt").as("n_rows"),
       count(lit(1)).as("n_keys"),
       expr("percentile(cnt, 0.5D)").as("p50"),
       expr("percentile(cnt, 0.99D)").as("p99"),
-      max("cnt").as("max_rows"),
-      // heaviest key, smallest key on count ties (max over (cnt, -key))
-      max(struct(col("cnt"), (-col("key")).as("nk"))).as("m"))
+      max("cnt").as("max_rows"))
+      .crossJoin(top)
       .select(col("n_rows"), col("n_keys"),
         round(col("n_rows") / col("n_keys"), 4).as("avg_rows"),
         round(col("p50"), 4).as("p50_rows"),
@@ -357,8 +362,8 @@ object Quality {
         col("max_rows"),
         round(col("max_rows") / (col("n_rows") / col("n_keys")), 4)
           .as("skew_factor"),
-        (-col("m.nk")).as("top_key"),
-        round(col("m.cnt") / col("n_rows"), 4).as("top_share"))
+        col("top_key"),
+        round(col("top_cnt") / col("n_rows"), 4).as("top_share"))
   }
 
   /** Skew report over the event stream's user key (the key sessionize

@@ -83,11 +83,16 @@ object Similarity {
       col("embedding").as("e_q"), col("nrm").as("n_q"))
     val cands = v.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("e_c"), col("nrm").as("n_c"))
-    val edges = rankTopK(cands.join(broadcast(queries),
+    mutualFlag(rankTopK(cands.join(broadcast(queries),
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
-          .as("cos")), k)
+          .as("cos")), k))
+  }
+
+  /** Mutual-edge decoration shared by the graph builds: ONE
+    * self-equi-join of the (≤ N×k row) edge list on the reversed key. */
+  private def mutualFlag(edges: DataFrame): DataFrame = {
     val rev = edges.select(col("neighbor_id").as("query_id"),
       col("query_id").as("neighbor_id"), lit(true).as("rev"))
     edges.join(rev, Seq("query_id", "neighbor_id"), "left")
@@ -95,6 +100,76 @@ object Similarity {
         col("rnk"), col("cos6"),
         coalesce(col("rev"), lit(false)).as("mutual"))
       .orderBy("src_id", "rnk")
+  }
+
+  /** §2 #117b — k-NN GRAPH on the ANN PATH: [[knnGraph]]'s output shape
+    * built through the static-quantizer IVF probe instead of the N²
+    * broadcast — every vector is a query probing its `nProbe` nearest
+    * cells, candidates come from a cell equi-join (a SHUFFLE join of
+    * two corpus-sized sides co-partitioned on cell — no broadcast
+    * assumption anywhere, which is the only shape that survives 100 TB
+    * of vectors), ranking/mutual-flag identical to the brute build.
+    * Scoring work is ~nProbe/nCells of brute; recall vs the exact
+    * graph is asserted by SimilaritySpec and the static quantizer
+    * keeps the whole pipeline SQL-replayable for the oracle. */
+  def knnGraphAnn(spark: SparkSession, sfDir: String, nProbe: Int = 6,
+                  k: Int = 5): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val cents = staticCentroids()
+    def cellsOf(n: Int) =
+      graft.functions.VectorQuantize.nearestCells(col("embedding"), cents, n)
+    val assigned = v.select(element_at(cellsOf(1), 1).as("cell"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("e_c"),
+      col("nrm").as("n_c"))
+    val probes = v.select(col("vec_id").as("query_id"),
+      col("embedding").as("e_q"), col("nrm").as("n_q"),
+      explode(cellsOf(nProbe)).as("cell"))
+    mutualFlag(rankTopK(
+      assigned.join(probes, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
+            .as("cos")), k))
+  }
+
+  /** DuckDB oracle for [[knnGraphAnn]]: static centroids inlined,
+    * assignment/probing/ranking replayed (the [[ivfStaticOracle]]
+    * machinery with every vector as a query) plus the mutual
+    * self-join. */
+  def knnGraphAnnOracle(nProbe: Int = 6, k: Int = 5): String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val centRows = staticCentroids().zipWithIndex.map { case (c, i) =>
+      s"(${i}, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    s"""WITH n AS (SELECT vec_id, embedding,
+          sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+        cents(cell, cv) AS (VALUES $centRows),
+        ranked AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              ${dot("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+          FROM n v, cents c),
+        assigned AS (SELECT cell, vec_id AS neighbor_id, embedding AS e_c,
+                       nrm AS n_c FROM ranked WHERE crnk = 1),
+        probes AS (SELECT cell, vec_id AS query_id, embedding AS e_q,
+                     nrm AS n_q FROM ranked WHERE crnk <= $nProbe),
+        e AS (
+          SELECT query_id, neighbor_id, rnk, cos FROM (
+            SELECT p.query_id, a.neighbor_id,
+              ${dot("p.e_q", "a.e_c")} / (p.n_q * a.n_c) AS cos,
+              CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY
+                ${dot("p.e_q", "a.e_c")} / (p.n_q * a.n_c) DESC,
+                a.neighbor_id) AS INTEGER) AS rnk
+            FROM probes p JOIN assigned a ON p.cell = a.cell
+            WHERE p.query_id <> a.neighbor_id)
+          WHERE rnk <= $k)
+        SELECT e.query_id AS src_id, e.neighbor_id AS dst_id, e.rnk AS rnk,
+               round(e.cos, 6) AS cos6, (r.query_id IS NOT NULL) AS mutual
+        FROM e LEFT JOIN e r ON r.query_id = e.neighbor_id
+                            AND r.neighbor_id = e.query_id
+        ORDER BY src_id, e.rnk"""
   }
 
   /** §2 #119 — ANN RECALL evaluation: recall@k of the two fully

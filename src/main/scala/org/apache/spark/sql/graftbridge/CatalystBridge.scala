@@ -38,4 +38,22 @@ object CatalystBridge {
   def analyzed(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** COLUMNAR lineage cut: rebuild `df` as a fresh [[LogicalRDD]] leaf
+    * over its own InternalRow RDD. Unlike the public
+    * `createDataFrame(df.rdd, schema)` there is no InternalRow→Row→
+    * InternalRow encode/decode detour (which also evicts the stage from
+    * whole-stage codegen), and unlike `localCheckpoint` no origin
+    * constraints are dragged along (those trip Union constraint
+    * rewriting in iterative plans). The RDD is lazy; callers must
+    * persist/materialize the result while the source plan is alive. */
+  def internalLeaf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val spark = classic.sparkSession
+    org.apache.spark.sql.classic.Dataset.ofRows(spark,
+      org.apache.spark.sql.execution.LogicalRDD(
+        classic.queryExecution.analyzed.output,
+        classic.queryExecution.toRdd)(spark))
+  }
 }

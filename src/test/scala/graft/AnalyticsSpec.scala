@@ -218,7 +218,7 @@ class AnalyticsSpec extends SparkSpec {
         math.round(r.getDouble(4) * 100)))
     // the operator's deterministic replayed slice
     val ev = base ++ base.filter(_._1 % 101 == 0)
-      .map(e => (e._1 + 10000000L, e._2, e._3, e._4 + 1000000L, e._5))
+      .map(e => (-(e._1 + 1L), e._2, e._3, e._4 + 1000000L, e._5))
     assert(ev.length > base.length, "replay slice must be non-empty")
     val expect = ev.groupBy(e => (e._2, e._3, e._5)).values.flatMap { g =>
       val sorted = g.sortBy(e => (e._4, e._1)).toSeq

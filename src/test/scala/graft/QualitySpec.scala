@@ -167,4 +167,14 @@ class QualitySpec extends SparkSpec {
     assert(r.getDouble(6) == math.round(6 / 2.25 * 10000) / 10000.0)
     assert(r.getLong(7) == 7L && r.getDouble(8) == 0.6667)
   }
+
+  test("join_skew_report: string keys report a real top_key, ties break low") {
+    import spark.implicits._
+    import graft.operators.Quality
+    // "b" and "a" tie at 2 rows -> top_key must be "a" (smallest), not null
+    val df = Seq("b", "b", "a", "a", "c").map(k => (k, 1)).toDF("k", "v")
+    val r = Quality.joinSkewReportFrom(df, "k").collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 3L)
+    assert(r.getString(7) == "a" && r.getDouble(8) == 0.4)
+  }
 }

@@ -208,4 +208,25 @@ class SimilaritySpec extends SparkSpec {
     // ranking stays the bounded aggregate, not a window sort
     assert(!planOf(Similarity.knnGraph(spark, sf)).contains("Window"))
   }
+
+  test("knn_graph_ann: recall >= 0.5 vs brute graph; no broadcast of the corpus side") {
+    val brute = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.knnGraphAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    assert(recall >= 0.5, s"graph recall = $recall")
+    // mutual flags symmetric within the ANN graph too
+    val edges = Similarity.knnGraphAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    val set = edges.map(e => (e._1, e._2)).toSet
+    edges.foreach { case (a, b, m) =>
+      assert(m == set.contains((b, a)), s"mutual flag wrong for ($a,$b)")
+    }
+    val plan = planOf(Similarity.knnGraphAnn(spark, sf))
+    // candidate generation must be the cell equi-join (both sides are
+    // the corpus at scale): no cartesian, bounded TopK (no window)
+    assert(!plan.contains("Cartesian"), "cell join must be an equi-join")
+    assert(!plan.contains("Window"), "ranking must stay the bounded aggregate")
+  }
 }
