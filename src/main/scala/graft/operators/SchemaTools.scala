@@ -108,29 +108,38 @@ object SchemaTools {
     * `ExportExcelTemplateFromTables` / the `SkipData` branch of :96):
     * a schema-only typed workbook — one worksheet per table, header row,
     * zero data rows — that a user fills in and feeds back through the
-    * import path. Metadata-only (single tiny driver-side file, like
-    * schema_gen); the returned manifest is read back FROM THE FILE,
-    * proving the emitted template is a parseable workbook. */
+    * import path. Each header cell carries a REAL OpenXML cell comment
+    * with the field's type annotation (the reference's 60001:569
+    * `SetCellComment` + :580 `CreateCommentVmlShapeXml` template
+    * metadata). Metadata-only (single tiny driver-side file, like
+    * schema_gen); manifest AND comments are read back FROM THE FILE,
+    * proving the emitted template is a parseable, annotated workbook. */
   def templateExport(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
     val dir = ExportImport.scratch("xlsx-template")
     val sheets = templateTables.map { t =>
-      graft.sources.XlsxIO.WorkSheet(t,
-        Tables.load(spark, sfDir, t).schema.fieldNames.toSeq,
-        Iterator.empty)
+      val fields = Tables.load(spark, sfDir, t).schema.fields.toSeq
+      graft.sources.XlsxIO.WorkSheet(t, fields.map(_.name),
+        Iterator.empty,
+        headerComments = fields.map(f => s"Type: ${xsdType(f.dataType)}"))
     }
     val path = Paths.get(s"$dir/template.xlsx")
     val out = Files.newOutputStream(path)
     try graft.sources.XlsxIO.writeWorkbook(out, sheets) finally out.close()
 
-    graft.sources.XlsxIO.readWorkbook(Files.readAllBytes(path))
+    val bytes = Files.readAllBytes(path)
+    val comments = graft.sources.XlsxIO.readComments(bytes)
+    graft.sources.XlsxIO.readWorkbook(bytes)
       .flatMap { case (sheet, rows) =>
         rows.headOption.toSeq.flatMap(_.toSeq.zipWithIndex.map {
-          case (cname, i) => (sheet, i + 1, cname)
+          case (cname, i) =>
+            val ref = graft.sources.XlsxIO.colLetters(i) + "1"
+            (sheet, i + 1, cname,
+              comments.getOrElse(sheet, Map.empty).getOrElse(ref, null))
         })
       }
-      .toDF("tab", "col_pos", "col_name")
+      .toDF("tab", "col_pos", "col_name", "col_comment")
       .orderBy("tab", "col_pos")
   }
 
@@ -208,12 +217,13 @@ object SchemaTools {
   def templateExportOracle: String = {
     val rows = templateTables.flatMap { t =>
       expectedSchema.filter(_._1 == t).zipWithIndex.map {
-        case ((_, c, _), i) => (t, i + 1, c)
+        case ((_, c, x), i) => (t, i + 1, c, s"Type: $x")
       }
     }
-    rows.map { case (t, p, c) => s"('$t',$p,'$c')" }
-      .mkString("SELECT tab, col_pos, col_name FROM (VALUES ", ", ",
-        ") AS t(tab, col_pos, col_name) ORDER BY tab, col_pos")
+    rows.map { case (t, p, c, cm) => s"('$t',$p,'$c','$cm')" }
+      .mkString(
+        "SELECT tab, col_pos, col_name, col_comment FROM (VALUES ", ", ",
+        ") AS t(tab, col_pos, col_name, col_comment) ORDER BY tab, col_pos")
   }
 
   def packageCountsOracle(tables: Seq[String], nCols: Map[String, Int]): String =

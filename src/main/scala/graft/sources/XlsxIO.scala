@@ -27,9 +27,14 @@ import scala.collection.mutable
 object XlsxIO {
 
   /** One worksheet: name, header row, data rows (any null cell skipped).
-    * Supported cell types: String, Long, Int, Double, Boolean. */
+    * Supported cell types: String, Long, Int, Double, Boolean.
+    * `headerComments` (optional, aligned with `header`; null/empty =
+    * none) become real OpenXML cell comments on the header cells — the
+    * reference's template-mode field annotations (Codeunit 60001:569
+    * `SetCellComment` + :580 `CreateCommentVmlShapeXml`). */
   case class WorkSheet(name: String, header: Seq[String],
-                       rows: Iterator[Seq[Any]])
+                       rows: Iterator[Seq[Any]],
+                       headerComments: Seq[String] = Nil)
 
   /** Excel worksheet-name rules, per the reference's
     * GetExcelWorksheetName (Codeunit 60001:758): names are capped at 31
@@ -98,11 +103,20 @@ object XlsxIO {
       zip.closeEntry()
     }
     val decl = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
-    val overrides = sheets.indices.map { i =>
-      s"""<Override PartName="/xl/worksheets/sheet${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>"""
+    def hasComments(s: WorkSheet): Boolean =
+      s.headerComments.exists(c => c != null && c.nonEmpty)
+    val overrides = sheets.zipWithIndex.map { case (s, i) =>
+      s"""<Override PartName="/xl/worksheets/sheet${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+        (if (hasComments(s))
+          s"""<Override PartName="/xl/comments${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.comments+xml"/>"""
+        else "")
     }.mkString
+    val vmlDefault =
+      if (sheets.exists(hasComments))
+        """<Default Extension="vml" ContentType="application/vnd.openxmlformats-officedocument.vmlDrawing"/>"""
+      else ""
     entry("[Content_Types].xml",
-      s"""$decl<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>$overrides</Types>""")
+      s"""$decl<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/>$vmlDefault<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>$overrides</Types>""")
     entry("_rels/.rels",
       s"""$decl<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
     val sheetTags = sheets.zipWithIndex.map { case (s, i) =>
@@ -117,9 +131,10 @@ object XlsxIO {
       s"""$decl<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$rels</Relationships>""")
 
     sheets.zipWithIndex.foreach { case (s, i) =>
+      val withComments = hasComments(s)
       zip.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${i + 1}.xml"))
       val w = new java.io.OutputStreamWriter(zip, UTF_8)
-      w.write(s"""$decl<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      w.write(s"""$decl<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheetData>""")
       var rowIdx = 1
       def writeRow(cells: Seq[Any]): Unit = {
         w.write(s"""<row r="$rowIdx">""")
@@ -131,9 +146,41 @@ object XlsxIO {
       }
       writeRow(s.header)
       s.rows.foreach(writeRow)
-      w.write("</sheetData></worksheet>")
+      w.write("</sheetData>")
+      // a commented sheet references its VML note shapes (ECMA-376's
+      // legacy-drawing mechanism — the only one Excel renders comments
+      // through, hence the reference's CreateCommentVmlShapeXml)
+      if (withComments) w.write("""<legacyDrawing r:id="rIdVml"/>""")
+      w.write("</worksheet>")
       w.flush()
       zip.closeEntry()
+
+      if (withComments) {
+        val commented = s.header.zip(
+          s.headerComments.padTo(s.header.length, null: String))
+          .zipWithIndex
+          .collect { case ((_, c), idx) if c != null && c.nonEmpty =>
+            (idx, c)
+          }
+        // per-sheet rels: the comments part + the VML drawing part
+        entry(s"xl/worksheets/_rels/sheet${i + 1}.xml.rels",
+          s"""$decl<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rIdCmt" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/comments" Target="../comments${i + 1}.xml"/><Relationship Id="rIdVml" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/vmlDrawing" Target="../drawings/vmlDrawing${i + 1}.vml"/></Relationships>""")
+        val commentXml = commented.map { case (idx, c) =>
+          s"""<comment ref="${colLetters(idx)}1" authorId="0"><text><r><t xml:space="preserve">${xmlEscape(c)}</t></r></text></comment>"""
+        }.mkString
+        entry(s"xl/comments${i + 1}.xml",
+          s"""$decl<comments xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><authors><author>graft</author></authors><commentList>$commentXml</commentList></comments>""")
+        // one hidden note shape per commented cell — the reference's
+        // CommentVmlShapeXmlTxt/VmlShapeAnchorTxt layout (Codeunit
+        // 60001:33,36): anchor columns (col, col+2), 0-based Row/Column
+        // ClientData pointing at the annotated cell
+        val shapes = commented.zipWithIndex.map { case ((idx, _), n) =>
+          val anchor = s"${idx + 1},15,0,10,${idx + 3},31,8,9"
+          s"""<v:shape id="note${i + 1}_${n + 1}" type="#_x0000_t202" style="position:absolute;margin-left:59.25pt;margin-top:1.5pt;width:96pt;height:55.5pt;z-index:1;visibility:hidden" fillcolor="#ffffe1" o:insetmode="auto"><v:fill color2="#ffffe1"/><v:shadow color="black" obscured="t"/><v:path o:connecttype="none"/><v:textbox style="mso-direction-alt:auto"><div style="text-align:left"/></v:textbox><x:ClientData ObjectType="Note"><x:MoveWithCells/><x:SizeWithCells/><x:Anchor>$anchor</x:Anchor><x:AutoFill>False</x:AutoFill><x:Row>0</x:Row><x:Column>$idx</x:Column></x:ClientData></v:shape>"""
+        }.mkString
+        entry(s"xl/drawings/vmlDrawing${i + 1}.vml",
+          s"""<xml xmlns:v="urn:schemas-microsoft-com:vml" xmlns:o="urn:schemas-microsoft-com:office:office" xmlns:x="urn:schemas-microsoft-com:office:excel"><o:shapelayout v:ext="edit"><o:idmap v:ext="edit" data="${i + 1}"/></o:shapelayout><v:shapetype id="_x0000_t202" coordsize="21600,21600" o:spt="202" path="m,l,21600r21600,l21600,xe"><v:stroke joinstyle="miter"/><v:path gradientshapeok="t" o:connecttype="rect"/></v:shapetype>$shapes</xml>""")
+      }
     }
     zip.finish()
   }
@@ -275,6 +322,77 @@ object XlsxIO {
       val path = if (target.startsWith("xl/")) target else s"xl/$target"
       name -> parseSheet(entries(path), shared)
     }
+  }
+
+  /** Cell comments per sheet: sheetName -> (A1-ref -> comment text).
+    * Resolution goes through each worksheet's OWN rels part (never a
+    * naming convention), so externally-produced workbooks parse too. */
+  def readComments(bytes: Array[Byte]): Map[String, Map[String, String]] = {
+    val entries = zipEntries(bytes)
+    // sheet name -> worksheet part path (same resolution as readWorkbook)
+    val wb = staxFactory.createXMLStreamReader(
+      new ByteArrayInputStream(entries("xl/workbook.xml")))
+    val sheetsMeta = mutable.ArrayBuffer.empty[(String, String)]
+    while (wb.hasNext) {
+      if (wb.next() == XMLStreamConstants.START_ELEMENT
+          && wb.getLocalName == "sheet") {
+        val name = wb.getAttributeValue(null, "name")
+        val rid = (0 until wb.getAttributeCount)
+          .find(i => wb.getAttributeLocalName(i) == "id")
+          .map(wb.getAttributeValue).getOrElse("")
+        sheetsMeta += ((name, rid))
+      }
+    }
+    wb.close()
+    def relTargets(path: String): Map[String, (String, String)] = {
+      entries.get(path).map { b =>
+        val r = staxFactory.createXMLStreamReader(new ByteArrayInputStream(b))
+        val out = mutable.Map.empty[String, (String, String)]
+        while (r.hasNext) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT
+              && r.getLocalName == "Relationship")
+            out(r.getAttributeValue(null, "Id")) =
+              (r.getAttributeValue(null, "Type"),
+                r.getAttributeValue(null, "Target"))
+        }
+        r.close()
+        out.toMap
+      }.getOrElse(Map.empty)
+    }
+    val wbRels = relTargets("xl/_rels/workbook.xml.rels")
+    sheetsMeta.toSeq.flatMap { case (name, rid) =>
+      val target = wbRels.get(rid).map(_._2).getOrElse("")
+      val sheetPath = {
+        val t = target.stripPrefix("/xl/").stripPrefix("./")
+        if (t.startsWith("xl/")) t else s"xl/$t"
+      }
+      val relsPath = {
+        val slash = sheetPath.lastIndexOf('/')
+        s"${sheetPath.take(slash)}/_rels/${sheetPath.drop(slash + 1)}.rels"
+      }
+      relTargets(relsPath).values
+        .find(_._1.endsWith("/comments")).map(_._2)
+        .flatMap { cmtTarget =>
+          // targets are relative to the worksheet part's directory
+          val norm = cmtTarget.replace("../", "")
+          val path = if (norm.startsWith("xl/")) norm else s"xl/$norm"
+          entries.get(path)
+        }
+        .map { cmtBytes =>
+          val r = staxFactory.createXMLStreamReader(
+            new ByteArrayInputStream(cmtBytes))
+          val cmts = mutable.Map.empty[String, String]
+          while (r.hasNext) {
+            if (r.next() == XMLStreamConstants.START_ELEMENT
+                && r.getLocalName == "comment") {
+              val ref = r.getAttributeValue(null, "ref")
+              cmts(ref) = collectText(r)
+            }
+          }
+          r.close()
+          name -> cmts.toMap
+        }
+    }.toMap
   }
 
   /** Read one sheet (by name, or the first), aligning columns to

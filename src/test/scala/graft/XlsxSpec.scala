@@ -128,6 +128,15 @@ class XlsxSpec extends SparkSpec {
       ("customer", 3, "c_nationkey"), ("customer", 4, "c_acctbal"),
       ("customer", 5, "c_mktsegment")))
     assert(rows.count(_._1 == "orders") == 6)
+    // every header cell carries its field-type annotation as a REAL
+    // cell comment, read back from the workbook's comments parts
+    // through the worksheet rels (60001:569/:580 template metadata)
+    val cmts = SchemaTools.templateExport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(3)))
+    assert(cmts.forall { case (_, _, c) => c != null && c.startsWith("Type: xsd:") },
+      s"every header must be annotated: ${cmts.mkString(",")}")
+    assert(cmts.toSeq.contains(("customer", "c_acctbal", "Type: xsd:double")))
+    assert(cmts.toSeq.contains(("orders", "o_orderdate", "Type: xsd:dateTime")))
     // the template's data region is genuinely empty: reading the orders
     // sheet as a table yields zero rows
     val dir = ExportImport.scratch("xlsx-template")
