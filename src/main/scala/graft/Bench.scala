@@ -37,7 +37,7 @@ object Bench {
     "doc_winnow", "doc_fingerprint", "text_shingles", "seq_pack",
     "ngram_lm", "quality_repetition", "lm_perplexity", "charset_gate",
     "stratified_sample", "vocab_coverage", "word_pmi", "quality_model",
-    "inverted_index", "source_mix_report",
+    "inverted_index", "source_mix_report", "bpe_train",
     // corpus curation
     "decontaminate", "decontaminate_fuzzy", "bloom_decontaminate",
     "doc_chunk", "pii_scrub", "c4_clean", "range_join",

@@ -142,6 +142,7 @@ object SparkEntry {
     "bm25_search" -> (Curation.bm25Search _),
     "doc_containment" -> (Dedup.docContainment _),
     "inverted_index" -> (TextAnalysis.invertedIndex _),
+    "bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "source_mix_report" -> (TextAnalysis.sourceMixReport _),
     "event_dedup" -> (Analytics.eventDedup _),
   )
@@ -809,6 +810,7 @@ object SparkEntry {
     "bm25_search" -> Curation.bm25Oracle(),
     "doc_containment" -> Dedup.containmentOracle(),
     "inverted_index" -> TextAnalysis.invertedIndexOracle,
+    "bpe_train" -> TextAnalysis.bpeTrainOracle(),
     "source_mix_report" -> TextAnalysis.sourceMixOracle,
     "event_dedup" -> Analytics.eventDedupOracle,
     "lm_perplexity" ->

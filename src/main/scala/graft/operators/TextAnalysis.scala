@@ -766,4 +766,114 @@ object TextAnalysis {
             "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))))
           .otherwise(0).as("n_shingles3"))
       .orderBy("doc_id")
+
+  /** §2 #122 — BPE MERGE TRAINING (tokenizer induction, Sennrich et al.
+    * 2016) as distributed aggregation: the first `nMerges` merge rules a
+    * byte-pair-encoding tokenizer would learn from the corpus, each
+    * round = argmax over frequency-weighted adjacent-symbol-pair counts,
+    * greedy left-to-right merge application. Output: one row per merge
+    * (step, left, right, pair_freq) — the artifact a tokenizer ships.
+    *
+    * Scale shape: ONE corpus-scale aggregation (word frequencies);
+    * every training round then runs on the DISTINCT-WORD vocabulary
+    * (bounded: top `maxWords` by frequency — exactly how production BPE
+    * trainers cap their word lists), so round cost is independent of
+    * corpus size. Driver state per round is the 1-row argmax — the
+    * merge-rule literal broadcast into the next round's fold, bounded
+    * model state like the IVF centroids. Ties break (freq desc, left,
+    * right); the vocab is restricted to `^[a-z]+$` words so lexicographic
+    * order is byte-identical across engines. */
+  def bpeTrain(spark: SparkSession, sfDir: String, nMerges: Int = 5,
+               maxWords: Int = 2000): DataFrame =
+    bpeTrainFrom(Tables.load(spark, sfDir, "documents"), nMerges, maxWords)
+
+  /** Generic core over ANY (doc_id, text) frame. */
+  def bpeTrainFrom(docs: DataFrame, nMerges: Int,
+                   maxWords: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // corpus-scale pass: frequency per alphabetic word, capped vocab
+    val vocab0 = docs
+      .select(explode(TextShingles.words(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(maxWords)
+      .select(col("freq"),
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+          .as("syms"))
+    // the vocab is re-scanned every round — cache it (released at the
+    // session boundary), the corpus is never touched again
+    var vocab = TransientCaches.register(vocab0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+               i -> struct(element_at(syms, i) AS l,
+                           element_at(syms, i + 1) AS r))""")).as("p"),
+          col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (top.nonEmpty) {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((step, l, r, cnt))
+        // greedy left-to-right merge of (l, r) in every word — the fold
+        // is the textbook BPE apply, replayed verbatim by the oracle
+        val next = vocab.select(col("freq"), expr(
+          s"""aggregate(syms, cast(array() as array<string>),
+                (acc, x) -> CASE WHEN size(acc) > 0
+                                  AND element_at(acc, -1) = '$l'
+                                  AND x = '$r'
+                  THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
+                  ELSE concat(acc, array(x)) END)""").as("syms"))
+        val cached = TransientCaches.register(next
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        cached.count()
+        vocab = cached
+      }
+    }
+    merges.toSeq.toDF("step", "left", "right", "pair_freq")
+      .orderBy("step")
+  }
+
+  /** DuckDB oracle for [[bpeTrain]]: word frequencies, pair counts,
+    * argmax and the merge fold replayed round by round (one CTE chain
+    * per round — the oracle may unroll what the engine loops). */
+  def bpeTrainOracle(nMerges: Int = 5, maxWords: Int = 2000): String = {
+    val rounds = (1 to nMerges).map { k =>
+      val prev = s"v${k - 1}"
+      s"""p$k AS (SELECT pr[1] AS l, pr[2] AS r,
+              CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (SELECT freq,
+                    unnest([[syms[i], syms[i + 1]]
+                            for i in range(1, len(syms))]) AS pr
+                  FROM $prev WHERE len(syms) >= 2)
+            GROUP BY 1, 2),
+          m$k AS (SELECT $k AS step, l, r, cnt FROM p$k
+                  ORDER BY cnt DESC, l, r LIMIT 1),
+          v$k AS (SELECT freq,
+              list_reduce(list_transform(syms, x -> [x]),
+                (a, b) -> CASE WHEN a[-1] = m.l AND b[1] = m.r
+                  THEN list_concat(a[1:len(a) - 1], [m.l || m.r])
+                  ELSE list_concat(a, b) END) AS syms
+            FROM $prev, m$k m)"""
+    }.mkString(",\n        ")
+    val union = (1 to nMerges)
+      .map(k => s"SELECT step, l AS left, r AS right, cnt AS pair_freq FROM m$k")
+      .mkString(" UNION ALL ")
+    s"""WITH v0 AS (
+          SELECT CAST(count(*) AS BIGINT) AS freq,
+                 [word[i] for i in range(1, len(word) + 1)] AS syms
+          FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                  AS word
+                FROM documents)
+          WHERE regexp_matches(word, '^[a-z]+$$')
+          GROUP BY word ORDER BY freq DESC, word LIMIT $maxWords),
+        $rounds
+       SELECT * FROM ($union) ORDER BY step"""
+  }
 }

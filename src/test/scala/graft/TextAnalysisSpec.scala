@@ -294,6 +294,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq == expectTop)
   }
 
+  test("bpe_train: merges equal an independent BPE reference on a toy corpus") {
+    import spark.implicits._
+    // Sennrich et al.'s worked example shape: frequencies force a known
+    // merge order
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainFrom(docs, nMerges = 4, maxWords = 100)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+
+    // independent reference implementation (plain Scala)
+    var vocab: Map[Vector[String], Long] = Map(
+      Vector("l", "o", "w") -> 5L, Vector("l", "o", "w", "e", "r") -> 2L,
+      Vector("n", "e", "w", "e", "s", "t") -> 6L,
+      Vector("w", "i", "d", "e", "s", "t") -> 3L)
+    val expect = (1 to 4).map { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      val ((l, r), cnt) = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      vocab = vocab.map { case (syms, f) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == l && x == r) {
+            out.remove(out.length - 1); out += (l + r)
+          } else out += x
+        }
+        out.toVector -> f
+      }
+      (step, l, r, cnt)
+    }
+    assert(got.toSeq == expect)
+  }
+
   test("source_mix_report: shares and entropy equal a reference; monolingual source = 0 bits") {
     import spark.implicits._
     val docs = Seq(
