@@ -24,7 +24,8 @@ object Bench {
     "event_dedup",
     // dedup family
     "dedup_exact", "para_dedup", "line_dedup", "text_normalize",
-    "dedup_minhash", "dedup_eval_sample", "dedup_ngram_exactjoin",
+    "dedup_minhash", "dedup_eval_sample", "dedup_eval_sweep",
+    "dedup_ngram_exactjoin",
     "dedup_simhash", "dedup_clusters", "dedup_corpus", "dedup_incremental",
     "doc_containment",
     // similarity / ANN

@@ -206,45 +206,89 @@ object Dedup {
     dedupEvalFrom(docShingles(spark, sfDir).filter(col("doc_id") % 5 === 0),
       tau, bands, rowsPerBand)
 
-  /** Generic core of [[dedupEval]] over any (doc_id, sh) frame. */
-  private[graft] def dedupEvalFrom(docsWithShingles: DataFrame, tau: Double,
-                                   bands: Int, rowsPerBand: Int): DataFrame = {
+  /** Banded-bucket candidate pairs for the eval family: KR base hash
+    * mod p (so a*x+b stays under 2^62, same bound the murmur path
+    * relies on), the codegen'd 64-perm signature, then the b×r band
+    * bucket self-join — the production candidate generation replayed
+    * with SQL-expressible hashes. */
+  private def krBandCandidates(docs: DataFrame, bands: Int,
+                               rowsPerBand: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.CatalystBridge
     require(bands * rowsPerBand == perms.length,
       s"bands*rowsPerBand must equal ${perms.length} permutations")
-    val p = P
-    val docs = docsWithShingles.filter(size(col("sh")) > 0)
-    // KR base hash mod p (so a*x+b stays under 2^62, same bound the
-    // murmur path relies on), then the codegen'd 64-perm signature
     val hr = CatalystBridge.column(graft.functions.KrHashArray(
-      CatalystBridge.expression(col("sh")), graft.functions.KrHashF.B, p))
+      CatalystBridge.expression(col("sh")), graft.functions.KrHashF.B, P))
     val sigs = docs.select(col("doc_id"),
-      graft.functions.MinHash.minhashSignature(hr, perms, p).as("sig"))
+      graft.functions.MinHash.minhashSignature(hr, perms, P).as("sig"))
     val bnd = sigs.select(col("doc_id"), posexplode(expr(
       s"""transform(sequence(0, $bands - 1),
             i -> array_join(transform(slice(sig, i * $rowsPerBand + 1,
               $rowsPerBand), x -> cast(x as string)), ','))""")))
       .select(col("doc_id"), col("pos").as("band_idx"),
         col("col").as("bsig"))
-    val cand = bnd.as("a").join(bnd.as("b"),
+    bnd.as("a").join(bnd.as("b"),
         col("a.band_idx") === col("b.band_idx")
           && col("a.bsig") === col("b.bsig")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val truth = dedupNgramExactjoinFrom(docs, tau).select("id_a", "id_b")
+  }
+
+  /** Precision/recall row of `cand` against `truth` (1 row, null-safe
+    * ratios so an empty sampled slice is a NULL, not an ANSI divide
+    * error — both engines emit NULL identically). */
+  private def evalRow(cand: DataFrame, truth: DataFrame): DataFrame = {
     val hits = cand.join(truth, Seq("id_a", "id_b"))
     cand.agg(count(lit(1)).as("n_cand"))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
       .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
       .select(col("n_truth"), col("n_cand"), col("n_hit"),
-        // null (not an ANSI divide error) when a sampled slice has no
-        // candidates/truth pairs — both engines emit NULL identically
         when(col("n_cand") > 0,
           round(col("n_hit") / col("n_cand"), 4)).as("precision"),
         when(col("n_truth") > 0,
           round(col("n_hit") / col("n_truth"), 4)).as("recall"))
   }
+
+  /** Generic core of [[dedupEval]] over any (doc_id, sh) frame. */
+  private[graft] def dedupEvalFrom(docsWithShingles: DataFrame, tau: Double,
+                                   bands: Int, rowsPerBand: Int): DataFrame = {
+    val docs = docsWithShingles.filter(size(col("sh")) > 0)
+    evalRow(krBandCandidates(docs, bands, rowsPerBand),
+      dedupNgramExactjoinFrom(docs, tau).select("id_a", "id_b"))
+  }
+
+  /** §2 #116c — GEOMETRY SWEEP: the sampled-slice evaluation for THREE
+    * band geometries (8×8, 16×4, 32×2) in one query — the table a
+    * pipeline owner reads to pick b×r before committing the 100 TB
+    * run (more bands = higher recall, lower precision; the sweep
+    * quantifies the trade on THIS corpus). The expensive exact-truth
+    * prefix join runs ONCE and is cached; signatures share one pass
+    * per geometry over the cached slice. */
+  def dedupEvalSweep(spark: SparkSession, sfDir: String,
+                     tau: Double = 0.5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val docs = TransientCaches.register(
+      docShingles(spark, sfDir)
+        .filter(col("doc_id") % 5 === 0 && size(col("sh")) > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    docs.count()
+    val truth = TransientCaches.register(
+      dedupNgramExactjoinFrom(docs, tau).select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    truth.count()
+    Seq((8, 8), (16, 4), (32, 2)).map { case (b, r) =>
+      evalRow(krBandCandidates(docs, b, r), truth)
+        .select(lit(s"b${b}r$r").as("geometry"), col("*"))
+    }.reduce(_.unionByName(_)).orderBy("geometry")
+  }
+
+  /** DuckDB oracle for [[dedupEvalSweep]]: three full replays (the
+    * oracle may brute-force what the engine shares/caches). */
+  def dedupEvalSweepOracle(tau: Double = 0.5): String =
+    Seq((8, 8), (16, 4), (32, 2)).map { case (b, r) =>
+      s"""SELECT 'b${b}r$r' AS geometry, *
+          FROM (${dedupEvalOracle(tau, b, r, " WHERE doc_id % 5 = 0")})"""
+    }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY geometry")
 
   /** DuckDB oracle for [[dedupEval]]: base hash, permutations, band
     * keys, bucket pairs and exact truth all replayed in SQL. */

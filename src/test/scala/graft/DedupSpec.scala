@@ -210,6 +210,23 @@ class DedupSpec extends SparkSpec {
       && f.getDouble(4) >= 0 && f.getDouble(4) <= 1)
   }
 
+  test("dedup_eval_sweep: band nesting makes candidates/recall monotone in bands") {
+    val rows = Dedup.dedupEvalSweep(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("b8r8", "b16r4", "b32r2"))
+    // a 4-row band is a pair of 2-row bands: matching the coarse band
+    // implies matching both fine ones, so candidate sets NEST —
+    // n_cand and n_hit must be non-decreasing as bands multiply
+    def cand(g: String) = rows(g)._2
+    def hit(g: String) = rows(g)._3
+    assert(cand("b8r8") <= cand("b16r4") && cand("b16r4") <= cand("b32r2"),
+      s"candidates must nest: $rows")
+    assert(hit("b8r8") <= hit("b16r4") && hit("b16r4") <= hit("b32r2"))
+    // truth is geometry-independent (same slice, same tau)
+    assert(rows.values.map(_._1).toSet.size == 1)
+  }
+
   test("media_roundtrip: per-file export + binaryFile import is lossless") {
     val got = Blob.mediaRoundtrip(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
