@@ -43,7 +43,7 @@ object Bench {
     "decontaminate", "decontaminate_fuzzy", "bloom_decontaminate",
     "doc_chunk", "pii_scrub", "c4_clean", "range_join",
     "mixture_sample", "mixture_temperature", "mixture_upsample",
-    "tfidf_topterms", "shard_assign",
+    "tfidf_topterms", "shard_assign", "dsir_weights",
     "bm25_search",
     // export/import round-trips + validation
     "xml_roundtrip", "csv_roundtrip", "orc_roundtrip", "xlsx_roundtrip",

@@ -144,6 +144,7 @@ object SparkEntry {
     "doc_containment" -> (Dedup.docContainment _),
     "inverted_index" -> (TextAnalysis.invertedIndex _),
     "bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
+    "dsir_weights" -> ((s, d) => Curation.dsirWeights(s, d)),
     "source_mix_report" -> (TextAnalysis.sourceMixReport _),
     "event_dedup" -> (Analytics.eventDedup _),
   )
@@ -813,6 +814,7 @@ object SparkEntry {
     "doc_containment" -> Dedup.containmentOracle(),
     "inverted_index" -> TextAnalysis.invertedIndexOracle,
     "bpe_train" -> TextAnalysis.bpeTrainOracle(),
+    "dsir_weights" -> Curation.dsirOracle(),
     "source_mix_report" -> TextAnalysis.sourceMixOracle,
     "event_dedup" -> Analytics.eventDedupOracle,
     "lm_perplexity" ->

@@ -645,4 +645,87 @@ object Curation {
        FROM agg a JOIN head ON a.shard = head.shard
        WHERE head.rk <= $headK
        ORDER BY a.shard, head.rk"""
+
+  /** §2 #123 — DSIR-style IMPORTANCE WEIGHTING (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by the average log-likelihood ratio of its
+    * hashed-unigram features under a TARGET domain distribution vs the
+    * raw-corpus distribution (add-one smoothing over `nBuckets` hashed
+    * feature buckets), and admit documents that look more target-like
+    * than corpus-like (weight > 0). This is the standard
+    * quality-targeting leg of a pretraining mix: point it at a trusted
+    * in-domain slice and it up-ranks text that resembles it.
+    *
+    * Determinism: each token's ratio term is rounded to 8 dp and summed
+    * as DECIMAL (lm_perplexity's stance), so the per-doc average is
+    * independent of row order, partitioning, and engine.
+    *
+    * Scale shape: ONE (bucket) hash aggregate builds BOTH distributions
+    * (n_c, n_t per bucket — `nBuckets` rows, never the corpus), a 1-row
+    * totals broadcast, then a broadcast join back to the token stream
+    * and one per-doc aggregate. Raw text never shuffles; the only
+    * corpus-scale exchange is the per-doc aggregation of (doc_id, term)
+    * pairs. */
+  def dsirWeights(spark: SparkSession, sfDir: String,
+                  nBuckets: Int = 1024): DataFrame =
+    dsirWeightsFrom(Tables.load(spark, sfDir, "documents"),
+      col("source") === "src0", nBuckets)
+
+  /** Generic core: weight ANY (doc_id, text) frame against the target
+    * slice selected by `isTarget` (which must derive from the frame's
+    * own columns). */
+  def dsirWeightsFrom(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+                      nBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = docs.select(col("doc_id"), isTarget.as("tgt"),
+        explode(TextShingles.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("tgt"),
+        pmod(graft.functions.KrHashF.krHash(col("w")),
+          lit(nBuckets.toLong)).as("b"))
+    val dist = toks.groupBy("b").agg(
+      count(lit(1)).as("n_c"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("n_t"))
+    val totals = dist.agg(sum("n_c").as("t_c"), sum("n_t").as("t_t"))
+    val terms = dist.crossJoin(broadcast(totals))
+      .select(col("b"), round(log(
+        ((col("n_t") + 1).cast("double") / (col("t_t") + lit(nBuckets)))
+          / ((col("n_c") + 1).cast("double") / (col("t_c") + lit(nBuckets)))), 8)
+        .cast(DecimalType(18, 8)).as("term"))
+    toks.join(broadcast(terms), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(col("term")).cast("double") / count(lit(1)), 4).as("weight"))
+      .withColumn("selected", col("weight") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[dsirWeights]]: KR bucket hash, both
+    * distributions, smoothing and the ratio terms replayed exactly. */
+  def dsirOracle(nBuckets: Int = 1024): String = {
+    val kr = """list_reduce(
+         [CAST(unicode(w[i]) AS BIGINT)
+          for i in range(1, CAST(length(w) AS INTEGER) + 1)],
+         (a, c) -> (a * 257 + c) % 18014398509481984)"""
+    s"""WITH wd AS (SELECT doc_id, source,
+            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+          FROM documents),
+        tk AS (SELECT doc_id, source = 'src0' AS tgt, $kr % $nBuckets AS b
+               FROM wd WHERE length(w) > 0),
+        d AS (SELECT b, CAST(count(*) AS BIGINT) AS n_c,
+                CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+              FROM tk GROUP BY b),
+        t AS (SELECT CAST(sum(n_c) AS BIGINT) AS t_c,
+                CAST(sum(n_t) AS BIGINT) AS t_t FROM d),
+        tm AS (SELECT b, CAST(round(ln(
+                 (CAST(n_t + 1 AS DOUBLE) / (t_t + $nBuckets))
+                 / (CAST(n_c + 1 AS DOUBLE) / (t_c + $nBuckets))), 8)
+                 AS DECIMAL(18,8)) AS term
+               FROM d, t)
+       SELECT doc_id, count(*) AS n_tok,
+              round(CAST(sum(term) AS DOUBLE) / count(*), 4) AS weight,
+              round(CAST(sum(term) AS DOUBLE) / count(*), 4) > 0 AS selected
+       FROM tk JOIN tm USING (b)
+       GROUP BY doc_id ORDER BY doc_id"""
+  }
 }

@@ -275,4 +275,48 @@ class CurationSpec extends SparkSpec {
     assert(got("a") == ((400L, 200L, 2L, 200L)))
     assert(got("b") == ((100L, 100L, 1L, 100L)))
   }
+
+  test("dsir_weights: target-like docs score positive; equals an independent reference") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t", "alpha beta alpha beta"),
+      (2L, "t", "alpha alpha beta"),
+      (3L, "o", "zulu yankee zulu zulu"),
+      (4L, "o", "alpha zulu")).toDF("doc_id", "source", "text")
+    val nB = 8
+    val got = Curation.dsirWeightsFrom(docs, col("source") === "t", nB)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+
+    // independent plain-Scala reference: same KR bucket, same smoothing
+    def bucket(w: String): Long =
+      w.foldLeft(0L)((a, c) => (a * 257 + c) % 18014398509481984L) % nB
+    val toks = Seq(
+      (1L, true, "alpha beta alpha beta"), (2L, true, "alpha alpha beta"),
+      (3L, false, "zulu yankee zulu zulu"), (4L, false, "alpha zulu"))
+      .flatMap { case (id, tgt, txt) =>
+        txt.split("\\s+").map(w => (id, tgt, bucket(w)))
+      }
+    val byB = toks.groupBy(_._3)
+    val nC = byB.view.mapValues(_.size.toLong).toMap
+    val nT = byB.view.mapValues(_.count(_._2).toLong).toMap
+    val (tC, tT) = (toks.size.toLong, toks.count(_._2).toLong)
+    def r8(x: Double) = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = toks.groupBy(_._1).map { case (id, ts) =>
+      val s = ts.map { case (_, _, b) =>
+        r8(math.log(((nT(b) + 1).toDouble / (tT + nB))
+          / ((nC(b) + 1).toDouble / (tC + nB))))
+      }.sum
+      id -> ((ts.size.toLong, r4(s.toDouble / ts.size),
+        r4(s.toDouble / ts.size) > 0))
+    }
+    assert(got == expect)
+    // in-domain docs score positive and rank above the off-domain ones
+    assert(got(1L)._2 > 0 && got(2L)._2 > 0 && got(3L)._2 < 0
+      && got(4L)._2 < 0)
+    assert(got(1L)._3 && !got(3L)._3)
+  }
 }
