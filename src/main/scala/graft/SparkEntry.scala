@@ -145,6 +145,7 @@ object SparkEntry {
     "inverted_index" -> (TextAnalysis.invertedIndex _),
     "bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "dsir_weights" -> ((s, d) => Curation.dsirWeights(s, d)),
+    "quality_funnel" -> ((s, d) => TextAnalysis.qualityFunnel(s, d)),
     "source_mix_report" -> (TextAnalysis.sourceMixReport _),
     "event_dedup" -> (Analytics.eventDedup _),
   )
@@ -815,6 +816,7 @@ object SparkEntry {
     "inverted_index" -> TextAnalysis.invertedIndexOracle,
     "bpe_train" -> TextAnalysis.bpeTrainOracle(),
     "dsir_weights" -> Curation.dsirOracle(),
+    "quality_funnel" -> TextAnalysis.qualityFunnelOracle(),
     "source_mix_report" -> TextAnalysis.sourceMixOracle,
     "event_dedup" -> Analytics.eventDedupOracle,
     "lm_perplexity" ->

@@ -767,6 +767,126 @@ object TextAnalysis {
           .otherwise(0).as("n_shingles3"))
       .orderBy("doc_id")
 
+  /** §2 #124 — QUALITY ADMISSION FUNNEL: the composed corpus-intake
+    * pipeline as ONE query — four sequential gates (minimum length,
+    * stopword-blend quality score, modal-word repetition, language
+    * agreement), each document rejected at its FIRST failing gate, and
+    * the per-stage attrition report (n_in, n_rejected, n_out) a corpus
+    * owner actually reads. The gates reuse the exact formulas of
+    * text_stats / quality_repetition / lang_id, so the funnel is the
+    * composition witness for the whole gate family.
+    *
+    * Scale shape: gates 1/2/4 are map-only regex/size arithmetic; gate
+    * 3 needs the per-doc modal word — one (doc, word) hash aggregate.
+    * The funnel itself is ONE 1-row aggregate stacked into 4 rows;
+    * raw text never shuffles. */
+  def qualityFunnel(spark: SparkSession, sfDir: String, minWords: Int = 10,
+                    minQuality: Double = 0.5,
+                    topWordMax: Double = 0.3): DataFrame =
+    qualityFunnelFrom(Tables.load(spark, sfDir, "documents"),
+      minWords, minQuality, topWordMax)
+
+  /** Generic core over ANY (doc_id, lang, text) frame. */
+  def qualityFunnelFrom(docs: DataFrame, minWords: Int = 10,
+                        minQuality: Double = 0.5,
+                        topWordMax: Double = 0.3): DataFrame = {
+    val nWords = size(split(trim(col("text")), "\\s+")).cast("long")
+    val nStop = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(?:the|and|is|of|to)\\b"), lit(0))).cast("long")
+    val langCounts = langPatterns.foldLeft(
+      docs.withColumn("c_zh", size(regexp_extract_all(col("text"),
+        lit("[\\x{4e00}-\\x{9fff}]"), lit(0))))) {
+      case (df, (l, pat)) =>
+        df.withColumn(s"c_$l",
+          size(regexp_extract_all(lower(col("text")), lit(pat), lit(0))))
+    }
+    val stats = langCounts.select(col("doc_id"), col("lang"),
+      nWords.as("n_words"), nStop.as("n_stop"),
+      expr(langCaseSql).as("pred_lang"))
+    val topc = docs
+      .select(col("doc_id"), explode(TextShingles.words(col("text"))).as("wd"))
+      .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_c"))
+    val quality = round(
+      least(col("n_words") / lit(50.0), lit(1.0)) * 0.5
+        + (col("n_stop") / col("n_words")) * 0.5, 4)
+    val ff = stats.join(topc, "doc_id")
+      .select(
+        when(!(col("n_words") >= minWords), 1)
+          .when(!(quality >= minQuality), 2)
+          .when(!(round(col("top_c") / col("n_words").cast("double"), 4)
+            <= topWordMax), 3)
+          .when(!(col("pred_lang") === col("lang")), 4)
+          .otherwise(0).as("ff"))
+    ff.agg(count(lit(1)).as("n"),
+        sum(when(col("ff") === 1, 1L).otherwise(0L)).as("r1"),
+        sum(when(col("ff") === 2, 1L).otherwise(0L)).as("r2"),
+        sum(when(col("ff") === 3, 1L).otherwise(0L)).as("r3"),
+        sum(when(col("ff") === 4, 1L).otherwise(0L)).as("r4"))
+      .selectExpr("""stack(4,
+          1, 'min_length', n, r1, n - r1,
+          2, 'quality', n - r1, r2, n - r1 - r2,
+          3, 'repetition', n - r1 - r2, r3, n - r1 - r2 - r3,
+          4, 'lang_match', n - r1 - r2 - r3, r4, n - r1 - r2 - r3 - r4)
+          AS (stage, gate, n_in, n_rejected, n_out)""")
+      .orderBy("stage")
+  }
+
+  /** DuckDB oracle for [[qualityFunnel]]: every gate formula is the
+    * already-proven oracle fragment (text_stats, lang_id, modal-word
+    * count), composed into the same first-fail attribution. */
+  def qualityFunnelOracle(minWords: Int = 10, minQuality: Double = 0.5,
+                          topWordMax: Double = 0.3): String =
+    s"""WITH s AS (SELECT doc_id, lang,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+              AS n_words,
+            CAST(len(regexp_extract_all(lower(text),
+              '\\b(?:the|and|is|of|to)\\b', 0)) AS BIGINT) AS n_stop,
+            len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]', 0)) AS c_zh,
+            len(regexp_extract_all(lower(text),
+              '\\b(?:the|and|is|of|to)\\b', 0)) AS c_en,
+            len(regexp_extract_all(lower(text),
+              '\\b(?:der|die|und|ist|das)\\b', 0)) AS c_de,
+            len(regexp_extract_all(lower(text),
+              '\\b(?:le|la|et|est|les)\\b', 0)) AS c_fr,
+            len(regexp_extract_all(lower(text),
+              '\\b(?:el|los|y|es|una)\\b', 0)) AS c_es
+          FROM documents),
+        t AS (SELECT doc_id, max(c) AS top_c FROM (
+                SELECT doc_id, w, count(*) AS c FROM (
+                  SELECT doc_id,
+                    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                  FROM documents)
+                GROUP BY doc_id, w)
+              GROUP BY doc_id),
+        p AS (SELECT
+            CASE WHEN NOT (n_words >= $minWords) THEN 1
+                 WHEN NOT (round(least(n_words / 50.0, 1.0) * 0.5
+                             + (n_stop / n_words) * 0.5, 4) >= $minQuality)
+                   THEN 2
+                 WHEN NOT (round(top_c / CAST(n_words AS DOUBLE), 4)
+                             <= $topWordMax) THEN 3
+                 WHEN NOT (($langCaseSql) = lang) THEN 4
+                 ELSE 0 END AS ff
+          FROM s JOIN t USING (doc_id)),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN ff = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+                CAST(sum(CASE WHEN ff = 2 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+                CAST(sum(CASE WHEN ff = 3 THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+                CAST(sum(CASE WHEN ff = 4 THEN 1 ELSE 0 END) AS BIGINT) AS r4
+              FROM p)
+       SELECT * FROM (
+         SELECT 1 AS stage, 'min_length' AS gate, n AS n_in,
+                r1 AS n_rejected, n - r1 AS n_out FROM a
+         UNION ALL
+         SELECT 2, 'quality', n - r1, r2, n - r1 - r2 FROM a
+         UNION ALL
+         SELECT 3, 'repetition', n - r1 - r2, r3, n - r1 - r2 - r3 FROM a
+         UNION ALL
+         SELECT 4, 'lang_match', n - r1 - r2 - r3, r4,
+                n - r1 - r2 - r3 - r4 FROM a)
+       ORDER BY stage"""
+
   /** §2 #122 — BPE MERGE TRAINING (tokenizer induction, Sennrich et al.
     * 2016) as distributed aggregation: the first `nMerges` merge rules a
     * byte-pair-encoding tokenizer would learn from the corpus, each

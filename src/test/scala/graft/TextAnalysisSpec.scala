@@ -294,6 +294,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq == expectTop)
   }
 
+  test("quality_funnel: each gate rejects exactly its planted doc, in order") {
+    import spark.implicits._
+    val stop10 = "the and is of to the and is of to"
+    val docs = Seq(
+      (1L, "en", "a b c d e"),                            // < 10 words
+      (2L, "en", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"), // no stopwords
+      (3L, "en", "the the the the the the the the the the and is"), // modal
+      (4L, "de", s"$stop10 w1 w2"),                       // lang mismatch
+      (5L, "en", s"$stop10 w1 w2"))                       // survives
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.qualityFunnelFrom(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "min_length", 5L, 1L, 4L),
+      (2, "quality", 4L, 1L, 3L),
+      (3, "repetition", 3L, 1L, 2L),
+      (4, "lang_match", 2L, 1L, 1L)))
+  }
+
   test("bpe_train: merges equal an independent BPE reference on a toy corpus") {
     import spark.implicits._
     // Sennrich et al.'s worked example shape: frequencies force a known
