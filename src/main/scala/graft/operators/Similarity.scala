@@ -313,15 +313,26 @@ object Similarity {
     annIvfWith(vectors(spark, sfDir), staticCentroids(), nProbe, nQueries, k)
 
   private def annIvfWith(v: DataFrame, cents: Array[Array[Double]],
-                         nProbe: Int, nQueries: Int, k: Int): DataFrame = {
+                         nProbe: Int, nQueries: Int, k: Int): DataFrame =
+    ivfServe(v, v.filter(col("vec_id") < nQueries), cents, nProbe, k)
+
+  /** TWO-FRAME IVF serving core: score `queries` against `corpus`
+    * (both need vec_id, embedding, nrm) through the cell probe — the
+    * seam the streaming ANN path reuses per micro-batch (query side
+    * broadcast: micro-batches and online query sets are small by
+    * construction; the corpus-sized side only ever streams through
+    * the cell equi-join). */
+  private[graft] def ivfServe(corpus: DataFrame, queries: DataFrame,
+                              cents: Array[Array[Double]], nProbe: Int,
+                              k: Int): DataFrame = {
     def cellsOf(n: Int) =
       graft.functions.VectorQuantize.nearestCells(col("embedding"), cents, n)
 
-    val assigned = v.select(
+    val assigned = corpus.select(
       element_at(cellsOf(1), 1).as("cell"),
       col("vec_id").as("neighbor_id"),
       col("embedding").as("e_c"), col("nrm").as("n_c"))
-    val probes = v.filter(col("vec_id") < nQueries)
+    val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
         col("nrm").as("n_q"), explode(cellsOf(nProbe)).as("cell"))
 
@@ -333,6 +344,16 @@ object Similarity {
             .as("cos")),
       k)
   }
+
+  /** Batch twin for the streaming ANN path: serve an explicit
+    * (vec_id, embedding) query frame against the corpus through the
+    * static quantizer. */
+  def annServe(spark: SparkSession, sfDir: String, queries: DataFrame,
+               nProbe: Int = 4, k: Int = 5): DataFrame =
+    ivfServe(vectors(spark, sfDir),
+      queries.select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm")),
+      staticCentroids(), nProbe, k)
 
   /** §2 #100 — HARD-NEGATIVE mining for contrastive training: for each
     * anchor, the top-k most-similar vectors with a DIFFERENT label —

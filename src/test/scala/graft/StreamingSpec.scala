@@ -139,6 +139,46 @@ class StreamingSpec extends SparkSpec {
     assert(baseIds == (dec1 ++ dec2).filter(_._2 == "kept").keySet)
   }
 
+  test("stream ann: per-batch top-k equals the batch serve on the same queries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = graft.operators.ExportImport.scratch("stream-ann")
+    val (outDir, ckpt) = (root + "/out", root + "/ckpt")
+    Seq(outDir, ckpt).foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    // query vectors = real corpus rows re-id'd (so neighbors exist);
+    // two micro-batches exercise the per-batch isolation
+    val corpus = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .limit(6).collect()
+      .map(r => (r.getLong(0) + 1000L, r.getSeq[Float](1).toArray))
+    val (q1, q2) = (corpus.take(3).toSeq, corpus.drop(3).toSeq)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamAnn.applyStream(
+      input.toDF().toDF("vec_id", "embedding"), sf, outDir, ckpt)
+    try {
+      input.addData(q1: _*); q.processAllAvailable()
+      input.addData(q2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val batch = graft.operators.Similarity.annServe(spark, sf,
+      (q1 ++ q2).toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(got == batch && got.nonEmpty)
+    // per query exactly k results (corpus has >= k candidates per cell set)
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.size <= 5 && rows.nonEmpty, s"query $qid: ${rows.size}")
+    }
+  }
+
   test("sessionizer: streaming sessions equal batch sessions on real events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
