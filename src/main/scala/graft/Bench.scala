@@ -39,7 +39,7 @@ object Bench {
     "doc_winnow", "doc_fingerprint", "text_shingles", "seq_pack",
     "ngram_lm", "quality_repetition", "lm_perplexity", "charset_gate",
     "stratified_sample", "vocab_coverage", "word_pmi", "quality_model",
-    "inverted_index", "source_mix_report", "bpe_train",
+    "inverted_index", "source_mix_report", "bpe_train", "bpe_encode",
     // corpus curation
     "decontaminate", "decontaminate_fuzzy", "bloom_decontaminate",
     "doc_chunk", "pii_scrub", "c4_clean", "range_join",

@@ -144,6 +144,7 @@ object SparkEntry {
     "doc_containment" -> (Dedup.docContainment _),
     "inverted_index" -> (TextAnalysis.invertedIndex _),
     "bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
+    "bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "dsir_weights" -> ((s, d) => Curation.dsirWeights(s, d)),
     "quality_funnel" -> ((s, d) => TextAnalysis.qualityFunnel(s, d)),
     "source_mix_report" -> (TextAnalysis.sourceMixReport _),
@@ -815,6 +816,7 @@ object SparkEntry {
     "doc_containment" -> Dedup.containmentOracle(),
     "inverted_index" -> TextAnalysis.invertedIndexOracle,
     "bpe_train" -> TextAnalysis.bpeTrainOracle(),
+    "bpe_encode" -> TextAnalysis.bpeEncodeOracle(),
     "dsir_weights" -> Curation.dsirOracle(),
     "quality_funnel" -> TextAnalysis.qualityFunnelOracle(),
     "source_mix_report" -> TextAnalysis.sourceMixOracle,

@@ -960,6 +960,78 @@ object TextAnalysis {
       .orderBy("step")
   }
 
+  /** §2 #122b — BPE ENCODE: apply the [[bpeTrain]]-learned merge rules
+    * to the whole corpus and report per-document token counts and the
+    * chars-per-token compression ratio — the measurement that decides
+    * whether a tokenizer is good enough BEFORE committing a 100 TB
+    * tokenization run (train on the vocab, evaluate on the corpus).
+    *
+    * Scale shape: training is the bounded [[bpeTrainFrom]] pipeline
+    * (vocab-sized rounds); encoding is then MAP-ONLY — the k merge
+    * rules are string literals folded into one nested-aggregate
+    * expression per word, so the corpus pass rides a single scan with
+    * no joins and no shuffle beyond the per-doc aggregate. */
+  def bpeEncode(spark: SparkSession, sfDir: String, nMerges: Int = 5,
+                maxWords: Int = 2000): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val rules = bpeTrainFrom(docs, nMerges, maxWords).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    // chars -> symbols, then each learned rule applied in order as one
+    // nested fold (all literals: codegen sees a constant pipeline)
+    val encoded = rules.foldLeft(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))") {
+      case (acc, (l, r)) =>
+        s"""aggregate($acc, cast(array() as array<string>),
+              (acc, x) -> CASE WHEN size(acc) > 0
+                                AND element_at(acc, -1) = '$l' AND x = '$r'
+                THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
+                ELSE concat(acc, array(x)) END)"""
+    }
+    docs
+      .select(col("doc_id"),
+        explode(TextShingles.words(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .select(col("doc_id"), length(col("word")).cast("long").as("n_chars"),
+        size(expr(encoded)).cast("long").as("n_toks"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_chars").as("n_chars"),
+        sum("n_toks").as("n_tokens"))
+      .withColumn("compression",
+        round(col("n_chars") / col("n_tokens").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[bpeEncode]]: the [[bpeTrainOracle]] CTE chain
+    * learns the same rules, then every corpus word is folded through
+    * them in order (rule k applied via a cross join of the 1-row m_k). */
+  def bpeEncodeOracle(nMerges: Int = 5, maxWords: Int = 2000): String = {
+    val trainCtes = bpeTrainOracle(nMerges, maxWords)
+    // reuse the training chain up to (not including) the final SELECT
+    val withBlock = trainCtes.substring(0, trainCtes.lastIndexOf("SELECT * FROM"))
+    val fold = (1 to nMerges).foldLeft(
+      "[word[i] for i in range(1, len(word) + 1)]") { (acc, k) =>
+      s"""list_reduce(list_transform($acc, x -> [x]),
+            (a, b) -> CASE WHEN a[-1] = m$k.l AND b[1] = m$k.r
+              THEN list_concat(a[1:len(a) - 1], [m$k.l || m$k.r])
+              ELSE list_concat(a, b) END)"""
+    }
+    val mJoins = (1 to nMerges).map(k => s"m$k").mkString(", ")
+    s"""${withBlock.trim},
+        dw AS (SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+               FROM documents),
+        enc AS (SELECT doc_id, CAST(length(word) AS BIGINT) AS n_chars,
+                  CAST(len($fold) AS BIGINT) AS n_toks
+                FROM dw, $mJoins
+                WHERE regexp_matches(word, '^[a-z]+$$'))
+       SELECT doc_id, count(*) AS n_words,
+              CAST(sum(n_chars) AS BIGINT) AS n_chars,
+              CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+              round(CAST(sum(n_chars) AS DOUBLE) / sum(n_toks), 4)
+                AS compression
+       FROM enc GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   /** DuckDB oracle for [[bpeTrain]]: word frequencies, pair counts,
     * argmax and the merge fold replayed round by round (one CTE chain
     * per round — the oracle may unroll what the engine loops). */

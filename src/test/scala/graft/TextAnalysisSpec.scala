@@ -356,6 +356,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq == expect)
   }
 
+  test("bpe_encode: learned merges shrink tokens; counts consistent") {
+    val rows = TextAnalysis.bpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nWords, nChars, nToks, comp) =>
+      // tokens bounded by chars (merges only shrink) and by words below
+      assert(nToks <= nChars, s"doc $id")
+      assert(nToks >= nWords, s"doc $id")
+      assert(comp == math.round(nChars.toDouble / nToks * 10000) / 10000.0)
+    }
+    // the merges actually fire somewhere: corpus-level compression > 1
+    val (tc, tt) = (rows.map(_._3).sum, rows.map(_._4).sum)
+    assert(tc.toDouble / tt > 1.0, s"chars=$tc tokens=$tt")
+  }
+
   test("source_mix_report: shares and entropy equal a reference; monolingual source = 0 bits") {
     import spark.implicits._
     val docs = Seq(
