@@ -27,7 +27,7 @@ object Bench {
     "dedup_minhash", "dedup_eval_sample", "dedup_eval_sweep",
     "dedup_ngram_exactjoin",
     "dedup_simhash", "dedup_clusters", "dedup_corpus", "dedup_incremental",
-    "doc_containment",
+    "doc_containment", "kgram_novelty", "source_overlap",
     // similarity / ANN
     "ann_bruteforce", "knn_graph", "knn_graph_ann", "ann_recall_eval",
     "ann_lsh", "ann_ivf", "ann_ivf_static",

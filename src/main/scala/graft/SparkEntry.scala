@@ -53,6 +53,8 @@ object SparkEntry {
     "dedup_eval" -> ((s, d) => Dedup.dedupEval(s, d)),
     "dedup_eval_sample" -> ((s, d) => Dedup.dedupEvalSample(s, d)),
     "dedup_eval_sweep" -> ((s, d) => Dedup.dedupEvalSweep(s, d)),
+    "kgram_novelty" -> ((s, d) => Dedup.kgramNovelty(s, d)),
+    "source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_ngram_exactjoin" -> ((s, d) => Dedup.dedupNgramExactjoin(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
@@ -272,6 +274,8 @@ object SparkEntry {
     "dedup_eval_sample" ->
       Dedup.dedupEvalOracle(docWhere = " WHERE doc_id % 5 = 0"),
     "dedup_eval_sweep" -> Dedup.dedupEvalSweepOracle(),
+    "kgram_novelty" -> Dedup.kgramNoveltyOracle,
+    "source_overlap" -> Dedup.sourceOverlapOracle(),
     "dedup_minhash" ->
       graft.functions.TextShingles.duckdbAllPairsOracle(0.5),
     // all-pairs brute force over the SAME 54-bit KR-hash SimHash

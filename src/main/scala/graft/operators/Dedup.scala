@@ -841,6 +841,101 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** §2 #126 — per-document SHINGLE NOVELTY: the fraction of each
+    * document's distinct 3-shingles that appear in NO other document
+    * (corpus df = 1) — the "how much of this doc is boilerplate vs
+    * unique text" audit that complements near-dup removal: a document
+    * can be non-duplicate yet still assembled from corpus-ubiquitous
+    * fragments, and a low-novelty tail is the first place memorization
+    * reviews look.
+    *
+    * Scale shape: explode distinct per-doc shingles, ONE df hash
+    * aggregate (per-shingle distinct-doc count), join back, per-doc
+    * aggregate — the same inverted-index shape as doc_containment,
+    * without the self-join. Raw text never shuffles. */
+  def kgramNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    kgramNoveltyFrom(Tables.load(spark, sfDir, "documents"))
+
+  /** Generic core over ANY (doc_id, text) frame. */
+  def kgramNoveltyFrom(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(shingles3(words(col("text")))).as("s"))
+    val df = sh.groupBy("s").agg(countDistinct("doc_id").as("df"))
+    sh.join(df, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel") / col("n_shingles").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[kgramNovelty]]. */
+  val kgramNoveltyOracle: String =
+    s"""${graft.functions.TextShingles.duckdbShingleCte},
+        x AS (SELECT doc_id, unnest(s) AS s FROM sh WHERE len(s) > 0),
+        d AS (SELECT s, count(DISTINCT doc_id) AS df FROM x GROUP BY s)
+       SELECT doc_id, count(*) AS n_shingles,
+              CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_novel,
+              round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                    / CAST(count(*) AS DOUBLE), 4) AS novelty
+       FROM x JOIN d USING (s)
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  /** §2 #127 — CROSS-SOURCE duplication overlap: the verified near-dup
+    * pairs rolled up by (source_a, source_b) — which sources duplicate
+    * each other and how much. This is the governance artifact a corpus
+    * owner reads before setting mixture weights or chasing licensing:
+    * heavy off-diagonal cells mean two feeds ship the same text and
+    * one of them should be down-weighted or dropped.
+    *
+    * Scale shape: the proven prefix-filter join produces the (already
+    * ≤ pairs-sized) edge list; two broadcast-friendly joins attach the
+    * (doc_id → source) map; one tiny (source, source) aggregate.
+    * Sources are ordered lexicographically within a pair so each
+    * unordered source pair lands in exactly one cell. */
+  def sourceOverlap(spark: SparkSession, sfDir: String,
+                    tau: Double = 0.3): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pairs = dedupNgramExactjoin(spark, sfDir, tau).select("id_a", "id_b")
+    val src = docs.select(col("doc_id"), col("source"))
+    val labeled = pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+    labeled.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_total"))))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        round(col("n_pairs") / col("n_total").cast("double"), 4).as("share"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** DuckDB oracle for [[sourceOverlap]]: the exact all-pairs truth at
+    * the same tau, rolled up identically. */
+  def sourceOverlapOracle(tau: Double = 0.3): String =
+    s"""${graft.functions.TextShingles.duckdbShingleCte},
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.s) > 0 AND len(b.s) > 0
+            AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                >= $tau),
+        lab AS (SELECT least(da.source, db.source) AS source_a,
+                       greatest(da.source, db.source) AS source_b
+                FROM pairs
+                JOIN documents da ON da.doc_id = pairs.id_a
+                JOIN documents db ON db.doc_id = pairs.id_b),
+        tot AS (SELECT count(*) AS n_total FROM pairs)
+       SELECT source_a, source_b, count(*) AS n_pairs,
+              round(count(*) / CAST(tot.n_total AS DOUBLE), 4) AS share
+       FROM lab, tot
+       GROUP BY source_a, source_b, tot.n_total
+       ORDER BY source_a, source_b"""
+
   /** Generic core: CONTAINMENT pairs from winnowing fingerprints over
     * ANY (doc_id, text) frame — documents sharing ≥ `minShared` of the
     * Schleimer-et-al positional fingerprints already proven by

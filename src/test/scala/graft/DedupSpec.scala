@@ -227,6 +227,36 @@ class DedupSpec extends SparkSpec {
     assert(rows.values.map(_._1).toSet.size == 1)
   }
 
+  test("kgram_novelty: planted duplicate shingles zero out novelty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // shares all with 2
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six"))      // fully unique
+      .toDF("doc_id", "text")
+    val got = Dedup.kgramNoveltyFrom(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // docs 1/2: every 3-shingle appears in both -> df=2 -> novelty 0
+    assert(got(1L) == ((3L, 0L, 0.0)) && got(2L) == ((3L, 0L, 0.0)))
+    // doc 3: all 4 shingles unique to it
+    assert(got(3L) == ((4L, 4L, 1.0)))
+  }
+
+  test("source_overlap: pairs roll up to ordered source cells with shares") {
+    val rows = Dedup.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // cells ordered, shares sum to 1 over all cells, sources ordered
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (a, b, n, s) => a <= b && n > 0 && s > 0 })
+    val total = rows.map(_._4).sum
+    assert(math.abs(total - 1.0) < 0.01, s"shares sum to $total")
+    // cell counts sum to the full verified pair count
+    val nPairs = Dedup.dedupNgramExactjoin(spark, sf).count()
+    assert(rows.map(_._3).sum == nPairs)
+  }
+
   test("media_roundtrip: per-file export + binaryFile import is lossless") {
     val got = Blob.mediaRoundtrip(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
