@@ -28,6 +28,7 @@ object Bench {
     "dedup_ngram_exactjoin",
     "dedup_simhash", "dedup_clusters", "dedup_corpus", "dedup_incremental",
     "doc_containment", "kgram_novelty", "source_overlap",
+    "dedup_threshold_sweep",
     // similarity / ANN
     "ann_bruteforce", "knn_graph", "knn_graph_ann", "ann_recall_eval",
     "ann_lsh", "ann_ivf", "ann_ivf_static",

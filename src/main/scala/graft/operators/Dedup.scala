@@ -841,6 +841,60 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** §2 #128 — DEDUP THRESHOLD SWEEP: pair and affected-document
+    * counts at several Jaccard thresholds from ONE exact
+    * set-similarity join — the table that picks tau before a
+    * full-corpus dedup run (too low deletes distinct text, too high
+    * keeps near-dups; this quantifies the trade on THIS corpus, the
+    * dedup_eval_sweep stance applied to the threshold axis).
+    *
+    * Scale shape: the prefix-filter join runs ONCE at the smallest
+    * tau (perfect recall for every larger threshold by the prefix
+    * theorem) and is cached; each threshold row is then two counts
+    * over the bounded verified-pair list. */
+  def dedupThresholdSweep(spark: SparkSession, sfDir: String,
+                          taus: Seq[Double] = Seq(0.3, 0.5, 0.7)): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = TransientCaches.register(
+      dedupNgramExactjoin(spark, sfDir, taus.min)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    pairs.count()
+    taus.sorted.map { t =>
+      val p = pairs.filter(col("j4") >= t)
+      val affected = p.select(col("id_a").as("d"))
+        .unionAll(p.select(col("id_b").as("d"))).distinct()
+      p.agg(lit(t).as("tau"), count(lit(1)).as("n_pairs"))
+        .crossJoin(affected.agg(count(lit(1)).as("n_docs_affected")))
+    }.reduce(_.unionByName(_)).orderBy("tau")
+  }
+
+  /** DuckDB oracle for [[dedupThresholdSweep]]: the all-pairs truth at
+    * the smallest tau, re-counted per threshold. */
+  def dedupThresholdSweepOracle(
+      taus: Seq[Double] = Seq(0.3, 0.5, 0.7)): String = {
+    val base = taus.min
+    val rows = taus.sorted.map { t =>
+      s"""SELECT CAST($t AS DOUBLE) AS tau,
+            (SELECT count(*) FROM p WHERE j4 >= $t) AS n_pairs,
+            (SELECT count(DISTINCT d) FROM (
+               SELECT id_a AS d FROM p WHERE j4 >= $t
+               UNION ALL SELECT id_b FROM p WHERE j4 >= $t))
+              AS n_docs_affected"""
+    }.mkString(" UNION ALL ")
+    s"""${graft.functions.TextShingles.duckdbShingleCte},
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                  4) AS j4
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.s) > 0 AND len(b.s) > 0
+            AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                >= $base)
+       SELECT * FROM ($rows) ORDER BY tau"""
+  }
+
   /** §2 #126 — per-document SHINGLE NOVELTY: the fraction of each
     * document's distinct 3-shingles that appear in NO other document
     * (corpus df = 1) — the "how much of this doc is boilerplate vs

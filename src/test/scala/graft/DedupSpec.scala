@@ -227,6 +227,18 @@ class DedupSpec extends SparkSpec {
     assert(rows.values.map(_._1).toSet.size == 1)
   }
 
+  test("dedup_threshold_sweep: counts are monotone non-increasing in tau") {
+    val rows = Dedup.dedupThresholdSweep(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(0.3, 0.5, 0.7))
+    // higher threshold -> subset of pairs -> counts can only shrink
+    rows.sliding(2).foreach { case Array((_, p1, d1), (_, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1)
+    }
+    // the 0.3 row must equal the standalone exact join at 0.3
+    assert(rows.head._2 == Dedup.dedupNgramExactjoin(spark, sf, 0.3).count())
+  }
+
   test("kgram_novelty: planted duplicate shingles zero out novelty") {
     import spark.implicits._
     val docs = Seq(
