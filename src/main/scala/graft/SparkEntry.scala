@@ -55,6 +55,7 @@ object SparkEntry {
     "dedup_eval_sweep" -> ((s, d) => Dedup.dedupEvalSweep(s, d)),
     "kgram_novelty" -> ((s, d) => Dedup.kgramNovelty(s, d)),
     "dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(s, d)),
+    "funnel_windowed" -> ((s, d) => Analytics.funnelWindowed(s, d)),
     "source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_ngram_exactjoin" -> ((s, d) => Dedup.dedupNgramExactjoin(s, d)),
@@ -277,6 +278,7 @@ object SparkEntry {
     "dedup_eval_sweep" -> Dedup.dedupEvalSweepOracle(),
     "kgram_novelty" -> Dedup.kgramNoveltyOracle,
     "dedup_threshold_sweep" -> Dedup.dedupThresholdSweepOracle(),
+    "funnel_windowed" -> Analytics.funnelWindowedOracle(),
     "source_overlap" -> Dedup.sourceOverlapOracle(),
     "dedup_minhash" ->
       graft.functions.TextShingles.duckdbAllPairsOracle(0.5),

@@ -249,6 +249,66 @@ object Analytics {
     out.orderBy("step")
   }
 
+  /** §2 #129 — WINDOWED conversion funnel: users whose first `stepA`
+    * event is followed by a `stepB` event within `windowUs` — the
+    * time-constrained form of funnel_steps (an unbounded funnel calls
+    * a purchase six months later a "conversion"; product analytics
+    * does not). Reports starters, converters, the rate and the exact
+    * median conversion delay.
+    *
+    * Scale shape: first-A = one keyed aggregate; the A→B pairing is a
+    * per-user equi-join with a time-band filter (the range_join shape
+    * on a co-partitioned key) followed by a min aggregate — nothing
+    * wider than (user, t) pairs ever shuffles; the report is one
+    * 1-row aggregate. */
+  def funnelWindowed(spark: SparkSession, sfDir: String,
+                     stepA: String = "view", stepB: String = "purchase",
+                     windowUs: Long = 3600000000L): DataFrame =
+    funnelWindowedFrom(
+      Tables.load(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t")),
+      stepA, stepB, windowUs)
+
+  /** Generic core over ANY (user_id, event_type, t) frame. */
+  def funnelWindowedFrom(ev: DataFrame, stepA: String, stepB: String,
+                         windowUs: Long): DataFrame = {
+    val firstA = ev.filter(col("event_type") === stepA)
+      .groupBy("user_id").agg(min("t").as("t_a"))
+    val conv = ev.filter(col("event_type") === stepB)
+      .join(firstA, "user_id")
+      .filter(col("t") > col("t_a") && col("t") <= col("t_a") + windowUs)
+      .groupBy("user_id").agg((min("t") - min("t_a")).as("delay_us"))
+    firstA.agg(count(lit(1)).as("n_started"))
+      .crossJoin(conv.agg(count(lit(1)).as("n_converted"),
+        expr("percentile(delay_us, 0.5D)").as("p50")))
+      .select(col("n_started"), col("n_converted"),
+        round(col("n_converted") / col("n_started").cast("double"), 4)
+          .as("conv_rate"),
+        round(col("p50") / 1e6, 4).as("p50_delay_s"))
+  }
+
+  /** DuckDB oracle for [[funnelWindowed]]. */
+  def funnelWindowedOracle(stepA: String = "view",
+                           stepB: String = "purchase",
+                           windowUs: Long = 3600000000L): String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
+                   FROM events),
+        fa AS (SELECT user_id, min(t) AS t_a FROM e
+               WHERE event_type = '$stepA' GROUP BY user_id),
+        cv AS (SELECT e.user_id, min(e.t) - min(fa.t_a) AS delay_us
+               FROM e JOIN fa USING (user_id)
+               WHERE e.event_type = '$stepB'
+                 AND e.t > fa.t_a AND e.t <= fa.t_a + $windowUs
+               GROUP BY e.user_id)
+       SELECT (SELECT count(*) FROM fa) AS n_started,
+              (SELECT count(*) FROM cv) AS n_converted,
+              round((SELECT count(*) FROM cv)
+                    / CAST((SELECT count(*) FROM fa) AS DOUBLE), 4)
+                AS conv_rate,
+              round((SELECT quantile_cont(delay_us, 0.5) FROM cv) / 1e6, 4)
+                AS p50_delay_s"""
+
   def eventsWindow(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "events")
       .select(

@@ -210,6 +210,23 @@ class AnalyticsSpec extends SparkSpec {
       s"one keyed exchange expected:\n$plan")
   }
 
+  test("funnel_windowed: only in-window conversions count; delay is exact") {
+    import spark.implicits._
+    // u1: A at 0, B at 30m (in window) and 90m; u2: A at 0, B at 2h
+    // (out of window); u3: B before A only -> not converted
+    val h = 3600000000L
+    val ev = Seq(
+      (1L, "view", 0L), (1L, "purchase", h / 2), (1L, "purchase", h + h / 2),
+      (2L, "view", 0L), (2L, "purchase", 2 * h),
+      (3L, "purchase", 0L), (3L, "view", h))
+      .toDF("user_id", "event_type", "t")
+    val r = graft.operators.Analytics
+      .funnelWindowedFrom(ev, "view", "purchase", h).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 0.3333)
+    assert(r.getDouble(3) == (h / 2) / 1e6) // u1's 30-minute delay
+  }
+
   test("event_dedup: exactly the within-window identity repeats, gaps exact") {
     val base = Tables.load(spark, sf, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
