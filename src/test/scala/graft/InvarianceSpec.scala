@@ -71,6 +71,29 @@ class InvarianceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", one)
   }
 
+  test("round-7 operators are partition-count invariant") {
+    import graft.operators.Curation
+    def all() = (
+      rows(TextAnalysis.bpeTrain(spark, sf)),
+      rows(TextAnalysis.bpeEncode(spark, sf)),
+      rows(TextAnalysis.qualityFunnel(spark, sf)),
+      rows(Curation.dsirWeights(spark, sf)),
+      rows(Dedup.dedupEvalSweep(spark, sf)),
+      rows(Dedup.kgramNovelty(spark, sf)),
+      rows(Dedup.sourceOverlap(spark, sf)),
+      rows(Dedup.dedupThresholdSweep(spark, sf)),
+      rows(Similarity.knnGraphAnn(spark, sf)),
+      rows(Analytics.funnelWindowed(spark, sf)))
+    val one = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val p1 = all()
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val p13 = all()
+      assert(p1 == p13)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", one)
+  }
+
   test("dedup/eval/mixture additions are partition-count invariant") {
     import graft.operators.{Curation, Quality}
     def all() = (
