@@ -12,7 +12,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     // analytics core
     "q1_agg", "dim_flatten", "window_rank", "agg_skew_salted",
-    "events_window", "funnel_steps", "funnel_windowed", "filter_pushdown",
+    "events_window", "funnel_steps", "funnel_windowed", "drift_report",
+    "filter_pushdown",
     "asof_join",
     "asof_join_native",
     "sessionize", "merge_upsert", "topk_frequent", "package_filter",

@@ -56,6 +56,7 @@ object SparkEntry {
     "kgram_novelty" -> ((s, d) => Dedup.kgramNovelty(s, d)),
     "dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(s, d)),
     "funnel_windowed" -> ((s, d) => Analytics.funnelWindowed(s, d)),
+    "drift_report" -> ((s, d) => Analytics.driftReport(s, d)),
     "source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_ngram_exactjoin" -> ((s, d) => Dedup.dedupNgramExactjoin(s, d)),
@@ -279,6 +280,7 @@ object SparkEntry {
     "kgram_novelty" -> Dedup.kgramNoveltyOracle,
     "dedup_threshold_sweep" -> Dedup.dedupThresholdSweepOracle(),
     "funnel_windowed" -> Analytics.funnelWindowedOracle(),
+    "drift_report" -> Analytics.driftOracle,
     "source_overlap" -> Dedup.sourceOverlapOracle(),
     "dedup_minhash" ->
       graft.functions.TextShingles.duckdbAllPairsOracle(0.5),

@@ -309,6 +309,60 @@ object Analytics {
               round((SELECT quantile_cont(delay_us, 0.5) FROM cv) / 1e6, 4)
                 AS p50_delay_s"""
 
+  /** §2 #130 — DISTRIBUTION DRIFT report: event-type shares in the
+    * first vs second half of the stream's time range, with per-type
+    * absolute share drift — the monitoring table that decides "has the
+    * input distribution moved" before a model retrain or a mixture
+    * re-weight (the same check a 100 TB ingest runs between corpus
+    * snapshots). The split point is exact integer arithmetic on
+    * microseconds, so both engines cut the same instant.
+    *
+    * Scale shape: one 1-row min/max aggregate broadcast back, one
+    * (type) hash aggregate with conditional sums — two passes of
+    * scan+agg, exchanges carry per-type count pairs only. */
+  def driftReport(spark: SparkSession, sfDir: String): DataFrame =
+    driftReportFrom(Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("t")))
+
+  /** Generic core over ANY (event_type, t) frame. */
+  def driftReportFrom(ev: DataFrame): DataFrame = {
+    val span = ev.agg(min("t").as("t_min"), max("t").as("t_max"))
+    val halved = ev.crossJoin(broadcast(span))
+      // integral divide: both engines floor, no float-cast rounding
+      .withColumn("in_a", col("t") < expr("(t_min + t_max) div 2"))
+    val counts = halved.groupBy("event_type")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("n_a") / col("t_a").cast("double"), 4).as("share_a"),
+        round(col("n_b") / col("t_b").cast("double"), 4).as("share_b"))
+      .withColumn("drift",
+        round(abs(col("share_a") - col("share_b")), 4))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[driftReport]]. */
+  val driftOracle: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+        s AS (SELECT min(t) AS t_min, max(t) AS t_max FROM e),
+        h AS (SELECT event_type,
+                t < (t_min + t_max) // 2 AS in_a
+              FROM e, s),
+        c AS (SELECT event_type,
+                CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+              FROM h GROUP BY event_type),
+        t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+                CAST(sum(n_b) AS BIGINT) AS t_b FROM c)
+       SELECT event_type, n_a, n_b,
+              round(n_a / CAST(t_a AS DOUBLE), 4) AS share_a,
+              round(n_b / CAST(t_b AS DOUBLE), 4) AS share_b,
+              round(abs(round(n_a / CAST(t_a AS DOUBLE), 4)
+                        - round(n_b / CAST(t_b AS DOUBLE), 4)), 4) AS drift
+       FROM c, t ORDER BY event_type"""
+
   def eventsWindow(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "events")
       .select(

@@ -210,6 +210,20 @@ class AnalyticsSpec extends SparkSpec {
       s"one keyed exchange expected:\n$plan")
   }
 
+  test("drift_report: planted distribution shift is measured exactly") {
+    import spark.implicits._
+    // half A (t<50): 3 x, 1 y; half B (t>=50): 1 x, 3 y
+    val ev = Seq(("x", 0L), ("x", 10L), ("x", 20L), ("y", 30L),
+      ("x", 60L), ("y", 70L), ("y", 80L), ("y", 100L))
+      .toDF("event_type", "t")
+    val got = graft.operators.Analytics.driftReportFrom(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("x", 3L, 1L, 0.75, 0.25, 0.5),
+      ("y", 1L, 3L, 0.25, 0.75, 0.5)))
+  }
+
   test("funnel_windowed: only in-window conversions count; delay is exact") {
     import spark.implicits._
     // u1: A at 0, B at 30m (in window) and 90m; u2: A at 0, B at 2h
