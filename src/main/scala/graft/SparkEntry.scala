@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(s, d)),
     "funnel_windowed" -> ((s, d) => Analytics.funnelWindowed(s, d)),
     "drift_report" -> ((s, d) => Analytics.driftReport(s, d)),
+    "split_leakage" -> ((s, d) => Curation.splitLeakage(s, d)),
     "source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_ngram_exactjoin" -> ((s, d) => Dedup.dedupNgramExactjoin(s, d)),
@@ -281,6 +282,7 @@ object SparkEntry {
     "dedup_threshold_sweep" -> Dedup.dedupThresholdSweepOracle(),
     "funnel_windowed" -> Analytics.funnelWindowedOracle(),
     "drift_report" -> Analytics.driftOracle,
+    "split_leakage" -> Curation.splitLeakageOracle(),
     "source_overlap" -> Dedup.sourceOverlapOracle(),
     "dedup_minhash" ->
       graft.functions.TextShingles.duckdbAllPairsOracle(0.5),

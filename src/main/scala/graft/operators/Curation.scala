@@ -646,6 +646,96 @@ object Curation {
        WHERE head.rk <= $headK
        ORDER BY a.shard, head.rk"""
 
+  /** §2 #131 — TRAIN/EVAL SPLIT LEAKAGE audit: split the corpus into
+    * train and held-out-eval by a deterministic doc_id hash, then
+    * count the eval documents whose content leaks into train — EXACT
+    * (normalized content hash appears in train) and NEAR (shingle
+    * Jaccard ≥ tau against some train doc). A random split of a
+    * near-dup-bearing corpus puts one copy on each side and the eval
+    * loss silently measures memorization; this is the audit that
+    * catches it BEFORE training (decontaminate's stance turned inward
+    * on the pipeline's own split).
+    *
+    * Scale shape: exact = one hash semi-join against the train hash
+    * index; near = the two-frame prefix join whose probe side is the
+    * EVAL slice only (train×train never pairs — the incremental-dedup
+    * property, reused); the report is a 1-row aggregate over bounded
+    * leak sets. */
+  def splitLeakage(spark: SparkSession, sfDir: String, tau: Double = 0.5,
+                   mod: Int = 10): DataFrame =
+    splitLeakageFrom(Tables.load(spark, sfDir, "documents"), tau, mod)
+
+  /** Generic core over ANY (doc_id, text) frame. */
+  def splitLeakageFrom(docs: DataFrame, tau: Double = 0.5,
+                       mod: Int = 10): DataFrame = {
+    val tagged = docs.withColumn("is_eval",
+      pmod(graft.operators.Quality.knuth32(col("doc_id")),
+        lit(mod.toLong)) === 0)
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val hashed = tagged.select(col("doc_id"), col("is_eval"),
+      sha2(norm.cast("binary"), 256).as("h"))
+    val trainH = hashed.filter(!col("is_eval")).select("h").distinct()
+    val exactLeaks = hashed.filter(col("is_eval"))
+      .join(trainH, Seq("h"), "left_semi")
+      .select("doc_id")
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      TextShingles.shingles3(TextShingles.words(col("text"))).as("sh"))
+    val pairs = Dedup.crossPairsFrom(sh(tagged.filter(col("is_eval"))),
+      sh(tagged), tau)
+    val trainIds = tagged.filter(!col("is_eval"))
+      .select(col("doc_id").as("id_b"))
+    val nearLeaks = pairs.join(trainIds, Seq("id_b"), "left_semi")
+      .select(col("id_a").as("doc_id")).distinct()
+    val leaked = exactLeaks.unionAll(nearLeaks).distinct()
+    tagged.agg(
+        sum(when(!col("is_eval"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("is_eval"), 1L).otherwise(0L)).as("n_eval"))
+      .crossJoin(exactLeaks.agg(count(lit(1)).as("n_exact_leaks")))
+      .crossJoin(nearLeaks.agg(count(lit(1)).as("n_near_leaks")))
+      .crossJoin(leaked.agg(count(lit(1)).as("n_leaked")))
+      .withColumn("leak_rate",
+        when(col("n_eval") > 0,
+          round(col("n_leaked") / col("n_eval").cast("double"), 4)))
+  }
+
+  /** DuckDB oracle for [[splitLeakage]]: split hash, normalized content
+    * hashes and the all-pairs cross-split Jaccard replayed. */
+  def splitLeakageOracle(tau: Double = 0.5, mod: Int = 10): String =
+    s"""WITH t AS (SELECT doc_id, text,
+            (${graft.operators.Quality.knuthSql("doc_id")}) % $mod = 0
+              AS is_eval
+          FROM documents),
+        h AS (SELECT doc_id, is_eval,
+                sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                  AS hh
+              FROM t),
+        ex AS (SELECT DISTINCT e.doc_id
+               FROM h e JOIN h tr ON e.is_eval AND NOT tr.is_eval
+                                  AND e.hh = tr.hh),
+        shx AS (SELECT t.doc_id, t.is_eval,
+                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in range(1, len(w)-1)]) AS s
+                FROM (SELECT doc_id, is_eval,
+                        string_split_regex(trim(lower(text)), '\\s+') AS w
+                      FROM t) t),
+        nr AS (SELECT DISTINCT a.doc_id
+               FROM shx a JOIN shx b ON a.is_eval AND NOT b.is_eval
+               WHERE len(a.s) > 0 AND len(b.s) > 0
+                 AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                     >= $tau),
+        lk AS (SELECT doc_id FROM ex UNION SELECT doc_id FROM nr)
+       SELECT (SELECT count(*) FROM t WHERE NOT is_eval) AS n_train,
+              (SELECT count(*) FROM t WHERE is_eval) AS n_eval,
+              (SELECT count(*) FROM ex) AS n_exact_leaks,
+              (SELECT count(*) FROM nr) AS n_near_leaks,
+              (SELECT count(*) FROM lk) AS n_leaked,
+              CASE WHEN (SELECT count(*) FROM t WHERE is_eval) > 0 THEN
+                round((SELECT count(*) FROM lk)
+                      / CAST((SELECT count(*) FROM t WHERE is_eval)
+                             AS DOUBLE), 4)
+              END AS leak_rate"""
+
   /** §2 #123 — DSIR-style IMPORTANCE WEIGHTING (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * score every document by the average log-likelihood ratio of its

@@ -276,6 +276,39 @@ class CurationSpec extends SparkSpec {
     assert(got("b") == ((100L, 100L, 1L, 100L)))
   }
 
+  test("split_leakage: planted cross-split duplicates are counted exactly") {
+    import spark.implicits._
+    import graft.operators.Quality
+    // find ids on each side of the split (knuth % 10)
+    def knuth(id: Long): Long = {
+      val h = (id * 2654435761L) & 0xFFFFFFFFL; h % 10
+    }
+    val evalIds = (1L to 200L).filter(knuth(_) == 0)
+    val trainIds = (1L to 200L).filter(knuth(_) != 0)
+    val (e1, e2, e3) = (evalIds(0), evalIds(1), evalIds(2))
+    val (t1, t2) = (trainIds(0), trainIds(1))
+    val long1 = (1 to 40).map(i => s"a$i").mkString(" ")
+    val near1 = (1 to 40).map(i => if (i == 40) "zz" else s"a$i").mkString(" ")
+    val docs = Seq(
+      (t1, long1),                                  // train original
+      (e1, long1),                                  // eval EXACT leak
+      (e2, near1),                                  // eval NEAR leak
+      (e3, "completely unrelated fresh words here"),
+      (t2, "other train content entirely different"))
+      .toDF("doc_id", "text")
+    // sanity: spark's knuth32 agrees with the local replica
+    val sparkSide = docs.select(col("doc_id"),
+      pmod(Quality.knuth32(col("doc_id")), lit(10L)).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sparkSide(e1) == 0 && sparkSide(t1) != 0)
+    val r = graft.operators.Curation.splitLeakageFrom(docs).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L) // train / eval
+    assert(r.getLong(2) == 1L, "one exact leak")      // e1
+    // e1 is ALSO a near-dup of t1 (identical text), e2 is near
+    assert(r.getLong(3) == 2L, "two near leaks")
+    assert(r.getLong(4) == 2L && r.getDouble(5) == 0.6667)
+  }
+
   test("dsir_weights: target-like docs score positive; equals an independent reference") {
     import spark.implicits._
     val docs = Seq(
