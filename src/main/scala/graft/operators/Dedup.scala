@@ -601,9 +601,18 @@ object Dedup {
     * seam — the pointer-halving loop should stay at O(log diameter)). */
   @volatile private[graft] var lastPropagationRounds: Int = 0
 
+  /** @param checkpointDir when set, each propagation round is cut with
+    *   a RELIABLE `checkpoint()` into this directory instead of the
+    *   in-memory LogicalRDD leaf — the fault-tolerant form a multi-hour
+    *   cluster run uses (executor loss cannot force a replay across
+    *   rounds, because the lineage root is durable storage). Same plan
+    *   shape, same results; ClustersSpec proves path equality. */
   private[graft] def clustersFromPairs(nodes: DataFrame, pairs: DataFrame,
-                                       maxIters: Int): DataFrame = {
+                                       maxIters: Int,
+                                       checkpointDir: Option[String] = None)
+      : DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -660,11 +669,16 @@ object Dedup {
       // codegen) and constraint-free (localCheckpoint's LogicalRDD
       // drags origin constraints along and trips Union constraint
       // rewriting); the persist below makes execution read round N-1's
-      // cache, not its lineage. On a real cluster swap for
-      // checkpoint(dir) — same shape, fault-tolerant lineage cut.
-      val next = org.apache.spark.sql.graftbridge.CatalystBridge
-        .internalLeaf(next0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // cache, not its lineage. With `checkpointDir` set the cut is a
+      // reliable checkpoint instead — durable lineage root, the form a
+      // long cluster run uses (eager=false: the convergence aggregate
+      // below is the materializing action either way).
+      val next = checkpointDir match {
+        case Some(_) => next0.checkpoint(eager = false)
+        case None => org.apache.spark.sql.graftbridge.CatalystBridge
+          .internalLeaf(next0)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
       val curSum = Option(
         next.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0).get(0))
         .map(_.asInstanceOf[java.math.BigDecimal])

@@ -227,6 +227,22 @@ class DedupSpec extends SparkSpec {
     assert(rows.values.map(_._1).toSet.size == 1)
   }
 
+  test("dedup_clusters: reliable-checkpoint rounds equal the in-memory cut") {
+    val pairs = Dedup.dedupNgramExactjoin(spark, sf, 0.3)
+      .select("id_a", "id_b")
+    val nodes = Tables.load(spark, sf, "documents").select(col("doc_id"))
+    val inMem = Dedup.clustersFromPairs(nodes, pairs, 20)
+      .collect().map(_.toString).toSeq
+    val dir = graft.operators.ExportImport.scratch("ckpt-clusters")
+    val ckpt = Dedup.clustersFromPairs(nodes, pairs, 20, Some(dir))
+      .collect().map(_.toString).toSeq
+    assert(inMem == ckpt)
+    // the checkpoint actually wrote durable round state
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "reliable checkpoint must write files")
+  }
+
   test("dedup_threshold_sweep: counts are monotone non-increasing in tau") {
     val rows = Dedup.dedupThresholdSweep(spark, sf).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
