@@ -20,6 +20,7 @@ object Bench {
     "typed_format", "pivot_status", "rollup_agg", "pctile_value",
     "running_total", "rolling_window",
     "snapshot_diff", "fk_orphans", "join_skew_report",
+    "k_anonymity", "corpus_concentration",
     "deterministic_sample",
     "value_histogram", "profile_table", "outlier_fences", "compact_files",
     "schema_evolution", "xlsx_keys", "retention_cohorts", "scd2_intervals",

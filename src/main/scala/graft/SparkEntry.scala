@@ -92,6 +92,8 @@ object SparkEntry {
     "snapshot_diff" -> (MergeImport.snapshotDiff _),
     "fk_orphans" -> (Quality.fkOrphans _),
     "join_skew_report" -> (Quality.joinSkewReport _),
+    "k_anonymity" -> ((s, d) => Quality.kAnonymity(s, d)),
+    "corpus_concentration" -> (Quality.corpusConcentration _),
     "deterministic_sample" -> ((s, d) => Quality.deterministicSample(s, d)),
     "stratified_sample" -> ((s, d) => Quality.stratifiedSample(s, d)),
     "value_histogram" -> ((s, d) => Quality.valueHistogram(s, d)),
@@ -1079,6 +1081,8 @@ object SparkEntry {
          WHERE l_orderkey NOT IN
            (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0)""",
     "join_skew_report" -> Quality.joinSkewOracle,
+    "k_anonymity" -> Quality.kAnonymityOracle(),
+    "corpus_concentration" -> Quality.corpusConcentrationOracle,
     "deterministic_sample" ->
       s"""SELECT o_orderkey, ${centsSql("o_totalprice")} AS price_cents
           FROM orders

@@ -419,4 +419,133 @@ object Quality {
         "CAST(max(o_orderpriority) AS VARCHAR)"))
     legs.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
   }
+
+  /** Generic core of [[kAnonymity]]: group sizes over the
+    * quasi-identifier columns, summarized into one audit row. */
+  def kAnonymityFrom(df: DataFrame, quasi: Seq[Column], k: Int): DataFrame =
+    df.groupBy(quasi: _*).agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum("cnt").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("cnt") < k, 1L).otherwise(0L)).as("n_risky_groups"),
+        sum(when(col("cnt") < k, col("cnt")).otherwise(0L))
+          .as("n_risky_rows"),
+        min("cnt").as("min_group"), max("cnt").as("max_group"))
+      .select(lit(k).as("k"), col("n_rows"), col("n_groups"),
+        col("n_risky_groups"), col("n_risky_rows"),
+        round(col("n_risky_rows") / col("n_rows"), 4).as("risk_pct"),
+        col("min_group"), col("max_group"))
+
+  /** §2 #132 — K-ANONYMITY audit over quasi-identifiers: how many
+    * equivalence classes of (nation, market segment, balance bucket)
+    * hold fewer than k customers — i.e. how many rows an adversary who
+    * knows those three public attributes can re-identify. The privacy
+    * gate a training-data release runs BEFORE export, the structured
+    * twin of pii_scrub's free-text pass: scrubbing emails is useless if
+    * the attribute combination is unique.
+    *
+    * Scale shape: two hash aggregates (rows → QI groups → 1 audit row),
+    * both with partial/map-side combine; nothing else. The group-by key
+    * is the QI tuple, so the exchange is exactly as wide as the
+    * re-identification question itself. Holds unchanged at 100 TB. */
+  def kAnonymity(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame =
+    kAnonymityFrom(Tables.load(spark, sfDir, "customer"),
+      Seq(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000d).as("bal_bucket")), k)
+
+  /** DuckDB oracle for [[kAnonymity]]. */
+  def kAnonymityOracle(k: Int = 5): String =
+    s"""WITH g AS (SELECT c_nationkey, c_mktsegment,
+                  floor(c_acctbal / 1000) AS bal_bucket, count(*) AS cnt
+           FROM customer GROUP BY 1, 2, 3)
+       SELECT $k AS k, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         count(*) AS n_groups,
+         CAST(sum(CASE WHEN cnt < $k THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_risky_groups,
+         CAST(sum(CASE WHEN cnt < $k THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_risky_rows,
+         round(sum(CASE WHEN cnt < $k THEN cnt ELSE 0 END)
+               / CAST(sum(cnt) AS DOUBLE), 4) AS risk_pct,
+         min(cnt) AS min_group, max(cnt) AS max_group
+       FROM g"""
+
+  /** §2 #133 — CORPUS CONCENTRATION report: Gini coefficient and
+    * top-1%/top-10% character share of the document length
+    * distribution — the "how unequal is this corpus" monitoring row
+    * that decides whether seq_pack bins will balance, whether a few
+    * giant documents dominate the token budget, and how aggressive
+    * doc_chunk has to be. Every statistic is computed from the LENGTH
+    * HISTOGRAM, not the rows: the rank-weighted Lorenz sum
+    * `Σ rank·len` is regrouped per distinct length v with cumulative
+    * prefix count S as `v·(c·S + c(c+1)/2)` (tie-invariant, so both
+    * engines agree exactly), and the top-k% share reads the descending
+    * cumulative counts clipped at k. All arithmetic stays in int64
+    * until the final divisions.
+    *
+    * Scale shape: one hash aggregate (rows → distinct lengths), then
+    * windows + a final aggregate over the histogram — whose size is
+    * bounded by the longest document, NOT the corpus. The single-
+    * partition window is over that bounded histogram only; the 100 TB
+    * data pass is the one partial-agg count. */
+  def corpusConcentrationFrom(docs: DataFrame, lenCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs.groupBy(lenCol.as("v")).agg(count(lit(1)).as("c"))
+    val wAsc = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDesc = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum("c").as("n"),
+      sum(col("v") * col("c")).as("t_chars"))
+    hist
+      .withColumn("s_lt", coalesce(sum(col("c")).over(wAsc), lit(0L)))
+      .withColumn("cc", sum(col("c")).over(wDesc))
+      .crossJoin(tot)
+      .withColumn("k1", greatest(expr("n div 100"), lit(1L)))
+      .withColumn("k10", greatest(expr("n div 10"), lit(1L)))
+      .agg(
+        max(col("n")).as("n_docs"), max(col("t_chars")).as("total_chars"),
+        sum(col("v") * (col("c") * col("s_lt")
+          + expr("c * (c + 1) div 2"))).as("sw"),
+        sum(col("v") * (least(col("cc"), col("k1"))
+          - least(col("cc") - col("c"), col("k1")))).as("chars_k1"),
+        sum(col("v") * (least(col("cc"), col("k10"))
+          - least(col("cc") - col("c"), col("k10")))).as("chars_k10"))
+      .select(col("n_docs"), col("total_chars"),
+        round(lit(2d) * col("sw") / (col("n_docs") * col("total_chars"))
+          - (col("n_docs") + 1) / col("n_docs"), 6).as("gini6"),
+        round(col("chars_k1") / col("total_chars"), 6).as("top1_share"),
+        round(col("chars_k10") / col("total_chars"), 6).as("top10_share"))
+  }
+
+  /** Fixture binding of [[corpusConcentrationFrom]] on documents. */
+  def corpusConcentration(spark: SparkSession, sfDir: String): DataFrame =
+    corpusConcentrationFrom(Tables.load(spark, sfDir, "documents"),
+      col("n_chars"))
+
+  /** DuckDB oracle for [[corpusConcentration]] — same histogram
+    * regrouping, same int64 arithmetic, same final divisions. */
+  val corpusConcentrationOracle: String =
+    """WITH hist AS (SELECT n_chars AS v, count(*) AS c
+                     FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                       CAST(sum(v * c) AS BIGINT) AS t_chars FROM hist),
+        w AS (SELECT v, c,
+                coalesce(sum(c) OVER (ORDER BY v ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS s_lt,
+                sum(c) OVER (ORDER BY v DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+              FROM hist),
+        k AS (SELECT n, t_chars,
+                greatest(n // 100, 1) AS k1, greatest(n // 10, 1) AS k10
+              FROM tot)
+       SELECT max(n) AS n_docs, max(t_chars) AS total_chars,
+         round(2.0 * sum(v * (c * s_lt + c * (c + 1) // 2))
+                 / (max(n) * max(t_chars))
+               - (max(n) + 1) / CAST(max(n) AS DOUBLE), 6) AS gini6,
+         round(sum(v * (least(cc, k1) - least(cc - c, k1)))
+               / CAST(max(t_chars) AS DOUBLE), 6) AS top1_share,
+         round(sum(v * (least(cc, k10) - least(cc - c, k10)))
+               / CAST(max(t_chars) AS DOUBLE), 6) AS top10_share
+       FROM w, k"""
 }

@@ -177,4 +177,38 @@ class QualitySpec extends SparkSpec {
     assert(r.getLong(0) == 5L && r.getLong(1) == 3L)
     assert(r.getString(7) == "a" && r.getDouble(8) == 0.4)
   }
+
+  test("k_anonymity: hand-built groups give exact risky counts") {
+    import spark.implicits._
+    // QI (g): a->2 rows, b->5 rows, c->1 row; k=3 => risky groups a,c
+    val df = (Seq.fill(2)("a") ++ Seq.fill(5)("b") ++ Seq("c"))
+      .zipWithIndex.toDF("g", "i")
+    val r = Quality.kAnonymityFrom(df, Seq(col("g")), 3).collect().head
+    assert(r.getAs[Int]("k") == 3)
+    assert(r.getAs[Long]("n_rows") == 8L)
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("n_risky_groups") == 2L)
+    assert(r.getAs[Long]("n_risky_rows") == 3L)
+    assert(r.getAs[Double]("risk_pct") == 0.375)
+    assert(r.getAs[Long]("min_group") == 1L)
+    assert(r.getAs[Long]("max_group") == 5L)
+  }
+
+  test("corpus_concentration: uniform lengths gini 0; known split exact") {
+    import spark.implicits._
+    // all-equal lengths => perfectly equal corpus, gini = 0
+    val eq = Seq.fill(10)(100L).zipWithIndex.toDF("len", "i")
+    val r0 = Quality.corpusConcentrationFrom(eq, col("len")).collect().head
+    assert(r0.getAs[Long]("n_docs") == 10L)
+    assert(r0.getAs[Long]("total_chars") == 1000L)
+    assert(r0.getAs[Double]("gini6") == 0.0)
+    // top-10% of 10 docs = 1 doc of 100 chars = 0.1 share
+    assert(r0.getAs[Double]("top10_share") == 0.1)
+    // 9 docs of 0 chars + 1 doc of 900: gini = (2*10*900)/(10*900) - 11/10
+    val sk = (Seq.fill(9)(0L) :+ 900L).zipWithIndex.toDF("len", "i")
+    val r1 = Quality.corpusConcentrationFrom(sk, col("len")).collect().head
+    assert(r1.getAs[Double]("gini6") == 0.9)
+    assert(r1.getAs[Double]("top1_share") == 1.0)   // k1 clamps to 1 doc
+    assert(r1.getAs[Double]("top10_share") == 1.0)
+  }
 }
