@@ -30,7 +30,8 @@ object Bench {
     "dedup_minhash", "dedup_eval_sample", "dedup_eval_sweep",
     "dedup_ngram_exactjoin",
     "dedup_simhash", "dedup_clusters", "dedup_corpus", "dedup_incremental",
-    "doc_containment", "kgram_novelty", "source_overlap",
+    "doc_containment", "kgram_novelty", "memorization_grams",
+    "source_overlap",
     "dedup_threshold_sweep",
     // similarity / ANN
     "ann_bruteforce", "knn_graph", "knn_graph_ann", "ann_recall_eval",

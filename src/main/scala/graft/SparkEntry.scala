@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_eval_sample" -> ((s, d) => Dedup.dedupEvalSample(s, d)),
     "dedup_eval_sweep" -> ((s, d) => Dedup.dedupEvalSweep(s, d)),
     "kgram_novelty" -> ((s, d) => Dedup.kgramNovelty(s, d)),
+    "memorization_grams" -> ((s, d) => Dedup.memorizationGrams(s, d)),
     "dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(s, d)),
     "funnel_windowed" -> ((s, d) => Analytics.funnelWindowed(s, d)),
     "drift_report" -> ((s, d) => Analytics.driftReport(s, d)),
@@ -281,6 +282,7 @@ object SparkEntry {
       Dedup.dedupEvalOracle(docWhere = " WHERE doc_id % 5 = 0"),
     "dedup_eval_sweep" -> Dedup.dedupEvalSweepOracle(),
     "kgram_novelty" -> Dedup.kgramNoveltyOracle,
+    "memorization_grams" -> Dedup.memorizationGramsOracle(),
     "dedup_threshold_sweep" -> Dedup.dedupThresholdSweepOracle(),
     "funnel_windowed" -> Analytics.funnelWindowedOracle(),
     "drift_report" -> Analytics.driftOracle,

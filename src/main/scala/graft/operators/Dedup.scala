@@ -951,6 +951,59 @@ object Dedup {
        FROM x JOIN d USING (s)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** §2 #134 — MEMORIZATION-RISK audit: the corpus's most widely
+    * duplicated long spans — every 5-word gram appearing in at least
+    * `minDocs` distinct documents, with its document frequency and the
+    * id range of the offending docs. This is the corpus-level
+    * complement of [[kgramNovelty]] (which scores each doc): training
+    * on text repeated across many documents is what makes models emit
+    * it verbatim (Lee et al. 2021), so the release review reads
+    * exactly this table — "what text would the model memorize, and
+    * where does it come from" — before line_dedup/para_dedup thresholds
+    * are chosen.
+    *
+    * Scale shape: explode per-doc DISTINCT 5-grams (native
+    * [[graft.functions.WordShinglesExpr]]), ONE hash aggregate keyed by
+    * gram (partial combine on the mappers), then TakeOrdered for the
+    * top slice — no join, raw text shuffles only as the gram strings
+    * themselves. The df filter drops the singleton long tail (the
+    * overwhelming mass) BEFORE the ordering. */
+  def memorizationGrams(spark: SparkSession, sfDir: String,
+                        minDocs: Int = 3, topK: Int = 40): DataFrame =
+    memorizationGramsFrom(Tables.load(spark, sfDir, "documents"),
+      minDocs, topK)
+
+  /** Generic core over ANY (doc_id, text) frame. */
+  def memorizationGramsFrom(docs: DataFrame, minDocs: Int,
+                            topK: Int): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.WordShinglesExpr
+        .wordShingles(words(col("text")), 5)).as("gram"))
+    // per-doc grams are DISTINCT by construction, so count(1) == df
+    grams.groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("gram").asc)
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[memorizationGrams]]. */
+  def memorizationGramsOracle(minDocs: Int = 3, topK: Int = 40): String =
+    s"""WITH sh AS (
+         SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               || ' ' || w[i+3] || ' ' || w[i+4]
+                               for i in range(1, len(w)-3)]) AS s
+         FROM (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), '\\s+') AS w
+               FROM documents)),
+        x AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE len(s) > 0)
+       SELECT gram, count(*) AS n_docs,
+              min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       FROM x GROUP BY gram HAVING count(*) >= $minDocs
+       ORDER BY n_docs DESC, gram ASC LIMIT $topK"""
+
   /** §2 #127 — CROSS-SOURCE duplication overlap: the verified near-dup
     * pairs rolled up by (source_a, source_b) — which sources duplicate
     * each other and how much. This is the governance artifact a corpus

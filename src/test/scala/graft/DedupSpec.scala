@@ -271,6 +271,29 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((4L, 4L, 1.0)))
   }
 
+  test("memorization_grams: planted repeated 5-gram surfaces with exact df") {
+    import spark.implicits._
+    val boiler = "all rights reserved by the publisher"   // 6 words
+    val docs = Seq(
+      (1L, s"intro text here $boiler"),
+      (2L, s"$boiler and some other words"),
+      (3L, s"totally unrelated content $boiler"),
+      (4L, "no shared spans in this document at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.memorizationGramsFrom(docs, minDocs = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    // the two 5-grams inside the planted span appear in docs 1-3
+    assert(got.toSeq == Seq(
+      ("all rights reserved by the", 3L, 1L, 3L),
+      ("rights reserved by the publisher", 3L, 1L, 3L)))
+    // a repeated gram INSIDE one doc counts once (distinct per doc)
+    val twice = Seq((9L, s"$boiler $boiler"), (10L, boiler), (11L, boiler))
+      .toDF("doc_id", "text")
+    val df9 = Dedup.memorizationGramsFrom(twice, 3, 10).collect()
+    assert(df9.forall(_.getLong(1) == 3L))
+  }
+
   test("source_overlap: pairs roll up to ordered source cells with shares") {
     val rows = Dedup.sourceOverlap(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
