@@ -12,7 +12,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     // analytics core
     "q1_agg", "dim_flatten", "window_rank", "agg_skew_salted",
-    "events_window", "funnel_steps", "funnel_windowed", "drift_report",
+    "events_window", "funnel_steps", "funnel_windowed", "attribution",
+    "drift_report",
     "filter_pushdown",
     "asof_join",
     "asof_join_native",

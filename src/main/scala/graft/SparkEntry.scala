@@ -57,6 +57,7 @@ object SparkEntry {
     "memorization_grams" -> ((s, d) => Dedup.memorizationGrams(s, d)),
     "dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(s, d)),
     "funnel_windowed" -> ((s, d) => Analytics.funnelWindowed(s, d)),
+    "attribution" -> ((s, d) => Analytics.attribution(s, d)),
     "drift_report" -> ((s, d) => Analytics.driftReport(s, d)),
     "split_leakage" -> ((s, d) => Curation.splitLeakage(s, d)),
     "source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
@@ -285,6 +286,7 @@ object SparkEntry {
     "memorization_grams" -> Dedup.memorizationGramsOracle(),
     "dedup_threshold_sweep" -> Dedup.dedupThresholdSweepOracle(),
     "funnel_windowed" -> Analytics.funnelWindowedOracle(),
+    "attribution" -> Analytics.attributionOracle(),
     "drift_report" -> Analytics.driftOracle,
     "split_leakage" -> Curation.splitLeakageOracle(),
     "source_overlap" -> Dedup.sourceOverlapOracle(),

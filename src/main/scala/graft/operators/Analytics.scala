@@ -309,6 +309,84 @@ object Analytics {
               round((SELECT quantile_cont(delay_us, 0.5) FROM cv) / 1e6, 4)
                 AS p50_delay_s"""
 
+  /** §2 #135 — LAST-TOUCH ATTRIBUTION: each purchase is credited to
+    * the most recent view/click by the same user within `windowUs`
+    * before it, then rolled up per touch type (purchases with no
+    * in-window touch land in the 'none' bucket). The revenue-
+    * attribution table every marketing pipeline ends in, and a second
+    * real consumer of the engine's bounded per-user range-join shape.
+    *
+    * Scale shape: both sides pushdown-filter to their event types at
+    * the scan; the candidate join is a per-user equi-join with a time
+    * band (co-partitioned on user_id, candidates bounded by events/user
+    * /window); "last" is an argmax via one max(struct) aggregate keyed
+    * by purchase — no window function over the full stream, no global
+    * sort. The final rollup is a ≤3-row aggregate. */
+  def attribution(spark: SparkSession, sfDir: String,
+                  touches: Seq[String] = Seq("view", "click"),
+                  windowUs: Long = 86400000000L): DataFrame =
+    attributionFrom(
+      Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"), cents(col("value")).as("v_c")),
+      touches, windowUs)
+
+  /** Generic core over ANY (event_id, user_id, event_type, t, v_c)
+    * frame. Ties on the touch instant break on the larger touch
+    * event_id — a total, engine-independent order. */
+  def attributionFrom(ev: DataFrame, touches: Seq[String],
+                      windowUs: Long): DataFrame = {
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("t").as("t_p"), col("v_c"))
+    val o = ev.filter(col("event_type").isin(touches: _*))
+      .select(col("user_id"), col("t").as("t_o"),
+        col("event_id").as("oid"), col("event_type").as("touch"))
+    val last = p.join(o, Seq("user_id"))
+      .filter(col("t_o") < col("t_p")
+        && col("t_o") >= col("t_p") - windowUs)
+      .groupBy("pid")
+      .agg(max(struct(col("t_o"), col("oid"), col("touch"))).as("b"))
+      .select(col("pid"), col("b.touch").as("touch"))
+    p.join(last, Seq("pid"), "left")
+      .select(coalesce(col("touch"), lit("none")).as("touch_type"),
+        col("v_c"), col("user_id"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum("v_c").as("value_cents"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("touch_type")
+  }
+
+  /** DuckDB oracle for [[attribution]] (row_number replays the same
+    * (t, event_id) last-touch order). */
+  def attributionOracle(touches: Seq[String] = Seq("view", "click"),
+                        windowUs: Long = 86400000000L): String = {
+    val in = touches.map(t => s"'$t'").mkString(", ")
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+                     epoch_us(ts) AS t,
+                     CAST(round(value * 100) AS BIGINT) AS v_c
+                   FROM events),
+        p AS (SELECT event_id AS pid, user_id, t AS t_p, v_c FROM e
+              WHERE event_type = 'purchase'),
+        o AS (SELECT user_id, t AS t_o, event_id AS oid,
+                     event_type AS touch FROM e
+              WHERE event_type IN ($in)),
+        last AS (SELECT pid, touch FROM (
+              SELECT p.pid, o.touch,
+                row_number() OVER (PARTITION BY p.pid
+                  ORDER BY o.t_o DESC, o.oid DESC) AS rn
+              FROM p JOIN o ON o.user_id = p.user_id
+              WHERE o.t_o < p.t_p AND o.t_o >= p.t_p - $windowUs)
+            WHERE rn = 1)
+       SELECT coalesce(touch, 'none') AS touch_type,
+              count(*) AS n_purchases,
+              CAST(sum(v_c) AS BIGINT) AS value_cents,
+              count(DISTINCT user_id) AS n_users
+       FROM p LEFT JOIN last USING (pid)
+       GROUP BY 1 ORDER BY 1"""
+  }
+
   /** §2 #130 — DISTRIBUTION DRIFT report: event-type shares in the
     * first vs second half of the stream's time range, with per-type
     * absolute share drift — the monitoring table that decides "has the

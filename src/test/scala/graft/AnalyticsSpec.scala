@@ -262,4 +262,29 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq == expect)
   }
+
+  test("attribution: last in-window touch wins; tie breaks on event_id") {
+    import spark.implicits._
+    val m = 60000000L // one minute in micros
+    // (event_id, user_id, type, t, value_cents)
+    val ev = Seq(
+      // u1: view@1m, click@5m, purchase@10m -> click (later touch)
+      (1L, 1L, "view", 1 * m, 0L), (2L, 1L, "click", 5 * m, 0L),
+      (3L, 1L, "purchase", 10 * m, 500L),
+      // u2: only touch is AFTER the purchase -> none
+      (4L, 2L, "purchase", 10 * m, 700L), (5L, 2L, "view", 20 * m, 0L),
+      // u3: two touches at the SAME instant -> larger event_id (click)
+      (6L, 3L, "view", 2 * m, 0L), (7L, 3L, "click", 2 * m, 0L),
+      (8L, 3L, "purchase", 3 * m, 900L),
+      // u4: touch outside the 30m window -> none
+      (9L, 4L, "view", 0L, 0L), (10L, 4L, "purchase", 40 * m, 1100L))
+      .toDF("event_id", "user_id", "event_type", "t", "v_c")
+    val got = Analytics
+      .attributionFrom(ev, Seq("view", "click"), 30 * m).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      ("click", 2L, 1400L, 2L),   // u1 (500) + u3 (900)
+      ("none", 2L, 1800L, 2L)))   // u2 (700) + u4 (1100)
+  }
 }
