@@ -35,7 +35,8 @@ object Bench {
     "source_overlap",
     "dedup_threshold_sweep",
     // similarity / ANN
-    "ann_bruteforce", "knn_graph", "knn_graph_ann", "ann_recall_eval",
+    "ann_bruteforce", "knn_graph", "knn_graph_ann", "label_spread",
+    "ann_recall_eval",
     "ann_lsh", "ann_ivf", "ann_ivf_static",
     "ann_pq", "ann_ivfpq", "semantic_dedup", "hard_negatives",
     "embedding_dedup", "embedding_quantize", "quantize_eval",

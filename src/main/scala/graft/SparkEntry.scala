@@ -72,6 +72,7 @@ object SparkEntry {
     "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
     "knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "knn_graph_ann" -> ((s, d) => Similarity.knnGraphAnn(s, d)),
+    "label_spread" -> ((s, d) => Similarity.labelSpread(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     // C. LLM-data-pipeline: text analysis
     "text_stats" -> (TextAnalysis.textStats _),
@@ -424,6 +425,7 @@ object SparkEntry {
     "ann_lsh" -> Similarity.lshOracle(),
     "ann_ivf_static" -> Similarity.ivfStaticOracle(),
     "knn_graph_ann" -> Similarity.knnGraphAnnOracle(),
+    "label_spread" -> Similarity.labelSpreadOracle(),
     "ann_pq" -> Similarity.pqTrainedOracle(),
     "ann_ivfpq" -> Similarity.ivfPqTrainedOracle(),
     "semantic_dedup" -> Similarity.semanticDedupOracle(),

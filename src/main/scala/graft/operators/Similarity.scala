@@ -172,6 +172,92 @@ object Similarity {
         ORDER BY src_id, e.rnk"""
   }
 
+  /** §2 #136 — LABEL SPREAD: semi-supervised label propagation from a
+    * seed registry — every unlabeled vector takes the MAJORITY label of
+    * its k nearest seeds (cosine; vote ties break on the smaller
+    * label), evaluated against the held-back true labels per class.
+    * This is how a small curated label set (here: every 5th vector)
+    * fans out over a 100 TB embedding corpus — domain tagging, quality
+    * tiers, language families — without a trained classifier.
+    *
+    * Scale shape: the SEED side is the small curated set and is
+    * broadcast; the corpus side streams map-only through scoring into
+    * the bounded [[graft.functions.TopKByScoreAgg]] per-query
+    * aggregate. Votes and the per-class evaluation are two further
+    * ≤ N×k hash aggregates. No N² pair ever materializes, no window
+    * over the corpus. */
+  def labelSpread(spark: SparkSession, sfDir: String, k: Int = 5,
+                  seedMod: Int = 5): DataFrame =
+    labelSpreadFrom(vectors(spark, sfDir), k, seedMod)
+
+  /** Generic core over ANY (vec_id, label, embedding, nrm) frame. */
+  def labelSpreadFrom(v: DataFrame, k: Int, seedMod: Int): DataFrame = {
+    val seeds = v.filter(col("vec_id") % seedMod === 0)
+    val queries = v.filter(col("vec_id") % seedMod =!= 0)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("embedding").as("e_q"), col("nrm").as("n_q"))
+    val cands = seeds.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("e_c"), col("nrm").as("n_c"))
+    val edges = rankTopK(queries.join(broadcast(cands))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
+          .as("cos")), k)
+    val seedLabels = seeds.select(col("vec_id").as("neighbor_id"),
+      col("label").as("nb_label"))
+    val pred = edges.join(broadcast(seedLabels), "neighbor_id")
+      .groupBy("query_id", "nb_label").agg(count(lit(1)).as("c"))
+      .groupBy("query_id")
+      .agg(min(struct((-col("c")).as("nc"), col("nb_label").as("lbl")))
+        .as("b"))
+      .select(col("query_id"), col("b.lbl").as("pred_label"))
+    val seedCounts = seeds.groupBy(col("label")).agg(count(lit(1)).as("n_seed"))
+    queries.select(col("query_id"), col("true_label"))
+      .join(pred, "query_id")
+      .groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .join(seedCounts, "label")
+      .select(col("label"), col("n_seed"), col("n_eval"), col("n_correct"),
+        round(col("n_correct") / col("n_eval").cast("double"), 4).as("acc4"))
+      .orderBy("label")
+  }
+
+  /** DuckDB oracle for [[labelSpread]]: the same rank/vote/argmax
+    * chain replayed with window functions. */
+  def labelSpreadOracle(k: Int = 5, seedMod: Int = 5): String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    s"""WITH n AS (SELECT vec_id, label, embedding,
+          sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+        sd AS (SELECT * FROM n WHERE vec_id % $seedMod = 0),
+        qs AS (SELECT * FROM n WHERE vec_id % $seedMod <> 0),
+        e AS (SELECT query_id, nb_label FROM (
+            SELECT q.vec_id AS query_id, s.label AS nb_label,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ${dot("q.embedding", "s.embedding")} / (q.nrm * s.nrm) DESC,
+                s.vec_id) AS rnk
+            FROM qs q JOIN sd s ON true)
+          WHERE rnk <= $k),
+        votes AS (SELECT query_id, nb_label, count(*) AS c
+                  FROM e GROUP BY 1, 2),
+        pred AS (SELECT query_id, nb_label AS pred_label FROM (
+            SELECT query_id, nb_label, row_number() OVER (
+              PARTITION BY query_id ORDER BY c DESC, nb_label) AS vr
+            FROM votes) WHERE vr = 1),
+        ev AS (SELECT q.label AS label,
+                 count(*) AS n_eval,
+                 CAST(sum(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_correct
+               FROM qs q JOIN pred p ON p.query_id = q.vec_id
+               GROUP BY 1),
+        sc AS (SELECT label, count(*) AS n_seed FROM sd GROUP BY 1)
+       SELECT label, n_seed, n_eval, n_correct,
+              round(n_correct / CAST(n_eval AS DOUBLE), 4) AS acc4
+       FROM ev JOIN sc USING (label) ORDER BY label"""
+  }
+
   /** §2 #119 — ANN RECALL evaluation: recall@k of the two fully
     * deterministic index paths (static-quantizer IVF, static-plane
     * LSH) against the exact brute-force truth — the eval that decides

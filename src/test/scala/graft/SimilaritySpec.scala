@@ -229,4 +229,46 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), "cell join must be an equi-join")
     assert(!plan.contains("Window"), "ranking must stay the bounded aggregate")
   }
+
+  test("label_spread: per-class eval partitions the non-seed set exactly") {
+    val rows = Similarity.labelSpread(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // classes partition the held-back set: seeds + evals = corpus
+    val nSeeds = rows.map(_._2).sum
+    val nEval = rows.map(_._3).sum
+    assert(nSeeds + nEval == 500L, s"$nSeeds seeds + $nEval evals")
+    rows.foreach { case (label, _, nEv, nCor, acc) =>
+      assert(nCor <= nEv, s"label $label")
+      assert(acc == math.round(nCor.toDouble / nEv * 10000) / 10000.0)
+    }
+    // seed side broadcast, ranking bounded: no window over the corpus
+    val plan = planOf(Similarity.labelSpread(spark, sf))
+    assert(!plan.contains("Window"), "ranking must stay the bounded aggregate")
+    assert(plan.contains("Broadcast"), "seed registry must broadcast")
+  }
+
+  test("label_spread: geometrically clustered classes propagate exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{aggregate, col, lit, sqrt}
+    // two tight clusters on orthogonal axes; vec_id % 5 == 0 are seeds
+    def vec(main: Int, id: Long): (Long, Int, Array[Float]) = {
+      val e = Array.fill(4)(0.01f * (id % 3))
+      e(main) = 1f
+      (id, main, e)
+    }
+    // class 0 on axis 0: ids 0,5,10 seeds + 1,2 queries
+    // class 1 on axis 1: ids 15,20 seeds + 6,7,21 queries
+    val rows = Seq(vec(0, 0L), vec(0, 5L), vec(0, 10L), vec(0, 1L),
+      vec(0, 2L), vec(1, 15L), vec(1, 20L), vec(1, 6L), vec(1, 7L),
+      vec(1, 21L))
+    val v = rows.toDF("vec_id", "label", "embedding")
+      .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0d),
+        (acc, x) => acc + x * x)))
+    val got = Similarity.labelSpreadFrom(v, k = 2, seedMod = 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // every query's 2 nearest seeds are its own cluster -> perfect acc
+    assert(got == Seq((0, 3L, 2L, 2L, 1.0), (1, 2L, 3L, 3L, 1.0)))
+  }
 }
