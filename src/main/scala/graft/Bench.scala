@@ -24,7 +24,8 @@ object Bench {
     "k_anonymity", "corpus_concentration",
     "deterministic_sample",
     "value_histogram", "profile_table", "outlier_fences", "compact_files",
-    "schema_evolution", "xlsx_keys", "retention_cohorts", "scd2_intervals",
+    "schema_evolution", "zorder_layout", "xlsx_keys", "retention_cohorts",
+    "scd2_intervals",
     "event_dedup",
     // dedup family
     "dedup_exact", "para_dedup", "line_dedup", "text_normalize",

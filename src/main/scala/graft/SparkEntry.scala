@@ -104,6 +104,7 @@ object SparkEntry {
     "outlier_fences" -> (Quality.outlierFences _),
     "compact_files" -> ((s, d) => Maintenance.compactFiles(s, d)),
     "schema_evolution" -> (Maintenance.schemaEvolution _),
+    "zorder_layout" -> ((s, d) => Maintenance.zorderLayout(s, d)),
     "asof_join" -> (AsofJoin.asofJoin _),
     "sessionize" -> ((s, d) => Sessionize.sessionize(s, d)),
     "json_props" -> (JsonOps.jsonProps _),
@@ -1116,5 +1117,6 @@ object SparkEntry {
           count(DISTINCT o_orderkey) AS n_keys
           FROM orders""",
     "schema_evolution" -> Maintenance.schemaEvolutionOracle,
+    "zorder_layout" -> Maintenance.zorderLayoutOracle(),
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Filtering.cents
@@ -104,4 +104,90 @@ object Maintenance {
                     ELSE 'store' END AS channel
              FROM orders)
        GROUP BY 1 ORDER BY 1"""
+
+  /** Bit-interleave term for a Morton (Z-order) value over two
+    * `bits`-bit coordinates, rendered for either engine's integer
+    * division operator. Pure 64-bit arithmetic — identical results in
+    * Spark (`div`) and DuckDB (`//`). */
+  private def mortonTerms(bits: Int, divOp: String): String =
+    (0 until bits).map { i =>
+      s"((x $divOp ${1L << i}) % 2) * ${1L << (2 * i)}" +
+        s" + ((y $divOp ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** §2 #137 — Z-ORDER LAYOUT audit: the (customer, order-day) table
+    * laid out in `nFiles` Morton-order tiles vs a naive linear-on-
+    * customer layout, with the per-file bounding box each layout
+    * yields. The avg_box / avg_y_span gap IS the file-skipping
+    * argument for clustering 100 TB on interleaved keys: a date-range
+    * query touches every linear file (each spans the full date range)
+    * but only the z-tiles whose y-interval intersects it. The same
+    * min/max-per-file stats drive real parquet row-group pruning.
+    *
+    * Scale shape: one 1-row min/max aggregate broadcast back (the
+    * normalization bounds), then the z-value is MAP-ONLY integer
+    * arithmetic; each layout summary is two hash aggregates (rows →
+    * nFiles file stats → 1 row). The actual re-layout write at scale
+    * is `repartitionByRange(z)` — same z expression, one range
+    * shuffle; this query reports the evidence for paying it. */
+  def zorderLayout(spark: SparkSession, sfDir: String,
+                   bits: Int = 8, nFiles: Int = 64): DataFrame =
+    zorderLayoutFrom(
+      Tables.load(spark, sfDir, "orders").select(
+        col("o_custkey").as("xr"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("yr")),
+      bits, nFiles)
+
+  /** Generic core over ANY (xr, yr) integer-pair frame. */
+  def zorderLayoutFrom(df: DataFrame, bits: Int, nFiles: Int): DataFrame = {
+    val n = 1L << bits
+    val mm = df.agg(min("xr").as("minx"), max("xr").as("maxx"),
+      min("yr").as("miny"), max("yr").as("maxy"))
+    val scaled = df.crossJoin(broadcast(mm))
+      .select(expr(s"(xr - minx) * $n div (maxx - minx + 1)").as("x"),
+        expr(s"(yr - miny) * $n div (maxy - miny + 1)").as("y"))
+      .withColumn("z", expr(mortonTerms(bits, "div")))
+    def summarize(fileCol: Column, name: String) =
+      scaled.groupBy(fileCol.as("f"))
+        .agg(count(lit(1)).as("c"),
+          (max("x") - min("x") + 1).as("xs"),
+          (max("y") - min("y") + 1).as("ys"))
+        .agg(count(lit(1)).as("n_files"), sum("c").as("n_rows"),
+          round(avg(col("xs")), 4).as("avg_x_span"),
+          round(avg(col("ys")), 4).as("avg_y_span"),
+          round(avg(col("xs") * col("ys")), 4).as("avg_box"))
+        .select(lit(name).as("layout"), col("n_files"), col("n_rows"),
+          col("avg_x_span"), col("avg_y_span"), col("avg_box"))
+    summarize(expr(s"z div ${(1L << (2 * bits)) / nFiles}"), "zorder")
+      .unionByName(summarize(expr(s"x div ${n / nFiles}"), "linear"))
+      .orderBy("layout")
+  }
+
+  /** DuckDB oracle for [[zorderLayout]]. */
+  def zorderLayoutOracle(bits: Int = 8, nFiles: Int = 64): String = {
+    val n = 1L << bits
+    def leg(fileExpr: String, name: String) =
+      s"""SELECT '$name' AS layout, count(*) AS n_files,
+            CAST(sum(c) AS BIGINT) AS n_rows,
+            round(avg(xs), 4) AS avg_x_span,
+            round(avg(ys), 4) AS avg_y_span,
+            round(avg(xs * ys), 4) AS avg_box
+          FROM (SELECT $fileExpr AS f, count(*) AS c,
+                  max(x) - min(x) + 1 AS xs, max(y) - min(y) + 1 AS ys
+                FROM z GROUP BY 1)"""
+    s"""WITH b AS (SELECT o_custkey AS xr,
+              epoch_us(o_orderdate) // 86400000000 AS yr FROM orders),
+        mm AS (SELECT min(xr) AS minx, max(xr) AS maxx,
+                      min(yr) AS miny, max(yr) AS maxy FROM b),
+        s AS (SELECT (xr - minx) * $n // (maxx - minx + 1) AS x,
+                     (yr - miny) * $n // (maxy - miny + 1) AS y
+              FROM b, mm),
+        z AS (SELECT x, y, ${mortonTerms(bits, "//")} AS z FROM s)
+       SELECT * FROM (
+         ${leg(s"z // ${(1L << (2 * bits)) / nFiles}", "zorder")}
+         UNION ALL
+         ${leg(s"x // ${n / nFiles}", "linear")})
+       ORDER BY layout"""
+  }
 }

@@ -46,4 +46,22 @@ class MaintenanceSpec extends SparkSpec {
     // identical schemas diff to zero rows
     assert(Maintenance.diffSchemas(spark, v1, v1).count() == 0)
   }
+
+  test("zorder_layout: on a full grid z-tiles are squares, linear is stripes") {
+    import spark.implicits._
+    // full 16x16 grid, 4-bit coords, 16 files: Morton tiles are exact
+    // 4x4 squares; linear-on-x files are 1x16 columns
+    val grid = for { x <- 0 until 16; y <- 0 until 16 }
+      yield (x.toLong, y.toLong)
+    val got = Maintenance
+      .zorderLayoutFrom(grid.toDF("xr", "yr"), bits = 4, nFiles = 16)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      ("linear", 16L, 256L, 1.0, 16.0, 16.0),
+      ("zorder", 16L, 256L, 4.0, 4.0, 16.0)))
+    // a date-range (y) predicate touches 4/16 z-tiles but 16/16 stripes:
+    // that factor-4 avg_y_span gap is the pruning evidence
+  }
 }
