@@ -58,6 +58,8 @@ object SparkEntry {
     "dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(s, d)),
     "funnel_windowed" -> ((s, d) => Analytics.funnelWindowed(s, d)),
     "attribution" -> ((s, d) => Analytics.attribution(s, d)),
+    "path_transitions" -> (Analytics.pathTransitions _),
+    "totals_reconcile" -> (Quality.totalsReconcile _),
     "drift_report" -> ((s, d) => Analytics.driftReport(s, d)),
     "split_leakage" -> ((s, d) => Curation.splitLeakage(s, d)),
     "source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
@@ -289,6 +291,8 @@ object SparkEntry {
     "dedup_threshold_sweep" -> Dedup.dedupThresholdSweepOracle(),
     "funnel_windowed" -> Analytics.funnelWindowedOracle(),
     "attribution" -> Analytics.attributionOracle(),
+    "path_transitions" -> Analytics.pathTransitionsOracle,
+    "totals_reconcile" -> Quality.totalsReconcileOracle,
     "drift_report" -> Analytics.driftOracle,
     "split_leakage" -> Curation.splitLeakageOracle(),
     "source_overlap" -> Dedup.sourceOverlapOracle(),

@@ -387,6 +387,57 @@ object Analytics {
        GROUP BY 1 ORDER BY 1"""
   }
 
+  /** §2 #139 — PATH TRANSITIONS: the user-journey Markov table —
+    * counts and conditional probabilities of consecutive event-type
+    * transitions within each user's stream (ordered by (t, event_id),
+    * a total engine-independent order). The "what do users do next"
+    * flow map behind funnel design: funnel_steps assumes an order,
+    * this table MEASURES which orders actually happen.
+    *
+    * Scale shape: ONE window pass partitioned by user (the stream is
+    * already user-partitioned for sessionize; no global sort), then a
+    * tiny (type, type) hash aggregate and a per-prev-type share join —
+    * |types|² rows, data-independent. */
+  def pathTransitions(spark: SparkSession, sfDir: String): DataFrame =
+    pathTransitionsFrom(
+      Tables.load(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"), col("event_id")))
+
+  /** Generic core over ANY (user_id, event_type, t, event_id) frame. */
+  def pathTransitionsFrom(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val trans = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = trans.groupBy("prev_type")
+      .agg(sum("n").as("n_from"))
+    trans.join(fromTotals, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n") / col("n_from").cast("double"), 4).as("p4"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** DuckDB oracle for [[pathTransitions]]. */
+  val pathTransitionsOracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+                  FROM events),
+        s AS (SELECT event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY t, event_id) AS prev_type
+              FROM e),
+        tr AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+               FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        ft AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from
+               FROM tr GROUP BY 1)
+       SELECT prev_type, next_type, n,
+              round(n / CAST(n_from AS DOUBLE), 4) AS p4
+       FROM tr JOIN ft USING (prev_type)
+       ORDER BY prev_type, next_type"""
+
   /** §2 #130 — DISTRIBUTION DRIFT report: event-type shares in the
     * first vs second half of the stream's time range, with per-type
     * absolute share drift — the monitoring table that decides "has the

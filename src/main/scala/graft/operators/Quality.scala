@@ -469,6 +469,79 @@ object Quality {
          min(cnt) AS min_group, max(cnt) AS max_group
        FROM g"""
 
+  /** §2 #138 — PARENT/CHILD TOTALS RECONCILIATION: order headers vs
+    * the sum of their lines (extended price net of discount, plus
+    * tax), bucketed by integer-basis-point relative error — the
+    * source-vs-migrated financial audit every migration signs off on
+    * (the aggregate form of the reference's per-record validation
+    * path). Reports exact matches, ≤1%/≤10% bands, headers with no
+    * lines, and orphan line keys; on this synthetic fixture the bands
+    * are empty and the report says so — that divergence IS the
+    * audit's finding.
+    *
+    * All money stays in integer cents (`round(x*100)` per line BEFORE
+    * summing, identical in the oracle); the error measure is integer
+    * basis points, so every count and the median are engine-exact.
+    *
+    * Scale shape: one partial-combined per-key line aggregate (the
+    * same exchange any order-level query pays), a key equi-join
+    * against headers, one anti-join for orphans, then 1-row summary
+    * aggregates. Nothing wider than (key, cents) shuffles. */
+  def totalsReconcile(spark: SparkSession, sfDir: String): DataFrame =
+    totalsReconcileFrom(Tables.load(spark, sfDir, "orders"),
+      Tables.load(spark, sfDir, "lineitem"))
+
+  /** Generic core over ANY (o_orderkey, o_totalprice) header frame and
+    * (l_orderkey, l_extendedprice, l_discount, l_tax) line frame. */
+  def totalsReconcileFrom(o: DataFrame, l: DataFrame): DataFrame = {
+    val lineSums = l.groupBy(col("l_orderkey"))
+      .agg(sum(expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)" +
+          " * 100) as bigint)")).as("lc"))
+    val joined = o
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("oc"))
+      .join(lineSums, col("o_orderkey") === col("l_orderkey"), "left")
+    val orphans = lineSums
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+    joined.agg(
+      count(lit(1)).as("n_orders"),
+      sum(when(col("lc").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+      sum(when(col("lc") === col("oc"), 1L).otherwise(0L)).as("n_exact"),
+      sum(when(abs(col("lc") - col("oc")) * 10000 <= col("oc") * 100, 1L)
+        .otherwise(0L)).as("n_within_1pct"),
+      sum(when(abs(col("lc") - col("oc")) * 10000 <= col("oc") * 1000, 1L)
+        .otherwise(0L)).as("n_within_10pct"),
+      round(expr("percentile(abs(lc - oc) * 10000 div oc, 0.5D)"), 4)
+        .as("p50_err_bp"))
+      .crossJoin(broadcast(
+        orphans.agg(count(lit(1)).as("n_orphan_line_keys"))))
+  }
+
+  /** DuckDB oracle for [[totalsReconcile]]. */
+  val totalsReconcileOracle: String =
+    """WITH l AS (SELECT l_orderkey,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                    * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS lc
+            FROM lineitem GROUP BY 1),
+        j AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS oc, lc
+              FROM orders LEFT JOIN l ON l_orderkey = o_orderkey),
+        orph AS (SELECT count(*) AS n_orphan_line_keys FROM l
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+       SELECT count(*) AS n_orders,
+         CAST(sum(CASE WHEN lc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_no_lines,
+         CAST(sum(CASE WHEN lc = oc THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact,
+         CAST(sum(CASE WHEN abs(lc - oc) * 10000 <= oc * 100
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+         CAST(sum(CASE WHEN abs(lc - oc) * 10000 <= oc * 1000
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_within_10pct,
+         round(quantile_cont(abs(lc - oc) * 10000 // oc, 0.5), 4)
+           AS p50_err_bp,
+         (SELECT n_orphan_line_keys FROM orph) AS n_orphan_line_keys
+       FROM j"""
+
   /** §2 #133 — CORPUS CONCENTRATION report: Gini coefficient and
     * top-1%/top-10% character share of the document length
     * distribution — the "how unequal is this corpus" monitoring row

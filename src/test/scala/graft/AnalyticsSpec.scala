@@ -287,4 +287,24 @@ class AnalyticsSpec extends SparkSpec {
       ("click", 2L, 1400L, 2L),   // u1 (500) + u3 (900)
       ("none", 2L, 1800L, 2L)))   // u2 (700) + u4 (1100)
   }
+
+  test("path_transitions: per-user lag pairs with conditional shares") {
+    import spark.implicits._
+    // u1: a->b->a ; u2: a->b ; first events produce no transition.
+    // from 'a': 2×(a->b); from 'b': 1×(b->a)
+    val ev = Seq(
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (1L, "a", 30L, 3L),
+      (2L, "a", 10L, 4L), (2L, "b", 20L, 5L))
+      .toDF("user_id", "event_type", "t", "event_id")
+    val got = graft.operators.Analytics.pathTransitionsFrom(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+    // same-timestamp ties order by event_id: b(t=20,id=5) after a(id=4)
+    val tie = Seq((3L, "x", 10L, 7L), (3L, "y", 10L, 6L))
+      .toDF("user_id", "event_type", "t", "event_id")
+    val gotTie = graft.operators.Analytics.pathTransitionsFrom(tie)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(gotTie == Seq(("y", "x")))
+  }
 }

@@ -211,4 +211,25 @@ class QualitySpec extends SparkSpec {
     assert(r1.getAs[Double]("top1_share") == 1.0)   // k1 clamps to 1 doc
     assert(r1.getAs[Double]("top10_share") == 1.0)
   }
+
+  test("totals_reconcile: exact/band/no-line/orphan buckets are exact") {
+    import spark.implicits._
+    // header 1: lines sum exactly; header 2: +5% off; header 3: no lines;
+    // line key 99: orphan (no header)
+    val o = Seq((1L, 100.00), (2L, 100.00), (3L, 50.00))
+      .toDF("o_orderkey", "o_totalprice")
+    val l = Seq(
+      (1L, 100.00, 0.0, 0.0),     // = 10000 cents exactly
+      (2L, 105.00, 0.0, 0.0),     // 10500 vs 10000 -> 500 bp
+      (99L, 1.00, 0.0, 0.0))      // orphan
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val r = Quality.totalsReconcileFrom(o, l).collect().head
+    assert(r.getAs[Long]("n_orders") == 3L)
+    assert(r.getAs[Long]("n_no_lines") == 1L)
+    assert(r.getAs[Long]("n_exact") == 1L)
+    assert(r.getAs[Long]("n_within_1pct") == 1L)    // only the exact one
+    assert(r.getAs[Long]("n_within_10pct") == 2L)   // exact + the 5% miss
+    assert(r.getAs[Double]("p50_err_bp") == 250.0)  // median of {0, 500}
+    assert(r.getAs[Long]("n_orphan_line_keys") == 1L)
+  }
 }
