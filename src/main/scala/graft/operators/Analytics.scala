@@ -331,11 +331,13 @@ object Analytics {
           unix_micros(col("ts")).as("t"), cents(col("value")).as("v_c")),
       touches, windowUs)
 
-  /** Generic core over ANY (event_id, user_id, event_type, t, v_c)
-    * frame. Ties on the touch instant break on the larger touch
-    * event_id — a total, engine-independent order. */
-  def attributionFrom(ev: DataFrame, touches: Seq[String],
-                      windowUs: Long): DataFrame = {
+  /** Per-purchase assignment half of [[attributionFrom]]: one row per
+    * purchase with its credited touch type ('none' when no in-window
+    * touch). Ties on the touch instant break on the larger touch
+    * event_id — a total, engine-independent order. Also the batch twin
+    * of [[graft.streaming.StreamAttribution]]. */
+  def attributionAssignFrom(ev: DataFrame, touches: Seq[String],
+                            windowUs: Long): DataFrame = {
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("pid"), col("user_id"),
         col("t").as("t_p"), col("v_c"))
@@ -349,14 +351,20 @@ object Analytics {
       .agg(max(struct(col("t_o"), col("oid"), col("touch"))).as("b"))
       .select(col("pid"), col("b.touch").as("touch"))
     p.join(last, Seq("pid"), "left")
-      .select(coalesce(col("touch"), lit("none")).as("touch_type"),
-        col("v_c"), col("user_id"))
+      .select(col("pid"), col("user_id"),
+        coalesce(col("touch"), lit("none")).as("touch_type"), col("v_c"))
+  }
+
+  /** Generic core over ANY (event_id, user_id, event_type, t, v_c)
+    * frame: [[attributionAssignFrom]] rolled up per touch type. */
+  def attributionFrom(ev: DataFrame, touches: Seq[String],
+                      windowUs: Long): DataFrame =
+    attributionAssignFrom(ev, touches, windowUs)
       .groupBy("touch_type")
       .agg(count(lit(1)).as("n_purchases"),
         sum("v_c").as("value_cents"),
         countDistinct("user_id").as("n_users"))
       .orderBy("touch_type")
-  }
 
   /** DuckDB oracle for [[attribution]] (row_number replays the same
     * (t, event_id) last-touch order). */

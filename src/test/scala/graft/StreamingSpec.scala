@@ -215,6 +215,39 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("stream attribution: per-purchase credits equal the batch assign") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamAttribution.AttrEvent
+    val evDf = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"),
+        graft.operators.Filtering.cents(col("value")).as("v_c"))
+    val evs = evDf.as[AttrEvent].collect().sortBy(e => (e.t, e.event_id))
+
+    val input = MemoryStream[AttrEvent]
+    val q = graft.streaming.StreamAttribution
+      .attributed(input.toDS(), Set("view", "click"), 86400000000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_attr").start()
+    try {
+      // three time-ordered micro-batches (the replay stance)
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table("stream_attr").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    val batch = graft.operators.Analytics
+      .attributionAssignFrom(evDf, Seq("view", "click"), 86400000000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("sessionizer: gap splits and watermark timeout close sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
