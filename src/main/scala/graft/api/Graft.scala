@@ -159,6 +159,31 @@ object Graft {
   def funnelSteps(events: DataFrame, steps: Seq[String]): DataFrame =
     graft.operators.Analytics.funnelStepsFrom(events, steps)
 
+  /** Last-touch attribution over (event_id, user_id, event_type, t,
+    * v_c) events: one row per purchase with its credited touch type
+    * ('none' when no in-window touch). */
+  def attributePurchases(events: DataFrame, touches: Seq[String],
+                         windowUs: Long): DataFrame =
+    graft.operators.Analytics.attributionAssignFrom(events, touches, windowUs)
+
+  /** Markov transition table of consecutive event types per user:
+    * (prev_type, next_type, n, conditional share). */
+  def pathTransitions(events: DataFrame): DataFrame =
+    graft.operators.Analytics.pathTransitionsFrom(events)
+
+  /** Corpus-level memorization audit: word `k`-grams appearing in at
+    * least `minDocs` distinct documents, with df and doc-id range. */
+  def memorizationGrams(docs: DataFrame, minDocs: Int = 3,
+                        topK: Int = 40): DataFrame =
+    graft.operators.Dedup.memorizationGramsFrom(docs, minDocs, topK)
+
+  /** Majority-vote label propagation: non-seed vectors (vec_id %
+    * seedMod != 0) take the majority label of their k nearest seeds;
+    * per-class accuracy evaluation against held-back labels. */
+  def labelSpread(vectors: DataFrame, k: Int = 5,
+                  seedMod: Int = 5): DataFrame =
+    graft.operators.Similarity.labelSpreadFrom(vectors, k, seedMod)
+
   /** Per-vector int8 max-abs quantization summary → (vec_id, scale4,
     * checksum, max_err6, maxabs6). `embs` = (vec_id, embedding). */
   def quantizeEmbeddings(embs: DataFrame): DataFrame =
@@ -192,6 +217,26 @@ object Graft {
   def integrityChecksum(df: DataFrame, rowText: Column,
                         groupCol: Column): DataFrame =
     graft.operators.Quality.integrityChecksumFrom(df, rowText, groupCol)
+
+  /** K-anonymity audit: equivalence-class sizes over the given
+    * quasi-identifier columns, summarized into one risk row. */
+  def kAnonymity(df: DataFrame, quasi: Seq[Column], k: Int = 5): DataFrame =
+    graft.operators.Quality.kAnonymityFrom(df, quasi, k)
+
+  /** Gini + top-share concentration report of a length column,
+    * computed from its histogram (int64-exact). */
+  def corpusConcentration(docs: DataFrame, lenCol: Column): DataFrame =
+    graft.operators.Quality.corpusConcentrationFrom(docs, lenCol)
+
+  /** Header-vs-lines totals reconciliation in integer cents with
+    * error-band buckets and orphan counts (migration sign-off). */
+  def totalsReconcile(orders: DataFrame, lines: DataFrame): DataFrame =
+    graft.operators.Quality.totalsReconcileFrom(orders, lines)
+
+  /** Morton-tile vs linear file-layout audit over an integer key pair:
+    * per-file bounding-box stats per layout. */
+  def zorderLayout(df: DataFrame, bits: Int = 8, nFiles: Int = 64): DataFrame =
+    graft.operators.Maintenance.zorderLayoutFrom(df, bits, nFiles)
 
   // --------------------------------------------------------- streaming
 
