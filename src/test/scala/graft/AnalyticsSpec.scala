@@ -286,6 +286,10 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Seq(
       ("click", 2L, 1400L, 2L),   // u1 (500) + u3 (900)
       ("none", 2L, 1800L, 2L)))   // u2 (700) + u4 (1100)
+    // "last" must be the argmax aggregate, not a window over the stream
+    val plan = planOf(Analytics.attribution(spark, sf))
+    assert(!plan.contains("Window"), "no window over the event stream")
+    assert(!plan.contains("Cartesian"), "per-user equi-join only")
   }
 
   test("path_transitions: per-user lag pairs with conditional shares") {
@@ -306,5 +310,10 @@ class AnalyticsSpec extends SparkSpec {
     val gotTie = graft.operators.Analytics.pathTransitionsFrom(tie)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(gotTie == Seq(("y", "x")))
+    // the single window pass is user-partitioned, never a global sort
+    val plan = planOf(graft.operators.Analytics.pathTransitions(spark, sf))
+    assert(plan.contains("Window"), "lag runs as a window")
+    assert(plan.contains("windowspecdefinition(user_id"),
+      "window must partition by user")
   }
 }
