@@ -248,6 +248,39 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("stream path transitions: edges equal the batch lag on ordered replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamPathTransitions.PathEvent
+    val evDf = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+    val evs = evDf.as[PathEvent].collect().sortBy(e => (e.t, e.event_id))
+
+    val input = MemoryStream[PathEvent]
+    val q = graft.streaming.StreamPathTransitions
+      .transitions(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_paths").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // rolling the edge stream up reproduces the batch Markov table
+    val streamed = spark.table("stream_paths")
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.Analytics.pathTransitionsFrom(evDf)
+      .select("prev_type", "next_type", "n").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("sessionizer: gap splits and watermark timeout close sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
