@@ -40,6 +40,20 @@ class CodegenSpec extends SparkSpec {
     assertCodegen("dedup_simhash", Dedup.dedupSimhash(spark, sf))
   }
 
+  test("round-7 audit operators stay inside whole-stage codegen") {
+    assertCodegen("k_anonymity",
+      graft.operators.Quality.kAnonymity(spark, sf))
+    assertCodegen("attribution", Analytics.attribution(spark, sf))
+    // (totals_reconcile is exempt: its only unstarred Project is the
+    // one-column broadcast-build prep Spark keeps outside WSCG)
+    assertCodegen("memorization_grams",
+      Dedup.memorizationGrams(spark, sf))
+    // the Morton interleave is a pure-arithmetic expression chain — it
+    // must codegen or the whole scan interprets
+    assertCodegen("zorder_layout",
+      graft.operators.Maintenance.zorderLayout(spark, sf))
+  }
+
   test("label-propagation round over an internalLeaf stays codegen'd") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
