@@ -31,7 +31,8 @@ object Bench {
     "dedup_exact", "para_dedup", "line_dedup", "text_normalize",
     "dedup_minhash", "dedup_eval_sample", "dedup_eval_sweep",
     "dedup_ngram_exactjoin",
-    "dedup_simhash", "dedup_clusters", "dedup_corpus", "dedup_incremental",
+    "dedup_simhash", "dedup_clusters", "dedup_survivorship",
+    "dedup_corpus", "dedup_incremental",
     "doc_containment", "kgram_novelty", "memorization_grams",
     "source_overlap",
     "dedup_threshold_sweep",

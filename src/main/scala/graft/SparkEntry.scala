@@ -66,6 +66,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_ngram_exactjoin" -> ((s, d) => Dedup.dedupNgramExactjoin(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_survivorship" -> ((s, d) => Dedup.dedupSurvivorship(s, d)),
     "dedup_corpus" -> ((s, d) => Dedup.dedupCorpus(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     // C. LLM-data-pipeline: similarity / ANN
@@ -355,6 +356,7 @@ object SparkEntry {
                  (SELECT count(*) FROM lab WHERE id = cluster_id) AS n_out""",
     // connected components over the same exact verified pairs, via a
     // recursive transitive-closure CTE; min reachable id = cluster id
+    "dedup_survivorship" -> Dedup.dedupSurvivorshipOracle(),
     "dedup_clusters" ->
       s"""${graft.functions.TextShingles.duckdbShingleCte
               .replaceFirst("WITH sh", "WITH RECURSIVE sh")},

@@ -597,6 +597,69 @@ object Dedup {
       pairs, maxIters)
   }
 
+  /** §2 #142 — DEDUP SURVIVORSHIP: which member of each near-dup
+    * cluster survives, under the longest-member-wins policy (ties →
+    * smaller doc_id) — and how many characters each cluster drops.
+    * dedup_corpus's min-id canonical is an ARBITRARY choice; a real
+    * corpus keeps the superset document (the containment argument:
+    * near-dup members are usually truncations of the longest), and this
+    * table is the policy's audit trail: per multi-member cluster, the
+    * keeper, its size, and the bytes retired.
+    *
+    * Scale shape: clusters come from the proven bounded propagation;
+    * the policy itself is ONE join to (doc_id, n_chars) + ONE
+    * per-cluster argmax via min(struct) — no window over the corpus,
+    * output bounded by the multi-member cluster count. */
+  def dedupSurvivorship(spark: SparkSession, sfDir: String,
+                        tau: Double = 0.3): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val clusters = dedupClusters(spark, sfDir, tau)
+      .filter(col("n_members") > 1)
+      .select(col("doc_id"), col("cluster_id"))
+    clusters.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("n_chars")).as("neg"), col("doc_id").as("id")))
+          .as("b"),
+        sum("n_chars").as("chars_total"))
+      .select(col("cluster_id"), col("n_members"),
+        col("b.id").as("kept_doc"), (-col("b.neg")).as("kept_chars"),
+        (col("chars_total") + col("b.neg")).as("chars_dropped"))
+      .orderBy("cluster_id")
+  }
+
+  /** DuckDB oracle for [[dedupSurvivorship]]: the recursive-CTE
+    * cluster truth + a row_number replay of the argmax policy. */
+  def dedupSurvivorshipOracle(tau: Double = 0.3): String =
+    s"""${graft.functions.TextShingles.duckdbShingleCte
+            .replaceFirst("WITH sh", "WITH RECURSIVE sh")},
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                >= $tau),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+        mem AS (SELECT lab.cluster_id, lab.id AS doc_id, d.n_chars
+                FROM lab JOIN documents d ON d.doc_id = lab.id),
+        sz AS (SELECT cluster_id, count(*) AS n_members,
+                 CAST(sum(n_chars) AS BIGINT) AS chars_total
+               FROM mem GROUP BY 1 HAVING count(*) > 1),
+        keep AS (SELECT cluster_id, doc_id AS kept_doc,
+                   n_chars AS kept_chars FROM (
+            SELECT *, row_number() OVER (PARTITION BY cluster_id
+              ORDER BY n_chars DESC, doc_id) AS rn FROM mem)
+          WHERE rn = 1)
+       SELECT s.cluster_id, s.n_members, k.kept_doc, k.kept_chars,
+              s.chars_total - k.kept_chars AS chars_dropped
+       FROM sz s JOIN keep k USING (cluster_id) ORDER BY cluster_id"""
+
   /** Rounds the last clustersFromPairs call took to converge (debug/spec
     * seam — the pointer-halving loop should stay at O(log diameter)). */
   @volatile private[graft] var lastPropagationRounds: Int = 0

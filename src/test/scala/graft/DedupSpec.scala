@@ -294,6 +294,29 @@ class DedupSpec extends SparkSpec {
     assert(df9.forall(_.getLong(1) == 3L))
   }
 
+  test("dedup_survivorship: longest member survives, char accounting exact") {
+    val rows = Dedup.dedupSurvivorship(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty, "fixture has multi-member clusters")
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .filter(_.getAs[Long]("n_members") > 1)
+      .groupBy(_.getAs[Long]("cluster_id"))
+    assert(rows.length == clusters.size)
+    rows.foreach { case (cid, n, kept, keptChars, dropped) =>
+      val members = clusters(cid).map(_.getAs[Long]("doc_id"))
+      assert(members.length.toLong == n)
+      // the keeper is the longest member (ties: smallest id)
+      val expect = members.map(d => (-docs(d), d)).min._2
+      assert(kept == expect, s"cluster $cid kept $kept expected $expect")
+      assert(keptChars == docs(kept))
+      assert(dropped == members.map(docs).sum - keptChars)
+    }
+  }
+
   test("source_overlap: pairs roll up to ordered source cells with shares") {
     val rows = Dedup.sourceOverlap(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
