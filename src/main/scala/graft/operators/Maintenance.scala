@@ -109,7 +109,7 @@ object Maintenance {
     * `bits`-bit coordinates, rendered for either engine's integer
     * division operator. Pure 64-bit arithmetic — identical results in
     * Spark (`div`) and DuckDB (`//`). */
-  private def mortonTerms(bits: Int, divOp: String): String =
+  private[graft] def mortonTerms(bits: Int, divOp: String): String =
     (0 until bits).map { i =>
       s"((x $divOp ${1L << i}) % 2) * ${1L << (2 * i)}" +
         s" + ((y $divOp ${1L << i}) % 2) * ${1L << (2 * i + 1)}"

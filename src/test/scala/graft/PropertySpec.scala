@@ -134,4 +134,49 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"xs=$xs")
     }
   }
+
+  test("Morton terms == reference bit interleave; bijective on 8-bit pairs") {
+    import spark.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.sum
+    val coord = Gen.choose(0L, 255L)
+    val pairs = (1L to 20L).map(s =>
+      (sample(coord, s), sample(coord, 1000 + s)))
+    val got = pairs.toDF("x", "y")
+      .withColumn("z",
+        expr(graft.operators.Maintenance.mortonTerms(8, "div")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) =>
+      assert(z == ref(x, y, 8), s"($x,$y)")
+      assert(z >= 0 && z < 65536)
+    }
+    // bijection: the full 32x32 low square has 1024 distinct z values
+    val grid = for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y)
+    val zs = grid.toDF("x", "y")
+      .withColumn("z",
+        expr(graft.operators.Maintenance.mortonTerms(8, "div")))
+      .collect().map(_.getLong(2))
+    assert(zs.distinct.length == 1024 && zs.forall(z => z >= 0 && z < 1024))
+  }
+
+  test("Gini: in [0,1), scale-invariant, ordered against known extremes") {
+    import spark.implicits._
+    import graft.operators.Quality
+    (1L to 10L).foreach { seed =>
+      val lens = sample(Gen.nonEmptyListOf(Gen.choose(1L, 5000L)), seed)
+      def giniOf(xs: Seq[Long]): (Double, Double, Double) = {
+        val r = Quality.corpusConcentrationFrom(
+          xs.zipWithIndex.toDF("len", "i"), col("len")).collect().head
+        (r.getAs[Double]("gini6"), r.getAs[Double]("top1_share"),
+          r.getAs[Double]("top10_share"))
+      }
+      val (g, t1, t10) = giniOf(lens)
+      assert(g >= 0.0 && g < 1.0, s"gini=$g lens=$lens")
+      assert(t1 <= t10 + 1e-9 && t10 <= 1.0, s"shares $t1/$t10")
+      // scale invariance: tripling every length moves no statistic
+      assert(giniOf(lens.map(_ * 3)) == ((g, t1, t10)), s"lens=$lens")
+    }
+  }
 }
