@@ -44,7 +44,7 @@ object Bench {
     "embedding_dedup", "embedding_quantize", "quantize_eval",
     // text analysis
     "text_stats", "token_count", "lang_id", "quality_filter",
-    "quality_funnel",
+    "quality_funnel", "quality_calibration",
     "doc_winnow", "doc_fingerprint", "text_shingles", "seq_pack",
     "ngram_lm", "quality_repetition", "lm_perplexity", "charset_gate",
     "stratified_sample", "vocab_coverage", "word_pmi", "quality_model",

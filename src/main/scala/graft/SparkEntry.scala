@@ -80,6 +80,7 @@ object SparkEntry {
     // C. LLM-data-pipeline: text analysis
     "text_stats" -> (TextAnalysis.textStats _),
     "lang_id" -> (TextAnalysis.langId _),
+    "quality_calibration" -> (TextAnalysis.qualityCalibration _),
     "token_count" -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "text_shingles" -> (TextAnalysis.textShingles _),
@@ -519,6 +520,7 @@ object SparkEntry {
                     '\b(?:the|and|is|of|to)\b', 0)) AS BIGINT) AS n_stop
                 FROM documents)
           ORDER BY doc_id""",
+    "quality_calibration" -> TextAnalysis.qualityCalibrationOracle,
     "lang_id" ->
       s"""SELECT doc_id, pred_lang, pred_lang = lang AS is_match FROM (
             SELECT doc_id, lang, ${graft.operators.TextAnalysis.langCaseSql}

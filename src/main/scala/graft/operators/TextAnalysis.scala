@@ -578,6 +578,83 @@ object TextAnalysis {
               round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS accepted
        FROM z ORDER BY doc_id"""
 
+  /** §2 #143 — QUALITY-SCORE CALIBRATION: the quality_model score
+    * bucketed into deciles, each decile scored against an INDEPENDENT
+    * quality proxy (language-ID agreement with the labeled lang) — the
+    * reliability table that decides whether the score's 0.5 admission
+    * threshold means anything before a 100 TB corpus is cut with it. A
+    * well-calibrated score shows lang-ID agreement rising with the
+    * decile; a flat column says the model ranks noise.
+    *
+    * Decile means are DECIMAL-summed (scores are exact 4-dp values, so
+    * the sum is exact and order-independent — the entropy/mix-report
+    * stance) and divided once in double; the agreement rate is an
+    * integer ratio. Scale shape: two map-only per-doc passes (the score
+    * formula and the lang-ID regex counts — one corpus scan each, no
+    * text shuffle), one doc_id equi-join, one ≤10-row hash aggregate. */
+  def qualityCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val qm = qualityModel(spark, sfDir).select(col("doc_id"), col("score"))
+    val li = langId(spark, sfDir).select(col("doc_id"), col("is_match"))
+    qm.join(li, "doc_id")
+      .withColumn("decile",
+        least(floor(col("score") * 10), lit(9L)).cast("int"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score").cast("decimal(18,4)")).as("score_sum"),
+        sum(when(col("is_match"), 1L).otherwise(0L)).as("n_lang_ok"))
+      .select(col("decile"), col("n_docs"),
+        round(col("score_sum").cast("double") / col("n_docs"), 4)
+          .as("mean_score"),
+        col("n_lang_ok"),
+        round(col("n_lang_ok") / col("n_docs").cast("double"), 4)
+          .as("lang_ok_rate"))
+      .orderBy("decile")
+  }
+
+  /** DuckDB oracle for [[qualityCalibration]] — the quality_model and
+    * lang_id oracle pipelines joined and decile-bucketed. */
+  val qualityCalibrationOracle: String =
+    s"""WITH s AS (SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_calc,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_words,
+             CAST(len(regexp_extract_all(text, '[.,!?;:]', 0)) AS BIGINT)
+               AS n_punct,
+             CAST(len(regexp_extract_all(lower(text),
+               '\\b(?:the|and|is|of|to)\\b', 0)) AS BIGINT) AS n_stop
+           FROM documents),
+        f AS (SELECT doc_id,
+             -2.0 + 0.9 * ln(n_words + 1.0)
+               + 3.0 * round(n_stop / n_words, 4)
+               - 8.0 * round(n_punct / n_chars_calc, 4) AS z FROM s),
+        q AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS score
+              FROM f),
+        li AS (SELECT doc_id, pred_lang = lang AS is_match FROM (
+            SELECT doc_id, lang, $langCaseSql AS pred_lang
+            FROM (SELECT doc_id, lang,
+                    len(regexp_extract_all(text,
+                      '[\\x{4e00}-\\x{9fff}]', 0)) AS c_zh,
+                    len(regexp_extract_all(lower(text),
+                      '\\b(?:the|and|is|of|to)\\b', 0)) AS c_en,
+                    len(regexp_extract_all(lower(text),
+                      '\\b(?:der|die|und|ist|das)\\b', 0)) AS c_de,
+                    len(regexp_extract_all(lower(text),
+                      '\\b(?:le|la|et|est|les)\\b', 0)) AS c_fr,
+                    len(regexp_extract_all(lower(text),
+                      '\\b(?:el|los|y|es|una)\\b', 0)) AS c_es
+                  FROM documents))),
+        j AS (SELECT CAST(least(floor(score * 10), 9) AS INTEGER)
+                AS decile, score, is_match
+              FROM q JOIN li USING (doc_id))
+       SELECT decile, count(*) AS n_docs,
+         round(CAST(sum(CAST(score AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*), 4) AS mean_score,
+         CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lang_ok,
+         round(sum(CASE WHEN is_match THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 4) AS lang_ok_rate
+       FROM j GROUP BY 1 ORDER BY 1"""
+
   /** Generic core: INVERTED-INDEX build over ANY (doc_id, text) frame
     * — per term: document frequency, collection frequency, posting
     * span, and an ORDER-INDEPENDENT postings checksum (decimal sum of

@@ -411,4 +411,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == ((7L, 6L, true, sha("ring \u00C5"))))
     assert(got(5L) == ((15L, 10L, true, sha("spaced out"))))
   }
+
+  test("quality_calibration: deciles partition the corpus, means in bounds") {
+    val rows = TextAnalysis.qualityCalibration(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+    val n = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_._2).sum == n, "every doc lands in exactly one decile")
+    rows.foreach { case (d, nd, mean, ok, rate) =>
+      assert(d >= 0 && d <= 9)
+      // decile means sit inside their bucket (top bucket includes 1.0)
+      assert(mean >= d / 10.0 - 1e-9, s"decile $d mean $mean")
+      assert(mean <= (d + 1) / 10.0 + (if (d == 9) 0.1 else 1e-9))
+      assert(ok <= nd)
+      assert(rate == math.round(ok.toDouble / nd * 10000) / 10000.0)
+    }
+  }
 }
