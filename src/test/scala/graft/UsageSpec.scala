@@ -201,4 +201,54 @@ class UsageSpec extends SparkSpec {
       concat_ws("|", col("k"), col("v")), lit("t")).collect().head
     assert(a.getLong(2) == b.getLong(2))
   }
+
+  test("facade: round-7 audit entry points work on ad-hoc frames") {
+    import spark.implicits._
+
+    // k-anonymity over one quasi-identifier column
+    val ka = Graft.kAnonymity(
+      Seq("a", "a", "a", "b").zipWithIndex.toDF("g", "i"),
+      Seq(col("g")), k = 2).collect().head
+    assert(ka.getAs[Long]("n_risky_groups") == 1L)
+
+    // concentration of an all-equal corpus is gini 0
+    val cc = Graft.corpusConcentration(
+      Seq.fill(5)(10L).zipWithIndex.toDF("len", "i"), col("len"))
+      .collect().head
+    assert(cc.getAs[Double]("gini6") == 0.0)
+
+    // attribution on a two-event frame
+    val at = Graft.attributePurchases(
+      Seq((1L, 1L, "view", 10L, 0L), (2L, 1L, "purchase", 20L, 100L))
+        .toDF("event_id", "user_id", "event_type", "t", "v_c"),
+      Seq("view"), windowUs = 100L).collect().head
+    assert(at.getString(2) == "view")
+
+    // path transitions
+    val pt = Graft.pathTransitions(
+      Seq((1L, "a", 1L, 1L), (1L, "b", 2L, 2L))
+        .toDF("user_id", "event_type", "t", "event_id")).collect().head
+    assert((pt.getString(0), pt.getString(1)) == (("a", "b")))
+
+    // memorization grams on a planted repeat
+    val span = "one two three four five"
+    val mg = Graft.memorizationGrams(
+      Seq((1L, span), (2L, span)).toDF("doc_id", "text"), minDocs = 2)
+      .collect()
+    assert(mg.length == 1 && mg.head.getLong(1) == 2L)
+
+    // totals reconcile: exact match counts as exact
+    val tr = Graft.totalsReconcile(
+      Seq((1L, 10.0)).toDF("o_orderkey", "o_totalprice"),
+      Seq((1L, 10.0, 0.0, 0.0))
+        .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax"))
+      .collect().head
+    assert(tr.getAs[Long]("n_exact") == 1L)
+
+    // zorder layout runs on an arbitrary integer pair frame
+    val zl = Graft.zorderLayout(
+      (for { x <- 0L until 8L; y <- 0L until 8L } yield (x, y))
+        .toDF("xr", "yr"), bits = 3, nFiles = 4).collect()
+    assert(zl.map(_.getString(0)).toSeq == Seq("linear", "zorder"))
+  }
 }
