@@ -13,7 +13,8 @@ object Bench {
     // analytics core
     "q1_agg", "dim_flatten", "window_rank", "agg_skew_salted",
     "events_window", "funnel_steps", "funnel_windowed", "attribution",
-    "path_transitions", "totals_reconcile", "drift_report",
+    "path_transitions", "totals_reconcile", "events_anomaly",
+    "drift_report",
     "filter_pushdown",
     "asof_join",
     "asof_join_native",

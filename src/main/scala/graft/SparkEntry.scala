@@ -59,6 +59,7 @@ object SparkEntry {
     "funnel_windowed" -> ((s, d) => Analytics.funnelWindowed(s, d)),
     "attribution" -> ((s, d) => Analytics.attribution(s, d)),
     "path_transitions" -> (Analytics.pathTransitions _),
+    "events_anomaly" -> ((s, d) => Analytics.eventsAnomaly(s, d)),
     "totals_reconcile" -> (Quality.totalsReconcile _),
     "drift_report" -> ((s, d) => Analytics.driftReport(s, d)),
     "split_leakage" -> ((s, d) => Curation.splitLeakage(s, d)),
@@ -294,6 +295,7 @@ object SparkEntry {
     "funnel_windowed" -> Analytics.funnelWindowedOracle(),
     "attribution" -> Analytics.attributionOracle(),
     "path_transitions" -> Analytics.pathTransitionsOracle,
+    "events_anomaly" -> Analytics.eventsAnomalyOracle(),
     "totals_reconcile" -> Quality.totalsReconcileOracle,
     "drift_report" -> Analytics.driftOracle,
     "split_leakage" -> Curation.splitLeakageOracle(),

@@ -429,6 +429,54 @@ object Analytics {
       .orderBy("prev_type", "next_type")
   }
 
+  /** §2 #144 — DAILY-VOLUME ANOMALY report: per-day event counts
+    * scored by robust deviation from the median (|n − median| / MAD —
+    * the median/MAD pair shrugs off the outliers a mean/stddev pair
+    * would absorb), each day flagged when its deviation exceeds
+    * `k`×MAD. The ingest-monitoring table that catches a dropped feed
+    * or a replay storm BEFORE it skews a training snapshot — the
+    * volume-side complement of drift_report's distribution side.
+    *
+    * Scale shape: ONE day-grain hash aggregate over the stream (the
+    * only corpus-scale pass), then medians over the BOUNDED day table
+    * and two 1-row broadcasts back. Exact integer day counts; the two
+    * interpolated medians are the proven percentile/quantile_cont
+    * cross-engine pair. */
+  def eventsAnomaly(spark: SparkSession, sfDir: String,
+                    k: Double = 3.0): DataFrame =
+    eventsAnomalyFrom(
+      Tables.load(spark, sfDir, "events")
+        .select(expr("unix_micros(ts) div 86400000000").as("day")), k)
+
+  /** Generic core over ANY single-column (day) frame. */
+  def eventsAnomalyFrom(days: DataFrame, k: Double): DataFrame = {
+    val d = days.groupBy("day").agg(count(lit(1)).as("n"))
+    val med = d.agg(expr("percentile(n, 0.5D)").as("med"))
+    val dev = d.crossJoin(broadcast(med))
+      .withColumn("adev", abs(col("n") - col("med")))
+    val mad = dev.agg(expr("percentile(adev, 0.5D)").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("n"),
+        round(col("med"), 4).as("med4"),
+        round(col("mad"), 4).as("mad4"),
+        when(col("mad") > 0, round(col("adev") / col("mad"), 4))
+          .as("score4"),
+        (col("adev") > col("mad") * k).as("is_anomaly"))
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for [[eventsAnomaly]]. */
+  def eventsAnomalyOracle(k: Double = 3.0): String =
+    s"""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+              count(*) AS n FROM events GROUP BY 1),
+        m AS (SELECT quantile_cont(n, 0.5) AS med FROM d),
+        dv AS (SELECT day, n, med, abs(n - med) AS adev FROM d, m),
+        md AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dv)
+       SELECT day, n, round(med, 4) AS med4, round(mad, 4) AS mad4,
+              CASE WHEN mad > 0 THEN round(adev / mad, 4) END AS score4,
+              adev > mad * $k AS is_anomaly
+       FROM dv, md ORDER BY day"""
+
   /** DuckDB oracle for [[pathTransitions]]. */
   val pathTransitionsOracle: String =
     """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id

@@ -316,4 +316,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(user_id"),
       "window must partition by user")
   }
+
+  test("events_anomaly: hand-built spike flagged; median/MAD exact") {
+    import spark.implicits._
+    // 7 quiet days of 10 events + one day of 100: med=10, MAD=0 on the
+    // quiet fixture would null scores, so stagger counts 8..14
+    val days = (0L to 6L).flatMap(d => Seq.fill(8 + d.toInt)(d)) ++
+      Seq.fill(100)(7L)
+    val got = graft.operators.Analytics
+      .eventsAnomalyFrom(days.toDF("day"), 3.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    // counts 8,9,10,11,12,13,14,100: med = 11.5, adevs
+    // 3.5,2.5,1.5,.5,.5,1.5,2.5,88.5 -> mad = 2.0
+    assert(got.forall(r => r._3 == 11.5 && r._4 == 2.0))
+    val flagged = got.filter(_._6).map(_._1)
+    assert(flagged.toSeq == Seq(7L), s"flagged=$flagged")
+    assert(got.find(_._1 == 7L).get._5 == 44.25)   // 88.5 / 2.0
+  }
 }
