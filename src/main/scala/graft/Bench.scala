@@ -33,7 +33,7 @@ object Bench {
     "dedup_minhash", "dedup_eval_sample", "dedup_eval_sweep",
     "dedup_ngram_exactjoin",
     "dedup_simhash", "dedup_clusters", "dedup_survivorship",
-    "dedup_corpus", "dedup_incremental",
+    "dedup_corpus", "dedup_audit_composed", "dedup_incremental",
     "doc_containment", "kgram_novelty", "memorization_grams",
     "source_overlap",
     "dedup_threshold_sweep",
@@ -146,6 +146,12 @@ object Bench {
     val total = ok.map(_._2).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The driver captures only the TAIL of this process's output, and the
+    // big one-line JSON above is routinely truncated from the left — the
+    // total and the first ~40 per-query timings vanish. Re-emit the
+    // headline numbers as a final compact line so they always survive a
+    // tail capture of any length.
+    println(f"""{"total_s":$total%.3f,"n":${ok.size},"n_err":${timed.size - ok.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

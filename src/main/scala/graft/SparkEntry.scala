@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_survivorship" -> ((s, d) => Dedup.dedupSurvivorship(s, d)),
     "dedup_corpus" -> ((s, d) => Dedup.dedupCorpus(s, d)),
+    "dedup_audit_composed" -> ((s, d) => Dedup.dedupAuditComposed(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     // C. LLM-data-pipeline: similarity / ANN
     "embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(s, d)),
@@ -360,6 +361,7 @@ object SparkEntry {
     // connected components over the same exact verified pairs, via a
     // recursive transitive-closure CTE; min reachable id = cluster id
     "dedup_survivorship" -> Dedup.dedupSurvivorshipOracle(),
+    "dedup_audit_composed" -> Dedup.dedupAuditComposedOracle(),
     "dedup_clusters" ->
       s"""${graft.functions.TextShingles.duckdbShingleCte
               .replaceFirst("WITH sh", "WITH RECURSIVE sh")},

@@ -590,12 +590,19 @@ object Dedup {
     * large-star/small-star for log-round convergence — same join shape.
     */
   def dedupClusters(spark: SparkSession, sfDir: String,
-                    tau: Double = 0.3, maxIters: Int = 20): DataFrame = {
-    val pairs = dedupNgramExactjoin(spark, sfDir, tau).select("id_a", "id_b")
-    clustersFromPairs(
+                    tau: Double = 0.3, maxIters: Int = 20): DataFrame =
+    dedupClustersFromPairs(
       Tables.load(spark, sfDir, "documents").select(col("doc_id")),
-      pairs, maxIters)
-  }
+      dedupNgramExactjoin(spark, sfDir, tau), maxIters)
+
+  /** Artifact-consuming core: connected components over an
+    * ALREADY-VERIFIED pair table (id_a, id_b[, j4]) — see
+    * [[verifiedPairsToDir]]. Public seam of [[clustersFromPairs]] so a
+    * materialized pair artifact feeds cluster formation without
+    * re-paying the corpus-scale prefix join. */
+  def dedupClustersFromPairs(nodes: DataFrame, pairTable: DataFrame,
+                             maxIters: Int = 20): DataFrame =
+    clustersFromPairs(nodes, pairTable.select("id_a", "id_b"), maxIters)
 
   /** §2 #142 — DEDUP SURVIVORSHIP: which member of each near-dup
     * cluster survives, under the longest-member-wins policy (ties →
@@ -611,9 +618,19 @@ object Dedup {
     * per-cluster argmax via min(struct) — no window over the corpus,
     * output bounded by the multi-member cluster count. */
   def dedupSurvivorship(spark: SparkSession, sfDir: String,
-                        tau: Double = 0.3): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
-    val clusters = dedupClusters(spark, sfDir, tau)
+                        tau: Double = 0.3): DataFrame =
+    dedupSurvivorshipFromPairs(
+      dedupNgramExactjoin(spark, sfDir, tau),
+      Tables.load(spark, sfDir, "documents"))
+
+  /** Artifact-consuming core: the survivorship policy over an
+    * ALREADY-VERIFIED pair table — see [[verifiedPairsToDir]]. Clusters
+    * come from the bounded propagation over the artifact's edges; the
+    * policy is ONE join to (doc_id, n_chars) + ONE per-cluster argmax. */
+  def dedupSurvivorshipFromPairs(pairTable: DataFrame, docs: DataFrame,
+                                 maxIters: Int = 20): DataFrame = {
+    val clusters = dedupClustersFromPairs(
+        docs.select(col("doc_id")), pairTable, maxIters)
       .filter(col("n_members") > 1)
       .select(col("doc_id"), col("cluster_id"))
     clusters.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
@@ -805,6 +822,32 @@ object Dedup {
         col("n_out"))
   }
 
+  /** Artifact-consuming core of [[dedupCorpus]]: the same audit summary
+    * from an ALREADY-VERIFIED pair table built over the FULL corpus at
+    * the same `tau` — see [[verifiedPairsToDir]]. Jaccard is pairwise
+    * (independent of the rest of the corpus), so the near-dup pairs
+    * among the exact-dedup survivors are EXACTLY the artifact's pairs
+    * with both endpoints canonical — two semi-joins against the (small)
+    * canonical-id set replace the corpus-scale prefix join.
+    * DedupPairsSpec proves equality with [[dedupCorpus]]. */
+  def dedupCorpusFromPairs(docs: DataFrame, pairTable: DataFrame): DataFrame = {
+    val exactCanon = TransientCaches.register(exactCanonical(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val survPairs = pairTable.select("id_a", "id_b")
+      .join(exactCanon.select(col("doc_id").as("id_a")), Seq("id_a"), "leftsemi")
+      .join(exactCanon.select(col("doc_id").as("id_b")), Seq("id_b"), "leftsemi")
+    val kept = clustersFromPairs(exactCanon, survPairs, maxIters = 20)
+      .filter(col("is_canonical"))
+      .select("doc_id")
+    docs.select(col("doc_id")).agg(count(lit(1)).as("n_in"))
+      .crossJoin(exactCanon.agg(count(lit(1)).as("n_exact_canon")))
+      .crossJoin(kept.agg(count(lit(1)).as("n_out")))
+      .select(col("n_in"),
+        (col("n_in") - col("n_exact_canon")).as("n_exact_removed"),
+        (col("n_exact_canon") - col("n_out")).as("n_near_removed"),
+        col("n_out"))
+  }
+
   /** Canonical (min doc_id) survivor per distinct normalized content. */
   private def exactCanonical(docs: DataFrame): DataFrame = {
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
@@ -930,11 +973,20 @@ object Dedup {
     * theorem) and is cached; each threshold row is then two counts
     * over the bounded verified-pair list. */
   def dedupThresholdSweep(spark: SparkSession, sfDir: String,
-                          taus: Seq[Double] = Seq(0.3, 0.5, 0.7)): DataFrame = {
+                          taus: Seq[Double] = Seq(0.3, 0.5, 0.7)): DataFrame =
+    dedupThresholdSweepFromPairs(
+      dedupNgramExactjoin(spark, sfDir, taus.min), taus)
+
+  /** Artifact-consuming core: the threshold table over an
+    * ALREADY-VERIFIED pair table carrying j4, whose verification floor
+    * must be ≤ `taus.min` — see [[verifiedPairsToDir]]. Each threshold
+    * row is two counts over the bounded pair list. */
+  def dedupThresholdSweepFromPairs(pairTable: DataFrame,
+                                   taus: Seq[Double] = Seq(0.3, 0.5, 0.7))
+      : DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = TransientCaches.register(
-      dedupNgramExactjoin(spark, sfDir, taus.min)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+      pairTable.persist(StorageLevel.MEMORY_AND_DISK))
     pairs.count()
     taus.sorted.map { t =>
       val p = pairs.filter(col("j4") >= t)
@@ -1080,9 +1132,19 @@ object Dedup {
     * Sources are ordered lexicographically within a pair so each
     * unordered source pair lands in exactly one cell. */
   def sourceOverlap(spark: SparkSession, sfDir: String,
-                    tau: Double = 0.3): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
-    val pairs = dedupNgramExactjoin(spark, sfDir, tau).select("id_a", "id_b")
+                    tau: Double = 0.3): DataFrame =
+    sourceOverlapFromPairs(
+      dedupNgramExactjoin(spark, sfDir, tau),
+      Tables.load(spark, sfDir, "documents"))
+
+  /** Artifact-consuming core: the same rollup over an ALREADY-VERIFIED
+    * pair table (id_a, id_b[, j4]) — see [[verifiedPairsToDir]]. The
+    * rollup itself is two broadcast-friendly joins + one tiny
+    * (source, source) aggregate; at 100 TB this is the shape that runs,
+    * reading the materialized pair artifact instead of re-paying the
+    * corpus-scale prefix join. */
+  def sourceOverlapFromPairs(pairTable: DataFrame, docs: DataFrame): DataFrame = {
+    val pairs = pairTable.select("id_a", "id_b")
     val src = docs.select(col("doc_id"), col("source"))
     val labeled = pairs
       .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
@@ -1206,6 +1268,144 @@ object Dedup {
        ORDER BY id_a, id_b"""
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets. */
+  /** The MATERIALIZED verified-pair artifact: run the exact prefix-filter
+    * join ONCE at `tau` and write (id_a, id_b, j4) as parquet. At 100 TB
+    * the corpus-scale join dominates the dedup audit family's cost — a
+    * production pipeline executes it one time per corpus version, writes
+    * this table, and every downstream audit ([[sourceOverlapFromPairs]],
+    * [[dedupSurvivorshipFromPairs]], [[dedupClustersFromPairs]],
+    * [[dedupThresholdSweepFromPairs]], [[dedupCorpusFromPairs]]) reads
+    * the artifact instead of re-paying the join. `tau` is the artifact's
+    * verification floor: every pair with Jaccard ≥ tau is present with
+    * its exact 4-decimal similarity, so any audit at a threshold ≥ tau
+    * filters `j4` — the prefix-filter theorem gives perfect recall at
+    * the floor, hence at every higher threshold. The driver's standalone
+    * audit queries stay self-contained by contract;
+    * [[dedupAuditComposed]] is the artifact-reusing composition. */
+  def verifiedPairsToDir(spark: SparkSession, sfDir: String, dir: String,
+                         tau: Double = 0.3): Unit =
+    dedupNgramExactjoin(spark, sfDir, tau)
+      .write.mode("overwrite").parquet(dir)
+
+  /** Read back a [[verifiedPairsToDir]] artifact. */
+  def readVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** §2 #148 — the PRODUCTION-SHAPED dedup audit: materialize the
+    * verified-pair artifact once ([[verifiedPairsToDir]]), then run the
+    * whole audit family off it — source overlap, survivorship,
+    * threshold sweep, and the end-to-end corpus accounting — into one
+    * summary row. Standalone, the five audits each re-pay the same
+    * corpus-scale prefix join; composed, the join runs ONCE and every
+    * audit is a cheap rollup over the bounded pair table. This is the
+    * shape a 100 TB pipeline actually executes.
+    *
+    * Column contract (audit scalars, all BIGINT):
+    * n_pairs / n_docs_affected — artifact size at the floor tau;
+    * n_source_cells — populated cells of the source-overlap matrix;
+    * n_clusters_multi / chars_dropped_total — survivorship rollup;
+    * n_pairs_hi — pairs still paired at the highest sweep threshold;
+    * n_in / n_exact_removed / n_near_removed / n_out — corpus audit. */
+  def dedupAuditComposed(spark: SparkSession, sfDir: String,
+                         taus: Seq[Double] = Seq(0.3, 0.5, 0.7)): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val dir = ExportImport.scratch("verified-pairs")
+    verifiedPairsToDir(spark, sfDir, dir, taus.min)
+    // the artifact read feeds every audit below — persist the (bounded)
+    // pair table so each rollup is a cache scan, not a parquet re-read
+    val pairs = TransientCaches.register(readVerifiedPairs(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    pairs.count()
+    val docs = Tables.load(spark, sfDir, "documents")
+
+    val affected = pairs.select(col("id_a").as("d"))
+      .unionAll(pairs.select(col("id_b").as("d"))).distinct()
+    val overlap = sourceOverlapFromPairs(pairs, docs)
+    val surv = dedupSurvivorshipFromPairs(pairs, docs)
+    val corpus = dedupCorpusFromPairs(docs, pairs)
+
+    pairs.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(affected.agg(count(lit(1)).as("n_docs_affected"))))
+      .crossJoin(broadcast(overlap.agg(count(lit(1)).as("n_source_cells"))))
+      .crossJoin(broadcast(surv.agg(count(lit(1)).as("n_clusters_multi"),
+        coalesce(sum("chars_dropped"), lit(0L)).as("chars_dropped_total"))))
+      .crossJoin(broadcast(pairs.filter(col("j4") >= taus.max)
+        .agg(count(lit(1)).as("n_pairs_hi"))))
+      .crossJoin(broadcast(corpus))
+  }
+
+  /** DuckDB oracle for [[dedupAuditComposed]]: the all-pairs truth at
+    * the floor tau, then every audit scalar replayed off that one pair
+    * table — transitive-closure CTEs for the cluster-based columns
+    * (full corpus for survivorship, exact-canonical endpoints for the
+    * corpus audit). */
+  def dedupAuditComposedOracle(
+      taus: Seq[Double] = Seq(0.3, 0.5, 0.7)): String =
+    s"""${graft.functions.TextShingles.duckdbShingleCte
+            .replaceFirst("WITH sh", "WITH RECURSIVE sh")},
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                  4) AS j4
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.s) > 0 AND len(b.s) > 0
+            AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                >= ${taus.min}),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                  UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+        reach(id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+        mem AS (SELECT lab.cluster_id, lab.id AS doc_id, d.n_chars
+                FROM lab JOIN documents d ON d.doc_id = lab.id),
+        sz AS (SELECT cluster_id, count(*) AS n_members,
+                 CAST(sum(n_chars) AS BIGINT) AS chars_total
+               FROM mem GROUP BY 1 HAVING count(*) > 1),
+        keep AS (SELECT cluster_id, n_chars AS kept_chars FROM (
+            SELECT *, row_number() OVER (PARTITION BY cluster_id
+              ORDER BY n_chars DESC, doc_id) AS rn FROM mem)
+          WHERE rn = 1),
+        srcmap AS (SELECT least(da.source, db.source) AS sa,
+                          greatest(da.source, db.source) AS sb
+                   FROM p
+                   JOIN documents da ON da.doc_id = p.id_a
+                   JOIN documents db ON db.doc_id = p.id_b),
+        norm AS (SELECT doc_id,
+                   sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                     AS h
+                 FROM documents),
+        canon AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY h),
+        cp AS (SELECT id_a, id_b FROM p
+               WHERE id_a IN (SELECT doc_id FROM canon)
+                 AND id_b IN (SELECT doc_id FROM canon)),
+        cedges AS (SELECT id_a AS src, id_b AS dst FROM cp
+                   UNION ALL SELECT id_b AS src, id_a AS dst FROM cp),
+        creach(id, lbl) AS (
+          SELECT doc_id, doc_id FROM canon
+          UNION
+          SELECT e.dst, r.lbl FROM creach r JOIN cedges e ON e.src = r.id),
+        clab AS (SELECT id, min(lbl) AS cluster_id FROM creach GROUP BY id)
+       SELECT
+         (SELECT count(*) FROM p) AS n_pairs,
+         (SELECT count(DISTINCT d) FROM (
+            SELECT id_a AS d FROM p UNION ALL SELECT id_b FROM p))
+           AS n_docs_affected,
+         (SELECT count(*) FROM (SELECT sa, sb FROM srcmap GROUP BY sa, sb))
+           AS n_source_cells,
+         (SELECT count(*) FROM sz) AS n_clusters_multi,
+         (SELECT CAST(coalesce(sum(s.chars_total - k.kept_chars), 0) AS BIGINT)
+          FROM sz s JOIN keep k USING (cluster_id)) AS chars_dropped_total,
+         (SELECT count(*) FROM p WHERE j4 >= ${taus.max}) AS n_pairs_hi,
+         (SELECT count(*) FROM documents) AS n_in,
+         (SELECT count(*) FROM documents) - (SELECT count(*) FROM canon)
+           AS n_exact_removed,
+         (SELECT count(*) FROM clab WHERE id <> cluster_id) AS n_near_removed,
+         (SELECT count(*) FROM clab WHERE id = cluster_id) AS n_out"""
+
   private def verifyPairs(pairs: DataFrame, docs: DataFrame,
                           tau: Double): DataFrame = {
     val sa = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))

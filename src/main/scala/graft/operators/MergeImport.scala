@@ -83,8 +83,29 @@ object MergeImport {
                           keys: Map[String, String],
                           fks: Map[String, (String, String, String)] = Map.empty)
       : Seq[AppliedTable] = {
+    val ordered = graft.sources.PackageIO.tablesInOrder(dir)
+    // FK-vs-order topology guard: the declared processing order is a
+    // CONTRACT, not a hint — a child FK-gated against a parent that the
+    // apply sequence has not reached yet would validate against the
+    // parent's PRE-package state and silently mis-gate rows (accepting
+    // orphans of deleted parents, rejecting children of arriving ones).
+    // A cyclic in-package FK graph has no valid order at all. Both fail
+    // loudly here, before any data moves. (Reference analog: the apply
+    // loop's ordered SETCURRENTKEY contract, Codeunit 60000:58-65.)
+    val pos = ordered.map(_._1).zipWithIndex.toMap
+    val badEdges = fks.collect {
+      case (child, (fkCol, parent, _))
+          if pos.contains(child) && pos.contains(parent)
+            && pos(parent) >= pos(child) =>
+        s"$child.$fkCol -> $parent (child applies at position " +
+          s"${pos(child) + 1}, parent at ${pos(parent) + 1})"
+    }
+    require(badEdges.isEmpty,
+      "package processing order contradicts the FK graph (parents must " +
+        s"apply before children; a cycle has no valid order): " +
+        badEdges.mkString("; "))
     val state = scala.collection.mutable.Map(base.toSeq: _*)
-    graft.sources.PackageIO.tablesInOrder(dir).map { case (name, ord) =>
+    ordered.map { case (name, ord) =>
       val inc = graft.sources.PackageIO.readTable(spark, dir, name)
       val (accepted, rejected) = fks.get(name) match {
         case Some((childCol, parent, parentCol)) =>

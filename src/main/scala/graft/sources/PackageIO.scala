@@ -59,12 +59,36 @@ object PackageIO {
 
   /** Package tables in ascending processing order (then name), parsed
     * back from the manifest the package was written with — the apply
-    * loop's `SETCURRENTKEY(..., "Processing Order")` equivalent. */
+    * loop's `SETCURRENTKEY(..., "Processing Order")` equivalent.
+    *
+    * Parsed with a real JSON parser (json4s, shipped with Spark), not a
+    * field-order-sensitive regex: a manifest produced by another writer,
+    * a reordered field, or an extra field must still round-trip — and a
+    * manifest with no readable table entries fails LOUDLY instead of
+    * silently applying nothing. */
   def tablesInOrder(dir: String): Seq[(String, Int)] = {
-    val m = manifest(dir)
-    val entry = """"table":"([^"]+)","rows":\d+,"proc_order":(\d+)""".r
-    entry.findAllMatchIn(m)
-      .map(g => (g.group(1), g.group(2).toInt)).toSeq
-      .sortBy { case (n, o) => (o, n) }
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val path = s"$dir/_manifest.json"
+    val parsed = JsonMethods.parseOpt(manifest(dir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"package manifest at $path is not valid JSON"))
+    val entries = parsed match {
+      case JArray(items) => items.collect {
+        case obj: JObject =>
+          val fields = obj.obj.toMap
+          (fields.get("table"), fields.get("proc_order")) match {
+            case (Some(JString(name)), Some(JInt(ord))) => (name, ord.toInt)
+            case _ => throw new IllegalArgumentException(
+              s"package manifest at $path: entry missing " +
+                s""""table"/"proc_order": ${JsonMethods.compact(obj)}""")
+          }
+      }
+      case _ => throw new IllegalArgumentException(
+        s"package manifest at $path must be a JSON array of table entries")
+    }
+    require(entries.nonEmpty,
+      s"package manifest at $path lists no tables — nothing to apply")
+    entries.sortBy { case (n, o) => (o, n) }
   }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{Dedup, ExportImport}
+import org.apache.spark.sql.DataFrame
+
+/** The verified-pairs artifact and its consuming audit family: one
+  * materialized exact prefix join must reproduce every standalone audit
+  * bit-for-bit — the production shape a 100 TB pipeline runs (ONE
+  * corpus-scale join per corpus version, every audit a rollup over the
+  * bounded pair table). */
+class DedupPairsSpec extends SparkSpec {
+
+  private def rowsOf(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private lazy val pairsDir: String = {
+    val dir = ExportImport.scratch("spec-verified-pairs")
+    Dedup.verifiedPairsToDir(spark, sf, dir, tau = 0.3)
+    dir
+  }
+  private lazy val pairs: DataFrame = Dedup.readVerifiedPairs(spark, pairsDir)
+  private lazy val docs: DataFrame = Tables.load(spark, sf, "documents")
+
+  test("artifact round-trips the exact join (schema + rows)") {
+    val direct = Dedup.dedupNgramExactjoin(spark, sf, 0.3)
+    assert(pairs.columns.toSeq == Seq("id_a", "id_b", "j4"))
+    assert(rowsOf(pairs.orderBy("id_a", "id_b")) == rowsOf(direct))
+    assert(pairs.count() > 0, "fixture must contain near-dup pairs")
+  }
+
+  test("sourceOverlapFromPairs(artifact) == standalone source_overlap") {
+    assert(rowsOf(Dedup.sourceOverlapFromPairs(pairs, docs))
+      == rowsOf(Dedup.sourceOverlap(spark, sf)))
+  }
+
+  test("dedupClustersFromPairs(artifact) == standalone dedup_clusters") {
+    assert(rowsOf(Dedup.dedupClustersFromPairs(docs.select("doc_id"), pairs))
+      == rowsOf(Dedup.dedupClusters(spark, sf)))
+  }
+
+  test("dedupSurvivorshipFromPairs(artifact) == standalone survivorship") {
+    assert(rowsOf(Dedup.dedupSurvivorshipFromPairs(pairs, docs))
+      == rowsOf(Dedup.dedupSurvivorship(spark, sf)))
+  }
+
+  test("dedupThresholdSweepFromPairs(artifact) == standalone sweep") {
+    assert(rowsOf(Dedup.dedupThresholdSweepFromPairs(pairs))
+      == rowsOf(Dedup.dedupThresholdSweep(spark, sf)))
+  }
+
+  test("dedupCorpusFromPairs(artifact) == standalone dedup_corpus") {
+    // Jaccard is pairwise, so the full-corpus artifact restricted to
+    // exact-canonical endpoints equals the join recomputed over the
+    // survivors — the equality that makes the artifact reusable across
+    // the whole audit family
+    assert(rowsOf(Dedup.dedupCorpusFromPairs(docs, pairs))
+      == rowsOf(Dedup.dedupCorpus(spark, sf)))
+  }
+
+  test("dedup_audit_composed summary matches the standalone audits") {
+    val r = Dedup.dedupAuditComposed(spark, sf).collect().head
+    assert(r.getAs[Long]("n_pairs") == pairs.count())
+    assert(r.getAs[Long]("n_source_cells")
+      == Dedup.sourceOverlap(spark, sf).count())
+    val surv = Dedup.dedupSurvivorship(spark, sf).collect()
+    assert(r.getAs[Long]("n_clusters_multi") == surv.length.toLong)
+    assert(r.getAs[Long]("chars_dropped_total")
+      == surv.map(_.getAs[Long]("chars_dropped")).sum)
+    val corpus = Dedup.dedupCorpus(spark, sf).collect().head
+    assert(r.getAs[Long]("n_in") == corpus.getAs[Long]("n_in"))
+    assert(r.getAs[Long]("n_out") == corpus.getAs[Long]("n_out"))
+    // the high-threshold pair count equals the 0.7 sweep row
+    val hi = Dedup.dedupThresholdSweep(spark, sf).collect()
+      .find(_.getAs[Double]("tau") == 0.7).get
+    assert(r.getAs[Long]("n_pairs_hi") == hi.getAs[Long]("n_pairs"))
+  }
+}

@@ -143,17 +143,64 @@ class ExportImportSpec extends SparkSpec {
     assert(ordered("customer").rejected.select("c_custkey").as[Long]
       .collect().toSeq == Seq(9001L))
 
-    // child-first: customer 9000 is validated against a nation state
-    // that does NOT yet contain 90 -> rejected; the order is semantics
+    // child-first: customer would be FK-validated against a nation
+    // state that does NOT yet contain 90 — a declared order that
+    // contradicts the FK graph is a packaging error and fails LOUDLY
+    // before any data moves, naming the offending edge
     val dir2 = ExportImport.scratch("pkg-reversed")
     PackageIO.writePackage(spark, dir2, pkg,
       processingOrder = Map("customer" -> 1, "nation" -> 2, "region" -> 3))
-    val reversed = MergeImport
-      .applyPackageOrdered(spark, dir2, base, keys, fks)
-      .map(r => r.name -> r).toMap
-    assert(reversed("customer").rejected.select("c_custkey")
-      .as[Long].collect().toSet == Set(9000L, 9001L))
-    assert(reversed("customer").applied.count() == 1L) // alice only
+    val err = intercept[IllegalArgumentException] {
+      MergeImport.applyPackageOrdered(spark, dir2, base, keys, fks)
+    }
+    assert(err.getMessage.contains("customer.c_nationkey -> nation"),
+      s"error must name the violated edge: ${err.getMessage}")
+  }
+
+  test("package_apply: cyclic FK graph has no valid order and raises") {
+    import spark.implicits._
+    import graft.operators.MergeImport
+    // a <-> b cycle plus a self-contained c: NO processing order can
+    // put both parents first, so the guard must reject any declared one
+    val a = Seq((1L, 10L)).toDF("a_key", "a_bref")
+    val b = Seq((10L, 1L)).toDF("b_key", "b_aref")
+    val c = Seq((5L, "x")).toDF("c_key", "c_val")
+    val pkg = Map("a" -> a, "b" -> b, "c" -> c)
+    val keys = Map("a" -> "a_key", "b" -> "b_key", "c" -> "c_key")
+    val fks = Map(
+      "a" -> (("a_bref", "b", "b_key")),
+      "b" -> (("b_aref", "a", "a_key")))
+    val dir = ExportImport.scratch("pkg-cycle")
+    PackageIO.writePackage(spark, dir, pkg,
+      processingOrder = Map("a" -> 1, "b" -> 2, "c" -> 3))
+    val err = intercept[IllegalArgumentException] {
+      MergeImport.applyPackageOrdered(spark, dir, pkg, keys, fks)
+    }
+    assert(err.getMessage.contains("a.a_bref -> b"),
+      s"cycle must surface as a violated edge: ${err.getMessage}")
+  }
+
+  test("package manifest: real JSON parse survives reorder, rejects junk") {
+    import spark.implicits._
+    val dir = ExportImport.scratch("pkg-manifest")
+    PackageIO.writePackage(spark, dir,
+      Map("t1" -> Seq((1L, "a")).toDF("k", "v"),
+        "t2" -> Seq((2L, "b")).toDF("k", "v")),
+      processingOrder = Map("t2" -> 1, "t1" -> 2))
+    assert(PackageIO.tablesInOrder(dir).map(_._1) == Seq("t2", "t1"))
+    val path = java.nio.file.Paths.get(s"$dir/_manifest.json")
+    // an externally produced manifest: fields reordered, extras added —
+    // must parse identically (the old regex keyed on exact field order)
+    java.nio.file.Files.writeString(path,
+      """[{"extra":true,"proc_order":2,"table":"t1","rows":1},
+         {"proc_order":1,"columns":[],"table":"t2"}]""")
+    assert(PackageIO.tablesInOrder(dir).map(_._1) == Seq("t2", "t1"))
+    // an empty table list applies nothing — loud, not silent
+    java.nio.file.Files.writeString(path, "[]")
+    intercept[IllegalArgumentException] { PackageIO.tablesInOrder(dir) }
+    // invalid JSON is a manifest error, not an empty result
+    java.nio.file.Files.writeString(path, "not json {")
+    intercept[IllegalArgumentException] { PackageIO.tablesInOrder(dir) }
   }
 
   test("integrity_checksum: order-independent, content-sensitive") {
