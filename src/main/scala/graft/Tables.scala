@@ -38,4 +38,9 @@ object Tables {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // reliable-checkpoint files (clustersFromPairs' durable lineage
+    // cuts) are deleted by the ContextCleaner once their RDD handle is
+    // GC'd — without this, repeated propagation runs in one session
+    // accumulate dead round checkpoints on disk forever
+    .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
 }

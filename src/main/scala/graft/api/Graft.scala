@@ -59,6 +59,14 @@ object Graft {
   def upsert(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
     graft.operators.MergeImport.upsert(existing, incoming, key)
 
+  /** The lakehouse (Delta/Iceberg) form of [[upsert]] as copy-paste
+    * Spark SQL: the MERGE INTO statement with the same semantics. Pass
+    * the update frame's columns for an explicit SET/INSERT list instead
+    * of the star form. See docs/LAKEHOUSE.md for the operator mapping. */
+  def mergeSql(target: String, updates: String, key: String,
+               columns: Seq[String] = Seq.empty): String =
+    graft.operators.MergeImport.mergeSql(target, updates, Seq(key), columns)
+
   /** CDC diff between two keyed snapshots: added/removed/changed rows. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
                    compareCol: String): DataFrame =

@@ -692,7 +692,18 @@ object Dedup {
                                        checkpointDir: Option[String] = None)
       : DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // per-run SUBDIRECTORY: concurrent/repeated runs never share a
+    // checkpoint namespace, and the global setCheckpointDir mutation is
+    // restored below so this call does not silently redirect other
+    // operators' checkpoints for the rest of the session. Round files
+    // are reaped by the ContextCleaner when their frames are GC'd
+    // (spark.cleaner.referenceTracking.cleanCheckpoints, Tables
+    // .configure) — a long-lived session does not accumulate dead
+    // rounds on disk.
+    val sc = pairs.sparkSession.sparkContext
+    val prevCheckpointDir = sc.getCheckpointDir
+    checkpointDir.foreach(d =>
+      sc.setCheckpointDir(s"$d/run-${java.util.UUID.randomUUID()}"))
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -771,6 +782,10 @@ object Dedup {
       it += 1
     }
     lastPropagationRounds = it
+    // every round's checkpoint has materialized (the convergence
+    // aggregate is the materializing action) — safe to hand the global
+    // checkpoint-dir setting back to whatever the session had before
+    if (checkpointDir.isDefined) prevCheckpointDir.foreach(sc.setCheckpointDir)
     require(converged,
       s"label propagation did not converge in $maxIters iterations")
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))

@@ -29,6 +29,42 @@ object MergeImport {
       .drop("_v", "_rn")
   }
 
+  /** The lakehouse port of [[upsert]] as copy-paste SQL: a `MERGE INTO`
+    * statement with identical semantics — key-matched rows updated from
+    * the incoming side, absent keys inserted, incoming wins. With
+    * `columns` empty the star form is emitted (Delta Lake and Apache
+    * Iceberg both accept `UPDATE SET * / INSERT *` in Spark SQL); given
+    * the update frame's columns, an explicit SET/INSERT list is emitted
+    * for engines or review policies that disallow star expansion. Key
+    * columns are never assigned in the UPDATE branch (they are equal by
+    * the ON predicate; some engines reject assigning them). Identifiers
+    * are backtick-quoted, so BC-style display names ("No.", "Amount
+    * Incl. VAT") survive verbatim. docs/LAKEHOUSE.md maps each mutation
+    * operator onto this one statement; MergeSqlSpec pins the emitted
+    * text and parses it with Spark's own SQL parser. */
+  def mergeSql(target: String, updates: String, keys: Seq[String],
+               columns: Seq[String] = Seq.empty): String = {
+    require(keys.nonEmpty, "mergeSql needs at least one key column")
+    require(columns.isEmpty || keys.forall(columns.contains),
+      s"key columns ${keys.filterNot(columns.contains).mkString(", ")} " +
+        "missing from the explicit column list")
+    def q(c: String) = s"`${c.replace("`", "``")}`"
+    val on = keys.map(k => s"t.${q(k)} = u.${q(k)}").mkString(" AND ")
+    val nonKey = columns.filterNot(keys.contains)
+    val matched =
+      if (columns.isEmpty) Some("UPDATE SET *")
+      else if (nonKey.isEmpty) None // key-only table: nothing to update
+      else Some("UPDATE SET " +
+        nonKey.map(c => s"t.${q(c)} = u.${q(c)}").mkString(", "))
+    val inserted =
+      if (columns.isEmpty) "INSERT *"
+      else s"INSERT (${columns.map(q).mkString(", ")}) " +
+        s"VALUES (${columns.map(c => s"u.${q(c)}").mkString(", ")})"
+    (Seq(s"MERGE INTO $target AS t", s"USING $updates AS u", s"ON $on") ++
+      matched.map(m => s"WHEN MATCHED THEN $m") ++
+      Seq(s"WHEN NOT MATCHED THEN $inserted")).mkString("\n")
+  }
+
   /** Query: simulate an update package — every order with key divisible
     * by 10 arrives re-priced (+1000.00) and re-statused to 'U', plus the
     * merge must keep every untouched order byte-identical. */

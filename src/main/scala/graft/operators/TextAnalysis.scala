@@ -1085,15 +1085,26 @@ object TextAnalysis {
     val trainCtes = bpeTrainOracle(nMerges, maxWords)
     // reuse the training chain up to (not including) the final SELECT
     val withBlock = trainCtes.substring(0, trainCtes.lastIndexOf("SELECT * FROM"))
+    // a vocab can learn FEWER than nMerges rules (tiny corpus: some m_k
+    // is empty) — an empty m_k in the FROM list would annihilate enc
+    // entirely while the engine happily encodes with the learned prefix
+    // of rules. mm_k is therefore guaranteed 1 row: the rule, or a
+    // chr(1) sentinel no [a-z]+ symbol can ever equal, which makes that
+    // round's fold the identity — exactly "apply the learned prefix".
+    val sentinels = (1 to nMerges).map { k =>
+      s"""mm$k AS (SELECT coalesce(max(l), chr(1)) AS l,
+                          coalesce(max(r), chr(1)) AS r FROM m$k)"""
+    }.mkString(",\n        ")
     val fold = (1 to nMerges).foldLeft(
       "[word[i] for i in range(1, len(word) + 1)]") { (acc, k) =>
       s"""list_reduce(list_transform($acc, x -> [x]),
-            (a, b) -> CASE WHEN a[-1] = m$k.l AND b[1] = m$k.r
-              THEN list_concat(a[1:len(a) - 1], [m$k.l || m$k.r])
+            (a, b) -> CASE WHEN a[-1] = mm$k.l AND b[1] = mm$k.r
+              THEN list_concat(a[1:len(a) - 1], [mm$k.l || mm$k.r])
               ELSE list_concat(a, b) END)"""
     }
-    val mJoins = (1 to nMerges).map(k => s"m$k").mkString(", ")
+    val mJoins = (1 to nMerges).map(k => s"mm$k").mkString(", ")
     s"""${withBlock.trim},
+        $sentinels,
         dw AS (SELECT doc_id,
                  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
                FROM documents),

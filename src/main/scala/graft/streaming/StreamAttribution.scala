@@ -34,9 +34,16 @@ object StreamAttribution {
 
     def handle(userId: Long, it: Iterator[AttrEvent],
                state: GroupState[TouchState]): Iterator[Attributed] = {
-      // events within a micro-batch are not ordered — sort locally by
-      // the same total (t, event_id) order the batch operator uses
-      val sorted = it.toSeq.sortBy(e => (e.t, e.event_id))
+      // events within a micro-batch are not ordered — sort locally into
+      // replay order. Purchases sort BEFORE same-timestamp touches: a
+      // same-instant touch can never credit the purchase (strict
+      // t_o < t_p), but if it were applied first it would evict an
+      // older in-window touch from the single-slot state and the
+      // purchase would emit 'none' where the batch twin credits that
+      // older touch — the one ordering corner where (t, event_id) alone
+      // diverges from attributionAssignFrom.
+      val sorted = it.toSeq.sortBy(e =>
+        (e.t, if (e.event_type == "purchase") 0 else 1, e.event_id))
       var cur = state.getOption
       val out = List.newBuilder[Attributed]
       sorted.foreach { e =>

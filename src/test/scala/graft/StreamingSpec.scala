@@ -248,6 +248,39 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("stream attribution: same-instant touch cannot evict the credited one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamAttribution.AttrEvent
+    // a touch arriving at EXACTLY the purchase's timestamp sorts before
+    // the purchase by (t, event_id) but must not evict the older
+    // in-window touch from the single-slot state: the batch twin
+    // credits the older touch (strict t_o < t_p), so must the stream
+    val evs = Seq(
+      AttrEvent(1L, 7L, "view", 100L, 0L),     // the credited touch
+      AttrEvent(2L, 7L, "click", 200L, 0L),    // same instant as purchase
+      AttrEvent(3L, 7L, "purchase", 200L, 55L))
+    val input = MemoryStream[AttrEvent]
+    val q = graft.streaming.StreamAttribution
+      .attributed(input.toDS(), Set("view", "click"), 86400000000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_attr_corner").start()
+    try {
+      // all three in ONE micro-batch: the in-batch replay sort decides
+      input.addData(evs)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("stream_attr_corner").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    val batch = graft.operators.Analytics
+      .attributionAssignFrom(
+        evs.toDF("event_id", "user_id", "event_type", "t", "v_c"),
+        Seq("view", "click"), 86400000000L)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    assert(batch == Set((3L, "view", 55L)), s"batch twin sanity: $batch")
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("stream path transitions: edges equal the batch lag on ordered replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
