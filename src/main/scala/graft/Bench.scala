@@ -35,6 +35,7 @@ object Bench {
     "dedup_simhash", "dedup_clusters", "dedup_survivorship",
     "dedup_corpus", "dedup_audit_composed", "dedup_incremental",
     "doc_containment", "kgram_novelty", "memorization_grams",
+    "exact_substr_spans",
     "source_overlap",
     "dedup_threshold_sweep",
     // similarity / ANN

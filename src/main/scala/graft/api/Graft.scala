@@ -96,6 +96,44 @@ object Graft {
   def dedupCorpus(docs: DataFrame, tau: Double = 0.3): DataFrame =
     graft.operators.Dedup.dedupCorpusKept(docs, tau)
 
+  /** Materialize the VERIFIED near-dup pair table (id_a, id_b, j4) once
+    * as parquet — the artifact every dedup audit then consumes instead
+    * of re-paying the corpus-scale similarity join. `docs` = (doc_id
+    * LONG, sh ARRAY<STRING> of distinct shingles); `tau` is the
+    * verification floor (audits at any higher threshold filter j4). */
+  def writeVerifiedPairs(docs: DataFrame, dir: String,
+                         tau: Double = 0.3): Unit =
+    graft.operators.Dedup.dedupNgramExactjoinFrom(docs, tau)
+      .write.mode("overwrite").parquet(dir)
+
+  /** Read back a [[writeVerifiedPairs]] artifact. */
+  def readVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.readVerifiedPairs(spark, dir)
+
+  /** Cross-source duplication rollup over a verified-pair artifact:
+    * unordered (source, source) cells with pair counts and shares.
+    * `docs` = (doc_id, source, ...). */
+  def sourceOverlap(pairs: DataFrame, docs: DataFrame): DataFrame =
+    graft.operators.Dedup.sourceOverlapFromPairs(pairs, docs)
+
+  /** Survivorship audit over a verified-pair artifact: per multi-member
+    * cluster, the longest-member keeper and the characters retired.
+    * `docs` = (doc_id, n_chars, ...). */
+  def dedupSurvivorship(pairs: DataFrame, docs: DataFrame): DataFrame =
+    graft.operators.Dedup.dedupSurvivorshipFromPairs(pairs, docs)
+
+  /** Threshold table over a verified-pair artifact (verification floor
+    * ≤ taus.min): pair/affected-doc counts per Jaccard threshold. */
+  def dedupThresholdSweep(pairs: DataFrame,
+                          taus: Seq[Double] = Seq(0.3, 0.5, 0.7)): DataFrame =
+    graft.operators.Dedup.dedupThresholdSweepFromPairs(pairs, taus)
+
+  /** End-to-end corpus-dedup accounting (in / exact-removed /
+    * near-removed / out) from a verified-pair artifact built over the
+    * FULL corpus at the same tau. `docs` = (doc_id, text). */
+  def corpusDedupAudit(docs: DataFrame, pairs: DataFrame): DataFrame =
+    graft.operators.Dedup.dedupCorpusFromPairs(docs, pairs)
+
   /** Incremental dedup: per delta doc, 'exact' / 'near' / 'kept'
     * against the base corpus and earlier delta docs. Pair-generation
     * cost is proportional to the delta, not the base. Both frames are

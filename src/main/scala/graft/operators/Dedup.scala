@@ -1118,6 +1118,115 @@ object Dedup {
       .limit(topK)
   }
 
+  /** §2 #149 — EXACT REPEATED-SUBSTRING spans (the ExactSubstr side of
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"): per affected document, the maximal token spans
+    * covered by `n`-token grams occurring at least `minCount` times in
+    * the corpus (within- OR cross-document). Document-level near-dup
+    * (Jaccard) misses a copied PASSAGE inside two otherwise-different
+    * documents; this table finds the passages themselves — the text a
+    * model would emit verbatim — with per-doc span counts, repeated
+    * token mass, and the repeated fraction that decides cut-vs-keep.
+    *
+    * Scale shape: positional gram stream (doc_id, pos, 54-bit KR hash) —
+    * the gram TEXT never leaves the scan, exchanges carry longs; ONE
+    * partial-combined count aggregate keyed by gram hash; a semi-join
+    * back; then per-doc interval union via windows PARTITIONED BY
+    * doc_id (state bounded by document length, never corpus size).
+    * Suffix-array ExactSubstr finds arbitrary-length repeats; fixed-n
+    * gram chaining finds every repeat of length ≥ n as the union of its
+    * overlapping n-grams — the standard distributed relaxation. */
+  def exactSubstrSpans(spark: SparkSession, sfDir: String, n: Int = 8,
+                       minCount: Int = 2): DataFrame =
+    exactSubstrSpansFrom(Tables.load(spark, sfDir, "documents"), n, minCount)
+
+  /** Generic core over ANY (doc_id, text) frame. */
+  def exactSubstrSpansFrom(docs: DataFrame, n: Int = 8,
+                           minCount: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2 && minCount >= 2, "need n >= 2 and minCount >= 2")
+    val base = docs.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        col("w"))
+    // positional n-gram hashes: pos is the 1-based start token index
+    val grams = base.select(col("doc_id"), col("n_tokens"),
+        posexplode(transform(sequence(lit(1), size(col("w")) - n + 1),
+          i => graft.functions.KrHashF.krHash(
+            concat_ws(" ", slice(col("w"), i, lit(n)))))).as(Seq("pos0", "g")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos0") + 1).as("pos"), col("g"))
+    val rep = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select("g")
+    val hits = grams.join(rep, Seq("g"), "leftsemi")
+    // interval union per doc (gaps-and-islands over a RUNNING MAX end:
+    // overlapping OR adjacent spans merge into one maximal span)
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + n - 1)
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = hits
+      .withColumn("new_span",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(byPos))
+      .groupBy("doc_id", "n_tokens", "span_id")
+      .agg(min("pos").as("s"), (max(col("pos")) + n - 1).as("e"))
+    spans.groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("repeated_tokens"),
+        max(col("e") - col("s") + 1).cast("long").as("max_span_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("repeated_tokens"), col("max_span_tokens"),
+        round(col("repeated_tokens") / col("n_tokens").cast("double"), 4)
+          .as("repeated_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[exactSubstrSpans]]: the positional gram stream
+    * rebuilt with list comprehensions, the SAME Karp-Rabin hash folded
+    * per gram (identical collisions by construction), and the interval
+    * union replayed with the same running-max window. */
+  def exactSubstrSpansOracle(n: Int = 8, minCount: Int = 2): String =
+    s"""WITH base AS (
+          SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w
+          FROM (SELECT doc_id,
+                  string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents)
+          WHERE len(w) >= $n),
+        pg AS (SELECT doc_id, n_tokens,
+                 unnest([{'pos': i,
+                          'gram': array_to_string(w[i:i+${n - 1}], ' ')}
+                         for i in range(1, len(w) - $n + 2)],
+                        recursive := true)
+               FROM base),
+        ph AS (SELECT doc_id, n_tokens, pos,
+                 list_reduce([CAST(unicode(gram[i]) AS BIGINT)
+                              for i in range(1, CAST(len(gram) AS INTEGER) + 1)],
+                             (a, c) -> (a * ${graft.functions.KrHashF.B} + c)
+                               % ${graft.functions.KrHashF.M}) AS g
+               FROM pg),
+        rep AS (SELECT g FROM ph GROUP BY g HAVING count(*) >= $minCount),
+        hits AS (SELECT doc_id, n_tokens, pos FROM ph JOIN rep USING (g)),
+        mk AS (SELECT doc_id, n_tokens, pos,
+                 CASE WHEN max(pos + $n - 1) OVER prev IS NULL
+                        OR pos > max(pos + $n - 1) OVER prev + 1
+                      THEN 1 ELSE 0 END AS new_span
+               FROM hits
+               WINDOW prev AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        sp AS (SELECT doc_id, n_tokens, pos,
+                 sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS span_id
+               FROM mk),
+        iv AS (SELECT doc_id, n_tokens, span_id,
+                 min(pos) AS s, max(pos) + $n - 1 AS e
+               FROM sp GROUP BY 1, 2, 3)
+       SELECT doc_id, n_tokens, count(*) AS n_spans,
+              CAST(sum(e - s + 1) AS BIGINT) AS repeated_tokens,
+              CAST(max(e - s + 1) AS BIGINT) AS max_span_tokens,
+              round(sum(e - s + 1) / CAST(n_tokens AS DOUBLE), 4)
+                AS repeated_frac
+       FROM iv GROUP BY doc_id, n_tokens ORDER BY doc_id"""
+
   /** DuckDB oracle for [[memorizationGrams]]. */
   def memorizationGramsOracle(minDocs: Int = 3, topK: Int = 40): String =
     s"""WITH sh AS (

@@ -271,6 +271,36 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((4L, 4L, 1.0)))
   }
 
+  test("exact_substr_spans: planted copied passage found, spans merge") {
+    import spark.implicits._
+    val passage = "one two three four five six seven eight nine ten" // 10 tokens
+    val docs = Seq(
+      (1L, s"$passage alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"iota kappa lambda mu nu xi omicron pi $passage"),
+      (3L, "unique words only here nothing repeated anywhere at all " +
+        "completely fresh content"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstrSpansFrom(docs, n = 8, minCount = 2)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))))
+      .toMap
+    // the 10-token passage = three overlapping 8-grams -> ONE merged
+    // span of 10 tokens in each carrying doc; doc 3 is absent
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((18L, 1L, 10L, 10L, 0.5556)))
+    assert(got(2L) == ((18L, 1L, 10L, 10L, 0.5556)))
+
+    // WITHIN-doc repetition counts too, and adjacent spans merge: a
+    // 8-token phrase repeated back-to-back = one 16-token span (only
+    // the two aligned grams repeat; boundary-crossing grams are unique)
+    val phrase = "a b c d e f g h"
+    val twice = Seq((9L, s"$phrase $phrase")).toDF("doc_id", "text")
+    val r9 = Dedup.exactSubstrSpansFrom(twice, n = 8, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(r9.toSeq == Seq((9L, 1L, 16L)))
+  }
+
   test("memorization_grams: planted repeated 5-gram surfaces with exact df") {
     import spark.implicits._
     val boiler = "all rights reserved by the publisher"   // 6 words

@@ -251,4 +251,44 @@ class UsageSpec extends SparkSpec {
         .toDF("xr", "yr"), bits = 3, nFiles = 4).collect()
     assert(zl.map(_.getString(0)).toSeq == Seq("linear", "zorder"))
   }
+
+  test("facade: verified-pair artifact feeds the whole audit family") {
+    import spark.implicits._
+    val near = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, near, "web"), (2L, near + " iota", "web"),
+      (3L, "one two three four five six seven", "books"),
+      (4L, near, "books")) // exact near-dup of 1 across sources
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val sh = docs.select(col("doc_id"),
+      graft.functions.TextShingles.shingles3(
+        graft.functions.TextShingles.words(col("text"))).as("sh"))
+
+    val dir = graft.operators.ExportImport.scratch("usage-pairs")
+    Graft.writeVerifiedPairs(sh, dir, tau = 0.3)
+    val pairs = Graft.readVerifiedPairs(spark, dir)
+    // docs 1/2/4 pair up; doc 3 is unrelated
+    assert(pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+
+    val cells = Graft.sourceOverlap(pairs, docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(cells == Set(("web", "web", 1L), ("books", "web", 2L)))
+
+    val surv = Graft.dedupSurvivorship(pairs, docs).collect()
+    assert(surv.length == 1 && surv.head.getAs[Long]("kept_doc") == 2L,
+      "longest member (doc 2) must survive the single cluster")
+
+    val sweep = Graft.dedupThresholdSweep(pairs, Seq(0.3, 0.9)).collect()
+    assert(sweep.head.getAs[Long]("n_pairs") == 3L
+      && sweep.last.getAs[Long]("n_pairs") == 1L) // only the 1-4 exact pair
+
+    val audit = Graft.corpusDedupAudit(docs, pairs).collect().head
+    // 4 in; doc 4 exact-removed (dup of 1); doc 2 near-removed; 2 out
+    assert((audit.getAs[Long]("n_in"), audit.getAs[Long]("n_exact_removed"),
+      audit.getAs[Long]("n_near_removed"), audit.getAs[Long]("n_out"))
+      == ((4L, 1L, 1L, 2L)))
+  }
 }
