@@ -41,7 +41,7 @@ object Bench {
     // similarity / ANN
     "ann_bruteforce", "knn_graph", "knn_graph_ann", "label_spread",
     "ann_recall_eval",
-    "ann_lsh", "ann_ivf", "ann_ivf_static",
+    "ann_lsh", "ann_ivf", "ann_ivf_static", "ann_ivf_indexed",
     "ann_pq", "ann_ivfpq", "semantic_dedup", "hard_negatives",
     "embedding_dedup", "embedding_quantize", "quantize_eval",
     // text analysis

@@ -121,6 +121,7 @@ object SparkEntry {
     "package_apply" -> (MergeImport.packageApply _),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "ann_ivf_static" -> ((s, d) => Similarity.annIvfStatic(s, d)),
+    "ann_ivf_indexed" -> ((s, d) => Similarity.annIvfIndexed(s, d)),
     "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
     "ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
     "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
@@ -438,6 +439,8 @@ object SparkEntry {
     // the seeded planes and replays sign-bit banding + ranking exactly
     "ann_lsh" -> Similarity.lshOracle(),
     "ann_ivf_static" -> Similarity.ivfStaticOracle(),
+    // same pipeline served from the materialized cell-partitioned index
+    "ann_ivf_indexed" -> Similarity.ivfStaticOracle(),
     "knn_graph_ann" -> Similarity.knnGraphAnnOracle(),
     "label_spread" -> Similarity.labelSpreadOracle(),
     "ann_pq" -> Similarity.pqTrainedOracle(),

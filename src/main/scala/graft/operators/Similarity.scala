@@ -441,6 +441,76 @@ object Similarity {
         l2norm(col("embedding")).as("nrm")),
       staticCentroids(), nProbe, k)
 
+  /** The MATERIALIZED IVF index artifact: centroids + the corpus's cell
+    * assignment written ONCE as parquet, inverted-list style. The
+    * `assigned/` table is PARTITIONED BY cell, so serving reads only the
+    * probed cell directories — static partition pruning for a fixed
+    * probe set, Spark's dynamic partition pruning for the broadcast
+    * probe join. At 100 TB the index build (train + assign) runs once
+    * per corpus version and every query then touches ~nProbe/nCells of
+    * the corpus BY LAYOUT, not by filter luck — the ANN analog of
+    * [[graft.operators.Dedup.verifiedPairsToDir]]'s asymmetric
+    * build-once/serve-many split. */
+  def ivfIndexToDir(spark: SparkSession, sfDir: String, dir: String,
+                    cents: Array[Array[Double]] = staticCentroids()): Unit = {
+    vectors(spark, sfDir).select(
+        element_at(graft.functions.VectorQuantize
+          .nearestCells(col("embedding"), cents, 1), 1).as("cell"),
+        col("vec_id"), col("embedding"), col("nrm"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assigned")
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Centroid matrix back from an [[ivfIndexToDir]] artifact (bounded:
+    * nCells × dim doubles — model state, never data). */
+  def readIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids").orderBy("cell")
+      .collect().map(_.getAs[Seq[Double]]("centroid").toArray)
+
+  /** Serve (vec_id, embedding) queries straight from the index
+    * artifact: no re-train, no corpus re-assignment — broadcast probes
+    * join the cell-partitioned inverted lists. */
+  def annServeFromIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                        nProbe: Int = 4, k: Int = 5): DataFrame = {
+    val cents = readIvfCentroids(spark, dir)
+    val assigned = spark.read.parquet(s"$dir/assigned")
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("e_c"), col("nrm").as("n_c"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        l2norm(col("embedding")).as("n_q"),
+        explode(graft.functions.VectorQuantize
+          .nearestCells(col("embedding"), cents, nProbe)).as("cell"))
+    rankTopK(
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
+            .as("cos")),
+      k)
+  }
+
+  /** §2 #150 — IVF serving FROM THE ARTIFACT: build the index once
+    * (static quantizer, so [[ivfStaticOracle]] replays the whole
+    * pipeline), then serve the standard query set from it. Output is
+    * identical to [[annIvfStatic]] by construction — same assignment,
+    * same probes, same ranking — which the shared oracle and
+    * SimilaritySpec both pin. */
+  def annIvfIndexed(spark: SparkSession, sfDir: String, nProbe: Int = 4,
+                    nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val dir = ExportImport.scratch("ivf-index")
+    ivfIndexToDir(spark, sfDir, dir)
+    annServeFromIndex(spark, dir,
+      Tables.load(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding")),
+      nProbe, k)
+  }
+
   /** §2 #100 — HARD-NEGATIVE mining for contrastive training: for each
     * anchor, the top-k most-similar vectors with a DIFFERENT label —
     * the near-misses that teach an embedding model its decision

@@ -271,4 +271,22 @@ class SimilaritySpec extends SparkSpec {
     // every query's 2 nearest seeds are its own cluster -> perfect acc
     assert(got == Seq((0, 3L, 2L, 2L, 1.0), (1, 2L, 3L, 3L, 1.0)))
   }
+
+  test("ann_ivf_indexed: serving from the artifact equals the live pipeline") {
+    val indexed = Similarity.annIvfIndexed(spark, sf).collect().map(_.toString)
+    val live = Similarity.annIvfStatic(spark, sf).collect().map(_.toString)
+    assert(indexed.toSeq == live.toSeq,
+      "index round-trip must not change a single ranked row")
+
+    // the inverted-list layout prunes: a single-cell read touches ONE
+    // partition directory (the whole point of partitionBy(cell) — at
+    // 100 TB a probe reads nProbe/nCells of the data BY LAYOUT)
+    val dir = graft.operators.ExportImport.scratch("ivf-index")
+    val one = spark.read.parquet(s"$dir/assigned")
+      .filter(org.apache.spark.sql.functions.col("cell") === 3)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"cell filter must reach the scan as a partition filter:\n$scan")
+    one.collect()
+  }
 }
