@@ -67,6 +67,12 @@ object Graft {
                columns: Seq[String] = Seq.empty): String =
     graft.operators.MergeImport.mergeSql(target, updates, Seq(key), columns)
 
+  /** Full-sync form of [[mergeSql]]: adds WHEN NOT MATCHED BY SOURCE
+    * THEN DELETE, mirroring the target to a complete snapshot. */
+  def mergeSyncSql(target: String, updates: String, key: String,
+                   columns: Seq[String] = Seq.empty): String =
+    graft.operators.MergeImport.mergeSyncSql(target, updates, Seq(key), columns)
+
   /** CDC diff between two keyed snapshots: added/removed/changed rows. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
                    compareCol: String): DataFrame =
@@ -222,6 +228,25 @@ object Graft {
   def memorizationGrams(docs: DataFrame, minDocs: Int = 3,
                         topK: Int = 40): DataFrame =
     graft.operators.Dedup.memorizationGramsFrom(docs, minDocs, topK)
+
+  /** Exact repeated-substring spans (ExactSubstr-style): per affected
+    * doc, the maximal token spans covered by `n`-token grams occurring
+    * ≥ `minCount` times in the corpus. `docs` = (doc_id, text). */
+  def exactSubstrSpans(docs: DataFrame, n: Int = 8,
+                       minCount: Int = 2): DataFrame =
+    graft.operators.Dedup.exactSubstrSpansFrom(docs, n, minCount)
+
+  /** Build the cell-partitioned IVF index artifact once (centroids +
+    * inverted lists as parquet) for [[annServeFromIndex]]. */
+  def buildIvfIndex(spark: SparkSession, sfDir: String, dir: String): Unit =
+    graft.operators.Similarity.ivfIndexToDir(spark, sfDir, dir)
+
+  /** Serve (vec_id, embedding) queries from an IVF index artifact —
+    * no re-train, no corpus re-assignment; probes read only their
+    * cell partitions. */
+  def annServeFromIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                        nProbe: Int = 4, k: Int = 5): DataFrame =
+    graft.operators.Similarity.annServeFromIndex(spark, dir, queries, nProbe, k)
 
   /** Majority-vote label propagation: non-seed vectors (vec_id %
     * seedMod != 0) take the majority label of their k nearest seeds;

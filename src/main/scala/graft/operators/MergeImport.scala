@@ -65,6 +65,17 @@ object MergeImport {
       Seq(s"WHEN NOT MATCHED THEN $inserted")).mkString("\n")
   }
 
+  /** FULL-SYNC form of [[mergeSql]]: the same MERGE plus `WHEN NOT
+    * MATCHED BY SOURCE THEN DELETE`, making the target an exact mirror
+    * of the update set — the statement a [[snapshotDiff]]-style
+    * replication applies when the source is a complete snapshot rather
+    * than a delta. Spark SQL ≥ 3.4 grammar (Delta and Iceberg both
+    * execute it). */
+  def mergeSyncSql(target: String, updates: String, keys: Seq[String],
+                   columns: Seq[String] = Seq.empty): String =
+    mergeSql(target, updates, keys, columns) +
+      "\nWHEN NOT MATCHED BY SOURCE THEN DELETE"
+
   /** Query: simulate an update package — every order with key divisible
     * by 10 arrives re-priced (+1000.00) and re-statused to 'U', plus the
     * merge must keep every untouched order byte-identical. */

@@ -299,6 +299,9 @@ class DedupSpec extends SparkSpec {
     val r9 = Dedup.exactSubstrSpansFrom(twice, n = 8, minCount = 2)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
     assert(r9.toSeq == Seq((9L, 1L, 16L)))
+
+    // plan sanity on the real fixture: bucketed join only, no cartesian
+    assertNoCartesian(Dedup.exactSubstrSpans(spark, sf))
   }
 
   test("memorization_grams: planted repeated 5-gram surfaces with exact df") {

@@ -73,4 +73,11 @@ class MergeSqlSpec extends AnyFunSuite {
     assert(graft.api.Graft.mergeSql("tgt", "upd", "id")
       == MergeImport.mergeSql("tgt", "upd", Seq("id")))
   }
+
+  test("full-sync form appends the BY SOURCE delete branch and parses") {
+    val sql = graft.api.Graft.mergeSyncSql("tgt", "snap", "id")
+    assert(sql.endsWith("WHEN NOT MATCHED BY SOURCE THEN DELETE"))
+    assert(sql.startsWith(MergeImport.mergeSql("tgt", "snap", Seq("id"))))
+    assert(parsed(sql).isInstanceOf[MergeIntoTable])
+  }
 }
