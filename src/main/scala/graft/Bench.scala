@@ -34,6 +34,7 @@ object Bench {
     "dedup_ngram_exactjoin",
     "dedup_simhash", "dedup_clusters", "dedup_survivorship",
     "dedup_corpus", "dedup_audit_composed", "dedup_incremental",
+    "dedup_pairs_incremental",
     "doc_containment", "kgram_novelty", "memorization_grams",
     "exact_substr_spans",
     "source_overlap",

@@ -71,6 +71,7 @@ object SparkEntry {
     "dedup_corpus" -> ((s, d) => Dedup.dedupCorpus(s, d)),
     "dedup_audit_composed" -> ((s, d) => Dedup.dedupAuditComposed(s, d)),
     "exact_substr_spans" -> ((s, d) => Dedup.exactSubstrSpans(s, d)),
+    "dedup_pairs_incremental" -> ((s, d) => Dedup.dedupPairsIncremental(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     // C. LLM-data-pipeline: similarity / ANN
     "embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(s, d)),
@@ -365,6 +366,7 @@ object SparkEntry {
     "dedup_survivorship" -> Dedup.dedupSurvivorshipOracle(),
     "dedup_audit_composed" -> Dedup.dedupAuditComposedOracle(),
     "exact_substr_spans" -> Dedup.exactSubstrSpansOracle(),
+    "dedup_pairs_incremental" -> Dedup.dedupPairsIncrementalOracle(),
     "dedup_clusters" ->
       s"""${graft.functions.TextShingles.duckdbShingleCte
               .replaceFirst("WITH sh", "WITH RECURSIVE sh")},

@@ -116,6 +116,15 @@ object Graft {
   def readVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.readVerifiedPairs(spark, dir)
 
+  /** Daily maintenance of the pair artifact: the NEW pairs a delta
+    * batch adds (every pair touching the delta at Jaccard ≥ tau).
+    * Appending them to the base artifact equals rebuilding it on the
+    * combined corpus; probe cost is proportional to the delta. Both
+    * frames are (doc_id LONG, text STRING) with disjoint ids. */
+  def incrementalVerifiedPairs(base: DataFrame, delta: DataFrame,
+                               tau: Double = 0.3): DataFrame =
+    graft.operators.Dedup.incrementalPairsFrom(base, delta, tau)
+
   /** Cross-source duplication rollup over a verified-pair artifact:
     * unordered (source, source) cells with pair counts and shares.
     * `docs` = (doc_id, source, ...). */

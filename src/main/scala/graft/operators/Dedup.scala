@@ -1415,6 +1415,60 @@ object Dedup {
   def readVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** §2 #151 — INCREMENTAL pair-artifact maintenance: the NEW verified
+    * pairs a delta batch adds to an existing [[verifiedPairsToDir]]
+    * artifact — every pair at Jaccard ≥ tau with at least one endpoint
+    * in the delta. Jaccard is pairwise, so base×base pairs are
+    * untouched by new documents: appending these rows to the base
+    * artifact yields EXACTLY the artifact of the combined corpus
+    * (DedupPairsSpec proves the set equality). This is the daily
+    * maintenance step that keeps the audit family's one-join economics
+    * at 100 TB: the probe side is the DELTA prefixes only
+    * ([[crossPairsFrom]]), so each day pays cost proportional to the
+    * increment, never base×base. The %-slice stands in for the delta
+    * batch in the driver query. */
+  def dedupPairsIncremental(spark: SparkSession, sfDir: String,
+                            tau: Double = 0.3, mod: Int = 10,
+                            deltaFrom: Int = 8): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val isDelta = col("doc_id") % mod >= deltaFrom
+    incrementalPairsFrom(docs.filter(!isDelta), docs.filter(isDelta), tau)
+  }
+
+  /** Generic core over ANY base/delta (doc_id, text) frames with
+    * disjoint ids. */
+  def incrementalPairsFrom(base: DataFrame, delta: DataFrame,
+                           tau: Double = 0.3): DataFrame = {
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      graft.functions.TextShingles.shingles3(
+        graft.functions.TextShingles.words(col("text"))).as("sh"))
+    val deltaSh = sh(delta)
+    val raw = crossPairsFrom(deltaSh, sh(base).union(deltaSh), tau)
+    // delta-delta pairs surface in both orders (both endpoints probe) —
+    // normalize to id_a < id_b; j4 is order-independent
+    raw.select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("j4"))
+      .dropDuplicates("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB oracle for [[dedupPairsIncremental]]: the all-pairs truth
+    * restricted to pairs touching the delta slice. */
+  def dedupPairsIncrementalOracle(tau: Double = 0.3, mod: Int = 10,
+                                  deltaFrom: Int = 8): String =
+    s"""${graft.functions.TextShingles.duckdbShingleCte}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                     4) AS j4
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.s) > 0 AND len(b.s) > 0
+          AND (a.doc_id % $mod >= $deltaFrom OR b.doc_id % $mod >= $deltaFrom)
+          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= $tau
+        ORDER BY id_a, id_b"""
+
   /** §2 #148 — the PRODUCTION-SHAPED dedup audit: materialize the
     * verified-pair artifact once ([[verifiedPairsToDir]]), then run the
     * whole audit family off it — source overlap, survivorship,

@@ -57,6 +57,26 @@ class DedupPairsSpec extends SparkSpec {
       == rowsOf(Dedup.dedupCorpus(spark, sf)))
   }
 
+  test("incremental pairs append to exactly the combined-corpus artifact") {
+    val full = Tables.load(spark, sf, "documents")
+    val isDelta = org.apache.spark.sql.functions.col("doc_id") % 10 >= 8
+    val base = full.filter(!isDelta)
+    val delta = full.filter(isDelta)
+    def shingled(df: DataFrame) = df.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      graft.functions.TextShingles.shingles3(
+        graft.functions.TextShingles.words(
+          org.apache.spark.sql.functions.col("text"))).as("sh"))
+    val basePairs = Dedup.dedupNgramExactjoinFrom(shingled(base))
+    val increment = Dedup.incrementalPairsFrom(base, delta)
+    assert(increment.count() > 0, "fixture delta must add pairs")
+    // base artifact + increment == the artifact rebuilt on base ∪ delta
+    val appended = (rowsOf(basePairs) ++ rowsOf(increment)).sorted
+    val rebuilt = rowsOf(Dedup.dedupNgramExactjoinFrom(shingled(full))).sorted
+    assert(appended == rebuilt,
+      s"append must equal rebuild: ${appended.size} vs ${rebuilt.size} rows")
+  }
+
   test("dedup_audit_composed summary matches the standalone audits") {
     val r = Dedup.dedupAuditComposed(spark, sf).collect().head
     assert(r.getAs[Long]("n_pairs") == pairs.count())
