@@ -215,6 +215,44 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("stream pairs: replayed artifact equals the full-corpus rebuild") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = graft.operators.ExportImport.scratch("stream-pairs")
+    val (corpusDir, pairsDir, ckpt) =
+      (root + "/corpus", root + "/pairs", root + "/ckpt")
+    Seq(corpusDir, pairsDir, ckpt).foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    val span = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d1 = Seq((1L, span), (2L, span + " tail"), (3L, "other words here"))
+    val d2 = Seq((10L, span.replace("w30", "zz")),  // near-dup of 1/2
+      (11L, "fresh unrelated content entirely"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamPairs.applyStream(
+      input.toDF().toDF("doc_id", "text"), corpusDir, pairsDir, ckpt)
+    try {
+      input.addData(d1: _*); q.processAllAvailable()
+      input.addData(d2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(pairsDir).collect()
+      .map(_.toString).toSeq.sorted
+    // full rebuild on everything seen so far
+    val all = (d1 ++ d2).toDF("doc_id", "text")
+    val rebuilt = graft.operators.Dedup.dedupNgramExactjoinFrom(
+        all.select(col("doc_id"),
+          graft.functions.TextShingles.shingles3(
+            graft.functions.TextShingles.words(col("text"))).as("sh")),
+        tau = 0.3)
+      .collect().map(_.toString).toSeq.sorted
+    assert(streamed.nonEmpty && streamed == rebuilt,
+      s"streamed=${streamed.size} rebuilt=${rebuilt.size}")
+  }
+
   test("stream attribution: per-purchase credits equal the batch assign") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
