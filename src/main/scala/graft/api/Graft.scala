@@ -257,6 +257,13 @@ object Graft {
                         nProbe: Int = 4, k: Int = 5): DataFrame =
     graft.operators.Similarity.annServeFromIndex(spark, dir, queries, nProbe, k)
 
+  /** Append new (vec_id, embedding) vectors to an IVF index artifact
+    * using its own centroids — map-only assignment over the delta,
+    * existing partitions untouched. */
+  def appendIvfIndex(spark: SparkSession, dir: String,
+                     vectors: DataFrame): Unit =
+    graft.operators.Similarity.ivfIndexAppend(spark, dir, vectors)
+
   /** Majority-vote label propagation: non-seed vectors (vec_id %
     * seedMod != 0) take the majority label of their k nearest seeds;
     * per-class accuracy evaluation against held-back labels. */

@@ -471,6 +471,28 @@ object Similarity {
     spark.read.parquet(s"$dir/centroids").orderBy("cell")
       .collect().map(_.getAs[Seq[Double]]("centroid").toArray)
 
+  /** INCREMENTAL index maintenance: assign a batch of new
+    * (vec_id, embedding) vectors with the artifact's OWN centroids and
+    * append them to the cell-partitioned inverted lists. Assignment is
+    * map-only over the delta; existing partitions are untouched (append
+    * mode writes new files into the matching cell directories), so the
+    * updated index serves identically to a full rebuild over the
+    * combined vector set — SimilaritySpec proves it. The quantizer
+    * itself is versioned with the corpus: retrain + rebuild when drift
+    * warrants, append between versions (the standard IVF deployment
+    * cadence). */
+  def ivfIndexAppend(spark: SparkSession, dir: String,
+                     vectors: DataFrame): Unit = {
+    val cents = readIvfCentroids(spark, dir)
+    vectors.select(
+        element_at(graft.functions.VectorQuantize
+          .nearestCells(col("embedding"), cents, 1), 1).as("cell"),
+        col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/assigned")
+  }
+
   /** Serve (vec_id, embedding) queries straight from the index
     * artifact: no re-train, no corpus re-assignment — broadcast probes
     * join the cell-partitioned inverted lists. */

@@ -289,4 +289,40 @@ class SimilaritySpec extends SparkSpec {
       s"cell filter must reach the scan as a partition filter:\n$scan")
     one.collect()
   }
+
+  test("ivfIndexAppend: appended index serves identically to a rebuild") {
+    import org.apache.spark.sql.functions.col
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val isDelta = col("vec_id") % 5 === 0
+    val dir = graft.operators.ExportImport.scratch("ivf-index-inc")
+
+    // build on the base slice only, then append the delta with the
+    // artifact's own centroids
+    graft.sources.XlsxTables.clearDir(dir)
+    val base = Tables.load(spark, sf, "embeddings").filter(!isDelta)
+    base.select(
+        org.apache.spark.sql.functions.element_at(
+          graft.functions.VectorQuantize.nearestCells(col("embedding"),
+            Similarity.staticCentroids(), 1), 1).as("cell"),
+        col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.l2norm(col("embedding")).as("nrm"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+    import spark.implicits._
+    Similarity.staticCentroids().zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    Similarity.ivfIndexAppend(spark, dir, embs.filter(isDelta))
+
+    val queries = embs.filter(col("vec_id") < 10)
+    val appended = Similarity.annServeFromIndex(spark, dir, queries)
+      .collect().map(_.toString).toSeq
+    // rebuild from scratch over the full vector set
+    val full = graft.operators.ExportImport.scratch("ivf-index-full")
+    Similarity.ivfIndexToDir(spark, sf, full)
+    val rebuilt = Similarity.annServeFromIndex(spark, full, queries)
+      .collect().map(_.toString).toSeq
+    assert(appended == rebuilt,
+      "append must serve identically to a full rebuild")
+  }
 }
