@@ -94,6 +94,22 @@ class InvarianceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", one)
   }
 
+  test("round-8 artifact operators are partition-count invariant") {
+    def all() = (
+      rows(Dedup.exactSubstrSpans(spark, sf)),
+      rows(Dedup.dedupPairsIncremental(spark, sf)),
+      rows(Dedup.dedupAuditComposed(spark, sf)),
+      rows(Similarity.annIvfIndexed(spark, sf)))
+    val one = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val p1 = all()
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val p13 = all()
+      assert(p1 == p13)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", one)
+  }
+
   test("dedup/eval/mixture additions are partition-count invariant") {
     import graft.operators.{Curation, Quality}
     def all() = (
