@@ -730,6 +730,9 @@ object Dedup {
     // persist) replaces the old join-with-previous-labels + count.
     // DECIMAL(38,0) so the witness stays exact at any id magnitude.
     var prevSum: Option[java.math.BigDecimal] = None
+    // format: off — the try exists only to guarantee the checkpoint-dir
+    // restore below; the loop body keeps its original indentation
+    try {
     while (!converged && it < maxIters) {
       // hop: min label over {self} ∪ in-neighbors
       val hop = edges.join(labels, edges("src") === labels("id"))
@@ -782,12 +785,18 @@ object Dedup {
       it += 1
     }
     lastPropagationRounds = it
-    // every round's checkpoint has materialized (the convergence
-    // aggregate is the materializing action) — safe to hand the global
-    // checkpoint-dir setting back to whatever the session had before
-    if (checkpointDir.isDefined) prevCheckpointDir.foreach(sc.setCheckpointDir)
     require(converged,
       s"label propagation did not converge in $maxIters iterations")
+    } finally {
+      // hand the global checkpoint-dir setting back NO MATTER how the
+      // loop exits (mid-loop job failure, non-convergence) — otherwise
+      // every later checkpoint in this session would silently land in
+      // this run's dead UUID directory. (If the session had no dir
+      // before, the per-run dir stays set — still isolated per run,
+      // and its files are reaped by the ContextCleaner.)
+      if (checkpointDir.isDefined) prevCheckpointDir.foreach(sc.setCheckpointDir)
+    }
+    // format: on
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))
     val clustered = labels.join(sizes, "lbl")
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
@@ -848,6 +857,11 @@ object Dedup {
   def dedupCorpusFromPairs(docs: DataFrame, pairTable: DataFrame): DataFrame = {
     val exactCanon = TransientCaches.register(exactCanonical(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // EAGER: the first job below scans the cache via two SIBLING
+    // semi-joins — lazy, each sibling would recompute the exact-dedup
+    // shuffle (the documented sibling-scan gotcha); one count makes
+    // both reads cache hits
+    exactCanon.count()
     val survPairs = pairTable.select("id_a", "id_b")
       .join(exactCanon.select(col("doc_id").as("id_a")), Seq("id_a"), "leftsemi")
       .join(exactCanon.select(col("doc_id").as("id_b")), Seq("id_b"), "leftsemi")
@@ -1436,9 +1450,17 @@ object Dedup {
   }
 
   /** Generic core over ANY base/delta (doc_id, text) frames with
-    * disjoint ids. */
+    * disjoint ids. Ordered (the driver-oracle compare needs a
+    * deterministic dump); the continuous path uses the sort-free
+    * [[incrementalPairsUnordered]] — an artifact append has no
+    * ordering semantics to pay a range-exchange for. */
   def incrementalPairsFrom(base: DataFrame, delta: DataFrame,
-                           tau: Double = 0.3): DataFrame = {
+                           tau: Double = 0.3): DataFrame =
+    incrementalPairsUnordered(base, delta, tau).orderBy("id_a", "id_b")
+
+  /** Sort-free core of [[incrementalPairsFrom]]. */
+  def incrementalPairsUnordered(base: DataFrame, delta: DataFrame,
+                                tau: Double = 0.3): DataFrame = {
     def sh(df: DataFrame) = df.select(col("doc_id"),
       graft.functions.TextShingles.shingles3(
         graft.functions.TextShingles.words(col("text"))).as("sh"))
@@ -1449,7 +1471,6 @@ object Dedup {
     raw.select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("j4"))
       .dropDuplicates("id_a", "id_b")
-      .orderBy("id_a", "id_b")
   }
 
   /** DuckDB oracle for [[dedupPairsIncremental]]: the all-pairs truth
@@ -1487,7 +1508,11 @@ object Dedup {
   def dedupAuditComposed(spark: SparkSession, sfDir: String,
                          taus: Seq[Double] = Seq(0.3, 0.5, 0.7)): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val dir = ExportImport.scratch("verified-pairs")
+    // per-run UUID subdir: concurrent composed audits must not clobber
+    // each other's artifact mid-read (same stance as the propagation
+    // checkpoint namespace)
+    val dir = ExportImport.scratch(
+      s"verified-pairs/run-${java.util.UUID.randomUUID()}")
     verifiedPairsToDir(spark, sfDir, dir, taus.min)
     // the artifact read feeds every audit below — persist the (bounded)
     // pair table so each rollup is a cache scan, not a parquet re-read

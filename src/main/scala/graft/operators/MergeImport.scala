@@ -139,10 +139,14 @@ object MergeImport {
     // A cyclic in-package FK graph has no valid order at all. Both fail
     // loudly here, before any data moves. (Reference analog: the apply
     // loop's ordered SETCURRENTKEY contract, Codeunit 60000:58-65.)
+    // Self-referential FKs (employee.manager_id -> employee) are fine:
+    // the table applies once and gates against its own already-applied
+    // state — no ordering constraint exists, so they are exempt.
     val pos = ordered.map(_._1).zipWithIndex.toMap
     val badEdges = fks.collect {
       case (child, (fkCol, parent, _))
-          if pos.contains(child) && pos.contains(parent)
+          if child != parent
+            && pos.contains(child) && pos.contains(parent)
             && pos(parent) >= pos(child) =>
         s"$child.$fkCol -> $parent (child applies at position " +
           s"${pos(child) + 1}, parent at ${pos(parent) + 1})"

@@ -524,7 +524,10 @@ object Similarity {
     * SimilaritySpec both pin. */
   def annIvfIndexed(spark: SparkSession, sfDir: String, nProbe: Int = 4,
                     nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val dir = ExportImport.scratch("ivf-index")
+    // per-run UUID subdir: concurrent runs must not overwrite each
+    // other's artifact mid-read
+    val dir = ExportImport.scratch(
+      s"ivf-index/run-${java.util.UUID.randomUUID()}")
     ivfIndexToDir(spark, sfDir, dir)
     annServeFromIndex(spark, dir,
       Tables.load(spark, sfDir, "embeddings")

@@ -74,7 +74,7 @@ object PackageIO {
       throw new IllegalArgumentException(
         s"package manifest at $path is not valid JSON"))
     val entries = parsed match {
-      case JArray(items) => items.collect {
+      case JArray(items) => items.map {
         case obj: JObject =>
           val fields = obj.obj.toMap
           (fields.get("table"), fields.get("proc_order")) match {
@@ -83,6 +83,12 @@ object PackageIO {
               s"package manifest at $path: entry missing " +
                 s""""table"/"proc_order": ${JsonMethods.compact(obj)}""")
           }
+        // a non-object entry is corruption, not something to skip — a
+        // partially-applied package is the silent failure mode this
+        // parser exists to eliminate
+        case other => throw new IllegalArgumentException(
+          s"package manifest at $path: non-object entry " +
+            JsonMethods.compact(other))
       }
       case _ => throw new IllegalArgumentException(
         s"package manifest at $path must be a JSON array of table entries")

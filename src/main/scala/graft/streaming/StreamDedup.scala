@@ -28,8 +28,15 @@ object StreamDedup {
                                     outDir: String, tau: Double): Unit = {
     val spark = batch.sparkSession
     val b = batch.select(col("doc_id"), col("text"))
+    // `Files.exists` alone is not enough: a pre-created EMPTY directory
+    // (ExportImport.scratch eagerly mkdirs) would make read.parquet
+    // throw on the first batch — require actual data files
+    val hasData = Files.exists(Paths.get(baseDir)) &&
+      Files.list(Paths.get(baseDir)).anyMatch(f =>
+        !f.getFileName.toString.startsWith("_") &&
+          !f.getFileName.toString.startsWith("."))
     val base =
-      if (Files.exists(Paths.get(baseDir))) spark.read.parquet(baseDir)
+      if (hasData) spark.read.parquet(baseDir)
       else b.filter(lit(false))
     // persist: the decision frame feeds both the log append and the
     // survivor filter — without the cache the whole incremental-dedup

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -8,36 +7,64 @@ import graft.operators.Dedup
 
 /** §2 #152 — CONTINUOUS verified-pair-artifact maintenance: every
   * arriving micro-batch of documents contributes exactly the pairs it
-  * adds ([[graft.operators.Dedup.incrementalPairsFrom]] — probe side is
-  * the batch only), appended to the same (id_a, id_b, j4) parquet
-  * artifact [[graft.operators.Dedup.verifiedPairsToDir]] writes, then
-  * the batch joins the accumulated corpus. The artifact therefore stays
-  * CURRENT as the corpus grows: after any prefix of batches it equals a
-  * full [[graft.operators.Dedup.dedupNgramExactjoinFrom]] rebuild on
-  * the documents seen so far (pairwise Jaccard makes history pairs
-  * invariant under appends — the same theorem DedupPairsSpec pins for
-  * the batch form), so every *FromPairs audit can run off it at any
-  * moment without a corpus-scale join.
+  * adds ([[graft.operators.Dedup.incrementalPairsUnordered]] — probe
+  * side is the batch only), written to the (id_a, id_b, j4) parquet
+  * artifact, then the batch joins the accumulated corpus. The artifact
+  * therefore stays CURRENT as the corpus grows: after any prefix of
+  * batches it equals a full
+  * [[graft.operators.Dedup.dedupNgramExactjoinFrom]] rebuild on the
+  * documents seen so far (pairwise Jaccard makes history pairs
+  * invariant under appends — the theorem DedupPairsSpec pins for the
+  * batch form), so every *FromPairs audit can run off it at any moment
+  * without a corpus-scale join.
+  *
+  * EXACTLY-ONCE under foreachBatch's at-least-once replay: both writes
+  * land in a `batch_id=N` subdirectory with mode(overwrite), so a
+  * replayed batch overwrites its own partition instead of appending a
+  * duplicate — the idempotence parquet `append` cannot offer. Readers
+  * see `batch_id` as a partition column; select it away when the
+  * artifact schema must be exactly (id_a, id_b, j4).
   *
   * Composition, not new machinery: the `foreachBatch` body is the batch
-  * operator; on a lakehouse the two appends become APPEND commits in
-  * one transaction (docs/LAKEHOUSE.md). StreamingSpec proves the
-  * replayed artifact equals the full rebuild.
+  * operator; on a lakehouse the two writes become APPEND commits in one
+  * transaction (docs/LAKEHOUSE.md). StreamingSpec proves the replayed
+  * artifact equals the full rebuild AND that a re-run batch does not
+  * duplicate pairs.
   */
 object StreamPairs {
 
-  /** Append one micro-batch's new pairs and the batch itself.
-    * Single-writer atomicity stance as StreamUpsert/StreamDedup. */
-  private[streaming] def applyBatch(batch: DataFrame, corpusDir: String,
-                                    pairsDir: String, tau: Double): Unit = {
+  /** Read a partitioned accumulation dir that may not have data yet —
+    * `Files.exists` alone is not enough: scratch() pre-creates empty
+    * directories, and spark.read.parquet on one throws. */
+  private[streaming] def readAccumulated(spark: org.apache.spark.sql.SparkSession,
+                                         dir: String): Option[DataFrame] = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val hasData = java.nio.file.Files.list(p).anyMatch(f =>
+        f.getFileName.toString.startsWith("batch_id="))
+      if (hasData) Some(spark.read.parquet(dir)) else None
+    }
+  }
+
+  /** Apply one micro-batch idempotently (keyed by `batchId`).
+    * private[graft]: StreamingSpec drives it directly to prove replay
+    * idempotence. */
+  private[graft] def applyBatch(batch: DataFrame, batchId: Long,
+                                    corpusDir: String, pairsDir: String,
+                                    tau: Double): Unit = {
     val spark = batch.sparkSession
     val b = batch.select(col("doc_id"), col("text"))
-    val base =
-      if (Files.exists(Paths.get(corpusDir))) spark.read.parquet(corpusDir)
-      else b.filter(lit(false))
-    Dedup.incrementalPairsFrom(base, b, tau)
-      .write.mode("append").parquet(pairsDir)
-    b.write.mode("append").parquet(corpusDir)
+    // the accumulated corpus EXCLUDES this batch id: on a replay the
+    // half-applied state (pairs written, corpus not, or both written)
+    // must not make the batch pair against itself as "history"
+    val base = readAccumulated(spark, corpusDir)
+      .map(_.filter(col("batch_id") =!= batchId)
+        .select(col("doc_id"), col("text")))
+      .getOrElse(b.filter(lit(false)))
+    Dedup.incrementalPairsUnordered(base, b, tau)
+      .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+    b.write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
   }
 
   /** Start continuous pair maintenance for `docs` (needs doc_id, text). */
@@ -45,8 +72,8 @@ object StreamPairs {
                   checkpoint: String, tau: Double = 0.3): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch, corpusDir, pairsDir, tau)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, corpusDir, pairsDir, tau)
       }
       .start()
 }

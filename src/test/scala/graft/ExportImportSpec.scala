@@ -180,6 +180,26 @@ class ExportImportSpec extends SparkSpec {
       s"cycle must surface as a violated edge: ${err.getMessage}")
   }
 
+  test("package_apply: self-referential FK is exempt from the order guard") {
+    import spark.implicits._
+    import graft.operators.MergeImport
+    // employee.manager_id -> employee: the table applies once and gates
+    // against its own already-applied state — no ordering constraint
+    val emp = Seq((1L, 1L), (2L, 1L)).toDF("emp_id", "manager_id")
+    val inc = Seq((3L, 1L), (4L, 999L)).toDF("emp_id", "manager_id")
+    val dir = ExportImport.scratch("pkg-selffk")
+    PackageIO.writePackage(spark, dir, Map("employee" -> inc))
+    val res = MergeImport.applyPackageOrdered(spark, dir,
+      base = Map("employee" -> emp),
+      keys = Map("employee" -> "emp_id"),
+      fks = Map("employee" -> (("manager_id", "employee", "emp_id"))))
+      .map(r => r.name -> r).toMap
+    // 3 -> manager 1 exists in base: accepted; 4 -> 999: orphan
+    assert(res("employee").rejected.select("emp_id").as[Long]
+      .collect().toSeq == Seq(4L))
+    assert(res("employee").applied.count() == 3L)
+  }
+
   test("package manifest: real JSON parse survives reorder, rejects junk") {
     import spark.implicits._
     val dir = ExportImport.scratch("pkg-manifest")
@@ -200,6 +220,10 @@ class ExportImportSpec extends SparkSpec {
     intercept[IllegalArgumentException] { PackageIO.tablesInOrder(dir) }
     // invalid JSON is a manifest error, not an empty result
     java.nio.file.Files.writeString(path, "not json {")
+    intercept[IllegalArgumentException] { PackageIO.tablesInOrder(dir) }
+    // a non-object entry is corruption — loud, never a silent subset
+    java.nio.file.Files.writeString(path,
+      """[{"table":"t1","proc_order":1}, "corrupt", {"table":"t2","proc_order":2}]""")
     intercept[IllegalArgumentException] { PackageIO.tablesInOrder(dir) }
   }
 

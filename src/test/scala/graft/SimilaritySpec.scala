@@ -280,8 +280,10 @@ class SimilaritySpec extends SparkSpec {
 
     // the inverted-list layout prunes: a single-cell read touches ONE
     // partition directory (the whole point of partitionBy(cell) — at
-    // 100 TB a probe reads nProbe/nCells of the data BY LAYOUT)
-    val dir = graft.operators.ExportImport.scratch("ivf-index")
+    // 100 TB a probe reads nProbe/nCells of the data BY LAYOUT).
+    // Built explicitly here: annIvfIndexed uses a per-run UUID dir.
+    val dir = graft.operators.ExportImport.scratch("ivf-index-spec")
+    Similarity.ivfIndexToDir(spark, sf, dir)
     val one = spark.read.parquet(s"$dir/assigned")
       .filter(org.apache.spark.sql.functions.col("cell") === 3)
     val scan = one.queryExecution.executedPlan.toString

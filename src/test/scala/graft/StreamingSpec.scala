@@ -239,8 +239,9 @@ class StreamingSpec extends SparkSpec {
       input.addData(d1: _*); q.processAllAvailable()
       input.addData(d2: _*); q.processAllAvailable()
     } finally q.stop()
-    val streamed = spark.read.parquet(pairsDir).collect()
-      .map(_.toString).toSeq.sorted
+    def artifact() = spark.read.parquet(pairsDir)
+      .select("id_a", "id_b", "j4").collect().map(_.toString).toSeq.sorted
+    val streamed = artifact()
     // full rebuild on everything seen so far
     val all = (d1 ++ d2).toDF("doc_id", "text")
     val rebuilt = graft.operators.Dedup.dedupNgramExactjoinFrom(
@@ -251,6 +252,11 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toString).toSeq.sorted
     assert(streamed.nonEmpty && streamed == rebuilt,
       s"streamed=${streamed.size} rebuilt=${rebuilt.size}")
+    // at-least-once replay: re-running batch 1 (foreachBatch's crash
+    // recovery) must overwrite its own partition, not duplicate pairs
+    graft.streaming.StreamPairs.applyBatch(
+      d2.toDF("doc_id", "text"), 1L, corpusDir, pairsDir, 0.3)
+    assert(artifact() == rebuilt, "replayed batch must be idempotent")
   }
 
   test("stream attribution: per-purchase credits equal the batch assign") {
