@@ -1426,8 +1426,11 @@ object Dedup {
       .write.mode("overwrite").parquet(dir)
 
   /** Read back a [[verifiedPairsToDir]] artifact. */
-  def readVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
+  def readVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
+      s"no verified-pairs artifact at $dir — run verifiedPairsToDir first")
     spark.read.parquet(dir)
+  }
 
   /** §2 #151 — INCREMENTAL pair-artifact maintenance: the NEW verified
     * pairs a delta batch adds to an existing [[verifiedPairsToDir]]

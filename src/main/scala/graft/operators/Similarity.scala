@@ -467,9 +467,13 @@ object Similarity {
 
   /** Centroid matrix back from an [[ivfIndexToDir]] artifact (bounded:
     * nCells × dim doubles — model state, never data). */
-  def readIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+  def readIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/centroids")),
+      s"no IVF index artifact at $dir — run ivfIndexToDir first")
     spark.read.parquet(s"$dir/centroids").orderBy("cell")
       .collect().map(_.getAs[Seq[Double]]("centroid").toArray)
+  }
 
   /** INCREMENTAL index maintenance: assign a batch of new
     * (vec_id, embedding) vectors with the artifact's OWN centroids and

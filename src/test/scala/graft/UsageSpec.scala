@@ -290,5 +290,40 @@ class UsageSpec extends SparkSpec {
     assert((audit.getAs[Long]("n_in"), audit.getAs[Long]("n_exact_removed"),
       audit.getAs[Long]("n_near_removed"), audit.getAs[Long]("n_out"))
       == ((4L, 1L, 1L, 2L)))
+
+    // incremental maintenance on the same corpus: base = docs 1-3,
+    // delta = doc 4 — the increment is exactly the pairs touching 4
+    val incr = Graft.incrementalVerifiedPairs(
+      docs.filter(col("doc_id") < 4).select("doc_id", "text"),
+      docs.filter(col("doc_id") === 4).select("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr == Set((1L, 4L), (2L, 4L)))
+
+    // missing artifacts fail with a clear message, not a Spark stack
+    val err = intercept[IllegalArgumentException] {
+      Graft.readVerifiedPairs(spark, "/nonexistent/pairs")
+    }
+    assert(err.getMessage.contains("verifiedPairsToDir"))
+  }
+
+  test("facade: IVF index build / serve / append on the fixture vectors") {
+    val dir = graft.operators.ExportImport.scratch("usage-ivf")
+    graft.sources.XlsxTables.clearDir(dir)
+    Graft.buildIvfIndex(spark, sf, dir)
+    val queries = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") < 3).select("vec_id", "embedding")
+    val served = Graft.annServeFromIndex(spark, dir, queries, k = 3)
+      .collect()
+    assert(served.nonEmpty
+      && served.forall(_.getAs[Long]("query_id") < 3L)
+      && served.groupBy(_.getAs[Long]("query_id"))
+        .values.forall(_.length <= 3))
+    // append is accepted and extends the served candidate set
+    Graft.appendIvfIndex(spark, dir,
+      Tables.load(spark, sf, "embeddings")
+        .filter(col("vec_id") >= 500)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+    val after = Graft.annServeFromIndex(spark, dir, queries, k = 3).collect()
+    assert(after.length >= served.length)
   }
 }
