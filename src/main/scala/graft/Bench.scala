@@ -63,7 +63,8 @@ object Bench {
     "xml_roundtrip", "csv_roundtrip", "orc_roundtrip", "xlsx_roundtrip",
     "jsonl_roundtrip", "integrity_checksum",
     "nested_docs",
-    "compressed_io", "media_roundtrip", "json_props",
+    "compressed_io", "media_roundtrip", "media_frame_sample",
+    "media_resize", "json_props",
     "import_validation", "import_errors", "package_apply")
 
   def main(args: Array[String]): Unit = {

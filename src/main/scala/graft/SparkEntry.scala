@@ -45,6 +45,8 @@ object SparkEntry {
     "blob_base64" -> (Blob.blobBase64 _),
     "media_metadata" -> ((s, d) => Blob.mediaMetadata(s, d)),
     "media_roundtrip" -> (Blob.mediaRoundtrip _),
+    "media_frame_sample" -> ((s, d) => Blob.mediaFrameSampleArith(s, d)),
+    "media_resize" -> ((s, d) => Blob.mediaResize(s, d)),
     // C. LLM-data-pipeline: dedup family
     "dedup_exact" -> (Dedup.dedupExact _),
     "para_dedup" -> (Dedup.paraDedup _),
@@ -280,6 +282,8 @@ object SparkEntry {
            AS INTEGER) AS height,
          CAST(1 AS INTEGER) AS frames
          FROM documents ORDER BY doc_id""",
+    "media_frame_sample" -> Blob.mediaFrameSampleOracle(),
+    "media_resize" -> Blob.mediaResizeOracle,
     "dedup_exact" ->
       """SELECT content_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
          FROM (SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))

@@ -124,4 +124,103 @@ object Blob {
       .toDF()
       .orderBy("doc_id")
   }
+
+  private def payloads(spark: SparkSession, sfDir: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+  }
+
+  /** §2 #153 — FRAME SAMPLING over a real container: each payload is
+    * wrapped as a 24-bpp BMP whose pixel rows are the deterministic
+    * "frames"; every `everyK`-th frame is extracted BY PARSING THE
+    * CONTAINER ([[graft.sources.MediaCodec.frameRows]]) and
+    * fingerprinted — the frame-sample step of a video ingest, with the
+    * pixel codec behind the same seam as [[mediaMetadata]]. The driver
+    * query projects the sampling arithmetic (frame counts, indices,
+    * byte offsets — fully oracle-replayable); the per-frame sha256
+    * travels with every row and is spec-pinned (the oracle engine
+    * cannot slice blobs). Batch shape: one mapPartitions, no shuffle —
+    * frames never leave their executor. */
+  def mediaFrameSample(spark: SparkSession, sfDir: String,
+                       everyK: Int = 4): DataFrame = {
+    import spark.implicits._
+    payloads(spark, sfDir)
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val bmp = graft.sources.MediaCodec.encodeBmp(bytes)
+        val frames = graft.sources.MediaCodec.frameRows(bmp)
+        frames.collect {
+          case (ix, off, fr) if ix % everyK == 0 =>
+            (id, frames.length.toLong, ix.toLong, off.toLong,
+              java.security.MessageDigest.getInstance("SHA-256")
+                .digest(fr).map("%02x".format(_)).mkString)
+        }
+      })
+      .toDF("doc_id", "n_frames", "frame_ix", "frame_off", "frame_sha")
+      .orderBy("doc_id", "frame_ix")
+  }
+
+  /** The arithmetic projection of [[mediaFrameSample]] the driver
+    * oracle replays (frame_sha is real but not SQL-replayable). */
+  def mediaFrameSampleArith(spark: SparkSession, sfDir: String,
+                            everyK: Int = 4): DataFrame =
+    mediaFrameSample(spark, sfDir, everyK)
+      .select("doc_id", "n_frames", "frame_ix", "frame_off")
+
+  /** DuckDB oracle for [[mediaFrameSampleArith]]: encodeBmp's layout is
+    * a pure function of the payload length (48-byte rows, 54-byte
+    * header), so counts, sampled indices, and offsets replay
+    * arithmetically. */
+  def mediaFrameSampleOracle(everyK: Int = 4): String =
+    s"""WITH f AS (
+          SELECT doc_id,
+            greatest(1, CAST(ceil(octet_length(encode(text)) / 48.0)
+                        AS BIGINT)) AS n_frames
+          FROM documents)
+       SELECT doc_id, n_frames,
+              unnest(range(0, n_frames, $everyK)) AS frame_ix,
+              54 + 48 * unnest(range(0, n_frames, $everyK)) AS frame_off
+       FROM f ORDER BY doc_id, frame_ix"""
+
+  /** §2 #154 — RESIZE over a real container: payload → 24-bpp BMP →
+    * REAL nearest-neighbor 2× downscale
+    * ([[graft.sources.MediaCodec.resizeBmpHalf]] — actual pixel
+    * copying, correctly re-aligned rows) → the resized container's
+    * parsed header. `ok` proves the resized bytes parse back to the
+    * expected dimensions; all dimension/size columns replay
+    * arithmetically in the oracle. Map-only, no shuffle. */
+  def mediaResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    payloads(spark, sfDir)
+      .mapPartitions(_.map { case (id, bytes) =>
+        val bmp = graft.sources.MediaCodec.encodeBmp(bytes)
+        val src = graft.sources.MediaCodec.sniff(bmp).get
+        val half = graft.sources.MediaCodec.resizeBmpHalf(bmp)
+        val dst = graft.sources.MediaCodec.sniff(half).get
+        (id, src.width.toLong, src.height.toLong,
+          dst.width.toLong, dst.height.toLong, half.length.toLong,
+          dst.width == (src.width + 1) / 2
+            && dst.height == (src.height + 1) / 2)
+      })
+      .toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h", "dst_bytes", "ok")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[mediaResize]]: dst rows are 8 px × 24 bpp =
+    * 24-byte (already aligned) rows under a 54-byte header. */
+  val mediaResizeOracle: String =
+    """SELECT doc_id,
+         CAST(16 AS BIGINT) AS src_w,
+         greatest(1, CAST(ceil(octet_length(encode(text)) / 48.0)
+                     AS BIGINT)) AS src_h,
+         CAST(8 AS BIGINT) AS dst_w,
+         CAST(ceil(greatest(1, CAST(ceil(octet_length(encode(text)) / 48.0)
+                            AS BIGINT)) / 2.0) AS BIGINT) AS dst_h,
+         54 + 24 * CAST(ceil(greatest(1,
+             CAST(ceil(octet_length(encode(text)) / 48.0) AS BIGINT))
+             / 2.0) AS BIGINT) AS dst_bytes,
+         true AS ok
+       FROM documents ORDER BY doc_id"""
 }

@@ -49,6 +49,62 @@ object MediaCodec {
     b.array() // ByteBuffer.allocate zero-fills: final-row padding is free
   }
 
+  /** Pixel rows of a 24-bpp BMP as frames: (index, byte offset, row
+    * bytes) — the deterministic "video" layout the frame-sampling
+    * operator reads. Parses the REAL header (pixel-array offset, width,
+    * height), so it works on any 24-bpp BMP, not just [[encodeBmp]]'s. */
+  def frameRows(bmp: Array[Byte]): IndexedSeq[(Int, Int, Array[Byte])] = {
+    val bb = ByteBuffer.wrap(bmp).order(ByteOrder.LITTLE_ENDIAN)
+    val off0 = bb.getInt(10)
+    val w = bb.getInt(18)
+    val h = math.abs(bb.getInt(22))
+    val rb = ((3 * w + 3) / 4) * 4
+    (0 until h).map { i =>
+      val a = off0 + rb * i
+      (i, a, java.util.Arrays.copyOfRange(bmp, a, a + rb))
+    }
+  }
+
+  /** REAL nearest-neighbor 2× downscale of a 24-bpp uncompressed BMP:
+    * every second pixel of every second stored row, re-wrapped as a
+    * valid (viewer-openable) 24-bpp BMP with correctly aligned rows.
+    * Deterministic pixel selection (file-order rows, so bottom-up
+    * sources sample from the bottom), pure function of the input —
+    * the resize step of a multimodal pipeline, minus only the codecs
+    * this sandbox cannot ship. */
+  def resizeBmpHalf(bmp: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.wrap(bmp).order(ByteOrder.LITTLE_ENDIAN)
+    val off0 = bb.getInt(10)
+    val w = bb.getInt(18)
+    val h = math.abs(bb.getInt(22))
+    val srcRb = ((3 * w + 3) / 4) * 4
+    val dstW = (w + 1) / 2
+    val dstH = (h + 1) / 2
+    val dstRb = ((3 * dstW + 3) / 4) * 4
+    val size = HeaderBytes + dstRb * dstH
+    val out = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte); out.put('M'.toByte)
+    out.putInt(size); out.putInt(0); out.putInt(HeaderBytes)
+    out.putInt(40); out.putInt(dstW); out.putInt(dstH)
+    out.putShort(1); out.putShort(24); out.putInt(0)
+    out.putInt(dstRb * dstH)
+    out.putInt(2835); out.putInt(2835); out.putInt(0); out.putInt(0)
+    var y = 0
+    while (y < dstH) {
+      var x = 0
+      while (x < dstW) {
+        val src = off0 + srcRb * (2 * y) + 3 * (2 * x)
+        val dst = HeaderBytes + dstRb * y + 3 * x
+        out.put(dst, bmp(src))
+        out.put(dst + 1, bmp(src + 1))
+        out.put(dst + 2, bmp(src + 2))
+        x += 1
+      }
+      y += 1
+    }
+    out.array()
+  }
+
   private val PngSig: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 

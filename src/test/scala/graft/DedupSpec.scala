@@ -412,6 +412,48 @@ class DedupSpec extends SparkSpec {
     // truncated/garbage payloads degrade to None, never throw
     assert(MediaCodec.sniff(Array[Byte]()).isEmpty)
     assert(MediaCodec.sniff("not an image".getBytes).isEmpty)
+
+    // frameRows parses the real header and slices exact 48-byte rows
+    val rows = MediaCodec.frameRows(bmp)
+    assert(rows.length == 3 && rows.forall(_._3.length == 48))
+    assert(rows(0)._2 == 54 && rows(1)._2 == 102)
+    assert(rows(0)._3.take(48).toSeq == payload.take(48).toSeq)
+
+    // resizeBmpHalf: real nearest-neighbor pixels, valid re-parse
+    val half = MediaCodec.resizeBmpHalf(bmp)
+    assert(MediaCodec.sniff(half).contains(
+      MediaCodec.Dims("image/bmp", 8, 2, 1)))
+    assert(half.length == 54 + 24 * 2) // 8 px × 24 bpp = 24-byte rows
+    // dst pixel (x, y) = src pixel (2x, 2y): dst row 0 col 1 ==
+    // src row 0 bytes 6..8 (pixel 2), dst row 1 col 0 == src row 2 col 0
+    assert(half.slice(54 + 3, 54 + 6).toSeq == bmp.slice(54 + 6, 54 + 9).toSeq)
+    assert(half.slice(54 + 24, 54 + 27).toSeq
+      == bmp.slice(54 + 96, 54 + 99).toSeq)
+  }
+
+  test("media frame sampling and resize: real bytes behind the arithmetic") {
+    import spark.implicits._
+    import graft.sources.MediaCodec
+    val fs = graft.operators.Blob.mediaFrameSample(spark, sf, everyK = 4)
+      .collect()
+    assert(fs.nonEmpty)
+    // sampled indices respect the stride; offsets follow the layout
+    assert(fs.forall(r => r.getAs[Long]("frame_ix") % 4 == 0
+      && r.getAs[Long]("frame_off") == 54 + 48 * r.getAs[Long]("frame_ix")))
+    // the fingerprint is the sha256 of the ACTUAL container slice
+    val first = fs.head
+    val text = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") === first.getAs[Long]("doc_id"))
+      .select("text").collect().head.getString(0)
+    val bmp2 = MediaCodec.encodeBmp(text.getBytes("UTF-8"))
+    val expect = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(MediaCodec.frameRows(bmp2)(
+        first.getAs[Long]("frame_ix").toInt)._3)
+      .map("%02x".format(_)).mkString
+    assert(first.getAs[String]("frame_sha") == expect)
+    // resize: every row must verify ok (resized container re-parses)
+    val rz = graft.operators.Blob.mediaResize(spark, sf).collect()
+    assert(rz.nonEmpty && rz.forall(_.getAs[Boolean]("ok")))
   }
 
   test("dedup_incremental: exact vs base, exact within delta, near rules; probe-side pairs only") {
