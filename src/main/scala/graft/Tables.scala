@@ -16,19 +16,29 @@ object Tables {
   val broadcastDims: Set[String] =
     Set("region", "nation", "customer", "supplier", "part")
 
-  /** Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
-    * (see [[session]]): parquet TIMESTAMP(NANOS) columns (events.ts) arrive
-    * as LongType nanos and are converted to microsecond timestamps here —
-    * lossless for this data (driver generates whole-microsecond stamps),
-    * and integral `div` avoids the >2^53 double-precision trap. */
+  /** The driver has shipped events.ts as parquet TIMESTAMP(NANOS) (read as
+    * LongType nanos under `nanosAsLong`), and as TIMESTAMP_MICROS with
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ unless NTZ inference is
+    * off). Normalize every variant to a plain session-TZ (UTC) TIMESTAMP so
+    * operators and oracles see one type regardless of generator vintage.
+    * Integral `div` on the nanos path avoids the >2^53 double-precision
+    * trap; the NTZ cast is exact (UTC session = DuckDB's naive read). */
+  def normalizeTs(df: DataFrame, col: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    if (!df.columns.contains(col)) df
+    else df.schema(col).dataType match {
+      case LongType =>
+        df.withColumn(col, timestamp_micros(expr(s"$col div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(col, df(col).cast("timestamp"))
+      case _ => df
+    }
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events"
-        && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
 
   /** The session settings every graft entrypoint (Verify/Bench/tests)
@@ -36,6 +46,10 @@ object Tables {
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // parquet TIMESTAMP with isAdjustedToUTC=false would otherwise read
+    // as TIMESTAMP_NTZ (Spark 4 default), which unix_micros()/watermarks
+    // reject; with a UTC session the plain-TIMESTAMP read is value-exact
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // reliable-checkpoint files (clustersFromPairs' durable lineage

@@ -19,12 +19,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws writes no parquet dir, so it would simply be
+    // ABSENT from the driver's correctness report — N fewer rows, all
+    // green. Record every failure in a durable artifact (and a final
+    // loud summary) so a silent shrink of the query set is impossible.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed(name) = e.toString.takeWhile(_ != '\n')
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // session boundary between queries — same hygiene as Bench
@@ -48,6 +54,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_verify_errors.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    val ran =
+      SparkEntry.queries.count { case (n, _) => only.isEmpty || only(n) }
+    System.err.println(
+      s"[verify] DONE ok=${ran - failed.size} failed=${failed.size}" +
+        (if (failed.nonEmpty) s" -> ${failed.keys.mkString(",")}" else ""))
     spark.stop()
   }
 }

@@ -12,22 +12,20 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events schema as the file source sees it under
-    * spark.sql.legacy.parquet.nanosAsLong (ts = nanos BIGINT). */
-  val eventsNanosSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** File-source stream over the events parquet, nanos → µs timestamps
-    * (same conversion as Tables.load). */
-  def readEventStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(eventsNanosSchema)
-      // file source needs a directory; select just the events file
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** File-source stream over the events parquet. The file source needs an
+    * explicit schema, and the driver's generator has shipped ts as nanos
+    * (→ BIGINT under nanosAsLong) and as µs TIMESTAMP across vintages —
+    * so take the schema from a batch peek at the same file and normalize
+    * ts exactly as Tables.load does for batch readers. */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(fileSchema)
+        // file source needs a directory; select just the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+  }
 
   /** Streaming exact dedup: drop replayed/duplicate event ids, keeping
     * state only within the watermark horizon (bounded, unlike a plain
