@@ -441,21 +441,38 @@ object Dedup {
     // recompute the lineage).
     val probes = TransientCaches.register(ranked
       .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")) + 1)
-      .select(col("tok_h"), col("doc_id"), col("n"))
+      .select(col("tok_h"), col("doc_id"), col("n"), col("rn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     probes.count()
 
-    val a = probes.select(col("tok_h"), col("doc_id").as("id_a"), col("n").as("na"))
-    val b = probes.select(col("tok_h"), col("doc_id").as("id_b"), col("n").as("nb"))
+    val a = probes.select(col("tok_h"), col("doc_id").as("id_a"),
+      col("n").as("na"), col("rn").as("pa"))
+    val b = probes.select(col("tok_h"), col("doc_id").as("id_b"),
+      col("n").as("nb"), col("rn").as("pb"))
     // the candidate set stays LAZY: it runs to millions of rows and
     // streams (whole-stage fused) straight into the verify join — an
     // eager materialization here measured +160% on this query. The
     // probes cache it reads is freed at the session boundary via
     // TransientCaches (registered above).
+    //
+    // PPJoin positional filter (exactness-preserving): a shared prefix
+    // token at 1-based rarity positions (pa, pb) bounds the overlap by
+    // 1 + min(na−pa, nb−pb), and J ≥ tau needs overlap ≥
+    // tau/(1+tau)·(na+nb). For the FIRST shared prefix token the bound
+    // dominates the true overlap, so a qualifying pair always survives
+    // on at least that row — pruning rows whose bound falls short drops
+    // only pairs that cannot qualify (epsilon-relaxed so double
+    // rounding can never reject a boundary pair). At low tau the plain
+    // prefix is ~70% of each doc and candidate selectivity collapses;
+    // this filter is what keeps the verify stage proportional to the
+    // TRUE near-dup mass instead of the shared-rare-token mass.
     val pairs = a.join(b, Seq("tok_h"))
       .filter(col("id_a") < col("id_b")
         && col("nb") >= ceil(lit(tau) * col("na"))
-        && col("na") >= ceil(lit(tau) * col("nb")))
+        && col("na") >= ceil(lit(tau) * col("nb"))
+        && (lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")))
+             * lit(1.0 + tau)
+           >= lit(tau) * (col("na") + col("nb")) - lit(1e-9))
       .select("id_a", "id_b").distinct()
 
     // verify on hashed shingle sets: same Jaccard values (64-bit
@@ -500,17 +517,23 @@ object Dedup {
     val prefixes = toks.join(tokFreq, "tok_h")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")) + 1)
-      .select(col("tok_h"), col("doc_id"), col("n"))
+      .select(col("tok_h"), col("doc_id"), col("n"), col("rn"))
     val probeIds = probe.select(col("doc_id").as("id_p"))
     val p = prefixes.join(probeIds,
         prefixes("doc_id") === probeIds("id_p"))
-      .select(col("tok_h"), col("id_p"), col("n").as("np"))
+      .select(col("tok_h"), col("id_p"), col("n").as("np"),
+        col("rn").as("pp"))
     val c = prefixes.select(col("tok_h"), col("doc_id").as("id_c"),
-      col("n").as("nc"))
+      col("n").as("nc"), col("rn").as("pc"))
+    // same PPJoin positional filter as dedupNgramExactjoinFrom — see
+    // the exactness argument there (first-shared-token bound dominates)
     val pairs = p.join(c, Seq("tok_h"))
       .filter(col("id_p") =!= col("id_c")
         && col("nc") >= ceil(lit(tau) * col("np"))
-        && col("np") >= ceil(lit(tau) * col("nc")))
+        && col("np") >= ceil(lit(tau) * col("nc"))
+        && (lit(1) + least(col("np") - col("pp"), col("nc") - col("pc")))
+             * lit(1.0 + tau)
+           >= lit(tau) * (col("np") + col("nc")) - lit(1e-9))
       .select(col("id_p").as("id_a"), col("id_c").as("id_b")).distinct()
     val hashed = corpus.select(col("doc_id"),
       transform(col("sh"), s => xxhash64(s)).as("sh"))
