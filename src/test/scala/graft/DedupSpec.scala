@@ -52,6 +52,17 @@ class DedupSpec extends SparkSpec {
     assertNoCartesian(Dedup.dedupNgramExactjoin(spark, sf))
   }
 
+  test("dedup_ngram_exactjoin: PPJoin positional filter is in the plan") {
+    // the positional prune is what keeps the verify stage sized by the
+    // true near-dup mass (596k -> far fewer candidates on the sf0.1
+    // vintage); a refactor that drops it would still be CORRECT (the
+    // exact-Jaccard verify masks it), so pin its presence in the plan:
+    // the candidate join's filter must compare against least(na-pa, nb-pb)
+    val p = planOf(Dedup.dedupNgramExactjoin(spark, sf))
+    assert(p.contains("least("),
+      s"candidate join must carry the positional filter (least(na-pa, nb-pb) bound):\n$p")
+  }
+
   test("dedup_minhash: bucket cap is observable, zero capped on testdata") {
     val df = Dedup.dedupMinhash(spark, sf)
     df.collect()
