@@ -65,6 +65,7 @@ object SparkEntry {
     "totals_reconcile" -> (Quality.totalsReconcile _),
     "drift_report" -> ((s, d) => Analytics.driftReport(s, d)),
     "split_leakage" -> ((s, d) => Curation.splitLeakage(s, d)),
+    "leakage_safe_split" -> ((s, d) => Curation.leakageSafeSplit(s, d)),
     "source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_ngram_exactjoin" -> ((s, d) => Dedup.dedupNgramExactjoin(s, d)),
@@ -307,6 +308,7 @@ object SparkEntry {
     "totals_reconcile" -> Quality.totalsReconcileOracle,
     "drift_report" -> Analytics.driftOracle,
     "split_leakage" -> Curation.splitLeakageOracle(),
+    "leakage_safe_split" -> Curation.leakageSafeSplitOracle(),
     "source_overlap" -> Dedup.sourceOverlapOracle(),
     "dedup_minhash" ->
       graft.functions.TextShingles.duckdbAllPairsOracle(0.5),

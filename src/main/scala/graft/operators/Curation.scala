@@ -736,6 +736,61 @@ object Curation {
                              AS DOUBLE), 4)
               END AS leak_rate"""
 
+  /** §2 #156 — LEAKAGE-SAFE SPLIT ASSIGNMENT: [[splitLeakage]] MEASURES
+    * how much near-dup contamination a per-document hash split lets
+    * through; this operator PREVENTS it by construction. Documents are
+    * clustered over the verified near-dup pairs (the proven bounded
+    * propagation) and the split hash is taken on the CLUSTER id, so
+    * every near-dup group moves as a unit — no pair at the dedup
+    * threshold can ever cross the train/eval boundary. This is how a
+    * real pretraining pipeline carves its held-out set: split after
+    * dedup-clustering, not before.
+    *
+    * Scale shape: one exact prefix join (the pair table — or read the
+    * materialized artifact via [[leakageSafeSplitFrom]]) + the O(log d)
+    * propagation + a map-only hash; assignment is deterministic
+    * (knuth32, same values in SQL), so replays and backfills agree. */
+  def leakageSafeSplit(spark: SparkSession, sfDir: String,
+                       tau: Double = 0.3, mod: Int = 10): DataFrame =
+    leakageSafeSplitFrom(
+      Tables.load(spark, sfDir, "documents").select(col("doc_id")),
+      Dedup.dedupNgramExactjoin(spark, sfDir, tau), mod)
+
+  /** Artifact-consuming core: split assignment over ANY node set and
+    * ALREADY-VERIFIED pair table (id_a, id_b[, j4]). */
+  def leakageSafeSplitFrom(nodes: DataFrame, pairTable: DataFrame,
+                           mod: Int = 10): DataFrame =
+    Dedup.dedupClustersFromPairs(nodes, pairTable)
+      .select(col("doc_id"), col("cluster_id"),
+        when(pmod(graft.operators.Quality.knuth32(col("cluster_id")),
+            lit(mod.toLong)) === 0, "eval").otherwise("train").as("split"))
+      .orderBy("doc_id")
+
+  /** DuckDB oracle for [[leakageSafeSplit]]: recursive-CTE cluster
+    * truth + the same knuth32 split hash on the cluster id. */
+  def leakageSafeSplitOracle(tau: Double = 0.3, mod: Int = 10): String =
+    s"""${graft.functions.TextShingles.duckdbShingleCte
+            .replaceFirst("WITH sh", "WITH RECURSIVE sh")},
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                >= $tau),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+                FROM reach GROUP BY id)
+       SELECT doc_id, cluster_id,
+              CASE WHEN (${graft.operators.Quality.knuthSql("cluster_id")})
+                       % $mod = 0
+                   THEN 'eval' ELSE 'train' END AS split
+       FROM lab ORDER BY doc_id"""
+
   /** §2 #123 — DSIR-style IMPORTANCE WEIGHTING (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * score every document by the average log-likelihood ratio of its

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Curation
+import graft.operators.{Curation, Dedup}
 import graft.functions.TextShingles
 
 class CurationSpec extends SparkSpec {
@@ -351,5 +351,31 @@ class CurationSpec extends SparkSpec {
     assert(got(1L)._2 > 0 && got(2L)._2 > 0 && got(3L)._2 < 0
       && got(4L)._2 < 0)
     assert(got(1L)._3 && !got(3L)._3)
+  }
+
+  test("leakage_safe_split: no verified pair ever crosses the split") {
+    val split = Curation.leakageSafeSplit(spark, sf)
+    val n = split.count()
+    assert(n == Tables.load(spark, sf, "documents").count(),
+      "every document gets exactly one split assignment")
+    val pairs = Dedup.dedupNgramExactjoin(spark, sf)
+    assert(pairs.count() > 0, "sf0.001 plants near-dups; guard non-vacuous")
+    val sa = split.select(col("doc_id").as("id_a"), col("split").as("s_a"))
+    val sb = split.select(col("doc_id").as("id_b"), col("split").as("s_b"))
+    val crossing = pairs.join(sa, "id_a").join(sb, "id_b")
+      .filter(col("s_a") =!= col("s_b")).count()
+    assert(crossing == 0, s"$crossing near-dup pairs cross the split")
+    // both splits are populated (mod=10 on ~500 clusters)
+    val bySplit = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.getOrElse("train", 0L) > 0 && bySplit.getOrElse("eval", 0L) > 0)
+  }
+
+  test("leakage_safe_split: FromPairs core equals the standalone query") {
+    val docs = Tables.load(spark, sf, "documents").select(col("doc_id"))
+    val pairs = Dedup.dedupNgramExactjoin(spark, sf)
+    val viaPairs = Curation.leakageSafeSplitFrom(docs, pairs).collect().toSeq
+    val standalone = Curation.leakageSafeSplit(spark, sf).collect().toSeq
+    assert(viaPairs == standalone)
   }
 }
