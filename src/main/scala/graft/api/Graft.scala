@@ -143,6 +143,15 @@ object Graft {
                           taus: Seq[Double] = Seq(0.3, 0.5, 0.7)): DataFrame =
     graft.operators.Dedup.dedupThresholdSweepFromPairs(pairs, taus)
 
+  /** Leakage-safe train/eval split over a verified-pair artifact: the
+    * split hash is taken on the near-dup CLUSTER id, so no pair in the
+    * artifact can cross the boundary. `nodes` = every doc_id to assign;
+    * ~1/mod of clusters land in 'eval'. Returns (doc_id, cluster_id,
+    * split). */
+  def leakageSafeSplit(nodes: DataFrame, pairs: DataFrame,
+                       mod: Int = 10): DataFrame =
+    graft.operators.Curation.leakageSafeSplitFrom(nodes, pairs, mod)
+
   /** End-to-end corpus-dedup accounting (in / exact-removed /
     * near-removed / out) from a verified-pair artifact built over the
     * FULL corpus at the same tau. `docs` = (doc_id, text). */

@@ -51,6 +51,11 @@ class UsageSpec extends SparkSpec {
       Seq(1L, 2L, 3L).toDF("doc_id"), pairs.select("id_a", "id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    // leakage-safe split: the near-dup group (1,2) always lands together
+    val split = Graft.leakageSafeSplit(
+      Seq(1L, 2L, 3L).toDF("doc_id"), pairs.select("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(split.keySet == Set(1L, 2L, 3L) && split(1L) == split(2L))
   }
 
   test("facade: quality checks on arbitrary frames") {
