@@ -54,7 +54,7 @@ object Bench {
     "inverted_index", "source_mix_report", "bpe_train", "bpe_encode",
     // corpus curation
     "decontaminate", "decontaminate_fuzzy", "bloom_decontaminate",
-    "split_leakage", "leakage_safe_split",
+    "split_leakage", "leakage_safe_split", "budget_select",
     "doc_chunk", "pii_scrub", "c4_clean", "range_join",
     "mixture_sample", "mixture_temperature", "mixture_upsample",
     "tfidf_topterms", "shard_assign", "dsir_weights",

@@ -66,6 +66,7 @@ object SparkEntry {
     "drift_report" -> ((s, d) => Analytics.driftReport(s, d)),
     "split_leakage" -> ((s, d) => Curation.splitLeakage(s, d)),
     "leakage_safe_split" -> ((s, d) => Curation.leakageSafeSplit(s, d)),
+    "budget_select" -> ((s, d) => Curation.budgetSelect(s, d)),
     "source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_ngram_exactjoin" -> ((s, d) => Dedup.dedupNgramExactjoin(s, d)),
@@ -309,6 +310,7 @@ object SparkEntry {
     "drift_report" -> Analytics.driftOracle,
     "split_leakage" -> Curation.splitLeakageOracle(),
     "leakage_safe_split" -> Curation.leakageSafeSplitOracle(),
+    "budget_select" -> Curation.budgetSelectOracle(),
     "source_overlap" -> Dedup.sourceOverlapOracle(),
     "dedup_minhash" ->
       graft.functions.TextShingles.duckdbAllPairsOracle(0.5),

@@ -152,6 +152,13 @@ object Graft {
                        mod: Int = 10): DataFrame =
     graft.operators.Curation.leakageSafeSplitFrom(nodes, pairs, mod)
 
+  /** Quality-ranked token-budget selection: keep the best-scored docs
+    * (quality_model logistic) until `frac` of the corpus tokens are
+    * spent. `docs` = (doc_id LONG, text STRING); returns (doc_id,
+    * score, n_tokens, cum_tokens) in selection order. */
+  def budgetSelect(docs: DataFrame, frac: Double = 0.5): DataFrame =
+    graft.operators.Curation.budgetSelectFrom(docs, frac)
+
   /** End-to-end corpus-dedup accounting (in / exact-removed /
     * near-removed / out) from a verified-pair artifact built over the
     * FULL corpus at the same tau. `docs` = (doc_id, text). */

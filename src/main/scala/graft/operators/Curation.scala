@@ -791,6 +791,96 @@ object Curation {
                    THEN 'eval' ELSE 'train' END AS split
        FROM lab ORDER BY doc_id"""
 
+  /** §2 #157 — QUALITY-RANKED TOKEN-BUDGET SELECTION: the actual
+    * SELECTION step a pretraining pipeline runs after scoring — keep
+    * the highest-quality documents (quality_model's logistic score,
+    * ties broken by doc_id) until a token budget is spent (default:
+    * half the corpus tokens). quality_filter thresholds a SCORE;
+    * this allocates a BUDGET — the knob an actual run controls.
+    *
+    * The global running total over (score DESC, doc_id) is computed
+    * SCALABLY, never as a single-partition `ORDER BY` window: scores
+    * are exact 4-dp values, so per-score token totals are bounded by
+    * the score domain (≤ 10^4 rows — model state, not data); those
+    * totals become driver-side prefix offsets per score, and the
+    * within-score window partitions BY score. seq_pack's two-phase
+    * prefix-sum doctrine, keyed by the ranking value itself.
+    *
+    * Determinism: the 4-dp score is exact in both engines (proven by
+    * quality_model), token counts are integers, and the boundary doc
+    * is fixed by the total (score DESC, doc_id) order — floor(total ×
+    * frac) is exact in double below 2^53 total tokens (~9e15, beyond
+    * any corpus). */
+  def budgetSelect(spark: SparkSession, sfDir: String,
+                   frac: Double = 0.5): DataFrame =
+    budgetSelectFrom(Tables.load(spark, sfDir, "documents"), frac)
+
+  /** Generic core over ANY (doc_id, text) frame. */
+  def budgetSelectFrom(docs: DataFrame, frac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // identical feature arithmetic to quality_model (same 4-dp ratios,
+    // same z, same sigmoid rounding) with the word count kept as the
+    // token cost — one map-only corpus scan
+    val words = size(split(trim(col("text")), "\\s+"))
+    val punct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+    val stop = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(?:the|and|is|of|to)\\b"), lit(0)))
+    val scored = docs
+      .select(col("doc_id"), words.cast("long").as("n_tokens"),
+        round(stop / words, 4).as("stop_ratio"),
+        round(punct / length(col("text")), 4).as("punct_ratio"))
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(-2.0) + lit(0.9) * log(col("n_tokens") + lit(1.0))
+          + lit(3.0) * col("stop_ratio") - lit(8.0) * col("punct_ratio"))
+          .as("z"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("score"))
+    // bounded driver state: one row per distinct 4-dp score
+    val perScore = scored.groupBy("score").agg(sum("n_tokens").as("stot"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(-_._1)
+    val total = perScore.map(_._2).sum
+    val budget = math.floor(total.toDouble * frac).toLong
+    import docs.sparkSession.implicits._
+    val offDf = perScore.map(_._1)
+      .zip(perScore.map(_._2).scanLeft(0L)(_ + _))
+      .toSeq.toDF("score", "offset")
+    val within = Window.partitionBy("score").orderBy("doc_id")
+    scored.join(broadcast(offDf), Seq("score"))
+      .withColumn("cum_tokens", col("offset") + sum("n_tokens").over(within))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("score"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[budgetSelect]]: the quality_model score
+    * replayed + a window cumsum over the same total order. */
+  def budgetSelectOracle(frac: Double = 0.5): String =
+    s"""WITH s AS (SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars_calc,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+              AS n_words,
+            CAST(len(regexp_extract_all(text, '[.,!?;:]', 0)) AS BIGINT)
+              AS n_punct,
+            CAST(len(regexp_extract_all(lower(text),
+              '\\b(?:the|and|is|of|to)\\b', 0)) AS BIGINT) AS n_stop
+          FROM documents),
+        f AS (SELECT doc_id, n_words,
+            round(n_stop / n_words, 4) AS stop_ratio,
+            round(n_punct / n_chars_calc, 4) AS punct_ratio FROM s),
+        q AS (SELECT doc_id, n_words,
+            round(1.0 / (1.0 + exp(-(-2.0 + 0.9 * ln(n_words + 1.0)
+              + 3.0 * stop_ratio - 8.0 * punct_ratio))), 4) AS score
+          FROM f),
+        sel AS (SELECT doc_id, score, n_words,
+            CAST(sum(n_words) OVER (ORDER BY score DESC, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM q),
+        tot AS (SELECT CAST(floor(CAST(sum(n_words) AS DOUBLE) * $frac)
+                  AS BIGINT) AS budget FROM q)
+       SELECT doc_id, score, CAST(n_words AS BIGINT) AS n_tokens,
+              cum_tokens
+       FROM sel, tot WHERE cum_tokens <= budget
+       ORDER BY score DESC, doc_id"""
+
   /** §2 #123 — DSIR-style IMPORTANCE WEIGHTING (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * score every document by the average log-likelihood ratio of its

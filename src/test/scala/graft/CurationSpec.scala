@@ -371,6 +371,39 @@ class CurationSpec extends SparkSpec {
     assert(bySplit.getOrElse("train", 0L) > 0 && bySplit.getOrElse("eval", 0L) > 0)
   }
 
+  test("budget_select: equals the greedy reference; no global window") {
+    val sel = Curation.budgetSelect(spark, sf)
+    val got = sel.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    // greedy reference: same score arithmetic via the shipped operator,
+    // token counts recomputed locally, prefix in (score desc, doc_id)
+    val toks = Tables.load(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("\\s+").length.toLong).toMap
+    val scores = graft.operators.TextAnalysis.qualityModel(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val order = toks.keys.toSeq.sortBy(id => (-scores(id), id))
+    val total = toks.values.sum
+    val budget = math.floor(total.toDouble * 0.5).toLong
+    var cum = 0L
+    val expect = order.flatMap { id =>
+      cum += toks(id)
+      if (cum <= budget) Some((id, scores(id), toks(id), cum)) else None
+    }
+    assert(got.toSeq == expect)
+    assert(got.nonEmpty && got.map(_._3).sum <= budget,
+      "selection spends at most the budget")
+    // maximality: the next doc in order would overflow the budget
+    val next = order.drop(expect.size).headOption
+    next.foreach(id =>
+      assert(expect.lastOption.map(_._4).getOrElse(0L) + toks(id) > budget))
+    // scale shape: the cumsum must not plan a single-partition global
+    // window (every Window here partitions by score)
+    val p = planOf(sel)
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition(doc_id"),
+      s"no global un-partitioned window expected:\n$p")
+  }
+
   test("leakage_safe_split: FromPairs core equals the standalone query") {
     val docs = Tables.load(spark, sf, "documents").select(col("doc_id"))
     val pairs = Dedup.dedupNgramExactjoin(spark, sf)
