@@ -50,6 +50,34 @@ class TablesSpec extends SparkSpec {
     assert(Tables.normalizeTs(noTs).columns.toSeq == Seq("id", "s"))
   }
 
+  test("driver testdata column names match the operator contracts") {
+    // the driver regenerates /root/testdata between rounds; a renamed or
+    // dropped column should fail HERE, not as a vanished query in the
+    // correctness report. Names only — physical types may drift by
+    // vintage (that contract is pinned by the ts tests above).
+    val expected = Map(
+      "region" -> Set("r_regionkey", "r_name"),
+      "nation" -> Set("n_nationkey", "n_name", "n_regionkey"),
+      "customer" -> Set("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"),
+      "supplier" -> Set("s_suppkey", "s_name", "s_nationkey"),
+      "part" -> Set("p_partkey", "p_name", "p_brand", "p_retailprice"),
+      "orders" -> Set("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"),
+      "lineitem" -> Set("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+      "events" -> Set("event_id", "ts", "user_id", "event_type", "value",
+        "props"),
+      "documents" -> Set("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Set("vec_id", "embedding", "label"))
+    expected.foreach { case (name, cols) =>
+      val got = Tables.load(spark, sf, name).columns.toSet
+      assert(cols.subsetOf(got),
+        s"$name: operators expect ${cols -- got} but the file has $got")
+    }
+  }
+
   test("streaming read matches the batch read on the same events file") {
     // the file-source schema is peeked from the batch reader, so a
     // generator vintage change breaks both or neither
