@@ -170,6 +170,7 @@ object SparkEntry {
     "inverted_index" -> (TextAnalysis.invertedIndex _),
     "bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
+    "bpe_fertility" -> ((s, d) => TextAnalysis.bpeFertility(s, d)),
     "dsir_weights" -> ((s, d) => Curation.dsirWeights(s, d)),
     "quality_funnel" -> ((s, d) => TextAnalysis.qualityFunnel(s, d)),
     "source_mix_report" -> (TextAnalysis.sourceMixReport _),
@@ -865,6 +866,7 @@ object SparkEntry {
     "inverted_index" -> TextAnalysis.invertedIndexOracle,
     "bpe_train" -> TextAnalysis.bpeTrainOracle(),
     "bpe_encode" -> TextAnalysis.bpeEncodeOracle(),
+    "bpe_fertility" -> TextAnalysis.bpeFertilityOracle(),
     "dsir_weights" -> Curation.dsirOracle(),
     "quality_funnel" -> TextAnalysis.qualityFunnelOracle(),
     "source_mix_report" -> TextAnalysis.sourceMixOracle,

@@ -1120,6 +1120,54 @@ object TextAnalysis {
        FROM enc GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** §2 #158 — BPE FERTILITY BY LANGUAGE: tokens-per-word (and
+    * chars-per-token) of the trained tokenizer, per labeled language —
+    * the standard multilingual tokenizer-health metric. A tokenizer
+    * trained on a skewed mix over-fragments under-represented
+    * languages; this table is the check a pipeline runs BEFORE
+    * committing the mix (train → encode → fertility by lang).
+    *
+    * Scale shape: rides [[bpeEncode]]'s map-only corpus pass; the
+    * rollup is one doc_id equi-join + a ≤n-languages hash aggregate.
+    * Ratios derive from exact integer sums, rounded once. */
+  def bpeFertility(spark: SparkSession, sfDir: String, nMerges: Int = 5,
+                   maxWords: Int = 2000): DataFrame =
+    bpeEncode(spark, sfDir, nMerges, maxWords)
+      .join(Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_tokens").as("n_tokens"), sum("n_chars").as("n_chars"))
+      .withColumn("fertility",
+        round(col("n_tokens") / col("n_words").cast("double"), 4))
+      .withColumn("chars_per_token",
+        round(col("n_chars") / col("n_tokens").cast("double"), 4))
+      .orderBy("lang")
+
+  /** DuckDB oracle for [[bpeFertility]]: the [[bpeEncodeOracle]] CTE
+    * chain (same learned rules, same per-word fold) rolled up by the
+    * labeled language instead of per doc. */
+  def bpeFertilityOracle(nMerges: Int = 5, maxWords: Int = 2000): String = {
+    val encSql = bpeEncodeOracle(nMerges, maxWords)
+    // reuse everything up to (not including) the final per-doc SELECT
+    val cteEnd = encSql.lastIndexOf("SELECT doc_id,")
+    s"""${encSql.substring(0, cteEnd).trim.stripSuffix(",")},
+        perdoc AS (SELECT doc_id, count(*) AS n_words,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens
+             FROM enc GROUP BY doc_id)
+       SELECT d.lang, count(*) AS n_docs,
+              CAST(sum(p.n_words) AS BIGINT) AS n_words,
+              CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+              CAST(sum(p.n_chars) AS BIGINT) AS n_chars,
+              round(CAST(sum(p.n_tokens) AS DOUBLE) / sum(p.n_words), 4)
+                AS fertility,
+              round(CAST(sum(p.n_chars) AS DOUBLE) / sum(p.n_tokens), 4)
+                AS chars_per_token
+       FROM perdoc p JOIN documents d USING (doc_id)
+       GROUP BY d.lang ORDER BY d.lang"""
+  }
+
   /** DuckDB oracle for [[bpeTrain]]: word frequencies, pair counts,
     * argmax and the merge fold replayed round by round (one CTE chain
     * per round — the oracle may unroll what the engine loops). */

@@ -427,4 +427,25 @@ class TextAnalysisSpec extends SparkSpec {
       assert(rate == math.round(ok.toDouble / nd * 10000) / 10000.0)
     }
   }
+
+  test("bpe_fertility: exact rollup of bpe_encode by language") {
+    val perDoc = TextAnalysis.bpeEncode(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val langs = Tables.load(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val expect = perDoc.groupBy { case (id, _) => langs(id) }
+      .map { case (lang, rows) =>
+        val (w, c, t) = (rows.map(_._2._1).sum, rows.map(_._2._2).sum,
+          rows.map(_._2._3).sum)
+        lang -> (rows.size.toLong, w, t, c,
+          math.round(t.toDouble / w * 10000) / 10000.0,
+          math.round(c.toDouble / t * 10000) / 10000.0)
+      }
+    val got = TextAnalysis.bpeFertility(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(got == expect)
+    // fertility is a sane tokenizer metric: >= 1 token per word
+    got.values.foreach { case (_, _, _, _, fert, _) => assert(fert >= 1.0) }
+  }
 }
