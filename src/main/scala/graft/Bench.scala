@@ -33,10 +33,11 @@ object Bench {
     "dedup_minhash", "dedup_eval_sample", "dedup_eval_sweep",
     "dedup_ngram_exactjoin",
     "dedup_simhash", "dedup_clusters", "dedup_survivorship",
-    "dedup_corpus", "dedup_audit_composed", "dedup_incremental",
+    "dedup_corpus", "dedup_audit_composed", "leakage_safe_split_composed",
+    "dedup_incremental",
     "dedup_pairs_incremental",
     "doc_containment", "kgram_novelty", "memorization_grams",
-    "exact_substr_spans",
+    "exact_substr_spans", "exact_substr_scrub",
     "source_overlap",
     "dedup_threshold_sweep",
     // similarity / ANN

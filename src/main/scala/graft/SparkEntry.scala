@@ -66,6 +66,8 @@ object SparkEntry {
     "drift_report" -> ((s, d) => Analytics.driftReport(s, d)),
     "split_leakage" -> ((s, d) => Curation.splitLeakage(s, d)),
     "leakage_safe_split" -> ((s, d) => Curation.leakageSafeSplit(s, d)),
+    "leakage_safe_split_composed" ->
+      ((s, d) => Curation.leakageSafeSplitComposed(s, d)),
     "budget_select" -> ((s, d) => Curation.budgetSelect(s, d)),
     "source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -75,6 +77,7 @@ object SparkEntry {
     "dedup_corpus" -> ((s, d) => Dedup.dedupCorpus(s, d)),
     "dedup_audit_composed" -> ((s, d) => Dedup.dedupAuditComposed(s, d)),
     "exact_substr_spans" -> ((s, d) => Dedup.exactSubstrSpans(s, d)),
+    "exact_substr_scrub" -> ((s, d) => Dedup.exactSubstrScrub(s, d)),
     "dedup_pairs_incremental" -> ((s, d) => Dedup.dedupPairsIncremental(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     // C. LLM-data-pipeline: similarity / ANN
@@ -311,6 +314,8 @@ object SparkEntry {
     "drift_report" -> Analytics.driftOracle,
     "split_leakage" -> Curation.splitLeakageOracle(),
     "leakage_safe_split" -> Curation.leakageSafeSplitOracle(),
+    // artifact-fed form: same truth, so the same oracle
+    "leakage_safe_split_composed" -> Curation.leakageSafeSplitOracle(),
     "budget_select" -> Curation.budgetSelectOracle(),
     "source_overlap" -> Dedup.sourceOverlapOracle(),
     "dedup_minhash" ->
@@ -375,6 +380,7 @@ object SparkEntry {
     "dedup_survivorship" -> Dedup.dedupSurvivorshipOracle(),
     "dedup_audit_composed" -> Dedup.dedupAuditComposedOracle(),
     "exact_substr_spans" -> Dedup.exactSubstrSpansOracle(),
+    "exact_substr_scrub" -> Dedup.exactSubstrScrubOracle(),
     "dedup_pairs_incremental" -> Dedup.dedupPairsIncrementalOracle(),
     "dedup_clusters" ->
       s"""${graft.functions.TextShingles.duckdbShingleCte

@@ -756,6 +756,22 @@ object Curation {
       Tables.load(spark, sfDir, "documents").select(col("doc_id")),
       Dedup.dedupNgramExactjoin(spark, sfDir, tau), mod)
 
+  /** §2 #156b — the ARTIFACT-FED form of [[leakageSafeSplit]]: identical
+    * output (same oracle), but the corpus-scale prefix join is not
+    * re-paid per run — the verified-pair table is the per-session
+    * materialized artifact ([[Dedup.sharedVerifiedPairsDir]]), the same
+    * parquet the composed dedup audit reads. This is the form a
+    * production pipeline executes: ONE pair build per corpus version,
+    * then split assignment (and every audit) as a rollup over the
+    * bounded pair table. */
+  def leakageSafeSplitComposed(spark: SparkSession, sfDir: String,
+                               tau: Double = 0.3, mod: Int = 10): DataFrame = {
+    val dir = Dedup.sharedVerifiedPairsDir(spark, sfDir, tau)
+    leakageSafeSplitFrom(
+      Tables.load(spark, sfDir, "documents").select(col("doc_id")),
+      Dedup.readVerifiedPairs(spark, dir).filter(col("j4") >= tau), mod)
+  }
+
   /** Artifact-consuming core: split assignment over ANY node set and
     * ALREADY-VERIFIED pair table (id_a, id_b[, j4]). */
   def leakageSafeSplitFrom(nodes: DataFrame, pairTable: DataFrame,
@@ -825,7 +841,10 @@ object Curation {
     val punct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
     val stop = size(regexp_extract_all(lower(col("text")),
       lit("\\b(?:the|and|is|of|to)\\b"), lit(0)))
-    val scored = docs
+    // a null text yields null score/tokens all the way down to the
+    // driver-side getDouble/getLong — drop such rows up front (a doc
+    // with no text has no tokens to spend budget on)
+    val scored = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), words.cast("long").as("n_tokens"),
         round(stop / words, 4).as("stop_ratio"),
         round(punct / length(col("text")), 4).as("punct_ratio"))
@@ -835,8 +854,11 @@ object Curation {
           .as("z"))
       .select(col("doc_id"), col("n_tokens"),
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("score"))
-    // bounded driver state: one row per distinct 4-dp score
-    val perScore = scored.groupBy("score").agg(sum("n_tokens").as("stot"))
+    // bounded driver state: one row per distinct 4-dp score (na.drop:
+    // degenerate rows — e.g. all-whitespace text where a ratio divides
+    // by zero — must not NPE the driver-side accessors)
+    val perScore = scored.na.drop(Seq("score", "n_tokens"))
+      .groupBy("score").agg(sum("n_tokens").as("stot"))
       .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(-_._1)
     val total = perScore.map(_._2).sum
     val budget = math.floor(total.toDouble * frac).toLong

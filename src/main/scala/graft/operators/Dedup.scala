@@ -472,7 +472,8 @@ object Dedup {
         && col("na") >= ceil(lit(tau) * col("nb"))
         && (lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")))
              * lit(1.0 + tau)
-           >= lit(tau) * (col("na") + col("nb")) - lit(1e-9))
+           >= lit(tau) * (col("na") + col("nb"))
+              - lit(1e-9) * (col("na") + col("nb")))
       .select("id_a", "id_b").distinct()
 
     // verify on hashed shingle sets: same Jaccard values (64-bit
@@ -533,7 +534,8 @@ object Dedup {
         && col("np") >= ceil(lit(tau) * col("nc"))
         && (lit(1) + least(col("np") - col("pp"), col("nc") - col("pc")))
              * lit(1.0 + tau)
-           >= lit(tau) * (col("np") + col("nc")) - lit(1e-9))
+           >= lit(tau) * (col("np") + col("nc"))
+              - lit(1e-9) * (col("np") + col("nc")))
       .select(col("id_p").as("id_a"), col("id_c").as("id_b")).distinct()
     val hashed = corpus.select(col("doc_id"),
       transform(col("sh"), s => xxhash64(s)).as("sh"))
@@ -1179,7 +1181,26 @@ object Dedup {
 
   /** Generic core over ANY (doc_id, text) frame. */
   def exactSubstrSpansFrom(docs: DataFrame, n: Int = 8,
-                           minCount: Int = 2): DataFrame = {
+                           minCount: Int = 2): DataFrame =
+    repeatedSpanIntervals(docs, n, minCount)
+      .groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("repeated_tokens"),
+        max(col("e") - col("s") + 1).cast("long").as("max_span_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("repeated_tokens"), col("max_span_tokens"),
+        round(col("repeated_tokens") / col("n_tokens").cast("double"), 4)
+          .as("repeated_frac"))
+      .orderBy("doc_id")
+
+  /** Shared core of [[exactSubstrSpansFrom]] and [[exactSubstrScrubFrom]]:
+    * the maximal repeated-token intervals per affected doc — positional
+    * n-gram hashes, corpus-frequency semi-join, interval union (gaps-
+    * and-islands over a RUNNING MAX end so overlapping OR adjacent
+    * spans merge). Returns (doc_id, n_tokens, span_id, s, e) with
+    * 1-based inclusive token positions. */
+  private[graft] def repeatedSpanIntervals(docs: DataFrame, n: Int,
+                                           minCount: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 2 && minCount >= 2, "need n >= 2 and minCount >= 2")
     val base = docs.select(col("doc_id"), words(col("text")).as("w"))
@@ -1201,20 +1222,57 @@ object Dedup {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + n - 1)
       .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = hits
+    hits
       .withColumn("new_span",
         when(prevEnd.isNull || col("pos") > prevEnd + 1, 1L).otherwise(0L))
       .withColumn("span_id", sum(col("new_span")).over(byPos))
       .groupBy("doc_id", "n_tokens", "span_id")
       .agg(min("pos").as("s"), (max(col("pos")) + n - 1).as("e"))
-    spans.groupBy("doc_id", "n_tokens")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("e") - col("s") + 1).cast("long").as("repeated_tokens"),
-        max(col("e") - col("s") + 1).cast("long").as("max_span_tokens"))
-      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
-        col("repeated_tokens"), col("max_span_tokens"),
-        round(col("repeated_tokens") / col("n_tokens").cast("double"), 4)
-          .as("repeated_frac"))
+  }
+
+  /** §2 #149b — EXACT-SUBSTR SCRUB: the REMOVAL action on
+    * [[exactSubstrSpans]] — what Lee et al. 2021 ("Deduplicating
+    * Training Data Makes Language Models Better") actually DO with the
+    * repeated passages: cut every maximal repeated span from the token
+    * stream, rebuild each document from the surviving tokens, and
+    * fingerprint the scrubbed text. One pass, as in the paper (removal
+    * can create new token adjacencies; iterating to a fixpoint is
+    * explicitly out of scope there too). Documents that carry no
+    * repeated span pass through rebuilt from the same normalized token
+    * stream, so `scrubbed` is uniformly the normalized (lower/trim/
+    * single-space) form and the fingerprint is comparable corpus-wide.
+    *
+    * Scale shape: the span side is [[repeatedSpanIntervals]] (bounded
+    * per-doc window state); intervals collapse to ONE ≤spans-sized
+    * array per affected doc, joined back to the corpus scan; the cut +
+    * rebuild is then a map-only higher-order-function filter over the
+    * token array — no token-level shuffle, no collect. */
+  def exactSubstrScrub(spark: SparkSession, sfDir: String, n: Int = 8,
+                       minCount: Int = 2): DataFrame =
+    exactSubstrScrubFrom(Tables.load(spark, sfDir, "documents"), n, minCount)
+
+  /** Generic core over ANY (doc_id, text) frame. */
+  def exactSubstrScrubFrom(docs: DataFrame, n: Int = 8,
+                           minCount: Int = 2): DataFrame = {
+    val all = docs.select(col("doc_id"), words(col("text")).as("w"))
+    val iv = repeatedSpanIntervals(docs, n, minCount)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
+    val positioned = transform(col("w"),
+      (t, i) => struct((i + 1).as("p"), t.as("t")))
+    val kept = filter(positioned, p => !exists(col("iv"),
+      v => p("p") >= v("s") && p("p") <= v("e")))
+    all.join(iv, Seq("doc_id"), "left")
+      .withColumn("iv", coalesce(col("iv"),
+        array().cast("array<struct<s:int,e:int>>")))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        kept.as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long")
+          .as("removed_tokens"),
+        concat_ws(" ", transform(col("kept"), p => p("t"))).as("scrubbed"))
+      .withColumn("fp", sha2(col("scrubbed").cast("binary"), 256))
       .orderBy("doc_id")
   }
 
@@ -1223,11 +1281,25 @@ object Dedup {
     * per gram (identical collisions by construction), and the interval
     * union replayed with the same running-max window. */
   def exactSubstrSpansOracle(n: Int = 8, minCount: Int = 2): String =
-    s"""WITH base AS (
+    s"""${substrSpanCtes(n, minCount)}
+       SELECT doc_id, n_tokens, count(*) AS n_spans,
+              CAST(sum(e - s + 1) AS BIGINT) AS repeated_tokens,
+              CAST(max(e - s + 1) AS BIGINT) AS max_span_tokens,
+              round(sum(e - s + 1) / CAST(n_tokens AS DOUBLE), 4)
+                AS repeated_frac
+       FROM iv GROUP BY doc_id, n_tokens ORDER BY doc_id"""
+
+  /** Shared WITH-block of [[exactSubstrSpansOracle]] and
+    * [[exactSubstrScrubOracle]]: all-doc token arrays (`allw`), the
+    * positional gram/hash stream, and the merged repeated intervals,
+    * ending at the `iv` CTE. */
+  private def substrSpanCtes(n: Int, minCount: Int): String =
+    s"""WITH allw AS (SELECT doc_id,
+          string_split_regex(trim(lower(text)), '\\s+') AS w
+          FROM documents),
+        base AS (
           SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w
-          FROM (SELECT doc_id,
-                  string_split_regex(trim(lower(text)), '\\s+') AS w
-                FROM documents)
+          FROM allw
           WHERE len(w) >= $n),
         pg AS (SELECT doc_id, n_tokens,
                  unnest([{'pos': i,
@@ -1256,13 +1328,34 @@ object Dedup {
                FROM mk),
         iv AS (SELECT doc_id, n_tokens, span_id,
                  min(pos) AS s, max(pos) + $n - 1 AS e
-               FROM sp GROUP BY 1, 2, 3)
-       SELECT doc_id, n_tokens, count(*) AS n_spans,
-              CAST(sum(e - s + 1) AS BIGINT) AS repeated_tokens,
-              CAST(max(e - s + 1) AS BIGINT) AS max_span_tokens,
-              round(sum(e - s + 1) / CAST(n_tokens AS DOUBLE), 4)
-                AS repeated_frac
-       FROM iv GROUP BY doc_id, n_tokens ORDER BY doc_id"""
+               FROM sp GROUP BY 1, 2, 3)"""
+
+  /** DuckDB oracle for [[exactSubstrScrub]]: the [[substrSpanCtes]]
+    * intervals expanded to covered positions, the token stream
+    * position-anti-joined against them, and each doc re-assembled with
+    * an ordered string_agg — same normalized form, same sha256. */
+  def exactSubstrScrubOracle(n: Int = 8, minCount: Int = 2): String =
+    s"""${substrSpanCtes(n, minCount)},
+        cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM iv),
+        tok AS (SELECT doc_id,
+                  unnest([{'pos': i, 't': w[i]}
+                          for i in range(1, len(w) + 1)],
+                         recursive := true)
+                FROM allw),
+        keep AS (SELECT t.doc_id, t.pos, t.t
+                 FROM tok t LEFT JOIN cov c
+                   ON t.doc_id = c.doc_id AND t.pos = c.pos
+                 WHERE c.pos IS NULL),
+        reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+                  string_agg(t, ' ' ORDER BY pos) AS scrubbed
+                FROM keep GROUP BY doc_id),
+        nt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM allw)
+       SELECT n.doc_id, n.n_tokens,
+              coalesce(r.kept_tokens, 0) AS kept_tokens,
+              n.n_tokens - coalesce(r.kept_tokens, 0) AS removed_tokens,
+              coalesce(r.scrubbed, '') AS scrubbed,
+              sha256(coalesce(r.scrubbed, '')) AS fp
+       FROM nt n LEFT JOIN reb r USING (doc_id) ORDER BY n.doc_id"""
 
   /** DuckDB oracle for [[memorizationGrams]]. */
   def memorizationGramsOracle(minDocs: Int = 3, topK: Int = 40): String =
@@ -1455,6 +1548,28 @@ object Dedup {
     spark.read.parquet(dir)
   }
 
+  /** Per-session registry of [[verifiedPairsToDir]] artifacts: ONE build
+    * per (sfDir, tau) per JVM, every artifact consumer after the first
+    * reads the parquet. This is the in-process form of the production
+    * doctrine — one corpus-scale join per corpus version, every audit a
+    * rollup — so a sweep that runs [[dedupAuditComposed]] AND the
+    * composed split pays the join once, exactly as a pipeline would.
+    * The namespace UUID scopes dirs to this JVM: a artifact can never
+    * leak across test-data vintages (the driver regenerates parquet
+    * between rounds), and `computeIfAbsent` guarantees a single build
+    * with no mid-read clobber under concurrent first use. */
+  private val sharedPairsDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Double), String]()
+  private lazy val pairsNs = java.util.UUID.randomUUID().toString
+  def sharedVerifiedPairsDir(spark: SparkSession, sfDir: String,
+                             tau: Double = 0.3): String =
+    sharedPairsDirs.computeIfAbsent((sfDir, tau), { _ =>
+      val dir = ExportImport.scratch(
+        s"verified-pairs/$pairsNs/tau$tau-${math.abs(sfDir.hashCode)}")
+      verifiedPairsToDir(spark, sfDir, dir, tau)
+      dir
+    })
+
   /** §2 #151 — INCREMENTAL pair-artifact maintenance: the NEW verified
     * pairs a delta batch adds to an existing [[verifiedPairsToDir]]
     * artifact — every pair at Jaccard ≥ tau with at least one endpoint
@@ -1534,12 +1649,9 @@ object Dedup {
   def dedupAuditComposed(spark: SparkSession, sfDir: String,
                          taus: Seq[Double] = Seq(0.3, 0.5, 0.7)): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // per-run UUID subdir: concurrent composed audits must not clobber
-    // each other's artifact mid-read (same stance as the propagation
-    // checkpoint namespace)
-    val dir = ExportImport.scratch(
-      s"verified-pairs/run-${java.util.UUID.randomUUID()}")
-    verifiedPairsToDir(spark, sfDir, dir, taus.min)
+    // the session-shared artifact: built on first use, reused by every
+    // later composed consumer in this JVM (e.g. the composed split)
+    val dir = sharedVerifiedPairsDir(spark, sfDir, taus.min)
     // the artifact read feeds every audit below — persist the (bounded)
     // pair table so each rollup is a cache scan, not a parquet re-read
     val pairs = TransientCaches.register(readVerifiedPairs(spark, dir)

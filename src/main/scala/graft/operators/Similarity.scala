@@ -71,13 +71,31 @@ object Similarity {
     * plus the MUTUAL flag (edge (a,b) is mutual iff b also ranks a) —
     * the input structure for graph-based clustering and SemDeDup-style
     * community pruning, where mutual edges are the high-precision
-    * subset. Brute-force scoring is the exact baseline (same shape as
-    * [[annBruteforce]] with every vector as a query); at corpus scale
-    * the scoring join swaps onto any of the ANN index paths
-    * (#27/#39/#89/#90) unchanged above the ranking, exactly like
-    * [[hardNegatives]]. The mutual flag is ONE self-equi-join of the
-    * (already ≤ N×k row) edge list on the reversed key. */
-  def knnGraph(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    * subset. Scoring is EXACT (every pair, full-probe cell join — see
+    * the body note); dropping `nProbe` below the cell count swaps in
+    * the ANN approximation ([[knnGraphAnn]]) unchanged above the
+    * ranking, exactly like [[hardNegatives]]. The mutual flag is ONE
+    * self-equi-join of the (already ≤ N×k row) edge list on the
+    * reversed key. */
+  def knnGraph(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame =
+    // EXACT scoring routed through the cell equi-join: assignment puts
+    // every candidate in exactly ONE cell and each query probes ALL
+    // cells, so each ordered pair is scored exactly once — the output
+    // is the brute graph bit-for-bit (same cosine expression, same
+    // bounded ranking), but the plan co-partitions two corpus-sized
+    // sides on cell with NO broadcast anywhere. Exact k-NN is O(N²)
+    // compute however it is executed; this shape is the one that still
+    // EXECUTES at 100 TB of vectors, where a corpus-sided broadcast
+    // build cannot. [[knnGraphBrute]] keeps the one-join broadcast form
+    // as the spec's small-SF equality witness.
+    knnGraphAnn(spark, sfDir, nProbe = staticCentroids().length, k)
+
+  /** The broadcast brute-force graph build: exact same output as
+    * [[knnGraph]] (SimilaritySpec asserts equality), usable when the
+    * corpus fits a broadcast — i.e. as a small-sample witness, never as
+    * the corpus-scale plan. */
+  private[graft] def knnGraphBrute(spark: SparkSession, sfDir: String,
+                                   k: Int = 5): DataFrame = {
     val v = vectors(spark, sfDir)
     val queries = v.select(col("vec_id").as("query_id"),
       col("embedding").as("e_q"), col("nrm").as("n_q"))

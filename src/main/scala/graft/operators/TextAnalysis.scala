@@ -1081,7 +1081,21 @@ object TextAnalysis {
   /** DuckDB oracle for [[bpeEncode]]: the [[bpeTrainOracle]] CTE chain
     * learns the same rules, then every corpus word is folded through
     * them in order (rule k applied via a cross join of the 1-row m_k). */
-  def bpeEncodeOracle(nMerges: Int = 5, maxWords: Int = 2000): String = {
+  def bpeEncodeOracle(nMerges: Int = 5, maxWords: Int = 2000): String =
+    s"""${bpeEncodeCtes(nMerges, maxWords)}
+       SELECT doc_id, count(*) AS n_words,
+              CAST(sum(n_chars) AS BIGINT) AS n_chars,
+              CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+              round(CAST(sum(n_chars) AS DOUBLE) / sum(n_toks), 4)
+                AS compression
+       FROM enc GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Shared WITH-block of [[bpeEncodeOracle]] and [[bpeFertilityOracle]]:
+    * the [[bpeTrainOracle]] CTE chain, the 1-row sentinel rules, and the
+    * per-word encode fold, ending at the `enc` CTE (doc_id, n_chars,
+    * n_toks per corpus word). Both oracles compose this named helper so
+    * neither needs to string-slice the other's final SELECT. */
+  private def bpeEncodeCtes(nMerges: Int, maxWords: Int): String = {
     val trainCtes = bpeTrainOracle(nMerges, maxWords)
     // reuse the training chain up to (not including) the final SELECT
     val withBlock = trainCtes.substring(0, trainCtes.lastIndexOf("SELECT * FROM"))
@@ -1111,13 +1125,7 @@ object TextAnalysis {
         enc AS (SELECT doc_id, CAST(length(word) AS BIGINT) AS n_chars,
                   CAST(len($fold) AS BIGINT) AS n_toks
                 FROM dw, $mJoins
-                WHERE regexp_matches(word, '^[a-z]+$$'))
-       SELECT doc_id, count(*) AS n_words,
-              CAST(sum(n_chars) AS BIGINT) AS n_chars,
-              CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-              round(CAST(sum(n_chars) AS DOUBLE) / sum(n_toks), 4)
-                AS compression
-       FROM enc GROUP BY doc_id ORDER BY doc_id"""
+                WHERE regexp_matches(word, '^[a-z]+$$'))"""
   }
 
   /** §2 #158 — BPE FERTILITY BY LANGUAGE: tokens-per-word (and
@@ -1147,11 +1155,8 @@ object TextAnalysis {
   /** DuckDB oracle for [[bpeFertility]]: the [[bpeEncodeOracle]] CTE
     * chain (same learned rules, same per-word fold) rolled up by the
     * labeled language instead of per doc. */
-  def bpeFertilityOracle(nMerges: Int = 5, maxWords: Int = 2000): String = {
-    val encSql = bpeEncodeOracle(nMerges, maxWords)
-    // reuse everything up to (not including) the final per-doc SELECT
-    val cteEnd = encSql.lastIndexOf("SELECT doc_id,")
-    s"""${encSql.substring(0, cteEnd).trim.stripSuffix(",")},
+  def bpeFertilityOracle(nMerges: Int = 5, maxWords: Int = 2000): String =
+    s"""${bpeEncodeCtes(nMerges, maxWords)},
         perdoc AS (SELECT doc_id, count(*) AS n_words,
                CAST(sum(n_chars) AS BIGINT) AS n_chars,
                CAST(sum(n_toks) AS BIGINT) AS n_tokens
@@ -1166,7 +1171,6 @@ object TextAnalysis {
                 AS chars_per_token
        FROM perdoc p JOIN documents d USING (doc_id)
        GROUP BY d.lang ORDER BY d.lang"""
-  }
 
   /** DuckDB oracle for [[bpeTrain]]: word frequencies, pair counts,
     * argmax and the merge fold replayed round by round (one CTE chain

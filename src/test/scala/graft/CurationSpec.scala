@@ -411,4 +411,18 @@ class CurationSpec extends SparkSpec {
     val standalone = Curation.leakageSafeSplit(spark, sf).collect().toSeq
     assert(viaPairs == standalone)
   }
+
+  test("leakage_safe_split_composed: artifact-fed form equals standalone " +
+      "and re-pays no prefix join on second use") {
+    val composed = Curation.leakageSafeSplitComposed(spark, sf)
+    val standalone = Curation.leakageSafeSplit(spark, sf).collect().toSeq
+    assert(composed.collect().toSeq == standalone)
+    // second call reuses the session artifact: the plan is a parquet
+    // scan of the pair table, not the shingle/prefix join pipeline
+    val again = Curation.leakageSafeSplitComposed(spark, sf)
+    val p = again.queryExecution.optimizedPlan.toString
+    assert(!p.toLowerCase.contains("xxhash64"),
+      s"composed split must read the pair artifact, not re-shingle:\n$p")
+    assert(again.collect().toSeq == standalone)
+  }
 }

@@ -315,6 +315,42 @@ class DedupSpec extends SparkSpec {
     assertNoCartesian(Dedup.exactSubstrSpans(spark, sf))
   }
 
+  test("exact_substr_scrub: cuts exactly the spans, rebuilds the rest") {
+    import spark.implicits._
+    val passage = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, s"$passage alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"iota kappa lambda mu nu xi omicron pi $passage"),
+      (3L, "unique words only here nothing repeated anywhere at all " +
+        "completely fresh content"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstrScrubFrom(docs, n = 8, minCount = 2)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "every doc gets a scrub row")
+    // the 10-token planted span is cut, the flanks survive in order
+    assert(got(1L) == ((18L, 8L, 10L,
+      "alpha beta gamma delta epsilon zeta eta theta")))
+    assert(got(2L) == ((18L, 8L, 10L,
+      "iota kappa lambda mu nu xi omicron pi")))
+    // an unaffected doc passes through as its normalized token stream
+    assert(got(3L)._2 == 12L && got(3L)._3 == 0L)
+    assert(got(3L)._4 ==
+      "unique words only here nothing repeated anywhere at all " +
+        "completely fresh content")
+    // removed mass reconciles with the span report, doc by doc
+    val spans = Dedup.exactSubstrSpansFrom(docs, n = 8, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    spans.foreach { case (id, repeated) =>
+      assert(got(id)._3 == repeated,
+        s"doc $id: removed ${got(id)._3} != spans' repeated $repeated")
+    }
+    // the scrub is a map-side HOF over the corpus scan — no cartesian
+    assertNoCartesian(Dedup.exactSubstrScrub(spark, sf))
+  }
+
   test("memorization_grams: planted repeated 5-gram surfaces with exact df") {
     import spark.implicits._
     val boiler = "all rights reserved by the publisher"   // 6 words

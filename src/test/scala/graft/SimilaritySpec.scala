@@ -209,6 +209,18 @@ class SimilaritySpec extends SparkSpec {
     assert(!planOf(Similarity.knnGraph(spark, sf)).contains("Window"))
   }
 
+  test("knn_graph: full-probe cell join equals the broadcast brute graph " +
+      "and has no corpus-sided broadcast") {
+    val exact = Similarity.knnGraph(spark, sf)
+    val brute = Similarity.knnGraphBrute(spark, sf)
+    assert(exact.collect().toSeq == brute.collect().toSeq,
+      "full-probe cell scoring must reproduce the brute graph exactly")
+    val plan = planOf(exact)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"headline graph build must not broadcast the corpus:\n$plan")
+  }
+
   test("knn_graph_ann: recall >= 0.5 vs brute graph; no broadcast of the corpus side") {
     val brute = Similarity.knnGraph(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
