@@ -41,6 +41,13 @@ object Graft {
   def xlsxCorruptFiles(spark: SparkSession, dir: String): DataFrame =
     graft.sources.XlsxTables.corruptFiles(spark, dir)
 
+  /** Export the WHOLE frame as ONE Excel-openable workbook file — the
+    * last-mile artifact for human-sized tables. Fails loudly past the
+    * 2^20 sheet-row cap; use [[writeXlsx]] for datasets of scale. */
+  def writeXlsxSingle(df: DataFrame, path: String, table: String,
+                      packageCode: String): Unit =
+    graft.sources.XlsxTables.writeSingle(df, path, table, packageCode)
+
   /** Encode/decode raw business column names ↔ XML element names. */
   def encodeXmlName(name: String): String = graft.sources.XmlNames.encode(name)
   def decodeXmlName(name: String): String = graft.sources.XmlNames.decode(name)
@@ -260,6 +267,13 @@ object Graft {
   def exactSubstrSpans(docs: DataFrame, n: Int = 8,
                        minCount: Int = 2): DataFrame =
     graft.operators.Dedup.exactSubstrSpansFrom(docs, n, minCount)
+
+  /** The removal action on [[exactSubstrSpans]]: cut every repeated
+    * span, rebuild each doc from the surviving (normalized) tokens,
+    * fingerprint the scrubbed text. One pass, as in Lee et al. 2021. */
+  def exactSubstrScrub(docs: DataFrame, n: Int = 8,
+                       minCount: Int = 2): DataFrame =
+    graft.operators.Dedup.exactSubstrScrubFrom(docs, n, minCount)
 
   /** Build the cell-partitioned IVF index artifact once (centroids +
     * inverted lists as parquet) for [[annServeFromIndex]]. */

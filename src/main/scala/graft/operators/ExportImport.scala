@@ -200,6 +200,41 @@ object ExportImport {
       .orderBy("o_orderstatus")
   }
 
+  /** Single-workbook form of the xlsx export — ONE Excel-openable file,
+    * the reference's actual headline artifact (Codeunit 60001:96
+    * `ExportExcel` hands the user one workbook). Returns the same
+    * roundtrip aggregate as [[xlsxRoundtrip]], read back from the one
+    * file; [[graft.sources.XlsxTables.writeSingle]] enforces the 2^20
+    * sheet-row cap loudly. Spec-driven (XlsxSpec); the directory form
+    * stays the scale unit and the driver's benched query. */
+  def xlsxRoundtripSingle(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch("xlsx-orders-single") + "/orders.xlsx"
+    graft.sources.XlsxTables.writeSingle(
+      Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss")
+            .as("o_orderdate"),
+          col("o_orderpriority")),
+      path, table = "orders", packageCode = "GRAFT.ORDERS")
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", StringType),
+      StructField("o_orderpriority", StringType)))
+    graft.sources.XlsxTables.read(spark, path, schema)
+      .select(col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_c"),
+        to_timestamp(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("od"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("price_c").as("sum_price_c"),
+        date_format(min("od"), "yyyy-MM-dd").as("first_day"),
+        date_format(max("od"), "yyyy-MM-dd").as("last_day"))
+      .orderBy("o_orderstatus")
+  }
+
   /** §2 #11 — compressed package I/O: gzip CSV out, transparent
     * decompress-on-read back (DecompressPackage analog). */
   def compressedIo(spark: SparkSession, sfDir: String): DataFrame = {

@@ -42,6 +42,55 @@ object XlsxTables {
     }
   }
 
+  /** Single-workbook convenience export: the WHOLE frame into ONE
+    * Excel-openable .xlsx file at `path` — the reference's actual
+    * headline deliverable (Codeunit 60001:96 `ExportExcel` hands the
+    * user one workbook to open). A single worksheet caps at 2^20 rows
+    * (header + 1,048,575 data rows); the cap is checked DURING the
+    * single-task streaming write and fails LOUDLY mid-job, because a
+    * silently truncated export is data loss. The directory form
+    * ([[write]]) remains the unit of scale — this is the last-mile
+    * artifact for human-sized tables. `maxRows` is parameterized for
+    * tests; production callers keep the Excel-limit default. */
+  def writeSingle(df: DataFrame, path: String, table: String,
+                  packageCode: String,
+                  maxRows: Long = (1L << 20) - 1): Unit = {
+    val names = df.schema.fieldNames.toSeq
+    val n = names.length
+    val sheet = XlsxIO.sheetName(table, table.hashCode.abs.toString)
+    Files.deleteIfExists(Paths.get(path))
+    df.coalesce(1).foreachPartition { rows: Iterator[Row] =>
+      var count = 0L
+      val guarded = rows.map { r =>
+        count += 1
+        if (count > maxRows)
+          throw new IllegalStateException(
+            s"writeSingle: '$table' exceeds $maxRows data rows — one xlsx " +
+              "worksheet caps at 2^20 rows; use XlsxTables.write (a " +
+              "directory of part workbooks) for datasets of scale")
+        (0 until n).map(r.get)
+      }
+      val out = Files.newOutputStream(Paths.get(path))
+      try XlsxIO.writeWorkbook(out, Seq(
+        XlsxIO.WorkSheet(sheet, names, guarded),
+        XlsxIO.WorkSheet("_package",
+          Seq("package_code", "table_name", "n_cols"),
+          Iterator(Seq(packageCode, table, n)))))
+      finally out.close()
+    }
+    // a 0-partition frame schedules no task — still deliver a valid
+    // (empty) workbook so the caller always gets the artifact
+    if (!Files.exists(Paths.get(path))) {
+      val out = Files.newOutputStream(Paths.get(path))
+      try XlsxIO.writeWorkbook(out, Seq(
+        XlsxIO.WorkSheet(sheet, names, Iterator.empty),
+        XlsxIO.WorkSheet("_package",
+          Seq("package_code", "table_name", "n_cols"),
+          Iterator(Seq(packageCode, table, n)))))
+      finally out.close()
+    }
+  }
+
   /** Import a directory of .xlsx part files: binaryFile scan →
     * per-partition StAX parse → typed cast against `schema`. Columns
     * align by worksheet header name, so column order in the file does

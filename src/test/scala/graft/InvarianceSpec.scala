@@ -130,4 +130,19 @@ class InvarianceSpec extends SparkSpec {
       assert(p1 == p13)
     } finally spark.conf.set("spark.sql.shuffle.partitions", one)
   }
+
+  test("round-10 operators are partition-count invariant") {
+    import graft.operators.Curation
+    def all() = (
+      rows(Dedup.exactSubstrScrub(spark, sf)),
+      rows(Curation.leakageSafeSplitComposed(spark, sf)))
+    val one = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val p1 = all()
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val p13 = all()
+      assert(p1 == p13)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", one)
+  }
 }

@@ -165,4 +165,33 @@ class XlsxSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(back == Set((1L, "x"), (2L, "y")))
   }
+
+  test("writeSingle: ONE Excel-openable workbook, equal roundtrip, loud 2^20 guard") {
+    // the single-file roundtrip aggregate equals the directory form's
+    val single = ExportImport.xlsxRoundtripSingle(spark, sf).collect().toSeq
+    val dirForm = ExportImport.xlsxRoundtrip(spark, sf).collect().toSeq
+    assert(single == dirForm, "single-workbook roundtrip must be lossless")
+    // the artifact is exactly one file and parses as a workbook with the
+    // data sheet AND the _package metadata sheet (Excel-openable zip)
+    val path = ExportImport.scratch("xlsx-orders-single") + "/orders.xlsx"
+    val f = new java.io.File(path)
+    assert(f.isFile, "deliverable must be a single file")
+    val sheets = XlsxIO.readWorkbook(
+      java.nio.file.Files.readAllBytes(f.toPath)).map(_._1)
+    assert(sheets.contains("orders") && sheets.contains("_package"),
+      s"workbook sheets: $sheets")
+    val meta = XlsxTables.readPackageMeta(spark, path).collect()
+    assert(meta.map(_.getString(0)).toSeq == Seq("GRAFT.ORDERS"))
+    // the sheet-row cap fails the job LOUDLY mid-write, never truncates
+    import spark.implicits._
+    val big = (1 to 50).map(i => (i.toLong, s"row$i")).toDF("k", "v")
+    val capped = ExportImport.scratch("xlsx-capped") + "/capped.xlsx"
+    val e = intercept[org.apache.spark.SparkException] {
+      XlsxTables.writeSingle(big, capped, "t", "PKG", maxRows = 10)
+    }
+    assert(e.getMessage != null)
+    val cause = Option(e.getCause).map(_.toString).getOrElse(e.toString)
+    assert(cause.contains("caps at 2^20 rows") || e.toString.contains("caps at 2^20 rows"),
+      s"guard must explain the cap: $cause")
+  }
 }
