@@ -1201,22 +1201,36 @@ object Dedup {
     * 1-based inclusive token positions. */
   private[graft] def repeatedSpanIntervals(docs: DataFrame, n: Int,
                                            minCount: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(n >= 2 && minCount >= 2, "need n >= 2 and minCount >= 2")
+    require(minCount >= 2, "need minCount >= 2")
+    val grams = positionalGrams(docs, n)
+    val rep = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select("g")
+    intervalsOf(grams, rep, n)
+  }
+
+  /** The positional n-gram hash stream: (doc_id, n_tokens, pos, g) with
+    * `pos` the 1-based start token index. Also the unit the CONTINUOUS
+    * scrub accumulates corpus-wide gram counts over (StreamScrub). */
+  private[graft] def positionalGrams(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "need n >= 2")
     val base = docs.select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
         col("w"))
-    // positional n-gram hashes: pos is the 1-based start token index
-    val grams = base.select(col("doc_id"), col("n_tokens"),
+    base.select(col("doc_id"), col("n_tokens"),
         posexplode(transform(sequence(lit(1), size(col("w")) - n + 1),
           i => graft.functions.KrHashF.krHash(
             concat_ws(" ", slice(col("w"), i, lit(n)))))).as(Seq("pos0", "g")))
       .select(col("doc_id"), col("n_tokens"),
         (col("pos0") + 1).as("pos"), col("g"))
-    val rep = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount).select("g")
-    val hits = grams.join(rep, Seq("g"), "leftsemi")
+  }
+
+  /** Merged maximal intervals of the gram hits against an EXTERNAL
+    * repeated-gram set `rep` (one column g). */
+  private def intervalsOf(grams: DataFrame, rep: DataFrame,
+                          n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = grams.join(rep.select("g"), Seq("g"), "leftsemi")
     // interval union per doc (gaps-and-islands over a RUNNING MAX end:
     // overlapping OR adjacent spans merge into one maximal span)
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
@@ -1229,6 +1243,14 @@ object Dedup {
       .groupBy("doc_id", "n_tokens", "span_id")
       .agg(min("pos").as("s"), (max(col("pos")) + n - 1).as("e"))
   }
+
+  /** Scrub `docs` against an EXTERNAL repeated-gram set — the seam the
+    * continuous form (StreamScrub) drives with ACCUMULATED corpus
+    * counts; [[exactSubstrScrubFrom]] is this with the corpus-local
+    * set. */
+  private[graft] def scrubAgainstGrams(docs: DataFrame, rep: DataFrame,
+                                       n: Int): DataFrame =
+    scrubCore(docs, intervalsOf(positionalGrams(docs, n), rep, n), n)
 
   /** §2 #149b — EXACT-SUBSTR SCRUB: the REMOVAL action on
     * [[exactSubstrSpans]] — what Lee et al. 2021 ("Deduplicating
@@ -1253,9 +1275,16 @@ object Dedup {
 
   /** Generic core over ANY (doc_id, text) frame. */
   def exactSubstrScrubFrom(docs: DataFrame, n: Int = 8,
-                           minCount: Int = 2): DataFrame = {
+                           minCount: Int = 2): DataFrame =
+    scrubCore(docs, repeatedSpanIntervals(docs, n, minCount), n)
+
+  /** The cut + rebuild: intervals collapse to one array per affected
+    * doc, joined back to the corpus scan; kept tokens are a map-only
+    * higher-order filter, re-assembly a concat_ws. */
+  private def scrubCore(docs: DataFrame, intervals: DataFrame,
+                        n: Int): DataFrame = {
     val all = docs.select(col("doc_id"), words(col("text")).as("w"))
-    val iv = repeatedSpanIntervals(docs, n, minCount)
+    val iv = intervals
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
     val positioned = transform(col("w"),

@@ -139,6 +139,63 @@ class StreamingSpec extends SparkSpec {
     assert(baseIds == (dec1 ++ dec2).filter(_._2 == "kept").keySet)
   }
 
+  test("stream scrub: per-batch scrub equals sequential replay over prefix gram counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = graft.operators.ExportImport.scratch("stream-scrub")
+    val (countsDir, outDir, ckpt) = (root + "/counts", root + "/out", root + "/ckpt")
+    Seq(countsDir, outDir, ckpt).foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")   // 10 tokens
+    val d1 = Seq(
+      (1L, s"$passage alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"iota kappa lambda mu nu xi omicron pi $passage"), // within-batch rep
+      (3L, "plainly unique early content with no repeats at all whatsoever"))
+    val d2 = Seq(
+      (10L, s"later arrival copying $passage onward extra tail words here"),
+      (11L, "fresh batch two text nothing shared with anything before now"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamScrub.applyStream(
+      input.toDF().toDF("doc_id", "text"), countsDir, outDir, ckpt)
+    try {
+      input.addData(d1: _*); q.processAllAvailable()
+      input.addData(d2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "kept_tokens", "removed_tokens",
+          "scrubbed", "fp")
+        .collect().map(_.toString).toSeq.sorted
+    val got = rows(spark.read.parquet(outDir))
+    // sequential replay with the BATCH operators: batch 1 against its
+    // own gram counts; batch 2 against the accumulated (b1+b2) counts
+    val b1 = d1.toDF("doc_id", "text")
+    val b2 = d2.toDF("doc_id", "text")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.positionalGrams(df, 8)
+        .groupBy("g").agg(count(lit(1)).as("cnt"))
+    val rep1 = counts(b1).filter(col("cnt") >= 2).select("g")
+    val rep12 = counts(b1).unionAll(counts(b2))
+      .groupBy("g").agg(sum("cnt").as("cnt"))
+      .filter(col("cnt") >= 2).select("g")
+    val replay = rows(graft.operators.Dedup.scrubAgainstGrams(b1, rep1, 8)) ++
+      rows(graft.operators.Dedup.scrubAgainstGrams(b2, rep12, 8))
+    assert(got == replay.sorted, s"got=$got expect=${replay.sorted}")
+    // semantics spot-check: batch-2 doc 10 lost the copied passage (it
+    // repeats doc 1/2's grams from batch 1) and batch-1 docs kept their
+    // one-batch scrub (doc 3 untouched, docs 1/2 lost the passage
+    // within batch 1 already)
+    val byId = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byId(10L) == 10L, s"doc 10 must lose the 10-token passage: $byId")
+    assert(byId(3L) == 0L && byId(11L) == 0L)
+    assert(byId(1L) == 10L && byId(2L) == 10L)
+  }
+
   test("stream ann: per-batch top-k equals the batch serve on the same queries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
