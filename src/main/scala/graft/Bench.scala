@@ -82,6 +82,16 @@ object Bench {
     * same list (BenchOrderSpec keeps file and code in lockstep). */
   def benchOrder(): Seq[String] = headline.filter(SparkEntry.queries.contains)
 
+  /** 8-hex fingerprint of a name list. Emitted as `order_fp` next to
+    * `v_cs` so a decoder (dev/scaling.py) can refuse to zip a vector
+    * from one vintage onto another vintage's BENCH_ORDER.md — a
+    * same-length headline change would otherwise misattribute every
+    * timing between the edit points with no warning. */
+  def orderFingerprint(names: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(names.mkString("\n").getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+
   private def jvmHealth(): String = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
@@ -119,10 +129,13 @@ object Bench {
     // a loaded driver box) shows up here as cold >> warm. If the final
     // line's ann subtotal is ~3x the builder's same-vintage sweep while
     // emb_cold_s is ALSO inflated, the gap is I/O environment, not plan.
+    // sum(size(embedding)) — NOT count(*) — so the scan actually
+    // decompresses the vector column's data pages (count(*) answers
+    // from row-group footers and would read ~KB, blinding the probe).
     val embCold = time(Tables.load(spark, sfDir, "embeddings")
-      .selectExpr("count(*)").collect())
+      .selectExpr("sum(size(embedding))").collect())
     val embWarm = time(Tables.load(spark, sfDir, "embeddings")
-      .selectExpr("count(*)").collect())
+      .selectExpr("sum(size(embedding))").collect())
     // the composed dedup pipeline generates the largest codegen classes
     // in the suite (~8 s of one-time Janino compilation) — compile them
     // against a 60-doc in-memory frame so the timed queries measure
@@ -207,7 +220,11 @@ object Bench {
     val vcs = names.map { n =>
       okMap.get(n).map(s => math.round(s * 100).toString).getOrElse("-1")
     }.mkString("[", ",", "]")
-    println(f"""{"total_s":$total%.3f,"n":${ok.size},"n_err":${timed.size - ok.size},"fam":$famTotals,"emb_cold_s":$embCold%.2f,"emb_warm_s":$embWarm%.2f,"ann_gc_ms":${annGcPost - annGcPre},"ann_jvm_pre":"$annPre","ann_jvm_post":"$annPost","order":"docs/BENCH_ORDER.md","v_cs":$vcs}""")
+    // subset dev runs are labeled as such so the vector is never
+    // decoded against the full-run order doc; order_fp fingerprints
+    // the ACTUAL name list timed either way
+    val order = if (args.isEmpty) "docs/BENCH_ORDER.md" else "subset"
+    println(f"""{"total_s":$total%.3f,"n":${ok.size},"n_err":${timed.size - ok.size},"fam":$famTotals,"emb_cold_s":$embCold%.2f,"emb_warm_s":$embWarm%.2f,"ann_gc_ms":${annGcPost - annGcPre},"ann_jvm_pre":"$annPre","ann_jvm_post":"$annPost","order":"$order","order_fp":"${orderFingerprint(names)}","v_cs":$vcs}""")
     spark.stop()
   }
 

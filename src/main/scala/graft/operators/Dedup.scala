@@ -1283,7 +1283,11 @@ object Dedup {
     * higher-order filter, re-assembly a concat_ws. */
   private def scrubCore(docs: DataFrame, intervals: DataFrame,
                         n: Int): DataFrame = {
-    val all = docs.select(col("doc_id"), words(col("text")).as("w"))
+    // null-text docs carry no tokens to scrub; without the filter,
+    // size(null) = -1 would emit an n_tokens=-1 row where the oracle's
+    // len(NULL) yields no row — a latent vintage-drift hash mismatch
+    val all = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), words(col("text")).as("w"))
     val iv = intervals
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
@@ -1325,7 +1329,7 @@ object Dedup {
   private def substrSpanCtes(n: Int, minCount: Int): String =
     s"""WITH allw AS (SELECT doc_id,
           string_split_regex(trim(lower(text)), '\\s+') AS w
-          FROM documents),
+          FROM documents WHERE text IS NOT NULL),
         base AS (
           SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w
           FROM allw

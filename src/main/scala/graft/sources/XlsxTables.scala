@@ -78,16 +78,27 @@ object XlsxTables {
           Iterator(Seq(packageCode, table, n)))))
       finally out.close()
     }
-    // a 0-partition frame schedules no task — still deliver a valid
-    // (empty) workbook so the caller always gets the artifact
     if (!Files.exists(Paths.get(path))) {
-      val out = Files.newOutputStream(Paths.get(path))
-      try XlsxIO.writeWorkbook(out, Seq(
-        XlsxIO.WorkSheet(sheet, names, Iterator.empty),
-        XlsxIO.WorkSheet("_package",
-          Seq("package_code", "table_name", "n_cols"),
-          Iterator(Seq(packageCode, table, n)))))
-      finally out.close()
+      // Distinguish the two ways the file can be missing. An EMPTY
+      // frame can schedule no task — deliver a valid header-only
+      // workbook. A NON-empty frame whose task ran but whose file is
+      // not visible here means the executor does not share the
+      // driver's filesystem: failing loudly is the method's contract
+      // (a silently empty "successful" export is data loss).
+      if (df.isEmpty) {
+        val out = Files.newOutputStream(Paths.get(path))
+        try XlsxIO.writeWorkbook(out, Seq(
+          XlsxIO.WorkSheet(sheet, names, Iterator.empty),
+          XlsxIO.WorkSheet("_package",
+            Seq("package_code", "table_name", "n_cols"),
+            Iterator(Seq(packageCode, table, n)))))
+        finally out.close()
+      } else
+        throw new IllegalStateException(
+          s"writeSingle: the task wrote $path on an executor that does " +
+            "not share the driver's filesystem — single-workbook export " +
+            "needs a shared/local target; use XlsxTables.write (a " +
+            "directory sink) on cluster deployments")
     }
   }
 

@@ -132,10 +132,20 @@ class InvarianceSpec extends SparkSpec {
   }
 
   test("round-10 operators are partition-count invariant") {
-    import graft.operators.Curation
-    def all() = (
-      rows(Dedup.exactSubstrScrub(spark, sf)),
-      rows(Curation.leakageSafeSplitComposed(spark, sf)))
+    import graft.operators.{Curation, ExportImport}
+    // the composed split's artifact is BUILT per partition setting here
+    // (distinct dirs) — the session-shared registry would otherwise
+    // serve the partitions=1 build to the second pass and hide a
+    // partition-dependent bug in the corpus prefix join
+    def all() = {
+      val dir = ExportImport.scratch(
+        s"inv-pairs-p${spark.conf.get("spark.sql.shuffle.partitions")}")
+      Dedup.verifiedPairsToDir(spark, sf, dir, 0.3)
+      (rows(Dedup.exactSubstrScrub(spark, sf)),
+        rows(Curation.leakageSafeSplitFrom(
+          Tables.load(spark, sf, "documents").select(col("doc_id")),
+          Dedup.readVerifiedPairs(spark, dir))))
+    }
     val one = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "1")

@@ -185,6 +185,11 @@ class StreamingSpec extends SparkSpec {
     val replay = rows(graft.operators.Dedup.scrubAgainstGrams(b1, rep1, 8)) ++
       rows(graft.operators.Dedup.scrubAgainstGrams(b2, rep12, 8))
     assert(got == replay.sorted, s"got=$got expect=${replay.sorted}")
+    // at-least-once replay: re-applying batch 1 (same batchId) must
+    // overwrite its own partitions, not double-count its grams
+    graft.streaming.StreamScrub.applyBatch(b2, 1L, countsDir, outDir, 8, 2)
+    assert(rows(spark.read.parquet(outDir)) == got,
+      "a replayed batch must leave the scrub artifact unchanged")
     // semantics spot-check: batch-2 doc 10 lost the copied passage (it
     // repeats doc 1/2's grams from batch 1) and batch-1 docs kept their
     // one-batch scrub (doc 3 untouched, docs 1/2 lost the passage
