@@ -161,6 +161,45 @@ class PropertySpec extends SparkSpec {
     assert(zs.distinct.length == 1024 && zs.forall(z => z >= 0 && z < 1024))
   }
 
+  test("exact_substr_scrub: token accounting and rebuild agree with a " +
+      "naive reference on arbitrary corpora") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // small alphabet + short docs → collisions between docs are common,
+    // so repeated 3-grams actually occur
+    val tok = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.listOfN(12, tok).map(_.mkString(" "))
+    (1L to 15L).foreach { seed =>
+      val texts = sample(Gen.listOfN(6, doc), seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.exactSubstrScrubFrom(docs, n = 3, minCount = 2)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))
+        .toMap
+      // naive reference: count 3-grams corpus-wide, mark covered token
+      // positions, rebuild from survivors
+      val words = texts.map(_.split("\\s+").toSeq)
+      val gramCounts = words.flatMap(w => w.sliding(3).map(_.mkString(" ")))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      words.zipWithIndex.foreach { case (w, i) =>
+        val covered = w.sliding(3).zipWithIndex.collect {
+          case (g, p) if gramCounts(g.mkString(" ")) >= 2 =>
+            p until (p + 3)
+        }.flatten.toSet
+        val kept = w.zipWithIndex.collect {
+          case (t, p) if !covered(p) => t
+        }
+        val (nTok, keptTok, removed, scrubbed) = got(i.toLong)
+        assert(nTok == w.length && keptTok == kept.length
+          && removed == covered.size && scrubbed == kept.mkString(" "),
+          s"seed=$seed doc=$i text='${texts(i)}' got=${got(i.toLong)} " +
+            s"expect kept='${kept.mkString(" ")}'")
+      }
+    }
+  }
+
   test("Gini: in [0,1), scale-invariant, ordered against known extremes") {
     import spark.implicits._
     import graft.operators.Quality
