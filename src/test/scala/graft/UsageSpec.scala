@@ -331,4 +331,27 @@ class UsageSpec extends SparkSpec {
     val after = Graft.annServeFromIndex(spark, dir, queries, k = 3).collect()
     assert(after.length >= served.length)
   }
+
+  test("facade: round-10 entry points on arbitrary frames") {
+    // exactSubstrScrub: the repeated passage is cut, flanks survive
+    val boiler = (1 to 9).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler unique ending one two three four five six seven"),
+      (2L, s"prefix words here also eight nine ten eleven $boiler"),
+      (3L, "entirely original text with no shared passages anywhere at all"))
+      .toDF("doc_id", "text")
+    val scrubbed = Graft.exactSubstrScrub(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(scrubbed(1L) == 9L && scrubbed(2L) == 9L && scrubbed(3L) == 0L)
+
+    // writeXlsxSingle: one Excel-openable file from an ad-hoc frame
+    val path = graft.operators.ExportImport.scratch("usage-xlsx-single") +
+      "/t.xlsx"
+    Graft.writeXlsxSingle(Seq((1L, "x"), (2L, "y")).toDF("k", "v"),
+      path, table = "t", packageCode = "PKG")
+    val back = Graft.readXlsx(spark, path,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == Set((1L, "x"), (2L, "y")))
+  }
 }
