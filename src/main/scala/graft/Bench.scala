@@ -41,7 +41,7 @@ object Bench {
       "dedup_incremental",
       "dedup_pairs_incremental",
       "doc_containment", "kgram_novelty", "memorization_grams",
-      "exact_substr_spans", "exact_substr_scrub",
+      "exact_substr_spans", "exact_substr_scrub", "scrub_report",
       "source_overlap",
       "dedup_threshold_sweep"),
     "ann" -> Seq(

@@ -78,6 +78,7 @@ object SparkEntry {
     "dedup_audit_composed" -> ((s, d) => Dedup.dedupAuditComposed(s, d)),
     "exact_substr_spans" -> ((s, d) => Dedup.exactSubstrSpans(s, d)),
     "exact_substr_scrub" -> ((s, d) => Dedup.exactSubstrScrub(s, d)),
+    "scrub_report" -> ((s, d) => Dedup.scrubReport(s, d)),
     "dedup_pairs_incremental" -> ((s, d) => Dedup.dedupPairsIncremental(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     // C. LLM-data-pipeline: similarity / ANN
@@ -381,6 +382,7 @@ object SparkEntry {
     "dedup_audit_composed" -> Dedup.dedupAuditComposedOracle(),
     "exact_substr_spans" -> Dedup.exactSubstrSpansOracle(),
     "exact_substr_scrub" -> Dedup.exactSubstrScrubOracle(),
+    "scrub_report" -> Dedup.scrubReportOracle(),
     "dedup_pairs_incremental" -> Dedup.dedupPairsIncrementalOracle(),
     "dedup_clusters" ->
       s"""${graft.functions.TextShingles.duckdbShingleCte

@@ -1368,6 +1368,13 @@ object Dedup {
     * position-anti-joined against them, and each doc re-assembled with
     * an ordered string_agg — same normalized form, same sha256. */
   def exactSubstrScrubOracle(n: Int = 8, minCount: Int = 2): String =
+    s"""${scrubCtes(n, minCount)}
+       SELECT doc_id, n_tokens, kept_tokens, removed_tokens, scrubbed, fp
+       FROM scr ORDER BY doc_id"""
+
+  /** Shared WITH-block of [[exactSubstrScrubOracle]] and
+    * [[scrubReportOracle]], ending at the per-doc `scr` CTE. */
+  private def scrubCtes(n: Int, minCount: Int): String =
     s"""${substrSpanCtes(n, minCount)},
         cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM iv),
         tok AS (SELECT doc_id,
@@ -1382,13 +1389,52 @@ object Dedup {
         reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
                   string_agg(t, ' ' ORDER BY pos) AS scrubbed
                 FROM keep GROUP BY doc_id),
-        nt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM allw)
-       SELECT n.doc_id, n.n_tokens,
-              coalesce(r.kept_tokens, 0) AS kept_tokens,
-              n.n_tokens - coalesce(r.kept_tokens, 0) AS removed_tokens,
-              coalesce(r.scrubbed, '') AS scrubbed,
-              sha256(coalesce(r.scrubbed, '')) AS fp
-       FROM nt n LEFT JOIN reb r USING (doc_id) ORDER BY n.doc_id"""
+        nt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM allw),
+        scr AS (SELECT n.doc_id, n.n_tokens,
+                  coalesce(r.kept_tokens, 0) AS kept_tokens,
+                  n.n_tokens - coalesce(r.kept_tokens, 0) AS removed_tokens,
+                  coalesce(r.scrubbed, '') AS scrubbed,
+                  sha256(coalesce(r.scrubbed, '')) AS fp
+                FROM nt n LEFT JOIN reb r USING (doc_id))"""
+
+  /** §2 #149d — SCRUB GOVERNANCE REPORT: the per-source rollup of
+    * [[exactSubstrScrub]] — which feeds carry the repeated-passage mass
+    * and how much of their token volume the scrub removes. This is the
+    * evidence a corpus owner reads next to source_overlap before
+    * re-weighting or dropping a feed: a source whose removed_frac is
+    * high ships boilerplate, not content.
+    *
+    * Scale shape: rides the scrub (map-only cut) + one doc_id equi-join
+    * to attach `source` + a ≤n-sources hash aggregate. */
+  def scrubReport(spark: SparkSession, sfDir: String, n: Int = 8,
+                  minCount: Int = 2): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    exactSubstrScrubFrom(docs, n, minCount)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("removed_tokens") > 0, 1L).otherwise(0L))
+          .as("docs_affected"),
+        sum("n_tokens").as("tokens_total"),
+        sum("removed_tokens").as("tokens_removed"))
+      .withColumn("removed_frac",
+        round(col("tokens_removed") / col("tokens_total").cast("double"), 4))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[scrubReport]]: the scrub CTE chain rolled up
+    * by the labeled source. */
+  def scrubReportOracle(n: Int = 8, minCount: Int = 2): String =
+    s"""${scrubCtes(n, minCount)}
+       SELECT d.source, count(*) AS n_docs,
+              CAST(sum(CASE WHEN s.removed_tokens > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_affected,
+              CAST(sum(s.n_tokens) AS BIGINT) AS tokens_total,
+              CAST(sum(s.removed_tokens) AS BIGINT) AS tokens_removed,
+              round(CAST(sum(s.removed_tokens) AS DOUBLE)
+                    / sum(s.n_tokens), 4) AS removed_frac
+       FROM scr s JOIN documents d USING (doc_id)
+       GROUP BY d.source ORDER BY d.source"""
 
   /** DuckDB oracle for [[memorizationGrams]]. */
   def memorizationGramsOracle(minDocs: Int = 3, topK: Int = 40): String =

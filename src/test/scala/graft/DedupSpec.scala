@@ -351,6 +351,27 @@ class DedupSpec extends SparkSpec {
     assertNoCartesian(Dedup.exactSubstrScrub(spark, sf))
   }
 
+  test("scrub_report: per-source rollup reconciles with the doc-level scrub") {
+    val report = Dedup.scrubReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val scrub = Dedup.exactSubstrScrub(spark, sf)
+      .join(Tables.load(spark, sf, "documents").select("doc_id", "source"),
+        "doc_id")
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("removed_tokens")))
+    assert(report.map(_._2).sum == scrub.length)
+    assert(report.map(_._4).sum == scrub.map(_._2).sum, "token totals")
+    assert(report.map(_._5).sum == scrub.map(_._3).sum, "removed totals")
+    val bySrc = scrub.groupBy(_._1)
+    report.foreach { case (src, nDocs, affected, tot, rem) =>
+      val docs = bySrc(src)
+      assert(nDocs == docs.length && tot == docs.map(_._2).sum
+        && rem == docs.map(_._3).sum
+        && affected == docs.count(_._3 > 0), s"source $src")
+    }
+  }
+
   test("memorization_grams: planted repeated 5-gram surfaces with exact df") {
     import spark.implicits._
     val boiler = "all rights reserved by the publisher"   // 6 words
