@@ -49,7 +49,8 @@ object Bench {
       "ann_recall_eval",
       "ann_lsh", "ann_ivf", "ann_ivf_static", "ann_ivf_indexed",
       "ann_pq", "ann_ivfpq", "semantic_dedup", "hard_negatives",
-      "embedding_dedup", "embedding_quantize", "quantize_eval"),
+      "embedding_dedup", "embedding_quantize", "quantize_eval",
+      "embedding_class_stats"),
     "text" -> Seq(
       "text_stats", "token_count", "lang_id", "quality_filter",
       "quality_funnel", "quality_calibration",
@@ -57,7 +58,7 @@ object Bench {
       "ngram_lm", "quality_repetition", "lm_perplexity", "charset_gate",
       "stratified_sample", "vocab_coverage", "word_pmi", "quality_model",
       "inverted_index", "source_mix_report", "bpe_train", "bpe_encode",
-      "bpe_fertility"),
+      "bpe_fertility", "char_entropy", "zipf_fit", "lang_confusion"),
     "curation" -> Seq(
       "decontaminate", "decontaminate_fuzzy", "bloom_decontaminate",
       "split_leakage", "leakage_safe_split", "budget_select",
@@ -70,7 +71,7 @@ object Bench {
       "jsonl_roundtrip", "integrity_checksum",
       "nested_docs",
       "compressed_io", "media_roundtrip", "media_frame_sample",
-      "media_resize", "json_props",
+      "media_resize", "media_png_roundtrip", "media_resize_png", "json_props",
       "import_validation", "import_errors", "package_apply"))
 
   /** Flat headline order (= concatenated family order). Anything not

@@ -47,6 +47,8 @@ object SparkEntry {
     "media_roundtrip" -> (Blob.mediaRoundtrip _),
     "media_frame_sample" -> ((s, d) => Blob.mediaFrameSampleArith(s, d)),
     "media_resize" -> ((s, d) => Blob.mediaResize(s, d)),
+    "media_png_roundtrip" -> ((s, d) => Blob.mediaPngRoundtripArith(s, d)),
+    "media_resize_png" -> ((s, d) => Blob.mediaResizePng(s, d)),
     // C. LLM-data-pipeline: dedup family
     "dedup_exact" -> (Dedup.dedupExact _),
     "para_dedup" -> (Dedup.paraDedup _),
@@ -94,6 +96,9 @@ object SparkEntry {
     "lang_id" -> (TextAnalysis.langId _),
     "quality_calibration" -> (TextAnalysis.qualityCalibration _),
     "token_count" -> (TextAnalysis.tokenCount _),
+    "char_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d)),
+    "zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
+    "lang_confusion" -> (TextAnalysis.langConfusion _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "text_shingles" -> (TextAnalysis.textShingles _),
     // B. analytics core
@@ -152,6 +157,7 @@ object SparkEntry {
     "tfidf_topterms" -> ((s, d) => Curation.tfidfTopterms(s, d)),
     "embedding_quantize" -> (Similarity.embeddingQuantize _),
     "quantize_eval" -> (Similarity.quantizeEval _),
+    "embedding_class_stats" -> (Similarity.embeddingClassStats _),
     "decontaminate_fuzzy" -> ((s, d) => Curation.decontaminateFuzzy(s, d)),
     "mixture_upsample" -> (Curation.upsampleMixture _),
     "ngram_lm" -> ((s, d) => TextAnalysis.ngramLm(s, d)),
@@ -291,6 +297,8 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "media_frame_sample" -> Blob.mediaFrameSampleOracle(),
     "media_resize" -> Blob.mediaResizeOracle,
+    "media_png_roundtrip" -> Blob.mediaPngRoundtripOracle,
+    "media_resize_png" -> Blob.mediaResizePngOracle,
     "dedup_exact" ->
       """SELECT content_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
          FROM (SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
@@ -875,6 +883,10 @@ object SparkEntry {
     "bpe_train" -> TextAnalysis.bpeTrainOracle(),
     "bpe_encode" -> TextAnalysis.bpeEncodeOracle(),
     "bpe_fertility" -> TextAnalysis.bpeFertilityOracle(),
+    "char_entropy" -> TextAnalysis.charEntropyOracle(),
+    "zipf_fit" -> TextAnalysis.zipfFitOracle(),
+    "lang_confusion" -> TextAnalysis.langConfusionOracle,
+    "embedding_class_stats" -> Similarity.embeddingClassStatsOracle,
     "dsir_weights" -> Curation.dsirOracle(),
     "quality_funnel" -> TextAnalysis.qualityFunnelOracle(),
     "source_mix_report" -> TextAnalysis.sourceMixOracle,

@@ -63,6 +63,23 @@ object Blob {
     }
   }
 
+  /** REAL pixel decoder: fully decodes PNG payloads (zlib inflate +
+    * scanline de-filter via [[graft.sources.MediaCodec.decodePng]]) and
+    * reports the decoded raster's true dimensions; BMP and unknown
+    * payloads degrade to the header path. Same seam, same batch shape —
+    * proof that a full codec swaps in without touching the operators. */
+  object PixelDecoder extends MediaDecoder {
+    def decode(docId: Long, payload: Array[Byte], shaHex: String): MediaMeta =
+      graft.sources.MediaCodec.sniff(payload) match {
+        case Some(d) if d.mime == "image/png" =>
+          val px = graft.sources.MediaCodec.decodePng(payload)
+          MediaMeta(docId, payload.length.toLong, shaHex,
+            d.mime, px.width, px.height, d.frames)
+        case other =>
+          HeaderDecoder.decode(docId, payload, shaHex)
+      }
+  }
+
   /** §2 #47 — media-set FILE round-trip (Codeunit 60000:1144
     * `ExportMediaSet` / :1171 `ExportMedia` / :1256
     * `ImportMediaSetFromFile`): every binary payload is written as its
@@ -207,6 +224,107 @@ object Blob {
       .toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h", "dst_bytes", "ok")
       .orderBy("doc_id")
   }
+
+  /** §2 #159 — PNG PIXEL ROUND-TRIP over a COMPRESSED container: each
+    * payload is wrapped as a real zlib-compressed PNG
+    * ([[graft.sources.MediaCodec.pngWrap]]; all five RFC 2083 scanline
+    * filters are encode+decode-exercised in the codec spec), then FULLY
+    * decoded back (inflate + de-filter + CRC verification) and the
+    * decoded raster compared byte-for-byte against the source payload.
+    * `ok` proves decode∘encode = id through actual compression — the
+    * decode verb of a multimodal ingest on the format it ships in.
+    * Width/height/raster size replay arithmetically in the oracle
+    * (same 16 px × 48-byte-row geometry as the BMP family);
+    * `png_bytes` (the real IDAT-bearing file size) is data-dependent
+    * Deflater output, so the driver runs the arithmetic projection
+    * ([[mediaPngRoundtripArith]]) and the spec pins the full form.
+    * Map-only, no shuffle; pixels never leave their executor. */
+  def mediaPngRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    payloads(spark, sfDir)
+      .mapPartitions(_.map { case (id, bytes) =>
+        val png = graft.sources.MediaCodec.pngWrap(bytes)
+        val px = graft.sources.MediaCodec.decodePng(png)
+        val rowBytes = 3 * graft.sources.MediaCodec.BmpContentWidth
+        val h = math.max(1, (bytes.length + rowBytes - 1) / rowBytes)
+        val expected = java.util.Arrays.copyOf(bytes, rowBytes * h)
+        (id, px.width.toLong, px.height.toLong, px.rgb.length.toLong,
+          java.util.Arrays.equals(px.rgb, expected), png.length.toLong)
+      })
+      .toDF("doc_id", "width", "height", "raster_bytes", "ok", "png_bytes")
+      .orderBy("doc_id")
+  }
+
+  /** The arithmetic projection of [[mediaPngRoundtrip]] the driver
+    * oracle replays (png_bytes is real Deflater output — spec-pinned,
+    * not SQL-replayable). */
+  def mediaPngRoundtripArith(spark: SparkSession, sfDir: String): DataFrame =
+    mediaPngRoundtrip(spark, sfDir)
+      .select("doc_id", "width", "height", "raster_bytes", "ok")
+
+  /** DuckDB oracle for [[mediaPngRoundtripArith]]: the raster geometry
+    * is a pure function of the payload length; `ok` asserts the decoded
+    * pixels equal the source payload — losslessness through real zlib
+    * compression and all five scanline filters. */
+  val mediaPngRoundtripOracle: String =
+    """SELECT doc_id,
+         CAST(16 AS BIGINT) AS width,
+         greatest(1, CAST(ceil(octet_length(encode(text)) / 48.0)
+                     AS BIGINT)) AS height,
+         48 * greatest(1, CAST(ceil(octet_length(encode(text)) / 48.0)
+                       AS BIGINT)) AS raster_bytes,
+         true AS ok
+       FROM documents ORDER BY doc_id"""
+
+  /** §2 #160 — RESIZE through the COMPRESSED container: payload → real
+    * PNG → decode (inflate + de-filter) → nearest-neighbor 2× on the
+    * decoded raster → re-encode → decode AGAIN and verify each output
+    * pixel equals the expected source pixel. Unlike [[mediaResize]]
+    * (whose BMP rows are addressable in place), every step here crosses
+    * real zlib compression — the decode→transform→encode verb exactly
+    * as a multimodal pipeline runs it. Map-only, no shuffle. */
+  def mediaResizePng(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    payloads(spark, sfDir)
+      .mapPartitions(_.map { case (id, bytes) =>
+        val png = graft.sources.MediaCodec.pngWrap(bytes)
+        val half = graft.sources.MediaCodec.resizePngHalf(png)
+        val src = graft.sources.MediaCodec.decodePng(png)
+        val dst = graft.sources.MediaCodec.decodePng(half)
+        var ok = dst.width == (src.width + 1) / 2 &&
+          dst.height == (src.height + 1) / 2
+        var y = 0
+        while (ok && y < dst.height) {
+          var x = 0
+          while (ok && x < dst.width) {
+            val s = 3 * (src.width * 2 * y + 2 * x)
+            val d = 3 * (dst.width * y + x)
+            ok = dst.rgb(d) == src.rgb(s) && dst.rgb(d + 1) == src.rgb(s + 1) &&
+              dst.rgb(d + 2) == src.rgb(s + 2)
+            x += 1
+          }
+          y += 1
+        }
+        (id, src.width.toLong, src.height.toLong,
+          dst.width.toLong, dst.height.toLong, ok)
+      })
+      .toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h", "ok")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[mediaResizePng]]: same raster arithmetic as
+    * the BMP resize; `ok` asserts pixel-exact nearest-neighbor
+    * selection through two full compress/decompress cycles. */
+  val mediaResizePngOracle: String =
+    """SELECT doc_id,
+         CAST(16 AS BIGINT) AS src_w,
+         greatest(1, CAST(ceil(octet_length(encode(text)) / 48.0)
+                     AS BIGINT)) AS src_h,
+         CAST(8 AS BIGINT) AS dst_w,
+         CAST(ceil(greatest(1, CAST(ceil(octet_length(encode(text)) / 48.0)
+                            AS BIGINT)) / 2.0) AS BIGINT) AS dst_h,
+         true AS ok
+       FROM documents ORDER BY doc_id"""
 
   /** DuckDB oracle for [[mediaResize]]: dst rows are 8 px × 24 bpp =
     * 24-byte (already aligned) rows under a 54-byte header. */

@@ -1241,4 +1241,72 @@ object Similarity {
       .select(col("n_vecs"), col("max_dist8"),
         round(col("sum_dist8").cast("double") / col("n_vecs"), 8)
           .as("mean_dist8"))
+
+  /** §2 #164 — EMBEDDING CLASS STATISTICS: per-label centroid norm and
+    * the min/max cosine of members to their centroid — the embedding-QA
+    * table a pipeline reads before trusting labels for blocking
+    * (embedding_dedup) or supervision (label_spread): a tight class has
+    * high centroid norm (unit vectors agreeing) and a high cosine
+    * floor; centroid_norm ≈ 0 means the label carries no geometry.
+    *
+    * Scale shape: centroid via posexplode → (label, pos) partial-agg
+    * (shuffle bounded by |labels|·dim, NOT by corpus), centroids
+    * broadcast back (model state), min/max via one hash agg. Centroid
+    * components are quantized to 1e-6 BEFORE use (the IVF-centroid
+    * doctrine) so every downstream number is a left-fold over identical
+    * doubles in both engines. */
+  def embeddingClassStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("v")), 6).as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("centroid"))
+      .select(col("label"), col("centroid"),
+        l2norm(col("centroid")).as("cn"))
+    e.join(broadcast(cents), "label")
+      .select(col("label"), col("cn"),
+        (dot(col("embedding"), col("centroid"))
+          / (l2norm(col("embedding")) * col("cn"))).as("cos"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(first(col("cn")), 4).as("centroid_norm"),
+        round(min(col("cos")), 4).as("min_cos"),
+        round(max(col("cos")), 4).as("max_cos"))
+      .orderBy("label")
+  }
+
+  /** DuckDB oracle for [[embeddingClassStats]]: same 1e-6 centroid
+    * quantization, same left-fold dot ([[graft.functions.DotProduct]]'s
+    * cross-engine contract), min/max over bit-identical cosines. */
+  val embeddingClassStatsOracle: String =
+    """WITH dims AS (
+         SELECT label, unnest(embedding) AS v,
+                generate_subscripts(embedding, 1) AS pos
+         FROM embeddings),
+       cent AS (
+         SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS m
+         FROM dims GROUP BY label, pos),
+       cvec AS (
+         SELECT label, list(m ORDER BY pos) AS centroid,
+           sqrt(list_reduce(list_transform(list_zip(list(m ORDER BY pos),
+             list(m ORDER BY pos)), x -> CAST(x[1] AS DOUBLE)
+               * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)) AS cn
+         FROM cent GROUP BY label),
+       scored AS (
+         SELECT e.label, c.cn,
+           list_reduce(list_transform(list_zip(e.embedding, c.centroid),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+             (p, q) -> p + q)
+           / (sqrt(list_reduce(list_transform(list_zip(e.embedding,
+               e.embedding), x -> CAST(x[1] AS DOUBLE)
+                 * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)) * c.cn) AS cos
+         FROM embeddings e JOIN cvec c USING (label))
+       SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+              round(any_value(cn), 4) AS centroid_norm,
+              round(min(cos), 4) AS min_cos,
+              round(max(cos), 4) AS max_cos
+       FROM scored GROUP BY label ORDER BY label"""
 }

@@ -1097,8 +1097,14 @@ object TextAnalysis {
     * neither needs to string-slice the other's final SELECT. */
   private def bpeEncodeCtes(nMerges: Int, maxWords: Int): String = {
     val trainCtes = bpeTrainOracle(nMerges, maxWords)
-    // reuse the training chain up to (not including) the final SELECT
-    val withBlock = trainCtes.substring(0, trainCtes.lastIndexOf("SELECT * FROM"))
+    // reuse the training chain up to (not including) the final SELECT;
+    // fail loudly at oracle-REGISTRATION time (not with an opaque
+    // StringIndexOutOfBounds) if bpeTrainOracle's tail is ever reworded
+    val cteEnd = trainCtes.lastIndexOf("SELECT * FROM")
+    require(cteEnd >= 0,
+      "bpeTrainOracle no longer ends in 'SELECT * FROM ...' — " +
+        "update bpeEncodeCtes' slice point to match")
+    val withBlock = trainCtes.substring(0, cteEnd)
     // a vocab can learn FEWER than nMerges rules (tiny corpus: some m_k
     // is empty) — an empty m_k in the FROM list would annihilate enc
     // entirely while the engine happily encodes with the learned prefix
@@ -1208,4 +1214,172 @@ object TextAnalysis {
         $rounds
        SELECT * FROM ($union) ORDER BY step"""
   }
+
+  /** §2 #161 — CHARACTER-ENTROPY GATE: Shannon entropy (bits/char) of
+    * each document's code-point distribution beside the funnel's ratio
+    * features — the standard gibberish/boilerplate detector (natural
+    * language ~3.5-4.5 bits; base64/hex higher; padding near 0).
+    * `flagged` marks documents outside the [lo, hi] band.
+    *
+    * Scale shape: ONE map-only pass through the native codegen'd
+    * [[graft.functions.CharEntropy]] expression — the DataFrame
+    * formulation (explode chars → two groupBys) would shuffle one row
+    * per CHARACTER, i.e. the corpus itself, twice, for a scalar.
+    * Cross-engine exact: the expression folds `c·ln(c)/ln 2` left in
+    * ascending code-point order, which the oracle reproduces
+    * bit-for-bit with `list_reduce` over `list(... ORDER BY ch)`
+    * (Java `Math.log` and DuckDB `ln` verified bit-identical over the
+    * whole integer count range). */
+  def charEntropy(spark: SparkSession, sfDir: String,
+                  lo: Double = 3.0, hi: Double = 5.0): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        round(graft.functions.CharEntropyF.charEntropy(col("text")), 4)
+          .as("char_entropy"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+      .withColumn("flagged",
+        col("char_entropy") < lo || col("char_entropy") > hi)
+      .orderBy("doc_id")
+
+  /** DuckDB oracle for [[charEntropy]] — same fold, same order, same
+    * ln-based log2 (see the operator scaladoc for the bit-equality
+    * argument). */
+  def charEntropyOracle(lo: Double = 3.0, hi: Double = 5.0): String =
+    s"""WITH counts AS (
+          SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+          FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+                FROM documents WHERE length(text) > 0)
+          GROUP BY doc_id, ch),
+        folded AS (
+          SELECT doc_id,
+            list_reduce(list(c * (ln(c) / ln(2)) ORDER BY ch), (a, b) -> a + b)
+              AS acc,
+            CAST(sum(c) AS DOUBLE) AS n
+          FROM counts GROUP BY doc_id),
+        ent AS (
+          SELECT d.doc_id,
+            round(CASE WHEN f.doc_id IS NULL THEN 0.0
+                       ELSE ln(f.n) / ln(2) - f.acc / f.n END, 4)
+              AS char_entropy,
+            CAST(length(d.text) AS BIGINT) AS n_chars_calc
+          FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id)
+       SELECT doc_id, char_entropy, n_chars_calc,
+              char_entropy < $lo OR char_entropy > $hi AS flagged
+       FROM ent ORDER BY doc_id"""
+
+  /** §2 #162 — ZIPF FIT BY SOURCE: least-squares slope of log10(freq)
+    * vs log10(rank) over each source's top-`maxRank` words — the
+    * corpus-health diagnostic (natural text ≈ −1; templated/generated
+    * text flattens, near-duplicated text steepens). Reported with the
+    * fit's r² so a grader can tell "shallow slope" from "no power law
+    * at all".
+    *
+    * Scale shape: word-count aggregation is VOCABULARY-bounded (the
+    * classic heavy-hitter agg with map-side combine), the rank window
+    * partitions BY SOURCE over ≤maxRank surviving rows each, and the
+    * final regression is a ≤n_sources-row aggregate of running sums.
+    * Rank ties broken (freq DESC, word) so both engines rank
+    * identically. */
+  def zipfFit(spark: SparkSession, sfDir: String,
+              maxRank: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.load(spark, sfDir, "documents")
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val ranked = words.groupBy("source", "word")
+      .agg(count(lit(1)).cast("double").as("freq"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("freq").desc, col("word"))))
+      .filter(col("rank") <= maxRank)
+      .select(col("source"), log10(col("rank")).as("x"),
+        log10(col("freq")).as("y"))
+    val k = count(lit(1)).cast("double")
+    val sxy = sum(col("x") * col("y")); val sx = sum(col("x"))
+    val sy = sum(col("y")); val sxx = sum(col("x") * col("x"))
+    val syy = sum(col("y") * col("y"))
+    ranked.groupBy("source")
+      .agg(k.as("k"), sxy.as("sxy"), sx.as("sx"), sy.as("sy"),
+        sxx.as("sxx"), syy.as("syy"))
+      .select(col("source"), col("k").cast("long").as("n_ranks"),
+        round((col("k") * col("sxy") - col("sx") * col("sy"))
+          / nullif(col("k") * col("sxx") - col("sx") * col("sx"), lit(0.0)), 4)
+          .as("slope"),
+        // degenerate fits (all-equal freqs or a single rank) → NULL, not
+        // NaN: 0/0 is engine-dependent, a missing r² is not
+        round(pow(col("k") * col("sxy") - col("sx") * col("sy"), 2)
+          / nullif((col("k") * col("sxx") - col("sx") * col("sx"))
+            * (col("k") * col("syy") - col("sy") * col("sy")), lit(0.0)), 4)
+          .as("r2"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[zipfFit]]: identical rank tie-break and
+    * closed-form least squares (sums of ≤maxRank well-scaled terms —
+    * 4-dp rounding absorbs summation-order ulps, the repo's standard
+    * float-aggregate contract). */
+  def zipfFitOracle(maxRank: Int = 500): String =
+    s"""WITH w AS (
+          SELECT source,
+            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+          FROM documents),
+        f AS (SELECT source, word, CAST(count(*) AS DOUBLE) AS freq
+              FROM w WHERE word <> '' GROUP BY source, word),
+        r AS (SELECT source, log10(row_number() OVER (PARTITION BY source
+                 ORDER BY freq DESC, word)) AS x, log10(freq) AS y,
+                row_number() OVER (PARTITION BY source
+                 ORDER BY freq DESC, word) AS rank
+              FROM f QUALIFY rank <= $maxRank)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+         round((count(*) * sum(x*y) - sum(x) * sum(y))
+           / nullif(count(*) * sum(x*x) - sum(x) * sum(x), 0.0), 4) AS slope,
+         round(pow(count(*) * sum(x*y) - sum(x) * sum(y), 2)
+           / nullif((count(*) * sum(x*x) - sum(x) * sum(x))
+             * (count(*) * sum(y*y) - sum(y) * sum(y)), 0.0), 4) AS r2
+       FROM r GROUP BY source ORDER BY source"""
+
+  /** §2 #163 — LANGUAGE-ID CONFUSION MATRIX: the classifier-eval step
+    * over [[langId]] — one row per observed (labeled, predicted) cell
+    * with the count and the cell's share of its label row (recall
+    * decomposition). On this synthetic corpus the label is
+    * uncorrelated with the text, so the matrix measures the
+    * heuristic's PRIOR (how often each language wins on shared
+    * vocabulary), which is exactly what you audit before trusting a
+    * cheap lang-ID gate at corpus scale.
+    *
+    * Scale shape: rides langId's map-only scoring; the rollup is a
+    * ≤|langs|² hash aggregate plus a tiny label-marginal window. */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pred = langId(spark, sfDir)
+      .join(Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang")), "doc_id")
+    pred.groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("label_share",
+        round(col("n") / sum(col("n")).over(Window.partitionBy("lang")), 4))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** DuckDB oracle for [[langConfusion]] — the lang_id oracle's CASE
+    * scoring rolled up into matrix cells. */
+  def langConfusionOracle: String =
+    s"""WITH scored AS (
+          SELECT doc_id, lang, $langCaseSql AS pred_lang
+          FROM (SELECT doc_id, lang,
+                  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]', 0))
+                    AS c_zh,
+                  len(regexp_extract_all(lower(text),
+                    '\\b(?:the|and|is|of|to)\\b', 0)) AS c_en,
+                  len(regexp_extract_all(lower(text),
+                    '\\b(?:der|die|und|ist|das)\\b', 0)) AS c_de,
+                  len(regexp_extract_all(lower(text),
+                    '\\b(?:le|la|et|est|les)\\b', 0)) AS c_fr,
+                  len(regexp_extract_all(lower(text),
+                    '\\b(?:el|los|y|es|una)\\b', 0)) AS c_es
+                FROM documents))
+       SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n,
+              round(count(*) / CAST(sum(count(*))
+                OVER (PARTITION BY lang) AS DOUBLE), 4) AS label_share
+       FROM scored GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""
 }

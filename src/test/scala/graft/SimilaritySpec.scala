@@ -339,4 +339,21 @@ class SimilaritySpec extends SparkSpec {
     assert(appended == rebuilt,
       "append must serve identically to a full rebuild")
   }
+
+  test("embedding_class_stats: partitions the corpus, cosines bounded") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.embeddingClassStats(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.load(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      val (cn, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(cn > 0.0 && cn <= 1.0 + 1e-9, s"unit-vector centroid norm: $r")
+      assert(lo <= hi && lo >= -1.0001 && hi <= 1.0001, s"cos bounds: $r")
+    }
+    // the centroid side is model state: its join back is a broadcast,
+    // never a corpus-sized shuffle
+    val plan = Similarity.embeddingClassStats(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

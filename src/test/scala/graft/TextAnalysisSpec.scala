@@ -448,4 +448,48 @@ class TextAnalysisSpec extends SparkSpec {
     // fertility is a sane tokenizer metric: >= 1 token per word
     got.values.foreach { case (_, _, _, _, fert, _) => assert(fert >= 1.0) }
   }
+
+  test("char_entropy: kernel edge cases + map-only plan") {
+    import graft.functions.CharEntropyF
+    def h(s: String) = CharEntropyF.entropy(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    assert(h("") == 0.0)
+    assert(h("aaaa") == 0.0) // one symbol: no uncertainty
+    assert(math.abs(h("ab") - 1.0) < 1e-12) // fair coin
+    assert(math.abs(h("abcd") - 2.0) < 1e-12)
+    // surrogate pairs counted as single code points
+    assert(h("😀😀") == 0.0)
+    // natural language sits in the expected band on real data
+    val df = TextAnalysis.charEntropy(spark, sf)
+    val vals = df.collect().map(_.getDouble(1))
+    assert(vals.forall(v => v >= 0.0 && v <= 8.0))
+    assert(vals.count(v => v >= 3.0 && v <= 5.0) > vals.length / 2)
+    // the gate is ONE map-only scan: no exchange anywhere in the plan
+    // (the orderBy is the driver-contract presentation sort; check the
+    // unsorted form, which is what a pipeline composes)
+    val plan = Tables.load(spark, sf, "documents")
+      .select(graft.functions.CharEntropyF.charEntropy(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("zipf_fit: natural text slopes negative with a real fit") {
+    val rows = TextAnalysis.zipfFit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) < 0.0, s"slope must be negative: $r")
+      val r2 = r.getDouble(3)
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of range: $r")
+    }
+  }
+
+  test("lang_confusion: cells partition the corpus; shares sum to 1") {
+    val cells = TextAnalysis.langConfusion(spark, sf).collect()
+    val total = cells.map(_.getLong(2)).sum
+    assert(total == Tables.load(spark, sf, "documents").count())
+    cells.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val share = rs.map(_.getDouble(3)).sum
+      assert(math.abs(share - 1.0) < 2e-4 * rs.length, s"$lang shares: $share")
+    }
+  }
 }
