@@ -306,6 +306,28 @@ object Graft {
   def quantizeEmbeddings(embs: DataFrame): DataFrame =
     graft.operators.Similarity.quantizeFrom(embs)
 
+  /** Per-label centroid norm + min/max member-to-centroid cosine — the
+    * embedding-QA table read before trusting labels for blocking or
+    * supervision. `embs` = (vec_id, embedding, label). */
+  def embeddingClassStats(embs: DataFrame): DataFrame =
+    graft.operators.Similarity.embeddingClassStatsFrom(embs)
+
+  /** Shannon entropy (bits/char) of a string column's code-point
+    * distribution — map-only codegen'd gibberish/boilerplate signal. */
+  def charEntropy(text: Column): Column =
+    graft.functions.CharEntropyF.charEntropy(text)
+
+  /** Per-doc entropy gate over a (doc_id, text) frame: 4-dp entropy +
+    * out-of-band flag. */
+  def charEntropyGate(docs: DataFrame, lo: Double = 3.0,
+                      hi: Double = 5.0): DataFrame =
+    graft.operators.TextAnalysis.charEntropyFrom(docs, lo, hi)
+
+  /** Zipf slope + r² of log-freq vs log-rank per source over a
+    * (source, text) frame — corpus-health diagnostic. */
+  def zipfFit(docs: DataFrame, maxRank: Int = 500): DataFrame =
+    graft.operators.TextAnalysis.zipfFitFrom(docs, maxRank)
+
   // ------------------------------------------------------ data quality
 
   /** Child rows whose key is missing from the parent table (summary). */

@@ -1255,8 +1255,11 @@ object Similarity {
     * components are quantized to 1e-6 BEFORE use (the IVF-centroid
     * doctrine) so every downstream number is a left-fold over identical
     * doubles in both engines. */
-  def embeddingClassStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.load(spark, sfDir, "embeddings")
+  def embeddingClassStats(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingClassStatsFrom(Tables.load(spark, sfDir, "embeddings"))
+
+  /** Generic core over ANY (vec_id, embedding, label) frame. */
+  def embeddingClassStatsFrom(e: DataFrame): DataFrame = {
     val cents = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos")

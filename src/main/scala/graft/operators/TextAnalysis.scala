@@ -1232,7 +1232,12 @@ object TextAnalysis {
     * whole integer count range). */
   def charEntropy(spark: SparkSession, sfDir: String,
                   lo: Double = 3.0, hi: Double = 5.0): DataFrame =
-    Tables.load(spark, sfDir, "documents")
+    charEntropyFrom(Tables.load(spark, sfDir, "documents"), lo, hi)
+
+  /** Generic core over ANY (doc_id, text) frame. */
+  def charEntropyFrom(docs: DataFrame,
+                      lo: Double = 3.0, hi: Double = 5.0): DataFrame =
+    docs
       .select(col("doc_id"),
         round(graft.functions.CharEntropyF.charEntropy(col("text")), 4)
           .as("char_entropy"),
@@ -1281,9 +1286,13 @@ object TextAnalysis {
     * Rank ties broken (freq DESC, word) so both engines rank
     * identically. */
   def zipfFit(spark: SparkSession, sfDir: String,
-              maxRank: Int = 500): DataFrame = {
+              maxRank: Int = 500): DataFrame =
+    zipfFitFrom(Tables.load(spark, sfDir, "documents"), maxRank)
+
+  /** Generic core over ANY (source, text) frame. */
+  def zipfFitFrom(docs: DataFrame, maxRank: Int = 500): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = Tables.load(spark, sfDir, "documents")
+    val words = docs
       .select(col("source"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
       .filter(col("word") =!= "")

@@ -354,4 +354,39 @@ class UsageSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(back == Set((1L, "x"), (2L, "y")))
   }
+
+  test("facade: entropy gate, zipf fit, class stats on arbitrary frames") {
+    // charEntropy as a composable Column + the gate over an ad-hoc frame
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaaaaaa"), // padding: ~0 bits
+      (2L, "the quick brown fox jumps over the lazy dog near the river"),
+      (3L, "9f8a7b6c5d4e3f2a1b0c9d8e7f6a5b4c3d2e1f0a9b8c7d6e5f4a3b2c1d0e"))
+      .toDF("doc_id", "text")
+    val gate = Graft.charEntropyGate(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(3))).toMap
+    assert(gate(1L)._1 == 0.0 && gate(1L)._2, "padding must flag low")
+    assert(gate(2L)._1 > 3.0 && gate(2L)._1 < 5.0 && !gate(2L)._2)
+    val viaColumn = docs.select(Graft.charEntropy(col("text"))).collect()
+      .map(_.getDouble(0))
+    assert(viaColumn.contains(0.0))
+
+    // zipfFit on a frame with a known skewed source
+    val zdocs = Seq(
+      ("s1", Seq.fill(32)("the").mkString(" ") + " " +
+        Seq.tabulate(16)(i => Seq.fill(16 - i)(s"w$i").mkString(" "))
+          .mkString(" ")))
+      .toDF("source", "text")
+    val z = Graft.zipfFit(zdocs).collect()
+    assert(z.length == 1 && z(0).getDouble(2) < 0.0)
+
+    // embeddingClassStats on a tiny labeled frame: two tight classes
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.96f, 0.28f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.28f, 0.96f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cs = Graft.embeddingClassStats(embs).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(cs(0)._1 == 2 && cs(1)._1 == 2)
+    assert(cs.values.forall(_._2 > 0.95), s"tight classes: $cs")
+  }
 }
