@@ -43,7 +43,7 @@ object Bench {
       "doc_containment", "kgram_novelty", "memorization_grams",
       "exact_substr_spans", "exact_substr_scrub", "scrub_report",
       "source_overlap",
-      "dedup_threshold_sweep"),
+      "dedup_threshold_sweep", "lsh_plan"),
     "ann" -> Seq(
       "ann_bruteforce", "knn_graph", "knn_graph_ann", "label_spread",
       "ann_recall_eval",

@@ -60,6 +60,7 @@ object SparkEntry {
     "kgram_novelty" -> ((s, d) => Dedup.kgramNovelty(s, d)),
     "memorization_grams" -> ((s, d) => Dedup.memorizationGrams(s, d)),
     "dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(s, d)),
+    "lsh_plan" -> ((s, d) => Dedup.lshPlan(s, d)),
     "funnel_windowed" -> ((s, d) => Analytics.funnelWindowed(s, d)),
     "attribution" -> ((s, d) => Analytics.attribution(s, d)),
     "path_transitions" -> (Analytics.pathTransitions _),
@@ -315,6 +316,7 @@ object SparkEntry {
     "kgram_novelty" -> Dedup.kgramNoveltyOracle,
     "memorization_grams" -> Dedup.memorizationGramsOracle(),
     "dedup_threshold_sweep" -> Dedup.dedupThresholdSweepOracle(),
+    "lsh_plan" -> Dedup.lshPlanOracle(),
     "funnel_windowed" -> Analytics.funnelWindowedOracle(),
     "attribution" -> Analytics.attributionOracle(),
     "path_transitions" -> Analytics.pathTransitionsOracle,

@@ -146,6 +146,18 @@ object Graft {
 
   /** Threshold table over a verified-pair artifact (verification floor
     * ≤ taus.min): pair/affected-doc counts per Jaccard threshold. */
+  /** Closed-form LSH banding S-curve table (s50 + collision
+    * probability grid per (bands, rows) scheme) — read before choosing
+    * dedup_minhash's banding at corpus scale. */
+  def lshPlan(spark: SparkSession, nHashes: Int = 64): DataFrame =
+    graft.operators.Dedup.lshPlan(spark, "", nHashes)
+
+  /** Expected candidate-stage recall of each banding scheme against
+    * the corpus's REAL verified-pair distribution (reads the pair
+    * artifact, never re-pays the corpus join). */
+  def lshExpectedRecall(pairs: DataFrame, nHashes: Int = 64): DataFrame =
+    graft.operators.Dedup.lshExpectedRecall(pairs, nHashes)
+
   def dedupThresholdSweep(pairs: DataFrame,
                           taus: Seq[Double] = Seq(0.3, 0.5, 0.7)): DataFrame =
     graft.operators.Dedup.dedupThresholdSweepFromPairs(pairs, taus)

@@ -1826,6 +1826,80 @@ object Dedup {
          (SELECT count(*) FROM clab WHERE id <> cluster_id) AS n_near_removed,
          (SELECT count(*) FROM clab WHERE id = cluster_id) AS n_out"""
 
+  /** §2 #165 — LSH BANDING PLANNER: the closed-form S-curve table for
+    * every (bands b, rows r) scheme dividing the minhash signature —
+    * s50 = (1 − 0.5^(1/b))^(1/r), the EXACT similarity where the
+    * collision probability crosses ½ (the usual (1/b)^(1/r) textbook
+    * approximation degenerates at b = 1), and P(collide | s) =
+    * 1 − (1 − s^r)^b at grid similarities. This is the table you read BEFORE running
+    * dedup_minhash at corpus scale: the banding scheme is the one knob
+    * that trades recall against candidate volume, and re-running a
+    * 100 TB LSH sweep to discover you banded wrong is the most
+    * expensive mistake in the family. (dedup_threshold_sweep tunes the
+    * VERIFY threshold off the pair artifact; this plans the CANDIDATE
+    * stage before any artifact exists. dedup_minhash's current shape,
+    * b=32 × r=2, sits at s50 ≈ 0.15 — high recall, verify-heavy —
+    * which [[lshExpectedRecall]] quantifies against real pairs.)
+    *
+    * Metadata-only (no data scan) like schema_gen; every cell replays
+    * arithmetically in the oracle. */
+  def lshPlan(spark: SparkSession, sfDir: String,
+              nHashes: Int = 64): DataFrame = {
+    import spark.implicits._
+    val schemes = (0 to 30).map(1 << _).filter(b =>
+      b <= nHashes && nHashes % b == 0).map(b => (b, nHashes / b))
+    val grid = Seq(0.3, 0.5, 0.7, 0.9)
+    val cols = Seq(col("bands"), col("rows_per_band"),
+      round(pow(lit(1.0) - pow(lit(0.5), lit(1.0) / col("bands")),
+        lit(1.0) / col("rows_per_band")), 6).as("s50")) ++
+      grid.map(s =>
+        round(lit(1.0) - pow(lit(1.0) - pow(lit(s), col("rows_per_band")),
+          col("bands")), 6).as(s"p_at_${(s * 100).toInt}"))
+    schemes.toDF("bands", "rows_per_band")
+      .select(cols: _*)
+      .orderBy("bands")
+  }
+
+  /** DuckDB oracle for [[lshPlan]] — the same closed forms over the
+    * same scheme list. */
+  def lshPlanOracle(nHashes: Int = 64): String = {
+    val schemes = (0 to 30).map(1 << _).filter(b =>
+      b <= nHashes && nHashes % b == 0).map(b => s"($b, ${nHashes / b})")
+    s"""WITH schemes(bands, rows_per_band) AS
+          (VALUES ${schemes.mkString(", ")})
+        SELECT bands, rows_per_band,
+          round(pow(1.0 - pow(0.5, 1.0 / bands), 1.0 / rows_per_band), 6)
+            AS s50,
+          round(1.0 - pow(1.0 - pow(0.3, rows_per_band), bands), 6) AS p_at_30,
+          round(1.0 - pow(1.0 - pow(0.5, rows_per_band), bands), 6) AS p_at_50,
+          round(1.0 - pow(1.0 - pow(0.7, rows_per_band), bands), 6) AS p_at_70,
+          round(1.0 - pow(1.0 - pow(0.9, rows_per_band), bands), 6) AS p_at_90
+        FROM schemes ORDER BY bands"""
+  }
+
+  /** EXPECTED RECALL of each banding scheme against the corpus's REAL
+    * near-dup pair distribution: mean P(collide | j) over the verified
+    * pair artifact — "had we banded (b, r), what fraction of the true
+    * pairs would the candidate stage have surfaced". Consumes the
+    * materialized pair table (the §8 artifact doctrine: planning reads
+    * the artifact, never re-pays the corpus join); the schemes side is
+    * a broadcast literal. */
+  def lshExpectedRecall(pairs: DataFrame, nHashes: Int = 64): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val schemes = (0 to 30).map(1 << _).filter(b =>
+      b <= nHashes && nHashes % b == 0).map(b => (b, nHashes / b))
+    pairs.select(col("j4"))
+      .crossJoin(broadcast(schemes.toDF("bands", "rows_per_band")))
+      .select(col("bands"), col("rows_per_band"),
+        (lit(1.0) - pow(lit(1.0) - pow(col("j4"), col("rows_per_band")),
+          col("bands"))).as("p"))
+      .groupBy("bands", "rows_per_band")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("p")), 4).as("expected_recall"))
+      .orderBy("bands")
+  }
+
   private def verifyPairs(pairs: DataFrame, docs: DataFrame,
                           tau: Double): DataFrame = {
     val sa = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))

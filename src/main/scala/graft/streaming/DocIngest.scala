@@ -112,12 +112,25 @@ object DocIngest {
           .as("n_replacement"),
         regexp_count(col("text"),
           lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).cast("long")
-          .as("n_control"))
+          .as("n_control"),
+        // entropy gate: same 4-dp value and band as the batch
+        // char_entropy operator (map-only codegen'd expression — the
+        // stateless shape survives unchanged)
+        round(graft.functions.CharEntropyF.charEntropy(col("text")), 4)
+          .as("char_entropy"))
       .withColumn("repetitive",
         col("top_word_frac") > topWordMax || col("dup2_frac") > dup2Max ||
           col("dup3_frac") > dup3Max)
       .withColumn("charset_ok",
         col("n_replacement") === 0 && col("n_control") === 0)
+      .withColumn("entropy_ok",
+        col("char_entropy") >= 3.0 && col("char_entropy") <= 5.0)
+      // stable output order: the pre-entropy layout first (sinks and
+      // specs address it positionally), the entropy pair appended
+      .select("doc_id", "n_emails", "n_ips", "scrubbed_sha", "had_pii",
+        "n_words", "top_word_frac", "dup2_frac", "dup3_frac",
+        "n_replacement", "n_control", "repetitive", "charset_ok",
+        "char_entropy", "entropy_ok")
   }
 
   /** Streaming DECONTAMINATION: arriving documents checked against the

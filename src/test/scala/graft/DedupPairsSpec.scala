@@ -94,4 +94,36 @@ class DedupPairsSpec extends SparkSpec {
       .find(_.getAs[Double]("tau") == 0.7).get
     assert(r.getAs[Long]("n_pairs_hi") == hi.getAs[Long]("n_pairs"))
   }
+
+  test("lsh_plan S-curve is sane; expected recall replays off the artifact") {
+    val plan = Dedup.lshPlan(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
+        Seq(r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+    assert(plan.map(p => p._1 * p._2).forall(_ == 64))
+    plan.foreach { case (b, r, s50, ps) =>
+      // probability grid is monotone in s and bounded
+      assert(ps == ps.sorted && ps.forall(p => p >= 0.0 && p <= 1.0))
+      // s50 really is the half-collision point of the closed form
+      val pAtS50 = 1.0 - math.pow(1.0 - math.pow(s50, r), b)
+      assert(math.abs(pAtS50 - 0.5) < 1e-4, s"(b=$b,r=$r): $pAtS50")
+    }
+    // more bands (same signature) always means higher recall at fixed s
+    val p70 = plan.sortBy(_._1).map(_._4(2)).toSeq
+    assert(p70 == p70.sorted, s"p_at_70 not monotone in bands: $p70")
+
+    // expected recall off the artifact == direct mean of p(j4)
+    val got = Dedup.lshExpectedRecall(pairs).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val js = pairs.collect().map(_.getAs[Double]("j4"))
+    got.foreach { case ((b, r), (n, rec)) =>
+      assert(n == js.length)
+      val direct = js.map(j => 1.0 - math.pow(1.0 - math.pow(j, r), b)).sum /
+        js.length
+      assert(math.abs(rec - direct) < 1e-3, s"(b=$b,r=$r): $rec vs $direct")
+    }
+    // the current dedup_minhash shape (32 bands x 2 rows) is a
+    // high-recall scheme on this corpus's real pair distribution
+    assert(got((32, 2))._2 > 0.9, s"32x2 recall: ${got((32, 2))}")
+  }
 }

@@ -527,6 +527,14 @@ class StreamingSpec extends SparkSpec {
       assert(rep(id) == ((nw, twf, d2, d3, rpt)), s"repetition mismatch doc $id")
       assert(charset(id) == gotCharset(id), s"charset mismatch doc $id")
     }
+    // the entropy gate's streamed values equal the batch operator's,
+    // per doc (PII-injected text on both sides, so identical input)
+    val gotEntropy = spark.table("stream_gate").collect()
+      .map(r => (r.getLong(0), (r.getDouble(13), r.getBoolean(14)))).toMap
+    val batchEntropy = graft.operators.TextAnalysis.charEntropyFrom(docs)
+      .collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), !r.getBoolean(3)))).toMap
+    assert(gotEntropy == batchEntropy, "entropy gate mismatch vs batch")
   }
 
   test("streaming decontamination equals the batch operator (stateless append)") {
