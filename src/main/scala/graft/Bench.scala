@@ -58,7 +58,8 @@ object Bench {
       "ngram_lm", "quality_repetition", "lm_perplexity", "charset_gate",
       "stratified_sample", "vocab_coverage", "word_pmi", "quality_model",
       "inverted_index", "source_mix_report", "bpe_train", "bpe_encode",
-      "bpe_fertility", "char_entropy", "zipf_fit", "lang_confusion"),
+      "bpe_fertility", "bpe_encode_artifact",
+      "char_entropy", "zipf_fit", "lang_confusion"),
     "curation" -> Seq(
       "decontaminate", "decontaminate_fuzzy", "bloom_decontaminate",
       "split_leakage", "leakage_safe_split", "budget_select",

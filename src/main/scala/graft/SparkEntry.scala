@@ -182,6 +182,7 @@ object SparkEntry {
     "bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "bpe_fertility" -> ((s, d) => TextAnalysis.bpeFertility(s, d)),
+    "bpe_encode_artifact" -> ((s, d) => TextAnalysis.bpeEncodeArtifact(s, d)),
     "dsir_weights" -> ((s, d) => Curation.dsirWeights(s, d)),
     "quality_funnel" -> ((s, d) => TextAnalysis.qualityFunnel(s, d)),
     "source_mix_report" -> (TextAnalysis.sourceMixReport _),
@@ -885,6 +886,9 @@ object SparkEntry {
     "bpe_train" -> TextAnalysis.bpeTrainOracle(),
     "bpe_encode" -> TextAnalysis.bpeEncodeOracle(),
     "bpe_fertility" -> TextAnalysis.bpeFertilityOracle(),
+    // artifact-fed encode is output-identical to bpe_encode by
+    // construction — same oracle
+    "bpe_encode_artifact" -> TextAnalysis.bpeEncodeOracle(),
     "char_entropy" -> TextAnalysis.charEntropyOracle(),
     "zipf_fit" -> TextAnalysis.zipfFitOracle(),
     "lang_confusion" -> TextAnalysis.langConfusionOracle,

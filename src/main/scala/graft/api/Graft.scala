@@ -146,6 +146,22 @@ object Graft {
 
   /** Threshold table over a verified-pair artifact (verification floor
     * ≤ taus.min): pair/affected-doc counts per Jaccard threshold. */
+  /** Persist trained BPE merge rules as a versioned artifact (train
+    * once per corpus version; every encode reads it). */
+  def bpeRulesToDir(spark: SparkSession, sfDir: String, dir: String,
+                    nMerges: Int = 5, maxWords: Int = 2000): Unit =
+    graft.operators.TextAnalysis.bpeRulesToDir(spark, sfDir, dir,
+      nMerges, maxWords)
+
+  /** Read a BPE rules artifact (schema-checked). */
+  def readBpeRules(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.readBpeRules(spark, dir)
+
+  /** Encode ANY (doc_id, text) frame off a rules artifact — identical
+    * output to the train-inline encode, without the training pass. */
+  def bpeEncode(docs: DataFrame, rules: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.bpeEncodeFromRules(docs, rules)
+
   /** Closed-form LSH banding S-curve table (s50 + collision
     * probability grid per (bands, rows) scheme) — read before choosing
     * dedup_minhash's banding at corpus scale. */

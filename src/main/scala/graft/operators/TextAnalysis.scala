@@ -1052,9 +1052,17 @@ object TextAnalysis {
                 maxWords: Int = 2000): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val rules = bpeTrainFrom(docs, nMerges, maxWords).collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    // chars -> symbols, then each learned rule applied in order as one
-    // nested fold (all literals: codegen sees a constant pipeline)
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    encodeWithRules(docs, rules)
+  }
+
+  /** The map-only encode pass given already-learned rules: chars →
+    * symbols, then each rule applied in order as one nested fold (all
+    * literals: codegen sees a constant pipeline). Shared by the
+    * train-inline ([[bpeEncode]]) and artifact-fed
+    * ([[bpeEncodeFromRules]]) forms — identical output by construction. */
+  private def encodeWithRules(docs: DataFrame,
+                              rules: Seq[(String, String)]): DataFrame = {
     val encoded = rules.foldLeft(
       "transform(sequence(1, length(word)), i -> substring(word, i, 1))") {
       case (acc, (l, r)) =>
@@ -1077,6 +1085,61 @@ object TextAnalysis {
         round(col("n_chars") / col("n_tokens").cast("double"), 4))
       .orderBy("doc_id")
   }
+
+  /** TOKENIZER ARTIFACT (the §8 artifact doctrine applied to the BPE
+    * family): persist the learned merge rules as a tiny versioned
+    * parquet — train ONCE per corpus version, then every encode
+    * (batch, backfill, stream) reads the artifact instead of re-paying
+    * the corpus-scale vocabulary pass. The rules table IS the
+    * tokenizer: (step, left, right, pair_freq), k rows of model state. */
+  def bpeRulesToDir(spark: SparkSession, sfDir: String, dir: String,
+                    nMerges: Int = 5, maxWords: Int = 2000): Unit =
+    bpeTrain(spark, sfDir, nMerges, maxWords)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Read a [[bpeRulesToDir]] artifact (schema-checked). */
+  def readBpeRules(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read.parquet(dir)
+    require(df.columns.toSeq == Seq("step", "left", "right", "pair_freq"),
+      s"not a BPE rules artifact: ${df.columns.mkString(", ")}")
+    df
+  }
+
+  /** §2 #122c — ENCODE FROM THE RULES ARTIFACT: identical output to
+    * [[bpeEncode]] (same fold, same rules — TextAnalysisSpec proves
+    * equality), but the training pass is replaced by a k-row artifact
+    * read. This is the shape a production tokenization run has: the
+    * vocabulary is versioned alongside the corpus, and a 100 TB encode
+    * never re-trains. */
+  def bpeEncodeFromRules(docs: DataFrame, rulesDf: DataFrame): DataFrame = {
+    val rules = rulesDf.orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    encodeWithRules(docs, rules)
+  }
+
+  /** Per-session registry of rules artifacts — one train per
+    * (sfDir, nMerges, maxWords) per JVM (the in-process form of the
+    * versioned-vocab doctrine; same pattern as
+    * [[Dedup.sharedVerifiedPairsDir]]). */
+  private val sharedRulesDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), String]()
+  private lazy val rulesNs = java.util.UUID.randomUUID().toString
+  def sharedBpeRulesDir(spark: SparkSession, sfDir: String,
+                        nMerges: Int = 5, maxWords: Int = 2000): String =
+    sharedRulesDirs.computeIfAbsent((sfDir, nMerges, maxWords), { _ =>
+      val dir = ExportImport.scratch(
+        s"bpe-rules/$rulesNs/m$nMerges-w$maxWords-${math.abs(sfDir.hashCode)}")
+      bpeRulesToDir(spark, sfDir, dir, nMerges, maxWords)
+      dir
+    })
+
+  /** Driver form of [[bpeEncodeFromRules]]: encode the corpus off the
+    * session-shared rules artifact (oracle identical to bpe_encode by
+    * construction). */
+  def bpeEncodeArtifact(spark: SparkSession, sfDir: String,
+                        nMerges: Int = 5, maxWords: Int = 2000): DataFrame =
+    bpeEncodeFromRules(Tables.load(spark, sfDir, "documents"),
+      readBpeRules(spark, sharedBpeRulesDir(spark, sfDir, nMerges, maxWords)))
 
   /** DuckDB oracle for [[bpeEncode]]: the [[bpeTrainOracle]] CTE chain
     * learns the same rules, then every corpus word is folded through

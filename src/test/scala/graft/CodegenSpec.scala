@@ -32,6 +32,9 @@ class CodegenSpec extends SparkSpec {
     // static-kernel doGenCode landed — keep it pinned
     assertCodegen("doc_winnow", TextAnalysis.docWinnow(spark, sf))
     assertCodegen("lang_id", TextAnalysis.langId(spark, sf))
+    // the entropy gate's whole point is ONE codegen'd map pass — a
+    // fallback would re-introduce the per-character shuffle it replaces
+    assertCodegen("char_entropy", TextAnalysis.charEntropy(spark, sf))
   }
 
   test("custom-expression pipelines stay inside whole-stage codegen") {

@@ -155,4 +155,22 @@ class InvarianceSpec extends SparkSpec {
       assert(p1 == p13)
     } finally spark.conf.set("spark.sql.shuffle.partitions", one)
   }
+
+  test("round-10b operators are partition-count invariant") {
+    import graft.operators.{Blob, Similarity, TextAnalysis}
+    def all() = (
+      rows(TextAnalysis.charEntropy(spark, sf)),
+      rows(TextAnalysis.zipfFit(spark, sf)),
+      rows(TextAnalysis.langConfusion(spark, sf)),
+      rows(Similarity.embeddingClassStats(spark, sf)),
+      rows(Blob.mediaPngRoundtrip(spark, sf)))
+    val one = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val p1 = all()
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val p13 = all()
+      assert(p1 == p13)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", one)
+  }
 }

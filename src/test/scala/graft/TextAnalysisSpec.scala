@@ -449,6 +449,25 @@ class TextAnalysisSpec extends SparkSpec {
     got.values.foreach { case (_, _, _, _, fert, _) => assert(fert >= 1.0) }
   }
 
+  test("bpe rules artifact: encode off the artifact equals train-inline") {
+    val dir = graft.operators.ExportImport.scratch("bpe-rules-spec")
+    TextAnalysis.bpeRulesToDir(spark, sf, dir)
+    val rules = TextAnalysis.readBpeRules(spark, dir)
+    assert(rules.count() > 0 && rules.columns.toSeq ==
+      Seq("step", "left", "right", "pair_freq"))
+    val fromArtifact = TextAnalysis.bpeEncodeFromRules(
+      Tables.load(spark, sf, "documents"), rules)
+      .collect().map(_.toString).toSeq
+    val inline = TextAnalysis.bpeEncode(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(fromArtifact == inline)
+    // a non-artifact dir fails loudly, not with wrong columns downstream
+    val bad = graft.operators.ExportImport.scratch("bpe-rules-bad")
+    Tables.load(spark, sf, "documents").limit(1).write
+      .mode("overwrite").parquet(bad)
+    intercept[IllegalArgumentException](TextAnalysis.readBpeRules(spark, bad))
+  }
+
   test("char_entropy: kernel edge cases + map-only plan") {
     import graft.functions.CharEntropyF
     def h(s: String) = CharEntropyF.entropy(
