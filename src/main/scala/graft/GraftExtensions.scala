@@ -75,5 +75,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "dot_product"),
       exprs => { arity("dot_product", 2)(exprs)
         graft.functions.DotProduct(exprs.head, exprs(1)) }))
+    ext.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[graft.functions.CharEntropy].getName,
+        "char_entropy"),
+      exprs => graft.functions.CharEntropy(
+        arity("char_entropy", 1)(exprs).head)))
   }
 }

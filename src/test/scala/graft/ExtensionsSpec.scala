@@ -100,6 +100,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(chain(ex).exists(m => m != null && m.contains("lengths differ")))
   }
 
+  test("char_entropy is SQL-callable and matches the library kernel") {
+    val row = spark.sql(
+      "SELECT round(char_entropy('ab'), 4) AS coin, " +
+        "char_entropy('aaaa') AS flat, " +
+        "char_entropy(CAST(NULL AS STRING)) AS missing").collect().head
+    assert(row.getDouble(0) == 1.0 && row.getDouble(1) == 0.0 && row.isNullAt(2))
+  }
+
   test("nfc_normalize is SQL-callable and composes decomposed sequences") {
     val row = spark.sql(
       "SELECT nfc_normalize('café') AS n, " +

@@ -554,4 +554,23 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == batch, s"stream=$got batch=$batch")
   }
+
+  test("streaming encode off the BPE rules artifact equals batch per doc") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.{DocIngest, StreamEncode}
+    val rulesDir = TextAnalysis.sharedBpeRulesDir(spark, sf)
+    val rules = TextAnalysis.readBpeRules(spark, rulesDir)
+    val q = StreamEncode.encoded(DocIngest.readDocStream(spark, sf), rules)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_encode").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))
+    val got = spark.table("stream_encode").collect().map(key).toMap
+    val batch = TextAnalysis.bpeEncodeFromRules(
+      Tables.load(spark, sf, "documents"), rules).collect().map(key).toMap
+    assert(got == batch,
+      s"per-doc mismatch: ${got.toSet.diff(batch.toSet).take(3)}")
+  }
 }
