@@ -59,7 +59,7 @@ object Bench {
       "stratified_sample", "vocab_coverage", "word_pmi", "quality_model",
       "inverted_index", "source_mix_report", "bpe_train", "bpe_encode",
       "bpe_fertility", "bpe_encode_artifact",
-      "char_entropy", "zipf_fit", "lang_confusion"),
+      "char_entropy", "zipf_fit", "lang_confusion", "corpus_report"),
     "curation" -> Seq(
       "decontaminate", "decontaminate_fuzzy", "bloom_decontaminate",
       "split_leakage", "leakage_safe_split", "budget_select",

@@ -100,6 +100,7 @@ object SparkEntry {
     "char_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d)),
     "zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "lang_confusion" -> (TextAnalysis.langConfusion _),
+    "corpus_report" -> ((s, d) => TextAnalysis.corpusReport(s, d)),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "text_shingles" -> (TextAnalysis.textShingles _),
     // B. analytics core
@@ -892,6 +893,7 @@ object SparkEntry {
     "char_entropy" -> TextAnalysis.charEntropyOracle(),
     "zipf_fit" -> TextAnalysis.zipfFitOracle(),
     "lang_confusion" -> TextAnalysis.langConfusionOracle,
+    "corpus_report" -> TextAnalysis.corpusReportOracle(),
     "embedding_class_stats" -> Similarity.embeddingClassStatsOracle,
     "dsir_weights" -> Curation.dsirOracle(),
     "quality_funnel" -> TextAnalysis.qualityFunnelOracle(),

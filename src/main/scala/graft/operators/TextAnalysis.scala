@@ -1433,6 +1433,101 @@ object TextAnalysis {
       .orderBy("lang", "pred_lang")
   }
 
+  /** §2 #167 — CORPUS HEALTH CARD: the one-row daily summary a
+    * pipeline owner reads before anything else — volume (docs, tokens),
+    * quality (mean 4-dp quality score), entropy-gate attrition,
+    * diversity (languages, sources, top-source share). Composes the
+    * SAME per-doc features as text_stats / char_entropy (identical
+    * arithmetic), so a drilled-down investigation reconciles cell by
+    * cell with this card.
+    *
+    * Scale shape: ONE map-only scan + one global aggregate, plus a
+    * ≤n-sources agg for the share column. Means are DECIMAL sums of
+    * already-4-dp per-doc values (quantize_eval's doctrine): exact in
+    * both engines, independent of row order and partitioning. */
+  def corpusReport(spark: SparkSession, sfDir: String,
+                   lo: Double = 3.0, hi: Double = 5.0): DataFrame = {
+    val words = size(split(trim(col("text")), "\\s+"))
+    val stop = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(?:the|and|is|of|to)\\b"), lit(0)))
+    val quality =
+      round(least(words / lit(50.0), lit(1.0)) * 0.5 + (stop / words) * 0.5, 4)
+    val ent = round(graft.functions.CharEntropyF.charEntropy(col("text")), 4)
+    val perDoc = Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), col("source"),
+        words.cast("long").as("n_toks"), quality.as("q"), ent.as("e"))
+    val topShare = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n")).agg(max("n").as("top_n"))
+    perDoc
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        sum(col("q").cast("decimal(38,4)")).as("q_sum"),
+        sum(col("e").cast("decimal(38,4)")).as("e_sum"),
+        sum(when(col("e") < lo || col("e") > hi, 1L).otherwise(0L))
+          .as("n_flagged"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"))
+      .crossJoin(topShare)
+      .select(col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("n_docs").cast("double"), 4)
+          .as("mean_doc_tokens"),
+        round(col("q_sum").cast("double") / col("n_docs"), 4)
+          .as("mean_quality"),
+        round(col("e_sum").cast("double") / col("n_docs"), 4)
+          .as("mean_entropy"),
+        round(col("n_flagged") / col("n_docs").cast("double"), 4)
+          .as("entropy_flagged_frac"),
+        col("n_langs"), col("n_sources"),
+        round(col("top_n") / col("n_docs").cast("double"), 4)
+          .as("top_source_share"))
+  }
+
+  /** DuckDB oracle for [[corpusReport]] — same per-doc features (the
+    * text_stats + char_entropy oracles' arithmetic), same decimal
+    * means. */
+  def corpusReportOracle(lo: Double = 3.0, hi: Double = 5.0): String =
+    s"""WITH counts AS (
+          SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+          FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+                FROM documents WHERE length(text) > 0)
+          GROUP BY doc_id, ch),
+        folded AS (
+          SELECT doc_id,
+            list_reduce(list(c * (ln(c) / ln(2)) ORDER BY ch), (a, b) -> a + b)
+              AS acc,
+            CAST(sum(c) AS DOUBLE) AS n
+          FROM counts GROUP BY doc_id),
+        perdoc AS (
+          SELECT d.lang, d.source,
+            CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+              AS n_toks,
+            round(least(len(string_split_regex(trim(d.text), '\\s+')) / 50.0,
+                1.0) * 0.5
+              + (len(regexp_extract_all(lower(d.text),
+                  '\\b(?:the|and|is|of|to)\\b', 0))
+                 / CAST(len(string_split_regex(trim(d.text), '\\s+'))
+                        AS DOUBLE)) * 0.5, 4) AS q,
+            round(CASE WHEN f.doc_id IS NULL THEN 0.0
+                       ELSE ln(f.n) / ln(2) - f.acc / f.n END, 4) AS e
+          FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id),
+        tops AS (
+          SELECT max(n) AS top_n FROM
+            (SELECT count(*) AS n FROM perdoc GROUP BY source))
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         round(sum(n_toks) / CAST(count(*) AS DOUBLE), 4) AS mean_doc_tokens,
+         round(CAST(sum(CAST(q AS DECIMAL(38,4))) AS DOUBLE) / count(*), 4)
+           AS mean_quality,
+         round(CAST(sum(CAST(e AS DECIMAL(38,4))) AS DOUBLE) / count(*), 4)
+           AS mean_entropy,
+         round(sum(CASE WHEN e < $lo OR e > $hi THEN 1 ELSE 0 END)
+           / CAST(count(*) AS DOUBLE), 4) AS entropy_flagged_frac,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         round((SELECT top_n FROM tops) / CAST(count(*) AS DOUBLE), 4)
+           AS top_source_share
+       FROM perdoc"""
+
   /** DuckDB oracle for [[langConfusion]] — the lang_id oracle's CASE
     * scoring rolled up into matrix cells. */
   def langConfusionOracle: String =

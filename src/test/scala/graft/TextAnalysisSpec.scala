@@ -468,6 +468,26 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextAnalysis.readBpeRules(spark, bad))
   }
 
+  test("corpus_report reconciles cell-by-cell with its drill-down operators") {
+    val r = TextAnalysis.corpusReport(spark, sf).collect().head
+    val stats = TextAnalysis.textStats(spark, sf).collect()
+    val ents = TextAnalysis.charEntropy(spark, sf).collect()
+    assert(r.getLong(0) == stats.length)
+    // decimal mean of the SAME 4-dp per-doc quality values
+    val meanQ = stats.map(s => BigDecimal(s.getDouble(7))).sum /
+      stats.length
+    assert(r.getDouble(3) == (meanQ.setScale(4,
+      BigDecimal.RoundingMode.HALF_UP)).toDouble)
+    val flagged = ents.count(_.getBoolean(3))
+    assert(r.getDouble(5) ==
+      math.round(flagged.toDouble / ents.length * 10000) / 10000.0)
+    val srcs = Tables.load(spark, sf, "documents")
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(r.getLong(7) == srcs.length)
+    assert(r.getDouble(8) ==
+      math.round(srcs.max.toDouble / stats.length * 10000) / 10000.0)
+  }
+
   test("char_entropy: kernel edge cases + map-only plan") {
     import graft.functions.CharEntropyF
     def h(s: String) = CharEntropyF.entropy(
