@@ -22,6 +22,7 @@ object Bench {
       "filter_pushdown",
       "asof_join",
       "asof_join_native",
+      "asof_join_forward",
       "sessionize", "merge_upsert", "topk_frequent", "package_filter",
       "typed_format", "pivot_status", "rollup_agg", "pctile_value",
       "running_total", "rolling_window",

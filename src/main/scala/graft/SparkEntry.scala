@@ -145,6 +145,7 @@ object SparkEntry {
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     "topk_frequent" -> ((s, d) => Analytics.topkFrequent(s, d)),
     "asof_join_native" -> (graft.plans.AsofJoinNative.asofJoinNative _),
+    "asof_join_forward" -> (graft.plans.AsofJoinNative.asofJoinForward _),
     "import_validation" -> (ExportImport.importValidation _),
     "import_errors" -> (ExportImport.importErrors _),
     "jsonl_roundtrip" -> (ExportImport.jsonlRoundtrip _),
@@ -482,6 +483,7 @@ object SparkEntry {
     "ann_ivf" -> Similarity.ivfTrainedOracle(),
     "asof_join" -> AsofJoin.oracle,
     "asof_join_native" -> AsofJoin.oracle,
+    "asof_join_forward" -> AsofJoin.forwardOracle,
     "import_validation" ->
       """SELECT count(*) AS n_rows,
           count(CASE WHEN bad_price THEN 1 END) AS n_bad_price,

@@ -62,6 +62,15 @@ object Graft {
     graft.plans.AsofJoinNative.asofJoin(left, right, leftKey, rightKey,
       leftTime, rightTime)
 
+  /** Forward as-of join: the EARLIEST right row strictly later than
+    * each left time — the "next event" lookup (same one-sort-merge
+    * operator, direction flipped). */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String): DataFrame =
+    graft.plans.AsofJoinNative.asofJoin(left, right, leftKey, rightKey,
+      leftTime, rightTime, graft.plans.AsofJoinNative.Forward)
+
   /** Keyed upsert: incoming versions win per key; one key shuffle. */
   def upsert(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
     graft.operators.MergeImport.upsert(existing, incoming, key)

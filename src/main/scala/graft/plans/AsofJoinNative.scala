@@ -27,9 +27,19 @@ import org.apache.spark.sql.graftbridge.CatalystBridge
   */
 object AsofJoinNative {
 
+  /** Match direction: BACKWARD = last right strictly before the left
+    * time (the classic as-of); FORWARD = first right strictly after it
+    * (the "next event" lookup — pandas merge_asof direction=forward,
+    * DuckDB `ON lt < rt`). Both are one forward merge pass over the
+    * same (key, time) sort — FORWARD just peeks instead of folding. */
+  sealed trait Direction
+  case object Backward extends Direction
+  case object Forward extends Direction
+
   case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
                           leftKey: Expression, rightKey: Expression,
-                          leftTime: Expression, rightTime: Expression)
+                          leftTime: Expression, rightTime: Expression,
+                          direction: Direction = Backward)
       extends BinaryNode {
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
@@ -40,7 +50,8 @@ object AsofJoinNative {
 
   case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                           leftKey: Expression, rightKey: Expression,
-                          leftTime: Expression, rightTime: Expression)
+                          leftTime: Expression, rightTime: Expression,
+                          direction: Direction = Backward)
       extends BinaryExecNode {
 
     override def output: Seq[Attribute] =
@@ -110,10 +121,27 @@ object AsofJoinNative {
                 || rk.get < lk) rBuf.next()
               else scanning = false
             }
-            // fold in right rows of our key strictly before our time
-            while (rBuf.hasNext && evalLong(rKey, rBuf.head).contains(lk)
-              && evalLong(rTime, rBuf.head).exists(_ < lt)) {
-              lastMatch = rBuf.next()
+            direction match {
+              case Backward =>
+                // fold in right rows of our key strictly before our time
+                while (rBuf.hasNext && evalLong(rKey, rBuf.head).contains(lk)
+                  && evalLong(rTime, rBuf.head).exists(_ < lt)) {
+                  lastMatch = rBuf.next()
+                }
+              case Forward =>
+                // discard rights of our key at-or-before our time (they
+                // can never match a later, even-larger left time), then
+                // PEEK the head: it is the first strictly-later right —
+                // left in the buffer because it may also serve the next
+                // left row
+                while (rBuf.hasNext && evalLong(rKey, rBuf.head).contains(lk)
+                  && evalLong(rTime, rBuf.head).exists(_ <= lt)) {
+                  rBuf.next()
+                }
+                lastMatch =
+                  if (rBuf.hasNext && evalLong(rKey, rBuf.head).contains(lk))
+                    rBuf.head
+                  else null
             }
             matchKey = lk; haveKey = true
             proj(joined(l, if (lastMatch == null) nullRight else lastMatch))
@@ -131,8 +159,8 @@ object AsofJoinNative {
     * `spark.experimental.extraStrategies`). */
   object AsofStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
-        AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      case AsofJoinPlan(l, r, lk, rk, lt, rt, dir) =>
+        AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir) :: Nil
       case _ => Nil
     }
   }
@@ -142,7 +170,8 @@ object AsofJoinNative {
     * attribute lineage with the left (alias them first). */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
-               leftTime: String, rightTime: String): DataFrame = {
+               leftTime: String, rightTime: String,
+               direction: Direction = Backward): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsofStrategy))
       spark.experimental.extraStrategies =
@@ -154,7 +183,7 @@ object AsofJoinNative {
         throw new IllegalArgumentException(s"no column $name"))
     CatalystBridge.ofRows(spark, AsofJoinPlan(lp, rp,
       attr(lp, leftKey), attr(rp, rightKey),
-      attr(lp, leftTime), attr(rp, rightTime)))
+      attr(lp, leftTime), attr(rp, rightTime), direction))
   }
 
   /** Query twin of operators.AsofJoin.asofJoin, through the native
@@ -168,6 +197,23 @@ object AsofJoinNative {
       .select(col("o_orderkey"),
         date_format(col("r_od"), "yyyy-MM-dd").as("prev_day"),
         datediff(col("o_orderdate"), col("r_od")).as("gap_days"))
+      .orderBy("o_orderkey")
+  }
+
+  /** §2 #168 — FORWARD as-of join: each order joined to the NEXT
+    * distinct order date of its customer (the "time to next event"
+    * lookup that backs churn and re-engagement features). Same merge
+    * shape, same DuckDB oracle family (`ON lt < rt`). */
+  def asofJoinForward(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+    val rights = orders.select(col("o_custkey").as("r_ck"),
+      col("o_orderdate").as("r_od")).distinct()
+    asofJoin(orders, rights, "o_custkey", "r_ck", "o_orderdate", "r_od",
+      Forward)
+      .select(col("o_orderkey"),
+        date_format(col("r_od"), "yyyy-MM-dd").as("next_day"),
+        datediff(col("r_od"), col("o_orderdate")).as("gap_days"))
       .orderBy("o_orderkey")
   }
 }
