@@ -62,7 +62,8 @@ object Bench {
       "bpe_fertility", "bpe_encode_artifact",
       "char_entropy", "zipf_fit", "lang_confusion", "corpus_report"),
     "curation" -> Seq(
-      "decontaminate", "decontaminate_fuzzy", "bloom_decontaminate",
+      "decontaminate", "contamination_report",
+      "decontaminate_fuzzy", "bloom_decontaminate",
       "split_leakage", "leakage_safe_split", "budget_select",
       "doc_chunk", "pii_scrub", "c4_clean", "range_join",
       "mixture_sample", "mixture_temperature", "mixture_upsample",

@@ -154,6 +154,7 @@ object SparkEntry {
     "seq_pack" -> ((s, d) => TextAnalysis.seqPack(s, d)),
     // C. corpus curation
     "decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
+    "contamination_report" -> ((s, d) => Curation.contaminationReport(s, d)),
     "doc_chunk" -> ((s, d) => Curation.docChunk(s, d)),
     "mixture_sample" -> ((s, d) => Curation.mixtureSample(s, d)),
     "mixture_temperature" -> ((s, d) => Curation.mixtureTemperature(s, d)),
@@ -684,6 +685,7 @@ object SparkEntry {
            round(CAST(sum(CAST(d8 AS DECIMAL(38,8))) AS DOUBLE)
                  / count(*), 8) AS mean_dist8
          FROM d""",
+    "contamination_report" -> Curation.contaminationReportOracle(),
     "decontaminate" ->
       """WITH w AS (SELECT doc_id,
                       string_split_regex(trim(lower(text)), '\s+') AS w

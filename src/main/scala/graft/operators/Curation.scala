@@ -50,6 +50,62 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** §2 #169 — CONTAMINATION GOVERNANCE REPORT: the per-source rollup
+    * of [[decontaminate]] (the twin of #149d scrub_report for the
+    * benchmark-overlap axis) — docs contaminated, hit-gram volume, and
+    * the contaminated fraction per feed. This is what's read next to
+    * source_mix_report before re-weighting: a feed with high
+    * contaminated_frac is leaking the eval suite (scraped mirrors,
+    * forum dumps quoting benchmarks) and gets dropped or filtered,
+    * not just decontaminated doc-by-doc.
+    *
+    * Scale shape: rides the map-only gram probe + broadcast bench join
+    * of #71, then one doc_id equi-join + a ≤n-sources agg. */
+  def contaminationReport(spark: SparkSession, sfDir: String,
+                          n: Int = 4, benchMod: Int = 50): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val train = docs.filter(col("doc_id") % benchMod =!= 0)
+    val hits = decontaminateFrom(train,
+      docs.filter(col("doc_id") % benchMod === 0), n)
+    train.select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hit_grams").isNotNull, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        coalesce(sum("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+      .withColumn("contaminated_frac",
+        round(col("n_contaminated") / col("n_docs").cast("double"), 4))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[contaminationReport]] — the decontaminate
+    * oracle's CTEs rolled up by source. */
+  def contaminationReportOracle(n: Int = 4, benchMod: Int = 50): String =
+    s"""WITH w AS (SELECT doc_id,
+              string_split_regex(trim(lower(text)), '\\s+') AS w
+            FROM documents),
+          g AS (SELECT doc_id,
+                  unnest(list_distinct(
+                    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                     for i in range(1, len(w) - 2)])) AS gram
+                FROM w),
+          bench AS (SELECT DISTINCT gram FROM g
+                    WHERE doc_id % $benchMod = 0),
+          hits AS (SELECT doc_id, count(*) AS n_hit_grams
+                   FROM g WHERE doc_id % $benchMod <> 0
+                     AND gram IN (SELECT gram FROM bench)
+                   GROUP BY 1)
+       SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN h.n_hit_grams IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_contaminated,
+         CAST(coalesce(sum(h.n_hit_grams), 0) AS BIGINT) AS n_hit_grams,
+         round(sum(CASE WHEN h.n_hit_grams IS NOT NULL THEN 1 ELSE 0 END)
+           / CAST(count(*) AS DOUBLE), 4) AS contaminated_frac
+       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       WHERE d.doc_id % $benchMod <> 0
+       GROUP BY d.source ORDER BY d.source"""
+
   /** §2 #86 — BLOOM-prefiltered decontamination: the runtime-filter
     * shape the exact check (#71) needs at 100 TB. #71 broadcasts the
     * bench gram STRINGS; at a realistic eval-suite size (10^8 grams)

@@ -425,4 +425,22 @@ class CurationSpec extends SparkSpec {
       s"composed split must read the pair artifact, not re-shingle:\n$p")
     assert(again.collect().toSeq == standalone)
   }
+
+  test("contamination_report reconciles with the doc-level decontaminate") {
+    val report = Curation.contaminationReport(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val hits = Curation.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val srcOf = Tables.load(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val train = srcOf.keys.filter(_ % 50 != 0).toSeq
+    assert(report.values.map(_._1).sum == train.length)
+    report.foreach { case (src, (nDocs, nContam, nGrams)) =>
+      val docs = train.filter(srcOf(_) == src)
+      assert(nDocs == docs.length, s"$src n_docs")
+      assert(nContam == docs.count(hits.contains), s"$src n_contaminated")
+      assert(nGrams == docs.flatMap(hits.get).sum, s"$src n_hit_grams")
+    }
+  }
 }
