@@ -27,7 +27,7 @@ object Bench {
       "typed_format", "pivot_status", "rollup_agg", "pctile_value",
       "running_total", "rolling_window",
       "snapshot_diff", "fk_orphans", "join_skew_report",
-      "k_anonymity", "corpus_concentration",
+      "k_anonymity", "l_diversity", "corpus_concentration",
       "deterministic_sample",
       "value_histogram", "profile_table", "outlier_fences", "compact_files",
       "schema_evolution", "zorder_layout", "xlsx_keys", "retention_cohorts",
@@ -46,7 +46,8 @@ object Bench {
       "source_overlap",
       "dedup_threshold_sweep", "lsh_plan"),
     "ann" -> Seq(
-      "ann_bruteforce", "knn_graph", "knn_graph_ann", "label_spread",
+      "ann_bruteforce", "knn_graph", "knn_graph_ann", "pagerank",
+      "label_spread",
       "ann_recall_eval",
       "ann_lsh", "ann_ivf", "ann_ivf_static", "ann_ivf_indexed",
       "ann_pq", "ann_ivfpq", "semantic_dedup", "hard_negatives",
@@ -56,7 +57,8 @@ object Bench {
       "text_stats", "token_count", "lang_id", "quality_filter",
       "quality_funnel", "quality_calibration",
       "doc_winnow", "doc_fingerprint", "text_shingles", "seq_pack",
-      "ngram_lm", "quality_repetition", "lm_perplexity", "charset_gate",
+      "ngram_lm", "quality_repetition", "lm_perplexity", "perplexity_buckets",
+      "charset_gate",
       "stratified_sample", "vocab_coverage", "word_pmi", "quality_model",
       "inverted_index", "source_mix_report", "bpe_train", "bpe_encode",
       "bpe_fertility", "bpe_encode_artifact",
@@ -67,6 +69,7 @@ object Bench {
       "split_leakage", "leakage_safe_split", "budget_select",
       "doc_chunk", "pii_scrub", "c4_clean", "range_join",
       "mixture_sample", "mixture_temperature", "mixture_upsample",
+      "weighted_sample",
       "tfidf_topterms", "shard_assign", "dsir_weights",
       "bm25_search"),
     "io" -> Seq(

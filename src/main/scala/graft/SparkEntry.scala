@@ -190,9 +190,35 @@ object SparkEntry {
     "quality_funnel" -> ((s, d) => TextAnalysis.qualityFunnel(s, d)),
     "source_mix_report" -> (TextAnalysis.sourceMixReport _),
     "event_dedup" -> (Analytics.eventDedup _),
+    "perplexity_buckets" -> ((s, d) => TextAnalysis.perplexityBuckets(s, d)),
+    "weighted_sample" -> ((s, d) => Quality.weightedSample(s, d)),
+    "l_diversity" -> ((s, d) => Quality.lDiversity(s, d)),
+    "pagerank" -> ((s, d) => Graph.pagerank(s, d)),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
+
+  /** Shared CTE chain of the corpus bigram LM — per-doc avg NLL, the
+    * oracle twin of [[graft.operators.TextAnalysis.perplexityFrom]].
+    * Named composition (no string surgery): both the lm_perplexity and
+    * perplexity_buckets oracles splice it with `WITH $perplexityCtes`. */
+  private val perplexityCtes =
+    """w AS (SELECT doc_id,
+              string_split_regex(trim(lower(text)), '\s+') AS w
+            FROM documents),
+       b AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2
+             FROM (SELECT doc_id,
+                     unnest([{'w1': w[i], 'w2': w[i+1]}
+                             for i in range(1, len(w))]) AS s
+                   FROM w WHERE len(w) >= 2)),
+       c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+       c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+       v AS (SELECT count(DISTINCT w2) AS v FROM b),
+       ppl AS (SELECT doc_id, count(*) AS n_bigrams,
+                 round(CAST(sum(CAST(round(-ln((c2 + 1.0) / (c1 + v)), 8)
+                         AS DECIMAL(18,8))) AS DOUBLE) / count(*), 4) AS avg_nll
+               FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+               GROUP BY doc_id)"""
 
   /** DuckDB left-fold dot product — the oracle twin of
     * [[graft.functions.VectorFunctions.dot]] (bit-identical by
@@ -904,22 +930,42 @@ object SparkEntry {
     "source_mix_report" -> TextAnalysis.sourceMixOracle,
     "event_dedup" -> Analytics.eventDedupOracle,
     "lm_perplexity" ->
-      """WITH w AS (SELECT doc_id,
-                      string_split_regex(trim(lower(text)), '\s+') AS w
-                    FROM documents),
-          b AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2
-                FROM (SELECT doc_id,
-                        unnest([{'w1': w[i], 'w2': w[i+1]}
-                                for i in range(1, len(w))]) AS s
-                      FROM w WHERE len(w) >= 2)),
-          c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
-          c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
-          v AS (SELECT count(DISTINCT w2) AS v FROM b)
-         SELECT doc_id, count(*) AS n_bigrams,
-           round(CAST(sum(CAST(round(-ln((c2 + 1.0) / (c1 + v)), 8)
-                   AS DECIMAL(18,8))) AS DOUBLE) / count(*), 4) AS avg_nll
-         FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
-         GROUP BY doc_id ORDER BY doc_id""",
+      s"""WITH $perplexityCtes
+         SELECT doc_id, n_bigrams, avg_nll FROM ppl ORDER BY doc_id""",
+    "weighted_sample" ->
+      s"""WITH w AS (SELECT doc_id,
+                       CAST(len(string_split_regex(trim(text), '\\s+'))
+                         AS BIGINT) AS wt
+                     FROM documents),
+          keyed AS (SELECT doc_id, wt,
+                      ln((${Quality.knuthSql("doc_id")} + 1) / 4294967297.0)
+                        / wt AS k
+                    FROM w WHERE wt >= 1),
+          ranked AS (SELECT doc_id, wt, k,
+                       row_number() OVER (ORDER BY k DESC, doc_id) AS rk
+                     FROM keyed)
+         SELECT CAST(rk AS INTEGER) AS rk, doc_id, wt AS w_tokens,
+                round(k, 8) AS es_key
+         FROM ranked WHERE rk <= 64 ORDER BY rk""",
+    "perplexity_buckets" ->
+      s"""WITH $perplexityCtes,
+          scored AS (SELECT p.doc_id, d.lang, p.avg_nll,
+                       CAST(round(p.avg_nll * 10000) AS BIGINT) AS nll4
+                     FROM ppl p JOIN documents d USING (doc_id)),
+          per_score AS (SELECT lang, nll4, count(*) AS cnt
+                        FROM scored GROUP BY 1, 2),
+          cum AS (SELECT lang, nll4,
+                    sum(cnt) OVER (PARTITION BY lang ORDER BY nll4) AS cum,
+                    sum(cnt) OVER (PARTITION BY lang) AS n
+                  FROM per_score),
+          buckets AS (SELECT lang, nll4,
+                        CASE WHEN cum * 3 <= n THEN 'head'
+                             WHEN cum * 3 <= 2 * n THEN 'middle'
+                             ELSE 'tail' END AS ppl_bucket
+                      FROM cum)
+         SELECT s.doc_id, s.lang, s.avg_nll, b.ppl_bucket
+         FROM scored s JOIN buckets b USING (lang, nll4)
+         ORDER BY s.doc_id""",
     "ngram_lm" ->
       """WITH w AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
                     FROM documents),
@@ -1150,6 +1196,8 @@ object SparkEntry {
            (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0)""",
     "join_skew_report" -> Quality.joinSkewOracle,
     "k_anonymity" -> Quality.kAnonymityOracle(),
+    "l_diversity" -> Quality.lDiversityOracle(),
+    "pagerank" -> Graph.pagerankOracle(duckNormCte, duckDot),
     "corpus_concentration" -> Quality.corpusConcentrationOracle,
     "deterministic_sample" ->
       s"""SELECT o_orderkey, ${centsSql("o_totalprice")} AS price_cents

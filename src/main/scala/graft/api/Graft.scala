@@ -268,6 +268,18 @@ object Graft {
   def repetitionSignals(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.repetitionFrom(docs)
 
+  /** Per-doc corpus-LM average negative log-likelihood (KenLM-style
+    * gibberish gate) → (doc_id, n_bigrams, avg_nll). */
+  def perplexity(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.perplexityFrom(docs)
+
+  /** CCNet-style per-language perplexity thirds → (doc_id, lang,
+    * avg_nll, ppl_bucket ∈ head|middle|tail). Bounded-score-domain
+    * window — no per-language corpus sort. `docs` = (doc_id, text,
+    * lang). */
+  def perplexityBuckets(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.perplexityBucketsFrom(docs)
+
   /** Bloom-prefiltered decontamination (build side aggregated
     * distributively; m-bit bitmap broadcast) → (doc_id, n_cand_grams,
     * n_hit_grams). */
@@ -377,6 +389,20 @@ object Graft {
   def sampleByKey(key: String, pct: Int): Column =
     graft.operators.Quality.sampleByKey(key, pct)
 
+  /** PageRank over ANY (src, dst) edge frame → (id, pr), decimal-
+    * summed so the result is partitioning-independent. One node-keyed
+    * join + one hash aggregate per iteration. */
+  def pageRank(edges: DataFrame, d: Double = 0.85,
+               iters: Int = 5): DataFrame =
+    graft.operators.Graph.pageRankFrom(edges, d, iters)
+
+  /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis):
+    * the k rows maximizing u^(1/weight) with a deterministic
+    * Knuth-hash u → (rk, doc_id, w_tokens, es_key). One bounded
+    * top-k aggregate; no corpus sort. `docs` = (doc_id, …). */
+  def weightedSample(docs: DataFrame, weight: Column, k: Int): DataFrame =
+    graft.operators.Quality.weightedSampleFrom(docs, weight, k)
+
   /** Fixed-width histogram of a LONG column. */
   def histogram(df: DataFrame, valueCol: String, binWidth: Long): DataFrame =
     graft.operators.Quality.histogram(df, valueCol, binWidth)
@@ -398,6 +424,13 @@ object Graft {
     * quasi-identifier columns, summarized into one risk row. */
   def kAnonymity(df: DataFrame, quasi: Seq[Column], k: Int = 5): DataFrame =
     graft.operators.Quality.kAnonymityFrom(df, quasi, k)
+
+  /** L-diversity audit: distinct sensitive values per quasi-identifier
+    * class, summarized into one risk row — catches the k-anonymous
+    * group that still leaks a shared sensitive attribute. */
+  def lDiversity(df: DataFrame, quasi: Seq[Column], sensitive: Column,
+                 l: Int = 3): DataFrame =
+    graft.operators.Quality.lDiversityFrom(df, quasi, sensitive, l)
 
   /** Gini + top-share concentration report of a length column,
     * computed from its histogram (int64-exact). */

@@ -111,6 +111,49 @@ object Quality {
     stratifiedSampleFrom(Tables.load(spark, sfDir, "documents"),
       "lang", "doc_id", k)
 
+  /** Generic core: WEIGHTED sample without replacement (Efraimidis &
+    * Spirakis 2006) — keep the k rows maximizing u^(1/w), computed as
+    * the equivalent ln(u)/w DESC order; u is a deterministic Knuth-hash
+    * uniform in (0,1), so any engine and any partitioning draws the
+    * SAME sample (the reproducibility contract every sampling op here
+    * honors). The token-weighted draw a mixture builder uses when
+    * "sample 1k docs" must mean "1k docs, long ones proportionally
+    * more likely", without a full corpus sort.
+    *
+    * Scale shape: ONE map-only key computation + ONE hash aggregate
+    * whose [[graft.functions.TopKByScore]] state is k pairs — the
+    * exchange carries 32 partial top-k heaps, never the corpus; the
+    * k winners then join their weights back (broadcast of k rows). */
+  def weightedSampleFrom(docs: DataFrame, weight: Column,
+                         k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    val keyed = docs.select(col("doc_id"), weight.cast("long").as("wt"))
+      .filter(col("wt") >= 1)
+      // u = (knuth32(id)+1)/(2^32+1) ∈ (0,1); ln(u)/w is IEEE-identical
+      // in DuckDB (same integer hash, same division, same ln)
+      .withColumn("es_key",
+        log((knuth32(col("doc_id")) + 1).cast("double") / lit(4294967297.0))
+          / col("wt").cast("double"))
+    val top = keyed
+      .agg(graft.functions.TopKByScoreAgg
+        .topkByScore(col("doc_id"), col("es_key"), k).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("int").as("rk"),
+        col("col.neighbor_id").as("doc_id"),
+        round(col("col.cos"), 8).as("es_key"))
+    keyed.select(col("doc_id"), col("wt"))
+      .join(broadcast(top), Seq("doc_id"))
+      .select(col("rk"), col("doc_id"), col("wt").as("w_tokens"),
+        col("es_key"))
+      .orderBy("rk")
+  }
+
+  /** §2 #170 — token-weighted deterministic draw from the corpus. */
+  def weightedSample(spark: SparkSession, sfDir: String,
+                     k: Int = 64): DataFrame =
+    weightedSampleFrom(Tables.load(spark, sfDir, "documents"),
+      size(split(trim(col("text")), "\\s+")).cast("long"), k)
+
   /** §2 #57 — deterministic systematic sample of orders (~pct%): the
     * reproducible debug/preview slice a pipeline run logs. */
   def deterministicSample(spark: SparkSession, sfDir: String,
@@ -467,6 +510,66 @@ object Quality {
          round(sum(CASE WHEN cnt < $k THEN cnt ELSE 0 END)
                / CAST(sum(cnt) AS DOUBLE), 4) AS risk_pct,
          min(cnt) AS min_group, max(cnt) AS max_group
+       FROM g"""
+
+  /** Generic core of [[lDiversity]]: distinct-sensitive-value counts
+    * per quasi-identifier group, summarized into one audit row. The
+    * two-level aggregation ((QI, s) → QI → 1) keeps every distinct
+    * count mergeable — no count(DISTINCT) shuffle explosion. */
+  def lDiversityFrom(df: DataFrame, quasi: Seq[Column],
+                     sensitive: Column, l: Int): DataFrame =
+    df.groupBy((quasi.zipWithIndex.map { case (c, i) => c.as(s"q$i") }
+        :+ sensitive.as("s")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(quasi.indices.map(i => col(s"q$i")): _*)
+      .agg(count(lit(1)).as("n_sensitive"), sum("cnt").as("cnt"))
+      .agg(
+        sum("cnt").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n_sensitive") < l, 1L).otherwise(0L))
+          .as("n_risky_groups"),
+        sum(when(col("n_sensitive") < l, col("cnt")).otherwise(0L))
+          .as("n_risky_rows"),
+        min("n_sensitive").as("min_diversity"),
+        max("n_sensitive").as("max_diversity"))
+      .select(lit(l).as("l"), col("n_rows"), col("n_groups"),
+        col("n_risky_groups"), col("n_risky_rows"),
+        round(col("n_risky_rows") / col("n_rows"), 4).as("risk_pct"),
+        col("min_diversity"), col("max_diversity"))
+
+  /** §2 #171 — L-DIVERSITY audit: k-anonymity's blind spot is a large
+    * group whose members all SHARE the sensitive value — group size
+    * protects identity, not the attribute (Machanavajjhala 2007). Here:
+    * how many (nation, market segment) classes see fewer than l
+    * distinct balance buckets among their customers.
+    *
+    * Scale shape: two hash aggregates with map-side combine — the
+    * (QI, sensitive) pre-group makes the distinct count an ordinary
+    * count, so no count(DISTINCT) expansion; exchange width = the QI
+    * tuple. Holds unchanged at 100 TB. */
+  def lDiversity(spark: SparkSession, sfDir: String, l: Int = 3): DataFrame =
+    lDiversityFrom(Tables.load(spark, sfDir, "customer"),
+      Seq(col("c_nationkey"), col("c_mktsegment")),
+      floor(col("c_acctbal") / 1000d), l)
+
+  /** DuckDB oracle for [[lDiversity]]. */
+  def lDiversityOracle(l: Int = 3): String =
+    s"""WITH gs AS (SELECT c_nationkey, c_mktsegment,
+                      floor(c_acctbal / 1000) AS s, count(*) AS cnt
+                    FROM customer GROUP BY 1, 2, 3),
+        g AS (SELECT c_nationkey, c_mktsegment,
+                count(*) AS n_sensitive, sum(cnt) AS cnt
+              FROM gs GROUP BY 1, 2)
+       SELECT $l AS l, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         count(*) AS n_groups,
+         CAST(sum(CASE WHEN n_sensitive < $l THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_risky_groups,
+         CAST(sum(CASE WHEN n_sensitive < $l THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_risky_rows,
+         round(sum(CASE WHEN n_sensitive < $l THEN cnt ELSE 0 END)
+               / CAST(sum(cnt) AS DOUBLE), 4) AS risk_pct,
+         min(n_sensitive) AS min_diversity,
+         max(n_sensitive) AS max_diversity
        FROM g"""
 
   /** §2 #138 — PARENT/CHILD TOTALS RECONCILIATION: order headers vs

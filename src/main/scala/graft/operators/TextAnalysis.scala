@@ -317,6 +317,56 @@ object TextAnalysis {
   def lmPerplexity(spark: SparkSession, sfDir: String): DataFrame =
     perplexityFrom(Tables.load(spark, sfDir, "documents"))
 
+  /** Generic core: CCNet-style perplexity BUCKETING over ANY
+    * (doc_id, text, lang) frame — per language, split the corpus into
+    * head / middle / tail thirds by LM perplexity (Wenzek et al. 2020,
+    * "CCNet": keep the head, inspect the middle, drop the tail). The
+    * standard second stage after [[perplexityFrom]]: a score alone
+    * filters nothing until it is cut per-language, because languages
+    * have incomparable perplexity ranges.
+    *
+    * Scale shape — the naive form (ntile over a per-language window)
+    * sorts a third of the corpus on ONE reducer per language; this
+    * one never does. avg_nll is already rounded to 4 dp, so the score
+    * DOMAIN is bounded (≤ a few 10⁵ distinct (lang, score) keys no
+    * matter the corpus size): aggregate doc counts per (lang, nll4),
+    * run the cumulative window over that BOUNDED table, and broadcast
+    * the (lang, nll4 → bucket) map back onto the per-doc frame. Two
+    * bounded aggs + one broadcast join; the corpus shuffles only
+    * inside perplexityFrom itself.
+    *
+    * Tie policy: docs sharing a 4-dp score NEVER split across buckets —
+    * a score-group lands in the bucket its cumulative END position
+    * falls in (head iff cum·3 ≤ n, middle iff cum·3 ≤ 2n). Integer
+    * arithmetic, no float boundary compare, bit-identical in DuckDB. */
+  def perplexityBucketsFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = perplexityFrom(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("nll4", round(col("avg_nll") * 10000).cast("long"))
+    val perScore = scored.groupBy("lang", "nll4")
+      .agg(count(lit(1)).as("cnt"))
+    val perLang = Window.partitionBy("lang").orderBy("nll4")
+    val cum = perScore
+      .withColumn("cum", sum(col("cnt")).over(perLang))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("lang")))
+      .withColumn("ppl_bucket",
+        when(col("cum") * 3 <= col("n"), "head")
+          .when(col("cum") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+    scored
+      .join(broadcast(cum.select(col("lang"), col("nll4"), col("ppl_bucket"))),
+        Seq("lang", "nll4"))
+      .select(col("doc_id"), col("lang"), col("avg_nll"), col("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** §2 #167 — CCNet perplexity head/middle/tail assignment of the
+    * fixture corpus (docs with <2 words carry no bigram evidence and
+    * are absent, exactly as in [[perplexityFrom]]). */
+  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    perplexityBucketsFrom(Tables.load(spark, sfDir, "documents"))
+
   /** Email/IPv4 patterns shared verbatim with the oracle: every
     * construct here (classes, bounded repeats, `\b`) has identical
     * semantics in Java regex (Spark) and RE2 (DuckDB). */

@@ -70,6 +70,55 @@ class QualitySpec extends SparkSpec {
     assert(mix.length == 3)
   }
 
+  test("l_diversity: a k-anonymous group sharing its sensitive value is risky") {
+    import spark.implicits._
+    // group A: 4 rows, all the same sensitive value (k-anonymous at
+    // k=4 yet 1-diverse); group B: 3 rows, 3 distinct values
+    val df = Seq(
+      ("A", "x", 1L), ("A", "x", 1L), ("A", "x", 1L), ("A", "x", 1L),
+      ("B", "y", 1L), ("B", "y", 2L), ("B", "y", 3L)
+    ).toDF("q_a", "q_b", "sens")
+    val r = Quality.lDiversityFrom(df, Seq(col("q_a"), col("q_b")),
+      col("sens"), l = 2).collect().head
+    assert(r.getAs[Long]("n_rows") == 7 && r.getAs[Long]("n_groups") == 2)
+    assert(r.getAs[Long]("n_risky_groups") == 1)
+    assert(r.getAs[Long]("n_risky_rows") == 4)
+    assert(r.getAs[Long]("min_diversity") == 1 &&
+      r.getAs[Long]("max_diversity") == 3)
+    assert(r.getAs[Double]("risk_pct") == 0.5714)
+  }
+
+  test("weighted_sample: equals the naive full-sort draw, partitioning-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 16
+    val docs = Tables.load(spark, sf, "documents")
+    val wt = size(split(trim(col("text")), "\\s+")).cast("long")
+    val got = Quality.weightedSampleFrom(docs, wt, k).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == k)
+    assert(got.map(_._1).toSeq == (1 to k))
+    // bounded top-k aggregate must equal the naive global window sort
+    val naive = docs.select(col("doc_id"), wt.as("wt"))
+      .filter(col("wt") >= 1)
+      .withColumn("es_key",
+        log((Quality.knuth32(col("doc_id")) + 1).cast("double")
+          / lit(4294967297.0)) / col("wt").cast("double"))
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("es_key").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("rk").cast("int"), col("doc_id"), col("wt"),
+        round(col("es_key"), 8))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == naive.toSeq)
+    // same draw under a different physical partitioning
+    val reshuffled = Quality.weightedSampleFrom(
+      docs.repartition(7, col("lang")), wt, k).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(reshuffled.toSeq == got.toSeq)
+  }
+
   test("stratified_sample: exactly k per stratum, equals the window formulation") {
     import org.apache.spark.sql.expressions.Window
     val k = 10

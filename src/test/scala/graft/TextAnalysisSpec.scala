@@ -177,6 +177,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r == again)
   }
 
+  test("perplexity_buckets: per-lang thirds, ties never split, monotone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat", "en"), (2L, "the cat sat", "en"),
+      (3L, "the dog ran fast", "en"), (4L, "a b a b a b", "en"),
+      (5L, "zq xv qqj pw", "en"), (6L, "mixed words here now", "en"),
+      (7L, "one two three", "xx"), (8L, "four five six", "xx"),
+      (9L, "seven eight nine", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.perplexityBucketsFrom(docs).collect()
+    assert(out.length == 9)
+    val nll4 = (r: org.apache.spark.sql.Row) =>
+      math.round(r.getAs[Double]("avg_nll") * 10000)
+    // ties (same lang + 4-dp score) never split across buckets
+    out.groupBy(r => (r.getAs[String]("lang"), nll4(r))).values.foreach(g =>
+      assert(g.map(_.getAs[String]("ppl_bucket")).distinct.length == 1))
+    // buckets are monotone in avg_nll within each language
+    val rank = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    out.groupBy(_.getAs[String]("lang")).values.foreach { rows =>
+      val b = rows.sortBy(_.getAs[Double]("avg_nll"))
+        .map(r => rank(r.getAs[String]("ppl_bucket")))
+      assert(b.zip(b.tail).forall { case (lo, hi) => lo <= hi })
+    }
+    // independent driver-side replay of the group-END assignment rule
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val n = rows.length
+      var cum = 0
+      rows.groupBy(nll4).toSeq.sortBy(_._1).foreach { case (_, g) =>
+        cum += g.length
+        val want = if (cum * 3 <= n) "head"
+                   else if (cum * 3 <= 2 * n) "middle" else "tail"
+        assert(g.forall(_.getAs[String]("ppl_bucket") == want))
+      }
+    }
+  }
+
   test("quality_repetition: flags looping docs, passes diverse ones, exact fracs") {
     import spark.implicits._
     val docs = Seq(
