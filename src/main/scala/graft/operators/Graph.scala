@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph algorithms over edge lists.
+  *
+  * The missing family next to the one-shot graph ops (dedup_clusters'
+  * pointer-halving, label_spread's seeded propagation): fixed-point
+  * iteration where every round is a join + aggregate over the edge
+  * list. PageRank is the canonical member — centrality over the k-NN
+  * similarity graph ranks the most "representative" documents/vectors
+  * of a corpus (the selection signal used when a budget keeps only the
+  * most central exemplars of each region, cf. coreset selection).
+  *
+  * Determinism contract: a float sum over incoming contributions is
+  * accumulation-order-dependent, so each contribution is rounded to
+  * 12 dp and summed as DECIMAL(28,12) — exact and order-independent —
+  * and each iteration's rank is rounded back to 10 dp (the same
+  * stance as lm_perplexity's decimal NLL sum). The DuckDB oracle
+  * replays the identical arithmetic, so five iterations stay
+  * digit-for-digit equal across engines.
+  */
+object Graph {
+
+  /** Generic core: PageRank over ANY (src, dst) edge frame.
+    *
+    * pr_{t+1}(v) = (1−d)/N + d · Σ_{u→v} pr_t(u)/outdeg(u), iterated
+    * `iters` times from the uniform vector. Dangling nodes cannot
+    * arise from a k-NN build (every node is a query); nodes with no
+    * in-edges settle at the teleport floor.
+    *
+    * Scale shape: per iteration ONE equi-join of the edge list with
+    * the (node, pr) frame on src and ONE hash aggregate on dst — both
+    * shuffles keyed by node id, partial aggregation applies, nothing
+    * is ever collected (N stays a 1-row driver scalar). At 100 TB the
+    * edge list dwarfs the rank vector; a production run would
+    * checkpoint the rank frame every few iterations to cut lineage —
+    * the five benched iterations keep the pure plan. */
+  def pageRankFrom(edges: DataFrame, d: Double = 0.85,
+                   iters: Int = 5): DataFrame = {
+    require(iters >= 1 && d > 0 && d < 1)
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = nodes.count()
+    // IEEE-pinned scalars: 1.0/n and (1.0−d)·… reproduce bit-for-bit
+    // in the oracle's CAST(… AS DOUBLE) arithmetic
+    var pr = nodes.withColumn("pr", lit(1.0) / lit(n.toDouble))
+    (1 to iters).foreach { _ =>
+      val contrib = e.join(outdeg, Seq("src"))
+        .join(pr.select(col("id").as("src"), col("pr")), Seq("src"))
+        .select(col("dst").as("id"),
+          round(round(col("pr"), 10) / col("deg"), 12)
+            .cast(DecimalType(28, 12)).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("sc"))
+      pr = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          round((lit(1.0) - lit(d)) / lit(n.toDouble)
+            + lit(d) * coalesce(col("sc").cast("double"), lit(0.0)), 10)
+            .as("pr"))
+    }
+    pr.orderBy("id")
+  }
+
+  /** §2 #172 — PageRank centrality over the exact k-NN similarity
+    * graph (the scale-safe cell equi-join build of knn_graph): which
+    * vectors sit at the center of the embedding space's link
+    * structure. Five damped iterations, d = 0.85. */
+  def pagerank(spark: SparkSession, sfDir: String, d: Double = 0.85,
+               iters: Int = 5): DataFrame =
+    pageRankFrom(
+      Similarity.knnGraph(spark, sfDir)
+        .select(col("src_id").as("src"), col("dst_id").as("dst")),
+      d, iters)
+      .select(col("id").as("vec_id"), col("pr"))
+
+  /** DuckDB oracle for [[pagerank]]: the knn_graph edge CTE plus
+    * `iters` unrolled iterations of the identical decimal-summed
+    * arithmetic. `normCte` / `dotSql` are the shared vector helpers
+    * from the ANN oracle family. */
+  def pagerankOracle(normCte: String, dotSql: (String, String) => String,
+                     k: Int = 5, d: Double = 0.85, iters: Int = 5): String = {
+    val base =
+      s"""$normCte,
+          e AS (SELECT query_id AS src, neighbor_id AS dst FROM (
+            SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+            FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+                  FROM n q JOIN n c ON c.vec_id <> q.vec_id))
+          WHERE rnk <= $k),
+          deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+          nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+          nn AS (SELECT count(*) AS n FROM nodes),
+          pr0 AS (SELECT id, CAST(1 AS DOUBLE) / n AS pr
+                  FROM nodes CROSS JOIN nn)"""
+    val its = (1 to iters).map { i =>
+      s"""it$i AS (SELECT nodes.id,
+            round((CAST(1 AS DOUBLE) - CAST($d AS DOUBLE)) / nn.n
+              + CAST($d AS DOUBLE)
+                * CAST(coalesce(s.sc, 0) AS DOUBLE), 10) AS pr
+          FROM nodes CROSS JOIN nn
+          LEFT JOIN (SELECT e.dst AS id,
+                       sum(CAST(round(round(p.pr, 10) / deg.deg, 12)
+                         AS DECIMAL(28,12))) AS sc
+                     FROM e JOIN deg USING (src)
+                     JOIN ${if (i == 1) "pr0" else s"it${i - 1}"} p
+                       ON p.id = e.src
+                     GROUP BY 1) s ON s.id = nodes.id)"""
+    }.mkString(",\n          ")
+    s"""$base,
+          $its
+         SELECT id AS vec_id, pr FROM it$iters ORDER BY vec_id"""
+  }
+}

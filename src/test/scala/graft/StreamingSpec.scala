@@ -537,6 +537,27 @@ class StreamingSpec extends SparkSpec {
     assert(gotEntropy == batchEntropy, "entropy gate mismatch vs batch")
   }
 
+  test("stream-stream range join equals the batch bucketized pair build") {
+    import graft.streaming.StreamRangeJoin
+    val q = StreamRangeJoin.pairs(EventStream.readEventStream(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_range_join").start()
+    try q.processAllAvailable() finally q.stop()
+    // roll the emitted pairs up per user exactly as rangeJoinPairs does
+    val got = spark.table("stream_range_join")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), min("gap_us").as("min_gap_us"),
+        max("gap_us").as("max_gap_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = Analytics.rangeJoinPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want, s"stream=${got.size} pairs-users batch=${want.size}")
+    assert(got.nonEmpty)
+  }
+
   test("streaming decontamination equals the batch operator (stateless append)") {
     import graft.streaming.DocIngest
     import org.apache.spark.sql.functions.col
