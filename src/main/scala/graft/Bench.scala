@@ -57,10 +57,11 @@ object Bench {
       "text_stats", "token_count", "lang_id", "quality_filter",
       "quality_funnel", "quality_calibration",
       "doc_winnow", "doc_fingerprint", "text_shingles", "seq_pack",
-      "ngram_lm", "quality_repetition", "lm_perplexity", "perplexity_buckets",
-      "charset_gate",
+      "ngram_lm", "quality_repetition", "lm_perplexity", "lm_perplexity_kn",
+      "perplexity_buckets", "charset_gate",
       "stratified_sample", "vocab_coverage", "word_pmi", "quality_model",
-      "inverted_index", "source_mix_report", "bpe_train", "bpe_encode",
+      "inverted_index", "source_mix_report", "tfidf_embed",
+      "bpe_train", "bpe_encode",
       "bpe_fertility", "bpe_encode_artifact",
       "char_entropy", "zipf_fit", "lang_confusion", "corpus_report"),
     "curation" -> Seq(

@@ -194,15 +194,16 @@ object SparkEntry {
     "weighted_sample" -> ((s, d) => Quality.weightedSample(s, d)),
     "l_diversity" -> ((s, d) => Quality.lDiversity(s, d)),
     "pagerank" -> ((s, d) => Graph.pagerank(s, d)),
+    "lm_perplexity_kn" -> ((s, d) => TextAnalysis.lmPerplexityKn(s, d)),
+    "tfidf_embed" -> ((s, d) => TextAnalysis.tfidfEmbed(s, d)),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
 
-  /** Shared CTE chain of the corpus bigram LM — per-doc avg NLL, the
-    * oracle twin of [[graft.operators.TextAnalysis.perplexityFrom]].
-    * Named composition (no string surgery): both the lm_perplexity and
-    * perplexity_buckets oracles splice it with `WITH $perplexityCtes`. */
-  private val perplexityCtes =
+  /** Per-doc bigram CTEs (w, b) — the oracle twin of
+    * [[graft.operators.TextAnalysis]]'s docBigrams, shared by both
+    * perplexity scorers. */
+  private val bigramCtes =
     """w AS (SELECT doc_id,
               string_split_regex(trim(lower(text)), '\s+') AS w
             FROM documents),
@@ -210,7 +211,14 @@ object SparkEntry {
              FROM (SELECT doc_id,
                      unnest([{'w1': w[i], 'w2': w[i+1]}
                              for i in range(1, len(w))]) AS s
-                   FROM w WHERE len(w) >= 2)),
+                   FROM w WHERE len(w) >= 2))"""
+
+  /** Shared CTE chain of the corpus bigram LM — per-doc avg NLL, the
+    * oracle twin of [[graft.operators.TextAnalysis.perplexityFrom]].
+    * Named composition (no string surgery): both the lm_perplexity and
+    * perplexity_buckets oracles splice it with `WITH $perplexityCtes`. */
+  private val perplexityCtes =
+    s"""$bigramCtes,
        c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
        c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
        v AS (SELECT count(DISTINCT w2) AS v FROM b),
@@ -932,6 +940,45 @@ object SparkEntry {
     "lm_perplexity" ->
       s"""WITH $perplexityCtes
          SELECT doc_id, n_bigrams, avg_nll FROM ppl ORDER BY doc_id""",
+    "tfidf_embed" ->
+      s"""WITH w AS (SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                     FROM documents),
+          tok0 AS (SELECT doc_id, unnest(w) AS tok FROM w),
+          tf AS (SELECT doc_id, tok, count(*) AS tf
+                 FROM tok0 WHERE len(tok) > 0 GROUP BY 1, 2),
+          df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+          hx AS (SELECT tok, df,
+                   list_reduce([CAST(unicode(tok[i]) AS BIGINT)
+                                for i in range(1, CAST(len(tok) AS INTEGER) + 1)],
+                               (a, c) -> (a * 257 + c) % ${graft.functions.KrHashF.M}) AS h
+                 FROM df),
+          n AS (SELECT count(DISTINCT doc_id) AS n FROM tf)
+         SELECT doc_id, h % 64 AS bucket,
+           round(CAST(sum(CAST(round(
+               (CASE WHEN (h // 64) % 2 = 0 THEN CAST(1 AS DOUBLE)
+                     ELSE CAST(-1 AS DOUBLE) END)
+               * tf
+               * (ln((n + CAST(1 AS DOUBLE)) / (df + CAST(1 AS DOUBLE)))
+                  + CAST(1 AS DOUBLE)), 8)
+             AS DECIMAL(18,8))) AS DOUBLE), 6) AS w6
+         FROM tf JOIN hx USING (tok) CROSS JOIN n
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "lm_perplexity_kn" ->
+      s"""WITH $bigramCtes,
+          c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+          hist AS (SELECT w1, sum(c2) AS c1, count(*) AS nf
+                   FROM c2 GROUP BY 1),
+          cont AS (SELECT w2, count(*) AS np FROM c2 GROUP BY 1),
+          tt AS (SELECT count(*) AS tt FROM c2)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(CAST(sum(CAST(round(-ln(
+                   (c2 - CAST(0.75 AS DOUBLE)) / c1
+                   + CAST(0.75 AS DOUBLE) * nf / c1 * (np / tt)), 8)
+                 AS DECIMAL(18,8))) AS DOUBLE) / count(*), 4) AS avg_nll_kn
+         FROM b JOIN c2 USING (w1, w2) JOIN hist USING (w1)
+              JOIN cont USING (w2) CROSS JOIN tt
+         GROUP BY doc_id ORDER BY doc_id""",
     "weighted_sample" ->
       s"""WITH w AS (SELECT doc_id,
                        CAST(len(string_split_regex(trim(text), '\\s+'))

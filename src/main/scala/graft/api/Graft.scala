@@ -273,6 +273,17 @@ object Graft {
   def perplexity(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.perplexityFrom(docs)
 
+  /** Per-doc NLL under an interpolated Kneser–Ney bigram model (the
+    * KenLM smoothing) → (doc_id, n_bigrams, avg_nll_kn). */
+  def perplexityKn(docs: DataFrame, discount: Double = 0.75): DataFrame =
+    graft.operators.TextAnalysis.perplexityKnFrom(docs, discount)
+
+  /** Hashed TF-IDF document vectors (the hashing trick) →
+    * (doc_id, bucket, w6) long format; the text→vector bridge when no
+    * neural embeddings exist. */
+  def tfidfEmbed(docs: DataFrame, dim: Int = 64): DataFrame =
+    graft.operators.TextAnalysis.tfidfEmbedFrom(docs, dim)
+
   /** CCNet-style per-language perplexity thirds → (doc_id, lang,
     * avg_nll, ppl_bucket ∈ head|middle|tail). Bounded-score-domain
     * window — no per-language corpus sort. `docs` = (doc_id, text,

@@ -290,15 +290,21 @@ object TextAnalysis {
     * joins that carry (doc, w1, w2) triples only — raw text never
     * shuffles; the model tables join by word keys, so the big side
     * shuffles once. */
-  def perplexityFrom(docs: DataFrame): DataFrame = {
+  /** Per-doc bigram stream (doc_id, w1, w2) — the shared front of both
+    * perplexity scorers. Single-word docs have no bigrams (and
+    * sequence(1,0) DESCENDS). */
+  private def docBigrams(docs: DataFrame): DataFrame = {
     val w = graft.functions.TextShingles.words(col("text"))
-    val bg = docs.select(col("doc_id"), w.as("w"))
-      // single-word docs have no bigrams (and sequence(1,0) DESCENDS)
+    docs.select(col("doc_id"), w.as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
+  }
+
+  def perplexityFrom(docs: DataFrame): DataFrame = {
+    val bg = docBigrams(docs)
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = bg.agg(countDistinct(col("w2")).as("v"))
@@ -316,6 +322,94 @@ object TextAnalysis {
   /** §2 #85 — corpus-LM perplexity scoring over the fixture corpus. */
   def lmPerplexity(spark: SparkSession, sfDir: String): DataFrame =
     perplexityFrom(Tables.load(spark, sfDir, "documents"))
+
+  /** Generic core: per-doc NLL under an interpolated KNESER–NEY bigram
+    * model (Kneser & Ney 1995; the smoothing KenLM — and therefore the
+    * actual CCNet filter — uses, vs [[perplexityFrom]]'s add-one
+    * baseline): p(w2|w1) = max(c−D,0)/c(w1·) + λ(w1)·p_cont(w2) with
+    * absolute discount D and the CONTINUATION probability p_cont(w2) =
+    * N1+(·w2)/|bigram types| — "how many contexts does w2 complete",
+    * not "how often does w2 occur" (the famous San-Francisco
+    * correction: frequent-but-bound words stop leaking probability).
+    *
+    * Determinism: every factor is an exact integer count except the
+    * dyadic discount 0.75 — each bigram's term is IEEE-identical in
+    * DuckDB, rounded to 8 dp and decimal-summed per doc exactly as the
+    * add-one scorer. Scale shape identical too: three model hash aggs
+    * (bigram / history / continuation), a 1-row type count broadcast,
+    * word-keyed count joins; raw text never shuffles. */
+  def perplexityKnFrom(docs: DataFrame,
+                       discount: Double = 0.75): DataFrame = {
+    val bg = docBigrams(docs)
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val hist = c2.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("nf"))
+    val cont = c2.groupBy("w2").agg(count(lit(1)).as("np"))
+    val types = c2.agg(count(lit(1)).as("tt"))
+    bg.join(c2, Seq("w1", "w2")).join(hist, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      // seen bigrams have c2 ≥ 1 > D, so max(c−D, 0) = c − D
+      .withColumn("nll",
+        round(-log((col("c2") - lit(discount)) / col("c1")
+          + lit(discount) * col("nf") / col("c1")
+            * (col("np") / col("tt"))), 8)
+          .cast(DecimalType(18, 8)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 4)
+          .as("avg_nll_kn"))
+      .orderBy("doc_id")
+  }
+
+  /** §2 #174 — Kneser–Ney perplexity scoring of the fixture corpus. */
+  def lmPerplexityKn(spark: SparkSession, sfDir: String): DataFrame =
+    perplexityKnFrom(Tables.load(spark, sfDir, "documents"))
+
+  /** Generic core: HASHED TF-IDF document embeddings (the hashing
+    * trick, Weinberger 2009) over ANY (doc_id, text) frame — the
+    * text→vector bridge when no neural embeddings exist: each token
+    * lands in `dim` buckets by the cross-engine Karp–Rabin hash with a
+    * ±1 sign bit, weighted by smoothed TF-IDF. Long format
+    * (doc_id, bucket, w6) so the oracle compares exactly; feed
+    * [[graft.api.Graft]] consumers by pivoting to an array when a
+    * dense vector is wanted.
+    *
+    * Determinism: bucket contributions are rounded to 8 dp and summed
+    * as DECIMAL(18,8) (order-independent), idf arithmetic is IEEE-
+    * pinned against the oracle's CAST(… AS DOUBLE) forms.
+    *
+    * Scale shape: one token explode (map-only) → (doc, token) hash agg
+    * → a VOCABULARY-bounded df agg joined back by token → one
+    * (doc, bucket) hash agg. No windows, no collects; the df join is
+    * the only wide exchange and it carries (doc, token, tf) triples. */
+  def tfidfEmbedFrom(docs: DataFrame, dim: Int = 64): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(TextShingles.words(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n"))
+    val h = graft.functions.KrHashF.krHash(col("tok"))
+    val idf = log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)
+    // integer div/mod throughout: h < 2^54 would round through a
+    // double division
+    val sign = when(pmod(expr(s"h div $dim"), lit(2L)) === 0,
+      lit(1.0)).otherwise(lit(-1.0))
+    tf.join(df, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("h", h)
+      .withColumn("bucket", pmod(col("h"), lit(dim.toLong)))
+      .withColumn("c",
+        round(sign * col("tf") * idf, 8).cast(DecimalType(18, 8)))
+      .groupBy("doc_id", "bucket")
+      .agg(round(sum(col("c")).cast("double"), 6).as("w6"))
+      .orderBy("doc_id", "bucket")
+  }
+
+  /** §2 #175 — 64-dim hashed TF-IDF vectors of the fixture corpus. */
+  def tfidfEmbed(spark: SparkSession, sfDir: String): DataFrame =
+    tfidfEmbedFrom(Tables.load(spark, sfDir, "documents"))
 
   /** Generic core: CCNet-style perplexity BUCKETING over ANY
     * (doc_id, text, lang) frame — per language, split the corpus into

@@ -177,6 +177,73 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r == again)
   }
 
+  test("lm_perplexity_kn: valid probabilities, novel bigrams cost more, exact replay") {
+    import spark.implicits._
+    val docs = (Seq((1L, "the cat sat"), (2L, "the cat sat"),
+      (3L, "the cat sat"), (4L, "the dog sat")) :+
+      (5L, "zq xv qqj pw")).toDF("doc_id", "text")
+    val r = TextAnalysis.perplexityKnFrom(docs).collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("avg_nll_kn")).toMap
+    // p ≤ 1 per term ⇒ nll ≥ 0; common-bigram docs beat singleton docs
+    assert(r.values.forall(_ >= 0.0), r)
+    assert(r(1L) == r(2L) && r(2L) == r(3L))
+    assert(r(5L) > r(1L), s"novel ${r(5L)} must exceed common ${r(1L)}")
+    // deterministic re-evaluation (decimal-summed, order-independent)
+    val again = TextAnalysis.perplexityKnFrom(docs.repartition(5)).collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("avg_nll_kn")).toMap
+    assert(r == again)
+    // hand replay of one bigram's term: doc 5's "zq xv" — c2=1, c1=1,
+    // nf=1 (zq precedes only xv), np=1 (xv follows only zq), tt = the
+    // distinct bigram type count
+    val tt = Seq("the cat", "cat sat", "the dog", "dog sat",
+      "zq xv", "xv qqj", "qqj pw").length
+    def term(c2: Long, c1: Long, nf: Long, np: Long): Double = {
+      val raw = -math.log((c2 - 0.75) / c1 + 0.75 * nf / c1 * (np.toDouble / tt))
+      java.math.BigDecimal.valueOf(raw)
+        .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    // all three of doc 5's bigrams are singletons with nf=np=1
+    val want5 = java.math.BigDecimal.valueOf(
+      term(1, 1, 1, 1) * 3 / 3)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(r(5L) == want5, s"${r(5L)} vs $want5")
+  }
+
+  test("tfidf_embed: hand-checked buckets/signs/weights, partition-invariant") {
+    import spark.implicits._
+    import graft.functions.KrHashF
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = Seq((1L, "aa bb aa"), (2L, "bb cc")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfEmbedFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keys.forall { case (_, b) => b >= 0 && b < 64 })
+    // independent replay: h from the same KR kernel, idf = ln((N+1)/(df+1))+1
+    def h(t: String) =
+      KrHashF.hashUtf8(UTF8String.fromString(t), KrHashF.B, KrHashF.M)
+    def weight(tf: Long, df: Long): Double =
+      tf * (math.log((2 + 1.0) / (df + 1.0)) + 1.0)
+    def signOf(t: String) = if ((h(t) / 64) % 2 == 0) 1.0 else -1.0
+    def r8(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(8, java.math.RoundingMode.HALF_UP)
+    def r6(x: java.math.BigDecimal) = x.doubleValue() match {
+      case d => java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    // doc 1: aa×2 (df=1), bb×1 (df=2); doc 2: bb×1, cc×1 (df=1)
+    val expected = Map(
+      (1L, h("aa") % 64) -> r8(signOf("aa") * weight(2, 1)),
+      (1L, h("bb") % 64) -> r8(signOf("bb") * weight(1, 2)),
+      (2L, h("bb") % 64) -> r8(signOf("bb") * weight(1, 2)),
+      (2L, h("cc") % 64) -> r8(signOf("cc") * weight(1, 1)))
+      .map { case (k, v) => k -> r6(v) } // no bucket collisions here
+    assert(Set(h("aa") % 64, h("bb") % 64, h("cc") % 64).size == 3,
+      "fixture tokens must not collide for the hand check")
+    assert(out == expected, s"$out vs $expected")
+    val re = TextAnalysis.tfidfEmbedFrom(docs.repartition(4)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(re == out)
+  }
+
   test("perplexity_buckets: per-lang thirds, ties never split, monotone") {
     import spark.implicits._
     val docs = Seq(
