@@ -16,7 +16,8 @@ object Bench {
   val families: Seq[(String, Seq[String])] = Seq(
     "analytics" -> Seq(
       "q1_agg", "dim_flatten", "window_rank", "agg_skew_salted",
-      "events_window", "funnel_steps", "funnel_windowed", "attribution",
+      "events_window", "events_ewma", "join_skew_salted",
+      "funnel_steps", "funnel_windowed", "attribution",
       "path_transitions", "totals_reconcile", "events_anomaly",
       "drift_report",
       "filter_pushdown",

@@ -196,6 +196,8 @@ object SparkEntry {
     "pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     "lm_perplexity_kn" -> ((s, d) => TextAnalysis.lmPerplexityKn(s, d)),
     "tfidf_embed" -> ((s, d) => TextAnalysis.tfidfEmbed(s, d)),
+    "events_ewma" -> (Analytics.eventsEwma _),
+    "join_skew_salted" -> ((s, d) => Analytics.joinSkewSalted(s, d)),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -937,6 +939,8 @@ object SparkEntry {
     "quality_funnel" -> TextAnalysis.qualityFunnelOracle(),
     "source_mix_report" -> TextAnalysis.sourceMixOracle,
     "event_dedup" -> Analytics.eventDedupOracle,
+    "events_ewma" -> Analytics.eventsEwmaOracle,
+    "join_skew_salted" -> Analytics.joinSkewSaltedOracle,
     "lm_perplexity" ->
       s"""WITH $perplexityCtes
          SELECT doc_id, n_bigrams, avg_nll FROM ppl ORDER BY doc_id""",

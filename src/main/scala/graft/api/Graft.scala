@@ -390,6 +390,13 @@ object Graft {
 
   // ------------------------------------------------------ data quality
 
+  /** Per-key exponential moving average (α = ½) of a value sequence in
+    * (t, event_id) order → (user_id, n_events, ewma6). One hash
+    * aggregate; per-key state bounded by that key's history. `ev` =
+    * (user_id, event_id, t, v_c). */
+  def eventsEwma(ev: DataFrame): DataFrame =
+    graft.operators.Analytics.eventsEwmaFrom(ev)
+
   /** Child rows whose key is missing from the parent table (summary). */
   def fkOrphans(child: DataFrame, childKey: String,
                 parent: DataFrame, parentKey: String): DataFrame =

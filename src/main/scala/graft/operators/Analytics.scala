@@ -618,6 +618,85 @@ object Analytics {
        WHERE prev_t IS NOT NULL AND t - prev_t <= 600000000
        ORDER BY event_id"""
 
+  /** Generic core: per-user EXPONENTIAL MOVING AVERAGE (α = ½) of
+    * event values in replay order (t, event_id) — the classic
+    * smoothed-rate signal next to events_anomaly's z-scores. EWMA is
+    * inherently sequential, so the per-user history is folded as an
+    * ORDERED ARRAY with a higher-order `aggregate` — one hash
+    * aggregate, no window, no driver state; the fold expression
+    * (0.5·v + 0.5·acc, dyadic α) is IEEE-identical to the oracle's
+    * list_reduce. Per-user state is bounded by that user's activity
+    * (the sessionizer assumption); the continuous form would carry the
+    * running EWMA as one double per user in a stateful stream. */
+  def eventsEwmaFrom(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("t"), col("event_id"),
+        col("v_c")))).as("seq"))
+      .withColumn("vals",
+        expr("transform(seq, x -> x.v_c / CAST(100 AS DOUBLE))"))
+      .withColumn("ewma", expr(
+        """aggregate(slice(vals, 2, size(vals) - 1), vals[0],
+           (acc, v) -> CAST(0.5 AS DOUBLE) * v + CAST(0.5 AS DOUBLE) * acc)"""))
+      .select(col("user_id"), size(col("vals")).cast("long").as("n_events"),
+        round(col("ewma"), 6).as("ewma6"))
+      .orderBy("user_id")
+
+  /** §2 #176 — per-user EWMA of event values (exact cents → doubles,
+    * half-life weighting in arrival order). */
+  def eventsEwma(spark: SparkSession, sfDir: String): DataFrame =
+    eventsEwmaFrom(Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"), cents(col("value")).as("v_c")))
+
+  val eventsEwmaOracle: String =
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+              CAST(round(value*100) AS BIGINT) AS v_c FROM events),
+        seq AS (SELECT user_id,
+                  list(v_c / CAST(100 AS DOUBLE) ORDER BY t, event_id)
+                    AS vals
+                FROM ev GROUP BY 1)
+       SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+         round(list_reduce(vals, (acc, v) ->
+           CAST(0.5 AS DOUBLE) * v + CAST(0.5 AS DOUBLE) * acc), 6)
+           AS ewma6
+       FROM seq ORDER BY user_id"""
+
+  /** §2 #177 — SALTED fact⋈fact equi-join: the manual hot-key
+    * treatment when one join key dominates (the join-side twin of
+    * agg_skew_salted, and the fallback when AQE's skew split cannot
+    * apply, e.g. a bucketed/sorted layout that must not be re-split).
+    * The big side carries a deterministic per-row salt, the other side
+    * replicates ×`salts`; the exchange then keys on (orderkey, salt),
+    * spreading one hot order over `salts` reducers. Result provably
+    * identical to the unsalted join (oracle IS the plain join; spec
+    * asserts equality and the salted exchange). The merge hint pins a
+    * shuffle join so the salted exchange is actually exercised at
+    * bench SF (at 100 TB neither fact side broadcasts anyway). */
+  def joinSkewSalted(spark: SparkSession, sfDir: String,
+                     salts: Int = 8): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_c"),
+        pmod(crc32(concat_ws(",", col("l_orderkey"), col("l_linenumber"))),
+          lit(salts.toLong)).cast("int").as("salt"))
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+    li.hint("merge")
+      .join(ord, li("l_orderkey") === ord("o_orderkey")
+        && li("salt") === ord("salt"))
+      .groupBy("o_orderstatus")
+      .agg(sum("price_c").as("revenue_c"), count(lit(1)).as("n_lines"))
+      .orderBy("o_orderstatus")
+  }
+
+  val joinSkewSaltedOracle: String =
+    """SELECT o_orderstatus,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+           AS revenue_c,
+         count(*) AS n_lines
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY 1 ORDER BY 1"""
+
   /** Generic core: RETENTION COHORTS over ANY (user_id, wk) frame of
     * per-user activity weeks — users are grouped by their first active
     * ISO week (the cohort) and counted at each later week offset: the

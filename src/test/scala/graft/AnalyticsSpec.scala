@@ -34,6 +34,41 @@ class AnalyticsSpec extends SparkSpec {
       plain.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("events_ewma: sequential fold replayed, partition-invariant") {
+    import spark.implicits._
+    val ev = Seq(
+      (7L, 1L, 100L, 200L), (7L, 2L, 200L, 400L), (7L, 3L, 300L, 100L),
+      (8L, 4L, 100L, 300L)
+    ).toDF("user_id", "event_id", "t", "v_c")
+    val got = Analytics.eventsEwmaFrom(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // user 7: 2.0 → .5·4+.5·2 = 3.0 → .5·1+.5·3 = 2.0; user 8: 3.0
+    assert(got(7L) == ((3L, 2.0)) && got(8L) == ((1L, 3.0)), got)
+    val re = Analytics.eventsEwmaFrom(ev.repartition(5)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(re == got)
+  }
+
+  test("join_skew_salted: equals the plain join, exchange keys carry the salt") {
+    val salted = Analytics.joinSkewSalted(spark, sf)
+    val got = salted.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val plain = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(sum(graft.operators.Filtering.cents(col("l_extendedprice")))
+        .as("revenue_c"), count(lit(1)).as("n_lines"))
+      .orderBy("o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == plain)
+    // the join must be a shuffle join whose key includes the salt —
+    // i.e. no broadcast of the replicated side
+    val p = planOf(salted)
+    assert(p.contains("SortMergeJoin") && p.contains("salt"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("pivot_status: wide cells re-sum to the per-priority totals") {
     val wide = Analytics.pivotStatus(spark, sf).collect()
       .map(r => r.getString(0) ->

@@ -537,6 +537,19 @@ class StreamingSpec extends SparkSpec {
     assert(gotEntropy == batchEntropy, "entropy gate mismatch vs batch")
   }
 
+  test("streaming top-k heavy hitters equals the batch aggregate") {
+    import graft.streaming.StreamTopK
+    val q = StreamTopK.topk(EventStream.readEventStream(spark, sf))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_topk").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_topk").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = Analytics.topkFrequent(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want, s"stream=$got batch=$want")
+  }
+
   test("stream-stream range join equals the batch bucketized pair build") {
     import graft.streaming.StreamRangeJoin
     val q = StreamRangeJoin.pairs(EventStream.readEventStream(spark, sf))
