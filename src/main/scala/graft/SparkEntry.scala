@@ -198,6 +198,7 @@ object SparkEntry {
     "tfidf_embed" -> ((s, d) => TextAnalysis.tfidfEmbed(s, d)),
     "events_ewma" -> (Analytics.eventsEwma _),
     "join_skew_salted" -> ((s, d) => Analytics.joinSkewSalted(s, d)),
+    "embedding_pca" -> ((s, d) => Similarity.embeddingPca(s, d)),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -941,6 +942,7 @@ object SparkEntry {
     "event_dedup" -> Analytics.eventDedupOracle,
     "events_ewma" -> Analytics.eventsEwmaOracle,
     "join_skew_salted" -> Analytics.joinSkewSaltedOracle,
+    "embedding_pca" -> Similarity.embeddingPcaOracle(),
     "lm_perplexity" ->
       s"""WITH $perplexityCtes
          SELECT doc_id, n_bigrams, avg_nll FROM ppl ORDER BY doc_id""",

@@ -407,6 +407,13 @@ object Graft {
   def sampleByKey(key: String, pct: Int): Column =
     graft.operators.Quality.sampleByKey(key, pct)
 
+  /** PCA report over ANY (embedding) frame → per-dim (pos, mu6,
+    * loading6, var6, ev_share6): top principal component by power
+    * iteration plus its explained-variance share — the embedding-QA
+    * number behind all-but-the-top whitening. */
+  def embeddingPca(vectors: DataFrame, iters: Int = 5): DataFrame =
+    graft.operators.Similarity.embeddingPcaFrom(vectors, iters)
+
   /** PageRank over ANY (src, dst) edge frame → (id, pr), decimal-
     * summed so the result is partitioning-independent. One node-keyed
     * join + one hash aggregate per iteration. */

@@ -1312,4 +1312,116 @@ object Similarity {
               round(min(cos), 4) AS min_cos,
               round(max(cos), 4) AS max_cos
        FROM scored GROUP BY label ORDER BY label"""
+
+  /** Power-iteration training of the TOP PRINCIPAL COMPONENT: μ is the
+    * 1e-6-quantized per-dim mean (the centroid doctrine), then `iters`
+    * rounds of w ← Σ_x (x−μ)((x−μ)·v), normalize, re-quantize to 1e-6.
+    * Each round is ONE aggregate pass collecting a d-vector — bounded
+    * model state like every trainer here. Sign pinned to the first
+    * significant loading so the eigenvector's inherent ± ambiguity
+    * can't flip between runs. */
+  private[graft] def trainPc1(v: DataFrame,
+                              iters: Int = 5): (Array[Double], Array[Double]) = {
+    val mu = v.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(round(avg(col("x")), 6).as("m"))
+      .orderBy("pos").collect().map(_.getDouble(1))
+    val d = mu.length
+    val muArr = array(mu.map(lit): _*)
+    var pc = Array.fill(d)(1.0 / math.sqrt(d))
+    (1 to iters).foreach { _ =>
+      val pcArr = array(pc.map(lit): _*)
+      val w = v
+        .select(zip_with(col("embedding"), muArr, (a, b) => a - b).as("diff"))
+        .withColumn("s", graft.functions.VectorFunctions.dot(col("diff"), pcArr))
+        .select(posexplode(col("diff")).as(Seq("pos", "dx")), col("s"))
+        .groupBy("pos").agg(sum(col("dx") * col("s")).as("w"))
+        .orderBy("pos").collect().map(_.getDouble(1))
+      val n = math.sqrt(w.map(x => x * x).sum)
+      if (n > 0.0) {
+        val sgn = w.find(math.abs(_) > 1e-12).map(math.signum).getOrElse(1.0)
+        pc = w.map(x => math.rint(x / n * sgn * 1e6) / 1e6)
+      }
+    }
+    (mu, pc)
+  }
+
+  /** Generic core: PCA REPORT over ANY (embedding) frame — per
+    * dimension the mean, variance, and top-principal-component loading,
+    * plus the share of total variance that component explains (the
+    * embedding-QA number behind "all-but-the-top" whitening, Mu 2018:
+    * a dominant common direction means the embeddings carry a corpus-
+    * wide bias worth projecting out before cosine retrieval).
+    *
+    * Scale shape: training is `iters` bounded aggregate passes (model
+    * state = two d-vectors on the driver); the report itself is one
+    * map-only diff/score pass + a (pos)-keyed hash agg + two 1-row
+    * aggregates broadcast back. Variance and λ numerators are 8-dp
+    * decimal sums — order-independent, digit-equal in the oracle. */
+  def embeddingPcaFrom(v: DataFrame, iters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (mu, pc) = withTrainCache(v.select(col("embedding")))(trainPc1(_, iters))
+    val muArr = array(mu.map(lit): _*)
+    val pcArr = array(pc.map(lit): _*)
+    val scored = v
+      .select(zip_with(col("embedding"), muArr, (a, b) => a - b).as("diff"))
+      .withColumn("s", graft.functions.VectorFunctions.dot(col("diff"), pcArr))
+    val lam = scored.agg(
+      sum(round(col("s") * col("s"), 8).cast(DecimalType(28, 8))).as("ss"))
+    val pv = scored.select(posexplode(col("diff")).as(Seq("pos", "dx")))
+      .groupBy("pos")
+      .agg(sum(round(col("dx") * col("dx"), 8).cast(DecimalType(28, 8)))
+        .as("vv"), count(lit(1)).as("cnt"))
+    val tv = pv.agg(sum(col("vv")).as("tv"))
+    pv.crossJoin(broadcast(lam)).crossJoin(broadcast(tv))
+      .select(col("pos"),
+        element_at(muArr, (col("pos") + 1).cast("int")).as("mu6"),
+        element_at(pcArr, (col("pos") + 1).cast("int")).as("loading6"),
+        round(col("vv").cast("double") / col("cnt"), 6).as("var6"),
+        round(col("ss").cast("double") / col("tv").cast("double"), 6)
+          .as("ev_share6"))
+      .orderBy("pos")
+  }
+
+  /** §2 #180 — PCA report of the embeddings table. */
+  def embeddingPca(spark: SparkSession, sfDir: String,
+                   iters: Int = 5): DataFrame =
+    embeddingPcaFrom(Tables.load(spark, sfDir, "embeddings"), iters)
+
+  /** DuckDB oracle for [[embeddingPca]]: μ and the trained component
+    * inlined as literals (the semanticDedup stance — the same training
+    * code runs once per session), variance/λ recomputed FROM DATA with
+    * the identical decimal-sum arithmetic. */
+  def embeddingPcaOracle(iters: Int = 5): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val (mu, pc) = trainPc1(
+      graft.Tables.load(spark, sfDir, "embeddings").select(col("embedding")),
+      iters)
+    val muL = mu.mkString("[", ", ", "]")
+    val pcL = pc.mkString("[", ", ", "]")
+    s"""WITH diff AS (SELECT list_transform(list_zip(embedding, $muL),
+            x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS diff
+          FROM embeddings),
+        scored AS (SELECT diff,
+            list_reduce(list_transform(list_zip(diff, $pcL),
+              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+              (p, q) -> p + q) AS s
+          FROM diff),
+        lam AS (SELECT sum(CAST(round(s*s, 8) AS DECIMAL(28,8))) AS ss
+                FROM scored),
+        dims AS (SELECT generate_subscripts(diff, 1) AS pos,
+                   unnest(diff) AS dx FROM scored),
+        pv AS (SELECT pos, sum(CAST(round(dx*dx, 8) AS DECIMAL(28,8))) AS vv,
+                 count(*) AS cnt FROM dims GROUP BY 1),
+        tv AS (SELECT sum(vv) AS tv FROM pv)
+       SELECT CAST(pos - 1 AS INTEGER) AS pos,
+         CAST(($muL)[pos] AS DOUBLE) AS mu6,
+         CAST(($pcL)[pos] AS DOUBLE) AS loading6,
+         round(CAST(vv AS DOUBLE) / cnt, 6) AS var6,
+         round(CAST(ss AS DOUBLE) / CAST(tv AS DOUBLE), 6) AS ev_share6
+       FROM pv CROSS JOIN lam CROSS JOIN tv ORDER BY pos"""
+  }
 }

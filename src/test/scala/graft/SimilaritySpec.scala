@@ -340,6 +340,33 @@ class SimilaritySpec extends SparkSpec {
       "append must serve identically to a full rebuild")
   }
 
+  test("embedding_pca: recovers a planted dominant direction exactly") {
+    import spark.implicits._
+    // points on the line t·(0.6, 0.8, 0, 0): ALL variance lies along
+    // that unit direction, so pc1 = ±(0.6, 0.8, 0, 0) and ev_share = 1
+    val vecs = Seq(-2f, -1f, 0f, 1f, 2f).zipWithIndex.map { case (t, i) =>
+      (i.toLong, Array(0.6f * t, 0.8f * t, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.embeddingPcaFrom(vecs).collect()
+    assert(r.length == 4)
+    val byPos = r.map(x => x.getInt(0) ->
+      (x.getDouble(1), x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    // means are zero, loadings are the planted direction (sign pinned
+    // to the first significant loading)
+    assert(byPos.values.forall(_._1 == 0.0), byPos)
+    assert(byPos(0)._2 == 0.6 && byPos(1)._2 == 0.8, byPos)
+    assert(byPos(2)._2 == 0.0 && byPos(3)._2 == 0.0, byPos)
+    // per-dim variance: E[t²]·0.36 and ·0.64 with E[t²] = 2
+    assert(math.abs(byPos(0)._3 - 0.72) < 1e-6, byPos)
+    assert(math.abs(byPos(1)._3 - 1.28) < 1e-6, byPos)
+    // the component explains everything
+    assert(byPos.values.forall(v => math.abs(v._4 - 1.0) < 1e-6), byPos)
+    // deterministic under repartitioning (quantized model state)
+    val again = Similarity.embeddingPcaFrom(vecs.repartition(3)).collect()
+      .map(x => (x.getInt(0), x.getDouble(2))).toMap
+    assert(again == byPos.map { case (k, v) => k -> v._2 })
+  }
+
   test("embedding_class_stats: partitions the corpus, cosines bounded") {
     import org.apache.spark.sql.functions._
     val rows = Similarity.embeddingClassStats(spark, sf).collect()

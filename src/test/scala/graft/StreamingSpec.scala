@@ -537,6 +537,28 @@ class StreamingSpec extends SparkSpec {
     assert(gotEntropy == batchEntropy, "entropy gate mismatch vs batch")
   }
 
+  test("streaming EWMA state equals the batch ordered fold per user") {
+    import graft.streaming.StreamEwma
+    import spark.implicits._
+    val typed = EventStream.readEventStream(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"),
+        graft.operators.Filtering.cents(col("value")).as("v_c"))
+      .as[StreamEwma.Ev]
+    val q = StreamEwma.ewma(typed)
+      .toDF().writeStream.outputMode("update")
+      .format("memory").queryName("stream_ewma").start()
+    try q.processAllAvailable() finally q.stop()
+    // update mode re-emits a user's row per batch — keep the final one
+    val got = spark.table("stream_ewma").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (u, rows) =>
+        u -> rows.map(_._2).maxBy(_._1) }
+    val want = Analytics.eventsEwma(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want, s"sizes: stream=${got.size} batch=${want.size}")
+  }
+
   test("streaming top-k heavy hitters equals the batch aggregate") {
     import graft.streaming.StreamTopK
     val q = StreamTopK.topk(EventStream.readEventStream(spark, sf))
