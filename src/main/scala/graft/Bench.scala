@@ -53,7 +53,7 @@ object Bench {
       "ann_lsh", "ann_ivf", "ann_ivf_static", "ann_ivf_indexed",
       "ann_pq", "ann_ivfpq", "semantic_dedup", "hard_negatives",
       "embedding_dedup", "embedding_quantize", "quantize_eval",
-      "embedding_class_stats", "embedding_pca"),
+      "embedding_class_stats", "embedding_pca", "ivf_probe_sweep"),
     "text" -> Seq(
       "text_stats", "token_count", "lang_id", "quality_filter",
       "quality_funnel", "quality_calibration",

@@ -199,6 +199,7 @@ object SparkEntry {
     "events_ewma" -> (Analytics.eventsEwma _),
     "join_skew_salted" -> ((s, d) => Analytics.joinSkewSalted(s, d)),
     "embedding_pca" -> ((s, d) => Similarity.embeddingPca(s, d)),
+    "ivf_probe_sweep" -> ((s, d) => Similarity.ivfProbeSweep(s, d)),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -943,6 +944,7 @@ object SparkEntry {
     "events_ewma" -> Analytics.eventsEwmaOracle,
     "join_skew_salted" -> Analytics.joinSkewSaltedOracle,
     "embedding_pca" -> Similarity.embeddingPcaOracle(),
+    "ivf_probe_sweep" -> Similarity.ivfProbeSweepOracle(),
     "lm_perplexity" ->
       s"""WITH $perplexityCtes
          SELECT doc_id, n_bigrams, avg_nll FROM ppl ORDER BY doc_id""",

@@ -306,6 +306,104 @@ object Similarity {
       .orderBy("variant")
   }
 
+  /** §2 #181 — IVF PROBE SWEEP: recall@k AND candidate volume per
+    * nProbe setting of the static quantizer — the tuning table that
+    * plans the IVF cost/recall knob the way lsh_plan plans banding
+    * (ann_recall_eval scores variants at ONE setting; this sweeps the
+    * setting). One row per nProbe: how much of the brute truth the
+    * probe reaches, and how many candidate pairs it pays for.
+    *
+    * Scale shape: the swept pipelines are the proven bounded-TopK IVF
+    * serves over a query SAMPLE; candidate volume needs no join of
+    * vectors at all — probed cells join the |cells|-row population
+    * table. Each sweep row is a pair of 1-row aggregates. */
+  def ivfProbeSweep(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+                    k: Int = 5): DataFrame = {
+    val cents = staticCentroids()
+    val v = vectors(spark, sfDir)
+    val truth = annBruteforce(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val key = Seq("query_id", "neighbor_id")
+    def cellsOf(n: Int) =
+      graft.functions.VectorQuantize.nearestCells(col("embedding"), cents, n)
+    val cellCounts = v
+      .select(element_at(cellsOf(1), 1).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+    (1 to cents.length).map { p =>
+      val edges = annIvfWith(v, cents, p, nQueries, k)
+        .select(key.head, key.tail: _*)
+      val probes = v.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), explode(cellsOf(p)).as("cell"))
+      // each query's own vector sits in its probed top cell — subtract
+      val nCand = probes.join(cellCounts, Seq("cell"))
+        .agg((sum("cnt") - lit(nQueries.toLong)).as("n_candidates"))
+      val hits = edges.join(truth, key)
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(nCand)
+        .select(lit(p).as("n_probe"), col("n_truth"), col("n_hit"),
+          round(col("n_hit") / col("n_truth"), 4).as("recall"),
+          col("n_candidates"))
+    }.reduce(_ unionByName _).orderBy("n_probe")
+  }
+
+  /** DuckDB oracle for [[ivfProbeSweep]]: the static-IVF CTE machinery
+    * with one branch per probe setting, all off shared CTEs. */
+  def ivfProbeSweepOracle(nQueries: Int = 10, k: Int = 5): String = {
+    val cents = staticCentroids()
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"(${i}, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    val pers = (1 to cents.length).map { p =>
+      s"""SELECT $p AS n_probe,
+           (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*)
+            FROM (SELECT pr.query_id, a.neighbor_id,
+                    row_number() OVER (PARTITION BY pr.query_id ORDER BY
+                      ${dot("pr.e_q", "a.e_c")} / (pr.n_q * a.n_c) DESC,
+                      a.neighbor_id) AS rnk
+                  FROM (SELECT cell, vec_id AS query_id, embedding AS e_q,
+                          nrm AS n_q
+                        FROM ranked
+                        WHERE crnk <= $p AND vec_id < $nQueries) pr
+                  JOIN assigned a ON pr.cell = a.cell
+                  WHERE pr.query_id <> a.neighbor_id) i
+            JOIN truth t ON t.query_id = i.query_id
+                        AND t.neighbor_id = i.neighbor_id
+            WHERE i.rnk <= $k) AS n_hit,
+           (SELECT CAST(sum(cc.cnt) AS BIGINT) - $nQueries
+            FROM (SELECT cell FROM ranked
+                  WHERE crnk <= $p AND vec_id < $nQueries) pp
+            JOIN cc USING (cell)) AS n_candidates"""
+    }.mkString("\n          UNION ALL\n          ")
+    s"""WITH n AS (SELECT vec_id, embedding,
+          sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+        cents(cell, cv) AS (VALUES $centRows),
+        ranked AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              ${dot("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+          FROM n v, cents c),
+        assigned AS (SELECT cell, vec_id AS neighbor_id, embedding AS e_c,
+                       nrm AS n_c FROM ranked WHERE crnk = 1),
+        cc AS (SELECT cell, count(*) AS cnt FROM assigned GROUP BY 1),
+        truth AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                c.vec_id) AS rnk
+            FROM n q JOIN n c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < $nQueries)
+          WHERE rnk <= $k)
+       SELECT n_probe, n_truth, n_hit,
+         round(n_hit / n_truth, 4) AS recall, n_candidates
+       FROM ($pers)
+       ORDER BY n_probe"""
+  }
+
   /** Shared final ranking for every ANN variant: one hash aggregate with
     * the bounded [[graft.functions.TopKByScore]] buffer — partial top-k
     * per map partition, so the exchange moves at most k rows per

@@ -340,6 +340,24 @@ class SimilaritySpec extends SparkSpec {
       "append must serve identically to a full rebuild")
   }
 
+  test("ivf_probe_sweep: recall and cost rise monotonically to full recall") {
+    val rows = Similarity.ivfProbeSweep(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+    // recall and candidate volume are monotone in nProbe
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3 + 1e-12, s"recall must not drop: $a -> $b")
+      assert(a._5 <= b._5, s"candidates must not drop: $a -> $b")
+    }
+    // probing every cell scores the whole corpus → recall 1.0 and
+    // candidates = nQueries·(N−1)
+    val full = rows.last
+    assert(full._4 == 1.0, full)
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(full._5 == 10L * (n - 1), s"${full._5} vs ${10L * (n - 1)}")
+  }
+
   test("embedding_pca: recovers a planted dominant direction exactly") {
     import spark.implicits._
     // points on the line t·(0.6, 0.8, 0, 0): ALL variance lies along
