@@ -58,6 +58,7 @@ object Bench {
       "text_stats", "token_count", "lang_id", "quality_filter",
       "quality_funnel", "quality_calibration",
       "doc_winnow", "doc_fingerprint", "text_shingles", "seq_pack",
+      "html_strip",
       "ngram_lm", "quality_repetition", "lm_perplexity", "lm_perplexity_kn",
       "perplexity_buckets", "charset_gate",
       "stratified_sample", "vocab_coverage", "word_pmi", "quality_model",
@@ -79,7 +80,8 @@ object Bench {
       "jsonl_roundtrip", "integrity_checksum",
       "nested_docs",
       "compressed_io", "media_roundtrip", "media_frame_sample",
-      "media_resize", "media_png_roundtrip", "media_resize_png", "json_props",
+      "media_resize", "media_png_roundtrip", "media_resize_png",
+      "media_wav_stats", "json_props",
       "import_validation", "import_errors", "package_apply"))
 
   /** Flat headline order (= concatenated family order). Anything not

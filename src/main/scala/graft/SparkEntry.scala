@@ -200,6 +200,8 @@ object SparkEntry {
     "join_skew_salted" -> ((s, d) => Analytics.joinSkewSalted(s, d)),
     "embedding_pca" -> ((s, d) => Similarity.embeddingPca(s, d)),
     "ivf_probe_sweep" -> ((s, d) => Similarity.ivfProbeSweep(s, d)),
+    "html_strip" -> (TextAnalysis.htmlStrip _),
+    "media_wav_stats" -> ((s, d) => Blob.mediaWavStats(s, d)),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -945,6 +947,8 @@ object SparkEntry {
     "join_skew_salted" -> Analytics.joinSkewSaltedOracle,
     "embedding_pca" -> Similarity.embeddingPcaOracle(),
     "ivf_probe_sweep" -> Similarity.ivfProbeSweepOracle(),
+    "html_strip" -> TextAnalysis.htmlStripOracle,
+    "media_wav_stats" -> Blob.mediaWavStatsOracle(),
     "lm_perplexity" ->
       s"""WITH $perplexityCtes
          SELECT doc_id, n_bigrams, avg_nll FROM ppl ORDER BY doc_id""",

@@ -278,6 +278,12 @@ object Graft {
   def perplexityKn(docs: DataFrame, discount: Double = 0.75): DataFrame =
     graft.operators.TextAnalysis.perplexityKnFrom(docs, discount)
 
+  /** HTML/markup strip → (doc_id, n_tags, n_links, n_words_clean,
+    * clean_sha): drop script/style blocks, strip tags, collapse
+    * whitespace. Map-only codegen'd regexes. */
+  def htmlStrip(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.htmlStripFrom(docs)
+
   /** Hashed TF-IDF document vectors (the hashing trick) →
     * (doc_id, bucket, w6) long format; the text→vector bridge when no
     * neural embeddings exist. */

@@ -341,4 +341,65 @@ object Blob {
              / 2.0) AS BIGINT) AS dst_bytes,
          true AS ok
        FROM documents ORDER BY doc_id"""
+
+  /** §2 #183 — AUDIO pipeline: per-doc deterministic PCM synthesis →
+    * REAL RIFF/WAVE container encode → REAL header parse-back →
+    * waveform statistics from the DECODED samples (n_samples, peak,
+    * RMS) — the audio leg of the multimodal seam next to the BMP/PNG
+    * image ops ([[graft.sources.WavCodec]], JDK-only, loud-failure
+    * header verification). Samples derive from the text's code points
+    * (s = (cp mod 256 − 128)·256, the cross-engine character
+    * contract), so every statistic is replayed arithmetically by the
+    * DuckDB oracle while the container work stays byte-real.
+    * Batch shape: ONE mapPartitions — encode, decode, and stats never
+    * leave the executor; no shuffle. sum(s²) is an exact integer
+    * (≤ n·2³⁰, far under 2⁶³), so RMS is IEEE-pinned. */
+  def mediaWavStats(spark: SparkSession, sfDir: String,
+                    sampleRate: Int = 16000): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val pcm = graft.sources.WavCodec.samplesOf(text)
+        if (pcm.isEmpty) Iterator.empty
+        else {
+          val wav = graft.sources.WavCodec.encodeWav(pcm, sampleRate)
+          val (sr, samples) = graft.sources.WavCodec.decodeWav(wav)
+          var peak = 0L; var sumSq = 0L
+          samples.foreach { s =>
+            val v = s.toLong
+            if (math.abs(v) > peak) peak = math.abs(v)
+            sumSq += v * v
+          }
+          val rms = java.math.BigDecimal.valueOf(
+            math.sqrt(sumSq.toDouble / samples.length))
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          Iterator((id, sr, wav.length.toLong, samples.length.toLong,
+            peak, rms))
+        }
+      })
+      .toDF("doc_id", "sample_rate", "n_bytes", "n_samples", "peak", "rms4")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[mediaWavStats]]: the sample mapping and every
+    * statistic replayed from code points; container size = 44-byte
+    * canonical header + 2 bytes per sample. */
+  def mediaWavStatsOracle(sampleRate: Int = 16000): String =
+    s"""WITH cps AS (SELECT doc_id,
+             [unicode(text[i])
+              for i in range(1, CAST(len(text) AS INTEGER) + 1)] AS cp
+           FROM documents WHERE len(text) >= 1),
+        s AS (SELECT doc_id,
+             list_transform(cp,
+               c -> CAST(((c % 256) - 128) * 256 AS BIGINT)) AS s
+           FROM cps)
+       SELECT doc_id, $sampleRate AS sample_rate,
+         CAST(44 + 2 * len(s) AS BIGINT) AS n_bytes,
+         CAST(len(s) AS BIGINT) AS n_samples,
+         CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+         round(sqrt(CAST(list_reduce(list_transform(s, x -> x * x),
+             (a, b) -> a + b) AS DOUBLE) / len(s)), 4) AS rms4
+       FROM s ORDER BY doc_id"""
 }

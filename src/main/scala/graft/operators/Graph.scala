@@ -41,8 +41,14 @@ object Graph {
   def pageRankFrom(edges: DataFrame, d: Double = 0.85,
                    iters: Int = 5): DataFrame = {
     require(iters >= 1 && d > 0 && d < 1)
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
+    // every iteration (and nodes/outdeg) consumes the edge list — cache
+    // it or an expensive upstream build (the knn cell join) re-executes
+    // once per join leg per iteration (measured 13.9s → 8.1s at sf0.1).
+    // Session boundary releases it (the TransientCaches contract).
+    val e = TransientCaches.register(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))

@@ -411,6 +411,68 @@ object TextAnalysis {
   def tfidfEmbed(spark: SparkSession, sfDir: String): DataFrame =
     tfidfEmbedFrom(Tables.load(spark, sfDir, "documents"))
 
+  /** Generic core: HTML/MARKUP STRIP over ANY (doc_id, text) frame —
+    * the crawl-pipeline step BEFORE every text gate here (C4 cleaned
+    * WET text; pipelines that start from WARC strip markup first):
+    * drop script/style blocks wholesale, strip tags, collapse
+    * whitespace; report tag/link counts and the fingerprint of the
+    * extracted text. Map-only codegen'd regexes; every construct
+    * ((?s), non-greedy, classes) has identical Java/RE2 semantics. */
+  def htmlStripFrom(docs: DataFrame): DataFrame = {
+    val noScript = regexp_replace(col("text"),
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]+>", " ")
+    val clean = trim(regexp_replace(noTags, "\\s+", " "))
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit("<[^>]+>")).cast("long").as("n_tags"),
+      regexp_count(col("text"), lit("<a\\s")).cast("long").as("n_links"),
+      clean.as("clean"))
+      .select(col("doc_id"), col("n_tags"), col("n_links"),
+        size(split(col("clean"), " ")).cast("long").as("n_words_clean"),
+        sha2(col("clean").cast("binary"), 256).as("clean_sha"))
+      .orderBy("doc_id")
+  }
+
+  /** §2 #182 — markup strip over the fixture corpus. The synthetic
+    * corpus carries no natural markup, so a deterministic slice
+    * (doc_id % 3 = 0) is first wrapped in an HTML scaffold with a
+    * script block and a link — identically in both engines (the
+    * event_dedup replay stance) — and the gate must recover exactly
+    * the original text for wrapped docs. */
+  def htmlStrip(spark: SparkSession, sfDir: String): DataFrame =
+    htmlStripFrom(Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(
+          lit("<html><head><script type=\"text/js\">var x = 1 < 2;</script>"),
+          lit("</head><body><p>"), col("text"),
+          lit("</p><a href=\"https://example.com\">ref</a></body></html>")))
+          .otherwise(col("text")).as("text")))
+
+  val htmlStripOracle: String =
+    """WITH src AS (SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN
+             '<html><head><script type="text/js">var x = 1 < 2;</script>'
+             || '</head><body><p>' || text
+             || '</p><a href="https://example.com">ref</a></body></html>'
+           ELSE text END AS text
+         FROM documents),
+        stripped AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '<[^>]+>')) AS BIGINT)
+             AS n_tags,
+           CAST(len(regexp_extract_all(text, '<a\s')) AS BIGINT)
+             AS n_links,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+             '\s+', ' ', 'g')) AS clean
+         FROM src)
+       SELECT doc_id, n_tags, n_links,
+         CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_words_clean,
+         sha256(clean) AS clean_sha
+       FROM stripped ORDER BY doc_id"""
+
   /** Generic core: CCNet-style perplexity BUCKETING over ANY
     * (doc_id, text, lang) frame — per language, split the corpus into
     * head / middle / tail thirds by LM perplexity (Wenzek et al. 2020,

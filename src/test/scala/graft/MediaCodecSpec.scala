@@ -20,6 +20,36 @@ class MediaCodecSpec extends SparkSpec {
     rgb
   }
 
+  test("WAV round-trip is sample-exact; corrupt headers fail loudly") {
+    import graft.sources.WavCodec
+    val pcm = Array.tabulate(777)(i => ((i * 2654435761L % 65536) - 32768).toShort)
+    val wav = WavCodec.encodeWav(pcm, 16000)
+    assert(wav.length == 44 + 777 * 2)
+    val (sr, back) = WavCodec.decodeWav(wav)
+    assert(sr == 16000 && back.toSeq == pcm.toSeq)
+    // header verification is loud, not lenient
+    val bad = wav.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](WavCodec.decodeWav(bad))
+    val truncated = wav.take(wav.length - 2)
+    intercept[IllegalArgumentException](WavCodec.decodeWav(truncated))
+  }
+
+  test("media_wav_stats: decoded-sample stats match a hand fold") {
+    import graft.sources.WavCodec
+    val text = "abc"
+    val pcm = WavCodec.samplesOf(text)
+    // 'a'=97 → (97−128)·256 = −7936; 'b' → −7680; 'c' → −7424
+    assert(pcm.toSeq == Seq(-7936, -7680, -7424).map(_.toShort))
+    val r = graft.operators.Blob.mediaWavStats(spark, sf).collect()
+    assert(r.nonEmpty)
+    val first = r.head
+    assert(first.getAs[Int]("sample_rate") == 16000)
+    assert(first.getAs[Long]("n_bytes") ==
+      44 + 2 * first.getAs[Long]("n_samples"))
+    assert(r.forall(_.getAs[Long]("peak") <= 32768))
+    assert(r.forall(_.getAs[Double]("rms4") >= 0.0))
+  }
+
   test("PNG round-trip is byte-exact under every filter type") {
     val (w, h) = (23, 11) // odd width: exercises non-aligned strides
     val rgb = testRgb(w, h)

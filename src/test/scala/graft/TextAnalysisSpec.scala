@@ -209,6 +209,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(5L) == want5, s"${r(5L)} vs $want5")
   }
 
+  test("html_strip: recovers the wrapped text exactly, counts tags/links") {
+    import spark.implicits._
+    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "<html><head><script>if (a<b) { x(); }</script></head>" +
+        "<body><p>hello  world</p><a href=\"u\">l</a></body></html>"),
+      (2L, "plain text stays  intact"),
+      (3L, "<style>p { color: red; }</style><div>styled</div>")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.htmlStripFrom(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 1: script block (with its inner '<') gone, text + link label
+    assert(r(1L).getAs[String]("clean_sha") == sha("hello world l"))
+    assert(r(1L).getAs[Long]("n_links") == 1)
+    assert(r(1L).getAs[Long]("n_words_clean") == 3)
+    // doc 2: untouched but whitespace-collapsed
+    assert(r(2L).getAs[String]("clean_sha") == sha("plain text stays intact"))
+    assert(r(2L).getAs[Long]("n_tags") == 0)
+    // doc 3: style block dropped wholesale, div text kept
+    assert(r(3L).getAs[String]("clean_sha") == sha("styled"))
+  }
+
   test("tfidf_embed: hand-checked buckets/signs/weights, partition-invariant") {
     import spark.implicits._
     import graft.functions.KrHashF
