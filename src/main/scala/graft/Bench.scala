@@ -16,7 +16,7 @@ object Bench {
   val families: Seq[(String, Seq[String])] = Seq(
     "analytics" -> Seq(
       "q1_agg", "dim_flatten", "window_rank", "agg_skew_salted",
-      "events_window", "events_ewma", "join_skew_salted",
+      "events_window", "events_hopping", "events_ewma", "join_skew_salted",
       "funnel_steps", "funnel_windowed", "attribution",
       "path_transitions", "totals_reconcile", "events_anomaly",
       "drift_report",
@@ -24,7 +24,8 @@ object Bench {
       "asof_join",
       "asof_join_native",
       "asof_join_forward",
-      "sessionize", "merge_upsert", "topk_frequent", "package_filter",
+      "sessionize", "sessionize_native", "merge_upsert", "topk_frequent",
+      "package_filter",
       "typed_format", "pivot_status", "rollup_agg", "pctile_value",
       "running_total", "rolling_window",
       "snapshot_diff", "fk_orphans", "join_skew_report",

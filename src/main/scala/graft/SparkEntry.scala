@@ -202,6 +202,8 @@ object SparkEntry {
     "ivf_probe_sweep" -> ((s, d) => Similarity.ivfProbeSweep(s, d)),
     "html_strip" -> (TextAnalysis.htmlStrip _),
     "media_wav_stats" -> ((s, d) => Blob.mediaWavStats(s, d)),
+    "events_hopping" -> (Analytics.eventsHopping _),
+    "sessionize_native" -> ((s, d) => Sessionize.sessionizeNative(s, d)),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -949,6 +951,8 @@ object SparkEntry {
     "ivf_probe_sweep" -> Similarity.ivfProbeSweepOracle(),
     "html_strip" -> TextAnalysis.htmlStripOracle,
     "media_wav_stats" -> Blob.mediaWavStatsOracle(),
+    "events_hopping" -> Analytics.eventsHoppingOracle,
+    "sessionize_native" -> Sessionize.nativeOracle(),
     "lm_perplexity" ->
       s"""WITH $perplexityCtes
          SELECT doc_id, n_bigrams, avg_nll FROM ppl ORDER BY doc_id""",

@@ -558,6 +558,38 @@ object Analytics {
       .agg(count(lit(1)).as("n"), sum("value_c").as("sum_value_c"))
       .orderBy("hour_bucket", "event_type")
 
+  /** §2 #184 — HOPPING (sliding) window aggregation: 10-minute windows
+    * every 5 minutes via Spark's native `window()` — each event lands
+    * in exactly window/slide = 2 epoch-aligned windows (the overlap
+    * that makes a smoothed rate readable next to #19's tumbling
+    * buckets). The generator expands in the map stage, so the plan is
+    * still one hash aggregate keyed by (window, type) — the exchange
+    * carries 2× the events, the price of overlap at any scale. */
+  def eventsHopping(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .select(col("ts"), col("event_type"), cents(col("value")).as("value_c"))
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value_c").as("sum_value_c"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value_c"))
+      .orderBy("win_start", "event_type")
+
+  /** DuckDB oracle for [[eventsHopping]]: every event contributes to
+    * its epoch-aligned 5-minute bucket's window and the one before. */
+  val eventsHoppingOracle: String =
+    """WITH ev AS (SELECT event_type,
+             CAST(round(value*100) AS BIGINT) AS v_c,
+             (epoch_us(ts) // 300000000) * 300000000 AS b
+           FROM events),
+        w AS (SELECT make_timestamp(b) AS ws, event_type, v_c FROM ev
+              UNION ALL
+              SELECT make_timestamp(b - 300000000), event_type, v_c FROM ev)
+       SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+         count(*) AS n, CAST(sum(v_c) AS BIGINT) AS sum_value_c
+       FROM w GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Generic core: duplicate-EVENT detection over ANY
     * (event_id, user_id, event_type, t, v_c) stream — an event is a
     * duplicate when the same (user, type, value) occurred within

@@ -36,7 +36,9 @@ object Sessionize {
       .orderBy("user_id", "session_idx")
   }
 
-  def oracle(gapMinutes: Int = 30): String = {
+  /** `newSessionOp` is the gap comparator: ">" replays [[sessionize]]'s
+    * strict boundary, ">=" replays the native window's half-open one. */
+  def oracle(gapMinutes: Int = 30, newSessionOp: String = ">"): String = {
     val gapUs = gapMinutes.toLong * 60 * 1000000
     s"""SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
          count(*) AS n_events,
@@ -48,7 +50,7 @@ object Sessionize {
                               ROWS UNBOUNDED PRECEDING) AS session_idx
           FROM (
             SELECT user_id, event_id, ts_us,
-              CASE WHEN prev_us IS NULL OR ts_us - prev_us > $gapUs
+              CASE WHEN prev_us IS NULL OR ts_us - prev_us $newSessionOp $gapUs
                    THEN 1 ELSE 0 END AS is_new
             FROM (
               SELECT user_id, event_id,
@@ -59,4 +61,37 @@ object Sessionize {
               FROM events)))
         GROUP BY 1, 2 ORDER BY 1, 2"""
   }
+
+  /** §2 #185 — sessionization via Spark's NATIVE `session_window`
+    * operator (the declarative twin of the lag/cumsum islands above,
+    * and the batch face of the same operator Structured Streaming
+    * merges state with): one groupBy on (session_window(ts, gap),
+    * user). The native gap boundary is INCLUSIVE — an event exactly
+    * `gap` after the last one still merges (spec-pinned on a crafted
+    * boundary fixture) — identical to [[sessionize]]'s strict->
+    * break, so both forms share ONE oracle and must agree row-for-row.
+    * session_idx is recovered by ranking session starts per user (a
+    * per-user window over SESSIONS, not events — bounded by
+    * sessions/user). */
+  def sessionizeNative(spark: SparkSession, sfDir: String,
+                       gapMinutes: Int = 30): DataFrame = {
+    val sessions = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min("ts_us").as("start_us"),
+        (max("ts_us") - min("ts_us")).as("duration_us"))
+    sessions
+      .withColumn("session_idx", row_number().over(
+        Window.partitionBy("user_id").orderBy("start_us")).cast("long"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_us"), col("duration_us"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** DuckDB oracle for [[sessionizeNative]] — the same islands replay
+    * as [[sessionize]] (the inclusive native boundary IS the strict->
+    * break; `newSessionOp = ">="` is kept available for engines whose
+    * session windows are half-open). */
+  def nativeOracle(gapMinutes: Int = 30): String = oracle(gapMinutes)
 }

@@ -34,6 +34,47 @@ class AnalyticsSpec extends SparkSpec {
       plain.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("events_hopping: every event lands in exactly two windows") {
+    val hop = Analytics.eventsHopping(spark, sf).collect()
+    val totalN = hop.map(_.getAs[Long]("n")).sum
+    val totalC = hop.map(_.getAs[Long]("sum_value_c")).sum
+    val ev = Tables.load(spark, sf, "events")
+      .agg(count(lit(1)),
+        sum(graft.operators.Filtering.cents(col("value")))).collect().head
+    assert(totalN == 2 * ev.getLong(0), s"$totalN vs 2*${ev.getLong(0)}")
+    assert(totalC == 2 * ev.getLong(1))
+    // window starts are 5-minute aligned and each covers 10 minutes
+    assert(hop.forall { r =>
+      val m = r.getAs[String]("win_start").substring(14, 16).toInt
+      m % 5 == 0
+    })
+  }
+
+  test("sessionize_native: inclusive boundary, row-equal to the custom islands") {
+    import spark.implicits._
+    import graft.operators.Sessionize
+    // native gap boundary is INCLUSIVE: 1800s exactly still merges
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val ev = Seq((1L, 1L, at(0)), (1L, 2L, at(1800)), (1L, 3L, at(1801)),
+      (2L, 4L, at(0)), (2L, 5L, at(3601)))
+      .toDF("user_id", "event_id", "ts")
+    val native = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // user 1: boundary event merges, the 1801s one chains → one session
+    assert(native(1L) == Seq(3L), native)
+    // user 2: 3601s gap breaks → two sessions of 1
+    assert(native(2L) == Seq(1L, 1L), native)
+    // both formulations must agree row-for-row on the fixture corpus
+    val custom = Sessionize.sessionize(spark, sf).collect().map(_.toSeq).toSeq
+    val nat = Sessionize.sessionizeNative(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    assert(nat == custom, s"sizes native=${nat.size} custom=${custom.size}")
+  }
+
   test("events_ewma: sequential fold replayed, partition-invariant") {
     import spark.implicits._
     val ev = Seq(
