@@ -31,7 +31,8 @@ object Bench {
       "snapshot_diff", "fk_orphans", "join_skew_report",
       "k_anonymity", "l_diversity", "corpus_concentration",
       "deterministic_sample",
-      "value_histogram", "profile_table", "outlier_fences", "compact_files",
+      "value_histogram", "profile_table", "outlier_fences", "benford_check",
+      "compact_files",
       "schema_evolution", "zorder_layout", "xlsx_keys", "retention_cohorts",
       "scd2_intervals",
       "event_dedup"),
@@ -77,7 +78,8 @@ object Bench {
       "tfidf_topterms", "shard_assign", "dsir_weights",
       "bm25_search"),
     "io" -> Seq(
-      "xml_roundtrip", "csv_roundtrip", "orc_roundtrip", "xlsx_roundtrip",
+      "xml_roundtrip", "csv_roundtrip", "orc_roundtrip",
+      "fixed_width_roundtrip", "xlsx_roundtrip",
       "jsonl_roundtrip", "integrity_checksum",
       "nested_docs",
       "compressed_io", "media_roundtrip", "media_frame_sample",

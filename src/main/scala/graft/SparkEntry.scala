@@ -204,6 +204,8 @@ object SparkEntry {
     "media_wav_stats" -> ((s, d) => Blob.mediaWavStats(s, d)),
     "events_hopping" -> (Analytics.eventsHopping _),
     "sessionize_native" -> ((s, d) => Sessionize.sessionizeNative(s, d)),
+    "fixed_width_roundtrip" -> (ExportImport.fixedWidthRoundtrip _),
+    "benford_check" -> (Quality.benfordCheck _),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -953,6 +955,8 @@ object SparkEntry {
     "media_wav_stats" -> Blob.mediaWavStatsOracle(),
     "events_hopping" -> Analytics.eventsHoppingOracle,
     "sessionize_native" -> Sessionize.nativeOracle(),
+    "fixed_width_roundtrip" -> ExportImport.fixedWidthRoundtripOracle,
+    "benford_check" -> Quality.benfordCheckOracle,
     "lm_perplexity" ->
       s"""WITH $perplexityCtes
          SELECT doc_id, n_bigrams, avg_nll FROM ppl ORDER BY doc_id""",

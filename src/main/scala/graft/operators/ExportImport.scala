@@ -121,6 +121,48 @@ object ExportImport {
       .orderBy("l_returnflag")
   }
 
+  /** §2 #187 — FIXED-WIDTH round-trip: the mainframe/ERP exchange
+    * format a migration surface still meets (column offsets, no
+    * delimiters — the oldest flat-file contract there is). Export
+    * orders as 37-char records (orderkey 12 zero-padded, status 1,
+    * price-cents 14 space-padded, date 10), re-import by SUBSTRING
+    * offsets, aggregate; equality with the same aggregate on the
+    * source proves the layer lossless, and `n_badlen` (records whose
+    * length ≠ 37) must come back zero — the structural check a
+    * fixed-width reader runs before trusting offsets.
+    * Scale: text source/sink, map-only slicing, one hash agg. */
+  def fixedWidthRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("fixedwidth-orders")
+    Tables.load(spark, sfDir, "orders")
+      .select(concat(
+        lpad(col("o_orderkey").cast("string"), 12, "0"),
+        col("o_orderstatus"),
+        lpad(cents(col("o_totalprice")).cast("string"), 14, " "),
+        date_format(col("o_orderdate"), "yyyy-MM-dd")).as("value"))
+      .write.mode("overwrite").text(dir)
+
+    spark.read.text(dir)
+      .select(
+        substring(col("value"), 1, 12).cast("long").as("o_orderkey"),
+        substring(col("value"), 13, 1).as("o_orderstatus"),
+        trim(substring(col("value"), 14, 14)).cast("long").as("price_c"),
+        substring(col("value"), 28, 10).as("o_orderdate"),
+        when(length(col("value")) =!= 37, 1L).otherwise(0L).as("badlen"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("price_c").as("sum_price_c"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+        sum("badlen").as("n_badlen"))
+      .orderBy("o_orderstatus")
+  }
+
+  val fixedWidthRoundtripOracle: String =
+    """SELECT o_orderstatus, count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS sum_price_c,
+         min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+         CAST(0 AS BIGINT) AS n_badlen
+       FROM orders GROUP BY 1 ORDER BY 1"""
+
   /** §2 #94 — ORC round-trip: the columnar exchange format alternative
     * to parquet (Spark-native ORC source/sink — type-preserving, so no
     * corrupt-record channel is needed). Write lineitem columns to ORC,

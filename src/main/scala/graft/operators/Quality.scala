@@ -512,6 +512,46 @@ object Quality {
          min(cnt) AS min_group, max(cnt) AS max_group
        FROM g"""
 
+  /** §2 #188 — BENFORD'S-LAW digit audit of order totals — the classic
+    * fabricated-amounts screen (Nigrini 1996): organically-grown
+    * magnitudes follow P(d) = log10(1 + 1/d); invented ones don't.
+    * Per digit: observed count/frequency, the Benford expectation, the
+    * absolute deviation, and flag_digit (deviation > 0.02, the usual
+    * screening threshold). One hash agg to ≤9 rows + a 9-row window —
+    * scan-bound at any scale. */
+  def benfordCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digit = substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+      .cast("int")
+    Tables.load(spark, sfDir, "orders")
+      .select(digit.as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum("n").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("total"), 4).as("freq4"),
+        round(log10(lit(1) + lit(1.0) / col("digit")), 4).as("benford4"))
+      .withColumn("dev4", round(abs(col("freq4") - col("benford4")), 4))
+      .withColumn("flag_digit", col("dev4") > 0.02)
+      .orderBy("digit")
+  }
+
+  val benfordCheckOracle: String =
+    """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice*100)
+               AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           FROM orders),
+        g AS (SELECT digit, count(*) AS n FROM d WHERE digit >= 1
+              GROUP BY 1)
+       SELECT digit, n,
+         round(n / CAST(sum(n) OVER () AS DOUBLE), 4) AS freq4,
+         round(log10(1 + 1.0 / digit), 4) AS benford4,
+         round(abs(round(n / CAST(sum(n) OVER () AS DOUBLE), 4)
+               - round(log10(1 + 1.0 / digit), 4)), 4) AS dev4,
+         round(abs(round(n / CAST(sum(n) OVER () AS DOUBLE), 4)
+               - round(log10(1 + 1.0 / digit), 4)), 4) > 0.02 AS flag_digit
+       FROM g ORDER BY digit"""
+
   /** Generic core of [[lDiversity]]: distinct-sensitive-value counts
     * per quasi-identifier group, summarized into one audit row. The
     * two-level aggregation ((QI, s) → QI → 1) keeps every distinct

@@ -64,4 +64,22 @@ object EventStream {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
         col("event_type"), col("n"), col("sum_value_c"))
+
+  /** §2 #186 — continuous HOPPING windows: the streaming face of
+    * [[graft.operators.Analytics.eventsHopping]] (10-minute windows
+    * every 5) — overlapping windows are the standard smoothed live
+    * rate; the watermark bounds how long each open window's partial
+    * aggregate stays in the state store (2 windows per event, so state
+    * ≈ 2× the tumbling twin's, still bounded by the horizon). Spec
+    * proves the complete-mode table equals the batch operator. */
+  def hoppingAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value_c"))
 }

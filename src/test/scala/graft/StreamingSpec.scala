@@ -20,6 +20,20 @@ class StreamingSpec extends SparkSpec {
       batch.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq)
   }
 
+  test("event stream: hopping windows match the batch sliding operator") {
+    val agg = EventStream.hoppingAgg(EventStream.readEventStream(spark, sf))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_hopping").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_hopping")
+      .orderBy("win_start", "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val batch = Analytics.eventsHopping(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.toSeq == batch.toSeq,
+      s"sizes: stream=${streamed.length} batch=${batch.length}")
+  }
+
   test("stream-static enrich: per-segment windowed agg matches the batch twin") {
     val customers = Tables.load(spark, sf, "customer")
     val agg = EventStream.enrichedBySegment(
