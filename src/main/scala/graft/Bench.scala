@@ -50,7 +50,7 @@ object Bench {
       "dedup_threshold_sweep", "lsh_plan"),
     "ann" -> Seq(
       "ann_bruteforce", "knn_graph", "knn_graph_ann", "pagerank",
-      "label_spread",
+      "knn_communities", "label_spread",
       "ann_recall_eval",
       "ann_lsh", "ann_ivf", "ann_ivf_static", "ann_ivf_indexed",
       "ann_pq", "ann_ivfpq", "semantic_dedup", "hard_negatives",

@@ -206,6 +206,7 @@ object SparkEntry {
     "sessionize_native" -> ((s, d) => Sessionize.sessionizeNative(s, d)),
     "fixed_width_roundtrip" -> (ExportImport.fixedWidthRoundtrip _),
     "benford_check" -> (Quality.benfordCheck _),
+    "knn_communities" -> ((s, d) => Similarity.knnCommunities(s, d)),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -957,6 +958,7 @@ object SparkEntry {
     "sessionize_native" -> Sessionize.nativeOracle(),
     "fixed_width_roundtrip" -> ExportImport.fixedWidthRoundtripOracle,
     "benford_check" -> Quality.benfordCheckOracle,
+    "knn_communities" -> Similarity.knnCommunitiesOracle(),
     "lm_perplexity" ->
       s"""WITH $perplexityCtes
          SELECT doc_id, n_bigrams, avg_nll FROM ppl ORDER BY doc_id""",

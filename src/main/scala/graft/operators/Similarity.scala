@@ -404,6 +404,85 @@ object Similarity {
        ORDER BY n_probe"""
   }
 
+  /** §2 #189 — SEMANTIC COMMUNITIES: connected components over the
+    * MUTUAL k-NN graph (mutual edges only — the standard symmetric
+    * sparsification that keeps hub vectors from welding unrelated
+    * regions together), rolled up per community with label purity —
+    * the unsupervised structure report read NEXT TO the supervised
+    * label audits (embedding_class_stats asks "is each label
+    * geometrically tight"; this asks "does the geometry's own
+    * community structure agree with the labels").
+    *
+    * Scale shape: the edge build is the broadcast-free cell equi-join
+    * (knnGraph); components run the SAME O(log d) pointer-halving
+    * propagation as dedup_clusters over ≤ N·k mutual edges; the
+    * rollup is a two-level (community, label) hash agg — majority via
+    * min(struct), no window over members. */
+  def knnCommunities(spark: SparkSession, sfDir: String, k: Int = 5,
+                     maxIters: Int = 20): DataFrame = {
+    val edges = knnGraph(spark, sfDir, k)
+      .filter(col("mutual") && col("src_id") < col("dst_id"))
+      .select(col("src_id").as("id_a"), col("dst_id").as("id_b"))
+    val labels = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val comps = Dedup.clustersFromPairs(
+      labels.select(col("vec_id").as("doc_id")), edges, maxIters)
+    val byLabel = comps
+      .join(labels.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .groupBy("cluster_id", "label").agg(count(lit(1)).as("cnt"))
+    byLabel.groupBy(col("cluster_id").as("community_id"))
+      .agg(sum("cnt").as("n_members"), count(lit(1)).as("n_labels"),
+        min(struct((-col("cnt")).as("neg"), col("label").as("lab")))
+          .as("m"))
+      .select(col("community_id"), col("n_members"), col("n_labels"),
+        col("m.lab").as("majority_label"),
+        round((-col("m.neg")) / col("n_members"), 4).as("purity4"))
+      .orderBy("community_id")
+  }
+
+  /** DuckDB oracle for [[knnCommunities]]: the exact knn edge CTE +
+    * mutual filter + recursive-CTE transitive closure + the identical
+    * majority/purity arithmetic. */
+  def knnCommunitiesOracle(k: Int = 5): String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    s"""WITH RECURSIVE n AS (SELECT vec_id, embedding,
+          sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+        e0 AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                c.vec_id) AS rnk
+            FROM n q JOIN n c ON c.vec_id <> q.vec_id)
+          WHERE rnk <= $k),
+        mutual AS (SELECT e.query_id AS id_a, e.neighbor_id AS id_b
+                   FROM e0 e JOIN e0 r ON r.query_id = e.neighbor_id
+                                      AND r.neighbor_id = e.query_id
+                   WHERE e.query_id < e.neighbor_id),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM mutual
+                  UNION ALL SELECT id_b, id_a FROM mutual),
+        reach(id, lbl) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        lab AS (SELECT id, min(lbl) AS community_id FROM reach GROUP BY 1),
+        mem AS (SELECT lab.community_id, emb.label
+                FROM lab JOIN embeddings emb ON emb.vec_id = lab.id),
+        bl AS (SELECT community_id, label, count(*) AS cnt
+               FROM mem GROUP BY 1, 2),
+        sel AS (SELECT community_id, label AS majority_label,
+                  cnt AS maj_cnt FROM (
+            SELECT *, row_number() OVER (PARTITION BY community_id
+              ORDER BY cnt DESC, label) AS rn FROM bl) WHERE rn = 1),
+        tot AS (SELECT community_id, CAST(sum(cnt) AS BIGINT) AS n_members,
+                  count(*) AS n_labels FROM bl GROUP BY 1)
+       SELECT t.community_id, t.n_members, t.n_labels, s.majority_label,
+         round(s.maj_cnt / CAST(t.n_members AS DOUBLE), 4) AS purity4
+       FROM tot t JOIN sel s USING (community_id)
+       ORDER BY community_id"""
+  }
+
   /** Shared final ranking for every ANN variant: one hash aggregate with
     * the bounded [[graft.functions.TopKByScore]] buffer — partial top-k
     * per map partition, so the exchange moves at most k rows per

@@ -340,6 +340,21 @@ class SimilaritySpec extends SparkSpec {
       "append must serve identically to a full rebuild")
   }
 
+  test("knn_communities: members partition the corpus, purity bounded") {
+    val rows = Similarity.knnCommunities(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_members")).sum
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(total == n, s"members $total must partition the $n vectors")
+    rows.foreach { r =>
+      val p = r.getAs[Double]("purity4")
+      assert(p > 0.0 && p <= 1.0, r)
+      assert(r.getAs[Long]("n_labels") >= 1)
+      // purity * members >= members/n_labels (majority is at least avg)
+      assert(p * r.getAs[Long]("n_members") + 1e-9 >=
+        r.getAs[Long]("n_members").toDouble / r.getAs[Long]("n_labels"), r)
+    }
+  }
+
   test("ivf_probe_sweep: recall and cost rise monotonically to full recall") {
     val rows = Similarity.ivfProbeSweep(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
