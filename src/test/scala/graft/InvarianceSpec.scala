@@ -173,4 +173,34 @@ class InvarianceSpec extends SparkSpec {
       assert(p1 == p13)
     } finally spark.conf.set("spark.sql.shuffle.partitions", one)
   }
+
+  test("round-10c operators are partition-count invariant") {
+    import graft.operators.{Blob, ExportImport, Graph, Quality, Sessionize}
+    def all() = (
+      (rows(TextAnalysis.perplexityBuckets(spark, sf)),
+        rows(TextAnalysis.lmPerplexityKn(spark, sf)),
+        rows(TextAnalysis.tfidfEmbed(spark, sf)),
+        rows(TextAnalysis.htmlStrip(spark, sf)),
+        rows(Quality.weightedSample(spark, sf)),
+        rows(Quality.lDiversity(spark, sf)),
+        rows(Quality.benfordCheck(spark, sf))),
+      (rows(Graph.pagerank(spark, sf)),
+        rows(Similarity.embeddingPca(spark, sf)),
+        rows(Similarity.ivfProbeSweep(spark, sf)),
+        rows(Similarity.knnCommunities(spark, sf))),
+      (rows(Analytics.eventsEwma(spark, sf)),
+        rows(Analytics.eventsHopping(spark, sf)),
+        rows(Analytics.joinSkewSalted(spark, sf)),
+        rows(Sessionize.sessionizeNative(spark, sf)),
+        rows(ExportImport.fixedWidthRoundtrip(spark, sf)),
+        rows(Blob.mediaWavStats(spark, sf))))
+    val one = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val p1 = all()
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val p13 = all()
+      assert(p1 == p13)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", one)
+  }
 }
