@@ -389,4 +389,50 @@ class UsageSpec extends SparkSpec {
     assert(cs(0)._1 == 2 && cs(1)._1 == 2)
     assert(cs.values.forall(_._2 > 0.95), s"tight classes: $cs")
   }
+
+  test("facade: round-10c entry points on arbitrary frames") {
+    // perplexity family: a templated corpus scores its repeated bigrams low
+    val docs = Seq((1L, "alpha beta gamma", "en"),
+      (2L, "alpha beta gamma", "en"), (3L, "delta epsilon zeta", "en"),
+      (4L, "eta theta iota", "xx"), (5L, "kappa lambda mu", "xx"),
+      (6L, "nu xi omicron", "xx")).toDF("doc_id", "text", "lang")
+    assert(Graft.perplexity(docs).count() == 6)
+    assert(Graft.perplexityKn(docs).count() == 6)
+    val buckets = Graft.perplexityBuckets(docs).collect()
+      .map(_.getAs[String]("ppl_bucket")).toSet
+    assert(buckets.subsetOf(Set("head", "middle", "tail")))
+
+    // weighted sample: deterministic draw, k bounded by population
+    val ws = Graft.weightedSample(docs, lit(10), k = 3).collect()
+    assert(ws.length == 3 && ws.map(_.getAs[Long]("doc_id")).distinct.length == 3)
+
+    // HTML strip on a frame with markup
+    val html = Seq((1L, "<p>one two</p>")).toDF("doc_id", "text")
+    val hs = Graft.htmlStrip(html).collect().head
+    assert(hs.getAs[Long]("n_tags") == 2 && hs.getAs[Long]("n_words_clean") == 2)
+
+    // hashed TF-IDF vectors: bucketed long format
+    val emb = Graft.tfidfEmbed(docs, dim = 16).collect()
+    assert(emb.nonEmpty && emb.forall(r =>
+      r.getAs[Long]("bucket") >= 0 && r.getAs[Long]("bucket") < 16))
+
+    // pageRank on a toy chain; lDiversity/EWMA on toy frames
+    val pr = Graft.pageRank(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"))
+      .collect().map(_.getDouble(1))
+    assert(pr.forall(p => math.abs(p - 0.5) < 1e-9))
+    val ld = Graft.lDiversity(
+      Seq(("a", 1L, 9L), ("a", 2L, 9L)).toDF("q", "id", "sens"),
+      Seq(col("q")), col("sens"), l = 2).collect().head
+    assert(ld.getAs[Long]("n_risky_groups") == 1)
+    val ew = Graft.eventsEwma(Seq((1L, 1L, 10L, 400L), (1L, 2L, 20L, 200L))
+      .toDF("user_id", "event_id", "t", "v_c")).collect().head
+    assert(ew.getAs[Double]("ewma6") == 3.0)
+
+    // embedding PCA on a planted-direction frame
+    val vecs = Seq((1L, Array(-1f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(2f, 0f)), (4L, Array(-2f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pca = Graft.embeddingPca(vecs).collect()
+    assert(pca.map(_.getAs[Double]("loading6")).toSeq == Seq(1.0, 0.0))
+  }
 }
