@@ -28,7 +28,7 @@ object Bench {
       "package_filter",
       "typed_format", "pivot_status", "rollup_agg", "pctile_value",
       "running_total", "rolling_window",
-      "snapshot_diff", "fk_orphans", "join_skew_report",
+      "snapshot_diff", "corpus_diff", "fk_orphans", "join_skew_report",
       "k_anonymity", "l_diversity", "corpus_concentration",
       "deterministic_sample",
       "value_histogram", "profile_table", "outlier_fences", "benford_check",

@@ -207,6 +207,7 @@ object SparkEntry {
     "fixed_width_roundtrip" -> (ExportImport.fixedWidthRoundtrip _),
     "benford_check" -> (Quality.benfordCheck _),
     "knn_communities" -> ((s, d) => Similarity.knnCommunities(s, d)),
+    "corpus_diff" -> (MergeImport.corpusDiff _),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -959,6 +960,7 @@ object SparkEntry {
     "fixed_width_roundtrip" -> ExportImport.fixedWidthRoundtripOracle,
     "benford_check" -> Quality.benfordCheckOracle,
     "knn_communities" -> Similarity.knnCommunitiesOracle(),
+    "corpus_diff" -> MergeImport.corpusDiffOracle,
     "lm_perplexity" ->
       s"""WITH $perplexityCtes
          SELECT doc_id, n_bigrams, avg_nll FROM ppl ORDER BY doc_id""",

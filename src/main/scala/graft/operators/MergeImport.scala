@@ -333,4 +333,75 @@ object MergeImport {
        FROM ch
        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
        ORDER BY user_id, version"""
+
+  /** Generic core: CORPUS VERSION DIFF over two (doc_id, source, text)
+    * frames — per (source, status ∈ added|removed|changed|unchanged)
+    * the doc and char volume, with "changed" decided by the sha256
+    * content fingerprint. The governance table a 100 TB pipeline reads
+    * between corpus versions before re-running anything downstream
+    * (what moved, where, how much — the content-level companion of
+    * #54's keyed-row diff).
+    *
+    * Scale shape: fingerprints are map-only; ONE full-outer equi-join
+    * on doc_id (both sides shuffle once, co-partitioned) + one
+    * (source, status) hash agg. Text itself never joins — only
+    * (id, source, sha, len) rows move. */
+  def corpusDiffFrom(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def fp(df: DataFrame, f: String, s: String, c: String) =
+      df.select(col("doc_id"), col("source").as(s),
+        sha2(col("text").cast("binary"), 256).as(f),
+        length(col("text")).cast("long").as(c))
+    fp(v1, "f1", "s1", "c1")
+      .join(fp(v2, "f2", "s2", "c2"), Seq("doc_id"), "full_outer")
+      .select(coalesce(col("s1"), col("s2")).as("source"),
+        when(col("f1").isNull, "added")
+          .when(col("f2").isNull, "removed")
+          .when(col("f1") =!= col("f2"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("c2"), col("c1")).as("chars"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"), sum("chars").as("n_chars"))
+      .orderBy("source", "status")
+  }
+
+  /** §2 #190 — corpus diff of documents against a deterministically
+    * mutated next version (%13 dropped, %17 edited, %19 cloned into
+    * the negative-id namespace — the event_dedup replay stance, so
+    * both engines build the identical v2). */
+  def corpusDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val v1 = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val v2 = v1.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(v1.filter(col("doc_id") % 19 === 0)
+        .select((-(col("doc_id") + 1L)).as("doc_id"), col("source"),
+          col("text")))
+    corpusDiffFrom(v1, v2)
+  }
+
+  val corpusDiffOracle: String =
+    """WITH v1 AS (SELECT doc_id, source, text FROM documents),
+        v2 AS (SELECT doc_id, source,
+                 CASE WHEN doc_id % 17 = 0 THEN text || ' v2'
+                      ELSE text END AS text
+               FROM v1 WHERE doc_id % 13 <> 0
+               UNION ALL
+               SELECT -(doc_id + 1), source, text
+               FROM v1 WHERE doc_id % 19 = 0),
+        a AS (SELECT doc_id, source AS s1, sha256(text) AS f1,
+                CAST(len(text) AS BIGINT) AS c1 FROM v1),
+        b AS (SELECT doc_id, source AS s2, sha256(text) AS f2,
+                CAST(len(text) AS BIGINT) AS c2 FROM v2),
+        j AS (SELECT coalesce(s1, s2) AS source,
+                CASE WHEN f1 IS NULL THEN 'added'
+                     WHEN f2 IS NULL THEN 'removed'
+                     WHEN f1 <> f2 THEN 'changed'
+                     ELSE 'unchanged' END AS status,
+                coalesce(c2, c1) AS chars
+              FROM a FULL OUTER JOIN b USING (doc_id))
+       SELECT source, status, count(*) AS n_docs,
+         CAST(sum(chars) AS BIGINT) AS n_chars
+       FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
 }

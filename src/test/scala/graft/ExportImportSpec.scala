@@ -70,6 +70,24 @@ class ExportImportSpec extends SparkSpec {
     }
   }
 
+  test("corpus_diff: planted doc mutations land in the right status buckets") {
+    import graft.operators.MergeImport
+    val rows = MergeImport.corpusDiff(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val ids = Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val byStatus = rows.groupBy(_._2).view
+      .mapValues(_.map(_._3).sum).toMap
+    assert(byStatus.getOrElse("removed", 0L) == ids.count(_ % 13 == 0))
+    assert(byStatus.getOrElse("changed", 0L) ==
+      ids.count(i => i % 17 == 0 && i % 13 != 0))
+    assert(byStatus.getOrElse("added", 0L) == ids.count(_ % 19 == 0))
+    assert(byStatus.values.sum ==
+      ids.length + ids.count(_ % 19 == 0), byStatus)
+    // every (source, status) row carries positive char volume
+    assert(rows.forall(_._4 > 0))
+  }
+
   test("xml_roundtrip: re-imported aggregate equals source aggregate") {
     val rt = ExportImport.xmlRoundtrip(spark, sf).collect()
     val src = Tables.load(spark, sf, "orders")

@@ -573,6 +573,30 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"sizes: stream=${got.size} batch=${want.size}")
   }
 
+  test("streaming drift vs a frozen reference equals the batch two-half drift") {
+    import graft.streaming.StreamDrift
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("t"))
+    val span = ev.agg(min("t"), max("t")).collect().head
+    val mid = (span.getLong(0) + span.getLong(1)) / 2
+    val ref = ev.filter(col("t") < mid)
+      .groupBy("event_type").agg(count(lit(1)).as("n_a"))
+    val outDir = graft.operators.ExportImport.scratch("stream-drift")
+    val stream = EventStream.readEventStream(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("t"))
+      .filter(col("t") >= mid)
+    val q = StreamDrift.start(stream, ref, outDir)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(outDir).orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val want = Analytics.driftReportFrom(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == want.toSeq,
+      s"sizes stream=${got.length} batch=${want.length}")
+  }
+
   test("streaming top-k heavy hitters equals the batch aggregate") {
     import graft.streaming.StreamTopK
     val q = StreamTopK.topk(EventStream.readEventStream(spark, sf))
