@@ -24,7 +24,8 @@ object Bench {
       "asof_join",
       "asof_join_native",
       "asof_join_forward",
-      "sessionize", "sessionize_native", "merge_upsert", "topk_frequent",
+      "sessionize", "sessionize_native", "merge_upsert", "basket_lift",
+      "topk_frequent",
       "package_filter",
       "typed_format", "pivot_status", "rollup_agg", "pctile_value",
       "running_total", "rolling_window",
@@ -58,7 +59,7 @@ object Bench {
       "embedding_class_stats", "embedding_pca", "ivf_probe_sweep"),
     "text" -> Seq(
       "text_stats", "token_count", "lang_id", "quality_filter",
-      "quality_funnel", "quality_calibration",
+      "quality_funnel", "quality_calibration", "gate_agreement",
       "doc_winnow", "doc_fingerprint", "text_shingles", "seq_pack",
       "html_strip",
       "ngram_lm", "quality_repetition", "lm_perplexity", "lm_perplexity_kn",

@@ -208,6 +208,8 @@ object SparkEntry {
     "benford_check" -> (Quality.benfordCheck _),
     "knn_communities" -> ((s, d) => Similarity.knnCommunities(s, d)),
     "corpus_diff" -> (MergeImport.corpusDiff _),
+    "gate_agreement" -> ((s, d) => TextAnalysis.gateAgreement(s, d)),
+    "basket_lift" -> ((s, d) => Analytics.basketLift(s, d)),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -961,6 +963,8 @@ object SparkEntry {
     "benford_check" -> Quality.benfordCheckOracle,
     "knn_communities" -> Similarity.knnCommunitiesOracle(),
     "corpus_diff" -> MergeImport.corpusDiffOracle,
+    "gate_agreement" -> TextAnalysis.gateAgreementOracle(),
+    "basket_lift" -> Analytics.basketLiftOracle,
     "lm_perplexity" ->
       s"""WITH $perplexityCtes
          SELECT doc_id, n_bigrams, avg_nll FROM ppl ORDER BY doc_id""",

@@ -558,6 +558,54 @@ object Analytics {
       .agg(count(lit(1)).as("n"), sum("value_c").as("sum_value_c"))
       .orderBy("hour_bucket", "event_type")
 
+  /** §2 #193 — MARKET-BASKET PAIR AFFINITY: support and lift of part
+    * pairs co-occurring within an order — the classic association
+    * signal (lift > 1 ⇒ the pair co-occurs above independence). The
+    * self-join is keyed by the ORDER, whose line count is bounded
+    * (TPC-H ≤ 7; any sane order schema is small), so candidate pairs
+    * grow linearly with orders, never quadratically with parts; the
+    * part-frequency join legs are vocabulary-bounded aggregates and
+    * the top-k lands via TakeOrdered (no global sort shuffle). */
+  def basketLift(spark: SparkSession, sfDir: String,
+                 topK: Int = 20): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val nOrders = li.select("okey").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val partCnt = li.groupBy("part").agg(count(lit(1)).as("n_part"))
+    li.as("a")
+      .join(li.as("b"), col("a.okey") === col("b.okey")
+        && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("p1"), col("b.part").as("p2"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(partCnt.select(col("part").as("p1"), col("n_part").as("n_a")),
+        Seq("p1"))
+      .join(partCnt.select(col("part").as("p2"), col("n_part").as("n_b")),
+        Seq("p2"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("n_both"), col("n_a"), col("n_b"),
+        round(col("n_both").cast("double") * col("n_orders")
+          / (col("n_a") * col("n_b")), 4).as("lift4"))
+      .orderBy(desc("n_both"), col("p1"), col("p2"))
+      .limit(topK)
+  }
+
+  val basketLiftOracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+                   FROM lineitem),
+        no_ AS (SELECT count(DISTINCT okey) AS n_orders FROM li),
+        pc AS (SELECT part, count(*) AS n_part FROM li GROUP BY 1),
+        pr AS (SELECT a.part AS p1, b.part AS p2, count(*) AS n_both
+               FROM li a JOIN li b ON a.okey = b.okey AND a.part < b.part
+               GROUP BY 1, 2)
+       SELECT p1, p2, n_both, a.n_part AS n_a, b.n_part AS n_b,
+         round(CAST(n_both AS DOUBLE) * n_orders / (a.n_part * b.n_part), 4)
+           AS lift4
+       FROM pr JOIN pc a ON a.part = pr.p1 JOIN pc b ON b.part = pr.p2
+       CROSS JOIN no_
+       ORDER BY n_both DESC, p1, p2 LIMIT 20"""
+
   /** §2 #184 — HOPPING (sliding) window aggregation: 10-minute windows
     * every 5 minutes via Spark's native `window()` — each event lands
     * in exactly window/slide = 2 epoch-aligned windows (the overlap

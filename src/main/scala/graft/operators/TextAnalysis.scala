@@ -1515,11 +1515,11 @@ object TextAnalysis {
         col("char_entropy") < lo || col("char_entropy") > hi)
       .orderBy("doc_id")
 
-  /** DuckDB oracle for [[charEntropy]] — same fold, same order, same
-    * ln-based log2 (see the operator scaladoc for the bit-equality
-    * argument). */
-  def charEntropyOracle(lo: Double = 3.0, hi: Double = 5.0): String =
-    s"""WITH counts AS (
+  /** Named CTE chain of the per-doc character entropy (counts → folded
+    * → ent) — composed by [[charEntropyOracle]] and the gate_agreement
+    * oracle (no string surgery, the ADVICE-r9 stance). */
+  val charEntropyCtes: String =
+    """counts AS (
           SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
           FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
                 FROM documents WHERE length(text) > 0)
@@ -1536,10 +1536,101 @@ object TextAnalysis {
                        ELSE ln(f.n) / ln(2) - f.acc / f.n END, 4)
               AS char_entropy,
             CAST(length(d.text) AS BIGINT) AS n_chars_calc
-          FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id)
+          FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id)"""
+
+  /** DuckDB oracle for [[charEntropy]] — same fold, same order, same
+    * ln-based log2 (see the operator scaladoc for the bit-equality
+    * argument). */
+  def charEntropyOracle(lo: Double = 3.0, hi: Double = 5.0): String =
+    s"""WITH $charEntropyCtes
        SELECT doc_id, char_entropy, n_chars_calc,
               char_entropy < $lo OR char_entropy > $hi AS flagged
        FROM ent ORDER BY doc_id"""
+
+  /** The agreement projection over the 2×2 contingency counts —
+    * observed agreement, chance agreement, Cohen's κ — as ONE SQL
+    * fragment evaluated VERBATIM by both engines (selectExpr here,
+    * spliced into the DuckDB oracle), so the arithmetic cannot drift. */
+  private val kappaSelect: Seq[String] = Seq(
+    "n", "n11", "n10", "n01", "n00",
+    "round((n11 + n00) / CAST(n AS DOUBLE), 4) AS po4",
+    """round(((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))
+       + (CAST(1 AS DOUBLE) - (n11 + n10) / CAST(n AS DOUBLE))
+       * (CAST(1 AS DOUBLE) - (n11 + n01) / CAST(n AS DOUBLE)), 4) AS pe4""",
+    """CASE WHEN (CAST(1 AS DOUBLE)
+           - (((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))
+              + (CAST(1 AS DOUBLE) - (n11 + n10) / CAST(n AS DOUBLE))
+              * (CAST(1 AS DOUBLE) - (n11 + n01) / CAST(n AS DOUBLE)))) <> 0
+       THEN round(((n11 + n00) / CAST(n AS DOUBLE)
+           - (((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))
+              + (CAST(1 AS DOUBLE) - (n11 + n10) / CAST(n AS DOUBLE))
+              * (CAST(1 AS DOUBLE) - (n11 + n01) / CAST(n AS DOUBLE))))
+           / (CAST(1 AS DOUBLE)
+           - (((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))
+              + (CAST(1 AS DOUBLE) - (n11 + n10) / CAST(n AS DOUBLE))
+              * (CAST(1 AS DOUBLE) - (n11 + n01) / CAST(n AS DOUBLE)))), 4)
+       ELSE NULL END AS kappa4""")
+
+  /** §2 #192 — GATE AGREEMENT: Cohen's κ between two independent
+    * quality gates (the heuristic quality score vs the character-
+    * entropy gate) over the whole corpus — the inter-rater check run
+    * before trusting that two cheap gates measure different things
+    * (κ ≈ 1 ⇒ one gate is redundant; κ ≈ 0 ⇒ they disagree at chance
+    * level and compose usefully). One doc_id equi-join of two map-only
+    * scores + ONE hash agg to a 2×2 table + a 1-row projection. */
+  def gateAgreement(spark: SparkSession, sfDir: String,
+                    minWords: Int = 20, minQuality: Double = 0.3,
+                    lo: Double = 3.0, hi: Double = 5.0): DataFrame = {
+    val q = textStats(spark, sfDir)
+      .select(col("doc_id"),
+        (col("n_words") >= minWords && col("quality") >= minQuality)
+          .as("pass_q"))
+    val e = charEntropyFrom(
+        Tables.load(spark, sfDir, "documents"), lo, hi)
+      .select(col("doc_id"), (!col("flagged")).as("pass_e"))
+    q.join(e, Seq("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pass_q") && col("pass_e"), 1L).otherwise(0L))
+          .as("n11"),
+        sum(when(col("pass_q") && !col("pass_e"), 1L).otherwise(0L))
+          .as("n10"),
+        sum(when(!col("pass_q") && col("pass_e"), 1L).otherwise(0L))
+          .as("n01"),
+        sum(when(!col("pass_q") && !col("pass_e"), 1L).otherwise(0L))
+          .as("n00"))
+      .selectExpr(kappaSelect: _*)
+  }
+
+  /** DuckDB oracle for [[gateAgreement]]: the text_stats quality
+    * arithmetic + the entropy CTE chain + the IDENTICAL κ fragment. */
+  def gateAgreementOracle(minWords: Int = 20, minQuality: Double = 0.3,
+                          lo: Double = 3.0, hi: Double = 5.0): String =
+    s"""WITH $charEntropyCtes,
+        q AS (SELECT doc_id,
+                n_words >= $minWords AND
+                round(least(n_words / 50.0, 1.0) * 0.5
+                      + (n_stop / n_words) * 0.5, 4) >= $minQuality AS pass_q
+              FROM (SELECT doc_id,
+                      CAST(len(string_split_regex(trim(text), '\\s+'))
+                        AS BIGINT) AS n_words,
+                      CAST(len(regexp_extract_all(lower(text),
+                        '\\b(?:the|and|is|of|to)\\b', 0)) AS BIGINT) AS n_stop
+                    FROM documents)),
+        g AS (SELECT count(*) AS n,
+                CAST(sum(CASE WHEN pass_q AND pass_e THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n11,
+                CAST(sum(CASE WHEN pass_q AND NOT pass_e THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n10,
+                CAST(sum(CASE WHEN NOT pass_q AND pass_e THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n01,
+                CAST(sum(CASE WHEN NOT pass_q AND NOT pass_e THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n00
+              FROM q JOIN (SELECT doc_id,
+                             NOT (char_entropy < $lo OR char_entropy > $hi)
+                               AS pass_e
+                           FROM ent) e USING (doc_id))
+       SELECT ${kappaSelect.mkString(",\n         ")}
+       FROM g"""
 
   /** §2 #162 — ZIPF FIT BY SOURCE: least-squares slope of log10(freq)
     * vs log10(rank) over each source's top-`maxRank` words — the

@@ -34,6 +34,44 @@ class AnalyticsSpec extends SparkSpec {
       plain.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("basket_lift: counts bounded, lift recomputes from the counts") {
+    val rows = Analytics.basketLift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.length == 20)
+    val nOrders = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey").distinct().count()
+    rows.foreach { case (p1, p2, both, na, nb, lift) =>
+      assert(p1 < p2)
+      assert(both <= math.min(na, nb))
+      val want = java.math.BigDecimal.valueOf(both.toDouble * nOrders / (na * nb))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(lift == want, s"($p1,$p2): $lift vs $want")
+    }
+    // descending support with the documented tie-break
+    val key = rows.map { case (p1, p2, both, _, _, _) => (-both, p1, p2) }
+    assert(key.sortBy(identity).toSeq == key.toSeq)
+  }
+
+  test("gate_agreement: contingency sums to n, kappa replays from counts") {
+    val r = graft.operators.TextAnalysis.gateAgreement(spark, sf)
+      .collect().head
+    val (n, n11, n10, n01, n00) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n == n11 + n10 + n01 + n00 && n > 0)
+    val po = (n11 + n00).toDouble / n
+    val pa = (n11 + n10).toDouble / n
+    val pb = (n11 + n01).toDouble / n
+    val pe = pa * pb + (1.0 - pa) * (1.0 - pb)
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(r.getDouble(5) == r4(po))
+    assert(r.getDouble(6) == r4(pe))
+    if (1.0 - pe != 0.0)
+      assert(r.getDouble(7) == r4((po - pe) / (1.0 - pe)))
+    assert(r.getDouble(7) <= 1.0)
+  }
+
   test("events_hopping: every event lands in exactly two windows") {
     val hop = Analytics.eventsHopping(spark, sf).collect()
     val totalN = hop.map(_.getAs[Long]("n")).sum
