@@ -15,7 +15,8 @@ object Bench {
     * 3× off the builder's same-vintage numbers). */
   val families: Seq[(String, Seq[String])] = Seq(
     "analytics" -> Seq(
-      "q1_agg", "dim_flatten", "window_rank", "agg_skew_salted",
+      "q1_agg", "q5_region_revenue", "dim_flatten", "window_rank",
+      "agg_skew_salted",
       "events_window", "events_hopping", "events_ewma", "join_skew_salted",
       "funnel_steps", "funnel_windowed", "attribution",
       "path_transitions", "totals_reconcile", "events_anomaly",

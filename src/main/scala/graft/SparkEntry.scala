@@ -210,6 +210,7 @@ object SparkEntry {
     "corpus_diff" -> (MergeImport.corpusDiff _),
     "gate_agreement" -> ((s, d) => TextAnalysis.gateAgreement(s, d)),
     "basket_lift" -> ((s, d) => Analytics.basketLift(s, d)),
+    "q5_region_revenue" -> (Analytics.q5RegionRevenue _),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -965,6 +966,7 @@ object SparkEntry {
     "corpus_diff" -> MergeImport.corpusDiffOracle,
     "gate_agreement" -> TextAnalysis.gateAgreementOracle(),
     "basket_lift" -> Analytics.basketLiftOracle,
+    "q5_region_revenue" -> Analytics.q5RegionRevenueOracle,
     "lm_perplexity" ->
       s"""WITH $perplexityCtes
          SELECT doc_id, n_bigrams, avg_nll FROM ppl ORDER BY doc_id""",

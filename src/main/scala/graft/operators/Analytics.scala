@@ -558,6 +558,49 @@ object Analytics {
       .agg(count(lit(1)).as("n"), sum("value_c").as("sum_value_c"))
       .orderBy("hour_bucket", "event_type")
 
+  /** §2 #194 — TPC-H-Q5-SHAPED star join: revenue per region/nation
+    * through the full dimension chain region ⋈ nation ⋈ customer ⋈
+    * orders ⋈ lineitem — the canonical multiway join whose PLAN is the
+    * point: Catalyst broadcasts the three dimension legs (region,
+    * nation, and — at dim scale — customer) so the two FACT tables
+    * shuffle only for their own equi-join, and the filters/projections
+    * push into every scan. Revenue in exact cents·10⁻² (q1_agg's
+    * BIGINT stance) so engines agree digit-for-digit. */
+  def q5RegionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables.load(spark, sfDir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    val nation = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val customer = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("rev_c3"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_lines"), sum("rev_c3").as("revenue_c3"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q5RegionRevenueOracle: String =
+    """SELECT r_name, n_name, count(*) AS n_lines,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+           AS revenue_c3
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** §2 #193 — MARKET-BASKET PAIR AFFINITY: support and lift of part
     * pairs co-occurring within an order — the classic association
     * signal (lift > 1 ⇒ the pair co-occurs above independence). The

@@ -34,6 +34,27 @@ class AnalyticsSpec extends SparkSpec {
       plain.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("q5_region_revenue: line counts reconcile; dims broadcast, facts shuffle") {
+    val q5 = Analytics.q5RegionRevenue(spark, sf)
+    val rows = q5.collect()
+    // every lineitem whose order has a customer contributes exactly once
+    val totalLines = rows.map(_.getAs[Long]("n_lines")).sum
+    val expect = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .count()
+    assert(totalLines == expect)
+    assert(rows.forall(_.getAs[Long]("revenue_c3") > 0))
+    // the plan story IS the point: three broadcast dimension legs, and
+    // the fact⋈fact join is NOT a broadcast
+    val p = planOf(q5)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || expect < 100000, "fact join should shuffle at scale")
+  }
+
   test("basket_lift: counts bounded, lift recomputes from the counts") {
     val rows = Analytics.basketLift(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
