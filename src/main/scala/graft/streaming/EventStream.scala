@@ -65,6 +65,31 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
         col("event_type"), col("n"), col("sum_value_c"))
 
+  /** §2 #195 — continuous SESSION windows via the NATIVE
+    * `session_window` operator in a streaming aggregation — the state
+    * store MERGES overlapping session fragments as events arrive (the
+    * machinery [[Sessionizer]] hand-rolls with flatMapGroupsWithState,
+    * here exercised through Spark's own operator; the batch face is
+    * [[graft.operators.Sessionize.sessionizeNative]]). APPEND mode
+    * only (Spark rejects update for merging session state): a session
+    * emits exactly once, when the watermark passes its close — so
+    * state is evicted at the same moment the result becomes final.
+    * The spec drives the watermark past every real session with a
+    * sentinel event and proves the emitted sessions equal the batch
+    * operator row-for-row. */
+  def sessionAgg(events: DataFrame, gapMinutes: Int = 30,
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("duration_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"),
+        col("duration_us"))
+
   /** §2 #186 — continuous HOPPING windows: the streaming face of
     * [[graft.operators.Analytics.eventsHopping]] (10-minute windows
     * every 5) — overlapping windows are the standard smoothed live

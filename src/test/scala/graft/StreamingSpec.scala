@@ -20,6 +20,37 @@ class StreamingSpec extends SparkSpec {
       batch.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq)
   }
 
+  test("event stream: native session windows match the batch operator") {
+    import graft.operators.Sessionize
+    import spark.implicits._
+    // session aggs are append-only: a session emits when the watermark
+    // passes its close. Feed the fixture, then a far-future sentinel
+    // event to flush every real session out of the state store.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventStream.sessionAgg(
+        input.toDF().toDF("user_id", "ts"), watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_sessions").start()
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)].collect()
+    try {
+      input.addData(ev.toIndexedSeq: _*); q.processAllAvailable()
+      val flush = new java.sql.Timestamp(
+        ev.map(_._2.getTime).max + 48L * 3600 * 1000)
+      input.addData((-1L, flush)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_sessions").collect()
+      .filter(_.getLong(0) >= 0)
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(1), r.getLong(3)))).toMap
+    val want = Sessionize.sessionizeNative(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) ->
+        ((r.getLong(2), r.getLong(4)))).toMap
+    assert(got == want, s"sizes stream=${got.size} batch=${want.size}")
+  }
+
   test("event stream: hopping windows match the batch sliding operator") {
     val agg = EventStream.hoppingAgg(EventStream.readEventStream(spark, sf))
     val q = agg.writeStream.outputMode("complete")
