@@ -89,4 +89,14 @@ class CodegenSpec extends SparkSpec {
     assertCodegen("embedding_quantize",
       graft.operators.Similarity.embeddingQuantize(spark, sf))
   }
+
+  test("round-10c map-only operators stay inside whole-stage codegen") {
+    assertCodegen("html_strip", TextAnalysis.htmlStrip(spark, sf))
+    assertCodegen("benford_check",
+      graft.operators.Quality.benfordCheck(spark, sf))
+    assertCodegen("fixed_width_roundtrip",
+      graft.operators.ExportImport.fixedWidthRoundtrip(spark, sf))
+    assertCodegen("q5_region_revenue", Analytics.q5RegionRevenue(spark, sf))
+    assertCodegen("lm_perplexity_kn", TextAnalysis.lmPerplexityKn(spark, sf))
+  }
 }
