@@ -71,7 +71,7 @@ object Bench {
       "bpe_fertility", "bpe_encode_artifact",
       "char_entropy", "zipf_fit", "lang_confusion", "corpus_report"),
     "curation" -> Seq(
-      "decontaminate", "contamination_report",
+      "decontaminate", "contamination_report", "pipeline_report",
       "decontaminate_fuzzy", "bloom_decontaminate",
       "split_leakage", "leakage_safe_split", "budget_select",
       "doc_chunk", "pii_scrub", "c4_clean", "range_join",

@@ -211,6 +211,7 @@ object SparkEntry {
     "gate_agreement" -> ((s, d) => TextAnalysis.gateAgreement(s, d)),
     "basket_lift" -> ((s, d) => Analytics.basketLift(s, d)),
     "q5_region_revenue" -> (Analytics.q5RegionRevenue _),
+    "pipeline_report" -> ((s, d) => Curation.pipelineReport(s, d)),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -967,6 +968,7 @@ object SparkEntry {
     "gate_agreement" -> TextAnalysis.gateAgreementOracle(),
     "basket_lift" -> Analytics.basketLiftOracle,
     "q5_region_revenue" -> Analytics.q5RegionRevenueOracle,
+    "pipeline_report" -> Curation.pipelineReportOracle(),
     "lm_perplexity" ->
       s"""WITH $perplexityCtes
          SELECT doc_id, n_bigrams, avg_nll FROM ppl ORDER BY doc_id""",

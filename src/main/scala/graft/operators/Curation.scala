@@ -1041,4 +1041,138 @@ object Curation {
        FROM tk JOIN tm USING (b)
        GROUP BY doc_id ORDER BY doc_id"""
   }
+
+  /** §2 #196 — the COMPOSED ADMISSION PIPELINE: the whole ingest
+    * decision as ONE declarative DAG — charset sanity → entropy band →
+    * heuristic quality → exact dedup (first-doc-wins on the normalized
+    * fingerprint) → benchmark decontamination (any shared n-gram with
+    * the held-out slice, which also evicts the eval docs themselves
+    * from train) — each document rejected at its FIRST failing gate,
+    * reported as the 5-stage attrition table a corpus owner reads
+    * after every ingest. quality_funnel is the composition witness for
+    * the GATE family; this is the composition witness for the whole
+    * ENGINE: map-only gates, a hash-keyed dedup join, and the
+    * broadcast gram probe in one plan Catalyst schedules together.
+    *
+    * Scale shape: gates 1-3 ride the scan (codegen'd regex/entropy);
+    * the dedup leg is one (hash → min) aggregate joined back on hash;
+    * the contamination leg is the map-only gram explode + broadcast
+    * bench join of #71; the funnel itself is ONE 1-row aggregate
+    * stacked to 5 rows. Raw text shuffles NOWHERE. */
+  def pipelineReport(spark: SparkSession, sfDir: String, n: Int = 4,
+                     benchMod: Int = 50): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val nRepl = regexp_count(col("text"), lit("�"))
+    val nCtrl = regexp_count(col("text"),
+      lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+    val ent = round(graft.functions.CharEntropyF.charEntropy(col("text")), 4)
+    val nWords = size(split(trim(col("text")), "\\s+")).cast("long")
+    val nStop = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(?:the|and|is|of|to)\\b"), lit(0))).cast("long")
+    val quality = round(
+      least(nWords / lit(50.0), lit(1.0)) * 0.5
+        + (nStop / nWords) * 0.5, 4)
+    val base = docs.select(col("doc_id"),
+      (nRepl > 0 || nCtrl > 0).as("f_charset"),
+      (ent < 3.0 || ent > 5.0).as("f_entropy"),
+      (!(nWords >= 20 && quality >= 0.3)).as("f_quality"),
+      sha2(lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+        .cast("binary"), 256).as("h"))
+    val canon = base.groupBy("h").agg(min("doc_id").as("keep"))
+    val contam = decontaminateFrom(docs,
+        docs.filter(col("doc_id") % benchMod === 0), n)
+      .select(col("doc_id"), lit(true).as("f_contam"))
+    val ff = base.join(canon, Seq("h"))
+      .join(contam, Seq("doc_id"), "left")
+      .select(
+        when(col("f_charset"), 1)
+          .when(col("f_entropy"), 2)
+          .when(col("f_quality"), 3)
+          .when(col("doc_id") =!= col("keep"), 4)
+          .when(coalesce(col("f_contam"), lit(false)), 5)
+          .otherwise(0).as("ff"))
+    ff.agg(count(lit(1)).as("n"),
+        sum(when(col("ff") === 1, 1L).otherwise(0L)).as("r1"),
+        sum(when(col("ff") === 2, 1L).otherwise(0L)).as("r2"),
+        sum(when(col("ff") === 3, 1L).otherwise(0L)).as("r3"),
+        sum(when(col("ff") === 4, 1L).otherwise(0L)).as("r4"),
+        sum(when(col("ff") === 5, 1L).otherwise(0L)).as("r5"))
+      .selectExpr("""stack(5,
+          1, 'charset', n, r1, n - r1,
+          2, 'entropy', n - r1, r2, n - r1 - r2,
+          3, 'quality', n - r1 - r2, r3, n - r1 - r2 - r3,
+          4, 'duplicate', n - r1 - r2 - r3, r4, n - r1 - r2 - r3 - r4,
+          5, 'contaminated', n - r1 - r2 - r3 - r4, r5,
+             n - r1 - r2 - r3 - r4 - r5)
+          AS (stage, gate, n_in, n_rejected, n_out)""")
+      .orderBy("stage")
+  }
+
+  /** DuckDB oracle for [[pipelineReport]]: the charset/quality regex
+    * arithmetic, the shared entropy CTE chain, the dedup_exact
+    * normalized fingerprint window, and the decontaminate gram probe —
+    * composed into the identical first-fail CASE and stacked
+    * attrition. */
+  def pipelineReportOracle(n: Int = 4, benchMod: Int = 50): String = {
+    require(n == 4, "the oracle's gram construction is written for n = 4")
+    s"""WITH ${TextAnalysis.charEntropyCtes},
+        w AS (SELECT doc_id,
+                string_split_regex(trim(lower(text)), '\\s+') AS w
+              FROM documents),
+        g AS (SELECT doc_id,
+                unnest(list_distinct(
+                  [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                   for i in range(1, len(w) - 2)])) AS gram
+              FROM w),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % $benchMod = 0),
+        contam AS (SELECT DISTINCT doc_id FROM g
+                   WHERE gram IN (SELECT gram FROM bench)),
+        base AS (SELECT d.doc_id,
+            (len(regexp_extract_all(d.text, '�', 0)) > 0
+             OR len(regexp_extract_all(d.text,
+                  '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', 0)) > 0) AS f_charset,
+            (e.char_entropy < 3.0 OR e.char_entropy > 5.0) AS f_entropy,
+            NOT (CAST(len(string_split_regex(trim(d.text), '\\s+'))
+                   AS BIGINT) >= 20
+                 AND round(least(CAST(len(string_split_regex(trim(d.text),
+                       '\\s+')) AS BIGINT) / 50.0, 1.0) * 0.5
+                     + (CAST(len(regexp_extract_all(lower(d.text),
+                          '\\b(?:the|and|is|of|to)\\b', 0)) AS BIGINT)
+                        / CAST(len(string_split_regex(trim(d.text), '\\s+'))
+                            AS BIGINT)) * 0.5, 4) >= 0.3) AS f_quality,
+            sha256(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))))
+              AS h
+          FROM documents d JOIN ent e ON e.doc_id = d.doc_id),
+        keep AS (SELECT h, min(doc_id) AS keep FROM base GROUP BY 1),
+        p AS (SELECT CASE WHEN f_charset THEN 1
+                          WHEN f_entropy THEN 2
+                          WHEN f_quality THEN 3
+                          WHEN base.doc_id <> keep.keep THEN 4
+                          WHEN contam.doc_id IS NOT NULL THEN 5
+                          ELSE 0 END AS ff
+              FROM base JOIN keep USING (h)
+              LEFT JOIN contam ON contam.doc_id = base.doc_id),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN ff = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+                CAST(sum(CASE WHEN ff = 2 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+                CAST(sum(CASE WHEN ff = 3 THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+                CAST(sum(CASE WHEN ff = 4 THEN 1 ELSE 0 END) AS BIGINT) AS r4,
+                CAST(sum(CASE WHEN ff = 5 THEN 1 ELSE 0 END) AS BIGINT) AS r5
+              FROM p)
+       SELECT * FROM (
+         SELECT 1 AS stage, 'charset' AS gate, n AS n_in,
+                r1 AS n_rejected, n - r1 AS n_out FROM a
+         UNION ALL
+         SELECT 2, 'entropy', n - r1, r2, n - r1 - r2 FROM a
+         UNION ALL
+         SELECT 3, 'quality', n - r1 - r2, r3, n - r1 - r2 - r3 FROM a
+         UNION ALL
+         SELECT 4, 'duplicate', n - r1 - r2 - r3, r4,
+                n - r1 - r2 - r3 - r4 FROM a
+         UNION ALL
+         SELECT 5, 'contaminated', n - r1 - r2 - r3 - r4, r5,
+                n - r1 - r2 - r3 - r4 - r5 FROM a)
+       ORDER BY stage"""
+  }
 }

@@ -6,6 +6,25 @@ import graft.functions.TextShingles
 
 class CurationSpec extends SparkSpec {
 
+  test("pipeline_report: stages chain exactly, planted rejections land") {
+    val rows = graft.operators.Curation.pipelineReport(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._2).toSeq ==
+      Seq("charset", "entropy", "quality", "duplicate", "contaminated"))
+    // n_out of each stage is n_in of the next; volumes conserve
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 == b._3, s"$a -> $b")
+    }
+    rows.foreach { case r @ (_, _, in, rej, out) =>
+      assert(in == rej + out, r)
+    }
+    assert(rows.head._3 == Tables.load(spark, sf, "documents").count())
+    // the bench slice guarantees contaminated rejections (eval docs
+    // that survived the earlier gates evict themselves here)
+    assert(rows.last._4 > 0, rows.mkString(";"))
+  }
+
   test("decontaminate: exactly the docs sharing a 4-gram with the bench slice; bench side broadcast") {
     // brute-force reference on the tiny SF
     val grams = Tables.load(spark, sf, "documents")
