@@ -73,14 +73,17 @@ object Graph {
   }
 
   /** §2 #172 — PageRank centrality over the exact k-NN similarity
-    * graph (the scale-safe cell equi-join build of knn_graph): which
-    * vectors sit at the center of the embedding space's link
-    * structure. Five damped iterations, d = 0.85. */
+    * graph, fed from the session-shared EDGE ARTIFACT
+    * ([[graft.operators.Similarity.sharedKnnEdgesDir]]): the
+    * corpus-scale cell equi-join build runs once per corpus version
+    * and the five damped iterations read the (src, dst) parquet —
+    * the artifact doctrine's graph leg (knn_graph stays the measured
+    * fresh build). d = 0.85. */
   def pagerank(spark: SparkSession, sfDir: String, d: Double = 0.85,
                iters: Int = 5): DataFrame =
     pageRankFrom(
-      Similarity.knnGraph(spark, sfDir)
-        .select(col("src_id").as("src"), col("dst_id").as("dst")),
+      spark.read.parquet(Similarity.sharedKnnEdgesDir(spark, sfDir))
+        .select(col("src"), col("dst")),
       d, iters)
       .select(col("id").as("vec_id"), col("pr"))
 

@@ -404,6 +404,29 @@ object Similarity {
        ORDER BY n_probe"""
   }
 
+  /** Session-shared exact k-NN EDGE ARTIFACT (docs/ARTIFACTS.md): the
+    * corpus-scale cell equi-join build runs ONCE per (session, sfDir,
+    * k) and lands as a (src, dst, mutual) parquet; every graph
+    * consumer (pagerank's iterations, knn_communities' propagation)
+    * then reads the artifact — the same amortization doctrine as the
+    * verified-pair and BPE-rules artifacts. knn_graph itself stays the
+    * measured fresh build. Per-JVM namespace + computeIfAbsent: no
+    * stale reuse across driver rounds, single build under concurrency. */
+  private val sharedEdgeDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+  private lazy val edgesNs = java.util.UUID.randomUUID().toString
+  def sharedKnnEdgesDir(spark: SparkSession, sfDir: String,
+                        k: Int = 5): String =
+    sharedEdgeDirs.computeIfAbsent((sfDir, k), { _ =>
+      val dir = ExportImport.scratch(
+        s"knn-edges/$edgesNs/k$k-${math.abs(sfDir.hashCode)}")
+      knnGraph(spark, sfDir, k)
+        .select(col("src_id").as("src"), col("dst_id").as("dst"),
+          col("mutual"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   /** §2 #189 — SEMANTIC COMMUNITIES: connected components over the
     * MUTUAL k-NN graph (mutual edges only — the standard symmetric
     * sparsification that keeps hub vectors from welding unrelated
@@ -413,16 +436,17 @@ object Similarity {
     * geometrically tight"; this asks "does the geometry's own
     * community structure agree with the labels").
     *
-    * Scale shape: the edge build is the broadcast-free cell equi-join
-    * (knnGraph); components run the SAME O(log d) pointer-halving
-    * propagation as dedup_clusters over ≤ N·k mutual edges; the
-    * rollup is a two-level (community, label) hash agg — majority via
-    * min(struct), no window over members. */
+    * Scale shape: edges come from the session-shared artifact
+    * ([[sharedKnnEdgesDir]] — the broadcast-free cell equi-join build
+    * paid once per corpus version); components run the SAME O(log d)
+    * pointer-halving propagation as dedup_clusters over ≤ N·k mutual
+    * edges; the rollup is a two-level (community, label) hash agg —
+    * majority via min(struct), no window over members. */
   def knnCommunities(spark: SparkSession, sfDir: String, k: Int = 5,
                      maxIters: Int = 20): DataFrame = {
-    val edges = knnGraph(spark, sfDir, k)
-      .filter(col("mutual") && col("src_id") < col("dst_id"))
-      .select(col("src_id").as("id_a"), col("dst_id").as("id_b"))
+    val edges = spark.read.parquet(sharedKnnEdgesDir(spark, sfDir, k))
+      .filter(col("mutual") && col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"))
     val labels = graft.Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"))
     val comps = Dedup.clustersFromPairs(
