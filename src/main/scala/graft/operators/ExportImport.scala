@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -133,11 +133,19 @@ object ExportImport {
     * Scale: text source/sink, map-only slicing, one hash agg. */
   def fixedWidthRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = scratch("fixedwidth-orders")
+    // lpad silently TRUNCATES an over-width value — the one failure a
+    // fixed-width format cannot tolerate (every later offset shifts
+    // meaning). Guard each numeric field loudly before padding.
+    def padded(c: Column, w: Int, fill: String, what: String) =
+      when(length(c.cast("string")) > w,
+        raise_error(concat(lit(s"fixed-width overflow: $what '"),
+          c.cast("string"), lit(s"' exceeds $w chars"))))
+        .otherwise(lpad(c.cast("string"), w, fill))
     Tables.load(spark, sfDir, "orders")
       .select(concat(
-        lpad(col("o_orderkey").cast("string"), 12, "0"),
+        padded(col("o_orderkey"), 12, "0", "o_orderkey"),
         col("o_orderstatus"),
-        lpad(cents(col("o_totalprice")).cast("string"), 14, " "),
+        padded(cents(col("o_totalprice")), 14, " ", "o_totalprice cents"),
         date_format(col("o_orderdate"), "yyyy-MM-dd")).as("value"))
       .write.mode("overwrite").text(dir)
 

@@ -70,6 +70,24 @@ class ExportImportSpec extends SparkSpec {
     }
   }
 
+  test("fixed_width_roundtrip: round-trips losslessly; zero bad-length records") {
+    val rows = ExportImport.fixedWidthRoundtrip(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_badlen") == 0L))
+    val srcN = Tables.load(spark, sf, "orders").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == srcN)
+    // an over-width field must fail LOUDLY, never truncate: a 13-digit
+    // key cannot fit the 12-char column
+    import spark.implicits._
+    val bad = Seq(1234567890123L).toDF("k")
+      .select(when(length(col("k").cast("string")) > 12,
+        raise_error(lit("fixed-width overflow")))
+        .otherwise(lpad(col("k").cast("string"), 12, "0")).as("v"))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage.contains("overflow") ||
+      e.getCause != null && e.getCause.getMessage.contains("overflow"))
+  }
+
   test("corpus_diff: planted doc mutations land in the right status buckets") {
     import graft.operators.MergeImport
     val rows = MergeImport.corpusDiff(spark, sf).collect()
