@@ -200,6 +200,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("weightedSample == from-scratch ES ranking, arbitrary weighted populations") {
+    import spark.implicits._
+    // the reference replays the Knuth split-multiply and the ln(u)/w key
+    // from first principles — no shared code with the operator
+    def knuthRef(id: Long): Long = {
+      val a = id % 4294967296L
+      ((a % 65536L) * 2654435761L % 4294967296L
+        + (a / 65536L) * 2654435761L % 65536L * 65536L) % 4294967296L
+    }
+    (1L to 8L).foreach { seed =>
+      val n = sample(Gen.chooseNum(1, 40), seed)
+      val weights = sample(Gen.listOfN(n, Gen.chooseNum(1L, 500L)), seed + 99)
+      val k = sample(Gen.chooseNum(1, 10), seed + 500)
+      val df = weights.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "w0")
+      val got = graft.operators.Quality
+        .weightedSampleFrom(df, col("w0"), k).collect()
+        .map(r => r.getLong(1)).toSeq
+      val want = weights.zipWithIndex.map { case (w, i) =>
+        val u = (knuthRef(i.toLong) + 1).toDouble / 4294967297.0
+        (i.toLong, math.log(u) / w)
+      }.sortBy { case (id, key) => (-key, id) }.take(k).map(_._1)
+      assert(got == want, s"seed=$seed n=$n k=$k: $got vs $want")
+    }
+  }
+
   test("Gini: in [0,1), scale-invariant, ordered against known extremes") {
     import spark.implicits._
     import graft.operators.Quality
