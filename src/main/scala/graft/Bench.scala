@@ -62,7 +62,7 @@ object Bench {
       "text_stats", "token_count", "lang_id", "quality_filter",
       "quality_funnel", "quality_calibration", "gate_agreement",
       "doc_winnow", "doc_fingerprint", "text_shingles", "seq_pack",
-      "html_strip",
+      "pack_efficiency", "html_strip",
       "ngram_lm", "quality_repetition", "lm_perplexity", "lm_perplexity_kn",
       "perplexity_buckets", "charset_gate",
       "stratified_sample", "vocab_coverage", "word_pmi", "quality_model",

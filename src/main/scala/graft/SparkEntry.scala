@@ -212,6 +212,7 @@ object SparkEntry {
     "basket_lift" -> ((s, d) => Analytics.basketLift(s, d)),
     "q5_region_revenue" -> (Analytics.q5RegionRevenue _),
     "pipeline_report" -> ((s, d) => Curation.pipelineReport(s, d)),
+    "pack_efficiency" -> ((s, d) => TextAnalysis.packEfficiency(s, d)),
   )
 
   private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
@@ -969,6 +970,7 @@ object SparkEntry {
     "basket_lift" -> Analytics.basketLiftOracle,
     "q5_region_revenue" -> Analytics.q5RegionRevenueOracle,
     "pipeline_report" -> Curation.pipelineReportOracle(),
+    "pack_efficiency" -> TextAnalysis.packEfficiencyOracle,
     "lm_perplexity" ->
       s"""WITH $perplexityCtes
          SELECT doc_id, n_bigrams, avg_nll FROM ppl ORDER BY doc_id""",

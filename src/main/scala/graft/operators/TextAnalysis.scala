@@ -155,7 +155,26 @@ object TextAnalysis {
     * mismatch at r03). A bucket that is a pure function of the key is
     * identical in every evaluation by construction. */
   def seqPack(spark: SparkSession, sfDir: String, maxTokens: Long = 2048L,
-              nRanges: Int = 8): DataFrame = {
+              nRanges: Int = 8): DataFrame =
+    seqPackPositions(spark, sfDir, maxTokens, nRanges) match {
+      case None =>
+        spark.emptyDataFrame
+          .select(lit(0L).as("seq_id"), lit(0L).as("n_docs"),
+            lit(0L).as("sum_tokens"), lit(0L).as("first_doc"),
+            lit(0L).as("last_doc"))
+      case Some(pos) =>
+        pos.groupBy("seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("seq_id")
+    }
+
+  /** The packing's per-doc positions (doc_id, n_tok, cum_before,
+    * seq_id) — the shared front of [[seqPack]] and [[packEfficiency]];
+    * None on an empty corpus. */
+  private def seqPackPositions(spark: SparkSession, sfDir: String,
+                               maxTokens: Long,
+                               nRanges: Int): Option[DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
@@ -164,11 +183,7 @@ object TextAnalysis {
     val Array(bounds) = toks.agg(min("doc_id").cast("long"),
       max("doc_id").cast("long")).collect()
     // empty input → empty packing (min/max aggregate to null)
-    if (bounds.isNullAt(0))
-      return toks.sparkSession.emptyDataFrame
-        .select(lit(0L).as("seq_id"), lit(0L).as("n_docs"),
-          lit(0L).as("sum_tokens"), lit(0L).as("first_doc"),
-          lit(0L).as("last_doc"))
+    if (bounds.isNullAt(0)) return None
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(hi - lo + 1L, 1L)
     val bucket = ((col("doc_id").cast("long") - lit(lo)) * nRanges / span)
@@ -183,15 +198,62 @@ object TextAnalysis {
       .toSeq.toDF("pid", "offset")
 
     val within = Window.partitionBy("pid").orderBy("doc_id")
-    ranged.join(broadcast(offDf), Seq("pid"))
+    Some(ranged.join(broadcast(offDf), Seq("pid"))
       .withColumn("cum_before",
         col("offset") + sum("n_tok").over(within) - col("n_tok"))
-      .withColumn("seq_id", expr(s"cum_before div $maxTokens"))
-      .groupBy("seq_id")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"),
-        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-      .orderBy("seq_id")
+      .withColumn("seq_id", expr(s"cum_before div $maxTokens")))
   }
+
+  /** §2 #197 — PACKING EFFICIENCY: the one-row audit of [[seqPack]]'s
+    * layout — sequences produced, mean fill against the context
+    * length, and how many documents STRADDLE a sequence boundary (the
+    * fraction a training run truncates or splits attention across;
+    * the number that decides between contiguous packing and best-fit
+    * binning). Rides the same scalable prefix machinery; the extra
+    * work is one 1-row aggregate. */
+  def packEfficiency(spark: SparkSession, sfDir: String,
+                     maxTokens: Long = 2048L,
+                     nRanges: Int = 8): DataFrame =
+    seqPackPositions(spark, sfDir, maxTokens, nRanges) match {
+      case None =>
+        spark.emptyDataFrame
+          .select(lit(0L).as("n_seqs"), lit(0L).as("n_docs"),
+            lit(0L).as("total_tokens"), lit(0.0).as("mean_fill4"),
+            lit(0L).as("n_straddlers"))
+      case Some(pos) =>
+        pos.agg(
+          countDistinct(col("seq_id")).as("n_seqs"),
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("total_tokens"),
+          sum(when(col("n_tok") > 0 &&
+            expr(s"cum_before div $maxTokens")
+              =!= expr(s"(cum_before + n_tok - 1) div $maxTokens"), 1L)
+            .otherwise(0L)).as("n_straddlers"))
+          .select(col("n_seqs"), col("n_docs"), col("total_tokens"),
+            round(col("total_tokens")
+              / (col("n_seqs") * lit(maxTokens.toDouble)), 4)
+              .as("mean_fill4"),
+            col("n_straddlers"))
+    }
+
+  val packEfficiencyOracle: String =
+    """WITH toks AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tok
+           FROM documents),
+        pos AS (SELECT doc_id, n_tok,
+                  sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS cb
+                FROM toks)
+       SELECT CAST(count(DISTINCT cb // 2048) AS BIGINT) AS n_seqs,
+         count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         round(CAST(sum(n_tok) AS BIGINT)
+           / (count(DISTINCT cb // 2048) * CAST(2048 AS DOUBLE)), 4)
+           AS mean_fill4,
+         CAST(sum(CASE WHEN n_tok > 0
+                        AND cb // 2048 <> (cb + n_tok - 1) // 2048
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+       FROM pos"""
 
   /** Generic core: Gopher-style REPETITION signals for ANY
     * (doc_id, text) frame — the standard pretraining quality gates from
