@@ -43,7 +43,8 @@ object Bench {
       "dedup_minhash", "dedup_eval_sample", "dedup_eval_sweep",
       "dedup_ngram_exactjoin",
       "dedup_simhash", "dedup_clusters", "dedup_survivorship",
-      "dedup_corpus", "dedup_audit_composed", "leakage_safe_split_composed",
+      "dedup_corpus", "dedup_audit_composed",
+      "dedup_survivorship_composed", "leakage_safe_split_composed",
       "dedup_incremental",
       "dedup_pairs_incremental",
       "doc_containment", "kgram_novelty", "memorization_grams",
@@ -86,7 +87,7 @@ object Bench {
       "nested_docs",
       "compressed_io", "media_roundtrip", "media_frame_sample",
       "media_resize", "media_png_roundtrip", "media_resize_png",
-      "media_wav_stats", "json_props",
+      "media_wav_stats", "media_jpeg_stats", "json_props",
       "import_validation", "import_errors", "package_apply"))
 
   /** Flat headline order (= concatenated family order). Anything not
@@ -124,6 +125,35 @@ object Bench {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime.max(0L)).sum
+  }
+
+  /** Cumulative task-metrics listener: executor CPU, task-attributed GC
+    * and shuffle bytes across every completed task. Per-query deltas of
+    * these three adjudicate a wall-time outlier from the tail alone: a
+    * 17x wall number with flat CPU/GC/shuffle is box load or I/O wait
+    * (environment), NOT a plan regression — exactly the distinction the
+    * r10 dedup_survivorship 134s mystery lacked. Listener events are
+    * posted async; snapshots are taken after the inter-query cleanup
+    * (cache release + System.gc), by which time the bus has drained —
+    * attribution is approximate at the ~ms level, which is fine for a
+    * seconds-scale adjudicator. */
+  private final class TaskMetricsAccumulator
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new AtomicLong; val taskGcMs = new AtomicLong
+    val shufBytes = new AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        taskGcMs.addAndGet(m.jvmGCTime)
+        shufBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead
+          + m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def snapshot: (Long, Long, Long) =
+      (cpuNs.get, taskGcMs.get, shufBytes.get)
   }
 
   def main(args: Array[String]): Unit = {
@@ -178,10 +208,18 @@ object Bench {
     // builder-vs-driver bench gaps without the stderr log.
     var annPre = ""; var annPost = ""
     var annGcPre = 0L; var annGcPost = 0L
+    // per-query adjudicators for the DEDUP block (the family the r10
+    // driver sweep showed a 17x unexplained outlier in): CPU/GC/shuffle
+    // deltas per dedup query, emitted as vectors in benchOrder order.
+    val acc = new TaskMetricsAccumulator
+    spark.sparkContext.addSparkListener(acc)
+    val dedupAdj = scala.collection.mutable.Map[String, (Long, Long, Long)]()
     val timed = names.map { name =>
       if (annNames.headOption.contains(name)) {
         annPre = jvmHealth(); annGcPre = gcMs()
       }
+      val isDedup = famOf(name) == "dedup"
+      val pre = if (isDedup) acc.snapshot else null
       val t0 = System.nanoTime()
       val res =
         try { SparkEntry.queries(name)(spark, sfDir).count(); None }
@@ -206,9 +244,30 @@ object Bench {
       // (observed 3-4x on the export round-trips at the end of a full
       // sweep). Equivalent to spark.cleaner.periodicGC on a cluster.
       System.gc()
+      if (isDedup) {
+        val post = acc.snapshot
+        dedupAdj(name) = (post._1 - pre._1, post._2 - pre._2,
+          post._3 - pre._3)
+      }
       System.err.println(f"[bench] $name%-24s ${t}%8.2fs  ${jvmHealth()}")
       (name, t, res)
     }
+    // OUTLIER SELF-RETRY: re-run the single slowest successful query
+    // once and report both timings. One cheap re-measurement separates
+    // box noise (retry ~normal) from a real plan regression (retry
+    // ~first) — the adjudication the r10 134s outlier had no data for.
+    val retry = timed.collect { case (n, s, None) => (n, s) }
+      .sortBy(-_._2).headOption.map { case (worst, first) =>
+        val t0 = System.nanoTime()
+        val again =
+          try { SparkEntry.queries(worst)(spark, sfDir).count()
+                (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        operators.TransientCaches.release()
+        spark.catalog.clearCache()
+        System.err.println(f"[bench] retry $worst: first ${first}%.2fs, again ${again}%.2fs")
+        s""""retry":{"q":"$worst","first_cs":${math.round(first * 100)},"again_cs":${math.round(again * 100)}},"""
+      }.getOrElse("")
     val ok = timed.collect { case (n, s, None) => (n, s) }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -240,7 +299,18 @@ object Bench {
     // decoded against the full-run order doc; order_fp fingerprints
     // the ACTUAL name list timed either way
     val order = if (args.isEmpty) "docs/BENCH_ORDER.md" else "subset"
-    println(f"""{"total_s":$total%.3f,"n":${ok.size},"n_err":${timed.size - ok.size},"fam":$famTotals,"emb_cold_s":$embCold%.2f,"emb_warm_s":$embWarm%.2f,"ann_gc_ms":${annGcPost - annGcPre},"ann_jvm_pre":"$annPre","ann_jvm_post":"$annPost","order":"$order","order_fp":"${orderFingerprint(names)}","v_cs":$vcs}""")
+    // dedup-block adjudicator vectors, one entry per dedup-family query
+    // in benchOrder order (same decoder as v_cs): executor-CPU
+    // centiseconds, task-attributed GC ms, shuffle read+write MB. A
+    // wall outlier in v_cs with flat vectors here = environment, not
+    // plan.
+    val dedupNames = names.filter(n => famOf(n) == "dedup")
+    def dvec(f: ((Long, Long, Long)) => Long) = dedupNames.map(n =>
+      dedupAdj.get(n).map(f(_).toString).getOrElse("-1"))
+      .mkString("[", ",", "]")
+    val dq = s""""dq_cpu_cs":${dvec(m => m._1 / 10000000L)},"dq_gc_ms":${
+        dvec(_._2)},"dq_sh_mb":${dvec(m => m._3 / 1000000L)},"""
+    println(f"""{"total_s":$total%.3f,"n":${ok.size},"n_err":${timed.size - ok.size},"fam":$famTotals,$retry$dq"emb_cold_s":$embCold%.2f,"emb_warm_s":$embWarm%.2f,"ann_gc_ms":${annGcPost - annGcPre},"ann_jvm_pre":"$annPre","ann_jvm_post":"$annPost","order":"$order","order_fp":"${orderFingerprint(names)}","v_cs":$vcs}""")
     spark.stop()
   }
 

@@ -77,6 +77,8 @@ object SparkEntry {
     "dedup_ngram_exactjoin" -> ((s, d) => Dedup.dedupNgramExactjoin(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_survivorship" -> ((s, d) => Dedup.dedupSurvivorship(s, d)),
+    "dedup_survivorship_composed" ->
+      ((s, d) => Dedup.dedupSurvivorshipComposed(s, d)),
     "dedup_corpus" -> ((s, d) => Dedup.dedupCorpus(s, d)),
     "dedup_audit_composed" -> ((s, d) => Dedup.dedupAuditComposed(s, d)),
     "exact_substr_spans" -> ((s, d) => Dedup.exactSubstrSpans(s, d)),
@@ -202,6 +204,7 @@ object SparkEntry {
     "ivf_probe_sweep" -> ((s, d) => Similarity.ivfProbeSweep(s, d)),
     "html_strip" -> (TextAnalysis.htmlStrip _),
     "media_wav_stats" -> ((s, d) => Blob.mediaWavStats(s, d)),
+    "media_jpeg_stats" -> ((s, d) => Blob.mediaJpegStatsArith(s, d)),
     "events_hopping" -> (Analytics.eventsHopping _),
     "sessionize_native" -> ((s, d) => Sessionize.sessionizeNative(s, d)),
     "fixed_width_roundtrip" -> (ExportImport.fixedWidthRoundtrip _),
@@ -444,6 +447,7 @@ object SparkEntry {
     // connected components over the same exact verified pairs, via a
     // recursive transitive-closure CTE; min reachable id = cluster id
     "dedup_survivorship" -> Dedup.dedupSurvivorshipOracle(),
+    "dedup_survivorship_composed" -> Dedup.dedupSurvivorshipOracle(),
     "dedup_audit_composed" -> Dedup.dedupAuditComposedOracle(),
     "exact_substr_spans" -> Dedup.exactSubstrSpansOracle(),
     "exact_substr_scrub" -> Dedup.exactSubstrScrubOracle(),
@@ -960,6 +964,7 @@ object SparkEntry {
     "ivf_probe_sweep" -> Similarity.ivfProbeSweepOracle(),
     "html_strip" -> TextAnalysis.htmlStripOracle,
     "media_wav_stats" -> Blob.mediaWavStatsOracle(),
+    "media_jpeg_stats" -> Blob.mediaJpegStatsOracle,
     "events_hopping" -> Analytics.eventsHoppingOracle,
     "sessionize_native" -> Sessionize.nativeOracle(),
     "fixed_width_roundtrip" -> ExportImport.fixedWidthRoundtripOracle,
@@ -967,10 +972,10 @@ object SparkEntry {
     "knn_communities" -> Similarity.knnCommunitiesOracle(),
     "corpus_diff" -> MergeImport.corpusDiffOracle,
     "gate_agreement" -> TextAnalysis.gateAgreementOracle(),
-    "basket_lift" -> Analytics.basketLiftOracle,
+    "basket_lift" -> Analytics.basketLiftOracle(),
     "q5_region_revenue" -> Analytics.q5RegionRevenueOracle,
     "pipeline_report" -> Curation.pipelineReportOracle(),
-    "pack_efficiency" -> TextAnalysis.packEfficiencyOracle,
+    "pack_efficiency" -> TextAnalysis.packEfficiencyOracle(),
     "lm_perplexity" ->
       s"""WITH $perplexityCtes
          SELECT doc_id, n_bigrams, avg_nll FROM ppl ORDER BY doc_id""",

@@ -634,8 +634,10 @@ object Analytics {
       .limit(topK)
   }
 
-  val basketLiftOracle: String =
-    """WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+  /** Parameterized like the operator (`topK`) so a non-default
+    * invocation cannot silently diverge from its oracle. */
+  def basketLiftOracle(topK: Int = 20): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
                    FROM lineitem),
         no_ AS (SELECT count(DISTINCT okey) AS n_orders FROM li),
         pc AS (SELECT part, count(*) AS n_part FROM li GROUP BY 1),
@@ -647,7 +649,7 @@ object Analytics {
            AS lift4
        FROM pr JOIN pc a ON a.part = pr.p1 JOIN pc b ON b.part = pr.p2
        CROSS JOIN no_
-       ORDER BY n_both DESC, p1, p2 LIMIT 20"""
+       ORDER BY n_both DESC, p1, p2 LIMIT $topK"""
 
   /** §2 #184 — HOPPING (sliding) window aggregation: 10-minute windows
     * every 5 minutes via Spark's native `window()` — each event lands

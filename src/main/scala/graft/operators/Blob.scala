@@ -383,6 +383,71 @@ object Blob {
       .orderBy("doc_id")
   }
 
+  /** §2 #198 — JPEG pipeline: per-doc deterministic RGB raster (the
+    * same 16×ceil(n/48) layout as the BMP/PNG legs) → REAL baseline
+    * JFIF encode (`javax.imageio`, JDK-only) → geometry recovered TWO
+    * independent ways: our own SOF marker walk over the container bytes
+    * ([[graft.sources.JpegCodec.parseSof]]) and a full lossy decode
+    * back to pixels — the decode verb on the format web crawls actually
+    * ship. `decode_ok` asserts both agree with the source geometry;
+    * `mae` (mean absolute channel error of the lossy cycle) and
+    * `jpeg_bytes` are real DCT-codec outputs, spec-pinned rather than
+    * oracle-replayed ([[mediaJpegStatsArith]] is the driver's
+    * arithmetic projection, like #153/#159).
+    * Batch shape: ONE mapPartitions — encode, parse, decode never
+    * leave the executor; no shuffle; nothing but the stats row moves. */
+  def mediaJpegStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    payloads(spark, sfDir)
+      .mapPartitions(_.map { case (id, bytes) =>
+        val w = 16
+        val h = math.max(1, math.ceil(bytes.length / 48.0).toInt)
+        val rgb = java.util.Arrays.copyOf(bytes, 3 * w * h)
+        val jpg = graft.sources.JpegCodec.encodeJpeg(w, h, rgb)
+        val sof = graft.sources.JpegCodec.parseSof(jpg)
+        val px = graft.sources.JpegCodec.decodeJpeg(jpg)
+        var errSum = 0L; var i = 0
+        while (i < rgb.length) {
+          errSum += math.abs((rgb(i) & 0xff) - (px.rgb(i) & 0xff)); i += 1
+        }
+        val mae = java.math.BigDecimal
+          .valueOf(errSum.toDouble / rgb.length)
+          .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+        (id, w.toLong, h.toLong, sof.width.toLong, sof.height.toLong,
+          sof.components.toLong,
+          sof.width == w && sof.height == h && !sof.progressive &&
+            px.width == w && px.height == h,
+          jpg.length.toLong, mae)
+      })
+      .toDF("doc_id", "width", "height", "sof_w", "sof_h", "n_comp",
+        "decode_ok", "jpeg_bytes", "mae")
+      .orderBy("doc_id")
+  }
+
+  /** The arithmetic projection of [[mediaJpegStats]] the driver oracle
+    * replays (jpeg_bytes/mae are real lossy-codec outputs — spec-pinned,
+    * not SQL-replayable). */
+  def mediaJpegStatsArith(spark: SparkSession, sfDir: String): DataFrame =
+    mediaJpegStats(spark, sfDir)
+      .select("doc_id", "width", "height", "sof_w", "sof_h", "n_comp",
+        "decode_ok")
+
+  /** DuckDB oracle for [[mediaJpegStatsArith]]: raster geometry is a
+    * pure function of payload length; the SOF walk must recover it from
+    * the container bytes and the full decode must agree — both folded
+    * into `decode_ok`. */
+  val mediaJpegStatsOracle: String =
+    """SELECT doc_id,
+         CAST(16 AS BIGINT) AS width,
+         greatest(1, CAST(ceil(octet_length(encode(text)) / 48.0)
+                     AS BIGINT)) AS height,
+         CAST(16 AS BIGINT) AS sof_w,
+         greatest(1, CAST(ceil(octet_length(encode(text)) / 48.0)
+                     AS BIGINT)) AS sof_h,
+         CAST(3 AS BIGINT) AS n_comp,
+         true AS decode_ok
+       FROM documents ORDER BY doc_id"""
+
   /** DuckDB oracle for [[mediaWavStats]]: the sample mapping and every
     * statistic replayed from code points; container size = 44-byte
     * canonical header + 2 bytes per sample. */

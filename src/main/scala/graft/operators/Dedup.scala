@@ -648,6 +648,23 @@ object Dedup {
       dedupNgramExactjoin(spark, sfDir, tau),
       Tables.load(spark, sfDir, "documents"))
 
+  /** §2 #142b — the ARTIFACT-FED form of [[dedupSurvivorship]]:
+    * identical output (same oracle), but the corpus-scale prefix join
+    * is not re-paid per run — the verified-pair table is the
+    * per-session materialized artifact ([[sharedVerifiedPairsDir]]),
+    * the same parquet the composed dedup audit and the leakage-safe
+    * split read. This is the form a production pipeline executes: ONE
+    * pair build per corpus version, then the survivorship policy (and
+    * every other audit) as a rollup over the bounded pair table —
+    * exactly the #156b pattern. */
+  def dedupSurvivorshipComposed(spark: SparkSession, sfDir: String,
+                                tau: Double = 0.3): DataFrame = {
+    val dir = sharedVerifiedPairsDir(spark, sfDir, tau)
+    dedupSurvivorshipFromPairs(
+      readVerifiedPairs(spark, dir).filter(col("j4") >= tau),
+      Tables.load(spark, sfDir, "documents"))
+  }
+
   /** Artifact-consuming core: the survivorship policy over an
     * ALREADY-VERIFIED pair table — see [[verifiedPairsToDir]]. Clusters
     * come from the bounded propagation over the artifact's edges; the
@@ -1644,7 +1661,7 @@ object Dedup {
                              tau: Double = 0.3): String =
     sharedPairsDirs.computeIfAbsent((sfDir, tau), { _ =>
       val dir = ExportImport.scratch(
-        s"verified-pairs/$pairsNs/tau$tau-${math.abs(sfDir.hashCode)}")
+        s"verified-pairs/$pairsNs/tau$tau-${ExportImport.pathSlug(sfDir)}")
       verifiedPairsToDir(spark, sfDir, dir, tau)
       dir
     })

@@ -35,6 +35,19 @@ object ExportImport {
     d
   }
 
+  /** Collision-free filesystem slug for an arbitrary string (e.g. an
+    * sfDir used to key a per-session artifact directory): sanitized
+    * tail for readability + a sha-256 prefix for uniqueness. hashCode
+    * is NOT usable here — two distinct sfDirs can collide onto one
+    * directory and the second build would clobber the first's parquet
+    * under its consumers (and math.abs(Int.MinValue) is negative). */
+  def pathSlug(s: String): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val tail = s.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(32)
+    s"$tail-$sha"
+  }
+
   /** BC-style display names a real table hands the XML writer —
     * spaces, dots, leading digits; none is a valid XML element name
     * as-is (GetElementName's problem, Codeunit 60000:925). */
@@ -144,7 +157,7 @@ object ExportImport {
     Tables.load(spark, sfDir, "orders")
       .select(concat(
         padded(col("o_orderkey"), 12, "0", "o_orderkey"),
-        col("o_orderstatus"),
+        padded(col("o_orderstatus"), 1, " ", "o_orderstatus"),
         padded(cents(col("o_totalprice")), 14, " ", "o_totalprice cents"),
         date_format(col("o_orderdate"), "yyyy-MM-dd")).as("value"))
       .write.mode("overwrite").text(dir)

@@ -419,7 +419,7 @@ object Similarity {
                         k: Int = 5): String =
     sharedEdgeDirs.computeIfAbsent((sfDir, k), { _ =>
       val dir = ExportImport.scratch(
-        s"knn-edges/$edgesNs/k$k-${math.abs(sfDir.hashCode)}")
+        s"knn-edges/$edgesNs/k$k-${ExportImport.pathSlug(sfDir)}")
       knnGraph(spark, sfDir, k)
         .select(col("src_id").as("src"), col("dst_id").as("dst"),
           col("mutual"))

@@ -221,8 +221,15 @@ object TextAnalysis {
             lit(0L).as("total_tokens"), lit(0.0).as("mean_fill4"),
             lit(0L).as("n_straddlers"))
       case Some(pos) =>
+        // n_seqs from the TOKEN SPAN, not countDistinct(seq_id): seq_id
+        // marks doc START windows only, so a doc spanning 3+ context
+        // windows would leave interior windows uncounted and mean_fill4
+        // could exceed 1.0. Contiguous packing from offset 0 fills
+        // exactly ceil(total_tokens / maxTokens) sequences.
         pos.agg(
-          countDistinct(col("seq_id")).as("n_seqs"),
+          when(sum("n_tok") > 0,
+            expr(s"(sum(n_tok) - 1) div $maxTokens") + 1L)
+            .otherwise(0L).as("n_seqs"),
           count(lit(1)).as("n_docs"),
           sum("n_tok").as("total_tokens"),
           sum(when(col("n_tok") > 0 &&
@@ -236,22 +243,25 @@ object TextAnalysis {
             col("n_straddlers"))
     }
 
-  val packEfficiencyOracle: String =
-    """WITH toks AS (SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+  def packEfficiencyOracle(maxTokens: Long = 2048L): String =
+    s"""WITH toks AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
                AS n_tok
            FROM documents),
         pos AS (SELECT doc_id, n_tok,
                   sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS cb
                 FROM toks)
-       SELECT CAST(count(DISTINCT cb // 2048) AS BIGINT) AS n_seqs,
+       SELECT CAST(CASE WHEN sum(n_tok) > 0
+                        THEN (sum(n_tok) - 1) // $maxTokens + 1
+                        ELSE 0 END AS BIGINT) AS n_seqs,
          count(*) AS n_docs,
          CAST(sum(n_tok) AS BIGINT) AS total_tokens,
          round(CAST(sum(n_tok) AS BIGINT)
-           / (count(DISTINCT cb // 2048) * CAST(2048 AS DOUBLE)), 4)
+           / (((sum(n_tok) - 1) // $maxTokens + 1)
+              * CAST($maxTokens AS DOUBLE)), 4)
            AS mean_fill4,
          CAST(sum(CASE WHEN n_tok > 0
-                        AND cb // 2048 <> (cb + n_tok - 1) // 2048
+                        AND cb // $maxTokens <> (cb + n_tok - 1) // $maxTokens
                    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
        FROM pos"""
 

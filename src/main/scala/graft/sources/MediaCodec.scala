@@ -357,5 +357,10 @@ object MediaCodec {
     } else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M') {
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       Some(Dims("image/bmp", bb.getInt(18), math.abs(bb.getInt(22)), 1))
+    } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8) {
+      // JFIF: geometry lives in the SOFn segment, not at a fixed offset
+      val sof = JpegCodec.parseSof(bytes)
+      Some(Dims("image/jpeg", sof.width, sof.height, 1))
     } else None
 }

@@ -30,10 +30,19 @@ object StreamDrift {
     val joined = reference.join(counts, Seq("event_type"), "full_outer")
       .na.fill(0L, Seq("n_a", "n_b"))
     val totals = joined.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
+    // FAIL LOUDLY on an empty side: an empty reference table (or a
+    // first micro-batch with zero counts) would otherwise publish null
+    // shares/drift to the serving parquet, which a dashboard reads as
+    // "no drift" — the silent-wrong outcome the repo's stance forbids.
+    def share(n: String, t: String) =
+      when(col(t) > 0, round(col(n) / col(t).cast("double"), 4))
+        .otherwise(raise_error(concat(
+          lit(s"drift monitor: total $t is zero/absent — refusing to "
+            + "publish null shares"))))
     joined.crossJoin(broadcast(totals))
       .select(col("event_type"), col("n_a"), col("n_b"),
-        round(col("n_a") / col("t_a").cast("double"), 4).as("share_a"),
-        round(col("n_b") / col("t_b").cast("double"), 4).as("share_b"))
+        share("n_a", "t_a").as("share_a"),
+        share("n_b", "t_b").as("share_b"))
       .withColumn("drift", round(abs(col("share_a") - col("share_b")), 4))
       .orderBy("event_type")
   }

@@ -43,6 +43,13 @@ class DedupPairsSpec extends SparkSpec {
       == rowsOf(Dedup.dedupSurvivorship(spark, sf)))
   }
 
+  test("dedupSurvivorshipComposed (shared session artifact) == standalone") {
+    // the headline #142b entry: same oracle as #142, pair join paid by
+    // the session-shared artifact instead of per run
+    assert(rowsOf(Dedup.dedupSurvivorshipComposed(spark, sf))
+      == rowsOf(Dedup.dedupSurvivorship(spark, sf)))
+  }
+
   test("dedupThresholdSweepFromPairs(artifact) == standalone sweep") {
     assert(rowsOf(Dedup.dedupThresholdSweepFromPairs(pairs))
       == rowsOf(Dedup.dedupThresholdSweep(spark, sf)))

@@ -88,6 +88,19 @@ class ExportImportSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("overflow"))
   }
 
+  test("pathSlug: collision-free and filesystem-safe where hashCode is not") {
+    // "Aa" and "BB" famously share a hashCode — the collision that let
+    // two sfDirs clobber one artifact directory (r10 ADVICE)
+    assert("Aa".hashCode == "BB".hashCode)
+    assert(ExportImport.pathSlug("Aa") != ExportImport.pathSlug("BB"))
+    val a = ExportImport.pathSlug("/root/testdata/sf0.01")
+    val b = ExportImport.pathSlug("/root/testdata/sf0.1")
+    assert(a != b)
+    assert(a.matches("[A-Za-z0-9._-]+"), s"slug must be path-safe: $a")
+    // deterministic: artifact registries key on the slug across calls
+    assert(a == ExportImport.pathSlug("/root/testdata/sf0.01"))
+  }
+
   test("corpus_diff: planted doc mutations land in the right status buckets") {
     import graft.operators.MergeImport
     val rows = MergeImport.corpusDiff(spark, sf).collect()

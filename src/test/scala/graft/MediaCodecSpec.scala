@@ -171,4 +171,51 @@ class MediaCodecSpec extends SparkSpec {
     val bad = df.filter(!col("ok") || col("dst_w") =!= 8).count()
     assert(bad == 0)
   }
+
+  test("JPEG: encode → own SOF walk + full decode recover the geometry") {
+    import graft.sources.JpegCodec
+    val w = 16; val h = 7
+    val rgb = Array.tabulate(3 * w * h)(i => ((i * 31 + 7) % 251).toByte)
+    val jpg = JpegCodec.encodeJpeg(w, h, rgb)
+    // container really is a JFIF stream with our geometry in its SOF
+    val sof = JpegCodec.parseSof(jpg)
+    assert((sof.width, sof.height, sof.components) == ((w, h, 3)))
+    assert(!sof.progressive, "JDK writer emits baseline SOF0")
+    // the lossy cycle returns the same raster shape with bounded error
+    val px = JpegCodec.decodeJpeg(jpg)
+    assert((px.width, px.height) == ((w, h)))
+    val mae = rgb.indices.map(i =>
+      math.abs((rgb(i) & 0xff) - (px.rgb(i) & 0xff))).sum.toDouble / rgb.length
+    assert(mae < 48.0, s"lossy error out of control: mae=$mae")
+    // sniff sees the new leg without disturbing PNG/BMP
+    assert(graft.sources.MediaCodec.sniff(jpg)
+      .contains(graft.sources.MediaCodec.Dims("image/jpeg", w, h, 1)))
+  }
+
+  test("JPEG: marker walk and decode fail loudly on non-JPEG bytes") {
+    import graft.sources.JpegCodec
+    intercept[IllegalArgumentException](
+      JpegCodec.parseSof("not a jpeg".getBytes))
+    intercept[IllegalArgumentException](
+      JpegCodec.decodeJpeg(Array.fill[Byte](64)(0x42)))
+    // truncated before any SOF: loud, not a zero-dims guess
+    val jpg = JpegCodec.encodeJpeg(4, 4, new Array[Byte](48))
+    intercept[Exception](JpegCodec.parseSof(jpg.take(6)))
+  }
+
+  test("media_jpeg_stats: geometry agrees both ways on every doc") {
+    val df = Blob.mediaJpegStats(spark, sf).cache()
+    try {
+      assert(df.count() > 0)
+      assert(df.filter(!col("decode_ok")).count() == 0)
+      // text-byte rasters are high-entropy, so DCT at q=0.9 need not
+      // beat raw size (unlike zlib in the PNG leg) — but the container
+      // must stay within a bounded constant factor of the raster, or
+      // the encoder is emitting something other than the image
+      assert(df.filter(col("jpeg_bytes") > col("height") * 48 * 4 + 2048)
+        .count() == 0)
+      // lossy error bounded on every doc
+      assert(df.filter(col("mae") >= 48.0).count() == 0)
+    } finally { df.unpersist(); () }
+  }
 }

@@ -628,6 +628,19 @@ class StreamingSpec extends SparkSpec {
       s"sizes stream=${got.length} batch=${want.length}")
   }
 
+  test("drift monitor fails loudly on an empty reference, never null shares") {
+    import graft.streaming.StreamDrift
+    import spark.implicits._
+    val emptyRef = Seq.empty[(String, Long)].toDF("event_type", "n_a")
+    val counts = Seq(("click", 5L)).toDF("event_type", "n_b")
+    val e = intercept[Throwable](StreamDrift.driftOf(emptyRef, counts).collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("drift monitor")),
+      s"expected the loud guard, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("streaming top-k heavy hitters equals the batch aggregate") {
     import graft.streaming.StreamTopK
     val q = StreamTopK.topk(EventStream.readEventStream(spark, sf))

@@ -121,6 +121,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.seqPack(spark, dirWithNoDocs).count() == 0)
   }
 
+  test("pack_efficiency: a doc spanning 3+ windows counts interior windows") {
+    import spark.implicits._
+    // r10 ADVICE: n_seqs from countDistinct(seq_id) counted only doc
+    // START windows, so a long doc's interior windows vanished and
+    // mean_fill4 could exceed 1.0. Contiguous packing of 5005 tokens at
+    // maxTokens=1024 fills exactly ceil(5005/1024)=5 sequences.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-longdoc").toString
+    Seq((1L, Seq.fill(5000)("w").mkString(" ")), (2L, "a b c"), (3L, "d e"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.packEfficiency(spark, dir, maxTokens = 1024L)
+      .collect().head
+    assert(r.getAs[Long]("total_tokens") == 5005L)
+    assert(r.getAs[Long]("n_seqs") == 5L,
+      s"interior windows must count: got n_seqs=${r.getAs[Long]("n_seqs")}")
+    assert(r.getAs[Double]("mean_fill4") <= 1.0)
+  }
+
   test("charset_gate: replacement and control chars counted exactly; tab/newline clean") {
     import spark.implicits._
     val docs = Seq(
