@@ -58,7 +58,8 @@ object Bench {
       "ann_lsh", "ann_ivf", "ann_ivf_static", "ann_ivf_indexed",
       "ann_pq", "ann_ivfpq", "semantic_dedup", "hard_negatives",
       "embedding_dedup", "embedding_quantize", "quantize_eval",
-      "embedding_class_stats", "embedding_pca", "ivf_probe_sweep"),
+      "embedding_class_stats", "embedding_outliers", "embedding_pca",
+      "ivf_probe_sweep"),
     "text" -> Seq(
       "text_stats", "token_count", "lang_id", "quality_filter",
       "quality_funnel", "quality_calibration", "gate_agreement",
@@ -67,7 +68,7 @@ object Bench {
       "ngram_lm", "quality_repetition", "lm_perplexity", "lm_perplexity_kn",
       "perplexity_buckets", "charset_gate",
       "stratified_sample", "vocab_coverage", "word_pmi", "quality_model",
-      "inverted_index", "source_mix_report", "tfidf_embed",
+      "inverted_index", "source_mix_report", "source_kl", "tfidf_embed",
       "bpe_train", "bpe_encode",
       "bpe_fertility", "bpe_encode_artifact",
       "char_entropy", "zipf_fit", "lang_confusion", "corpus_report"),

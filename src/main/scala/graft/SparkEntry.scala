@@ -164,6 +164,7 @@ object SparkEntry {
     "embedding_quantize" -> (Similarity.embeddingQuantize _),
     "quantize_eval" -> (Similarity.quantizeEval _),
     "embedding_class_stats" -> (Similarity.embeddingClassStats _),
+    "embedding_outliers" -> (Similarity.embeddingOutliers _),
     "decontaminate_fuzzy" -> ((s, d) => Curation.decontaminateFuzzy(s, d)),
     "mixture_upsample" -> (Curation.upsampleMixture _),
     "ngram_lm" -> ((s, d) => TextAnalysis.ngramLm(s, d)),
@@ -191,6 +192,7 @@ object SparkEntry {
     "dsir_weights" -> ((s, d) => Curation.dsirWeights(s, d)),
     "quality_funnel" -> ((s, d) => TextAnalysis.qualityFunnel(s, d)),
     "source_mix_report" -> (TextAnalysis.sourceMixReport _),
+    "source_kl" -> ((s, d) => TextAnalysis.sourceKl(s, d)),
     "event_dedup" -> (Analytics.eventDedup _),
     "perplexity_buckets" -> ((s, d) => TextAnalysis.perplexityBuckets(s, d)),
     "weighted_sample" -> ((s, d) => Quality.weightedSample(s, d)),
@@ -954,9 +956,11 @@ object SparkEntry {
     "lang_confusion" -> TextAnalysis.langConfusionOracle,
     "corpus_report" -> TextAnalysis.corpusReportOracle(),
     "embedding_class_stats" -> Similarity.embeddingClassStatsOracle,
+    "embedding_outliers" -> Similarity.embeddingOutliersOracle,
     "dsir_weights" -> Curation.dsirOracle(),
     "quality_funnel" -> TextAnalysis.qualityFunnelOracle(),
     "source_mix_report" -> TextAnalysis.sourceMixOracle,
+    "source_kl" -> TextAnalysis.sourceKlOracle(),
     "event_dedup" -> Analytics.eventDedupOracle,
     "events_ewma" -> Analytics.eventsEwmaOracle,
     "join_skew_salted" -> Analytics.joinSkewSaltedOracle,

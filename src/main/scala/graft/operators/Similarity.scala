@@ -1459,10 +1459,11 @@ object Similarity {
   def embeddingClassStats(spark: SparkSession, sfDir: String): DataFrame =
     embeddingClassStatsFrom(Tables.load(spark, sfDir, "embeddings"))
 
-  /** Generic core over ANY (vec_id, embedding, label) frame. */
-  def embeddingClassStatsFrom(e: DataFrame): DataFrame = {
-    val cents = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+  /** Per-label 1e-6-quantized centroid + its norm (the IVF-centroid
+    * doctrine) — shared by [[embeddingClassStatsFrom]] and
+    * [[embeddingOutliersFrom]]. Shuffle bounded by |labels|·dim. */
+  private[graft] def labelCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
       .agg(round(avg(col("v")), 6).as("m"))
       .groupBy("label")
@@ -1470,6 +1471,10 @@ object Similarity {
         x => x.getField("m")).as("centroid"))
       .select(col("label"), col("centroid"),
         l2norm(col("centroid")).as("cn"))
+
+  /** Generic core over ANY (vec_id, embedding, label) frame. */
+  def embeddingClassStatsFrom(e: DataFrame): DataFrame = {
+    val cents = labelCentroids(e)
     e.join(broadcast(cents), "label")
       .select(col("label"), col("cn"),
         (dot(col("embedding"), col("centroid"))
@@ -1481,6 +1486,91 @@ object Similarity {
         round(max(col("cos")), 4).as("max_cos"))
       .orderBy("label")
   }
+
+  /** §2 #200 — EMBEDDING OUTLIERS: per label, Tukey-fence outlier count
+    * over member-to-centroid cosines — the row-level complement of
+    * #164's min/max: class stats say how tight a label is; this says
+    * HOW MANY members sit outside the label's own distribution (the
+    * mislabeled/noisy-vector review queue a pipeline drains before
+    * trusting labels for blocking or supervision). Cosines are
+    * quantized to 1e-4 integers and fences computed with
+    * percentile_disc + doubled-integer comparisons — the #98 doctrine,
+    * so borderline flags can never flip between engines.
+    *
+    * Scale shape: centroids are |labels|·dim bounded model state
+    * (broadcast); the per-label fence table is a tiny percentile agg
+    * (broadcast back); the outlier count is one scan-side hash agg —
+    * no window over members, no collect. */
+  def embeddingOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingOutliersFrom(Tables.load(spark, sfDir, "embeddings"))
+
+  /** Generic core over ANY (vec_id, embedding, label) frame. */
+  def embeddingOutliersFrom(e: DataFrame): DataFrame = {
+    val cents = labelCentroids(e)
+    val scored = e.join(broadcast(cents), "label")
+      .select(col("label"),
+        round(dot(col("embedding"), col("centroid"))
+          / (l2norm(col("embedding")) * col("cn")) * 10000)
+          .cast("long").as("c4"))
+    val fences = scored.groupBy("label").agg(
+      expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY c4) AS BIGINT)")
+        .as("q1_c4"),
+      expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY c4) AS BIGINT)")
+        .as("q3_c4"))
+      .withColumn("iqr", col("q3_c4") - col("q1_c4"))
+    // 2·c < 2·q1 − 3·iqr ⇔ c < q1 − 1.5·iqr, in pure integers (#98)
+    val isOut = col("c4") * 2 < col("q1_c4") * 2 - col("iqr") * 3 ||
+      col("c4") * 2 > col("q3_c4") * 2 + col("iqr") * 3
+    scored.join(broadcast(fences), "label")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("q1_c4").as("q1_c4"), min("q3_c4").as("q3_c4"),
+        sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+        min(when(isOut, col("c4"))).as("min_out_c4"))
+      .orderBy("label")
+  }
+
+  /** DuckDB oracle for [[embeddingOutliers]]: the #164 cosine CTEs +
+    * quantile_disc fences with the same doubled-integer comparisons. */
+  val embeddingOutliersOracle: String =
+    """WITH dims AS (
+         SELECT label, unnest(embedding) AS v,
+                generate_subscripts(embedding, 1) AS pos
+         FROM embeddings),
+       cent AS (
+         SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS m
+         FROM dims GROUP BY label, pos),
+       cvec AS (
+         SELECT label, list(m ORDER BY pos) AS centroid,
+           sqrt(list_reduce(list_transform(list_zip(list(m ORDER BY pos),
+             list(m ORDER BY pos)), x -> CAST(x[1] AS DOUBLE)
+               * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)) AS cn
+         FROM cent GROUP BY label),
+       scored AS (
+         SELECT e.label,
+           CAST(round(list_reduce(list_transform(
+               list_zip(e.embedding, c.centroid),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+               (p, q) -> p + q)
+             / (sqrt(list_reduce(list_transform(list_zip(e.embedding,
+                 e.embedding), x -> CAST(x[1] AS DOUBLE)
+                   * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)) * c.cn)
+             * 10000) AS BIGINT) AS c4
+         FROM embeddings e JOIN cvec c USING (label)),
+       f AS (SELECT label,
+           CAST(quantile_disc(c4, 0.25) AS BIGINT) AS q1_c4,
+           CAST(quantile_disc(c4, 0.75) AS BIGINT) AS q3_c4
+         FROM scored GROUP BY label)
+       SELECT scored.label, count(*) AS n_vecs,
+         min(q1_c4) AS q1_c4, min(q3_c4) AS q3_c4,
+         CAST(sum(CASE WHEN c4*2 < q1_c4*2 - (q3_c4-q1_c4)*3
+                    OR c4*2 > q3_c4*2 + (q3_c4-q1_c4)*3
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         min(CASE WHEN c4*2 < q1_c4*2 - (q3_c4-q1_c4)*3
+                    OR c4*2 > q3_c4*2 + (q3_c4-q1_c4)*3
+                  THEN c4 END) AS min_out_c4
+       FROM scored JOIN f ON scored.label = f.label
+       GROUP BY scored.label ORDER BY scored.label"""
 
   /** DuckDB oracle for [[embeddingClassStats]]: same 1e-6 centroid
     * quantization, same left-fold dot ([[graft.functions.DotProduct]]'s

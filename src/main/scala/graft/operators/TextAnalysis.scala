@@ -1050,6 +1050,76 @@ object TextAnalysis {
        FROM bs JOIN ent ON bs.source = ent.source, tot
        ORDER BY bs.source"""
 
+  /** §2 #199 — SOURCE KL DIVERGENCE: per-source unigram distribution
+    * vs the corpus-wide distribution, both restricted to the corpus
+    * TOP-K words — KL(source ‖ corpus) = Σ p_s·ln(p_s/p_c). The
+    * mixture-health number next to #112's entropy: entropy says how a
+    * source spreads over languages; KL says how far its WORD usage
+    * drifts from the blend it feeds (near 0 = interchangeable filler;
+    * high = a distinct register worth its own mixture weight — the
+    * signal DSIR/importance-weighting schemes build on). Restricting
+    * both distributions to the corpus top-K keeps the support shared
+    * and the statistic vocabulary-bounded; zero-count terms contribute
+    * 0 by the 0·ln0 convention (inner join drops them identically in
+    * both engines).
+    *
+    * Scale shape: the token explode rides the corpus scan; every
+    * aggregate after it is vocabulary- or source-bounded; the K-word
+    * reference list is a TakeOrdered + broadcast (bounded model state,
+    * like every trained literal here). Terms are 8-dp rounded and
+    * decimal-summed, so the KL is partition-order independent. */
+  def sourceKl(spark: SparkSession, sfDir: String,
+               topK: Int = 200): DataFrame =
+    sourceKlFrom(Tables.load(spark, sfDir, "documents"), topK)
+
+  /** Generic core over ANY (source, text) frame. */
+  def sourceKlFrom(docs: DataFrame, topK: Int = 200): DataFrame = {
+    val toks = docs.select(col("source"),
+      explode(TextShingles.words(col("text"))).as("t"))
+    // deterministic reference vocabulary: top-K by (count desc, word)
+    val corpus = toks.groupBy("t").agg(count(lit(1)).as("cw"))
+      .orderBy(desc("cw"), col("t")).limit(topK)
+    val corpusTot = corpus.agg(sum("cw").as("nc"))
+    val src = toks.join(broadcast(corpus), "t")
+      .groupBy("source", "t")
+      .agg(count(lit(1)).as("cs"), first(col("cw")).as("cw"))
+    val srcTot = src.groupBy("source").agg(sum("cs").as("ns"))
+    src.join(srcTot, "source").crossJoin(broadcast(corpusTot))
+      .withColumn("term", round(
+        (col("cs") / col("ns").cast("double"))
+          * log((col("cs").cast("double") * col("nc"))
+            / (col("ns").cast("double") * col("cw"))), 8)
+        .cast(DecimalType(18, 8)))
+      .groupBy("source")
+      .agg(max("ns").as("n_topk_tokens"),
+        count(lit(1)).as("n_topk_words"),
+        sum("term").as("kl_sum"))
+      .select(col("source"), col("n_topk_tokens"), col("n_topk_words"),
+        round(col("kl_sum").cast("double"), 4).as("kl4"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[sourceKl]]: same top-K tie-break, same
+    * double-division and ln arithmetic, same 8-dp decimal term sum. */
+  def sourceKlOracle(topK: Int = 200): String =
+    s"""WITH w AS (SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+           FROM documents),
+        c AS (SELECT t, count(*) AS cw FROM w
+              GROUP BY t ORDER BY cw DESC, t LIMIT $topK),
+        nc AS (SELECT CAST(sum(cw) AS BIGINT) AS nc FROM c),
+        s AS (SELECT source, w.t, count(*) AS cs, any_value(cw) AS cw
+              FROM w JOIN c ON w.t = c.t GROUP BY source, w.t),
+        ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns
+               FROM s GROUP BY source)
+       SELECT s.source, CAST(max(ns) AS BIGINT) AS n_topk_tokens,
+         CAST(count(*) AS BIGINT) AS n_topk_words,
+         round(CAST(sum(CAST(round((cs / CAST(ns AS DOUBLE))
+             * ln((CAST(cs AS DOUBLE) * nc) / (CAST(ns AS DOUBLE) * cw)),
+             8) AS DECIMAL(18,8))) AS DOUBLE), 4) AS kl4
+       FROM s JOIN ns ON s.source = ns.source, nc
+       GROUP BY s.source ORDER BY s.source"""
+
   /** Generic core: Unicode canonicalization (NFC + whitespace collapse
     * + trim) via the codegen'd [[graft.functions.NfcNormalize]]
     * expression — the pass that must run BEFORE any exact-hash dedup:

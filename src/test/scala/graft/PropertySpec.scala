@@ -244,4 +244,44 @@ class PropertySpec extends SparkSpec {
       assert(giniOf(lens.map(_ * 3)) == ((g, t1, t10)), s"lens=$lens")
     }
   }
+
+  test("parseSof: recovers geometry through arbitrary legal marker prefixes") {
+    import graft.sources.JpegCodec
+    // synthesize a minimal JPEG prefix: SOI, a random mix of APPn/COM/
+    // DQT segments with random payloads (including 0xFF bytes inside the
+    // payload — lengths, not byte-stuffing, delimit header segments),
+    // then a SOFn frame header. The walk must recover (w, h, ncomp,
+    // progressive) regardless of what precedes the SOF.
+    def seg(mk: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, mk.toByte,
+        (((payload.length + 2) >> 8) & 0xff).toByte,
+        ((payload.length + 2) & 0xff).toByte) ++ payload
+    val segGen = for {
+      mk <- Gen.oneOf((0xe0 to 0xef) ++ Seq(0xfe, 0xdb, 0xc4))
+      n <- Gen.choose(0, 40)
+      bytes <- Gen.listOfN(n, Gen.choose(0, 255))
+    } yield seg(mk, bytes.map(_.toByte).toArray)
+    (1L to 40L).foreach { seed =>
+      val pre = sample(Gen.listOf(segGen), seed)
+      val w = sample(Gen.choose(1, 65535), seed + 1)
+      val h = sample(Gen.choose(1, 65535), seed + 2)
+      val ncomp = sample(Gen.oneOf(1, 3), seed + 3)
+      val prog = sample(Gen.oneOf(true, false), seed + 4)
+      val sofPayload = Array[Byte](8) ++
+        Array(((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+          ((w >> 8) & 0xff).toByte, (w & 0xff).toByte, ncomp.toByte) ++
+        Array.fill[Byte](3 * ncomp)(0x11)
+      val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+        pre.flatten ++ seg(if (prog) 0xc2 else 0xc0, sofPayload)
+      val sof = JpegCodec.parseSof(jpeg)
+      assert((sof.width, sof.height, sof.components, sof.progressive)
+        == ((w, h, ncomp, prog)), s"seed=$seed prefixSegs=${pre.length}")
+      // a DHT (0xc4) in the prefix must never be mistaken for a SOF:
+      // segGen emits it freely and the assert above already proves it,
+      // but the SOS-without-SOF guard must also stay loud
+      val noSof = Array[Byte](0xff.toByte, 0xd8.toByte) ++ pre.flatten ++
+        Array(0xff.toByte, 0xda.toByte, 0x00.toByte, 0x02.toByte)
+      intercept[IllegalArgumentException](JpegCodec.parseSof(noSof))
+    }
+  }
 }

@@ -416,4 +416,32 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("embedding_outliers: planted flip flagged; fixture counts coherent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 9 near-identical members + 1 flipped vector: the flip sits far
+    // below the label's own cosine distribution and must be the one
+    // outlier (cosine ≈ -1 vs the fence from a tight ≈ +1 cluster)
+    val base = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val flip = Array(-1.0f, 0.0f, 0.0f, 0.0f)
+    val vecs = (1 to 9).map(i =>
+      (i.toLong, Array(1.0f, 0.001f * i, 0.0f, 0.0f), "t")) :+
+      ((10L, flip, "t"))
+    val planted = vecs.toDF("vec_id", "embedding", "label")
+    val r = Similarity.embeddingOutliersFrom(planted).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_vecs") == 10L)
+    assert(r.head.getAs[Long]("n_outliers") == 1L, r.head.toString)
+    assert(r.head.getAs[Long]("min_out_c4") < -9000L, r.head.toString)
+    val _ = base
+    // fixture: every label's fences ordered, outliers a strict subset
+    val rows = Similarity.embeddingOutliers(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
+      Tables.load(spark, sf, "embeddings").count())
+    rows.foreach { row =>
+      assert(row.getAs[Long]("q1_c4") <= row.getAs[Long]("q3_c4"), row)
+      assert(row.getAs[Long]("n_outliers") < row.getAs[Long]("n_vecs"), row)
+    }
+  }
 }

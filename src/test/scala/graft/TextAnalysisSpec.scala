@@ -121,6 +121,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.seqPack(spark, dirWithNoDocs).count() == 0)
   }
 
+  test("source_kl: identical usage gives 0; a planted drift is positive") {
+    import spark.implicits._
+    // two sources with IDENTICAL word distributions -> both KL = 0
+    val same = Seq(("a", "x x y"), ("b", "x x y")).toDF("source", "text")
+    val klSame = TextAnalysis.sourceKlFrom(same, topK = 10).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("kl4")).toMap
+    assert(klSame == Map("a" -> 0.0, "b" -> 0.0))
+    // hand-check: corpus = {x:3, y:3}; source a = {x:2, y:1},
+    // b = {x:1, y:2} -> KL(a||c) = 2/3 ln(4/3) + 1/3 ln(2/3)
+    val drift = Seq(("a", "x x y"), ("b", "x y y")).toDF("source", "text")
+    val got = TextAnalysis.sourceKlFrom(drift, topK = 10).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_topk_tokens"),
+        r.getAs[Double]("kl4"))).toList
+    val expect = BigDecimal(
+      2.0 / 3 * math.log((2.0 * 6) / (3.0 * 3))
+        + 1.0 / 3 * math.log((1.0 * 6) / (3.0 * 3)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == List(("a", 3L, expect), ("b", 3L, expect)), s"got $got")
+    // fixture corpus: KL is non-negative for every source
+    val fix = TextAnalysis.sourceKl(spark, sf).collect()
+    assert(fix.nonEmpty)
+    assert(fix.forall(_.getAs[Double]("kl4") >= 0.0))
+  }
+
   test("pack_efficiency: a doc spanning 3+ windows counts interior windows") {
     import spark.implicits._
     // r10 ADVICE: n_seqs from countDistinct(seq_id) counted only doc
