@@ -42,7 +42,8 @@ object Bench {
       "dedup_exact", "para_dedup", "line_dedup", "text_normalize",
       "dedup_minhash", "dedup_eval_sample", "dedup_eval_sweep",
       "dedup_ngram_exactjoin",
-      "dedup_simhash", "dedup_clusters", "dedup_survivorship",
+      "dedup_simhash", "dedup_clusters", "dedup_clusters_composed",
+      "dedup_survivorship",
       "dedup_corpus", "dedup_audit_composed",
       "dedup_survivorship_composed", "leakage_safe_split_composed",
       "dedup_incremental",
@@ -209,18 +210,18 @@ object Bench {
     // builder-vs-driver bench gaps without the stderr log.
     var annPre = ""; var annPost = ""
     var annGcPre = 0L; var annGcPost = 0L
-    // per-query adjudicators for the DEDUP block (the family the r10
-    // driver sweep showed a 17x unexplained outlier in): CPU/GC/shuffle
-    // deltas per dedup query, emitted as vectors in benchOrder order.
+    // per-query adjudicators for EVERY query (r10's dedup-only gating
+    // left the r11 ANN regression unadjudicable — the hole is now
+    // closed by recording CPU/GC/shuffle deltas for the whole order):
+    // emitted as vectors in benchOrder order, same decoder as v_cs.
     val acc = new TaskMetricsAccumulator
     spark.sparkContext.addSparkListener(acc)
-    val dedupAdj = scala.collection.mutable.Map[String, (Long, Long, Long)]()
+    val queryAdj = scala.collection.mutable.Map[String, (Long, Long, Long)]()
     val timed = names.map { name =>
       if (annNames.headOption.contains(name)) {
         annPre = jvmHealth(); annGcPre = gcMs()
       }
-      val isDedup = famOf(name) == "dedup"
-      val pre = if (isDedup) acc.snapshot else null
+      val pre = acc.snapshot
       val t0 = System.nanoTime()
       val res =
         try { SparkEntry.queries(name)(spark, sfDir).count(); None }
@@ -245,9 +246,9 @@ object Bench {
       // (observed 3-4x on the export round-trips at the end of a full
       // sweep). Equivalent to spark.cleaner.periodicGC on a cluster.
       System.gc()
-      if (isDedup) {
+      locally {
         val post = acc.snapshot
-        dedupAdj(name) = (post._1 - pre._1, post._2 - pre._2,
+        queryAdj(name) = (post._1 - pre._1, post._2 - pre._2,
           post._3 - pre._3)
       }
       System.err.println(f"[bench] $name%-24s ${t}%8.2fs  ${jvmHealth()}")
@@ -300,17 +301,17 @@ object Bench {
     // decoded against the full-run order doc; order_fp fingerprints
     // the ACTUAL name list timed either way
     val order = if (args.isEmpty) "docs/BENCH_ORDER.md" else "subset"
-    // dedup-block adjudicator vectors, one entry per dedup-family query
-    // in benchOrder order (same decoder as v_cs): executor-CPU
+    // ALL-QUERY adjudicator vectors, one entry per timed query in
+    // benchOrder order (same decoder as v_cs): executor-CPU
     // centiseconds, task-attributed GC ms, shuffle read+write MB. A
     // wall outlier in v_cs with flat vectors here = environment, not
-    // plan.
-    val dedupNames = names.filter(n => famOf(n) == "dedup")
-    def dvec(f: ((Long, Long, Long)) => Long) = dedupNames.map(n =>
-      dedupAdj.get(n).map(f(_).toString).getOrElse("-1"))
+    // plan. (r11's dq_* covered only the dedup family; the ANN block's
+    // unexplained 5x needed exactly these and had none.)
+    def dvec(f: ((Long, Long, Long)) => Long) = names.map(n =>
+      queryAdj.get(n).map(f(_).toString).getOrElse("-1"))
       .mkString("[", ",", "]")
-    val dq = s""""dq_cpu_cs":${dvec(m => m._1 / 10000000L)},"dq_gc_ms":${
-        dvec(_._2)},"dq_sh_mb":${dvec(m => m._3 / 1000000L)},"""
+    val dq = s""""aq_cpu_cs":${dvec(m => m._1 / 10000000L)},"aq_gc_ms":${
+        dvec(_._2)},"aq_sh_mb":${dvec(m => m._3 / 1000000L)},"""
     println(f"""{"total_s":$total%.3f,"n":${ok.size},"n_err":${timed.size - ok.size},"fam":$famTotals,$retry$dq"emb_cold_s":$embCold%.2f,"emb_warm_s":$embWarm%.2f,"ann_gc_ms":${annGcPost - annGcPre},"ann_jvm_pre":"$annPre","ann_jvm_post":"$annPost","order":"$order","order_fp":"${orderFingerprint(names)}","v_cs":$vcs}""")
     spark.stop()
   }

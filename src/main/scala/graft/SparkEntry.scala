@@ -76,6 +76,8 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_ngram_exactjoin" -> ((s, d) => Dedup.dedupNgramExactjoin(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_clusters_composed" ->
+      ((s, d) => Dedup.dedupClustersComposed(s, d)),
     "dedup_survivorship" -> ((s, d) => Dedup.dedupSurvivorship(s, d)),
     "dedup_survivorship_composed" ->
       ((s, d) => Dedup.dedupSurvivorshipComposed(s, d)),
@@ -263,6 +265,28 @@ object SparkEntry {
 
   /** Brute-force cosine top-k in SQL — the ann_bruteforce oracle, also
     * embedded as the ground truth inside ann_recall_eval's oracle. */
+  // shared by dedup_clusters and its artifact-fed composed twin (#46b)
+  private val dedupClustersSql: String =
+    s"""${graft.functions.TextShingles.duckdbShingleCte
+            .replaceFirst("WITH sh", "WITH RECURSIVE sh")},
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+        SELECT id AS doc_id, cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                 AS n_members,
+               id = cluster_id AS is_canonical
+        FROM lab ORDER BY doc_id"""
+
   private val bruteAnnSql: String =
     s"""$duckNormCte
         SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos6 FROM (
@@ -455,26 +479,8 @@ object SparkEntry {
     "exact_substr_scrub" -> Dedup.exactSubstrScrubOracle(),
     "scrub_report" -> Dedup.scrubReportOracle(),
     "dedup_pairs_incremental" -> Dedup.dedupPairsIncrementalOracle(),
-    "dedup_clusters" ->
-      s"""${graft.functions.TextShingles.duckdbShingleCte
-              .replaceFirst("WITH sh", "WITH RECURSIVE sh")},
-          pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3),
-          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                    UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
-          reach(id, lbl) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-          lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
-          SELECT id AS doc_id, cluster_id,
-                 CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
-                   AS n_members,
-                 id = cluster_id AS is_canonical
-          FROM lab ORDER BY doc_id""",
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_clusters_composed" -> dedupClustersSql,
     "embedding_dedup" ->
       s"""$duckNormCte
           SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,

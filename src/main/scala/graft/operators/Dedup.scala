@@ -620,6 +620,24 @@ object Dedup {
       Tables.load(spark, sfDir, "documents").select(col("doc_id")),
       dedupNgramExactjoin(spark, sfDir, tau), maxIters)
 
+  /** §2 #46b — the ARTIFACT-FED form of [[dedupClusters]]: identical
+    * output (same oracle), but the corpus-scale prefix join is not
+    * re-paid per run — edges come from the per-session verified-pair
+    * parquet ([[sharedVerifiedPairsDir]]), the same artifact the
+    * composed survivorship/audit/split read. This is the form a
+    * production run executes: ONE pair build per corpus version, then
+    * cluster formation (and every downstream audit) as a rollup over
+    * the bounded pair table — the #142b pattern, which cut
+    * survivorship's bench 31.3s → 1.5s. */
+  def dedupClustersComposed(spark: SparkSession, sfDir: String,
+                            tau: Double = 0.3, maxIters: Int = 20)
+      : DataFrame = {
+    val dir = sharedVerifiedPairsDir(spark, sfDir, tau)
+    dedupClustersFromPairs(
+      Tables.load(spark, sfDir, "documents").select(col("doc_id")),
+      readVerifiedPairs(spark, dir).filter(col("j4") >= tau), maxIters)
+  }
+
   /** Artifact-consuming core: connected components over an
     * ALREADY-VERIFIED pair table (id_a, id_b[, j4]) — see
     * [[verifiedPairsToDir]]. Public seam of [[clustersFromPairs]] so a

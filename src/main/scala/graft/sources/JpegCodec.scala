@@ -105,12 +105,16 @@ object JpegCodec {
       if (mk >= 0xd0 && mk <= 0xd7 || mk == 0x01) {
         i += 2 // RSTn/TEM: standalone, no length word
       } else {
+        require(i + 3 < bytes.length,
+          s"truncated at segment length word, offset $i")
         val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
         require(len >= 2, s"bad segment length $len at offset $i")
         val isSof = mk >= 0xc0 && mk <= 0xcf &&
           mk != 0xc4 && mk != 0xc8 && mk != 0xcc
         if (isSof) {
           require(len >= 8, s"SOF segment too short: $len")
+          require(i + 9 < bytes.length,
+            s"truncated inside SOF header at offset $i")
           val h = ((bytes(i + 5) & 0xff) << 8) | (bytes(i + 6) & 0xff)
           val w = ((bytes(i + 7) & 0xff) << 8) | (bytes(i + 8) & 0xff)
           return SofInfo(w, h, bytes(i + 9) & 0xff, progressive = mk == 0xc2)

@@ -359,8 +359,11 @@ object MediaCodec {
       Some(Dims("image/bmp", bb.getInt(18), math.abs(bb.getInt(22)), 1))
     } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
         (bytes(1) & 0xff) == 0xd8) {
-      // JFIF: geometry lives in the SOFn segment, not at a fixed offset
-      val sof = JpegCodec.parseSof(bytes)
-      Some(Dims("image/jpeg", sof.width, sof.height, 1))
+      // JFIF: geometry lives in the SOFn segment, not at a fixed offset.
+      // sniff stays total: a payload that merely STARTS 0xFF 0xD8 (e.g.
+      // truncated crawl bytes) degrades to None → octet-stream, per the
+      // HeaderDecoder contract; mediaJpegStats keeps the loud parseSof.
+      scala.util.Try(JpegCodec.parseSof(bytes)).toOption
+        .map(sof => Dims("image/jpeg", sof.width, sof.height, 1))
     } else None
 }

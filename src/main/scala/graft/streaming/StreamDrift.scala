@@ -55,8 +55,13 @@ object StreamDrift {
     events.groupBy("event_type").agg(count(lit(1)).as("n_b"))
       .writeStream.outputMode("complete")
       .foreachBatch { (counts: Dataset[Row], _: Long) =>
-        driftOf(reference, counts.toDF())
-          .write.mode("overwrite").parquet(outDir)
+        // An idle interval (empty micro-batch, a normal transient) must
+        // NOT kill the monitor: skip the overwrite and keep the last
+        // published table. driftOf still raises loudly on an empty
+        // REFERENCE — that one is misconfiguration, not idleness.
+        if (!counts.isEmpty)
+          driftOf(reference, counts.toDF())
+            .write.mode("overwrite").parquet(outDir)
         ()
       }
       .start()

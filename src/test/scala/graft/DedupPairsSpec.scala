@@ -43,6 +43,13 @@ class DedupPairsSpec extends SparkSpec {
       == rowsOf(Dedup.dedupSurvivorship(spark, sf)))
   }
 
+  test("dedupClustersComposed (shared session artifact) == standalone") {
+    // the headline #46b entry: same oracle as #46, pair join paid by
+    // the session-shared artifact instead of per run
+    assert(rowsOf(Dedup.dedupClustersComposed(spark, sf))
+      == rowsOf(Dedup.dedupClusters(spark, sf)))
+  }
+
   test("dedupSurvivorshipComposed (shared session artifact) == standalone") {
     // the headline #142b entry: same oracle as #142, pair join paid by
     // the session-shared artifact instead of per run
