@@ -89,7 +89,8 @@ object Bench {
       "nested_docs",
       "compressed_io", "media_roundtrip", "media_frame_sample",
       "media_resize", "media_png_roundtrip", "media_resize_png",
-      "media_wav_stats", "media_jpeg_stats", "json_props",
+      "media_wav_stats", "media_jpeg_stats", "media_phash_dedup",
+      "json_props",
       "import_validation", "import_errors", "package_apply"))
 
   /** Flat headline order (= concatenated family order). Anything not

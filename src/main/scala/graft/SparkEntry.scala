@@ -209,6 +209,7 @@ object SparkEntry {
     "html_strip" -> (TextAnalysis.htmlStrip _),
     "media_wav_stats" -> ((s, d) => Blob.mediaWavStats(s, d)),
     "media_jpeg_stats" -> ((s, d) => Blob.mediaJpegStatsArith(s, d)),
+    "media_phash_dedup" -> ((s, d) => Blob.mediaPhashDedup(s, d)),
     "events_hopping" -> (Analytics.eventsHopping _),
     "sessionize_native" -> ((s, d) => Sessionize.sessionizeNative(s, d)),
     "fixed_width_roundtrip" -> (ExportImport.fixedWidthRoundtrip _),
@@ -975,6 +976,7 @@ object SparkEntry {
     "html_strip" -> TextAnalysis.htmlStripOracle,
     "media_wav_stats" -> Blob.mediaWavStatsOracle(),
     "media_jpeg_stats" -> Blob.mediaJpegStatsOracle,
+    "media_phash_dedup" -> Blob.mediaPhashDedupOracle(),
     "events_hopping" -> Analytics.eventsHoppingOracle,
     "sessionize_native" -> Sessionize.nativeOracle(),
     "fixed_width_roundtrip" -> ExportImport.fixedWidthRoundtripOracle,

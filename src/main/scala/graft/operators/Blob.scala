@@ -448,6 +448,74 @@ object Blob {
          true AS decode_ok
        FROM documents ORDER BY doc_id"""
 
+  /** §2 #201 — IMAGE PERCEPTUAL-HASH NEAR-DUP DETECTION: the operator
+    * that bridges the media seam and the dedup family — near-duplicate
+    * IMAGE detection at corpus scale. Per doc: deterministic grayscale
+    * raster ([[graft.sources.MediaCodec.grayRasterOf]], the WAV-style
+    * code-point contract) → REAL PNG encode → REAL full decode (zlib
+    * inflate + de-filter + CRC) → 56-bit dHash over the DECODED pixels
+    * ([[graft.sources.MediaCodec.dhash56]]) → banded Hamming candidate
+    * pairs via the shared SimHash band machinery
+    * ([[Dedup.bandedHammingPairs]], 8 bands × 7 bits). Pigeonhole: at
+    * maxHamming ≤ 7 every qualifying pair shares a clean band, so the
+    * banded plan EQUALS the all-pairs oracle — recall 1.0, verified.
+    *
+    * Scale shape: fingerprinting is ONE mapPartitions (encode, decode,
+    * hash never leave the executor — at 100 TB the image bytes are the
+    * dominant mass and they never shuffle); the candidate join moves
+    * only (band_key, id, fp) and shuffles on the band key. Output is
+    * bounded by the near-dup pair count, exactly like text SimHash. */
+  def mediaPhashDedup(spark: SparkSession, sfDir: String,
+                      maxHamming: Int = 7): DataFrame = {
+    import spark.implicits._
+    val fps = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val raster = graft.sources.MediaCodec.grayRasterOf(text)
+        val png = graft.sources.MediaCodec.encodePng(
+          raster.width, raster.height, raster.rgb, _ => 0)
+        val px = graft.sources.MediaCodec.decodePng(png)
+        (id, graft.sources.MediaCodec.dhash56(px))
+      })
+      .toDF("doc_id", "fp")
+    Dedup.bandedHammingPairs(fps, bands = 8, bandBits = 7, maxHamming)
+  }
+
+  /** DuckDB oracle for [[mediaPhashDedup]]: gray values replay from
+    * code points (the WAV contract), the 8×8 sample grid and the 56
+    * difference bits replay arithmetically, and the all-pairs
+    * xor/bit_count join brute-forces the same pairs the banded plan
+    * finds — recall equality is the checked property. */
+  def mediaPhashDedupOracle(maxHamming: Int = 7): String =
+    s"""WITH cps AS (
+          SELECT doc_id,
+            [unicode(text[i])
+             for i in range(1, CAST(len(text) AS INTEGER) + 1)] AS cp
+          FROM documents),
+        d AS (
+          SELECT doc_id, cp,
+            greatest(1, CAST(ceil(len(cp) / 16.0) AS BIGINT)) AS h
+          FROM cps),
+        f AS (
+          SELECT doc_id,
+            CAST(list_sum(flatten([[
+              CASE WHEN
+                (CASE WHEN 16*((gy*h)//8) + 2*(gx+1) < len(cp)
+                      THEN cp[CAST(16*((gy*h)//8) + 2*(gx+1) + 1
+                              AS INTEGER)] % 256 ELSE 0 END)
+                >
+                (CASE WHEN 16*((gy*h)//8) + 2*gx < len(cp)
+                      THEN cp[CAST(16*((gy*h)//8) + 2*gx + 1
+                              AS INTEGER)] % 256 ELSE 0 END)
+              THEN CAST(1 AS BIGINT) << (7*gy + gx) ELSE 0 END
+              for gx in range(7)] for gy in range(8)])) AS BIGINT) AS fp
+          FROM d)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+       FROM f a JOIN f b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming
+       ORDER BY id_a, id_b"""
+
   /** DuckDB oracle for [[mediaWavStats]]: the sample mapping and every
     * statistic replayed from code points; container size = 44-byte
     * canonical header + 2 bytes per sample. */

@@ -578,12 +578,27 @@ object Dedup {
       graft.functions.SimHash.simhashFingerprint(col("hx"), SimHashBits)
         .as("fp"))
 
-    // band b = 9-bit slice of the fingerprint; the band join moves only
-    // (band_key, id, fp) — 3 scalar columns
+    bandedHammingPairs(fp, SimHashBands, SimHashBandBits, maxHamming)
+  }
+
+  /** Banded Hamming pair search over ANY packed-long fingerprint table
+    * (doc_id, fp): `bands` × `bandBits` slices become equi-join keys,
+    * candidates are verified with bit_count(xor) ≤ maxHamming.
+    * Pigeonhole (Manku et al.): maxHamming < bands guarantees every
+    * qualifying pair shares a clean band — recall 1.0, so the banded
+    * plan EQUALS the all-pairs oracle. Shared by [[dedupSimhashFrom]]
+    * (54-bit text SimHash) and [[Blob.mediaPhashDedup]] (56-bit image
+    * dHash). The band join moves only (band_key, id, fp) — 3 scalar
+    * columns — and shuffles on the band key, never the corpus. */
+  private[graft] def bandedHammingPairs(fp: DataFrame, bands: Int,
+                                        bandBits: Int,
+                                        maxHamming: Int): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole recall guarantee needs maxHamming < $bands bands")
     val banded = fp.select(col("doc_id"), col("fp"),
       explode(expr(
-        s"""transform(sequence(0, ${SimHashBands - 1}), b ->
-              concat(b, ':', shiftright(fp, b * $SimHashBandBits) & ${(1 << SimHashBandBits) - 1}))"""))
+        s"""transform(sequence(0, ${bands - 1}), b ->
+              concat(b, ':', shiftright(fp, b * $bandBits) & ${(1 << bandBits) - 1}))"""))
         .as("band_key"))
 
     val a = banded.select(col("band_key"), col("doc_id").as("id_a"),

@@ -344,6 +344,53 @@ object MediaCodec {
     encodePng(dstW, dstH, out)
   }
 
+  /** Synthesized grayscale raster for the perceptual-hash leg: 16 px
+    * wide, h = max(1, ceil(#codepoints/16)) rows, pixel p's three
+    * channels all carry (codepoint(p) mod 256), zero beyond the text —
+    * the same cross-engine character contract as
+    * [[WavCodec.samplesOf]], so the DuckDB oracle replays every gray
+    * value from `unicode(text[i])` while the container work (PNG
+    * encode + full decode) stays byte-real. */
+  def grayRasterOf(text: String): Pixels = {
+    val cps = text.codePoints().toArray
+    val h = math.max(1,
+      (cps.length + BmpContentWidth - 1) / BmpContentWidth)
+    val rgb = new Array[Byte](3 * BmpContentWidth * h)
+    var i = 0
+    while (i < cps.length) {
+      val v = (cps(i) % 256).toByte
+      rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
+      i += 1
+    }
+    Pixels(BmpContentWidth, h, rgb)
+  }
+
+  /** 56-bit dHash (difference hash) over a DECODED raster: 8×8
+    * nearest-neighbor sample grid (sx = gx·w/8, sy = gy·h/8 — the same
+    * selection rule as [[resizePngHalf]]), gray = R channel, bit
+    * 7·gy+gx set iff sample(gx+1,gy) > sample(gx,gy) — 7 adjacent
+    * comparisons per row × 8 rows. 56 bits keeps the fingerprint clear
+    * of the BIGINT sign bit in BOTH engines, so xor/bit_count replay
+    * exactly in the oracle. */
+  def dhash56(px: Pixels): Long = {
+    var fp = 0L
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * px.height / 8
+      var prev = px.rgb(3 * (px.width * sy)) & 0xff
+      var gx = 0
+      while (gx < 7) {
+        val cur =
+          px.rgb(3 * (px.width * sy + (gx + 1) * px.width / 8)) & 0xff
+        if (cur > prev) fp |= 1L << (7 * gy + gx)
+        prev = cur
+        gx += 1
+      }
+      gy += 1
+    }
+    fp
+  }
+
   /** Parse a PNG or BMP header; None for anything else. PNG: IHDR is
     * REQUIRED to be the first chunk (RFC 2083 §4.1.1), so width/height
     * are the two big-endian ints at offsets 16/20. BMP: little-endian

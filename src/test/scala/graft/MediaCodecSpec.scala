@@ -218,4 +218,78 @@ class MediaCodecSpec extends SparkSpec {
       assert(df.filter(col("mae") >= 48.0).count() == 0)
     } finally { df.unpersist(); () }
   }
+
+  test("dhash56: invariant to brightness offset, flips on structure change") {
+    // dHash compares ADJACENT samples, so a constant brightness shift
+    // (no clipping) must not move a single bit — the property that
+    // makes it a perceptual hash rather than a checksum
+    val base = MediaCodec.Pixels(16, 8, testRgb(16, 8))
+    val brighter = MediaCodec.Pixels(16, 8,
+      base.rgb.map(b => math.min(255, (b & 0xff) / 2 + 40).toByte))
+    val dimmed = MediaCodec.Pixels(16, 8,
+      base.rgb.map(b => ((b & 0xff) / 2).toByte))
+    assert(MediaCodec.dhash56(dimmed) == MediaCodec.dhash56(
+      MediaCodec.Pixels(16, 8, dimmed.rgb.map(b => ((b & 0xff) + 40).toByte))))
+    assert(MediaCodec.dhash56(brighter) != 0L)
+    // reversing each row's gradient flips comparison bits
+    val reversed = {
+      val r = new Array[Byte](base.rgb.length)
+      for (y <- 0 until 8; x <- 0 until 16; c <- 0 until 3)
+        r(3 * (16 * y + x) + c) = base.rgb(3 * (16 * y + (15 - x)) + c)
+      MediaCodec.Pixels(16, 8, r)
+    }
+    assert(MediaCodec.dhash56(base) != MediaCodec.dhash56(reversed))
+    // 56-bit contract: the sign bit (and bits 56-63) never set
+    assert((MediaCodec.dhash56(base) >>> 56) == 0L)
+  }
+
+  test("media_phash_dedup: banded recall equals brute force on a crafted fixture") {
+    import spark.implicits._
+    // crafted corpus: two near-identical gradient pairs (small Hamming),
+    // one far outlier; text length chosen so rasters span multiple rows
+    val mk = (seed: Int, n: Int) =>
+      (0 until n).map(i => ((i * 7 + seed) % 96 + 32).toChar).mkString
+    val docs = Seq(
+      (1L, mk(0, 160)), (2L, mk(0, 160)),            // identical → hamming 0
+      (3L, mk(1, 160)), (4L, mk(1, 161)),            // near pair
+      (5L, mk(37, 401))                              // different shape
+    ).toDF("doc_id", "text")
+    val fps = docs.as[(Long, String)].map { case (id, text) =>
+      val raster = MediaCodec.grayRasterOf(text)
+      val px = MediaCodec.decodePng(MediaCodec.encodePng(
+        raster.width, raster.height, raster.rgb, _ => 0))
+      (id, MediaCodec.dhash56(px))
+    }.collect().toMap
+    // brute-force truth at maxHamming=7
+    val truth = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 7
+    } yield (a, b, h)).toSet
+    assert(truth.contains((1L, 2L, 0)), s"fixture must contain a 0-pair: $truth")
+    val banded = graft.operators.Dedup
+      .bandedHammingPairs(docs.as[(Long, String)].map { case (id, text) =>
+        (id, MediaCodec.dhash56(MediaCodec.grayRasterOf(text)))
+      }.toDF("doc_id", "fp"), bands = 8, bandBits = 7, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == truth, s"banded $banded != brute $truth")
+  }
+
+  test("media_phash_dedup: decoded-pixel hash equals raster hash on real docs") {
+    // the PNG cycle is lossless, so hashing DECODED pixels must equal
+    // hashing the synthesized raster — proves the container leg does
+    // not perturb the fingerprint arithmetic the oracle replays
+    import spark.implicits._
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().take(200).foreach { case (_, text) =>
+        val raster = MediaCodec.grayRasterOf(text)
+        val px = MediaCodec.decodePng(MediaCodec.encodePng(
+          raster.width, raster.height, raster.rgb, _ => 0))
+        assert(MediaCodec.dhash56(px) == MediaCodec.dhash56(raster))
+      }
+    // and the operator itself returns sane, ordered, deduped pairs
+    val out = Blob.mediaPhashDedup(spark, sf).collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)
+      && r.getInt(2) >= 0 && r.getInt(2) <= 7))
+  }
 }
