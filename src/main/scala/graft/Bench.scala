@@ -42,10 +42,13 @@ object Bench {
       "dedup_exact", "para_dedup", "line_dedup", "text_normalize",
       "dedup_minhash", "dedup_eval_sample", "dedup_eval_sweep",
       "dedup_ngram_exactjoin",
-      "dedup_simhash", "dedup_clusters", "dedup_clusters_composed",
-      "dedup_survivorship",
+      "dedup_simhash", "dedup_clusters", "dedup_survivorship",
       "dedup_corpus", "dedup_audit_composed",
-      "dedup_survivorship_composed", "leakage_safe_split_composed",
+      // composed forms AFTER dedup_audit_composed: by convention the
+      // audit pays the session's one-time verified-pair artifact build,
+      // so the composed entries measure the production rollup form
+      "dedup_clusters_composed", "dedup_survivorship_composed",
+      "leakage_safe_split_composed",
       "dedup_incremental",
       "dedup_pairs_incremental",
       "doc_containment", "kgram_novelty", "memorization_grams",
@@ -90,7 +93,7 @@ object Bench {
       "compressed_io", "media_roundtrip", "media_frame_sample",
       "media_resize", "media_png_roundtrip", "media_resize_png",
       "media_wav_stats", "media_jpeg_stats", "media_phash_dedup",
-      "json_props",
+      "media_phash_clusters", "json_props",
       "import_validation", "import_errors", "package_apply"))
 
   /** Flat headline order (= concatenated family order). Anything not

@@ -210,6 +210,7 @@ object SparkEntry {
     "media_wav_stats" -> ((s, d) => Blob.mediaWavStats(s, d)),
     "media_jpeg_stats" -> ((s, d) => Blob.mediaJpegStatsArith(s, d)),
     "media_phash_dedup" -> ((s, d) => Blob.mediaPhashDedup(s, d)),
+    "media_phash_clusters" -> ((s, d) => Blob.mediaPhashClusters(s, d)),
     "events_hopping" -> (Analytics.eventsHopping _),
     "sessionize_native" -> ((s, d) => Sessionize.sessionizeNative(s, d)),
     "fixed_width_roundtrip" -> (ExportImport.fixedWidthRoundtrip _),
@@ -977,6 +978,7 @@ object SparkEntry {
     "media_wav_stats" -> Blob.mediaWavStatsOracle(),
     "media_jpeg_stats" -> Blob.mediaJpegStatsOracle,
     "media_phash_dedup" -> Blob.mediaPhashDedupOracle(),
+    "media_phash_clusters" -> Blob.mediaPhashClustersOracle(),
     "events_hopping" -> Analytics.eventsHoppingOracle,
     "sessionize_native" -> Sessionize.nativeOracle(),
     "fixed_width_roundtrip" -> ExportImport.fixedWidthRoundtripOracle,

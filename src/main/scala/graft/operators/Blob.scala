@@ -516,6 +516,66 @@ object Blob {
        WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming
        ORDER BY id_a, id_b"""
 
+  /** §2 #201b — IMAGE NEAR-DUP CLUSTERS: the [[mediaPhashDedup]] pairs
+    * fed through the proven connected-components propagation
+    * ([[Dedup.dedupClustersFromPairs]]) — per image: cluster id,
+    * cluster size, canonical flag. Keep `is_canonical`, drop the rest,
+    * and the image corpus is deduped — the same end-to-end verb the
+    * text side runs as dedup_clusters, closing the media→dedup bridge.
+    * Scale shape inherited: banded fingerprint join for candidates,
+    * O(log diameter) pointer-halving rounds over the bounded pair
+    * table; image bytes never shuffle. */
+  def mediaPhashClusters(spark: SparkSession, sfDir: String,
+                         maxHamming: Int = 7): DataFrame =
+    Dedup.dedupClustersFromPairs(
+      Tables.load(spark, sfDir, "documents").select(col("doc_id")),
+      mediaPhashDedup(spark, sfDir, maxHamming)
+        .select(col("id_a"), col("id_b")))
+
+  /** DuckDB oracle for [[mediaPhashClusters]]: the phash pair CTE plus
+    * the same recursive transitive-closure cluster truth as
+    * dedup_clusters. */
+  def mediaPhashClustersOracle(maxHamming: Int = 7): String =
+    s"""WITH RECURSIVE cps AS (
+          SELECT doc_id,
+            [unicode(text[i])
+             for i in range(1, CAST(len(text) AS INTEGER) + 1)] AS cp
+          FROM documents),
+        d AS (
+          SELECT doc_id, cp,
+            greatest(1, CAST(ceil(len(cp) / 16.0) AS BIGINT)) AS h
+          FROM cps),
+        f AS (
+          SELECT doc_id,
+            CAST(list_sum(flatten([[
+              CASE WHEN
+                (CASE WHEN 16*((gy*h)//8) + 2*(gx+1) < len(cp)
+                      THEN cp[CAST(16*((gy*h)//8) + 2*(gx+1) + 1
+                              AS INTEGER)] % 256 ELSE 0 END)
+                >
+                (CASE WHEN 16*((gy*h)//8) + 2*gx < len(cp)
+                      THEN cp[CAST(16*((gy*h)//8) + 2*gx + 1
+                              AS INTEGER)] % 256 ELSE 0 END)
+              THEN CAST(1 AS BIGINT) << (7*gy + gx) ELSE 0 END
+              for gx in range(7)] for gy in range(8)])) AS BIGINT) AS fp
+          FROM d),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM f a JOIN f b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+       SELECT id AS doc_id, cluster_id,
+              CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                AS n_members,
+              id = cluster_id AS is_canonical
+       FROM lab ORDER BY doc_id"""
+
   /** DuckDB oracle for [[mediaWavStats]]: the sample mapping and every
     * statistic replayed from code points; container size = 44-byte
     * canonical header + 2 bytes per sample. */

@@ -292,4 +292,23 @@ class MediaCodecSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(0) < r.getLong(1)
       && r.getInt(2) >= 0 && r.getInt(2) <= 7))
   }
+
+  test("media_phash_clusters: components closed over the phash pairs") {
+    val pairs = Blob.mediaPhashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = Blob.mediaPhashClusters(spark, sf).collect()
+    assert(got.length == Tables.load(spark, sf, "documents").count())
+    val label = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every near-dup image pair lands in one cluster
+    pairs.foreach { case (a, b) => assert(label(a) == label(b)) }
+    // cluster id is the min member; sizes and canonical flags agree
+    val byCluster = got.groupBy(_.getLong(1))
+    assert(byCluster.forall { case (cid, ms) =>
+      ms.map(_.getLong(0)).min == cid &&
+        ms.forall(_.getLong(2) == ms.length) &&
+        ms.forall(r => r.getBoolean(3) == (r.getLong(0) == cid))
+    })
+    assert(byCluster.exists(_._2.length > 1),
+      "fixture must contain at least one multi-image cluster")
+  }
 }
