@@ -59,7 +59,8 @@ object Bench {
       "ann_bruteforce", "knn_graph", "knn_graph_ann", "pagerank",
       "knn_communities", "label_spread",
       "ann_recall_eval",
-      "ann_lsh", "ann_ivf", "ann_ivf_static", "ann_ivf_indexed",
+      "ann_lsh", "ann_sign_sketch", "ann_ivf", "ann_ivf_static",
+      "ann_ivf_indexed",
       "ann_pq", "ann_ivfpq", "semantic_dedup", "hard_negatives",
       "embedding_dedup", "embedding_quantize", "quantize_eval",
       "embedding_class_stats", "embedding_outliers", "embedding_pca",

@@ -96,6 +96,7 @@ object SparkEntry {
     "knn_graph_ann" -> ((s, d) => Similarity.knnGraphAnn(s, d)),
     "label_spread" -> ((s, d) => Similarity.labelSpread(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "ann_sign_sketch" -> ((s, d) => Similarity.annSignSketch(s, d)),
     // C. LLM-data-pipeline: text analysis
     "text_stats" -> (TextAnalysis.textStats _),
     "lang_id" -> (TextAnalysis.langId _),
@@ -536,6 +537,7 @@ object SparkEntry {
     // static-hyperplane LSH is fully deterministic — the oracle inlines
     // the seeded planes and replays sign-bit banding + ranking exactly
     "ann_lsh" -> Similarity.lshOracle(),
+    "ann_sign_sketch" -> Similarity.signSketchOracle(),
     "ann_ivf_static" -> Similarity.ivfStaticOracle(),
     // same pipeline served from the materialized cell-partitioned index
     "ann_ivf_indexed" -> Similarity.ivfStaticOracle(),

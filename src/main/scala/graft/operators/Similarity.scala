@@ -1387,6 +1387,96 @@ object Similarity {
       k)
   }
 
+  /** §2 #203 — BINARY SIGN-SKETCH ANN serve: 63-bit sign codes (bit i
+    * = embedding[i] > 0, dims 0..62 so the code stays clear of the
+    * BIGINT sign bit in BOTH engines) → Hamming top-m pre-filter over
+    * CODES ONLY → exact-cosine rerank of the m survivors. This is the
+    * production "binary codes in RAM, floats on disk" pattern: at
+    * 100 TB the 8-byte code column is ~32× smaller than the float
+    * vectors, the pre-filter scans codes map-only (queries broadcast,
+    * bounded TopK — at most m rows per (query, partition) move), and
+    * the float fetch pays only m·nQueries rows. Spark-first: the code
+    * packing is one codegen'd `aggregate` over the array, Hamming is
+    * xor + bit_count, both stages end in the bounded
+    * [[graft.functions.TopKByScore]] aggregate — no window over the
+    * corpus, no full-size shuffle anywhere. */
+  def annSignSketch(spark: SparkSession, sfDir: String,
+                    nQueries: Int = 10, m: Int = 50, k: Int = 5)
+      : DataFrame = {
+    val coded = vectors(spark, sfDir).withColumn("code", expr(
+      """aggregate(sequence(0, 62), CAST(0 AS BIGINT),
+           (acc, i) -> acc + IF(element_at(embedding, i + 1) > CAST(0 AS FLOAT),
+                                shiftleft(CAST(1 AS BIGINT), i),
+                                CAST(0 AS BIGINT)))"""))
+    // stage 1: Hamming top-m over the 8-byte codes — the embeddings are
+    // NOT in this stage's plan at all (the pre-filter's entire point)
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("code_q"))
+    val c = coded.select(col("vec_id").as("neighbor_id"),
+      col("code").as("code_c"))
+    val topM = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        // TopKByScore ranks (score DESC, id ASC); negated Hamming makes
+        // that (hamming ASC, id ASC) — the oracle's row_number order
+        expr("CAST(-bit_count(code_q ^ code_c) AS DOUBLE)").as("cos"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.topkByScore(
+        col("neighbor_id"), col("cos"), m).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.neighbor_id").as("neighbor_id"))
+    // stage 2: exact-cosine rerank of the m·nQueries survivors — the
+    // only rows whose float vectors are ever fetched
+    val v = vectors(spark, sfDir)
+    val qv = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"))
+    val cv = v.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("e_c"), col("nrm").as("n_c"))
+    rankTopK(
+      topM.join(broadcast(qv), Seq("query_id"))
+        .join(cv, Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"),
+            col("n_c")).as("cos")),
+      k)
+  }
+
+  /** DuckDB oracle for [[annSignSketch]]: the 63-bit packing, the
+    * Hamming top-m (row_number over (hamming, neighbor_id) — the exact
+    * TopKByScore order), and the cosine rerank all replay in SQL. */
+  def signSketchOracle(nQueries: Int = 10, m: Int = 50,
+                       k: Int = 5): String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    s"""WITH n AS (SELECT vec_id, embedding,
+          sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+        b AS (SELECT vec_id, embedding, nrm,
+          CAST(list_sum([CASE WHEN embedding[i + 1] > 0
+                              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+                         for i in range(63)]) AS BIGINT) AS code
+          FROM n),
+        topm AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY bit_count(xor(q.code, c.code)), c.vec_id) AS rm
+            FROM b q JOIN b c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < $nQueries)
+          WHERE rm <= $m)
+        SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos6 FROM (
+          SELECT t.query_id, t.neighbor_id,
+            ${dot("qv.embedding", "cv.embedding")} / (qv.nrm * cv.nrm) AS cos,
+            CAST(row_number() OVER (PARTITION BY t.query_id ORDER BY
+              ${dot("qv.embedding", "cv.embedding")} / (qv.nrm * cv.nrm) DESC,
+              t.neighbor_id) AS INTEGER) AS rnk
+          FROM topm t
+          JOIN b qv ON qv.vec_id = t.query_id
+          JOIN b cv ON cv.vec_id = t.neighbor_id)
+        WHERE rnk <= $k ORDER BY query_id, rnk"""
+  }
+
   /** §2 #76 — embedding QUANTIZATION (int8, per-vector max-abs scale):
     * the compression step an ANN index at 100 TB actually stores —
     * 4 bytes/dim float32 → 1 byte/dim int8 + one scale. Output per

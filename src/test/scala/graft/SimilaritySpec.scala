@@ -28,6 +28,34 @@ class SimilaritySpec extends SparkSpec {
       "ann_lsh final ranking must not use a window")
   }
 
+  test("ann_sign_sketch: 63-bit codes, hamming prefilter, recall@5 >= 0.5") {
+    // hand vector: sign code packs exactly bit i = embedding[i] > 0
+    import spark.implicits._
+    val hand = Seq((0L, Array.tabulate(64)(i =>
+      if (i % 3 == 0) 1.0f else -1.0f), 0)).toDF("vec_id", "embedding", "label")
+    hand.createOrReplaceTempView("hand_emb")
+    val code = spark.sql(
+      """SELECT aggregate(sequence(0, 62), CAST(0 AS BIGINT),
+           (acc, i) -> acc + IF(element_at(embedding, i + 1) > CAST(0 AS FLOAT),
+                                shiftleft(CAST(1 AS BIGINT), i),
+                                CAST(0 AS BIGINT))) AS code FROM hand_emb""")
+      .collect().head.getLong(0)
+    val expected = (0 until 63).filter(_ % 3 == 0)
+      .map(i => 1L << i).sum
+    assert(code == expected)
+    assert(code >= 0L, "code must stay clear of the sign bit")
+    // serve quality: hamming-prefilter + exact rerank against brute
+    val brute = Similarity.annBruteforce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sketch = Similarity.annSignSketch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect sketch).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@5 = $recall")
+    // both stages end in the bounded TopK aggregate — no window sort
+    assert(!planOf(Similarity.annSignSketch(spark, sf)).contains("Window"),
+      "ann_sign_sketch must not use a window")
+  }
+
   test("ann_ivf: probed cells bound candidates, recall@5 >= 0.5 vs brute") {
     val brute = Similarity.annBruteforce(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
