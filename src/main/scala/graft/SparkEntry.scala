@@ -212,6 +212,8 @@ object SparkEntry {
     "media_jpeg_stats" -> ((s, d) => Blob.mediaJpegStatsArith(s, d)),
     "media_phash_dedup" -> ((s, d) => Blob.mediaPhashDedup(s, d)),
     "media_phash_clusters" -> ((s, d) => Blob.mediaPhashClusters(s, d)),
+    "media_phash_incremental" ->
+      ((s, d) => Blob.mediaPhashIncremental(s, d)),
     "events_hopping" -> (Analytics.eventsHopping _),
     "sessionize_native" -> ((s, d) => Sessionize.sessionizeNative(s, d)),
     "fixed_width_roundtrip" -> (ExportImport.fixedWidthRoundtrip _),
@@ -504,7 +506,9 @@ object SparkEntry {
             round(n_hit / CAST(n_truth AS DOUBLE), 4) AS recall
           FROM (${rec("ann_ivf_static", Similarity.ivfStaticOracle())}
                 UNION ALL
-                ${rec("ann_lsh", Similarity.lshOracle())})
+                ${rec("ann_lsh", Similarity.lshOracle())}
+                UNION ALL
+                ${rec("ann_sign_sketch", Similarity.signSketchOracle())})
           ORDER BY variant"""
     },
     "knn_graph" ->
@@ -981,6 +985,7 @@ object SparkEntry {
     "media_jpeg_stats" -> Blob.mediaJpegStatsOracle,
     "media_phash_dedup" -> Blob.mediaPhashDedupOracle(),
     "media_phash_clusters" -> Blob.mediaPhashClustersOracle(),
+    "media_phash_incremental" -> Blob.mediaPhashIncrementalOracle(),
     "events_hopping" -> Analytics.eventsHoppingOracle,
     "sessionize_native" -> Sessionize.nativeOracle(),
     "fixed_width_roundtrip" -> ExportImport.fixedWidthRoundtripOracle,

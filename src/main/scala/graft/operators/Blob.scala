@@ -466,10 +466,19 @@ object Blob {
     * only (band_key, id, fp) and shuffles on the band key. Output is
     * bounded by the near-dup pair count, exactly like text SimHash. */
   def mediaPhashDedup(spark: SparkSession, sfDir: String,
-                      maxHamming: Int = 7): DataFrame = {
+                      maxHamming: Int = 7): DataFrame =
+    Dedup.bandedHammingPairs(
+      phashFingerprints(Tables.load(spark, sfDir, "documents")),
+      bands = 8, bandBits = 7, maxHamming)
+
+  /** (doc_id, fp) via the REAL container cycle: raster → PNG encode →
+    * full decode → dHash over the DECODED pixels. One mapPartitions;
+    * shared by the batch pair search, the incremental decisions, and
+    * the streaming ingest. */
+  private[graft] def phashFingerprints(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val fps = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val raster = graft.sources.MediaCodec.grayRasterOf(text)
         val png = graft.sources.MediaCodec.encodePng(
@@ -478,8 +487,92 @@ object Blob {
         (id, graft.sources.MediaCodec.dhash56(px))
       })
       .toDF("doc_id", "fp")
-    Dedup.bandedHammingPairs(fps, bands = 8, bandBits = 7, maxHamming)
   }
+
+  /** §2 #201c — INCREMENTAL image-dedup decisions: each delta document
+    * against an accumulated base FINGERPRINT table (8 bytes/image — the
+    * only state a 100 TB image ingest keeps hot). A delta doc is
+    * `near` when its dHash is within `maxHamming` of any base
+    * fingerprint OR of a SMALLER-id delta doc (the one-level in-batch
+    * rule [[Dedup.incrementalFrom]] proves for text); `kept` otherwise.
+    * The probe side of the band join is the DELTA ONLY — daily cost ∝
+    * increment, never base×base, the same economics as
+    * dedup_pairs_incremental. Returns (doc_id, fp, decision) so the
+    * streaming ingest appends kept fingerprints without re-decoding. */
+  def mediaPhashIncrementalFrom(baseFps: DataFrame, delta: DataFrame,
+                                maxHamming: Int = 7): DataFrame = {
+    val deltaFps = phashFingerprints(delta)
+    val build = baseFps.select(col("doc_id"), col("fp"))
+      .withColumn("b_is_base", lit(true))
+      .unionByName(deltaFps.withColumn("b_is_base", lit(false)))
+    val pairs = Dedup.bandedHammingPairsFrom(
+      deltaFps, build, bands = 8, bandBits = 7, maxHamming)
+    val blockers = pairs
+      .join(build.select(col("doc_id").as("id_b"), col("b_is_base")),
+        Seq("id_b"))
+      .filter(col("b_is_base") || col("id_b") < col("id_a"))
+      .select(col("id_a").as("doc_id")).distinct()
+      .withColumn("blocked", lit(true))
+    deltaFps.join(blockers, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fp"),
+        when(coalesce(col("blocked"), lit(false)), lit("near"))
+          .otherwise(lit("kept")).as("decision"))
+      .orderBy("doc_id")
+  }
+
+  /** The driver query form of [[mediaPhashIncrementalFrom]]: the %-slice
+    * stands in for the delta batch (base = doc_id%10 < 8), exactly the
+    * dedup_pairs_incremental convention. */
+  def mediaPhashIncremental(spark: SparkSession, sfDir: String,
+                            maxHamming: Int = 7, mod: Int = 10,
+                            deltaFrom: Int = 8): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val isDelta = col("doc_id") % mod >= deltaFrom
+    mediaPhashIncrementalFrom(
+      phashFingerprints(docs.filter(!isDelta)), docs.filter(isDelta),
+      maxHamming)
+      .select("doc_id", "decision")
+  }
+
+  /** DuckDB oracle for [[mediaPhashIncremental]]: fingerprints replay
+    * from code points, the decision rule replays as EXISTS over the
+    * all-pairs Hamming relation restricted to (base ∪ smaller-id
+    * delta) blockers. */
+  def mediaPhashIncrementalOracle(maxHamming: Int = 7, mod: Int = 10,
+                                  deltaFrom: Int = 8): String =
+    s"""WITH cps AS (
+          SELECT doc_id,
+            [unicode(text[i])
+             for i in range(1, CAST(len(text) AS INTEGER) + 1)] AS cp
+          FROM documents),
+        d AS (
+          SELECT doc_id, cp,
+            greatest(1, CAST(ceil(len(cp) / 16.0) AS BIGINT)) AS h
+          FROM cps),
+        f AS (
+          SELECT doc_id,
+            CAST(list_sum(flatten([[
+              CASE WHEN
+                (CASE WHEN 16*((gy*h)//8) + 2*(gx+1) < len(cp)
+                      THEN cp[CAST(16*((gy*h)//8) + 2*(gx+1) + 1
+                              AS INTEGER)] % 256 ELSE 0 END)
+                >
+                (CASE WHEN 16*((gy*h)//8) + 2*gx < len(cp)
+                      THEN cp[CAST(16*((gy*h)//8) + 2*gx + 1
+                              AS INTEGER)] % 256 ELSE 0 END)
+              THEN CAST(1 AS BIGINT) << (7*gy + gx) ELSE 0 END
+              for gx in range(7)] for gy in range(8)])) AS BIGINT) AS fp
+          FROM d)
+       SELECT a.doc_id AS doc_id,
+              CASE WHEN EXISTS (
+                SELECT 1 FROM f b
+                WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming
+                  AND (b.doc_id % $mod < $deltaFrom
+                       OR (b.doc_id % $mod >= $deltaFrom
+                           AND b.doc_id < a.doc_id)))
+                THEN 'near' ELSE 'kept' END AS decision
+       FROM f a WHERE a.doc_id % $mod >= $deltaFrom
+       ORDER BY doc_id"""
 
   /** DuckDB oracle for [[mediaPhashDedup]]: gray values replay from
     * code points (the WAV contract), the 8×8 sample grid and the 56

@@ -590,17 +590,20 @@ object Dedup {
     * (54-bit text SimHash) and [[Blob.mediaPhashDedup]] (56-bit image
     * dHash). The band join moves only (band_key, id, fp) — 3 scalar
     * columns — and shuffles on the band key, never the corpus. */
-  private[graft] def bandedHammingPairs(fp: DataFrame, bands: Int,
-                                        bandBits: Int,
-                                        maxHamming: Int): DataFrame = {
-    require(maxHamming < bands,
-      s"pigeonhole recall guarantee needs maxHamming < $bands bands")
-    val banded = fp.select(col("doc_id"), col("fp"),
+  private def withBandKeys(fp: DataFrame, bands: Int,
+                           bandBits: Int): DataFrame =
+    fp.select(col("doc_id"), col("fp"),
       explode(expr(
         s"""transform(sequence(0, ${bands - 1}), b ->
               concat(b, ':', shiftright(fp, b * $bandBits) & ${(1 << bandBits) - 1}))"""))
         .as("band_key"))
 
+  private[graft] def bandedHammingPairs(fp: DataFrame, bands: Int,
+                                        bandBits: Int,
+                                        maxHamming: Int): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole recall guarantee needs maxHamming < $bands bands")
+    val banded = withBandKeys(fp, bands, bandBits)
     val a = banded.select(col("band_key"), col("doc_id").as("id_a"),
       col("fp").as("fp_a"))
     val b = banded.select(col("band_key"), col("doc_id").as("id_b"),
@@ -612,6 +615,32 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
+  }
+
+  /** [[bandedHammingPairs]] with the PROBE side restricted: every
+    * (id_a ∈ probe, id_b ∈ build, id_a ≠ id_b) pair within
+    * `maxHamming` — the incremental form (probe = delta only), so a
+    * delta batch pays band-join cost ∝ increment, never build×build.
+    * Same pigeonhole recall guarantee. */
+  private[graft] def bandedHammingPairsFrom(probe: DataFrame,
+                                            build: DataFrame, bands: Int,
+                                            bandBits: Int,
+                                            maxHamming: Int): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole recall guarantee needs maxHamming < $bands bands")
+    val a = withBandKeys(probe, bands, bandBits)
+      .select(col("band_key"), col("doc_id").as("id_a"),
+        col("fp").as("fp_a"))
+    val b = withBandKeys(build.select(col("doc_id"), col("fp")), bands,
+        bandBits)
+      .select(col("band_key"), col("doc_id").as("id_b"),
+        col("fp").as("fp_b"))
+    a.join(b, Seq("band_key"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(fp_a ^ fp_b) AS INT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** §2 #46 — near-dup CLUSTER formation: the step an actual corpus

@@ -303,6 +303,8 @@ object Similarity {
     }
     one("ann_ivf_static", annIvfStatic(spark, sfDir, nQueries = nQueries, k = k))
       .unionByName(one("ann_lsh", annLsh(spark, sfDir, nQueries = nQueries, k = k)))
+      .unionByName(one("ann_sign_sketch",
+        annSignSketch(spark, sfDir, nQueries = nQueries, k = k)))
       .orderBy("variant")
   }
 

@@ -213,7 +213,8 @@ class SimilaritySpec extends SparkSpec {
   test("ann_recall_eval: recall bounded by 1, brute truth size = nQueries*k") {
     val rows = Similarity.annRecallEval(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    assert(rows.map(_._1).toSeq == Seq("ann_ivf_static", "ann_lsh"))
+    assert(rows.map(_._1).toSeq
+      == Seq("ann_ivf_static", "ann_lsh", "ann_sign_sketch"))
     rows.foreach { case (v, truth, hit, recall) =>
       assert(truth == 50L, s"$v truth $truth")
       assert(hit <= truth && recall >= 0.0 && recall <= 1.0)

@@ -137,6 +137,57 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "a1"), (2L, "b2"), (3L, "c0")))
   }
 
+  test("stream phash: per-batch image decisions equal sequential replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = graft.operators.ExportImport.scratch("stream-phash")
+    val (baseDir, outDir, ckpt) = (root + "/base", root + "/out", root + "/ckpt")
+    Seq(baseDir, outDir, ckpt).foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    // crafted "images": identical text → hamming 0; far text → far code
+    val mk = (seed: Int, n: Int) =>
+      (0 until n).map(i => ((i * 7 + seed) % 96 + 32).toChar).mkString
+    val d1 = Seq(
+      (1L, mk(0, 160)),
+      (2L, mk(0, 160)),          // duplicate image of 1 (in-batch rule)
+      (3L, mk(37, 401)))
+    val d2 = Seq(
+      (10L, mk(0, 160)),         // duplicate of base 1
+      (11L, mk(11, 257)))        // fresh
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamPhash.applyStream(
+      input.toDF().toDF("doc_id", "text"), baseDir, outDir, ckpt)
+    try {
+      input.addData(d1: _*); q.processAllAvailable()
+      input.addData(d2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // sequential batch replay with the batch twin
+    val fps = (df: org.apache.spark.sql.DataFrame) =>
+      graft.operators.Blob.phashFingerprints(df)
+    val b1 = d1.toDF("doc_id", "text"); val b2 = d2.toDF("doc_id", "text")
+    val dec1 = graft.operators.Blob
+      .mediaPhashIncrementalFrom(fps(b1).filter(lit(false)), b1).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val base1 = fps(b1.filter(col("doc_id")
+      .isin(dec1.filter(_._2 == "kept").keys.toSeq: _*)))
+    val dec2 = graft.operators.Blob
+      .mediaPhashIncrementalFrom(base1, b2).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got == dec1 ++ dec2, s"got=$got expect=${dec1 ++ dec2}")
+    assert(dec1(2L) == "near" && dec2(10L) == "near" && dec2(11L) == "kept")
+    // the accumulated base holds exactly the kept fingerprints
+    val baseIds = spark.read.parquet(baseDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(baseIds == (dec1 ++ dec2).filter(_._2 == "kept").keySet)
+  }
+
   test("stream dedup: per-batch decisions equal sequential incremental dedup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
