@@ -94,7 +94,8 @@ object Bench {
       "compressed_io", "media_roundtrip", "media_frame_sample",
       "media_resize", "media_png_roundtrip", "media_resize_png",
       "media_wav_stats", "media_jpeg_stats", "media_phash_dedup",
-      "media_phash_clusters", "media_phash_incremental", "json_props",
+      "media_phash_clusters", "media_phash_incremental",
+      "media_wav_fp_dedup", "json_props",
       "import_validation", "import_errors", "package_apply"))
 
   /** Flat headline order (= concatenated family order). Anything not

@@ -214,6 +214,7 @@ object SparkEntry {
     "media_phash_clusters" -> ((s, d) => Blob.mediaPhashClusters(s, d)),
     "media_phash_incremental" ->
       ((s, d) => Blob.mediaPhashIncremental(s, d)),
+    "media_wav_fp_dedup" -> ((s, d) => Blob.mediaWavFpDedup(s, d)),
     "events_hopping" -> (Analytics.eventsHopping _),
     "sessionize_native" -> ((s, d) => Sessionize.sessionizeNative(s, d)),
     "fixed_width_roundtrip" -> (ExportImport.fixedWidthRoundtrip _),
@@ -986,6 +987,7 @@ object SparkEntry {
     "media_phash_dedup" -> Blob.mediaPhashDedupOracle(),
     "media_phash_clusters" -> Blob.mediaPhashClustersOracle(),
     "media_phash_incremental" -> Blob.mediaPhashIncrementalOracle(),
+    "media_wav_fp_dedup" -> Blob.mediaWavFpDedupOracle(),
     "events_hopping" -> Analytics.eventsHoppingOracle,
     "sessionize_native" -> Sessionize.nativeOracle(),
     "fixed_width_roundtrip" -> ExportImport.fixedWidthRoundtripOracle,

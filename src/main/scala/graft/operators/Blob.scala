@@ -669,6 +669,71 @@ object Blob {
               id = cluster_id AS is_canonical
        FROM lab ORDER BY doc_id"""
 
+  /** §2 #204 — AUDIO FINGERPRINT NEAR-DUP DETECTION: the audio twin of
+    * [[mediaPhashDedup]], closing media dedup across BOTH modalities.
+    * Per doc: deterministic PCM synthesis (the WAV code-point
+    * contract) → REAL RIFF/WAVE encode → REAL decode → 56-bit energy-
+    * envelope difference hash over the DECODED samples
+    * ([[graft.sources.WavCodec.energyFp56]]) → banded Hamming pairs
+    * via the shared band machinery (14 bands × 4 bits; pigeonhole ⇒
+    * recall 1.0 at Hamming ≤ 13 — audio envelopes are more
+    * discriminative than image rasters, hence the wider radius and the
+    * narrower bands: the standard recall/candidate-volume tradeoff,
+    * priced by the band width).
+    * Scale shape: fingerprinting is ONE mapPartitions (audio bytes
+    * never shuffle); the candidate join moves (band_key, id, fp)
+    * only. */
+  def mediaWavFpDedup(spark: SparkSession, sfDir: String,
+                      maxHamming: Int = 13): DataFrame = {
+    import spark.implicits._
+    val fps = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val pcm = graft.sources.WavCodec.samplesOf(text)
+        if (pcm.isEmpty) Iterator.empty
+        else {
+          val wav = graft.sources.WavCodec.encodeWav(pcm, 16000)
+          val (_, samples) = graft.sources.WavCodec.decodeWav(wav)
+          Iterator((id, graft.sources.WavCodec.energyFp56(samples)))
+        }
+      })
+      .toDF("doc_id", "fp")
+    Dedup.bandedHammingPairs(fps, bands = 14, bandBits = 4, maxHamming)
+  }
+
+  /** DuckDB oracle for [[mediaWavFpDedup]]: samples and the 57-frame
+    * energy envelope replay from code points (exact integer sums), the
+    * 56 difference bits replay arithmetically, and the all-pairs
+    * xor/bit_count join brute-forces the same pairs the banded plan
+    * finds. */
+  def mediaWavFpDedupOracle(maxHamming: Int = 13): String =
+    s"""WITH cps AS (
+          SELECT doc_id,
+            [unicode(text[i])
+             for i in range(1, CAST(len(text) AS INTEGER) + 1)] AS cp
+          FROM documents WHERE len(text) >= 1),
+        s AS (SELECT doc_id,
+            list_transform(cp,
+              c -> CAST(((c % 256) - 128) * 256 AS BIGINT)) AS s
+          FROM cps),
+        e AS (SELECT doc_id,
+            [coalesce(list_sum(
+                list_transform(s[CAST((k*len(s))//57 + 1 AS INTEGER)
+                                :CAST(((k+1)*len(s))//57 AS INTEGER)],
+                  x -> abs(x))), 0)
+             for k in range(57)] AS env
+          FROM s),
+        f AS (SELECT doc_id,
+            CAST(list_sum([CASE WHEN env[k+2] > env[k+1]
+                                THEN CAST(1 AS BIGINT) << k ELSE 0 END
+                           for k in range(56)]) AS BIGINT) AS fp
+          FROM e)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+       FROM f a JOIN f b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming
+       ORDER BY id_a, id_b"""
+
   /** DuckDB oracle for [[mediaWavStats]]: the sample mapping and every
     * statistic replayed from code points; container size = 44-byte
     * canonical header + 2 bytes per sample. */

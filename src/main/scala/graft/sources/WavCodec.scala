@@ -70,4 +70,32 @@ object WavCodec {
     * the established cross-engine character contract. */
   def samplesOf(text: String): Array[Short] =
     text.codePoints().toArray.map(cp => (((cp % 256) - 128) * 256).toShort)
+
+  /** 56-bit audio fingerprint over DECODED samples: the |s| energy
+    * envelope resampled to 57 contiguous frames (frame k sums
+    * positions [k·n/57, (k+1)·n/57) — exact integers, ≤ n·2¹⁵ so far
+    * under 2⁶³), then the 1-D difference hash (bit k = E(k+1) > E(k))
+    * — the audio analog of [[MediaCodec.dhash56]]: invariant to
+    * uniform gain, sensitive to envelope shape. 56 bits stays clear of
+    * the BIGINT sign bit in both engines. */
+  def energyFp56(samples: Array[Short]): Long = {
+    val n = samples.length
+    val env = new Array[Long](57)
+    var k = 0
+    while (k < 57) {
+      var i = k * n / 57
+      val hi = (k + 1) * n / 57
+      var e = 0L
+      while (i < hi) { e += math.abs(samples(i).toLong); i += 1 }
+      env(k) = e
+      k += 1
+    }
+    var fp = 0L
+    k = 0
+    while (k < 56) {
+      if (env(k + 1) > env(k)) fp |= 1L << k
+      k += 1
+    }
+    fp
+  }
 }

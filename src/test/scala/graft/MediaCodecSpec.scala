@@ -293,6 +293,37 @@ class MediaCodecSpec extends SparkSpec {
       && r.getInt(2) >= 0 && r.getInt(2) <= 7))
   }
 
+  test("energyFp56: gain-invariant, envelope-sensitive, banded == brute") {
+    import graft.sources.WavCodec
+    // rising-envelope signal: fingerprint should be all ones where
+    // frames strictly grow
+    val rising = Array.tabulate(570)(i => (i * 25).toShort)
+    val fpR = WavCodec.energyFp56(rising)
+    assert(fpR == (1L << 56) - 1, f"rising fp: $fpR%x")
+    // uniform gain (integer doubling, no clipping) moves no bit
+    val doubled = rising.map(s => (s * 2).toShort)
+    assert(WavCodec.energyFp56(doubled) == fpR)
+    // reversing the envelope flips every comparison
+    assert(WavCodec.energyFp56(rising.reverse) == 0L)
+    assert((fpR >>> 56) == 0L, "56-bit contract: sign byte clear")
+    // banded pairs equal brute force on the real corpus (pigeonhole at
+    // 14 bands x 4 bits, maxHamming 13)
+    import spark.implicits._
+    val fps = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().flatMap { case (id, text) =>
+        val pcm = WavCodec.samplesOf(text)
+        if (pcm.isEmpty) None else Some((id, WavCodec.energyFp56(pcm)))
+      }.toMap
+    val truth = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 13
+    } yield (a, b, h)).toSet
+    val banded = Blob.mediaWavFpDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == truth, s"banded ${banded.size} != brute ${truth.size}")
+  }
+
   test("media_phash_clusters: components closed over the phash pairs") {
     val pairs = Blob.mediaPhashDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
