@@ -678,8 +678,14 @@ object Blob {
     * via the shared band machinery (14 bands × 4 bits; pigeonhole ⇒
     * recall 1.0 at Hamming ≤ 13 — audio envelopes are more
     * discriminative than image rasters, hence the wider radius and the
-    * narrower bands: the standard recall/candidate-volume tradeoff,
-    * priced by the band width).
+    * narrower bands). The band width PRICES the exactness: 4-bit bands
+    * collide at ~14·n²/16 candidate rows, the cost of guaranteed
+    * recall at a 13/56 radius. At corpus scale the two priced
+    * alternatives are (a) shrink the radius — 8 bands × 7 bits at
+    * Hamming ≤ 7 collides at n²/128, the phash configuration — or
+    * (b) accept S-curve recall with fewer, wider bands and plan it
+    * with the lsh_plan machinery; this operator keeps the
+    * exact-recall configuration so the oracle equality holds.
     * Scale shape: fingerprinting is ONE mapPartitions (audio bytes
     * never shuffle); the candidate join moves (band_key, id, fp)
     * only. */
