@@ -220,6 +220,7 @@ object SparkEntry {
     "fixed_width_roundtrip" -> (ExportImport.fixedWidthRoundtrip _),
     "benford_check" -> (Quality.benfordCheck _),
     "knn_communities" -> ((s, d) => Similarity.knnCommunities(s, d)),
+    "knn_triangles" -> ((s, d) => Similarity.knnTriangles(s, d)),
     "corpus_diff" -> (MergeImport.corpusDiff _),
     "gate_agreement" -> ((s, d) => TextAnalysis.gateAgreement(s, d)),
     "basket_lift" -> ((s, d) => Analytics.basketLift(s, d)),
@@ -993,6 +994,7 @@ object SparkEntry {
     "fixed_width_roundtrip" -> ExportImport.fixedWidthRoundtripOracle,
     "benford_check" -> Quality.benfordCheckOracle,
     "knn_communities" -> Similarity.knnCommunitiesOracle(),
+    "knn_triangles" -> Similarity.knnTrianglesOracle(),
     "corpus_diff" -> MergeImport.corpusDiffOracle,
     "gate_agreement" -> TextAnalysis.gateAgreementOracle(),
     "basket_lift" -> Analytics.basketLiftOracle(),

@@ -429,6 +429,96 @@ object Similarity {
       dir
     })
 
+  /** §2 #205 — kNN TRIANGLES / local clustering coefficient: per node
+    * of the MUTUAL k-NN graph, its degree, triangle count, and local
+    * clustering coefficient (2·tri / deg·(deg−1)) — the geometry-health
+    * audit beside [[knnCommunities]]: high coefficients mean tight
+    * semantic neighborhoods (good dedup/retrieval structure), a flat
+    * near-zero profile means the embedding space is hub-dominated noise
+    * at this k. Edges come from the session-shared knn artifact (built
+    * once per corpus version).
+    *
+    * Scale shape: mutual degree ≤ k by construction, so the oriented
+    * wedge join is bounded by N·C(k,2) rows and every join key is an
+    * id — no vector ever enters the plan. Triangles are counted once
+    * each via the (a<b<c) orientation and attributed to their three
+    * corners with one explode + hash agg. */
+  def knnTriangles(spark: SparkSession, sfDir: String,
+                   k: Int = 5): DataFrame = {
+    val mutual = spark.read.parquet(sharedKnnEdgesDir(spark, sfDir, k))
+      .filter(col("mutual") && col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val deg = mutual.select(col("a").as("vec_id"))
+      .union(mutual.select(col("b").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("degree"))
+    val wedges = mutual.as("e1")
+      .join(mutual.as("e2"), col("e1.a") === col("e2.a")
+        && col("e1.b") < col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"),
+        col("e2.b").as("z"))
+    val tris = wedges.join(
+      mutual.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))
+    val triPerNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("triangles"))
+    graft.Tables.load(spark, sfDir, "embeddings").select(col("vec_id"))
+      .join(deg, Seq("vec_id"), "left")
+      .join(triPerNode, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("degree", "triangles"))
+      .select(col("vec_id"), col("degree"), col("triangles"),
+        when(col("degree") >= 2,
+          round(col("triangles") * lit(2.0)
+            / (col("degree") * (col("degree") - 1)), 4))
+          .otherwise(lit(0.0)).as("coeff4"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[knnTriangles]]: the exact knn CTE + mutual
+    * filter + the same oriented triangle join and per-corner
+    * attribution. */
+  def knnTrianglesOracle(k: Int = 5): String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    s"""WITH n AS (SELECT vec_id, embedding,
+          sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+        e0 AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                c.vec_id) AS rnk
+            FROM n q JOIN n c ON c.vec_id <> q.vec_id)
+          WHERE rnk <= $k),
+        mutual AS (SELECT e.query_id AS id_a, e.neighbor_id AS id_b
+                   FROM e0 e JOIN e0 r ON r.query_id = e.neighbor_id
+                                      AND r.neighbor_id = e.query_id
+                   WHERE e.query_id < e.neighbor_id),
+        deg AS (SELECT id, count(*) AS degree FROM (
+            SELECT id_a AS id FROM mutual
+            UNION ALL SELECT id_b FROM mutual) GROUP BY id),
+        tris AS (SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+                 FROM mutual e1
+                 JOIN mutual e2 ON e2.id_a = e1.id_a
+                               AND e2.id_b > e1.id_b
+                 JOIN mutual e3 ON e3.id_a = e1.id_b
+                               AND e3.id_b = e2.id_b),
+        tpn AS (SELECT id, count(*) AS triangles FROM (
+            SELECT x AS id FROM tris
+            UNION ALL SELECT y FROM tris
+            UNION ALL SELECT z FROM tris) GROUP BY id)
+       SELECT v.vec_id,
+              CAST(coalesce(d.degree, 0) AS BIGINT) AS degree,
+              CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+              CASE WHEN coalesce(d.degree, 0) >= 2
+                   THEN round(2.0 * coalesce(t.triangles, 0)
+                        / (d.degree * (d.degree - 1)), 4)
+                   ELSE 0.0 END AS coeff4
+       FROM embeddings v
+       LEFT JOIN deg d ON d.id = v.vec_id
+       LEFT JOIN tpn t ON t.id = v.vec_id
+       ORDER BY v.vec_id"""
+  }
+
   /** §2 #189 — SEMANTIC COMMUNITIES: connected components over the
     * MUTUAL k-NN graph (mutual edges only — the standard symmetric
     * sparsification that keeps hub vectors from welding unrelated

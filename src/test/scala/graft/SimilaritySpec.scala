@@ -369,6 +369,37 @@ class SimilaritySpec extends SparkSpec {
       "append must serve identically to a full rebuild")
   }
 
+  test("knn_triangles: coefficients bounded, consistent with the edge set") {
+    val rows = Similarity.knnTriangles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length ==
+      Tables.load(spark, sf, "embeddings").count())
+    rows.foreach { case (id, deg, tri, c4) =>
+      assert(deg >= 0 && tri >= 0 && c4 >= 0.0 && c4 <= 1.0, s"node $id")
+      // triangles cannot exceed the wedge count C(deg, 2)
+      assert(tri <= deg * (deg - 1) / 2, s"node $id: tri $tri deg $deg")
+      if (deg < 2) assert(tri == 0 && c4 == 0.0)
+      else assert(c4 == math.round(2.0 * tri / (deg * (deg - 1)) * 10000)
+        / 10000.0)
+    }
+    // hand-check one node against the raw mutual edge list
+    import org.apache.spark.sql.functions.col
+    val mutual = spark.read.parquet(
+        Similarity.sharedKnnEdgesDir(spark, sf))
+      .filter(col("mutual") && col("src") < col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val someNode = rows.filter(_._2 >= 2).head._1
+    val nbrs = mutual.collect {
+      case (a, b) if a == someNode => b
+      case (a, b) if b == someNode => a
+    }
+    val triHand = (for {
+      u <- nbrs; w <- nbrs if u < w
+      if mutual.contains((u min w, u max w))
+    } yield 1).size
+    assert(rows.find(_._1 == someNode).get._3 == triHand.toLong)
+  }
+
   test("knn_communities: members partition the corpus, purity bounded") {
     val rows = Similarity.knnCommunities(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_members")).sum
