@@ -31,7 +31,7 @@ object Bench {
       "typed_format", "pivot_status", "rollup_agg", "pctile_value",
       "running_total", "rolling_window",
       "snapshot_diff", "corpus_diff", "fk_orphans", "join_skew_report",
-      "k_anonymity", "l_diversity", "corpus_concentration",
+      "k_anonymity", "l_diversity", "t_closeness", "corpus_concentration",
       "deterministic_sample",
       "value_histogram", "profile_table", "outlier_fences", "benford_check",
       "compact_files",

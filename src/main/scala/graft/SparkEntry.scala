@@ -200,6 +200,7 @@ object SparkEntry {
     "perplexity_buckets" -> ((s, d) => TextAnalysis.perplexityBuckets(s, d)),
     "weighted_sample" -> ((s, d) => Quality.weightedSample(s, d)),
     "l_diversity" -> ((s, d) => Quality.lDiversity(s, d)),
+    "t_closeness" -> ((s, d) => Quality.tCloseness(s, d)),
     "pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     "lm_perplexity_kn" -> ((s, d) => TextAnalysis.lmPerplexityKn(s, d)),
     "tfidf_embed" -> ((s, d) => TextAnalysis.tfidfEmbed(s, d)),
@@ -1308,6 +1309,7 @@ object SparkEntry {
     "join_skew_report" -> Quality.joinSkewOracle,
     "k_anonymity" -> Quality.kAnonymityOracle(),
     "l_diversity" -> Quality.lDiversityOracle(),
+    "t_closeness" -> Quality.tClosenessOracle(),
     "pagerank" -> Graph.pagerankOracle(duckNormCte, duckDot),
     "corpus_concentration" -> Quality.corpusConcentrationOracle,
     "deterministic_sample" ->

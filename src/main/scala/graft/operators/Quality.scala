@@ -612,6 +612,100 @@ object Quality {
          max(n_sensitive) AS max_diversity
        FROM g"""
 
+  /** Generic core of [[tCloseness]]: per-QI-class total-variation
+    * distance between the class's sensitive-value distribution and the
+    * GLOBAL one, summarized into one audit row. The absent-value mass
+    * is folded in algebraically — TV = ½(1 + Σ_{s∈class}(|p_c−p_g| −
+    * p_g)) — so only OBSERVED (class, sensitive) cells aggregate;
+    * no class × domain expansion ever materializes. Terms are 8-dp
+    * decimals (order-independent exact sum, the source_kl doctrine),
+    * the class flag compares the 4-dp rounded distance. */
+  def tClosenessFrom(df: DataFrame, quasi: Seq[Column],
+                     sensitive: Column, t: Double): DataFrame = {
+    val qs = quasi.zipWithIndex.map { case (c, i) => c.as(s"q$i") }
+    val qNames = quasi.indices.map(i => col(s"q$i"))
+    val cells = df.groupBy((qs :+ sensitive.as("s")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val classes = cells.groupBy(qNames: _*).agg(sum("cnt").as("n_c"))
+    val global = cells.groupBy("s").agg(sum("cnt").as("g_s"))
+    val total = cells.agg(sum("cnt").as("n"))
+    val tv = cells
+      .join(classes, quasi.indices.map(i => s"q$i"))
+      .join(global, Seq("s"))
+      .crossJoin(broadcast(total))
+      .withColumn("term", round(
+        abs(col("cnt") / col("n_c").cast("double")
+          - col("g_s") / col("n").cast("double"))
+          - col("g_s") / col("n").cast("double"), 8)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+      .groupBy(qNames: _*)
+      .agg(max("n_c").as("n_c"), sum("term").as("term_sum"))
+      .select(col("n_c"), round(
+        (lit(1.0) + col("term_sum").cast("double")) / 2.0, 4).as("tv4"))
+    TransientCaches.register(cells)
+    tv.agg(
+        sum("n_c").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("tv4") > t, 1L).otherwise(0L)).as("n_risky_groups"),
+        sum(when(col("tv4") > t, col("n_c")).otherwise(0L))
+          .as("n_risky_rows"),
+        min("tv4").as("min_tv4"), max("tv4").as("max_tv4"))
+      .select(lit(t).as("t"), col("n_rows"), col("n_groups"),
+        col("n_risky_groups"), col("n_risky_rows"),
+        round(col("n_risky_rows") / col("n_rows"), 4).as("risk_pct"),
+        col("min_tv4"), col("max_tv4"))
+  }
+
+  /** §2 #206 — T-CLOSENESS audit (Li et al. 2007): l-diversity's blind
+    * spot is a class whose sensitive values are distinct but SKEWED
+    * far from the corpus baseline — distinctness protects nothing if
+    * the distribution itself leaks. Here: how many (nation, market
+    * segment) classes sit more than t total-variation distance from
+    * the global balance-bucket distribution. Completes the structured
+    * privacy family (#132 k-anonymity → #171 l-diversity → this).
+    *
+    * Scale shape: three hash aggregates over observed cells (map-side
+    * combined), one broadcast scalar, one small equi-join per cell —
+    * the absent-mass algebra above keeps the plan free of any
+    * class × domain cross join. Holds unchanged at 100 TB. */
+  def tCloseness(spark: SparkSession, sfDir: String,
+                 t: Double = 0.2): DataFrame =
+    tClosenessFrom(Tables.load(spark, sfDir, "customer"),
+      Seq(col("c_nationkey"), col("c_mktsegment")),
+      floor(col("c_acctbal") / 1000d), t)
+
+  /** DuckDB oracle for [[tCloseness]]: same observed-cell algebra,
+    * 8-dp decimal terms, 4-dp class distance. */
+  def tClosenessOracle(t: Double = 0.2): String =
+    s"""WITH cells AS (SELECT c_nationkey AS q0, c_mktsegment AS q1,
+                         floor(c_acctbal / 1000) AS s, count(*) AS cnt
+                       FROM customer GROUP BY 1, 2, 3),
+        cls AS (SELECT q0, q1, sum(cnt) AS n_c FROM cells GROUP BY 1, 2),
+        gdist AS (SELECT s, sum(cnt) AS g_s FROM cells GROUP BY 1),
+        tot AS (SELECT sum(cnt) AS n FROM cells),
+        tv AS (SELECT c.q0, c.q1, max(cl.n_c) AS n_c,
+                 round((1.0 + CAST(sum(CAST(round(
+                     abs(c.cnt / CAST(cl.n_c AS DOUBLE)
+                         - g.g_s / CAST(tot.n AS DOUBLE))
+                     - g.g_s / CAST(tot.n AS DOUBLE), 8)
+                   AS DECIMAL(18, 8))) AS DOUBLE)) / 2.0, 4) AS tv4
+               FROM cells c
+               JOIN cls cl ON cl.q0 = c.q0 AND cl.q1 = c.q1
+               JOIN gdist g ON g.s = c.s, tot
+               GROUP BY c.q0, c.q1)
+       SELECT CAST($t AS DOUBLE) AS t,
+         CAST(sum(n_c) AS BIGINT) AS n_rows,
+         count(*) AS n_groups,
+         CAST(sum(CASE WHEN tv4 > $t THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_risky_groups,
+         CAST(sum(CASE WHEN tv4 > $t THEN n_c ELSE 0 END) AS BIGINT)
+           AS n_risky_rows,
+         round(sum(CASE WHEN tv4 > $t THEN n_c ELSE 0 END)
+               / CAST(sum(n_c) AS DOUBLE), 4) AS risk_pct,
+         min(tv4) AS min_tv4, max(tv4) AS max_tv4
+       FROM tv"""
+
   /** §2 #138 — PARENT/CHILD TOTALS RECONCILIATION: order headers vs
     * the sum of their lines (extended price net of discount, plus
     * tax), bucketed by integer-basis-point relative error — the

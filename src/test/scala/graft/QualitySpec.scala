@@ -88,6 +88,35 @@ class QualitySpec extends SparkSpec {
     assert(r.getAs[Double]("risk_pct") == 0.5714)
   }
 
+  test("t_closeness: skewed class flagged, balanced class not; TV hand-exact") {
+    import spark.implicits._
+    // global sensitive distribution: x:5, y:3 → p_g = (5/8, 3/8).
+    // class A holds only x: TV = ½(|1−5/8| + |0−3/8|) = 0.375 — and
+    // the absent-y mass reaches the score through the folded algebra;
+    // class B (1x, 3y): TV = ½(|1/4−5/8| + |3/4−3/8|) = 0.375
+    val df = Seq(
+      ("A", "u", "x"), ("A", "u", "x"), ("A", "u", "x"), ("A", "u", "x"),
+      ("B", "v", "x"), ("B", "v", "y"),
+      ("B", "v", "y"), ("B", "v", "y")
+    ).toDF("q_a", "q_b", "sens")
+    val r = Quality.tClosenessFrom(df, Seq(col("q_a"), col("q_b")),
+      col("sens"), t = 0.2).collect().head
+    assert(r.getAs[Long]("n_rows") == 8 && r.getAs[Long]("n_groups") == 2)
+    assert(r.getAs[Double]("min_tv4") == 0.375)
+    assert(r.getAs[Double]("max_tv4") == 0.375)
+    assert(r.getAs[Long]("n_risky_groups") == 2)
+    assert(r.getAs[Double]("risk_pct") == 1.0)
+    // a balanced class really scores 0: one class mirroring the global
+    val bal = Seq(
+      ("C", "w", "x"), ("C", "w", "y"),
+      ("D", "w", "x"), ("D", "w", "y")
+    ).toDF("q_a", "q_b", "sens")
+    val rb = Quality.tClosenessFrom(bal, Seq(col("q_a"), col("q_b")),
+      col("sens"), t = 0.2).collect().head
+    assert(rb.getAs[Double]("max_tv4") == 0.0)
+    assert(rb.getAs[Long]("n_risky_groups") == 0)
+  }
+
   test("weighted_sample: equals the naive full-sort draw, partitioning-invariant") {
     import org.apache.spark.sql.expressions.Window
     val k = 16
