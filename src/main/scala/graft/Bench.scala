@@ -19,7 +19,7 @@ object Bench {
       "agg_skew_salted",
       "events_window", "events_hopping", "events_ewma", "join_skew_salted",
       "funnel_steps", "funnel_windowed", "attribution",
-      "path_transitions", "totals_reconcile", "events_anomaly",
+      "path_transitions", "totals_reconcile", "events_anomaly", "events_cusum",
       "drift_report",
       "filter_pushdown",
       "asof_join",

@@ -65,6 +65,7 @@ object SparkEntry {
     "attribution" -> ((s, d) => Analytics.attribution(s, d)),
     "path_transitions" -> (Analytics.pathTransitions _),
     "events_anomaly" -> ((s, d) => Analytics.eventsAnomaly(s, d)),
+    "events_cusum" -> ((s, d) => Analytics.eventsCusum(s, d)),
     "totals_reconcile" -> (Quality.totalsReconcile _),
     "drift_report" -> ((s, d) => Analytics.driftReport(s, d)),
     "split_leakage" -> ((s, d) => Curation.splitLeakage(s, d)),
@@ -413,6 +414,7 @@ object SparkEntry {
     "attribution" -> Analytics.attributionOracle(),
     "path_transitions" -> Analytics.pathTransitionsOracle,
     "events_anomaly" -> Analytics.eventsAnomalyOracle(),
+    "events_cusum" -> Analytics.eventsCusumOracle,
     "totals_reconcile" -> Quality.totalsReconcileOracle,
     "drift_report" -> Analytics.driftOracle,
     "split_leakage" -> Curation.splitLeakageOracle(),

@@ -477,6 +477,88 @@ object Analytics {
               adev > mad * $k AS is_anomaly
        FROM dv, md ORDER BY day"""
 
+  /** §2 #207 — CUSUM change-point detection over the daily event
+    * volume (Page 1954) — the monitoring twin of [[eventsAnomaly]]:
+    * MAD fences flag single outlier days, CUSUM accumulates SMALL
+    * persistent shifts (a 10% drop sustained for a week never trips a
+    * 3-MAD fence but walks the CUSUM straight through its threshold —
+    * the ingest-rot signature a training-data pipeline most needs to
+    * catch). Two-sided: S⁺ detects upward drift, S⁻ downward, slack
+    * K = σ/2, threshold H = 4σ (the textbook defaults).
+    *
+    * Spark-first trick: the max(0, S+x) RECURRENCE has the closed form
+    * S_d = P_d − min(0, min_{j≤d} P_j) over the prefix sums P — two
+    * ordered window aggregates over the BOUNDED day table (the
+    * recurrence never touches row-scale data; the per-day rollup is
+    * the only corpus-wide pass, partial-aggregated). μ and σ come from
+    * exact integer sums (Σn, Σn², N) via one explicit formula, so
+    * every double is IEEE-identical cross-engine. */
+  def eventsCusum(spark: SparkSession, sfDir: String): DataFrame =
+    eventsCusumFrom(
+      Tables.load(spark, sfDir, "events")
+        .select(expr("unix_micros(ts) div 86400000000").as("day")))
+
+  /** Generic core over ANY single-column (day) frame. */
+  def eventsCusumFrom(days: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = days.groupBy("day").agg(count(lit(1)).as("n"))
+    val stats = d.agg(sum("n").as("s1"),
+      sum(col("n") * col("n")).as("s2"), count(lit(1)).as("cnt"))
+    // single-partition ordered window: |days| rows — bounded model
+    // state, same stance as the percentile legs of eventsAnomaly
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.crossJoin(broadcast(stats))
+      .withColumn("mu", col("s1").cast("double") / col("cnt"))
+      .withColumn("sigma", sqrt(
+        (col("s2").cast("double")
+          - col("s1").cast("double") * col("s1") / col("cnt"))
+          / col("cnt")))
+      .withColumn("pp",
+        sum(col("n") - col("mu") - col("sigma") / 2).over(w))
+      .withColumn("pn",
+        sum(col("mu") - col("sigma") / 2 - col("n")).over(w))
+      .withColumn("s_pos", col("pp") - least(min(col("pp")).over(w), lit(0.0)))
+      .withColumn("s_neg", col("pn") - least(min(col("pn")).over(w), lit(0.0)))
+      .select(col("day"), col("n"),
+        round(col("mu"), 4).as("mu4"),
+        round(col("sigma"), 4).as("sigma4"),
+        round(col("s_pos"), 4).as("s_pos4"),
+        round(col("s_neg"), 4).as("s_neg4"),
+        (col("s_pos") > col("sigma") * 4
+          || col("s_neg") > col("sigma") * 4).as("is_change"))
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for [[eventsCusum]]: same exact-integer μ/σ, same
+    * prefix-sum closed form over the same day order. */
+  val eventsCusumOracle: String =
+    """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+              count(*) AS n FROM events GROUP BY 1),
+        st AS (SELECT sum(n) AS s1, sum(n * n) AS s2, count(*) AS cnt
+               FROM d),
+        base AS (SELECT day, n,
+                   CAST(s1 AS DOUBLE) / cnt AS mu,
+                   sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * s1 / cnt) / cnt) AS sigma
+                 FROM d, st),
+        pre AS (SELECT day, n, mu, sigma,
+                  sum(n - mu - sigma / 2) OVER
+                    (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pp,
+                  sum(mu - sigma / 2 - n) OVER
+                    (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pn
+                FROM base),
+        cs AS (SELECT day, n, mu, sigma,
+                 pp - least(min(pp) OVER
+                   (ORDER BY day ROWS UNBOUNDED PRECEDING), 0) AS s_pos,
+                 pn - least(min(pn) OVER
+                   (ORDER BY day ROWS UNBOUNDED PRECEDING), 0) AS s_neg
+               FROM pre)
+       SELECT day, n, round(mu, 4) AS mu4, round(sigma, 4) AS sigma4,
+              round(s_pos, 4) AS s_pos4, round(s_neg, 4) AS s_neg4,
+              (s_pos > sigma * 4 OR s_neg > sigma * 4) AS is_change
+       FROM cs ORDER BY day"""
+
   /** DuckDB oracle for [[pathTransitions]]. */
   val pathTransitionsOracle: String =
     """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id

@@ -469,4 +469,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(flagged.toSeq == Seq(7L), s"flagged=$flagged")
     assert(got.find(_._1 == 7L).get._5 == 44.25)   // 88.5 / 2.0
   }
+
+  test("events_cusum: closed form equals the sequential fold; drift caught") {
+    import spark.implicits._
+    // 20 days at ~100 (alternating 98/102), then 15 days at 92 — an 8%
+    // sustained drop. No single day is an outlier (the MAD fence of
+    // events_anomaly stays quiet on the shifted days' 92s), but the
+    // CUSUM walk accumulates the shift past 4 sigma.
+    val series = (0 until 20).map(d =>
+      (d.toLong, if (d % 2 == 0) 98 else 102)) ++
+      (20 until 35).map(d => (d.toLong, 92))
+    val days = series.flatMap { case (d, n) => Seq.fill(n)(d) }
+    val got = graft.operators.Analytics
+      .eventsCusumFrom(days.toDF("day")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4),
+        r.getDouble(5), r.getBoolean(6)))
+    // sequential reference fold of the textbook recurrence
+    val ns = series.map(_._2.toDouble)
+    val mu = ns.sum / ns.length
+    val sigma = math.sqrt(ns.map(x => x * x).sum / ns.length - mu * mu)
+    var sPos = 0.0; var sNeg = 0.0
+    val ref = ns.map { n =>
+      sPos = math.max(0.0, sPos + (n - mu - sigma / 2))
+      sNeg = math.max(0.0, sNeg + (mu - sigma / 2 - n))
+      (sPos, sNeg)
+    }
+    got.zip(ref).foreach { case ((d, _, sp4, sn4, _), (rp, rn)) =>
+      assert(math.abs(sp4 - rp) < 1e-3, s"day $d s_pos $sp4 vs $rp")
+      assert(math.abs(sn4 - rn) < 1e-3, s"day $d s_neg $sn4 vs $rn")
+    }
+    // the drift is caught: the DOWNWARD walk crosses 4 sigma inside the
+    // shifted regime (the upward side also flags late pre-shift days —
+    // correct for a full-series baseline, which the mean-shift pulls
+    // down, putting the 98/102 regime above mu)
+    val sigma4 = sigma * 4
+    assert(got.exists(r => r._1 >= 20L && r._4 > sigma4),
+      s"downward CUSUM never crossed ${sigma4}")
+    // no shifted day trips the 3-MAD single-day fence — the CUSUM
+    // catches what the anomaly fence structurally cannot
+    val fence = graft.operators.Analytics
+      .eventsAnomalyFrom(days.toDF("day"), 3.0).collect()
+      .filter(_.getBoolean(5)).map(_.getLong(0))
+    assert(fence.intersect((20L until 35L).toSeq).isEmpty,
+      s"MAD fence unexpectedly flagged shifted days: ${fence.toSeq}")
+  }
 }
