@@ -73,7 +73,7 @@ object Bench {
       "ngram_lm", "quality_repetition", "lm_perplexity", "lm_perplexity_kn",
       "perplexity_buckets", "charset_gate",
       "stratified_sample", "vocab_coverage", "word_pmi", "quality_model",
-      "inverted_index", "source_mix_report", "source_kl", "tfidf_embed",
+      "inverted_index", "source_mix_report", "source_kl", "source_psi", "tfidf_embed",
       "bpe_train", "bpe_encode",
       "bpe_fertility", "bpe_encode_artifact",
       "char_entropy", "zipf_fit", "lang_confusion", "corpus_report"),

@@ -197,6 +197,7 @@ object SparkEntry {
     "quality_funnel" -> ((s, d) => TextAnalysis.qualityFunnel(s, d)),
     "source_mix_report" -> (TextAnalysis.sourceMixReport _),
     "source_kl" -> ((s, d) => TextAnalysis.sourceKl(s, d)),
+    "source_psi" -> ((s, d) => TextAnalysis.sourcePsi(s, d)),
     "event_dedup" -> (Analytics.eventDedup _),
     "perplexity_buckets" -> ((s, d) => TextAnalysis.perplexityBuckets(s, d)),
     "weighted_sample" -> ((s, d) => Quality.weightedSample(s, d)),
@@ -980,6 +981,7 @@ object SparkEntry {
     "quality_funnel" -> TextAnalysis.qualityFunnelOracle(),
     "source_mix_report" -> TextAnalysis.sourceMixOracle,
     "source_kl" -> TextAnalysis.sourceKlOracle(),
+    "source_psi" -> TextAnalysis.sourcePsiOracle(),
     "event_dedup" -> Analytics.eventDedupOracle,
     "events_ewma" -> Analytics.eventsEwmaOracle,
     "join_skew_salted" -> Analytics.joinSkewSaltedOracle,

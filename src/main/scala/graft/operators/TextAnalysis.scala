@@ -1120,6 +1120,87 @@ object TextAnalysis {
        FROM s JOIN ns ON s.source = ns.source, nc
        GROUP BY s.source ORDER BY s.source"""
 
+  /** §2 #208 — POPULATION STABILITY INDEX per source: the NUMERIC-
+    * feature drift audit beside [[sourceMixReport]] (shares) and
+    * [[sourceKl]] (vocabulary) — PSI of each source's document-length
+    * distribution against the corpus blend, over fixed-width 256-char
+    * bins (deterministic bin edges: no cross-engine quantile-
+    * interpolation contract needed). PSI = Σ (p_s − p_g)·ln(p_s/p_g)
+    * over bins the source populates; corpus bins the source misses are
+    * COUNTED (`n_bins_skipped`) rather than epsilon-smoothed — the
+    * missing-mass is its own signal, not noise to paper over.
+    * `is_shifted` flags PSI > 0.2 (the industry screening threshold).
+    *
+    * Scale shape: one map-only bin computation + two hash aggregates
+    * (cells ≤ |sources|·|bins|, both partial-combined) + a broadcast
+    * of the |bins|-row global table. Terms are 8-dp decimals (the
+    * order-independent exact-sum doctrine of source_kl). */
+  def sourcePsi(spark: SparkSession, sfDir: String,
+                binWidth: Int = 256): DataFrame =
+    sourcePsiFrom(Tables.load(spark, sfDir, "documents"), binWidth)
+
+  /** Generic core over ANY (source, n_chars) frame. */
+  def sourcePsiFrom(docs: DataFrame, binWidth: Int): DataFrame = {
+    val cells = docs
+      .select(col("source"), (col("n_chars") / binWidth)
+        .cast("long").as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("cs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val global = cells.groupBy("bin").agg(sum("cs").as("cg"))
+    val globTot = cells.agg(sum("cs").as("n"))
+    val srcTot = cells.groupBy("source").agg(sum("cs").as("ns"))
+    val nBins = global.agg(count(lit(1)).as("n_bins"))
+    TransientCaches.register(cells)
+    cells
+      .join(broadcast(global), Seq("bin"))
+      .join(srcTot, Seq("source"))
+      .crossJoin(broadcast(globTot))
+      .withColumn("term", round(
+        (col("cs") / col("ns").cast("double")
+          - col("cg") / col("n").cast("double"))
+          * log((col("cs").cast("double") * col("n"))
+            / (col("ns").cast("double") * col("cg"))), 8)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+      .groupBy("source")
+      .agg(max("ns").as("n_docs"), count(lit(1)).as("n_bins_hit"),
+        sum("term").as("psi_sum"))
+      .crossJoin(broadcast(nBins))
+      .select(col("source"), col("n_docs"),
+        col("n_bins_hit"),
+        (col("n_bins") - col("n_bins_hit")).as("n_bins_skipped"),
+        round(col("psi_sum").cast("double"), 4).as("psi4"),
+        (col("psi_sum").cast("double") > 0.2).as("is_shifted"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[sourcePsi]]: same fixed bins, same 8-dp
+    * decimal terms, same skipped-bin accounting. */
+  def sourcePsiOracle(binWidth: Int = 256): String =
+    s"""WITH cells AS (SELECT source, n_chars // $binWidth AS bin,
+                         count(*) AS cs
+                       FROM documents GROUP BY 1, 2),
+        gb AS (SELECT bin, sum(cs) AS cg FROM cells GROUP BY 1),
+        gt AS (SELECT sum(cs) AS n FROM cells),
+        st AS (SELECT source, sum(cs) AS ns FROM cells GROUP BY 1),
+        nb AS (SELECT count(*) AS n_bins FROM gb)
+       SELECT c.source, CAST(max(st.ns) AS BIGINT) AS n_docs,
+         count(*) AS n_bins_hit,
+         CAST(max(nb.n_bins) - count(*) AS BIGINT) AS n_bins_skipped,
+         round(CAST(sum(CAST(round(
+             (c.cs / CAST(st.ns AS DOUBLE) - gb.cg / CAST(gt.n AS DOUBLE))
+             * ln((CAST(c.cs AS DOUBLE) * gt.n)
+               / (CAST(st.ns AS DOUBLE) * gb.cg)), 8)
+           AS DECIMAL(18,8))) AS DOUBLE), 4) AS psi4,
+         CAST(sum(CAST(round(
+             (c.cs / CAST(st.ns AS DOUBLE) - gb.cg / CAST(gt.n AS DOUBLE))
+             * ln((CAST(c.cs AS DOUBLE) * gt.n)
+               / (CAST(st.ns AS DOUBLE) * gb.cg)), 8)
+           AS DECIMAL(18,8))) AS DOUBLE) > 0.2 AS is_shifted
+       FROM cells c
+       JOIN gb ON gb.bin = c.bin
+       JOIN st ON st.source = c.source, gt, nb
+       GROUP BY c.source ORDER BY c.source"""
+
   /** Generic core: Unicode canonicalization (NFC + whitespace collapse
     * + trim) via the codegen'd [[graft.functions.NfcNormalize]]
     * expression — the pass that must run BEFORE any exact-hash dedup:

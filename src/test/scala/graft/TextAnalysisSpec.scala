@@ -145,6 +145,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fix.forall(_.getAs[Double]("kl4") >= 0.0))
   }
 
+  test("source_psi: identical distributions give 0; shift and skips counted") {
+    import spark.implicits._
+    // two sources with identical length histograms -> PSI 0, no skips
+    val same = Seq(("a", 100L), ("a", 300L), ("b", 100L), ("b", 300L))
+      .toDF("source", "n_chars")
+    val g0 = TextAnalysis.sourcePsiFrom(same, binWidth = 256).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getDouble(4),
+        r.getBoolean(5)))
+    assert(g0.toSeq == Seq(("a", 0L, 0.0, false), ("b", 0L, 0.0, false)))
+    // source a only short docs, b only long: each misses the other's
+    // bin entirely -> skipped bins counted, PSI from the shared algebra
+    val split = Seq(("a", 100L), ("a", 120L), ("b", 300L), ("b", 320L))
+      .toDF("source", "n_chars")
+    val g1 = TextAnalysis.sourcePsiFrom(split, binWidth = 256).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    // each source: its own bin p_s=1 vs p_g=1/2 -> term (1-1/2)ln(2)
+    val expect = BigDecimal(0.5 * math.log(2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g1.toSeq == Seq(("a", 1L, 1L, expect, expect > 0.2),
+      ("b", 1L, 1L, expect, expect > 0.2)), s"got ${g1.toSeq}")
+    // fixture corpus: one row per source, finite PSI
+    val fix = TextAnalysis.sourcePsi(spark, sf).collect()
+    assert(fix.nonEmpty)
+    assert(fix.forall(r => !r.getAs[Double]("psi4").isNaN))
+  }
+
   test("pack_efficiency: a doc spanning 3+ windows counts interior windows") {
     import spark.implicits._
     // r10 ADVICE: n_seqs from countDistinct(seq_id) counted only doc
