@@ -34,6 +34,7 @@ object Bench {
       "k_anonymity", "l_diversity", "t_closeness", "corpus_concentration",
       "deterministic_sample",
       "value_histogram", "profile_table", "outlier_fences", "benford_check",
+      "corr_matrix",
       "compact_files",
       "schema_evolution", "zorder_layout", "xlsx_keys", "retention_cohorts",
       "scd2_intervals",
@@ -76,7 +77,8 @@ object Bench {
       "inverted_index", "source_mix_report", "source_kl", "source_psi", "tfidf_embed",
       "bpe_train", "bpe_encode",
       "bpe_fertility", "bpe_encode_artifact",
-      "char_entropy", "zipf_fit", "lang_confusion", "corpus_report"),
+      "char_entropy", "zipf_fit", "lang_confusion", "corpus_report",
+      "kmv_distinct", "hll_distinct", "cms_topk"),
     "curation" -> Seq(
       "decontaminate", "contamination_report", "pipeline_report",
       "decontaminate_fuzzy", "bloom_decontaminate",

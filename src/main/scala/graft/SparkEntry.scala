@@ -107,6 +107,9 @@ object SparkEntry {
     "zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "lang_confusion" -> (TextAnalysis.langConfusion _),
     "corpus_report" -> ((s, d) => TextAnalysis.corpusReport(s, d)),
+    "kmv_distinct" -> ((s, d) => Sketches.kmvDistinct(s, d)),
+    "hll_distinct" -> ((s, d) => Sketches.hllDistinct(s, d)),
+    "cms_topk" -> ((s, d) => Sketches.cmsTopk(s, d)),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "text_shingles" -> (TextAnalysis.textShingles _),
     // B. analytics core
@@ -222,6 +225,7 @@ object SparkEntry {
     "sessionize_native" -> ((s, d) => Sessionize.sessionizeNative(s, d)),
     "fixed_width_roundtrip" -> (ExportImport.fixedWidthRoundtrip _),
     "benford_check" -> (Quality.benfordCheck _),
+    "corr_matrix" -> ((s, d) => Quality.corrMatrix(s, d)),
     "knn_communities" -> ((s, d) => Similarity.knnCommunities(s, d)),
     "knn_triangles" -> ((s, d) => Similarity.knnTriangles(s, d)),
     "corpus_diff" -> (MergeImport.corpusDiff _),
@@ -975,6 +979,9 @@ object SparkEntry {
     "zipf_fit" -> TextAnalysis.zipfFitOracle(),
     "lang_confusion" -> TextAnalysis.langConfusionOracle,
     "corpus_report" -> TextAnalysis.corpusReportOracle(),
+    "kmv_distinct" -> Sketches.kmvDistinctOracle(),
+    "hll_distinct" -> Sketches.hllDistinctOracle(),
+    "cms_topk" -> Sketches.cmsTopkOracle(),
     "embedding_class_stats" -> Similarity.embeddingClassStatsOracle,
     "embedding_outliers" -> Similarity.embeddingOutliersOracle,
     "dsir_weights" -> Curation.dsirOracle(),
@@ -998,6 +1005,7 @@ object SparkEntry {
     "sessionize_native" -> Sessionize.nativeOracle(),
     "fixed_width_roundtrip" -> ExportImport.fixedWidthRoundtripOracle,
     "benford_check" -> Quality.benfordCheckOracle,
+    "corr_matrix" -> Quality.corrMatrixOracle(),
     "knn_communities" -> Similarity.knnCommunitiesOracle(),
     "knn_triangles" -> Similarity.knnTrianglesOracle(),
     "corpus_diff" -> MergeImport.corpusDiffOracle,

@@ -468,6 +468,26 @@ object Graft {
   def corpusConcentration(docs: DataFrame, lenCol: Column): DataFrame =
     graft.operators.Quality.corpusConcentrationFrom(docs, lenCol)
 
+  /** K-minimum-values distinct-cardinality estimate per source over
+    * 3-word shingles (k·8 B of mergeable state per source). */
+  def kmvDistinct(docs: DataFrame, k: Int = 256): DataFrame =
+    graft.operators.Sketches.kmvDistinctFrom(docs, k)
+
+  /** HyperLogLog distinct-cardinality estimate per source (64 B of
+    * mergeable register state per source; m = 64). */
+  def hllDistinct(docs: DataFrame): DataFrame =
+    graft.operators.Sketches.hllDistinctFrom(docs)
+
+  /** Count-min-sketch heavy-hitter estimates vs exact top-k counts
+    * (d×w integer grid for the whole corpus). */
+  def cmsTopk(docs: DataFrame, w: Int = 512, k: Int = 20): DataFrame =
+    graft.operators.Sketches.cmsTopkFrom(docs, w, k)
+
+  /** Pearson correlation matrix over numeric columns from one
+    * sufficient-statistics pass (decimal-exact, engine-reproducible). */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame =
+    graft.operators.Quality.corrMatrixFrom(df, cols)
+
   /** Header-vs-lines totals reconciliation in integer cents with
     * error-band buckets and orphan counts (migration sign-off). */
   def totalsReconcile(orders: DataFrame, lines: DataFrame): DataFrame =

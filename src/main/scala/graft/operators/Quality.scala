@@ -858,4 +858,82 @@ object Quality {
          round(sum(v * (least(cc, k10) - least(cc - c, k10)))
                / CAST(max(t_chars) AS DOUBLE), 6) AS top10_share
        FROM w, k"""
+
+  /** The lineitem metric columns [[corrMatrix]] profiles, in the
+    * lexicographic order that defines the output's (col_x, col_y)
+    * pairing. */
+  private val corrCols =
+    Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+  /** §2 #212 — PEARSON CORRELATION MATRIX over the fact table's metric
+    * columns: the multivariate step after [[profileTable]]'s univariate
+    * moments — the screen for redundant measures and accidental
+    * functional dependencies before a wide fact table ships (and the
+    * sanity check that price ≁ discount in generated data). One
+    * aggregate pass computes n plus Σx, Σx², Σxy for every pair; each
+    * of the C(4,2) correlations is derived from those sufficient
+    * statistics — never a per-pair scan.
+    *
+    * Determinism contract: the metric columns are DOUBLEs, so naive
+    * Σxy would be partition-order dependent; each product is rounded
+    * to 8 dp and summed as DECIMAL(28,8) (the source_kl doctrine),
+    * making every sufficient statistic exact and the final double
+    * formula engine-reproducible. Scale shape: one map-side-combined
+    * aggregate to a single 15-number row; the pair explosion happens
+    * on that one row. */
+  def corrMatrix(spark: SparkSession, sfDir: String): DataFrame =
+    corrMatrixFrom(Tables.load(spark, sfDir, "lineitem"), corrCols)
+
+  def corrMatrixFrom(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    def s8(e: Column) = sum(round(e, 8).cast(DecimalType(28, 8)))
+    val aggs =
+      cols.map(c => s8(col(c)).as(s"s_$c")) ++
+        cols.map(c => s8(col(c) * col(c)).as(s"ss_$c")) ++
+        pairs.map { case (a, b) => s8(col(a) * col(b)).as(s"sp_${a}_$b") }
+    val one = df.agg(count(lit(1)).as("n"), aggs: _*)
+    def corr6(a: String, b: String): Column = {
+      val n = col("n").cast("double")
+      val sx = col(s"s_$a").cast("double")
+      val sy = col(s"s_$b").cast("double")
+      round((n * col(s"sp_${a}_$b").cast("double") - sx * sy)
+        / sqrt((n * col(s"ss_$a").cast("double") - sx * sx)
+          * (n * col(s"ss_$b").cast("double") - sy * sy)), 6)
+    }
+    one.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_x"), lit(b).as("col_y"),
+          col("n").as("n"), corr6(a, b).as("corr6"))
+      }: _*)).as("p"))
+      .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
+        col("p.n").as("n"), col("p.corr6").as("corr6"))
+      .orderBy("col_x", "col_y")
+  }
+
+  /** DuckDB oracle for [[corrMatrix]]: the same rounded-product
+    * decimal sufficient statistics, the same closed-form correlation
+    * — deliberately NOT DuckDB's corr() (whose streaming update order
+    * is not part of any cross-engine contract). */
+  def corrMatrixOracle(): String = {
+    def d(e: String) = s"CAST(sum(CAST(round($e, 8) AS DECIMAL(28,8))) AS DOUBLE)"
+    val pairs = for {
+      i <- corrCols.indices; j <- corrCols.indices if i < j
+    } yield (corrCols(i), corrCols(j))
+    val sums =
+      (corrCols.map(c => s"${d(c)} AS s_$c") ++
+        corrCols.map(c => s"${d(s"$c * $c")} AS ss_$c") ++
+        pairs.map { case (a, b) => s"${d(s"$a * $b")} AS sp_${a}_$b" })
+        .mkString(",\n              ")
+    val rows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+            round((n * sp_${a}_$b - s_$a * s_$b)
+              / sqrt((n * ss_$a - s_$a * s_$a)
+                * (n * ss_$b - s_$b * s_$b)), 6) AS corr6 FROM s"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              $sums
+            FROM lineitem)
+       SELECT * FROM ($rows) ORDER BY col_x, col_y"""
+  }
 }

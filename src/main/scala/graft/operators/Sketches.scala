@@ -1,0 +1,289 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{SketchAggregates, SketchHash, TextShingles}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cardinality / frequency SKETCHES over the corpus — the mergeable
+  * bounded-state summaries a 100 TB profile pass actually ships to the
+  * driver (per-source distinct-shingle counts, corpus heavy hitters)
+  * instead of exact answers whose state grows with the data:
+  *
+  *   - [[kmvDistinct]] — K-minimum-values distinct estimate (k·8 B
+  *     state per source, merge = bounded set union);
+  *   - [[hllDistinct]] — HyperLogLog (64 B state per source, merge =
+  *     elementwise max);
+  *   - [[cmsTopk]]     — count-min sketch frequency estimates for the
+  *     exact heavy hitters (d·w integer cells for the whole corpus),
+  *     reported AGAINST the exact counts so the overestimate the
+  *     pigeonhole analysis predicts is measured, not assumed.
+  *
+  * At gate scale the tables also carry the EXACT number next to each
+  * estimate — the estimators' error is part of the result contract
+  * (like ann_recall_eval scores its own recall), and the exact side
+  * doubles as the oracle's anchor.
+  *
+  * The item domain is per-doc distinct 3-word shingles (the dedup
+  * family's unit, [[TextShingles.shingles3]]): ~10k distinct per
+  * source at sf0.1 — high enough cardinality to exercise estimation,
+  * and the number a curation pipeline actually wants ("how much
+  * distinct text does each source contribute?").
+  *
+  * Re-expresses the profiling surface of the reference's export
+  * statistics (BigDataMigrateCloud Codeunit 60000's record/field
+  * counting procedures) at the scale where exact per-key counting
+  * stops being shippable.
+  */
+object Sketches {
+
+  /** Distinct (source, 63-bit mixed shingle hash) pairs: one hash
+    * aggregate with map-side partial distinct — the only shuffle any
+    * sketch below pays before its bounded-state aggregate. */
+  private def sourceHashes(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(TextShingles.shingles3(TextShingles.words(col("text"))))
+          .as("t"))
+      .select(col("source"), SketchHash.sketchHash(col("t")).as("g"))
+      .distinct()
+
+  /** DuckDB CTEs replaying [[sourceHashes]]: per-doc distinct shingles
+    * (same construction as [[TextShingles.duckdbShingleCte]], with
+    * source), KR+mix hash, cross-doc DISTINCT. */
+  private def sourceHashCte: String =
+    s"""WITH sg AS (SELECT source,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w)-1)])) AS t
+           FROM (SELECT source,
+                        string_split_regex(trim(lower(text)), '\\s+') AS w
+                 FROM documents)),
+        hs AS (SELECT DISTINCT source,
+                 ${SketchHash.duckdbSketchHash("t")} AS g
+               FROM sg)"""
+
+  // ---------------------------------------------------------------- KMV
+
+  /** §2 #209 — K-MINIMUM-VALUES distinct estimate per source: keep the
+    * k smallest distinct hash values; if more than k distinct values
+    * exist, the k-th smallest v_k estimates the density as
+    * `(k−1) / (v_k / 2^63)`. State is k·8 B per source regardless of
+    * corpus size ([[graft.functions.MinKDistinct]] — partials merged
+    * as bounded set unions, no per-source sort or window anywhere).
+    * Sub-saturation sources (≤ k distinct) fall back to the sketch's
+    * own exact content — the estimator is exact there by construction.
+    */
+  def kmvDistinct(spark: SparkSession, sfDir: String,
+                  k: Int = 256): DataFrame =
+    kmvDistinctFrom(Tables.load(spark, sfDir, "documents"), k)
+
+  def kmvDistinctFrom(docs: DataFrame, k: Int): DataFrame = {
+    val est = when(col("n_exact") <= k, col("n_exact").cast("double"))
+      .otherwise(round(
+        lit((k - 1).toDouble) * pow(lit(2.0), lit(63.0))
+          / col("kth_hash").cast("double"), 4))
+    sourceHashes(docs)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_exact"),
+        SketchAggregates.minK(col("g"), k).as("mk"))
+      .withColumn("k_used", least(lit(k.toLong), col("n_exact")))
+      .withColumn("kth_hash",
+        element_at(col("mk"), col("k_used").cast("int")))
+      .withColumn("kmv_est4", est)
+      .withColumn("err_pct2", round(
+        (col("kmv_est4") - col("n_exact"))
+          / col("n_exact").cast("double") * 100, 2))
+      .select("source", "n_exact", "k_used", "kth_hash", "kmv_est4",
+        "err_pct2")
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[kmvDistinct]]: same hashes, k-th smallest via
+    * row_number, same estimator arithmetic. */
+  def kmvDistinctOracle(k: Int = 256): String =
+    s"""$sourceHashCte,
+        r AS (SELECT source, g,
+                row_number() OVER (PARTITION BY source ORDER BY g) AS rn,
+                count(*) OVER (PARTITION BY source) AS d
+              FROM hs),
+        a AS (SELECT source, CAST(max(d) AS BIGINT) AS n_exact,
+                CAST(least($k, max(d)) AS BIGINT) AS k_used,
+                max(CASE WHEN rn = least($k, d) THEN g END) AS kth_hash
+              FROM r GROUP BY source),
+        e AS (SELECT source, n_exact, k_used, kth_hash,
+                CASE WHEN n_exact <= $k THEN CAST(n_exact AS DOUBLE)
+                     ELSE round(${k - 1} * pow(2, 63)
+                                / CAST(kth_hash AS DOUBLE), 4)
+                END AS kmv_est4
+              FROM a)
+       SELECT source, n_exact, k_used, kth_hash, kmv_est4,
+              round((kmv_est4 - n_exact) / CAST(n_exact AS DOUBLE) * 100,
+                    2) AS err_pct2
+       FROM e ORDER BY source"""
+
+  // ---------------------------------------------------------------- HLL
+
+  /** The HLL estimate from exact integer sketch state — shared by the
+    * batch query and [[graft.streaming.StreamDistinct]]. alpha_64 and
+    * the small-range correction (V empty registers, E ≤ 2.5m → linear
+    * counting) follow Flajolet et al. 2007; every input is an exact
+    * integer so the double arithmetic is engine-reproducible. */
+  def hllEstimate(nRegsZero: Column, sScaled: Column): Column = {
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))
+    val raw = alpha * lit(4096.0) * pow(lit(2.0), lit(52.0)) /
+      sScaled.cast("double")
+    round(when(nRegsZero > 0 && raw <= lit(160.0),
+      lit(64.0) * log(lit(64.0) / nRegsZero.cast("double")))
+      .otherwise(raw), 4)
+  }
+
+  /** §2 #210 — HYPERLOGLOG distinct estimate per source (m = 64
+    * registers): 64 BYTES of state per source, update = max-of-rank,
+    * merge = elementwise max ([[graft.functions.HllSketch]]) — the
+    * shape that turns corpus-wide cardinality profiling into a
+    * map-side combine. The published `s_scaled` (Σ 2^(52−M_j) as an
+    * exact integer) makes the harmonic mean reproducible bit-for-bit
+    * across engines — no floating-point register sum in the contract.
+    */
+  def hllDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    hllDistinctFrom(Tables.load(spark, sfDir, "documents"))
+
+  def hllDistinctFrom(docs: DataFrame): DataFrame =
+    sourceHashes(docs)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_exact"),
+        SketchAggregates.hll(col("g")).as("h"))
+      .select(col("source"), col("n_exact"),
+        col("h.n_regs_zero").cast("long").as("n_regs_zero"),
+        col("h.s_scaled").as("s_scaled"),
+        hllEstimate(col("h.n_regs_zero"), col("h.s_scaled"))
+          .as("hll_est4"))
+      .withColumn("err_pct2", round(
+        (col("hll_est4") - col("n_exact"))
+          / col("n_exact").cast("double") * 100, 2))
+      .orderBy("source")
+
+  /** DuckDB oracle for [[hllDistinct]]: registers replayed with
+    * integer ops (`%`, `//`, `bin()` for bit length, `<<` for the
+    * scaled terms), then the same estimator arithmetic. */
+  def hllDistinctOracle(): String =
+    s"""$sourceHashCte,
+        rw AS (SELECT source, g % 64 AS reg,
+                 (g // 64) % ${1L << 51} AS w
+               FROM hs),
+        rr AS (SELECT source, reg,
+                 max(CASE WHEN w = 0 THEN 52
+                          ELSE 52 - length(bin(w)) END) AS rho
+               FROM rw GROUP BY source, reg),
+        ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_hit,
+                 sum(CAST(1 AS BIGINT) << (52 - rho)) AS s_hit
+               FROM rr GROUP BY source),
+        ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+               FROM hs GROUP BY source),
+        st AS (SELECT source, n_exact, 64 - n_hit AS n_regs_zero,
+                 CAST(s_hit + (64 - n_hit) * (CAST(1 AS BIGINT) << 52)
+                      AS BIGINT) AS s_scaled
+               FROM ag JOIN ex USING (source)),
+        e AS (SELECT source, n_exact, n_regs_zero, s_scaled,
+                CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 64)
+                  * 4096 * pow(2, 52) / CAST(s_scaled AS DOUBLE) AS raw
+              FROM st)
+       SELECT source, n_exact, n_regs_zero, s_scaled,
+              round(CASE WHEN n_regs_zero > 0 AND raw <= 160
+                         THEN 64 * ln(64 / CAST(n_regs_zero AS DOUBLE))
+                         ELSE raw END, 4) AS hll_est4,
+              round((round(CASE WHEN n_regs_zero > 0 AND raw <= 160
+                                THEN 64 * ln(64 / CAST(n_regs_zero AS DOUBLE))
+                                ELSE raw END, 4) - n_exact)
+                    / CAST(n_exact AS DOUBLE) * 100, 2) AS err_pct2
+       FROM e ORDER BY source"""
+
+  // ---------------------------------------------------------------- CMS
+
+  /** Count-min row-hash constants: pairwise-independent-ish LCG maps
+    * over the 63-bit hash reduced mod a 30-bit prime, so every product
+    * stays under 2^63 in BIGINT arithmetic on both engines. */
+  private val CmsA = Seq(1103515245L, 1566083941L, 1812433253L, 69069L)
+  private val CmsB = Seq(12345L, 362437L, 1013904223L, 1234567L)
+  private val CmsGr = 1073741789L // 30-bit prime reducing g
+  private val CmsP = 1000000007L  // row-hash modulus
+
+  private def cmsCol(j: Int, gr: Column, w: Int): Column =
+    ((lit(CmsA(j)) * gr + lit(CmsB(j))) % CmsP) % w
+
+  /** §2 #211 — COUNT-MIN SKETCH heavy-hitter estimates: a d×w integer
+    * grid (d = 4 rows, w = 512 columns — 2 KB of state for the WHOLE
+    * corpus) accumulates shingle document-frequencies; the exact
+    * top-k's estimated count is the min over its d cells. Reported
+    * against the exact counts so `overest` (always ≥ 0 — CMS never
+    * undercounts) measures the collision noise at this load factor.
+    *
+    * Scale shape: the grid build is one partial-combined hash
+    * aggregate with at most d·w result cells; the exact top-k is a
+    * TakeOrdered; estimates join the k rows against the broadcast
+    * grid. Nothing scales with corpus size but the initial scan. */
+  def cmsTopk(spark: SparkSession, sfDir: String,
+              w: Int = 512, k: Int = 20): DataFrame =
+    cmsTopkFrom(Tables.load(spark, sfDir, "documents"), w, k)
+
+  def cmsTopkFrom(docs: DataFrame, w: Int, k: Int): DataFrame = {
+    val items = docs.select(
+        explode(TextShingles.shingles3(TextShingles.words(col("text"))))
+          .as("term"))
+      .withColumn("gr", SketchHash.sketchHash(col("term")) % CmsGr)
+    val cells = items
+      .select(explode(array((0 until 4).map(j =>
+        struct(lit(j).as("j"), cmsCol(j, col("gr"), w).as("c"))): _*))
+        .as("jc"))
+      .groupBy(col("jc.j").as("j"), col("jc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = items.groupBy("term")
+      .agg(count(lit(1)).as("exact_cnt"), first(col("gr")).as("gr"))
+      .orderBy(desc("exact_cnt"), col("term")).limit(k)
+    top
+      .select(col("term"), col("exact_cnt"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"), cmsCol(j, col("gr"), w).as("c"))): _*))
+          .as("jc"))
+      .join(broadcast(cells),
+        col("jc.j") === cells("j") && col("jc.c") === cells("c"))
+      .groupBy("term", "exact_cnt")
+      .agg(min(col("cnt")).as("cms_est"))
+      .withColumn("overest", col("cms_est") - col("exact_cnt"))
+      .orderBy(desc("exact_cnt"), col("term"))
+  }
+
+  /** DuckDB oracle for [[cmsTopk]]: grid, top-k and min-of-cells all
+    * replayed (cells sum per-term exact counts — identical to summing
+    * item occurrences). */
+  def cmsTopkOracle(w: Int = 512, k: Int = 20): String = {
+    val aCase = CmsA.zipWithIndex
+      .map { case (a, j) => s"WHEN $j THEN $a" }.mkString(" ")
+    val bCase = CmsB.zipWithIndex
+      .map { case (b, j) => s"WHEN $j THEN $b" }.mkString(" ")
+    s"""WITH it AS (SELECT
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w)-1)])) AS term
+           FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w
+                 FROM documents)),
+        tc AS (SELECT term, count(*) AS exact_cnt FROM it GROUP BY term),
+        tg AS (SELECT term, exact_cnt,
+                 ${SketchHash.duckdbSketchHash("term")} % $CmsGr AS gr
+               FROM tc),
+        jc AS (SELECT term, exact_cnt, j,
+                 ((CASE j $aCase END * gr + CASE j $bCase END)
+                  % $CmsP) % $w AS c
+               FROM tg, range(0, 4) r(j)),
+        cells AS (SELECT j, c, CAST(sum(exact_cnt) AS BIGINT) AS cnt
+                  FROM jc GROUP BY j, c),
+        top AS (SELECT term, exact_cnt FROM tc
+                ORDER BY exact_cnt DESC, term LIMIT $k)
+       SELECT top.term AS term, CAST(top.exact_cnt AS BIGINT) AS exact_cnt,
+              min(cells.cnt) AS cms_est,
+              min(cells.cnt) - CAST(top.exact_cnt AS BIGINT) AS overest
+       FROM top
+       JOIN jc ON jc.term = top.term
+       JOIN cells ON cells.j = jc.j AND cells.c = jc.c
+       GROUP BY top.term, top.exact_cnt
+       ORDER BY exact_cnt DESC, top.term"""
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.functions.{SketchAggregates, SketchHash}
+import graft.operators.{Quality, Sketches}
+import org.apache.spark.sql.functions._
+
+/** Sketch family: KMV / HLL cardinality, count-min heavy hitters, and
+  * the correlation matrix. The aggregate tests replay sketch state
+  * from scratch in Scala (BigInt arithmetic where overflow semantics
+  * matter) so the custom TypedImperativeAggregates are checked against
+  * an independent reference, not themselves. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mixRef = BigInt("11400714819323198485")
+  private val mod63 = BigInt(2).pow(63)
+
+  test("sketch mix matches BigInt arithmetic incl. wrap edges") {
+    val hs = Seq(0L, 1L, 97L, 256L, 12345678901234L,
+      18014398509481983L /* KR modulus - 1 */)
+    hs.foreach { h =>
+      val want = ((BigInt(h) * mixRef) % mod63).toLong
+      assert(SketchHash.mix(h) == want, s"mix($h)")
+    }
+    // and through the codegen'd expression path
+    val got = hs.toDF("h").select(SketchHash.mix63(col("h")).as("g"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == hs.map(h => ((BigInt(h) * mixRef) % mod63).toLong))
+  }
+
+  test("minK aggregate equals sort-distinct-take-k across partitions") {
+    val vals = (1 to 500).map(i => (i * 7919L) % 263L) // dupes guaranteed
+    val got = vals.toDF("v").repartition(7)
+      .agg(SketchAggregates.minK(col("v"), 10).as("mk"))
+      .collect()(0).getSeq[Long](0)
+    val want = vals.distinct.sorted.take(10)
+    assert(got == want)
+    // sub-saturation: fewer distincts than k returns them all, sorted
+    val small = Seq(5L, 3L, 5L, 9L).toDF("v").repartition(3)
+      .agg(SketchAggregates.minK(col("v"), 10).as("mk"))
+      .collect()(0).getSeq[Long](0)
+    assert(small == Seq(3L, 5L, 9L))
+  }
+
+  test("hll sketch state matches a from-scratch register replay") {
+    val gs = (1 to 2000).map(i => SketchHash.mix(i * 1299721L))
+    // independent register replay (same bit layout, BigInt-free: all
+    // values are non-negative here by construction)
+    val regs = new Array[Int](64)
+    gs.foreach { g =>
+      val reg = (g & 63L).toInt
+      val w = (g >>> 6) & ((1L << 51) - 1)
+      val rho = if (w == 0L) 52 else 52 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > regs(reg)) regs(reg) = rho
+    }
+    val wantZero = regs.count(_ == 0)
+    val wantS = regs.map(r => 1L << (52 - r)).sum
+    val row = gs.toDF("g").repartition(5)
+      .agg(SketchAggregates.hll(col("g")).as("h"))
+      .select(col("h.n_regs_zero"), col("h.s_scaled")).collect()(0)
+    assert(row.getInt(0) == wantZero)
+    assert(row.getLong(1) == wantS)
+  }
+
+  test("kmv: sub-saturation is exact; saturated branch estimates") {
+    val docs = Tables.load(spark, sf, "documents")
+    val exact = Sketches.kmvDistinctFrom(docs, 1000000).collect()
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      assert(r.getDouble(4) == r.getLong(1).toDouble, s"est != exact: $r")
+      assert(r.getDouble(5) == 0.0)
+    }
+    val sat = Sketches.kmvDistinctFrom(docs, 64).collect()
+    sat.foreach { r =>
+      assert(r.getLong(2) == 64L) // k_used saturated
+      assert(r.getLong(1) > 64L)
+      // fixed corpus, deterministic hash: the KMV estimate lands well
+      // inside 3-4 sigma of 1/sqrt(k-2) ~ 12.7%
+      assert(math.abs(r.getDouble(5)) < 50.0, s"err too large: $r")
+    }
+  }
+
+  test("hll: estimate within the m=64 error envelope on the corpus") {
+    Sketches.hllDistinctFrom(Tables.load(spark, sf, "documents"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) > 0)
+        // sigma = 1.04/sqrt(64) = 13%; fixed corpus stays inside 3 sigma
+        assert(math.abs(r.getDouble(5)) < 40.0, s"err too large: $r")
+      }
+  }
+
+  test("cms: never undercounts; wide grid is collision-free, narrow is not") {
+    val docs = Tables.load(spark, sf, "documents")
+    val wide = Sketches.cmsTopkFrom(docs, 1 << 16, 20).collect()
+    assert(wide.length == 20)
+    wide.foreach(r => assert(r.getLong(3) == 0L, s"collision at w=65536: $r"))
+    val narrow = Sketches.cmsTopkFrom(docs, 64, 20).collect()
+    narrow.foreach(r => assert(r.getLong(3) >= 0L, s"undercount: $r"))
+    assert(narrow.exists(_.getLong(3) > 0L),
+      "w=64 must show collision overestimates")
+  }
+
+  test("corr matrix: exactly linear columns give corr of exactly ±1") {
+    val df = (1 to 8).map(i =>
+      (i.toDouble, 2.0 * i + 1.0, 7.0 - 3.0 * i)).toDF("a", "b", "c")
+    val got = Quality.corrMatrixFrom(df, Seq("a", "b", "c")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    assert(got(("a", "b")) == 1.0)
+    assert(got(("a", "c")) == -1.0)
+    assert(got(("b", "c")) == -1.0)
+    assert(got.values.forall(v => !v.isNaN))
+  }
+
+  test("plans: sketch aggregates partial-merge; no cartesian anywhere") {
+    val docs = Tables.load(spark, sf, "documents")
+    val kmvPlan = planOf(Sketches.kmvDistinctFrom(docs, 16))
+    // TypedImperativeAggregate runs partial (per input partition) and
+    // final (post-shuffle) — both must appear, or the sketch is being
+    // built single-sided
+    assert("min_k_distinct".r.findAllIn(kmvPlan).size >= 2, kmvPlan)
+    val hllPlan = planOf(Sketches.hllDistinctFrom(docs))
+    assert("hll_sketch".r.findAllIn(hllPlan).size >= 2, hllPlan)
+    Seq(Sketches.kmvDistinctFrom(docs, 16),
+      Sketches.hllDistinctFrom(docs),
+      Sketches.cmsTopkFrom(docs, 512, 20),
+      Quality.corrMatrixFrom(Tables.load(spark, sf, "lineitem"),
+        Seq("l_quantity", "l_tax"))).foreach(assertNoCartesian)
+  }
+}

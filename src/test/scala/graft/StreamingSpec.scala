@@ -762,4 +762,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch,
       s"per-doc mismatch: ${got.toSet.diff(batch.toSet).take(3)}")
   }
+
+  test("streaming HLL distinct equals the batch sketch per source") {
+    import graft.streaming.{DocIngest, StreamDistinct}
+    val q = StreamDistinct.distinctCounts(DocIngest.readDocStream(spark, sf))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_distinct").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))
+    val got = spark.table("stream_distinct").collect().map(key).toMap
+    // batch twin: the same estimate columns of hll_distinct (the HLL
+    // update is idempotent, so the stream needs no pre-distinct stage
+    // and still matches the batch's distinct-fed registers)
+    val batch = graft.operators.Sketches
+      .hllDistinctFrom(Tables.load(spark, sf, "documents"))
+      .select("source", "n_regs_zero", "s_scaled", "hll_est4")
+      .collect().map(key).toMap
+    assert(got == batch,
+      s"per-source mismatch: ${got.toSet.diff(batch.toSet).take(3)}")
+    assert(got.nonEmpty)
+  }
 }
