@@ -78,7 +78,8 @@ object Bench {
       "bpe_train", "bpe_encode",
       "bpe_fertility", "bpe_encode_artifact",
       "char_entropy", "zipf_fit", "lang_confusion", "corpus_report",
-      "kmv_distinct", "hll_distinct", "cms_topk"),
+      "kmv_distinct", "hll_distinct", "cms_topk",
+      "hdr_quantiles", "source_overlap_hll"),
     "curation" -> Seq(
       "decontaminate", "contamination_report", "pipeline_report",
       "decontaminate_fuzzy", "bloom_decontaminate",

@@ -110,6 +110,8 @@ object SparkEntry {
     "kmv_distinct" -> ((s, d) => Sketches.kmvDistinct(s, d)),
     "hll_distinct" -> ((s, d) => Sketches.hllDistinct(s, d)),
     "cms_topk" -> ((s, d) => Sketches.cmsTopk(s, d)),
+    "hdr_quantiles" -> ((s, d) => Sketches.hdrQuantiles(s, d)),
+    "source_overlap_hll" -> ((s, d) => Sketches.sourceOverlapHll(s, d)),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "text_shingles" -> (TextAnalysis.textShingles _),
     // B. analytics core
@@ -982,6 +984,8 @@ object SparkEntry {
     "kmv_distinct" -> Sketches.kmvDistinctOracle(),
     "hll_distinct" -> Sketches.hllDistinctOracle(),
     "cms_topk" -> Sketches.cmsTopkOracle(),
+    "hdr_quantiles" -> Sketches.hdrQuantilesOracle(),
+    "source_overlap_hll" -> Sketches.sourceOverlapHllOracle(),
     "embedding_class_stats" -> Similarity.embeddingClassStatsOracle,
     "embedding_outliers" -> Similarity.embeddingOutliersOracle,
     "dsir_weights" -> Curation.dsirOracle(),

@@ -484,9 +484,21 @@ object Graft {
     graft.operators.Sketches.cmsTopkFrom(docs, w, k)
 
   /** Pearson correlation matrix over numeric columns from one
-    * sufficient-statistics pass (decimal-exact, engine-reproducible). */
+    * sufficient-statistics pass (integer-exact via cents quantization,
+    * engine-reproducible). */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame =
     graft.operators.Quality.corrMatrixFrom(df, cols)
+
+  /** HDR-histogram quantile sketch of doc length per source: mergeable
+    * power-of-two/16-sub-bucket histogram, estimates published against
+    * the exact discrete quantiles. */
+  def hdrQuantiles(docs: DataFrame): DataFrame =
+    graft.operators.Sketches.hdrQuantilesFrom(docs)
+
+  /** Cross-source overlap from HLL register algebra: per-source 64 B
+    * sketches unioned by elementwise max, no rescan. */
+  def sourceOverlapHll(docs: DataFrame): DataFrame =
+    graft.operators.Sketches.sourceOverlapHllFrom(docs)
 
   /** Header-vs-lines totals reconciliation in integer cents with
     * error-band buckets and orphan counts (migration sign-off). */

@@ -111,7 +111,7 @@ case class MinKDistinct(child: Expression, k: Int,
   * reproducible bit-for-bit from integer state by any engine —
   * the SQL oracle replays registers with `%`, `//`, `bin()` and `<<`.
   */
-case class HllSketch(child: Expression,
+case class HllSketch(child: Expression, regs: Boolean = false,
                      mutableAggBufferOffset: Int = 0,
                      inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Byte]] {
@@ -120,9 +120,11 @@ case class HllSketch(child: Expression,
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = StructType(Seq(
-    StructField("n_regs_zero", IntegerType, nullable = false),
-    StructField("s_scaled", LongType, nullable = false)))
+  override def dataType: DataType =
+    if (regs) ArrayType(IntegerType, containsNull = false)
+    else StructType(Seq(
+      StructField("n_regs_zero", IntegerType, nullable = false),
+      StructField("s_scaled", LongType, nullable = false)))
   override def prettyName: String = "hll_sketch"
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
@@ -146,17 +148,19 @@ case class HllSketch(child: Expression,
     a
   }
 
-  override def eval(buf: Array[Byte]): Any = {
-    var zero = 0
-    var s = 0L
-    var i = 0
-    while (i < M) {
-      if (buf(i) == 0) zero += 1
-      s += 1L << (WBITS + 1 - buf(i))
-      i += 1
+  override def eval(buf: Array[Byte]): Any =
+    if (regs) new GenericArrayData(buf.map(_.toInt))
+    else {
+      var zero = 0
+      var s = 0L
+      var i = 0
+      while (i < M) {
+        if (buf(i) == 0) zero += 1
+        s += 1L << (WBITS + 1 - buf(i))
+        i += 1
+      }
+      InternalRow(zero, s)
     }
-    InternalRow(zero, s)
-  }
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
@@ -185,4 +189,13 @@ object SketchAggregates {
   def hll(c: Column): Column =
     CatalystBridge.column(
       HllSketch(CatalystBridge.expression(c)).toAggregateExpression())
+
+  /** The same HLL aggregate evaluated to its RAW 64 registers — the
+    * mergeable state itself, for queries that do sketch ALGEBRA
+    * downstream (cross-source union via elementwise max) instead of
+    * finishing the estimate inside the aggregate. */
+  def hllRegs(c: Column): Column =
+    CatalystBridge.column(
+      HllSketch(CatalystBridge.expression(c), regs = true)
+        .toAggregateExpression())
 }

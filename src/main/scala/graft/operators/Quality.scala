@@ -875,12 +875,21 @@ object Quality {
     * statistics — never a per-pair scan.
     *
     * Determinism contract: the metric columns are DOUBLEs, so naive
-    * Σxy would be partition-order dependent; each product is rounded
-    * to 8 dp and summed as DECIMAL(28,8) (the source_kl doctrine),
-    * making every sufficient statistic exact and the final double
-    * formula engine-reproducible. Scale shape: one map-side-combined
-    * aggregate to a single 15-number row; the pair explosion happens
-    * on that one row. */
+    * Σxy would be partition-order dependent. Each COLUMN is quantized
+    * ONCE to integer cents (`floor(x·100 + 0.5)` — half-up, exact for
+    * the 2-dp monetary domain, cheap IEEE ops), products are then
+    * exact LONGs summed as DECIMAL — every sufficient statistic is an
+    * exact integer and the final double formula engine-reproducible.
+    * Pearson correlation is invariant under per-column positive linear
+    * scaling, so the cents units cancel out of `corr6` entirely.
+    * (The obvious alternative — `round(product, 8)` per aggregate —
+    * costs a BigDecimal per row per aggregate inside Spark's Round and
+    * measured 10× slower; 4 quantizations/row beats 15 rounds/row.)
+    * Domain bound: |cents| must stay below ~3e9 so the long products
+    * cannot wrap (ANSI mode fails loudly if violated).
+    *
+    * Scale shape: one map-side-combined aggregate to a single
+    * 15-number row; the pair explosion happens on that one row. */
   def corrMatrix(spark: SparkSession, sfDir: String): DataFrame =
     corrMatrixFrom(Tables.load(spark, sfDir, "lineitem"), corrCols)
 
@@ -888,12 +897,15 @@ object Quality {
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i), cols(j))
-    def s8(e: Column) = sum(round(e, 8).cast(DecimalType(28, 8)))
+    val qd = df.select(cols.map(c =>
+      floor(col(c) * 100 + lit(0.5)).as(s"q_$c")): _*)
+    def s(e: Column) = sum(e.cast(DecimalType(28, 0)))
     val aggs =
-      cols.map(c => s8(col(c)).as(s"s_$c")) ++
-        cols.map(c => s8(col(c) * col(c)).as(s"ss_$c")) ++
-        pairs.map { case (a, b) => s8(col(a) * col(b)).as(s"sp_${a}_$b") }
-    val one = df.agg(count(lit(1)).as("n"), aggs: _*)
+      cols.map(c => s(col(s"q_$c")).as(s"s_$c")) ++
+        cols.map(c => s(col(s"q_$c") * col(s"q_$c")).as(s"ss_$c")) ++
+        pairs.map { case (a, b) =>
+          s(col(s"q_$a") * col(s"q_$b")).as(s"sp_${a}_$b") }
+    val one = qd.agg(count(lit(1)).as("n"), aggs: _*)
     def corr6(a: String, b: String): Column = {
       val n = col("n").cast("double")
       val sx = col(s"s_$a").cast("double")
@@ -911,19 +923,19 @@ object Quality {
       .orderBy("col_x", "col_y")
   }
 
-  /** DuckDB oracle for [[corrMatrix]]: the same rounded-product
-    * decimal sufficient statistics, the same closed-form correlation
+  /** DuckDB oracle for [[corrMatrix]]: the same cents quantization,
+    * exact-integer sufficient statistics, and closed-form correlation
     * — deliberately NOT DuckDB's corr() (whose streaming update order
     * is not part of any cross-engine contract). */
   def corrMatrixOracle(): String = {
-    def d(e: String) = s"CAST(sum(CAST(round($e, 8) AS DECIMAL(28,8))) AS DOUBLE)"
+    def d(e: String) = s"CAST(sum($e) AS DOUBLE)"
     val pairs = for {
       i <- corrCols.indices; j <- corrCols.indices if i < j
     } yield (corrCols(i), corrCols(j))
     val sums =
-      (corrCols.map(c => s"${d(c)} AS s_$c") ++
-        corrCols.map(c => s"${d(s"$c * $c")} AS ss_$c") ++
-        pairs.map { case (a, b) => s"${d(s"$a * $b")} AS sp_${a}_$b" })
+      (corrCols.map(c => s"${d(s"q_$c")} AS s_$c") ++
+        corrCols.map(c => s"${d(s"q_$c * q_$c")} AS ss_$c") ++
+        pairs.map { case (a, b) => s"${d(s"q_$a * q_$b")} AS sp_${a}_$b" })
         .mkString(",\n              ")
     val rows = pairs.map { case (a, b) =>
       s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
@@ -931,9 +943,13 @@ object Quality {
               / sqrt((n * ss_$a - s_$a * s_$a)
                 * (n * ss_$b - s_$b * s_$b)), 6) AS corr6 FROM s"""
     }.mkString("\n        UNION ALL\n        ")
-    s"""WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    val quant = corrCols
+      .map(c => s"CAST(floor($c * 100 + 0.5) AS BIGINT) AS q_$c")
+      .mkString(",\n              ")
+    s"""WITH qv AS (SELECT $quant FROM lineitem),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n,
               $sums
-            FROM lineitem)
+            FROM qv)
        SELECT * FROM ($rows) ORDER BY col_x, col_y"""
   }
 }

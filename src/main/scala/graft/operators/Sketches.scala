@@ -3,7 +3,9 @@ package graft.operators
 import graft.Tables
 import graft.functions.{SketchAggregates, SketchHash, TextShingles}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Cardinality / frequency SKETCHES over the corpus — the mergeable
   * bounded-state summaries a 100 TB profile pass actually ships to the
@@ -286,4 +288,223 @@ object Sketches {
        GROUP BY top.term, top.exact_cnt
        ORDER BY exact_cnt DESC, top.term"""
   }
+
+  // ---------------------------------------------------------- HDR quantiles
+
+  /** HDR bucket of a non-negative BIGINT: values below 32 are their own
+    * bucket (exact); above, the value keeps its top 5 bits (16
+    * sub-buckets per octave → relative width ≤ 1/16). Pure INTEGER
+    * arithmetic — bit length via `length(bin(v))`, then shift — so the
+    * bucket boundary is bit-identical in any engine (a log-gamma bucket
+    * would hang the contract on libm's last ulp). */
+  private val hdrBucket =
+    expr("""CASE WHEN v <= 31 THEN v
+            ELSE shiftleft(shiftright(v, length(bin(v)) - 5),
+                           length(bin(v)) - 5) END""")
+
+  private val hdrBucketSql =
+    """CASE WHEN v <= 31 THEN v
+       ELSE (v >> (length(bin(v)) - 5)) << (length(bin(v)) - 5) END"""
+
+  /** Discrete-quantile columns from a (source, b, cnt) cell table:
+    * cumulative counts over the BOUNDED cell domain, then the smallest
+    * b whose cumulative count reaches ceil(q·n) — with the rank target
+    * computed in INTEGER arithmetic (`(q_num·n + q_den − 1) div q_den`),
+    * because `ceil(0.9 * n)` in doubles disagrees across engines at
+    * exact multiples. */
+  private def discQuantiles(cells: DataFrame, sfx: String): DataFrame = {
+    val cum = cells
+      .withColumn("cum",
+        sum("cnt").over(Window.partitionBy("source").orderBy("b")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
+    def q(qn: Int, qd: Int): Column =
+      min(when(col("cum") >= expr(s"($qn * n + ${qd - 1}) div $qd"),
+        col("b")))
+    cum.groupBy("source").agg(
+      max(col("n")).as("n" + sfx),
+      count(lit(1)).as("nb" + sfx),
+      q(1, 2).as("p50" + sfx), q(9, 10).as("p90" + sfx),
+      q(99, 100).as("p99" + sfx))
+  }
+
+  /** §2 #213 — HDR-HISTOGRAM QUANTILE SKETCH of doc length per source:
+    * the mergeable quantile summary completing the sketch quartet
+    * (distinct = KMV/HLL, frequency = CMS, quantiles = this). The
+    * sketch is just `groupBy(source, hdrBucket).count()` — Catalyst's
+    * partial aggregation IS the mergeable histogram (≤ 16 cells per
+    * octave per source, counts add), no custom state needed. Quantile
+    * estimate = lower bound of the bucket holding the target rank,
+    * an UNDER-estimate by construction with relative error ≤ 1/16
+    * above 31 and 0 below; the exact discrete quantiles (same rank
+    * arithmetic over the value-domain-bounded (source, len) table) are
+    * published beside it, so `maxerr_pct2` measures the promised bound
+    * instead of assuming it.
+    *
+    * Scale shape: two value-domain-bounded aggregates (bucket cells,
+    * distinct lengths) with map-side combine; the windows run over
+    * those bounded tables, never over rows. */
+  def hdrQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    hdrQuantilesFrom(Tables.load(spark, sfDir, "documents"))
+
+  def hdrQuantilesFrom(docs: DataFrame): DataFrame = {
+    val lens = docs.select(col("source"),
+      length(col("text")).cast("long").as("v"))
+    val est = discQuantiles(
+      lens.select(col("source"), hdrBucket.as("b"))
+        .groupBy("source", "b").agg(count(lit(1)).as("cnt")), "_est")
+    val exact = discQuantiles(
+      lens.groupBy(col("source"), col("v").as("b"))
+        .agg(count(lit(1)).as("cnt")), "_exact")
+    def err(p: String): Column =
+      when(col(s"p${p}_exact") === 0, lit(0.0))
+        .otherwise((col(s"p${p}_exact") - col(s"p${p}_est")).cast("double")
+          / col(s"p${p}_exact").cast("double"))
+    est.join(exact, "source")
+      .select(col("source"), col("n_exact").as("n"),
+        col("nb_est").as("n_buckets"),
+        col("p50_est"), col("p50_exact"), col("p90_est"),
+        col("p90_exact"), col("p99_est"), col("p99_exact"),
+        round(greatest(err("50"), err("90"), err("99")) * 100, 2)
+          .as("maxerr_pct2"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[hdrQuantiles]]: same integer bucket, same
+    * integer rank targets, same cumulative-window extraction. */
+  def hdrQuantilesOracle(): String = {
+    def qsel(qn: Int, qd: Int, p: String, sfx: String) =
+      s"min(CASE WHEN cum >= ($qn * n + ${qd - 1}) // $qd THEN b END) AS p$p$sfx"
+    def leg(cellSql: String, sfx: String) =
+      s"""(SELECT source, CAST(max(n) AS BIGINT) AS n$sfx,
+             CAST(count(*) AS BIGINT) AS nb$sfx,
+             ${qsel(1, 2, "50", sfx)}, ${qsel(9, 10, "90", sfx)},
+             ${qsel(99, 100, "99", sfx)}
+           FROM (SELECT source, b,
+                   sum(cnt) OVER (PARTITION BY source ORDER BY b) AS cum,
+                   sum(cnt) OVER (PARTITION BY source) AS n
+                 FROM ($cellSql))
+           GROUP BY source)"""
+    def errSql(p: String) =
+      s"""CASE WHEN p${p}_exact = 0 THEN 0.0
+          ELSE CAST(p${p}_exact - p${p}_est AS DOUBLE)
+               / CAST(p${p}_exact AS DOUBLE) END"""
+    s"""WITH lv AS (SELECT source, CAST(length(text) AS BIGINT) AS v
+                    FROM documents),
+        ec AS (SELECT source, $hdrBucketSql AS b, count(*) AS cnt
+               FROM lv GROUP BY 1, 2),
+        xc AS (SELECT source, v AS b, count(*) AS cnt
+               FROM lv GROUP BY 1, 2),
+        e AS ${leg("SELECT * FROM ec", "_est")},
+        x AS ${leg("SELECT * FROM xc", "_exact")}
+       SELECT source, n_exact AS n, nb_est AS n_buckets,
+              p50_est, p50_exact, p90_est, p90_exact, p99_est, p99_exact,
+              round(greatest(${errSql("50")}, ${errSql("90")},
+                             ${errSql("99")}) * 100, 2) AS maxerr_pct2
+       FROM e JOIN x USING (source) ORDER BY source"""
+  }
+
+  // ------------------------------------------------------- HLL union algebra
+
+  /** The Spark-side HLL estimate off raw registers (zero count +
+    * exact-integer scaled sum via higher-order array functions) —
+    * the column form of [[graft.functions.HllSketch]]'s eval, for
+    * frames that carry the 64-register state itself. */
+  private def regsZero(regs: String): Column =
+    expr(s"size(filter($regs, r -> r = 0))")
+
+  private def regsScaled(regs: String): Column =
+    expr(s"aggregate($regs, CAST(0 AS BIGINT), " +
+      "(a, r) -> a + shiftleft(CAST(1 AS BIGINT), 52 - r))")
+
+  /** §2 #214 — CROSS-SOURCE OVERLAP FROM SKETCH ALGEBRA: per-source HLL
+    * register arrays are UNIONED by elementwise max — in DataFrame
+    * algebra (posexplode → groupBy(reg) → max), not inside an aggregate
+    * — and the union estimate is read off the merged state with the
+    * same integer arithmetic. `overlap_pct2` = (Σ per-source estimates
+    * − union estimate) / Σ — the sketch-implied share of shingle mass
+    * duplicated across sources (the 64-byte answer to #127
+    * source_overlap's exact pairwise question), published against the
+    * corpus-exact distinct count (`err_pct2`).
+    *
+    * This is the 100 TB operating model the sketches exist for:
+    * per-source states are computed ONCE (64 B each), and any union —
+    * all sources, one region's, yesterday's + today's — is derived
+    * from stored state without rescanning text. Σ estimates is summed
+    * as DECIMAL over the 4-dp rounded values, so the one
+    * source-cardinality-sized reduction is order-free. */
+  def sourceOverlapHll(spark: SparkSession, sfDir: String): DataFrame =
+    sourceOverlapHllFrom(Tables.load(spark, sfDir, "documents"))
+
+  def sourceOverlapHllFrom(docs: DataFrame): DataFrame = {
+    val hs = sourceHashes(docs)
+    val perSrc = hs.groupBy("source")
+      .agg(SketchAggregates.hllRegs(col("g")).as("regs"))
+    val srcTot = perSrc
+      .select(hllEstimate(regsZero("regs"), regsScaled("regs")).as("est"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("est").cast(DecimalType(18, 4))).as("sum_dec"))
+    val union = perSrc
+      .select(posexplode(col("regs"))).toDF("reg", "r")
+      .groupBy("reg").agg(max("r").as("r"))
+      .agg(sum(when(col("r") === 0, 1L).otherwise(0L)).as("zero"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 52 - r)")).as("s"))
+    val exact = hs.agg(countDistinct(col("g")).as("n_exact"))
+    srcTot.join(union).join(exact)
+      .select(col("n_sources"), col("n_exact"),
+        col("sum_dec").cast("double").as("sum_src_est4"),
+        hllEstimate(col("zero"), col("s")).as("union_est4"))
+      .withColumn("overlap_pct2", round(
+        (col("sum_src_est4") - col("union_est4"))
+          / col("sum_src_est4") * 100, 2))
+      .withColumn("err_pct2", round(
+        (col("union_est4") - col("n_exact"))
+          / col("n_exact").cast("double") * 100, 2))
+  }
+
+  /** The estimator CASE over integer (zero, s_scaled) state — shared
+    * SQL text for the per-source and union legs of
+    * [[sourceOverlapHllOracle]]. */
+  private def hllEstSql(zero: String, s: String): String =
+    s"""round(CASE WHEN $zero > 0
+                AND CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 64)
+                    * 4096 * pow(2, 52) / CAST($s AS DOUBLE) <= 160
+              THEN 64 * ln(64 / CAST($zero AS DOUBLE))
+              ELSE CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 64)
+                   * 4096 * pow(2, 52) / CAST($s AS DOUBLE) END, 4)"""
+
+  /** DuckDB oracle for [[sourceOverlapHll]]: registers per source, max
+    * per register across sources, the same estimator on both levels. */
+  def sourceOverlapHllOracle(): String =
+    s"""$sourceHashCte,
+        rw AS (SELECT source, g % 64 AS reg,
+                 (g // 64) % ${1L << 51} AS w
+               FROM hs),
+        rr AS (SELECT source, reg,
+                 max(CASE WHEN w = 0 THEN 52
+                          ELSE 52 - length(bin(w)) END) AS rho
+               FROM rw GROUP BY source, reg),
+        sr AS (SELECT source,
+                 CAST(64 - count(*) AS BIGINT) AS zero,
+                 CAST(sum(CAST(1 AS BIGINT) << (52 - rho))
+                      + (64 - count(*)) * (CAST(1 AS BIGINT) << 52)
+                      AS BIGINT) AS s
+               FROM rr GROUP BY source),
+        ss AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+                 CAST(sum(CAST(${hllEstSql("zero", "s")} AS DECIMAL(18,4)))
+                      AS DOUBLE) AS sum_src_est4
+               FROM sr),
+        ur AS (SELECT reg, max(rho) AS rho FROM rr GROUP BY reg),
+        us AS (SELECT CAST(64 - count(*) AS BIGINT) AS zero,
+                 CAST(sum(CAST(1 AS BIGINT) << (52 - rho))
+                      + (64 - count(*)) * (CAST(1 AS BIGINT) << 52)
+                      AS BIGINT) AS s
+               FROM ur),
+        ue AS (SELECT ${hllEstSql("zero", "s")} AS union_est4 FROM us),
+        ex AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n_exact FROM hs)
+       SELECT n_sources, n_exact, sum_src_est4, union_est4,
+              round((sum_src_est4 - union_est4) / sum_src_est4 * 100, 2)
+                AS overlap_pct2,
+              round((union_est4 - n_exact) / CAST(n_exact AS DOUBLE) * 100,
+                    2) AS err_pct2
+       FROM ss, ue, ex"""
 }

@@ -111,6 +111,57 @@ class SketchSpec extends SparkSpec {
     assert(got.values.forall(v => !v.isNaN))
   }
 
+  test("hll regs: elementwise-max union equals the single-pass sketch") {
+    // the algebraic property sourceOverlapHll rides on: merging
+    // per-group register arrays by elementwise max must give exactly
+    // the registers of one sketch over the whole input
+    val df = (1 to 3000).map(i => (i % 3, SketchHash.mix(i * 7919L)))
+      .toDF("grp", "g").repartition(5)
+    val merged = df.groupBy("grp")
+      .agg(SketchAggregates.hllRegs(col("g")).as("regs"))
+      .select(posexplode(col("regs"))).toDF("reg", "r")
+      .groupBy("reg").agg(max("r").as("r"))
+      .orderBy("reg").collect().map(_.getInt(1)).toSeq
+    val whole = df.agg(SketchAggregates.hllRegs(col("g")).as("regs"))
+      .collect()(0).getSeq[Int](0)
+    assert(merged == whole)
+  }
+
+  test("hdr quantiles: estimates lower-bound exact within 1/16 relative") {
+    val rows = Sketches.hdrQuantilesFrom(Tables.load(spark, sf, "documents"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("50", "90", "99").foreach { p =>
+        val est = r.getAs[Long](s"p${p}_est")
+        val ex = r.getAs[Long](s"p${p}_exact")
+        assert(est <= ex, s"p$p over-estimates: $r")
+        if (ex <= 31) assert(est == ex, s"p$p must be exact below 32: $r")
+        else assert((ex - est).toDouble / ex < 1.0 / 16,
+          s"p$p outside the 1/16 envelope: $r")
+      }
+      val err = r.getAs[Double]("maxerr_pct2")
+      assert(err >= 0.0 && err <= 6.25, s"maxerr_pct2 out of bound: $r")
+    }
+  }
+
+  test("hll union: overlap share consistent, estimate in envelope") {
+    val row = Sketches.sourceOverlapHllFrom(
+      Tables.load(spark, sf, "documents")).collect()(0)
+    assert(row.getAs[Long]("n_sources") > 0)
+    val sum = row.getAs[Double]("sum_src_est4")
+    val union = row.getAs[Double]("union_est4")
+    // union registers dominate every per-source register set, and the
+    // sum of per-source estimates can only fall below the union by
+    // estimator noise — never materially
+    assert(union > 0 && sum >= union * 0.98, s"sum=$sum union=$union")
+    assert(math.abs(row.getAs[Double]("err_pct2")) < 40.0, row.toString)
+    val want = BigDecimal((sum - union) / sum * 100)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getAs[Double]("overlap_pct2") - want) <= 0.01,
+      row.toString)
+  }
+
   test("plans: sketch aggregates partial-merge; no cartesian anywhere") {
     val docs = Tables.load(spark, sf, "documents")
     val kmvPlan = planOf(Sketches.kmvDistinctFrom(docs, 16))
@@ -123,7 +174,13 @@ class SketchSpec extends SparkSpec {
     Seq(Sketches.kmvDistinctFrom(docs, 16),
       Sketches.hllDistinctFrom(docs),
       Sketches.cmsTopkFrom(docs, 512, 20),
+      Sketches.hdrQuantilesFrom(docs),
       Quality.corrMatrixFrom(Tables.load(spark, sf, "lineitem"),
         Seq("l_quantity", "l_tax"))).foreach(assertNoCartesian)
+    // sourceOverlapHll joins three 1-row frames keylessly by design —
+    // excluded from the cartesian check; what matters is that its regs
+    // aggregate partial-merges too
+    val ovPlan = planOf(Sketches.sourceOverlapHllFrom(docs))
+    assert("hll_sketch".r.findAllIn(ovPlan).size >= 2, ovPlan)
   }
 }
