@@ -79,7 +79,7 @@ object Bench {
       "bpe_fertility", "bpe_encode_artifact",
       "char_entropy", "zipf_fit", "lang_confusion", "corpus_report",
       "kmv_distinct", "hll_distinct", "cms_topk",
-      "hdr_quantiles", "source_overlap_hll"),
+      "hdr_quantiles", "source_overlap_hll", "source_jaccard_kmv"),
     "curation" -> Seq(
       "decontaminate", "contamination_report", "pipeline_report",
       "decontaminate_fuzzy", "bloom_decontaminate",

@@ -112,6 +112,7 @@ object SparkEntry {
     "cms_topk" -> ((s, d) => Sketches.cmsTopk(s, d)),
     "hdr_quantiles" -> ((s, d) => Sketches.hdrQuantiles(s, d)),
     "source_overlap_hll" -> ((s, d) => Sketches.sourceOverlapHll(s, d)),
+    "source_jaccard_kmv" -> ((s, d) => Sketches.sourceJaccardKmv(s, d)),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "text_shingles" -> (TextAnalysis.textShingles _),
     // B. analytics core
@@ -986,6 +987,7 @@ object SparkEntry {
     "cms_topk" -> Sketches.cmsTopkOracle(),
     "hdr_quantiles" -> Sketches.hdrQuantilesOracle(),
     "source_overlap_hll" -> Sketches.sourceOverlapHllOracle(),
+    "source_jaccard_kmv" -> Sketches.sourceJaccardKmvOracle(),
     "embedding_class_stats" -> Similarity.embeddingClassStatsOracle,
     "embedding_outliers" -> Similarity.embeddingOutliersOracle,
     "dsir_weights" -> Curation.dsirOracle(),

@@ -500,6 +500,12 @@ object Graft {
   def sourceOverlapHll(docs: DataFrame): DataFrame =
     graft.operators.Sketches.sourceOverlapHllFrom(docs)
 
+  /** Pairwise source Jaccard from bottom-k (KMV) sketch content alone
+    * — the k-sample of each pair union recovered from per-source
+    * sketches, exact when the union fits in k. */
+  def sourceJaccardKmv(docs: DataFrame, k: Int = 256): DataFrame =
+    graft.operators.Sketches.sourceJaccardKmvFrom(docs, k)
+
   /** Header-vs-lines totals reconciliation in integer cents with
     * error-band buckets and orphan counts (migration sign-off). */
   def totalsReconcile(orders: DataFrame, lines: DataFrame): DataFrame =

@@ -507,4 +507,125 @@ object Sketches {
               round((union_est4 - n_exact) / CAST(n_exact AS DOUBLE) * 100,
                     2) AS err_pct2
        FROM ss, ue, ex"""
+
+  // ------------------------------------------------------ KMV pair Jaccard
+
+  /** §2 #215 — PAIRWISE SOURCE JACCARD FROM KMV SKETCH STATE: the
+    * pairwise complement to [[sourceOverlapHll]]'s global union. For
+    * each unordered source pair, the k smallest hashes of the pair's
+    * UNION are recovered from the two per-source sketches alone
+    * (union-then-rank — valid because the k smallest of A∪B are a
+    * subset of sketch(A) ∪ sketch(B)), and Jaccard is estimated as the
+    * share of that k-sample present in BOTH sketches — the classic
+    * bottom-k estimator (Broder 1997; matches/k_union is an unbiased
+    * permutation-sample estimate, σ ≈ √(J(1−J)/k)). When a pair's
+    * union fits inside k the sample IS the union and the estimate is
+    * exact by construction. The exact Jaccard (one self-equijoin on
+    * hash) is published beside the estimate, so `err6` measures the
+    * estimator at this k instead of assuming the envelope.
+    *
+    * Scale shape: the corpus is touched ONCE ([[sourceHashes]] + the
+    * bounded MinK aggregate); everything pairwise runs over the
+    * EXPLODED SKETCH CONTENT — ≤ sources²·k id-free rows — so 190
+    * pairs at k=256 rank ~100k longs regardless of corpus size. The
+    * exact legs are the gate-scale validation anchor; a 100 TB run
+    * ships only the sketch algebra. */
+  def sourceJaccardKmv(spark: SparkSession, sfDir: String,
+                       k: Int = 256): DataFrame =
+    sourceJaccardKmvFrom(Tables.load(spark, sfDir, "documents"), k)
+
+  def sourceJaccardKmvFrom(docs: DataFrame, k: Int): DataFrame = {
+    // both the sketch leg and the exact anchor legs consume the
+    // hash table — persist it for the query's lifetime (session
+    // boundary releases it, TransientCaches doctrine)
+    val hs = TransientCaches.register(sourceHashes(docs).cache())
+    val sk = hs.groupBy("source")
+      .agg(SketchAggregates.minK(col("g"), k).as("mk"))
+    val ex = sk.select(col("source"), explode(col("mk")).as("g"))
+    val srcs = sk.select("source")
+    // tag each sketch row with every partner source on its other side;
+    // the non-equi joins are over the BOUNDED source list (broadcast
+    // nested-loop over ~|sources| rows — the right plan at any scale)
+    val ta = ex.toDF("sa", "g")
+      .join(srcs.toDF("sb"), col("sa") < col("sb"))
+      .select(col("sa"), col("sb"), col("g"),
+        lit(1).as("ia"), lit(0).as("ib"))
+    val tb = ex.toDF("sb", "g")
+      .join(srcs.toDF("sa"), col("sa") < col("sb"))
+      .select(col("sa"), col("sb"), col("g"),
+        lit(0).as("ia"), lit(1).as("ib"))
+    val union = ta.unionByName(tb)
+      .groupBy("sa", "sb", "g")
+      .agg(max("ia").as("ia"), max("ib").as("ib"))
+    val ranked = union.withColumn("rn", row_number()
+        .over(Window.partitionBy("sa", "sb").orderBy("g")))
+      .filter(col("rn") <= k)
+    val est = ranked.groupBy("sa", "sb").agg(
+      count(lit(1)).as("k_union"),
+      sum(col("ia") * col("ib")).cast("long").as("matches"))
+    val sz = hs.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = hs.toDF("sa", "g")
+      .join(hs.toDF("sb", "g2"),
+        col("g") === col("g2") && col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("inter"))
+    est
+      .join(sz.toDF("sa", "na"), "sa")
+      .join(sz.toDF("sb", "nb"), "sb")
+      .join(inter, Seq("sa", "sb"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(col("sa"), col("sb"), col("k_union"), col("matches"),
+        round(col("matches") / col("k_union"), 6).as("jacc_est6"),
+        round(col("inter")
+          / (col("na") + col("nb") - col("inter")), 6).as("jacc_exact6"))
+      .withColumn("err6",
+        round(col("jacc_est6") - col("jacc_exact6"), 6))
+      .orderBy("sa", "sb")
+  }
+
+  /** DuckDB oracle for [[sourceJaccardKmv]]: per-source bottom-k via
+    * row_number, the same tagged union / rank / match-share over
+    * sketch content, the same exact-join anchor. */
+  def sourceJaccardKmvOracle(k: Int = 256): String =
+    s"""$sourceHashCte,
+        sk AS (SELECT source, g FROM
+                 (SELECT source, g,
+                    row_number() OVER (PARTITION BY source ORDER BY g) AS rn
+                  FROM hs)
+               WHERE rn <= $k),
+        ss AS (SELECT DISTINCT source FROM hs),
+        sp AS (SELECT a.source AS sa, b.source AS sb
+               FROM ss a JOIN ss b ON a.source < b.source),
+        t AS (SELECT sp.sa, sp.sb, sk.g, 1 AS ia, 0 AS ib
+              FROM sp JOIN sk ON sk.source = sp.sa
+              UNION ALL
+              SELECT sp.sa, sp.sb, sk.g, 0 AS ia, 1 AS ib
+              FROM sp JOIN sk ON sk.source = sp.sb),
+        u AS (SELECT sa, sb, g, max(ia) AS ia, max(ib) AS ib
+              FROM t GROUP BY sa, sb, g),
+        w AS (SELECT sa, sb, ia, ib,
+                row_number() OVER (PARTITION BY sa, sb ORDER BY g) AS rn
+              FROM u),
+        e AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS k_union,
+                CAST(sum(ia * ib) AS BIGINT) AS matches
+              FROM w WHERE rn <= $k GROUP BY sa, sb),
+        sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+               FROM hs GROUP BY source),
+        iv AS (SELECT a.source AS sa, b.source AS sb,
+                 CAST(count(*) AS BIGINT) AS inter
+               FROM hs a JOIN hs b ON a.g = b.g AND a.source < b.source
+               GROUP BY 1, 2)
+       SELECT e.sa, e.sb, e.k_union, e.matches,
+              round(e.matches / e.k_union, 6) AS jacc_est6,
+              round(coalesce(iv.inter, 0)
+                    / (za.n + zb.n - coalesce(iv.inter, 0)), 6)
+                AS jacc_exact6,
+              round(round(e.matches / e.k_union, 6)
+                    - round(coalesce(iv.inter, 0)
+                            / (za.n + zb.n - coalesce(iv.inter, 0)), 6), 6)
+                AS err6
+       FROM e
+       JOIN sz za ON za.source = e.sa
+       JOIN sz zb ON zb.source = e.sb
+       LEFT JOIN iv ON iv.sa = e.sa AND iv.sb = e.sb
+       ORDER BY e.sa, e.sb"""
 }

@@ -162,6 +162,38 @@ class SketchSpec extends SparkSpec {
       row.toString)
   }
 
+  test("kmv jaccard: exact when the union fits in k; envelope on corpus") {
+    // crafted fixture: shingle sets with known overlap, union << k
+    // a: tokens 1..30, b: tokens 21..50 (10 of 40 shared 3-shingles
+    // domain-wise), c: disjoint
+    def doc(lo: Int, hi: Int) = (lo to hi).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      ("a", doc(1, 30)), ("b", doc(21, 50)), ("c", doc(100, 130)))
+      .toDF("source", "text")
+    val got = Sketches.sourceJaccardKmvFrom(docs, 256).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r)).toMap
+    got.values.foreach { r =>
+      assert(r.getAs[Double]("err6") == 0.0,
+        s"sub-saturation must be exact: $r")
+    }
+    // a: shingles w1..w28-start (28), b: w21..w48-start (28); shared
+    // start tokens 21..28 → 8 shared shingles; union 48
+    assert(got(("a", "b")).getAs[Double]("jacc_exact6") ==
+      math.round(8.0 / 48 * 1e6) / 1e6)
+    assert(got(("a", "c")).getAs[Double]("jacc_exact6") == 0.0)
+    // corpus envelope: k=256 → sigma ≈ sqrt(J(1-J)/256) ≤ 0.031; 5 sigma
+    val corpus = Sketches.sourceJaccardKmvFrom(
+      Tables.load(spark, sf, "documents"), 256).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val est = r.getAs[Double]("jacc_est6")
+      assert(est >= 0.0 && est <= 1.0)
+      assert(r.getAs[Long]("matches") <= r.getAs[Long]("k_union"))
+      assert(r.getAs[Long]("k_union") <= 256L)
+      assert(math.abs(r.getAs[Double]("err6")) < 0.16, r.toString)
+    }
+  }
+
   test("plans: sketch aggregates partial-merge; no cartesian anywhere") {
     val docs = Tables.load(spark, sf, "documents")
     val kmvPlan = planOf(Sketches.kmvDistinctFrom(docs, 16))
@@ -182,5 +214,10 @@ class SketchSpec extends SparkSpec {
     // aggregate partial-merges too
     val ovPlan = planOf(Sketches.sourceOverlapHllFrom(docs))
     assert("hll_sketch".r.findAllIn(ovPlan).size >= 2, ovPlan)
+    // kmv jaccard tags sketch rows against the bounded source list by
+    // broadcast nested-loop (by design); its corpus-side aggregate must
+    // still partial-merge
+    val sjPlan = planOf(Sketches.sourceJaccardKmvFrom(docs, 64))
+    assert("min_k_distinct".r.findAllIn(sjPlan).size >= 2, sjPlan)
   }
 }
