@@ -523,4 +523,10 @@ object Graft {
   def applyStream(updates: DataFrame, target: String, key: String,
                   checkpoint: String): StreamingQuery =
     graft.streaming.StreamUpsert.applyStream(updates, target, key, checkpoint)
+
+  /** Continuous per-source length-quantile card: HDR histogram as a
+    * complete-mode streaming agg; `outDir` gets the latest card per
+    * micro-batch. */
+  def quantileMonitor(docs: DataFrame, outDir: String): StreamingQuery =
+    graft.streaming.StreamQuantiles.start(docs, outDir)
 }

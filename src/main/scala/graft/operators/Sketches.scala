@@ -297,7 +297,7 @@ object Sketches {
     * arithmetic — bit length via `length(bin(v))`, then shift — so the
     * bucket boundary is bit-identical in any engine (a log-gamma bucket
     * would hang the contract on libm's last ulp). */
-  private val hdrBucket =
+  private[graft] val hdrBucket =
     expr("""CASE WHEN v <= 31 THEN v
             ELSE shiftleft(shiftright(v, length(bin(v)) - 5),
                            length(bin(v)) - 5) END""")
@@ -312,7 +312,7 @@ object Sketches {
     * computed in INTEGER arithmetic (`(q_num·n + q_den − 1) div q_den`),
     * because `ceil(0.9 * n)` in doubles disagrees across engines at
     * exact multiples. */
-  private def discQuantiles(cells: DataFrame, sfx: String): DataFrame = {
+  private[graft] def discQuantiles(cells: DataFrame, sfx: String): DataFrame = {
     val cum = cells
       .withColumn("cum",
         sum("cnt").over(Window.partitionBy("source").orderBy("b")))

@@ -763,6 +763,28 @@ class StreamingSpec extends SparkSpec {
       s"per-doc mismatch: ${got.toSet.diff(batch.toSet).take(3)}")
   }
 
+  test("streaming HDR quantile card equals the batch estimate leg") {
+    import graft.streaming.{DocIngest, StreamQuantiles}
+    val outDir = graft.operators.ExportImport.scratch("stream-quant")
+    val q = StreamQuantiles.start(DocIngest.readDocStream(spark, sf), outDir)
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    val got = spark.read.parquet(outDir).collect().map(key).toMap
+    // histogram counts add across micro-batches, so the final
+    // complete-mode state is exactly the batch histogram and the
+    // published card matches the batch twin's estimate columns
+    val want = graft.operators.Sketches
+      .hdrQuantilesFrom(Tables.load(spark, sf, "documents"))
+      .select(col("source"), col("n"), col("n_buckets"),
+        col("p50_est"), col("p90_est"), col("p99_est"))
+      .collect().map(key).toMap
+    assert(got == want,
+      s"per-source mismatch: ${got.toSet.diff(want.toSet).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("streaming HLL distinct equals the batch sketch per source") {
     import graft.streaming.{DocIngest, StreamDistinct}
     val q = StreamDistinct.distinctCounts(DocIngest.readDocStream(spark, sf))
