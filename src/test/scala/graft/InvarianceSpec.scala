@@ -203,4 +203,33 @@ class InvarianceSpec extends SparkSpec {
       assert(p1 == p13)
     } finally spark.conf.set("spark.sql.shuffle.partitions", one)
   }
+
+  test("round-12 sketch operators are partition-count invariant") {
+    import graft.operators.{Quality, Sketches}
+    // the sketch family is exactly where layout-sensitivity would
+    // hide: KMV/HLL state merges, the CMS grid, cents-quantized
+    // sufficient statistics, histogram rank extraction, and the
+    // bottom-k pair sampler must all be pure functions of the data
+    def all() = {
+      // the jaccard operator caches its hash table — drop it between
+      // settings so the p13 pass rebuilds under its own layout
+      graft.operators.TransientCaches.release()
+      spark.catalog.clearCache()
+      (rows(Sketches.kmvDistinct(spark, sf)),
+        rows(Sketches.hllDistinct(spark, sf)),
+        rows(Sketches.cmsTopk(spark, sf)),
+        rows(Sketches.hdrQuantiles(spark, sf)),
+        rows(Sketches.sourceOverlapHll(spark, sf)),
+        rows(Sketches.sourceJaccardKmv(spark, sf)),
+        rows(Quality.corrMatrix(spark, sf)))
+    }
+    val one = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val p1 = all()
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val p13 = all()
+      assert(p1 == p13)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", one)
+  }
 }

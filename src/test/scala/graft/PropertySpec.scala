@@ -284,4 +284,33 @@ class PropertySpec extends SparkSpec {
       intercept[IllegalArgumentException](JpegCodec.parseSof(noSof))
     }
   }
+
+  test("hdrBucket: lower bound within 1/16, exact below 32, monotone") {
+    import spark.implicits._
+    // reference: top-5-bits truncation via plain bit arithmetic
+    def ref(v: Long): Long =
+      if (v <= 31) v
+      else { val sh = 64 - java.lang.Long.numberOfLeadingZeros(v) - 5
+             (v >> sh) << sh }
+    val gens = Gen.oneOf(
+      Gen.choose(0L, 64L),                     // the exact/boundary zone
+      Gen.choose(0L, 1L << 20),                // doc-length scale
+      Gen.choose(0L, Long.MaxValue / 2))       // deep octaves
+    val vs = (1L to 40L).flatMap(seed =>
+      Seq(sample(gens, seed))) ++
+      Seq(0L, 31L, 32L, 63L, 64L, 65L, (1L << 40) - 1, 1L << 40)
+    val got = vs.toDF("v")
+      .select(graft.operators.Sketches.hdrBucket.as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    vs.zip(got).foreach { case (v, b) =>
+      assert(b == ref(v), s"bucket($v)")
+      assert(b <= v, s"bucket must lower-bound: $v")
+      if (v <= 31) assert(b == v)
+      else assert((v - b).toDouble / v < 1.0 / 16,
+        s"bucket width violates 1/16 at $v")
+    }
+    // monotone: sorting by value never reorders buckets
+    val byV = vs.zip(got).sortBy(_._1).map(_._2)
+    assert(byV == byV.sorted, "bucket must be monotone in the value")
+  }
 }
