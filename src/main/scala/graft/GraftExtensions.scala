@@ -17,7 +17,10 @@ import graft.operators.Dedup
   *
   * Registered: base64_nowrap, word_shingles(words, n),
   * minhash_signature(hashes) (engine-default 64 permutations),
-  * simhash_bits(hashes).
+  * simhash_bits(hashes), kr_hash, simhash_fp, nfc_normalize,
+  * dot_product, char_entropy, and the mergeable aggregates
+  * min_k_distinct(v, k), hll_sketch(v), hll_regs(v),
+  * topk_frequent(v, k) (engine-default dictionary bound).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -81,5 +84,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "char_entropy"),
       exprs => graft.functions.CharEntropy(
         arity("char_entropy", 1)(exprs).head)))
+    // sketch AGGREGATES: the builder returns the AggregateFunction and
+    // the analyzer wraps it in an AggregateExpression, exactly as for
+    // the built-in aggregates — so SQL users get the same mergeable
+    // bounded-state sketches the operators use
+    ext.injectFunction((
+      FunctionIdentifier("min_k_distinct"),
+      new ExpressionInfo(classOf[graft.functions.MinKDistinct].getName,
+        "min_k_distinct"),
+      exprs => { arity("min_k_distinct", 2)(exprs)
+        graft.functions.MinKDistinct(exprs.head,
+          exprs(1).eval().asInstanceOf[Int]) }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[graft.functions.HllSketch].getName,
+        "hll_sketch"),
+      exprs => graft.functions.HllSketch(
+        arity("hll_sketch", 1)(exprs).head)))
+    ext.injectFunction((
+      FunctionIdentifier("hll_regs"),
+      new ExpressionInfo(classOf[graft.functions.HllSketch].getName,
+        "hll_regs"),
+      exprs => graft.functions.HllSketch(
+        arity("hll_regs", 1)(exprs).head, regs = true)))
+    ext.injectFunction((
+      FunctionIdentifier("topk_frequent"),
+      new ExpressionInfo(classOf[graft.functions.TopKFrequent].getName,
+        "topk_frequent"),
+      exprs => { arity("topk_frequent", 2)(exprs)
+        graft.functions.TopKFrequent(exprs.head,
+          exprs(1).eval().asInstanceOf[Int], maxDict = 100000) }))
   }
 }

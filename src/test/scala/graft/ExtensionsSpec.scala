@@ -115,9 +115,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getString(0) == "café" && row.getInt(1) == 4)
   }
 
+  test("sketch aggregates are SQL-callable and match the library path") {
+    import spark.implicits._
+    val vals = (1 to 500).map(i => (i * 7919L) % 263L)
+    vals.toDF("v").createOrReplaceTempView("sk_vals")
+    // min_k_distinct: SQL == sort-distinct-take-k
+    val mk = spark.sql("SELECT min_k_distinct(v, 10) AS mk FROM sk_vals")
+      .collect()(0).getSeq[Long](0)
+    assert(mk == vals.distinct.sorted.take(10))
+    // hll_sketch / hll_regs: SQL == the DataFrame-API aggregate
+    val gs = (1 to 2000).map(i => graft.functions.SketchHash.mix(i * 1299721L))
+    gs.toDF("g").createOrReplaceTempView("sk_gs")
+    val sqlRow = spark.sql(
+      "SELECT hll_sketch(g).n_regs_zero AS z, hll_sketch(g).s_scaled AS s, " +
+      "hll_regs(g) AS r FROM sk_gs").collect()(0)
+    val apiRow = gs.toDF("g")
+      .agg(graft.functions.SketchAggregates.hll(col("g")).as("h"),
+        graft.functions.SketchAggregates.hllRegs(col("g")).as("r"))
+      .select(col("h.n_regs_zero"), col("h.s_scaled"), col("r")).collect()(0)
+    assert(sqlRow.getInt(0) == apiRow.getInt(0))
+    assert(sqlRow.getLong(1) == apiRow.getLong(1))
+    assert(sqlRow.getSeq[Int](2) == apiRow.getSeq[Int](2))
+    // topk_frequent: SQL == GROUP BY count / order / limit
+    Seq.fill(5)("a").++(Seq.fill(3)("b")).++(Seq("c"))
+      .toDF("v").createOrReplaceTempView("sk_top")
+    val top = spark.sql(
+      "SELECT inline(topk_frequent(v, 2)) FROM sk_top").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("a", 5L), ("b", 3L)))
+  }
+
   test("mis-aritied graft SQL functions raise WRONG_NUM_ARGS, not NoSuchElement") {
     for (bad <- Seq("dot_product(array(1.0D))", "dot_product()",
-                    "kr_hash()", "base64_nowrap()", "nfc_normalize()")) {
+                    "kr_hash()", "base64_nowrap()", "nfc_normalize()",
+                    "hll_sketch()", "min_k_distinct(1)")) {
       val ex = intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql(s"SELECT $bad").collect()
       }
