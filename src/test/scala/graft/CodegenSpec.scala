@@ -99,4 +99,22 @@ class CodegenSpec extends SparkSpec {
     assertCodegen("q5_region_revenue", Analytics.q5RegionRevenue(spark, sf))
     assertCodegen("lm_perplexity_kn", TextAnalysis.lmPerplexityKn(spark, sf))
   }
+
+  test("corr_matrix quantization pass stays codegen'd with no Round") {
+    // the 10x over the rounded-product draft rests on this shape: the
+    // scan-side stage is codegen'd floor/multiply (4 casts per row),
+    // never a per-row-per-aggregate BigDecimal Round
+    val df = graft.operators.Quality.corrMatrix(spark, sf)
+    assertCodegen("corr_matrix", df)
+    val plan = planOf(df)
+    val scanStage = plan.split("== Initial Plan ==").head
+    // round() may appear in the final 6-dp presentation of the 1-row
+    // pair explosion, but must NOT appear inside any partial aggregate
+    val partials = scanStage.linesIterator
+      .filter(_.contains("partial_")).mkString("\n")
+    assert(!partials.toLowerCase.contains("round("),
+      s"partial aggregates must not Round per row:\n$partials")
+    assert(partials.contains("FLOOR") || scanStage.contains("FLOOR"),
+      s"cents quantization (FLOOR) missing from the scan stage:\n$scanStage")
+  }
 }
