@@ -79,7 +79,11 @@ object Bench {
       "bpe_fertility", "bpe_encode_artifact",
       "char_entropy", "zipf_fit", "lang_confusion", "corpus_report",
       "kmv_distinct", "hll_distinct", "cms_topk",
-      "hdr_quantiles", "source_overlap_hll", "source_jaccard_kmv"),
+      "hdr_quantiles", "source_overlap_hll", "source_jaccard_kmv",
+      // composed forms AFTER the standalones: the first composed
+      // sketch query pays the session's one-time state-artifact build,
+      // so the second measures the pure from-state rollup
+      "source_jaccard_composed", "hdr_quantiles_composed"),
     "curation" -> Seq(
       "decontaminate", "contamination_report", "pipeline_report",
       "decontaminate_fuzzy", "bloom_decontaminate",

@@ -113,6 +113,10 @@ object SparkEntry {
     "hdr_quantiles" -> ((s, d) => Sketches.hdrQuantiles(s, d)),
     "source_overlap_hll" -> ((s, d) => Sketches.sourceOverlapHll(s, d)),
     "source_jaccard_kmv" -> ((s, d) => Sketches.sourceJaccardKmv(s, d)),
+    "source_jaccard_composed" ->
+      ((s, d) => Sketches.sourceJaccardComposed(s, d)),
+    "hdr_quantiles_composed" ->
+      ((s, d) => Sketches.hdrQuantilesComposed(s, d)),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "text_shingles" -> (TextAnalysis.textShingles _),
     // B. analytics core
@@ -988,6 +992,8 @@ object SparkEntry {
     "hdr_quantiles" -> Sketches.hdrQuantilesOracle(),
     "source_overlap_hll" -> Sketches.sourceOverlapHllOracle(),
     "source_jaccard_kmv" -> Sketches.sourceJaccardKmvOracle(),
+    "source_jaccard_composed" -> Sketches.sourceJaccardComposedOracle(),
+    "hdr_quantiles_composed" -> Sketches.hdrQuantilesComposedOracle(),
     "embedding_class_stats" -> Similarity.embeddingClassStatsOracle,
     "embedding_outliers" -> Similarity.embeddingOutliersOracle,
     "dsir_weights" -> Curation.dsirOracle(),

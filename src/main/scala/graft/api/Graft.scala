@@ -506,6 +506,13 @@ object Graft {
   def sourceJaccardKmv(docs: DataFrame, k: Int = 256): DataFrame =
     graft.operators.Sketches.sourceJaccardKmvFrom(docs, k)
 
+  /** Persist the per-source sketch STATE artifact (bottom-k hashes,
+    * HLL registers, HDR cells) — one corpus pass; pair/union/quantile
+    * questions then run off the stored KBs. */
+  def sketchStatesToDir(spark: SparkSession, sfDir: String, dir: String,
+                        k: Int = 256): Unit =
+    graft.operators.Sketches.sketchStatesToDir(spark, sfDir, dir, k)
+
   /** Header-vs-lines totals reconciliation in integer cents with
     * error-band buckets and orphan counts (migration sign-off). */
   def totalsReconcile(orders: DataFrame, lines: DataFrame): DataFrame =

@@ -534,13 +534,11 @@ object Sketches {
                        k: Int = 256): DataFrame =
     sourceJaccardKmvFrom(Tables.load(spark, sfDir, "documents"), k)
 
-  def sourceJaccardKmvFrom(docs: DataFrame, k: Int): DataFrame = {
-    // both the sketch leg and the exact anchor legs consume the
-    // hash table — persist it for the query's lifetime (session
-    // boundary releases it, TransientCaches doctrine)
-    val hs = TransientCaches.register(sourceHashes(docs).cache())
-    val sk = hs.groupBy("source")
-      .agg(SketchAggregates.minK(col("g"), k).as("mk"))
+  /** Pairwise bottom-k estimate core over a (source, mk) SKETCH table —
+    * union-then-rank over exploded sketch content, match share per
+    * pair. Shared by the standalone (which joins exact anchors) and the
+    * artifact-fed composed form (which ships these columns as-is). */
+  private def jaccardEstFromSketches(sk: DataFrame, k: Int): DataFrame = {
     val ex = sk.select(col("source"), explode(col("mk")).as("g"))
     val srcs = sk.select("source")
     // tag each sketch row with every partner source on its other side;
@@ -560,9 +558,21 @@ object Sketches {
     val ranked = union.withColumn("rn", row_number()
         .over(Window.partitionBy("sa", "sb").orderBy("g")))
       .filter(col("rn") <= k)
-    val est = ranked.groupBy("sa", "sb").agg(
+    ranked.groupBy("sa", "sb").agg(
       count(lit(1)).as("k_union"),
       sum(col("ia") * col("ib")).cast("long").as("matches"))
+      .withColumn("jacc_est6",
+        round(col("matches") / col("k_union"), 6))
+  }
+
+  def sourceJaccardKmvFrom(docs: DataFrame, k: Int): DataFrame = {
+    // both the sketch leg and the exact anchor legs consume the
+    // hash table — persist it for the query's lifetime (session
+    // boundary releases it, TransientCaches doctrine)
+    val hs = TransientCaches.register(sourceHashes(docs).cache())
+    val sk = hs.groupBy("source")
+      .agg(SketchAggregates.minK(col("g"), k).as("mk"))
+    val est = jaccardEstFromSketches(sk, k)
     val sz = hs.groupBy("source").agg(count(lit(1)).as("n"))
     val inter = hs.toDF("sa", "g")
       .join(hs.toDF("sb", "g2"),
@@ -574,7 +584,7 @@ object Sketches {
       .join(inter, Seq("sa", "sb"), "left")
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .select(col("sa"), col("sb"), col("k_union"), col("matches"),
-        round(col("matches") / col("k_union"), 6).as("jacc_est6"),
+        col("jacc_est6"),
         round(col("inter")
           / (col("na") + col("nb") - col("inter")), 6).as("jacc_exact6"))
       .withColumn("err6",
@@ -628,4 +638,140 @@ object Sketches {
        JOIN sz zb ON zb.source = e.sb
        LEFT JOIN iv ON iv.sa = e.sa AND iv.sb = e.sb
        ORDER BY e.sa, e.sb"""
+
+  // ------------------------------------------------------ sketch-state artifact
+
+  /** ONE corpus pass → the per-source sketch STATE table: bottom-k
+    * hash array (k longs), HLL registers (64 ints), and the HDR length
+    * cells — KBs per source, persisted as parquet. This is the
+    * artifact a 100 TB profile run ships: cardinality, cross-source
+    * union, pairwise overlap, and quantile questions are then answered
+    * from stored state without re-reading a byte of text (the sketch
+    * twin of [[graft.operators.Dedup.verifiedPairsToDir]]'s one-join
+    * economics). */
+  def sketchStatesToDir(spark: SparkSession, sfDir: String, dir: String,
+                        k: Int = 256): Unit = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sk = sourceHashes(docs).groupBy("source").agg(
+      SketchAggregates.minK(col("g"), k).as("mk"),
+      SketchAggregates.hllRegs(col("g")).as("regs"))
+    val cells = docs
+      .select(col("source"), length(col("text")).cast("long").as("v"))
+      .select(col("source"), hdrBucket.as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(sort_array(collect_list(struct(col("b"), col("cnt"))))
+        .as("cells"))
+    sk.join(cells, "source").write.mode("overwrite").parquet(dir)
+  }
+
+  /** Read back a [[sketchStatesToDir]] artifact. */
+  def readSketchStates(spark: SparkSession, dir: String): DataFrame = {
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
+      s"no sketch-state artifact at $dir — run sketchStatesToDir first")
+    spark.read.parquet(dir)
+  }
+
+  /** Per-session registry of [[sketchStatesToDir]] artifacts: ONE build
+    * per (sfDir, k) per JVM — the in-process form of one-profile-pass-
+    * per-corpus-version, same doctrine as Dedup.sharedVerifiedPairsDir
+    * (JVM-scoped namespace so an artifact never survives a test-data
+    * vintage change; computeIfAbsent serializes the first build). */
+  private val sharedStatesDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+  private lazy val statesNs = java.util.UUID.randomUUID().toString
+  def sharedSketchStatesDir(spark: SparkSession, sfDir: String,
+                            k: Int = 256): String =
+    sharedStatesDirs.computeIfAbsent((sfDir, k), { _ =>
+      val dir = ExportImport.scratch(
+        s"sketch-states/$statesNs/k$k-${ExportImport.pathSlug(sfDir)}")
+      sketchStatesToDir(spark, sfDir, dir, k)
+      dir
+    })
+
+  /** §2 #215b — the ARTIFACT-FED form of [[sourceJaccardKmv]]: the
+    * same bottom-k pair estimates (identical `sa, sb, k_union,
+    * matches, jacc_est6` values — spec-pinned), but derived from the
+    * STORED sketch states — no corpus scan, no exact-join anchor.
+    * This is the production shape: the anchor legs exist to validate
+    * the estimator at gate scale; a 100 TB run answers pair-overlap
+    * questions from the KB-sized artifact alone. */
+  def sourceJaccardComposed(spark: SparkSession, sfDir: String,
+                            k: Int = 256): DataFrame = {
+    val dir = sharedSketchStatesDir(spark, sfDir, k)
+    jaccardEstFromSketches(
+      readSketchStates(spark, dir).select("source", "mk"), k)
+      .orderBy("sa", "sb")
+  }
+
+  /** DuckDB oracle for [[sourceJaccardComposed]]: the estimate legs of
+    * [[sourceJaccardKmvOracle]] — bottom-k replay, tagged union, rank,
+    * match share — without the exact-join anchor. */
+  def sourceJaccardComposedOracle(k: Int = 256): String =
+    s"""$sourceHashCte,
+        sk AS (SELECT source, g FROM
+                 (SELECT source, g,
+                    row_number() OVER (PARTITION BY source ORDER BY g) AS rn
+                  FROM hs)
+               WHERE rn <= $k),
+        ss AS (SELECT DISTINCT source FROM hs),
+        sp AS (SELECT a.source AS sa, b.source AS sb
+               FROM ss a JOIN ss b ON a.source < b.source),
+        t AS (SELECT sp.sa, sp.sb, sk.g, 1 AS ia, 0 AS ib
+              FROM sp JOIN sk ON sk.source = sp.sa
+              UNION ALL
+              SELECT sp.sa, sp.sb, sk.g, 0 AS ia, 1 AS ib
+              FROM sp JOIN sk ON sk.source = sp.sb),
+        u AS (SELECT sa, sb, g, max(ia) AS ia, max(ib) AS ib
+              FROM t GROUP BY sa, sb, g),
+        w AS (SELECT sa, sb, ia, ib,
+                row_number() OVER (PARTITION BY sa, sb ORDER BY g) AS rn
+              FROM u)
+       SELECT sa, sb, CAST(count(*) AS BIGINT) AS k_union,
+              CAST(sum(ia * ib) AS BIGINT) AS matches,
+              round(sum(ia * ib) / count(*), 6) AS jacc_est6
+       FROM w WHERE rn <= $k GROUP BY sa, sb
+       ORDER BY sa, sb"""
+
+  /** The published quantile card off a (source, b, cnt) cell table —
+    * the estimate-only extraction shared by the artifact-fed composed
+    * form below and the streaming twin
+    * ([[graft.streaming.StreamQuantiles]] delegates here). */
+  def hdrCardOf(cells: DataFrame): DataFrame =
+    discQuantiles(cells, "_est")
+      .select(col("source"), col("n_est").as("n"),
+        col("nb_est").as("n_buckets"),
+        col("p50_est"), col("p90_est"), col("p99_est"))
+      .orderBy("source")
+
+  /** §2 #213c — the ARTIFACT-FED quantile card: [[hdrCardOf]] over the
+    * STORED HDR cells — per-source p50/p90/p99 estimates without
+    * touching a document (cells un-nest from the artifact, the rank
+    * windows run over ≤ 16 cells/octave per source). */
+  def hdrQuantilesComposed(spark: SparkSession, sfDir: String,
+                           k: Int = 256): DataFrame = {
+    val dir = sharedSketchStatesDir(spark, sfDir, k)
+    hdrCardOf(
+      readSketchStates(spark, dir)
+        .select(col("source"), explode(col("cells")).as("c"))
+        .select(col("source"), col("c.b").as("b"), col("c.cnt").as("cnt")))
+  }
+
+  /** DuckDB oracle for [[hdrQuantilesComposed]]: the estimate leg of
+    * [[hdrQuantilesOracle]] alone. */
+  def hdrQuantilesComposedOracle(): String =
+    s"""WITH lv AS (SELECT source, CAST(length(text) AS BIGINT) AS v
+                    FROM documents),
+        ec AS (SELECT source, $hdrBucketSql AS b, count(*) AS cnt
+               FROM lv GROUP BY 1, 2),
+        c AS (SELECT source, b,
+                sum(cnt) OVER (PARTITION BY source ORDER BY b) AS cum,
+                sum(cnt) OVER (PARTITION BY source) AS n
+              FROM ec)
+       SELECT source, CAST(max(n) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS n_buckets,
+              min(CASE WHEN cum >= (1 * n + 1) // 2 THEN b END) AS p50_est,
+              min(CASE WHEN cum >= (9 * n + 9) // 10 THEN b END) AS p90_est,
+              min(CASE WHEN cum >= (99 * n + 99) // 100 THEN b END) AS p99_est
+       FROM c GROUP BY source ORDER BY source"""
 }

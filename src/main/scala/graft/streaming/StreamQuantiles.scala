@@ -29,13 +29,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object StreamQuantiles {
 
   /** The published card off a (source, b, cnt) cell table — shared
-    * with the batch twin's estimate leg, column-for-column. */
-  def cardOf(cells: DataFrame): DataFrame =
-    Sketches.discQuantiles(cells, "_est")
-      .select(col("source"), col("n_est").as("n"),
-        col("nb_est").as("n_buckets"),
-        col("p50_est"), col("p90_est"), col("p99_est"))
-      .orderBy("source")
+    * with the batch twin's estimate leg, column-for-column
+    * (delegates to [[Sketches.hdrCardOf]], which the artifact-fed
+    * composed form also ships). */
+  def cardOf(cells: DataFrame): DataFrame = Sketches.hdrCardOf(cells)
 
   /** Start the monitor: `docs` needs (source, text); `outDir` receives
     * the latest per-source quantile card after every micro-batch. */

@@ -194,6 +194,31 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("state artifact is sufficient: composed forms equal the standalones") {
+    // the artifact doctrine's correctness half: everything the
+    // composed queries publish must be derivable from the STORED
+    // per-source states alone, value-for-value
+    val jc = Sketches.sourceJaccardComposed(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val js = Sketches.sourceJaccardKmv(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(jc == js, "composed jaccard must equal the standalone's " +
+      s"estimate columns; diff=${jc.toSet.diff(js.toSet).take(3)}")
+    val qc = Sketches.hdrQuantilesComposed(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val qs = Sketches.hdrQuantiles(spark, sf)
+      .select(col("source"), col("n"), col("n_buckets"),
+        col("p50_est"), col("p90_est"), col("p99_est")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(qc == qs, "composed quantile card must equal the batch " +
+      s"estimate leg; diff=${qc.toSet.diff(qs.toSet).take(3)}")
+    assert(jc.nonEmpty && qc.nonEmpty)
+  }
+
   test("plans: sketch aggregates partial-merge; no cartesian anywhere") {
     val docs = Tables.load(spark, sf, "documents")
     val kmvPlan = planOf(Sketches.kmvDistinctFrom(docs, 16))
