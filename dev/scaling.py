@@ -74,6 +74,35 @@ if len(sys.argv) > 4:
                           if v >= 0}
         except Exception:
             pass
+    # round-13+ format: the FINAL tail-safe "g1" line re-encodes the
+    # wall vector at 2 chars/query (code = round(90*ln(1+centisec)),
+    # base36; "zz" = errored) so it ALWAYS survives the 2000-char
+    # tail. Preferred source when the decimal v_cs was truncated away.
+    mg = re.search(r'"enc":"g1".*"fp":"([0-9a-f]{8})","w":"([0-9a-z]+)"',
+                   tail)
+    if mg and not (set(names) & set(driver)):
+        try:
+            import hashlib
+            import math
+            order_path = sys.argv[5] if len(sys.argv) > 5 \
+                else "docs/BENCH_ORDER.md"
+            order = [re.match(r"^(\d+)\. (\S+)$", l.strip()).group(2)
+                     for l in open(order_path)
+                     if re.match(r"^\d+\. \S+$", l.strip())]
+            fp = hashlib.md5("\n".join(order).encode()).hexdigest()[:8]
+            if mg.group(1) != fp:
+                print(f"NOTE: g1 fp {mg.group(1)} != current BENCH_ORDER "
+                      f"fp {fp} — headline set changed; skipping g1 decode")
+            else:
+                A = "0123456789abcdefghijklmnopqrstuvwxyz"
+                w = mg.group(2)
+                codes = [A.index(w[2 * i]) * 36 + A.index(w[2 * i + 1])
+                         for i in range(len(w) // 2)]
+                if len(codes) == len(order):
+                    driver = {n: (math.exp(c / 90.0) - 1) / 100.0
+                              for n, c in zip(order, codes) if c < 1295}
+        except Exception:
+            pass
     if not set(names) & set(driver):
         driver = {}
     m = re.search(r"BENCH_(r\d+)\.json", sys.argv[4])

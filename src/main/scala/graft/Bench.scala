@@ -49,6 +49,7 @@ object Bench {
       // audit pays the session's one-time verified-pair artifact build,
       // so the composed entries measure the production rollup form
       "dedup_clusters_composed", "dedup_survivorship_composed",
+      "dedup_corpus_composed",
       "leakage_safe_split_composed",
       "dedup_incremental",
       "dedup_pairs_incremental",
@@ -102,7 +103,7 @@ object Bench {
       "media_resize", "media_png_roundtrip", "media_resize_png",
       "media_wav_stats", "media_jpeg_stats", "media_phash_dedup",
       "media_phash_clusters", "media_phash_incremental",
-      "media_wav_fp_dedup", "json_props",
+      "media_wav_fp_dedup", "media_wav_fp_planned", "json_props",
       "import_validation", "import_errors", "package_apply"))
 
   /** Flat headline order (= concatenated family order). Anything not
@@ -114,15 +115,94 @@ object Bench {
     * same list (BenchOrderSpec keeps file and code in lockstep). */
   def benchOrder(): Seq[String] = headline.filter(SparkEntry.queries.contains)
 
-  /** 8-hex fingerprint of a name list. Emitted as `order_fp` next to
-    * `v_cs` so a decoder (dev/scaling.py) can refuse to zip a vector
-    * from one vintage onto another vintage's BENCH_ORDER.md — a
-    * same-length headline change would otherwise misattribute every
-    * timing between the edit points with no warning. */
+  /** 8-hex fingerprint of a name list. Emitted as `order_fp` (full
+    * line) / `fp` (tail line) next to the per-query vectors so a
+    * decoder (dev/scaling.py) can refuse to zip a vector from one
+    * vintage onto another vintage's BENCH_ORDER.md — a same-length
+    * headline change would otherwise misattribute every timing between
+    * the edit points with no warning. */
   def orderFingerprint(names: Seq[String]): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(names.mkString("\n").getBytes("UTF-8"))
       .take(4).map(b => f"$b%02x").mkString
+
+  /** Tail-safe vector codec ("g1") for the FINAL bench line.
+    *
+    * The driver keeps only the LAST ~2000 chars of this process's
+    * output (BENCH_r12.json proved it: the decimal compact line grew
+    * to ~4.4k chars at 193 queries and the truncation cut exactly the
+    * adjudicator vectors built to classify wall outliers). Decimal
+    * centisecond vectors cost ~5 chars/query; at 4 vectors × 200
+    * queries that can never fit. This codec spends a FIXED 2 chars
+    * per query on the two precise vectors (wall, CPU) and 1 char on
+    * the two flat-vs-big vectors (GC, shuffle), so the whole
+    * adjudication payload is 6N + ~350 chars — under 1650 at N=210,
+    * asserted by BenchOrderSpec against an 1800-char budget.
+    *
+    * - 2-char base36 log code: code = round(90·ln(1+v)), v in
+    *   centiseconds, clamped to [0,1294]; "zz" (1295) = errored/
+    *   missing. Uniform relative step e^(1/90)−1 ≈ 1.1% — far inside
+    *   the ±15% box noise the numbers adjudicate — max encodable
+    *   value e^(1294/90)−1 ≈ 1.76e6 cs ≈ 4.9 h/query.
+    * - 1-char base36 log2 bucket: code = round(log2(1+v)), clamped to
+    *   [0,34]; "z" (35) = errored/missing. Factor-2 resolution: GC/
+    *   shuffle adjudication asks "flat or inflated", not "how much
+    *   exactly" (7.8 s GC vs 20 ms is 9 buckets apart).
+    * Vectors are contiguous strings (no separators) in benchOrder()
+    * order — docs/BENCH_ORDER.md names index i, `fp` guards vintage. */
+  object TailCodec {
+    private val A = "0123456789abcdefghijklmnopqrstuvwxyz"
+    val K = 90.0
+    val Err2 = "zz"
+    val Err1 = "z"
+
+    def enc2(vCs: Double): String = {
+      val code = math.min(1294L,
+        math.max(0L, math.round(K * math.log1p(math.max(0.0, vCs)))))
+      s"${A((code / 36).toInt)}${A((code % 36).toInt)}"
+    }
+    /** None = the Err2 sentinel. */
+    def dec2(s: String): Option[Double] = {
+      val code = A.indexOf(s(0)) * 36 + A.indexOf(s(1))
+      if (code >= 1295) None else Some(math.expm1(code / K))
+    }
+    def enc1(v: Long): String = {
+      val code = math.min(34L, math.max(0L,
+        math.round(math.log1p(math.max(0L, v).toDouble) / math.log(2.0))))
+      A(code.toInt).toString
+    }
+    /** None = the Err1 sentinel; Some(≈2^code) otherwise. */
+    def dec1(c: Char): Option[Long] = {
+      val code = A.indexOf(c)
+      if (code >= 35) None else Some(if (code == 0) 0L else 1L << code)
+    }
+
+    /** The final tail-safe line. Field order is least→most important
+      * (truncation eats from the LEFT): probes / family subtotals /
+      * retry / totals first, then shuffle, GC, CPU, the order
+      * fingerprint, and LAST the wall vector — so even a pathological
+      * overflow loses the least diagnostic fields first. All four
+      * vectors share benchOrder() order and the g1 codec above. */
+    def buildLine(names: Seq[String], wallCs: Map[String, Double],
+                  adj: Map[String, (Long, Long, Long)],
+                  fam: Seq[(String, Double)],
+                  retry: Option[(String, Long, Long)],
+                  embColdS: Double, embWarmS: Double, annGcMs: Long,
+                  annJvm: String, nErr: Int, totalS: Double,
+                  orderLabel: String, fp: String): String = {
+      def v2(f: String => Option[Double]) =
+        names.map(n => f(n).map(enc2).getOrElse(Err2)).mkString
+      def v1(f: String => Option[Long]) =
+        names.map(n => f(n).map(enc1).getOrElse(Err1)).mkString
+      val famS = fam.map { case (f, s) => f"$f=$s%.1f" }.mkString("|")
+      val retryS = retry.map { case (q, f, a) => s"$q|$f|$a" }.getOrElse("")
+      val sh = v1(n => adj.get(n).map(_._3 / 1000000L))
+      val gc = v1(n => adj.get(n).map(_._2))
+      val cpu = v2(n => adj.get(n).map(_._1 / 10000000.0))
+      val w = v2(wallCs.get)
+      f"""{"enc":"g1","aj":"$annJvm","ag":$annGcMs,"ec":$embColdS%.2f,"ew":$embWarmS%.2f,"fam":"$famS","retry":"$retryS","order":"$orderLabel","n":${names.size},"e":$nErr,"t":$totalS%.1f,"sh":"$sh","gc":"$gc","cpu":"$cpu","fp":"$fp","w":"$w"}"""
+    }
+  }
 
   private def jvmHealth(): String = {
     import scala.jdk.CollectionConverters._
@@ -133,6 +213,21 @@ object Bench {
         val u = p.getUsage
         f"${p.getName}=${u.getUsed / 1e6}%.0f/${u.getMax / 1e6}%.0fMB"
       }.mkString(" ")
+  }
+
+  /** [[jvmHealth]] in tail-budget form: used/max MB per code-cache
+    * pool + metaspace, "+"-joined in bean order (~25 chars vs ~150).
+    * A full code cache (used ≈ max) silently disables JIT — the one
+    * JVM condition that masquerades as a whole-family slowdown. */
+  private def jvmHealthCompact(): String = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") ||
+        p.getName.contains("CodeCache") || p.getName == "Metaspace")
+      .map { p =>
+        val u = p.getUsage
+        f"${u.getUsed / 1e6}%.0f/${u.getMax / 1e6}%.0f"
+      }.mkString("+")
   }
 
   /** Cumulative GC milliseconds across all collectors. */
@@ -222,6 +317,7 @@ object Bench {
     // the truncation-proof final line so the driver tail can adjudicate
     // builder-vs-driver bench gaps without the stderr log.
     var annPre = ""; var annPost = ""
+    var annPreC = ""; var annPostC = ""
     var annGcPre = 0L; var annGcPost = 0L
     // per-query adjudicators for EVERY query (r10's dedup-only gating
     // left the r11 ANN regression unadjudicable — the hole is now
@@ -232,7 +328,7 @@ object Bench {
     val queryAdj = scala.collection.mutable.Map[String, (Long, Long, Long)]()
     val timed = names.map { name =>
       if (annNames.headOption.contains(name)) {
-        annPre = jvmHealth(); annGcPre = gcMs()
+        annPre = jvmHealth(); annPreC = jvmHealthCompact(); annGcPre = gcMs()
       }
       val pre = acc.snapshot
       val t0 = System.nanoTime()
@@ -241,7 +337,8 @@ object Bench {
         catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n')) }
       val t = (System.nanoTime() - t0) / 1e9
       if (annNames.lastOption.contains(name)) {
-        annPost = jvmHealth(); annGcPost = gcMs()
+        annPost = jvmHealth(); annPostC = jvmHealthCompact()
+        annGcPost = gcMs()
       }
       // session boundary BETWEEN queries (outside the timed region):
       // free operator-transient caches and anything else pinned in the
@@ -271,7 +368,7 @@ object Bench {
     // once and report both timings. One cheap re-measurement separates
     // box noise (retry ~normal) from a real plan regression (retry
     // ~first) — the adjudication the r10 134s outlier had no data for.
-    val retry = timed.collect { case (n, s, None) => (n, s) }
+    val retryOpt = timed.collect { case (n, s, None) => (n, s) }
       .sortBy(-_._2).headOption.map { case (worst, first) =>
         val t0 = System.nanoTime()
         val again =
@@ -281,8 +378,11 @@ object Bench {
         operators.TransientCaches.release()
         spark.catalog.clearCache()
         System.err.println(f"[bench] retry $worst: first ${first}%.2fs, again ${again}%.2fs")
-        s""""retry":{"q":"$worst","first_cs":${math.round(first * 100)},"again_cs":${math.round(again * 100)}},"""
-      }.getOrElse("")
+        (worst, math.round(first * 100), math.round(again * 100))
+      }
+    val retry = retryOpt.map { case (q, f, a) =>
+      s""""retry":{"q":"$q","first_cs":$f,"again_cs":$a},"""
+    }.getOrElse("")
     val ok = timed.collect { case (n, s, None) => (n, s) }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -293,15 +393,17 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     // The driver captures only the last ~2000 chars of this process's
-    // output, and the big one-line JSON above is routinely truncated
-    // from the left. Everything a grader needs to compare EVERY query
-    // round-over-round must therefore fit in ONE compact final line:
-    //  - fam: per-family subtotals (regression localization),
-    //  - ann_jvm: code-cache/metaspace + GC delta bracketing the ANN
-    //    block, emb_cold/warm_s: the storage probe (drift adjudication),
-    //  - v_cs: per-query centiseconds in benchOrder() order (-1 = err)
-    //    — names live in docs/BENCH_ORDER.md, spec-pinned to this code,
-    //    so the full map reconstructs from the tail alone.
+    // output. Two compact lines follow:
+    //  1. the DECIMAL line below — full-precision per-query vectors for
+    //    builder-side logs (dev/scaling.py's primary input). At ~190+
+    //    queries it is ~4.4k chars and does NOT survive the driver
+    //    tail (BENCH_r12 lost aq_cpu_cs/retry/fam/total_s to exactly
+    //    this truncation);
+    //  2. the FINAL g1 line (TailCodec.buildLine) — the SAME payload
+    //    re-encoded at 6 chars/query + ~350 overhead so wall, CPU,
+    //    GC, shuffle, family subtotals, retry, probes and the order
+    //    fingerprint ALL decode from the tail alone. BenchOrderSpec
+    //    asserts the worst-case line fits an 1800-char budget.
     val okMap = ok.toMap
     val famTotals = families.map { case (f, _) =>
       val sub = timed.collect { case (n, s, None) if famOf(n) == f => s }.sum
@@ -326,6 +428,14 @@ object Bench {
     val dq = s""""aq_cpu_cs":${dvec(m => m._1 / 10000000L)},"aq_gc_ms":${
         dvec(_._2)},"aq_sh_mb":${dvec(m => m._3 / 1000000L)},"""
     println(f"""{"total_s":$total%.3f,"n":${ok.size},"n_err":${timed.size - ok.size},"fam":$famTotals,$retry$dq"emb_cold_s":$embCold%.2f,"emb_warm_s":$embWarm%.2f,"ann_gc_ms":${annGcPost - annGcPre},"ann_jvm_pre":"$annPre","ann_jvm_post":"$annPost","order":"$order","order_fp":"${orderFingerprint(names)}","v_cs":$vcs}""")
+    val famSeq = families.map { case (f, _) =>
+      f -> timed.collect { case (n, s, None) if famOf(n) == f => s }.sum
+    }
+    val wallCs = okMap.map { case (k, s) => k -> s * 100.0 }
+    println(TailCodec.buildLine(names, wallCs, queryAdj.toMap, famSeq,
+      retryOpt, embCold, embWarm, annGcPost - annGcPre,
+      s"$annPreC>$annPostC", timed.size - ok.size, total, order,
+      orderFingerprint(names)))
     spark.stop()
   }
 

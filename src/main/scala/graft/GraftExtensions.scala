@@ -36,6 +36,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     exprs
   }
 
+  /** Foldable integral argument for builders that bake a parameter
+    * (k, n) into the expression at plan time: a non-foldable argument
+    * (`min_k_distinct(v, c)`) or a non-integral literal gets Spark's
+    * own NON_FOLDABLE_ARGUMENT AnalysisException instead of a bare
+    * ClassCastException/NPE out of `eval()`; an INT-ranged BIGINT
+    * literal (`CAST(10 AS BIGINT)`) is accepted and narrowed. */
+  private def intArg(fn: String, param: String, e: Expression): Int = {
+    if (!e.foldable) throw CatalystBridge.nonFoldableArg(fn, param)
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case _ => throw CatalystBridge.nonFoldableArg(fn, param)
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinNative.AsofStrategy)
     ext.injectFunction((
@@ -46,7 +63,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       exprs => { arity("word_shingles", 2)(exprs)
-        WordShingles(exprs.head, exprs(1).eval().asInstanceOf[Int]) }))
+        WordShingles(exprs.head, intArg("word_shingles", "n", exprs(1))) }))
     ext.injectFunction((
       FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
@@ -94,7 +111,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "min_k_distinct"),
       exprs => { arity("min_k_distinct", 2)(exprs)
         graft.functions.MinKDistinct(exprs.head,
-          exprs(1).eval().asInstanceOf[Int]) }))
+          intArg("min_k_distinct", "k", exprs(1))) }))
     ext.injectFunction((
       FunctionIdentifier("hll_sketch"),
       new ExpressionInfo(classOf[graft.functions.HllSketch].getName,
@@ -113,6 +130,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "topk_frequent"),
       exprs => { arity("topk_frequent", 2)(exprs)
         graft.functions.TopKFrequent(exprs.head,
-          exprs(1).eval().asInstanceOf[Int], maxDict = 100000) }))
+          intArg("topk_frequent", "k", exprs(1)), maxDict = 100000) }))
   }
 }

@@ -83,6 +83,8 @@ object SparkEntry {
     "dedup_survivorship_composed" ->
       ((s, d) => Dedup.dedupSurvivorshipComposed(s, d)),
     "dedup_corpus" -> ((s, d) => Dedup.dedupCorpus(s, d)),
+    "dedup_corpus_composed" ->
+      ((s, d) => Dedup.dedupCorpusComposed(s, d)),
     "dedup_audit_composed" -> ((s, d) => Dedup.dedupAuditComposed(s, d)),
     "exact_substr_spans" -> ((s, d) => Dedup.exactSubstrSpans(s, d)),
     "exact_substr_scrub" -> ((s, d) => Dedup.exactSubstrScrub(s, d)),
@@ -228,6 +230,7 @@ object SparkEntry {
     "media_phash_incremental" ->
       ((s, d) => Blob.mediaPhashIncremental(s, d)),
     "media_wav_fp_dedup" -> ((s, d) => Blob.mediaWavFpDedup(s, d)),
+    "media_wav_fp_planned" -> ((s, d) => Blob.mediaWavFpPlanned(s, d)),
     "events_hopping" -> (Analytics.eventsHopping _),
     "sessionize_native" -> ((s, d) => Sessionize.sessionizeNative(s, d)),
     "fixed_width_roundtrip" -> (ExportImport.fixedWidthRoundtrip _),
@@ -307,6 +310,39 @@ object SparkEntry {
                  AS n_members,
                id = cluster_id AS is_canonical
         FROM lab ORDER BY doc_id"""
+
+  // shared by dedup_corpus and its artifact-fed composed twin (#70b):
+  // exact canonicals → near-dup pairs among survivors → connected
+  // components → the end-to-end audit counts
+  private val dedupCorpusSql: String =
+    s"""WITH RECURSIVE norm AS (
+            SELECT doc_id,
+              sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+            FROM documents),
+          canon AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY h),
+          sh AS (SELECT d.doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w)-1)]) AS s
+                 FROM (SELECT doc_id,
+                         string_split_regex(trim(lower(text)), '\\s+') AS w
+                       FROM documents) d JOIN canon c ON d.doc_id = c.doc_id),
+          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+          reach(id, lbl) AS (
+            SELECT doc_id, doc_id FROM canon
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+          lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+          SELECT (SELECT count(*) FROM documents) AS n_in,
+                 (SELECT count(*) FROM documents) - (SELECT count(*) FROM canon)
+                   AS n_exact_removed,
+                 (SELECT count(*) FROM lab WHERE id <> cluster_id)
+                   AS n_near_removed,
+                 (SELECT count(*) FROM lab WHERE id = cluster_id) AS n_out"""
 
   private val bruteAnnSql: String =
     s"""$duckNormCte
@@ -463,35 +499,11 @@ object SparkEntry {
       graft.functions.TextShingles.duckdbAllPairsOracle(0.3),
     // the full corpus-dedup audit: exact canonicals → near-dup clusters
     // on the survivors → canonical keepers, counted end to end
-    "dedup_corpus" ->
-      s"""WITH RECURSIVE norm AS (
-            SELECT doc_id,
-              sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
-            FROM documents),
-          canon AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY h),
-          sh AS (SELECT d.doc_id,
-                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                  for i in range(1, len(w)-1)]) AS s
-                 FROM (SELECT doc_id,
-                         string_split_regex(trim(lower(text)), '\\s+') AS w
-                       FROM documents) d JOIN canon c ON d.doc_id = c.doc_id),
-          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3),
-          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                    UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
-          reach(id, lbl) AS (
-            SELECT doc_id, doc_id FROM canon
-            UNION
-            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-          lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
-          SELECT (SELECT count(*) FROM documents) AS n_in,
-                 (SELECT count(*) FROM documents) - (SELECT count(*) FROM canon)
-                   AS n_exact_removed,
-                 (SELECT count(*) FROM lab WHERE id <> cluster_id)
-                   AS n_near_removed,
-                 (SELECT count(*) FROM lab WHERE id = cluster_id) AS n_out""",
+    "dedup_corpus" -> dedupCorpusSql,
+    // the artifact-fed form is the SAME audit (Jaccard is pairwise, so
+    // the verified-pair artifact restricted to canonical endpoints IS
+    // the survivor pair set) — identical oracle by construction
+    "dedup_corpus_composed" -> dedupCorpusSql,
     // connected components over the same exact verified pairs, via a
     // recursive transitive-closure CTE; min reachable id = cluster id
     "dedup_survivorship" -> Dedup.dedupSurvivorshipOracle(),
@@ -1013,6 +1025,7 @@ object SparkEntry {
     "media_phash_clusters" -> Blob.mediaPhashClustersOracle(),
     "media_phash_incremental" -> Blob.mediaPhashIncrementalOracle(),
     "media_wav_fp_dedup" -> Blob.mediaWavFpDedupOracle(),
+    "media_wav_fp_planned" -> Blob.mediaWavFpPlannedOracle(),
     "events_hopping" -> Analytics.eventsHoppingOracle,
     "sessionize_native" -> Sessionize.nativeOracle(),
     "fixed_width_roundtrip" -> ExportImport.fixedWidthRoundtripOracle,

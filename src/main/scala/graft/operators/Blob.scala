@@ -690,9 +690,16 @@ object Blob {
     * never shuffle); the candidate join moves (band_key, id, fp)
     * only. */
   def mediaWavFpDedup(spark: SparkSession, sfDir: String,
-                      maxHamming: Int = 13): DataFrame = {
+                      maxHamming: Int = 13): DataFrame =
+    Dedup.bandedHammingPairs(wavFps(spark, sfDir),
+      bands = 14, bandBits = 4, maxHamming)
+
+  /** The 56-bit audio fingerprint frame (doc_id, fp) — encode → decode
+    * → energy-envelope dHash, ONE mapPartitions, shared by the strict
+    * and planned dedup forms. */
+  private def wavFps(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val fps = Tables.load(spark, sfDir, "documents")
+    Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         val pcm = graft.sources.WavCodec.samplesOf(text)
@@ -704,8 +711,28 @@ object Blob {
         }
       })
       .toDF("doc_id", "fp")
-    Dedup.bandedHammingPairs(fps, bands = 14, bandBits = 4, maxHamming)
   }
+
+  /** §2 #204b — the PLANNED-GEOMETRY audio-dedup headline: the same
+    * fingerprints and the same Hamming ≤ 13 verification as
+    * [[mediaWavFpDedup]], but banded 8 × 7 (the phash geometry)
+    * instead of the strict form's 14 × 4. The strict geometry BUYS
+    * exact recall at radius 13 with a ~14·n²/16 candidate cost — a
+    * scale-killer as the per-band key space (4 bits) saturates; this
+    * form collides at ~8·n²/128 and PLANS its recall instead:
+    * pigeonhole-exact through Hamming 7, then the published S-curve
+    * [[graft.operators.Dedup.plannedBandRecall]](8, 7, 56, h) for
+    * h = 8..13 (0.996 at h=8 falling to 0.776 at h=13 under the
+    * uniform model — MediaCodecSpec pins measured against expected).
+    * Contiguous band keys are a pure function of the fingerprint, so
+    * the surfaced pair set is DETERMINISTIC and the DuckDB oracle
+    * replays the identical band-match disjunction — this is planned
+    * recall with an oracle, not sampled recall. The strict form stays
+    * registered as the documented exact-recall mode. */
+  def mediaWavFpPlanned(spark: SparkSession, sfDir: String,
+                        maxHamming: Int = 13): DataFrame =
+    Dedup.bandedHammingPlanned(wavFps(spark, sfDir),
+      bands = 8, bandBits = 7, maxHamming)
 
   /** DuckDB oracle for [[mediaWavFpDedup]]: samples and the 57-frame
     * energy envelope replay from code points (exact integer sums), the
@@ -739,6 +766,45 @@ object Blob {
        FROM f a JOIN f b ON a.doc_id < b.doc_id
        WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming
        ORDER BY id_a, id_b"""
+
+  /** DuckDB oracle for [[mediaWavFpPlanned]]: same fingerprint replay
+    * as [[mediaWavFpDedupOracle]], with the candidate stage replayed
+    * EXACTLY — a pair survives iff some 7-bit contiguous band of the
+    * two fingerprints is identical (xor band = 0), i.e. the same
+    * deterministic 8×7 band join the Spark plan executes — then the
+    * same Hamming ≤ maxH verification. */
+  def mediaWavFpPlannedOracle(maxHamming: Int = 13): String = {
+    val bandMatch = (0 until 8)
+      .map(b => s"((xor(a.fp, b.fp) >> ${b * 7}) & 127) = 0")
+      .mkString("(", " OR ", ")")
+    s"""WITH cps AS (
+          SELECT doc_id,
+            [unicode(text[i])
+             for i in range(1, CAST(len(text) AS INTEGER) + 1)] AS cp
+          FROM documents WHERE len(text) >= 1),
+        s AS (SELECT doc_id,
+            list_transform(cp,
+              c -> CAST(((c % 256) - 128) * 256 AS BIGINT)) AS s
+          FROM cps),
+        e AS (SELECT doc_id,
+            [coalesce(list_sum(
+                list_transform(s[CAST((k*len(s))//57 + 1 AS INTEGER)
+                                :CAST(((k+1)*len(s))//57 AS INTEGER)],
+                  x -> abs(x))), 0)
+             for k in range(57)] AS env
+          FROM s),
+        f AS (SELECT doc_id,
+            CAST(list_sum([CASE WHEN env[k+2] > env[k+1]
+                                THEN CAST(1 AS BIGINT) << k ELSE 0 END
+                           for k in range(56)]) AS BIGINT) AS fp
+          FROM e)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+       FROM f a JOIN f b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming
+         AND $bandMatch
+       ORDER BY id_a, id_b"""
+  }
 
   /** DuckDB oracle for [[mediaWavStats]]: the sample mapping and every
     * statistic replayed from code points; container size = 44-byte

@@ -603,6 +603,23 @@ object Dedup {
                                         maxHamming: Int): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole recall guarantee needs maxHamming < $bands bands")
+    bandedHammingPlanned(fp, bands, bandBits, maxHamming)
+  }
+
+  /** [[bandedHammingPairs]] WITHOUT the pigeonhole requirement — the
+    * PLANNED-geometry form: when maxHamming ≥ bands, a pair within the
+    * radius is surfaced only if its differing bits happen to miss one
+    * whole band, so recall above Hamming (bands−1) follows the S-curve
+    * [[plannedBandRecall]] instead of being 1.0. The trade the planner
+    * makes deliberately: fewer/wider bands collide at
+    * n²/2^bandBits-scale candidate cost instead of the exact-recall
+    * geometry's wider blow-up. The output is still DETERMINISTIC
+    * (contiguous-band keys are a pure function of the fingerprint), so
+    * a SQL oracle replays the same band-match disjunction and the same
+    * pair set — planned recall, not sampled recall. */
+  private[graft] def bandedHammingPlanned(fp: DataFrame, bands: Int,
+                                          bandBits: Int,
+                                          maxHamming: Int): DataFrame = {
     val banded = withBandKeys(fp, bands, bandBits)
     val a = banded.select(col("band_key"), col("doc_id").as("id_a"),
       col("fp").as("fp_a"))
@@ -615,6 +632,38 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
+  }
+
+  /** EXPECTED RECALL of a contiguous (bands × bandBits) layout at
+    * Hamming distance h over `totalBits` fingerprint bits, under the
+    * uniform model (the h differing bits land uniformly at random):
+    * P(at least one band has no differing bit), by inclusion-exclusion
+    * over which i bands are clean —
+    *   Σ_{i≥1} (−1)^{i+1} C(bands,i) C(totalBits−i·bandBits, h) / C(totalBits, h).
+    * Exact (rational arithmetic in doubles over small binomials), 1.0
+    * whenever h < bands by pigeonhole. The planned-geometry spec pins
+    * measured per-h recall on real fingerprints against this curve. */
+  def plannedBandRecall(bands: Int, bandBits: Int, totalBits: Int,
+                        h: Int): Double = {
+    def choose(n: Int, r: Int): Double = {
+      if (r < 0 || r > n) return 0.0
+      var acc = 1.0
+      var i = 0
+      while (i < math.min(r, n - r)) {
+        acc = acc * (n - i) / (i + 1); i += 1
+      }
+      acc
+    }
+    val denom = choose(totalBits, h)
+    if (denom == 0.0) return 1.0
+    var s = 0.0
+    var i = 1
+    while (i <= bands && totalBits - i * bandBits >= 0) {
+      val term = choose(bands, i) * choose(totalBits - i * bandBits, h) / denom
+      s += (if (i % 2 == 1) term else -term)
+      i += 1
+    }
+    math.min(1.0, math.max(0.0, s))
   }
 
   /** [[bandedHammingPairs]] with the PROBE side restricted: every
@@ -948,6 +997,25 @@ object Dedup {
         (col("n_in") - col("n_exact_canon")).as("n_exact_removed"),
         (col("n_exact_canon") - col("n_out")).as("n_near_removed"),
         col("n_out"))
+  }
+
+  /** §2 #70b — the ARTIFACT-FED form of [[dedupCorpus]]: identical
+    * audit summary (same oracle), but the corpus-scale prefix join —
+    * the single heaviest standalone in the bench sweep — is not
+    * re-paid per run: near-dup pairs come from the per-session
+    * verified-pair parquet ([[sharedVerifiedPairsDir]]), the same
+    * artifact the composed clusters/survivorship/audit/split read.
+    * This is the form a production corpus build executes: ONE pair
+    * build per corpus version, then the end-to-end dedup decision as
+    * two semi-joins + bounded propagation over the KB..MB-scale pair
+    * table ([[dedupCorpusFromPairs]], spec-proven equal in
+    * DedupPairsSpec) — the #46b/#142b pattern that cut survivorship's
+    * bench 31.3s → 1.5s. */
+  def dedupCorpusComposed(spark: SparkSession, sfDir: String,
+                          tau: Double = 0.3): DataFrame = {
+    val dir = sharedVerifiedPairsDir(spark, sfDir, tau)
+    dedupCorpusFromPairs(Tables.load(spark, sfDir, "documents"),
+      readVerifiedPairs(spark, dir).filter(col("j4") >= tau))
   }
 
   /** Artifact-consuming core of [[dedupCorpus]]: the same audit summary

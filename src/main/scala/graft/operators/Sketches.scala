@@ -130,6 +130,12 @@ object Sketches {
     * counting) follow Flajolet et al. 2007; every input is an exact
     * integer so the double arithmetic is engine-reproducible. */
   def hllEstimate(nRegsZero: Column, sScaled: Column): Column = {
+    // DELIBERATE deviation from the paper's dedicated m=64 constant
+    // (α₆₄ = 0.709): both sides of the cross-engine contract — this
+    // estimator AND the DuckDB oracle — use the asymptotic formula
+    // 0.7213/(1+1.079/m) ≈ 0.70934, so the published estimate is
+    // bit-identical across engines; the ~0.05% bias vs α₆₄ is well
+    // inside HLL's 1.04/√64 = 13% standard error.
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))
     val raw = alpha * lit(4096.0) * pow(lit(2.0), lit(52.0)) /
       sScaled.cast("double")
@@ -650,8 +656,17 @@ object Sketches {
     * twin of [[graft.operators.Dedup.verifiedPairsToDir]]'s one-join
     * economics). */
   def sketchStatesToDir(spark: SparkSession, sfDir: String, dir: String,
-                        k: Int = 256): Unit = {
-    val docs = Tables.load(spark, sfDir, "documents")
+                        k: Int = 256): Unit =
+    sketchStatesOf(Tables.load(spark, sfDir, "documents"), k)
+      .write.mode("overwrite").parquet(dir)
+
+  /** The per-source sketch-state frame over ANY (source, text) docs —
+    * the shared core of [[sketchStatesToDir]] and the streaming
+    * maintenance twin [[graft.streaming.StreamSketches]] (which
+    * max-merges/unions/adds a micro-batch's states into the stored
+    * artifact; all three components are exactly mergeable, so
+    * incremental maintenance equals a batch rebuild bit-for-bit). */
+  def sketchStatesOf(docs: DataFrame, k: Int = 256): DataFrame = {
     val sk = sourceHashes(docs).groupBy("source").agg(
       SketchAggregates.minK(col("g"), k).as("mk"),
       SketchAggregates.hllRegs(col("g")).as("regs"))
@@ -662,12 +677,17 @@ object Sketches {
       .groupBy("source")
       .agg(sort_array(collect_list(struct(col("b"), col("cnt"))))
         .as("cells"))
-    sk.join(cells, "source").write.mode("overwrite").parquet(dir)
+    sk.join(cells, "source")
   }
 
-  /** Read back a [[sketchStatesToDir]] artifact. */
+  /** Read back a [[sketchStatesToDir]] artifact. Existence resolves
+    * through the Hadoop FileSystem of the path's scheme — the artifact
+    * a 100 TB profile run ships lives on a DFS, where a
+    * `java.nio.file` check would reject a perfectly good URI. */
   def readSketchStates(spark: SparkSession, dir: String): DataFrame = {
-    require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
       s"no sketch-state artifact at $dir — run sketchStatesToDir first")
     spark.read.parquet(dir)
   }

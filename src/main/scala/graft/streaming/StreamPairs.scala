@@ -41,8 +41,12 @@ object StreamPairs {
     val p = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.exists(p)) None
     else {
-      val hasData = java.nio.file.Files.list(p).anyMatch(f =>
-        f.getFileName.toString.startsWith("batch_id="))
+      // stream closed in all paths (the unclosed anyMatch idiom leaked
+      // one directory fd per micro-batch — ADVICE r12)
+      val s = java.nio.file.Files.list(p)
+      val hasData =
+        try s.anyMatch(f => f.getFileName.toString.startsWith("batch_id="))
+        finally s.close()
       if (hasData) Some(spark.read.parquet(dir)) else None
     }
   }

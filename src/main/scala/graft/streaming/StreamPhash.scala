@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -31,10 +30,7 @@ object StreamPhash {
                                     outDir: String, maxHamming: Int): Unit = {
     val spark = batch.sparkSession
     val b = batch.select(col("doc_id"), col("text"))
-    val hasData = Files.exists(Paths.get(baseDir)) &&
-      Files.list(Paths.get(baseDir)).anyMatch(f =>
-        !f.getFileName.toString.startsWith("_") &&
-          !f.getFileName.toString.startsWith("."))
+    val hasData = StreamIO.hasParquetData(baseDir)
     val base =
       if (hasData) spark.read.parquet(baseDir)
       else spark.range(0).select(col("id").as("doc_id"),

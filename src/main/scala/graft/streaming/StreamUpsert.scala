@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.MergeImport
@@ -32,15 +32,9 @@ object StreamUpsert {
     // single-writer pipeline; a crash mid-swap leaves the staged copy
     val staged = target + ".staging"
     merged.write.mode("overwrite").parquet(staged)
-    deleteRecursively(tPath)
+    StreamIO.deleteRecursively(tPath)
     Files.move(Paths.get(staged), tPath)
   }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-    }
 
   /** Start the continuous apply of `updates` (must contain `key`). */
   def applyStream(updates: DataFrame, target: String, key: String,

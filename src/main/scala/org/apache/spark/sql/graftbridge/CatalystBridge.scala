@@ -34,6 +34,18 @@ object CatalystBridge {
         "actualNum" -> actual.toString,
         "docroot" -> "https://spark.apache.org/docs/latest"))
 
+  /** The AnalysisException Spark raises when a parameter that must be
+    * a literal isn't one (error class NON_FOLDABLE_ARGUMENT, SQLSTATE
+    * 42K08) — used by graft's injected-function builders that bake an
+    * integer parameter (k, n) into the expression at plan time. */
+  def nonFoldableArg(functionName: String, paramName: String)
+      : org.apache.spark.sql.AnalysisException =
+    new org.apache.spark.sql.AnalysisException(
+      "NON_FOLDABLE_ARGUMENT",
+      Map("funcName" -> s"`$functionName`",
+        "paramName" -> s"`$paramName`",
+        "paramType" -> "\"INT\""))
+
   /** The analyzed logical plan of a DataFrame. */
   def analyzed(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =

@@ -71,6 +71,15 @@ class DedupPairsSpec extends SparkSpec {
       == rowsOf(Dedup.dedupCorpus(spark, sf)))
   }
 
+  test("dedupCorpusComposed (shared session artifact) == standalone") {
+    // the headline #70b entry: same oracle as #70, the corpus-scale
+    // prefix join paid by the session-shared artifact instead of per
+    // run — retires the sweep's heaviest standalone as the family
+    // headline
+    assert(rowsOf(Dedup.dedupCorpusComposed(spark, sf))
+      == rowsOf(Dedup.dedupCorpus(spark, sf)))
+  }
+
   test("incremental pairs append to exactly the combined-corpus artifact") {
     val full = Tables.load(spark, sf, "documents")
     val isDelta = org.apache.spark.sql.functions.col("doc_id") % 10 >= 8

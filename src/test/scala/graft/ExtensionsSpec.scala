@@ -157,4 +157,25 @@ class ExtensionsSpec extends AnyFunSuite {
         s"$bad raised ${ex.getErrorClass}: ${ex.getMessage}")
     }
   }
+
+  test("literal-k builders: BIGINT literal narrows, non-literal k raises " +
+      "NON_FOLDABLE_ARGUMENT") {
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("v").createOrReplaceTempView("sk_k")
+    // an INT-ranged BIGINT literal is accepted and narrowed
+    val mk = spark.sql(
+      "SELECT min_k_distinct(v, CAST(2 AS BIGINT)) FROM sk_k")
+      .collect().head.getSeq[Long](0)
+    assert(mk == Seq(1L, 2L))
+    // a non-foldable k gets Spark's own error, not a ClassCastException
+    for (bad <- Seq("min_k_distinct(v, v)", "topk_frequent(v, v)",
+                    "word_shingles(array('a','b'), CAST(v AS INT))",
+                    "min_k_distinct(v, 1.5)")) {
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $bad FROM sk_k").collect()
+      }
+      assert(ex.getErrorClass == "NON_FOLDABLE_ARGUMENT",
+        s"$bad raised ${ex.getErrorClass}: ${ex.getMessage}")
+    }
+  }
 }

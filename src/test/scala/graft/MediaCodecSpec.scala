@@ -324,6 +324,56 @@ class MediaCodecSpec extends SparkSpec {
     assert(banded == truth, s"banded ${banded.size} != brute ${truth.size}")
   }
 
+  test("media_wav_fp_planned: 8x7 geometry — deterministic band rule, " +
+      "pigeonhole-exact through Hamming 7, expected-vs-measured S-curve") {
+    import graft.sources.WavCodec
+    import spark.implicits._
+    val fps = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().flatMap { case (id, text) =>
+        val pcm = WavCodec.samplesOf(text)
+        if (pcm.isEmpty) None else Some((id, WavCodec.energyFp56(pcm)))
+      }.toMap
+    val truth = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 13
+    } yield (a, b, h)).toSet
+    val planned = Blob.mediaWavFpPlanned(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the planned pair set is DETERMINISTIC: exactly the radius-13
+    // pairs whose xor leaves at least one 7-bit band clean (the same
+    // rule the DuckDB oracle replays)
+    val bandRule = truth.filter { case (a, b, _) =>
+      val x = fps(a) ^ fps(b)
+      (0 until 8).exists(k => ((x >> (k * 7)) & 127L) == 0L)
+    }
+    assert(planned == bandRule,
+      s"planned ${planned.size} != band-rule replay ${bandRule.size}")
+    // pigeonhole: 8 bands cannot all be hit by <= 7 differing bits
+    assert(truth.filter(_._3 <= 7).subsetOf(planned),
+      "every pair within Hamming 7 must be surfaced")
+    // the published closed-form S-curve (inclusion-exclusion pins)
+    def rec(h: Int) = graft.operators.Dedup.plannedBandRecall(8, 7, 56, h)
+    assert(rec(7) >= 1.0 - 1e-9, "exact through bands-1 by pigeonhole")
+    assert(math.abs(rec(8) - 0.9959) < 5e-4, s"rec(8)=${rec(8)}")
+    assert(math.abs(rec(13) - 0.7759) < 5e-4, s"rec(13)=${rec(13)}")
+    (7 to 12).foreach(h => assert(rec(h) >= rec(h + 1),
+      "expected recall must fall monotonically with distance"))
+    // measured recall in the S-curve region vs the uniform-model
+    // expectation over the SAME distance mix (both deterministic on
+    // the fixed corpus; envelope bits aren't uniform, so allow a
+    // modeling margin)
+    val region = truth.filter(_._3 >= 8)
+    if (region.nonEmpty) {
+      val measured = planned.count(_._3 >= 8).toDouble / region.size
+      val expected = region.toSeq.map(t => rec(t._3)).sum / region.size
+      info(f"S-curve region: ${region.size} pairs, measured $measured%.4f," +
+        f" expected $expected%.4f")
+      assert(measured >= expected - 0.15 && measured <= 1.0,
+        f"measured $measured%.4f vs expected $expected%.4f")
+    }
+  }
+
   test("media_phash_clusters: components closed over the phash pairs") {
     val pairs = Blob.mediaPhashDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -805,4 +805,51 @@ class StreamingSpec extends SparkSpec {
       s"per-source mismatch: ${got.toSet.diff(batch.toSet).take(3)}")
     assert(got.nonEmpty)
   }
+
+  test("streaming sketch-state maintenance equals a batch rebuild at " +
+      "every prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = graft.operators.ExportImport.scratch("stream-sketches")
+    val (stateDir, ckpt) = (root + "/state", root + "/ckpt")
+    // k small enough that the bottom-k TRIM path is exercised by the
+    // merge (not just array concatenation)
+    val k = 8
+    def doc(src: String, i: Int) =
+      (src, (1 to 12).map(j => s"tok${(i * 7 + j) % 23}").mkString(" "))
+    val b1 = (1 to 15).map(i => doc(if (i % 2 == 0) "web" else "books", i))
+    val b2 = (16 to 25).map(i => doc(if (i % 3 == 0) "code" else "web", i))
+    val b3 = (26 to 30).map(i => doc("books", i))
+    val input = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamSketches.start(
+      input.toDF().toDF("source", "text"), stateDir, ckpt, k)
+    def stateRows() = spark.read.parquet(stateDir)
+      .collect().map(_.toString).toSeq.sorted
+    def rebuilt(rows: Seq[(String, String)]) = graft.operators.Sketches
+      .sketchStatesOf(rows.toDF("source", "text"), k)
+      .collect().map(_.toString).toSeq.sorted
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      // prefix 1: first batch state IS the batch build over batch 1
+      assert(stateRows() == rebuilt(b1), "prefix-1 state mismatch")
+      input.addData(b2: _*); q.processAllAvailable()
+      // prefix 2: union/max/add merge == one pass over b1 ++ b2 —
+      // including a source ("code") absent from the stored state
+      assert(stateRows() == rebuilt(b1 ++ b2), "prefix-2 state mismatch")
+      input.addData(b3: _*); q.processAllAvailable()
+      // prefix 3: including a batch whose sources all already exist
+      assert(stateRows() == rebuilt(b1 ++ b2 ++ b3),
+        "prefix-3 state mismatch")
+    } finally q.stop()
+    // the composed sketch consumers read the MAINTAINED artifact
+    // exactly as a batch-built one
+    val viaArtifact = graft.operators.Sketches
+      .readSketchStates(spark, stateDir)
+      .select("source", "mk").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).length).toMap
+    assert(viaArtifact.keySet == Set("web", "books", "code"))
+    assert(viaArtifact.values.forall(_ <= k), "bottom-k state stays <= k")
+    assert(viaArtifact("web") == k,
+      "a source with > k distinct shingles must hold a FULL sketch")
+  }
 }
