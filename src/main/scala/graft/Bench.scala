@@ -103,7 +103,8 @@ object Bench {
       "media_resize", "media_png_roundtrip", "media_resize_png",
       "media_wav_stats", "media_jpeg_stats", "media_phash_dedup",
       "media_phash_clusters", "media_phash_incremental",
-      "media_wav_fp_dedup", "media_wav_fp_planned", "json_props",
+      "media_wav_fp_dedup", "media_wav_fp_planned", "hamming_plan",
+      "json_props",
       "import_validation", "import_errors", "package_apply"))
 
   /** Flat headline order (= concatenated family order). Anything not

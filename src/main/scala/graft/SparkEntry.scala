@@ -231,6 +231,7 @@ object SparkEntry {
       ((s, d) => Blob.mediaPhashIncremental(s, d)),
     "media_wav_fp_dedup" -> ((s, d) => Blob.mediaWavFpDedup(s, d)),
     "media_wav_fp_planned" -> ((s, d) => Blob.mediaWavFpPlanned(s, d)),
+    "hamming_plan" -> ((s, d) => Blob.hammingPlan(s, d)),
     "events_hopping" -> (Analytics.eventsHopping _),
     "sessionize_native" -> ((s, d) => Sessionize.sessionizeNative(s, d)),
     "fixed_width_roundtrip" -> (ExportImport.fixedWidthRoundtrip _),
@@ -1026,6 +1027,7 @@ object SparkEntry {
     "media_phash_incremental" -> Blob.mediaPhashIncrementalOracle(),
     "media_wav_fp_dedup" -> Blob.mediaWavFpDedupOracle(),
     "media_wav_fp_planned" -> Blob.mediaWavFpPlannedOracle(),
+    "hamming_plan" -> Blob.hammingPlanOracle(),
     "events_hopping" -> Analytics.eventsHoppingOracle,
     "sessionize_native" -> Sessionize.nativeOracle(),
     "fixed_width_roundtrip" -> ExportImport.fixedWidthRoundtripOracle,

@@ -734,6 +734,152 @@ object Blob {
     Dedup.bandedHammingPlanned(wavFps(spark, sfDir),
       bands = 8, bandBits = 7, maxHamming)
 
+  /** §2 #217 — HAMMING BAND PLANNER: the [[Dedup.lshPlan]] doctrine
+    * for the 56-bit fingerprint family (image dHash, audio envelope
+    * dHash, SimHash-56). Per contiguous band geometry (bands ×
+    * band_bits = 56): the radius where recall is pigeonhole-EXACT
+    * (bands − 1), the closed-form expected recall at Hamming 8/10/13
+    * under the uniform model ([[Dedup.plannedBandRecallExact]] — exact
+    * integer numerator/denominator published for h = 13, so the
+    * contract carries no float accumulation), and the MEASURED
+    * candidate volume on the real corpus: Σ_{band,key} C(n_key, 2)
+    * band-join rows over the actual audio fingerprints — the exact row
+    * count the LSH equi-join would move, the cost side of the
+    * cost/recall trade the planner navigates (lsh_plan plans Jaccard
+    * banding the same way; ivf_probe_sweep plans nProbe).
+    *
+    * Scale shape: ONE fingerprint pass (shared, cached) + per-scheme
+    * map-only band-key explode → hash agg over key counts — no pair
+    * join is ever materialized; the plan table is 7 rows. */
+  def hammingPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schemes = Seq((2, 28), (4, 14), (7, 8), (8, 7), (14, 4),
+      (28, 2), (56, 1))
+    val fps = TransientCaches.register(wavFps(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cand = schemes.map { case (b, bits) =>
+      Dedup.withBandKeys(fps, b, bits)
+        .groupBy("band_key").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+          .as("cand_rows"))
+        .select(lit(b).as("bands"), lit(bits).as("band_bits"),
+          col("cand_rows"))
+    }.reduce(_.unionByName(_))
+    val rec = schemes.map { case (b, bits) =>
+      def nd(h: Int) = Dedup.plannedBandRecallExact(b, bits, 56, h)
+      val (n8, d8) = nd(8); val (n10, d10) = nd(10); val (n13, d13) = nd(13)
+      (b, bits, n8.toLong, d8.toLong, n10.toLong, d10.toLong,
+        n13.toLong, d13.toLong)
+    }.toDF("bands", "band_bits", "n8", "d8", "n10", "d10", "n13", "d13")
+    cand.join(broadcast(rec), Seq("bands", "band_bits"))
+      .select(col("bands"), col("band_bits"),
+        (col("bands") - 1).as("exact_radius"),
+        col("cand_rows"),
+        round(col("n8").cast("double") / col("d8"), 6).as("rec6_h8"),
+        round(col("n10").cast("double") / col("d10"), 6).as("rec6_h10"),
+        round(col("n13").cast("double") / col("d13"), 6).as("rec6_h13"),
+        col("n13").as("rec_num_h13"), col("d13").as("rec_den_h13"))
+      .orderBy("bands")
+  }
+
+  /** DuckDB oracle for [[hammingPlan]]: fingerprints replay from code
+    * points; candidate volume replays the band-key grouping with the
+    * same shift/mask arithmetic; the recall rationals are re-derived
+    * INDEPENDENTLY — multiplicative binomials built stepwise in a
+    * recursive CTE (each partial product C(n−k+j, j) is an integer, so
+    * HUGEINT floor division is exact), then the same inclusion-
+    * exclusion sum. */
+  def hammingPlanOracle(): String =
+    s"""WITH RECURSIVE cps AS (
+          SELECT doc_id,
+            [unicode(text[i])
+             for i in range(1, CAST(len(text) AS INTEGER) + 1)] AS cp
+          FROM documents WHERE len(text) >= 1),
+        s AS (SELECT doc_id,
+            list_transform(cp,
+              c -> CAST(((c % 256) - 128) * 256 AS BIGINT)) AS s
+          FROM cps),
+        e AS (SELECT doc_id,
+            [coalesce(list_sum(
+                list_transform(s[CAST((k*len(s))//57 + 1 AS INTEGER)
+                                :CAST(((k+1)*len(s))//57 AS INTEGER)],
+                  x -> abs(x))), 0)
+             for k in range(57)] AS env
+          FROM s),
+        f AS (SELECT doc_id,
+            CAST(list_sum([CASE WHEN env[k+2] > env[k+1]
+                                THEN CAST(1 AS BIGINT) << k ELSE 0 END
+                           for k in range(56)]) AS BIGINT) AS fp
+          FROM e),
+        schemes(bands, band_bits) AS (VALUES
+          (2, 28), (4, 14), (7, 8), (8, 7), (14, 4), (28, 2), (56, 1)),
+        bandix AS (SELECT bands, band_bits,
+                          unnest(range(0, bands)) AS band FROM schemes),
+        kb AS (SELECT k.bands, k.band_bits, k.band,
+                      (f.fp >> (k.band * k.band_bits))
+                        & ((CAST(1 AS BIGINT) << k.band_bits) - 1) AS bkey,
+                      count(*) AS c
+               FROM bandix k CROSS JOIN f
+               GROUP BY k.bands, k.band_bits, k.band, bkey),
+        cand AS (SELECT bands, band_bits,
+                        CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_rows
+                 FROM kb GROUP BY bands, band_bits),
+        hs(h) AS (VALUES (8), (10), (13)),
+        needs AS (
+          SELECT DISTINCT n, k FROM (
+            SELECT bands AS n, unnest(range(1, bands + 1)) AS k
+            FROM schemes
+            UNION ALL
+            SELECT 56 - ii.i * s.band_bits AS n, hs.h AS k
+            FROM schemes s
+            CROSS JOIN (SELECT unnest(range(1, 57)) AS i) ii
+            CROSS JOIN hs
+            WHERE ii.i <= s.bands AND 56 - ii.i * s.band_bits >= 0
+            UNION ALL
+            SELECT 56 AS n, h AS k FROM hs)
+          WHERE k <= n AND k >= 1),
+        binr(n, k, j, v) AS (
+          SELECT n, k, 0, CAST(1 AS HUGEINT) FROM needs
+          UNION ALL
+          SELECT n, k, j + 1, (v * (n - k + j + 1)) // (j + 1)
+          FROM binr WHERE j < k),
+        bin AS (SELECT n, k, v FROM binr WHERE j = k),
+        terms AS (
+          SELECT s.bands, s.band_bits, hs.h,
+                 (CASE WHEN ii.i % 2 = 1 THEN 1 ELSE -1 END)
+                   * cb.v * cr.v AS t
+          FROM schemes s
+          CROSS JOIN (SELECT unnest(range(1, 57)) AS i) ii
+          CROSS JOIN hs
+          JOIN bin cb ON cb.n = s.bands AND cb.k = ii.i
+          JOIN bin cr ON cr.n = 56 - ii.i * s.band_bits AND cr.k = hs.h
+          WHERE ii.i <= s.bands AND 56 - ii.i * s.band_bits >= hs.h),
+        rec AS (SELECT bands, band_bits, h, sum(t) AS num
+                FROM terms GROUP BY bands, band_bits, h),
+        den AS (SELECT hs.h, b.v AS den
+                FROM hs JOIN bin b ON b.n = 56 AND b.k = hs.h)
+       SELECT c.bands, c.band_bits, c.bands - 1 AS exact_radius,
+              c.cand_rows,
+              round(CAST(r8.num AS DOUBLE) / CAST(d8.den AS DOUBLE), 6)
+                AS rec6_h8,
+              round(CAST(r10.num AS DOUBLE) / CAST(d10.den AS DOUBLE), 6)
+                AS rec6_h10,
+              round(CAST(r13.num AS DOUBLE) / CAST(d13.den AS DOUBLE), 6)
+                AS rec6_h13,
+              CAST(r13.num AS BIGINT) AS rec_num_h13,
+              CAST(d13.den AS BIGINT) AS rec_den_h13
+       FROM cand c
+       JOIN rec r8 ON r8.bands = c.bands
+         AND r8.band_bits = c.band_bits AND r8.h = 8
+       JOIN rec r10 ON r10.bands = c.bands
+         AND r10.band_bits = c.band_bits AND r10.h = 10
+       JOIN rec r13 ON r13.bands = c.bands
+         AND r13.band_bits = c.band_bits AND r13.h = 13
+       JOIN den d8 ON d8.h = 8
+       JOIN den d10 ON d10.h = 10
+       JOIN den d13 ON d13.h = 13
+       ORDER BY c.bands"""
+
   /** DuckDB oracle for [[mediaWavFpDedup]]: samples and the 57-frame
     * energy envelope replay from code points (exact integer sums), the
     * 56 difference bits replay arithmetically, and the all-pairs

@@ -590,7 +590,7 @@ object Dedup {
     * (54-bit text SimHash) and [[Blob.mediaPhashDedup]] (56-bit image
     * dHash). The band join moves only (band_key, id, fp) — 3 scalar
     * columns — and shuffles on the band key, never the corpus. */
-  private def withBandKeys(fp: DataFrame, bands: Int,
+  private[operators] def withBandKeys(fp: DataFrame, bands: Int,
                            bandBits: Int): DataFrame =
     fp.select(col("doc_id"), col("fp"),
       explode(expr(
@@ -645,25 +645,36 @@ object Dedup {
     * measured per-h recall on real fingerprints against this curve. */
   def plannedBandRecall(bands: Int, bandBits: Int, totalBits: Int,
                         h: Int): Double = {
-    def choose(n: Int, r: Int): Double = {
-      if (r < 0 || r > n) return 0.0
-      var acc = 1.0
-      var i = 0
-      while (i < math.min(r, n - r)) {
-        acc = acc * (n - i) / (i + 1); i += 1
-      }
-      acc
-    }
-    val denom = choose(totalBits, h)
-    if (denom == 0.0) return 1.0
-    var s = 0.0
+    val (num, den) = plannedBandRecallExact(bands, bandBits, totalBits, h)
+    math.min(1.0, math.max(0.0, num.toDouble / den.toDouble))
+  }
+
+  /** EXACT rational core of [[plannedBandRecall]]: (numerator,
+    * denominator) as exact integers —
+    *   num = Σ_{i≥1} (−1)^{i+1} C(bands,i) C(totalBits−i·bandBits, h),
+    *   den = C(totalBits, h)
+    * — so the published recall columns of [[Blob.hammingPlan]] carry
+    * no float accumulation and a SQL oracle can re-derive them with
+    * integer Pascal/multiplicative binomials (HUGEINT intermediates,
+    * BIGINT results: num ≤ den = C(56,13) ≈ 8·10¹²). num = den exactly
+    * whenever h < bands (pigeonhole). */
+  def plannedBandRecallExact(bands: Int, bandBits: Int, totalBits: Int,
+                             h: Int): (BigInt, BigInt) = {
+    def choose(n: Int, r: Int): BigInt =
+      if (r < 0 || r > n) BigInt(0)
+      // multiplicative form — each partial product is C(n-r+j, j), an
+      // integer, so the stepwise division is exact
+      else (1 to r).foldLeft(BigInt(1))((a, j) => a * (n - r + j) / j)
+    val den = choose(totalBits, h)
+    if (den == 0) return (BigInt(1), BigInt(1))
+    var s = BigInt(0)
     var i = 1
     while (i <= bands && totalBits - i * bandBits >= 0) {
-      val term = choose(bands, i) * choose(totalBits - i * bandBits, h) / denom
-      s += (if (i % 2 == 1) term else -term)
+      val t = choose(bands, i) * choose(totalBits - i * bandBits, h)
+      s = if (i % 2 == 1) s + t else s - t
       i += 1
     }
-    math.min(1.0, math.max(0.0, s))
+    (s, den)
   }
 
   /** [[bandedHammingPairs]] with the PROBE side restricted: every

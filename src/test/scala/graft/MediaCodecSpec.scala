@@ -374,6 +374,47 @@ class MediaCodecSpec extends SparkSpec {
     }
   }
 
+  test("hamming_plan: exact recall rationals, pigeonhole rows, " +
+      "data-driven candidate volume") {
+    import graft.sources.WavCodec
+    import spark.implicits._
+    val rows = Blob.hammingPlan(spark, sf).collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((2, 28), (4, 14), (7, 8), (8, 7), (14, 4), (28, 2), (56, 1)))
+    rows.foreach { r =>
+      val (bands, bits) = (r.getInt(0), r.getInt(1))
+      assert(r.getInt(2) == bands - 1, "exact radius is bands - 1")
+      val (num, den) = (r.getLong(7), r.getLong(8))
+      assert(num > 0 && num <= den, s"recall rational in (0, 1]: $num/$den")
+      // the published rational IS the double curve
+      val d = graft.operators.Dedup.plannedBandRecall(bands, bits, 56, 13)
+      assert(math.abs(num.toDouble / den.toDouble - d) < 1e-12)
+      // pigeonhole: 13 differing bits cannot hit > 13 bands
+      if (bands > 13) assert(num == den, s"$bands bands must be exact at 13")
+      else assert(num < den, s"$bands bands cannot be exact at 13")
+    }
+    // candidate volume replays against driver-side band-bucket counts
+    val fps = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().flatMap { case (id, text) =>
+        val pcm = WavCodec.samplesOf(text)
+        if (pcm.isEmpty) None else Some((id, WavCodec.energyFp56(pcm)))
+      }
+    def volume(bands: Int, bits: Int): Long =
+      (0 until bands).map { b =>
+        fps.groupBy { case (_, fp) => (fp >> (b * bits)) & ((1L << bits) - 1) }
+          .values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+      }.sum
+    rows.foreach { r =>
+      assert(r.getLong(3) == volume(r.getInt(0), r.getInt(1)),
+        s"cand_rows mismatch at ${r.getInt(0)}x${r.getInt(1)}")
+    }
+    // the trade the planner navigates: 1-bit bands are the candidate
+    // blow-up end, 28-bit bands the selective end
+    assert(rows.last.getLong(3) >= rows.head.getLong(3),
+      "56x1 must cost at least as many candidate rows as 2x28")
+  }
+
   test("media_phash_clusters: components closed over the phash pairs") {
     val pairs = Blob.mediaPhashDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -812,6 +812,11 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val root = graft.operators.ExportImport.scratch("stream-sketches")
     val (stateDir, ckpt) = (root + "/state", root + "/ckpt")
+    // scratch dirs persist across suite runs in one sandbox: a stale
+    // checkpoint would dedupe the MemoryStream batches and stale state
+    // would break the prefix-1 equality — start clean
+    Seq(stateDir, ckpt).foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(java.nio.file.Paths.get(d)))
     // k small enough that the bottom-k TRIM path is exercised by the
     // merge (not just array concatenation)
     val k = 8
