@@ -187,8 +187,8 @@ out += ["",
         "end (first vs again",
         "  centiseconds). Transient box noise shows 'again' back at "
         "normal; a real",
-        "  regression repeats. Builder reference: dedup_corpus "
-        "7.68/7.71 s — stable.",
+        "  regression repeats. Builder reference (r13): "
+        "leakage_safe_split 8.5/7.4 s — stable.",
         "- the embeddings cold/warm scan probe at startup plus GC/code-"
         "cache snapshots",
         "  bracketing the ANN block (builder reference at sf0.1: "
@@ -248,19 +248,58 @@ out += ["",
         "composed/artifact forms",
         "  measure 1.3-1.5 s here and their 3-SF curves are "
         "sub-linear.", "",
-        "## Super-linear rows, priced (r12)",
+        "## r12 driver outliers, adjudicated (r13)",
         "",
-        "- media_wav_fp_dedup (~10x at the 10x sf0.01 -> sf0.1 step): "
+        "- dedup_corpus 31.74 s (r12 driver, only half-adjudicable "
+        "because the",
+        "  aq_cpu_cs vector was truncated): the surviving counters "
+        "showed 7.8 s",
+        "  task-GC on 10 MB shuffle — the driver-box GC-amplification "
+        "signature — and",
+        "  the builder's r13 full sweep re-measures the same plan at "
+        "7.4 s with a",
+        "  flat 3-SF curve (5.2/4.0/7.4 s). Box-side, as predicted. "
+        "Two structural",
+        "  fixes land this round so the question cannot recur: the g1 "
+        "tail line keeps",
+        "  EVERY adjudicator inside the 2000-char window, and "
+        "dedup_corpus_composed",
+        "  (#70b, ~2.0 s at sf0.1 off the session pair artifact) is "
+        "now the family's",
+        "  production headline.",
+        "- mixture_sample 2.39 s (r12 driver, watch-only): builder r13 "
+        "re-measures",
+        "  1.32 s wall on 0.53 CPU-s / 19 ms task-GC / 0 MB shuffle "
+        "with a sub-linear",
+        "  3-SF curve (0.71/0.81/1.32 s) — wait-not-compute on the "
+        "driver box, i.e.",
+        "  box noise, exactly as the flat GC/shuffle suggested. "
+        "Closed.",
+        "",
+        "## Super-linear rows, priced (r12) — and the r13 planned "
+        "headline",
+        "",
+        "- media_wav_fp_dedup (~7x at the 10x sf0.01 -> sf0.1 step): "
         "the 14x4-bit",
         "  band configuration guarantees recall 1.0 at Hamming <= 13 "
         "and its collision",
         "  cost is priced IN THE OPERATOR's scaladoc at ~14n^2/16 "
         "candidate rows — the",
-        "  quadratic is the contract, not a surprise; the documented "
-        "scale paths are a",
-        "  narrower radius (8x7 bits ~ n^2/128, the phash shape) or "
-        "S-curve recall",
-        "  planned with lsh_plan.",
+        "  quadratic is the contract, not a surprise. r13 lands the "
+        "planned-geometry",
+        "  headline beside it: media_wav_fp_planned (#204b, 8x7 bands, "
+        "n^2/128",
+        "  candidates, recall pigeonhole-exact to Hamming 7 then the "
+        "published",
+        "  S-curve) measures 0.34/0.40/0.97 s across the three SFs — "
+        "flat where the",
+        "  strict form is quadratic — and hamming_plan (#217, "
+        "0.52/0.66/0.84 s)",
+        "  publishes the full cost/recall table (exact rationals + "
+        "measured band-join",
+        "  volume) that prices every geometry in between. The strict "
+        "form stays as",
+        "  the documented exact-recall mode.",
         "- knn_graph (~6x at the same step): the EXACT kNN baseline — "
         "a full-probe",
         "  cell equi-join is inherently ~n^2 in pair work; its ANN "

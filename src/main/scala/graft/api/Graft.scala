@@ -536,4 +536,21 @@ object Graft {
     * micro-batch. */
   def quantileMonitor(docs: DataFrame, outDir: String): StreamingQuery =
     graft.streaming.StreamQuantiles.start(docs, outDir)
+
+  /** Continuous maintenance of the sketch-state artifact
+    * ([[sketchStatesToDir]]): each micro-batch's per-source states are
+    * merged into `stateDir` (bottom-k union-then-trim, HLL register
+    * max, HDR cell add) — bit-identical to a batch rebuild at every
+    * prefix. */
+  def sketchStateMaintainer(docs: DataFrame, stateDir: String,
+                            checkpoint: String,
+                            k: Int = 256): StreamingQuery =
+    graft.streaming.StreamSketches.start(docs, stateDir, checkpoint, k)
+
+  /** Expected recall of a contiguous (bands × bandBits) Hamming band
+    * layout at distance `h` under the uniform model — the closed form
+    * behind the `hamming_plan` table; exactly 1.0 for h < bands. */
+  def plannedBandRecall(bands: Int, bandBits: Int, totalBits: Int,
+                        h: Int): Double =
+    graft.operators.Dedup.plannedBandRecall(bands, bandBits, totalBits, h)
 }
