@@ -104,6 +104,7 @@ object Bench {
       "media_wav_stats", "media_jpeg_stats", "media_phash_dedup",
       "media_phash_clusters", "media_phash_incremental",
       "media_wav_fp_dedup", "media_wav_fp_planned", "hamming_plan",
+      "media_wav_fp_clusters", "media_wav_fp_incremental",
       "json_props",
       "import_validation", "import_errors", "package_apply"))
 

@@ -232,6 +232,9 @@ object SparkEntry {
     "media_wav_fp_dedup" -> ((s, d) => Blob.mediaWavFpDedup(s, d)),
     "media_wav_fp_planned" -> ((s, d) => Blob.mediaWavFpPlanned(s, d)),
     "hamming_plan" -> ((s, d) => Blob.hammingPlan(s, d)),
+    "media_wav_fp_incremental" ->
+      ((s, d) => Blob.mediaWavFpIncremental(s, d)),
+    "media_wav_fp_clusters" -> ((s, d) => Blob.mediaWavFpClusters(s, d)),
     "events_hopping" -> (Analytics.eventsHopping _),
     "sessionize_native" -> ((s, d) => Sessionize.sessionizeNative(s, d)),
     "fixed_width_roundtrip" -> (ExportImport.fixedWidthRoundtrip _),
@@ -1028,6 +1031,8 @@ object SparkEntry {
     "media_wav_fp_dedup" -> Blob.mediaWavFpDedupOracle(),
     "media_wav_fp_planned" -> Blob.mediaWavFpPlannedOracle(),
     "hamming_plan" -> Blob.hammingPlanOracle(),
+    "media_wav_fp_incremental" -> Blob.mediaWavFpIncrementalOracle(),
+    "media_wav_fp_clusters" -> Blob.mediaWavFpClustersOracle(),
     "events_hopping" -> Analytics.eventsHoppingOracle,
     "sessionize_native" -> Sessionize.nativeOracle(),
     "fixed_width_roundtrip" -> ExportImport.fixedWidthRoundtripOracle,

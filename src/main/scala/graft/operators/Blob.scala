@@ -500,8 +500,20 @@ object Blob {
     * dedup_pairs_incremental. Returns (doc_id, fp, decision) so the
     * streaming ingest appends kept fingerprints without re-decoding. */
   def mediaPhashIncrementalFrom(baseFps: DataFrame, delta: DataFrame,
-                                maxHamming: Int = 7): DataFrame = {
-    val deltaFps = phashFingerprints(delta)
+                                maxHamming: Int = 7): DataFrame =
+    bandedIncrementalDecisions(baseFps, phashFingerprints(delta),
+      maxHamming)
+
+  /** Shared incremental-decision core over ANY 56-bit fingerprint
+    * family (image phash, audio envelope): each delta fingerprint is
+    * 'near' if it collides within `maxHamming` with a base fingerprint
+    * or a smaller-id delta one (the order-free pairwise rule), 'kept'
+    * otherwise. 8 × 7 banding — pigeonhole-exact at the radius-7
+    * default, probe side restricted to the delta so per-batch cost ∝
+    * increment. */
+  private def bandedIncrementalDecisions(baseFps: DataFrame,
+                                         deltaFps: DataFrame,
+                                         maxHamming: Int): DataFrame = {
     val build = baseFps.select(col("doc_id"), col("fp"))
       .withColumn("b_is_base", lit(true))
       .unionByName(deltaFps.withColumn("b_is_base", lit(false)))
@@ -519,6 +531,45 @@ object Blob {
           .otherwise(lit("kept")).as("decision"))
       .orderBy("doc_id")
   }
+
+  /** §2 #204d — INCREMENTAL audio-dedup decisions: the audio twin of
+    * [[mediaPhashIncremental]], completing modality parity for the
+    * incremental ingest path. A delta batch of documents is
+    * fingerprinted (RIFF/WAVE encode → decode → energy dHash) and
+    * decided against the accumulated base FINGERPRINT table — 8 B per
+    * audio doc of hot state, audio bytes never re-read. Radius 7 with
+    * the 8 × 7 banding is pigeonhole-exact, so the oracle's all-pairs
+    * EXISTS replays the identical decision set. */
+  def mediaWavFpIncrementalFrom(baseFps: DataFrame, delta: DataFrame,
+                                maxHamming: Int = 7): DataFrame =
+    bandedIncrementalDecisions(baseFps, wavFpsOf(delta), maxHamming)
+
+  /** The driver query form of [[mediaWavFpIncrementalFrom]]: the
+    * %-slice stands in for the delta batch, the
+    * dedup_pairs_incremental convention. */
+  def mediaWavFpIncremental(spark: SparkSession, sfDir: String,
+                            maxHamming: Int = 7, mod: Int = 10,
+                            deltaFrom: Int = 8): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val isDelta = col("doc_id") % mod >= deltaFrom
+    mediaWavFpIncrementalFrom(
+      wavFpsOf(docs.filter(!isDelta)), docs.filter(isDelta), maxHamming)
+      .select("doc_id", "decision")
+  }
+
+  /** §2 #204c — AUDIO NEAR-DUP CLUSTERS: connected components over the
+    * radius-7 audio fingerprint pairs (8 × 7 banding, pigeonhole-exact
+    * recall), the audio twin of [[mediaPhashClusters]] — every
+    * document gets (cluster_id, n_members, is_canonical); keep the
+    * canonicals and the audio corpus is deduped. Docs too short to
+    * synthesize audio stay singleton clusters. */
+  def mediaWavFpClusters(spark: SparkSession, sfDir: String,
+                         maxHamming: Int = 7): DataFrame =
+    Dedup.dedupClustersFromPairs(
+      Tables.load(spark, sfDir, "documents").select(col("doc_id")),
+      Dedup.bandedHammingPairs(wavFps(spark, sfDir),
+        bands = 8, bandBits = 7, maxHamming)
+        .select(col("id_a"), col("id_b")))
 
   /** The driver query form of [[mediaPhashIncrementalFrom]]: the %-slice
     * stands in for the delta batch (base = doc_id%10 < 8), exactly the
@@ -696,10 +747,11 @@ object Blob {
 
   /** The 56-bit audio fingerprint frame (doc_id, fp) — encode → decode
     * → energy-envelope dHash, ONE mapPartitions, shared by the strict
-    * and planned dedup forms. */
-  private def wavFps(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.load(spark, sfDir, "documents")
+    * and planned dedup forms, the incremental decisions and the
+    * streaming twin ([[graft.streaming.StreamWavFp]]). */
+  private[graft] def wavFpsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         val pcm = graft.sources.WavCodec.samplesOf(text)
@@ -712,6 +764,9 @@ object Blob {
       })
       .toDF("doc_id", "fp")
   }
+
+  private def wavFps(spark: SparkSession, sfDir: String): DataFrame =
+    wavFpsOf(Tables.load(spark, sfDir, "documents"))
 
   /** §2 #204b — the PLANNED-GEOMETRY audio-dedup headline: the same
     * fingerprints and the same Hamming ≤ 13 verification as
@@ -951,6 +1006,74 @@ object Blob {
          AND $bandMatch
        ORDER BY id_a, id_b"""
   }
+
+  /** The wav fingerprint CTE chain (cps → s → e → f), shared by the
+    * round-13 audio oracles: code points → samples → 57-frame exact-
+    * integer energy envelope → 56 difference bits. */
+  private val wavFpCte: String =
+    s"""cps AS (
+          SELECT doc_id,
+            [unicode(text[i])
+             for i in range(1, CAST(len(text) AS INTEGER) + 1)] AS cp
+          FROM documents WHERE len(text) >= 1),
+        s AS (SELECT doc_id,
+            list_transform(cp,
+              c -> CAST(((c % 256) - 128) * 256 AS BIGINT)) AS s
+          FROM cps),
+        e AS (SELECT doc_id,
+            [coalesce(list_sum(
+                list_transform(s[CAST((k*len(s))//57 + 1 AS INTEGER)
+                                :CAST(((k+1)*len(s))//57 AS INTEGER)],
+                  x -> abs(x))), 0)
+             for k in range(57)] AS env
+          FROM s),
+        f AS (SELECT doc_id,
+            CAST(list_sum([CASE WHEN env[k+2] > env[k+1]
+                                THEN CAST(1 AS BIGINT) << k ELSE 0 END
+                           for k in range(56)]) AS BIGINT) AS fp
+          FROM e)"""
+
+  /** DuckDB oracle for [[mediaWavFpIncremental]]: fingerprints replay
+    * from code points; the decision rule replays as EXISTS over the
+    * all-pairs Hamming relation restricted to base ∪ smaller-id delta
+    * blockers (exact at radius 7 by pigeonhole, so no band arithmetic
+    * is needed). */
+  def mediaWavFpIncrementalOracle(maxHamming: Int = 7, mod: Int = 10,
+                                  deltaFrom: Int = 8): String =
+    s"""WITH $wavFpCte
+       SELECT a.doc_id,
+              CASE WHEN EXISTS (
+                SELECT 1 FROM f b
+                WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming
+                  AND (b.doc_id % $mod < $deltaFrom
+                       OR (b.doc_id % $mod >= $deltaFrom
+                           AND b.doc_id < a.doc_id)))
+                THEN 'near' ELSE 'kept' END AS decision
+       FROM f a WHERE a.doc_id % $mod >= $deltaFrom
+       ORDER BY doc_id"""
+
+  /** DuckDB oracle for [[mediaWavFpClusters]]: the wav fingerprint CTE
+    * plus the same recursive transitive-closure cluster truth as
+    * dedup_clusters (seeded from ALL documents, so fingerprint-less
+    * docs stay singletons). */
+  def mediaWavFpClustersOracle(maxHamming: Int = 7): String =
+    s"""WITH RECURSIVE $wavFpCte,
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM f a JOIN f b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.id),
+        lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+       SELECT id AS doc_id, cluster_id,
+              CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                AS n_members,
+              id = cluster_id AS is_canonical
+       FROM lab ORDER BY doc_id"""
 
   /** DuckDB oracle for [[mediaWavStats]]: the sample mapping and every
     * statistic replayed from code points; container size = 44-byte

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.Blob
+
+/** §2 #204e — CONTINUOUS audio near-dup ingest: every arriving
+  * micro-batch of documents is fingerprinted (RIFF/WAVE encode →
+  * decode → 56-bit energy-envelope dHash) and deduped against the
+  * accumulated base FINGERPRINT table with the proven incremental
+  * operator ([[graft.operators.Blob.mediaWavFpIncrementalFrom]]);
+  * decisions are appended to a log and the batch's kept fingerprints
+  * join the base — the audio twin of [[StreamPhash]], closing the
+  * streaming ingest path across both media modalities.
+  *
+  * Same economics: base state is 8 bytes per audio document (the
+  * fingerprint, never the samples), each batch decodes only its own
+  * audio (map-only), and the 8 × 7 band join probes with the batch
+  * side only — per-batch cost ∝ increment, recall pigeonhole-exact at
+  * the radius-7 default. The two parquet appends are the lakehouse
+  * APPEND seam (docs/LAKEHOUSE.md).
+  */
+object StreamWavFp {
+
+  /** Dedup one micro-batch against the base fingerprint dir; append
+    * decisions and kept fingerprints. Single-writer atomicity stance
+    * as [[StreamUpsert]]. */
+  private[streaming] def applyBatch(batch: DataFrame, baseDir: String,
+                                    outDir: String, maxHamming: Int): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select(col("doc_id"), col("text"))
+    val hasData = StreamIO.hasParquetData(baseDir)
+    val base =
+      if (hasData) spark.read.parquet(baseDir)
+      else spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("fp"))
+    // persist: the decision frame feeds both the log append and the
+    // kept-fingerprint append — without the cache the fingerprint
+    // mapPartitions (WAV encode + decode per doc) would run twice
+    val decisions = Blob.mediaWavFpIncrementalFrom(base, b, maxHamming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    decisions.select("doc_id", "decision")
+      .write.mode("append").parquet(outDir)
+    decisions.filter(col("decision") === "kept")
+      .select("doc_id", "fp")
+      .write.mode("append").parquet(baseDir)
+    decisions.unpersist()
+    ()
+  }
+
+  /** Start the continuous audio dedup of `docs` (needs doc_id, text). */
+  def applyStream(docs: DataFrame, baseDir: String, outDir: String,
+                  checkpoint: String, maxHamming: Int = 7): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(batch, baseDir, outDir, maxHamming)
+      }
+      .start()
+}

@@ -188,6 +188,54 @@ class StreamingSpec extends SparkSpec {
     assert(baseIds == (dec1 ++ dec2).filter(_._2 == "kept").keySet)
   }
 
+  test("stream wav-fp dedup: per-batch decisions equal sequential " +
+      "incremental replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = graft.operators.ExportImport.scratch("stream-wavfp")
+    val (baseDir, outDir, ckpt) = (root + "/base", root + "/out", root + "/ckpt")
+    Seq(baseDir, outDir, ckpt).foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(java.nio.file.Paths.get(d)))
+    def tone(seed: Int) =
+      (0 until 120).map(i => ('a' + ((i * seed) % 26)).toChar).mkString
+    val d1 = Seq(
+      (1L, tone(3)),
+      (2L, tone(3)),             // identical audio → fp-identical, in-batch near
+      (3L, tone(7)))
+    val d2 = Seq(
+      (10L, tone(3)),            // duplicate of base 1
+      (11L, tone(11)))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamWavFp.applyStream(
+      input.toDF().toDF("doc_id", "text"), baseDir, outDir, ckpt)
+    try {
+      input.addData(d1: _*); q.processAllAvailable()
+      input.addData(d2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // sequential batch replay with the batch twin
+    val b1 = d1.toDF("doc_id", "text"); val b2 = d2.toDF("doc_id", "text")
+    val emptyBase = spark.range(0).select(col("id").as("doc_id"),
+      col("id").as("fp"))
+    val dec1 = graft.operators.Blob
+      .mediaWavFpIncrementalFrom(emptyBase, b1).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val base1 = graft.operators.Blob.wavFpsOf(b1.filter(col("doc_id")
+      .isin(dec1.filter(_._2 == "kept").keys.toSeq: _*)))
+    val dec2 = graft.operators.Blob
+      .mediaWavFpIncrementalFrom(base1, b2).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got == dec1 ++ dec2, s"got=$got expect=${dec1 ++ dec2}")
+    // identical audio is near by construction; the first doc of the
+    // first batch has nothing to block it
+    assert(dec1(1L) == "kept" && dec1(2L) == "near" && dec2(10L) == "near")
+    // the accumulated base holds exactly the kept fingerprints
+    val baseIds = spark.read.parquet(baseDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(baseIds == (dec1 ++ dec2).filter(_._2 == "kept").keySet)
+  }
+
   test("stream dedup: per-batch decisions equal sequential incremental dedup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
