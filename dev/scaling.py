@@ -299,7 +299,13 @@ out += ["",
         "measured band-join",
         "  volume) that prices every geometry in between. The strict "
         "form stays as",
-        "  the documented exact-recall mode.",
+        "  the documented exact-recall mode. The new audio family "
+        "legs ride the",
+        "  planned geometry: clusters 2.7/1.0/4.3 s (the n^2/128 "
+        "candidate join +",
+        "  bounded propagation, in family with media_phash_clusters) "
+        "and incremental",
+        "  decisions flat at ~0.3 s (probe side = delta only).",
         "- knn_graph (~6x at the same step): the EXACT kNN baseline — "
         "a full-probe",
         "  cell equi-join is inherently ~n^2 in pair work; its ANN "
