@@ -16,6 +16,35 @@ class PropertySpec extends SparkSpec {
   private def sample[A](g: Gen[A], seed: Long): A =
     g.pureApply(Gen.Parameters.default, Seed(seed))
 
+  test("plannedBandRecall == exhaustive enumeration over all bit " +
+      "placements, small universes") {
+    // the closed form claims: P(at least one contiguous band clean |
+    // h differing bits placed uniformly). Verify by brute force —
+    // enumerate EVERY h-subset of totalBits positions and count the
+    // placements that leave >= 1 band untouched.
+    for {
+      (bands, bits) <- Seq((2, 4), (4, 2), (8, 1), (3, 4), (6, 2))
+      total = bands * bits
+      h <- 1 to total
+    } {
+      val positions = (0 until total).toList
+      val all = positions.combinations(h).toSeq
+      val hit = all.count(c =>
+        (0 until bands).exists(b =>
+          !c.exists(p => p >= b * bits && p < (b + 1) * bits)))
+      val expected = hit.toDouble / all.size
+      val got = graft.operators.Dedup.plannedBandRecall(bands, bits, total, h)
+      assert(math.abs(got - expected) < 1e-12,
+        s"bands=$bands bits=$bits h=$h: closed $got vs brute $expected")
+      // den = C(total, h) = the enumeration size, so the exact
+      // rational must match the brute count EXACTLY
+      val (num, den) = graft.operators.Dedup
+        .plannedBandRecallExact(bands, bits, total, h)
+      assert(num == BigInt(hit) && den == BigInt(all.size),
+        s"exact rational $num/$den != $hit/${all.size}")
+    }
+  }
+
   test("WordShingles == naive sliding-window distinct, arbitrary word lists") {
     import spark.implicits._
     (1L to 30L).foreach { seed =>

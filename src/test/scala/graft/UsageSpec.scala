@@ -435,4 +435,31 @@ class UsageSpec extends SparkSpec {
     val pca = Graft.embeddingPca(vecs).collect()
     assert(pca.map(_.getAs[Double]("loading6")).toSeq == Seq(1.0, 0.0))
   }
+
+  test("facade: planned band recall + continuous sketch-state maintainer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the closed form behind hamming_plan, via the facade
+    assert(Graft.plannedBandRecall(8, 7, 56, 7) >= 1.0 - 1e-9)
+    assert(Graft.plannedBandRecall(8, 7, 56, 13) < 1.0)
+    // the streaming maintainer keeps the artifact equal to a rebuild
+    val root = graft.operators.ExportImport.scratch("usage-sketchstate")
+    val (stateDir, ckpt) = (root + "/state", root + "/ckpt")
+    Seq(stateDir, ckpt).foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(java.nio.file.Paths.get(d)))
+    val rows = (1 to 12).map(i =>
+      (if (i % 2 == 0) "a" else "b",
+        (1 to 10).map(j => s"w${(i + j) % 7}").mkString(" ")))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val q = Graft.sketchStateMaintainer(
+      input.toDF().toDF("source", "text"), stateDir, ckpt, k = 8)
+    try { input.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    val got = graft.operators.Sketches.readSketchStates(spark, stateDir)
+      .collect().map(_.toString).toSeq.sorted
+    val want = graft.operators.Sketches
+      .sketchStatesOf(rows.toDF("source", "text"), k = 8)
+      .collect().map(_.toString).toSeq.sorted
+    assert(got == want && got.nonEmpty)
+  }
 }
