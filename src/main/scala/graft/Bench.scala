@@ -56,7 +56,7 @@ object Bench {
       "doc_containment", "kgram_novelty", "memorization_grams",
       "exact_substr_spans", "exact_substr_scrub", "scrub_report",
       "source_overlap",
-      "dedup_threshold_sweep", "lsh_plan"),
+      "dedup_threshold_sweep", "lsh_plan", "simhash_plan"),
     "ann" -> Seq(
       "ann_bruteforce", "knn_graph", "knn_graph_ann", "pagerank",
       "knn_communities", "knn_triangles", "label_spread",

@@ -61,6 +61,7 @@ object SparkEntry {
     "memorization_grams" -> ((s, d) => Dedup.memorizationGrams(s, d)),
     "dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(s, d)),
     "lsh_plan" -> ((s, d) => Dedup.lshPlan(s, d)),
+    "simhash_plan" -> ((s, d) => Dedup.simhashPlan(s, d)),
     "funnel_windowed" -> ((s, d) => Analytics.funnelWindowed(s, d)),
     "attribution" -> ((s, d) => Analytics.attribution(s, d)),
     "path_transitions" -> (Analytics.pathTransitions _),
@@ -462,6 +463,7 @@ object SparkEntry {
     "memorization_grams" -> Dedup.memorizationGramsOracle(),
     "dedup_threshold_sweep" -> Dedup.dedupThresholdSweepOracle(),
     "lsh_plan" -> Dedup.lshPlanOracle(),
+    "simhash_plan" -> Dedup.simhashPlanOracle(),
     "funnel_windowed" -> Analytics.funnelWindowedOracle(),
     "attribution" -> Analytics.attributionOracle(),
     "path_transitions" -> Analytics.pathTransitionsOracle,

@@ -547,9 +547,16 @@ object Graft {
                             k: Int = 256): StreamingQuery =
     graft.streaming.StreamSketches.start(docs, stateDir, checkpoint, k)
 
+  /** Continuous CUSUM change-point monitor over daily event volume:
+    * complete-mode day-count streaming agg feeding the batch twin's
+    * finishing; `outDir` gets the latest card per micro-batch. */
+  def cusumMonitor(events: DataFrame, outDir: String): StreamingQuery =
+    graft.streaming.StreamCusum.start(events, outDir)
+
   /** Expected recall of a contiguous (bands × bandBits) Hamming band
     * layout at distance `h` under the uniform model — the closed form
-    * behind the `hamming_plan` table; exactly 1.0 for h < bands. */
+    * behind the `hamming_plan` and `simhash_plan` tables; exactly 1.0
+    * for h < bands. */
   def plannedBandRecall(bands: Int, bandBits: Int, totalBits: Int,
                         h: Int): Double =
     graft.operators.Dedup.plannedBandRecall(bands, bandBits, totalBits, h)

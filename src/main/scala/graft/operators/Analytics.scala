@@ -499,9 +499,18 @@ object Analytics {
         .select(expr("unix_micros(ts) div 86400000000").as("day")))
 
   /** Generic core over ANY single-column (day) frame. */
-  def eventsCusumFrom(days: DataFrame): DataFrame = {
+  def eventsCusumFrom(days: DataFrame): DataFrame =
+    eventsCusumFromCounts(
+      days.groupBy("day").agg(count(lit(1)).as("n")))
+
+  /** CUSUM finishing over a PRE-AGGREGATED (day, n) table — the seam
+    * [[graft.streaming.StreamCusum]] shares: day counts ADD across
+    * micro-batches, so a complete-mode streaming `groupBy(day).count`
+    * feeds this directly and the published card equals the batch twin
+    * bit-for-bit. Everything below runs on the bounded day table
+    * (|days| rows — model state, never row-scale data). */
+  def eventsCusumFromCounts(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = days.groupBy("day").agg(count(lit(1)).as("n"))
     val stats = d.agg(sum("n").as("s1"),
       sum(col("n") * col("n")).as("s2"), count(lit(1)).as("cnt"))
     // single-partition ordered window: |days| rows — bounded model

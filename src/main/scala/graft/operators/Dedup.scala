@@ -564,22 +564,25 @@ object Dedup {
                                       maxHamming: Int): DataFrame = {
     require(maxHamming < SimHashBands,
       s"pigeonhole recall guarantee needs maxHamming < $SimHashBands bands")
-    val docs = docsWithShingles
+    bandedHammingPairs(simhashFps(docsWithShingles), SimHashBands,
+      SimHashBandBits, maxHamming)
+  }
+
+  /** The 54-bit SimHash fingerprint table (doc_id, fp) — shared by
+    * [[dedupSimhashFrom]] and [[simhashPlan]]. Map-only: fused
+    * per-element KR hash (a `transform` lambda here would be an
+    * interpreter wall — CodegenSpec pins this), then bit k of the
+    * fingerprint = majority vote of bit k over shingle hashes, packed
+    * into one long by a native expression (one pass over the hash
+    * array per row, stays in whole-stage codegen). */
+  private[graft] def simhashFps(docsWithShingles: DataFrame): DataFrame =
+    docsWithShingles
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
-        // fused per-element KR hash (a `transform` lambda here would be
-        // an interpreter wall — CodegenSpec pins this)
         graft.functions.KrHashF.krHashArray(col("sh")).as("hx"))
-
-    // bit k of the fingerprint = majority vote of bit k over shingle
-    // hashes, packed into one long — native expression (one pass over
-    // the hash array per row, stays in whole-stage codegen)
-    val fp = docs.select(col("doc_id"),
-      graft.functions.SimHash.simhashFingerprint(col("hx"), SimHashBits)
-        .as("fp"))
-
-    bandedHammingPairs(fp, SimHashBands, SimHashBandBits, maxHamming)
-  }
+      .select(col("doc_id"),
+        graft.functions.SimHash.simhashFingerprint(col("hx"), SimHashBits)
+          .as("fp"))
 
   /** Banded Hamming pair search over ANY packed-long fingerprint table
     * (doc_id, fp): `bands` × `bandBits` slices become equi-join keys,
@@ -676,6 +679,156 @@ object Dedup {
     }
     (s, den)
   }
+
+  /** §2 #218 — SIMHASH BAND PLANNER: [[Blob.hammingPlan]]'s doctrine
+    * for the 54-bit text SimHash family — the third fingerprint family
+    * (image dHash-56 and audio envelope dHash-56 share the 56-bit
+    * planner; text SimHash packs 54 bits so 6 × 9 banding divides
+    * evenly), completing planned recall across everything
+    * [[withBandKeys]] serves. Per contiguous band geometry (bands ×
+    * band_bits = 54): the radius where recall is pigeonhole-EXACT
+    * (bands − 1), the closed-form expected recall at Hamming 5 (the
+    * [[dedupSimhash]] default radius) / 8 / 10 under the uniform model
+    * ([[plannedBandRecallExact]] — exact integer numerator/denominator
+    * published at h = 10, so the contract carries no float
+    * accumulation), and the MEASURED candidate volume on the real
+    * corpus: Σ_{band,key} C(n_key, 2) band-join rows over the actual
+    * SimHash fingerprints — the exact row count the band equi-join
+    * would move, the cost side of the trade (the default 6 × 9 is the
+    * planner's own answer: exact through the radius-5 contract at the
+    * smallest candidate volume among exact geometries).
+    *
+    * Scale shape: ONE fingerprint pass (shared, cached) + per-scheme
+    * map-only band-key explode → hash agg over key counts — no pair
+    * join is ever materialized; the plan table is 7 rows. */
+  def simhashPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schemes = Seq((2, 27), (3, 18), (6, 9), (9, 6), (18, 3),
+      (27, 2), (54, 1))
+    val fps = TransientCaches.register(
+      simhashFps(docShingles(spark, sfDir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cand = schemes.map { case (b, bits) =>
+      withBandKeys(fps, b, bits)
+        .groupBy("band_key").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+          .as("cand_rows"))
+        .select(lit(b).as("bands"), lit(bits).as("band_bits"),
+          col("cand_rows"))
+    }.reduce(_.unionByName(_))
+    val rec = schemes.map { case (b, bits) =>
+      def nd(h: Int) = plannedBandRecallExact(b, bits, SimHashBits, h)
+      val (n5, d5) = nd(5); val (n8, d8) = nd(8); val (n10, d10) = nd(10)
+      (b, bits, n5.toLong, d5.toLong, n8.toLong, d8.toLong,
+        n10.toLong, d10.toLong)
+    }.toDF("bands", "band_bits", "n5", "d5", "n8", "d8", "n10", "d10")
+    cand.join(broadcast(rec), Seq("bands", "band_bits"))
+      .select(col("bands"), col("band_bits"),
+        (col("bands") - 1).as("exact_radius"),
+        col("cand_rows"),
+        round(col("n5").cast("double") / col("d5"), 6).as("rec6_h5"),
+        round(col("n8").cast("double") / col("d8"), 6).as("rec6_h8"),
+        round(col("n10").cast("double") / col("d10"), 6).as("rec6_h10"),
+        col("n10").as("rec_num_h10"), col("d10").as("rec_den_h10"))
+      .orderBy("bands")
+  }
+
+  /** DuckDB oracle for [[simhashPlan]]: fingerprints replay via the
+    * shared shingle CTE + KR hash + majority vote (the dedup_simhash
+    * oracle's own fp derivation); candidate volume replays the
+    * band-key grouping with the same shift/mask arithmetic; the recall
+    * rationals are re-derived INDEPENDENTLY — multiplicative binomials
+    * built stepwise in a recursive CTE (each partial product
+    * C(n−k+j, j) is an integer, so HUGEINT floor division is exact),
+    * then the same inclusion-exclusion sum. */
+  def simhashPlanOracle(): String =
+    // the shared shingle CTE opens with plain WITH; the binr binomial
+    // CTE below is recursive, so promote the clause
+    s"""${graft.functions.TextShingles.duckdbShingleCte
+           .replaceFirst("WITH", "WITH RECURSIVE")},
+        hx AS (SELECT doc_id, list_transform(s, t ->
+                 list_reduce([CAST(unicode(t[i]) AS BIGINT)
+                              for i in range(1, CAST(len(t) AS INTEGER) + 1)],
+                             (a, c) -> (a * 257 + c) % ${graft.functions.KrHashF.M})) AS h
+               FROM sh WHERE len(s) > 0),
+        f AS (SELECT doc_id,
+                CAST(list_sum([CASE WHEN 2 * list_sum([CAST((h2 >> k) & 1 AS BIGINT)
+                                                       for h2 in h]) > len(h)
+                                    THEN (CAST(1 AS BIGINT) << k)
+                                    ELSE CAST(0 AS BIGINT) END
+                               for k in range(0, $SimHashBits)]) AS BIGINT) AS fp
+              FROM hx),
+        schemes(bands, band_bits) AS (VALUES
+          (2, 27), (3, 18), (6, 9), (9, 6), (18, 3), (27, 2), (54, 1)),
+        bandix AS (SELECT bands, band_bits,
+                          unnest(range(0, bands)) AS band FROM schemes),
+        kb AS (SELECT k.bands, k.band_bits, k.band,
+                      (f.fp >> (k.band * k.band_bits))
+                        & ((CAST(1 AS BIGINT) << k.band_bits) - 1) AS bkey,
+                      count(*) AS c
+               FROM bandix k CROSS JOIN f
+               GROUP BY k.bands, k.band_bits, k.band, bkey),
+        cand AS (SELECT bands, band_bits,
+                        CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_rows
+                 FROM kb GROUP BY bands, band_bits),
+        hs(h) AS (VALUES (5), (8), (10)),
+        needs AS (
+          SELECT DISTINCT n, k FROM (
+            SELECT bands AS n, unnest(range(1, bands + 1)) AS k
+            FROM schemes
+            UNION ALL
+            SELECT $SimHashBits - ii.i * s.band_bits AS n, hs.h AS k
+            FROM schemes s
+            CROSS JOIN (SELECT unnest(range(1, ${SimHashBits + 1})) AS i) ii
+            CROSS JOIN hs
+            WHERE ii.i <= s.bands
+              AND $SimHashBits - ii.i * s.band_bits >= 0
+            UNION ALL
+            SELECT $SimHashBits AS n, h AS k FROM hs)
+          WHERE k <= n AND k >= 1),
+        binr(n, k, j, v) AS (
+          SELECT n, k, 0, CAST(1 AS HUGEINT) FROM needs
+          UNION ALL
+          SELECT n, k, j + 1, (v * (n - k + j + 1)) // (j + 1)
+          FROM binr WHERE j < k),
+        bin AS (SELECT n, k, v FROM binr WHERE j = k),
+        terms AS (
+          SELECT s.bands, s.band_bits, hs.h,
+                 (CASE WHEN ii.i % 2 = 1 THEN 1 ELSE -1 END)
+                   * cb.v * cr.v AS t
+          FROM schemes s
+          CROSS JOIN (SELECT unnest(range(1, ${SimHashBits + 1})) AS i) ii
+          CROSS JOIN hs
+          JOIN bin cb ON cb.n = s.bands AND cb.k = ii.i
+          JOIN bin cr ON cr.n = $SimHashBits - ii.i * s.band_bits
+            AND cr.k = hs.h
+          WHERE ii.i <= s.bands
+            AND $SimHashBits - ii.i * s.band_bits >= hs.h),
+        rec AS (SELECT bands, band_bits, h, sum(t) AS num
+                FROM terms GROUP BY bands, band_bits, h),
+        den AS (SELECT hs.h, b.v AS den
+                FROM hs JOIN bin b ON b.n = $SimHashBits AND b.k = hs.h)
+       SELECT c.bands, c.band_bits, c.bands - 1 AS exact_radius,
+              c.cand_rows,
+              round(CAST(r5.num AS DOUBLE) / CAST(d5.den AS DOUBLE), 6)
+                AS rec6_h5,
+              round(CAST(r8.num AS DOUBLE) / CAST(d8.den AS DOUBLE), 6)
+                AS rec6_h8,
+              round(CAST(r10.num AS DOUBLE) / CAST(d10.den AS DOUBLE), 6)
+                AS rec6_h10,
+              CAST(r10.num AS BIGINT) AS rec_num_h10,
+              CAST(d10.den AS BIGINT) AS rec_den_h10
+       FROM cand c
+       JOIN rec r5 ON r5.bands = c.bands
+         AND r5.band_bits = c.band_bits AND r5.h = 5
+       JOIN rec r8 ON r8.bands = c.bands
+         AND r8.band_bits = c.band_bits AND r8.h = 8
+       JOIN rec r10 ON r10.bands = c.bands
+         AND r10.band_bits = c.band_bits AND r10.h = 10
+       JOIN den d5 ON d5.h = 5
+       JOIN den d8 ON d8.h = 8
+       JOIN den d10 ON d10.h = 10
+       ORDER BY c.bands"""
 
   /** [[bandedHammingPairs]] with the PROBE side restricted: every
     * (id_a ∈ probe, id_b ∈ build, id_a ≠ id_b) pair within

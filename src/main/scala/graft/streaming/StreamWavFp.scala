@@ -18,33 +18,41 @@ import graft.operators.Blob
   * fingerprint, never the samples), each batch decodes only its own
   * audio (map-only), and the 8 × 7 band join probes with the batch
   * side only — per-batch cost ∝ increment, recall pigeonhole-exact at
-  * the radius-7 default. The two parquet appends are the lakehouse
-  * APPEND seam (docs/LAKEHOUSE.md).
+  * the radius-7 default.
+  *
+  * EXACTLY-ONCE under foreachBatch's at-least-once replay (the
+  * [[StreamPairs]] stance, shared with [[StreamPhash]]): both writes
+  * land in `batch_id=N` subdirectories with mode(overwrite), and the
+  * base read for batch N excludes partition N — replays overwrite
+  * instead of duplicating. The two writes are the lakehouse APPEND
+  * seam (docs/LAKEHOUSE.md).
   */
 object StreamWavFp {
 
-  /** Dedup one micro-batch against the base fingerprint dir; append
-    * decisions and kept fingerprints. Single-writer atomicity stance
-    * as [[StreamUpsert]]. */
-  private[streaming] def applyBatch(batch: DataFrame, baseDir: String,
-                                    outDir: String, maxHamming: Int): Unit = {
+  /** Dedup one micro-batch (keyed by `batchId`) against the
+    * accumulated base fingerprints; write decisions and kept
+    * fingerprints into the batch's own partition. private[graft]:
+    * StreamingSpec drives it directly to prove replay idempotence. */
+  private[graft] def applyBatch(batch: DataFrame, batchId: Long,
+                                baseDir: String, outDir: String,
+                                maxHamming: Int): Unit = {
     val spark = batch.sparkSession
     val b = batch.select(col("doc_id"), col("text"))
-    val hasData = StreamIO.hasParquetData(baseDir)
-    val base =
-      if (hasData) spark.read.parquet(baseDir)
-      else spark.range(0).select(col("id").as("doc_id"),
-        col("id").as("fp"))
-    // persist: the decision frame feeds both the log append and the
-    // kept-fingerprint append — without the cache the fingerprint
-    // mapPartitions (WAV encode + decode per doc) would run twice
+    val base = StreamPairs.readAccumulated(spark, baseDir)
+      .map(_.filter(col("batch_id") =!= batchId)
+        .select(col("doc_id"), col("fp")))
+      .getOrElse(spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("fp")))
+    // persist: the decision frame feeds both writes — without the
+    // cache the fingerprint mapPartitions (WAV encode + decode per
+    // doc) would run twice
     val decisions = Blob.mediaWavFpIncrementalFrom(base, b, maxHamming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     decisions.select("doc_id", "decision")
-      .write.mode("append").parquet(outDir)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
     decisions.filter(col("decision") === "kept")
       .select("doc_id", "fp")
-      .write.mode("append").parquet(baseDir)
+      .write.mode("overwrite").parquet(s"$baseDir/batch_id=$batchId")
     decisions.unpersist()
     ()
   }
@@ -54,8 +62,8 @@ object StreamWavFp {
                   checkpoint: String, maxHamming: Int = 7): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch, baseDir, outDir, maxHamming)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, baseDir, outDir, maxHamming)
       }
       .start()
 }

@@ -266,6 +266,51 @@ class DedupSpec extends SparkSpec {
     assert(rows.head._2 == Dedup.dedupNgramExactjoin(spark, sf, 0.3).count())
   }
 
+  test("simhash_plan: exact recall rationals, pigeonhole rows, " +
+      "data-driven candidate volume") {
+    val rows = Dedup.simhashPlan(spark, sf).collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((2, 27), (3, 18), (6, 9), (9, 6), (18, 3), (27, 2), (54, 1)))
+    rows.foreach { r =>
+      val (bands, bits) = (r.getInt(0), r.getInt(1))
+      assert(r.getInt(2) == bands - 1, "exact radius is bands - 1")
+      val (num, den) = (r.getLong(7), r.getLong(8))
+      assert(num > 0 && num <= den, s"recall rational in (0, 1]: $num/$den")
+      // the published rational IS the double curve
+      val d = Dedup.plannedBandRecall(bands, bits, 54, 10)
+      assert(math.abs(num.toDouble / den.toDouble - d) < 1e-12)
+      // pigeonhole: 10 differing bits cannot hit > 10 bands
+      if (bands > 10) assert(num == den, s"$bands bands must be exact at 10")
+      else assert(num < den, s"$bands bands cannot be exact at 10")
+      // the engine's own 6x9 default is exact through its radius-5
+      // contract (the planner CONFIRMS dedup_simhash's geometry)
+      if (bands > 5) assert(r.getDouble(4) == 1.0,
+        s"$bands bands must publish recall 1.0 at h=5")
+    }
+    // candidate volume replays against driver-side band-bucket counts
+    // over the SAME fingerprints (collected once via the shared
+    // derivation; the fp values themselves are pinned by the
+    // dedup_simhash oracle)
+    val fps = Dedup.simhashFps(
+      Tables.load(spark, sf, "documents").select(col("doc_id"),
+        TextShingles.shingles3(TextShingles.words(col("text"))).as("sh")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fps.nonEmpty)
+    def volume(bands: Int, bits: Int): Long =
+      (0 until bands).map { b =>
+        fps.groupBy { case (_, fp) => (fp >> (b * bits)) & ((1L << bits) - 1) }
+          .values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+      }.sum
+    rows.foreach { r =>
+      assert(r.getLong(3) == volume(r.getInt(0), r.getInt(1)),
+        s"cand_rows mismatch at ${r.getInt(0)}x${r.getInt(1)}")
+    }
+    // the trade the planner navigates: 1-bit bands are the candidate
+    // blow-up end, 27-bit bands the selective end
+    assert(rows.last.getLong(3) >= rows.head.getLong(3),
+      "54x1 must cost at least as many candidate rows as 2x27")
+  }
+
   test("kgram_novelty: planted duplicate shingles zero out novelty") {
     import spark.implicits._
     val docs = Seq(

@@ -186,6 +186,16 @@ class StreamingSpec extends SparkSpec {
     val baseIds = spark.read.parquet(baseDir).select("doc_id").collect()
       .map(_.getLong(0)).toSet
     assert(baseIds == (dec1 ++ dec2).filter(_._2 == "kept").keySet)
+    // at-least-once replay: re-running batch 1 (foreachBatch's crash
+    // recovery) must overwrite its own partitions, not duplicate
+    // decisions or base fingerprints
+    val nDecisions = spark.read.parquet(outDir).count()
+    graft.streaming.StreamPhash.applyBatch(b2, 1L, baseDir, outDir, 7)
+    assert(spark.read.parquet(outDir).count() == nDecisions,
+      "replayed batch must not duplicate decisions")
+    assert(spark.read.parquet(baseDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == baseIds,
+      "replayed batch must not duplicate base fingerprints")
   }
 
   test("stream wav-fp dedup: per-batch decisions equal sequential " +
@@ -234,6 +244,14 @@ class StreamingSpec extends SparkSpec {
     val baseIds = spark.read.parquet(baseDir).select("doc_id").collect()
       .map(_.getLong(0)).toSet
     assert(baseIds == (dec1 ++ dec2).filter(_._2 == "kept").keySet)
+    // at-least-once replay idempotence (the StreamPairs stance)
+    val nDecisions = spark.read.parquet(outDir).count()
+    graft.streaming.StreamWavFp.applyBatch(b2, 1L, baseDir, outDir, 7)
+    assert(spark.read.parquet(outDir).count() == nDecisions,
+      "replayed batch must not duplicate decisions")
+    assert(spark.read.parquet(baseDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == baseIds,
+      "replayed batch must not duplicate base fingerprints")
   }
 
   test("stream dedup: per-batch decisions equal sequential incremental dedup") {
@@ -830,6 +848,25 @@ class StreamingSpec extends SparkSpec {
       .collect().map(key).toMap
     assert(got == want,
       s"per-source mismatch: ${got.toSet.diff(want.toSet).take(3)}")
+    assert(got.nonEmpty)
+  }
+
+  test("streaming CUSUM card equals the batch change-point table") {
+    import graft.streaming.{EventStream, StreamCusum}
+    val outDir = graft.operators.ExportImport.scratch("stream-cusum")
+    val q = StreamCusum.start(EventStream.readEventStream(spark, sf), outDir)
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6))
+    val got = spark.read.parquet(outDir).collect().map(key).toMap
+    // day counts add across micro-batches, so the final complete-mode
+    // state is exactly the batch day table and the shared finishing
+    // (eventsCusumFromCounts) makes the card equal bit-for-bit
+    val want = graft.operators.Analytics.eventsCusum(spark, sf)
+      .collect().map(key).toMap
+    assert(got == want,
+      s"per-day mismatch: ${got.toSet.diff(want.toSet).take(3)}")
     assert(got.nonEmpty)
   }
 

@@ -462,4 +462,22 @@ class UsageSpec extends SparkSpec {
       .collect().map(_.toString).toSeq.sorted
     assert(got == want && got.nonEmpty)
   }
+
+  test("facade: continuous CUSUM monitor publishes the batch card") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = graft.operators.ExportImport.scratch("usage-cusum")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    // ~3 events/day over 10 days, as µs timestamps
+    val us = (0 until 30).map(i => i.toLong * 86400000000L / 3)
+    val q = Graft.cusumMonitor(
+      input.toDF().select(timestamp_micros(col("value")).as("ts")), outDir)
+    try { input.addData(us: _*); q.processAllAvailable() } finally q.stop()
+    val got = spark.read.parquet(outDir).collect().map(_.toString).sorted.toSeq
+    val want = graft.operators.Analytics.eventsCusumFrom(
+        us.toDF("us").select(expr("us div 86400000000").as("day")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
 }
