@@ -256,10 +256,10 @@ out += ["",
         "showed 7.8 s",
         "  task-GC on 10 MB shuffle — the driver-box GC-amplification "
         "signature — and",
-        "  the builder's r13 full sweep re-measures the same plan at "
-        "7.4 s with a",
-        "  flat 3-SF curve (5.2/4.0/7.4 s). Box-side, as predicted. "
-        "Two structural",
+        "  the builder's r13 full sweeps re-measure the same plan at "
+        "7-8 s with a",
+        "  flat 3-SF curve (4.9/5.3/8.3 s final sweep). Box-side, as "
+        "predicted. Two structural",
         "  fixes land this round so the question cannot recur: the g1 "
         "tail line keeps",
         "  EVERY adjudicator inside the 2000-char window, and "
@@ -269,12 +269,25 @@ out += ["",
         "  production headline.",
         "- mixture_sample 2.39 s (r12 driver, watch-only): builder r13 "
         "re-measures",
-        "  1.32 s wall on 0.53 CPU-s / 19 ms task-GC / 0 MB shuffle "
-        "with a sub-linear",
-        "  3-SF curve (0.71/0.81/1.32 s) — wait-not-compute on the "
+        "  0.87 s wall on flat task-GC / 0 MB shuffle with a FLAT "
+        "3-SF curve",
+        "  (0.95/0.91/0.87 s final sweep) — wait-not-compute on the "
         "driver box, i.e.",
         "  box noise, exactly as the flat GC/shuffle suggested. "
         "Closed.",
+        "- media_jpeg_stats 7.38 s IN-SWEEP at sf0.1 (builder r13 "
+        "final sweep; the",
+        "  sweep ran with CodeHeap 'non-nmethods' at 2/8 MB): a solo "
+        "re-run of the",
+        "  same binary measures 2.8 s including session warmup, and "
+        "the smaller SFs",
+        "  hold 0.93/0.59 s — the per-doc JPEG encode+decode kernel is "
+        "the hottest",
+        "  JIT surface in the suite and loses compiled frames under "
+        "code-cache",
+        "  pressure late in a 199-query JVM. Box/JIT-side; plan "
+        "unchanged (no diff",
+        "  touches the codec); watch in the driver run.",
         "",
         "## Super-linear rows, priced (r12) — and the r13 planned "
         "headline",
@@ -291,21 +304,27 @@ out += ["",
         "n^2/128",
         "  candidates, recall pigeonhole-exact to Hamming 7 then the "
         "published",
-        "  S-curve) measures 0.34/0.40/0.97 s across the three SFs — "
+        "  S-curve) measures 0.44/0.43/1.02 s across the three SFs — "
         "flat where the",
         "  strict form is quadratic — and hamming_plan (#217, "
-        "0.52/0.66/0.84 s)",
+        "0.63/0.76/0.93 s)",
         "  publishes the full cost/recall table (exact rationals + "
         "measured band-join",
         "  volume) that prices every geometry in between. The strict "
         "form stays as",
         "  the documented exact-recall mode. The new audio family "
         "legs ride the",
-        "  planned geometry: clusters 2.7/1.0/4.3 s (the n^2/128 "
+        "  planned geometry: clusters 2.8/1.1/4.7 s (the n^2/128 "
         "candidate join +",
         "  bounded propagation, in family with media_phash_clusters) "
         "and incremental",
-        "  decisions flat at ~0.3 s (probe side = delta only).",
+        "  decisions flat at ~0.3 s (probe side = delta only). "
+        "simhash_plan (#218,",
+        "  0.99/0.90/1.29 s, flat) extends the same cost/recall table "
+        "to the 54-bit",
+        "  text SimHash family, so every banded fingerprint family "
+        "now ships its",
+        "  planner.",
         "- knn_graph (~6x at the same step): the EXACT kNN baseline — "
         "a full-probe",
         "  cell equi-join is inherently ~n^2 in pair work; its ANN "
