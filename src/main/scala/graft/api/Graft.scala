@@ -547,6 +547,14 @@ object Graft {
                             k: Int = 256): StreamingQuery =
     graft.streaming.StreamSketches.start(docs, stateDir, checkpoint, k)
 
+  /** Continuous IVF index maintenance: assign each micro-batch of new
+    * corpus vectors with the artifact's centroids and land it as a
+    * replay-idempotent cell-partitioned delta; [[annServeFromIndex]]
+    * sees base + deltas with no code change. */
+  def ivfIndexMaintainer(vectors: DataFrame, dir: String,
+                         checkpoint: String): StreamingQuery =
+    graft.streaming.StreamIvfIndex.start(vectors, dir, checkpoint)
+
   /** Continuous CUSUM change-point monitor over daily event volume:
     * complete-mode day-count streaming agg feeding the batch twin's
     * finishing; `outDir` gets the latest card per micro-batch. */

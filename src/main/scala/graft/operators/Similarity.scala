@@ -764,10 +764,8 @@ object Similarity {
     * build-once/serve-many split. */
   def ivfIndexToDir(spark: SparkSession, sfDir: String, dir: String,
                     cents: Array[Array[Double]] = staticCentroids()): Unit = {
-    vectors(spark, sfDir).select(
-        element_at(graft.functions.VectorQuantize
-          .nearestCells(col("embedding"), cents, 1), 1).as("cell"),
-        col("vec_id"), col("embedding"), col("nrm"))
+    assignWithCentroids(
+        vectors(spark, sfDir).select("vec_id", "embedding"), cents)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/assigned")
     import spark.implicits._
@@ -775,6 +773,19 @@ object Similarity {
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
   }
+
+  /** Cell assignment of (vec_id, embedding) rows under a given centroid
+    * matrix — the map-only inverted-list row shape (cell, vec_id,
+    * embedding, nrm) shared by [[ivfIndexToDir]], [[ivfIndexAppend]]
+    * and the continuous maintainer
+    * [[graft.streaming.StreamIvfIndex]]. */
+  private[graft] def assignWithCentroids(vecs: DataFrame,
+                                         cents: Array[Array[Double]]): DataFrame =
+    vecs.select(
+      element_at(graft.functions.VectorQuantize
+        .nearestCells(col("embedding"), cents, 1), 1).as("cell"),
+      col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
 
   /** Centroid matrix back from an [[ivfIndexToDir]] artifact (bounded:
     * nCells × dim doubles — model state, never data). */
@@ -799,13 +810,28 @@ object Similarity {
   def ivfIndexAppend(spark: SparkSession, dir: String,
                      vectors: DataFrame): Unit = {
     val cents = readIvfCentroids(spark, dir)
-    vectors.select(
-        element_at(graft.functions.VectorQuantize
-          .nearestCells(col("embedding"), cents, 1), 1).as("cell"),
-        col("vec_id"), col("embedding"),
-        l2norm(col("embedding")).as("nrm"))
+    assignWithCentroids(vectors, cents)
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/assigned")
+  }
+
+  /** The full inverted-list table of an index artifact: the base build
+    * plus any `stream/batch_id=N` deltas the continuous maintainer
+    * ([[graft.streaming.StreamIvfIndex]]) has landed — so serving sees
+    * continuously-ingested vectors with no code change. Existence of
+    * the delta root resolves through the Hadoop FileSystem of the
+    * path's scheme (same stance as
+    * [[Sketches.readSketchStates]]). Cell partition pruning holds on
+    * both legs: `cell` is a partition column of the base AND of every
+    * delta batch. */
+  def readIvfAssigned(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/assigned")
+    val deltaRoot = new org.apache.hadoop.fs.Path(s"$dir/stream")
+    val fs = deltaRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(deltaRoot))
+      base.unionByName(spark.read.parquet(s"$dir/stream")
+        .drop("batch_id").select(base.columns.map(col).toSeq: _*))
+    else base
   }
 
   /** Serve (vec_id, embedding) queries straight from the index
@@ -814,7 +840,7 @@ object Similarity {
   def annServeFromIndex(spark: SparkSession, dir: String, queries: DataFrame,
                         nProbe: Int = 4, k: Int = 5): DataFrame = {
     val cents = readIvfCentroids(spark, dir)
-    val assigned = spark.read.parquet(s"$dir/assigned")
+    val assigned = readIvfAssigned(spark, dir)
       .select(col("cell"), col("vec_id").as("neighbor_id"),
         col("embedding").as("e_c"), col("nrm").as("n_c"))
     val probes = queries

@@ -403,6 +403,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream ivf index: maintained deltas equal batch append; replay " +
+      "idempotent; serving sees streamed vectors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val root = graft.operators.ExportImport.scratch("stream-ivfidx")
+    val (dirS, dirB, ckpt) =
+      (root + "/stream-idx", root + "/batch-idx", root + "/ckpt")
+    Seq(dirS, dirB, ckpt).foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(java.nio.file.Paths.get(d)))
+    Similarity.ivfIndexToDir(spark, sf, dirS)
+    Similarity.ivfIndexToDir(spark, sf, dirB)
+    // new corpus vectors = real rows re-id'd; two micro-batches
+    val fresh = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .limit(6).collect()
+      .map(r => (r.getLong(0) + 1000L, r.getSeq[Float](1).toArray))
+    val (b1, b2) = (fresh.take(3).toSeq, fresh.drop(3).toSeq)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamIvfIndex.start(
+      input.toDF().toDF("vec_id", "embedding"), dirS, ckpt)
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the maintained inverted lists equal the proven batch-append form
+    Similarity.ivfIndexAppend(spark, dirB,
+      (b1 ++ b2).toDF("vec_id", "embedding"))
+    def cells(dir: String) = Similarity.readIvfAssigned(spark, dir)
+      .select("cell", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(cells(dirS) == cells(dirB))
+    assert(cells(dirS).exists(_._2 >= 1000L), "streamed vectors indexed")
+    // serving sees the streamed vectors with no code change, and
+    // equals the batch-appended index row for row
+    val queries = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+    def serve(dir: String) =
+      Similarity.annServeFromIndex(spark, dir, queries).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3))).toSet
+    val got = serve(dirS)
+    assert(got == serve(dirB) && got.nonEmpty)
+    // at-least-once replay: re-running batch 0 overwrites its own
+    // delta, leaving the index unchanged (the StreamPairs stance)
+    val before = cells(dirS)
+    graft.streaming.StreamIvfIndex.applyBatch(
+      b1.toDF("vec_id", "embedding"), 0L, dirS)
+    assert(cells(dirS) == before,
+      "replayed batch must not duplicate index rows")
+  }
+
   test("sessionizer: streaming sessions equal batch sessions on real events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
