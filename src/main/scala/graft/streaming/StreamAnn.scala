@@ -21,18 +21,25 @@ import graft.operators.Similarity
   * equi-join, so ingest cost is proportional to arriving queries, not
   * to the corpus. The trained model (centroid matrix) is a broadcast
   * constant exactly as in the batch path — at deployment the
-  * `foreachBatch` body swaps parquet appends for the serving store.
+  * `foreachBatch` body swaps the parquet write for the serving store.
+  *
+  * EXACTLY-ONCE under foreachBatch's at-least-once replay (the
+  * [[StreamPairs]] stance): each batch's top-k lands in its own
+  * `batch_id=N` partition with mode(overwrite), so a replayed batch
+  * overwrites its results instead of appending duplicates.
   */
 object StreamAnn {
 
   /** Serve one micro-batch of (vec_id, embedding) queries against the
-    * corpus dir; append the per-query top-k to `outDir`. */
-  private[streaming] def applyBatch(batch: DataFrame, corpusDir: String,
-                                    outDir: String, nProbe: Int,
-                                    k: Int): Unit = {
+    * corpus dir; write the per-query top-k into the batch's own
+    * partition. private[graft]: StreamingSpec drives it directly to
+    * prove replay idempotence. */
+  private[graft] def applyBatch(batch: DataFrame, batchId: Long,
+                                corpusDir: String, outDir: String,
+                                nProbe: Int, k: Int): Unit = {
     val spark = batch.sparkSession
     Similarity.annServe(spark, corpusDir, batch, nProbe, k)
-      .write.mode("append").parquet(outDir)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
   }
 
   /** Start continuous serving of `queries` (needs vec_id, embedding). */
@@ -41,8 +48,8 @@ object StreamAnn {
                   k: Int = 5): StreamingQuery =
     queries.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch, corpusDir, outDir, nProbe, k)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, corpusDir, outDir, nProbe, k)
       }
       .start()
 }

@@ -26,9 +26,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamSketches {
 
-  /** Merge one micro-batch's sketch states into `stateDir`. */
-  private[streaming] def applyBatch(batch: DataFrame, stateDir: String,
-                                    k: Int): Unit = {
+  /** Merge one micro-batch's sketch states into `stateDir`, keyed by
+    * `batchId`. The bottom-k union and HLL register max are idempotent
+    * merges, but HDR cell counts ADD — so a replayed batch
+    * (foreachBatch's at-least-once contract) must be detected, not
+    * re-merged. The applied batch id travels INSIDE the staged
+    * artifact as an underscore-prefixed marker file (invisible to
+    * parquet readers, like _SUCCESS), so the directory swap commits
+    * state and marker atomically: a crash before the swap replays into
+    * a merge (marker still old), a crash after it replays into a skip.
+    * private[graft]: StreamingSpec drives it directly to prove replay
+    * idempotence. */
+  private[graft] def applyBatch(batch: DataFrame, batchId: Long,
+                                stateDir: String, k: Int): Unit = {
+    val marker = Paths.get(stateDir, "_applied_batch")
+    if (Files.exists(marker)
+        && Files.readString(marker).trim.toLong >= batchId)
+      return // replayed batch: the swapped artifact already has it
     val spark = batch.sparkSession
     val fresh = Sketches.sketchStatesOf(
       batch.select(col("source"), col("text")), k)
@@ -38,8 +52,11 @@ object StreamSketches {
       else fresh
     val staged = stateDir + ".staging"
     merged.write.mode("overwrite").parquet(staged)
+    Files.writeString(Paths.get(staged, "_applied_batch"),
+      batchId.toString)
     StreamIO.deleteRecursively(Paths.get(stateDir))
     Files.move(Paths.get(staged), Paths.get(stateDir))
+    ()
   }
 
   /** EXACT merge of two per-source state tables: for every source the
@@ -99,9 +116,9 @@ object StreamSketches {
             k: Int = 256): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // idle micro-batch: state already reflects every row seen
-        if (!batch.isEmpty) applyBatch(batch, stateDir, k)
+        if (!batch.isEmpty) applyBatch(batch, batchId, stateDir, k)
         ()
       }
       .start()

@@ -299,6 +299,16 @@ class StreamingSpec extends SparkSpec {
     val baseIds = spark.read.parquet(baseDir).select("doc_id").collect()
       .map(_.getLong(0)).toSet
     assert(baseIds == (dec1 ++ dec2).filter(_._2 == "kept").keySet)
+    // at-least-once replay: re-running batch 1 must overwrite its own
+    // partitions, not duplicate decisions or survivors (the
+    // StreamPairs stance)
+    val nDecisions = spark.read.parquet(outDir).count()
+    graft.streaming.StreamDedup.applyBatch(b2, 1L, baseDir, outDir, 0.5)
+    assert(spark.read.parquet(outDir).count() == nDecisions,
+      "replayed batch must not duplicate decisions")
+    assert(spark.read.parquet(baseDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == baseIds,
+      "replayed batch must not duplicate survivors")
   }
 
   test("stream scrub: per-batch scrub equals sequential replay over prefix gram counts") {
@@ -401,6 +411,13 @@ class StreamingSpec extends SparkSpec {
     got.groupBy(_._1).foreach { case (qid, rows) =>
       assert(rows.size <= 5 && rows.nonEmpty, s"query $qid: ${rows.size}")
     }
+    // at-least-once replay: re-serving batch 1 overwrites its own
+    // partition instead of duplicating results (the StreamPairs stance)
+    val nRows = spark.read.parquet(outDir).count()
+    graft.streaming.StreamAnn.applyBatch(
+      q2.toDF("vec_id", "embedding"), 1L, sf, outDir, 4, 5)
+    assert(spark.read.parquet(outDir).count() == nRows,
+      "replayed batch must not duplicate served results")
   }
 
   test("stream ivf index: maintained deltas equal batch append; replay " +
@@ -993,5 +1010,13 @@ class StreamingSpec extends SparkSpec {
     assert(viaArtifact.values.forall(_ <= k), "bottom-k state stays <= k")
     assert(viaArtifact("web") == k,
       "a source with > k distinct shingles must hold a FULL sketch")
+    // at-least-once replay: HDR cell counts ADD (not idempotent), so a
+    // replayed batch must be detected by the in-artifact marker and
+    // skipped — state stays the 3-batch truth
+    val before = stateRows()
+    graft.streaming.StreamSketches.applyBatch(
+      b3.toDF("source", "text"), 2L, stateDir, k)
+    assert(stateRows() == before,
+      "replayed batch must not double-merge the histogram counts")
   }
 }
