@@ -463,6 +463,28 @@ class UsageSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("facade: continuous IVF index maintainer lands served deltas") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = graft.operators.ExportImport.scratch("usage-ivfidx")
+    val (dir, ckpt) = (root + "/idx", root + "/ckpt")
+    Seq(dir, ckpt).foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(java.nio.file.Paths.get(d)))
+    graft.operators.Similarity.ivfIndexToDir(spark, sf, dir)
+    val nBase = graft.operators.Similarity.readIvfAssigned(spark, dir).count()
+    val fresh = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(2).collect()
+      .map(r => (r.getLong(0) + 5000L, r.getSeq[Float](1).toArray)).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = Graft.ivfIndexMaintainer(
+      input.toDF().toDF("vec_id", "embedding"), dir, ckpt)
+    try { input.addData(fresh: _*); q.processAllAvailable() } finally q.stop()
+    val all = graft.operators.Similarity.readIvfAssigned(spark, dir)
+    assert(all.count() == nBase + 2)
+    assert(all.filter(col("vec_id") >= 5000L).count() == 2)
+  }
+
   test("facade: continuous CUSUM monitor publishes the batch card") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
