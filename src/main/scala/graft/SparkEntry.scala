@@ -160,6 +160,8 @@ object SparkEntry {
     "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
     "ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
     "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "semantic_dedup_incremental" ->
+      ((s, d) => Similarity.semanticDedupIncremental(s, d)),
     "hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     "topk_frequent" -> ((s, d) => Analytics.topkFrequent(s, d)),
@@ -585,6 +587,8 @@ object SparkEntry {
     "ann_pq" -> Similarity.pqTrainedOracle(),
     "ann_ivfpq" -> Similarity.ivfPqTrainedOracle(),
     "semantic_dedup" -> Similarity.semanticDedupOracle(),
+    "semantic_dedup_incremental" ->
+      Similarity.semanticDedupIncrementalOracle(),
     // oracle takes the deterministically-trained quantizer as given
     // (training is property-specced); everything downstream is exact
     "ann_ivf" -> Similarity.ivfTrainedOracle(),

@@ -547,6 +547,15 @@ object Graft {
                             k: Int = 256): StreamingQuery =
     graft.streaming.StreamSketches.start(docs, stateDir, checkpoint, k)
 
+  /** Continuous semantic dedup at ingest: each micro-batch of vectors
+    * decided against the accumulated kept corpus (maintained AS a
+    * servable IVF index at `dir`, seeded by [[buildIvfIndex]]);
+    * decisions and kept deltas land replay-idempotently. */
+  def semanticIngest(vectors: DataFrame, dir: String, outDir: String,
+                     checkpoint: String, tau: Double = 0.4): StreamingQuery =
+    graft.streaming.StreamSemanticDedup.start(vectors, dir, outDir,
+      checkpoint, tau)
+
   /** Continuous IVF index maintenance: assign each micro-batch of new
     * corpus vectors with the artifact's centroids and land it as a
     * replay-idempotent cell-partitioned delta; [[annServeFromIndex]]

@@ -824,13 +824,23 @@ object Similarity {
     * [[Sketches.readSketchStates]]). Cell partition pruning holds on
     * both legs: `cell` is a partition column of the base AND of every
     * delta batch. */
-  def readIvfAssigned(spark: SparkSession, dir: String): DataFrame = {
+  def readIvfAssigned(spark: SparkSession, dir: String): DataFrame =
+    readIvfAssignedWithBatchId(spark, dir).drop("batch_id")
+
+  /** [[readIvfAssigned]] keeping the delta provenance: base rows carry
+    * a null `batch_id`, delta rows their partition's — the column the
+    * replay-exclusion reads of the continuous maintainers
+    * ([[graft.streaming.StreamSemanticDedup]]) filter on. */
+  private[graft] def readIvfAssignedWithBatchId(spark: SparkSession,
+                                                dir: String): DataFrame = {
     val base = spark.read.parquet(s"$dir/assigned")
+      .withColumn("batch_id", lit(null).cast("long"))
     val deltaRoot = new org.apache.hadoop.fs.Path(s"$dir/stream")
     val fs = deltaRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(deltaRoot))
       base.unionByName(spark.read.parquet(s"$dir/stream")
-        .drop("batch_id").select(base.columns.map(col).toSeq: _*))
+        .withColumn("batch_id", col("batch_id").cast("long"))
+        .select(base.columns.map(col).toSeq: _*))
     else base
   }
 
@@ -875,6 +885,110 @@ object Similarity {
         .filter(col("vec_id") < nQueries)
         .select(col("vec_id"), col("embedding")),
       nProbe, k)
+  }
+
+  /** §2 #96b — INCREMENTAL semantic-dedup decisions: a delta batch of
+    * (vec_id, embedding) vectors decided against an accumulated base of
+    * KEPT vectors — the embedding twin of the media families' delta
+    * path ([[Blob.mediaPhashIncrementalFrom]]'s order-free pairwise
+    * rule): a delta vector is 'near' if some same-cell vector with
+    * cosine ≥ tau is in the base or has a smaller delta id, 'kept'
+    * otherwise. The driver form slices the corpus (base = vec_id
+    * multiples of 5, delta = the rest) with the full-corpus trained
+    * quantizer, so the oracle replays the identical rule over inlined
+    * centroids.
+    *
+    * Scale shape: delta assignment map-only (broadcast centroids); the
+    * probe side of the one cell equi-join is the DELTA only, so a daily
+    * increment pays cost ∝ increment — base×base never pairs (the
+    * dedup_incremental doctrine in embedding space). */
+  def semanticDedupIncremental(spark: SparkSession, sfDir: String,
+                               nCells: Int = 16,
+                               tau: Double = 0.4): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val cents = withTrainCache(v)(trainCentroids(_, nCells))
+    val base = assignWithCentroids(
+      v.filter(col("vec_id") % 5 === 0).select("vec_id", "embedding"),
+      cents)
+    semanticDedupIncrementalFrom(base,
+      v.filter(col("vec_id") % 5 =!= 0).select("vec_id", "embedding"),
+      cents, tau)
+  }
+
+  /** The shared core over ANY assigned base (cell, vec_id, embedding,
+    * nrm — [[readIvfAssigned]]'s shape, so a maintained IVF index IS a
+    * valid base) and raw delta — also the micro-batch body of
+    * [[graft.streaming.StreamSemanticDedup]]. */
+  private[graft] def semanticDedupIncrementalFrom(baseAssigned: DataFrame,
+                                                  delta: DataFrame,
+                                                  cents: Array[Array[Double]],
+                                                  tau: Double): DataFrame = {
+    val d = assignWithCentroids(delta.select("vec_id", "embedding"), cents)
+    val build = baseAssigned
+      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+      .withColumn("b_is_base", lit(true))
+      .unionByName(d.withColumn("b_is_base", lit(false)))
+    val probe = d.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val blockers = probe
+      .join(build.select(col("cell"), col("vec_id").as("id_b"),
+        col("embedding").as("e_b"), col("nrm").as("n_b"),
+        col("b_is_base")), Seq("cell"))
+      .filter(col("b_is_base") || col("id_b") < col("id_a"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(cosineWithNorms(dot(col("e_a"), col("e_b")),
+        col("n_a"), col("n_b")) >= tau)
+      .select(col("id_a").as("vec_id")).distinct()
+      .withColumn("blocked", lit(true))
+    d.join(blockers, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(coalesce(col("blocked"), lit(false)), lit("near"))
+          .otherwise(lit("kept")).as("decision"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle for [[semanticDedupIncremental]]: trained centroids
+    * inlined, ranked assignment, then the same order-free pairwise
+    * rule — EXISTS a same-cell cosine ≥ tau neighbor that is base or a
+    * smaller delta id. */
+  def semanticDedupIncrementalOracle(nCells: Int = 16,
+                                     tau: Double = 0.4): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val cents = withTrainCache(vectors(spark, sfDir))(
+      trainCentroids(_, nCells))
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"(${i}, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    s"""WITH n AS (SELECT vec_id, embedding,
+          sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+        cents(cell, cv) AS (VALUES $centRows),
+        assigned AS (SELECT vec_id, embedding, nrm, cell,
+                            vec_id % 5 = 0 AS is_base FROM (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              ${dot("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+          FROM n v, cents c) WHERE crnk = 1),
+        dup AS (SELECT a.vec_id
+                FROM assigned a JOIN assigned b
+                  ON a.cell = b.cell AND NOT a.is_base
+                  AND (b.is_base OR b.vec_id < a.vec_id)
+                  AND a.vec_id <> b.vec_id
+                WHERE ${dot("a.embedding", "b.embedding")}
+                        / (a.nrm * b.nrm) >= $tau
+                GROUP BY 1)
+        SELECT a.vec_id, a.cell,
+               CASE WHEN dup.vec_id IS NOT NULL THEN 'near'
+                    ELSE 'kept' END AS decision
+        FROM assigned a LEFT JOIN dup USING (vec_id)
+        WHERE NOT a.is_base
+        ORDER BY a.vec_id"""
   }
 
   /** §2 #100 — HARD-NEGATIVE mining for contrastive training: for each

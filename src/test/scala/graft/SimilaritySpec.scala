@@ -123,6 +123,36 @@ class SimilaritySpec extends SparkSpec {
     assertNoCartesian(Similarity.semanticDedup(spark, sf))
   }
 
+  test("semantic_dedup_incremental: delta decisions equal a brute " +
+      "within-cell replay of the order-free rule; no cartesian") {
+    val rows = Similarity.semanticDedupIncremental(spark, sf).collect()
+    val v = Tables.load(spark, sf, "embeddings").selectExpr("vec_id",
+      "embedding",
+      "sqrt(aggregate(transform(embedding, x -> double(x) * double(x)), 0D, (a, b) -> a + b)) AS nrm")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, r.getDouble(2)))
+    // decisions cover exactly the delta slice (vec_id % 5 != 0)
+    assert(rows.map(_.getLong(0)).toSet ==
+      v.map(_._1).filter(_ % 5 != 0).toSet)
+    // brute replay: near iff a same-cell cosine>=tau neighbor is base
+    // or a smaller delta id (cells from the engine's own assignment —
+    // the cell CHOICE is pinned by semantic_dedup's oracle already)
+    val cellOf = rows.map(r => (r.getLong(0), r.getInt(1))).toMap ++
+      Similarity.semanticDedup(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+    def cos(a: (Long, Array[Float], Double), b: (Long, Array[Float], Double)) =
+      a._2.zip(b._2).map { case (x, y) => x.toDouble * y.toDouble }.sum / (a._3 * b._3)
+    val expectNear = (for {
+      x <- v; y <- v
+      if x._1 % 5 != 0 && x._1 != y._1
+      if y._1 % 5 == 0 || (y._1 % 5 != 0 && y._1 < x._1)
+      if cellOf(x._1) == cellOf(y._1) && cos(y, x) >= 0.4
+    } yield x._1).toSet
+    assert(rows.filter(_.getString(2) == "near").map(_.getLong(0)).toSet
+      == expectNear)
+    assertNoCartesian(Similarity.semanticDedupIncremental(spark, sf))
+  }
+
   test("ann_pq: trained codebooks deterministic; recall@5 >= 0.5 after re-rank") {
     val brute = Similarity.annBruteforce(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

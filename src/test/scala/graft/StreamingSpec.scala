@@ -472,6 +472,72 @@ class StreamingSpec extends SparkSpec {
       "replayed batch must not duplicate index rows")
   }
 
+  test("stream semantic dedup: per-batch decisions equal sequential " +
+      "incremental replay; kept vectors join the servable index; " +
+      "replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val root = graft.operators.ExportImport.scratch("stream-semdedup")
+    val (dir, outDir, ckpt) = (root + "/idx", root + "/out", root + "/ckpt")
+    Seq(dir, outDir, ckpt).foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(java.nio.file.Paths.get(d)))
+    // seed: the corpus index fixes the quantizer and the kept base
+    Similarity.ivfIndexToDir(spark, sf, dir)
+    val cents = Similarity.readIvfCentroids(spark, dir)
+    // arriving vectors: corpus rows re-id'd (exact dups of the base —
+    // the base-blocker leg), NEGATED corpus rows (cosine −1 to their
+    // original — almost surely kept), and an in-batch repeat of the
+    // first row (the smaller-delta-id blocker leg)
+    val rows = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .limit(4).collect()
+      .map(r => (r.getLong(0) + 2000L, r.getSeq[Float](1).toArray))
+    def neg(v: (Long, Array[Float])) = (v._1 + 500L, v._2.map(x => -x))
+    val b1 = Seq(rows(0), neg(rows(1)), (rows(0)._1 + 100L, rows(0)._2))
+    val b2 = Seq(rows(2), neg(rows(3)), (rows(2)._1 + 100L, rows(2)._2))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamSemanticDedup.start(
+      input.toDF().toDF("vec_id", "embedding"), dir, outDir, ckpt)
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    // sequential replay with the batch operator: batch 1 vs the seed
+    // base, batch 2 vs seed + batch-1 survivors
+    val base0 = spark.read.parquet(s"$dir/assigned")
+      .select("cell", "vec_id", "embedding", "nrm")
+    val d1 = b1.toDF("vec_id", "embedding")
+    val d2 = b2.toDF("vec_id", "embedding")
+    val dec1 = Similarity.semanticDedupIncrementalFrom(base0, d1, cents, 0.4)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val kept1 = Similarity.assignWithCentroids(
+      d1.filter(col("vec_id")
+        .isin(dec1.filter(_._2 == "kept").keys.toSeq: _*)), cents)
+    val dec2 = Similarity.semanticDedupIncrementalFrom(
+        base0.unionByName(kept1), d2, cents, 0.4)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got == dec1 ++ dec2, s"got=$got expect=${dec1 ++ dec2}")
+    assert(got.values.exists(_ == "near"), "exact dups must be caught")
+    // the maintained index holds exactly seed + survivors — i.e. the
+    // deduped corpus is immediately servable
+    val idxIds = Similarity.readIvfAssigned(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val baseIds = base0.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(idxIds == baseIds ++
+      (dec1 ++ dec2).filter(_._2 == "kept").keySet)
+    // at-least-once replay (the StreamPairs stance)
+    val nDecisions = spark.read.parquet(outDir).count()
+    graft.streaming.StreamSemanticDedup.applyBatch(d2, 1L, dir, outDir, 0.4)
+    assert(spark.read.parquet(outDir).count() == nDecisions,
+      "replayed batch must not duplicate decisions")
+    assert(Similarity.readIvfAssigned(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet == idxIds,
+      "replayed batch must not duplicate index rows")
+  }
+
   test("sessionizer: streaming sessions equal batch sessions on real events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
