@@ -258,7 +258,7 @@ out += ["",
         "signature — and",
         "  the builder's r13 full sweeps re-measure the same plan at "
         "7-8 s with a",
-        "  flat 3-SF curve (4.9/5.3/8.3 s final sweep). Box-side, as "
+        "  flat 3-SF curve (6.5/5.2/10.8 s final sweep). Box-side, as "
         "predicted. Two structural",
         "  fixes land this round so the question cannot recur: the g1 "
         "tail line keeps",
@@ -271,7 +271,7 @@ out += ["",
         "re-measures",
         "  0.87 s wall on flat task-GC / 0 MB shuffle with a FLAT "
         "3-SF curve",
-        "  (0.95/0.91/0.87 s final sweep) — wait-not-compute on the "
+        "  (1.38/0.98/1.07 s final sweep) — wait-not-compute on the "
         "driver box, i.e.",
         "  box noise, exactly as the flat GC/shuffle suggested. "
         "Closed.",
@@ -285,9 +285,10 @@ out += ["",
         "the hottest",
         "  JIT surface in the suite and loses compiled frames under "
         "code-cache",
-        "  pressure late in a 199-query JVM. Box/JIT-side; plan "
+        "  pressure late in a 200-query JVM. Box/JIT-side; plan "
         "unchanged (no diff",
-        "  touches the codec); watch in the driver run.",
+        "  touches the codec): the FINAL full sweep re-measures it at "
+        "1.12/0.51/1.45 s.",
         "",
         "## Super-linear rows, priced (r12) — and the r13 planned "
         "headline",
@@ -304,23 +305,23 @@ out += ["",
         "n^2/128",
         "  candidates, recall pigeonhole-exact to Hamming 7 then the "
         "published",
-        "  S-curve) measures 0.44/0.43/1.02 s across the three SFs — "
+        "  S-curve) measures 0.39/0.47/1.04 s across the three SFs — "
         "flat where the",
         "  strict form is quadratic — and hamming_plan (#217, "
-        "0.63/0.76/0.93 s)",
+        "0.67/0.66/0.87 s)",
         "  publishes the full cost/recall table (exact rationals + "
         "measured band-join",
         "  volume) that prices every geometry in between. The strict "
         "form stays as",
         "  the documented exact-recall mode. The new audio family "
         "legs ride the",
-        "  planned geometry: clusters 2.8/1.1/4.7 s (the n^2/128 "
+        "  planned geometry: clusters 3.4/1.2/4.1 s (the n^2/128 "
         "candidate join +",
         "  bounded propagation, in family with media_phash_clusters) "
         "and incremental",
         "  decisions flat at ~0.3 s (probe side = delta only). "
         "simhash_plan (#218,",
-        "  0.99/0.90/1.29 s, flat) extends the same cost/recall table "
+        "  1.07/0.76/1.22 s, flat) extends the same cost/recall table "
         "to the 54-bit",
         "  text SimHash family, so every banded fingerprint family "
         "now ships its",
@@ -330,6 +331,15 @@ out += ["",
         "  cell equi-join is inherently ~n^2 in pair work; its ANN "
         "twin (knn_graph_ann)",
         "  holds ~2x on the same step and is the 100 TB shape.",
+        "- semantic_dedup_incremental (flat 1.01/0.74/1.28 s across the "
+        "three SFs) gives",
+        "  the embedding family the same delta economics as the text/"
+        "media ingest",
+        "  paths: the probe side of its one cell equi-join is the "
+        "delta only, and",
+        "  its streaming twin lands survivors INTO the servable IVF "
+        "index, so",
+        "  dedup-at-ingest and retrieval share one artifact.",
         "- the sketch family lands flat-to-sub-linear (kmv/hll/cms/"
         "hdr_quantiles",
         "  0.3-0.9 s across all three SFs; source_jaccard_kmv 1.4x on "
