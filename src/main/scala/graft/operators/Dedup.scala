@@ -1931,9 +1931,14 @@ object Dedup {
     dedupNgramExactjoin(spark, sfDir, tau)
       .write.mode("overwrite").parquet(dir)
 
-  /** Read back a [[verifiedPairsToDir]] artifact. */
+  /** Read back a [[verifiedPairsToDir]] artifact. Existence resolves
+    * through the Hadoop FileSystem of the path's scheme (the
+    * [[graft.operators.Sketches.readSketchStates]] stance) — the pair
+    * artifact a cluster audit ships lives on a DFS. */
   def readVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
-    require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
       s"no verified-pairs artifact at $dir — run verifiedPairsToDir first")
     spark.read.parquet(dir)
   }

@@ -788,10 +788,14 @@ object Similarity {
       l2norm(col("embedding")).as("nrm"))
 
   /** Centroid matrix back from an [[ivfIndexToDir]] artifact (bounded:
-    * nCells × dim doubles — model state, never data). */
+    * nCells × dim doubles — model state, never data). Existence
+    * resolves through the Hadoop FileSystem of the path's scheme (the
+    * [[Sketches.readSketchStates]] stance) — the index a cluster
+    * deployment maintains lives on a DFS. */
   def readIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
-    require(java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$dir/centroids")),
+    val p = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
       s"no IVF index artifact at $dir — run ivfIndexToDir first")
     spark.read.parquet(s"$dir/centroids").orderBy("cell")
       .collect().map(_.getAs[Seq[Double]]("centroid").toArray)
