@@ -52,4 +52,23 @@ object StreamAnn {
         applyBatch(batch, batchId, corpusDir, outDir, nProbe, k)
       }
       .start()
+
+  /** Start continuous serving FROM THE INDEX ARTIFACT (built by
+    * [[Similarity.ivfIndexToDir]], possibly growing live under
+    * [[StreamIvfIndex]]/[[StreamSemanticDedup]]): each micro-batch of
+    * queries probes base + every delta landed so far via
+    * [[Similarity.annServeFromIndex]] — the serving loop closed against
+    * the maintenance loop, with the same replay-idempotent
+    * `batch_id=N` output partitions. */
+  def applyStreamFromIndex(queries: DataFrame, indexDir: String,
+                           outDir: String, checkpoint: String,
+                           nProbe: Int = 4, k: Int = 5): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.annServeFromIndex(batch.sparkSession, indexDir,
+            batch, nProbe, k)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
 }

@@ -472,6 +472,46 @@ class StreamingSpec extends SparkSpec {
       "replayed batch must not duplicate index rows")
   }
 
+  test("stream ann from the maintained index equals the batch artifact " +
+      "serve and sees landed deltas") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val root = graft.operators.ExportImport.scratch("stream-ann-idx")
+    val (dir, outDir, ckpt) = (root + "/idx", root + "/out", root + "/ckpt")
+    Seq(dir, outDir, ckpt).foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(java.nio.file.Paths.get(d)))
+    Similarity.ivfIndexToDir(spark, sf, dir)
+    // land one maintainer delta: exact copies of the first corpus
+    // vectors under fresh ids — guaranteed top-k hits for the queries
+    val fresh = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .limit(3).collect()
+      .map(r => (r.getLong(0) + 3000L, r.getSeq[Float](1).toArray)).toSeq
+    graft.streaming.StreamIvfIndex.applyBatch(
+      fresh.toDF("vec_id", "embedding"), 0L, dir)
+    val qRows = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamAnn.applyStreamFromIndex(
+      input.toDF().toDF("vec_id", "embedding"), dir, outDir, ckpt)
+    try {
+      input.addData(qRows.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val got = spark.read.parquet(outDir).collect().map(key).toSet
+    val want = Similarity.annServeFromIndex(spark, dir, qRows)
+      .collect().map(key).toSet
+    assert(got == want && got.nonEmpty)
+    // the delta landed by the maintainer is served: each query's exact
+    // copy (cosine 1.0) must appear among its neighbors
+    assert(got.exists(_._2 >= 3000L),
+      "streamed index deltas must be visible to the serving loop")
+  }
+
   test("stream semantic dedup: per-batch decisions equal sequential " +
       "incremental replay; kept vectors join the servable index; " +
       "replay idempotent") {
