@@ -183,12 +183,17 @@ out += ["",
         "  dq_* covered only the dedup family). A wall "
         "outlier with flat CPU and",
         "  flat shuffle is box load / IO wait, not a plan regression.",
-        "- retry: the single slowest query re-measured once at sweep "
-        "end (first vs again",
-        "  centiseconds). Transient box noise shows 'again' back at "
-        "normal; a real",
-        "  regression repeats. Builder reference (r13): "
-        "leakage_safe_split 8.5/7.4 s — stable.",
+        "- retries: the TOP-3 slowest queries re-measured once each at "
+        "sweep end (first",
+        "  vs again centiseconds; single-slot until r13, widened "
+        "because outliers arrive",
+        "  as a family — r13's one slot caught dedup_survivorship "
+        "48.6->10.7 s live while",
+        "  leakage_safe_split 37.6 s went unretried). Transient box "
+        "noise shows 'again'",
+        "  back at normal; a real regression repeats. Builder "
+        "reference (r13):",
+        "  leakage_safe_split 8.5/7.4 s — stable.",
         "- the embeddings cold/warm scan probe at startup plus GC/code-"
         "cache snapshots",
         "  bracketing the ANN block (builder reference at sf0.1: "

@@ -67,7 +67,7 @@ object Bench {
       "semantic_dedup_incremental", "hard_negatives",
       "embedding_dedup", "embedding_quantize", "quantize_eval",
       "embedding_class_stats", "embedding_outliers", "embedding_pca",
-      "ivf_probe_sweep"),
+      "ivf_probe_sweep", "ivf_drift"),
     "text" -> Seq(
       "text_stats", "token_count", "lang_id", "quality_filter",
       "quality_funnel", "quality_calibration", "gate_agreement",
@@ -189,7 +189,7 @@ object Bench {
     def buildLine(names: Seq[String], wallCs: Map[String, Double],
                   adj: Map[String, (Long, Long, Long)],
                   fam: Seq[(String, Double)],
-                  retry: Option[(String, Long, Long)],
+                  retry: Seq[(String, Long, Long)],
                   embColdS: Double, embWarmS: Double, annGcMs: Long,
                   annJvm: String, nErr: Int, totalS: Double,
                   orderLabel: String, fp: String): String = {
@@ -198,7 +198,9 @@ object Bench {
       def v1(f: String => Option[Long]) =
         names.map(n => f(n).map(enc1).getOrElse(Err1)).mkString
       val famS = fam.map { case (f, s) => f"$f=$s%.1f" }.mkString("|")
-      val retryS = retry.map { case (q, f, a) => s"$q|$f|$a" }.getOrElse("")
+      // up to 3 retry pairs, ";"-joined (r14: outliers arrive as a
+      // family — one slot left r13's second outlier unadjudicated)
+      val retryS = retry.map { case (q, f, a) => s"$q|$f|$a" }.mkString(";")
       val sh = v1(n => adj.get(n).map(_._3 / 1000000L))
       val gc = v1(n => adj.get(n).map(_._2))
       val cpu = v2(n => adj.get(n).map(_._1 / 10000000.0))
@@ -367,12 +369,16 @@ object Bench {
       System.err.println(f"[bench] $name%-24s ${t}%8.2fs  ${jvmHealth()}")
       (name, t, res)
     }
-    // OUTLIER SELF-RETRY: re-run the single slowest successful query
-    // once and report both timings. One cheap re-measurement separates
-    // box noise (retry ~normal) from a real plan regression (retry
-    // ~first) — the adjudication the r10 134s outlier had no data for.
-    val retryOpt = timed.collect { case (n, s, None) => (n, s) }
-      .sortBy(-_._2).headOption.map { case (worst, first) =>
+    // OUTLIER SELF-RETRY: re-run the TOP-3 slowest successful queries
+    // once each and report both timings. A cheap re-measurement
+    // separates box noise (retry ~normal) from a real plan regression
+    // (retry ~first) — the adjudication the r10 134s outlier had no
+    // data for. Three slots because r13 proved outliers arrive as a
+    // family: the single slot caught dedup_survivorship 48.6→10.7 s
+    // live while leakage_safe_split's 37.6 s went unretried and stayed
+    // the round's only weak.
+    val retryList = timed.collect { case (n, s, None) => (n, s) }
+      .sortBy(-_._2).take(3).map { case (worst, first) =>
         val t0 = System.nanoTime()
         val again =
           try { SparkEntry.queries(worst)(spark, sfDir).count()
@@ -380,12 +386,13 @@ object Bench {
           catch { case _: Throwable => -1.0 }
         operators.TransientCaches.release()
         spark.catalog.clearCache()
+        System.gc()
         System.err.println(f"[bench] retry $worst: first ${first}%.2fs, again ${again}%.2fs")
         (worst, math.round(first * 100), math.round(again * 100))
       }
-    val retry = retryOpt.map { case (q, f, a) =>
-      s""""retry":{"q":"$q","first_cs":$f,"again_cs":$a},"""
-    }.getOrElse("")
+    val retry = if (retryList.isEmpty) "" else retryList.map {
+      case (q, f, a) => s"""{"q":"$q","first_cs":$f,"again_cs":$a}"""
+    }.mkString("\"retries\":[", ",", "],")
     val ok = timed.collect { case (n, s, None) => (n, s) }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -436,7 +443,7 @@ object Bench {
     }
     val wallCs = okMap.map { case (k, s) => k -> s * 100.0 }
     println(TailCodec.buildLine(names, wallCs, queryAdj.toMap, famSeq,
-      retryOpt, embCold, embWarm, annGcPost - annGcPre,
+      retryList, embCold, embWarm, annGcPost - annGcPre,
       s"$annPreC>$annPostC", timed.size - ok.size, total, order,
       orderFingerprint(names)))
     spark.stop()

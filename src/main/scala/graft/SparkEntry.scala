@@ -225,6 +225,7 @@ object SparkEntry {
     "join_skew_salted" -> ((s, d) => Analytics.joinSkewSalted(s, d)),
     "embedding_pca" -> ((s, d) => Similarity.embeddingPca(s, d)),
     "ivf_probe_sweep" -> ((s, d) => Similarity.ivfProbeSweep(s, d)),
+    "ivf_drift" -> ((s, d) => Similarity.ivfDrift(s, d)),
     "html_strip" -> (TextAnalysis.htmlStrip _),
     "media_wav_stats" -> ((s, d) => Blob.mediaWavStats(s, d)),
     "media_jpeg_stats" -> ((s, d) => Blob.mediaJpegStatsArith(s, d)),
@@ -1028,6 +1029,7 @@ object SparkEntry {
     "join_skew_salted" -> Analytics.joinSkewSaltedOracle,
     "embedding_pca" -> Similarity.embeddingPcaOracle(),
     "ivf_probe_sweep" -> Similarity.ivfProbeSweepOracle(),
+    "ivf_drift" -> Similarity.ivfDriftOracle(),
     "html_strip" -> TextAnalysis.htmlStripOracle,
     "media_wav_stats" -> Blob.mediaWavStatsOracle(),
     "media_jpeg_stats" -> Blob.mediaJpegStatsOracle,

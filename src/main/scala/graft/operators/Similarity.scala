@@ -819,6 +819,273 @@ object Similarity {
       .parquet(s"$dir/assigned")
   }
 
+  /** ARTIFACT COMPACTION / delta GC for the IVF index: fold every
+    * `stream/batch_id=N` delta the continuous maintainers
+    * ([[graft.streaming.StreamIvfIndex]] /
+    * [[graft.streaming.StreamSemanticDedup]]) have landed back into the
+    * base cell layout, and drop the folded deltas. Serving reads are
+    * identical before and after ([[annServeFromIndex]] unions base +
+    * deltas either way — SimilaritySpec proves it), but after 10⁴
+    * micro-batches the un-compacted index pays a per-query listing of
+    * 10⁴ delta trees and probes cell fragments instead of full-size
+    * cell files; the fold restores the build-time layout where a probe
+    * touches exactly nProbe cell directories.
+    *
+    * SINGLE-WRITER contract + crash-safety (the
+    * [[graft.streaming.Compaction]] doctrine): run with the maintainers
+    * quiesced; the fold commits a `_compacted_through` watermark INSIDE
+    * the swapped `assigned/` dir, the maintainers skip a replay of the
+    * folded batch and refuse older ids
+    * ([[graft.streaming.StreamIO.foldedByCompaction]]), readers ignore
+    * any delta at-or-below the watermark
+    * ([[readIvfAssignedWithBatchId]] — so a crash between the swap and
+    * the delta delete never double-counts), and an interrupted swap is
+    * repaired on the next entry. Returns the folded watermark, None if
+    * there was nothing to fold. */
+  def ivfIndexCompact(spark: SparkSession, dir: String): Option[Long] = {
+    import graft.streaming.StreamIO
+    val conf = spark.sparkContext.hadoopConfiguration
+    val assignedDir = s"$dir/assigned"
+    val staged = s"$dir/assigned.compact-staging"
+    StreamIO.recoverInterruptedSwap(assignedDir, staged,
+      "_compacted_through", conf)
+    val (fs, streamRoot) = StreamIO.fsFor(s"$dir/stream", conf)
+    // deltas already folded by a crashed run (watermark in the swapped
+    // base, reads ignoring them) are garbage — collect them first
+    val w0 = StreamIO.readMarker(assignedDir, "_compacted_through", conf)
+    def deltaIds(): Seq[Long] =
+      if (!fs.exists(streamRoot)) Seq.empty
+      else fs.listStatus(streamRoot).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong)
+    w0.foreach { w =>
+      deltaIds().filter(_ <= w).foreach(n => fs.delete(
+        new org.apache.hadoop.fs.Path(streamRoot, s"batch_id=$n"), true))
+    }
+    val live = deltaIds()
+    if (live.isEmpty) return None
+    val w = live.max
+    // one pass: base + live deltas (readIvfAssigned applies the w0
+    // filter) rewritten in the build-time cell layout
+    readIvfAssigned(spark, dir)
+      .write.mode("overwrite").partitionBy("cell").parquet(staged)
+    StreamIO.writeMarker(staged, "_compacted_through", w, conf)
+    StreamIO.swapInto(staged, assignedDir, conf)
+    live.foreach(n => fs.delete(
+      new org.apache.hadoop.fs.Path(streamRoot, s"batch_id=$n"), true))
+    // drop the emptied delta root: an empty dir would fail parquet
+    // schema inference on the next read (and be re-created by the next
+    // delta write anyway)
+    if (deltaIds().isEmpty) fs.delete(streamRoot, true)
+    Some(w)
+  }
+
+  /** QUANTIZER-DRIFT MONITOR core: compare the cell-population of the
+    * `cur` corpus against the `base` (build-time) corpus under ONE
+    * fixed quantizer — the retrain signal the IVF deployment cadence
+    * ([[ivfIndexAppend]] / [[graft.streaming.StreamIvfIndex]]) defers
+    * to: appended vectors keep the build-time centroids, so when the
+    * incoming distribution moves, cells bloat/starve (probe recall and
+    * pruning both degrade) and nothing else in the serving path says
+    * so. Two measurements per the standard monitoring playbook:
+    *  - PSI of cell-population shares (current vs baseline), the
+    *    [[TextAnalysis.sourcePsiFrom]] doctrine: 8-dp decimal terms
+    *    (order-independent exact sum), terms only over cells populated
+    *    on BOTH sides, one-sided cells COUNTED (`n_cells_onesided`)
+    *    rather than epsilon-smoothed — at 16 cells the missing-mass is
+    *    its own signal. `is_shifted` flags PSI > 0.2 (the industry
+    *    screening threshold) = retrain + rebuild, then stream between
+    *    versions.
+    *  - mean assignment distance (1 − cos to the assigned centroid)
+    *    per side: a distribution can keep its cell SHARES while moving
+    *    away from every centroid (uniform radial drift), which PSI
+    *    cannot see but recall still pays for.
+    * Scale shape: two map-only assignments (broadcast centroid
+    * matrix), two ≤nCells-row hash aggregates, everything after the
+    * per-cell rollup is broadcast arithmetic over ≤nCells rows. */
+  def ivfDriftFrom(base: DataFrame, cur: DataFrame,
+                   cents: Array[Array[Double]]): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val centDF = cents.zipWithIndex.toSeq
+      .map { case (cv, i) => (i, cv.toSeq) }.toDF("cell", "centroid")
+    def stats(v: DataFrame, tag: String) =
+      assignWithCentroids(v.select(col("vec_id"), col("embedding")), cents)
+        .join(broadcast(centDF), "cell")
+        .select(col("cell"),
+          round(lit(1.0) - dot(col("embedding"), col("centroid"))
+            / col("nrm"), 8)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("d"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as(s"${tag}_cnt"), sum(col("d")).as(s"${tag}_dsum"))
+    val j = stats(base, "base")
+      .join(stats(cur, "cur"), Seq("cell"), "full_outer")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TransientCaches.register(j)
+    val tot = j.agg(sum("base_cnt").as("n_base"), sum("cur_cnt").as("n_cur"),
+      sum("base_dsum").as("bd"), sum("cur_dsum").as("cd"))
+    val shares = j.crossJoin(broadcast(tot))
+      .withColumn("base_share",
+        col("base_cnt") / col("n_base").cast("double"))
+      .withColumn("cur_share", col("cur_cnt") / col("n_cur").cast("double"))
+      .withColumn("term",
+        when(col("base_cnt").isNotNull && col("cur_cnt").isNotNull,
+          round((col("cur_share") - col("base_share"))
+            * log(col("cur_share") / col("base_share")), 8)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 8))))
+    val summary = shares.agg(sum("term").as("psi_sum"),
+      sum(when(col("base_cnt").isNull || col("cur_cnt").isNull, 1L)
+        .otherwise(0L)).as("n_cells_onesided"))
+    shares.crossJoin(broadcast(summary))
+      .select(col("cell").cast("int").as("cell"),
+        coalesce(col("base_cnt"), lit(0L)).as("base_cnt"),
+        coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"),
+        round(col("base_share"), 6).as("base_share6"),
+        round(col("cur_share"), 6).as("cur_share6"),
+        col("term").cast("double").as("term8"),
+        round(col("psi_sum").cast("double"), 4).as("psi4"),
+        col("n_cells_onesided"),
+        round(col("bd").cast("double") / col("n_base"), 6).as("base_mdist6"),
+        round(col("cd").cast("double") / col("n_cur"), 6).as("cur_mdist6"),
+        (coalesce(col("psi_sum").cast("double"), lit(0.0)) > 0.2)
+          .as("is_shifted"))
+      .orderBy("cell")
+  }
+
+  /** §2 #219 — `ivf_drift`: the oracle-checked instantiation of
+    * [[ivfDriftFrom]] under the static quantizer, run over BOTH
+    * verdict classes so the monitor demonstrates its own
+    * discrimination. Baseline = 80% of the embeddings (vec_id % 5 ≠ 0,
+    * the "index build" corpus); the remaining 20% is ingested twice:
+    *  - scenario `stable`: unchanged — same distribution, PSI must
+    *    stay far under the 0.2 threshold (`is_shifted` = false);
+    *  - scenario `shifted`: every coordinate mean-shifted by +0.5
+    *    (≈ 4σ of the embedding elements — the shifted vectors point
+    *    at the all-ones direction and pile into the few cells whose
+    *    centroids face it), so the monitor must flag
+    *    `is_shifted` = true.
+    * Everything — assignment, shares, 8-dp PSI terms, distance terms
+    * — is replayed exactly by [[ivfDriftOracle]] (float addition is
+    * replayed as double-add-then-cast, exact because a float + 0.5
+    * fits double precision). */
+  def ivfDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vectors(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val base = v.filter(col("vec_id") % 5 =!= 0)
+    val delta = v.filter(col("vec_id") % 5 === 0)
+    val shifted = delta.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
+    val cents = staticCentroids()
+    ivfDriftFrom(base, base.unionByName(delta), cents)
+      .withColumn("scenario", lit("stable"))
+      .unionByName(
+        ivfDriftFrom(base, base.unionByName(shifted), cents)
+          .withColumn("scenario", lit("shifted")))
+      .orderBy("scenario", "cell")
+  }
+
+  /** [[ivfDrift]] against a LIVE index artifact: baseline = the base
+    * build (`assigned/`, null batch_id), current = base + every live
+    * stream delta — the production monitor a deployment schedules
+    * beside [[ivfIndexCompact]]. Cells are re-derived with the
+    * artifact's own centroids (one map-only pass, bit-identical to the
+    * stored assignment — SimilaritySpec proves the equality to
+    * [[ivfDriftFrom]] on the same frames). */
+  def ivfDriftFromIndex(spark: SparkSession, dir: String): DataFrame = {
+    val cents = readIvfCentroids(spark, dir)
+    val all = readIvfAssignedWithBatchId(spark, dir)
+    ivfDriftFrom(
+      all.filter(col("batch_id").isNull).select("vec_id", "embedding"),
+      all.select("vec_id", "embedding"), cents)
+  }
+
+  /** DuckDB oracle for [[ivfDrift]]: centroids inlined as VALUES, the
+    * ranked-assignment replay of [[ivfStaticOracle]], same 8-dp decimal
+    * terms, same one-sided-cell accounting, both scenarios replayed
+    * and unioned. */
+  def ivfDriftOracle(): String = {
+    val cents = staticCentroids()
+    val dotE = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"(${i}, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    // ranked-assignment replay + per-cell count/distance rollup for one
+    // corpus CTE; columns named by `pre` so base stats join two
+    // scenario stats without collisions
+    def stats(src: String, tag: String, pre: String) =
+      s"""${tag}_scored AS (
+           SELECT v.vec_id, c.cell,
+             ${dotE("v.embedding", "c.cv")} AS dp,
+             sqrt(${dotE("v.embedding", "v.embedding")}) AS nrm,
+             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+               ${dotE("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+           FROM $src v, cents c),
+         ${tag}_stat AS (
+           SELECT cell, CAST(count(*) AS BIGINT) AS ${pre}_cnt,
+             sum(CAST(round(1.0 - dp / nrm, 8) AS DECIMAL(18,8)))
+               AS ${pre}_dsum
+           FROM ${tag}_scored WHERE crnk = 1 GROUP BY cell)"""
+    // per-scenario join/totals/shares/summary over base_stat + the
+    // scenario's cur stat
+    def scen(tag: String) =
+      s"""${tag}_j AS (SELECT coalesce(b.cell, c.cell) AS cell,
+             b.base_cnt, b.base_dsum, c.cur_cnt, c.cur_dsum
+           FROM base_stat b FULL OUTER JOIN ${tag}_stat c
+             ON b.cell = c.cell),
+         ${tag}_tot AS (SELECT CAST(sum(base_cnt) AS BIGINT) AS n_base,
+             CAST(sum(cur_cnt) AS BIGINT) AS n_cur,
+             sum(base_dsum) AS bd, sum(cur_dsum) AS cd FROM ${tag}_j),
+         ${tag}_shares AS (SELECT cell, base_cnt, cur_cnt,
+             base_cnt / CAST(n_base AS DOUBLE) AS base_share,
+             cur_cnt / CAST(n_cur AS DOUBLE) AS cur_share,
+             CASE WHEN base_cnt IS NOT NULL AND cur_cnt IS NOT NULL THEN
+               CAST(round(
+                 (cur_cnt / CAST(n_cur AS DOUBLE)
+                   - base_cnt / CAST(n_base AS DOUBLE))
+                 * ln((cur_cnt / CAST(n_cur AS DOUBLE))
+                   / (base_cnt / CAST(n_base AS DOUBLE))), 8)
+                 AS DECIMAL(18,8)) END AS term
+           FROM ${tag}_j, ${tag}_tot),
+         ${tag}_summary AS (SELECT sum(term) AS psi_sum,
+             CAST(sum(CASE WHEN base_cnt IS NULL OR cur_cnt IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_cells_onesided
+           FROM ${tag}_shares)"""
+    def sel(tag: String, label: String) =
+      s"""SELECT '$label' AS scenario, CAST(s.cell AS INTEGER) AS cell,
+           coalesce(s.base_cnt, 0) AS base_cnt,
+           coalesce(s.cur_cnt, 0) AS cur_cnt,
+           round(s.base_share, 6) AS base_share6,
+           round(s.cur_share, 6) AS cur_share6,
+           CAST(s.term AS DOUBLE) AS term8,
+           round(CAST(m.psi_sum AS DOUBLE), 4) AS psi4,
+           m.n_cells_onesided,
+           round(CAST(t.bd AS DOUBLE) / t.n_base, 6) AS base_mdist6,
+           round(CAST(t.cd AS DOUBLE) / t.n_cur, 6) AS cur_mdist6,
+           coalesce(CAST(m.psi_sum AS DOUBLE), 0.0) > 0.2 AS is_shifted
+         FROM ${tag}_shares s, ${tag}_summary m, ${tag}_tot t"""
+    s"""WITH cents(cell, cv) AS (VALUES $centRows),
+        base AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 5 <> 0),
+        delta AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % 5 = 0),
+        cur_stable AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+        cur_shifted AS (SELECT * FROM base UNION ALL
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x + 0.5 AS FLOAT))
+              AS embedding
+          FROM delta),
+        ${stats("base", "base", "base")},
+        ${stats("cur_stable", "stable", "cur")},
+        ${stats("cur_shifted", "shifted", "cur")},
+        ${scen("stable")},
+        ${scen("shifted")}
+       ${sel("stable", "stable")}
+       UNION ALL
+       ${sel("shifted", "shifted")}
+       ORDER BY scenario, cell"""
+  }
+
   /** The full inverted-list table of an index artifact: the base build
     * plus any `stream/batch_id=N` deltas the continuous maintainer
     * ([[graft.streaming.StreamIvfIndex]]) has landed — so serving sees
@@ -834,18 +1101,31 @@ object Similarity {
   /** [[readIvfAssigned]] keeping the delta provenance: base rows carry
     * a null `batch_id`, delta rows their partition's — the column the
     * replay-exclusion reads of the continuous maintainers
-    * ([[graft.streaming.StreamSemanticDedup]]) filter on. */
+    * ([[graft.streaming.StreamSemanticDedup]]) filter on. Deltas at or
+    * below the base's `_compacted_through` watermark are EXCLUDED:
+    * their rows are already folded into the base by
+    * [[ivfIndexCompact]], and a crashed compaction (swap committed,
+    * delta delete pending) must not double-count them. */
   private[graft] def readIvfAssignedWithBatchId(spark: SparkSession,
                                                 dir: String): DataFrame = {
     val base = spark.read.parquet(s"$dir/assigned")
       .withColumn("batch_id", lit(null).cast("long"))
     val deltaRoot = new org.apache.hadoop.fs.Path(s"$dir/stream")
     val fs = deltaRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(deltaRoot))
-      base.unionByName(spark.read.parquet(s"$dir/stream")
+    // bare existence is not enough: an emptied delta root (all batches
+    // folded) would fail parquet schema inference
+    val hasDeltas = fs.exists(deltaRoot) && fs.listStatus(deltaRoot)
+      .exists(_.getPath.getName.startsWith("batch_id="))
+    if (hasDeltas) {
+      val deltas = spark.read.parquet(s"$dir/stream")
         .withColumn("batch_id", col("batch_id").cast("long"))
-        .select(base.columns.map(col).toSeq: _*))
-    else base
+      val folded = graft.streaming.StreamIO.readMarker(
+        s"$dir/assigned", "_compacted_through",
+        spark.sparkContext.hadoopConfiguration)
+      val live = folded.map(w => deltas.filter(col("batch_id") > w))
+        .getOrElse(deltas)
+      base.unionByName(live.select(base.columns.map(col).toSeq: _*))
+    } else base
   }
 
   /** Serve (vec_id, embedding) queries straight from the index

@@ -32,11 +32,15 @@ object StreamAnn {
 
   /** Serve one micro-batch of (vec_id, embedding) queries against the
     * corpus dir; write the per-query top-k into the batch's own
-    * partition. private[graft]: StreamingSpec drives it directly to
-    * prove replay idempotence. */
+    * partition. An idle micro-batch writes nothing — a fileless
+    * `batch_id=N` directory would trip schema inference for readers of
+    * the outDir root (the [[StreamIvfIndex]]/[[StreamSemanticDedup]]
+    * idle-batch stance). private[graft]: StreamingSpec drives it
+    * directly to prove replay idempotence. */
   private[graft] def applyBatch(batch: DataFrame, batchId: Long,
                                 corpusDir: String, outDir: String,
                                 nProbe: Int, k: Int): Unit = {
+    if (batch.isEmpty) return
     val spark = batch.sparkSession
     Similarity.annServe(spark, corpusDir, batch, nProbe, k)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
@@ -59,16 +63,28 @@ object StreamAnn {
     * queries probes base + every delta landed so far via
     * [[Similarity.annServeFromIndex]] — the serving loop closed against
     * the maintenance loop, with the same replay-idempotent
-    * `batch_id=N` output partitions. */
+    * `batch_id=N` output partitions.
+    *
+    * CONCURRENCY CAVEAT: the maintainers' replays OVERWRITE their own
+    * `stream/batch_id=N` partition, so a serve that listed that
+    * partition's files just before the overwrite can hit
+    * FileNotFoundException during the (rare: replay-concurrent-with-
+    * serve) window. Deployments that co-run maintenance and serving
+    * set `spark.sql.files.ignoreMissingFiles=true` on the serving
+    * session (the lost files' rows are re-landed by the same replay)
+    * — or use a lakehouse table, whose ACID commit closes the window
+    * entirely (docs/LAKEHOUSE.md). */
   def applyStreamFromIndex(queries: DataFrame, indexDir: String,
                            outDir: String, checkpoint: String,
                            nProbe: Int = 4, k: Int = 5): StreamingQuery =
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Similarity.annServeFromIndex(batch.sparkSession, indexDir,
-            batch, nProbe, k)
-          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        if (!batch.isEmpty)
+          Similarity.annServeFromIndex(batch.sparkSession, indexDir,
+              batch, nProbe, k)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
       }
       .start()
 }

@@ -37,6 +37,11 @@ object StreamDedup {
                                 baseDir: String, outDir: String,
                                 tau: Double): Unit = {
     val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    // replay of a compaction-folded batch: survivors and decisions are
+    // already in the folded partitions — skip (older ids fail loudly)
+    if (StreamIO.foldedByCompaction(baseDir, batchId, conf)
+        || StreamIO.foldedByCompaction(outDir, batchId, conf)) return
     val b = batch.select(col("doc_id"), col("text"))
     val base = StreamPairs.readAccumulated(spark, baseDir)
       .map(_.filter(col("batch_id") =!= batchId)

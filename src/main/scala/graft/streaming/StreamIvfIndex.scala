@@ -36,6 +36,10 @@ object StreamIvfIndex {
     * idempotence. */
   private[graft] def applyBatch(batch: DataFrame, batchId: Long,
                                 dir: String): Unit = {
+    // replay of a batch ivfIndexCompact already folded into the base:
+    // its vectors are in assigned/ — skip (older ids fail loudly)
+    if (StreamIO.foldedByCompaction(s"$dir/assigned", batchId,
+        batch.sparkSession.sparkContext.hadoopConfiguration)) return
     // idle micro-batch: nothing to land (an empty partitionBy write
     // would leave a fileless batch_id dir for readers to trip on)
     if (!batch.isEmpty) {

@@ -34,21 +34,17 @@ import graft.operators.Dedup
 object StreamPairs {
 
   /** Read a partitioned accumulation dir that may not have data yet —
-    * `Files.exists` alone is not enough: scratch() pre-creates empty
-    * directories, and spark.read.parquet on one throws. */
+    * a bare existence probe is not enough: scratch() pre-creates empty
+    * directories, and spark.read.parquet on one throws. Resolves
+    * through the Hadoop FileSystem of the dir's scheme ([[StreamIO]])
+    * so the accumulated artifact can live on a DFS. */
   private[streaming] def readAccumulated(spark: org.apache.spark.sql.SparkSession,
                                          dir: String): Option[DataFrame] = {
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(p)) None
-    else {
-      // stream closed in all paths (the unclosed anyMatch idiom leaked
-      // one directory fd per micro-batch — ADVICE r12)
-      val s = java.nio.file.Files.list(p)
-      val hasData =
-        try s.anyMatch(f => f.getFileName.toString.startsWith("batch_id="))
-        finally s.close()
-      if (hasData) Some(spark.read.parquet(dir)) else None
-    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (fs, p) = StreamIO.fsFor(dir, conf)
+    val hasData = fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.startsWith("batch_id="))
+    if (hasData) Some(spark.read.parquet(dir)) else None
   }
 
   /** Apply one micro-batch idempotently (keyed by `batchId`).
@@ -58,6 +54,12 @@ object StreamPairs {
                                     corpusDir: String, pairsDir: String,
                                     tau: Double): Unit = {
     val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    // a replay of the last compaction-folded batch must skip BOTH
+    // writes (its pairs and docs are already in the folded partitions);
+    // an older id fails loudly (StreamIO.foldedByCompaction)
+    if (StreamIO.foldedByCompaction(corpusDir, batchId, conf)
+        || StreamIO.foldedByCompaction(pairsDir, batchId, conf)) return
     val b = batch.select(col("doc_id"), col("text"))
     // the accumulated corpus EXCLUDES this batch id: on a replay the
     // half-applied state (pairs written, corpus not, or both written)

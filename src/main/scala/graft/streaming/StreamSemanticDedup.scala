@@ -39,6 +39,12 @@ object StreamSemanticDedup {
                                 dir: String, outDir: String,
                                 tau: Double): Unit = {
     val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    // replay of a compaction-folded batch: kept vectors are in the
+    // folded assigned/ base and decisions in the folded log — skip
+    // (older ids fail loudly, StreamIO.foldedByCompaction)
+    if (StreamIO.foldedByCompaction(s"$dir/assigned", batchId, conf)
+        || StreamIO.foldedByCompaction(outDir, batchId, conf)) return
     val b = batch.select(col("vec_id"), col("embedding"))
     val cents = Similarity.readIvfCentroids(spark, dir)
     val base = {

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
 import graft.operators.Sketches
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -34,29 +33,42 @@ object StreamSketches {
     * artifact as an underscore-prefixed marker file (invisible to
     * parquet readers, like _SUCCESS), so the directory swap commits
     * state and marker atomically: a crash before the swap replays into
-    * a merge (marker still old), a crash after it replays into a skip.
+    * a merge (marker still old), a crash after it replays into a skip,
+    * and a crash BETWEEN the swap's delete and rename replays into a
+    * recovery ([[StreamIO.recoverInterruptedSwap]] — the staged dir
+    * with its marker IS the committed state; without the recovery the
+    * replay would rebuild from the replayed rows alone and silently
+    * collapse the artifact). A marker AHEAD of the incoming batch id by
+    * more than the single-replay case means the checkpoint was reset
+    * against a live artifact — every batch would be skipped as "already
+    * applied", silent data loss — so that fails loudly instead.
     * private[graft]: StreamingSpec drives it directly to prove replay
-    * idempotence. */
+    * idempotence and the two crash paths. */
   private[graft] def applyBatch(batch: DataFrame, batchId: Long,
                                 stateDir: String, k: Int): Unit = {
-    val marker = Paths.get(stateDir, "_applied_batch")
-    if (Files.exists(marker)
-        && Files.readString(marker).trim.toLong >= batchId)
-      return // replayed batch: the swapped artifact already has it
     val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val staged = stateDir + ".staging"
+    StreamIO.recoverInterruptedSwap(stateDir, staged, "_applied_batch", conf)
+    val stored = StreamIO.readMarker(stateDir, "_applied_batch", conf)
+    if (stored.exists(_ > batchId))
+      throw new IllegalStateException(
+        s"sketch-state artifact at $stateDir was built through batch " +
+          s"${stored.get} but this query is at batch $batchId — the " +
+          "checkpoint was reset against a live artifact; skipping " +
+          "would silently drop every batch. Point the query at a " +
+          "fresh stateDir or restore the original checkpoint.")
+    if (stored.contains(batchId))
+      return // replayed batch: the swapped artifact already has it
     val fresh = Sketches.sketchStatesOf(
       batch.select(col("source"), col("text")), k)
     val merged =
-      if (StreamIO.hasParquetData(stateDir))
+      if (StreamIO.hasParquetData(stateDir, conf))
         mergeStates(spark.read.parquet(stateDir), fresh, k)
       else fresh
-    val staged = stateDir + ".staging"
     merged.write.mode("overwrite").parquet(staged)
-    Files.writeString(Paths.get(staged, "_applied_batch"),
-      batchId.toString)
-    StreamIO.deleteRecursively(Paths.get(stateDir))
-    Files.move(Paths.get(staged), Paths.get(stateDir))
-    ()
+    StreamIO.writeMarker(staged, "_applied_batch", batchId, conf)
+    StreamIO.swapInto(staged, stateDir, conf)
   }
 
   /** EXACT merge of two per-source state tables: for every source the

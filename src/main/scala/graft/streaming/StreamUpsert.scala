@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.MergeImport
@@ -19,21 +18,25 @@ import graft.operators.MergeImport
   */
 object StreamUpsert {
 
-  /** Merge one micro-batch into the parquet dir at `target`. */
-  private[streaming] def applyBatch(batch: DataFrame, target: String,
-                                    key: String): Unit = {
+  /** Merge one micro-batch into the parquet dir at `target`. The
+    * stage→swap runs through the Hadoop FileSystem of the target's
+    * scheme ([[StreamIO]]) so the maintained table can live on a DFS,
+    * and a crash between the swap's delete and rename is repaired on
+    * the next entry (`_SUCCESS` witnesses a committed staged write;
+    * the upsert itself is idempotent, so a replayed merge after
+    * recovery converges to the same rows). */
+  private[graft] def applyBatch(batch: DataFrame, target: String,
+                                key: String): Unit = {
     val spark = batch.sparkSession
-    val tPath = Paths.get(target)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val staged = target + ".staging"
+    StreamIO.recoverInterruptedSwap(target, staged, "_SUCCESS", conf)
     val merged =
-      if (Files.exists(tPath))
+      if (StreamIO.hasParquetData(target, conf))
         MergeImport.upsert(spark.read.parquet(target), batch, key)
       else batch
-    // stage → swap: the target dir is replaced atomically enough for a
-    // single-writer pipeline; a crash mid-swap leaves the staged copy
-    val staged = target + ".staging"
     merged.write.mode("overwrite").parquet(staged)
-    StreamIO.deleteRecursively(tPath)
-    Files.move(Paths.get(staged), tPath)
+    StreamIO.swapInto(staged, target, conf)
   }
 
   /** Start the continuous apply of `updates` (must contain `key`). */

@@ -37,6 +37,12 @@ object StreamWavFp {
                                 baseDir: String, outDir: String,
                                 maxHamming: Int): Unit = {
     val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    // replay of a compaction-folded batch: kept fingerprints and
+    // decisions are already in the folded partitions — skip (older
+    // ids fail loudly, StreamIO.foldedByCompaction)
+    if (StreamIO.foldedByCompaction(baseDir, batchId, conf)
+        || StreamIO.foldedByCompaction(outDir, batchId, conf)) return
     val b = batch.select(col("doc_id"), col("text"))
     val base = StreamPairs.readAccumulated(spark, baseDir)
       .map(_.filter(col("batch_id") =!= batchId)

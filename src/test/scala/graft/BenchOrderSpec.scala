@@ -64,8 +64,14 @@ class BenchOrderSpec extends AnyFunSuite {
     val adj = names.map(_ -> ((999999L * 10000000L, 9999999L,
       999999L * 1000000L))).toMap
     val fam = Bench.families.map(_._1 -> 99999.9)
+    // three retry slots since r14 (outliers arrive as a family), each
+    // with a worst-plausible-width query name
+    val retries = Seq(
+      ("dedup_survivorship_composed", 9999999L, 9999999L),
+      ("leakage_safe_split_composed", 9999999L, 9999999L),
+      ("media_wav_fp_incremental", 9999999L, 9999999L))
     val line = Bench.TailCodec.buildLine(names, wallCs, adj, fam,
-      Some(("dedup_survivorship_composed", 9999999L, 9999999L)),
+      retries,
       99.99, 99.99, 99999999L, "9999/9999+9999/9999+9999/9999>9999+9999+9999",
       99, 99999.9, "docs/BENCH_ORDER.md", "ffffffff")
     assert(!line.contains("\n"), "tail line must be a single line")

@@ -399,6 +399,88 @@ class SimilaritySpec extends SparkSpec {
       "append must serve identically to a full rebuild")
   }
 
+  test("ivfIndexCompact: serving identical before/after, deltas folded, " +
+      "replay skipped, reset refused") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = graft.operators.ExportImport.scratch("ivf-index-gc")
+    graft.streaming.StreamIO.deleteRecursively(dir, conf)
+    Similarity.ivfIndexToDir(spark, sf, dir)
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    def delta(m: Int, off: Long) = embs.filter(col("vec_id") % m === 0)
+      .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+    graft.streaming.StreamIvfIndex.applyBatch(delta(5, 10000), 0L, dir)
+    graft.streaming.StreamIvfIndex.applyBatch(delta(7, 20000), 1L, dir)
+    val queries = embs.filter(col("vec_id") < 10)
+    def serve() = Similarity.annServeFromIndex(spark, dir, queries)
+      .collect().map(_.toString).toSeq.sorted
+    def deltaDirs() = {
+      val (fs, p) = graft.streaming.StreamIO.fsFor(s"$dir/stream", conf)
+      if (!fs.exists(p)) Seq.empty[String]
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+    }
+    val before = serve()
+    val nRows = Similarity.readIvfAssigned(spark, dir).count()
+    assert(deltaDirs().size == 2, "two live deltas before the fold")
+    assert(Similarity.ivfIndexCompact(spark, dir).contains(1L))
+    assert(serve() == before,
+      "compaction must not change a single served row")
+    assert(Similarity.readIvfAssigned(spark, dir).count() == nRows)
+    assert(deltaDirs().isEmpty, "folded deltas must be gone")
+    // replay of the folded batch: skipped, nothing re-lands
+    graft.streaming.StreamIvfIndex.applyBatch(delta(7, 20000), 1L, dir)
+    assert(deltaDirs().isEmpty && serve() == before,
+      "replay of the folded batch must be a no-op")
+    // an id below the watermark = reset checkpoint: refuse loudly
+    intercept[IllegalStateException] {
+      graft.streaming.StreamIvfIndex.applyBatch(delta(5, 10000), 0L, dir)
+    }
+    // the stream continues past the fold, and a second fold is clean
+    graft.streaming.StreamIvfIndex.applyBatch(delta(11, 30000), 2L, dir)
+    val withB2 = serve()
+    assert(Similarity.ivfIndexCompact(spark, dir).contains(2L))
+    assert(serve() == withB2 && deltaDirs().isEmpty)
+    // nothing left to fold
+    assert(Similarity.ivfIndexCompact(spark, dir).isEmpty)
+  }
+
+  test("ivf_drift: scenarios discriminate; from-index form equals the " +
+      "frame form") {
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.ivfDrift(spark, sf).collect()
+    val byScen = rows.groupBy(_.getAs[String]("scenario"))
+    assert(byScen.keySet == Set("stable", "shifted"))
+    assert(byScen("stable").forall(!_.getAs[Boolean]("is_shifted")),
+      "same-distribution ingest must NOT flag drift")
+    assert(byScen("shifted").forall(_.getAs[Boolean]("is_shifted")),
+      "mean-shifted ingest MUST flag drift")
+    val psiOf = (s: String) => byScen(s).head.getAs[Double]("psi4")
+    assert(psiOf("stable") < 0.05 && psiOf("shifted") > 0.2,
+      s"psi stable=${psiOf("stable")} shifted=${psiOf("shifted")}")
+    // the production monitor over a live artifact == the frame form on
+    // the same vectors
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = graft.operators.ExportImport.scratch("ivf-drift-idx")
+    graft.streaming.StreamIO.deleteRecursively(dir, conf)
+    Similarity.ivfIndexToDir(spark, sf, dir)
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val delta = embs.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x + org.apache.spark.sql.functions.lit(0.5f)).as("embedding"))
+    graft.streaming.StreamIvfIndex.applyBatch(delta, 0L, dir)
+    val viaIndex = Similarity.ivfDriftFromIndex(spark, dir)
+      .collect().map(_.toString).toSeq.sorted
+    val viaFrames = Similarity.ivfDriftFrom(embs, embs.unionByName(delta),
+        Similarity.staticCentroids())
+      .collect().map(_.toString).toSeq.sorted
+    assert(viaIndex == viaFrames,
+      "index-artifact drift must equal the frame-form drift")
+  }
+
   test("knn_triangles: coefficients bounded, consistent with the edge set") {
     val rows = Similarity.knnTriangles(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -205,7 +205,7 @@ class StreamingSpec extends SparkSpec {
     val root = graft.operators.ExportImport.scratch("stream-wavfp")
     val (baseDir, outDir, ckpt) = (root + "/base", root + "/out", root + "/ckpt")
     Seq(baseDir, outDir, ckpt).foreach(d =>
-      graft.streaming.StreamIO.deleteRecursively(java.nio.file.Paths.get(d)))
+      graft.streaming.StreamIO.deleteRecursively(d, spark.sparkContext.hadoopConfiguration))
     def tone(seed: Int) =
       (0 until 120).map(i => ('a' + ((i * seed) % 26)).toChar).mkString
     val d1 = Seq(
@@ -429,7 +429,7 @@ class StreamingSpec extends SparkSpec {
     val (dirS, dirB, ckpt) =
       (root + "/stream-idx", root + "/batch-idx", root + "/ckpt")
     Seq(dirS, dirB, ckpt).foreach(d =>
-      graft.streaming.StreamIO.deleteRecursively(java.nio.file.Paths.get(d)))
+      graft.streaming.StreamIO.deleteRecursively(d, spark.sparkContext.hadoopConfiguration))
     Similarity.ivfIndexToDir(spark, sf, dirS)
     Similarity.ivfIndexToDir(spark, sf, dirB)
     // new corpus vectors = real rows re-id'd; two micro-batches
@@ -480,7 +480,7 @@ class StreamingSpec extends SparkSpec {
     val root = graft.operators.ExportImport.scratch("stream-ann-idx")
     val (dir, outDir, ckpt) = (root + "/idx", root + "/out", root + "/ckpt")
     Seq(dir, outDir, ckpt).foreach(d =>
-      graft.streaming.StreamIO.deleteRecursively(java.nio.file.Paths.get(d)))
+      graft.streaming.StreamIO.deleteRecursively(d, spark.sparkContext.hadoopConfiguration))
     Similarity.ivfIndexToDir(spark, sf, dir)
     // land one maintainer delta: exact copies of the first corpus
     // vectors under fresh ids — guaranteed top-k hits for the queries
@@ -521,7 +521,7 @@ class StreamingSpec extends SparkSpec {
     val root = graft.operators.ExportImport.scratch("stream-semdedup")
     val (dir, outDir, ckpt) = (root + "/idx", root + "/out", root + "/ckpt")
     Seq(dir, outDir, ckpt).foreach(d =>
-      graft.streaming.StreamIO.deleteRecursively(java.nio.file.Paths.get(d)))
+      graft.streaming.StreamIO.deleteRecursively(d, spark.sparkContext.hadoopConfiguration))
     // seed: the corpus index fixes the quantizer and the kept base
     Similarity.ivfIndexToDir(spark, sf, dir)
     val cents = Similarity.readIvfCentroids(spark, dir)
@@ -1076,7 +1076,7 @@ class StreamingSpec extends SparkSpec {
     // checkpoint would dedupe the MemoryStream batches and stale state
     // would break the prefix-1 equality — start clean
     Seq(stateDir, ckpt).foreach(d =>
-      graft.streaming.StreamIO.deleteRecursively(java.nio.file.Paths.get(d)))
+      graft.streaming.StreamIO.deleteRecursively(d, spark.sparkContext.hadoopConfiguration))
     // k small enough that the bottom-k TRIM path is exercised by the
     // merge (not just array concatenation)
     val k = 8
@@ -1125,4 +1125,198 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows() == before,
       "replayed batch must not double-merge the histogram counts")
   }
+
+  test("stream sketches: a swap interrupted between delete and rename " +
+      "is repaired on the next entry") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.operators.ExportImport.scratch("stream-sketches-crash")
+    val stateDir = root + "/state"
+    val staged = stateDir + ".staging"
+    Seq(stateDir, staged).foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(d, conf))
+    val k = 8
+    def batchOf(lo: Int, hi: Int) = (lo to hi)
+      .map(i => ("web", (1 to 12).map(j => s"tok${(i * 7 + j) % 23}")
+        .mkString(" ")))
+      .toDF("source", "text")
+    graft.streaming.StreamSketches.applyBatch(batchOf(1, 10), 0L, stateDir, k)
+    graft.streaming.StreamSketches.applyBatch(batchOf(11, 20), 1L, stateDir, k)
+    def stateRows() = spark.read.parquet(stateDir)
+      .collect().map(_.toString).toSeq.sorted
+    val committed = stateRows()
+    // simulate the crash window: batch 1's swap deleted stateDir but
+    // died before the rename — the staged dir (data + _applied_batch
+    // marker, exactly what swapInto would have renamed) is the only
+    // copy of the accumulated state
+    val (fs, sp) = graft.streaming.StreamIO.fsFor(stateDir, conf)
+    assert(fs.rename(sp, new org.apache.hadoop.fs.Path(staged)),
+      "test setup: could not simulate the crash window")
+    // foreachBatch replays batch 1: entry must complete the swap, then
+    // skip on the recovered marker — NOT rebuild from the replay alone
+    graft.streaming.StreamSketches.applyBatch(batchOf(11, 20), 1L, stateDir, k)
+    assert(stateRows() == committed,
+      "recovery must restore the accumulated state, replay must skip")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staged)),
+      "the staged dir is consumed by the recovery")
+    // and the stream continues normally past the repaired swap
+    graft.streaming.StreamSketches.applyBatch(batchOf(21, 25), 2L, stateDir, k)
+    val want = graft.operators.Sketches.sketchStatesOf(
+      batchOf(1, 25), k).collect().map(_.toString).toSeq.sorted
+    assert(stateRows() == want, "post-recovery state == batch rebuild")
+  }
+
+  test("stream sketches: a reset checkpoint against a live artifact " +
+      "fails loudly instead of silently skipping every batch") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.operators.ExportImport.scratch("stream-sketches-reset")
+    val stateDir = root + "/state"
+    Seq(stateDir, stateDir + ".staging").foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(d, conf))
+    val docs = Seq(("web", "a b c d e f g h")).toDF("source", "text")
+    graft.streaming.StreamSketches.applyBatch(docs, 0L, stateDir, 8)
+    graft.streaming.StreamSketches.applyBatch(docs, 3L, stateDir, 8)
+    // a FRESH checkpoint restarts batch ids at 0 while the artifact's
+    // marker says 3: every batch would be "already applied" (r13's
+    // silent-loss mode) — the writer must refuse
+    val e = intercept[IllegalStateException] {
+      graft.streaming.StreamSketches.applyBatch(docs, 0L, stateDir, 8)
+    }
+    assert(e.getMessage.contains("checkpoint"), e.getMessage)
+  }
+
+  test("stream upsert: a swap interrupted between delete and rename " +
+      "is repaired on the next entry") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.operators.ExportImport.scratch("stream-upsert-crash")
+    val target = root + "/t"
+    val staged = target + ".staging"
+    Seq(target, staged).foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(d, conf))
+    graft.streaming.StreamUpsert.applyBatch(
+      Seq((1L, "a0", 0)).toDF("k", "v", "ver"), target, "k")
+    graft.streaming.StreamUpsert.applyBatch(
+      Seq((2L, "b0", 0)).toDF("k", "v", "ver"), target, "k")
+    // crash window: batch 1's swap deleted the target but died before
+    // the rename; the staged dir (with Spark's _SUCCESS) is the only
+    // full copy of the accumulated table
+    val (fs, tp) = graft.streaming.StreamIO.fsFor(target, conf)
+    assert(fs.rename(tp, new org.apache.hadoop.fs.Path(staged)),
+      "test setup: could not simulate the crash window")
+    // the replayed batch must merge into the RECOVERED table (upsert is
+    // idempotent) — without recovery the result would be batch 1 alone
+    graft.streaming.StreamUpsert.applyBatch(
+      Seq((2L, "b0", 0)).toDF("k", "v", "ver"), target, "k")
+    val got = spark.read.parquet(target).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a0"), (2L, "b0")),
+      s"recovery must keep pre-crash rows: $got")
+  }
+
+  test("artifact compaction: batch_id partitions fold to one, readers " +
+      "unchanged, folded replay skips, reset refused") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.operators.ExportImport.scratch("stream-dedup-gc")
+    val (baseDir, outDir) = (root + "/base", root + "/out")
+    Seq(baseDir, outDir, baseDir + ".compact-staging",
+        outDir + ".compact-staging")
+      .foreach(d => graft.streaming.StreamIO.deleteRecursively(d, conf))
+    def doc(i: Int) =
+      (i.toLong, (1 to 12).map(j => s"tok${(i * 7 + j) % 23}").mkString(" "))
+    val b0 = (1 to 8).map(doc).toDF("doc_id", "text")
+    val b1 = (9 to 14).map(doc).toDF("doc_id", "text")
+    graft.streaming.StreamDedup.applyBatch(b0, 0L, baseDir, outDir, 0.5)
+    graft.streaming.StreamDedup.applyBatch(b1, 1L, baseDir, outDir, 0.5)
+    def rows(d: String) = spark.read.parquet(d).drop("batch_id")
+      .collect().map(_.toString).toSeq.sorted
+    def nParts(d: String) = {
+      val (fs, p) = graft.streaming.StreamIO.fsFor(d, conf)
+      fs.listStatus(p).count(_.getPath.getName.startsWith("batch_id="))
+    }
+    val (decisions, corpus) = (rows(outDir), rows(baseDir))
+    assert(nParts(baseDir) == 2 && nParts(outDir) == 2)
+    // fold both artifacts of the pair
+    assert(graft.streaming.Compaction.compactBatched(spark, baseDir)
+      .contains(1L))
+    assert(graft.streaming.Compaction.compactBatched(spark, outDir)
+      .contains(1L))
+    assert(nParts(baseDir) == 1 && nParts(outDir) == 1,
+      "fold must collapse to a single partition")
+    assert(rows(outDir) == decisions && rows(baseDir) == corpus,
+      "readers must see identical rows through the fold")
+    // replay of the folded batch: every write skipped
+    graft.streaming.StreamDedup.applyBatch(b1, 1L, baseDir, outDir, 0.5)
+    assert(nParts(baseDir) == 1 && rows(outDir) == decisions,
+      "folded replay must be a no-op")
+    // an id below the watermark = reset checkpoint: refuse loudly
+    intercept[IllegalStateException] {
+      graft.streaming.StreamDedup.applyBatch(b0, 0L, baseDir, outDir, 0.5)
+    }
+    // the stream continues past the fold; decisions equal the batch twin
+    val b2 = (15 to 18).map(doc).toDF("doc_id", "text")
+    graft.streaming.StreamDedup.applyBatch(b2, 2L, baseDir, outDir, 0.5)
+    assert(nParts(baseDir) == 2 && nParts(outDir) == 2)
+    val keptBase = graft.operators.Dedup.incrementalFrom(
+      spark.read.parquet(baseDir).filter(col("batch_id") === 1)
+        .select("doc_id", "text"),
+      b2, 0.5).collect().map(_.toString).toSeq.sorted
+    val gotB2 = spark.read.parquet(outDir)
+      .filter(col("batch_id") === 2).drop("batch_id")
+      .collect().map(_.toString).toSeq.sorted
+    assert(gotB2 == keptBase,
+      "post-fold batch must be decided against the folded base")
+    // nothing to fold on an empty/one-partition dir
+    assert(graft.streaming.Compaction
+      .compactBatched(spark, root + "/nope").isEmpty)
+  }
+
+  test("streaming artifact writers resolve probes/marker/swap through " +
+      "the Hadoop FileSystem of a non-file scheme") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftmock.impl", classOf[GraftMockFileSystem].getName)
+    val root = graft.operators.ExportImport.scratch("stream-mockfs")
+    val stateDir = "graftmock:" + root + "/state"
+    Seq(stateDir, stateDir + ".staging").foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(d, conf))
+    val k = 8
+    def batchOf(lo: Int, hi: Int) = (lo to hi)
+      .map(i => ("web", (1 to 12).map(j => s"tok${(i * 7 + j) % 23}")
+        .mkString(" ")))
+      .toDF("source", "text")
+    // two merges + a replay, all against a URI java.nio cannot touch:
+    // existence probe, prior-state read, staged write, marker, swap
+    graft.streaming.StreamSketches.applyBatch(batchOf(1, 10), 0L, stateDir, k)
+    graft.streaming.StreamSketches.applyBatch(batchOf(11, 20), 1L, stateDir, k)
+    graft.streaming.StreamSketches.applyBatch(batchOf(11, 20), 1L, stateDir, k)
+    val got = graft.operators.Sketches.readSketchStates(spark, stateDir)
+      .collect().map(_.toString).toSeq.sorted
+    val want = graft.operators.Sketches.sketchStatesOf(batchOf(1, 20), k)
+      .collect().map(_.toString).toSeq.sorted
+    assert(got == want, "DFS-addressed maintained state == batch rebuild")
+    // the upsert swap idiom on the same scheme
+    val target = "graftmock:" + root + "/t"
+    Seq(target, target + ".staging").foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(d, conf))
+    graft.streaming.StreamUpsert.applyBatch(
+      Seq((1L, "a0", 0)).toDF("k", "v", "ver"), target, "k")
+    graft.streaming.StreamUpsert.applyBatch(
+      Seq((1L, "a1", 1), (2L, "b0", 0)).toDF("k", "v", "ver"), target, "k")
+    val rows = spark.read.parquet(target).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a1"), (2L, "b0")))
+  }
+}
+
+/** [[org.apache.hadoop.fs.RawLocalFileSystem]] re-registered under a
+  * non-`file:` scheme: the StreamingSpec stand-in for an HDFS/S3
+  * filesystem in this zero-egress sandbox. A writer that still probed
+  * or swapped via `java.nio.file` would reject `graftmock:` URIs
+  * outright, so passing through this FS proves the whole maintenance
+  * path speaks the Hadoop FileSystem API. */
+class GraftMockFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftmock:///")
 }

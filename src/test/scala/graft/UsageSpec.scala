@@ -446,7 +446,7 @@ class UsageSpec extends SparkSpec {
     val root = graft.operators.ExportImport.scratch("usage-sketchstate")
     val (stateDir, ckpt) = (root + "/state", root + "/ckpt")
     Seq(stateDir, ckpt).foreach(d =>
-      graft.streaming.StreamIO.deleteRecursively(java.nio.file.Paths.get(d)))
+      graft.streaming.StreamIO.deleteRecursively(d, spark.sparkContext.hadoopConfiguration))
     val rows = (1 to 12).map(i =>
       (if (i % 2 == 0) "a" else "b",
         (1 to 10).map(j => s"w${(i + j) % 7}").mkString(" ")))
@@ -469,7 +469,7 @@ class UsageSpec extends SparkSpec {
     val root = graft.operators.ExportImport.scratch("usage-ivfidx")
     val (dir, ckpt) = (root + "/idx", root + "/ckpt")
     Seq(dir, ckpt).foreach(d =>
-      graft.streaming.StreamIO.deleteRecursively(java.nio.file.Paths.get(d)))
+      graft.streaming.StreamIO.deleteRecursively(d, spark.sparkContext.hadoopConfiguration))
     graft.operators.Similarity.ivfIndexToDir(spark, sf, dir)
     val nBase = graft.operators.Similarity.readIvfAssigned(spark, dir).count()
     val fresh = Tables.load(spark, sf, "embeddings")
