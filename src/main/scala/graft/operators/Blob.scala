@@ -93,19 +93,22 @@ object Blob {
     * targets a shared store (the writer runs where the partition lives
     * either way). */
   def mediaRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
     val dir = ExportImport.scratch("media-files")
+    val conf = spark.sparkContext.hadoopConfiguration
     // overwrite semantics: clear stale exports so a shrunk corpus can't
     // leave orphan files behind
-    val d = Paths.get(dir)
-    Files.list(d).forEach(p => Files.deleteIfExists(p))
+    graft.sources.FsIO.clearChildren(dir, conf)(_ => true)
 
+    // per-partition writers resolve the target's FileSystem on the
+    // executor with the driver's configuration, so "a shared store" in
+    // the scaladoc above means any Hadoop scheme, not a mounted posix dir
+    val sconf = graft.sources.FsIO.serializable(conf)
     Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         rows.foreach { r =>
-          Files.write(Paths.get(s"$dir/${r.getLong(0)}.bin"),
-            r.getAs[Array[Byte]](1))
+          graft.sources.FsIO.writeBytes(s"$dir/${r.getLong(0)}.bin",
+            r.getAs[Array[Byte]](1), sconf.value)
         }
       }
 

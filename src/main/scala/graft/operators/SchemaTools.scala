@@ -116,7 +116,8 @@ object SchemaTools {
     * proving the emitted template is a parseable, annotated workbook. */
   def templateExport(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import java.nio.file.{Files, Paths}
+    import graft.sources.FsIO
+    val conf = spark.sparkContext.hadoopConfiguration
     val dir = ExportImport.scratch("xlsx-template")
     val sheets = templateTables.map { t =>
       val fields = Tables.load(spark, sfDir, t).schema.fields.toSeq
@@ -124,11 +125,11 @@ object SchemaTools {
         Iterator.empty,
         headerComments = fields.map(f => s"Type: ${xsdType(f.dataType)}"))
     }
-    val path = Paths.get(s"$dir/template.xlsx")
-    val out = Files.newOutputStream(path)
+    val path = s"$dir/template.xlsx"
+    val out = FsIO.create(path, conf)
     try graft.sources.XlsxIO.writeWorkbook(out, sheets) finally out.close()
 
-    val bytes = Files.readAllBytes(path)
+    val bytes = FsIO.readBytes(path, conf)
     val comments = graft.sources.XlsxIO.readComments(bytes)
     graft.sources.XlsxIO.readWorkbook(bytes)
       .flatMap { case (sheet, rows) =>
@@ -167,7 +168,8 @@ object SchemaTools {
     * documentation. Metadata-only (no data scan). */
   def xsdExport(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import java.nio.file.{Files, Paths}
+    import graft.sources.FsIO
+    val conf = spark.sparkContext.hadoopConfiguration
     val dir = ExportImport.scratch("xsd")
     val fields = xmlOrdersElements.map { case (n, t) =>
       s"""          <xsd:element name="$n" type="$t"/>"""
@@ -186,13 +188,13 @@ object SchemaTools {
          |  </xsd:element>
          |</xsd:schema>
          |""".stripMargin
-    val path = Paths.get(s"$dir/orders.xsd")
-    Files.writeString(path, xsd)
+    val path = s"$dir/orders.xsd"
+    FsIO.writeString(path, xsd, conf)
 
     // manifest re-parsed from the written file (proves it is valid XML
     // with the declared leaf elements, in order)
     val reader = javax.xml.stream.XMLInputFactory.newInstance()
-      .createXMLStreamReader(Files.newInputStream(path))
+      .createXMLStreamReader(FsIO.open(path, conf))
     val leaves = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     while (reader.hasNext) {
       if (reader.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT

@@ -22,13 +22,8 @@ object BucketedTables {
     // a crashed previous run can leave the managed location behind with
     // no catalog entry; Spark refuses to reuse it (LOCATION_ALREADY_EXISTS)
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    val loc = java.nio.file.Paths.get(warehouse, table)
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    FsIO.delete(s"$warehouse/$table",
+      spark.sparkContext.hadoopConfiguration)
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)

@@ -44,9 +44,9 @@ object PackageIO {
         .mkString("[", ",", "]")
       s"""{"table":"${m.name}","rows":${m.rows},"proc_order":${m.procOrder},"columns":$cols}"""
     }.mkString("[", ",", "]")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/_manifest.json"), json)
+    val conf = spark.sparkContext.hadoopConfiguration
+    FsIO.mkdirs(dir, conf)
+    FsIO.writeString(s"$dir/_manifest.json", json, conf)
     metas
   }
 
@@ -54,8 +54,8 @@ object PackageIO {
     spark.read.parquet(s"$dir/data/$name")
 
   def manifest(dir: String): String =
-    java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$dir/_manifest.json"))
+    FsIO.readString(s"$dir/_manifest.json",
+      new org.apache.hadoop.conf.Configuration())
 
   /** Package tables in ascending processing order (then name), parsed
     * back from the manifest the package was written with — the apply

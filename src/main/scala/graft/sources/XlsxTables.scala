@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -21,17 +20,23 @@ import org.apache.spark.sql.types.StructType
   */
 object XlsxTables {
 
-  /** Export `df` as .xlsx part files under `dir` (executor-parallel). */
+  /** Export `df` as .xlsx part files under `dir` (executor-parallel).
+    * Part files open through the Hadoop FileSystem of `dir`'s scheme
+    * with the DRIVER's configuration ([[FsIO.SerializableConf]]), so
+    * the directory sink targets HDFS/S3 exactly like the parquet
+    * sinks. */
   def write(df: DataFrame, dir: String, table: String,
             packageCode: String): Unit = {
     val names = df.schema.fieldNames.toSeq
     val n = names.length
+    val sconf = FsIO.serializable(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     // Excel-legal worksheet name (31-char cap, forbidden chars) — the
     // reference's GetExcelWorksheetName contract (Codeunit 60001:758)
     val sheet = XlsxIO.sheetName(table, table.hashCode.abs.toString)
     df.foreachPartition { rows: Iterator[Row] =>
       val pid = TaskContext.getPartitionId()
-      val out = Files.newOutputStream(Paths.get(f"$dir/part-$pid%05d.xlsx"))
+      val out = FsIO.create(f"$dir/part-$pid%05d.xlsx", sconf.value)
       try XlsxIO.writeWorkbook(out, Seq(
         XlsxIO.WorkSheet(sheet, names,
           rows.map(r => (0 until n).map(r.get))),
@@ -58,7 +63,9 @@ object XlsxTables {
     val names = df.schema.fieldNames.toSeq
     val n = names.length
     val sheet = XlsxIO.sheetName(table, table.hashCode.abs.toString)
-    Files.deleteIfExists(Paths.get(path))
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val sconf = FsIO.serializable(conf)
+    FsIO.delete(path, conf)
     df.coalesce(1).foreachPartition { rows: Iterator[Row] =>
       var count = 0L
       val guarded = rows.map { r =>
@@ -70,7 +77,7 @@ object XlsxTables {
               "directory of part workbooks) for datasets of scale")
         (0 until n).map(r.get)
       }
-      val out = Files.newOutputStream(Paths.get(path))
+      val out = FsIO.create(path, sconf.value)
       try XlsxIO.writeWorkbook(out, Seq(
         XlsxIO.WorkSheet(sheet, names, guarded),
         XlsxIO.WorkSheet("_package",
@@ -78,7 +85,7 @@ object XlsxTables {
           Iterator(Seq(packageCode, table, n)))))
       finally out.close()
     }
-    if (!Files.exists(Paths.get(path))) {
+    if (!FsIO.exists(path, conf)) {
       // Distinguish the two ways the file can be missing. An EMPTY
       // frame can schedule no task — deliver a valid header-only
       // workbook. A NON-empty frame whose task ran but whose file is
@@ -86,7 +93,7 @@ object XlsxTables {
       // driver's filesystem: failing loudly is the method's contract
       // (a silently empty "successful" export is data loss).
       if (df.isEmpty) {
-        val out = Files.newOutputStream(Paths.get(path))
+        val out = FsIO.create(path, conf)
         try XlsxIO.writeWorkbook(out, Seq(
           XlsxIO.WorkSheet(sheet, names, Iterator.empty),
           XlsxIO.WorkSheet("_package",
@@ -157,12 +164,11 @@ object XlsxTables {
       sheetName = Some("_package"))
       .distinct()
 
-  /** Remove stale part files so re-exports have overwrite semantics. */
-  def clearDir(dir: String): Unit = {
-    val d = Paths.get(dir)
-    if (Files.exists(d))
-      Files.list(d).forEach { p =>
-        if (p.toString.endsWith(".xlsx")) Files.deleteIfExists(p)
-      }
-  }
+  /** Remove stale part files so re-exports have overwrite semantics.
+    * Resolves through the path's Hadoop FileSystem under a default
+    * Configuration (scheme impls only — this is the pre-write cleanup
+    * helper, not a credentialed read path). */
+  def clearDir(dir: String): Unit =
+    FsIO.clearChildren(dir,
+      new org.apache.hadoop.conf.Configuration())(_.endsWith(".xlsx"))
 }

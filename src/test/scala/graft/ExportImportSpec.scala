@@ -258,6 +258,12 @@ class ExportImportSpec extends SparkSpec {
       processingOrder = Map("t2" -> 1, "t1" -> 2))
     assert(PackageIO.tablesInOrder(dir).map(_._1) == Seq("t2", "t1"))
     val path = java.nio.file.Paths.get(s"$dir/_manifest.json")
+    // simulate external production faithfully: a foreign producer
+    // writes no Hadoop .crc sidecar — drop the one our own
+    // ChecksumFileSystem write left, else the checksum layer (rightly)
+    // rejects an out-of-band rewrite against a stale sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/._manifest.json.crc"))
     // an externally produced manifest: fields reordered, extras added —
     // must parse identically (the old regex keyed on exact field order)
     java.nio.file.Files.writeString(path,
