@@ -577,4 +577,28 @@ object Graft {
   def plannedBandRecall(bands: Int, bandBits: Int, totalBits: Int,
                         h: Int): Double =
     graft.operators.Dedup.plannedBandRecall(bands, bandBits, totalBits, h)
+
+  /** Fold every streamed `stream/batch_id=N` delta of an IVF index
+    * artifact back into the base cell layout and drop the folded
+    * deltas — run with the maintainers quiesced; serving is identical
+    * before and after, probe partition pruning is restored. Returns
+    * the folded watermark (None = nothing to fold). */
+  def compactIvfIndex(spark: SparkSession, dir: String): Option[Long] =
+    graft.operators.Similarity.ivfIndexCompact(spark, dir)
+
+  /** Fold every `batch_id=N` partition of a streamed accumulation dir
+    * (pair/corpus/fingerprint/decision artifacts) into one compacted
+    * partition — the delta GC that keeps listings O(1) after 10⁴
+    * micro-batches. Same quiesced-writer contract as
+    * [[compactIvfIndex]]; maintainers skip a replay of the folded
+    * batch and refuse older ids. */
+  def compactArtifact(spark: SparkSession, dir: String): Option[Long] =
+    graft.streaming.Compaction.compactBatched(spark, dir)
+
+  /** Quantizer-drift monitor over a live IVF index artifact: PSI of
+    * cell-population shares (maintained base+deltas vs the build-time
+    * base) + mean assignment distance per side; `is_shifted` at the
+    * 0.2 screening threshold is the retrain+rebuild signal. */
+  def ivfDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.ivfDriftFromIndex(spark, dir)
 }

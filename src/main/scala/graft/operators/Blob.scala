@@ -99,17 +99,19 @@ object Blob {
     // leave orphan files behind
     graft.sources.FsIO.clearChildren(dir, conf)(_ => true)
 
-    // per-partition writers resolve the target's FileSystem on the
-    // executor with the driver's configuration, so "a shared store" in
-    // the scaladoc above means any Hadoop scheme, not a mounted posix dir
+    // per-partition writers resolve the target ONCE on the executor
+    // with the driver's configuration (so "a shared store" in the
+    // scaladoc above means any Hadoop scheme, not a mounted posix dir);
+    // FsIO.bulkWriter keeps posix speed for file: targets — the Hadoop
+    // local shim forks a chmod per file without the native lib
     val sconf = graft.sources.FsIO.serializable(conf)
     Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        rows.foreach { r =>
-          graft.sources.FsIO.writeBytes(s"$dir/${r.getLong(0)}.bin",
-            r.getAs[Array[Byte]](1), sconf.value)
-        }
+        val w = graft.sources.FsIO.bulkWriter(dir, sconf.value)
+        try rows.foreach { r =>
+          w.write(s"$dir/${r.getLong(0)}.bin", r.getAs[Array[Byte]](1))
+        } finally w.close()
       }
 
     spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)

@@ -86,6 +86,45 @@ object FsIO {
   def readString(path: String, conf: Configuration): String =
     new String(readBytes(path, conf), "UTF-8")
 
+  /** Per-partition BULK small-file writer. Scheme decides the engine:
+    *  - `file:` targets bypass the Hadoop local shim entirely — without
+    *    the native library its create path FORKS a chmod per file
+    *    (measured 3.7 ms/file vs 0.02 ms for java.nio, 180×, and the
+    *    checksum wrapper adds a hidden `.crc` sidecar per artifact on
+    *    top), which turns a 0.7 s 5k-file export into 20-30 s;
+    *  - any other scheme writes through ONE un-cached Hadoop client
+    *    (the shared cached instance must not be mutated) with
+    *    client-side checksums off — DFS integrity is server-side.
+    * Close after the partition. */
+  trait BulkWriter extends AutoCloseable {
+    def write(path: String, bytes: Array[Byte]): Unit
+  }
+
+  def bulkWriter(dir: String, conf: Configuration): BulkWriter = {
+    val probe = FileSystem.newInstance(new Path(dir).toUri, conf)
+    if (probe.getScheme == "file") {
+      probe.close()
+      new BulkWriter {
+        def write(path: String, bytes: Array[Byte]): Unit = {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path.stripPrefix("file:")), bytes)
+          ()
+        }
+        def close(): Unit = ()
+      }
+    } else {
+      probe.setWriteChecksum(false)
+      probe.setVerifyChecksum(false)
+      new BulkWriter {
+        def write(path: String, bytes: Array[Byte]): Unit = {
+          val out = probe.create(new Path(path), true)
+          try out.write(bytes) finally out.close()
+        }
+        def close(): Unit = probe.close()
+      }
+    }
+  }
+
   /** Delete the direct children of `dir` whose names satisfy `pred` —
     * overwrite semantics for non-parquet directory sinks. */
   def clearChildren(dir: String, conf: Configuration)

@@ -330,6 +330,14 @@ class UsageSpec extends SparkSpec {
         .select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
     val after = Graft.annServeFromIndex(spark, dir, queries, k = 3).collect()
     assert(after.length >= served.length)
+    // the maintenance loop's facade: with no streamed deltas the drift
+    // monitor sees current == baseline (PSI exactly 0, nothing flagged)
+    // and the compactor has nothing to fold
+    val drift = Graft.ivfDrift(spark, dir).collect()
+    assert(drift.nonEmpty && drift.forall(!_.getAs[Boolean]("is_shifted")))
+    assert(drift.forall(_.getAs[Double]("psi4") == 0.0))
+    assert(Graft.compactIvfIndex(spark, dir).isEmpty)
+    assert(Graft.compactArtifact(spark, dir + "-nonexistent").isEmpty)
   }
 
   test("facade: round-10 entry points on arbitrary frames") {
