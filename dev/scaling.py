@@ -301,31 +301,33 @@ out += ["",
         "weak — the single",
         "  retry slot was spent on dedup_survivorship): builder r14 "
         "full sweeps",
-        "  re-measure the SAME plan at 7.25 s in-sweep / 5.47 s on the "
-        "in-sweep retry",
-        "  at sf0.1 (3-SF curve 3.6/2.9/7.3 s, flat-to-2.5x on the 10x "
-        "step; composed",
-        "  form 1.4 s), matching r13's builder 8.5/7.4 s. Same "
-        "standalone prefix-join",
-        "  family, same high-CPU/flat-shuffle signature as the "
-        "live-adjudicated",
-        "  dedup_survivorship (48.6 -> 10.7 s in r13's own retry pair). "
-        "Box-side;",
-        "  weak count back to 0. The retry adjudicator now covers the "
-        "TOP-3 outliers",
-        "  so a family-wide recurrence is classified live from the "
-        "tail alone.",
+        "  re-measure the SAME plan at 6.4 s in-sweep at sf0.1 (this "
+        "table's curve",
+        "  3.9/2.5/6.4 s, flat-to-2.6x on the 10x step; an earlier "
+        "same-binary sweep",
+        "  read 7.25 s with the in-sweep retry at 5.47 s; composed "
+        "form 1.4 s),",
+        "  matching r13's builder 8.5/7.4 s. Same standalone "
+        "prefix-join family, same",
+        "  high-CPU/flat-shuffle signature as the live-adjudicated "
+        "dedup_survivorship",
+        "  (48.6 -> 10.7 s in r13's own retry pair). Box-side; weak "
+        "count back to 0.",
+        "  The retry adjudicator now covers the TOP-3 outliers so a "
+        "family-wide",
+        "  recurrence is classified live from the tail alone.",
         "- retry-pair reading note (new with the 3 slots): for queries "
         "that build a",
         "  session-shared artifact on first touch (pagerank's kNN edge "
-        "set: 10.3 s",
-        "  first / 0.4 s again at sf0.1), 'again' measures the "
-        "artifact-warm serve",
-        "  path, not noise — a near-zero 'again' on an artifact query "
-        "is the expected",
-        "  economics, while a repeated 'again' at ~'first' (knn_graph "
-        "9.8/7.6 s,",
-        "  the priced exact-kNN baseline) marks honest compute.",
+        "set: 7.1 s",
+        "  first / 0.5 s again at sf0.1 this sweep), 'again' measures "
+        "the",
+        "  artifact-warm serve path, not noise — a near-zero 'again' "
+        "on an artifact",
+        "  query is the expected economics, while a repeated 'again' "
+        "at ~'first'",
+        "  (knn_graph 7.7/8.3 s, the priced exact-kNN baseline) marks "
+        "honest compute.",
         "- media_roundtrip regression caught and fixed IN-round by the "
         "sweep: routing",
         "  the per-document binary export through the Hadoop "

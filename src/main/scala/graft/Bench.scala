@@ -67,7 +67,7 @@ object Bench {
       "semantic_dedup_incremental", "hard_negatives",
       "embedding_dedup", "embedding_quantize", "quantize_eval",
       "embedding_class_stats", "embedding_outliers", "embedding_pca",
-      "ivf_probe_sweep", "ivf_drift"),
+      "ivf_probe_sweep", "ivf_drift", "ivf_drift_impact"),
     "text" -> Seq(
       "text_stats", "token_count", "lang_id", "quality_filter",
       "quality_funnel", "quality_calibration", "gate_agreement",

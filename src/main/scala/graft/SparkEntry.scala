@@ -226,6 +226,7 @@ object SparkEntry {
     "embedding_pca" -> ((s, d) => Similarity.embeddingPca(s, d)),
     "ivf_probe_sweep" -> ((s, d) => Similarity.ivfProbeSweep(s, d)),
     "ivf_drift" -> ((s, d) => Similarity.ivfDrift(s, d)),
+    "ivf_drift_impact" -> ((s, d) => Similarity.ivfDriftImpact(s, d)),
     "html_strip" -> (TextAnalysis.htmlStrip _),
     "media_wav_stats" -> ((s, d) => Blob.mediaWavStats(s, d)),
     "media_jpeg_stats" -> ((s, d) => Blob.mediaJpegStatsArith(s, d)),
@@ -1030,6 +1031,7 @@ object SparkEntry {
     "embedding_pca" -> Similarity.embeddingPcaOracle(),
     "ivf_probe_sweep" -> Similarity.ivfProbeSweepOracle(),
     "ivf_drift" -> Similarity.ivfDriftOracle(),
+    "ivf_drift_impact" -> Similarity.ivfDriftImpactOracle(),
     "html_strip" -> TextAnalysis.htmlStripOracle,
     "media_wav_stats" -> Blob.mediaWavStatsOracle(),
     "media_jpeg_stats" -> Blob.mediaJpegStatsOracle,

@@ -998,6 +998,148 @@ object Similarity {
       all.select("vec_id", "embedding"), cents)
   }
 
+  /** §2 #220 — `ivf_drift_impact`: what the drift [[ivfDrift]] flags
+    * actually COSTS, measured. For queries drawn from the NEW
+    * (post-ingest) distribution, serve them through the unchanged
+    * quantizer against the current corpus and publish, per scenario:
+    * recall@k vs the brute truth over the same corpus, and the probed
+    * candidate volume (the pruning bill — probed-cell population sums,
+    * no vector join). The drifted scenario's signature is the real
+    * IVF failure mode: recall can HOLD (the new vectors crowd into the
+    * same cells their neighbors landed in) while the candidate volume
+    * per query explodes toward a full scan — pruning, not recall, is
+    * what dies first, which is why `is_shifted` means retrain even
+    * when spot-checked answers still look right. Same deterministic
+    * scenario construction as [[ivfDrift]]; everything is replayed by
+    * [[ivfDriftImpactOracle]]. */
+  def ivfDriftImpact(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+                     k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val cents = staticCentroids()
+    val v = vectors(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val base = v.filter(col("vec_id") % 5 =!= 0)
+    val stable = v.filter(col("vec_id") % 5 === 0)
+    val shifted = stable.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
+    def withNrm(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    def cellsOf(n: Int) =
+      graft.functions.VectorQuantize.nearestCells(col("embedding"), cents, n)
+    def one(tag: String, delta: DataFrame): DataFrame = {
+      val corpus = withNrm(base.unionByName(delta))
+      val queries = withNrm(delta.filter(col("vec_id") < nQueries * 5))
+      val qf = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("e_q"), col("nrm").as("n_q"))
+      val cf = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("e_c"), col("nrm").as("n_c"))
+      // brute truth over the CURRENT corpus (broadcast query side)
+      val truth = rankTopK(cf.join(broadcast(qf),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"),
+            col("n_c")).as("cos")), k)
+        .select("query_id", "neighbor_id")
+      val served = ivfServe(corpus, queries, cents, nProbe, k)
+        .select("query_id", "neighbor_id")
+      // the pruning bill: probed-cell population, no vector join (each
+      // query's own vector sits in its probed top cell — subtract)
+      val cellCounts = corpus.select(element_at(cellsOf(1), 1).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      val nCand = queries
+        .select(col("vec_id").as("query_id"), explode(cellsOf(nProbe)).as("cell"))
+        .join(cellCounts, Seq("cell"))
+        .agg((sum("cnt") - lit(nQueries.toLong)).as("n_candidates"))
+      val hits = served.join(truth, Seq("query_id", "neighbor_id"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(nCand)
+        .select(lit(tag).as("scenario"), col("n_truth"), col("n_hit"),
+          round(col("n_hit") / col("n_truth"), 4).as("recall4"),
+          col("n_candidates"),
+          round(col("n_candidates") / lit(nQueries.toDouble), 2)
+            .as("cand_per_query2"))
+    }
+    one("stable", stable).unionByName(one("shifted", shifted))
+      .orderBy("scenario")
+  }
+
+  /** DuckDB oracle for [[ivfDriftImpact]]: per-scenario corpus CTEs,
+    * the ranked-assignment replay, brute truth, probe serve, and the
+    * probed-cell population sum — unioned. */
+  def ivfDriftImpactOracle(nQueries: Int = 10, k: Int = 5,
+                           nProbe: Int = 4): String = {
+    val cents = staticCentroids()
+    val dotE = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"(${i}, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    val qCap = nQueries * 5
+    def scen(tag: String, deltaSrc: String) =
+      s"""${tag}_n AS (SELECT vec_id, embedding,
+             sqrt(${dotE("embedding", "embedding")}) AS nrm
+           FROM (SELECT * FROM base UNION ALL SELECT * FROM $deltaSrc)),
+         ${tag}_ranked AS (
+           SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+               ${dotE("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+           FROM ${tag}_n v, cents c),
+         ${tag}_assigned AS (SELECT cell, vec_id AS neighbor_id,
+             embedding AS e_c, nrm AS n_c
+           FROM ${tag}_ranked WHERE crnk = 1),
+         ${tag}_cc AS (SELECT cell, count(*) AS cnt
+           FROM ${tag}_assigned GROUP BY 1),
+         ${tag}_truth AS (SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 ${dotE("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+                   DESC, c.vec_id) AS rnk
+             FROM ${tag}_n q JOIN ${tag}_n c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id % 5 = 0 AND q.vec_id < $qCap)
+           WHERE rnk <= $k)"""
+    def sel(tag: String) =
+      s"""SELECT '$tag' AS scenario,
+           (SELECT CAST(count(*) AS BIGINT) FROM ${tag}_truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT pr.query_id, a.neighbor_id,
+                    row_number() OVER (PARTITION BY pr.query_id ORDER BY
+                      ${dotE("pr.e_q", "a.e_c")} / (pr.n_q * a.n_c) DESC,
+                      a.neighbor_id) AS rnk
+                  FROM (SELECT cell, vec_id AS query_id, embedding AS e_q,
+                          nrm AS n_q
+                        FROM ${tag}_ranked
+                        WHERE crnk <= $nProbe AND vec_id % 5 = 0
+                          AND vec_id < $qCap) pr
+                  JOIN ${tag}_assigned a ON pr.cell = a.cell
+                  WHERE pr.query_id <> a.neighbor_id) i
+            JOIN ${tag}_truth t ON t.query_id = i.query_id
+                               AND t.neighbor_id = i.neighbor_id
+            WHERE i.rnk <= $k) AS n_hit,
+           (SELECT CAST(sum(cc.cnt) AS BIGINT) - $nQueries
+            FROM (SELECT cell FROM ${tag}_ranked
+                  WHERE crnk <= $nProbe AND vec_id % 5 = 0
+                    AND vec_id < $qCap) pp
+            JOIN ${tag}_cc cc USING (cell)) AS n_candidates"""
+    s"""WITH cents(cell, cv) AS (VALUES $centRows),
+        base AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 5 <> 0),
+        delta_stable AS (SELECT vec_id, embedding FROM embeddings
+                         WHERE vec_id % 5 = 0),
+        delta_shifted AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x + 0.5 AS FLOAT))
+              AS embedding
+          FROM embeddings WHERE vec_id % 5 = 0),
+        ${scen("stable", "delta_stable")},
+        ${scen("shifted", "delta_shifted")}
+       SELECT scenario, n_truth, n_hit,
+         round(n_hit / CAST(n_truth AS DOUBLE), 4) AS recall4,
+         n_candidates,
+         round(n_candidates / CAST($nQueries AS DOUBLE), 2)
+           AS cand_per_query2
+       FROM (${sel("stable")} UNION ALL ${sel("shifted")})
+       ORDER BY scenario"""
+  }
+
   /** DuckDB oracle for [[ivfDrift]]: centroids inlined as VALUES, the
     * ranked-assignment replay of [[ivfStaticOracle]], same 8-dp decimal
     * terms, same one-sided-cell accounting, both scenarios replayed

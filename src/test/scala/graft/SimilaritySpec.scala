@@ -481,6 +481,31 @@ class SimilaritySpec extends SparkSpec {
       "index-artifact drift must equal the frame-form drift")
   }
 
+  test("ivf_drift_impact: drifted ingest inflates the pruning bill; " +
+      "recall holds or improves for in-crowd queries") {
+    val rows = Similarity.ivfDriftImpact(spark, sf).collect()
+      .map(r => r.getAs[String]("scenario") -> r).toMap
+    assert(rows.keySet == Set("stable", "shifted"))
+    val (st, sh) = (rows("stable"), rows("shifted"))
+    assert(st.getAs[Long]("n_truth") == 50L
+      && sh.getAs[Long]("n_truth") == 50L,
+      "10 new-distribution queries x k=5 truth rows per scenario")
+    Seq(st, sh).foreach { r =>
+      val rec = r.getAs[Double]("recall4")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // the drift signature the operator exists to expose: the shifted
+    // queries probe the cells their own crowd landed in, so recall
+    // does NOT collapse — the candidate volume (the pruning bill) does
+    assert(sh.getAs[Double]("recall4") >= st.getAs[Double]("recall4"),
+      "in-crowd recall must not fall below the stable baseline")
+    assert(sh.getAs[Long]("n_candidates") >
+        (st.getAs[Long]("n_candidates") * 1.3).toLong,
+      s"drift must inflate the probed population: stable=${
+        st.getAs[Long]("n_candidates")} shifted=${
+        sh.getAs[Long]("n_candidates")}")
+  }
+
   test("knn_triangles: coefficients bounded, consistent with the edge set") {
     val rows = Similarity.knnTriangles(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
