@@ -31,7 +31,7 @@ object ExportImport {
     val root = sys.props.getOrElse("graft.scratch.dir",
       sys.props("user.dir") + "/target/graft-tmp")
     val d = s"$root/$name"
-    graft.sources.FsIO.mkdirs(d, new org.apache.hadoop.conf.Configuration())
+    graft.sources.FsIO.mkdirs(d, graft.sources.FsIO.sessionConf)
     d
   }
 

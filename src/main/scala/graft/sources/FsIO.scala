@@ -15,6 +15,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object FsIO {
 
+  /** The driver-side Hadoop Configuration for helpers whose signature
+    * predates conf-threading (scratch-dir creation, manifest reads):
+    * the ACTIVE session's hadoopConfiguration when one exists — so
+    * cluster credentials/scheme settings (S3 keys, defaultFS) apply —
+    * falling back to a bare default only when no session is up (e.g.
+    * path utilities invoked before SparkSession.builder ran). */
+  def sessionConf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
   /** The session Hadoop Configuration shipped into an executor closure:
     * `Configuration` is not java-serializable, so per-partition writers
     * ([[XlsxTables.write]], media exports) carry this wrapper and

@@ -54,8 +54,7 @@ object PackageIO {
     spark.read.parquet(s"$dir/data/$name")
 
   def manifest(dir: String): String =
-    FsIO.readString(s"$dir/_manifest.json",
-      new org.apache.hadoop.conf.Configuration())
+    FsIO.readString(s"$dir/_manifest.json", FsIO.sessionConf)
 
   /** Package tables in ascending processing order (then name), parsed
     * back from the manifest the package was written with — the apply

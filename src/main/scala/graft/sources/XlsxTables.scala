@@ -165,10 +165,9 @@ object XlsxTables {
       .distinct()
 
   /** Remove stale part files so re-exports have overwrite semantics.
-    * Resolves through the path's Hadoop FileSystem under a default
-    * Configuration (scheme impls only — this is the pre-write cleanup
-    * helper, not a credentialed read path). */
+    * Resolves through the path's Hadoop FileSystem under the session's
+    * hadoopConfiguration ([[FsIO.sessionConf]]) so credentialed stores
+    * (S3) delete through the same settings the writers use. */
   def clearDir(dir: String): Unit =
-    FsIO.clearChildren(dir,
-      new org.apache.hadoop.conf.Configuration())(_.endsWith(".xlsx"))
+    FsIO.clearChildren(dir, FsIO.sessionConf)(_.endsWith(".xlsx"))
 }

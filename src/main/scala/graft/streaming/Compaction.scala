@@ -30,6 +30,14 @@ import org.apache.spark.sql.SparkSession
   * marker and is swapped in via delete→rename, with
   * [[StreamIO.recoverInterruptedSwap]] on entry repairing a crash
   * between the two — identical to the sketch-state swap discipline.
+  *
+  * Concurrent READERS (distinct from the quiesced-MAINTAINER contract
+  * above): the delete→rename window momentarily removes the dir, so a
+  * scan planned across it can see missing files — set
+  * `spark.sql.files.ignoreMissingFiles` for in-flight reads, or put
+  * serving that cannot tolerate the window behind an ACID table format
+  * (docs/LAKEHOUSE.md). A read started after the swap is always
+  * complete.
   */
 object Compaction {
 
@@ -46,6 +54,12 @@ object Compaction {
     val conf = spark.sparkContext.hadoopConfiguration
     val staged = dir + ".compact-staging"
     StreamIO.recoverInterruptedSwap(dir, staged, "_compacted_through", conf)
+    // A crash between the staged write and the swap leaves a stale
+    // staging dir whose batch_id=w1 partition would survive the next
+    // run's overwrite of batch_id=w2 (w2 > w1 once new batches landed)
+    // and be installed alongside it, duplicating every row through w1.
+    // Clear the staging root so each attempt stages from scratch.
+    StreamIO.deleteRecursively(staged, conf)
     val (fs, p) = StreamIO.fsFor(dir, conf)
     if (!fs.exists(p)) return None
     val parts = fs.listStatus(p).map(_.getPath.getName)

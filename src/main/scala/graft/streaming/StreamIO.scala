@@ -56,9 +56,13 @@ object StreamIO {
     else {
       val in = fs.open(m)
       try {
+        // InputStream.read may legally return fewer bytes than are
+        // available (DFS short read) — loop to EOF before parsing.
+        val buf = new java.io.ByteArrayOutputStream(64)
         val bytes = new Array[Byte](64)
-        val n = in.read(bytes)
-        Some(new String(bytes, 0, math.max(0, n), "UTF-8").trim.toLong)
+        var n = in.read(bytes)
+        while (n > 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
+        Some(new String(buf.toByteArray, "UTF-8").trim.toLong)
       } finally in.close()
     }
   }
