@@ -67,7 +67,7 @@ object Bench {
       "semantic_dedup_incremental", "hard_negatives",
       "embedding_dedup", "embedding_quantize", "quantize_eval",
       "embedding_class_stats", "embedding_outliers", "embedding_pca",
-      "ivf_probe_sweep", "ivf_drift", "ivf_drift_impact"),
+      "ivf_probe_sweep", "ivf_drift", "ivf_drift_impact", "ivf_rebuild"),
     "text" -> Seq(
       "text_stats", "token_count", "lang_id", "quality_filter",
       "quality_funnel", "quality_calibration", "gate_agreement",
@@ -369,16 +369,31 @@ object Bench {
       System.err.println(f"[bench] $name%-24s ${t}%8.2fs  ${jvmHealth()}")
       (name, t, res)
     }
-    // OUTLIER SELF-RETRY: re-run the TOP-3 slowest successful queries
+    // OUTLIER SELF-RETRY: re-run up to 3 suspicious successful queries
     // once each and report both timings. A cheap re-measurement
     // separates box noise (retry ~normal) from a real plan regression
     // (retry ~first) — the adjudication the r10 134s outlier had no
-    // data for. Three slots because r13 proved outliers arrive as a
-    // family: the single slot caught dedup_survivorship 48.6→10.7 s
-    // live while leakage_safe_split's 37.6 s went unretried and stayed
-    // the round's only weak.
-    val retryList = timed.collect { case (n, s, None) => (n, s) }
-      .sortBy(-_._2).take(3).map { case (worst, first) =>
+    // data for. Selection is RATIO-FIRST against the prior driver
+    // round (docs/BENCH_PRIOR.json, decoded from the last BENCH_rN
+    // g1 tail): any query >2.5x its prior wall, worst ratio first —
+    // rank-based top-3 missed r14's knn_graph_ann (2.5x but only
+    // 8th-slowest) exactly the way the r13 single slot missed
+    // leakage_safe_split. Remaining slots fill rank-based (top
+    // slowest), which also covers a missing/stale priors file.
+    val prior = priorQuerySeconds()
+    val succeeded = timed.collect { case (n, s, None) => (n, s) }
+    val byRatio = succeeded
+      .flatMap { case (n, s) =>
+        prior.get(n).filter(_ > 0.0).map(p => (n, s, s / p)) }
+      .filter(_._3 > 2.5).sortBy(-_._3).take(3)
+    byRatio.foreach { case (n, s, r) =>
+      System.err.println(f"[bench] retry-select $n: ${s}%.2fs = ${r}%.1fx prior")
+    }
+    val ratioNames = byRatio.map(_._1).toSet
+    val fill = succeeded.filterNot(t => ratioNames(t._1))
+      .sortBy(-_._2).take(3 - byRatio.size)
+    val retryList = (byRatio.map(t => (t._1, t._2)) ++ fill)
+      .map { case (worst, first) =>
         val t0 = System.nanoTime()
         val again =
           try { SparkEntry.queries(worst)(spark, sfDir).count()
@@ -448,6 +463,31 @@ object Bench {
       orderFingerprint(names)))
     spark.stop()
   }
+
+  /** Prior driver round's per-query wall seconds
+    * (docs/BENCH_PRIOR.json — the builder re-decodes it each round
+    * from the latest BENCH_rN.json g1 tail). Empty map when the file
+    * is absent/unreadable: retry selection then degrades to the pure
+    * rank-based fill, never fails the bench. */
+  private def priorQuerySeconds(): Map[String, Double] = try {
+    val f = new java.io.File("docs/BENCH_PRIOR.json")
+    if (!f.isFile) Map.empty
+    else {
+      import org.json4s._
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      val j = try org.json4s.jackson.JsonMethods.parse(src.mkString)
+        finally src.close()
+      j \ "queries" match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+          case (k, JLong(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    }
+  } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()

@@ -227,6 +227,7 @@ object SparkEntry {
     "ivf_probe_sweep" -> ((s, d) => Similarity.ivfProbeSweep(s, d)),
     "ivf_drift" -> ((s, d) => Similarity.ivfDrift(s, d)),
     "ivf_drift_impact" -> ((s, d) => Similarity.ivfDriftImpact(s, d)),
+    "ivf_rebuild" -> ((s, d) => Similarity.ivfRebuild(s, d)),
     "html_strip" -> (TextAnalysis.htmlStrip _),
     "media_wav_stats" -> ((s, d) => Blob.mediaWavStats(s, d)),
     "media_jpeg_stats" -> ((s, d) => Blob.mediaJpegStatsArith(s, d)),
@@ -1032,6 +1033,7 @@ object SparkEntry {
     "ivf_probe_sweep" -> Similarity.ivfProbeSweepOracle(),
     "ivf_drift" -> Similarity.ivfDriftOracle(),
     "ivf_drift_impact" -> Similarity.ivfDriftImpactOracle(),
+    "ivf_rebuild" -> Similarity.ivfRebuildOracle(),
     "html_strip" -> TextAnalysis.htmlStripOracle,
     "media_wav_stats" -> Blob.mediaWavStatsOracle(),
     "media_jpeg_stats" -> Blob.mediaJpegStatsOracle,

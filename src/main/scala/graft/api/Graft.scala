@@ -596,9 +596,27 @@ object Graft {
     graft.streaming.Compaction.compactBatched(spark, dir)
 
   /** Quantizer-drift monitor over a live IVF index artifact: PSI of
-    * cell-population shares (maintained base+deltas vs the build-time
-    * base) + mean assignment distance per side; `is_shifted` at the
-    * 0.2 screening threshold is the retrain+rebuild signal. */
+    * cell-population shares (maintained base+deltas vs the artifact's
+    * `drift_baseline/` snapshot, pinned at build/rebuild time so
+    * compaction cannot reset it) + mean assignment distance per side;
+    * `is_shifted` at the 0.2 screening threshold is the
+    * [[rebuildIvfIndex]] signal. */
   def ivfDrift(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.ivfDriftFromIndex(spark, dir)
+
+  /** The retrain action [[ivfDrift]]'s `is_shifted` calls for: retrain
+    * the coarse quantizer on the artifact's CURRENT corpus (base +
+    * live deltas), rebuild the cell-partitioned layout behind a
+    * crash-safe stage→swap, fold the deltas, reset the drift baseline
+    * and bump the quantizer version (running maintainers fail loudly
+    * and must restart to pin the new version). Quiesced-writer
+    * contract, like [[compactIvfIndex]]. Returns the new version. */
+  def rebuildIvfIndex(spark: SparkSession, dir: String, nCells: Int = 16)
+      : Long =
+    graft.operators.Similarity.ivfIndexRebuild(spark, dir, nCells)
+
+  /** The artifact's quantizer version: 1 at build, +1 per
+    * [[rebuildIvfIndex]] (None for a pre-versioning artifact). */
+  def ivfQuantizerVersion(spark: SparkSession, dir: String): Option[Long] =
+    graft.operators.Similarity.readIvfQuantizerVersion(spark, dir)
 }

@@ -763,16 +763,59 @@ object Similarity {
     * [[graft.operators.Dedup.verifiedPairsToDir]]'s asymmetric
     * build-once/serve-many split. */
   def ivfIndexToDir(spark: SparkSession, sfDir: String, dir: String,
+                    cents: Array[Array[Double]] = staticCentroids()): Unit =
+    ivfIndexBuild(spark,
+      vectors(spark, sfDir).select("vec_id", "embedding"), dir, cents)
+
+  /** [[ivfIndexToDir]] over an explicit (vec_id, embedding) corpus
+    * frame — the form [[ivfIndexRebuild]] reuses against the live
+    * artifact's own rows. Besides `assigned/` + `centroids/` the build
+    * lands two version-pinned facts:
+    *  - `drift_baseline/` — the build-time per-cell (cnt, dsum) stats
+    *    ([[driftStats]]), the baseline [[ivfDriftFromIndex]] monitors
+    *    against. Snapshotted AT BUILD because [[ivfIndexCompact]] folds
+    *    deltas into `assigned/`: a baseline re-derived from the base
+    *    rows would silently reset to the already-drifted population
+    *    after every fold and the monitor could never fire (ADVICE r14).
+    *  - a `_quantizer_version` marker at the artifact root (fresh
+    *    build = 1; [[ivfIndexRebuild]] bumps it) — the fact maintainers
+    *    pin at stream start so a mid-stream retrain fails loudly
+    *    instead of mixing assignments from two quantizers
+    *    ([[graft.streaming.StreamIvfIndex]]). */
+  def ivfIndexBuild(spark: SparkSession, vecs: DataFrame, dir: String,
                     cents: Array[Array[Double]] = staticCentroids()): Unit = {
-    assignWithCentroids(
-        vectors(spark, sfDir).select("vec_id", "embedding"), cents)
+    writeIndexVersion(spark, vecs.select("vec_id", "embedding"), dir, cents)
+    graft.streaming.StreamIO.writeMarker(dir, "_quantizer_version", 1L,
+      spark.sparkContext.hadoopConfiguration)
+  }
+
+  /** One index version's data files (assigned + centroids + drift
+    * baseline) into `dir` — shared by the fresh build (marker v1 at the
+    * live root) and the rebuild (marker bumped at the STAGED root, so
+    * a crash can never leave a bumped version over old data). */
+  private def writeIndexVersion(spark: SparkSession, vecs: DataFrame,
+                                dir: String,
+                                cents: Array[Array[Double]]): Unit = {
+    assignWithCentroids(vecs, cents)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/assigned")
     import spark.implicits._
     cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    // snapshot from the STORED rows, so the baseline is exactly what
+    // serving reads (re-assignment is bit-identical — SimilaritySpec)
+    driftStats(spark.read.parquet(s"$dir/assigned"), cents, "base")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/drift_baseline")
   }
+
+  /** The artifact's quantizer version (`_quantizer_version` root
+    * marker): 1 at [[ivfIndexBuild]], +1 per [[ivfIndexRebuild]]; None
+    * for a pre-versioning artifact. */
+  def readIvfQuantizerVersion(spark: SparkSession,
+                              dir: String): Option[Long] =
+    graft.streaming.StreamIO.readMarker(dir, "_quantizer_version",
+      spark.sparkContext.hadoopConfiguration)
 
   /** Cell assignment of (vec_id, embedding) rows under a given centroid
     * matrix — the map-only inverted-list row shape (cell, vec_id,
@@ -841,7 +884,16 @@ object Similarity {
     * ([[readIvfAssignedWithBatchId]] — so a crash between the swap and
     * the delta delete never double-counts), and an interrupted swap is
     * repaired on the next entry. Returns the folded watermark, None if
-    * there was nothing to fold. */
+    * there was nothing to fold.
+    *
+    * Concurrent READERS: the swap window momentarily removes
+    * `assigned/`, so a scan planned across it can see missing files —
+    * set `spark.sql.files.ignoreMissingFiles` for in-flight reads
+    * (they fall back to the deltas' rows on the next query), or put
+    * serving that cannot tolerate the window behind an ACID table
+    * format (docs/LAKEHOUSE.md). A read STARTED after the swap is
+    * always complete — StreamingSpec's read-after-compact proves it on
+    * the graftmock DFS scheme. */
   def ivfIndexCompact(spark: SparkSession, dir: String): Option[Long] = {
     import graft.streaming.StreamIO
     val conf = spark.sparkContext.hadoopConfiguration
@@ -880,6 +932,85 @@ object Similarity {
     Some(w)
   }
 
+  /** The RETRAIN action [[ivfDrift]]'s `is_shifted` flag calls for —
+    * the last verb of the IVF operational loop (ingest → dedup → serve
+    * → compact → monitor → **retrain**). One call against a live
+    * artifact: retrain the coarse quantizer on the CURRENT corpus
+    * (base + every live delta), rebuild the cell-partitioned layout,
+    * reset the drift baseline to the post-rebuild population, and bump
+    * the quantizer version — so probe pruning recovers the
+    * ~nProbe/nCells candidate fraction drift had inflated
+    * ([[ivfDriftImpact]]: recall holds while candidates/query explode;
+    * the rebuild is what restores the pruning, and `ivf_rebuild` is
+    * the oracle-checked proof).
+    *
+    * Crash-safety is the whole-artifact stage→swap: the new version
+    * (assigned + centroids + drift_baseline + bumped
+    * `_quantizer_version`, witnessed LAST by `_rebuild_complete`) is
+    * staged beside the artifact and swapped in atomically-enough —
+    * an interrupted swap is completed on the next entry, a staging
+    * tree from a pre-swap crash is cleared before re-staging
+    * (the [[graft.streaming.Compaction]] lesson), and because the
+    * version marker travels inside the staged tree a crash can never
+    * leave a bumped version over old data. Live deltas are FOLDED into
+    * the rebuilt base, so the compaction watermark advances to the max
+    * folded batch id: a maintainer replaying that batch skips, older
+    * ids fail loudly ([[graft.streaming.StreamIO.foldedByCompaction]]),
+    * and a maintainer that pinned the old quantizer version at stream
+    * start refuses the NEXT batch loudly
+    * ([[graft.streaming.StreamIvfIndex]]) — restart it so it assigns
+    * with the new centroids.
+    *
+    * SINGLE-WRITER contract: run with the maintainers quiesced, like
+    * [[ivfIndexCompact]]. READERS: the swap window momentarily removes
+    * the artifact root — same two answers as compaction
+    * (`spark.sql.files.ignoreMissingFiles` for in-flight scans; an
+    * ACID table format for serving that cannot tolerate the window —
+    * docs/LAKEHOUSE.md).
+    *
+    * Scale shape: training is the bounded k-means of [[annIvf]]
+    * (nCells × dim model state on the driver, corpus scans stay
+    * distributed, cached across the iterations); the rebuild itself is
+    * one map-only assignment pass + the cell-partitioned write — the
+    * same cost as the initial build, paid once per `is_shifted`, not
+    * per query. Returns the new quantizer version. */
+  def ivfIndexRebuild(spark: SparkSession, dir: String, nCells: Int = 16,
+                      iters: Int = 3): Long = {
+    import graft.streaming.StreamIO
+    val conf = spark.sparkContext.hadoopConfiguration
+    val staged = s"$dir.rebuild-staging"
+    StreamIO.recoverInterruptedSwap(dir, staged, "_rebuild_complete", conf)
+    StreamIO.deleteRecursively(staged, conf)
+    val corpus = readIvfAssigned(spark, dir).select("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = trainCentroids(corpus, nCells, iters)
+      writeIndexVersion(spark, corpus, staged, cents)
+      // live deltas are folded into the rebuilt base: advance the
+      // compaction watermark so a replay of the last folded batch
+      // skips and older ids fail loudly
+      val (fs, streamRoot) = StreamIO.fsFor(s"$dir/stream", conf)
+      val deltaMax =
+        if (!fs.exists(streamRoot)) None
+        else fs.listStatus(streamRoot).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("batch_id="))
+          .map(_.stripPrefix("batch_id=").toLong)
+          .maxOption
+      val w0 = StreamIO.readMarker(s"$dir/assigned", "_compacted_through",
+        conf)
+      (deltaMax ++ w0).maxOption.foreach(w =>
+        StreamIO.writeMarker(s"$staged/assigned", "_compacted_through",
+          w, conf))
+      val v = readIvfQuantizerVersion(spark, dir).getOrElse(0L) + 1
+      StreamIO.writeMarker(staged, "_quantizer_version", v, conf)
+      // completion witness LAST: recoverInterruptedSwap only installs
+      // a staging tree that carries it
+      StreamIO.writeMarker(staged, "_rebuild_complete", v, conf)
+      StreamIO.swapInto(staged, dir, conf)
+      v
+    } finally { corpus.unpersist(blocking = false); () }
+  }
+
   /** QUANTIZER-DRIFT MONITOR core: compare the cell-population of the
     * `cur` corpus against the `base` (build-time) corpus under ONE
     * fixed quantizer — the retrain signal the IVF deployment cadence
@@ -904,22 +1035,41 @@ object Similarity {
     * matrix), two ≤nCells-row hash aggregates, everything after the
     * per-cell rollup is broadcast arithmetic over ≤nCells rows. */
   def ivfDriftFrom(base: DataFrame, cur: DataFrame,
-                   cents: Array[Array[Double]]): DataFrame = {
-    val spark = base.sparkSession
+                   cents: Array[Array[Double]]): DataFrame =
+    ivfDriftFromStats(driftStats(base, cents, "base"), cur, cents)
+
+  /** Per-cell population/distance rollup of one corpus under one
+    * quantizer — the (cell, cnt, dsum) frame both sides of the PSI
+    * monitor reduce to, and the shape [[ivfIndexBuild]] snapshots into
+    * the artifact as `drift_baseline/` (ADVICE r14: compaction folds
+    * deltas into the base, so a baseline RE-DERIVED from `assigned/`
+    * silently resets to the already-drifted population after every
+    * fold; the snapshot pins the build-time truth). Map-only
+    * assignment + one ≤nCells-row hash aggregate. */
+  private[graft] def driftStats(v: DataFrame, cents: Array[Array[Double]],
+                                tag: String): DataFrame = {
+    val spark = v.sparkSession
     import spark.implicits._
     val centDF = cents.zipWithIndex.toSeq
       .map { case (cv, i) => (i, cv.toSeq) }.toDF("cell", "centroid")
-    def stats(v: DataFrame, tag: String) =
-      assignWithCentroids(v.select(col("vec_id"), col("embedding")), cents)
-        .join(broadcast(centDF), "cell")
-        .select(col("cell"),
-          round(lit(1.0) - dot(col("embedding"), col("centroid"))
-            / col("nrm"), 8)
-            .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("d"))
-        .groupBy("cell")
-        .agg(count(lit(1)).as(s"${tag}_cnt"), sum(col("d")).as(s"${tag}_dsum"))
-    val j = stats(base, "base")
-      .join(stats(cur, "cur"), Seq("cell"), "full_outer")
+    assignWithCentroids(v.select(col("vec_id"), col("embedding")), cents)
+      .join(broadcast(centDF), "cell")
+      .select(col("cell"),
+        round(lit(1.0) - dot(col("embedding"), col("centroid"))
+          / col("nrm"), 8)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("d"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as(s"${tag}_cnt"), sum(col("d")).as(s"${tag}_dsum"))
+  }
+
+  /** [[ivfDriftFrom]] with the baseline side already reduced to its
+    * (cell, base_cnt, base_dsum) stats — the form the index monitor
+    * uses against the artifact's `drift_baseline/` snapshot, where the
+    * build-time corpus itself is long folded away. */
+  def ivfDriftFromStats(baseStats: DataFrame, cur: DataFrame,
+                        cents: Array[Array[Double]]): DataFrame = {
+    val j = baseStats
+      .join(driftStats(cur, cents, "cur"), Seq("cell"), "full_outer")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     TransientCaches.register(j)
     val tot = j.agg(sum("base_cnt").as("n_base"), sum("cur_cnt").as("n_cur"),
@@ -983,19 +1133,33 @@ object Similarity {
       .orderBy("scenario", "cell")
   }
 
-  /** [[ivfDrift]] against a LIVE index artifact: baseline = the base
-    * build (`assigned/`, null batch_id), current = base + every live
-    * stream delta — the production monitor a deployment schedules
-    * beside [[ivfIndexCompact]]. Cells are re-derived with the
-    * artifact's own centroids (one map-only pass, bit-identical to the
-    * stored assignment — SimilaritySpec proves the equality to
-    * [[ivfDriftFrom]] on the same frames). */
+  /** [[ivfDrift]] against a LIVE index artifact: baseline = the
+    * artifact's `drift_baseline/` snapshot (per-cell stats pinned at
+    * [[ivfIndexBuild]]/[[ivfIndexRebuild]] time), current = base +
+    * every live stream delta — the production monitor a deployment
+    * schedules beside [[ivfIndexCompact]]. The snapshot is what makes
+    * that scheduling safe: compaction folds deltas into `assigned/`,
+    * so a baseline re-derived from the base rows (the pre-r15
+    * behavior, kept as the fallback for artifacts that predate the
+    * snapshot) resets to the already-drifted population at every fold
+    * — on a fallback artifact, evaluate drift BEFORE compacting.
+    * Cells are re-derived with the artifact's own centroids (one
+    * map-only pass, bit-identical to the stored assignment —
+    * SimilaritySpec proves the equality to [[ivfDriftFrom]] on the
+    * same frames). */
   def ivfDriftFromIndex(spark: SparkSession, dir: String): DataFrame = {
     val cents = readIvfCentroids(spark, dir)
     val all = readIvfAssignedWithBatchId(spark, dir)
-    ivfDriftFrom(
-      all.filter(col("batch_id").isNull).select("vec_id", "embedding"),
-      all.select("vec_id", "embedding"), cents)
+    val cur = all.select("vec_id", "embedding")
+    val snap = new org.apache.hadoop.fs.Path(s"$dir/drift_baseline")
+    val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(snap))
+      ivfDriftFromStats(spark.read.parquet(s"$dir/drift_baseline"),
+        cur, cents)
+    else
+      ivfDriftFrom(
+        all.filter(col("batch_id").isNull).select("vec_id", "embedding"),
+        cur, cents)
   }
 
   /** §2 #220 — `ivf_drift_impact`: what the drift [[ivfDrift]] flags
@@ -1138,6 +1302,239 @@ object Similarity {
            AS cand_per_query2
        FROM (${sel("stable")} UNION ALL ${sel("shifted")})
        ORDER BY scenario"""
+  }
+
+  /** Impact metrics ([[ivfDriftImpact]]'s measurement core) served
+    * FROM a live artifact: brute truth over the artifact corpus, probe
+    * hits through the stored cell layout, and the probed-cell
+    * candidate volume, for a (vec_id, embedding) query frame whose
+    * vectors are in the corpus (the own-vector probe row is
+    * subtracted from the candidate bill, as in [[ivfDriftImpact]]). */
+  private[graft] def ivfImpactFromIndex(spark: SparkSession, dir: String,
+                                        queries: DataFrame, nQueries: Int,
+                                        k: Int, nProbe: Int): DataFrame = {
+    val cents = readIvfCentroids(spark, dir)
+    val assigned = readIvfAssigned(spark, dir)
+    val q = queries.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val qf = q.select(col("vec_id").as("query_id"),
+      col("embedding").as("e_q"), col("nrm").as("n_q"))
+    val cf = assigned.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("e_c"), col("nrm").as("n_c"))
+    val truth = rankTopK(cf.join(broadcast(qf),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"),
+          col("n_c")).as("cos")), k)
+      .select("query_id", "neighbor_id")
+    val served = annServeFromIndex(spark, dir,
+        queries.select("vec_id", "embedding"), nProbe, k)
+      .select("query_id", "neighbor_id")
+    val cellCounts = assigned.groupBy("cell").agg(count(lit(1)).as("cnt"))
+    val nCand = q.select(col("vec_id").as("query_id"),
+        explode(graft.functions.VectorQuantize.nearestCells(
+          col("embedding"), cents, nProbe)).as("cell"))
+      .join(cellCounts, Seq("cell"))
+      .agg((sum("cnt") - lit(nQueries.toLong)).as("n_candidates"))
+    val hits = served.join(truth, Seq("query_id", "neighbor_id"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+      .crossJoin(broadcast(nCand))
+      .select(col("n_truth"), col("n_hit"),
+        round(col("n_hit") / col("n_truth"), 4).as("recall4"),
+        col("n_candidates"),
+        round(col("n_candidates") / lit(nQueries.toDouble), 2)
+          .as("cand_per_query2"))
+  }
+
+  /** §2 #221 — `ivf_rebuild`: the measured proof of
+    * [[ivfIndexRebuild]] on [[ivfDrift]]'s drifted scenario, exercised
+    * through the REAL artifact path end-to-end. Build the index on the
+    * 80% base (static quantizer), land the mean-shifted 20% as a live
+    * stream delta (the [[graft.streaming.StreamIvfIndex]] shape), and
+    * publish the monitor + impact summary per phase:
+    *  - `pre` (drifted, old quantizer): `is_shifted` fires (PSI > 0.2
+    *    against the build-time `drift_baseline/` snapshot) and the
+    *    probed candidate volume is inflated — the [[ivfDriftImpact]]
+    *    signature where pruning, not recall, is what drift kills;
+    *  - `post` (after [[ivfIndexRebuild]]): PSI is exactly 0 against
+    *    the RESET baseline (the monitor restarts from the rebuilt
+    *    population) and the candidate volume is restored toward the
+    *    balanced ~nProbe/nCells fraction, at recall ≥ the pre phase.
+    * The oracle ([[ivfRebuildOracle]]) replays both phases — the post
+    * quantizer is the deterministically-trained k-means the oracle
+    * inlines, the [[ivfTrainedOracle]] doctrine. */
+  def ivfRebuild(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+                 k: Int = 5, nProbe: Int = 4, nCells: Int = 16): DataFrame = {
+    val v = vectors(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val base = v.filter(col("vec_id") % 5 =!= 0)
+    val shifted = v.filter(col("vec_id") % 5 === 0).select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
+    // per-run UUID subdir: concurrent runs must not overwrite each
+    // other's artifact mid-read (the annIvfIndexed stance)
+    val dir = ExportImport.scratch(
+      s"ivf-rebuild/run-${java.util.UUID.randomUUID()}")
+    ivfIndexBuild(spark, base, dir, staticCentroids())
+    graft.streaming.StreamIvfIndex.applyBatch(shifted, 0L, dir)
+    val queries = shifted.filter(col("vec_id") < nQueries * 5)
+    def phase(tag: String): DataFrame =
+      ivfDriftFromIndex(spark, dir)
+        .agg(max("psi4").as("psi4"), max("is_shifted").as("is_shifted"),
+          max("n_cells_onesided").as("n_cells_onesided"))
+        .crossJoin(broadcast(
+          ivfImpactFromIndex(spark, dir, queries, nQueries, k, nProbe)))
+        .select(lit(tag).as("phase"), col("psi4"), col("is_shifted"),
+          col("n_cells_onesided"), col("n_truth"), col("n_hit"),
+          col("recall4"), col("n_candidates"), col("cand_per_query2"))
+    // the pre-phase summary must be MATERIALIZED before the rebuild
+    // mutates the artifact under the lazy plan (1 row — bounded
+    // witness, the convergence-witness stance)
+    val pre = phase("pre").collect().toSeq
+    ivfIndexRebuild(spark, dir, nCells)
+    val post = phase("post")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(pre, 1), post.schema)
+      .unionByName(post)
+      .orderBy("phase")
+  }
+
+  /** DuckDB oracle for [[ivfRebuild]]: the pre phase replays the
+    * static-quantizer drift + impact formulas over the drifted corpus
+    * (baseline = the base-only rows of the same ranked assignment);
+    * the post phase replays them under the INLINED retrained
+    * centroids, with baseline = the corpus itself (the reset
+    * semantics, so every PSI term cancels to 0 exactly). Training is
+    * taken as given, the [[ivfTrainedOracle]] doctrine: deterministic
+    * seeds + per-iteration 1e-6 mean quantization make the k-means
+    * replayable from either the in-memory union or the artifact's
+    * parquet rows (float storage is exact). */
+  def ivfRebuildOracle(nQueries: Int = 10, k: Int = 5, nProbe: Int = 4,
+                       nCells: Int = 16): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val v = vectors(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val shifted = v.filter(col("vec_id") % 5 === 0).select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
+    val postCents = trainCentroids(
+      v.filter(col("vec_id") % 5 =!= 0).unionByName(shifted), nCells)
+    val dotE = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    def centRows(cents: Array[Array[Double]]) =
+      cents.zipWithIndex.map { case (c, i) =>
+        s"(${i}, ${c.mkString("[", ", ", "]")})"
+      }.mkString(", ")
+    val qCap = nQueries * 5
+    // ranked assignment of the drifted corpus under one centroid table
+    def ranked(tag: String, cents: String) =
+      s"""${tag}_ranked AS (
+           SELECT v.vec_id, v.embedding, c.cell,
+             ${dotE("v.embedding", "c.cv")} AS dp,
+             sqrt(${dotE("v.embedding", "v.embedding")}) AS nrm,
+             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+               ${dotE("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+           FROM cur v, $cents c)"""
+    // per-cell (cnt, dsum) stats over a crnk=1 slice
+    def stat(tag: String, name: String, pre: String, where: String) =
+      s"""${name} AS (
+           SELECT cell, CAST(count(*) AS BIGINT) AS ${pre}_cnt,
+             sum(CAST(round(1.0 - dp / nrm, 8) AS DECIMAL(18,8)))
+               AS ${pre}_dsum
+           FROM ${tag}_ranked WHERE crnk = 1$where GROUP BY cell)"""
+    // PSI of cur vs baseline (the ivfDriftOracle formulas)
+    def psi(tag: String) =
+      s"""${tag}_j AS (SELECT b.base_cnt, c.cur_cnt
+           FROM ${tag}_bstat b FULL OUTER JOIN ${tag}_cstat c
+             ON b.cell = c.cell),
+         ${tag}_tot AS (SELECT CAST(sum(base_cnt) AS BIGINT) AS n_base,
+             CAST(sum(cur_cnt) AS BIGINT) AS n_cur FROM ${tag}_j),
+         ${tag}_summary AS (SELECT sum(term) AS psi_sum,
+             CAST(sum(CASE WHEN base_cnt IS NULL OR cur_cnt IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_cells_onesided
+           FROM (SELECT base_cnt, cur_cnt,
+             CASE WHEN base_cnt IS NOT NULL AND cur_cnt IS NOT NULL THEN
+               CAST(round(
+                 (cur_cnt / CAST(n_cur AS DOUBLE)
+                   - base_cnt / CAST(n_base AS DOUBLE))
+                 * ln((cur_cnt / CAST(n_cur AS DOUBLE))
+                   / (base_cnt / CAST(n_base AS DOUBLE))), 8)
+                 AS DECIMAL(18,8)) END AS term
+             FROM ${tag}_j, ${tag}_tot))"""
+    // brute truth + probed-cell candidate bill over the same ranked CTE
+    def impact(tag: String) =
+      s"""${tag}_truth AS (SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 ${dotE("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+                   DESC, c.vec_id) AS rnk
+             FROM ${tag}_ranked q
+             JOIN ${tag}_ranked c ON c.crnk = 1 AND c.vec_id <> q.vec_id
+             WHERE q.crnk = 1 AND q.vec_id % 5 = 0 AND q.vec_id < $qCap)
+           WHERE rnk <= $k),
+         ${tag}_cc AS (SELECT cell, count(*) AS cnt
+           FROM ${tag}_ranked WHERE crnk = 1 GROUP BY 1)"""
+    def sel(tag: String) =
+      s"""SELECT '$tag' AS phase,
+           round(CAST((SELECT psi_sum FROM ${tag}_summary) AS DOUBLE), 4)
+             AS psi4,
+           coalesce(CAST((SELECT psi_sum FROM ${tag}_summary) AS DOUBLE),
+             0.0) > 0.2 AS is_shifted,
+           (SELECT n_cells_onesided FROM ${tag}_summary)
+             AS n_cells_onesided,
+           (SELECT CAST(count(*) AS BIGINT) FROM ${tag}_truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT pr.query_id, a.neighbor_id,
+                    row_number() OVER (PARTITION BY pr.query_id ORDER BY
+                      ${dotE("pr.e_q", "a.e_c")} / (pr.n_q * a.n_c) DESC,
+                      a.neighbor_id) AS rnk
+                  FROM (SELECT cell, vec_id AS query_id,
+                          embedding AS e_q, nrm AS n_q
+                        FROM ${tag}_ranked
+                        WHERE crnk <= $nProbe AND vec_id % 5 = 0
+                          AND vec_id < $qCap) pr
+                  JOIN (SELECT cell, vec_id AS neighbor_id,
+                          embedding AS e_c, nrm AS n_c
+                        FROM ${tag}_ranked WHERE crnk = 1) a
+                    ON pr.cell = a.cell
+                  WHERE pr.query_id <> a.neighbor_id) i
+            JOIN ${tag}_truth t ON t.query_id = i.query_id
+                               AND t.neighbor_id = i.neighbor_id
+            WHERE i.rnk <= $k) AS n_hit,
+           (SELECT CAST(sum(cc.cnt) AS BIGINT) - $nQueries
+            FROM (SELECT cell FROM ${tag}_ranked
+                  WHERE crnk <= $nProbe AND vec_id % 5 = 0
+                    AND vec_id < $qCap) pp
+            JOIN ${tag}_cc cc USING (cell)) AS n_candidates"""
+    s"""WITH cents_pre(cell, cv) AS (VALUES ${centRows(staticCentroids())}),
+        cents_post(cell, cv) AS (VALUES ${centRows(postCents)}),
+        cur AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 5 <> 0
+                UNION ALL
+                SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x + 0.5 AS FLOAT))
+                    AS embedding
+                FROM embeddings WHERE vec_id % 5 = 0),
+        ${ranked("pre", "cents_pre")},
+        ${ranked("post", "cents_post")},
+        ${stat("pre", "pre_bstat", "base", " AND vec_id % 5 <> 0")},
+        ${stat("pre", "pre_cstat", "cur", "")},
+        ${stat("post", "post_cstat", "cur", "")},
+        post_bstat AS (SELECT cell, cur_cnt AS base_cnt,
+            cur_dsum AS base_dsum FROM post_cstat),
+        ${psi("pre")},
+        ${psi("post")},
+        ${impact("pre")},
+        ${impact("post")}
+       SELECT phase, psi4, is_shifted, n_cells_onesided, n_truth, n_hit,
+         round(n_hit / CAST(n_truth AS DOUBLE), 4) AS recall4,
+         n_candidates,
+         round(n_candidates / CAST($nQueries AS DOUBLE), 2)
+           AS cand_per_query2
+       FROM (${sel("pre")} UNION ALL ${sel("post")})
+       ORDER BY phase"""
   }
 
   /** DuckDB oracle for [[ivfDrift]]: centroids inlined as VALUES, the

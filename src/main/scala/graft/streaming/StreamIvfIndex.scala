@@ -32,10 +32,26 @@ object StreamIvfIndex {
 
   /** Assign one micro-batch (keyed by `batchId`) with the artifact's
     * centroids; land it as the batch's own cell-partitioned delta.
+    * `pinnedVersion` = the artifact's quantizer version when the
+    * stream STARTED ([[start]] captures it): an
+    * [[Similarity.ivfIndexRebuild]] under a running maintainer fails
+    * the next batch loudly instead of landing deltas that mix two
+    * quantizers' cell meanings — restart the stream so it re-pins the
+    * new version (None = pre-versioning artifact, unguarded).
     * private[graft]: StreamingSpec drives it directly to prove replay
-    * idempotence. */
+    * idempotence and the version guard. */
   private[graft] def applyBatch(batch: DataFrame, batchId: Long,
-                                dir: String): Unit = {
+                                dir: String,
+                                pinnedVersion: Option[Long] = None): Unit = {
+    pinnedVersion.foreach { v0 =>
+      val v = Similarity.readIvfQuantizerVersion(batch.sparkSession, dir)
+      if (!v.contains(v0))
+        throw new IllegalStateException(
+          s"IVF index at $dir is at quantizer version ${v.orNull} but " +
+            s"this maintainer pinned version $v0 at stream start — the " +
+            "index was rebuilt underneath it. Restart the maintainer " +
+            "so new deltas are assigned with the retrained centroids.")
+    }
     // replay of a batch ivfIndexCompact already folded into the base:
     // its vectors are in assigned/ — skip (older ids fail loudly)
     if (StreamIO.foldedByCompaction(s"$dir/assigned", batchId,
@@ -56,11 +72,17 @@ object StreamIvfIndex {
     * [[Similarity.ivfIndexToDir]]); `vectors` needs (vec_id,
     * embedding). */
   def start(vectors: DataFrame, dir: String,
-            checkpoint: String): StreamingQuery =
+            checkpoint: String): StreamingQuery = {
+    // pin the quantizer version for the life of this stream: every
+    // batch must assign under the SAME centroids or the deltas mix
+    // two quantizers' cell meanings (applyBatch enforces it)
+    val pinned = Similarity.readIvfQuantizerVersion(
+      vectors.sparkSession, dir)
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, dir)
+        applyBatch(batch, batchId, dir, pinned)
       }
       .start()
+  }
 }

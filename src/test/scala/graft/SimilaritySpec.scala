@@ -506,6 +506,119 @@ class SimilaritySpec extends SparkSpec {
         sh.getAs[Long]("n_candidates")}")
   }
 
+  test("ivfIndexRebuild: retrains on base+deltas, equals a from-scratch " +
+      "build, folds deltas, resets the baseline, bumps the version") {
+    import org.apache.spark.sql.functions.{col, lit, transform}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = graft.operators.ExportImport.scratch("ivf-rebuild-spec")
+    graft.streaming.StreamIO.deleteRecursively(dir, conf)
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val base = embs.filter(col("vec_id") % 5 =!= 0)
+    val delta = embs.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
+    Similarity.ivfIndexBuild(spark, base, dir)
+    assert(Similarity.readIvfQuantizerVersion(spark, dir).contains(1L))
+    graft.streaming.StreamIvfIndex.applyBatch(delta, 0L, dir)
+    assert(Similarity.ivfDriftFromIndex(spark, dir).collect()
+      .forall(_.getAs[Boolean]("is_shifted")),
+      "drifted ingest must arm the monitor before the rebuild")
+
+    val v = Similarity.ivfIndexRebuild(spark, dir)
+    assert(v == 2L
+      && Similarity.readIvfQuantizerVersion(spark, dir).contains(2L),
+      "rebuild must bump the quantizer version")
+    // deltas are folded into the rebuilt base; the watermark advanced,
+    // so a replay of the folded batch is a no-op
+    val (fs, streamRoot) = graft.streaming.StreamIO.fsFor(
+      s"$dir/stream", conf)
+    assert(!fs.exists(streamRoot), "folded deltas must be gone")
+    val nRows = Similarity.readIvfAssigned(spark, dir).count()
+    graft.streaming.StreamIvfIndex.applyBatch(delta, 0L, dir)
+    assert(!fs.exists(streamRoot)
+      && Similarity.readIvfAssigned(spark, dir).count() == nRows,
+      "replay of the folded batch must be a no-op")
+    // the monitor restarts from the reset baseline: PSI exactly 0
+    val rows = Similarity.ivfDriftFromIndex(spark, dir).collect()
+    assert(rows.forall(r => r.getAs[Double]("psi4") == 0.0
+      && !r.getAs[Boolean]("is_shifted")
+      && r.getAs[Long]("n_cells_onesided") == 0L),
+      "post-rebuild monitor must read PSI = 0 on the reset baseline")
+    // equality to a from-scratch build over the same corpus with the
+    // same deterministic training
+    val full = graft.operators.ExportImport.scratch("ivf-rebuild-full")
+    graft.streaming.StreamIO.deleteRecursively(full, conf)
+    val combined = base.unionByName(delta)
+    Similarity.ivfIndexBuild(spark, combined, full,
+      Similarity.trainCentroids(combined, 16))
+    assert(Similarity.readIvfCentroids(spark, dir).map(_.toSeq).toSeq
+        == Similarity.readIvfCentroids(spark, full).map(_.toSeq).toSeq,
+      "rebuilt quantizer must equal the from-scratch training")
+    val queries = embs.filter(col("vec_id") < 10)
+    def serve(d: String) = Similarity.annServeFromIndex(spark, d, queries)
+      .collect().map(_.toString).toSeq.sorted
+    assert(serve(dir) == serve(full),
+      "rebuilt index must serve identically to a from-scratch build")
+  }
+
+  test("ivfDriftFromIndex: compaction cannot reset the drift baseline") {
+    import org.apache.spark.sql.functions.{col, lit, transform}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = graft.operators.ExportImport.scratch("ivf-drift-compact")
+    graft.streaming.StreamIO.deleteRecursively(dir, conf)
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    Similarity.ivfIndexBuild(spark,
+      embs.filter(col("vec_id") % 5 =!= 0), dir)
+    val delta = embs.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
+    graft.streaming.StreamIvfIndex.applyBatch(delta, 0L, dir)
+    val pre = Similarity.ivfDriftFromIndex(spark, dir)
+      .collect().map(_.toString).toSeq.sorted
+    // fold the delta into the base — the ADVICE-r14 scenario where a
+    // baseline re-derived from assigned/ would silently become the
+    // drifted population and the monitor could never fire again
+    assert(Similarity.ivfIndexCompact(spark, dir).contains(0L))
+    val post = Similarity.ivfDriftFromIndex(spark, dir)
+      .collect().map(_.toString).toSeq.sorted
+    assert(post == pre,
+      "the drift verdict must be identical across a compaction")
+  }
+
+  test("StreamIvfIndex: a maintainer pinned to an old quantizer " +
+      "version refuses batches after a rebuild") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = graft.operators.ExportImport.scratch("ivf-rebuild-pin")
+    graft.streaming.StreamIO.deleteRecursively(dir, conf)
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    Similarity.ivfIndexBuild(spark,
+      embs.filter(col("vec_id") % 5 =!= 0), dir)
+    val pinned = Similarity.readIvfQuantizerVersion(spark, dir)
+    def delta(m: Int, off: Long) = embs.filter(col("vec_id") % m === 0)
+      .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+    graft.streaming.StreamIvfIndex.applyBatch(delta(5, 10000), 0L, dir,
+      pinned)
+    Similarity.ivfIndexRebuild(spark, dir)
+    // the old stream's next batch must fail loudly, not land a delta
+    // assigned under the retired quantizer
+    intercept[IllegalStateException] {
+      graft.streaming.StreamIvfIndex.applyBatch(delta(7, 20000), 1L, dir,
+        pinned)
+    }
+    // a restarted maintainer re-pins the new version and proceeds
+    graft.streaming.StreamIvfIndex.applyBatch(delta(7, 20000), 1L, dir,
+      Similarity.readIvfQuantizerVersion(spark, dir))
+    val (fs, streamRoot) = graft.streaming.StreamIO.fsFor(
+      s"$dir/stream", conf)
+    assert(fs.listStatus(streamRoot).exists(
+      _.getPath.getName == "batch_id=1"),
+      "the re-pinned maintainer must land its delta")
+  }
+
   test("knn_triangles: coefficients bounded, consistent with the edge set") {
     val rows = Similarity.knnTriangles(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -1273,6 +1273,32 @@ class StreamingSpec extends SparkSpec {
       .compactBatched(spark, root + "/nope").isEmpty)
   }
 
+  test("compaction: a stale staging tree from a pre-swap crash cannot " +
+      "duplicate folded rows") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.operators.ExportImport.scratch("stream-compact-crash")
+    val dir = root + "/acc"
+    val staged = dir + ".compact-staging"
+    Seq(dir, staged).foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(d, conf))
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/batch_id=0")
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$dir/batch_id=1")
+    // crash window: a prior compaction staged its fold (through batch
+    // 1) but died BEFORE the marker/swap; the stale staged partition
+    // must not survive into the next fold's swap
+    spark.read.parquet(dir).drop("batch_id")
+      .write.parquet(s"$staged/batch_id=1")
+    // a new batch lands after the crash → the next fold watermark is 2
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$dir/batch_id=2")
+    assert(graft.streaming.Compaction.compactBatched(spark, dir)
+      .contains(2L))
+    val got = spark.read.parquet(dir).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L),
+      s"stale staged partition must not duplicate folded rows: $got")
+  }
+
   test("streaming artifact writers resolve probes/marker/swap through " +
       "the Hadoop FileSystem of a non-file scheme") {
     import spark.implicits._
@@ -1308,6 +1334,46 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.read.parquet(target).select("k", "v").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(rows == Set((1L, "a1"), (2L, "b0")))
+  }
+
+  test("ivf index maintenance on a non-file scheme: read-after-compact " +
+      "serves identically, rebuild swaps/versions through the same FS") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftmock.impl", classOf[GraftMockFileSystem].getName)
+    val root = graft.operators.ExportImport.scratch("stream-mockfs-ivf")
+    val dir = "graftmock:" + root + "/idx"
+    graft.streaming.StreamIO.deleteRecursively(dir, conf)
+    def vecsOf(lo: Int, hi: Int, off: Float) = (lo to hi).map { i =>
+      (i.toLong,
+        Array.tabulate(8)(j => ((i * 7 + j) % 5 - 2).toFloat + off))
+    }.toDF("vec_id", "embedding")
+    val cents = graft.operators.Similarity.staticCentroids(4, 8)
+    graft.operators.Similarity.ivfIndexBuild(spark, vecsOf(0, 39, 0f),
+      dir, cents)
+    graft.streaming.StreamIvfIndex.applyBatch(vecsOf(100, 119, 0.5f),
+      0L, dir)
+    val queries = vecsOf(0, 4, 0f)
+    def serve() = graft.operators.Similarity
+      .annServeFromIndex(spark, dir, queries, nProbe = 2, k = 3)
+      .collect().map(_.toString).toSeq.sorted
+    val before = serve()
+    assert(before.nonEmpty)
+    assert(graft.operators.Similarity.ivfIndexCompact(spark, dir)
+      .contains(0L))
+    // a reader arriving right after the swap window sees the full
+    // folded index — the serving-continuity contract
+    assert(serve() == before, "read-after-compact must serve identically")
+    // the retrain action over the same scheme: whole-artifact swap,
+    // version bump, baseline reset — all through the Hadoop FS API
+    assert(graft.operators.Similarity.ivfIndexRebuild(spark, dir,
+      nCells = 4) == 2L)
+    assert(graft.operators.Similarity
+      .readIvfQuantizerVersion(spark, dir).contains(2L))
+    assert(serve().nonEmpty, "read-after-rebuild must serve")
+    assert(graft.operators.Similarity.ivfDriftFromIndex(spark, dir)
+      .collect().forall(r => r.getAs[Double]("psi4") == 0.0),
+      "rebuild must reset the drift baseline on the DFS artifact")
   }
 }
 
