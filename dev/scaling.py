@@ -346,6 +346,50 @@ out += ["",
         "generalizes:",
         "  per-file FileSystem calls belong OUTSIDE per-row loops.",
         "",
+        "## r14 driver outliers, adjudicated (r15)",
+        "",
+        "- knn_graph_ann 5.88 s (r14 driver, the round's only "
+        "weak-pending — 8th-",
+        "  slowest, so the rank-based top-3 retry never touched it): "
+        "a solo r15",
+        "  re-run of the same binary on the same box measures 2.39 s "
+        "first / 2.05 s",
+        "  retry at sf0.1, matching r13's 2.33 s driver value and the "
+        "builder r14",
+        "  3-SF curve (0.58/0.64/2.68 s). The r14 driver vectors "
+        "already said",
+        "  wait-not-compute (wall 5.9 s vs ~4.6 s CPU on 32 ms GC); "
+        "no r14/r15 code",
+        "  change touches knnGraphAnn. Box-side scheduling/IO stall; "
+        "weak count back",
+        "  to 0. Structural fix landed so the gap class cannot recur: "
+        "retry slots are",
+        "  now selected RATIO-FIRST (wall > 2.5x the prior driver "
+        "round's value for",
+        "  the same query, worst ratio first, rank-based fill for the "
+        "rest) against",
+        "  docs/BENCH_PRIOR.json, the per-query priors the builder "
+        "re-decodes from",
+        "  the latest BENCH_rN g1 tail each round — a 2.5x regression "
+        "at ANY rank",
+        "  now gets a live retry pair.",
+        "- ivf_rebuild (new #221, 7.89/8.52/8.31 s this sweep): FLAT "
+        "across the 100x",
+        "  data span — the wall is ~30 scheduled jobs and ~8 parquet "
+        "writes (build the",
+        "  base index, land the drifted delta, pre drift+impact, "
+        "retrain 3 k-means",
+        "  iterations, whole-artifact rebuild, post drift+impact), "
+        "i.e. fixed",
+        "  operational-loop overhead, not data-dependent compute. The "
+        "slowest headline",
+        "  query at sf0.1 by construction (it runs the whole "
+        "monitor->retrain->verify",
+        "  loop end-to-end twice); a deployment pays the rebuild once "
+        "per is_shifted,",
+        "  not per query, and the serving-path cost it restores is "
+        "the point.",
+        "",
         "## Super-linear rows, priced (r12) — and the r13 planned "
         "headline",
         "",
