@@ -619,4 +619,21 @@ object Graft {
     * [[rebuildIvfIndex]] (None for a pre-versioning artifact). */
   def ivfQuantizerVersion(spark: SparkSession, dir: String): Option[Long] =
     graft.operators.Similarity.readIvfQuantizerVersion(spark, dir)
+
+  /** Add (or re-sync after compaction) the PQ/ADC acceleration leg of
+    * an IVF index artifact: codebooks trained on the base (reused when
+    * already present), every base vector encoded map-only into the
+    * 32×-compressed cell-partitioned `codes/` scan table. */
+  def addPqIndex(spark: SparkSession, dir: String): Unit =
+    graft.operators.Similarity.ivfPqIndexAdd(spark, dir)
+
+  /** IVFADC serving from the artifact: ADC shortlist over the probed
+    * cells of `codes/`, live deltas routed exactly (fresh-buffer
+    * semantics), one exact re-rank; refuses loudly on a missing or
+    * compaction-stale codes leg. */
+  def annServeFromPqIndex(spark: SparkSession, dir: String,
+                          queries: DataFrame, nProbe: Int = 4,
+                          k: Int = 5): DataFrame =
+    graft.operators.Similarity.annServeFromPqIndex(spark, dir, queries,
+      nProbe, k)
 }

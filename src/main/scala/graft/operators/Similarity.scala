@@ -2226,6 +2226,187 @@ object Similarity {
       k)
   }
 
+  /** PQ (ADC) ACCELERATION LEG for the IVF index artifact — the
+    * 32×-compressed scan table a 100 TB deployment actually serves
+    * from. Derived strictly FROM the artifact: codebooks trained on
+    * the artifact's own BASE rows (reused untouched when `codebooks/`
+    * already exists — the re-sync path), every base vector PQ-encoded
+    * map-only, codes landed cell-partitioned beside `assigned/`:
+    * {{{
+    *   dir/codes/      (vec_id, c0..c{m-1})  PARTITIONED BY cell
+    *   dir/codebooks/  (m, cell, codeword)   m×k×sub model state
+    * }}}
+    * `assigned/` stays the ground truth (exact re-rank gathers from
+    * it); `codes/` is the acceleration structure, version-consistent
+    * by construction and by marker:
+    *  - codes cover the BASE only — live `stream/batch_id=N` deltas
+    *    serve through the exact fresh path ([[annServeFromPqIndex]]),
+    *    the sealed-segments-compressed / fresh-buffer-exact split of
+    *    every production ANN engine;
+    *  - a `_synced_to` marker inside `codes/` records the base
+    *    compaction watermark the encode saw; after [[ivfIndexCompact]]
+    *    folds deltas into the base the markers disagree and serving
+    *    REFUSES loudly until `ivfPqIndexAdd` re-syncs (a map-only
+    *    re-encode with the stored codebooks — same order of work as
+    *    the compaction that invalidated it);
+    *  - [[ivfIndexRebuild]] swaps the whole artifact, so stale codes
+    *    cannot survive a quantizer retrain: `codes/` simply vanishes
+    *    and serving refuses until a re-add retrains codebooks under
+    *    the new quantizer.
+    * Pass `codebooks` to reuse an externally trained model (the
+    * bench/oracle path trains once on the cached corpus and shares the
+    * literals with the SQL replay). */
+  def ivfPqIndexAdd(spark: SparkSession, dir: String,
+                    codebooks: Option[Array[Array[Array[Double]]]] = None)
+      : Unit = {
+    import graft.streaming.StreamIO
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = spark.read.parquet(s"$dir/assigned")
+    val cbs = codebooks.getOrElse {
+      val (fs, p) = StreamIO.fsFor(s"$dir/codebooks", conf)
+      if (fs.exists(p)) readPqCodebooks(spark, dir)
+      else {
+        val vecs = base.select(col("vec_id"), col("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try trainPqCodebooks(vecs)
+        finally { vecs.unpersist(blocking = false); () }
+      }
+    }
+    val nSub = cbs.length
+    val sub = cbs.head.head.length
+    val codeCols = (0 until nSub).map { m =>
+      element_at(graft.functions.VectorQuantize.nearestCellsBiased(
+        expr(s"slice(embedding, ${m * sub + 1}, $sub)"), cbs(m),
+        l2Biases(cbs(m)), 1), 1)
+        .as(s"c$m")
+    }
+    base.select(col("cell") +: col("vec_id") +: codeCols: _*)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes")
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, mi) =>
+      cb.zipWithIndex.map { case (cw, ci) => (mi, ci, cw.toSeq) }
+    }.toSeq.toDF("m", "cell", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    // pin the coverage: codes encode the base as of this compaction
+    // watermark — serving compares and refuses a stale scan table
+    StreamIO.writeMarker(s"$dir/codes", "_synced_to",
+      StreamIO.readMarker(s"$dir/assigned", "_compacted_through", conf)
+        .getOrElse(-1L), conf)
+  }
+
+  /** PQ codebooks back from an artifact's `codebooks/` (bounded:
+    * m × k × sub doubles — model state, never data). */
+  def readPqCodebooks(spark: SparkSession,
+                      dir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .orderBy("m", "cell").collect()
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getInt(1))
+        .map(_.getAs[Seq[Double]]("codeword").toArray)
+    }.toArray
+  }
+
+  /** IVFADC serving FROM THE ARTIFACT: ADC shortlist over the probed
+    * cells of the compressed `codes/` table (8 ints per candidate —
+    * the scan [[annIvfPq]] builds inline every call, here read from
+    * the materialized leg with cell partition pruning), live deltas
+    * routed straight to the exact stage (fresh-buffer semantics: a
+    * delta vector is never ADC-approximated and can never be
+    * shortlist-pruned), and one exact cosine re-rank over the union,
+    * gathering full vectors by id from `assigned/`. Refuses loudly
+    * when `codes/` is absent (run [[ivfPqIndexAdd]]) or predates the
+    * base's compaction watermark (re-sync — see [[ivfPqIndexAdd]]).
+    * With no live deltas the output is IDENTICAL to [[annIvfPq]] under
+    * the same models (SimilaritySpec; shared [[ivfPqTrainedOracle]]). */
+  def annServeFromPqIndex(spark: SparkSession, dir: String,
+                          queries: DataFrame, nProbe: Int = 4, k: Int = 5,
+                          shortlistFactor: Int = 8): DataFrame = {
+    import graft.streaming.StreamIO
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (fs, codesPath) = StreamIO.fsFor(s"$dir/codes", conf)
+    require(fs.exists(codesPath),
+      s"no PQ leg at $dir/codes — run ivfPqIndexAdd first")
+    val synced = StreamIO.readMarker(s"$dir/codes", "_synced_to", conf)
+      .getOrElse(-1L)
+    val folded = StreamIO.readMarker(s"$dir/assigned",
+      "_compacted_through", conf).getOrElse(-1L)
+    require(synced == folded,
+      s"PQ codes at $dir/codes are synced to compaction watermark " +
+        s"$synced but the base is folded through $folded — the codes " +
+        "miss vectors compaction folded into the base. Re-run " +
+        "ivfPqIndexAdd (map-only re-encode with the stored codebooks).")
+    val cents = readIvfCentroids(spark, dir)
+    val cbs = readPqCodebooks(spark, dir)
+    val nSub = cbs.length
+    val sub = cbs.head.head.length
+    val shortlist = shortlistFactor * k
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("e_q"), l2norm(col("embedding")).as("n_q"))
+    val probes = q.select(col("query_id"), col("e_q"),
+      explode(graft.functions.VectorQuantize.nearestCells(
+        col("e_q"), cents, nProbe)).as("cell"))
+    val score = (0 until nSub).map { m =>
+      graft.functions.VectorFunctions.dot(
+        expr(s"slice(e_q, ${m * sub + 1}, $sub)"),
+        element_at(typedLit(cbs(m).map(_.toSeq).toSeq), col(s"c$m") + 1))
+    }.reduceLeft(_ + _)
+    val short = spark.read.parquet(s"$dir/codes")
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), score.as("score"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.topkByScore(
+        col("neighbor_id"), col("score"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top.neighbor_id"))
+        .as("neighbor_id"))
+    // fresh path: live deltas in probed cells go straight to re-rank
+    // (codes cover the base only, so the two legs are disjoint)
+    val all = readIvfAssignedWithBatchId(spark, dir)
+    val fresh = all.filter(col("batch_id").isNotNull)
+      .select(col("cell"), col("vec_id").as("neighbor_id"))
+      .join(broadcast(probes.select("cell", "query_id")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    rankTopK(
+      short.unionByName(fresh)
+        .join(all.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("e_c"), col("nrm").as("n_c")),
+          Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"),
+            col("n_c")).as("cos")),
+      k)
+  }
+
+  /** §2 #222 — IVFADC serving FROM THE ARTIFACT: train both models
+    * once (the [[annIvfPq]] doctrine), build the IVF artifact + its PQ
+    * leg, then serve the standard query set from the materialized
+    * index. Output is identical to [[annIvfPq]] by construction — same
+    * models, same ADC shortlist, same exact re-rank — which the shared
+    * [[ivfPqTrainedOracle]] and SimilaritySpec both pin (the
+    * [[annIvfIndexed]] pattern, one level up the compression stack). */
+  def annIvfPqIndexed(spark: SparkSession, sfDir: String, nProbe: Int = 4,
+                      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val (cents, cbs) =
+      withTrainCache(v)(vc => (trainCentroids(vc, 16),
+        trainPqCodebooks(vc)))
+    // per-run UUID subdir: concurrent runs must not overwrite each
+    // other's artifact mid-read (the annIvfIndexed stance)
+    val dir = ExportImport.scratch(
+      s"ivfpq-index/run-${java.util.UUID.randomUUID()}")
+    ivfIndexBuild(spark, v.select("vec_id", "embedding"), dir, cents)
+    ivfPqIndexAdd(spark, dir, Some(cbs))
+    annServeFromPqIndex(spark, dir,
+      Tables.load(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding")),
+      nProbe, k)
+  }
+
   /** Oracle for [[annIvfPq]]: both trained models inlined (the
     * [[ivfTrainedOracle]] stance); coarse assignment, probing, PQ
     * encoding, ADC, shortlist, and re-rank replayed exactly. */

@@ -87,4 +87,30 @@ object StreamAnn {
         ()
       }
       .start()
+
+  /** Continuous IVFADC serving from the artifact's PQ leg
+    * ([[Similarity.ivfPqIndexAdd]]): each query micro-batch ADC-scans
+    * the probed cells of the 32×-compressed codes table and
+    * exact-reranks, with live index deltas routed straight to the
+    * exact stage ([[Similarity.annServeFromPqIndex]]'s fresh-buffer
+    * semantics) — the compressed serving loop closed against the same
+    * maintenance loop. The staleness guard travels with the body: a
+    * micro-batch arriving after an un-resynced compaction FAILS
+    * loudly rather than silently missing folded vectors (re-run
+    * `ivfPqIndexAdd`, restart the stream). Same replay-idempotent
+    * `batch_id=N` output partitions and the same concurrency caveat
+    * as [[applyStreamFromIndex]]. */
+  def applyStreamFromPqIndex(queries: DataFrame, indexDir: String,
+                             outDir: String, checkpoint: String,
+                             nProbe: Int = 4, k: Int = 5): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          Similarity.annServeFromPqIndex(batch.sparkSession, indexDir,
+              batch, nProbe, k)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
 }

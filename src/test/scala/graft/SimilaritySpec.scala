@@ -619,6 +619,62 @@ class SimilaritySpec extends SparkSpec {
       "the re-pinned maintainer must land its delta")
   }
 
+  test("ann_ivfpq_indexed: the materialized IVFADC leg serves identically " +
+      "to the inline pipeline; deltas take the exact fresh path; stale " +
+      "codes refuse") {
+    import org.apache.spark.sql.functions.col
+    val inline = Similarity.annIvfPq(spark, sf)
+      .collect().map(_.toString).toSeq
+    val indexed = Similarity.annIvfPqIndexed(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(indexed == inline,
+      "artifact-served IVFADC must equal the inline pipeline")
+
+    // delta fresh path: exact duplicates of the query vectors appended
+    // as live deltas must surface as top-1 (cos = 1) — never
+    // ADC-approximated away, never shortlist-pruned
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = graft.operators.ExportImport.scratch("ivfpq-index-spec")
+    graft.streaming.StreamIO.deleteRecursively(dir, conf)
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    Similarity.ivfIndexBuild(spark, embs, dir)
+    Similarity.ivfPqIndexAdd(spark, dir)
+    val queries = embs.filter(col("vec_id") < 5)
+    val dup = queries.select((col("vec_id") + 50000).as("vec_id"),
+      col("embedding"))
+    graft.streaming.StreamIvfIndex.applyBatch(dup, 0L, dir)
+    def top1() = Similarity.annServeFromPqIndex(spark, dir, queries)
+      .filter(col("rnk") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaFresh = top1()
+    (0L until 5L).foreach { q =>
+      assert(viaFresh(q) == q + 50000,
+        s"query $q: exact-duplicate delta must rank first, got $viaFresh")
+    }
+    // compaction folds the delta into the base → the codes no longer
+    // cover the base → serving must refuse, not silently miss vectors
+    assert(Similarity.ivfIndexCompact(spark, dir).contains(0L))
+    intercept[IllegalArgumentException] {
+      Similarity.annServeFromPqIndex(spark, dir, queries).collect()
+    }
+    // re-sync re-encodes with the STORED codebooks; the duplicates now
+    // come through the ADC leg and still rank first
+    Similarity.ivfPqIndexAdd(spark, dir)
+    val viaAdc = top1()
+    (0L until 5L).foreach(q => assert(viaAdc(q) == q + 50000,
+      s"post-resync ADC leg must still surface the duplicate: $viaAdc"))
+    // a rebuild swaps the whole artifact: the codes leg vanishes with
+    // the retired quantizer and serving refuses until a fresh add
+    Similarity.ivfIndexRebuild(spark, dir)
+    intercept[IllegalArgumentException] {
+      Similarity.annServeFromPqIndex(spark, dir, queries).collect()
+    }
+    Similarity.ivfPqIndexAdd(spark, dir)
+    assert(Similarity.annServeFromPqIndex(spark, dir, queries)
+      .collect().nonEmpty, "post-rebuild re-add must serve")
+  }
+
   test("knn_triangles: coefficients bounded, consistent with the edge set") {
     val rows = Similarity.knnTriangles(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -512,6 +512,55 @@ class StreamingSpec extends SparkSpec {
       "streamed index deltas must be visible to the serving loop")
   }
 
+  test("stream ann from the PQ leg equals the batch IVFADC serve, sees " +
+      "live deltas exactly, and refuses a compaction-stale scan table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val root = graft.operators.ExportImport.scratch("stream-ann-pq")
+    val (dir, outDir, ckpt) = (root + "/idx", root + "/out", root + "/ckpt")
+    Seq(dir, outDir, ckpt).foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(d,
+        spark.sparkContext.hadoopConfiguration))
+    Similarity.ivfIndexToDir(spark, sf, dir)
+    Similarity.ivfPqIndexAdd(spark, dir)
+    // one live maintainer delta: exact copies of the first corpus
+    // vectors under fresh ids — fresh-path candidates for the queries
+    val fresh = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .limit(3).collect()
+      .map(r => (r.getLong(0) + 7000L, r.getSeq[Float](1).toArray)).toSeq
+    graft.streaming.StreamIvfIndex.applyBatch(
+      fresh.toDF("vec_id", "embedding"), 0L, dir)
+    val qRows = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamAnn.applyStreamFromPqIndex(
+      input.toDF().toDF("vec_id", "embedding"), dir, outDir, ckpt)
+    try {
+      input.addData(qRows.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val got = spark.read.parquet(outDir).collect().map(key).toSet
+    val want = Similarity.annServeFromPqIndex(spark, dir, qRows)
+      .collect().map(key).toSet
+    assert(got == want && got.nonEmpty,
+      "streamed ADC serve must equal the batch artifact serve")
+    // the exact-duplicate delta rides the fresh path to rank 1
+    assert((0L until 3L).forall(i =>
+      got.contains((i, i + 7000L, 1, 1.0))),
+      s"fresh-path duplicates must rank first: $got")
+    // compaction folds the delta; the streamed body must now refuse
+    // (stale codes) until a re-sync, exactly like the batch serve
+    assert(Similarity.ivfIndexCompact(spark, dir).contains(0L))
+    intercept[IllegalArgumentException] {
+      Similarity.annServeFromPqIndex(spark, dir, qRows).collect()
+    }
+  }
+
   test("stream semantic dedup: per-batch decisions equal sequential " +
       "incremental replay; kept vectors join the servable index; " +
       "replay idempotent") {
