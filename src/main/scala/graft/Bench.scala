@@ -59,7 +59,8 @@ object Bench {
       "dedup_threshold_sweep", "lsh_plan", "simhash_plan"),
     "ann" -> Seq(
       "ann_bruteforce", "knn_graph", "knn_graph_ann", "pagerank",
-      "knn_communities", "knn_triangles", "label_spread",
+      "knn_communities", "knn_triangles", "knn_edges_incremental",
+      "label_spread",
       "ann_recall_eval",
       "ann_lsh", "ann_sign_sketch", "ann_ivf", "ann_ivf_static",
       "ann_ivf_indexed",

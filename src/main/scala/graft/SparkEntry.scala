@@ -97,6 +97,7 @@ object SparkEntry {
     "ann_bruteforce" -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
     "knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "knn_edges_incremental" -> ((s, d) => Similarity.knnEdgesIncremental(s, d)),
     "knn_graph_ann" -> ((s, d) => Similarity.knnGraphAnn(s, d)),
     "label_spread" -> ((s, d) => Similarity.labelSpread(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
@@ -554,6 +555,30 @@ object SparkEntry {
     },
     "knn_graph" ->
       s"""$duckNormCte,
+          e AS (SELECT query_id, neighbor_id, rnk, cos FROM (
+            SELECT query_id, neighbor_id, cos,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+            FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+                  FROM n q JOIN n c ON c.vec_id <> q.vec_id))
+          WHERE rnk <= 5)
+          SELECT e.query_id AS src_id, e.neighbor_id AS dst_id,
+                 e.rnk AS rnk, round(e.cos, 6) AS cos6,
+                 (r.query_id IS NOT NULL) AS mutual
+          FROM e LEFT JOIN e r ON r.query_id = e.neighbor_id
+                              AND r.neighbor_id = e.query_id
+          ORDER BY src_id, e.rnk""",
+    // the incremental merge equals the full graph over base + the
+    // re-id'd delta slice, so the oracle is knn_graph's brute replay
+    // over the combined corpus
+    "knn_edges_incremental" ->
+      s"""WITH n AS (SELECT vec_id, embedding,
+            sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM (SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id % 5 = 0)),
           e AS (SELECT query_id, neighbor_id, rnk, cos FROM (
             SELECT query_id, neighbor_id, cos,
               CAST(row_number() OVER (PARTITION BY query_id

@@ -564,6 +564,25 @@ object Graft {
                          checkpoint: String): StreamingQuery =
     graft.streaming.StreamIvfIndex.start(vectors, dir, checkpoint)
 
+  /** Continuous exact kNN edge maintenance: each micro-batch of new
+    * (fresh-id) corpus vectors merged into the stored edge state via
+    * the delta-proportional path — consumers (pagerank, communities,
+    * triangles) always read the exact graph at `dir/edges`, and no
+    * batch pays a corpus² rebuild. */
+  def knnEdgesMaintainer(vectors: DataFrame, seedCorpus: DataFrame,
+                         dir: String, checkpoint: String,
+                         k: Int = 5): StreamingQuery =
+    graft.streaming.StreamKnnEdges.start(vectors, seedCorpus, dir,
+      checkpoint, k)
+
+  /** One incremental merge of a delta (fresh-id vectors) into a kNN
+    * edge state with full-precision scores: the combined exact graph,
+    * at cost ∝ delta. */
+  def knnEdgesIncremental(base: DataFrame, baseEdges: DataFrame,
+                          delta: DataFrame, k: Int = 5): DataFrame =
+    graft.operators.Similarity.knnEdgesIncrementalFrom(base, baseEdges,
+      delta, k)
+
   /** Continuous CUSUM change-point monitor over daily event volume:
     * complete-mode day-count streaming agg feeding the batch twin's
     * finishing; `outDir` gets the latest card per micro-batch. */

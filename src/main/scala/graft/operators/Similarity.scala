@@ -408,7 +408,7 @@ object Similarity {
 
   /** Session-shared exact k-NN EDGE ARTIFACT (docs/ARTIFACTS.md): the
     * corpus-scale cell equi-join build runs ONCE per (session, sfDir,
-    * k) and lands as a (src, dst, mutual) parquet; every graph
+    * k) and lands as a (src, dst, rnk, cos, mutual) parquet; every graph
     * consumer (pagerank's iterations, knn_communities' propagation)
     * then reads the artifact — the same amortization doctrine as the
     * verified-pair and BPE-rules artifacts. knn_graph itself stays the
@@ -422,12 +422,138 @@ object Similarity {
     sharedEdgeDirs.computeIfAbsent((sfDir, k), { _ =>
       val dir = ExportImport.scratch(
         s"knn-edges/$edgesNs/k$k-${ExportImport.pathSlug(sfDir)}")
-      knnGraph(spark, sfDir, k)
-        .select(col("src_id").as("src"), col("dst_id").as("dst"),
-          col("mutual"))
+      // FULL-precision cos in the stored state (not the display
+      // rounding): [[knnEdgesIncrementalFrom]] re-ranks stored edges
+      // against freshly computed doubles, which is only exact when the
+      // stored score is the exact score
+      mutualFull(knnEdgesFullFrom(
+        graft.Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding")), k))
         .write.mode("overwrite").parquet(dir)
       dir
     })
+
+  /** EXACT kNN edges with full-precision scores over an explicit
+    * (vec_id, embedding) frame — [[knnGraph]]'s cell equi-join plan
+    * (all cells probed ⇒ exact, no corpus-side broadcast), minus the
+    * display rounding: the state [[sharedKnnEdgesDir]] stores and
+    * [[knnEdgesIncrementalFrom]] merges. */
+  private[graft] def knnEdgesFullFrom(vecs: DataFrame,
+                                      k: Int = 5): DataFrame = {
+    val cents = staticCentroids()
+    val v = vecs.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    def cellsOf(n: Int) =
+      graft.functions.VectorQuantize.nearestCells(col("embedding"), cents, n)
+    val assigned = v.select(element_at(cellsOf(1), 1).as("cell"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("e_c"),
+      col("nrm").as("n_c"))
+    val probes = v.select(col("vec_id").as("query_id"),
+      col("embedding").as("e_q"), col("nrm").as("n_q"),
+      explode(cellsOf(cents.length)).as("cell"))
+    rankTopKFull(
+      assigned.join(probes, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"),
+            col("n_c")).as("cos")), k)
+  }
+
+  /** EXACT INCREMENTAL kNN edge maintenance: the combined graph over
+    * `base ∪ delta` from the base's stored edge state + one
+    * delta-proportional scoring pass — never the |corpus|² rebuild.
+    * Exactness argument: a delta vector is the only kind of new
+    * candidate, so an existing node's new top-k is the top-k of
+    * (its stored top-k ∪ its scores against the delta) — a base
+    * candidate outside the stored top-k can never re-enter, because
+    * the merged k-th score is ≥ the old k-th score that already beat
+    * it (ties break on neighbor_id in both builds). Delta nodes rank
+    * against the full corpus through the ann_bruteforce shape
+    * (broadcast DELTA query side; the corpus-sized side only streams).
+    * Output is [[knnGraph]]-shaped and equals the full rebuild
+    * row-for-row (SimilaritySpec; the `knn_edges_incremental` oracle
+    * replays the combined-corpus brute graph).
+    *
+    * Scale shape: cost ∝ |delta| × |corpus| scoring + one ≤N×k merge
+    * agg + the ≤N×k mutual self-join. `baseEdges` must carry
+    * FULL-precision `cos` ([[sharedKnnEdgesDir]]'s state shape) —
+    * see [[rankTopKFull]]. Feeds the same consumers (pagerank,
+    * communities, triangles) a daily-ingest deployment re-points at
+    * the merged edge table. */
+  def knnEdgesIncrementalFrom(base: DataFrame, baseEdges: DataFrame,
+                              delta: DataFrame, k: Int = 5): DataFrame =
+    mutualFlag(knnEdgesIncrementalFull(base, baseEdges, delta, k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos6")))
+
+  /** [[knnEdgesIncrementalFrom]] keeping FULL-precision scores — the
+    * (query_id, neighbor_id, rnk, cos) frame the continuous maintainer
+    * ([[graft.streaming.StreamKnnEdges]]) stores back as the next
+    * merge's state. */
+  private[graft] def knnEdgesIncrementalFull(base: DataFrame,
+                                             baseEdges: DataFrame,
+                                             delta: DataFrame,
+                                             k: Int): DataFrame = {
+    def withN(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val bn = withN(base)
+    val dn = withN(delta)
+    val dCand = dn.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("e_c"), col("nrm").as("n_c"))
+    // existing nodes: stored top-k ∪ scores against the broadcast delta
+    val newCand = bn.select(col("vec_id").as("query_id"),
+        col("embedding").as("e_q"), col("nrm").as("n_q"))
+      .join(broadcast(dCand), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"),
+          col("n_c")).as("cos"))
+    val stored = baseEdges.select(col("src").as("query_id"),
+      col("dst").as("neighbor_id"), col("cos"))
+    val mergedBase = rankTopKFull(stored.unionByName(newCand), k)
+    // delta nodes: broadcast query side, the corpus streams
+    val deltaEdges = rankTopKFull(
+      bn.unionByName(dn)
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("e_c"), col("nrm").as("n_c"))
+        .join(broadcast(dn.select(col("vec_id").as("query_id"),
+          col("embedding").as("e_q"), col("nrm").as("n_q"))),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"),
+            col("n_c")).as("cos")), k)
+    mergedBase.unionByName(deltaEdges)
+  }
+
+  /** Mutual-flag decoration PRESERVING full-precision scores — the
+    * (src, dst, rnk, cos, mutual) state shape of [[sharedKnnEdgesDir]]
+    * and the continuous maintainer. */
+  private[graft] def mutualFull(full: DataFrame): DataFrame = {
+    val rev = full.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id"), lit(true).as("rev"))
+    full.join(rev, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+        col("rnk"), col("cos"),
+        coalesce(col("rev"), lit(false)).as("mutual"))
+  }
+
+  /** §2 #223 — `knn_edges_incremental`: the graph-family delta path —
+    * maintain the exact kNN edge artifact under ingest without the
+    * |corpus|² rebuild every other artifact family already avoids
+    * (pairs #151, IVF #150b, sketches #216). Base edges come from the
+    * session-shared artifact ([[sharedKnnEdgesDir]] — built once,
+    * amortized across pagerank/communities/triangles, so THIS query
+    * measures the merge, the production shape); the delta is the
+    * re-id'd 20% slice (near-dup ingest: exact copies under fresh
+    * ids). Output equals [[knnGraph]] over the combined corpus
+    * row-for-row — the oracle replays the combined brute graph. */
+  def knnEdgesIncremental(spark: SparkSession, sfDir: String,
+                          k: Int = 5): DataFrame = {
+    val v = vectors(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val delta = v.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val baseEdges = spark.read.parquet(sharedKnnEdgesDir(spark, sfDir, k))
+    knnEdgesIncrementalFrom(v, baseEdges, delta, k)
+  }
 
   /** §2 #205 — kNN TRIANGLES / local clustering coefficient: per node
     * of the MUTUAL k-NN graph, its degree, triangle count, and local
@@ -606,14 +732,23 @@ object Similarity {
     * candidates into a per-query window sort (at nProbe/nCells = 1/4
     * that window would land ~N/4 rows in ONE task per query). Tie-break
     * is (score desc, id asc), identical to the SQL oracles' row_number. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  /** [[rankTopK]] keeping the FULL-precision score — the form the
+    * incremental kNN edge state stores: a 6-dp-rounded score cannot
+    * re-rank exactly against freshly computed doubles (at N×k×|delta|
+    * comparisons, crossings inside the rounding step are expected). */
+  private def rankTopKFull(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(graft.functions.TopKByScoreAgg.topkByScore(
         col("neighbor_id"), col("cos"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("query_id"), col("e.neighbor_id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rnk"),
-        round(col("e.cos"), 6).as("cos6"))
+        col("e.cos").as("cos"))
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    rankTopKFull(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos6"))
       .orderBy("query_id", "rnk")
 
   /** Spherical k-means coarse quantizer, trained as DataFrame

@@ -675,6 +675,36 @@ class SimilaritySpec extends SparkSpec {
       .collect().nonEmpty, "post-rebuild re-add must serve")
   }
 
+  test("knn_edges_incremental: artifact + delta merge equals the full " +
+      "cell equi-join rebuild over the combined corpus") {
+    import org.apache.spark.sql.functions.col
+    val v = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val delta = v.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("label"),
+        col("embedding"))
+    val got = Similarity.knnEdgesIncremental(spark, sf)
+      .collect().map(_.toString).toSeq
+    // independent reference: the full knnGraph pipeline over the
+    // combined corpus written as its own embeddings table
+    val tmp = graft.operators.ExportImport.scratch("knn-inc-combined")
+    v.unionByName(delta).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val want = Similarity.knnGraph(spark, tmp).collect()
+      .map(_.toString).toSeq
+    assert(got.size == want.size && got == want,
+      s"incremental merge must equal the rebuild (got ${got.size} vs " +
+        s"${want.size} rows)")
+    // the re-id'd copies are exact duplicates: each must sit at rank 1
+    // of its original, mutually
+    val top = Similarity.knnEdgesIncremental(spark, sf)
+      .filter(col("rnk") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(top(0L) == 10000L && top(10000L) == 0L,
+      s"duplicate pair must be mutual rank-1: ${top.get(0L)}, ${
+        top.get(10000L)}")
+  }
+
   test("knn_triangles: coefficients bounded, consistent with the edge set") {
     val rows = Similarity.knnTriangles(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

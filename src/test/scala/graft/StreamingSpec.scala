@@ -561,6 +561,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream knn edges: maintained state equals the from-scratch " +
+      "exact build after each prefix; replay idempotent; reset refused") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.operators.ExportImport.scratch("stream-knn-edges")
+    val (dir, ckpt) = (root + "/state", root + "/ckpt")
+    Seq(dir, ckpt).foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(d, conf))
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val seed = embs.filter(col("vec_id") < 40)
+    val rows = embs.orderBy("vec_id").limit(52).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val b1 = rows.slice(40, 46).map { case (id, e) => (id + 2000L, e) }
+    val b2 = rows.slice(46, 52).map { case (id, e) => (id + 3000L, e) }
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamKnnEdges.start(
+      input.toDF().toDF("vec_id", "embedding"), seed, dir, ckpt)
+    try {
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def state() = spark.read.parquet(s"$dir/edges")
+      .collect().map(_.toString).toSeq.sorted
+    val got = state()
+    val want = Similarity.mutualFull(Similarity.knnEdgesFullFrom(
+        seed.unionByName((b1 ++ b2).toSeq.toDF("vec_id", "embedding"))))
+      .collect().map(_.toString).toSeq.sorted
+    assert(got == want && got.nonEmpty,
+      "maintained edge state must equal the from-scratch exact build")
+    // replay of the applied batch: skipped, state unchanged
+    graft.streaming.StreamKnnEdges.applyBatch(
+      b2.toSeq.toDF("vec_id", "embedding"), 1L, seed, dir, 5)
+    assert(state() == got, "replayed batch must leave the state intact")
+    // an id below the applied marker = reset checkpoint: refuse loudly
+    intercept[IllegalStateException] {
+      graft.streaming.StreamKnnEdges.applyBatch(
+        b1.toSeq.toDF("vec_id", "embedding"), 0L, seed, dir, 5)
+    }
+  }
+
   test("stream semantic dedup: per-batch decisions equal sequential " +
       "incremental replay; kept vectors join the servable index; " +
       "replay idempotent") {
