@@ -31,6 +31,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (the overwrite makes the vector landing idempotent), so the state
   * can never advance past its corpus.
   *
+  * The vectors leg is a standard [[StreamPairs]]-stance accumulation,
+  * so it takes the standard delta GC: [[Compaction.compactBatched]]
+  * folds `vectors/` to one partition, and the edge-side
+  * `_applied_batch` marker already guards every replay/reset case the
+  * fold creates (a replay of a folded batch was by construction
+  * already applied to the edges, so it skips before touching the
+  * vectors) — StreamingSpec proves a post-GC merge still sees every
+  * folded vector. `edges/` itself never needs GC: it is a single
+  * swapped dir of ≤N×k rows.
+  *
   * The first non-idle batch seeds the state with the one-time exact
   * build over seed ∪ batch ([[Similarity.knnEdgesFullFrom]] — the
   * same cell equi-join plan as the batch artifact); every later batch

@@ -602,6 +602,19 @@ class StreamingSpec extends SparkSpec {
       graft.streaming.StreamKnnEdges.applyBatch(
         b1.toSeq.toDF("vec_id", "embedding"), 0L, seed, dir, 5)
     }
+    // the vectors accumulation takes the standard delta GC: fold, then
+    // the next merge still sees every folded vector
+    assert(graft.streaming.Compaction
+      .compactBatched(spark, s"$dir/vectors").contains(1L))
+    val b3 = rows.slice(34, 40).map { case (id, e) => (id + 4000L, e) }
+    graft.streaming.StreamKnnEdges.applyBatch(
+      b3.toSeq.toDF("vec_id", "embedding"), 2L, seed, dir, 5)
+    val want3 = Similarity.mutualFull(Similarity.knnEdgesFullFrom(
+        seed.unionByName(
+          (b1 ++ b2 ++ b3).toSeq.toDF("vec_id", "embedding"))))
+      .collect().map(_.toString).toSeq.sorted
+    assert(state() == want3,
+      "post-GC merge must still see every folded vector")
   }
 
   test("stream semantic dedup: per-batch decisions equal sequential " +
