@@ -68,7 +68,8 @@ object Bench {
       "semantic_dedup_incremental", "hard_negatives",
       "embedding_dedup", "embedding_quantize", "quantize_eval",
       "embedding_class_stats", "embedding_outliers", "embedding_pca",
-      "ivf_probe_sweep", "ivf_drift", "ivf_drift_impact", "ivf_rebuild"),
+      "ivf_probe_sweep", "pq_shortlist_sweep", "ivf_drift",
+      "ivf_drift_impact", "ivf_rebuild"),
     "text" -> Seq(
       "text_stats", "token_count", "lang_id", "quality_filter",
       "quality_funnel", "quality_calibration", "gate_agreement",

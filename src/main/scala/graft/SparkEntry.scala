@@ -227,6 +227,7 @@ object SparkEntry {
     "join_skew_salted" -> ((s, d) => Analytics.joinSkewSalted(s, d)),
     "embedding_pca" -> ((s, d) => Similarity.embeddingPca(s, d)),
     "ivf_probe_sweep" -> ((s, d) => Similarity.ivfProbeSweep(s, d)),
+    "pq_shortlist_sweep" -> ((s, d) => Similarity.pqShortlistSweep(s, d)),
     "ivf_drift" -> ((s, d) => Similarity.ivfDrift(s, d)),
     "ivf_drift_impact" -> ((s, d) => Similarity.ivfDriftImpact(s, d)),
     "ivf_rebuild" -> ((s, d) => Similarity.ivfRebuild(s, d)),
@@ -1058,6 +1059,7 @@ object SparkEntry {
     "join_skew_salted" -> Analytics.joinSkewSaltedOracle,
     "embedding_pca" -> Similarity.embeddingPcaOracle(),
     "ivf_probe_sweep" -> Similarity.ivfProbeSweepOracle(),
+    "pq_shortlist_sweep" -> Similarity.pqShortlistSweepOracle(),
     "ivf_drift" -> Similarity.ivfDriftOracle(),
     "ivf_drift_impact" -> Similarity.ivfDriftImpactOracle(),
     "ivf_rebuild" -> Similarity.ivfRebuildOracle(),

@@ -406,6 +406,154 @@ object Similarity {
        ORDER BY n_probe"""
   }
 
+  /** §2 #224 — `pq_shortlist_sweep`: the tuning table for the PQ
+    * family's knob. For each shortlist factor f: recall@k of the
+    * ADC-shortlist(f·k) + exact-rerank pipeline vs brute truth, and
+    * the rerank gather bill (min(f·k, N−1)·nQueries rows — the ONLY
+    * stage that touches raw vectors, so it IS the quality/cost
+    * trade). Completes the tuning-table family: `ivf_probe_sweep`
+    * prices nProbe, `lsh_plan`/`hamming_plan`/`simhash_plan` price
+    * banding geometry, this prices the ADC shortlist.
+    *
+    * Scale shape: the corpus is encoded and ADC-scored ONCE — the
+    * candidates are ranked at the LARGEST factor and every smaller
+    * factor is a rank-prefix of that one bounded aggregate; the exact
+    * cosines of the max shortlist are computed once and each factor's
+    * re-rank is a filter + ≤N×k ranking over them. */
+  def pqShortlistSweep(spark: SparkSession, sfDir: String,
+                       nQueries: Int = 10, k: Int = 5,
+                       factors: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val cbs = withTrainCache(v)(trainPqCodebooks(_))
+    val nCorpus = v.count()
+    val truth = annBruteforce(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val maxF = factors.max
+    val queries = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"))
+    // one ADC ranking at the largest factor; srnk = ADC rank, so a
+    // smaller factor's shortlist is srnk <= f*k
+    val shortMax = rankTopKFull(
+      pqAdcScored(v, cbs, nQueries)
+        .withColumnRenamed("score", "cos"), maxF * k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("srnk"))
+    // exact cosines of the max shortlist, computed once
+    val rer = shortMax
+      .join(v.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("e_c"), col("nrm").as("n_c")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("srnk"),
+        cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"),
+          col("n_c")).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TransientCaches.register(rer)
+    factors.map { f =>
+      val edges = rankTopK(rer.filter(col("srnk") <= f * k)
+        .select("query_id", "neighbor_id", "cos"), k)
+        .select("query_id", "neighbor_id")
+      val hits = edges.join(truth, Seq("query_id", "neighbor_id"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+        .select(lit(f).as("shortlist_factor"),
+          lit(math.min(f.toLong * k, nCorpus - 1) * nQueries)
+            .as("n_rerank"),
+          col("n_truth"), col("n_hit"),
+          round(col("n_hit") / col("n_truth"), 4).as("recall"))
+    }.reduce(_ unionByName _).orderBy("shortlist_factor")
+  }
+
+  /** DuckDB oracle for [[pqShortlistSweep]]: the [[pqTrainedOracle]]
+    * machinery (trained codebooks + biases inlined, code pivot, ADC
+    * sum in fixed sub-space order) with the candidates ADC-ranked once
+    * in a shared CTE and one branch per factor — each filters its
+    * rank-prefix, exact-reranks, and scores against the shared brute
+    * truth. */
+  def pqShortlistSweepOracle(nQueries: Int = 10, k: Int = 5,
+                             factors: Seq[Int] = Seq(1, 2, 4, 8)): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val cbs = withTrainCache(vectors(spark, sfDir))(trainPqCodebooks(_))
+    val nSub = cbs.length
+    val sub = cbs.head.head.length
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val cbRows = (for {
+      m <- 0 until nSub
+      kk <- cbs(m).indices
+    } yield s"($m, $kk, ${cbs(m)(kk).mkString("[", ", ", "]")}, " +
+      s"${l2Biases(cbs(m))(kk)})")
+      .mkString(", ")
+    val codePivot = (0 until nSub)
+      .map(m => s"max(CASE WHEN m = $m THEN kk END) AS c$m").mkString(", ")
+    val adc = (0 until nSub).map { m =>
+      val lo = m * sub + 1
+      val hi = (m + 1) * sub
+      s"${dot(s"q.embedding[$lo:$hi]", s"cbl.cb[${m + 1}][n.c$m + 1]")}"
+    }.mkString(" + ")
+    val cbLit = cbs.map(_.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val branches = factors.map { f =>
+      s"""SELECT $f AS shortlist_factor,
+           (SELECT least(${f.toLong * k}, count(*) - 1) * $nQueries
+            FROM embeddings) AS n_rerank,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT s.query_id, s.neighbor_id,
+                    row_number() OVER (PARTITION BY s.query_id ORDER BY
+                      ${dot("qv.embedding", "cv.embedding")}
+                        / (qv.nrm * cv.nrm) DESC, s.neighbor_id) AS rnk
+                  FROM (SELECT query_id, neighbor_id FROM adcr
+                        WHERE r <= ${f * k}) s
+                  JOIN nv qv ON qv.vec_id = s.query_id
+                  JOIN nv cv ON cv.vec_id = s.neighbor_id) i
+            JOIN truth t ON t.query_id = i.query_id
+                        AND t.neighbor_id = i.neighbor_id
+            WHERE i.rnk <= $k) AS n_hit"""
+    }.mkString("\n          UNION ALL\n          ")
+    s"""WITH cb(m, kk, cv, bias) AS (VALUES $cbRows),
+        cbl AS (SELECT $cbLit AS cb),
+        sub AS (SELECT vec_id, mm.m AS m,
+                  embedding[mm.m * $sub + 1 : (mm.m + 1) * $sub] AS s
+                FROM embeddings,
+                     (SELECT unnest(range(0, $nSub)) AS m) mm),
+        coded AS (SELECT vec_id, m, kk FROM (
+                    SELECT sub.vec_id, sub.m, cb.kk,
+                      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                        ORDER BY (${dot("sub.s", "cb.cv")} + cb.bias) DESC,
+                          cb.kk) AS r
+                    FROM sub JOIN cb ON cb.m = sub.m)
+                  WHERE r = 1),
+        codes AS (SELECT vec_id, $codePivot FROM coded GROUP BY 1),
+        nv AS (SELECT vec_id, embedding,
+                 sqrt(${dot("embedding", "embedding")}) AS nrm
+               FROM embeddings),
+        adcr AS (SELECT query_id, neighbor_id, r FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ($adc) DESC, n.vec_id) AS r
+            FROM embeddings q, codes n, cbl
+            WHERE q.vec_id < $nQueries AND n.vec_id <> q.vec_id)
+          WHERE r <= ${factors.max * k}),
+        truth AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                c.vec_id) AS rnk
+            FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < $nQueries)
+          WHERE rnk <= $k)
+       SELECT shortlist_factor, n_rerank, n_truth, n_hit,
+         round(n_hit / CAST(n_truth AS DOUBLE), 4) AS recall
+       FROM ($branches)
+       ORDER BY shortlist_factor"""
+  }
+
   /** Session-shared exact k-NN EDGE ARTIFACT (docs/ARTIFACTS.md): the
     * corpus-scale cell equi-join build runs ONCE per (session, sfDir,
     * k) and lands as a (src, dst, rnk, cos, mutual) parquet; every graph
@@ -2233,12 +2381,14 @@ object Similarity {
     annPqWith(v, withTrainCache(v)(trainPqCodebooks(_)), nQueries, k)
   }
 
-  private def annPqWith(v: DataFrame, cbs: Array[Array[Array[Double]]],
-                        nQueries: Int, k: Int,
-                        shortlistFactor: Int = 8): DataFrame = {
+  /** Stage-1 ADC scoring of every candidate against the broadcast
+    * query set over the codes table — shared by [[annPqWith]] and the
+    * shortlist sweep (which ranks it ONCE at the largest factor and
+    * reads smaller factors as prefixes). */
+  private def pqAdcScored(v: DataFrame, cbs: Array[Array[Array[Double]]],
+                          nQueries: Int): DataFrame = {
     val nSub = cbs.length
     val sub = cbs.head.head.length
-    val shortlist = shortlistFactor * k
     val codeCols = (0 until nSub).map { m =>
       element_at(graft.functions.VectorQuantize.nearestCellsBiased(
         expr(s"slice(embedding, ${m * sub + 1}, $sub)"), cbs(m),
@@ -2246,9 +2396,6 @@ object Similarity {
         .as(s"c$m")
     }
     val coded = v.select(col("vec_id").as("neighbor_id") +: codeCols: _*)
-    val queries = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
-        col("nrm").as("n_q"))
     // ADC: fixed left-to-right sub-space sum — the oracle adds in the
     // same order, so the double is bit-identical
     val score = (0 until nSub).map { m =>
@@ -2256,11 +2403,23 @@ object Similarity {
         expr(s"slice(e_q, ${m * sub + 1}, $sub)"),
         element_at(typedLit(cbs(m).map(_.toSeq).toSeq), col(s"c$m") + 1))
     }.reduceLeft(_ + _)
-    // stage 1 — ADC shortlist over the CODES table (compressed scan)
-    val short = coded
-      .join(broadcast(queries.select("query_id", "e_q")),
+    coded
+      .join(broadcast(v.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("e_q"))),
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), score.as("score"))
+  }
+
+  private def annPqWith(v: DataFrame, cbs: Array[Array[Array[Double]]],
+                        nQueries: Int, k: Int,
+                        shortlistFactor: Int = 8): DataFrame = {
+    val shortlist = shortlistFactor * k
+    val queries = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"))
+    // stage 1 — ADC shortlist over the CODES table (compressed scan)
+    val short = pqAdcScored(v, cbs, nQueries)
       .groupBy("query_id")
       .agg(graft.functions.TopKByScoreAgg.topkByScore(
         col("neighbor_id"), col("score"), shortlist).as("top"))

@@ -705,6 +705,28 @@ class SimilaritySpec extends SparkSpec {
         top.get(10000L)}")
   }
 
+  test("pq_shortlist_sweep: recall monotone in the shortlist factor; " +
+      "the default factor's row reproduces ann_pq's measured recall") {
+    val rows = Similarity.pqShortlistSweep(spark, sf).collect()
+      .map(r => (r.getAs[Int]("shortlist_factor"),
+        r.getAs[Long]("n_rerank"), r.getAs[Double]("recall")))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8), "ordered by factor")
+    assert(rows.sliding(2).forall(p => p(0)._3 <= p(1)._3),
+      s"recall must be monotone in the rerank budget: $rows")
+    assert(rows.sliding(2).forall(p => p(0)._2 < p(1)._2),
+      "the rerank bill must grow with the factor")
+    // the factor-8 row IS ann_pq's operating point: same recall as the
+    // measured pipeline vs brute truth
+    val brute = Similarity.annBruteforce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.annPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = math.round(
+      (brute intersect pq).size.toDouble / brute.size * 10000) / 10000.0
+    assert(rows.last._3 == want,
+      s"factor-8 recall ${rows.last._3} must equal ann_pq's $want")
+  }
+
   test("knn_triangles: coefficients bounded, consistent with the edge set") {
     val rows = Similarity.knnTriangles(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
