@@ -373,8 +373,8 @@ out += ["",
         "  the latest BENCH_rN g1 tail each round — a 2.5x regression "
         "at ANY rank",
         "  now gets a live retry pair.",
-        "- ivf_rebuild (new #221, 8.4/7.4/12.3 s this sweep): "
-        "NEAR-FLAT across the",
+        "- ivf_rebuild (new #221, 9.1/8.5/8.7 s this sweep): "
+        "FLAT across the",
         "  100x data span — the wall is ~30 scheduled jobs and ~8 "
         "parquet writes",
         "  (build the base index, land the drifted delta, pre "
@@ -389,7 +389,7 @@ out += ["",
         "per is_shifted,",
         "  not per query, and the serving-path cost it restores is "
         "the point.",
-        "- ann_ivfpq_indexed (new #222, 3.3/3.2/5.1 s): train both "
+        "- ann_ivfpq_indexed (new #222, 3.8/3.5/3.8 s): train both "
         "models + build the",
         "  IVF artifact + its PQ codes leg + serve — near-flat, "
         "build-dominated; the",
@@ -398,19 +398,23 @@ out += ["",
         "  dump shows dynamic partition pruning on the codes scan and "
         "a codes-only",
         "  ReadSchema). knn_edges_incremental (new #223, "
-        "0.8/1.1/2.6 s): the exact",
+        "1.0/0.9/2.1 s): the exact",
         "  incremental edge merge off the session-shared artifact — "
         "~4x under the",
-        "  fresh knn_graph build (10.5 s this sweep) at sf0.1, and "
+        "  fresh knn_graph build (8.2 s this sweep) at sf0.1, and "
         "the gap is the",
-        "  point: cost ∝ delta, not corpus².",
-        "- in-sweep amplification watch (this sweep): "
-        "leakage_safe_split spiked to",
-        "  22.9 s in one full-sweep run and re-measured 7.9/8.6 s "
-        "solo and 6.3 s in",
-        "  the published re-sweep — the documented heavy-prefix-join "
-        "spread, not a",
-        "  regression (no r15 diff touches it).",
+        "  point: cost ∝ delta, not corpus². pq_shortlist_sweep "
+        "(new #224,",
+        "  2.9/3.0/3.9 s): one ADC ranking at the largest factor, "
+        "prefix-read per",
+        "  factor — near-flat, training-dominated.",
+        "- in-sweep amplification watch (r15): leakage_safe_split "
+        "spiked to 22.9 s",
+        "  in one loaded-box full sweep mid-round and re-measured "
+        "7.9/8.6 s solo,",
+        "  5.5 s in the published sweep — the documented heavy-"
+        "prefix-join spread,",
+        "  not a regression (no r15 diff touches it).",
         "",
         "## Super-linear rows, priced (r12) — and the r13 planned "
         "headline",
