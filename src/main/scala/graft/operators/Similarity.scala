@@ -2621,8 +2621,14 @@ object Similarity {
     val (fs, codesPath) = StreamIO.fsFor(s"$dir/codes", conf)
     require(fs.exists(codesPath),
       s"no PQ leg at $dir/codes — run ivfPqIndexAdd first")
+    // the marker is REQUIRED, not defaulted: ivfPqIndexAdd writes it
+    // strictly after the codes land, so its absence means the encode
+    // crashed mid-write and the scan table may silently miss vectors
     val synced = StreamIO.readMarker(s"$dir/codes", "_synced_to", conf)
-      .getOrElse(-1L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"PQ codes at $dir/codes carry no _synced_to marker — the " +
+          "encode did not complete (ivfPqIndexAdd writes the marker " +
+          "after the codes). Re-run ivfPqIndexAdd."))
     val folded = StreamIO.readMarker(s"$dir/assigned",
       "_compacted_through", conf).getOrElse(-1L)
     require(synced == folded,

@@ -673,6 +673,14 @@ class SimilaritySpec extends SparkSpec {
     Similarity.ivfPqIndexAdd(spark, dir)
     assert(Similarity.annServeFromPqIndex(spark, dir, queries)
       .collect().nonEmpty, "post-rebuild re-add must serve")
+    // a codes leg without its completion marker (= the encode crashed
+    // mid-write; the marker lands strictly after the codes) refuses
+    val (mfs, mp) = graft.streaming.StreamIO.fsFor(
+      s"$dir/codes/_synced_to", conf)
+    mfs.delete(mp, false)
+    intercept[IllegalArgumentException] {
+      Similarity.annServeFromPqIndex(spark, dir, queries).collect()
+    }
   }
 
   test("knn_edges_incremental: artifact + delta merge equals the full " +
