@@ -68,8 +68,8 @@ object Bench {
       "semantic_dedup_incremental", "hard_negatives",
       "embedding_dedup", "embedding_quantize", "quantize_eval",
       "embedding_class_stats", "embedding_outliers", "embedding_pca",
-      "ivf_probe_sweep", "pq_shortlist_sweep", "ivf_drift",
-      "ivf_drift_impact", "ivf_rebuild"),
+      "ivf_probe_sweep", "pq_shortlist_sweep", "ann_recall_eval_pq",
+      "ivf_drift", "ivf_drift_impact", "ivf_rebuild", "pq_drift"),
     "text" -> Seq(
       "text_stats", "token_count", "lang_id", "quality_filter",
       "quality_funnel", "quality_calibration", "gate_agreement",
@@ -472,14 +472,24 @@ object Bench {
     * is absent/unreadable: retry selection then degrades to the pure
     * rank-based fill, never fails the bench. */
   private def priorQuerySeconds(): Map[String, Double] = try {
-    val f = new java.io.File("docs/BENCH_PRIOR.json")
-    if (!f.isFile) Map.empty
+    // resolve against -Dgraft.repo.root when set, so a bench launched
+    // from another CWD keeps its ratio-first retries (ADVICE r15) —
+    // and say so on stderr when the priors are missing, instead of
+    // silently degrading to rank-based retry selection
+    val root = sys.props.get("graft.repo.root").getOrElse(".")
+    val f = new java.io.File(root, "docs/BENCH_PRIOR.json")
+    if (!f.isFile) {
+      System.err.println(s"[bench] no priors at ${f.getPath} — retry " +
+        "selection degrades to rank-based (set -Dgraft.repo.root or " +
+        "run from the repo root for ratio-first retries)")
+      Map.empty
+    }
     else {
       import org.json4s._
       val src = scala.io.Source.fromFile(f, "UTF-8")
       val j = try org.json4s.jackson.JsonMethods.parse(src.mkString)
         finally src.close()
-      j \ "queries" match {
+      val m: Map[String, Double] = j \ "queries" match {
         case JObject(fields) => fields.collect {
           case (k, JDouble(v)) => k -> v
           case (k, JInt(v)) => k -> v.toDouble
@@ -488,8 +498,17 @@ object Bench {
         }.toMap
         case _ => Map.empty
       }
+      if (m.isEmpty)
+        System.err.println(s"[bench] priors at ${f.getPath} parsed " +
+          "empty — retry selection degrades to rank-based")
+      m
     }
-  } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] priors unreadable (${e.getMessage}) " +
+        "— retry selection degrades to rank-based")
+      Map.empty
+  }
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()

@@ -228,6 +228,8 @@ object SparkEntry {
     "embedding_pca" -> ((s, d) => Similarity.embeddingPca(s, d)),
     "ivf_probe_sweep" -> ((s, d) => Similarity.ivfProbeSweep(s, d)),
     "pq_shortlist_sweep" -> ((s, d) => Similarity.pqShortlistSweep(s, d)),
+    "ann_recall_eval_pq" -> ((s, d) => Similarity.annRecallEvalPq(s, d)),
+    "pq_drift" -> ((s, d) => Similarity.pqDrift(s, d)),
     "ivf_drift" -> ((s, d) => Similarity.ivfDrift(s, d)),
     "ivf_drift_impact" -> ((s, d) => Similarity.ivfDriftImpact(s, d)),
     "ivf_rebuild" -> ((s, d) => Similarity.ivfRebuild(s, d)),
@@ -1060,6 +1062,8 @@ object SparkEntry {
     "embedding_pca" -> Similarity.embeddingPcaOracle(),
     "ivf_probe_sweep" -> Similarity.ivfProbeSweepOracle(),
     "pq_shortlist_sweep" -> Similarity.pqShortlistSweepOracle(),
+    "ann_recall_eval_pq" -> Similarity.annRecallEvalPqOracle(),
+    "pq_drift" -> Similarity.pqDriftOracle(),
     "ivf_drift" -> Similarity.ivfDriftOracle(),
     "ivf_drift_impact" -> Similarity.ivfDriftImpactOracle(),
     "ivf_rebuild" -> Similarity.ivfRebuildOracle(),

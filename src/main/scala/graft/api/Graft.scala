@@ -641,10 +641,26 @@ object Graft {
 
   /** Add (or re-sync after compaction) the PQ/ADC acceleration leg of
     * an IVF index artifact: codebooks trained on the base (reused when
-    * already present), every base vector encoded map-only into the
-    * 32×-compressed cell-partitioned `codes/` scan table. */
-  def addPqIndex(spark: SparkSession, dir: String): Unit =
-    graft.operators.Similarity.ivfPqIndexAdd(spark, dir)
+    * already present — pass `retrain = true` to force a re-train on
+    * the CURRENT base, the [[pqDrift]] `is_stale` action), every base
+    * vector encoded map-only into the 32×-compressed cell-partitioned
+    * `codes/` scan table. Training (never a re-sync) also pins the
+    * `pq_baseline/` distortion snapshot the monitor reads. */
+  def addPqIndex(spark: SparkSession, dir: String,
+                 retrain: Boolean = false): Unit =
+    graft.operators.Similarity.ivfPqIndexAdd(spark, dir, None, retrain)
+
+  /** PQ-leg staleness monitor over a live IVF index artifact: per
+    * sub-space mean ADC reconstruction error of the maintained corpus
+    * under the STORED codebooks vs the `pq_baseline/` snapshot pinned
+    * when they were trained — the [[ivfDrift]] doctrine one level down
+    * the compression stack (a re-synced scan table stays
+    * marker-consistent while its shortlist silently degrades; this is
+    * the measurement that prices it). `is_stale` at `staleRatio` is
+    * the `addPqIndex(retrain = true)` signal. */
+  def pqDrift(spark: SparkSession, dir: String,
+              staleRatio: Double = 1.5): DataFrame =
+    graft.operators.Similarity.pqDriftFromIndex(spark, dir, staleRatio)
 
   /** IVFADC serving from the artifact: ADC shortlist over the probed
     * cells of `codes/`, live deltas routed exactly (fresh-buffer
@@ -655,4 +671,101 @@ object Graft {
                           k: Int = 5): DataFrame =
     graft.operators.Similarity.annServeFromPqIndex(spark, dir, queries,
       nProbe, k)
+
+  /** What one [[maintainIvfIndex]] epoch did, in order: the folded
+    * compaction watermark (None = no deltas), whether the PQ scan
+    * table was re-synced, the coarse-drift PSI it measured, the new
+    * quantizer version if drift forced a rebuild, the worst PQ
+    * distortion ratio it measured (None when the leg is absent, was
+    * just retrained, or predates the baseline snapshot), and whether
+    * the codebooks were retrained (by the rebuild's re-add, the
+    * staleness verdict, or a missing-baseline migration). */
+  case class IvfMaintenance(compactedThrough: Option[Long],
+                            pqResynced: Boolean,
+                            psi: Double,
+                            rebuiltToVersion: Option[Long],
+                            pqMaxRatio: Option[Double],
+                            pqRetrained: Boolean)
+
+  /** ONE-CALL maintenance epoch for a live IVF index artifact — the
+    * docs/ARTIFACTS.md operational cadence executed in the safe order,
+    * so a deployment cannot mis-sequence it (e.g. serve between the
+    * fold and the PQ re-sync and eat the loud refusal as downtime):
+    *
+    *  1. fold stream deltas into the base ([[compactIvfIndex]]);
+    *  2. coarse-drift check ([[ivfDrift]]); on `is_shifted`, retrain +
+    *     rebuild ([[rebuildIvfIndex]]) and re-add the PQ leg (the swap
+    *     dropped it with its retired quantizer; the re-add trains new
+    *     codebooks, re-encodes, and pins a fresh distortion baseline
+    *     — rebuild epochs never pay a re-sync they would discard);
+    *  3. otherwise, re-sync the PQ scan table when the fold (or an
+    *     earlier crash) left it behind the base watermark;
+    *  4. then the PQ staleness check ([[pqDrift]]); on `is_stale` —
+    *     or on an artifact that predates the baseline snapshot —
+    *     retrain the codebooks in place
+    *     ([[addPqIndex]]`(retrain = true)`).
+    *
+    * SINGLE-WRITER contract: run with the maintainers quiesced, like
+    * every verb it sequences; restart them afterwards if step 3
+    * rebuilt (they re-pin the bumped [[ivfQuantizerVersion]]).
+    * Serving never participates: steps 1/3 have the documented
+    * momentary swap window, and steps 2/4 end with a consistent
+    * `codes/` + `_synced_to`. SimilaritySpec drives a full epoch
+    * (ingest → fold → drift → rebuild → re-add → serve) through this
+    * one call. */
+  def maintainIvfIndex(spark: SparkSession, dir: String, nCells: Int = 16,
+                       pqStaleRatio: Double = 1.5): IvfMaintenance = {
+    import graft.streaming.StreamIO
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(sub: String): Boolean = {
+      val (fs, p) = StreamIO.fsFor(s"$dir/$sub", conf)
+      fs.exists(p)
+    }
+    val w = graft.operators.Similarity.ivfIndexCompact(spark, dir)
+    val hasPq = exists("codes")
+    val drift = graft.operators.Similarity.ivfDriftFromIndex(spark, dir)
+      .select("psi4", "is_shifted").head()
+    val psi = if (drift.isNullAt(0)) 0.0 else drift.getDouble(0)
+    val shifted = drift.getBoolean(1)
+    var resynced = false
+    var rebuilt: Option[Long] = None
+    var retrained = false
+    var pqMaxRatio: Option[Double] = None
+    if (shifted) {
+      rebuilt = Some(
+        graft.operators.Similarity.ivfIndexRebuild(spark, dir, nCells))
+      if (hasPq) {
+        // the swap dropped codebooks/ with the artifact: this re-add
+        // TRAINS under the new quantizer and pins a fresh baseline
+        graft.operators.Similarity.ivfPqIndexAdd(spark, dir)
+        retrained = true
+      }
+    } else if (hasPq) {
+      val synced = StreamIO.readMarker(s"$dir/codes", "_synced_to", conf)
+      val folded = StreamIO.readMarker(s"$dir/assigned",
+        "_compacted_through", conf).getOrElse(-1L)
+      if (!synced.contains(folded)) {
+        graft.operators.Similarity.ivfPqIndexAdd(spark, dir)
+        resynced = true
+      }
+      if (!exists("pq_baseline")) {
+        // pre-pq_drift artifact: one retrain starts the monitor
+        graft.operators.Similarity.ivfPqIndexAdd(spark, dir, None,
+          retrain = true)
+        retrained = true
+      } else {
+        val rows = graft.operators.Similarity
+          .pqDriftFromIndex(spark, dir, pqStaleRatio)
+          .select("ratio4", "is_stale").collect() // bounded: ≤nSub rows
+        pqMaxRatio = rows.filterNot(_.isNullAt(0))
+          .map(_.getDouble(0)).maxOption
+        if (rows.exists(r => !r.isNullAt(1) && r.getBoolean(1))) {
+          graft.operators.Similarity.ivfPqIndexAdd(spark, dir, None,
+            retrain = true)
+          retrained = true
+        }
+      }
+    }
+    IvfMaintenance(w, resynced, psi, rebuilt, pqMaxRatio, retrained)
+  }
 }

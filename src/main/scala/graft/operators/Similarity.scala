@@ -426,8 +426,12 @@ object Similarity {
     val v = vectors(spark, sfDir)
     val cbs = withTrainCache(v)(trainPqCodebooks(_))
     val nCorpus = v.count()
+    // the truth is O(N²) to evaluate — persist it, or every factor
+    // branch re-pays it twice (n_truth agg + hits join; ADVICE r15)
     val truth = annBruteforce(spark, sfDir, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TransientCaches.register(truth)
     val maxF = factors.max
     val queries = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
@@ -554,6 +558,156 @@ object Similarity {
        ORDER BY shortlist_factor"""
   }
 
+  /** §2 #226 — `ann_recall_eval_pq`: the recall table for the
+    * COMPRESSED serving variants — [[annRecallEval]] scores the
+    * static-model paths (ivf_static, lsh, sign_sketch), but the two
+    * variants a 100 TB deployment actually serves are [[annPq]] and
+    * [[annIvfPq]]; this scores them against the same brute truth with
+    * the same one-row-per-variant output, completing the five-variant
+    * recall story (`ann_ivfpq_indexed` serves bit-identically to
+    * `ann_ivfpq` by the shared oracle, so its row would be a
+    * duplicate). Both trained models come from the shared train cache
+    * (one training per corpus per JVM), and the truth frame is
+    * evaluated once and shared by both hit-joins.
+    *
+    * Scale shape: two already-proven bounded-TopK pipelines over a
+    * query SAMPLE + joins of ≤ nQueries×k edge lists — the same
+    * sweep-cheap geometry as [[annRecallEval]]. */
+  def annRecallEvalPq(spark: SparkSession, sfDir: String,
+                      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val (cents, cbs) = withTrainCache(v)(vc =>
+      (trainCentroids(vc, 16), trainPqCodebooks(vc)))
+    val key = Seq("query_id", "neighbor_id")
+    val truth = annBruteforce(spark, sfDir, nQueries, k)
+      .select(key.head, key.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TransientCaches.register(truth)
+    def one(variant: String, edges: DataFrame): DataFrame = {
+      val hits = edges.select(key.head, key.tail: _*).join(truth, key)
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+        .select(lit(variant).as("variant"), col("n_truth"), col("n_hit"),
+          round(col("n_hit") / col("n_truth"), 4).as("recall"))
+    }
+    one("ann_pq", annPqWith(v, cbs, nQueries, k))
+      .unionByName(one("ann_ivfpq",
+        annIvfPqWith(v, cents, cbs, 4, nQueries, k)))
+      .orderBy("variant")
+  }
+
+  /** DuckDB oracle for [[annRecallEvalPq]]: the [[pqTrainedOracle]] and
+    * [[ivfPqTrainedOracle]] machinery merged onto SHARED CTEs (one code
+    * pivot, one truth) with one counting branch per variant. */
+  def annRecallEvalPqOracle(nQueries: Int = 10, k: Int = 5): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val v = vectors(spark, sfDir)
+    val (cents, cbs) = withTrainCache(v)(vc =>
+      (trainCentroids(vc, 16), trainPqCodebooks(vc)))
+    val nSub = cbs.length
+    val sub = cbs.head.head.length
+    val nProbe = 4
+    val dotE = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"(${i}, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    val cbRows = (for {
+      m <- 0 until nSub
+      kk <- cbs(m).indices
+    } yield s"($m, $kk, ${cbs(m)(kk).mkString("[", ", ", "]")}, " +
+      s"${l2Biases(cbs(m))(kk)})")
+      .mkString(", ")
+    val codePivot = (0 until nSub)
+      .map(m => s"max(CASE WHEN m = $m THEN kk END) AS c$m").mkString(", ")
+    val cbLit = cbs.map(_.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    def adc(qE: String) = (0 until nSub).map { m =>
+      val lo = m * sub + 1
+      val hi = (m + 1) * sub
+      s"${dotE(s"$qE[$lo:$hi]", s"cbl.cb[${m + 1}][n.c$m + 1]")}"
+    }.mkString(" + ")
+    // one branch per variant: shortlist CTE name in, hit count out
+    def hitCount(shortCte: String) =
+      s"""(SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT s.query_id, s.neighbor_id,
+                    row_number() OVER (PARTITION BY s.query_id ORDER BY
+                      ${dotE("qv.embedding", "cv.embedding")}
+                        / (qv.nrm * cv.nrm) DESC, s.neighbor_id) AS rnk
+                  FROM $shortCte s
+                  JOIN nv qv ON qv.vec_id = s.query_id
+                  JOIN nv cv ON cv.vec_id = s.neighbor_id) i
+            JOIN truth t ON t.query_id = i.query_id
+                        AND t.neighbor_id = i.neighbor_id
+            WHERE i.rnk <= $k)"""
+    s"""WITH cb(m, kk, cv, bias) AS (VALUES $cbRows),
+        cbl AS (SELECT $cbLit AS cb),
+        cents(cell, cv) AS (VALUES $centRows),
+        nv AS (SELECT vec_id, embedding,
+                 sqrt(${dotE("embedding", "embedding")}) AS nrm
+               FROM embeddings),
+        sub AS (SELECT vec_id, mm.m AS m,
+                  embedding[mm.m * $sub + 1 : (mm.m + 1) * $sub] AS s
+                FROM embeddings,
+                     (SELECT unnest(range(0, $nSub)) AS m) mm),
+        coded AS (SELECT vec_id, m, kk FROM (
+                    SELECT sub.vec_id, sub.m, cb.kk,
+                      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                        ORDER BY (${dotE("sub.s", "cb.cv")} + cb.bias) DESC,
+                          cb.kk) AS r
+                    FROM sub JOIN cb ON cb.m = sub.m)
+                  WHERE r = 1),
+        codes AS (SELECT vec_id, $codePivot FROM coded GROUP BY 1),
+        ranked AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              ${dotE("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+          FROM nv v, cents c),
+        acodes AS (SELECT a.cell, c.* FROM codes c
+                   JOIN (SELECT vec_id, cell FROM ranked WHERE crnk = 1) a
+                     ON a.vec_id = c.vec_id),
+        probes AS (SELECT cell, vec_id AS query_id, embedding AS e_q
+                   FROM ranked WHERE crnk <= $nProbe AND vec_id < $nQueries),
+        truth AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ${dotE("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                c.vec_id) AS rnk
+            FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < $nQueries)
+          WHERE rnk <= $k),
+        short_pq AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                (${adc("q.embedding")}) DESC, n.vec_id) AS r
+            FROM embeddings q, codes n, cbl
+            WHERE q.vec_id < $nQueries AND n.vec_id <> q.vec_id)
+          WHERE r <= ${8 * k}),
+        short_ivfpq AS (SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, n.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                (${adc("p.e_q")}) DESC, n.vec_id) AS r
+            FROM probes p, acodes n, cbl
+            WHERE n.cell = p.cell AND n.vec_id <> p.query_id)
+          WHERE r <= ${8 * k})
+       SELECT variant, n_truth, n_hit,
+         round(n_hit / CAST(n_truth AS DOUBLE), 4) AS recall
+       FROM (
+         SELECT 'ann_ivfpq' AS variant,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           ${hitCount("short_ivfpq")} AS n_hit
+         UNION ALL
+         SELECT 'ann_pq' AS variant,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           ${hitCount("short_pq")} AS n_hit)
+       ORDER BY variant"""
+  }
+
   /** Session-shared exact k-NN EDGE ARTIFACT (docs/ARTIFACTS.md): the
     * corpus-scale cell equi-join build runs ONCE per (session, sfDir,
     * k) and lands as a (src, dst, rnk, cos, mutual) parquet; every graph
@@ -627,12 +781,44 @@ object Similarity {
     * FULL-precision `cos` ([[sharedKnnEdgesDir]]'s state shape) —
     * see [[rankTopKFull]]. Feeds the same consumers (pagerank,
     * communities, triangles) a daily-ingest deployment re-points at
-    * the merged edge table. */
+    * the merged edge table.
+    *
+    * CONTRACT (guarded, ADVICE r15): `baseEdges` needs `src`/`dst`/
+    * `rnk` and a DOUBLE `cos` (a `cos6`-shaped frame — this method's
+    * own OUTPUT — is refused: re-ranking rounded scores against fresh
+    * doubles is not exact; chain through the full-precision state,
+    * [[sharedKnnEdgesDir]] / the streaming maintainer's store), and
+    * must have been built with k' ≥ k: a stored top-k' cannot supply
+    * ranks k'+1..k, so the merge would silently return a truncated
+    * graph. k' is checked as the global max stored rank (one bounded
+    * agg over the ≤N×k' edge frame). */
   def knnEdgesIncrementalFrom(base: DataFrame, baseEdges: DataFrame,
-                              delta: DataFrame, k: Int = 5): DataFrame =
+                              delta: DataFrame, k: Int = 5): DataFrame = {
+    val cols = baseEdges.columns.toSet
+    require(Seq("src", "dst", "rnk", "cos").forall(cols.contains),
+      s"baseEdges needs columns src/dst/rnk/cos (the sharedKnnEdgesDir " +
+        s"state shape); got ${baseEdges.columns.mkString(", ")} — a " +
+        "cos6 frame (this method's OUTPUT) is not valid merge state")
+    require(baseEdges.schema("cos").dataType ==
+      org.apache.spark.sql.types.DoubleType,
+      "baseEdges.cos must be the full-precision DOUBLE score: merging " +
+        "re-ranks stored edges against freshly computed doubles, which " +
+        "is only exact when the stored score is the exact score")
+    // a base node with n-1 < k possible neighbors legitimately stores
+    // fewer ranks, so the bound is min(k, |base|-1); both aggs are
+    // bounded (≤N×k' edges, one corpus count)
+    val storedK = Option(baseEdges.agg(max("rnk")).head().get(0))
+      .map(_.asInstanceOf[Number].intValue).getOrElse(0)
+    val needK = math.min(k.toLong, base.count() - 1)
+    require(storedK >= needK,
+      s"baseEdges was built with k=$storedK < required $needK: a stored " +
+        s"top-$storedK cannot supply ranks ${storedK + 1}..$needK for " +
+        "existing nodes — rebuild the edge artifact at k or merge at " +
+        s"k ≤ $storedK")
     mutualFlag(knnEdgesIncrementalFull(base, baseEdges, delta, k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("cos"), 6).as("cos6")))
+  }
 
   /** [[knnEdgesIncrementalFrom]] keeping FULL-precision scores — the
     * (query_id, neighbor_id, rnk, cos) frame the continuous maintainer
@@ -1908,6 +2094,209 @@ object Similarity {
        ORDER BY scenario, cell"""
   }
 
+  /** PQ-DISTORTION rollup of one corpus under one codebook set: per
+    * sub-space `(m, cnt, esum)` where the per-(vector, sub-space) term
+    * is the exact squared reconstruction error of the CHOSEN codeword,
+    * `round(‖s‖² − 2·dot(s,c) − 2·bias(c), 8)` as DECIMAL(18,8) — with
+    * bias = −‖c‖²/2 the three-term form IS ‖s−c‖², spelled so a SQL
+    * replay adds the same doubles in the same order, and the decimal
+    * sum is order-independent (the [[driftStats]] doctrine one level
+    * down the compression stack). This is the quantity ADC serving
+    * loses: the shortlist score is dot(q, c) instead of dot(q, s), so
+    * growing ‖s−c‖² IS growing shortlist error — a distortion monitor
+    * needs no query set.
+    *
+    * Scale shape: ONE stacked map-only pass over the corpus (the
+    * [[trainPqCodebooks]] iteration shape — each row explodes into
+    * nSub (m, sub-vector) rows in-task, codebooks ride along as
+    * broadcast literals) + one ≤nSub-row hash aggregate. */
+  private[graft] def pqDistortionStats(v: DataFrame,
+      cbs: Array[Array[Array[Double]]], tag: String): DataFrame = {
+    val nSub = cbs.length
+    val sub = cbs.head.head.length
+    val stackArgs = (0 until nSub)
+      .map(mi => s"$mi, slice(embedding, ${mi * sub + 1}, $sub)")
+      .mkString(", ")
+    val errCol = (0 until nSub).foldLeft(lit(null).cast("double")) {
+      (acc, mi) =>
+        val code = element_at(graft.functions.VectorQuantize
+          .nearestCellsBiased(col("s"), cbs(mi), l2Biases(cbs(mi)), 1), 1)
+        val cw = element_at(typedLit(cbs(mi).map(_.toSeq).toSeq), code + 1)
+        val bias = element_at(typedLit(l2Biases(cbs(mi)).toSeq), code + 1)
+        when(col("m") === mi,
+          dot(col("s"), col("s")) - lit(2.0) * dot(col("s"), cw)
+            - lit(2.0) * bias).otherwise(acc)
+    }
+    v.select(expr(s"stack($nSub, $stackArgs) AS (m, s)"))
+      .select(col("m"), round(errCol, 8)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("e"))
+      .groupBy("m")
+      .agg(count(lit(1)).as(s"${tag}_cnt"), sum(col("e")).as(s"${tag}_esum"))
+  }
+
+  /** PQ-STALENESS verdict from a build-time baseline: per sub-space,
+    * mean squared reconstruction error of the CURRENT corpus under the
+    * FIXED codebooks vs the baseline stats pinned when those codebooks
+    * were trained ([[ivfPqIndexAdd]]'s `pq_baseline/` snapshot — the
+    * `drift_baseline/` doctrine applied to the PQ leg, because a
+    * baseline re-derived from the base rows would silently reset to
+    * the already-drifted population after every compaction fold).
+    * `is_stale` flags `ratio4 > staleRatio` — both engines compare the
+    * SAME 6-dp/4-dp rounded doubles, so the verdict replays exactly. */
+  def pqDriftFromStats(baseStats: DataFrame, cur: DataFrame,
+                       cbs: Array[Array[Array[Double]]],
+                       staleRatio: Double = 1.5): DataFrame =
+    baseStats.join(pqDistortionStats(cur, cbs, "cur"), Seq("m"))
+      .select(col("m").cast("int").as("m"),
+        col("base_cnt"), col("cur_cnt"),
+        round(col("base_esum").cast("double") / col("base_cnt"), 6)
+          .as("base_mse6"),
+        round(col("cur_esum").cast("double") / col("cur_cnt"), 6)
+          .as("cur_mse6"))
+      .withColumn("ratio4", round(col("cur_mse6") / col("base_mse6"), 4))
+      .withColumn("is_stale", col("ratio4") > staleRatio)
+      .orderBy("m")
+
+  /** §2 #225 — `pq_drift`: the PQ-leg staleness monitor, oracle-checked
+    * over both verdict classes (the [[ivfDrift]] experiment one level
+    * down the compression stack). [[ivfPqIndexAdd]]'s re-sync path
+    * deliberately REUSES stored codebooks, so after a drifted ingest is
+    * folded into the base the re-encoded codes stay marker-consistent
+    * (`_synced_to` passes) while ADC distortion grows — the shortlist
+    * degrades with nothing in the serving path saying so. This is the
+    * measurement that says so. Codebooks train on the 80% base slice
+    * (the "index build" corpus — [[trainPqCodebooks]]' deterministic
+    * init draws from the base's own first rows, so the model has 12
+    * codewords/sub-space here: what matters is that the oracle inlines
+    * EXACTLY the trained model); the held-out 20% is ingested twice:
+    *  - scenario `stable`: unchanged — same distribution, per-sub-space
+    *    reconstruction error stays ≈ baseline (`is_stale` = false);
+    *  - scenario `shifted`: every coordinate +0.5 (≈ 4σ) — the
+    *    sub-vectors leave the codeword cloud, distortion jumps an
+    *    order of magnitude, every sub-space must flag `is_stale`.
+    * Everything downstream of the trained model — code argmin, the
+    * three-term error, 8-dp decimal sums, 6-dp means, the 4-dp ratio
+    * and the flag — is replayed exactly by [[pqDriftOracle]]. */
+  def pqDrift(spark: SparkSession, sfDir: String,
+              staleRatio: Double = 1.5): DataFrame = {
+    val v = vectors(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val base = v.filter(col("vec_id") % 5 =!= 0)
+    val delta = v.filter(col("vec_id") % 5 === 0)
+    val shifted = delta.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
+    val cbs = withTrainCache(base)(trainPqCodebooks(_))
+    val baseStats = pqDistortionStats(base, cbs, "base")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TransientCaches.register(baseStats)
+    def scen(tag: String, cur: DataFrame) =
+      pqDriftFromStats(baseStats, cur, cbs, staleRatio)
+        .withColumn("scenario", lit(tag))
+    scen("stable", base.unionByName(delta))
+      .unionByName(scen("shifted", base.unionByName(shifted)))
+      .select(col("scenario"), col("m"), col("base_cnt"), col("cur_cnt"),
+        col("base_mse6"), col("cur_mse6"), col("ratio4"), col("is_stale"))
+      .orderBy("scenario", "m")
+  }
+
+  /** DuckDB replay of [[pqDrift]]: trained codebooks + biases inlined
+    * (the [[pqTrainedOracle]] stance), per-corpus sub-vector explode,
+    * code argmin (biased dot DESC, code ASC), the SAME three-term 8-dp
+    * decimal error, and the shared-baseline join per scenario. */
+  def pqDriftOracle(staleRatio: Double = 1.5): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val v = vectors(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val cbs = withTrainCache(v.filter(col("vec_id") % 5 =!= 0))(
+      trainPqCodebooks(_))
+    val nSub = cbs.length
+    val sub = cbs.head.head.length
+    val dotE = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val cbRows = (for {
+      m <- 0 until nSub
+      kk <- cbs(m).indices
+    } yield s"($m, $kk, ${cbs(m)(kk).mkString("[", ", ", "]")}, " +
+      s"${l2Biases(cbs(m))(kk)})")
+      .mkString(", ")
+    def stats(src: String, tag: String, pre: String) =
+      s"""${tag}_sub AS (SELECT v.vec_id, mm.m AS m,
+             v.embedding[mm.m * $sub + 1 : (mm.m + 1) * $sub] AS s
+           FROM $src v, (SELECT unnest(range(0, $nSub)) AS m) mm),
+         ${tag}_coded AS (SELECT vec_id, m, s, cv, bias FROM (
+             SELECT t.vec_id, t.m, t.s, cb.cv, cb.bias,
+               row_number() OVER (PARTITION BY t.vec_id, t.m
+                 ORDER BY (${dotE("t.s", "cb.cv")} + cb.bias) DESC,
+                   cb.kk) AS r
+             FROM ${tag}_sub t JOIN cb ON cb.m = t.m) WHERE r = 1),
+         ${tag}_stat AS (SELECT m, CAST(count(*) AS BIGINT) AS ${pre}_cnt,
+             sum(CAST(round(${dotE("s", "s")} - 2 * ${dotE("s", "cv")}
+               - 2 * bias, 8) AS DECIMAL(18,8))) AS ${pre}_esum
+           FROM ${tag}_coded GROUP BY m)"""
+    def scen(tag: String) =
+      s"""${tag}_row AS (SELECT b.m, b.base_cnt, c.cur_cnt,
+             round(CAST(b.base_esum AS DOUBLE) / b.base_cnt, 6)
+               AS base_mse6,
+             round(CAST(c.cur_esum AS DOUBLE) / c.cur_cnt, 6) AS cur_mse6
+           FROM base_stat b JOIN ${tag}_stat c USING (m))"""
+    def sel(tag: String, label: String) =
+      s"""SELECT '$label' AS scenario, CAST(m AS INTEGER) AS m,
+           base_cnt, cur_cnt, base_mse6, cur_mse6,
+           round(cur_mse6 / base_mse6, 4) AS ratio4,
+           round(cur_mse6 / base_mse6, 4) > $staleRatio AS is_stale
+         FROM ${tag}_row"""
+    s"""WITH cb(m, kk, cv, bias) AS (VALUES $cbRows),
+        base AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 5 <> 0),
+        delta AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % 5 = 0),
+        cur_stable AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+        cur_shifted AS (SELECT * FROM base UNION ALL
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x + 0.5 AS FLOAT))
+              AS embedding
+          FROM delta),
+        ${stats("base", "base", "base")},
+        ${stats("cur_stable", "stable", "cur")},
+        ${stats("cur_shifted", "shifted", "cur")},
+        ${scen("stable")},
+        ${scen("shifted")}
+       ${sel("stable", "stable")}
+       UNION ALL
+       ${sel("shifted", "shifted")}
+       ORDER BY scenario, m"""
+  }
+
+  /** [[pqDrift]] against a LIVE index artifact: baseline = the
+    * `pq_baseline/` snapshot [[ivfPqIndexAdd]] pins whenever it TRAINS
+    * codebooks (fresh add or `retrain = true` — never on a re-sync,
+    * which is exactly what keeps the monitor honest across compaction
+    * folds), current = base + every live stream delta. This closes the
+    * last silent-degradation path in the ANN serving family: the
+    * marker discipline proves the codes COVER the corpus, this proves
+    * they still FIT it. On `is_stale`, the action is
+    * `ivfPqIndexAdd(retrain = true)` (codebooks re-trained on the
+    * current base, codes re-encoded, baseline re-pinned) — wired into
+    * the one-call cadence by [[graft.api.Graft.maintainIvfIndex]]. */
+  def pqDriftFromIndex(spark: SparkSession, dir: String,
+                       staleRatio: Double = 1.5): DataFrame = {
+    import graft.streaming.StreamIO
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (fs, p) = StreamIO.fsFor(s"$dir/pq_baseline", conf)
+    require(fs.exists(p),
+      s"no PQ distortion baseline at $dir/pq_baseline — ivfPqIndexAdd " +
+        "pins it when it trains codebooks; a pre-pq_drift artifact " +
+        "needs one retrain (ivfPqIndexAdd(retrain = true)) to start " +
+        "monitoring")
+    val cbs = readPqCodebooks(spark, dir)
+    pqDriftFromStats(spark.read.parquet(s"$dir/pq_baseline"),
+      readIvfAssigned(spark, dir).select("vec_id", "embedding"),
+      cbs, staleRatio)
+  }
+
   /** The full inverted-list table of an index artifact: the base build
     * plus any `stream/batch_id=N` deltas the continuous maintainer
     * ([[graft.streaming.StreamIvfIndex]]) has landed — so serving sees
@@ -2549,16 +2938,31 @@ object Similarity {
     *    the new quantizer.
     * Pass `codebooks` to reuse an externally trained model (the
     * bench/oracle path trains once on the cached corpus and shares the
-    * literals with the SQL replay). */
+    * literals with the SQL replay).
+    *
+    * WHENEVER the codebooks are (re)trained — fresh add, explicit
+    * `codebooks`, or `retrain = true` — the per-sub-space distortion
+    * of the base under them is pinned as `pq_baseline/`
+    * ([[pqDistortionStats]]): the build-time truth
+    * [[pqDriftFromIndex]] monitors against. A pure re-sync leaves the
+    * baseline UNTOUCHED (it re-encodes an already-drifted base, and a
+    * re-derived baseline would reset the monitor at every compaction
+    * fold — the `drift_baseline/` lesson). `retrain = true` is the
+    * action `is_stale` calls for: codebooks re-trained on the CURRENT
+    * base, codes re-encoded, baseline re-pinned — distortion returns
+    * to the trained-fit level (SimilaritySpec measures the round
+    * trip). */
   def ivfPqIndexAdd(spark: SparkSession, dir: String,
-                    codebooks: Option[Array[Array[Array[Double]]]] = None)
+                    codebooks: Option[Array[Array[Array[Double]]]] = None,
+                    retrain: Boolean = false)
       : Unit = {
     import graft.streaming.StreamIO
     val conf = spark.sparkContext.hadoopConfiguration
     val base = spark.read.parquet(s"$dir/assigned")
+    val (fs, cbPath) = StreamIO.fsFor(s"$dir/codebooks", conf)
+    val reuseStored = codebooks.isEmpty && !retrain && fs.exists(cbPath)
     val cbs = codebooks.getOrElse {
-      val (fs, p) = StreamIO.fsFor(s"$dir/codebooks", conf)
-      if (fs.exists(p)) readPqCodebooks(spark, dir)
+      if (reuseStored) readPqCodebooks(spark, dir)
       else {
         val vecs = base.select(col("vec_id"), col("embedding"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2582,6 +2986,12 @@ object Similarity {
       cb.zipWithIndex.map { case (cw, ci) => (mi, ci, cw.toSeq) }
     }.toSeq.toDF("m", "cell", "codeword")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    // trained (not re-synced) codebooks pin their own distortion
+    // baseline: the build-time truth pq_drift monitors against
+    if (!reuseStored)
+      pqDistortionStats(base.select(col("vec_id"), col("embedding")),
+        cbs, "base")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_baseline")
     // pin the coverage: codes encode the base as of this compaction
     // watermark — serving compares and refuses a stale scan table
     StreamIO.writeMarker(s"$dir/codes", "_synced_to",

@@ -870,4 +870,138 @@ class SimilaritySpec extends SparkSpec {
       assert(row.getAs[Long]("n_outliers") < row.getAs[Long]("n_vecs"), row)
     }
   }
+
+  test("pqDriftFromIndex: a re-synced (drifted, folded) PQ leg stays " +
+      "marker-consistent but flags is_stale; retrain restores the " +
+      "trained-fit distortion and re-pins the baseline") {
+    import org.apache.spark.sql.functions.{col, lit, transform}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = graft.operators.ExportImport.scratch("pq-drift-spec")
+    graft.streaming.StreamIO.deleteRecursively(dir, conf)
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val base = embs.filter(col("vec_id") % 5 =!= 0)
+    Similarity.ivfIndexBuild(spark, base, dir)
+    Similarity.ivfPqIndexAdd(spark, dir) // trains + pins pq_baseline/
+    val baseline0 = spark.read.parquet(s"$dir/pq_baseline")
+      .collect().map(_.toString).toSeq.sorted
+    // freshly trained: the monitor reads the trained fit (ratio ≈ 1)
+    assert(Similarity.pqDriftFromIndex(spark, dir).collect()
+      .forall(r => !r.getAs[Boolean]("is_stale")
+        && r.getAs[Double]("ratio4") < 1.2),
+      "a just-trained leg must not flag")
+    // drifted ingest, folded, re-synced: the exact silent-degradation
+    // path pq_drift exists to price — `_synced_to` passes, serving
+    // works, and the shortlist quality is the only casualty
+    val delta = embs.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
+    graft.streaming.StreamIvfIndex.applyBatch(delta, 0L, dir)
+    assert(Similarity.ivfIndexCompact(spark, dir).contains(0L))
+    Similarity.ivfPqIndexAdd(spark, dir) // re-sync: REUSES codebooks
+    assert(Similarity.annServeFromPqIndex(spark, dir,
+      embs.filter(col("vec_id") < 3)).collect().nonEmpty,
+      "the re-synced leg must serve (marker-consistent)")
+    assert(spark.read.parquet(s"$dir/pq_baseline")
+        .collect().map(_.toString).toSeq.sorted == baseline0,
+      "a re-sync must NOT re-pin the baseline (the drift_baseline " +
+        "lesson one level down)")
+    val stale = Similarity.pqDriftFromIndex(spark, dir).collect()
+    assert(stale.forall(_.getAs[Boolean]("is_stale")),
+      s"every sub-space must flag after the drifted fold: ${
+        stale.mkString("; ")}")
+    // the retrain action: codebooks re-fit the CURRENT base, codes
+    // re-encoded, baseline re-pinned — distortion back to trained fit
+    Similarity.ivfPqIndexAdd(spark, dir, retrain = true)
+    val post = Similarity.pqDriftFromIndex(spark, dir).collect()
+    assert(post.forall(r => !r.getAs[Boolean]("is_stale")
+      && r.getAs[Double]("ratio4") < 1.2),
+      s"retrained codebooks must restore the fit: ${post.mkString("; ")}")
+    assert(spark.read.parquet(s"$dir/pq_baseline")
+        .collect().map(_.toString).toSeq.sorted != baseline0,
+      "the retrain must re-pin the baseline")
+    assert(Similarity.annServeFromPqIndex(spark, dir,
+      embs.filter(col("vec_id") < 3)).collect().nonEmpty,
+      "the retrained leg must serve")
+  }
+
+  test("maintainIvfIndex: one call runs the whole cadence — fold, PQ " +
+      "re-sync, drift check, rebuild + re-add on shift — in the safe " +
+      "order") {
+    import org.apache.spark.sql.functions.{col, lit, transform}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = graft.operators.ExportImport.scratch("ivf-maintain-spec")
+    graft.streaming.StreamIO.deleteRecursively(dir, conf)
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val base = embs.filter(col("vec_id") % 5 =!= 0)
+    Similarity.ivfIndexBuild(spark, base, dir)
+    Similarity.ivfPqIndexAdd(spark, dir)
+    val queries = embs.filter(col("vec_id") < 3)
+    // epoch 1: same-distribution ingest — the call folds, re-syncs the
+    // scan table, and the monitors stay quiet
+    val stable = embs.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    graft.streaming.StreamIvfIndex.applyBatch(stable, 0L, dir)
+    val r1 = graft.api.Graft.maintainIvfIndex(spark, dir)
+    assert(r1.compactedThrough.contains(0L), r1.toString)
+    assert(r1.pqResynced, r1.toString)
+    assert(r1.rebuiltToVersion.isEmpty && !r1.pqRetrained, r1.toString)
+    assert(r1.pqMaxRatio.exists(_ < 1.5), r1.toString)
+    assert(Similarity.annServeFromPqIndex(spark, dir, queries)
+      .collect().nonEmpty, "ADC serving must work right after epoch 1")
+    // epoch 2: shifted ingest — the call must fold it, see the PSI
+    // shift, rebuild (bumped version), and re-add the PQ leg under the
+    // new quantizer so ADC serving works with no manual step
+    val shifted = embs.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 20000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
+    graft.streaming.StreamIvfIndex.applyBatch(shifted, 1L, dir)
+    val r2 = graft.api.Graft.maintainIvfIndex(spark, dir)
+    assert(r2.rebuiltToVersion.contains(2L),
+      s"shifted ingest must force the rebuild: $r2")
+    assert(r2.pqRetrained, s"the rebuild must re-add the PQ leg: $r2")
+    assert(graft.api.Graft.ivfQuantizerVersion(spark, dir).contains(2L))
+    assert(Similarity.annServeFromPqIndex(spark, dir, queries)
+      .collect().nonEmpty, "ADC serving must work right after epoch 2")
+    // both monitors restart clean on the re-pinned baselines
+    assert(Similarity.ivfDriftFromIndex(spark, dir).collect()
+      .forall(r => r.getAs[Double]("psi4") == 0.0
+        && !r.getAs[Boolean]("is_shifted")),
+      "post-rebuild coarse monitor must read PSI = 0")
+    assert(Similarity.pqDriftFromIndex(spark, dir).collect()
+      .forall(r => !r.getAs[Boolean]("is_stale")),
+      "post-rebuild PQ monitor must read the trained fit")
+    // epoch 3: nothing to do — the call reports exactly that
+    val r3 = graft.api.Graft.maintainIvfIndex(spark, dir)
+    assert(r3.compactedThrough.isEmpty && !r3.pqResynced
+      && r3.rebuiltToVersion.isEmpty && !r3.pqRetrained, r3.toString)
+  }
+
+  test("knnEdgesIncrementalFrom: refuses a smaller-k or rounded-score " +
+      "base state instead of silently returning a truncated graph") {
+    import org.apache.spark.sql.functions.col
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val base = embs.filter(col("vec_id") % 5 =!= 0)
+    val delta = embs.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val k3State = Similarity.mutualFull(
+      Similarity.knnEdgesFullFrom(base, 3))
+    // k' = 3 state cannot supply ranks 4..5 for existing nodes
+    intercept[IllegalArgumentException] {
+      Similarity.knnEdgesIncrementalFrom(base, k3State, delta, k = 5)
+    }
+    // the same state merges fine at k ≤ k'
+    val merged = Similarity.knnEdgesIncrementalFrom(base, k3State, delta,
+      k = 3)
+    assert(merged.columns.toSeq ==
+      Seq("src_id", "dst_id", "rnk", "cos6", "mutual"))
+    assert(merged.count() > 0)
+    // the method's own OUTPUT (cos6-rounded, src_id/dst_id) is not
+    // valid merge state — chaining it would re-rank rounded scores
+    intercept[IllegalArgumentException] {
+      Similarity.knnEdgesIncrementalFrom(base, merged, delta, k = 3)
+    }
+  }
 }
