@@ -346,6 +346,18 @@ object Graft {
   def buildIvfIndex(spark: SparkSession, sfDir: String, dir: String): Unit =
     graft.operators.Similarity.ivfIndexToDir(spark, sfDir, dir)
 
+  /** [[buildIvfIndex]] over an explicit (vec_id, embedding) frame of
+    * ANY dimension/id space: trains the coarse quantizer on the frame
+    * itself (the deterministic bounded k-means every trained path
+    * uses) and builds the artifact — the ad-hoc twin UsageSpec drives
+    * on non-fixture vectors. */
+  def buildIvfIndexFrom(spark: SparkSession, vectors: DataFrame,
+                        dir: String, nCells: Int = 16): Unit =
+    graft.operators.Similarity.ivfIndexBuild(spark,
+      vectors.select("vec_id", "embedding"), dir,
+      graft.operators.Similarity.trainCentroids(
+        vectors.select("vec_id", "embedding"), nCells))
+
   /** Serve (vec_id, embedding) queries from an IVF index artifact —
     * no re-train, no corpus re-assignment; probes read only their
     * cell partitions. */

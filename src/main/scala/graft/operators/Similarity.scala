@@ -1118,8 +1118,14 @@ object Similarity {
   private[graft] def trainCentroids(v: DataFrame, nCells: Int,
                                     iters: Int = 3): Array[Array[Double]] = {
     import v.sparkSession.implicits._
+    // init = the nCells FIRST vectors BY ID (a bounded global TopK,
+    // not `vec_id < nCells`): on a corpus whose id space has holes or
+    // an offset — a live artifact after dedup, appended deltas, any
+    // ad-hoc frame — the filter form silently under-provisions the
+    // quantizer (asked for 16 cells, trains on however many ids
+    // happen to fall under 16). Identical on dense-from-0 fixtures.
     var cents: Array[Array[Double]] =
-      normalize(v.filter(col("vec_id") < nCells).orderBy("vec_id")
+      normalize(v.orderBy("vec_id").limit(nCells)
         .select("embedding").as[Array[Float]].collect()
         .map(_.map(_.toDouble)))
     for (_ <- 1 to iters) {
@@ -2166,8 +2172,7 @@ object Similarity {
     * degrades with nothing in the serving path saying so. This is the
     * measurement that says so. Codebooks train on the 80% base slice
     * (the "index build" corpus — [[trainPqCodebooks]]' deterministic
-    * init draws from the base's own first rows, so the model has 12
-    * codewords/sub-space here: what matters is that the oracle inlines
+    * init draws the base's own first 16 rows by id; the oracle inlines
     * EXACTLY the trained model); the held-out 20% is ingested twice:
     *  - scenario `stable`: unchanged — same distribution, per-sub-space
     *    reconstruction error stays ≈ baseline (`is_stale` = false);
@@ -2710,8 +2715,11 @@ object Similarity {
                                       sub: Int = 8,
                                       iters: Int = 3): Array[Array[Array[Double]]] = {
     import v.sparkSession.implicits._
-    // init: first k vectors (one collect), sliced per sub-space driver-side
-    val init = v.filter(col("vec_id") < k).orderBy("vec_id")
+    // init: first k vectors BY ID (one bounded collect), sliced per
+    // sub-space driver-side — the [[trainCentroids]] sparse-id stance:
+    // identical on dense-from-0 fixtures, correct on hole/offset id
+    // spaces where `vec_id < k` would under-provision the codebooks
+    val init = v.orderBy("vec_id").limit(k)
       .select("embedding").as[Array[Float]].collect()
       .map(_.map(_.toDouble))
     var cbs: Array[Array[Array[Double]]] =
@@ -2966,7 +2974,15 @@ object Similarity {
       else {
         val vecs = base.select(col("vec_id"), col("embedding"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try trainPqCodebooks(vecs)
+        // sub-space width stays 8; the COUNT of sub-spaces follows the
+        // artifact's actual embedding dim, so the leg works on any
+        // 8-divisible dimension, not just the 64-dim fixture
+        try {
+          val dim = vecs.select(size(col("embedding"))).head().getInt(0)
+          require(dim % 8 == 0, s"PQ sub-space width is 8: embedding " +
+            s"dim $dim must be divisible by 8")
+          trainPqCodebooks(vecs, m = dim / 8, sub = 8)
+        }
         finally { vecs.unpersist(blocking = false); () }
       }
     }

@@ -510,4 +510,35 @@ class UsageSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(got == want && got.nonEmpty)
   }
+
+  test("facade: IVF + PQ index lifecycle on ad-hoc 16-dim vectors with " +
+      "offset ids") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = graft.operators.ExportImport.scratch("usage-ivfpq")
+    graft.streaming.StreamIO.deleteRecursively(dir, conf)
+    // 40 vectors, dim 16, ids from 1000 — nothing fixture-shaped: the
+    // quantizer trains on the frame itself (ids offset far past any
+    // `vec_id < k` window) and the PQ leg derives its sub-space count
+    // from the actual dimension (16 → 2 sub-spaces, not the fixture 8)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 40).map(i =>
+        (1000L + i, Array.fill(16)((rnd.nextGaussian() / 4).toFloat)))
+      .toDF("vec_id", "embedding")
+    Graft.buildIvfIndexFrom(spark, vecs, dir, nCells = 4)
+    assert(Graft.ivfQuantizerVersion(spark, dir).contains(1L))
+    Graft.addPqIndex(spark, dir)
+    val served = Graft.annServeFromPqIndex(spark, dir,
+      vecs.filter(col("vec_id") < 1003), k = 3)
+    assert(served.count() == 9, "3 queries × top-3 from the ADC leg")
+    // the freshly trained leg reads its own fit: ratio exactly 1
+    val drift = Graft.pqDrift(spark, dir).collect()
+    assert(drift.length == 2 && drift.forall(r =>
+      !r.getAs[Boolean]("is_stale") && r.getAs[Double]("ratio4") == 1.0),
+      drift.mkString("; "))
+    // a quiet maintenance epoch is a no-op and says so
+    val r = Graft.maintainIvfIndex(spark, dir)
+    assert(r.compactedThrough.isEmpty && !r.pqResynced
+      && r.rebuiltToVersion.isEmpty && !r.pqRetrained, r.toString)
+  }
 }
