@@ -160,6 +160,7 @@ object SparkEntry {
     "ann_ivf_indexed" -> ((s, d) => Similarity.annIvfIndexed(s, d)),
     "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
     "ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
+    "ann_ivfpq_residual" -> ((s, d) => Similarity.annIvfPqResidual(s, d)),
     "ann_ivfpq_indexed" -> ((s, d) => Similarity.annIvfPqIndexed(s, d)),
     "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "semantic_dedup_incremental" ->
@@ -618,6 +619,7 @@ object SparkEntry {
     "label_spread" -> Similarity.labelSpreadOracle(),
     "ann_pq" -> Similarity.pqTrainedOracle(),
     "ann_ivfpq" -> Similarity.ivfPqTrainedOracle(),
+    "ann_ivfpq_residual" -> Similarity.ivfPqResidualTrainedOracle(),
     "ann_ivfpq_indexed" -> Similarity.ivfPqTrainedOracle(),
     "semantic_dedup" -> Similarity.semanticDedupOracle(),
     "semantic_dedup_incremental" ->

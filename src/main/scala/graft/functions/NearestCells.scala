@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.CatalystBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Coarse-quantizer cell assignment as a native Catalyst expression:
   * the `n` nearest centroids (by dot product against UNIT-NORM centroid
@@ -39,6 +39,15 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
   private val biasOf: Array[Double] =
     if (biases.isEmpty) Array.fill(centroids.length)(0.0) else biases
 
+  /** Input may be `array<float>` (raw embeddings) or `array<double>`
+    * (residuals `e − c` computed in double, which a residual product
+    * quantizer must NOT round back to float — the oracle subtracts in
+    * double too). Resolved lazily: the child is unbound at construction. */
+  private lazy val doubleInput: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_cells"
 
@@ -53,7 +62,10 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
       val d = math.min(dims, cent.length)
       var acc = 0.0
       var j = 0
-      while (j < d) { acc += arr.getFloat(j).toDouble * cent(j); j += 1 }
+      if (doubleInput)
+        while (j < d) { acc += arr.getDouble(j) * cent(j); j += 1 }
+      else
+        while (j < d) { acc += arr.getFloat(j).toDouble * cent(j); j += 1 }
       sims(c) = acc + biasOf(c)
       c += 1
     }
@@ -90,6 +102,8 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
       val used = ctx.freshName("used")
       val s = ctx.freshName("s")
       val best = ctx.freshName("best")
+      val get = if (doubleInput) s"$c.getDouble($j)"
+                else s"((double) $c.getFloat($j))"
       s"""
          |int $dims = $c.numElements();
          |int $nc = $centRef.length;
@@ -99,7 +113,7 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
          |  int $d = Math.min($dims, $cent.length);
          |  double $acc = 0.0;
          |  for (int $j = 0; $j < $d; $j++) {
-         |    $acc += ((double) $c.getFloat($j)) * $cent[$j];
+         |    $acc += $get * $cent[$j];
          |  }
          |  $sims[$i] = $acc + $biasRef[$i];
          |}

@@ -561,14 +561,16 @@ object Similarity {
   /** §2 #226 — `ann_recall_eval_pq`: the recall table for the
     * COMPRESSED serving variants — [[annRecallEval]] scores the
     * static-model paths (ivf_static, lsh, sign_sketch), but the two
-    * variants a 100 TB deployment actually serves are [[annPq]] and
-    * [[annIvfPq]]; this scores them against the same brute truth with
-    * the same one-row-per-variant output, completing the five-variant
-    * recall story (`ann_ivfpq_indexed` serves bit-identically to
-    * `ann_ivfpq` by the shared oracle, so its row would be a
-    * duplicate). Both trained models come from the shared train cache
-    * (one training per corpus per JVM), and the truth frame is
-    * evaluated once and shared by both hit-joins.
+    * variants a 100 TB deployment actually serves are [[annPq]],
+    * [[annIvfPq]], and [[annIvfPqResidual]]; this scores them against
+    * the same brute truth with the same one-row-per-variant output,
+    * completing the six-variant recall story (`ann_ivfpq_indexed`
+    * serves bit-identically to `ann_ivfpq` by the shared oracle, so its
+    * row would be a duplicate). The residual row is the table's point
+    * at a glance: same 8-nibble storage, higher recall — the measured
+    * argument for residual encoding. All trained models come from the
+    * shared train cache (one training per corpus per JVM), and the
+    * truth frame is evaluated once and shared by all hit-joins.
     *
     * Scale shape: two already-proven bounded-TopK pipelines over a
     * query SAMPLE + joins of ≤ nQueries×k edge lists — the same
@@ -576,8 +578,12 @@ object Similarity {
   def annRecallEvalPq(spark: SparkSession, sfDir: String,
                       nQueries: Int = 10, k: Int = 5): DataFrame = {
     val v = vectors(spark, sfDir)
-    val (cents, cbs) = withTrainCache(v)(vc =>
-      (trainCentroids(vc, 16), trainPqCodebooks(vc)))
+    val (cents, cbs, cbsR) = withTrainCache(v) { vc =>
+      val cents = trainCentroids(vc, 16)
+      (cents, trainPqCodebooks(vc),
+        trainPqCodebooks(residualAssigned(vc, cents)
+          .select(col("vec_id"), col("res").as("embedding"))))
+    }
     val key = Seq("query_id", "neighbor_id")
     val truth = annBruteforce(spark, sfDir, nQueries, k)
       .select(key.head, key.tail: _*)
@@ -593,6 +599,8 @@ object Similarity {
     one("ann_pq", annPqWith(v, cbs, nQueries, k))
       .unionByName(one("ann_ivfpq",
         annIvfPqWith(v, cents, cbs, 4, nQueries, k)))
+      .unionByName(one("ann_ivfpq_residual",
+        annIvfPqResidualWith(v, cents, cbsR, 4, nQueries, k)))
       .orderBy("variant")
   }
 
@@ -606,8 +614,12 @@ object Similarity {
     val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
       "/root/testdata/sf0.01")
     val v = vectors(spark, sfDir)
-    val (cents, cbs) = withTrainCache(v)(vc =>
-      (trainCentroids(vc, 16), trainPqCodebooks(vc)))
+    val (cents, cbs, cbsR) = withTrainCache(v) { vc =>
+      val cents = trainCentroids(vc, 16)
+      (cents, trainPqCodebooks(vc),
+        trainPqCodebooks(residualAssigned(vc, cents)
+          .select(col("vec_id"), col("res").as("embedding"))))
+    }
     val nSub = cbs.length
     val sub = cbs.head.head.length
     val nProbe = 4
@@ -627,11 +639,26 @@ object Similarity {
       .map(m => s"max(CASE WHEN m = $m THEN kk END) AS c$m").mkString(", ")
     val cbLit = cbs.map(_.map(_.mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val cbrRows = (for {
+      m <- 0 until nSub
+      kk <- cbsR(m).indices
+    } yield s"($m, $kk, ${cbsR(m)(kk).mkString("[", ", ", "]")}, " +
+      s"${l2Biases(cbsR(m))(kk)})")
+      .mkString(", ")
+    val cbrLit = cbsR.map(_.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
     def adc(qE: String) = (0 until nSub).map { m =>
       val lo = m * sub + 1
       val hi = (m + 1) * sub
       s"${dotE(s"$qE[$lo:$hi]", s"cbl.cb[${m + 1}][n.c$m + 1]")}"
     }.mkString(" + ")
+    // residual ADC: centroid term FIRST (the engine's reduceLeft order),
+    // then the per-sub-space codeword dots off the RESIDUAL codebooks
+    val adcR = (s"${dotE("p.e_q", "ct.cv")}" +: (0 until nSub).map { m =>
+      val lo = m * sub + 1
+      val hi = (m + 1) * sub
+      s"${dotE(s"p.e_q[$lo:$hi]", s"cbrl.cb[${m + 1}][n.c$m + 1]")}"
+    }).mkString(" + ")
     // one branch per variant: shortlist CTE name in, hit count out
     def hitCount(shortCte: String) =
       s"""(SELECT CAST(count(*) AS BIGINT)
@@ -647,6 +674,8 @@ object Similarity {
             WHERE i.rnk <= $k)"""
     s"""WITH cb(m, kk, cv, bias) AS (VALUES $cbRows),
         cbl AS (SELECT $cbLit AS cb),
+        cbr(m, kk, cv, bias) AS (VALUES $cbrRows),
+        cbrl AS (SELECT $cbrLit AS cb),
         cents(cell, cv) AS (VALUES $centRows),
         nv AS (SELECT vec_id, embedding,
                  sqrt(${dotE("embedding", "embedding")}) AS nrm
@@ -671,6 +700,26 @@ object Similarity {
         acodes AS (SELECT a.cell, c.* FROM codes c
                    JOIN (SELECT vec_id, cell FROM ranked WHERE crnk = 1) a
                      ON a.vec_id = c.vec_id),
+        resid AS (SELECT r.vec_id, r.cell,
+            list_transform(list_zip(r.embedding, c.cv),
+              x -> CAST(x[1] AS DOUBLE) - x[2]) AS re
+          FROM (SELECT vec_id, embedding, cell FROM ranked WHERE crnk = 1) r
+          JOIN cents c ON c.cell = r.cell),
+        subr AS (SELECT vec_id, mm.m AS m,
+                   re[mm.m * $sub + 1 : (mm.m + 1) * $sub] AS s
+                 FROM resid,
+                      (SELECT unnest(range(0, $nSub)) AS m) mm),
+        codedr AS (SELECT vec_id, m, kk FROM (
+                     SELECT subr.vec_id, subr.m, cbr.kk,
+                       row_number() OVER (PARTITION BY subr.vec_id, subr.m
+                         ORDER BY (${dotE("subr.s", "cbr.cv")} + cbr.bias)
+                           DESC, cbr.kk) AS r
+                     FROM subr JOIN cbr ON cbr.m = subr.m)
+                   WHERE r = 1),
+        codesr AS (SELECT vec_id, $codePivot FROM codedr GROUP BY 1),
+        acodesr AS (SELECT a.cell, c.* FROM codesr c
+                    JOIN (SELECT vec_id, cell FROM resid) a
+                      ON a.vec_id = c.vec_id),
         probes AS (SELECT cell, vec_id AS query_id, embedding AS e_q
                    FROM ranked WHERE crnk <= $nProbe AND vec_id < $nQueries),
         truth AS (SELECT query_id, neighbor_id FROM (
@@ -694,6 +743,14 @@ object Similarity {
                 (${adc("p.e_q")}) DESC, n.vec_id) AS r
             FROM probes p, acodes n, cbl
             WHERE n.cell = p.cell AND n.vec_id <> p.query_id)
+          WHERE r <= ${8 * k}),
+        short_ivfpq_r AS (SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, n.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                ($adcR) DESC, n.vec_id) AS r
+            FROM probes p, cents ct, acodesr n, cbrl
+            WHERE ct.cell = p.cell AND n.cell = p.cell
+              AND n.vec_id <> p.query_id)
           WHERE r <= ${8 * k})
        SELECT variant, n_truth, n_hit,
          round(n_hit / CAST(n_truth AS DOUBLE), 4) AS recall
@@ -701,6 +758,10 @@ object Similarity {
          SELECT 'ann_ivfpq' AS variant,
            (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
            ${hitCount("short_ivfpq")} AS n_hit
+         UNION ALL
+         SELECT 'ann_ivfpq_residual' AS variant,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           ${hitCount("short_ivfpq_r")} AS n_hit
          UNION ALL
          SELECT 'ann_pq' AS variant,
            (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
@@ -2718,10 +2779,13 @@ object Similarity {
     // init: first k vectors BY ID (one bounded collect), sliced per
     // sub-space driver-side — the [[trainCentroids]] sparse-id stance:
     // identical on dense-from-0 fixtures, correct on hole/offset id
-    // spaces where `vec_id < k` would under-provision the codebooks
+    // spaces where `vec_id < k` would under-provision the codebooks.
+    // The cast makes the trainer accept BOTH raw `array<float>`
+    // embeddings and `array<double>` residual frames (float→double is
+    // exact, so the float path is unchanged value-for-value).
     val init = v.orderBy("vec_id").limit(k)
-      .select("embedding").as[Array[Float]].collect()
-      .map(_.map(_.toDouble))
+      .select(col("embedding").cast("array<double>"))
+      .as[Array[Double]].collect()
     var cbs: Array[Array[Array[Double]]] =
       Array.tabulate(m)(mi => init.map(_.slice(mi * sub, (mi + 1) * sub)))
     // ALL sub-spaces per iteration in ONE job: stack each row into its m
@@ -2915,6 +2979,222 @@ object Similarity {
           cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
             .as("cos")),
       k)
+  }
+
+  /** (vec_id, cell, res) for every corpus vector: its coarse cell and
+    * the DOUBLE-precision residual `e − c(e)` — the quantity a residual
+    * product quantizer trains on and encodes. Float elements are cast
+    * to double BEFORE the subtract (exact), so DuckDB's
+    * `CAST(x AS DOUBLE) − c` replays it bit-for-bit; the residual is
+    * never rounded back to float. zip_with is CodegenFallback, but it
+    * runs once per corpus ROW on map-only passes (train/encode), never
+    * on the per-pair ADC hot path. */
+  private def residualAssigned(v: DataFrame,
+                               cents: Array[Array[Double]]): DataFrame = {
+    val centArr = typedLit(cents.map(_.toSeq).toSeq)
+    v.select(col("vec_id"), col("embedding"),
+        element_at(graft.functions.VectorQuantize.nearestCells(
+          col("embedding"), cents, 1), 1).as("cell"))
+      .withColumn("res",
+        zip_with(col("embedding"), element_at(centArr, col("cell") + 1),
+          (x, c) => x.cast("double") - c))
+  }
+
+  /** §2 #227 — IVFADC with RESIDUAL encoding (Jégou et al. 2011 §IV-A —
+    * the composition the paper actually recommends): PQ codes quantize
+    * `e − c(e)` (the vector's offset from its coarse centroid) instead
+    * of the raw vector. Residuals of a cell concentrate near 0 with far
+    * smaller variance than the raw corpus, so the SAME m×k codebook
+    * budget spends its codewords on a much tighter distribution —
+    * measured recall@5 at sf0.01 rises vs raw-encoded [[annIvfPq]]
+    * (see `ann_recall_eval_pq`'s table) at IDENTICAL storage (8 nibble
+    * codes/vector) and identical scan shape. ADC recovers
+    * `dot(q, c + recon(codes)) = dot(q, c) + Σ_m dot(q_m, cw_m)`: one
+    * extra per-(query, probed-cell) centroid dot — constant work per
+    * probe pair, computed from the broadcast models, nothing new moves.
+    *
+    * Scale shape is [[annIvfPq]]'s unchanged: assignment + residual +
+    * encoding are ONE map-only pass over broadcast model state; the ADC
+    * scan reads codes of probed cells only; both ranking stages are the
+    * bounded [[graft.functions.TopKByScore]] aggregate; the re-rank
+    * gathers shortlist×queries full vectors by equi-join. Everything
+    * downstream of the two trained models is replayed exactly by
+    * [[ivfPqResidualTrainedOracle]]. */
+  def annIvfPqResidual(spark: SparkSession, sfDir: String, nCells: Int = 16,
+                       nProbe: Int = 4, nQueries: Int = 10,
+                       k: Int = 5): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val (cents, cbs) = withTrainCache(v) { vc =>
+      val cents = trainCentroids(vc, nCells)
+      // codebooks train on the residual frame — [[trainPqCodebooks]]
+      // is dimension- and type-agnostic (array<double> residuals)
+      (cents, trainPqCodebooks(
+        residualAssigned(vc, cents).select(col("vec_id"),
+          col("res").as("embedding"))))
+    }
+    annIvfPqResidualWith(v, cents, cbs, nProbe, nQueries, k)
+  }
+
+  private[graft] def annIvfPqResidualWith(v: DataFrame,
+                                          cents: Array[Array[Double]],
+                                          cbs: Array[Array[Array[Double]]],
+                                          nProbe: Int, nQueries: Int, k: Int,
+                                          shortlistFactor: Int = 8)
+      : DataFrame = {
+    val nSub = cbs.length
+    val sub = cbs.head.head.length
+    val shortlist = shortlistFactor * k
+    val centArr = typedLit(cents.map(_.toSeq).toSeq)
+    val codeCols = (0 until nSub).map { m =>
+      element_at(graft.functions.VectorQuantize.nearestCellsBiased(
+        expr(s"slice(res, ${m * sub + 1}, $sub)"), cbs(m),
+        l2Biases(cbs(m)), 1), 1)
+        .as(s"c$m")
+    }
+    // one map-only pass: coarse cell + double residual + residual codes
+    val coded = residualAssigned(v, cents)
+      .select(col("cell") +: col("vec_id").as("neighbor_id") +: codeCols: _*)
+    val queries = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"))
+    val probes = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        explode(graft.functions.VectorQuantize.nearestCells(
+          col("embedding"), cents, nProbe)).as("cell"))
+    // ADC = dot(q, cell centroid) + per-sub-space codeword dots, summed
+    // LEFT TO RIGHT starting at the centroid term — the oracle adds in
+    // the same order, so the double is bit-identical
+    val centDot = graft.functions.VectorFunctions.dot(
+      col("e_q"), element_at(centArr, col("cell") + 1))
+    val score = (centDot +: (0 until nSub).map { m =>
+      graft.functions.VectorFunctions.dot(
+        expr(s"slice(e_q, ${m * sub + 1}, $sub)"),
+        element_at(typedLit(cbs(m).map(_.toSeq).toSeq), col(s"c$m") + 1))
+    }).reduceLeft(_ + _)
+    // stage 1 — ADC shortlist over the residual codes of PROBED CELLS
+    val short = coded
+      .join(broadcast(probes.select("cell", "query_id", "e_q")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), score.as("score"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.topkByScore(
+        col("neighbor_id"), col("score"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top.neighbor_id"))
+        .as("neighbor_id"))
+    // stage 2 — exact re-rank of the shortlist by true cosine
+    rankTopK(
+      short
+        .join(v.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("e_c"), col("nrm").as("n_c")),
+          Seq("neighbor_id"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
+            .as("cos")),
+      k)
+  }
+
+  /** Oracle for [[annIvfPqResidual]]: both trained models inlined (the
+    * [[ivfTrainedOracle]] stance); coarse assignment, the DOUBLE
+    * residual subtract, residual PQ encoding, the centroid-plus-codeword
+    * ADC, shortlist, and re-rank replayed exactly. */
+  def ivfPqResidualTrainedOracle(nCells: Int = 16, nProbe: Int = 4,
+                                 nQueries: Int = 10, k: Int = 5): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val v = vectors(spark, sfDir)
+    val (cents, cbs) = withTrainCache(v) { vc =>
+      val cents = trainCentroids(vc, nCells)
+      (cents, trainPqCodebooks(
+        residualAssigned(vc, cents).select(col("vec_id"),
+          col("res").as("embedding"))))
+    }
+    ivfPqResidualOracleFor(cents, cbs, nProbe, nQueries, k)
+  }
+
+  private def ivfPqResidualOracleFor(cents: Array[Array[Double]],
+                                     cbs: Array[Array[Array[Double]]],
+                                     nProbe: Int, nQueries: Int,
+                                     k: Int): String = {
+    val nSub = cbs.length
+    val sub = cbs.head.head.length
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"(${i}, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    val cbRows = (for {
+      m <- 0 until nSub
+      kk <- cbs(m).indices
+    } yield s"($m, $kk, ${cbs(m)(kk).mkString("[", ", ", "]")}, " +
+      s"${l2Biases(cbs(m))(kk)})")
+      .mkString(", ")
+    val codePivot = (0 until nSub)
+      .map(m => s"max(CASE WHEN m = $m THEN kk END) AS c$m").mkString(", ")
+    // centroid term FIRST, then sub-spaces left to right — the engine's
+    // reduceLeft order
+    val adc = (s"${dot("p.e_q", "ct.cv")}" +: (0 until nSub).map { m =>
+      val lo = m * sub + 1
+      val hi = (m + 1) * sub
+      s"${dot(s"p.e_q[$lo:$hi]", s"cbl.cb[${m + 1}][n.c$m + 1]")}"
+    }).mkString(" + ")
+    val cbLit = cbs.map(_.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH cents(cell, cv) AS (VALUES $centRows),
+        cb(m, kk, cv, bias) AS (VALUES $cbRows),
+        cbl AS (SELECT $cbLit AS cb),
+        nv AS (SELECT vec_id, embedding,
+                 sqrt(${dot("embedding", "embedding")}) AS nrm
+               FROM embeddings),
+        ranked AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              ${dot("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+          FROM nv v, cents c),
+        resid AS (SELECT r.vec_id, r.cell,
+            list_transform(list_zip(r.embedding, c.cv),
+              x -> CAST(x[1] AS DOUBLE) - x[2]) AS re
+          FROM (SELECT vec_id, embedding, cell FROM ranked WHERE crnk = 1) r
+          JOIN cents c ON c.cell = r.cell),
+        sub AS (SELECT vec_id, mm.m AS m,
+                  re[mm.m * $sub + 1 : (mm.m + 1) * $sub] AS s
+                FROM resid,
+                     (SELECT unnest(range(0, $nSub)) AS m) mm),
+        coded AS (SELECT vec_id, m, kk FROM (
+                    SELECT sub.vec_id, sub.m, cb.kk,
+                      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                        ORDER BY (${dot("sub.s", "cb.cv")} + cb.bias) DESC,
+                          cb.kk) AS r
+                    FROM sub JOIN cb ON cb.m = sub.m)
+                  WHERE r = 1),
+        codes AS (SELECT vec_id, $codePivot FROM coded GROUP BY 1),
+        acodes AS (SELECT a.cell, c.* FROM codes c
+                   JOIN (SELECT vec_id, cell FROM resid) a
+                     ON a.vec_id = c.vec_id),
+        probes AS (SELECT cell, vec_id AS query_id, embedding AS e_q
+                   FROM ranked WHERE crnk <= $nProbe AND vec_id < $nQueries),
+        short AS (SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, n.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                ($adc) DESC, n.vec_id) AS r
+            FROM probes p, cents ct, acodes n, cbl
+            WHERE ct.cell = p.cell AND n.cell = p.cell
+              AND n.vec_id <> p.query_id)
+          WHERE r <= ${8 * k})
+        SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos6 FROM (
+          SELECT s.query_id, s.neighbor_id,
+            ${dot("qv.embedding", "cv.embedding")} / (qv.nrm * cv.nrm) AS cos,
+            CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY
+              ${dot("qv.embedding", "cv.embedding")} / (qv.nrm * cv.nrm) DESC,
+              s.neighbor_id) AS INTEGER) AS rnk
+          FROM short s
+          JOIN nv qv ON qv.vec_id = s.query_id
+          JOIN nv cv ON cv.vec_id = s.neighbor_id)
+        WHERE rnk <= $k ORDER BY query_id, rnk"""
   }
 
   /** PQ (ADC) ACCELERATION LEG for the IVF index artifact — the
