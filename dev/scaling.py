@@ -416,6 +416,40 @@ out += ["",
         "prefix-join spread,",
         "  not a regression (no r15 diff touches it).",
         "",
+        "## r15 driver outliers, adjudicated (r16)",
+        "",
+        "- dedup_survivorship 13.56 s first / 21.34 s live retry (r15 "
+        "driver — the",
+        "  round's only weak-pending: the ratio-first retry fired and "
+        "did NOT clear",
+        "  it). A solo r16 re-run of the same binary on the same box, "
+        "three",
+        "  back-to-back measures at sf0.1: 8.44 / 7.67 / 7.53 s — "
+        "converging on the",
+        "  builder 3-SF value (6.2 s, this table) once the query runs "
+        "without the",
+        "  full sweep's heap/code-cache pressure, and HALF the first "
+        "driver measure.",
+        "  The r15 driver vectors already said box-not-plan (cpu/wall "
+        "7.8-9.7x with",
+        "  4-8 s task GC — the documented GC-amplification signature "
+        "on exactly the",
+        "  standalone prefix-join family); no r15/r16 code change "
+        "touches the",
+        "  survivorship plan, and its artifact-fed composed twin "
+        "(#142b, ~2 s) stays",
+        "  the production shape. Same verdict class as r13 "
+        "leakage_safe_split and",
+        "  r14 knn_graph_ann, both of which cleared the following "
+        "round. The retry",
+        "  pair NOT clearing live (13.56 -> 21.34 s) is consistent: "
+        "the retry runs",
+        "  INSIDE the loaded sweep, so family-wide amplification "
+        "inflates both",
+        "  measures — the solo re-run is the adjudicator for that "
+        "case, per the",
+        "  documented recipe. Weak count back to 0.",
+        "",
         "## Super-linear rows, priced (r12) — and the r13 planned "
         "headline",
         "",
