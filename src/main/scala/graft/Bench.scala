@@ -65,7 +65,7 @@ object Bench {
       "ann_lsh", "ann_sign_sketch", "ann_ivf", "ann_ivf_static",
       "ann_ivf_indexed",
       "ann_pq", "ann_ivfpq", "ann_ivfpq_residual", "ann_ivfpq_indexed",
-      "semantic_dedup",
+      "ann_ivfpq_residual_indexed", "semantic_dedup",
       "semantic_dedup_incremental", "hard_negatives",
       "embedding_dedup", "embedding_quantize", "quantize_eval",
       "embedding_class_stats", "embedding_outliers", "embedding_pca",

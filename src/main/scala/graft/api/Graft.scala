@@ -657,10 +657,16 @@ object Graft {
     * the CURRENT base, the [[pqDrift]] `is_stale` action), every base
     * vector encoded map-only into the 32×-compressed cell-partitioned
     * `codes/` scan table. Training (never a re-sync) also pins the
-    * `pq_baseline/` distortion snapshot the monitor reads. */
+    * `pq_baseline/` distortion snapshot the monitor reads.
+    * `residual = Some(true)` trains a RESIDUAL-encoded leg (higher
+    * recall at identical storage — see `ann_ivfpq_residual`); `None`
+    * keeps the stored mode, and a re-sync refuses a contradicting
+    * `Some` (see [[graft.operators.Similarity.ivfPqIndexAdd]]). */
   def addPqIndex(spark: SparkSession, dir: String,
-                 retrain: Boolean = false): Unit =
-    graft.operators.Similarity.ivfPqIndexAdd(spark, dir, None, retrain)
+                 retrain: Boolean = false,
+                 residual: Option[Boolean] = None): Unit =
+    graft.operators.Similarity.ivfPqIndexAdd(spark, dir, None, retrain,
+      residual)
 
   /** PQ-leg staleness monitor over a live IVF index artifact: per
     * sub-space mean ADC reconstruction error of the maintained corpus
@@ -735,6 +741,14 @@ object Graft {
     }
     val w = graft.operators.Similarity.ivfIndexCompact(spark, dir)
     val hasPq = exists("codes")
+    // capture the leg's encoding mode BEFORE any rebuild: the swap
+    // drops codebooks/ with its _residual marker, and the re-add must
+    // restate it or a residual deployment silently downgrades to raw
+    val pqMode: Option[Boolean] =
+      if (exists("codebooks"))
+        Some(StreamIO.readMarker(s"$dir/codebooks", "_residual", conf)
+          .getOrElse(0L) == 1L)
+      else None
     val drift = graft.operators.Similarity.ivfDriftFromIndex(spark, dir)
       .select("psi4", "is_shifted").head()
     val psi = if (drift.isNullAt(0)) 0.0 else drift.getDouble(0)
@@ -748,8 +762,10 @@ object Graft {
         graft.operators.Similarity.ivfIndexRebuild(spark, dir, nCells))
       if (hasPq) {
         // the swap dropped codebooks/ with the artifact: this re-add
-        // TRAINS under the new quantizer and pins a fresh baseline
-        graft.operators.Similarity.ivfPqIndexAdd(spark, dir)
+        // TRAINS under the new quantizer and pins a fresh baseline,
+        // in the SAME encoding mode the dropped leg had
+        graft.operators.Similarity.ivfPqIndexAdd(spark, dir,
+          residual = pqMode)
         retrained = true
       }
     } else if (hasPq) {

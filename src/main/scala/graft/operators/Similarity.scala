@@ -2358,9 +2358,21 @@ object Similarity {
         "needs one retrain (ivfPqIndexAdd(retrain = true)) to start " +
         "monitoring")
     val cbs = readPqCodebooks(spark, dir)
+    // measure distortion in the leg's ENCODING space: a residual leg's
+    // codes approximate e − c(e), so that is the reconstruction whose
+    // error degrades its ADC shortlist
+    val residualMode = StreamIO.readMarker(s"$dir/codebooks", "_residual",
+      conf).getOrElse(0L) == 1L
+    val cur =
+      if (residualMode) {
+        val centArr = typedLit(
+          readIvfCentroids(spark, dir).map(_.toSeq).toSeq)
+        readIvfAssigned(spark, dir).select(col("vec_id"),
+          zip_with(col("embedding"), element_at(centArr, col("cell") + 1),
+            (x, c) => x.cast("double") - c).as("embedding"))
+      } else readIvfAssigned(spark, dir).select("vec_id", "embedding")
     pqDriftFromStats(spark.read.parquet(s"$dir/pq_baseline"),
-      readIvfAssigned(spark, dir).select("vec_id", "embedding"),
-      cbs, staleRatio)
+      cur, cbs, staleRatio)
   }
 
   /** The full inverted-list table of an index artifact: the base build
@@ -3228,6 +3240,23 @@ object Similarity {
     * bench/oracle path trains once on the cached corpus and shares the
     * literals with the SQL replay).
     *
+    * ENCODING MODE: `residual = Some(true)` trains/encodes the leg in
+    * RESIDUAL space (`e − c(e)` under the artifact's own centroids and
+    * stored cell assignment — [[annIvfPqResidual]]'s higher-recall
+    * form at identical storage); the mode is pinned as a `_residual`
+    * marker beside the codebooks and every later verb follows it:
+    * serving adds the centroid ADC term, re-sync re-encodes residuals,
+    * `pq_drift` measures distortion in residual space, and a plain
+    * `retrain = true` keeps the mode. `None` (the default) keeps the
+    * stored mode — raw for a fresh leg — so existing cadences never
+    * change encoding by omission. A RE-SYNC cannot change the mode
+    * (codes from one space scored under another space's codebooks
+    * would be silently wrong): passing a contradicting `Some` without
+    * `retrain` refuses loudly. NOTE a quantizer rebuild drops the leg
+    * with its marker — [[graft.api.Graft.maintainIvfIndex]] captures
+    * the mode before rebuilding and restates it on the re-add; a
+    * manual rebuild + re-add must do the same.
+    *
     * WHENEVER the codebooks are (re)trained — fresh add, explicit
     * `codebooks`, or `retrain = true` — the per-sub-space distortion
     * of the base under them is pinned as `pq_baseline/`
@@ -3242,17 +3271,48 @@ object Similarity {
     * trip). */
   def ivfPqIndexAdd(spark: SparkSession, dir: String,
                     codebooks: Option[Array[Array[Array[Double]]]] = None,
-                    retrain: Boolean = false)
+                    retrain: Boolean = false,
+                    residual: Option[Boolean] = None)
       : Unit = {
     import graft.streaming.StreamIO
     val conf = spark.sparkContext.hadoopConfiguration
     val base = spark.read.parquet(s"$dir/assigned")
     val (fs, cbPath) = StreamIO.fsFor(s"$dir/codebooks", conf)
     val reuseStored = codebooks.isEmpty && !retrain && fs.exists(cbPath)
+    // resolve the encoding mode BEFORE touching anything: stored mode
+    // when a leg exists (a pre-marker raw leg reads 0), else the
+    // caller's choice, else raw
+    val storedMode: Option[Boolean] =
+      if (fs.exists(cbPath))
+        Some(StreamIO.readMarker(s"$dir/codebooks", "_residual", conf)
+          .getOrElse(0L) == 1L)
+      else None
+    val mode: Boolean =
+      if (reuseStored) {
+        val m = storedMode.getOrElse(false)
+        require(residual.forall(_ == m),
+          s"PQ leg at $dir is ${if (m) "residual" else "raw"}-encoded; " +
+            "a re-sync cannot change the encoding (codes from one " +
+            "space under another space's codebooks are silently " +
+            "wrong). Pass retrain = true to re-train in the new mode.")
+        m
+      } else residual.orElse(storedMode).getOrElse(false)
+    // residual mode subtracts the artifact's own centroid per the
+    // STORED cell assignment — the exact quantity serving adds back
+    lazy val cents = readIvfCentroids(spark, dir)
+    def residualFrameOf(df: DataFrame): DataFrame = {
+      val centArr = typedLit(cents.map(_.toSeq).toSeq)
+      df.select(col("vec_id"),
+        zip_with(col("embedding"), element_at(centArr, col("cell") + 1),
+          (x, c) => x.cast("double") - c).as("embedding"))
+    }
+    def encodeSpace(df: DataFrame): DataFrame =
+      if (mode) residualFrameOf(df)
+      else df.select(col("vec_id"), col("embedding"))
     val cbs = codebooks.getOrElse {
       if (reuseStored) readPqCodebooks(spark, dir)
       else {
-        val vecs = base.select(col("vec_id"), col("embedding"))
+        val vecs = encodeSpace(base)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // sub-space width stays 8; the COUNT of sub-spaces follows the
         // artifact's actual embedding dim, so the leg works on any
@@ -3270,11 +3330,18 @@ object Similarity {
     val sub = cbs.head.head.length
     val codeCols = (0 until nSub).map { m =>
       element_at(graft.functions.VectorQuantize.nearestCellsBiased(
-        expr(s"slice(embedding, ${m * sub + 1}, $sub)"), cbs(m),
+        expr(s"slice(enc, ${m * sub + 1}, $sub)"), cbs(m),
         l2Biases(cbs(m)), 1), 1)
         .as(s"c$m")
     }
-    base.select(col("cell") +: col("vec_id") +: codeCols: _*)
+    val encCol =
+      if (mode) {
+        val centArr = typedLit(cents.map(_.toSeq).toSeq)
+        zip_with(col("embedding"), element_at(centArr, col("cell") + 1),
+          (x, c) => x.cast("double") - c)
+      } else col("embedding")
+    base.withColumn("enc", encCol)
+      .select(col("cell") +: col("vec_id") +: codeCols: _*)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes")
     import spark.implicits._
@@ -3282,11 +3349,16 @@ object Similarity {
       cb.zipWithIndex.map { case (cw, ci) => (mi, ci, cw.toSeq) }
     }.toSeq.toDF("m", "cell", "codeword")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    // the mode travels WITH the codebooks it describes (the overwrite
+    // above cleared any previous marker)
+    StreamIO.writeMarker(s"$dir/codebooks", "_residual",
+      if (mode) 1L else 0L, conf)
     // trained (not re-synced) codebooks pin their own distortion
-    // baseline: the build-time truth pq_drift monitors against
+    // baseline: the build-time truth pq_drift monitors against —
+    // measured in the ENCODING space (residual distortion is what a
+    // residual leg's ADC loses)
     if (!reuseStored)
-      pqDistortionStats(base.select(col("vec_id"), col("embedding")),
-        cbs, "base")
+      pqDistortionStats(encodeSpace(base), cbs, "base")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_baseline")
     // pin the coverage: codes encode the base as of this compaction
     // watermark — serving compares and refuses a stale scan table
@@ -3344,6 +3416,11 @@ object Similarity {
         "ivfPqIndexAdd (map-only re-encode with the stored codebooks).")
     val cents = readIvfCentroids(spark, dir)
     val cbs = readPqCodebooks(spark, dir)
+    // encoding mode travels with the codebooks: a residual leg's ADC
+    // adds the per-(query, probed-cell) centroid dot back (recon =
+    // c + codewords); a pre-marker raw leg reads 0
+    val residualMode = StreamIO.readMarker(s"$dir/codebooks", "_residual",
+      conf).getOrElse(0L) == 1L
     val nSub = cbs.length
     val sub = cbs.head.head.length
     val shortlist = shortlistFactor * k
@@ -3352,11 +3429,17 @@ object Similarity {
     val probes = q.select(col("query_id"), col("e_q"),
       explode(graft.functions.VectorQuantize.nearestCells(
         col("e_q"), cents, nProbe)).as("cell"))
-    val score = (0 until nSub).map { m =>
+    val subDots = (0 until nSub).map { m =>
       graft.functions.VectorFunctions.dot(
         expr(s"slice(e_q, ${m * sub + 1}, $sub)"),
         element_at(typedLit(cbs(m).map(_.toSeq).toSeq), col(s"c$m") + 1))
-    }.reduceLeft(_ + _)
+    }
+    val score =
+      (if (residualMode)
+         graft.functions.VectorFunctions.dot(col("e_q"),
+           element_at(typedLit(cents.map(_.toSeq).toSeq),
+             col("cell") + 1)) +: subDots
+       else subDots).reduceLeft(_ + _)
     val short = spark.read.parquet(s"$dir/codes")
       .withColumnRenamed("vec_id", "neighbor_id")
       .join(broadcast(probes), Seq("cell"))
@@ -3406,6 +3489,37 @@ object Similarity {
       s"ivfpq-index/run-${java.util.UUID.randomUUID()}")
     ivfIndexBuild(spark, v.select("vec_id", "embedding"), dir, cents)
     ivfPqIndexAdd(spark, dir, Some(cbs))
+    annServeFromPqIndex(spark, dir,
+      Tables.load(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding")),
+      nProbe, k)
+  }
+
+  /** §2 #228 — RESIDUAL IVFADC serving FROM THE ARTIFACT: the
+    * [[annIvfPqIndexed]] lifecycle with a residual-encoded PQ leg
+    * (`ivfPqIndexAdd(residual = Some(true))`) — the artifact form of
+    * [[annIvfPqResidual]], proving the higher-recall encoding survives
+    * the materialize/marker/serve path bit-identically (shared
+    * [[ivfPqResidualTrainedOracle]]): the `_residual` marker beside
+    * the codebooks tells serving to add the centroid ADC term, and the
+    * same marker steers re-sync, `pq_drift`, and retrain — so the
+    * production cadence keeps the recall gain without any caller
+    * branching on encoding. */
+  def annIvfPqResidualIndexed(spark: SparkSession, sfDir: String,
+                              nProbe: Int = 4, nQueries: Int = 10,
+                              k: Int = 5): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val (cents, cbsR) = withTrainCache(v) { vc =>
+      val cents = trainCentroids(vc, 16)
+      (cents, trainPqCodebooks(
+        residualAssigned(vc, cents).select(col("vec_id"),
+          col("res").as("embedding"))))
+    }
+    val dir = ExportImport.scratch(
+      s"ivfpq-index/run-${java.util.UUID.randomUUID()}")
+    ivfIndexBuild(spark, v.select("vec_id", "embedding"), dir, cents)
+    ivfPqIndexAdd(spark, dir, Some(cbsR), residual = Some(true))
     annServeFromPqIndex(spark, dir,
       Tables.load(spark, sfDir, "embeddings")
         .filter(col("vec_id") < nQueries)

@@ -706,6 +706,71 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann_ivfpq_residual_indexed: the residual leg serves identically " +
+      "to the inline pipeline; the mode survives re-sync and a " +
+      "maintenance rebuild; a contradicting re-sync refuses") {
+    import org.apache.spark.sql.functions.col
+    val inline = Similarity.annIvfPqResidual(spark, sf)
+      .collect().map(_.toString).toSeq
+    val indexed = Similarity.annIvfPqResidualIndexed(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(indexed == inline,
+      "artifact-served residual IVFADC must equal the inline pipeline")
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = graft.operators.ExportImport.scratch("ivfpq-res-spec")
+    graft.streaming.StreamIO.deleteRecursively(dir, conf)
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    Similarity.ivfIndexBuild(spark, embs, dir)
+    Similarity.ivfPqIndexAdd(spark, dir, residual = Some(true))
+    def mode(): Long = graft.streaming.StreamIO.readMarker(
+      s"$dir/codebooks", "_residual", conf).getOrElse(0L)
+    assert(mode() == 1L, "the residual marker must pin the mode")
+    val queries = embs.filter(col("vec_id") < 5)
+
+    // fold a delta, then: a re-sync demanding the OTHER mode refuses
+    // (codes from one space under another space's codebooks are
+    // silently wrong), a plain re-sync keeps residual, and the folded
+    // exact duplicates surface as top-1 THROUGH the residual ADC leg
+    val dup = queries.select((col("vec_id") + 50000).as("vec_id"),
+      col("embedding"))
+    graft.streaming.StreamIvfIndex.applyBatch(dup, 0L, dir)
+    assert(Similarity.ivfIndexCompact(spark, dir).contains(0L))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexAdd(spark, dir, residual = Some(false))
+    }
+    Similarity.ivfPqIndexAdd(spark, dir)
+    assert(mode() == 1L, "a re-sync must keep the residual mode")
+    val top1 = Similarity.annServeFromPqIndex(spark, dir, queries)
+      .filter(col("rnk") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 5L).foreach(q => assert(top1(q) == q + 50000,
+      s"folded duplicate must rank first through the residual leg: $top1"))
+    // the staleness monitor reads residual-space distortion: the folded
+    // corpus is same-distribution, so nothing flags
+    val drift = Similarity.pqDriftFromIndex(spark, dir).collect()
+    assert(drift.nonEmpty && drift.forall(r =>
+      !r.getBoolean(r.fieldIndex("is_stale"))),
+      "same-distribution fold must not flag stale in residual space")
+
+    // a shifted ingest trips the coarse monitor; ONE maintenance epoch
+    // rebuilds the quantizer AND re-adds the leg in the SAME mode (the
+    // swap drops the marker with codebooks/ — maintain captures it)
+    val shifted = embs.select((col("vec_id") + 100000).as("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => x + org.apache.spark.sql.functions.lit(0.5f)).as("embedding"))
+    graft.streaming.StreamIvfIndex.applyBatch(shifted, 1L, dir)
+    val m = graft.api.Graft.maintainIvfIndex(spark, dir)
+    assert(m.rebuiltToVersion.isDefined,
+      s"the shifted ingest must force a rebuild: $m")
+    assert(m.pqRetrained, s"the rebuild epoch must re-add the leg: $m")
+    assert(mode() == 1L,
+      "the maintenance rebuild must restate the residual mode")
+    assert(Similarity.annServeFromPqIndex(spark, dir, queries)
+      .collect().nonEmpty, "post-epoch residual serving must work")
+  }
+
   test("knn_edges_incremental: artifact + delta merge equals the full " +
       "cell equi-join rebuild over the combined corpus") {
     import org.apache.spark.sql.functions.col
