@@ -92,6 +92,7 @@ object Bench {
     "curation" -> Seq(
       "decontaminate", "contamination_report", "pipeline_report",
       "decontaminate_fuzzy", "bloom_decontaminate",
+      "decontaminate_semantic",
       "split_leakage", "leakage_safe_split", "budget_select",
       "doc_chunk", "pii_scrub", "c4_clean", "range_join",
       "mixture_sample", "mixture_temperature", "mixture_upsample",

@@ -190,6 +190,8 @@ object SparkEntry {
     "embedding_class_stats" -> (Similarity.embeddingClassStats _),
     "embedding_outliers" -> (Similarity.embeddingOutliers _),
     "decontaminate_fuzzy" -> ((s, d) => Curation.decontaminateFuzzy(s, d)),
+    "decontaminate_semantic" ->
+      ((s, d) => Similarity.decontaminateSemantic(s, d)),
     "mixture_upsample" -> (Curation.upsampleMixture _),
     "ngram_lm" -> ((s, d) => TextAnalysis.ngramLm(s, d)),
     "quality_repetition" -> (TextAnalysis.qualityRepetition _),
@@ -625,6 +627,7 @@ object SparkEntry {
     "ann_ivfpq_indexed" -> Similarity.ivfPqTrainedOracle(),
     "ann_ivfpq_residual_indexed" -> Similarity.ivfPqResidualTrainedOracle(),
     "semantic_dedup" -> Similarity.semanticDedupOracle(),
+    "decontaminate_semantic" -> Similarity.decontaminateSemanticOracle(),
     "semantic_dedup_incremental" ->
       Similarity.semanticDedupIncrementalOracle(),
     // oracle takes the deterministically-trained quantizer as given

@@ -2632,6 +2632,112 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** §2 #229 — SEMANTIC DECONTAMINATION: the embedding-space leg of
+    * the decontamination family (exact `decontaminate` → Bloom
+    * `bloom_decontaminate` → n-gram `decontaminate_fuzzy` → THIS) —
+    * flag every corpus document whose embedding is cosine-≥-tau close
+    * to ANY held-out benchmark/eval vector, the paraphrase-robust
+    * contamination check text n-grams miss (an eval item rewritten in
+    * different words shares no 8-gram but keeps its embedding
+    * neighborhood). Eval split = `vec_id % 10 == 0` (the held-out
+    * tenth), corpus = the rest.
+    *
+    * Geometry is [[ivfServe]]'s, sides chosen by size: the SMALL eval
+    * set probes its `nProbe` nearest cells and broadcasts; the corpus
+    * streams through ONE cell equi-join on its single-cell assignment
+    * — at 100 TB the corpus never shuffles more than (cell, id) and
+    * its vectors are touched map-only, while missing a match requires
+    * the pair to straddle all nProbe probed cells (the documented
+    * ann_ivf recall trade, tuned by `ivf_probe_sweep`). A corpus doc
+    * lives in one cell and a query's probed cells are distinct, so
+    * (corpus, eval) pairs are unique by construction — no distinct.
+    * Per corpus doc: the contamination verdict, the match count, the
+    * worst (highest-cosine, ties → lower id) eval item via the bounded
+    * [[graft.functions.TopKByScore]] aggregate, and its cosine —
+    * the evidence row a release audit wants. */
+  def decontaminateSemantic(spark: SparkSession, sfDir: String,
+                            nCells: Int = 16, nProbe: Int = 4,
+                            tau: Double = 0.4): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val cents = withTrainCache(v)(trainCentroids(_, nCells))
+    def cellsOf(n: Int) =
+      graft.functions.VectorQuantize.nearestCells(col("embedding"), cents, n)
+    val corpus = v.filter(col("vec_id") % 10 =!= 0)
+    val eval = v.filter(col("vec_id") % 10 === 0)
+    val assigned = corpus.select(element_at(cellsOf(1), 1).as("cell"),
+      col("vec_id"), col("embedding").as("e_c"), col("nrm").as("n_c"))
+    val probes = eval.select(col("vec_id").as("eval_id"),
+      explode(cellsOf(nProbe)).as("cell"),
+      col("embedding").as("e_q"), col("nrm").as("n_q"))
+    val hits = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .select(col("vec_id"), col("eval_id"),
+        cosineWithNorms(dot(col("e_c"), col("e_q")), col("n_c"),
+          col("n_q")).as("cos"))
+      .filter(col("cos") >= tau)
+    val verdicts = hits.groupBy("vec_id")
+      .agg(count(lit(1)).as("n_matches"),
+        graft.functions.TopKByScoreAgg.topkByScore(
+          col("eval_id"), col("cos"), 1).as("top"))
+      .select(col("vec_id"), col("n_matches"),
+        col("top")(0).getField("neighbor_id").as("eval_id"),
+        round(col("top")(0).getField("cos"), 6).as("max_cos6"))
+    corpus.select(col("vec_id"))
+      .join(verdicts, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("n_matches").isNotNull.as("contaminated"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("eval_id"), col("max_cos6"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle for [[decontaminateSemantic]]: trained centroids inlined;
+    * both splits' ranked assignment, the probe join, the tau gate, and
+    * the (cos DESC, id ASC) top-match replayed exactly. */
+  def decontaminateSemanticOracle(nCells: Int = 16, nProbe: Int = 4,
+                                  tau: Double = 0.4): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val cents = trainCentroids(vectors(spark, sfDir), nCells)
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"(${i}, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    s"""WITH n AS (SELECT vec_id, embedding,
+          sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+        cents(cell, cv) AS (VALUES $centRows),
+        ranked AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              ${dot("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+          FROM n v, cents c),
+        corpus AS (SELECT vec_id, embedding, nrm, cell FROM ranked
+                   WHERE crnk = 1 AND vec_id % 10 <> 0),
+        probes AS (SELECT vec_id AS eval_id, embedding, nrm, cell
+                   FROM ranked WHERE crnk <= $nProbe AND vec_id % 10 = 0),
+        hits AS (SELECT c.vec_id, p.eval_id,
+                   ${dot("c.embedding", "p.embedding")} / (c.nrm * p.nrm)
+                     AS cos
+                 FROM corpus c JOIN probes p ON p.cell = c.cell
+                 WHERE ${dot("c.embedding", "p.embedding")}
+                         / (c.nrm * p.nrm) >= $tau),
+        verdicts AS (SELECT vec_id,
+                       CAST(count(*) AS BIGINT) AS n_matches,
+                       first(eval_id ORDER BY cos DESC, eval_id) AS eval_id,
+                       round(max(cos), 6) AS max_cos6
+                     FROM hits GROUP BY 1)
+        SELECT c.vec_id, v.n_matches IS NOT NULL AS contaminated,
+               coalesce(v.n_matches, 0) AS n_matches,
+               v.eval_id, v.max_cos6
+        FROM corpus c LEFT JOIN verdicts v ON v.vec_id = c.vec_id
+        ORDER BY c.vec_id"""
+  }
+
   /** Oracle for [[semanticDedup]]: trained centroids inlined, ranked
     * assignment + within-cell pairwise replay. */
   def semanticDedupOracle(nCells: Int = 16, tau: Double = 0.4): String = {

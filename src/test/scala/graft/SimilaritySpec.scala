@@ -107,6 +107,45 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), "probe join must be an equi-join")
   }
 
+  test("decontaminate_semantic: evidence rows are sound, recall >= 0.5 " +
+       "vs the unbucketed brute check, eval side broadcast") {
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.decontaminateSemantic(spark, sf).collect()
+    // corpus rows only, and flagged evidence points at the eval split
+    assert(rows.nonEmpty && rows.forall(_.getLong(0) % 10 != 0))
+    val flagged = rows.filter(_.getBoolean(1))
+    assert(flagged.nonEmpty, "fixture must produce contaminated docs")
+    assert(flagged.forall(r => r.getLong(2) >= 1 && r.getLong(3) % 10 == 0
+      && r.getDouble(4) >= 0.4))
+    assert(rows.filterNot(_.getBoolean(1)).forall(r =>
+      r.getLong(2) == 0 && r.isNullAt(3)))
+    // soundness + recall vs brute: every flag's evidence pair really
+    // clears tau (no false positives), and the cell probe finds at
+    // least half of what the unbucketed all-pairs check finds
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    flagged.foreach { r =>
+      assert(cos(embs(r.getLong(0)), embs(r.getLong(3))) >= 0.4 - 1e-9,
+        s"evidence pair ${r.getLong(0)}->${r.getLong(3)} below tau")
+    }
+    val evalIds = embs.keys.filter(_ % 10 == 0)
+    val brute = embs.keys.filter(id => id % 10 != 0 &&
+      evalIds.exists(e => cos(embs(id), embs(e)) >= 0.4)).toSet
+    val got = flagged.map(_.getLong(0)).toSet
+    assert(got.subsetOf(brute), "no false positives vs brute")
+    assert(got.size.toDouble / brute.size >= 0.5,
+      s"probe recall ${got.size}/${brute.size} must be >= 0.5")
+    val plan = planOf(Similarity.decontaminateSemantic(spark, sf))
+    assert(plan.contains("Broadcast"), "eval probe side must broadcast")
+    assert(!plan.contains("Cartesian"), "probe join must be an equi-join")
+  }
+
   test("hard_negatives: every mined negative crosses the label boundary") {
     val rows = Similarity.hardNegatives(spark, sf).collect()
     assert(rows.length == 50)
