@@ -2660,17 +2660,41 @@ object Similarity {
                             tau: Double = 0.4): DataFrame = {
     val v = vectors(spark, sfDir)
     val cents = withTrainCache(v)(trainCentroids(_, nCells))
-    def cellsOf(n: Int) =
-      graft.functions.VectorQuantize.nearestCells(col("embedding"), cents, n)
-    val corpus = v.filter(col("vec_id") % 10 =!= 0)
-    val eval = v.filter(col("vec_id") % 10 === 0)
-    val assigned = corpus.select(element_at(cellsOf(1), 1).as("cell"),
-      col("vec_id"), col("embedding").as("e_c"), col("nrm").as("n_c"))
-    val probes = eval.select(col("vec_id").as("eval_id"),
-      explode(cellsOf(nProbe)).as("cell"),
-      col("embedding").as("e_q"), col("nrm").as("n_q"))
+    decontaminateSemanticFrom(
+      v.filter(col("vec_id") % 10 =!= 0).select("vec_id", "embedding"),
+      evalProbesOf(v.filter(col("vec_id") % 10 === 0), cents, nProbe),
+      cents, tau)
+  }
+
+  /** The eval split's probe rows — (eval_id, cell ×nProbe, vector,
+    * norm), the broadcast side of the semantic-contamination join.
+    * Computed once per gate (the [[decontaminationGateToDir]] artifact
+    * stores them), map-only over the small eval set. */
+  private[graft] def evalProbesOf(eval: DataFrame,
+                                  cents: Array[Array[Double]],
+                                  nProbe: Int): DataFrame =
+    eval.select(col("vec_id").as("eval_id"),
+      explode(graft.functions.VectorQuantize.nearestCells(
+        col("embedding"), cents, nProbe)).as("cell"),
+      col("embedding").as("e_q"),
+      l2norm(col("embedding")).as("n_q"))
+
+  /** TWO-FRAME semantic-contamination core: gate `corpus` rows
+    * (vec_id, embedding) against pre-computed eval probes — the seam
+    * [[graft.streaming.StreamDecontaminate]] reuses per micro-batch
+    * (verdicts are per-doc independent, so streamed prefixes equal the
+    * batch run row-for-row). */
+  private[graft] def decontaminateSemanticFrom(corpus: DataFrame,
+                                               evalProbes: DataFrame,
+                                               cents: Array[Array[Double]],
+                                               tau: Double): DataFrame = {
+    val assigned = corpus.select(
+      element_at(graft.functions.VectorQuantize.nearestCells(
+        col("embedding"), cents, 1), 1).as("cell"),
+      col("vec_id"), col("embedding").as("e_c"),
+      l2norm(col("embedding")).as("n_c"))
     val hits = assigned
-      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(evalProbes), Seq("cell"))
       .select(col("vec_id"), col("eval_id"),
         cosineWithNorms(dot(col("e_c"), col("e_q")), col("n_c"),
           col("n_q")).as("cos"))
@@ -2689,6 +2713,30 @@ object Similarity {
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         col("eval_id"), col("max_cos6"))
       .orderBy("vec_id")
+  }
+
+  /** Materialize a SEMANTIC-CONTAMINATION GATE artifact: the trained
+    * quantizer plus the eval split's pre-computed probe rows —
+    * {{{
+    *   dir/centroids/    the fixed quantizer (readIvfCentroids layout)
+    *   dir/eval_probes/  (eval_id, cell, e_q, n_q) — nProbe rows each
+    * }}}
+    * — so a continuous ingest gate ([[graft.streaming
+    * .StreamDecontaminate]]) pays the eval-side work ONCE and each
+    * micro-batch costs one map-only assignment + one broadcast cell
+    * equi-join. The quantizer is fixed at gate build (eval probes are
+    * only meaningful under the centroids that produced them). */
+  def decontaminationGateToDir(spark: SparkSession, sfDir: String,
+                               dir: String, nCells: Int = 16,
+                               nProbe: Int = 4): Unit = {
+    val v = vectors(spark, sfDir)
+    val cents = withTrainCache(v)(trainCentroids(_, nCells))
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    evalProbesOf(v.filter(col("vec_id") % 10 === 0), cents, nProbe)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/eval_probes")
   }
 
   /** Oracle for [[decontaminateSemantic]]: trained centroids inlined;

@@ -561,6 +561,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream decontaminate: streamed verdicts equal the batch twin " +
+      "row-for-row across prefixes; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.operators.ExportImport.scratch("stream-decon")
+    val (gate, outDir, ckpt) = (root + "/gate", root + "/out", root + "/ckpt")
+    Seq(gate, outDir, ckpt).foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(d, conf))
+    Similarity.decontaminationGateToDir(spark, sf, gate)
+    val corpus = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamDecontaminate.start(
+      input.toDF().toDF("vec_id", "embedding"), gate, outDir, ckpt)
+    try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))
+    val streamed = spark.read.parquet(outDir).collect().map(key).toSet
+    val batch = Similarity.decontaminateSemantic(spark, sf)
+      .collect().map(key).toSet
+    assert(streamed == batch && streamed.exists(_._2),
+      "streamed gate verdicts must equal the batch twin row-for-row")
+    // replay of batch 0 (foreachBatch is at-least-once): verdicts are
+    // a pure per-doc function, so the overwritten partition is
+    // identical and the union is unchanged
+    graft.streaming.StreamDecontaminate.applyBatch(
+      b1.toSeq.toDF("vec_id", "embedding"), 0L, gate, outDir, 0.4)
+    assert(spark.read.parquet(outDir).collect().map(key).toSet == batch,
+      "a replayed batch must rewrite identical verdicts")
+  }
+
   test("stream knn edges: maintained state equals the from-scratch " +
       "exact build after each prefix; replay idempotent; reset refused") {
     import spark.implicits._
