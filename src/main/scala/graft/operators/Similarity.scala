@@ -558,6 +558,149 @@ object Similarity {
        ORDER BY shortlist_factor"""
   }
 
+  /** §2 #230 — `pq_bits_sweep`: the CODEBOOK-SIZE tuning table — the
+    * third and last knob of the PQ serving family after probe count
+    * (`ivf_probe_sweep`) and shortlist budget (`pq_shortlist_sweep`).
+    * One row per codebook size kk ∈ {4, 16, 64} (2/4/6 bits per code):
+    * the storage bill (bits/vector), the mean squared reconstruction
+    * error under codebooks of that size (the [[pqDistortionStats]]
+    * decimal doctrine — order-independent, oracle-exact), and recall@k
+    * of the full encode→ADC→re-rank pipeline against the shared brute
+    * truth. This is the table a deployment reads to decide what a halved
+    * index footprint costs in recall — measured, not guessed.
+    *
+    * Scale shape: each size is one [[trainPqCodebooks]] (bounded model
+    * state), one stacked map-only distortion pass, and one proven
+    * bounded-TopK serve over a query sample; the O(N²) brute truth is
+    * evaluated ONCE and persisted across all rows. */
+  def pqBitsSweep(spark: SparkSession, sfDir: String,
+                  sizes: Seq[Int] = Seq(4, 16, 64),
+                  nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val truth = annBruteforce(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TransientCaches.register(truth)
+    val models = withTrainCache(v)(vc =>
+      sizes.map(kk => kk -> trainPqCodebooks(vc, k = kk)))
+    models.map { case (kk, cbs) =>
+      val bits = (math.log(kk) / math.log(2)).round.toInt
+      val mse = pqDistortionStats(v.select("vec_id", "embedding"), cbs,
+          "cur")
+        .agg(sum(col("cur_esum")).as("esum"), sum(col("cur_cnt")).as("cnt"))
+        .select(round(col("esum").cast("double") / col("cnt"), 6)
+          .as("mean_mse6"))
+      val edges = annPqWith(v, cbs, nQueries, k)
+        .select("query_id", "neighbor_id")
+      val hits = edges.join(truth, Seq("query_id", "neighbor_id"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+        .crossJoin(broadcast(mse))
+        .select(lit(kk).as("codebook_k"),
+          lit(bits).as("bits_per_code"),
+          lit(cbs.length * bits).as("bits_per_vector"),
+          col("mean_mse6"), col("n_truth"), col("n_hit"),
+          round(col("n_hit") / col("n_truth"), 4).as("recall"))
+    }.reduce(_ unionByName _).orderBy("codebook_k")
+  }
+
+  /** DuckDB oracle for [[pqBitsSweep]]: one trained codebook set per
+    * size inlined; shared sub-vector slices and brute truth; per size —
+    * the code argmin (keeping s/cv/bias for the three-term 8-dp decimal
+    * error), the code pivot, the ADC shortlist, and the exact re-rank
+    * hit count, all the proven replay machinery. */
+  def pqBitsSweepOracle(sizes: Seq[Int] = Seq(4, 16, 64),
+                        nQueries: Int = 10, k: Int = 5): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val v = vectors(spark, sfDir)
+    val models = withTrainCache(v)(vc =>
+      sizes.map(kk => kk -> trainPqCodebooks(vc, k = kk)))
+    val nSub = models.head._2.length
+    val sub = models.head._2.head.head.length
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val codePivot = (0 until nSub)
+      .map(m => s"max(CASE WHEN m = $m THEN kk END) AS c$m").mkString(", ")
+    val perSize = models.map { case (sz, cbs) =>
+      val cbRows = (for {
+        m <- 0 until nSub
+        kk <- cbs(m).indices
+      } yield s"($m, $kk, ${cbs(m)(kk).mkString("[", ", ", "]")}, " +
+        s"${l2Biases(cbs(m))(kk)})")
+        .mkString(", ")
+      val cbLit = cbs.map(_.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val adc = (0 until nSub).map { m =>
+        val lo = m * sub + 1
+        val hi = (m + 1) * sub
+        s"${dot(s"q.embedding[$lo:$hi]", s"k${sz}_cbl.cb[${m + 1}][n.c$m + 1]")}"
+      }.mkString(" + ")
+      s"""k${sz}_cb(m, kk, cv, bias) AS (VALUES $cbRows),
+         k${sz}_cbl AS (SELECT $cbLit AS cb),
+         k${sz}_coded AS (SELECT vec_id, m, kk, s, cv, bias FROM (
+             SELECT sub.vec_id, sub.m, cb.kk, sub.s, cb.cv, cb.bias,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                 ORDER BY (${dot("sub.s", "cb.cv")} + cb.bias) DESC,
+                   cb.kk) AS r
+             FROM sub JOIN k${sz}_cb cb ON cb.m = sub.m) WHERE r = 1),
+         k${sz}_codes AS (SELECT vec_id, $codePivot
+                          FROM k${sz}_coded GROUP BY 1),
+         k${sz}_short AS (SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 ($adc) DESC, n.vec_id) AS r
+             FROM embeddings q, k${sz}_codes n, k${sz}_cbl
+             WHERE q.vec_id < $nQueries AND n.vec_id <> q.vec_id)
+           WHERE r <= ${8 * k})"""
+    }.mkString(",\n        ")
+    val branches = models.map { case (sz, cbs) =>
+      val bits = (math.log(sz) / math.log(2)).round.toInt
+      s"""SELECT $sz AS codebook_k, $bits AS bits_per_code,
+           ${cbs.length * bits} AS bits_per_vector,
+           (SELECT round(CAST(sum(CAST(round(${dot("s", "s")}
+              - 2 * ${dot("s", "cv")} - 2 * bias, 8) AS DECIMAL(18,8)))
+              AS DOUBLE) / count(*), 6) FROM k${sz}_coded) AS mean_mse6,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT s.query_id, s.neighbor_id,
+                    row_number() OVER (PARTITION BY s.query_id ORDER BY
+                      ${dot("qv.embedding", "cv.embedding")}
+                        / (qv.nrm * cv.nrm) DESC, s.neighbor_id) AS rnk
+                  FROM k${sz}_short s
+                  JOIN nv qv ON qv.vec_id = s.query_id
+                  JOIN nv cv ON cv.vec_id = s.neighbor_id) i
+            JOIN truth t ON t.query_id = i.query_id
+                        AND t.neighbor_id = i.neighbor_id
+            WHERE i.rnk <= $k) AS n_hit"""
+    }.mkString("\n          UNION ALL\n          ")
+    s"""WITH sub AS (SELECT vec_id, mm.m AS m,
+                  embedding[mm.m * $sub + 1 : (mm.m + 1) * $sub] AS s
+                FROM embeddings,
+                     (SELECT unnest(range(0, $nSub)) AS m) mm),
+        nv AS (SELECT vec_id, embedding,
+                 sqrt(${dot("embedding", "embedding")}) AS nrm
+               FROM embeddings),
+        truth AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                c.vec_id) AS rnk
+            FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < $nQueries)
+          WHERE rnk <= $k),
+        $perSize
+       SELECT codebook_k, bits_per_code, bits_per_vector, mean_mse6,
+         n_truth, n_hit,
+         round(n_hit / CAST(n_truth AS DOUBLE), 4) AS recall
+       FROM ($branches)
+       ORDER BY codebook_k"""
+  }
+
   /** §2 #226 — `ann_recall_eval_pq`: the recall table for the
     * COMPRESSED serving variants — [[annRecallEval]] scores the
     * static-model paths (ivf_static, lsh, sign_sketch), but the two
