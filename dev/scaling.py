@@ -426,10 +426,11 @@ out += ["",
         "three",
         "  back-to-back measures at sf0.1: 8.44 / 7.67 / 7.53 s — "
         "converging on the",
-        "  builder 3-SF value (6.2 s, this table) once the query runs "
-        "without the",
-        "  full sweep's heap/code-cache pressure, and HALF the first "
-        "driver measure.",
+        "  builder 3-SF value (7.05 s this table, 6.2 s in the r15 "
+        "sweep) once the",
+        "  query runs without the full sweep's heap/code-cache "
+        "pressure, and HALF",
+        "  the first driver measure.",
         "  The r15 driver vectors already said box-not-plan (cpu/wall "
         "7.8-9.7x with",
         "  4-8 s task GC — the documented GC-amplification signature "
@@ -449,6 +450,47 @@ out += ["",
         "  measures — the solo re-run is the adjudicator for that "
         "case, per the",
         "  documented recipe. Weak count back to 0.",
+        "",
+        "## r16 additions, priced (builder 3-SF sweep: 212 queries, "
+        "0 errors,",
+        "## 189.3/188.7/304.3 s)",
+        "",
+        "- ann_ivfpq_residual 2.4/2.1/3.2 s — in family with raw "
+        "ann_ivfpq",
+        "  (2.0/1.9/3.4 s): the +0.08 recall@5 (0.80 vs 0.72) is free "
+        "at serve time,",
+        "  as the plan predicts (one extra broadcast centroid dot per "
+        "probe pair).",
+        "- ann_ivfpq_residual_indexed 4.5/4.1/5.5 s vs raw "
+        "ann_ivfpq_indexed",
+        "  4.8/4.9/4.9 s — both train two models, build the artifact, "
+        "and serve;",
+        "  flat across SFs (training/build-dominated, the documented "
+        "indexed shape).",
+        "- pq_drift 1.6/2.0/2.2 s — two stacked map-only distortion "
+        "passes +",
+        "  <=nSub-row aggs; near-flat, monitor-cheap by design.",
+        "- ann_recall_eval_pq 3.5/4.2/6.1 s — three full serving "
+        "pipelines against",
+        "  ONE persisted brute truth; the n^2 truth leg dominates the "
+        "sf0.1 step,",
+        "  shared across rows (the r15 ADVICE fix, applied from birth "
+        "here).",
+        "- pq_bits_sweep 3.8/4.3/10.6 s — the one-off tuning table "
+        "pays three",
+        "  codebook trainings (the k=64 argmin folds a 4x-wider "
+        "codeword matrix",
+        "  per sub-vector) plus the shared n^2 truth; super-linear at "
+        "the sf0.1",
+        "  step by that honest bill, run per corpus-tuning decision, "
+        "never per",
+        "  query (the ivf_probe_sweep economics).",
+        "- decontaminate_semantic 0.9/0.7/1.3 s — near-flat: broadcast "
+        "eval probes,",
+        "  corpus touched map-only through one cell equi-join; the "
+        "gate artifact",
+        "  (StreamDecontaminate) moves even the probe cost off the "
+        "ingest path.",
         "",
         "## Super-linear rows, priced (r12) — and the r13 planned "
         "headline",
