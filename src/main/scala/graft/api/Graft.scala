@@ -668,6 +668,41 @@ object Graft {
     graft.operators.Similarity.ivfPqIndexAdd(spark, dir, None, retrain,
       residual)
 
+  /** SEMANTIC decontamination over explicit frames (both need vec_id,
+    * embedding): flag every corpus doc whose embedding is cosine-≥-tau
+    * close to ANY eval/benchmark vector — the paraphrase-robust
+    * contamination check the gram-based [[decontaminate]] family
+    * misses. Per doc: verdict, match count, worst eval item, cosine.
+    * The small eval side probes nProbe cells and broadcasts; the
+    * corpus streams map-only through one cell equi-join. */
+  def decontaminateSemantic(corpus: DataFrame, eval: DataFrame,
+                            nCells: Int = 16, nProbe: Int = 4,
+                            tau: Double = 0.4): DataFrame =
+    graft.operators.Similarity.decontaminateSemanticFrames(corpus, eval,
+      nCells, nProbe, tau)
+
+  /** Materialize a semantic-contamination GATE (trained quantizer +
+    * the eval set's probe rows) so [[semanticContaminationStream]]
+    * pays the eval-side work once. `train` is any representative
+    * corpus sample; both frames need (vec_id, embedding). */
+  def decontaminationGate(spark: SparkSession, train: DataFrame,
+                          eval: DataFrame, dir: String,
+                          nCells: Int = 16, nProbe: Int = 4): Unit =
+    graft.operators.Similarity.decontaminationGateFrom(spark, train, eval,
+      dir, nCells, nProbe)
+
+  /** Start the continuous semantic contamination gate: each arriving
+    * micro-batch of (vec_id, embedding) corpus vectors is gated
+    * against the artifact built by [[decontaminationGate]]; evidence
+    * rows land in `batch_id=N` overwrite partitions (replay-safe —
+    * verdicts are a pure per-doc function of row and gate). */
+  def semanticContaminationStream(vectors: DataFrame, gateDir: String,
+                                  outDir: String, checkpoint: String,
+                                  tau: Double = 0.4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.StreamDecontaminate.start(vectors, gateDir, outDir,
+      checkpoint, tau)
+
   /** PQ-leg staleness monitor over a live IVF index artifact: per
     * sub-space mean ADC reconstruction error of the maintained corpus
     * under the STORED codebooks vs the `pq_baseline/` snapshot pinned

@@ -2817,8 +2817,11 @@ object Similarity {
                                   cents: Array[Array[Double]],
                                   nProbe: Int): DataFrame =
     eval.select(col("vec_id").as("eval_id"),
+      // probing more cells than exist is just "probe everything" —
+      // clamp instead of pushing the kernel's bounds check onto
+      // callers with small quantizers
       explode(graft.functions.VectorQuantize.nearestCells(
-        col("embedding"), cents, nProbe)).as("cell"),
+        col("embedding"), cents, math.min(nProbe, cents.length))).as("cell"),
       col("embedding").as("e_q"),
       l2norm(col("embedding")).as("n_q"))
 
@@ -2873,13 +2876,39 @@ object Similarity {
                                dir: String, nCells: Int = 16,
                                nProbe: Int = 4): Unit = {
     val v = vectors(spark, sfDir)
-    val cents = withTrainCache(v)(trainCentroids(_, nCells))
+    decontaminationGateFrom(spark, v, v.filter(col("vec_id") % 10 === 0),
+      dir, nCells, nProbe)
+  }
+
+  /** [[decontaminationGateToDir]] over EXPLICIT frames: train the
+    * quantizer on `train` (any representative corpus sample — the
+    * probes are only meaningful under these centroids) and pin `eval`'s
+    * probe rows. Both frames need (vec_id, embedding). */
+  def decontaminationGateFrom(spark: SparkSession, train: DataFrame,
+                              eval: DataFrame, dir: String,
+                              nCells: Int = 16, nProbe: Int = 4): Unit = {
+    val cents = withTrainCache(train.select("vec_id", "embedding"))(
+      trainCentroids(_, nCells))
     import spark.implicits._
     cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    evalProbesOf(v.filter(col("vec_id") % 10 === 0), cents, nProbe)
+    evalProbesOf(eval.select("vec_id", "embedding"), cents, nProbe)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/eval_probes")
+  }
+
+  /** [[decontaminateSemantic]] over EXPLICIT frames (both need
+    * vec_id, embedding): quantizer trained on corpus ∪ eval (the
+    * driver query's stance), then the same probe-broadcast cell
+    * equi-join. The batch entry point a library user calls with their
+    * own corpus and benchmark tables. */
+  def decontaminateSemanticFrames(corpus: DataFrame, eval: DataFrame,
+                                  nCells: Int = 16, nProbe: Int = 4,
+                                  tau: Double = 0.4): DataFrame = {
+    val c = corpus.select("vec_id", "embedding")
+    val e = eval.select("vec_id", "embedding")
+    val cents = withTrainCache(c.unionByName(e))(trainCentroids(_, nCells))
+    decontaminateSemanticFrom(c, evalProbesOf(e, cents, nProbe), cents, tau)
   }
 
   /** Oracle for [[decontaminateSemantic]]: trained centroids inlined;

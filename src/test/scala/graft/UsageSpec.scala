@@ -541,4 +541,42 @@ class UsageSpec extends SparkSpec {
     assert(r.compactedThrough.isEmpty && !r.pqResynced
       && r.rebuiltToVersion.isEmpty && !r.pqRetrained, r.toString)
   }
+
+  test("facade: semantic decontamination on ad-hoc frames + the " +
+      "pre-paid gate") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    // eval items, near-copies of two of them in the corpus, and clean
+    // rows — 8-dim, ids offset (nothing fixture-shaped)
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val e1 = vec(); val e2 = vec()
+    val nearE1 = e1.map(x => x + 0.01f)
+    val nearE2 = e2.map(x => x + 0.01f)
+    val eval = Seq((5000L, e1), (5001L, e2)).toDF("vec_id", "embedding")
+    val corpus = (Seq((100L, nearE1), (101L, nearE2)) ++
+        (0 until 20).map(i => (200L + i, vec())))
+      .toDF("vec_id", "embedding")
+    val rows = Graft.decontaminateSemantic(corpus, eval, nCells = 2,
+        tau = 0.9).collect()
+    val flagged = rows.filter(_.getBoolean(1))
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(flagged.keySet.intersect(Set(100L, 101L)) == Set(100L, 101L),
+      s"near-copies of eval items must flag: $flagged")
+    assert(flagged(100L) == 5000L && flagged(101L) == 5001L,
+      s"the evidence row must name the matched eval item: $flagged")
+    // the gate artifact answers the same question per arriving batch
+    val root = graft.operators.ExportImport.scratch("usage-decon-gate")
+    graft.streaming.StreamIO.deleteRecursively(root, conf)
+    Graft.decontaminationGate(spark, corpus.unionByName(eval), eval,
+      s"$root/gate", nCells = 2)
+    graft.streaming.StreamDecontaminate.applyBatch(
+      corpus.filter(col("vec_id") < 200), 0L, s"$root/gate",
+      s"$root/out", 0.9)
+    val streamed = spark.read.parquet(s"$root/out")
+      .filter(col("contaminated")).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(streamed == Map(100L -> 5000L, 101L -> 5001L),
+      s"gated batch must flag the same evidence: $streamed")
+  }
 }
