@@ -2883,10 +2883,22 @@ object Similarity {
   /** [[decontaminationGateToDir]] over EXPLICIT frames: train the
     * quantizer on `train` (any representative corpus sample — the
     * probes are only meaningful under these centroids) and pin `eval`'s
-    * probe rows. Both frames need (vec_id, embedding). */
+    * probe rows. Both frames need (vec_id, embedding).
+    *
+    * Crash consistency: the probes are only meaningful under the
+    * centroids written beside them, and the two land in separate
+    * writes — so a `_gate_complete` marker is cleared FIRST and
+    * re-written LAST, and every gate reader requires it. A crash
+    * between the writes (new centroids, stale probes — silently wrong
+    * verdicts) leaves no marker and the reader refuses; re-run the
+    * build. */
   def decontaminationGateFrom(spark: SparkSession, train: DataFrame,
                               eval: DataFrame, dir: String,
                               nCells: Int = 16, nProbe: Int = 4): Unit = {
+    import graft.streaming.StreamIO
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (fs, marker) = StreamIO.fsFor(s"$dir/_gate_complete", conf)
+    if (fs.exists(marker)) fs.delete(marker, false)
     val cents = withTrainCache(train.select("vec_id", "embedding"))(
       trainCentroids(_, nCells))
     import spark.implicits._
@@ -2895,6 +2907,22 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     evalProbesOf(eval.select("vec_id", "embedding"), cents, nProbe)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/eval_probes")
+    StreamIO.writeMarker(dir, "_gate_complete", 1L, conf)
+  }
+
+  /** The gate reader's guard: refuse a gate whose completion marker is
+    * absent — the build crashed between the centroid and probe writes
+    * and the two may disagree (probes under retired centroids serve
+    * silently wrong verdicts, the failure mode markers exist for). */
+  private[graft] def requireGateComplete(spark: SparkSession,
+                                         dir: String): Unit = {
+    import graft.streaming.StreamIO
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(StreamIO.readMarker(dir, "_gate_complete", conf).contains(1L),
+      s"contamination gate at $dir carries no _gate_complete marker — " +
+        "the build did not finish (the marker lands after both the " +
+        "centroids and the probe rows), so the probes may not match " +
+        "the centroids. Re-run decontaminationGateFrom.")
   }
 
   /** [[decontaminateSemantic]] over EXPLICIT frames (both need

@@ -37,6 +37,9 @@ object StreamDecontaminate {
                                 gateDir: String, outDir: String,
                                 tau: Double): Unit = {
     val spark = batch.sparkSession
+    // a gate whose build crashed between the centroid and probe
+    // writes may pair probes with retired centroids — refuse loudly
+    Similarity.requireGateComplete(spark, gateDir)
     val cents = Similarity.readIvfCentroids(spark, gateDir)
     val probes = spark.read.parquet(s"$gateDir/eval_probes")
     Similarity.decontaminateSemanticFrom(

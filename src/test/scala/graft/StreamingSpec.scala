@@ -603,6 +603,16 @@ class StreamingSpec extends SparkSpec {
       b1.toSeq.toDF("vec_id", "embedding"), 0L, gate, outDir, 0.4)
     assert(spark.read.parquet(outDir).collect().map(key).toSet == batch,
       "a replayed batch must rewrite identical verdicts")
+    // a gate missing its completion marker (= the build crashed
+    // between the centroid and probe writes, which may disagree)
+    // refuses rather than serving silently wrong verdicts
+    val (gfs, gp) = graft.streaming.StreamIO.fsFor(
+      s"$gate/_gate_complete", conf)
+    gfs.delete(gp, false)
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamDecontaminate.applyBatch(
+        b1.toSeq.toDF("vec_id", "embedding"), 2L, gate, outDir, 0.4)
+    }
   }
 
   test("stream knn edges: maintained state equals the from-scratch " +
