@@ -352,11 +352,16 @@ object Graft {
     * uses) and builds the artifact — the ad-hoc twin UsageSpec drives
     * on non-fixture vectors. */
   def buildIvfIndexFrom(spark: SparkSession, vectors: DataFrame,
-                        dir: String, nCells: Int = 16): Unit =
-    graft.operators.Similarity.ivfIndexBuild(spark,
-      vectors.select("vec_id", "embedding"), dir,
-      graft.operators.Similarity.trainCentroids(
-        vectors.select("vec_id", "embedding"), nCells))
+                        dir: String, nCells: Int = 16): Unit = {
+    // persist across the k-means iterations + the final assignment:
+    // an expensive upstream lineage would otherwise recompute 4+
+    // times (the withTrainCache stance of every sibling trainer)
+    val v = vectors.select("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try graft.operators.Similarity.ivfIndexBuild(spark, v, dir,
+      graft.operators.Similarity.trainCentroids(v, nCells))
+    finally { v.unpersist(blocking = false); () }
+  }
 
   /** Serve (vec_id, embedding) queries from an IVF index artifact —
     * no re-train, no corpus re-assignment; probes read only their
@@ -641,8 +646,11 @@ object Graft {
     * crash-safe stage→swap, fold the deltas, reset the drift baseline
     * and bump the quantizer version (running maintainers fail loudly
     * and must restart to pin the new version). Quiesced-writer
-    * contract, like [[compactIvfIndex]]. Returns the new version. */
-  def rebuildIvfIndex(spark: SparkSession, dir: String, nCells: Int = 16)
+    * contract, like [[compactIvfIndex]]. `nCells <= 0` (the default)
+    * keeps the artifact's current cell count — a rebuild re-fits the
+    * quantizer, it does not re-provision a tuned index. Returns the
+    * new version. */
+  def rebuildIvfIndex(spark: SparkSession, dir: String, nCells: Int = 0)
       : Long =
     graft.operators.Similarity.ivfIndexRebuild(spark, dir, nCells)
 
@@ -766,7 +774,7 @@ object Graft {
     * `codes/` + `_synced_to`. SimilaritySpec drives a full epoch
     * (ingest → fold → drift → rebuild → re-add → serve) through this
     * one call. */
-  def maintainIvfIndex(spark: SparkSession, dir: String, nCells: Int = 16,
+  def maintainIvfIndex(spark: SparkSession, dir: String, nCells: Int = 0,
                        pqStaleRatio: Double = 1.5): IvfMaintenance = {
     import graft.streaming.StreamIO
     val conf = spark.sparkContext.hadoopConfiguration
@@ -781,8 +789,7 @@ object Graft {
     // restate it or a residual deployment silently downgrades to raw
     val pqMode: Option[Boolean] =
       if (exists("codebooks"))
-        Some(StreamIO.readMarker(s"$dir/codebooks", "_residual", conf)
-          .getOrElse(0L) == 1L)
+        Some(graft.operators.Similarity.readResidualMode(spark, dir))
       else None
     val drift = graft.operators.Similarity.ivfDriftFromIndex(spark, dir)
       .select("psi4", "is_shifted").head()

@@ -584,7 +584,9 @@ object Similarity {
     val models = withTrainCache(v)(vc =>
       sizes.map(kk => kk -> trainPqCodebooks(vc, k = kk)))
     models.map { case (kk, cbs) =>
-      val bits = (math.log(kk) / math.log(2)).round.toInt
+      // ceil, not round: a 10-codeword codebook needs 4 bits to
+      // address, and understating the bill defeats the table's purpose
+      val bits = 32 - Integer.numberOfLeadingZeros(kk - 1)
       val mse = pqDistortionStats(v.select("vec_id", "embedding"), cbs,
           "cur")
         .agg(sum(col("cur_esum")).as("esum"), sum(col("cur_cnt")).as("cnt"))
@@ -659,7 +661,7 @@ object Similarity {
            WHERE r <= ${8 * k})"""
     }.mkString(",\n        ")
     val branches = models.map { case (sz, cbs) =>
-      val bits = (math.log(sz) / math.log(2)).round.toInt
+      val bits = 32 - Integer.numberOfLeadingZeros(sz - 1)
       s"""SELECT $sz AS codebook_k, $bits AS bits_per_code,
            ${cbs.length * bits} AS bits_per_vector,
            (SELECT round(CAST(sum(CAST(round(${dot("s", "s")}
@@ -1009,16 +1011,20 @@ object Similarity {
         "re-ranks stored edges against freshly computed doubles, which " +
         "is only exact when the stored score is the exact score")
     // a base node with n-1 < k possible neighbors legitimately stores
-    // fewer ranks, so the bound is min(k, |base|-1); both aggs are
-    // bounded (≤N×k' edges, one corpus count)
+    // fewer ranks, so the bound is min(k, |base|-1). storedK >= k
+    // already implies sufficiency (needK <= k), so the corpus-sized
+    // count is paid ONLY in the small-corpus edge case — never on the
+    // common per-merge path
     val storedK = Option(baseEdges.agg(max("rnk")).head().get(0))
       .map(_.asInstanceOf[Number].intValue).getOrElse(0)
-    val needK = math.min(k.toLong, base.count() - 1)
-    require(storedK >= needK,
-      s"baseEdges was built with k=$storedK < required $needK: a stored " +
-        s"top-$storedK cannot supply ranks ${storedK + 1}..$needK for " +
-        "existing nodes — rebuild the edge artifact at k or merge at " +
-        s"k ≤ $storedK")
+    if (storedK < k) {
+      val needK = math.min(k.toLong, base.count() - 1)
+      require(storedK >= needK,
+        s"baseEdges was built with k=$storedK < required $needK: a " +
+          s"stored top-$storedK cannot supply ranks ${storedK + 1}.." +
+          s"$needK for existing nodes — rebuild the edge artifact at " +
+          s"k or merge at k ≤ $storedK")
+    }
     mutualFlag(knnEdgesIncrementalFull(base, baseEdges, delta, k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("cos"), 6).as("cos6")))
@@ -1328,10 +1334,13 @@ object Similarity {
     // ad-hoc frame — the filter form silently under-provisions the
     // quantizer (asked for 16 cells, trains on however many ids
     // happen to fall under 16). Identical on dense-from-0 fixtures.
+    // the cast accepts BOTH array<float> corpora and array<double>
+    // ad-hoc frames (float→double is exact, so the float path is
+    // unchanged value-for-value — the trainPqCodebooks stance)
     var cents: Array[Array[Double]] =
       normalize(v.orderBy("vec_id").limit(nCells)
-        .select("embedding").as[Array[Float]].collect()
-        .map(_.map(_.toDouble)))
+        .select(col("embedding").cast("array<double>"))
+        .as[Array[Double]].collect())
     for (_ <- 1 to iters) {
       val means = v.select(
           element_at(graft.functions.VectorQuantize.nearestCells(
@@ -1653,17 +1662,22 @@ object Similarity {
     * one map-only assignment pass + the cell-partitioned write — the
     * same cost as the initial build, paid once per `is_shifted`, not
     * per query. Returns the new quantizer version. */
-  def ivfIndexRebuild(spark: SparkSession, dir: String, nCells: Int = 16,
+  def ivfIndexRebuild(spark: SparkSession, dir: String, nCells: Int = 0,
                       iters: Int = 3): Long = {
     import graft.streaming.StreamIO
     val conf = spark.sparkContext.hadoopConfiguration
     val staged = s"$dir.rebuild-staging"
     StreamIO.recoverInterruptedSwap(dir, staged, "_rebuild_complete", conf)
     StreamIO.deleteRecursively(staged, conf)
+    // nCells <= 0 (the default) KEEPS the artifact's current cell
+    // count: a drift-triggered rebuild re-fits the centroids, it does
+    // not silently re-provision a tuned index to some fixed size
+    val n = if (nCells > 0) nCells
+            else readIvfCentroids(spark, dir).length
     val corpus = readIvfAssigned(spark, dir).select("vec_id", "embedding")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cents = trainCentroids(corpus, nCells, iters)
+      val cents = trainCentroids(corpus, n, iters)
       writeIndexVersion(spark, corpus, staged, cents)
       // live deltas are folded into the rebuilt base: advance the
       // compaction watermark so a replay of the last folded batch
@@ -2503,9 +2517,8 @@ object Similarity {
     val cbs = readPqCodebooks(spark, dir)
     // measure distortion in the leg's ENCODING space: a residual leg's
     // codes approximate e − c(e), so that is the reconstruction whose
-    // error degrades its ADC shortlist
-    val residualMode = StreamIO.readMarker(s"$dir/codebooks", "_residual",
-      conf).getOrElse(0L) == 1L
+    // error degrades its ADC shortlist; a torn codebook unit refuses
+    val residualMode = readResidualMode(spark, dir)
     val cur =
       if (residualMode) {
         val centArr = typedLit(
@@ -3634,35 +3647,34 @@ object Similarity {
     val (fs, cbPath) = StreamIO.fsFor(s"$dir/codebooks", conf)
     val reuseStored = codebooks.isEmpty && !retrain && fs.exists(cbPath)
     // resolve the encoding mode BEFORE touching anything: stored mode
-    // when a leg exists (a pre-marker raw leg reads 0), else the
+    // when a consistent leg exists (readResidualMode REFUSES a torn
+    // codebook unit — consulted lazily, so a retrain that states its
+    // mode recovers a torn leg instead of tripping on it), else the
     // caller's choice, else raw
-    val storedMode: Option[Boolean] =
-      if (fs.exists(cbPath))
-        Some(StreamIO.readMarker(s"$dir/codebooks", "_residual", conf)
-          .getOrElse(0L) == 1L)
-      else None
+    def storedMode(): Option[Boolean] =
+      if (fs.exists(cbPath)) Some(readResidualMode(spark, dir)) else None
     val mode: Boolean =
       if (reuseStored) {
-        val m = storedMode.getOrElse(false)
+        val m = storedMode().getOrElse(false)
         require(residual.forall(_ == m),
           s"PQ leg at $dir is ${if (m) "residual" else "raw"}-encoded; " +
             "a re-sync cannot change the encoding (codes from one " +
             "space under another space's codebooks are silently " +
             "wrong). Pass retrain = true to re-train in the new mode.")
         m
-      } else residual.orElse(storedMode).getOrElse(false)
+      } else residual.orElse(storedMode()).getOrElse(false)
     // residual mode subtracts the artifact's own centroid per the
     // STORED cell assignment — the exact quantity serving adds back
     lazy val cents = readIvfCentroids(spark, dir)
     def residualFrameOf(df: DataFrame): DataFrame = {
       val centArr = typedLit(cents.map(_.toSeq).toSeq)
-      df.select(col("vec_id"),
+      df.select(col("cell"), col("vec_id"),
         zip_with(col("embedding"), element_at(centArr, col("cell") + 1),
           (x, c) => x.cast("double") - c).as("embedding"))
     }
     def encodeSpace(df: DataFrame): DataFrame =
       if (mode) residualFrameOf(df)
-      else df.select(col("vec_id"), col("embedding"))
+      else df.select(col("cell"), col("vec_id"), col("embedding"))
     val cbs = codebooks.getOrElse {
       if (reuseStored) readPqCodebooks(spark, dir)
       else {
@@ -3688,37 +3700,62 @@ object Similarity {
         l2Biases(cbs(m)), 1), 1)
         .as(s"c$m")
     }
-    val encCol =
-      if (mode) {
-        val centArr = typedLit(cents.map(_.toSeq).toSeq)
-        zip_with(col("embedding"), element_at(centArr, col("cell") + 1),
-          (x, c) => x.cast("double") - c)
-      } else col("embedding")
-    base.withColumn("enc", encCol)
+    // residual codes read from the residual frame under the SAME
+    // column name the raw path reads, so one codeCols expression
+    // serves both encodings
+    encodeSpace(base).withColumnRenamed("embedding", "enc")
       .select(col("cell") +: col("vec_id") +: codeCols: _*)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes")
-    import spark.implicits._
-    cbs.zipWithIndex.flatMap { case (cb, mi) =>
-      cb.zipWithIndex.map { case (cw, ci) => (mi, ci, cw.toSeq) }
-    }.toSeq.toDF("m", "cell", "codeword")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    // the mode travels WITH the codebooks it describes (the overwrite
-    // above cleared any previous marker)
-    StreamIO.writeMarker(s"$dir/codebooks", "_residual",
-      if (mode) 1L else 0L, conf)
-    // trained (not re-synced) codebooks pin their own distortion
-    // baseline: the build-time truth pq_drift monitors against —
-    // measured in the ENCODING space (residual distortion is what a
-    // residual leg's ADC loses)
-    if (!reuseStored)
+    // the codebook UNIT (codebooks + baseline + mode marker) is
+    // written ONLY when it changed — a pure re-sync re-encodes codes
+    // and leaves the unit byte-for-byte alone, so no crash window in
+    // a re-sync can tear it. On a (re)train the marker lands LAST:
+    // a crash inside the unit write leaves no marker and every
+    // reader ([[readResidualMode]]) refuses rather than pairing
+    // codebooks with a guessed encoding space or a stale baseline.
+    if (!reuseStored) {
+      import spark.implicits._
+      cbs.zipWithIndex.flatMap { case (cb, mi) =>
+        cb.zipWithIndex.map { case (cw, ci) => (mi, ci, cw.toSeq) }
+      }.toSeq.toDF("m", "cell", "codeword")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      // the distortion baseline pins in the ENCODING space (residual
+      // distortion is what a residual leg's ADC loses) — inside the
+      // unit, before the marker, so a stale baseline can never pair
+      // with fresh codebooks
       pqDistortionStats(encodeSpace(base), cbs, "base")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_baseline")
+      StreamIO.writeMarker(s"$dir/codebooks", "_residual",
+        if (mode) 1L else 0L, conf)
+    }
     // pin the coverage: codes encode the base as of this compaction
     // watermark — serving compares and refuses a stale scan table
     StreamIO.writeMarker(s"$dir/codes", "_synced_to",
       StreamIO.readMarker(s"$dir/assigned", "_compacted_through", conf)
         .getOrElse(-1L), conf)
+  }
+
+  /** The PQ leg's encoding mode. REQUIRED once `codebooks/` exists:
+    * [[ivfPqIndexAdd]] writes the `_residual` marker strictly after
+    * the codebook unit it describes (codebooks + distortion baseline),
+    * so its absence means the (re)train crashed mid-unit and the
+    * stored pieces may disagree — refuse rather than guess (a wrong
+    * guess scores one space's codes under the other space's codebooks,
+    * silently). */
+  private[graft] def readResidualMode(spark: SparkSession,
+                                      dir: String): Boolean = {
+    import graft.streaming.StreamIO
+    val conf = spark.sparkContext.hadoopConfiguration
+    StreamIO.readMarker(s"$dir/codebooks", "_residual", conf) match {
+      case Some(v) => v == 1L
+      case None => throw new IllegalArgumentException(
+        s"PQ codebooks at $dir/codebooks carry no _residual marker — " +
+          "the codebook (re)train did not complete (the marker lands " +
+          "after the codebooks and baseline), so their encoding space " +
+          "is unknown. Re-run ivfPqIndexAdd(retrain = true, " +
+          "residual = Some(<intended mode>)).")
+    }
   }
 
   /** PQ codebooks back from an artifact's `codebooks/` (bounded:
@@ -3772,9 +3809,8 @@ object Similarity {
     val cbs = readPqCodebooks(spark, dir)
     // encoding mode travels with the codebooks: a residual leg's ADC
     // adds the per-(query, probed-cell) centroid dot back (recon =
-    // c + codewords); a pre-marker raw leg reads 0
-    val residualMode = StreamIO.readMarker(s"$dir/codebooks", "_residual",
-      conf).getOrElse(0L) == 1L
+    // c + codewords); a torn codebook unit refuses here
+    val residualMode = readResidualMode(spark, dir)
     val nSub = cbs.length
     val sub = cbs.head.head.length
     val shortlist = shortlistFactor * k

@@ -40,23 +40,38 @@ object StreamDecontaminate {
     // a gate whose build crashed between the centroid and probe
     // writes may pair probes with retired centroids — refuse loudly
     Similarity.requireGateComplete(spark, gateDir)
-    val cents = Similarity.readIvfCentroids(spark, gateDir)
-    val probes = spark.read.parquet(s"$gateDir/eval_probes")
+    applyBatchWith(batch, batchId,
+      Similarity.readIvfCentroids(spark, gateDir),
+      spark.read.parquet(s"$gateDir/eval_probes"), outDir, tau)
+  }
+
+  private def applyBatchWith(batch: DataFrame, batchId: Long,
+                             cents: Array[Array[Double]],
+                             probes: DataFrame, outDir: String,
+                             tau: Double): Unit =
     Similarity.decontaminateSemanticFrom(
         batch.select(col("vec_id"), col("embedding")), probes, cents, tau)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-  }
 
   /** Start the continuous gate over `vectors` (needs vec_id,
     * embedding) against the gate artifact at `gateDir` (built by
     * [[Similarity.decontaminationGateToDir]], which fixes the
-    * quantizer the probes are meaningful under). */
+    * quantizer the probes are meaningful under). The gate is
+    * IMMUTABLE by contract, so it is validated and loaded ONCE here —
+    * a torn gate fails at stream start, not at the first batch, and
+    * per-batch cost stays ∝ the increment (no per-batch marker check,
+    * centroid collect, or footer read). */
   def start(vectors: DataFrame, gateDir: String, outDir: String,
-            checkpoint: String, tau: Double = 0.4): StreamingQuery =
+            checkpoint: String, tau: Double = 0.4): StreamingQuery = {
+    val spark = vectors.sparkSession
+    Similarity.requireGateComplete(spark, gateDir)
+    val cents = Similarity.readIvfCentroids(spark, gateDir)
+    val probes = spark.read.parquet(s"$gateDir/eval_probes")
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, gateDir, outDir, tau)
+        applyBatchWith(batch, batchId, cents, probes, outDir, tau)
       }
       .start()
+  }
 }
