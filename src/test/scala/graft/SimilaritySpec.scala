@@ -825,6 +825,28 @@ class SimilaritySpec extends SparkSpec {
       "the maintenance rebuild must restate the residual mode")
     assert(Similarity.annServeFromPqIndex(spark, dir, queries)
       .collect().nonEmpty, "post-epoch residual serving must work")
+    // a TORN codebook unit (the _residual marker lands last; its
+    // absence means the (re)train crashed mid-unit) refuses at serve,
+    // at the monitor, AND at a plain re-add — the encoding space is
+    // unknown and must be restated, never guessed
+    val (rfs, rp) = graft.streaming.StreamIO.fsFor(
+      s"$dir/codebooks/_residual", conf)
+    rfs.delete(rp, false)
+    intercept[IllegalArgumentException] {
+      Similarity.annServeFromPqIndex(spark, dir, queries).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqDriftFromIndex(spark, dir).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexAdd(spark, dir)
+    }
+    // the documented recovery: a retrain that STATES its mode
+    Similarity.ivfPqIndexAdd(spark, dir, retrain = true,
+      residual = Some(true))
+    assert(mode() == 1L && Similarity.annServeFromPqIndex(spark, dir,
+      queries).collect().nonEmpty,
+      "a mode-stating retrain must recover the torn unit")
   }
 
   test("knn_edges_incremental: artifact + delta merge equals the full " +
