@@ -69,7 +69,8 @@ object Bench {
       "semantic_dedup_incremental", "hard_negatives",
       "embedding_dedup", "embedding_quantize", "quantize_eval",
       "embedding_class_stats", "embedding_outliers", "embedding_pca",
-      "ivf_probe_sweep", "pq_shortlist_sweep", "pq_bits_sweep",
+      "ivf_probe_sweep", "pq_shortlist_sweep",
+      "pq_shortlist_sweep_residual", "pq_bits_sweep",
       "ann_recall_eval_pq",
       "ivf_drift", "ivf_drift_impact", "ivf_rebuild", "pq_drift"),
     "text" -> Seq(

@@ -235,6 +235,8 @@ object SparkEntry {
     "pq_shortlist_sweep" -> ((s, d) => Similarity.pqShortlistSweep(s, d)),
     "ann_recall_eval_pq" -> ((s, d) => Similarity.annRecallEvalPq(s, d)),
     "pq_bits_sweep" -> ((s, d) => Similarity.pqBitsSweep(s, d)),
+    "pq_shortlist_sweep_residual" ->
+      ((s, d) => Similarity.pqShortlistSweepResidual(s, d)),
     "pq_drift" -> ((s, d) => Similarity.pqDrift(s, d)),
     "ivf_drift" -> ((s, d) => Similarity.ivfDrift(s, d)),
     "ivf_drift_impact" -> ((s, d) => Similarity.ivfDriftImpact(s, d)),
@@ -1073,6 +1075,8 @@ object SparkEntry {
     "pq_shortlist_sweep" -> Similarity.pqShortlistSweepOracle(),
     "ann_recall_eval_pq" -> Similarity.annRecallEvalPqOracle(),
     "pq_bits_sweep" -> Similarity.pqBitsSweepOracle(),
+    "pq_shortlist_sweep_residual" ->
+      Similarity.pqShortlistSweepResidualOracle(),
     "pq_drift" -> Similarity.pqDriftOracle(),
     "ivf_drift" -> Similarity.ivfDriftOracle(),
     "ivf_drift_impact" -> Similarity.ivfDriftImpactOracle(),

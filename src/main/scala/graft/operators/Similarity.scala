@@ -558,6 +558,215 @@ object Similarity {
        ORDER BY shortlist_factor"""
   }
 
+  /** §2 #231 — `pq_shortlist_sweep_residual`: the shortlist-budget
+    * tuning table for the RESIDUAL IVFADC serving mode (#227/#228 —
+    * the recommended one: recall 0.80 vs 0.72 raw at the same
+    * default budget). The raw sweep (#224) prices the knob for pure
+    * PQ over the whole corpus; this prices it where a deployment
+    * actually tunes it — probed-cell candidates, centroid-plus-
+    * codeword ADC — and reports the TRUE per-factor gather bill
+    * (probed-cell pools vary per query, so `n_rerank` is the
+    * measured rank-prefix count, not a closed form).
+    *
+    * Scale shape: candidates ADC-ranked ONCE at the largest factor
+    * (bounded TopK), every smaller factor a rank-prefix; exact
+    * cosines of the max shortlist computed once; the O(N²) brute
+    * truth persisted across factors. */
+  def pqShortlistSweepResidual(spark: SparkSession, sfDir: String,
+                               nQueries: Int = 10, k: Int = 5,
+                               nProbe: Int = 4,
+                               factors: Seq[Int] = Seq(1, 2, 4, 8))
+      : DataFrame = {
+    val v = vectors(spark, sfDir)
+    val (cents, cbs) = withTrainCache(v) { vc =>
+      val cents = trainCentroids(vc, 16)
+      (cents, trainPqCodebooks(
+        residualAssigned(vc, cents).select(col("vec_id"),
+          col("res").as("embedding"))))
+    }
+    val truth = annBruteforce(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TransientCaches.register(truth)
+    val nSub = cbs.length
+    val sub = cbs.head.head.length
+    val maxF = factors.max
+    val centArr = typedLit(cents.map(_.toSeq).toSeq)
+    val codeCols = (0 until nSub).map { m =>
+      element_at(graft.functions.VectorQuantize.nearestCellsBiased(
+        expr(s"slice(res, ${m * sub + 1}, $sub)"), cbs(m),
+        l2Biases(cbs(m)), 1), 1)
+        .as(s"c$m")
+    }
+    val coded = residualAssigned(v, cents)
+      .select(col("cell") +: col("vec_id").as("neighbor_id") +: codeCols: _*)
+    val queries = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"))
+    val probes = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        explode(graft.functions.VectorQuantize.nearestCells(
+          col("embedding"), cents, nProbe)).as("cell"))
+    val score = (graft.functions.VectorFunctions.dot(
+      col("e_q"), element_at(centArr, col("cell") + 1)) +:
+      (0 until nSub).map { m =>
+        graft.functions.VectorFunctions.dot(
+          expr(s"slice(e_q, ${m * sub + 1}, $sub)"),
+          element_at(typedLit(cbs(m).map(_.toSeq).toSeq), col(s"c$m") + 1))
+      }).reduceLeft(_ + _)
+    // one residual-ADC ranking over the probed-cell candidates at the
+    // LARGEST factor; srnk = ADC rank, smaller factors are prefixes
+    val shortMax = rankTopKFull(
+      coded.join(broadcast(probes.select("cell", "query_id", "e_q")),
+          Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), score.as("cos")),
+      maxF * k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("srnk"))
+    val rer = shortMax
+      .join(v.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("e_c"), col("nrm").as("n_c")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("srnk"),
+        cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"),
+          col("n_c")).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TransientCaches.register(rer)
+    factors.map { f =>
+      val edges = rankTopK(rer.filter(col("srnk") <= f * k)
+        .select("query_id", "neighbor_id", "cos"), k)
+        .select("query_id", "neighbor_id")
+      val hits = edges.join(truth, Seq("query_id", "neighbor_id"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+        .crossJoin(broadcast(rer.filter(col("srnk") <= f * k)
+          .agg(count(lit(1)).as("n_rerank"))))
+        .select(lit(f).as("shortlist_factor"), col("n_rerank"),
+          col("n_truth"), col("n_hit"),
+          round(col("n_hit") / col("n_truth"), 4).as("recall"))
+    }.reduce(_ unionByName _).orderBy("shortlist_factor")
+  }
+
+  /** DuckDB oracle for [[pqShortlistSweepResidual]]: the
+    * [[ivfPqResidualTrainedOracle]] machinery (both trained models
+    * inlined, double residual subtract, residual encode,
+    * centroid-first ADC) with the probed-cell candidates ranked once
+    * in a shared CTE and one branch per factor — rank-prefix filter,
+    * exact re-rank, hit count vs the shared brute truth, and the
+    * measured prefix count as the gather bill. */
+  def pqShortlistSweepResidualOracle(nQueries: Int = 10, k: Int = 5,
+                                     nProbe: Int = 4,
+                                     factors: Seq[Int] = Seq(1, 2, 4, 8))
+      : String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val v = vectors(spark, sfDir)
+    val (cents, cbs) = withTrainCache(v) { vc =>
+      val cents = trainCentroids(vc, 16)
+      (cents, trainPqCodebooks(
+        residualAssigned(vc, cents).select(col("vec_id"),
+          col("res").as("embedding"))))
+    }
+    val nSub = cbs.length
+    val sub = cbs.head.head.length
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"(${i}, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    val cbRows = (for {
+      m <- 0 until nSub
+      kk <- cbs(m).indices
+    } yield s"($m, $kk, ${cbs(m)(kk).mkString("[", ", ", "]")}, " +
+      s"${l2Biases(cbs(m))(kk)})")
+      .mkString(", ")
+    val codePivot = (0 until nSub)
+      .map(m => s"max(CASE WHEN m = $m THEN kk END) AS c$m").mkString(", ")
+    val adc = (s"${dot("p.e_q", "ct.cv")}" +: (0 until nSub).map { m =>
+      val lo = m * sub + 1
+      val hi = (m + 1) * sub
+      s"${dot(s"p.e_q[$lo:$hi]", s"cbl.cb[${m + 1}][n.c$m + 1]")}"
+    }).mkString(" + ")
+    val cbLit = cbs.map(_.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val branches = factors.map { f =>
+      s"""SELECT $f AS shortlist_factor,
+           (SELECT CAST(count(*) AS BIGINT) FROM adcr
+            WHERE r <= ${f * k}) AS n_rerank,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT s.query_id, s.neighbor_id,
+                    row_number() OVER (PARTITION BY s.query_id ORDER BY
+                      ${dot("qv.embedding", "cv.embedding")}
+                        / (qv.nrm * cv.nrm) DESC, s.neighbor_id) AS rnk
+                  FROM (SELECT query_id, neighbor_id FROM adcr
+                        WHERE r <= ${f * k}) s
+                  JOIN nv qv ON qv.vec_id = s.query_id
+                  JOIN nv cv ON cv.vec_id = s.neighbor_id) i
+            JOIN truth t ON t.query_id = i.query_id
+                        AND t.neighbor_id = i.neighbor_id
+            WHERE i.rnk <= $k) AS n_hit"""
+    }.mkString("\n          UNION ALL\n          ")
+    s"""WITH cents(cell, cv) AS (VALUES $centRows),
+        cb(m, kk, cv, bias) AS (VALUES $cbRows),
+        cbl AS (SELECT $cbLit AS cb),
+        nv AS (SELECT vec_id, embedding,
+                 sqrt(${dot("embedding", "embedding")}) AS nrm
+               FROM embeddings),
+        ranked AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              ${dot("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+          FROM nv v, cents c),
+        resid AS (SELECT r.vec_id, r.cell,
+            list_transform(list_zip(r.embedding, c.cv),
+              x -> CAST(x[1] AS DOUBLE) - x[2]) AS re
+          FROM (SELECT vec_id, embedding, cell FROM ranked WHERE crnk = 1) r
+          JOIN cents c ON c.cell = r.cell),
+        sub AS (SELECT vec_id, mm.m AS m,
+                  re[mm.m * $sub + 1 : (mm.m + 1) * $sub] AS s
+                FROM resid,
+                     (SELECT unnest(range(0, $nSub)) AS m) mm),
+        coded AS (SELECT vec_id, m, kk FROM (
+                    SELECT sub.vec_id, sub.m, cb.kk,
+                      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                        ORDER BY (${dot("sub.s", "cb.cv")} + cb.bias) DESC,
+                          cb.kk) AS r
+                    FROM sub JOIN cb ON cb.m = sub.m)
+                  WHERE r = 1),
+        codes AS (SELECT vec_id, $codePivot FROM coded GROUP BY 1),
+        acodes AS (SELECT a.cell, c.* FROM codes c
+                   JOIN (SELECT vec_id, cell FROM resid) a
+                     ON a.vec_id = c.vec_id),
+        probes AS (SELECT cell, vec_id AS query_id, embedding AS e_q
+                   FROM ranked WHERE crnk <= $nProbe AND vec_id < $nQueries),
+        adcr AS (SELECT query_id, neighbor_id, r FROM (
+            SELECT p.query_id, n.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                ($adc) DESC, n.vec_id) AS r
+            FROM probes p, cents ct, acodes n, cbl
+            WHERE ct.cell = p.cell AND n.cell = p.cell
+              AND n.vec_id <> p.query_id)
+          WHERE r <= ${factors.max * k}),
+        truth AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                c.vec_id) AS rnk
+            FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < $nQueries)
+          WHERE rnk <= $k)
+       SELECT shortlist_factor, n_rerank, n_truth, n_hit,
+         round(n_hit / CAST(n_truth AS DOUBLE), 4) AS recall
+       FROM ($branches)
+       ORDER BY shortlist_factor"""
+  }
+
   /** §2 #230 — `pq_bits_sweep`: the CODEBOOK-SIZE tuning table — the
     * third and last knob of the PQ serving family after probe count
     * (`ivf_probe_sweep`) and shortlist budget (`pq_shortlist_sweep`).
