@@ -451,6 +451,39 @@ out += ["",
         "case, per the",
         "  documented recipe. Weak count back to 0.",
         "",
+        "## r16 driver outliers, adjudicated (r17)",
+        "",
+        "- xlsx_roundtrip 6.28 s in the r16 driver sweep (2.20x the "
+        "builder's",
+        "  2.86 s; gc digit 7, wall~cpu — the r16 weak-pending): a "
+        "solo r17 re-run",
+        "  of the same binary on the same box, three back-to-back at "
+        "sf0.1, measures",
+        "  3.16 / 3.13 / 3.06 s — 1.1x the builder value once the "
+        "query runs without",
+        "  the full sweep's heap/code-cache pressure. No r16 diff "
+        "touches the xlsx",
+        "  path (ExportImport.scala / XlsxIO.scala unchanged that "
+        "round); same",
+        "  GC-amplification class as r15 dedup_survivorship and r13 "
+        "media_jpeg_stats",
+        "  (the Deflater+zip kernel is an io-family JIT hot surface). "
+        "Box-side;",
+        "  plan unchanged. CLEAR.",
+        "- fixed_width_roundtrip 1.91 s in the r16 driver sweep "
+        "(2.80x the",
+        "  builder's 0.68 s; gc digit 6 — the other r16 "
+        "weak-pending): solo r17",
+        "  re-runs measure 1.12 / 1.17 / 1.20 s back-to-back — 1.7x "
+        "builder, under",
+        "  the 2x bar, on a fixed-overhead-dominated tiny query "
+        "(~1 s absolute,",
+        "  first query in its run so it also eats session warmup). "
+        "No r16 diff",
+        "  touches the fixed-width path. Box-side amplification on a "
+        "small",
+        "  denominator; plan unchanged. CLEAR. Weak count back to 0.",
+        "",
         "## r16 additions, priced (builder 3-SF sweep: 212 queries, "
         "0 errors,",
         "## 189.3/188.7/304.3 s)",
