@@ -767,10 +767,10 @@ object Graft {
     *     ([[addPqIndex]]`(retrain = true)`).
     *
     * SINGLE-WRITER contract: run with the maintainers quiesced, like
-    * every verb it sequences; restart them afterwards if step 3
+    * every verb it sequences; restart them afterwards if step 2
     * rebuilt (they re-pin the bumped [[ivfQuantizerVersion]]).
-    * Serving never participates: steps 1/3 have the documented
-    * momentary swap window, and steps 2/4 end with a consistent
+    * Serving never participates: steps 1/2 have the documented
+    * momentary swap window, and steps 3/4 end with a consistent
     * `codes/` + `_synced_to`. SimilaritySpec drives a full epoch
     * (ingest → fold → drift → rebuild → re-add → serve) through this
     * one call. */
@@ -819,9 +819,13 @@ object Graft {
         resynced = true
       }
       if (!exists("pq_baseline")) {
-        // pre-pq_drift artifact: one retrain starts the monitor
+        // legacy pre-pq_drift artifact (no baseline; no _residual
+        // marker reads back as raw by construction): one retrain
+        // starts the monitor AND migrates to the marked layout. Mode
+        // stated explicitly from the capture above so the migration
+        // keeps a marked leg's mode even if only its baseline is gone.
         graft.operators.Similarity.ivfPqIndexAdd(spark, dir, None,
-          retrain = true)
+          retrain = true, residual = pqMode.orElse(Some(false)))
         retrained = true
       } else {
         val rows = graft.operators.Similarity

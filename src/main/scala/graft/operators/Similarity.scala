@@ -3157,7 +3157,14 @@ object Similarity {
                                   tau: Double = 0.4): DataFrame = {
     val c = corpus.select("vec_id", "embedding")
     val e = eval.select("vec_id", "embedding")
-    val cents = withTrainCache(c.unionByName(e))(trainCentroids(_, nCells))
+    // the two frames' vec_id spaces may collide (independently
+    // produced tables): dedup the TRAINING union by id so
+    // trainCentroids' orderBy(vec_id).limit(nCells) init cannot seed
+    // duplicate rows and under-provision the quantizer. Colliding ids
+    // contribute one arbitrary row to training; verdicts are
+    // unaffected (both splits are assigned under the same centroids).
+    val train = c.unionByName(e).dropDuplicates("vec_id")
+    val cents = withTrainCache(train)(trainCentroids(_, nCells))
     decontaminateSemanticFrom(c, evalProbesOf(e, cents, nProbe), cents, tau)
   }
 
@@ -3945,25 +3952,41 @@ object Similarity {
         .getOrElse(-1L), conf)
   }
 
-  /** The PQ leg's encoding mode. REQUIRED once `codebooks/` exists:
-    * [[ivfPqIndexAdd]] writes the `_residual` marker strictly after
-    * the codebook unit it describes (codebooks + distortion baseline),
-    * so its absence means the (re)train crashed mid-unit and the
-    * stored pieces may disagree — refuse rather than guess (a wrong
-    * guess scores one space's codes under the other space's codebooks,
-    * silently). */
+  /** The PQ leg's encoding mode. [[ivfPqIndexAdd]] writes the
+    * `_residual` marker strictly after the codebook unit it describes
+    * (codebooks + distortion baseline), so a missing marker means one
+    * of two things, distinguished by the baseline's presence:
+    *
+    *  - marker absent, `pq_baseline/` PRESENT: the (re)train crashed
+    *    mid-unit (between the baseline and the marker) and the stored
+    *    pieces may disagree — refuse rather than guess (a wrong guess
+    *    scores one space's codes under the other space's codebooks,
+    *    silently);
+    *  - marker absent, `pq_baseline/` ABSENT: the LEGACY pre-marker
+    *    layout — those legs were trained before residual encoding (or
+    *    the baseline snapshot) existed, so the mode is raw by
+    *    construction, not a guess. Returns `false`. (A first-ever add
+    *    that crashed before its baseline also lands here, but its
+    *    `codes/` carry no `_synced_to` marker, so serving refuses on
+    *    staleness before the mode is ever consulted.)
+    */
   private[graft] def readResidualMode(spark: SparkSession,
                                       dir: String): Boolean = {
     import graft.streaming.StreamIO
     val conf = spark.sparkContext.hadoopConfiguration
     StreamIO.readMarker(s"$dir/codebooks", "_residual", conf) match {
       case Some(v) => v == 1L
-      case None => throw new IllegalArgumentException(
-        s"PQ codebooks at $dir/codebooks carry no _residual marker — " +
-          "the codebook (re)train did not complete (the marker lands " +
-          "after the codebooks and baseline), so their encoding space " +
-          "is unknown. Re-run ivfPqIndexAdd(retrain = true, " +
-          "residual = Some(<intended mode>)).")
+      case None =>
+        val (fs, bl) = StreamIO.fsFor(s"$dir/pq_baseline", conf)
+        if (fs.exists(bl)) throw new IllegalArgumentException(
+          s"PQ codebooks at $dir/codebooks carry no _residual marker " +
+            "but a pq_baseline/ snapshot exists — the codebook " +
+            "(re)train crashed mid-unit (the marker lands after the " +
+            "codebooks and baseline), so the stored pieces may " +
+            "disagree and their encoding space is unknown. Re-run " +
+            "ivfPqIndexAdd(retrain = true, residual = Some(<intended " +
+            "mode>)).")
+        false // legacy pre-marker layout: raw by construction
     }
   }
 
@@ -3990,10 +4013,20 @@ object Similarity {
     * when `codes/` is absent (run [[ivfPqIndexAdd]]) or predates the
     * base's compaction watermark (re-sync — see [[ivfPqIndexAdd]]).
     * With no live deltas the output is IDENTICAL to [[annIvfPq]] under
-    * the same models (SimilaritySpec; shared [[ivfPqTrainedOracle]]). */
+    * the same models (SimilaritySpec; shared [[ivfPqTrainedOracle]]).
+    *
+    * `shortlistFactor = 0` (the default) resolves MODE-AWARE from the
+    * leg's stored `_residual` marker: 4 for a residual leg, 8 for raw
+    * — [[pqShortlistSweepResidual]] prices residual f=4 at the same
+    * recall as raw f=8 (0.80 at sf0.01), so the residual default buys
+    * HALF the exact-gather bill for free. Explicit callers are
+    * untouched (any positive factor is used as passed). */
   def annServeFromPqIndex(spark: SparkSession, dir: String,
                           queries: DataFrame, nProbe: Int = 4, k: Int = 5,
-                          shortlistFactor: Int = 8): DataFrame = {
+                          shortlistFactor: Int = 0): DataFrame = {
+    require(shortlistFactor >= 0,
+      s"shortlistFactor must be positive (or 0 = mode-aware default): " +
+        s"$shortlistFactor")
     import graft.streaming.StreamIO
     val conf = spark.sparkContext.hadoopConfiguration
     val (fs, codesPath) = StreamIO.fsFor(s"$dir/codes", conf)
@@ -4022,7 +4055,11 @@ object Similarity {
     val residualMode = readResidualMode(spark, dir)
     val nSub = cbs.length
     val sub = cbs.head.head.length
-    val shortlist = shortlistFactor * k
+    // mode-aware default: residual ADC holds raw-f=8 recall at f=4
+    // (pqShortlistSweepResidual), so the residual leg's default
+    // gathers half the candidates for the same answer quality
+    val shortlist = (if (shortlistFactor > 0) shortlistFactor
+                     else if (residualMode) 4 else 8) * k
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("e_q"), l2norm(col("embedding")).as("n_q"))
     val probes = q.select(col("query_id"), col("e_q"),
@@ -4119,11 +4156,15 @@ object Similarity {
       s"ivfpq-index/run-${java.util.UUID.randomUUID()}")
     ivfIndexBuild(spark, v.select("vec_id", "embedding"), dir, cents)
     ivfPqIndexAdd(spark, dir, Some(cbsR), residual = Some(true))
+    // factor pinned to the inline pipeline's 8: this query PROVES
+    // artifact serving ≡ the inline residual pipeline at the same
+    // operating point (shared oracle). The mode-aware serving default
+    // (residual → 4) is spec-pinned separately in SimilaritySpec.
     annServeFromPqIndex(spark, dir,
       Tables.load(spark, sfDir, "embeddings")
         .filter(col("vec_id") < nQueries)
         .select(col("vec_id"), col("embedding")),
-      nProbe, k)
+      nProbe, k, shortlistFactor = 8)
   }
 
   /** Oracle for [[annIvfPq]]: both trained models inlined (the

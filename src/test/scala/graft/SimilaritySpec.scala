@@ -803,6 +803,15 @@ class SimilaritySpec extends SparkSpec {
       s"$dir/codebooks", "_residual", conf).getOrElse(0L)
     assert(mode() == 1L, "the residual marker must pin the mode")
     val queries = embs.filter(col("vec_id") < 5)
+    // the mode-aware serving default reads the marker and resolves
+    // shortlistFactor = 4 on a residual leg — HALF the raw default's
+    // exact-gather bill at the same recall (pq_shortlist_sweep_residual
+    // prices residual f=4 == raw f=8)
+    assert(Similarity.annServeFromPqIndex(spark, dir, queries)
+        .collect().map(_.toString).toSeq ==
+      Similarity.annServeFromPqIndex(spark, dir, queries,
+        shortlistFactor = 4).collect().map(_.toString).toSeq,
+      "residual default must resolve shortlistFactor = 4")
 
     // fold a delta, then: a re-sync demanding the OTHER mode refuses
     // (codes from one space under another space's codebooks are
@@ -1161,6 +1170,60 @@ class SimilaritySpec extends SparkSpec {
     val r3 = graft.api.Graft.maintainIvfIndex(spark, dir)
     assert(r3.compactedThrough.isEmpty && !r3.pqResynced
       && r3.rebuiltToVersion.isEmpty && !r3.pqRetrained, r3.toString)
+  }
+
+  test("legacy pre-marker PQ leg (no _residual marker AND no " +
+      "pq_baseline) reads as raw, serves, and one maintenance epoch " +
+      "migrates it to the marked layout; a torn unit still refuses") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = graft.operators.ExportImport.scratch("ivfpq-legacy-spec")
+    graft.streaming.StreamIO.deleteRecursively(dir, conf)
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    Similarity.ivfIndexBuild(spark, embs, dir)
+    Similarity.ivfPqIndexAdd(spark, dir) // raw leg, marked layout
+    val queries = embs.filter(col("vec_id") < 3)
+    val marked = Similarity.annServeFromPqIndex(spark, dir, queries)
+      .collect().map(_.toString).toSeq
+    // the mode-aware default resolves 8 on a RAW leg — identical to
+    // the explicit call (the residual half is pinned in the residual
+    // spec; explicit callers are untouched by the default)
+    assert(Similarity.annServeFromPqIndex(spark, dir, queries,
+        shortlistFactor = 8).collect().map(_.toString).toSeq == marked,
+      "raw default must resolve shortlistFactor = 8")
+    intercept[IllegalArgumentException] {
+      Similarity.annServeFromPqIndex(spark, dir, queries,
+        shortlistFactor = -2)
+    }
+    // strip the artifact down to the legacy layout: the unit pieces
+    // the pre-marker format never wrote
+    val (rfs, rp) = graft.streaming.StreamIO.fsFor(
+      s"$dir/codebooks/_residual", conf)
+    rfs.delete(rp, false)
+    graft.streaming.StreamIO.deleteRecursively(s"$dir/pq_baseline", conf)
+    // legacy is raw BY CONSTRUCTION, not a guess: serving works and
+    // returns exactly what the marked raw leg served
+    assert(Similarity.readResidualMode(spark, dir) == false)
+    assert(Similarity.annServeFromPqIndex(spark, dir, queries)
+      .collect().map(_.toString).toSeq == marked,
+      "a legacy leg must serve as the raw leg it is")
+    // ONE maintenance epoch migrates: retrains raw, re-pins the
+    // baseline, and lands the marker — the monitors start from here
+    val m = graft.api.Graft.maintainIvfIndex(spark, dir)
+    assert(m.pqRetrained, s"the legacy leg must migrate via retrain: $m")
+    assert(graft.streaming.StreamIO.readMarker(
+      s"$dir/codebooks", "_residual", conf).contains(0L),
+      "migration must land the raw marker")
+    assert(Similarity.pqDriftFromIndex(spark, dir).collect()
+      .forall(r => !r.getAs[Boolean]("is_stale")),
+      "the migrated leg must carry a fresh baseline")
+    // and the torn case stays torn: marker gone with the baseline
+    // PRESENT is a crashed (re)train, not a legacy layout
+    rfs.delete(rp, false)
+    intercept[IllegalArgumentException] {
+      Similarity.annServeFromPqIndex(spark, dir, queries).collect()
+    }
   }
 
   test("knnEdgesIncrementalFrom: refuses a smaller-k or rounded-score " +
