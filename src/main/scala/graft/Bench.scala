@@ -71,7 +71,7 @@ object Bench {
       "embedding_class_stats", "embedding_outliers", "embedding_pca",
       "ivf_probe_sweep", "pq_shortlist_sweep",
       "pq_shortlist_sweep_residual", "pq_bits_sweep",
-      "ann_recall_eval_pq",
+      "ann_recall_eval_pq", "opq_rotate",
       "ivf_drift", "ivf_drift_impact", "ivf_rebuild", "pq_drift"),
     "text" -> Seq(
       "text_stats", "token_count", "lang_id", "quality_filter",
@@ -94,7 +94,7 @@ object Bench {
     "curation" -> Seq(
       "decontaminate", "contamination_report", "pipeline_report",
       "decontaminate_fuzzy", "bloom_decontaminate",
-      "decontaminate_semantic",
+      "decontaminate_semantic", "decon_recall_eval",
       "split_leakage", "leakage_safe_split", "budget_select",
       "doc_chunk", "pii_scrub", "c4_clean", "range_join",
       "mixture_sample", "mixture_temperature", "mixture_upsample",

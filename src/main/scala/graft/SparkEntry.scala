@@ -192,6 +192,7 @@ object SparkEntry {
     "decontaminate_fuzzy" -> ((s, d) => Curation.decontaminateFuzzy(s, d)),
     "decontaminate_semantic" ->
       ((s, d) => Similarity.decontaminateSemantic(s, d)),
+    "decon_recall_eval" -> ((s, d) => Similarity.deconRecallEval(s, d)),
     "mixture_upsample" -> (Curation.upsampleMixture _),
     "ngram_lm" -> ((s, d) => TextAnalysis.ngramLm(s, d)),
     "quality_repetition" -> (TextAnalysis.qualityRepetition _),
@@ -234,6 +235,7 @@ object SparkEntry {
     "ivf_probe_sweep" -> ((s, d) => Similarity.ivfProbeSweep(s, d)),
     "pq_shortlist_sweep" -> ((s, d) => Similarity.pqShortlistSweep(s, d)),
     "ann_recall_eval_pq" -> ((s, d) => Similarity.annRecallEvalPq(s, d)),
+    "opq_rotate" -> ((s, d) => Similarity.annPqOpq(s, d)),
     "pq_bits_sweep" -> ((s, d) => Similarity.pqBitsSweep(s, d)),
     "pq_shortlist_sweep_residual" ->
       ((s, d) => Similarity.pqShortlistSweepResidual(s, d)),
@@ -631,6 +633,7 @@ object SparkEntry {
     "ann_ivfpq_residual_indexed" -> Similarity.ivfPqResidualTrainedOracle(),
     "semantic_dedup" -> Similarity.semanticDedupOracle(),
     "decontaminate_semantic" -> Similarity.decontaminateSemanticOracle(),
+    "decon_recall_eval" -> Similarity.deconRecallEvalOracle(),
     "semantic_dedup_incremental" ->
       Similarity.semanticDedupIncrementalOracle(),
     // oracle takes the deterministically-trained quantizer as given
@@ -1074,6 +1077,7 @@ object SparkEntry {
     "ivf_probe_sweep" -> Similarity.ivfProbeSweepOracle(),
     "pq_shortlist_sweep" -> Similarity.pqShortlistSweepOracle(),
     "ann_recall_eval_pq" -> Similarity.annRecallEvalPqOracle(),
+    "opq_rotate" -> Similarity.opqTrainedOracle(),
     "pq_bits_sweep" -> Similarity.pqBitsSweepOracle(),
     "pq_shortlist_sweep_residual" ->
       Similarity.pqShortlistSweepResidualOracle(),

@@ -932,11 +932,13 @@ object Similarity {
   def annRecallEvalPq(spark: SparkSession, sfDir: String,
                       nQueries: Int = 10, k: Int = 5): DataFrame = {
     val v = vectors(spark, sfDir)
-    val (cents, cbs, cbsR) = withTrainCache(v) { vc =>
+    val (cents, cbs, cbsR, rO, cbsO) = withTrainCache(v) { vc =>
       val cents = trainCentroids(vc, 16)
+      val (rO, cbsO) = trainOpqRotation(vc)
       (cents, trainPqCodebooks(vc),
         trainPqCodebooks(residualAssigned(vc, cents)
-          .select(col("vec_id"), col("res").as("embedding"))))
+          .select(col("vec_id"), col("res").as("embedding"))),
+        rO, cbsO)
     }
     val key = Seq("query_id", "neighbor_id")
     val truth = annBruteforce(spark, sfDir, nQueries, k)
@@ -951,6 +953,8 @@ object Similarity {
           round(col("n_hit") / col("n_truth"), 4).as("recall"))
     }
     one("ann_pq", annPqWith(v, cbs, nQueries, k))
+      .unionByName(one("ann_pq_opq",
+        annPqOpqWith(v, rO, cbsO, nQueries, k)))
       .unionByName(one("ann_ivfpq",
         annIvfPqWith(v, cents, cbs, 4, nQueries, k)))
       .unionByName(one("ann_ivfpq_residual",
@@ -968,11 +972,13 @@ object Similarity {
     val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
       "/root/testdata/sf0.01")
     val v = vectors(spark, sfDir)
-    val (cents, cbs, cbsR) = withTrainCache(v) { vc =>
+    val (cents, cbs, cbsR, rO, cbsO) = withTrainCache(v) { vc =>
       val cents = trainCentroids(vc, 16)
+      val (rO, cbsO) = trainOpqRotation(vc)
       (cents, trainPqCodebooks(vc),
         trainPqCodebooks(residualAssigned(vc, cents)
-          .select(col("vec_id"), col("res").as("embedding"))))
+          .select(col("vec_id"), col("res").as("embedding"))),
+        rO, cbsO)
     }
     val nSub = cbs.length
     val sub = cbs.head.head.length
@@ -1001,10 +1007,24 @@ object Similarity {
       .mkString(", ")
     val cbrLit = cbsR.map(_.map(_.mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val cboRows = (for {
+      m <- 0 until nSub
+      kk <- cbsO(m).indices
+    } yield s"($m, $kk, ${cbsO(m)(kk).mkString("[", ", ", "]")}, " +
+      s"${l2Biases(cbsO(m))(kk)})")
+      .mkString(", ")
+    val cboLit = cbsO.map(_.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
     def adc(qE: String) = (0 until nSub).map { m =>
       val lo = m * sub + 1
       val hi = (m + 1) * sub
       s"${dotE(s"$qE[$lo:$hi]", s"cbl.cb[${m + 1}][n.c$m + 1]")}"
+    }.mkString(" + ")
+    // OPQ ADC: the rotated query's slices off the OPQ codebooks
+    val adcO = (0 until nSub).map { m =>
+      val lo = m * sub + 1
+      val hi = (m + 1) * sub
+      s"${dotE(s"q.embedding[$lo:$hi]", s"cbol.cb[${m + 1}][n.c$m + 1]")}"
     }.mkString(" + ")
     // residual ADC: centroid term FIRST (the engine's reduceLeft order),
     // then the per-sub-space codeword dots off the RESIDUAL codebooks
@@ -1030,6 +1050,21 @@ object Similarity {
         cbl AS (SELECT $cbLit AS cb),
         cbr(m, kk, cv, bias) AS (VALUES $cbrRows),
         cbrl AS (SELECT $cbrLit AS cb),
+        cbo(m, kk, cv, bias) AS (VALUES $cboRows),
+        cbol AS (SELECT $cboLit AS cb),
+        ${opqRotCte(rO)},
+        subo AS (SELECT vec_id, mm.m AS m,
+                   embedding[mm.m * $sub + 1 : (mm.m + 1) * $sub] AS s
+                 FROM rot,
+                      (SELECT unnest(range(0, $nSub)) AS m) mm),
+        codedo AS (SELECT vec_id, m, kk FROM (
+                     SELECT subo.vec_id, subo.m, cbo.kk,
+                       row_number() OVER (PARTITION BY subo.vec_id, subo.m
+                         ORDER BY (${dotE("subo.s", "cbo.cv")} + cbo.bias)
+                           DESC, cbo.kk) AS r
+                     FROM subo JOIN cbo ON cbo.m = subo.m)
+                   WHERE r = 1),
+        codeso AS (SELECT vec_id, $codePivot FROM codedo GROUP BY 1),
         cents(cell, cv) AS (VALUES $centRows),
         nv AS (SELECT vec_id, embedding,
                  sqrt(${dotE("embedding", "embedding")}) AS nrm
@@ -1091,6 +1126,13 @@ object Similarity {
             FROM embeddings q, codes n, cbl
             WHERE q.vec_id < $nQueries AND n.vec_id <> q.vec_id)
           WHERE r <= ${8 * k}),
+        short_pq_opq AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ($adcO) DESC, n.vec_id) AS r
+            FROM rot q, codeso n, cbol
+            WHERE q.vec_id < $nQueries AND n.vec_id <> q.vec_id)
+          WHERE r <= ${8 * k}),
         short_ivfpq AS (SELECT query_id, neighbor_id FROM (
             SELECT p.query_id, n.vec_id AS neighbor_id,
               row_number() OVER (PARTITION BY p.query_id ORDER BY
@@ -1119,7 +1161,11 @@ object Similarity {
          UNION ALL
          SELECT 'ann_pq' AS variant,
            (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
-           ${hitCount("short_pq")} AS n_hit)
+           ${hitCount("short_pq")} AS n_hit
+         UNION ALL
+         SELECT 'ann_pq_opq' AS variant,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           ${hitCount("short_pq_opq")} AS n_hit)
        ORDER BY variant"""
   }
 
@@ -3250,6 +3296,145 @@ object Similarity {
         ORDER BY s.vec_id"""
   }
 
+  /** §2 #233 — DECONTAMINATION-GATE RECALL PRICING: how much of the
+    * brute-force contamination verdict does the cell-probed
+    * [[decontaminateSemantic]] gate recover, per (nProbe, tau)
+    * operating point — the [[annRecallEval]] doctrine applied to the
+    * curation family. The gate's spec proves soundness and a recall
+    * floor at its defaults; THIS is the table that prices the knobs,
+    * because a contamination gate that silently misses tau-close pairs
+    * in unprobed cells is the same silent-degradation class `pq_drift`
+    * closed for serving.
+    *
+    * Truth leg: the smallest `nEval` held-out items against the whole
+    * corpus — a bounded-broadcast all-pairs check (nEval rows build
+    * side, the documented recall-truth shape), NEVER corpus × eval.
+    * Gate leg: the same eval items' ranked probe cells joined to the
+    * corpus's single-cell assignment — a pair is reachable at nProbe ≥
+    * the rank of the corpus doc's cell in the eval item's probe order,
+    * so ONE ranked pair frame prices every probe count as a filter.
+    * Per (n_probe, tau): brute-flagged docs, gate-flagged docs
+    * (a subset, by the gate's soundness), and their ratio = recall. */
+  def deconRecallEval(spark: SparkSession, sfDir: String,
+                      nCells: Int = 16,
+                      probeCounts: Seq[Int] = Seq(1, 2, 4),
+                      taus: Seq[Double] = Seq(0.3, 0.4),
+                      nEval: Int = 50): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val cents = withTrainCache(v)(trainCentroids(_, nCells))
+    val maxProbe = math.min(probeCounts.max, cents.length)
+    val corpus = v.filter(col("vec_id") % 10 =!= 0)
+      .select(
+        element_at(graft.functions.VectorQuantize.nearestCells(
+          col("embedding"), cents, 1), 1).as("cell"),
+        col("vec_id"), col("embedding"), col("nrm"))
+    // eval sample: the smallest nEval held-out items (ids are dense
+    // from 0, so vec_id < nEval*10 picks exactly nEval at any SF)
+    val evalS = v.filter(col("vec_id") % 10 === 0 &&
+        col("vec_id") < nEval * 10)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"))
+    val probes = evalS.select(col("eval_id"), col("e_q"), col("n_q"),
+        posexplode(graft.functions.VectorQuantize.nearestCells(
+          col("e_q"), cents, maxProbe)).as(Seq("pos", "cell")))
+      .select(col("cell"), col("eval_id"), col("e_q"), col("n_q"),
+        (col("pos") + 1).as("probe_rank"))
+    val pairCos = cosineWithNorms(dot(col("embedding"), col("e_q")),
+      col("nrm"), col("n_q"))
+    val minTau = taus.min
+    // gate-reachable pairs, cheapest tau pre-filter applied once; a
+    // corpus doc lives in ONE cell and an item's probed cells are
+    // distinct, so pairs are unique by construction
+    val pairs = corpus.join(broadcast(probes), Seq("cell"))
+      .select(col("vec_id"), col("probe_rank"), pairCos.as("cos"))
+      .filter(col("cos") >= minTau)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TransientCaches.register(pairs)
+    val brutePairs = corpus.join(broadcast(evalS), pairCos >= minTau)
+      .select(col("vec_id"), pairCos.as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TransientCaches.register(brutePairs)
+    def rowFor(np: Int, tau: Double): DataFrame =
+      brutePairs.filter(col("cos") >= tau)
+        .agg(countDistinct(col("vec_id")).as("n_brute"))
+        .crossJoin(broadcast(
+          pairs.filter(col("probe_rank") <= np && col("cos") >= tau)
+            .agg(countDistinct(col("vec_id")).as("n_flagged"))))
+        .select(lit(np).as("n_probe"), lit(tau).as("tau"),
+          col("n_brute"), col("n_flagged"),
+          round(col("n_flagged") / col("n_brute"), 4).as("recall4"))
+    probeCounts.flatMap(np => taus.map(tau => rowFor(np, tau)))
+      .reduce(_.unionByName(_))
+      .orderBy("n_probe", "tau")
+  }
+
+  /** DuckDB oracle for [[deconRecallEval]]: trained centroids inlined;
+    * ranked probe assignment, the reachable-pair frame, the bounded
+    * brute truth, and every (n_probe, tau) counting row replayed. */
+  def deconRecallEvalOracle(nCells: Int = 16,
+                            probeCounts: Seq[Int] = Seq(1, 2, 4),
+                            taus: Seq[Double] = Seq(0.3, 0.4),
+                            nEval: Int = 50): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val cents = trainCentroids(vectors(spark, sfDir), nCells)
+    val maxProbe = math.min(probeCounts.max, cents.length)
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"(${i}, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    val gridRows = probeCounts.flatMap(np =>
+      taus.map(tau => s"($np, $tau)")).mkString(", ")
+    val minTau = taus.min
+    s"""WITH cents(cell, cv) AS (VALUES $centRows),
+        nv AS (SELECT vec_id, embedding,
+                 sqrt(${dot("embedding", "embedding")}) AS nrm
+               FROM embeddings),
+        ranked AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              ${dot("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+          FROM nv v, cents c),
+        corpus AS (SELECT vec_id, embedding, nrm, cell FROM ranked
+                   WHERE crnk = 1 AND vec_id % 10 <> 0),
+        evals AS (SELECT vec_id AS eval_id, embedding, nrm
+                  FROM nv WHERE vec_id % 10 = 0
+                    AND vec_id < ${nEval * 10}),
+        probes AS (SELECT vec_id AS eval_id, embedding, nrm, cell,
+                     crnk AS probe_rank
+                   FROM ranked WHERE crnk <= $maxProbe
+                     AND vec_id % 10 = 0 AND vec_id < ${nEval * 10}),
+        pairs AS (SELECT c.vec_id, p.probe_rank,
+                    ${dot("c.embedding", "p.embedding")} / (c.nrm * p.nrm)
+                      AS cos
+                  FROM corpus c JOIN probes p ON p.cell = c.cell
+                  WHERE ${dot("c.embedding", "p.embedding")}
+                          / (c.nrm * p.nrm) >= $minTau),
+        brute AS (SELECT c.vec_id,
+                    ${dot("c.embedding", "e.embedding")} / (c.nrm * e.nrm)
+                      AS cos
+                  FROM corpus c, evals e
+                  WHERE ${dot("c.embedding", "e.embedding")}
+                          / (c.nrm * e.nrm) >= $minTau),
+        grid(n_probe, tau) AS (VALUES $gridRows)
+       SELECT g.n_probe, CAST(g.tau AS DOUBLE) AS tau,
+         (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) FROM brute
+          WHERE cos >= g.tau) AS n_brute,
+         (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) FROM pairs
+          WHERE probe_rank <= g.n_probe AND cos >= g.tau) AS n_flagged,
+         round((SELECT count(DISTINCT vec_id) FROM pairs
+                WHERE probe_rank <= g.n_probe AND cos >= g.tau)
+           / CAST((SELECT count(DISTINCT vec_id) FROM brute
+                   WHERE cos >= g.tau) AS DOUBLE), 4) AS recall4
+       FROM grid g
+       ORDER BY g.n_probe, g.tau"""
+  }
+
   /** Random hyperplanes for LSH signatures: nBits × dim, fixed seed. */
   private[graft] def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(7)
@@ -3469,20 +3654,34 @@ object Similarity {
 
   private def annPqWith(v: DataFrame, cbs: Array[Array[Array[Double]]],
                         nQueries: Int, k: Int,
-                        shortlistFactor: Int = 8): DataFrame = {
-    val shortlist = shortlistFactor * k
-    val queries = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
-        col("nrm").as("n_q"))
-    // stage 1 — ADC shortlist over the CODES table (compressed scan)
-    val short = pqAdcScored(v, cbs, nQueries)
+                        shortlistFactor: Int = 8): DataFrame =
+    // stage 1 — ADC shortlist over the CODES table (compressed scan);
+    // stage 2 — exact re-rank of the gathered shortlist
+    pqExactRerank(
+      pqShortlistOf(pqAdcScored(v, cbs, nQueries), shortlistFactor * k),
+      v, nQueries, k)
+
+  /** Bounded top-`shortlist` per query over an ADC-scored pair frame —
+    * stage 1's ranking, shared by the raw and OPQ pipelines. */
+  private def pqShortlistOf(scored: DataFrame, shortlist: Int): DataFrame =
+    scored
       .groupBy("query_id")
       .agg(graft.functions.TopKByScoreAgg.topkByScore(
         col("neighbor_id"), col("score"), shortlist).as("top"))
       .select(col("query_id"), explode(col("top.neighbor_id"))
         .as("neighbor_id"))
-    // stage 2 — EXACT re-rank: gather only the shortlisted vectors by
-    // id (an equi-join, R×Q rows) and rank by true cosine
+
+  /** Stage 2 — EXACT re-rank: gather only the shortlisted vectors by
+    * id (an equi-join, R×Q rows) from `v` and rank by true cosine in
+    * `v`'s space. Shared by the raw and OPQ pipelines (the OPQ
+    * shortlist is ranked in rotated space, the re-rank here stays in
+    * the ORIGINAL space — rotation preserves cosine, and ranking on
+    * the raw embeddings keeps the output directly comparable). */
+  private def pqExactRerank(short: DataFrame, v: DataFrame,
+                            nQueries: Int, k: Int): DataFrame = {
+    val queries = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"))
     short
       .join(v.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("e_c"), col("nrm").as("n_c")), Seq("neighbor_id"))
@@ -4319,6 +4518,200 @@ object Similarity {
               row_number() OVER (PARTITION BY q.vec_id ORDER BY
                 ($adc) DESC, n.vec_id) AS r
             FROM embeddings q, codes n, cbl
+            WHERE q.vec_id < $nQueries AND n.vec_id <> q.vec_id)
+          WHERE r <= ${8 * k})
+        SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos6 FROM (
+          SELECT s.query_id, s.neighbor_id,
+            ${dot("qv.embedding", "cv.embedding")} / (qv.nrm * cv.nrm) AS cos,
+            CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY
+              ${dot("qv.embedding", "cv.embedding")} / (qv.nrm * cv.nrm) DESC,
+              s.neighbor_id) AS INTEGER) AS rnk
+          FROM short s
+          JOIN nv qv ON qv.vec_id = s.query_id
+          JOIN nv cv ON cv.vec_id = s.neighbor_id)
+        WHERE rnk <= $k ORDER BY query_id, rnk"""
+  }
+
+  /** R·x for every row: one codegen'd dot per output dimension over
+    * the broadcast rotation rows — map-only, like every encode step
+    * in the PQ family. Output is `array<double>` (the trainers' and
+    * ADC's encoding-space type). */
+  private def rotatedFrame(v: DataFrame,
+                           r: Array[Array[Double]]): DataFrame =
+    v.select(col("vec_id"),
+      array(r.map(row => dot(col("embedding"),
+        typedLit(row.toSeq))): _*).as("embedding"))
+
+  /** OPQ rotation training (Ge et al., CVPR 2013 §4 — the
+    * non-parametric alternation): starting from R = I, repeat
+    * { train PQ codebooks on R·x; fix the codes and solve the
+    * orthogonal Procrustes problem min_R ||R·X − Y||_F over the
+    * reconstructions Y }, then train final codebooks under the final
+    * R. The Procrustes solve is SVD(Σ x·yᵀ) = UΣVᵀ → R = V·Uᵀ, a
+    * d×d driver-side problem (model state, never data); the cross
+    * matrix is one distributed treeAggregate pass over (original,
+    * reconstruction) pairs. Every aggregate is rounded to 1e-6 (the
+    * [[trainCentroids]] determinism stance) so the trained R is
+    * reproducible bit-for-bit and can be inlined by the oracle. */
+  private[graft] def trainOpqRotation(v: DataFrame, m: Int = 8,
+                                      k: Int = 16, sub: Int = 8,
+                                      iters: Int = 2)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val d = m * sub
+    var r: Array[Array[Double]] =
+      Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to iters) {
+      val cbs = trainPqCodebooks(rotatedFrame(v, r), m, k, sub)
+      // reconstruction of R·x under the current codebooks: encode the
+      // rotated vector, concatenate the selected codewords
+      val rotCol = array(r.map(row => dot(col("embedding"),
+        typedLit(row.toSeq))): _*)
+      val coded = v
+        .select(col("embedding").cast("array<double>").as("x"),
+          rotCol.as("re"))
+        .select(col("x") +: (0 until m).map { mi =>
+          element_at(graft.functions.VectorQuantize.nearestCellsBiased(
+            expr(s"slice(re, ${mi * sub + 1}, $sub)"), cbs(mi),
+            l2Biases(cbs(mi)), 1), 1).as(s"c$mi")
+        }: _*)
+      val xy = coded.select(col("x"),
+        flatten(array((0 until m).map(mi =>
+          element_at(typedLit(cbs(mi).map(_.toSeq).toSeq),
+            col(s"c$mi") + 1)): _*)).as("y"))
+      // M = Σ x·yᵀ — d² doubles of model state off one corpus pass
+      val flat = xy.select(col("x"), col("y")).rdd
+        .treeAggregate(new Array[Double](d * d))(
+          (acc, row) => {
+            val x = row.getSeq[Double](0)
+            val y = row.getSeq[Double](1)
+            var i = 0
+            while (i < d) {
+              val xi = x(i); var j = 0
+              while (j < d) { acc(i * d + j) += xi * y(j); j += 1 }
+              i += 1
+            }
+            acc
+          },
+          (a, b) => {
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            a
+          })
+        .map(x => math.rint(x * 1e6) / 1e6)
+      // maximize tr(R·M): M = UΣVᵀ → R = V·Uᵀ (orthogonal Procrustes)
+      // (the DenseMatrix ctor is column-major; flat is row-major → .t)
+      val mMat = new breeze.linalg.DenseMatrix(d, d, flat).t.copy
+      val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(mMat)
+      val rNew = vt.t * u.t
+      r = Array.tabulate(d, d)((i, j) =>
+        math.rint(rNew(i, j) * 1e6) / 1e6)
+    }
+    (r, trainPqCodebooks(rotatedFrame(v, r), m, k, sub))
+  }
+
+  /** §2 #232 — OPTIMIZED PRODUCT QUANTIZATION ANN (Ge et al., CVPR
+    * 2013): [[annPq]] with a trained orthogonal rotation applied
+    * before the sub-space split — the remaining public-knowledge rung
+    * of the PQ ladder (PQ → IVFADC → residual → OPQ). The rotation
+    * redistributes variance across sub-spaces so the same 8×4-bit
+    * code budget loses less; serving cost is IDENTICAL to raw PQ
+    * (rotating a query is one d×d mat-vec over broadcast model state,
+    * then the same compressed ADC scan), so the recall delta in
+    * [[annRecallEvalPq]]'s `ann_pq_opq` row is the whole price
+    * question. Stage 1 ranks ADC in rotated space; stage 2 exact-
+    * reranks in the ORIGINAL space (rotation preserves cosine). */
+  def annPqOpq(spark: SparkSession, sfDir: String,
+               nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val (r, cbs) = withTrainCache(v)(trainOpqRotation(_))
+    annPqOpqWith(v, r, cbs, nQueries, k)
+  }
+
+  private def annPqOpqWith(v: DataFrame, r: Array[Array[Double]],
+                           cbs: Array[Array[Array[Double]]],
+                           nQueries: Int, k: Int,
+                           shortlistFactor: Int = 8): DataFrame =
+    pqExactRerank(
+      pqShortlistOf(pqAdcScored(rotatedFrame(v, r), cbs, nQueries),
+        shortlistFactor * k),
+      v, nQueries, k)
+
+  /** DuckDB oracle for [[annPqOpq]]: the trained rotation AND
+    * codebooks inlined; the rotation replayed as one dot per output
+    * dimension (`list(d ORDER BY j)` — the engine's array(dot…)
+    * component-for-component), then the [[pqOracleFor]] replay over
+    * the rotated frame with the exact re-rank on the ORIGINAL
+    * embeddings. */
+  def opqTrainedOracle(nQueries: Int = 10, k: Int = 5): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val (r, cbs) = withTrainCache(vectors(spark, sfDir))(
+      trainOpqRotation(_))
+    opqOracleFor(r, cbs, nQueries, k)
+  }
+
+  private[graft] def opqRotCte(r: Array[Array[Double]]): String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val rRows = r.zipWithIndex.map { case (row, j) =>
+      s"($j, ${row.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    s"""rr(j, rv) AS (VALUES $rRows),
+        rot AS (SELECT vec_id, list(rd ORDER BY j) AS embedding FROM (
+            SELECT e.vec_id, r.j, ${dot("e.embedding", "r.rv")} AS rd
+            FROM embeddings e, rr r) GROUP BY vec_id)"""
+  }
+
+  private def opqOracleFor(r: Array[Array[Double]],
+                           cbs: Array[Array[Array[Double]]],
+                           nQueries: Int, k: Int): String = {
+    val nSub = cbs.length
+    val sub = cbs.head.head.length
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val cbRows = (for {
+      m <- 0 until nSub
+      kk <- cbs(m).indices
+    } yield s"($m, $kk, ${cbs(m)(kk).mkString("[", ", ", "]")}, " +
+      s"${l2Biases(cbs(m))(kk)})")
+      .mkString(", ")
+    val codePivot = (0 until nSub)
+      .map(m => s"max(CASE WHEN m = $m THEN kk END) AS c$m").mkString(", ")
+    val adc = (0 until nSub).map { m =>
+      val lo = m * sub + 1
+      val hi = (m + 1) * sub
+      s"${dot(s"q.embedding[$lo:$hi]", s"cbl.cb[${m + 1}][n.c$m + 1]")}"
+    }.mkString(" + ")
+    val cbLit = cbs.map(_.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH ${opqRotCte(r)},
+        cb(m, kk, cv, bias) AS (VALUES $cbRows),
+        cbl AS (SELECT $cbLit AS cb),
+        sub AS (SELECT vec_id, mm.m AS m,
+                  embedding[mm.m * $sub + 1 : (mm.m + 1) * $sub] AS s
+                FROM rot,
+                     (SELECT unnest(range(0, $nSub)) AS m) mm),
+        coded AS (SELECT vec_id, m, kk FROM (
+                    SELECT sub.vec_id, sub.m, cb.kk,
+                      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                        ORDER BY (${dot("sub.s", "cb.cv")} + cb.bias) DESC,
+                          cb.kk) AS r
+                    FROM sub JOIN cb ON cb.m = sub.m)
+                  WHERE r = 1),
+        codes AS (SELECT vec_id, $codePivot FROM coded GROUP BY 1),
+        nv AS (SELECT vec_id, embedding,
+                 sqrt(${dot("embedding", "embedding")}) AS nrm
+               FROM embeddings),
+        short AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ($adc) DESC, n.vec_id) AS r
+            FROM rot q, codes n, cbl
             WHERE q.vec_id < $nQueries AND n.vec_id <> q.vec_id)
           WHERE r <= ${8 * k})
         SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos6 FROM (

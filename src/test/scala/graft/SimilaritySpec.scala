@@ -13,6 +13,65 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("Broadcast"), plan)
   }
 
+  test("decon_recall_eval: recall monotone in the probe count, gate " +
+      "flags a subset of brute, production defaults recover >= 0.5") {
+    val rows = Similarity.deconRecallEval(spark, sf).collect()
+    assert(rows.map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      Seq((1, 0.3), (1, 0.4), (2, 0.3), (2, 0.4), (4, 0.3), (4, 0.4)),
+      "grid rows in (n_probe, tau) order")
+    // soundness: the gate can only flag docs the brute check flags
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(2),
+      s"flagged ${r.getLong(3)} must be <= brute ${r.getLong(2)}"))
+    // more probes can only surface more reachable pairs
+    Seq(0.3, 0.4).foreach { tau =>
+      val rec = rows.filter(_.getDouble(1) == tau)
+        .sortBy(_.getInt(0)).map(_.getDouble(4))
+      assert(rec.zip(rec.tail).forall { case (a, b) => b >= a - 1e-9 },
+        s"recall must not shrink with n_probe at tau=$tau: ${rec.toSeq}")
+    }
+    // the gate's production operating point (nProbe=4, tau=0.4)
+    // recovers at least half the brute verdict — the same floor the
+    // decontaminate_semantic spec pins, now PRICED across the knobs
+    val d = rows.find(r => r.getInt(0) == 4 && r.getDouble(1) == 0.4).get
+    assert(d.getDouble(4) >= 0.5, s"default-point recall $d")
+    // the truth leg is a bounded-broadcast BNLJ (nEval rows build
+    // side — the documented recall-truth shape); only an unbounded
+    // cartesian would be a plan bug
+    assert(!planOf(Similarity.deconRecallEval(spark, sf))
+      .contains("CartesianProduct"))
+  }
+
+  test("opq_rotate: the trained rotation is orthogonal, OPQ serving " +
+      "returns k ranked neighbors per query, and the recall table " +
+      "prices it against raw and residual at identical bits") {
+    import org.apache.spark.sql.functions.col
+    val v = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val (r, cbs) = Similarity.trainOpqRotation(v)
+    val d = r.length
+    assert(d == 64 && cbs.length == 8 && cbs.head.length == 16)
+    // R·Rᵀ = I within the 1e-6 coefficient rounding (×d accumulation)
+    for (i <- 0 until d; j <- i until d) {
+      val dotv = (0 until d).map(t => r(i)(t) * r(j)(t)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dotv - want) < 1e-3,
+        s"R R^T [$i][$j] = $dotv, want $want")
+    }
+    val out = Similarity.annPqOpq(spark, sf).collect()
+    assert(out.length == 50) // 10 queries × k=5
+    assert(out.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    // the recall table carries the OPQ row — same truth, same bits;
+    // whether rotation BUYS recall on this corpus is what it measures
+    val recall = Similarity.annRecallEvalPq(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(recall.contains("ann_pq_opq"), recall.toString)
+    assert(recall("ann_pq_opq") >= 0.0 && recall("ann_pq_opq") <= 1.0)
+    // the ADC stage broadcasts the 10-row query set on a non-equi
+    // condition (the ann_pq shape — a bounded BNLJ, not a cartesian)
+    assert(!planOf(Similarity.annPqOpq(spark, sf))
+      .contains("CartesianProduct"))
+  }
+
   test("ann_lsh: bucketed candidates, recall@5 >= 0.5 vs brute force") {
     val brute = Similarity.annBruteforce(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
