@@ -64,7 +64,8 @@ object Bench {
       "ann_recall_eval",
       "ann_lsh", "ann_sign_sketch", "ann_ivf", "ann_ivf_static",
       "ann_ivf_indexed",
-      "ann_pq", "ann_ivfpq", "ann_ivfpq_residual", "ann_ivfpq_indexed",
+      "ann_pq", "ann_sq8", "ann_ivfpq", "ann_ivfpq_residual",
+      "ann_ivfpq_indexed",
       "ann_ivfpq_residual_indexed", "semantic_dedup",
       "semantic_dedup_incremental", "hard_negatives",
       "embedding_dedup", "embedding_quantize", "quantize_eval",
@@ -96,7 +97,7 @@ object Bench {
       "decontaminate_fuzzy", "bloom_decontaminate",
       "decontaminate_semantic", "decon_recall_eval",
       "split_leakage", "leakage_safe_split", "budget_select",
-      "doc_chunk", "pii_scrub", "c4_clean", "range_join",
+      "doc_chunk", "pii_scrub", "c4_clean", "gopher_quality", "range_join",
       "mixture_sample", "mixture_temperature", "mixture_upsample",
       "weighted_sample",
       "tfidf_topterms", "shard_assign", "dsir_weights",

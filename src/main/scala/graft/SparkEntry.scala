@@ -159,6 +159,7 @@ object SparkEntry {
     "ann_ivf_static" -> ((s, d) => Similarity.annIvfStatic(s, d)),
     "ann_ivf_indexed" -> ((s, d) => Similarity.annIvfIndexed(s, d)),
     "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
+    "ann_sq8" -> ((s, d) => Similarity.annSq8(s, d)),
     "ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
     "ann_ivfpq_residual" -> ((s, d) => Similarity.annIvfPqResidual(s, d)),
     "ann_ivfpq_indexed" -> ((s, d) => Similarity.annIvfPqIndexed(s, d)),
@@ -202,6 +203,7 @@ object SparkEntry {
     "bloom_decontaminate" -> ((s, d) => Curation.bloomDecontaminate(s, d)),
     "pii_scrub" -> (TextAnalysis.piiScrub _),
     "c4_clean" -> (Curation.c4Clean _),
+    "gopher_quality" -> (Curation.gopherQuality _),
     "charset_gate" -> (TextAnalysis.charsetGate _),
     "vocab_coverage" -> (TextAnalysis.vocabCoverage _),
     "word_pmi" -> (TextAnalysis.wordPmi _),
@@ -627,6 +629,7 @@ object SparkEntry {
     "knn_graph_ann" -> Similarity.knnGraphAnnOracle(),
     "label_spread" -> Similarity.labelSpreadOracle(),
     "ann_pq" -> Similarity.pqTrainedOracle(),
+    "ann_sq8" -> Similarity.sq8Oracle(),
     "ann_ivfpq" -> Similarity.ivfPqTrainedOracle(),
     "ann_ivfpq_residual" -> Similarity.ivfPqResidualTrainedOracle(),
     "ann_ivfpq_indexed" -> Similarity.ivfPqTrainedOracle(),
@@ -1035,6 +1038,7 @@ object SparkEntry {
              AS had_pii
          FROM t ORDER BY doc_id""",
     "c4_clean" -> Curation.c4Oracle(),
+    "gopher_quality" -> Curation.gopherQualityOracle(),
     "charset_gate" -> TextAnalysis.charsetOracle,
     "vocab_coverage" -> TextAnalysis.vocabOracle,
     "word_pmi" -> TextAnalysis.pmiOracle,

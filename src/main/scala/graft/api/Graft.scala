@@ -258,6 +258,12 @@ object Graft {
               minKeptLines: Int = 3): DataFrame =
     graft.operators.Curation.c4CleanFrom(docs, minLineWords, minKeptLines)
 
+  /** Gopher quality battery (Rae et al. 2021 App. A.1.1) over
+    * newline-structured docs → per-doc rule metrics + composite
+    * `keep`. Map-only. `docs` = (doc_id, text). */
+  def gopherQuality(docs: DataFrame): DataFrame =
+    graft.operators.Curation.gopherQualityFrom(docs)
+
   /** PII scrub → per-doc email/IPv4 counts, redacted-text sha, flag.
     * Map-only codegen'd regexes. `docs` = (doc_id, text). */
   def piiScrub(docs: DataFrame): DataFrame =

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.CatalystBridge
 import org.apache.spark.sql.types._
@@ -156,4 +156,91 @@ object QuantizeDistortion {
     val denom = math.sqrt(nx) * math.sqrt(nd)
     if (denom == 0.0) 0.0 else 1.0 - dp / denom
   }
+}
+
+/** SQ8 ASYMMETRIC COSINE: `cos(q, dequant_i8(x))` — the scalar-quantized
+  * serving score (FAISS `IndexScalarQuantizer(QT_8bit)`'s asymmetric
+  * distance, cosine metric). The left child is the RAW query vector, the
+  * right child is a corpus vector served from int8 storage: it is
+  * max-abs-quantized with [[QuantizeI8]]'s exact arithmetic (double
+  * casts, round half away from zero, clamp ±127) and scored dequantized.
+  * At 100 TB this is the 4×-cheaper scan [[QuantizeI8]]'s storage leg
+  * buys: production reads `(codes int8[], scale)` off disk and never
+  * touches the float vectors until the exact re-rank gather.
+  *
+  * Same fused-kernel stance as [[QuantizeDistortion]] and the same
+  * cross-engine contract: three independent strict left-to-right folds
+  * (dot, query norm², dequantized norm²), IEEE sqrt, zero-denominator →
+  * 0. The DuckDB oracle replays quantization per element and folds in
+  * the same order, so stage-1 ranking agrees bit-for-bit. */
+case class Sq8Cosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"sq8_cosine needs array<float|double>, got $t")
+  }
+  private lazy val qFloat = elemIsFloat(left)
+  private lazy val xFloat = elemIsFloat(right)
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sq8Cosine.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], qFloat, xFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Sq8Cosine.compute($a, $b, $qFloat, $xFloat);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8Cosine =
+    copy(left = newLeft, right = newRight)
+}
+
+object Sq8Cosine {
+  private def roundHalfAway(v: Double): Double =
+    if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
+
+  def compute(q: ArrayData, x: ArrayData,
+              qFloat: Boolean, xFloat: Boolean): Double = {
+    val n = x.numElements()
+    if (q.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sq8_cosine: vector lengths differ (${q.numElements()} vs $n)")
+    def qAt(i: Int): Double =
+      if (qFloat) q.getFloat(i).toDouble else q.getDouble(i)
+    def xAt(i: Int): Double =
+      if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(xAt(i))
+      if (a > maxabs) maxabs = a
+      i += 1
+    }
+    val scale = if (maxabs > 0) 127.0 / maxabs else 1.0
+    var dp = 0.0; var nq = 0.0; var nd = 0.0
+    i = 0
+    while (i < n) {
+      var c = roundHalfAway(xAt(i) * scale)
+      if (c < -127.0) c = -127.0
+      if (c > 127.0) c = 127.0
+      val d = c / scale
+      val qv = qAt(i)
+      dp += qv * d
+      nq += qv * qv
+      nd += d * d
+      i += 1
+    }
+    val denom = math.sqrt(nq) * math.sqrt(nd)
+    if (denom == 0.0) 0.0 else dp / denom
+  }
+
+  def score(q: Column, x: Column): Column =
+    CatalystBridge.column(Sq8Cosine(
+      CatalystBridge.expression(q), CatalystBridge.expression(x)))
 }

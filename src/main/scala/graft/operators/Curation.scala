@@ -556,6 +556,183 @@ object Curation {
           sha256(coalesce(array_to_string(kept, chr(10)), '')) AS kept_sha
         FROM cleaned ORDER BY doc_id"""
 
+  /** Generic core: GOPHER QUALITY RULES (Rae et al. 2021, Appendix
+    * A.1.1) for ANY (doc_id, text) frame — the published document-level
+    * filter battery that complements [[c4CleanFrom]]'s line-level rules:
+    * word count in [minWords, maxWords], mean word length in
+    * [minMeanLen, maxMeanLen], symbol-to-word ratio (`#` chars +
+    * `...` occurrences) ≤ maxSymbolRatio, bullet-started line fraction
+    * ≤ maxBulletRatio, ellipsis-ended line fraction ≤ maxEllipsisRatio,
+    * fraction of words containing an alphabetic character ≥
+    * minAlphaRatio, and ≥ minStopHits of the 8 published stop words
+    * present. Output per doc: every metric (ratios rounded to 4 dp for
+    * display) plus the composite `keep` decision computed on the
+    * UNROUNDED values.
+    *
+    * Determinism: every ratio is an integer/integer division (counts
+    * and lengths), so the doubles are identical in any engine; the
+    * stop-word count is a membership filter over the FIXED 8-word list
+    * (not an intersect — dedup semantics stay engine-independent).
+    *
+    * Entirely map-only (per-row array filters and folds, codegen'd
+    * built-ins) — like C4, the battery rides along with any other
+    * corpus scan at 100 TB; no shuffle, no model state. */
+  def gopherQualityFrom(docs: DataFrame,
+                        minWords: Int = 50, maxWords: Int = 100000,
+                        minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                        maxSymbolRatio: Double = 0.1,
+                        maxBulletRatio: Double = 0.9,
+                        maxEllipsisRatio: Double = 0.3,
+                        minAlphaRatio: Double = 0.8,
+                        minStopHits: Int = 2): DataFrame =
+    gopherMetrics(docs, minWords, maxWords, minMeanLen, maxMeanLen,
+      maxSymbolRatio, maxBulletRatio, maxEllipsisRatio, minAlphaRatio,
+      minStopHits)
+      .orderBy("doc_id")
+
+  /** [[gopherQualityFrom]] without the final sort — the streaming-safe
+    * core (map-only, so it runs unchanged on a streaming frame). */
+  private[graft] def gopherMetrics(docs: DataFrame,
+                                   minWords: Int = 50,
+                                   maxWords: Int = 100000,
+                                   minMeanLen: Double = 3.0,
+                                   maxMeanLen: Double = 10.0,
+                                   maxSymbolRatio: Double = 0.1,
+                                   maxBulletRatio: Double = 0.9,
+                                   maxEllipsisRatio: Double = 0.3,
+                                   minAlphaRatio: Double = 0.8,
+                                   minStopHits: Int = 2): DataFrame =
+    docs
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("words",
+        expr("flatten(transform(lines, l -> split(l, ' ')))"))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("n_lines", size(col("lines")))
+      .withColumn("mean_wlen", expr(
+        """CAST(aggregate(transform(words, w -> length(w)), 0L,
+             (a, b) -> a + b) AS DOUBLE)""") / col("n_words"))
+      .withColumn("sym_ratio", expr(
+        """CAST((length(text) - length(replace(text, '#', '')))
+             + (length(text) - length(replace(text, '...', ''))) div 3
+           AS DOUBLE)""") / col("n_words"))
+      .withColumn("bullet_ratio", expr(
+        "CAST(size(filter(lines, l -> substring(l, 1, 2) = '- ')) AS DOUBLE)")
+        / col("n_lines"))
+      .withColumn("ellipsis_ratio", expr(
+        "CAST(size(filter(lines, l -> right(l, 3) = '...')) AS DOUBLE)")
+        / col("n_lines"))
+      .withColumn("alpha_ratio", expr(
+        "CAST(size(filter(words, w -> w rlike '[a-z]')) AS DOUBLE)")
+        / col("n_words"))
+      .withColumn("n_stop", expr(
+        """size(filter(array('the','be','to','of','and','that','have','with'),
+             s -> array_contains(words, s)))"""))
+      .select(col("doc_id"), col("n_words"), col("n_lines"),
+        round(col("mean_wlen"), 4).as("mean_wlen4"),
+        round(col("sym_ratio"), 4).as("sym_ratio4"),
+        round(col("bullet_ratio"), 4).as("bullet_ratio4"),
+        round(col("ellipsis_ratio"), 4).as("ellipsis_ratio4"),
+        round(col("alpha_ratio"), 4).as("alpha_ratio4"),
+        col("n_stop"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords
+          && col("mean_wlen") >= minMeanLen && col("mean_wlen") <= maxMeanLen
+          && col("sym_ratio") <= maxSymbolRatio
+          && col("bullet_ratio") <= maxBulletRatio
+          && col("ellipsis_ratio") <= maxEllipsisRatio
+          && col("alpha_ratio") >= minAlphaRatio
+          && col("n_stop") >= minStopHits).as("keep"))
+
+  /** §2 #235 — Gopher quality battery over the fixture corpus. The
+    * synthetic docs are single-line word salad (c4_clean's situation),
+    * so the same deterministic page synthesis stance applies: words
+    * chunked into 10-word lines, bullets / hash symbols / ellipses /
+    * a stop-word tail planted on fixed (doc_id, line) slices —
+    * identically in both engines — so every rule in the battery has
+    * real work and both keep outcomes occur at sf0.01. */
+  def gopherQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val page = expr(
+      """array_join(
+           transform(
+             sequence(0, greatest(1, (size(split(text, ' ')) + 9) div 10) - 1),
+             i -> concat(
+               if((doc_id + i) % 5 = 4, '- ', ''),
+               array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '),
+               if(i = 0 and doc_id % 7 = 0, ' ##', ''),
+               if(i = 0 and doc_id % 3 = 0, ' and of that', ''),
+               if((doc_id + i) % 4 = 3, '...', ''))),
+         '\n')""")
+    gopherQualityFrom(Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), page.as("text")))
+  }
+
+  /** DuckDB oracle for [[gopherQuality]]: the page synthesis and every
+    * rule replayed with list comprehensions; all ratios are int/int
+    * divisions so the unrounded keep-decision doubles agree exactly. */
+  def gopherQualityOracle(minWords: Int = 50, maxWords: Int = 100000,
+                          minMeanLen: Double = 3.0,
+                          maxMeanLen: Double = 10.0,
+                          maxSymbolRatio: Double = 0.1,
+                          maxBulletRatio: Double = 0.9,
+                          maxEllipsisRatio: Double = 0.3,
+                          minAlphaRatio: Double = 0.8,
+                          minStopHits: Int = 2): String =
+    s"""WITH pages AS (
+          SELECT doc_id,
+            list_transform(range(0, nL), i ->
+              CASE WHEN (doc_id + i) % 5 = 4 THEN '- ' ELSE '' END ||
+              array_to_string(ws[i*10+1 : i*10+10], ' ') ||
+              CASE WHEN i = 0 AND doc_id % 7 = 0 THEN ' ##' ELSE '' END ||
+              CASE WHEN i = 0 AND doc_id % 3 = 0
+                   THEN ' and of that' ELSE '' END ||
+              CASE WHEN (doc_id + i) % 4 = 3 THEN '...' ELSE '' END)
+              AS lines
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+                  greatest(1,
+                    (len(string_split(text, ' ')) + 9) // 10) AS nL
+                FROM documents)),
+        base AS (
+          SELECT doc_id, lines,
+            flatten(list_transform(lines, l -> string_split(l, ' ')))
+              AS words,
+            array_to_string(lines, chr(10)) AS t
+          FROM pages),
+        met AS (
+          SELECT doc_id,
+            len(words) AS n_words, len(lines) AS n_lines,
+            CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+              / len(words) AS mean_wlen,
+            CAST((length(t) - length(replace(t, '#', '')))
+               + (length(t) - length(replace(t, '...', ''))) // 3 AS DOUBLE)
+              / len(words) AS sym_ratio,
+            CAST(len(list_filter(lines, l -> l[1:2] = '- ')) AS DOUBLE)
+              / len(lines) AS bullet_ratio,
+            CAST(len(list_filter(lines, l -> right(l, 3) = '...'))
+                 AS DOUBLE) / len(lines) AS ellipsis_ratio,
+            CAST(len(list_filter(words,
+                   w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+              / len(words) AS alpha_ratio,
+            len(list_filter(
+              ['the','be','to','of','and','that','have','with'],
+              s -> list_contains(words, s))) AS n_stop
+          FROM base)
+        SELECT doc_id,
+          CAST(n_words AS INTEGER) AS n_words,
+          CAST(n_lines AS INTEGER) AS n_lines,
+          round(mean_wlen, 4) AS mean_wlen4,
+          round(sym_ratio, 4) AS sym_ratio4,
+          round(bullet_ratio, 4) AS bullet_ratio4,
+          round(ellipsis_ratio, 4) AS ellipsis_ratio4,
+          round(alpha_ratio, 4) AS alpha_ratio4,
+          CAST(n_stop AS INTEGER) AS n_stop,
+          (n_words >= $minWords AND n_words <= $maxWords
+            AND mean_wlen >= $minMeanLen AND mean_wlen <= $maxMeanLen
+            AND sym_ratio <= $maxSymbolRatio
+            AND bullet_ratio <= $maxBulletRatio
+            AND ellipsis_ratio <= $maxEllipsisRatio
+            AND alpha_ratio >= $minAlphaRatio
+            AND n_stop >= $minStopHits) AS keep
+        FROM met ORDER BY doc_id"""
+
   /** Generic core: BM25 KEYWORD RETRIEVAL over ANY (doc_id, text)
     * frame for a fixed bag of query terms (Robertson–Spärck Jones
     * idf, k1/b saturation) — the lexical-search half of every corpus

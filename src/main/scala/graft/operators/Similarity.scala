@@ -914,11 +914,11 @@ object Similarity {
 
   /** §2 #226 — `ann_recall_eval_pq`: the recall table for the
     * COMPRESSED serving variants — [[annRecallEval]] scores the
-    * static-model paths (ivf_static, lsh, sign_sketch), but the two
+    * static-model paths (ivf_static, lsh, sign_sketch), but the
     * variants a 100 TB deployment actually serves are [[annPq]],
-    * [[annIvfPq]], and [[annIvfPqResidual]]; this scores them against
-    * the same brute truth with the same one-row-per-variant output,
-    * completing the six-variant recall story (`ann_ivfpq_indexed`
+    * [[annPqOpq]], [[annIvfPq]], [[annIvfPqResidual]], and the
+    * training-free [[annSq8]]; this scores them against the same brute
+    * truth with the same one-row-per-variant output (`ann_ivfpq_indexed`
     * serves bit-identically to `ann_ivfpq` by the shared oracle, so its
     * row would be a duplicate). The residual row is the table's point
     * at a glance: same 8-nibble storage, higher recall — the measured
@@ -959,6 +959,7 @@ object Similarity {
         annIvfPqWith(v, cents, cbs, 4, nQueries, k)))
       .unionByName(one("ann_ivfpq_residual",
         annIvfPqResidualWith(v, cents, cbsR, 4, nQueries, k)))
+      .unionByName(one("ann_sq8", annSq8With(v, nQueries, k)))
       .orderBy("variant")
   }
 
@@ -1147,6 +1148,30 @@ object Similarity {
             FROM probes p, cents ct, acodesr n, cbrl
             WHERE ct.cell = p.cell AND n.cell = p.cell
               AND n.vec_id <> p.query_id)
+          WHERE r <= ${8 * k}),
+        dqz AS (SELECT vec_id,
+                  list_transform(embedding,
+                    v -> least(greatest(
+                           round(CAST(v AS DOUBLE) * scale), -127.0),
+                           127.0) / scale) AS d
+                FROM (SELECT vec_id, embedding,
+                        CASE WHEN maxabs > 0 THEN 127.0 / maxabs
+                             ELSE 1.0 END AS scale
+                      FROM (SELECT vec_id, embedding,
+                              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list_transform(embedding,
+                                  v -> abs(CAST(v AS DOUBLE)))),
+                                (a, b) -> greatest(a, b)) AS maxabs
+                            FROM embeddings))),
+        short_sq8 AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                (${dotE("q.embedding", "n.d")}
+                   / (sqrt(${dotE("q.embedding", "q.embedding")})
+                      * sqrt(${dotE("n.d", "n.d")}))) DESC,
+                n.vec_id) AS r
+            FROM embeddings q JOIN dqz n ON n.vec_id <> q.vec_id
+            WHERE q.vec_id < $nQueries)
           WHERE r <= ${8 * k})
        SELECT variant, n_truth, n_hit,
          round(n_hit / CAST(n_truth AS DOUBLE), 4) AS recall
@@ -1165,7 +1190,11 @@ object Similarity {
          UNION ALL
          SELECT 'ann_pq_opq' AS variant,
            (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
-           ${hitCount("short_pq_opq")} AS n_hit)
+           ${hitCount("short_pq_opq")} AS n_hit
+         UNION ALL
+         SELECT 'ann_sq8' AS variant,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           ${hitCount("short_sq8")} AS n_hit)
        ORDER BY variant"""
   }
 
@@ -3697,6 +3726,96 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rnk"),
         round(col("e.cos"), 6).as("cos6"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** §2 #234 — SQ8 ANN (scalar-quantized flat scan, the FAISS
+    * `SQfp8`/`QT_8bit` serving mode): stage 1 scores EVERY candidate by
+    * `cos(q, dequant_i8(x))` — [[graft.functions.Sq8Cosine]]'s asymmetric
+    * distance over the int8 storage leg that #120 (embedding_quantize)
+    * writes and #121 (quantize_eval) prices — and stage 2 exact-reranks
+    * the bounded shortlist ([[pqExactRerank]], shared with the PQ
+    * family). The compression rung BETWEEN raw floats and PQ: 4× smaller
+    * scan than float32 (1 byte/dim + one scale per vector) with far less
+    * distortion than 8×4-bit PQ, no training, no codebook lifecycle —
+    * the right serving mode when storage is the constraint but recall
+    * must stay near-exact ([[annRecallEvalPq]] prices it against the PQ
+    * ladder). Quantization is deterministic per vector, so the DuckDB
+    * oracle is STATIC SQL — no trained literals.
+    *
+    * Scale shape: identical to [[annBruteforce]]'s broadcast-query scan
+    * but over 1-byte codes instead of 4-byte floats; shortlist ranking
+    * is the bounded [[graft.functions.TopKByScore]] aggregate (exchange
+    * carries ≤ shortlist rows per query per partition); the exact
+    * re-rank gathers only shortlist×queries float vectors by equi-join. */
+  def annSq8(spark: SparkSession, sfDir: String,
+             nQueries: Int = 10, k: Int = 5,
+             shortlistFactor: Int = 8): DataFrame = {
+    val v = vectors(spark, sfDir)
+    annSq8With(v, nQueries, k, shortlistFactor)
+  }
+
+  private[graft] def annSq8With(v: DataFrame, nQueries: Int, k: Int,
+                                shortlistFactor: Int = 8): DataFrame = {
+    val scored = v
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c"))
+      .join(broadcast(v.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("e_q"))),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.Sq8Cosine.score(col("e_q"), col("e_c"))
+          .as("score"))
+    pqExactRerank(pqShortlistOf(scored, shortlistFactor * k),
+      v, nQueries, k)
+  }
+
+  /** DuckDB replay for [[annSq8]] — static SQL: per-element max-abs
+    * quantize/clamp/dequantize (the embedding_quantize oracle's exact
+    * formula), stage-1 cosine as three left folds, the same
+    * shortlist-then-exact-re-rank tail as [[pqOracleFor]]. */
+  def sq8Oracle(nQueries: Int = 10, k: Int = 5,
+                shortlistFactor: Int = 8): String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    s"""WITH nv AS (SELECT vec_id, embedding,
+                 sqrt(${dot("embedding", "embedding")}) AS nrm
+               FROM embeddings),
+        m AS (SELECT vec_id, embedding,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(embedding,
+                    v -> abs(CAST(v AS DOUBLE)))),
+                  (a, b) -> greatest(a, b)) AS maxabs
+              FROM embeddings),
+        dq AS (SELECT vec_id,
+                 list_transform(embedding,
+                   v -> least(greatest(
+                          round(CAST(v AS DOUBLE) * scale), -127.0),
+                          127.0) / scale) AS d
+               FROM (SELECT vec_id, embedding,
+                       CASE WHEN maxabs > 0 THEN 127.0 / maxabs
+                            ELSE 1.0 END AS scale
+                     FROM m)),
+        short AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                (${dot("q.embedding", "n.d")}
+                   / (sqrt(${dot("q.embedding", "q.embedding")})
+                      * sqrt(${dot("n.d", "n.d")}))) DESC,
+                n.vec_id) AS r
+            FROM embeddings q JOIN dq n ON n.vec_id <> q.vec_id
+            WHERE q.vec_id < $nQueries)
+          WHERE r <= ${shortlistFactor * k})
+        SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos6 FROM (
+          SELECT s.query_id, s.neighbor_id,
+            ${dot("qv.embedding", "cv.embedding")} / (qv.nrm * cv.nrm) AS cos,
+            CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY
+              ${dot("qv.embedding", "cv.embedding")} / (qv.nrm * cv.nrm) DESC,
+              s.neighbor_id) AS INTEGER) AS rnk
+          FROM short s
+          JOIN nv qv ON qv.vec_id = s.query_id
+          JOIN nv cv ON cv.vec_id = s.neighbor_id)
+        WHERE rnk <= $k ORDER BY query_id, rnk"""
   }
 
   /** §2 #90 — IVFADC (Jégou et al. 2011 §IV): the coarse quantizer

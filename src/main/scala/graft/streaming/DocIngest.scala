@@ -160,4 +160,14 @@ object DocIngest {
           .as("n_hit_grams"))
       .filter(col("n_hit_grams") > 0)
   }
+
+  /** Streaming GOPHER QUALITY gate (§2 #235's twin): the published
+    * document-level rule battery (Rae et al. 2021 App. A.1.1) decided
+    * per arriving document. The decisions are EXACTLY the batch
+    * operator's — [[graft.operators.Curation.gopherMetrics]] runs
+    * UNCHANGED on the stream because the battery is stateless map-only
+    * per-row array folds (the batch form only adds a display sort), so
+    * append mode needs no watermark or state store. */
+  def gopherGated(docs: DataFrame): DataFrame =
+    graft.operators.Curation.gopherMetrics(docs.select("doc_id", "text"))
 }

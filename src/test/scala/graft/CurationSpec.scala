@@ -225,6 +225,45 @@ class CurationSpec extends SparkSpec {
     assert(sha3 == manual)
   }
 
+  test("gopher_quality: each published rule fails exactly its crafted doc") {
+    import spark.implicits._
+    val ok = ("the and " + Seq.fill(58)("word").mkString(" ")) // 60 words
+    val docs = Seq(
+      (1L, ok),                                         // all rules pass
+      (2L, "the and tiny doc under fifty words"),       // word-count fail
+      (3L, (Seq.fill(50)("abcdefghijkl") ++ Seq("the", "and", "of"))
+        .mkString(" ")),                                // mean-wlen > 10
+      (4L, ok + " ## ## ## ## ##"),                     // symbol ratio fail
+      (5L, (0 until 10).map(i => "- " + ok).mkString("\n")), // all bullets
+      (6L, Seq(ok + "...", ok + "...", ok, ok).mkString("\n")), // ellipsis
+      (7L, ("the and " + (Seq.fill(30)("abcd") ++ Seq.fill(20)("123"))
+        .mkString(" "))),                               // alpha ratio fail
+      (8L, Seq.fill(60)("zebra").mkString(" "))         // stop-word fail
+    ).toDF("doc_id", "text")
+    val got = Curation.gopherQualityFrom(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(9), "doc 1 must keep")
+    (2L to 8L).foreach(id =>
+      assert(!got(id).getBoolean(9), s"doc $id must be dropped"))
+    // the failing metric is the one the doc was crafted to break
+    assert(got(2L).getInt(1) < 50)                      // n_words
+    assert(got(3L).getDouble(3) > 10.0)                 // mean_wlen4
+    assert(got(4L).getDouble(4) > 0.1)                  // sym_ratio4
+    assert(got(5L).getDouble(5) > 0.9)                  // bullet_ratio4
+    assert(got(6L).getDouble(6) > 0.3)                  // ellipsis_ratio4
+    assert(got(7L).getDouble(7) < 0.8)                  // alpha_ratio4
+    assert(got(8L).getInt(8) < 2)                       // n_stop
+    // and each failing doc passes every OTHER rule (isolated failures)
+    assert(got(4L).getInt(1) >= 50 && got(4L).getDouble(7) >= 0.8)
+    assert(got(7L).getInt(1) >= 50 && got(7L).getInt(8) >= 2)
+    // fixture form: both outcomes occur and the synthesis is stable
+    val fx = Curation.gopherQuality(spark, sf).collect()
+    assert(fx.map(_.getBoolean(9)).distinct.length == 2,
+      "sf fixture must produce both keep outcomes")
+    val again = Curation.gopherQuality(spark, sf).collect()
+    assert(fx.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("shard_assign: balanced Knuth shards, exact heads in (hash, id) order, no window") {
     def knuth(id: Long): Long = {
       val a = ((id % 4294967296L) + 4294967296L) % 4294967296L

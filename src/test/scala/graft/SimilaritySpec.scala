@@ -333,6 +333,39 @@ class SimilaritySpec extends SparkSpec {
     assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq)
   }
 
+  test("ann_sq8: near-exact recall over int8 scoring; kernel matches " +
+      "the distortion identity; recall table carries the sq8 row") {
+    import org.apache.spark.sql.functions.col
+    val brute = Similarity.annBruteforce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = Similarity.annSq8(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 max-abs distortion is tiny (quantize_eval prices it), so the
+    // shortlist is near-exact — a far higher floor than PQ's 0.5
+    val recall = (brute intersect sq8).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall@5 = $recall")
+    // stage 1 is the deliberate broadcast-query scan over int8 scores
+    // (the ann_pq shape) — assert the broadcast, not no-cartesian
+    assert(planOf(Similarity.annSq8(spark, sf)).contains("Broadcast"))
+    // kernel identity: cos(x, dequant(x)) == 1 - distortion(x) — the
+    // serving score and the storage-QA number are the same arithmetic
+    val rows = Tables.load(spark, sf, "embeddings").limit(8)
+      .select(graft.functions.Sq8Cosine.score(
+          col("embedding"), col("embedding")).as("c"),
+        graft.functions.QuantizeI8.distortion(col("embedding")).as("d"))
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - (1.0 - r.getDouble(1))) < 1e-12,
+        s"cos ${r.getDouble(0)} vs 1 - distortion ${r.getDouble(1)}")
+    }
+    // the recall table prices sq8 against the PQ ladder on shared truth
+    val table = Similarity.annRecallEvalPq(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(table.contains("ann_sq8"), table.toString)
+    assert(table("ann_sq8") >= table("ann_pq"),
+      s"sq8 ${table("ann_sq8")} should not trail 4-bit PQ ${table("ann_pq")}")
+  }
+
   test("ann_ivf: trained centroids are unit-norm and deterministic") {
     val v = Tables.load(spark, sf, "embeddings")
       .selectExpr("vec_id", "label", "embedding",

@@ -979,6 +979,22 @@ class StreamingSpec extends SparkSpec {
     gotByDoc.foreach { case (id, v) => assert(batchQ(id) == v, s"doc $id") }
   }
 
+  test("streaming Gopher quality gate equals the batch operator per doc") {
+    import graft.streaming.DocIngest
+    import org.apache.spark.sql.functions.col
+    val q = DocIngest.gopherGated(DocIngest.readDocStream(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_gopher").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_gopher").collect()
+      .map(r => (r.getLong(0), r.toSeq.drop(1))).toMap
+    val batch = graft.operators.Curation.gopherQualityFrom(
+      Tables.load(spark, sf, "documents").select(col("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.toSeq.drop(1))).toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (id, v) => assert(batch(id) == v, s"doc $id") }
+  }
+
   test("streaming PII/repetition gate equals the batch operators per doc") {
     import graft.streaming.DocIngest
     import org.apache.spark.sql.functions.col
