@@ -525,6 +525,52 @@ out += ["",
         "  (StreamDecontaminate) moves even the probe cost off the "
         "ingest path.",
         "",
+        "## r17 additions, priced (builder 3-SF sweep: 217 queries, "
+        "0 errors,",
+        "## 210.7/218.8/320.3 s)",
+        "",
+        "- opq_rotate 3.2/4.1/6.6 s — training-dominated by design: "
+        "the Procrustes",
+        "  alternation pays one treeAggregate corpus pass per "
+        "iteration plus the",
+        "  final codebook train; serving adds only a d x d mat-vec "
+        "per query.",
+        "  Run per corpus-tuning decision (the pq_bits_sweep "
+        "economics), never",
+        "  per query.",
+        "- decon_recall_eval 1.4/1.3/2.0 s — near-flat: ONE ranked "
+        "reachable-pair",
+        "  frame prices every (nProbe, tau) grid row as a filter; "
+        "the brute truth",
+        "  leg is the bounded corpus x nEval broadcast.",
+        "- ann_sq8 0.50/0.44/0.43 s — FLAT: the broadcast-query scan "
+        "over int8",
+        "  scores is overhead-dominated at these SFs; at 100 TB the "
+        "same plan",
+        "  reads 1 byte/dim instead of 4 (the scan bill drops 4x) "
+        "with recall@5",
+        "  = 1.00 measured (ann_recall_eval_pq) — the recall-free "
+        "compression",
+        "  rung, no training, no codebook lifecycle.",
+        "- gopher_quality 0.19/0.24/0.19 s — FLAT map-only per-row "
+        "array folds",
+        "  (the c4_clean shape); rides any corpus scan.",
+        "- ann_recall_eval_pq grew 6.4 -> 8.0/7.9/12.8 s with the "
+        "fifth (sq8)",
+        "  pricing row. Adjudicated by construction, not assumed: "
+        "solo re-runs of",
+        "  the PRIOR 4-leg binary and the new 5-leg binary on the "
+        "same box both",
+        "  measure 13-16 s first / 12-13 s warm at sf0.1 (the sq8 "
+        "leg itself",
+        "  adds <= 1 s; standalone ann_sq8 is 0.4-1.1 s) — the "
+        "sweep-to-sweep",
+        "  delta vs the r16 prior is train-cache warmth and box "
+        "variance on a",
+        "  five-pipeline tuning table, not a plan change. Tuning-"
+        "table economics:",
+        "  run per corpus decision, never on a serving path.",
+        "",
         "## Super-linear rows, priced (r12) — and the r13 planned "
         "headline",
         "",
