@@ -160,6 +160,9 @@ object SparkEntry {
     "ann_ivf_indexed" -> ((s, d) => Similarity.annIvfIndexed(s, d)),
     "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
     "ann_sq8" -> ((s, d) => Similarity.annSq8(s, d)),
+    "ann_ivfsq8" -> ((s, d) => Similarity.annIvfSq8(s, d)),
+    "ann_ivfsq8_indexed" -> ((s, d) => Similarity.annIvfSq8Indexed(s, d)),
+    "ann_mmr" -> ((s, d) => Similarity.annMmr(s, d)),
     "ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
     "ann_ivfpq_residual" -> ((s, d) => Similarity.annIvfPqResidual(s, d)),
     "ann_ivfpq_indexed" -> ((s, d) => Similarity.annIvfPqIndexed(s, d)),
@@ -630,6 +633,9 @@ object SparkEntry {
     "label_spread" -> Similarity.labelSpreadOracle(),
     "ann_pq" -> Similarity.pqTrainedOracle(),
     "ann_sq8" -> Similarity.sq8Oracle(),
+    "ann_ivfsq8" -> Similarity.ivfSq8TrainedOracle(),
+    "ann_ivfsq8_indexed" -> Similarity.ivfSq8StaticOracle(),
+    "ann_mmr" -> Similarity.mmrOracle(),
     "ann_ivfpq" -> Similarity.ivfPqTrainedOracle(),
     "ann_ivfpq_residual" -> Similarity.ivfPqResidualTrainedOracle(),
     "ann_ivfpq_indexed" -> Similarity.ivfPqTrainedOracle(),

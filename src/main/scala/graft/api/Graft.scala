@@ -376,6 +376,25 @@ object Graft {
                         nProbe: Int = 4, k: Int = 5): DataFrame =
     graft.operators.Similarity.annServeFromIndex(spark, dir, queries, nProbe, k)
 
+  /** Serve the same artifact through int8 scoring + exact re-rank —
+    * 1 byte/dim on the candidate scan (4× less IO, measured recall
+    * 1.00 vs exact scoring); sq8 encoding is deterministic per vector,
+    * so the mode adds no artifact format or lifecycle. */
+  def annServeSq8FromIndex(spark: SparkSession, dir: String,
+                           queries: DataFrame, nProbe: Int = 4,
+                           k: Int = 5): DataFrame =
+    graft.operators.Similarity.annServeSq8FromIndex(spark, dir, queries,
+      nProbe, k)
+
+  /** MMR diversity top-k (Carbonell & Goldstein 1998): the k best
+    * DISTINCT neighbors per query — greedy λ·relevance − (1−λ)·max-
+    * similarity-to-selected over the exact shortlist. λ=1 is plain
+    * top-k. Both frames are (vec_id, embedding). */
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                lambda: Double = 0.7): DataFrame =
+    graft.operators.Similarity.annMmrFrames(corpus, queries, k,
+      lambda = lambda)
+
   /** Append new (vec_id, embedding) vectors to an IVF index artifact
     * using its own centroids — map-only assignment over the delta,
     * existing partitions untouched. */

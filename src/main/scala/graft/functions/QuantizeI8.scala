@@ -185,16 +185,39 @@ case class Sq8Cosine(left: Expression, right: Expression)
   private lazy val qFloat = elemIsFloat(left)
   private lazy val xFloat = elemIsFloat(right)
 
+  /** Same stance as [[DotProduct]]: parquet array schemas admit null
+    * SLOTS even when none was written, so the kernel gets an `isNullAt`
+    * branch (whole result → NULL) instead of silently reading null
+    * slots as 0.0 for arbitrary SQL callers. */
+  private lazy val elemsNullable: Boolean =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_, n1), ArrayType(_, n2)) => n1 || n2
+      case _ => true
+    }
+
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemsNullable
   override def prettyName: String = "sq8_cosine"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    Sq8Cosine.compute(a.asInstanceOf[ArrayData],
-      b.asInstanceOf[ArrayData], qFloat, xFloat)
+    if (elemsNullable)
+      Sq8Cosine.computeOrNull(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], qFloat, xFloat)
+    else
+      Sq8Cosine.compute(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], qFloat, xFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.Sq8Cosine.compute($a, $b, $qFloat, $xFloat);")
+    if (elemsNullable)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        java.lang.Double ${ev.value}_r =
+          graft.functions.Sq8Cosine.computeOrNull($a, $b, $qFloat, $xFloat);
+        if (${ev.value}_r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ${ev.value}_r.doubleValue(); }""")
+    else
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Sq8Cosine.compute($a, $b, $qFloat, $xFloat);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Sq8Cosine =
@@ -205,32 +228,60 @@ object Sq8Cosine {
   private def roundHalfAway(v: Double): Double =
     if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
 
+  /** Non-null element slots (schema said `containsNull = false`).
+    * Ragged inputs fail LOUDLY, like [[DotProduct.compute]]. */
   def compute(q: ArrayData, x: ArrayData,
               qFloat: Boolean, xFloat: Boolean): Double = {
+    val n = checkLengths(q, x)
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(xAt(x, i, xFloat))
+      if (a > maxabs) maxabs = a
+      i += 1
+    }
+    accumulate(q, x, qFloat, xFloat, n, maxabs)
+  }
+
+  /** [[compute]] with an `isNullAt` branch: any null slot on either
+    * side makes the whole score NULL (the SQL-facing semantics). */
+  def computeOrNull(q: ArrayData, x: ArrayData,
+                    qFloat: Boolean, xFloat: Boolean): java.lang.Double = {
+    val n = checkLengths(q, x)
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i) || x.isNullAt(i)) return null
+      val a = math.abs(xAt(x, i, xFloat))
+      if (a > maxabs) maxabs = a
+      i += 1
+    }
+    java.lang.Double.valueOf(accumulate(q, x, qFloat, xFloat, n, maxabs))
+  }
+
+  private def checkLengths(q: ArrayData, x: ArrayData): Int = {
     val n = x.numElements()
     if (q.numElements() != n)
       throw new IllegalArgumentException(
         s"sq8_cosine: vector lengths differ (${q.numElements()} vs $n)")
-    def qAt(i: Int): Double =
-      if (qFloat) q.getFloat(i).toDouble else q.getDouble(i)
-    def xAt(i: Int): Double =
-      if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
-    var maxabs = 0.0
-    var i = 0
-    while (i < n) {
-      val a = math.abs(xAt(i))
-      if (a > maxabs) maxabs = a
-      i += 1
-    }
+    n
+  }
+
+  private def xAt(x: ArrayData, i: Int, f: Boolean): Double =
+    if (f) x.getFloat(i).toDouble else x.getDouble(i)
+
+  private def accumulate(q: ArrayData, x: ArrayData,
+                         qFloat: Boolean, xFloat: Boolean,
+                         n: Int, maxabs: Double): Double = {
     val scale = if (maxabs > 0) 127.0 / maxabs else 1.0
     var dp = 0.0; var nq = 0.0; var nd = 0.0
-    i = 0
+    var i = 0
     while (i < n) {
-      var c = roundHalfAway(xAt(i) * scale)
+      var c = roundHalfAway(xAt(x, i, xFloat) * scale)
       if (c < -127.0) c = -127.0
       if (c > 127.0) c = 127.0
       val d = c / scale
-      val qv = qAt(i)
+      val qv = xAt(q, i, qFloat)
       dp += qv * d
       nq += qv * qv
       nd += d * d

@@ -2900,6 +2900,242 @@ object Similarity {
       nProbe, k)
   }
 
+  /** SQ8 serving FROM an IVF index artifact: like
+    * [[annServeFromIndex]] but stage 1 scores the probed cells with
+    * [[graft.functions.Sq8Cosine]] over 1-byte-per-dim arithmetic and
+    * stage 2 exact-reranks the bounded shortlist — the query-time seam
+    * that turns any existing IVF artifact into the 4×-cheaper-scan
+    * serving mode with NO new artifact format or lifecycle (sq8
+    * encoding is deterministic per vector, so there is nothing to
+    * train, snapshot, or drift-monitor — the whole point of the rung). */
+  def annServeSq8FromIndex(spark: SparkSession, dir: String,
+                           queries: DataFrame, nProbe: Int = 4, k: Int = 5,
+                           shortlistFactor: Int = 8): DataFrame = {
+    val cents = readIvfCentroids(spark, dir)
+    val assigned = readIvfAssigned(spark, dir)
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("e_c"), col("nrm").as("n_c"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        l2norm(col("embedding")).as("n_q"),
+        explode(graft.functions.VectorQuantize
+          .nearestCells(col("embedding"), cents, nProbe)).as("cell"))
+    val short = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.Sq8Cosine.score(col("e_q"), col("e_c"))
+          .as("score"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.topkByScore(
+        col("neighbor_id"), col("score"), shortlistFactor * k).as("top"))
+      .select(col("query_id"), explode(col("top.neighbor_id"))
+        .as("neighbor_id"))
+    rankTopK(
+      short
+        .join(assigned.select(col("neighbor_id"), col("e_c"), col("n_c")),
+          Seq("neighbor_id"))
+        .join(broadcast(probes.select("query_id", "e_q", "n_q").distinct()),
+          Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
+            .as("cos")),
+      k)
+  }
+
+  /** §2 #237 — IVF-SQ8 serving FROM THE ARTIFACT: build the standard
+    * IVF index once (static quantizer, the [[annIvfIndexed]] stance),
+    * then serve the query set through [[annServeSq8FromIndex]] —
+    * proving the artifact seam extends to the 4×-cheaper sq8 scan with
+    * zero new lifecycle surface. Bit-identical to the inline pipeline
+    * under the same quantizer, which the shared oracle
+    * ([[ivfSq8StaticOracle]]) and SimilaritySpec both pin. */
+  def annIvfSq8Indexed(spark: SparkSession, sfDir: String,
+                       nProbe: Int = 4, nQueries: Int = 10,
+                       k: Int = 5): DataFrame = {
+    val dir = ExportImport.scratch(
+      s"ivf-index/run-${java.util.UUID.randomUUID()}")
+    ivfIndexToDir(spark, sfDir, dir)
+    annServeSq8FromIndex(spark, dir,
+      Tables.load(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding")),
+      nProbe, k)
+  }
+
+  /** Oracle for [[annIvfSq8Indexed]]: the [[ivfSq8TrainedOracle]]
+    * replay over the STATIC quantizer the artifact build pins. */
+  def ivfSq8StaticOracle(nProbe: Int = 4, nQueries: Int = 10, k: Int = 5,
+                         shortlistFactor: Int = 8): String =
+    ivfSq8OracleFor(staticCentroids(), nProbe, nQueries, k, shortlistFactor)
+
+  /** §2 #238 — MMR DIVERSITY RE-RANK (Maximal Marginal Relevance,
+    * Carbonell & Goldstein 1998): greedy top-k that trades relevance
+    * against redundancy — pick argmax `λ·cos(q,c) − (1−λ)·max_{s∈S}
+    * cos(c,s)` k times. The retrieval-side twin of near-dup removal:
+    * a RAG context window or a diverse few-shot set wants the k BEST
+    * DISTINCT neighbors, not k copies of the best one; λ=1 degenerates
+    * to plain top-k (SimilaritySpec pins that identity exactly).
+    *
+    * Scale shape: the expensive stage is the same exact shortlist scan
+    * every ANN variant uses (bounded TopK, swap in any index path
+    * unchanged above the ranking); everything after is
+    * shortlist-bounded — the pair stage is (f·k)² rows per query, the
+    * k greedy rounds are fixed-size joins over the PERSISTED shortlist/
+    * pair frames (KB-sized model state, the truth-frame doctrine), so
+    * the selection never touches the corpus again and never loops on
+    * the driver. Fully deterministic (ties → lower id), so the DuckDB
+    * oracle replays the whole greedy unrolled — STATIC SQL, no trained
+    * literals. */
+  def annMmr(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+             k: Int = 5, shortlistFactor: Int = 8,
+             lambda: Double = 0.7): DataFrame = {
+    val v = vectors(spark, sfDir)
+    annMmrFrames(v, v.filter(col("vec_id") < nQueries), k,
+      shortlistFactor, lambda)
+  }
+
+  /** Generic two-frame core: MMR-select from ANY (vec_id, embedding)
+    * corpus for ANY (vec_id, embedding) query frame (norms recomputed
+    * if absent; shared-id rows are excluded as self-matches, disjoint
+    * id spaces are simply unaffected). The facade entry point. */
+  def annMmrFrames(corpus: DataFrame, queryFrame: DataFrame, k: Int = 5,
+                   shortlistFactor: Int = 8,
+                   lambda: Double = 0.7): DataFrame = {
+    def withNrm(df: DataFrame) =
+      if (df.columns.contains("nrm")) df
+      else df.withColumn("nrm", l2norm(col("embedding")))
+    val queries = withNrm(queryFrame)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"))
+    val cEmb = withNrm(corpus).select(col("vec_id").as("cand_id"),
+      col("embedding").as("e_c"), col("nrm").as("n_c"))
+    // stage 1 — exact cosine shortlist (the brute scan + bounded TopK)
+    val short = cEmb
+      .join(broadcast(queries), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
+          .as("cosq"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.topkByScore(
+        col("cand_id"), col("cosq"), shortlistFactor * k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.neighbor_id").as("cand_id"),
+        col("e.cos").as("cosq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TransientCaches.register(short)
+    // stage 2 — candidate-candidate similarities WITHIN the shortlist
+    val pairs = short.select(col("query_id"), col("cand_id").as("a_id"))
+      .join(cEmb.select(col("cand_id").as("a_id"), col("e_c").as("e_a"),
+        col("n_c").as("n_a")), Seq("a_id"))
+      .join(short.select(col("query_id"), col("cand_id").as("b_id"))
+        .join(cEmb.select(col("cand_id").as("b_id"), col("e_c").as("e_b"),
+          col("n_c").as("n_b")), Seq("b_id")), Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        cosineWithNorms(dot(col("e_a"), col("e_b")), col("n_a"), col("n_b"))
+          .as("cab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TransientCaches.register(pairs)
+    // stage 3 — k greedy rounds over the bounded cached frames
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("mmr").desc, col("cand_id"))
+    var selected: DataFrame = null
+    var remaining = short
+    for (r <- 1 to k) {
+      val withSim =
+        if (selected == null) remaining.withColumn("msim", lit(0.0))
+        else remaining.join(
+          pairs.join(selected.select(col("query_id"),
+            col("cand_id").as("b_id")), Seq("query_id", "b_id"))
+            .groupBy(col("query_id"), col("a_id").as("cand_id"))
+            .agg(max(col("cab")).as("msim")),
+          Seq("query_id", "cand_id"))
+      val pick = withSim
+        .withColumn("mmr",
+          lit(lambda) * col("cosq") - lit(1.0 - lambda) * col("msim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"),
+          lit(r).cast("int").as("rnk"), col("cosq"), col("mmr"))
+      selected = if (selected == null) pick else selected.unionByName(pick)
+      remaining = remaining.join(pick.select("query_id", "cand_id"),
+        Seq("query_id", "cand_id"), "left_anti")
+    }
+    selected
+      .select(col("query_id"), col("cand_id").as("neighbor_id"), col("rnk"),
+        round(col("cosq"), 6).as("cos6"), round(col("mmr"), 6).as("mmr6"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** DuckDB replay for [[annMmr]] — static SQL with the k greedy
+    * rounds UNROLLED (sel1..selK + cumulative selected sets): the same
+    * shortlist/pair arithmetic, the same `λ·cosq − (1−λ)·max` formula
+    * with the same literal λ, the same (mmr DESC, id) tie-break. */
+  def mmrOracle(nQueries: Int = 10, k: Int = 5, shortlistFactor: Int = 8,
+                lambda: Double = 0.7): String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val lam = lambda.toString
+    val oneMinus = (1.0 - lambda).toString
+    val rounds = (2 to k).map { r =>
+      s"""cum${r - 1} AS (${(1 until r)
+          .map(i => s"SELECT query_id, cand_id FROM sel$i")
+          .mkString(" UNION ALL ")}),
+        sel$r AS (SELECT query_id, cand_id, cosq, mmr FROM (
+            SELECT s.query_id, s.cand_id, s.cosq,
+              ($lam * s.cosq - $oneMinus * m.msim) AS mmr,
+              row_number() OVER (PARTITION BY s.query_id ORDER BY
+                ($lam * s.cosq - $oneMinus * m.msim) DESC, s.cand_id) AS r
+            FROM short s
+            JOIN (SELECT p.query_id, p.a_id, max(p.cab) AS msim
+                  FROM pairs p
+                  JOIN cum${r - 1} c ON c.query_id = p.query_id
+                                    AND c.cand_id = p.b_id
+                  GROUP BY 1, 2) m
+              ON m.query_id = s.query_id AND m.a_id = s.cand_id
+            WHERE NOT EXISTS (SELECT 1 FROM cum${r - 1} x
+                              WHERE x.query_id = s.query_id
+                                AND x.cand_id = s.cand_id))
+          WHERE r = 1)"""
+    }.mkString(",\n        ")
+    val unionAll = (1 to k)
+      .map(r => s"SELECT query_id, cand_id, $r AS rnk, cosq, mmr FROM sel$r")
+      .mkString(" UNION ALL ")
+    s"""WITH nv AS (SELECT vec_id, embedding,
+                 sqrt(${dot("embedding", "embedding")}) AS nrm
+               FROM embeddings),
+        short AS (SELECT query_id, cand_id, cosq FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosq,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                c.vec_id) AS r
+            FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < $nQueries)
+          WHERE r <= ${shortlistFactor * k}),
+        pairs AS (SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+            ${dot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cab
+          FROM short a
+          JOIN short b ON b.query_id = a.query_id
+                      AND b.cand_id <> a.cand_id
+          JOIN nv ea ON ea.vec_id = a.cand_id
+          JOIN nv eb ON eb.vec_id = b.cand_id),
+        sel1 AS (SELECT query_id, cand_id, cosq,
+            ($lam * cosq - $oneMinus * 0.0) AS mmr FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY
+              ($lam * cosq - $oneMinus * 0.0) DESC, cand_id) AS r
+            FROM short)
+          WHERE r = 1),
+        $rounds
+        SELECT query_id, cand_id AS neighbor_id, CAST(rnk AS INTEGER)
+            AS rnk,
+          round(cosq, 6) AS cos6, round(mmr, 6) AS mmr6
+        FROM ($unionAll)
+        ORDER BY query_id, rnk"""
+  }
+
   /** §2 #96b — INCREMENTAL semantic-dedup decisions: a delta batch of
     * (vec_id, embedding) vectors decided against an accumulated base of
     * KEPT vectors — the embedding twin of the media families' delta
@@ -3805,6 +4041,150 @@ object Similarity {
                 n.vec_id) AS r
             FROM embeddings q JOIN dq n ON n.vec_id <> q.vec_id
             WHERE q.vec_id < $nQueries)
+          WHERE r <= ${shortlistFactor * k})
+        SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos6 FROM (
+          SELECT s.query_id, s.neighbor_id,
+            ${dot("qv.embedding", "cv.embedding")} / (qv.nrm * cv.nrm) AS cos,
+            CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY
+              ${dot("qv.embedding", "cv.embedding")} / (qv.nrm * cv.nrm) DESC,
+              s.neighbor_id) AS INTEGER) AS rnk
+          FROM short s
+          JOIN nv qv ON qv.vec_id = s.query_id
+          JOIN nv cv ON cv.vec_id = s.neighbor_id)
+        WHERE rnk <= $k ORDER BY query_id, rnk"""
+  }
+
+  /** §2 #236 — IVF-SQ8 (the FAISS `IndexIVFScalarQuantizer(QT_8bit)`
+    * composition): the coarse quantizer (#39/#66) composed with int8
+    * scalar quantization (#234) — the sub-linear-scan × recall-free-
+    * compression point of the serving ladder. A query probes its
+    * `nProbe` nearest cells and sq8-scores ONLY those cells' rows (the
+    * scan shrinks by ~nProbe/nCells AND reads 1 byte/dim instead of 4 —
+    * the two savings multiply, the IVFADC argument at 4× instead of
+    * 32×); the shortlist is exact-reranked by true cosine. Because sq8
+    * scoring is near-exact (#226 measures recall 1.00 for the flat
+    * scan), the probe pattern is the ONLY recall loss: SimilaritySpec
+    * pins this output equal to [[annIvf]]'s at the same operating
+    * point — you pay 4× less scan IO for identical answers.
+    *
+    * Same scale shape as [[annIvfPq]]: map-only assignment over
+    * broadcast centroids, cell equi-join against the ≤ nQueries×nProbe
+    * broadcast probe set, bounded TopK both stages. Everything
+    * downstream of the trained quantizer is replayed exactly by
+    * [[ivfSq8TrainedOracle]]. */
+  def annIvfSq8(spark: SparkSession, sfDir: String, nCells: Int = 16,
+                nProbe: Int = 4, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = vectors(spark, sfDir)
+    annIvfSq8With(v, withTrainCache(v)(trainCentroids(_, nCells)),
+      nProbe, nQueries, k)
+  }
+
+  private[graft] def annIvfSq8With(v: DataFrame,
+                                   cents: Array[Array[Double]],
+                                   nProbe: Int, nQueries: Int, k: Int,
+                                   shortlistFactor: Int = 8): DataFrame = {
+    val shortlist = shortlistFactor * k
+    def cellsOf(n: Int) =
+      graft.functions.VectorQuantize.nearestCells(col("embedding"), cents, n)
+    val cand = v.select(element_at(cellsOf(1), 1).as("cell"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("e_c"))
+    val queries = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"))
+    val probes = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        explode(cellsOf(nProbe)).as("cell"))
+    // stage 1 — sq8 shortlist over the PROBED CELLS only
+    val short = cand
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.Sq8Cosine.score(col("e_q"), col("e_c"))
+          .as("score"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.topkByScore(
+        col("neighbor_id"), col("score"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top.neighbor_id"))
+        .as("neighbor_id"))
+    // stage 2 — exact re-rank of the shortlist by true cosine
+    rankTopK(
+      short
+        .join(v.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("e_c"), col("nrm").as("n_c")),
+          Seq("neighbor_id"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
+            .as("cos")),
+      k)
+  }
+
+  /** DuckDB replay for [[annIvfSq8]]: trained centroids inlined (the
+    * [[ivfTrainedOracle]] stance), then cell assignment/probing exactly
+    * as [[ivfPqOracleFor]] and the sq8 scoring exactly as [[sq8Oracle]]
+    * — the two proven replays composed. */
+  def ivfSq8TrainedOracle(nCells: Int = 16, nProbe: Int = 4,
+                          nQueries: Int = 10, k: Int = 5,
+                          shortlistFactor: Int = 8): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val v = vectors(spark, sfDir)
+    val cents = withTrainCache(v)(trainCentroids(_, nCells))
+    ivfSq8OracleFor(cents, nProbe, nQueries, k, shortlistFactor)
+  }
+
+  /** [[ivfSq8TrainedOracle]]'s replay for a GIVEN quantizer — shared
+    * with the static-quantizer artifact leg ([[annIvfSq8Indexed]]),
+    * which serves bit-identically by construction. */
+  private def ivfSq8OracleFor(cents: Array[Array[Double]],
+                              nProbe: Int, nQueries: Int, k: Int,
+                              shortlistFactor: Int): String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"(${i}, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    s"""WITH cents(cell, cv) AS (VALUES $centRows),
+        nv AS (SELECT vec_id, embedding,
+                 sqrt(${dot("embedding", "embedding")}) AS nrm
+               FROM embeddings),
+        ranked AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              ${dot("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+          FROM nv v, cents c),
+        dq AS (SELECT vec_id,
+                 list_transform(embedding,
+                   v -> least(greatest(
+                          round(CAST(v AS DOUBLE) * scale), -127.0),
+                          127.0) / scale) AS d
+               FROM (SELECT vec_id, embedding,
+                       CASE WHEN maxabs > 0 THEN 127.0 / maxabs
+                            ELSE 1.0 END AS scale
+                     FROM (SELECT vec_id, embedding,
+                             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                               list_transform(embedding,
+                                 v -> abs(CAST(v AS DOUBLE)))),
+                               (a, b) -> greatest(a, b)) AS maxabs
+                           FROM embeddings))),
+        acand AS (SELECT a.cell, d.vec_id, d.d FROM dq d
+                  JOIN (SELECT vec_id, cell FROM ranked WHERE crnk = 1) a
+                    ON a.vec_id = d.vec_id),
+        probes AS (SELECT cell, vec_id AS query_id, embedding AS e_q
+                   FROM ranked WHERE crnk <= $nProbe AND vec_id < $nQueries),
+        short AS (SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, n.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                (${dot("p.e_q", "n.d")}
+                   / (sqrt(${dot("p.e_q", "p.e_q")})
+                      * sqrt(${dot("n.d", "n.d")}))) DESC,
+                n.vec_id) AS r
+            FROM probes p, acand n
+            WHERE n.cell = p.cell AND n.vec_id <> p.query_id)
           WHERE r <= ${shortlistFactor * k})
         SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos6 FROM (
           SELECT s.query_id, s.neighbor_id,

@@ -40,6 +40,35 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("Sq8Cosine: self-score is 1 - distortion, null slots propagate, " +
+      "ragged lengths fail loudly") {
+    import graft.functions.Sq8Cosine
+    // exact-arithmetic identity with the QuantizeDistortion kernel
+    val df = Seq(Seq(0.5, -1.25, 3.0, 0.001), Seq(1.0, 1.0, 1.0, 1.0))
+      .toDF("e")
+    df.select(Sq8Cosine.score(col("e"), col("e")).as("c"),
+      graft.functions.QuantizeI8.distortion(col("e")).as("d"))
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(0) - (1.0 - r.getDouble(1))) < 1e-12)
+      }
+    // null element slot -> NULL score (the DotProduct stance)
+    val rows = spark.sql(
+      """SELECT array(1.0D, CAST(NULL AS DOUBLE)) AS a,
+                array(2.0D, 3.0D) AS b""")
+      .select(Sq8Cosine.score(col("a"), col("b")).as("s"))
+      .collect().head
+    assert(rows.isNullAt(0), "null element slot must yield NULL")
+    // ragged lengths fail loudly
+    val ex = intercept[Exception] {
+      spark.sql("SELECT array(1.0D) AS a, array(1.0D, 2.0D) AS b")
+        .select(Sq8Cosine.score(col("a"), col("b")))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(ex).exists(m => m != null && m.contains("lengths differ")))
+  }
+
   test("WordShingles equals distinct 3-grams, first-occurrence order") {
     val df = Seq("a b c d a b c d", "x y", "").toDF("t")
       .select(WordShinglesExpr.wordShingles(split(col("t"), " "), 3).as("sh"))

@@ -366,6 +366,83 @@ class SimilaritySpec extends SparkSpec {
       s"sq8 ${table("ann_sq8")} should not trail 4-bit PQ ${table("ann_pq")}")
   }
 
+  test("ann_ivfsq8: identical answers to trained IVF at the same " +
+      "operating point — the probe pattern is the only recall loss") {
+    val ivf = Similarity.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sq8 = Similarity.annIvfSq8(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // sq8 scoring is near-exact (flat-scan recall 1.00 in the #226
+    // table), so the f=8 shortlist always covers the exact top-k of
+    // the probed candidates here: same probes -> same answers, at a
+    // 4x cheaper candidate scan
+    assert(sq8 == ivf, s"ivf-sq8 diverged: ${(sq8 diff ivf).take(3)} / ${(ivf diff sq8).take(3)}")
+    // the candidate stage is the cell EQUI-join (bounded broadcast
+    // probe side), not a corpus-wide nested loop
+    val plan = planOf(Similarity.annIvfSq8(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("ann_ivfsq8_indexed: artifact-served sq8 equals the inline " +
+      "pipeline under the shared static quantizer") {
+    import org.apache.spark.sql.functions.col
+    val inline = Similarity.annIvfSq8With(
+      Tables.load(spark, sf, "embeddings")
+        .selectExpr("vec_id", "label", "embedding",
+          "sqrt(aggregate(transform(embedding, x -> double(x) * double(x)), 0D, (a, b) -> a + b)) AS nrm"),
+      Similarity.staticCentroids(), nProbe = 4, nQueries = 10, k = 5)
+      .collect().map(_.toString).toSeq
+    val indexed = Similarity.annIvfSq8Indexed(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(indexed == inline, "artifact serve must be bit-identical")
+    assert(indexed.nonEmpty)
+  }
+
+  test("ann_mmr: lambda=1 degenerates to exact top-k; lambda<1 buys " +
+      "strictly less redundancy; greedy is deterministic") {
+    // λ=1: mmr == cosq, so the greedy selection IS the exact top-k in
+    // rank order — pins the selection machinery against ann_bruteforce
+    val brute = Similarity.annBruteforce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val degen = Similarity.annMmr(spark, sf, lambda = 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(degen == brute,
+      s"λ=1 must equal top-k: ${(degen diff brute).take(3)}")
+    // λ=0.7: per query, the selected set's max pairwise cosine is <=
+    // the plain top-k set's (diversity is what the knob buys)
+    val mmr = Similarity.annMmr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def maxPair(ids: Seq[Long]) =
+      (for (a <- ids; b <- ids if a < b) yield cos(vecs(a), vecs(b))).max
+    // MMR is a greedy trade, not a max-pair minimizer — a per-query
+    // bound is NOT a theorem (and indeed fails on already-diverse
+    // queries here by hairs). The honest property: redundancy drops
+    // IN AGGREGATE across the query set, strictly.
+    val byQ = mmr.groupBy(_._1)
+    val bruteByQ = brute.toSeq.groupBy(_._1)
+    val perQ = byQ.map { case (q, sel) =>
+      (maxPair(sel.map(_._2).toSeq), maxPair(bruteByQ(q).map(_._2).toSeq))
+    }.toSeq
+    val (mmrSum, bruteSum) = (perQ.map(_._1).sum, perQ.map(_._2).sum)
+    assert(mmrSum < bruteSum - 1e-9,
+      s"aggregate max-pair redundancy must drop: $mmrSum vs $bruteSum")
+    assert(perQ.count { case (m, b) => m < b - 1e-12 } > 0,
+      "diversity must strictly improve on some query")
+    // deterministic: two runs agree exactly
+    val again = Similarity.annMmr(spark, sf).collect().map(_.toString).toSeq
+    assert(again == Similarity.annMmr(spark, sf).collect()
+      .map(_.toString).toSeq)
+  }
+
   test("ann_ivf: trained centroids are unit-norm and deterministic") {
     val v = Tables.load(spark, sf, "embeddings")
       .selectExpr("vec_id", "label", "embedding",
