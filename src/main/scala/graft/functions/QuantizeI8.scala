@@ -158,140 +158,97 @@ object QuantizeDistortion {
   }
 }
 
-/** SQ8 ASYMMETRIC COSINE: `cos(q, dequant_i8(x))` — the scalar-quantized
-  * serving score (FAISS `IndexScalarQuantizer(QT_8bit)`'s asymmetric
-  * distance, cosine metric). The left child is the RAW query vector, the
-  * right child is a corpus vector served from int8 storage: it is
-  * max-abs-quantized with [[QuantizeI8]]'s exact arithmetic (double
-  * casts, round half away from zero, clamp ±127) and scored dequantized.
-  * At 100 TB this is the 4×-cheaper scan [[QuantizeI8]]'s storage leg
-  * buys: production reads `(codes int8[], scale)` off disk and never
-  * touches the float vectors until the exact re-rank gather.
+/** SQ8 DEQUANTIZED VECTOR: `dequant_i8(x)` as `array<double>` — the
+  * value a serving tier reconstructs from [[QuantizeI8]]'s int8 storage
+  * leg (`codes/scale`), computed ONCE PER CANDIDATE as a map-only pass
+  * (one max-abs fold + one quantize/clamp/dequantize pass, the exact
+  * arithmetic of the storage leg: double casts, round half away from
+  * zero, clamp ±127). Scoring then rides the codegen'd [[DotProduct]]:
+  * `cos(q, d) = dot(q, d) / (|q|·|d|)` — the asymmetric distance of
+  * FAISS `IndexScalarQuantizer(QT_8bit)` — WITHOUT re-quantizing the
+  * candidate once per query (the broadcast-query join would otherwise
+  * multiply the quantization work by the query count; the DuckDB
+  * oracles build their `dq` frame once per vector for the same reason).
   *
-  * Same fused-kernel stance as [[QuantizeDistortion]] and the same
-  * cross-engine contract: three independent strict left-to-right folds
-  * (dot, query norm², dequantized norm²), IEEE sqrt, zero-denominator →
-  * 0. The DuckDB oracle replays quantization per element and folds in
-  * the same order, so stage-1 ranking agrees bit-for-bit. */
-case class Sq8Cosine(left: Expression, right: Expression)
-    extends BinaryExpression {
+  * Null element slots propagate to a NULL result (the [[DotProduct]]
+  * stance); schema-level `containsNull = false` skips the branch. */
+case class Sq8Dequant(child: Expression) extends UnaryExpression {
 
-  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+  private lazy val elemFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false
     case t => throw new IllegalArgumentException(
-      s"sq8_cosine needs array<float|double>, got $t")
+      s"sq8_dequant needs array<float|double>, got $t")
   }
-  private lazy val qFloat = elemIsFloat(left)
-  private lazy val xFloat = elemIsFloat(right)
 
-  /** Same stance as [[DotProduct]]: parquet array schemas admit null
-    * SLOTS even when none was written, so the kernel gets an `isNullAt`
-    * branch (whole result → NULL) instead of silently reading null
-    * slots as 0.0 for arbitrary SQL callers. */
-  private lazy val elemsNullable: Boolean =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(_, n1), ArrayType(_, n2)) => n1 || n2
-      case _ => true
-    }
+  private lazy val elemsNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
 
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean =
-    left.nullable || right.nullable || elemsNullable
-  override def prettyName: String = "sq8_cosine"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable || elemsNullable
+  override def prettyName: String = "sq8_dequant"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
+  override protected def nullSafeEval(input: Any): Any =
     if (elemsNullable)
-      Sq8Cosine.computeOrNull(a.asInstanceOf[ArrayData],
-        b.asInstanceOf[ArrayData], qFloat, xFloat)
+      Sq8Dequant.computeOrNull(input.asInstanceOf[ArrayData], elemFloat)
     else
-      Sq8Cosine.compute(a.asInstanceOf[ArrayData],
-        b.asInstanceOf[ArrayData], qFloat, xFloat)
+      Sq8Dequant.compute(input.asInstanceOf[ArrayData], elemFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     if (elemsNullable)
-      nullSafeCodeGen(ctx, ev, (a, b) => s"""
-        java.lang.Double ${ev.value}_r =
-          graft.functions.Sq8Cosine.computeOrNull($a, $b, $qFloat, $xFloat);
+      nullSafeCodeGen(ctx, ev, c => s"""
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+          graft.functions.Sq8Dequant.computeOrNull($c, $elemFloat);
         if (${ev.value}_r == null) { ${ev.isNull} = true; }
-        else { ${ev.value} = ${ev.value}_r.doubleValue(); }""")
+        else { ${ev.value} = ${ev.value}_r; }""")
     else
-      nullSafeCodeGen(ctx, ev, (a, b) =>
-        s"${ev.value} = graft.functions.Sq8Cosine.compute($a, $b, $qFloat, $xFloat);")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Sq8Dequant.compute($c, $elemFloat);")
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Sq8Cosine =
-    copy(left = newLeft, right = newRight)
+  override protected def withNewChildInternal(newChild: Expression): Sq8Dequant =
+    copy(child = newChild)
 }
 
-object Sq8Cosine {
+object Sq8Dequant {
   private def roundHalfAway(v: Double): Double =
     if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
 
-  /** Non-null element slots (schema said `containsNull = false`).
-    * Ragged inputs fail LOUDLY, like [[DotProduct.compute]]. */
-  def compute(q: ArrayData, x: ArrayData,
-              qFloat: Boolean, xFloat: Boolean): Double = {
-    val n = checkLengths(q, x)
+  def compute(arr: ArrayData, elemFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    def at(i: Int): Double =
+      if (elemFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
     var maxabs = 0.0
     var i = 0
     while (i < n) {
-      val a = math.abs(xAt(x, i, xFloat))
+      val a = math.abs(at(i))
       if (a > maxabs) maxabs = a
       i += 1
     }
-    accumulate(q, x, qFloat, xFloat, n, maxabs)
-  }
-
-  /** [[compute]] with an `isNullAt` branch: any null slot on either
-    * side makes the whole score NULL (the SQL-facing semantics). */
-  def computeOrNull(q: ArrayData, x: ArrayData,
-                    qFloat: Boolean, xFloat: Boolean): java.lang.Double = {
-    val n = checkLengths(q, x)
-    var maxabs = 0.0
-    var i = 0
-    while (i < n) {
-      if (q.isNullAt(i) || x.isNullAt(i)) return null
-      val a = math.abs(xAt(x, i, xFloat))
-      if (a > maxabs) maxabs = a
-      i += 1
-    }
-    java.lang.Double.valueOf(accumulate(q, x, qFloat, xFloat, n, maxabs))
-  }
-
-  private def checkLengths(q: ArrayData, x: ArrayData): Int = {
-    val n = x.numElements()
-    if (q.numElements() != n)
-      throw new IllegalArgumentException(
-        s"sq8_cosine: vector lengths differ (${q.numElements()} vs $n)")
-    n
-  }
-
-  private def xAt(x: ArrayData, i: Int, f: Boolean): Double =
-    if (f) x.getFloat(i).toDouble else x.getDouble(i)
-
-  private def accumulate(q: ArrayData, x: ArrayData,
-                         qFloat: Boolean, xFloat: Boolean,
-                         n: Int, maxabs: Double): Double = {
     val scale = if (maxabs > 0) 127.0 / maxabs else 1.0
-    var dp = 0.0; var nq = 0.0; var nd = 0.0
-    var i = 0
+    val out = new Array[Double](n)
+    i = 0
     while (i < n) {
-      var c = roundHalfAway(xAt(x, i, xFloat) * scale)
+      var c = roundHalfAway(at(i) * scale)
       if (c < -127.0) c = -127.0
       if (c > 127.0) c = 127.0
-      val d = c / scale
-      val qv = xAt(q, i, qFloat)
-      dp += qv * d
-      nq += qv * qv
-      nd += d * d
+      out(i) = c / scale
       i += 1
     }
-    val denom = math.sqrt(nq) * math.sqrt(nd)
-    if (denom == 0.0) 0.0 else dp / denom
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  def score(q: Column, x: Column): Column =
-    CatalystBridge.column(Sq8Cosine(
-      CatalystBridge.expression(q), CatalystBridge.expression(x)))
+  def computeOrNull(arr: ArrayData, elemFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      i += 1
+    }
+    compute(arr, elemFloat)
+  }
+
+  def dequant(emb: Column): Column =
+    CatalystBridge.column(Sq8Dequant(CatalystBridge.expression(emb)))
 }

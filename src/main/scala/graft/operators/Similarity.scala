@@ -990,32 +990,11 @@ object Similarity {
     val centRows = cents.zipWithIndex.map { case (c, i) =>
       s"(${i}, ${c.mkString("[", ", ", "]")})"
     }.mkString(", ")
-    val cbRows = (for {
-      m <- 0 until nSub
-      kk <- cbs(m).indices
-    } yield s"($m, $kk, ${cbs(m)(kk).mkString("[", ", ", "]")}, " +
-      s"${l2Biases(cbs(m))(kk)})")
-      .mkString(", ")
+    val (cbRows, cbLit) = pqCbLits(cbs)
+    val (cbrRows, cbrLit) = pqCbLits(cbsR)
+    val (cboRows, cboLit) = pqCbLits(cbsO)
     val codePivot = (0 until nSub)
       .map(m => s"max(CASE WHEN m = $m THEN kk END) AS c$m").mkString(", ")
-    val cbLit = cbs.map(_.map(_.mkString("[", ", ", "]"))
-      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
-    val cbrRows = (for {
-      m <- 0 until nSub
-      kk <- cbsR(m).indices
-    } yield s"($m, $kk, ${cbsR(m)(kk).mkString("[", ", ", "]")}, " +
-      s"${l2Biases(cbsR(m))(kk)})")
-      .mkString(", ")
-    val cbrLit = cbsR.map(_.map(_.mkString("[", ", ", "]"))
-      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
-    val cboRows = (for {
-      m <- 0 until nSub
-      kk <- cbsO(m).indices
-    } yield s"($m, $kk, ${cbsO(m)(kk).mkString("[", ", ", "]")}, " +
-      s"${l2Biases(cbsO(m))(kk)})")
-      .mkString(", ")
-    val cboLit = cbsO.map(_.map(_.mkString("[", ", ", "]"))
-      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
     def adc(qE: String) = (0 until nSub).map { m =>
       val lo = m * sub + 1
       val hi = (m + 1) * sub
@@ -1149,20 +1128,7 @@ object Similarity {
             WHERE ct.cell = p.cell AND n.cell = p.cell
               AND n.vec_id <> p.query_id)
           WHERE r <= ${8 * k}),
-        dqz AS (SELECT vec_id,
-                  list_transform(embedding,
-                    v -> least(greatest(
-                           round(CAST(v AS DOUBLE) * scale), -127.0),
-                           127.0) / scale) AS d
-                FROM (SELECT vec_id, embedding,
-                        CASE WHEN maxabs > 0 THEN 127.0 / maxabs
-                             ELSE 1.0 END AS scale
-                      FROM (SELECT vec_id, embedding,
-                              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                list_transform(embedding,
-                                  v -> abs(CAST(v AS DOUBLE)))),
-                                (a, b) -> greatest(a, b)) AS maxabs
-                            FROM embeddings))),
+        dqz AS (${sq8DequantCteBody}),
         short_sq8 AS (SELECT query_id, neighbor_id FROM (
             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
               row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -2902,7 +2868,7 @@ object Similarity {
 
   /** SQ8 serving FROM an IVF index artifact: like
     * [[annServeFromIndex]] but stage 1 scores the probed cells with
-    * [[graft.functions.Sq8Cosine]] over 1-byte-per-dim arithmetic and
+    * [[graft.functions.Sq8Dequant]]'s 1-byte-per-dim serving vectors and
     * stage 2 exact-reranks the bounded shortlist — the query-time seam
     * that turns any existing IVF artifact into the 4×-cheaper-scan
     * serving mode with NO new artifact format or lifecycle (sq8
@@ -2915,16 +2881,21 @@ object Similarity {
     val assigned = readIvfAssigned(spark, dir)
       .select(col("cell"), col("vec_id").as("neighbor_id"),
         col("embedding").as("e_c"), col("nrm").as("n_c"))
+    // the candidate scan reads the dequantized serving vector, built
+    // once per candidate — the 1-byte/dim read path at scale
+    val scan = assigned.select(col("cell"), col("neighbor_id"),
+      graft.functions.Sq8Dequant.dequant(col("e_c")).as("d"))
+      .withColumn("n_d", l2norm(col("d")))
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
         l2norm(col("embedding")).as("n_q"),
         explode(graft.functions.VectorQuantize
           .nearestCells(col("embedding"), cents, nProbe)).as("cell"))
-    val short = assigned
+    val short = scan
       .join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        graft.functions.Sq8Cosine.score(col("e_q"), col("e_c"))
+        cosineWithNorms(dot(col("e_q"), col("d")), col("n_q"), col("n_d"))
           .as("score"))
       .groupBy("query_id")
       .agg(graft.functions.TopKByScoreAgg.topkByScore(
@@ -3051,6 +3022,9 @@ object Similarity {
             .groupBy(col("query_id"), col("a_id").as("cand_id"))
             .agg(max(col("cab")).as("msim")),
           Seq("query_id", "cand_id"))
+      // each pick is <= nQueries rows; persisting it keeps round r's
+      // window/join work computed ONCE instead of re-evaluated through
+      // every later round's msim/anti-join lineage (O(k^2) otherwise)
       val pick = withSim
         .withColumn("mmr",
           lit(lambda) * col("cosq") - lit(1.0 - lambda) * col("msim"))
@@ -3058,6 +3032,8 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("cand_id"),
           lit(r).cast("int").as("rnk"), col("cosq"), col("mmr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      TransientCaches.register(pick)
       selected = if (selected == null) pick else selected.unionByName(pick)
       remaining = remaining.join(pick.select("query_id", "cand_id"),
         Seq("query_id", "cand_id"), "left_anti")
@@ -3079,6 +3055,8 @@ object Similarity {
           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
     val lam = lambda.toString
     val oneMinus = (1.0 - lambda).toString
+    // k = 1 has no later rounds: emit NO trailing CTE (a dangling
+    // comma after sel1 is a parser error, not a wrong answer)
     val rounds = (2 to k).map { r =>
       s"""cum${r - 1} AS (${(1 until r)
           .map(i => s"SELECT query_id, cand_id FROM sel$i")
@@ -3127,8 +3105,7 @@ object Similarity {
             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY
               ($lam * cosq - $oneMinus * 0.0) DESC, cand_id) AS r
             FROM short)
-          WHERE r = 1),
-        $rounds
+          WHERE r = 1)${if (rounds.isEmpty) "" else ",\n        " + rounds}
         SELECT query_id, cand_id AS neighbor_id, CAST(rnk AS INTEGER)
             AS rnk,
           round(cosq, 6) AS cos6, round(mmr, 6) AS mmr6
@@ -3471,10 +3448,19 @@ object Similarity {
     // the two frames' vec_id spaces may collide (independently
     // produced tables): dedup the TRAINING union by id so
     // trainCentroids' orderBy(vec_id).limit(nCells) init cannot seed
-    // duplicate rows and under-provision the quantizer. Colliding ids
-    // contribute one arbitrary row to training; verdicts are
-    // unaffected (both splits are assigned under the same centroids).
-    val train = c.unionByName(e).dropDuplicates("vec_id")
+    // duplicate rows and under-provision the quantizer. The survivor
+    // is DETERMINISTIC — corpus row wins a collision (min precedence
+    // tag), never dropDuplicates' partition-order pick — so trained
+    // centroids and therefore contamination verdicts are reproducible
+    // run-to-run. Verdicts are otherwise unaffected (both splits are
+    // assigned under the same centroids).
+    val train = c.withColumn("prio", lit(0))
+      .unionByName(e.withColumn("prio", lit(1)))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy("prio")))
+      .filter(col("rn") === 1)
+      .select("vec_id", "embedding")
     val cents = withTrainCache(train)(trainCentroids(_, nCells))
     decontaminateSemanticFrom(c, evalProbesOf(e, cents, nProbe), cents, tau)
   }
@@ -3808,6 +3794,43 @@ object Similarity {
   private def l2Biases(cb: Array[Array[Double]]): Array[Double] =
     cb.map(c => -0.5 * c.map(x => x * x).sum)
 
+  /** (VALUES rows, nested array literal) for a codebook set — the two
+    * inline forms every PQ-family oracle embeds; built HERE once so a
+    * multi-codebook oracle (the recall table prices raw + residual +
+    * OPQ off one statement) cannot drift between its copies. */
+  private def pqCbLits(cbs: Array[Array[Array[Double]]])
+      : (String, String) = {
+    val rows = (for {
+      m <- cbs.indices
+      kk <- cbs(m).indices
+    } yield s"($m, $kk, ${cbs(m)(kk).mkString("[", ", ", "]")}, " +
+      s"${l2Biases(cbs(m))(kk)})").mkString(", ")
+    val lit = cbs.map(_.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    (rows, lit)
+  }
+
+  /** The sq8 dequantized-corpus CTE body — embedding_quantize's exact
+    * per-element max-abs formula, defined ONCE and shared by every
+    * oracle that replays int8 serving ([[sq8Oracle]], the recall
+    * table, [[ivfSq8OracleFor]]), so the clamp/round arithmetic cannot
+    * drift between the variants it prices. */
+  private def sq8DequantCteBody: String =
+    """SELECT vec_id,
+                 list_transform(embedding,
+                   v -> least(greatest(
+                          round(CAST(v AS DOUBLE) * scale), -127.0),
+                          127.0) / scale) AS d
+               FROM (SELECT vec_id, embedding,
+                       CASE WHEN maxabs > 0 THEN 127.0 / maxabs
+                            ELSE 1.0 END AS scale
+                     FROM (SELECT vec_id, embedding,
+                             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                               list_transform(embedding,
+                                 v -> abs(CAST(v AS DOUBLE)))),
+                               (a, b) -> greatest(a, b)) AS maxabs
+                           FROM embeddings))"""
+
   /** PQ codebooks: one k-means quantizer PER SUB-SPACE. Unlike the IVF
     * coarse quantizer these are PLAIN L2 k-means — codewords keep their
     * magnitudes (a unit 64-dim vector's 8-dim sub-vectors have norm
@@ -3966,8 +3989,8 @@ object Similarity {
 
   /** §2 #234 — SQ8 ANN (scalar-quantized flat scan, the FAISS
     * `SQfp8`/`QT_8bit` serving mode): stage 1 scores EVERY candidate by
-    * `cos(q, dequant_i8(x))` — [[graft.functions.Sq8Cosine]]'s asymmetric
-    * distance over the int8 storage leg that #120 (embedding_quantize)
+    * `cos(q, dequant_i8(x))` — the asymmetric distance over
+    * [[graft.functions.Sq8Dequant]]'s int8 storage leg that #120 (embedding_quantize)
     * writes and #121 (quantize_eval) prices — and stage 2 exact-reranks
     * the bounded shortlist ([[pqExactRerank]], shared with the PQ
     * family). The compression rung BETWEEN raw floats and PQ: 4× smaller
@@ -3992,14 +4015,19 @@ object Similarity {
 
   private[graft] def annSq8With(v: DataFrame, nQueries: Int, k: Int,
                                 shortlistFactor: Int = 8): DataFrame = {
-    val scored = v
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c"))
+    // dequantize ONCE PER CANDIDATE (map-only), then the broadcast-
+    // query scan scores with the codegen'd dot — re-quantizing inside
+    // the pair join would multiply the quantization work by nQueries
+    val dq = v.select(col("vec_id").as("neighbor_id"),
+        graft.functions.Sq8Dequant.dequant(col("embedding")).as("d"))
+      .withColumn("n_d", l2norm(col("d")))
+    val scored = dq
       .join(broadcast(v.filter(col("vec_id") < nQueries)
           .select(col("vec_id").as("query_id"),
-            col("embedding").as("e_q"))),
+            col("embedding").as("e_q"), col("nrm").as("n_q"))),
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        graft.functions.Sq8Cosine.score(col("e_q"), col("e_c"))
+        cosineWithNorms(dot(col("e_q"), col("d")), col("n_q"), col("n_d"))
           .as("score"))
     pqExactRerank(pqShortlistOf(scored, shortlistFactor * k),
       v, nQueries, k)
@@ -4017,21 +4045,7 @@ object Similarity {
     s"""WITH nv AS (SELECT vec_id, embedding,
                  sqrt(${dot("embedding", "embedding")}) AS nrm
                FROM embeddings),
-        m AS (SELECT vec_id, embedding,
-                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                  list_transform(embedding,
-                    v -> abs(CAST(v AS DOUBLE)))),
-                  (a, b) -> greatest(a, b)) AS maxabs
-              FROM embeddings),
-        dq AS (SELECT vec_id,
-                 list_transform(embedding,
-                   v -> least(greatest(
-                          round(CAST(v AS DOUBLE) * scale), -127.0),
-                          127.0) / scale) AS d
-               FROM (SELECT vec_id, embedding,
-                       CASE WHEN maxabs > 0 THEN 127.0 / maxabs
-                            ELSE 1.0 END AS scale
-                     FROM m)),
+        dq AS (${sq8DequantCteBody}),
         short AS (SELECT query_id, neighbor_id FROM (
             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
               row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -4086,20 +4100,23 @@ object Similarity {
     val shortlist = shortlistFactor * k
     def cellsOf(n: Int) =
       graft.functions.VectorQuantize.nearestCells(col("embedding"), cents, n)
+    // one map-only pass: coarse cell + the dequantized serving vector
     val cand = v.select(element_at(cellsOf(1), 1).as("cell"),
-      col("vec_id").as("neighbor_id"), col("embedding").as("e_c"))
+      col("vec_id").as("neighbor_id"),
+      graft.functions.Sq8Dequant.dequant(col("embedding")).as("d"))
+      .withColumn("n_d", l2norm(col("d")))
     val queries = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
         col("nrm").as("n_q"))
     val probes = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
-        explode(cellsOf(nProbe)).as("cell"))
+        col("nrm").as("n_q"), explode(cellsOf(nProbe)).as("cell"))
     // stage 1 — sq8 shortlist over the PROBED CELLS only
     val short = cand
       .join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        graft.functions.Sq8Cosine.score(col("e_q"), col("e_c"))
+        cosineWithNorms(dot(col("e_q"), col("d")), col("n_q"), col("n_d"))
           .as("score"))
       .groupBy("query_id")
       .agg(graft.functions.TopKByScoreAgg.topkByScore(
@@ -4157,20 +4174,7 @@ object Similarity {
             row_number() OVER (PARTITION BY v.vec_id ORDER BY
               ${dot("v.embedding", "c.cv")} DESC, c.cell) AS crnk
           FROM nv v, cents c),
-        dq AS (SELECT vec_id,
-                 list_transform(embedding,
-                   v -> least(greatest(
-                          round(CAST(v AS DOUBLE) * scale), -127.0),
-                          127.0) / scale) AS d
-               FROM (SELECT vec_id, embedding,
-                       CASE WHEN maxabs > 0 THEN 127.0 / maxabs
-                            ELSE 1.0 END AS scale
-                     FROM (SELECT vec_id, embedding,
-                             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                               list_transform(embedding,
-                                 v -> abs(CAST(v AS DOUBLE)))),
-                               (a, b) -> greatest(a, b)) AS maxabs
-                           FROM embeddings))),
+        dq AS (${sq8DequantCteBody}),
         acand AS (SELECT a.cell, d.vec_id, d.d FROM dq d
                   JOIN (SELECT vec_id, cell FROM ranked WHERE crnk = 1) a
                     ON a.vec_id = d.vec_id),
@@ -4660,13 +4664,19 @@ object Similarity {
     *    pieces may disagree — refuse rather than guess (a wrong guess
     *    scores one space's codes under the other space's codebooks,
     *    silently);
-    *  - marker absent, `pq_baseline/` ABSENT: the LEGACY pre-marker
-    *    layout — those legs were trained before residual encoding (or
-    *    the baseline snapshot) existed, so the mode is raw by
-    *    construction, not a guess. Returns `false`. (A first-ever add
-    *    that crashed before its baseline also lands here, but its
-    *    `codes/` carry no `_synced_to` marker, so serving refuses on
-    *    staleness before the mode is ever consulted.)
+    *  - marker absent, `pq_baseline/` ABSENT, `codes/_synced_to`
+    *    PRESENT: the LEGACY pre-marker layout — those legs were
+    *    trained before residual encoding (or the baseline snapshot)
+    *    existed and COMPLETED (`_synced_to` is every add's final
+    *    write, and the codes overwrite clears it first), so the mode
+    *    is raw by construction, not a guess. Returns `false`;
+    *  - marker absent, `pq_baseline/` ABSENT, `codes/_synced_to`
+    *    ABSENT: a first (re)train crashed mid-write — the codebooks'
+    *    encoding space is unknown, so refuse. Serving would refuse on
+    *    staleness anyway, but the RE-SYNC path both consults the mode
+    *    AND repairs the staleness marker: a raw guess here would
+    *    launder a torn residual train into a consistent-looking,
+    *    silently-wrong raw leg.
     */
   private[graft] def readResidualMode(spark: SparkSession,
                                       dir: String): Boolean = {
@@ -4684,7 +4694,15 @@ object Similarity {
             "disagree and their encoding space is unknown. Re-run " +
             "ivfPqIndexAdd(retrain = true, residual = Some(<intended " +
             "mode>)).")
-        false // legacy pre-marker layout: raw by construction
+        if (StreamIO.readMarker(s"$dir/codes", "_synced_to", conf).isEmpty)
+          throw new IllegalArgumentException(
+            s"PQ codebooks at $dir/codebooks carry no _residual marker, " +
+              "no pq_baseline/ snapshot, and codes/ has no _synced_to — " +
+              "a first (re)train crashed mid-write (a completed legacy " +
+              "pre-marker leg always carries _synced_to), so the " +
+              "encoding space is unknown. Re-run ivfPqIndexAdd(retrain " +
+              "= true, residual = Some(<intended mode>)).")
+        false // completed legacy pre-marker layout: raw by construction
     }
   }
 

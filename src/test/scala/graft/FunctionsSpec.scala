@@ -40,33 +40,36 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
-  test("Sq8Cosine: self-score is 1 - distortion, null slots propagate, " +
-      "ragged lengths fail loudly") {
-    import graft.functions.Sq8Cosine
-    // exact-arithmetic identity with the QuantizeDistortion kernel
+  test("Sq8Dequant: cos(x, dq(x)) is 1 - distortion bit-for-bit; " +
+      "quantization error bounded by maxabs/254; null slots propagate") {
+    import graft.functions.Sq8Dequant
+    // exact-arithmetic identity with the QuantizeDistortion kernel:
+    // the dequant + dot route is the serving pipelines' arithmetic
     val df = Seq(Seq(0.5, -1.25, 3.0, 0.001), Seq(1.0, 1.0, 1.0, 1.0))
       .toDF("e")
-    df.select(Sq8Cosine.score(col("e"), col("e")).as("c"),
-      graft.functions.QuantizeI8.distortion(col("e")).as("d"))
+    val dotc = graft.functions.DotProduct.dot _
+    df.select(Sq8Dequant.dequant(col("e")).as("d"), col("e"))
+      .select(
+        (dotc(col("e"), col("d"))
+          / (sqrt(dotc(col("e"), col("e")))
+             * sqrt(dotc(col("d"), col("d"))))).as("c"),
+        graft.functions.QuantizeI8.distortion(col("e")).as("dist"),
+        col("e"), col("d"))
       .collect().foreach { r =>
         assert(math.abs(r.getDouble(0) - (1.0 - r.getDouble(1))) < 1e-12)
+        // per-element reconstruction error <= maxabs/254 (half a step)
+        val e = r.getSeq[Double](2); val d = r.getSeq[Double](3)
+        val bound = e.map(math.abs).max / 254.0 + 1e-15
+        e.zip(d).foreach { case (x, y) =>
+          assert(math.abs(x - y) <= bound, s"|$x - $y| > $bound")
+        }
       }
-    // null element slot -> NULL score (the DotProduct stance)
+    // null element slot -> NULL vector (the DotProduct stance)
     val rows = spark.sql(
-      """SELECT array(1.0D, CAST(NULL AS DOUBLE)) AS a,
-                array(2.0D, 3.0D) AS b""")
-      .select(Sq8Cosine.score(col("a"), col("b")).as("s"))
+      "SELECT array(1.0D, CAST(NULL AS DOUBLE)) AS a")
+      .select(Sq8Dequant.dequant(col("a")).as("s"))
       .collect().head
     assert(rows.isNullAt(0), "null element slot must yield NULL")
-    // ragged lengths fail loudly
-    val ex = intercept[Exception] {
-      spark.sql("SELECT array(1.0D) AS a, array(1.0D, 2.0D) AS b")
-        .select(Sq8Cosine.score(col("a"), col("b")))
-        .collect()
-    }
-    def chain(t: Throwable): Seq[String] =
-      if (t == null) Nil else t.getMessage +: chain(t.getCause)
-    assert(chain(ex).exists(m => m != null && m.contains("lengths differ")))
   }
 
   test("WordShingles equals distinct 3-grams, first-occurrence order") {

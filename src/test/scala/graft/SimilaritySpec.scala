@@ -347,12 +347,19 @@ class SimilaritySpec extends SparkSpec {
     // stage 1 is the deliberate broadcast-query scan over int8 scores
     // (the ann_pq shape) — assert the broadcast, not no-cartesian
     assert(planOf(Similarity.annSq8(spark, sf)).contains("Broadcast"))
-    // kernel identity: cos(x, dequant(x)) == 1 - distortion(x) — the
-    // serving score and the storage-QA number are the same arithmetic
+    // serving-arithmetic identity: cos(x, dq(x)) via the pipeline's
+    // dequant + dot route == 1 - distortion(x) — the serving score and
+    // the storage-QA number are the same arithmetic
+    val dotc = graft.functions.DotProduct.dot _
     val rows = Tables.load(spark, sf, "embeddings").limit(8)
-      .select(graft.functions.Sq8Cosine.score(
-          col("embedding"), col("embedding")).as("c"),
-        graft.functions.QuantizeI8.distortion(col("embedding")).as("d"))
+      .select(col("embedding").as("e"),
+        graft.functions.Sq8Dequant.dequant(col("embedding")).as("d"))
+      .select(
+        (dotc(col("e"), col("d"))
+          / (org.apache.spark.sql.functions.sqrt(dotc(col("e"), col("e")))
+             * org.apache.spark.sql.functions.sqrt(dotc(col("d"), col("d")))))
+          .as("c"),
+        graft.functions.QuantizeI8.distortion(col("e")).as("dist"))
       .collect()
     rows.foreach { r =>
       assert(math.abs(r.getDouble(0) - (1.0 - r.getDouble(1))) < 1e-12,
@@ -1393,6 +1400,27 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.annServeFromPqIndex(spark, dir, queries).collect()
     }
+    // torn FIRST train: marker AND baseline AND codes/_synced_to all
+    // absent is a crash mid-write, NOT legacy — the mode read must
+    // refuse, or a bare re-sync would guess raw, re-encode, repair
+    // _synced_to, and launder a torn residual train into a
+    // consistent-looking silently-wrong raw leg
+    graft.streaming.StreamIO.deleteRecursively(s"$dir/pq_baseline", conf)
+    val (sfs, sp) = graft.streaming.StreamIO.fsFor(
+      s"$dir/codes/_synced_to", conf)
+    sfs.delete(sp, false)
+    intercept[IllegalArgumentException] {
+      Similarity.readResidualMode(spark, dir)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexAdd(spark, dir) // the re-sync laundering path
+    }
+    // the stated-mode retrain is the recovery — it rebuilds the unit
+    Similarity.ivfPqIndexAdd(spark, dir, retrain = true,
+      residual = Some(false))
+    assert(Similarity.readResidualMode(spark, dir) == false)
+    assert(Similarity.annServeFromPqIndex(spark, dir, queries)
+      .collect().nonEmpty)
   }
 
   test("knnEdgesIncrementalFrom: refuses a smaller-k or rounded-score " +
