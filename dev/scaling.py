@@ -525,11 +525,11 @@ out += ["",
         "  (StreamDecontaminate) moves even the probe cost off the "
         "ingest path.",
         "",
-        "## r17 additions, priced (builder 3-SF sweep: 217 queries, "
+        "## r17 additions, priced (builder 3-SF sweep: 220 queries, "
         "0 errors,",
-        "## 210.7/218.8/320.3 s)",
+        "## 229.6/211.9/351.3 s)",
         "",
-        "- opq_rotate 3.2/4.1/6.6 s — training-dominated by design: "
+        "- opq_rotate 4.8/3.5/6.8 s — training-dominated by design: "
         "the Procrustes",
         "  alternation pays one treeAggregate corpus pass per "
         "iteration plus the",
@@ -538,12 +538,12 @@ out += ["",
         "  Run per corpus-tuning decision (the pq_bits_sweep "
         "economics), never",
         "  per query.",
-        "- decon_recall_eval 1.4/1.3/2.0 s — near-flat: ONE ranked "
+        "- decon_recall_eval 1.3/1.3/2.6 s — near-flat: ONE ranked "
         "reachable-pair",
         "  frame prices every (nProbe, tau) grid row as a filter; "
         "the brute truth",
         "  leg is the bounded corpus x nEval broadcast.",
-        "- ann_sq8 0.50/0.44/0.43 s — FLAT: the broadcast-query scan "
+        "- ann_sq8 0.48/0.46/0.35 s — FLAT: the broadcast-query scan "
         "over int8",
         "  scores is overhead-dominated at these SFs; at 100 TB the "
         "same plan",
@@ -552,9 +552,27 @@ out += ["",
         "  = 1.00 measured (ann_recall_eval_pq) — the recall-free "
         "compression",
         "  rung, no training, no codebook lifecycle.",
-        "- gopher_quality 0.19/0.24/0.19 s — FLAT map-only per-row "
+        "- gopher_quality 0.18/0.18/0.22 s — FLAT map-only per-row "
         "array folds",
         "  (the c4_clean shape); rides any corpus scan.",
+        "- ann_ivfsq8 1.3/1.0/1.2 s — flat (training + probe "
+        "overhead dominates",
+        "  at these SFs); spec-pinned IDENTICAL answers to trained "
+        "IVF at the same",
+        "  probes, so the 4x candidate-scan saving is free at scale.",
+        "- ann_ivfsq8_indexed 1.8/2.4/2.1 s — build + artifact serve, "
+        "flat (the",
+        "  documented indexed shape); no new lifecycle surface to "
+        "maintain.",
+        "- ann_mmr 8.4/7.2/7.0 s — FLAT: the k greedy rounds are "
+        "fixed-size jobs",
+        "  over persisted KB-sized shortlist/pair frames (round-count "
+        "overhead,",
+        "  not data), and the corpus stage is the standard brute "
+        "shortlist scan;",
+        "  at 100 TB the selection cost is unchanged while the scan "
+        "swaps to any",
+        "  index path.",
         "- ann_recall_eval_pq grew 6.4 -> 8.0/7.9/12.8 s with the "
         "fifth (sq8)",
         "  pricing row. Adjudicated by construction, not assumed: "
