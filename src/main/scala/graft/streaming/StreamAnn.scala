@@ -88,6 +88,28 @@ object StreamAnn {
       }
       .start()
 
+  /** Continuous IVF-SQ8 serving: each query micro-batch scores the
+    * probed cells through [[Similarity.annServeSq8FromIndex]]'s
+    * 1-byte-per-dim scan and exact-reranks — the 4×-cheaper continuous
+    * loop over the SAME artifact [[applyStreamFromIndex]] serves
+    * (sq8 encoding is deterministic per vector: no extra leg to build,
+    * sync, or drift-monitor, so this mode swap is config-only). Same
+    * replay-idempotent `batch_id=N` output partitions and the same
+    * concurrency caveat as [[applyStreamFromIndex]]. */
+  def applyStreamSq8FromIndex(queries: DataFrame, indexDir: String,
+                              outDir: String, checkpoint: String,
+                              nProbe: Int = 4, k: Int = 5): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          Similarity.annServeSq8FromIndex(batch.sparkSession, indexDir,
+              batch, nProbe, k)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** Continuous IVFADC serving from the artifact's PQ leg
     * ([[Similarity.ivfPqIndexAdd]]): each query micro-batch ADC-scans
     * the probed cells of the 32×-compressed codes table and

@@ -512,6 +512,45 @@ class StreamingSpec extends SparkSpec {
       "streamed index deltas must be visible to the serving loop")
   }
 
+  test("stream ann through the sq8 scan equals the batch sq8 artifact " +
+      "serve and sees landed deltas — same artifact, no extra leg") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val root = graft.operators.ExportImport.scratch("stream-ann-sq8")
+    val (dir, outDir, ckpt) = (root + "/idx", root + "/out", root + "/ckpt")
+    Seq(dir, outDir, ckpt).foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(d,
+        spark.sparkContext.hadoopConfiguration))
+    Similarity.ivfIndexToDir(spark, sf, dir)
+    val fresh = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .limit(3).collect()
+      .map(r => (r.getLong(0) + 5000L, r.getSeq[Float](1).toArray)).toSeq
+    graft.streaming.StreamIvfIndex.applyBatch(
+      fresh.toDF("vec_id", "embedding"), 0L, dir)
+    val qRows = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamAnn.applyStreamSq8FromIndex(
+      input.toDF().toDF("vec_id", "embedding"), dir, outDir, ckpt)
+    try {
+      input.addData(qRows.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val got = spark.read.parquet(outDir).collect().map(key).toSet
+    val want = Similarity.annServeSq8FromIndex(spark, dir, qRows)
+      .collect().map(key).toSet
+    assert(got == want && got.nonEmpty)
+    // maintainer deltas flow through the sq8 scan like base rows —
+    // each query's exact copy (cosine 1.0) must appear
+    assert(got.exists(_._2 >= 5000L),
+      "streamed index deltas must be visible to the sq8 serving loop")
+  }
+
   test("stream ann from the PQ leg equals the batch IVFADC serve, sees " +
       "live deltas exactly, and refuses a compaction-stale scan table") {
     import spark.implicits._

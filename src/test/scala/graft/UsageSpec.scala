@@ -542,6 +542,36 @@ class UsageSpec extends SparkSpec {
       && r.rebuiltToVersion.isEmpty && !r.pqRetrained, r.toString)
   }
 
+  test("facade: gopher battery and MMR selection on ad-hoc frames") {
+    import spark.implicits._
+    // gopher: a long clean doc keeps, a short one fails the word floor
+    val docs = Seq(
+      (1L, "the and " + Seq.fill(58)("word").mkString(" ")),
+      (2L, "the and short")).toDF("doc_id", "text")
+    val g = Graft.gopherQuality(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(9)).toMap
+    assert(g(1L) && !g(2L))
+    // MMR: 4-dim toy — query q; a and a2 are near-duplicates both
+    // closest to q, b is distinct. Plain top-2 is {a, a2}; MMR at
+    // lambda 0.5 must swap the redundant a2 for the distinct b.
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // a
+      (11L, Array(0.999f, 0.01f, 0.0f, 0.0f)), // a2 ~ a
+      (12L, Array(0.6f, 0.0f, 0.8f, 0.0f))     // b distinct
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((99L, Array(0.9f, 0.1f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val sel = Graft.mmrSelect(corpus, queries, k = 2, lambda = 0.5)
+      .collect().map(r => (r.getInt(2), r.getLong(1))).toMap
+    assert(sel(1) == 11L, s"rank 1 must be the most relevant (a2): $sel")
+    assert(sel(2) == 12L,
+      s"rank 2 must trade the near-dup for the distinct vector: $sel")
+    // lambda = 1 keeps plain relevance order: {a2, a}
+    val rel = Graft.mmrSelect(corpus, queries, k = 2, lambda = 1.0)
+      .collect().map(r => (r.getInt(2), r.getLong(1))).toMap
+    assert(rel(2) == 10L, s"lambda=1 must keep the near-dup pair: $rel")
+  }
+
   test("facade: semantic decontamination on ad-hoc frames + the " +
       "pre-paid gate") {
     import spark.implicits._
