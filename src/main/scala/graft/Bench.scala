@@ -98,7 +98,7 @@ object Bench {
       "decontaminate_fuzzy", "bloom_decontaminate",
       "decontaminate_semantic", "decon_recall_eval",
       "split_leakage", "leakage_safe_split", "budget_select",
-      "doc_chunk", "pii_scrub", "c4_clean", "gopher_quality", "range_join",
+      "doc_chunk", "pii_scrub", "c4_clean", "gopher_quality", "gopher_report", "range_join",
       "mixture_sample", "mixture_temperature", "mixture_upsample",
       "weighted_sample",
       "tfidf_topterms", "shard_assign", "dsir_weights",

@@ -207,6 +207,7 @@ object SparkEntry {
     "pii_scrub" -> (TextAnalysis.piiScrub _),
     "c4_clean" -> (Curation.c4Clean _),
     "gopher_quality" -> (Curation.gopherQuality _),
+    "gopher_report" -> (Curation.gopherReport _),
     "charset_gate" -> (TextAnalysis.charsetGate _),
     "vocab_coverage" -> (TextAnalysis.vocabCoverage _),
     "word_pmi" -> (TextAnalysis.wordPmi _),
@@ -1045,6 +1046,7 @@ object SparkEntry {
          FROM t ORDER BY doc_id""",
     "c4_clean" -> Curation.c4Oracle(),
     "gopher_quality" -> Curation.gopherQualityOracle(),
+    "gopher_report" -> Curation.gopherReportOracle(),
     "charset_gate" -> TextAnalysis.charsetOracle,
     "vocab_coverage" -> TextAnalysis.vocabOracle,
     "word_pmi" -> TextAnalysis.pmiOracle,

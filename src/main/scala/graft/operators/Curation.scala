@@ -602,6 +602,26 @@ object Curation {
                                    maxEllipsisRatio: Double = 0.3,
                                    minAlphaRatio: Double = 0.8,
                                    minStopHits: Int = 2): DataFrame =
+    gopherFlags(docs, minWords, maxWords, minMeanLen, maxMeanLen,
+      maxSymbolRatio, maxBulletRatio, maxEllipsisRatio, minAlphaRatio,
+      minStopHits)
+      .drop("f_words", "f_mean", "f_sym", "f_bullet", "f_ellipsis",
+        "f_alpha", "f_stop")
+
+  /** [[gopherMetrics]] plus the per-rule fail flags — the shared core
+    * the attribution report ([[gopherReportFrom]]) aggregates, so a
+    * rule's report row can never disagree with the battery's keep
+    * decision (keep == NOT any flag, by construction). */
+  private[graft] def gopherFlags(docs: DataFrame,
+                                   minWords: Int = 50,
+                                   maxWords: Int = 100000,
+                                   minMeanLen: Double = 3.0,
+                                   maxMeanLen: Double = 10.0,
+                                   maxSymbolRatio: Double = 0.1,
+                                   maxBulletRatio: Double = 0.9,
+                                   maxEllipsisRatio: Double = 0.3,
+                                   minAlphaRatio: Double = 0.8,
+                                   minStopHits: Int = 2): DataFrame =
     docs
       .withColumn("lines", split(col("text"), "\n"))
       .withColumn("words",
@@ -627,6 +647,15 @@ object Curation {
       .withColumn("n_stop", expr(
         """size(filter(array('the','be','to','of','and','that','have','with'),
              s -> array_contains(words, s)))"""))
+      .withColumn("f_words",
+        !(col("n_words") >= minWords && col("n_words") <= maxWords))
+      .withColumn("f_mean",
+        !(col("mean_wlen") >= minMeanLen && col("mean_wlen") <= maxMeanLen))
+      .withColumn("f_sym", col("sym_ratio") > maxSymbolRatio)
+      .withColumn("f_bullet", col("bullet_ratio") > maxBulletRatio)
+      .withColumn("f_ellipsis", col("ellipsis_ratio") > maxEllipsisRatio)
+      .withColumn("f_alpha", col("alpha_ratio") < minAlphaRatio)
+      .withColumn("f_stop", col("n_stop") < minStopHits)
       .select(col("doc_id"), col("n_words"), col("n_lines"),
         round(col("mean_wlen"), 4).as("mean_wlen4"),
         round(col("sym_ratio"), 4).as("sym_ratio4"),
@@ -634,13 +663,11 @@ object Curation {
         round(col("ellipsis_ratio"), 4).as("ellipsis_ratio4"),
         round(col("alpha_ratio"), 4).as("alpha_ratio4"),
         col("n_stop"),
-        (col("n_words") >= minWords && col("n_words") <= maxWords
-          && col("mean_wlen") >= minMeanLen && col("mean_wlen") <= maxMeanLen
-          && col("sym_ratio") <= maxSymbolRatio
-          && col("bullet_ratio") <= maxBulletRatio
-          && col("ellipsis_ratio") <= maxEllipsisRatio
-          && col("alpha_ratio") >= minAlphaRatio
-          && col("n_stop") >= minStopHits).as("keep"))
+        (!(col("f_words") || col("f_mean") || col("f_sym")
+          || col("f_bullet") || col("f_ellipsis") || col("f_alpha")
+          || col("f_stop"))).as("keep"),
+        col("f_words"), col("f_mean"), col("f_sym"), col("f_bullet"),
+        col("f_ellipsis"), col("f_alpha"), col("f_stop"))
 
   /** §2 #235 — Gopher quality battery over the fixture corpus. The
     * synthetic docs are single-line word salad (c4_clean's situation),
@@ -649,8 +676,15 @@ object Curation {
     * a stop-word tail planted on fixed (doc_id, line) slices —
     * identically in both engines — so every rule in the battery has
     * real work and both keep outcomes occur at sf0.01. */
-  def gopherQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val page = expr(
+  def gopherQuality(spark: SparkSession, sfDir: String): DataFrame =
+    gopherQualityFrom(Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), gopherFixturePage.as("text")))
+
+  /** The fixture page synthesis (shared by #235 and #239): words
+    * chunked into 10-word lines, bullets / hash symbols / ellipses /
+    * a stop-word tail planted on fixed (doc_id, line) slices. */
+  private def gopherFixturePage =
+    expr(
       """array_join(
            transform(
              sequence(0, greatest(1, (size(split(text, ' ')) + 9) div 10) - 1),
@@ -661,22 +695,99 @@ object Curation {
                if(i = 0 and doc_id % 3 = 0, ' and of that', ''),
                if((doc_id + i) % 4 = 3, '...', ''))),
          '\n')""")
-    gopherQualityFrom(Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), page.as("text")))
+
+  /** Generic core: GOPHER RULE ATTRIBUTION for ANY (doc_id, text)
+    * frame — per rule, how many documents fail it (`n_fail`), how many
+    * fail ONLY it (`n_exclusive` — the docs that rule alone costs you),
+    * and the failure share. The tuning table for the battery: a rule
+    * with a large exclusive count is the knob to revisit before
+    * shipping the gate, a rule with zero exclusive failures is
+    * subsumed by the others on this corpus — the measured answer to
+    * "which threshold is doing the cutting", same doctrine as
+    * dedup_threshold_sweep for the dedup gate. Flags come from
+    * [[gopherFlags]], the SAME expressions the keep decision uses, so
+    * the report can never disagree with the battery.
+    *
+    * Scale shape: one map-only flags pass + a 7-way per-row explode of
+    * BOOLEANS (7 rows per doc, not 7 scans) + one hash agg over 7
+    * groups. */
+  def gopherReportFrom(docs: DataFrame): DataFrame = {
+    val rules = Seq(
+      "alpha_words" -> "f_alpha", "bullet_lines" -> "f_bullet",
+      "ellipsis_lines" -> "f_ellipsis", "mean_word_len" -> "f_mean",
+      "stop_words" -> "f_stop", "symbol_ratio" -> "f_sym",
+      "word_count" -> "f_words")
+    gopherFlags(docs)
+      .withColumn("nf", rules.map { case (_, c) =>
+        col(c).cast("int") }.reduceLeft(_ + _))
+      .select(col("nf"), explode(array(rules.map { case (n, c) =>
+        struct(lit(n).as("rule"), col(c).as("fail")) }: _*)).as("r"))
+      .groupBy(col("r.rule").as("rule"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("r.fail").cast("long")).as("n_fail"),
+        sum((col("r.fail") && col("nf") === 1).cast("long"))
+          .as("n_exclusive"))
+      .select(col("rule"), col("n_fail"), col("n_exclusive"),
+        round(col("n_fail").cast("double") / col("n_docs"), 4)
+          .as("fail_share4"))
+      .orderBy("rule")
+  }
+
+  /** §2 #239 — Gopher rule attribution over the fixture corpus (the
+    * same deterministic page synthesis as #235). */
+  def gopherReport(spark: SparkSession, sfDir: String): DataFrame =
+    gopherReportFrom(Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), gopherFixturePage.as("text")))
+
+  /** DuckDB oracle for [[gopherReport]]: the #235 replay's metric CTE
+    * extended with the same per-rule flags, one UNION ALL branch per
+    * rule. */
+  def gopherReportOracle(minWords: Int = 50, maxWords: Int = 100000,
+                         minMeanLen: Double = 3.0,
+                         maxMeanLen: Double = 10.0,
+                         maxSymbolRatio: Double = 0.1,
+                         maxBulletRatio: Double = 0.9,
+                         maxEllipsisRatio: Double = 0.3,
+                         minAlphaRatio: Double = 0.8,
+                         minStopHits: Int = 2): String = {
+    val rules = Seq(
+      "alpha_words" -> s"(alpha_ratio < $minAlphaRatio)",
+      "bullet_lines" -> s"(bullet_ratio > $maxBulletRatio)",
+      "ellipsis_lines" -> s"(ellipsis_ratio > $maxEllipsisRatio)",
+      "mean_word_len" ->
+        s"(NOT (mean_wlen >= $minMeanLen AND mean_wlen <= $maxMeanLen))",
+      "stop_words" -> s"(n_stop < $minStopHits)",
+      "symbol_ratio" -> s"(sym_ratio > $maxSymbolRatio)",
+      "word_count" ->
+        s"(NOT (n_words >= $minWords AND n_words <= $maxWords))")
+    val flagCols = rules.zipWithIndex.map { case ((_, e), i) =>
+      s"$e AS f$i" }.mkString(", ")
+    val nf = rules.indices.map(i => s"CAST(f$i AS INT)").mkString(" + ")
+    val branches = rules.zipWithIndex.map { case ((name, _), i) =>
+      s"""SELECT '$name' AS rule,
+            CAST(sum(CASE WHEN f$i THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_fail,
+            CAST(sum(CASE WHEN f$i AND nf = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_exclusive,
+            round(sum(CASE WHEN f$i THEN 1 ELSE 0 END)
+                  / CAST(count(*) AS DOUBLE), 4) AS fail_share4
+          FROM nf"""
+    }.mkString(" UNION ALL ")
+    s"""WITH ${gopherPagesCte()},
+        flags AS (SELECT doc_id, $flagCols FROM met),
+        nf AS (SELECT *, ($nf) AS nf FROM flags)
+        SELECT rule, n_fail, n_exclusive, fail_share4
+        FROM ($branches) ORDER BY rule"""
   }
 
   /** DuckDB oracle for [[gopherQuality]]: the page synthesis and every
     * rule replayed with list comprehensions; all ratios are int/int
     * divisions so the unrounded keep-decision doubles agree exactly. */
-  def gopherQualityOracle(minWords: Int = 50, maxWords: Int = 100000,
-                          minMeanLen: Double = 3.0,
-                          maxMeanLen: Double = 10.0,
-                          maxSymbolRatio: Double = 0.1,
-                          maxBulletRatio: Double = 0.9,
-                          maxEllipsisRatio: Double = 0.3,
-                          minAlphaRatio: Double = 0.8,
-                          minStopHits: Int = 2): String =
-    s"""WITH pages AS (
+  /** The #235/#239 oracle's shared CTE chain: the fixture page
+    * synthesis + per-doc metric computation, ONE definition so the
+    * report's flags can never drift from the battery's replay. */
+  private def gopherPagesCte(): String =
+    """pages AS (
           SELECT doc_id,
             list_transform(range(0, nL), i ->
               CASE WHEN (doc_id + i) % 5 = 4 THEN '- ' ELSE '' END ||
@@ -714,7 +825,17 @@ object Curation {
             len(list_filter(
               ['the','be','to','of','and','that','have','with'],
               s -> list_contains(words, s))) AS n_stop
-          FROM base)
+          FROM base)"""
+
+  def gopherQualityOracle(minWords: Int = 50, maxWords: Int = 100000,
+                          minMeanLen: Double = 3.0,
+                          maxMeanLen: Double = 10.0,
+                          maxSymbolRatio: Double = 0.1,
+                          maxBulletRatio: Double = 0.9,
+                          maxEllipsisRatio: Double = 0.3,
+                          minAlphaRatio: Double = 0.8,
+                          minStopHits: Int = 2): String =
+    s"""WITH ${gopherPagesCte()}
         SELECT doc_id,
           CAST(n_words AS INTEGER) AS n_words,
           CAST(n_lines AS INTEGER) AS n_lines,

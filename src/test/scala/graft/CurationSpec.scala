@@ -225,10 +225,12 @@ class CurationSpec extends SparkSpec {
     assert(sha3 == manual)
   }
 
-  test("gopher_quality: each published rule fails exactly its crafted doc") {
+  /** Each of docs 2..8 fails EXACTLY ONE Gopher rule (doc 1 passes
+    * all) — shared by the battery and attribution-report specs. */
+  private def gopherCraftedDocs = {
     import spark.implicits._
     val ok = ("the and " + Seq.fill(58)("word").mkString(" ")) // 60 words
-    val docs = Seq(
+    Seq(
       (1L, ok),                                         // all rules pass
       (2L, "the and tiny doc under fifty words"),       // word-count fail
       (3L, (Seq.fill(50)("abcdefghijkl") ++ Seq("the", "and", "of"))
@@ -240,6 +242,10 @@ class CurationSpec extends SparkSpec {
         .mkString(" "))),                               // alpha ratio fail
       (8L, Seq.fill(60)("zebra").mkString(" "))         // stop-word fail
     ).toDF("doc_id", "text")
+  }
+
+  test("gopher_quality: each published rule fails exactly its crafted doc") {
+    val docs = gopherCraftedDocs
     val got = Curation.gopherQualityFrom(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(got(1L).getBoolean(9), "doc 1 must keep")
@@ -262,6 +268,27 @@ class CurationSpec extends SparkSpec {
       "sf fixture must produce both keep outcomes")
     val again = Curation.gopherQuality(spark, sf).collect()
     assert(fx.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("gopher_report: each rule attributes exactly its one crafted " +
+      "exclusive failure; report flags cannot disagree with keep") {
+    val rep = Curation.gopherReportFrom(gopherCraftedDocs).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    Seq("word_count", "mean_word_len", "symbol_ratio", "bullet_lines",
+      "ellipsis_lines", "alpha_words", "stop_words").foreach { rule =>
+      assert(rep(rule) == ((1L, 1L, 0.125)), s"$rule -> ${rep(rule)}")
+    }
+    // consistency with the battery on the fixture: total exclusive
+    // failures can never exceed total dropped docs, and a corpus-level
+    // rule with zero fails contributes zero exclusives
+    val fx = Curation.gopherReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val dropped = Curation.gopherQuality(spark, sf).collect()
+      .count(!_.getBoolean(9))
+    assert(fx.map(_._3).sum <= dropped.toLong)
+    fx.foreach { case (rule, nf, ne) =>
+      assert(ne <= nf, s"$rule exclusive $ne > fail $nf") }
   }
 
   test("shard_assign: balanced Knuth shards, exact heads in (hash, id) order, no window") {
