@@ -559,15 +559,20 @@ object Curation {
   /** Generic core: GOPHER QUALITY RULES (Rae et al. 2021, Appendix
     * A.1.1) for ANY (doc_id, text) frame — the published document-level
     * filter battery that complements [[c4CleanFrom]]'s line-level rules:
-    * word count in [minWords, maxWords], mean word length in
-    * [minMeanLen, maxMeanLen], symbol-to-word ratio (`#` chars +
-    * `...` occurrences) ≤ maxSymbolRatio, bullet-started line fraction
-    * ≤ maxBulletRatio, ellipsis-ended line fraction ≤ maxEllipsisRatio,
-    * fraction of words containing an alphabetic character ≥
-    * minAlphaRatio, and ≥ minStopHits of the 8 published stop words
-    * present. Output per doc: every metric (ratios rounded to 4 dp for
-    * display) plus the composite `keep` decision computed on the
-    * UNROUNDED values.
+    * word count in [minWords, maxWords] (empty tokens from blank lines
+    * or space runs are not words), mean word length in
+    * [minMeanLen, maxMeanLen], per-symbol symbol-to-word ratio ≤
+    * maxSymbolRatio for EACH of `#` and the ellipsis (`...`/`…`)
+    * separately — the paper's "either the hash symbol or the
+    * ellipsis", so the reported sym_ratio is the binding max of the
+    * two — bullet-started (`- `/`* `/`•`) line fraction ≤
+    * maxBulletRatio, ellipsis-ended (`...`/`…`) line fraction ≤
+    * maxEllipsisRatio, fraction of words containing an alphabetic
+    * character (either case — acronyms and 'I' count) ≥ minAlphaRatio,
+    * and ≥ minStopHits of the 8 published stop words present
+    * (case-insensitive: 'The' counts). Output per doc: every metric
+    * (ratios rounded to 4 dp for display) plus the composite `keep`
+    * decision computed on the UNROUNDED values.
     *
     * Determinism: every ratio is an integer/integer division (counts
     * and lengths), so the doubles are identical in any engine; the
@@ -624,29 +629,43 @@ object Curation {
                                    minStopHits: Int = 2): DataFrame =
     docs
       .withColumn("lines", split(col("text"), "\n"))
+      // empty tokens (blank lines, runs of spaces) are NOT words —
+      // they'd inflate n_words and drag mean_wlen toward the floor
       .withColumn("words",
-        expr("flatten(transform(lines, l -> split(l, ' ')))"))
+        expr("""filter(flatten(transform(lines, l -> split(l, ' '))),
+                       w -> w <> '')"""))
       .withColumn("n_words", size(col("words")))
       .withColumn("n_lines", size(col("lines")))
       .withColumn("mean_wlen", expr(
         """CAST(aggregate(transform(words, w -> length(w)), 0L,
              (a, b) -> a + b) AS DOUBLE)""") / col("n_words"))
-      .withColumn("sym_ratio", expr(
-        """CAST((length(text) - length(replace(text, '#', '')))
-             + (length(text) - length(replace(text, '...', ''))) div 3
-           AS DOUBLE)""") / col("n_words"))
+      // the paper applies the threshold to EACH symbol separately
+      // ("either the hash symbol or the ellipsis"), so the binding
+      // ratio is the max of the two — flag(max) == flag(either)
+      .withColumn("sym_ratio", greatest(
+        expr("""CAST(length(text) - length(replace(text, '#', ''))
+                AS DOUBLE)""") / col("n_words"),
+        expr("""CAST((length(text) - length(replace(text, '...', ''))) div 3
+                + (length(text) - length(replace(text, '…', '')))
+                AS DOUBLE)""") / col("n_words")))
       .withColumn("bullet_ratio", expr(
-        "CAST(size(filter(lines, l -> substring(l, 1, 2) = '- ')) AS DOUBLE)")
+        """CAST(size(filter(lines, l -> substring(l, 1, 2) IN ('- ', '* ')
+                                     OR substring(l, 1, 1) = '•'))
+           AS DOUBLE)""")
         / col("n_lines"))
       .withColumn("ellipsis_ratio", expr(
-        "CAST(size(filter(lines, l -> right(l, 3) = '...')) AS DOUBLE)")
+        """CAST(size(filter(lines, l -> right(l, 3) = '...'
+                                     OR right(l, 1) = '…')) AS DOUBLE)""")
         / col("n_lines"))
+      // "contains an alphabetic character" — either case (acronyms,
+      // 'I', headings are words too)
       .withColumn("alpha_ratio", expr(
-        "CAST(size(filter(words, w -> w rlike '[a-z]')) AS DOUBLE)")
+        "CAST(size(filter(words, w -> w rlike '[a-zA-Z]')) AS DOUBLE)")
         / col("n_words"))
+      // stop-word hit is case-insensitive ('The', 'AND' count)
       .withColumn("n_stop", expr(
         """size(filter(array('the','be','to','of','and','that','have','with'),
-             s -> array_contains(words, s)))"""))
+             s -> array_contains(transform(words, w -> lower(w)), s)))"""))
       .withColumn("f_words",
         !(col("n_words") >= minWords && col("n_words") <= maxWords))
       .withColumn("f_mean",
@@ -711,13 +730,22 @@ object Curation {
     * Scale shape: one map-only flags pass + a 7-way per-row explode of
     * BOOLEANS (7 rows per doc, not 7 scans) + one hash agg over 7
     * groups. */
-  def gopherReportFrom(docs: DataFrame): DataFrame = {
+  def gopherReportFrom(docs: DataFrame,
+                       minWords: Int = 50, maxWords: Int = 100000,
+                       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                       maxSymbolRatio: Double = 0.1,
+                       maxBulletRatio: Double = 0.9,
+                       maxEllipsisRatio: Double = 0.3,
+                       minAlphaRatio: Double = 0.8,
+                       minStopHits: Int = 2): DataFrame = {
     val rules = Seq(
       "alpha_words" -> "f_alpha", "bullet_lines" -> "f_bullet",
       "ellipsis_lines" -> "f_ellipsis", "mean_word_len" -> "f_mean",
       "stop_words" -> "f_stop", "symbol_ratio" -> "f_sym",
       "word_count" -> "f_words")
-    gopherFlags(docs)
+    gopherFlags(docs, minWords, maxWords, minMeanLen, maxMeanLen,
+      maxSymbolRatio, maxBulletRatio, maxEllipsisRatio, minAlphaRatio,
+      minStopHits)
       .withColumn("nf", rules.map { case (_, c) =>
         col(c).cast("int") }.reduceLeft(_ + _))
       .select(col("nf"), explode(array(rules.map { case (n, c) =>
@@ -803,8 +831,9 @@ object Curation {
                 FROM documents)),
         base AS (
           SELECT doc_id, lines,
-            flatten(list_transform(lines, l -> string_split(l, ' ')))
-              AS words,
+            list_filter(
+              flatten(list_transform(lines, l -> string_split(l, ' '))),
+              w -> w <> '') AS words,
             array_to_string(lines, chr(10)) AS t
           FROM pages),
         met AS (
@@ -812,19 +841,25 @@ object Curation {
             len(words) AS n_words, len(lines) AS n_lines,
             CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
               / len(words) AS mean_wlen,
-            CAST((length(t) - length(replace(t, '#', '')))
-               + (length(t) - length(replace(t, '...', ''))) // 3 AS DOUBLE)
-              / len(words) AS sym_ratio,
-            CAST(len(list_filter(lines, l -> l[1:2] = '- ')) AS DOUBLE)
-              / len(lines) AS bullet_ratio,
-            CAST(len(list_filter(lines, l -> right(l, 3) = '...'))
+            greatest(
+              CAST(length(t) - length(replace(t, '#', '')) AS DOUBLE)
+                / len(words),
+              CAST((length(t) - length(replace(t, '...', ''))) // 3
+                 + (length(t) - length(replace(t, '…', ''))) AS DOUBLE)
+                / len(words)) AS sym_ratio,
+            CAST(len(list_filter(lines,
+                   l -> l[1:2] IN ('- ', '* ') OR l[1:1] = '•'))
+                 AS DOUBLE) / len(lines) AS bullet_ratio,
+            CAST(len(list_filter(lines,
+                   l -> right(l, 3) = '...' OR right(l, 1) = '…'))
                  AS DOUBLE) / len(lines) AS ellipsis_ratio,
             CAST(len(list_filter(words,
-                   w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+                   w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
               / len(words) AS alpha_ratio,
             len(list_filter(
               ['the','be','to','of','and','that','have','with'],
-              s -> list_contains(words, s))) AS n_stop
+              s -> list_contains(list_transform(words, w -> lower(w)), s)))
+              AS n_stop
           FROM base)"""
 
   def gopherQualityOracle(minWords: Int = 50, maxWords: Int = 100000,

@@ -270,6 +270,48 @@ class CurationSpec extends SparkSpec {
     assert(fx.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("gopher_quality: case, blank-line, and per-symbol robustness " +
+      "(Rae et al. rules on a corpus the fixture can't produce)") {
+    import spark.implicits._
+    val ok = ("the and " + Seq.fill(58)("word").mkString(" "))
+    val docs = Seq(
+      // ALL-CAPS doc: words contain alphabetics, 'The'/'And' are stop
+      // hits — must keep (pre-fix: alpha_ratio 0 and n_stop 0)
+      (1L, "The And " + Seq.fill(58)("WORD").mkString(" ")),
+      // blank lines between paragraphs add no words and no penalty
+      (2L, ok.split(" ").grouped(20).map(_.mkString(" "))
+        .mkString("\n\n")),
+      // 4 hash chars AND 4 ellipses over 60 words: each per-symbol
+      // ratio 0.067 ≤ 0.1 → keep (the summed pre-fix ratio 0.133
+      // would have dropped it)
+      (3L, ("the and word# word# word# word# wo...rd wo...rd wo...rd " +
+        "wo...rd " + Seq.fill(52)("word").mkString(" "))),
+      // '* ' bullets and '…' line-ends count toward their rules
+      (4L, (0 until 10).map(_ => "* " + ok).mkString("\n")),
+      (5L, Seq(ok + "…", ok + "…", ok, ok).mkString("\n"))
+    ).toDF("doc_id", "text")
+    val got = Curation.gopherQualityFrom(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(9), "all-caps doc must keep")
+    assert(got(1L).getDouble(7) == 1.0 && got(1L).getInt(8) >= 2)
+    assert(got(2L).getBoolean(9), "blank-line doc must keep")
+    assert(got(2L).getInt(1) == 60, "blank lines add no words")
+    assert(got(3L).getBoolean(9), "per-symbol ratios each under 0.1")
+    assert(got(3L).getDouble(4) <= 0.1)
+    assert(!got(4L).getBoolean(9) && got(4L).getDouble(5) > 0.9,
+      "star bullets count")
+    assert(!got(5L).getBoolean(9) && got(5L).getDouble(6) > 0.3,
+      "unicode ellipsis line-ends count")
+    // threshold threading: a loosened report must re-rank the knobs
+    val strict = Curation.gopherReportFrom(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val loose = Curation.gopherReportFrom(docs, maxBulletRatio = 1.0,
+      maxEllipsisRatio = 1.0).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(strict("bullet_lines") == 1L && strict("ellipsis_lines") == 1L)
+    assert(loose("bullet_lines") == 0L && loose("ellipsis_lines") == 0L)
+  }
+
   test("gopher_report: each rule attributes exactly its one crafted " +
       "exclusive failure; report flags cannot disagree with keep") {
     val rep = Curation.gopherReportFrom(gopherCraftedDocs).collect()
