@@ -65,6 +65,7 @@ object Bench {
       "ann_lsh", "ann_sign_sketch", "ann_ivf", "ann_ivf_static",
       "ann_ivf_indexed",
       "ann_pq", "ann_sq8", "ann_ivfsq8", "ann_ivfsq8_indexed", "ann_mmr",
+      "ann_mmr_indexed",
       "ann_ivfpq", "ann_ivfpq_residual",
       "ann_ivfpq_indexed",
       "ann_ivfpq_residual_indexed", "semantic_dedup",

@@ -163,6 +163,7 @@ object SparkEntry {
     "ann_ivfsq8" -> ((s, d) => Similarity.annIvfSq8(s, d)),
     "ann_ivfsq8_indexed" -> ((s, d) => Similarity.annIvfSq8Indexed(s, d)),
     "ann_mmr" -> ((s, d) => Similarity.annMmr(s, d)),
+    "ann_mmr_indexed" -> ((s, d) => Similarity.annMmrIndexed(s, d)),
     "ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
     "ann_ivfpq_residual" -> ((s, d) => Similarity.annIvfPqResidual(s, d)),
     "ann_ivfpq_indexed" -> ((s, d) => Similarity.annIvfPqIndexed(s, d)),
@@ -637,6 +638,7 @@ object SparkEntry {
     "ann_ivfsq8" -> Similarity.ivfSq8TrainedOracle(),
     "ann_ivfsq8_indexed" -> Similarity.ivfSq8StaticOracle(),
     "ann_mmr" -> Similarity.mmrOracle(),
+    "ann_mmr_indexed" -> Similarity.mmrIndexedOracle(),
     "ann_ivfpq" -> Similarity.ivfPqTrainedOracle(),
     "ann_ivfpq_residual" -> Similarity.ivfPqResidualTrainedOracle(),
     "ann_ivfpq_indexed" -> Similarity.ivfPqTrainedOracle(),

@@ -2993,6 +2993,18 @@ object Similarity {
       .select(col("query_id"), explode(col("top")).as("e"))
       .select(col("query_id"), col("e.neighbor_id").as("cand_id"),
         col("e.cos").as("cosq"))
+    mmrRerank(short, cEmb, k, lambda)
+  }
+
+  /** MMR stages 2–3 over ANY (query_id, cand_id, cosq) shortlist and
+    * (cand_id, e_c, n_c) candidate-embedding source — shared by the
+    * brute form ([[annMmrFrames]]) and the artifact-served form
+    * ([[annMmrFromIndex]]), so the greedy selection arithmetic cannot
+    * drift between them. Persists the shortlist and pair frames
+    * (KB-sized model state) so the k rounds never touch the corpus. */
+  private def mmrRerank(shortRaw: DataFrame, cEmb: DataFrame, k: Int,
+                        lambda: Double): DataFrame = {
+    val short = shortRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     TransientCaches.register(short)
     // stage 2 — candidate-candidate similarities WITHIN the shortlist
@@ -3044,12 +3056,130 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** MMR served FROM the IVF index artifact: stage 1's shortlist comes
+    * from the probed inverted lists ([[annServeFromIndex]]'s
+    * exact-cosine probe scan, kept to shortlistFactor·k instead of k),
+    * stages 2–3 are [[mmrRerank]] unchanged — closing the one gap in
+    * the serving matrix where MMR's production shape still paid a full
+    * corpus scan per query batch. At nProbe = nCells every cell is
+    * probed, the shortlist equals the brute one exactly, and the picks
+    * are IDENTICAL to [[annMmrFrames]] (SimilaritySpec pins that, the
+    * [[annIvfSq8Indexed]] stance); at production probes the stage-1
+    * bill drops to ~nProbe/nCells of the corpus BY LAYOUT.
+    *
+    * Scale shape: broadcast probes against cell-partitioned inverted
+    * lists (partition-pruned scan), bounded TopK shortlist, then the
+    * greedy rounds over persisted KB-sized frames — the corpus is
+    * touched once, in its cheapest indexed form. */
+  def annMmrFromIndex(spark: SparkSession, dir: String, queryFrame: DataFrame,
+                      nProbe: Int = 4, k: Int = 5, shortlistFactor: Int = 8,
+                      lambda: Double = 0.7): DataFrame = {
+    val cents = readIvfCentroids(spark, dir)
+    val assigned = readIvfAssigned(spark, dir)
+      .select(col("cell"), col("vec_id").as("cand_id"),
+        col("embedding").as("e_c"), col("nrm").as("n_c"))
+    val probes = queryFrame
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        l2norm(col("embedding")).as("n_q"),
+        explode(graft.functions.VectorQuantize
+          .nearestCells(col("embedding"), cents, nProbe)).as("cell"))
+    val short = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
+          .as("cosq"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.topkByScore(
+        col("cand_id"), col("cosq"), shortlistFactor * k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.neighbor_id").as("cand_id"),
+        col("e.cos").as("cosq"))
+    mmrRerank(short, assigned.select("cand_id", "e_c", "n_c"), k, lambda)
+  }
+
+  /** §2 #240 — MMR FROM THE ARTIFACT: build the standard IVF index once
+    * (static quantizer, the [[annIvfIndexed]] stance), then MMR-select
+    * the query set through [[annMmrFromIndex]] at production probes —
+    * the diversity re-rank in its serving form. */
+  def annMmrIndexed(spark: SparkSession, sfDir: String, nProbe: Int = 4,
+                    nQueries: Int = 10, k: Int = 5,
+                    shortlistFactor: Int = 8,
+                    lambda: Double = 0.7): DataFrame = {
+    val dir = ExportImport.scratch(
+      s"ivf-index/run-${java.util.UUID.randomUUID()}")
+    ivfIndexToDir(spark, sfDir, dir)
+    annMmrFromIndex(spark, dir,
+      Tables.load(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding")),
+      nProbe, k, shortlistFactor, lambda)
+  }
+
   /** DuckDB replay for [[annMmr]] — static SQL with the k greedy
     * rounds UNROLLED (sel1..selK + cumulative selected sets): the same
     * shortlist/pair arithmetic, the same `λ·cosq − (1−λ)·max` formula
     * with the same literal λ, the same (mmr DESC, id) tie-break. */
   def mmrOracle(nQueries: Int = 10, k: Int = 5, shortlistFactor: Int = 8,
                 lambda: Double = 0.7): String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    mmrOracleOver(
+      s"""short AS (SELECT query_id, cand_id, cosq FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosq,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                c.vec_id) AS r
+            FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < $nQueries)
+          WHERE r <= ${shortlistFactor * k})""", k, lambda)
+  }
+
+  /** DuckDB replay for [[annMmrIndexed]]: [[mmrOracle]]'s greedy rounds
+    * over the IVF-PROBED shortlist — the [[ivfStaticOracle]] assignment
+    * CTEs (static centroid VALUES, argmax assignment, nProbe probes)
+    * feeding the same top-(f·k) ranking, so every stage of the served
+    * form is replayed exactly. */
+  def mmrIndexedOracle(nProbe: Int = 4, nQueries: Int = 10, k: Int = 5,
+                       shortlistFactor: Int = 8,
+                       lambda: Double = 0.7): String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val centRows = staticCentroids().zipWithIndex.map { case (c, i) =>
+      s"(${i}, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    mmrOracleOver(
+      s"""cents(cell, cv) AS (VALUES $centRows),
+        ranked AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              ${dot("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+          FROM nv v, cents c),
+        assigned AS (SELECT cell, vec_id AS cand_id, embedding AS e_c,
+                       nrm AS n_c FROM ranked WHERE crnk = 1),
+        probes AS (SELECT cell, vec_id AS query_id, embedding AS e_q,
+                     nrm AS n_q
+                   FROM ranked WHERE crnk <= $nProbe AND vec_id < $nQueries),
+        short AS (SELECT query_id, cand_id, cosq FROM (
+            SELECT p.query_id, a.cand_id,
+              ${dot("p.e_q", "a.e_c")} / (p.n_q * a.n_c) AS cosq,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                ${dot("p.e_q", "a.e_c")} / (p.n_q * a.n_c) DESC,
+                a.cand_id) AS r
+            FROM probes p JOIN assigned a ON p.cell = a.cell
+            WHERE p.query_id <> a.cand_id)
+          WHERE r <= ${shortlistFactor * k})""", k, lambda)
+  }
+
+  /** The shared MMR-oracle skeleton: `nv` (normed vectors) + the
+    * caller's shortlist CTE chain (must define `short(query_id,
+    * cand_id, cosq)`) + the pair stage + the k UNROLLED greedy rounds —
+    * one definition, so the brute and artifact-served replays cannot
+    * drift in the selection arithmetic. */
+  private def mmrOracleOver(shortCtes: String, k: Int,
+                            lambda: Double): String = {
     val dot = (a: String, b: String) =>
       s"""list_reduce(list_transform(list_zip($a, $b),
           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
@@ -3084,15 +3214,7 @@ object Similarity {
     s"""WITH nv AS (SELECT vec_id, embedding,
                  sqrt(${dot("embedding", "embedding")}) AS nrm
                FROM embeddings),
-        short AS (SELECT query_id, cand_id, cosq FROM (
-            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-              ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosq,
-              row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
-                c.vec_id) AS r
-            FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
-            WHERE q.vec_id < $nQueries)
-          WHERE r <= ${shortlistFactor * k}),
+        $shortCtes,
         pairs AS (SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
             ${dot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cab
           FROM short a

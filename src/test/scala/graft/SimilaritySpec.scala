@@ -450,6 +450,26 @@ class SimilaritySpec extends SparkSpec {
       .map(_.toString).toSeq)
   }
 
+  test("ann_mmr_indexed: full probes reproduce the brute MMR picks " +
+      "exactly; production probes stay k-deep per query") {
+    // nProbe = nCells ⇒ every inverted list is probed ⇒ the artifact
+    // shortlist IS the brute shortlist ⇒ identical greedy picks (the
+    // ann_ivfsq8 equality stance, extended to the diversity re-rank)
+    val full = Similarity.annMmrIndexed(spark, sf, nProbe = 16)
+      .collect().map(_.toString).toSeq
+    val brute = Similarity.annMmr(spark, sf).collect()
+      .map(_.toString).toSeq
+    assert(full == brute, "full-probe artifact MMR must equal brute MMR")
+    // production point: every query still gets its k diverse picks,
+    // ranks dense from 1
+    val served = Similarity.annMmrIndexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+    served.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to 5), s"query $q ranks")
+    }
+    assert(served.map(_._1).distinct.length == 10)
+  }
+
   test("ann_ivf: trained centroids are unit-norm and deterministic") {
     val v = Tables.load(spark, sf, "embeddings")
       .selectExpr("vec_id", "label", "embedding",
