@@ -67,7 +67,7 @@ object Bench {
       "ann_pq", "ann_sq8", "ann_ivfsq8", "ann_ivfsq8_indexed", "ann_mmr",
       "ann_mmr_indexed",
       "ann_ivfpq", "ann_ivfpq_residual",
-      "ann_ivfpq_indexed",
+      "ann_ivfpq_indexed", "ann_ivfpq_opq_indexed",
       "ann_ivfpq_residual_indexed", "semantic_dedup",
       "semantic_dedup_incremental", "hard_negatives",
       "embedding_dedup", "embedding_quantize", "quantize_eval",

@@ -167,6 +167,8 @@ object SparkEntry {
     "ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
     "ann_ivfpq_residual" -> ((s, d) => Similarity.annIvfPqResidual(s, d)),
     "ann_ivfpq_indexed" -> ((s, d) => Similarity.annIvfPqIndexed(s, d)),
+    "ann_ivfpq_opq_indexed" ->
+      ((s, d) => Similarity.annIvfPqOpqIndexed(s, d)),
     "ann_ivfpq_residual_indexed" ->
       ((s, d) => Similarity.annIvfPqResidualIndexed(s, d)),
     "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
@@ -642,6 +644,7 @@ object SparkEntry {
     "ann_ivfpq" -> Similarity.ivfPqTrainedOracle(),
     "ann_ivfpq_residual" -> Similarity.ivfPqResidualTrainedOracle(),
     "ann_ivfpq_indexed" -> Similarity.ivfPqTrainedOracle(),
+    "ann_ivfpq_opq_indexed" -> Similarity.ivfPqOpqTrainedOracle(),
     "ann_ivfpq_residual_indexed" -> Similarity.ivfPqResidualTrainedOracle(),
     "semantic_dedup" -> Similarity.semanticDedupOracle(),
     "decontaminate_semantic" -> Similarity.decontaminateSemanticOracle(),

@@ -816,6 +816,14 @@ object Graft {
       if (exists("codebooks"))
         Some(graft.operators.Similarity.readResidualMode(spark, dir))
       else None
+    // ... and its rotation (OPQ) mode, for the same reason: the re-add
+    // after a rebuild must restate it or an OPQ deployment silently
+    // downgrades to an unrotated leg (readResidualMode above is the
+    // completeness gate, so the marker read here is trustworthy)
+    val pqRotMode: Option[Boolean] =
+      if (exists("codebooks"))
+        Some(graft.operators.Similarity.readPqRotationMode(spark, dir))
+      else None
     val drift = graft.operators.Similarity.ivfDriftFromIndex(spark, dir)
       .select("psi4", "is_shifted").head()
     val psi = if (drift.isNullAt(0)) 0.0 else drift.getDouble(0)
@@ -832,7 +840,7 @@ object Graft {
         // TRAINS under the new quantizer and pins a fresh baseline,
         // in the SAME encoding mode the dropped leg had
         graft.operators.Similarity.ivfPqIndexAdd(spark, dir,
-          residual = pqMode)
+          residual = pqMode, opq = pqRotMode)
         retrained = true
       }
     } else if (hasPq) {
@@ -850,7 +858,8 @@ object Graft {
         // stated explicitly from the capture above so the migration
         // keeps a marked leg's mode even if only its baseline is gone.
         graft.operators.Similarity.ivfPqIndexAdd(spark, dir, None,
-          retrain = true, residual = pqMode.orElse(Some(false)))
+          retrain = true, residual = pqMode.orElse(Some(false)),
+          opq = pqRotMode.orElse(Some(false)))
         retrained = true
       } else {
         val rows = graft.operators.Similarity

@@ -955,6 +955,8 @@ object Similarity {
     one("ann_pq", annPqWith(v, cbs, nQueries, k))
       .unionByName(one("ann_pq_opq",
         annPqOpqWith(v, rO, cbsO, nQueries, k)))
+      .unionByName(one("ann_ivfpq_opq",
+        annIvfPqOpqWith(v, cents, rO, cbsO, 4, nQueries, k)))
       .unionByName(one("ann_ivfpq",
         annIvfPqWith(v, cents, cbs, 4, nQueries, k)))
       .unionByName(one("ann_ivfpq_residual",
@@ -1005,6 +1007,12 @@ object Similarity {
       val lo = m * sub + 1
       val hi = (m + 1) * sub
       s"${dotE(s"q.embedding[$lo:$hi]", s"cbol.cb[${m + 1}][n.c$m + 1]")}"
+    }.mkString(" + ")
+    // IVF×OPQ ADC: same rotated-query slices, probed cells only
+    val adcIO = (0 until nSub).map { m =>
+      val lo = m * sub + 1
+      val hi = (m + 1) * sub
+      s"${dotE(s"p.e_s[$lo:$hi]", s"cbol.cb[${m + 1}][n.c$m + 1]")}"
     }.mkString(" + ")
     // residual ADC: centroid term FIRST (the engine's reduceLeft order),
     // then the per-sub-space codeword dots off the RESIDUAL codebooks
@@ -1091,6 +1099,11 @@ object Similarity {
                       ON a.vec_id = c.vec_id),
         probes AS (SELECT cell, vec_id AS query_id, embedding AS e_q
                    FROM ranked WHERE crnk <= $nProbe AND vec_id < $nQueries),
+        acodeso AS (SELECT a.cell, c.* FROM codeso c
+                    JOIN (SELECT vec_id, cell FROM ranked WHERE crnk = 1) a
+                      ON a.vec_id = c.vec_id),
+        probeso AS (SELECT p.cell, p.query_id, rt.embedding AS e_s
+                    FROM probes p JOIN rot rt ON rt.vec_id = p.query_id),
         truth AS (SELECT query_id, neighbor_id FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
               row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -1120,6 +1133,13 @@ object Similarity {
             FROM probes p, acodes n, cbl
             WHERE n.cell = p.cell AND n.vec_id <> p.query_id)
           WHERE r <= ${8 * k}),
+        short_ivfpq_opq AS (SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, n.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                ($adcIO) DESC, n.vec_id) AS r
+            FROM probeso p, acodeso n, cbol
+            WHERE n.cell = p.cell AND n.vec_id <> p.query_id)
+          WHERE r <= ${8 * k}),
         short_ivfpq_r AS (SELECT query_id, neighbor_id FROM (
             SELECT p.query_id, n.vec_id AS neighbor_id,
               row_number() OVER (PARTITION BY p.query_id ORDER BY
@@ -1145,6 +1165,10 @@ object Similarity {
          SELECT 'ann_ivfpq' AS variant,
            (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
            ${hitCount("short_ivfpq")} AS n_hit
+         UNION ALL
+         SELECT 'ann_ivfpq_opq' AS variant,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           ${hitCount("short_ivfpq_opq")} AS n_hit
          UNION ALL
          SELECT 'ann_ivfpq_residual' AS variant,
            (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
@@ -2766,10 +2790,12 @@ object Similarity {
         "monitoring")
     val cbs = readPqCodebooks(spark, dir)
     // measure distortion in the leg's ENCODING space: a residual leg's
-    // codes approximate e − c(e), so that is the reconstruction whose
-    // error degrades its ADC shortlist; a torn codebook unit refuses
+    // codes approximate e − c(e), an OPQ leg's approximate R·enc — that
+    // is the reconstruction whose error degrades its ADC shortlist
+    // (and the space the baseline was pinned in); a torn codebook unit
+    // refuses
     val residualMode = readResidualMode(spark, dir)
-    val cur =
+    val cur0 =
       if (residualMode) {
         val centArr = typedLit(
           readIvfCentroids(spark, dir).map(_.toSeq).toSeq)
@@ -2777,6 +2803,12 @@ object Similarity {
           zip_with(col("embedding"), element_at(centArr, col("cell") + 1),
             (x, c) => x.cast("double") - c).as("embedding"))
       } else readIvfAssigned(spark, dir).select("vec_id", "embedding")
+    val cur =
+      if (readPqRotationMode(spark, dir))
+        cur0.select(col("vec_id"),
+          rotCol(readPqRotation(spark, dir), col("embedding"))
+            .as("embedding"))
+      else cur0
     pqDriftFromStats(spark.read.parquet(s"$dir/pq_baseline"),
       cur, cbs, staleRatio)
   }
@@ -4400,6 +4432,99 @@ object Similarity {
       k)
   }
 
+  /** Inline IVF×OPQ serving: [[annIvfPqWith]] with the PQ stage in
+    * ROTATED space — codes quantize R·x per probed cell, the ADC dots
+    * read the rotated query's slices, the exact re-rank stays in the
+    * original space. The arithmetic twin of what
+    * [[annServeFromPqIndex]] computes off an OPQ-marked artifact
+    * (SimilaritySpec pins the equality), and the composition
+    * [[annRecallEvalPq]]'s `ann_ivfpq_opq` row prices. */
+  private[graft] def annIvfPqOpqWith(v: DataFrame,
+                              cents: Array[Array[Double]],
+                              r: Array[Array[Double]],
+                              cbs: Array[Array[Array[Double]]],
+                              nProbe: Int, nQueries: Int, k: Int,
+                              shortlistFactor: Int = 8): DataFrame = {
+    val nSub = cbs.length
+    val sub = cbs.head.head.length
+    val shortlist = shortlistFactor * k
+    def cellsOf(n: Int) =
+      graft.functions.VectorQuantize.nearestCells(col("embedding"), cents, n)
+    val codeCols = (0 until nSub).map { m =>
+      element_at(graft.functions.VectorQuantize.nearestCellsBiased(
+        expr(s"slice(re, ${m * sub + 1}, $sub)"), cbs(m),
+        l2Biases(cbs(m)), 1), 1)
+        .as(s"c$m")
+    }
+    // one map-only pass: coarse cell (original space) + rotated codes
+    val coded = v
+      .select(element_at(cellsOf(1), 1).as("cell"),
+        col("vec_id").as("neighbor_id"),
+        rotCol(r, col("embedding")).as("re"))
+      .select(col("cell") +: col("neighbor_id") +: codeCols: _*)
+    val queries = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"))
+    val probes = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        rotCol(r, col("embedding")).as("e_s"),
+        explode(cellsOf(nProbe)).as("cell"))
+    val score = (0 until nSub).map { m =>
+      graft.functions.VectorFunctions.dot(
+        expr(s"slice(e_s, ${m * sub + 1}, $sub)"),
+        element_at(typedLit(cbs(m).map(_.toSeq).toSeq), col(s"c$m") + 1))
+    }.reduceLeft(_ + _)
+    val short = coded
+      .join(broadcast(probes.select("cell", "query_id", "e_s")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), score.as("score"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.topkByScore(
+        col("neighbor_id"), col("score"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top.neighbor_id"))
+        .as("neighbor_id"))
+    rankTopK(
+      short
+        .join(v.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("e_c"), col("nrm").as("n_c")),
+          Seq("neighbor_id"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
+            .as("cos")),
+      k)
+  }
+
+  /** §2 #241 — OPQ IVFADC serving FROM THE ARTIFACT: the
+    * [[annIvfPqIndexed]] lifecycle with an OPQ-rotated PQ leg
+    * (`ivfPqIndexAdd(rotation = Some(R))`) — the serving form of
+    * [[annPqOpq]]'s measured recall lift, which until this query could
+    * not be served from the artifact at all (the rotation had no slot
+    * in the codebook unit). The `_rotation` marker beside the
+    * codebooks tells serving to rotate the query before the ADC dots,
+    * and the same marker steers re-sync, `pq_drift`, and retrain.
+    * Identical to the inline [[annIvfPqOpqWith]] under the same models
+    * (SimilaritySpec pins it; shared [[ivfPqOpqTrainedOracle]]). */
+  def annIvfPqOpqIndexed(spark: SparkSession, sfDir: String,
+                         nProbe: Int = 4, nQueries: Int = 10,
+                         k: Int = 5): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val (cents, rO, cbsO) = withTrainCache(v) { vc =>
+      val c = trainCentroids(vc, 16)
+      val (r, cb) = trainOpqRotation(vc)
+      (c, r, cb)
+    }
+    val dir = ExportImport.scratch(
+      s"ivfpq-index/run-${java.util.UUID.randomUUID()}")
+    ivfIndexBuild(spark, v.select("vec_id", "embedding"), dir, cents)
+    ivfPqIndexAdd(spark, dir, Some(cbsO), rotation = Some(rO))
+    annServeFromPqIndex(spark, dir,
+      Tables.load(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding")),
+      nProbe, k)
+  }
+
   /** (vec_id, cell, res) for every corpus vector: its coarse cell and
     * the DOUBLE-precision residual `e − c(e)` — the quantity a residual
     * product quantizer trains on and encodes. Float elements are cast
@@ -4679,13 +4804,22 @@ object Similarity {
   def ivfPqIndexAdd(spark: SparkSession, dir: String,
                     codebooks: Option[Array[Array[Array[Double]]]] = None,
                     retrain: Boolean = false,
-                    residual: Option[Boolean] = None)
+                    residual: Option[Boolean] = None,
+                    rotation: Option[Array[Array[Double]]] = None,
+                    opq: Option[Boolean] = None)
       : Unit = {
     import graft.streaming.StreamIO
     val conf = spark.sparkContext.hadoopConfiguration
     val base = spark.read.parquet(s"$dir/assigned")
     val (fs, cbPath) = StreamIO.fsFor(s"$dir/codebooks", conf)
-    val reuseStored = codebooks.isEmpty && !retrain && fs.exists(cbPath)
+    require(!(opq.contains(false) && rotation.isDefined),
+      "opq = Some(false) contradicts an explicit rotation")
+    require(rotation.isEmpty || codebooks.isDefined,
+      "an explicit rotation needs its matching codebooks (OPQ " +
+        "codebooks are trained in the rotated space — passing one " +
+        "half would pair models from two spaces)")
+    val reuseStored = codebooks.isEmpty && rotation.isEmpty && !retrain &&
+      fs.exists(cbPath)
     // resolve the encoding mode BEFORE touching anything: stored mode
     // when a consistent leg exists (readResidualMode REFUSES a torn
     // codebook unit — consulted lazily, so a retrain that states its
@@ -4703,6 +4837,22 @@ object Similarity {
             "wrong). Pass retrain = true to re-train in the new mode.")
         m
       } else residual.orElse(storedMode()).getOrElse(false)
+    // the rotation (OPQ) mode resolves by the SAME doctrine: stored on
+    // a pure re-sync (a contradicting `opq` refuses — rotated-space
+    // codes under unrotated scoring are silently wrong, and vice
+    // versa), else the caller's choice, else the stored mode, else off
+    def storedRotMode(): Option[Boolean] =
+      if (fs.exists(cbPath)) Some(readPqRotationMode(spark, dir)) else None
+    val rotMode: Boolean =
+      if (reuseStored) {
+        val m = storedRotMode().getOrElse(false)
+        require(opq.forall(_ == m),
+          s"PQ leg at $dir is ${if (m) "OPQ-rotated" else "unrotated"}; " +
+            "a re-sync cannot change the rotation mode. Pass retrain = " +
+            "true to re-train in the new mode.")
+        m
+      } else rotation.isDefined ||
+        opq.orElse(storedRotMode()).getOrElse(false)
     // residual mode subtracts the artifact's own centroid per the
     // STORED cell assignment — the exact quantity serving adds back
     lazy val cents = readIvfCentroids(spark, dir)
@@ -4712,13 +4862,21 @@ object Similarity {
         zip_with(col("embedding"), element_at(centArr, col("cell") + 1),
           (x, c) => x.cast("double") - c).as("embedding"))
     }
-    def encodeSpace(df: DataFrame): DataFrame =
+    // the rotation applies AFTER the residual/raw choice (OPQ rotates
+    // the encoding-space vector, whichever space that is)
+    def encBase(df: DataFrame): DataFrame =
       if (mode) residualFrameOf(df)
       else df.select(col("cell"), col("vec_id"), col("embedding"))
-    val cbs = codebooks.getOrElse {
-      if (reuseStored) readPqCodebooks(spark, dir)
+    // resolve (rotation, codebooks) TOGETHER — OPQ codebooks only make
+    // sense in their rotation's space, so the pair travels as a unit
+    val (rot, cbs): (Option[Array[Array[Double]]],
+                     Array[Array[Array[Double]]]) =
+      if (codebooks.isDefined) (rotation, codebooks.get)
+      else if (reuseStored)
+        (if (rotMode) Some(readPqRotation(spark, dir)) else None,
+          readPqCodebooks(spark, dir))
       else {
-        val vecs = encodeSpace(base)
+        val vecs = encBase(base)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // sub-space width stays 8; the COUNT of sub-spaces follows the
         // artifact's actual embedding dim, so the leg works on any
@@ -4727,10 +4885,18 @@ object Similarity {
           val dim = vecs.select(size(col("embedding"))).head().getInt(0)
           require(dim % 8 == 0, s"PQ sub-space width is 8: embedding " +
             s"dim $dim must be divisible by 8")
-          trainPqCodebooks(vecs, m = dim / 8, sub = 8)
+          if (rotMode) {
+            val (r, c) = trainOpqRotation(
+              vecs.select(col("vec_id"), col("embedding")), m = dim / 8)
+            (Some(r), c)
+          } else (None, trainPqCodebooks(vecs, m = dim / 8, sub = 8))
         }
         finally { vecs.unpersist(blocking = false); () }
       }
+    def encodeSpace(df: DataFrame): DataFrame = {
+      val e = encBase(df)
+      rot.map(r => e.select(col("cell"), col("vec_id"),
+        rotCol(r, col("embedding")).as("embedding"))).getOrElse(e)
     }
     val nSub = cbs.length
     val sub = cbs.head.head.length
@@ -4760,12 +4926,26 @@ object Similarity {
         cb.zipWithIndex.map { case (cw, ci) => (mi, ci, cw.toSeq) }
       }.toSeq.toDF("m", "cell", "codeword")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      // the rotation member lands inside the unit too (d×d doubles of
+      // model state), before the baseline and markers
+      rot.foreach { r =>
+        r.zipWithIndex.map { case (row, j) => (j, row.toSeq) }.toSeq
+          .toDF("j", "rv")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
+      }
       // the distortion baseline pins in the ENCODING space (residual
-      // distortion is what a residual leg's ADC loses) — inside the
-      // unit, before the marker, so a stale baseline can never pair
-      // with fresh codebooks
+      // distortion is what a residual leg's ADC loses; a rotated leg's
+      // in ROTATED space — that is the reconstruction its ADC reads) —
+      // inside the unit, before the markers, so a stale baseline can
+      // never pair with fresh codebooks
       pqDistortionStats(encodeSpace(base), cbs, "base")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_baseline")
+      // markers land LAST, `_residual` very last: readResidualMode's
+      // completeness doctrine keys on it, so a crash anywhere inside
+      // the unit (including between the two markers) leaves a unit
+      // every reader refuses — the rotation can never be half-adopted
+      StreamIO.writeMarker(s"$dir/codebooks", "_rotation",
+        if (rotMode) 1L else 0L, conf)
       StreamIO.writeMarker(s"$dir/codebooks", "_residual",
         if (mode) 1L else 0L, conf)
     }
@@ -4826,6 +5006,35 @@ object Similarity {
               "= true, residual = Some(<intended mode>)).")
         false // completed legacy pre-marker layout: raw by construction
     }
+  }
+
+  /** Whether the PQ leg's codebooks were trained under an OPQ rotation.
+    * [[ivfPqIndexAdd]] writes the `_rotation` marker strictly BEFORE
+    * `_residual`, so on any COMPLETE unit (the only kind
+    * [[readResidualMode]]'s doctrine lets a caller past) an absent
+    * `_rotation` marker means a rotation-unaware vintage — unrotated by
+    * construction, not a guess. Consult [[readResidualMode]] first: it
+    * is the completeness gate for the whole unit. */
+  private[graft] def readPqRotationMode(spark: SparkSession,
+                                        dir: String): Boolean =
+    graft.streaming.StreamIO.readMarker(s"$dir/codebooks", "_rotation",
+      spark.sparkContext.hadoopConfiguration).contains(1L)
+
+  /** The stored OPQ rotation (d×d doubles — model state). Refuses
+    * loudly when the `_rotation` marker promises one but `rotation/`
+    * is missing (a torn unit that escaped the marker doctrine, e.g. a
+    * partial manual delete): guessing identity would silently score
+    * rotated codes against unrotated queries. */
+  private[graft] def readPqRotation(spark: SparkSession,
+                                    dir: String): Array[Array[Double]] = {
+    val (fs, rp) = graft.streaming.StreamIO.fsFor(s"$dir/rotation",
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(rp),
+      s"PQ unit at $dir carries _rotation = 1 but rotation/ is missing " +
+        "— the unit is torn. Re-run ivfPqIndexAdd(retrain = true, " +
+        "opq = Some(true)).")
+    spark.read.parquet(s"$dir/rotation").orderBy("j").collect()
+      .map(_.getAs[Seq[Double]]("rv").toArray)
   }
 
   /** PQ codebooks back from an artifact's `codebooks/` (bounded:
@@ -4891,6 +5100,15 @@ object Similarity {
     // adds the per-(query, probed-cell) centroid dot back (recon =
     // c + codewords); a torn codebook unit refuses here
     val residualMode = readResidualMode(spark, dir)
+    // so does the rotation (OPQ) member: ADC must score in the space
+    // the codes were trained in, so the query is rotated ONCE per
+    // query (broadcast model state) and the sub-space dots read the
+    // rotated slices — dot(R·q, cw) = dot(q, Rᵀ·cw), the exact term
+    // the rotated reconstruction contributes. The exact re-rank stays
+    // in the ORIGINAL space (rotation preserves cosine).
+    val rot: Option[Array[Array[Double]]] =
+      if (readPqRotationMode(spark, dir)) Some(readPqRotation(spark, dir))
+      else None
     val nSub = cbs.length
     val sub = cbs.head.head.length
     // mode-aware default: residual ADC holds raw-f=8 recall at f=4
@@ -4900,12 +5118,15 @@ object Similarity {
                      else if (residualMode) 4 else 8) * k
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("e_q"), l2norm(col("embedding")).as("n_q"))
-    val probes = q.select(col("query_id"), col("e_q"),
-      explode(graft.functions.VectorQuantize.nearestCells(
-        col("e_q"), cents, nProbe)).as("cell"))
+    val probes = q
+      .withColumn("e_s",
+        rot.map(r => rotCol(r, col("e_q"))).getOrElse(col("e_q")))
+      .select(col("query_id"), col("e_q"), col("e_s"),
+        explode(graft.functions.VectorQuantize.nearestCells(
+          col("e_q"), cents, nProbe)).as("cell"))
     val subDots = (0 until nSub).map { m =>
       graft.functions.VectorFunctions.dot(
-        expr(s"slice(e_q, ${m * sub + 1}, $sub)"),
+        expr(s"slice(e_s, ${m * sub + 1}, $sub)"),
         element_at(typedLit(cbs(m).map(_.toSeq).toSeq), col(s"c$m") + 1))
     }
     val score =
@@ -5020,9 +5241,30 @@ object Similarity {
       nProbe, nQueries, k)
   }
 
+  /** Oracle for [[annIvfPqOpqIndexed]]: the [[ivfPqOracleFor]] replay
+    * with the trained rotation inlined — codes from the rotated
+    * corpus, ADC off the rotated query, exact re-rank unchanged. */
+  def ivfPqOpqTrainedOracle(nCells: Int = 16, nProbe: Int = 4,
+                            nQueries: Int = 10, k: Int = 5): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val v = vectors(spark, sfDir)
+    val (cents, rO, cbsO) = withTrainCache(v) { vc =>
+      val c = trainCentroids(vc, nCells)
+      val (r, cb) = trainOpqRotation(vc)
+      (c, r, cb)
+    }
+    ivfPqOracleFor(cents, cbsO, nProbe, nQueries, k, Some(rO))
+  }
+
   private def ivfPqOracleFor(cents: Array[Array[Double]],
                              cbs: Array[Array[Array[Double]]],
-                             nProbe: Int, nQueries: Int, k: Int): String = {
+                             nProbe: Int, nQueries: Int, k: Int,
+                             rotation: Option[Array[Array[Double]]] = None)
+      : String = {
     val nSub = cbs.length
     val sub = cbs.head.head.length
     val dot = (a: String, b: String) =>
@@ -5039,17 +5281,32 @@ object Similarity {
       .mkString(", ")
     val codePivot = (0 until nSub)
       .map(m => s"max(CASE WHEN m = $m THEN kk END) AS c$m").mkString(", ")
+    // ADC reads the query in ENCODING space (e_s = R·q on a rotated
+    // leg, the raw query otherwise)
     val adc = (0 until nSub).map { m =>
       val lo = m * sub + 1
       val hi = (m + 1) * sub
-      s"${dot(s"p.e_q[$lo:$hi]", s"cbl.cb[${m + 1}][n.c$m + 1]")}"
+      s"${dot(s"p.e_s[$lo:$hi]", s"cbl.cb[${m + 1}][n.c$m + 1]")}"
     }.mkString(" + ")
     val cbLit = cbs.map(_.map(_.mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val rotCtes = rotation.map(r => opqRotCte(r) + ",\n        ")
+      .getOrElse("")
+    val encSrc = if (rotation.isDefined) "rot" else "embeddings"
+    val probesCte = rotation match {
+      case Some(_) =>
+        s"""probes AS (SELECT r.cell, r.vec_id AS query_id,
+                 rt.embedding AS e_s
+               FROM ranked r JOIN rot rt ON rt.vec_id = r.vec_id
+               WHERE r.crnk <= $nProbe AND r.vec_id < $nQueries)"""
+      case None =>
+        s"""probes AS (SELECT cell, vec_id AS query_id, embedding AS e_s
+               FROM ranked WHERE crnk <= $nProbe AND vec_id < $nQueries)"""
+    }
     s"""WITH cents(cell, cv) AS (VALUES $centRows),
         cb(m, kk, cv, bias) AS (VALUES $cbRows),
         cbl AS (SELECT $cbLit AS cb),
-        nv AS (SELECT vec_id, embedding,
+        ${rotCtes}nv AS (SELECT vec_id, embedding,
                  sqrt(${dot("embedding", "embedding")}) AS nrm
                FROM embeddings),
         ranked AS (
@@ -5059,7 +5316,7 @@ object Similarity {
           FROM nv v, cents c),
         sub AS (SELECT vec_id, mm.m AS m,
                   embedding[mm.m * $sub + 1 : (mm.m + 1) * $sub] AS s
-                FROM embeddings,
+                FROM $encSrc,
                      (SELECT unnest(range(0, $nSub)) AS m) mm),
         coded AS (SELECT vec_id, m, kk FROM (
                     SELECT sub.vec_id, sub.m, cb.kk,
@@ -5072,8 +5329,7 @@ object Similarity {
         acodes AS (SELECT a.cell, c.* FROM codes c
                    JOIN (SELECT vec_id, cell FROM ranked WHERE crnk = 1) a
                      ON a.vec_id = c.vec_id),
-        probes AS (SELECT cell, vec_id AS query_id, embedding AS e_q
-                   FROM ranked WHERE crnk <= $nProbe AND vec_id < $nQueries),
+        $probesCte,
         short AS (SELECT query_id, neighbor_id FROM (
             SELECT p.query_id, n.vec_id AS neighbor_id,
               row_number() OVER (PARTITION BY p.query_id ORDER BY
@@ -5171,15 +5427,17 @@ object Similarity {
         WHERE rnk <= $k ORDER BY query_id, rnk"""
   }
 
-  /** R·x for every row: one codegen'd dot per output dimension over
-    * the broadcast rotation rows — map-only, like every encode step
-    * in the PQ family. Output is `array<double>` (the trainers' and
-    * ADC's encoding-space type). */
+  /** R·x as a column: one codegen'd dot per output dimension over the
+    * broadcast rotation rows — map-only, like every encode step in the
+    * PQ family. Output is `array<double>` (the trainers' and ADC's
+    * encoding-space type). */
+  private[graft] def rotCol(r: Array[Array[Double]], x: Column): Column =
+    array(r.map(row => dot(x, typedLit(row.toSeq))): _*)
+
+  /** [[rotCol]] over a (vec_id, embedding) frame. */
   private def rotatedFrame(v: DataFrame,
                            r: Array[Array[Double]]): DataFrame =
-    v.select(col("vec_id"),
-      array(r.map(row => dot(col("embedding"),
-        typedLit(row.toSeq))): _*).as("embedding"))
+    v.select(col("vec_id"), rotCol(r, col("embedding")).as("embedding"))
 
   /** OPQ rotation training (Ge et al., CVPR 2013 §4 — the
     * non-parametric alternation): starting from R = I, repeat

@@ -977,6 +977,63 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann_ivfpq_opq_indexed: the OPQ-rotated leg serves identically " +
+      "to the inline IVF-OPQ pipeline; the rotation mode survives a " +
+      "re-sync; a contradicting re-sync and a torn rotation refuse") {
+    import org.apache.spark.sql.functions.col
+    val v = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "label", "embedding",
+        "sqrt(aggregate(transform(embedding, x -> double(x) * double(x)), 0D, (a, b) -> a + b)) AS nrm")
+    val cents = Similarity.trainCentroids(v, 16)
+    val (rO, cbsO) = Similarity.trainOpqRotation(v)
+    val inline = Similarity.annIvfPqOpqWith(v, cents, rO, cbsO, 4, 10, 5)
+      .collect().map(_.toString).toSeq
+    val indexed = Similarity.annIvfPqOpqIndexed(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(indexed == inline,
+      "artifact-served IVF-OPQ must equal the inline pipeline")
+
+    // lifecycle on an internally-trained OPQ leg (opq = Some(true)
+    // trains rotation + codebooks in one unit)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = graft.operators.ExportImport.scratch("ivfpq-opq-spec")
+    graft.streaming.StreamIO.deleteRecursively(dir, conf)
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    Similarity.ivfIndexBuild(spark, embs, dir)
+    Similarity.ivfPqIndexAdd(spark, dir, opq = Some(true))
+    def rotMarker(): Long = graft.streaming.StreamIO.readMarker(
+      s"$dir/codebooks", "_rotation", conf).getOrElse(0L)
+    assert(rotMarker() == 1L, "the rotation marker must pin the mode")
+    val queries = embs.filter(col("vec_id") < 5)
+    val before = Similarity.annServeFromPqIndex(spark, dir, queries)
+      .collect().map(_.toString).toSeq
+    assert(before.nonEmpty)
+    // a re-sync cannot change the rotation mode
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexAdd(spark, dir, opq = Some(false))
+    }
+    // a plain re-sync keeps the mode, the unit, and the answers
+    Similarity.ivfPqIndexAdd(spark, dir)
+    assert(rotMarker() == 1L)
+    assert(Similarity.annServeFromPqIndex(spark, dir, queries)
+      .collect().map(_.toString).toSeq == before,
+      "a pure re-sync must not change the served answers")
+    // the drift monitor reads the leg in ROTATED space without error
+    assert(Similarity.pqDriftFromIndex(spark, dir).collect().nonEmpty)
+    // rotation promised by the marker but missing on disk = torn unit:
+    // serving must refuse, not guess identity
+    graft.streaming.StreamIO.deleteRecursively(s"$dir/rotation", conf)
+    intercept[IllegalArgumentException] {
+      Similarity.annServeFromPqIndex(spark, dir, queries).collect()
+    }
+    // a retrain that states the mode recovers the torn unit
+    Similarity.ivfPqIndexAdd(spark, dir, retrain = true, opq = Some(true))
+    assert(rotMarker() == 1L)
+    assert(Similarity.annServeFromPqIndex(spark, dir, queries)
+      .collect().nonEmpty, "post-recovery serve must work")
+  }
+
   test("ann_ivfpq_residual_indexed: the residual leg serves identically " +
       "to the inline pipeline; the mode survives re-sync and a " +
       "maintenance rebuild; a contradicting re-sync refuses") {
