@@ -319,6 +319,21 @@ object Bench {
       try operators.Dedup.dedupCorpusKept(warmDocs, 0.3).count()
       catch { case _: Throwable => () }
     }
+    // the JPEG kernel (javax.imageio encode + the SOF walk + the lossy
+    // decode) JIT-compiles a large codec surface on first use —
+    // media_jpeg_stats spiked to 2-4x on its first run in r13 and r17
+    // while its retry always cleared. local mode shares one JVM, so a
+    // few driver-side cycles compile the same code the executor
+    // threads run; 16x16 keeps the warm under ~50 ms.
+    locally {
+      val rgb = Array.tabulate(16 * 16 * 3)(i => (i * 37 % 251).toByte)
+      try (1 to 3).foreach { _ =>
+        val jpg = graft.sources.JpegCodec.encodeJpeg(16, 16, rgb)
+        graft.sources.JpegCodec.parseSof(jpg)
+        graft.sources.JpegCodec.decodeJpeg(jpg)
+      }
+      catch { case _: Throwable => () }
+    }
 
     // optional args restrict to a subset (dev loop); driver passes none
     val names = (if (args.nonEmpty) headline.filter(args.toSet) else headline)

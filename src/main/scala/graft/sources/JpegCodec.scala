@@ -21,6 +21,14 @@ package graft.sources
   */
 object JpegCodec {
 
+  // javax.imageio defaults to FILE-backed stream caches: every encode
+  // and every decode would create (and delete) a temp file on executor
+  // disk — per-ROW I/O that dominates this kernel's wall time and
+  // tracks box/disk state (the r13/r17 first-run spike signature). Our
+  // payloads are KB-sized and already in memory, so memory caching is
+  // strictly better; set once at class init, JVM-wide.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Encode an 8-bit RGB raster (row-major, 3 bytes/px) as a baseline
     * JPEG via the JDK encoder. Deterministic within a JVM: fixed
     * quality, no metadata thumbnails, pure function of (w, h, rgb). */
