@@ -800,6 +800,8 @@ object Quality {
   def corpusConcentrationFrom(docs: DataFrame, lenCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = docs.groupBy(lenCol.as("v")).agg(count(lit(1)).as("c"))
+    // single-partition ordered windows over the bounded histogram —
+    // on WindowLintSpec's bounded allowlist
     val wAsc = Window.orderBy(col("v").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wDesc = Window.orderBy(col("v").desc)

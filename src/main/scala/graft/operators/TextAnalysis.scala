@@ -710,6 +710,8 @@ object TextAnalysis {
       .select(explode(TextShingles.words(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
     val total = counts.agg(sum("n").as("total"))
+    // single-partition ordered window over the k-row head only (the
+    // limit(k) runs first) — on WindowLintSpec's bounded allowlist
     val byCount = Window.orderBy(col("n").desc, col("word"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     counts.orderBy(col("n").desc, col("word")).limit(k)
