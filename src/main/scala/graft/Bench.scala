@@ -103,7 +103,7 @@ object Bench {
       "mixture_sample", "mixture_temperature", "mixture_upsample",
       "weighted_sample",
       "tfidf_topterms", "shard_assign", "dsir_weights",
-      "bm25_search"),
+      "bm25_search", "retrieval_fuse"),
     "io" -> Seq(
       "xml_roundtrip", "csv_roundtrip", "orc_roundtrip",
       "fixed_width_roundtrip", "xlsx_roundtrip",

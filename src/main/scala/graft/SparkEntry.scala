@@ -219,6 +219,7 @@ object SparkEntry {
     "retention_cohorts" -> (Analytics.retentionCohorts _),
     "scd2_intervals" -> (MergeImport.scd2Intervals _),
     "bm25_search" -> (Curation.bm25Search _),
+    "retrieval_fuse" -> (Curation.retrievalFuse _),
     "doc_containment" -> (Dedup.docContainment _),
     "inverted_index" -> (TextAnalysis.invertedIndex _),
     "bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
@@ -1060,6 +1061,7 @@ object SparkEntry {
     "retention_cohorts" -> Analytics.retentionOracle,
     "scd2_intervals" -> MergeImport.scd2Oracle,
     "bm25_search" -> Curation.bm25Oracle(),
+    "retrieval_fuse" -> Curation.rrfOracle(),
     "doc_containment" -> Dedup.containmentOracle(),
     "inverted_index" -> TextAnalysis.invertedIndexOracle,
     "bpe_train" -> TextAnalysis.bpeTrainOracle(),

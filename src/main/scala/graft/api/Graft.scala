@@ -395,6 +395,25 @@ object Graft {
     graft.operators.Similarity.annMmrFrames(corpus, queries, k,
       lambda = lambda)
 
+  /** [[mmrSelect]] served FROM an IVF index artifact: the shortlist
+    * comes from the probed inverted lists instead of a corpus scan —
+    * identical picks at full probes, ~nProbe/nCells of the stage-1
+    * bill at production probes. */
+  def mmrSelectFromIndex(spark: SparkSession, dir: String,
+                         queries: DataFrame, nProbe: Int = 4, k: Int = 5,
+                         lambda: Double = 0.7): DataFrame =
+    graft.operators.Similarity.annMmrFromIndex(spark, dir, queries,
+      nProbe, k, lambda = lambda)
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+    * retrieval lists — the hybrid (BM25 + ANN) combiner. Both inputs
+    * are (doc_id, rank); kc = 60 is the published constant. Build the
+    * legs with [[graft.operators.Curation.rankedBy]] or any
+    * `annServe*FromIndex` list. */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, kc: Int = 60,
+              k: Int = 10): DataFrame =
+    graft.operators.Curation.rrfFuseFrom(lex, vec, kc, k)
+
   /** Append new (vec_id, embedding) vectors to an IVF index artifact
     * using its own centroids — map-only assignment over the delta,
     * existing partitions untouched. */

@@ -968,6 +968,89 @@ object Curation {
        ORDER BY score DESC, doc_id LIMIT $k"""
   }
 
+  /** Generic core: RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher,
+    * SIGIR 2009) of two ranked retrieval lists — the standard hybrid
+    * (lexical + vector) combiner a RAG corpus pipeline serves:
+    * `rrf(d) = Σ_legs 1/(kc + rank_leg(d))`, a missing membership
+    * contributing 0; kc = 60 is the published constant. Inputs are
+    * (doc_id, rank) lists with 1-based ranks; output keeps each leg's
+    * rank for attribution and re-ranks by (rrf DESC, doc_id).
+    * Deterministic: the score is a fixed-order sum of two exact
+    * reciprocals of small integers.
+    *
+    * Scale shape: the legs are already bounded top-k lists (KB-sized
+    * model/report state); fusion is one full-outer equi-join over them
+    * plus a k-row TakeOrdered — free at any corpus size. The
+    * corpus-scale work lives in the legs (BM25's one scan, the ANN
+    * index probe), each priced by its own operator. */
+  def rrfFuseFrom(lex: DataFrame, vec: DataFrame, kc: Int = 60,
+                  k: Int = 10): DataFrame =
+    lex.select(col("doc_id"), col("rank").as("lex_rank"))
+      .join(vec.select(col("doc_id"), col("rank").as("vec_rank")),
+        Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kc) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(kc) + col("vec_rank")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        round(col("rrf"), 6).as("rrf6"))
+
+  /** (doc_id, rank) from a bounded scored list: 1-based rank by
+    * (score DESC, doc_id). The window is single-partition over a
+    * ≤ top-k frame by contract (WindowLintSpec allowlist) — never over
+    * row-scale data. */
+  def rankedBy(list: DataFrame,
+               score: org.apache.spark.sql.Column): DataFrame =
+    list.select(col("doc_id"), row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(score.desc, col("doc_id"))).as("rank"))
+
+  /** §2 #242 — HYBRID RETRIEVAL FUSION over the fixture corpus: the
+    * #109 BM25 top-20 (3-term lexical query) fused with the exact
+    * cosine top-20 for query embedding 0 (doc and vector id spaces are
+    * aligned in the fixture — the usual "one embedding per document"
+    * layout). The production form swaps the exact vector leg for any
+    * `annServe*FromIndex` list unchanged — fusion only sees (doc_id,
+    * rank). */
+  def retrievalFuse(spark: SparkSession, sfDir: String): DataFrame =
+    rrfFuseFrom(
+      rankedBy(bm25Search(spark, sfDir), col("score")),
+      Similarity.annBruteforce(spark, sfDir, nQueries = 1, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rnk").as("rank")))
+
+  /** DuckDB oracle for [[retrievalFuse]]: the #109 BM25 replay and the
+    * brute cosine leg as CTEs, ranked identically, fused with the same
+    * fixed-order reciprocal sum. */
+  def rrfOracle(kc: Int = 60, kLeg: Int = 20, k: Int = 10): String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    s"""WITH lexs AS (${bm25Oracle(k = kLeg).replace("ORDER BY score DESC, doc_id LIMIT " + kLeg, "")}),
+        lex AS (SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+              AS INTEGER) AS lex_rank
+          FROM lexs QUALIFY lex_rank <= $kLeg),
+        nvv AS (SELECT vec_id, embedding,
+            sqrt(${dot("embedding", "embedding")}) AS nrm
+          FROM embeddings),
+        vec AS (SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+              AS INTEGER) AS vec_rank
+          FROM (SELECT c.vec_id AS doc_id,
+                  ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+                    AS cos
+                FROM nvv q JOIN nvv c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id = 0)
+          QUALIFY vec_rank <= $kLeg)
+       SELECT doc_id, lex_rank, vec_rank,
+         round(coalesce(1.0 / ($kc + lex_rank), 0.0)
+               + coalesce(1.0 / ($kc + vec_rank), 0.0), 6) AS rrf6
+       FROM lex FULL OUTER JOIN vec USING (doc_id)
+       ORDER BY (coalesce(1.0 / ($kc + lex_rank), 0.0)
+                 + coalesce(1.0 / ($kc + vec_rank), 0.0)) DESC, doc_id
+       LIMIT $k"""
+  }
+
   /** Generic core: deterministic GLOBAL SHUFFLE + SHARD layout over ANY
     * (doc_id, text) frame — the last step before a training run: every
     * document gets a pseudo-random position (Knuth hash of its id), the

@@ -333,6 +333,37 @@ class CurationSpec extends SparkSpec {
       assert(ne <= nf, s"$rule exclusive $ne > fail $nf") }
   }
 
+  test("retrieval_fuse: RRF ranks both-list docs above single-list " +
+      "peers, self-fusion is order-preserving, missing legs score 0") {
+    import spark.implicits._
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val vec = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("doc_id", "rank")
+    val fused = Curation.rrfFuseFrom(lex, vec).collect()
+    val order = fused.map(_.getLong(0)).toSeq
+    // 20: 1/62 + 1/61 tops 10: 1/61 + 1/63; 30/40 are single-list
+    assert(order == Seq(20L, 10L, 40L, 30L), order.toString)
+    // a single-list doc carries a null rank on the absent leg and its
+    // rrf is exactly the one reciprocal
+    val r30 = fused.find(_.getLong(0) == 30L).get
+    assert(r30.isNullAt(2) && math.abs(r30.getDouble(3) - 1.0 / 63) < 1e-6)
+    // self-fusion preserves the list's own order (monotone reciprocal)
+    val self = Curation.rrfFuseFrom(lex, lex).collect().map(_.getLong(0))
+    assert(self.toSeq == Seq(10L, 20L, 30L))
+    // fixture form: ≤ k rows, deterministic, and the fused set is a
+    // subset of the two legs' union
+    val fx = Curation.retrievalFuse(spark, sf).collect()
+    assert(fx.length <= 10 && fx.nonEmpty)
+    val again = Curation.retrievalFuse(spark, sf).collect()
+    assert(fx.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    val lexIds = Curation.bm25Search(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val vecIds = graft.operators.Similarity
+      .annBruteforce(spark, sf, nQueries = 1, k = 20)
+      .collect().map(_.getLong(1)).toSet
+    fx.foreach(r => assert(lexIds.contains(r.getLong(0))
+      || vecIds.contains(r.getLong(0))))
+  }
+
   test("shard_assign: balanced Knuth shards, exact heads in (hash, id) order, no window") {
     def knuth(id: Long): Long = {
       val a = ((id % 4294967296L) + 4294967296L) % 4294967296L

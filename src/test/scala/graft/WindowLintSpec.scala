@@ -24,6 +24,8 @@ class WindowLintSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   /** (file → expected count) of unpartitioned Window chain-starts, each
     * justified bounded:
+    *  - Curation.scala (1): rankedBy — ranks a bounded top-k retrieval
+    *    list (≤ 20 rows) for reciprocal-rank fusion.
     *  - TextAnalysis.scala (2): vocab_coverage's rank + cumulative-share
     *    windows run AFTER `.limit(k)` — ≤ k rows (top-k head).
     *  - Quality.scala (3): corpus_concentration's two cumulative
@@ -34,6 +36,7 @@ class WindowLintSpec extends org.scalatest.funsuite.AnyFunSuite {
     *    aggregate that builds it). */
   private val allow = Map(
     "operators/TextAnalysis.scala" -> 2,
+    "operators/Curation.scala" -> 1,
     "operators/Quality.scala" -> 3,
     "operators/Analytics.scala" -> 1)
 
