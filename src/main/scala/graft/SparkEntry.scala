@@ -225,6 +225,9 @@ object SparkEntry {
     "bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "bpe_fertility" -> ((s, d) => TextAnalysis.bpeFertility(s, d)),
+    "unigram_encode" -> ((s, d) => TextAnalysis.unigramEncode(s, d)),
+    "tokenizer_fertility" ->
+      ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
     "bpe_encode_artifact" -> ((s, d) => TextAnalysis.bpeEncodeArtifact(s, d)),
     "dsir_weights" -> ((s, d) => Curation.dsirWeights(s, d)),
     "quality_funnel" -> ((s, d) => TextAnalysis.qualityFunnel(s, d)),
@@ -1067,6 +1070,8 @@ object SparkEntry {
     "bpe_train" -> TextAnalysis.bpeTrainOracle(),
     "bpe_encode" -> TextAnalysis.bpeEncodeOracle(),
     "bpe_fertility" -> TextAnalysis.bpeFertilityOracle(),
+    "unigram_encode" -> TextAnalysis.unigramTrainedOracle(),
+    "tokenizer_fertility" -> TextAnalysis.tokenizerFertilityOracle(),
     // artifact-fed encode is output-identical to bpe_encode by
     // construction — same oracle
     "bpe_encode_artifact" -> TextAnalysis.bpeEncodeOracle(),

@@ -1709,6 +1709,328 @@ object TextAnalysis {
        SELECT * FROM ($union) ORDER BY step"""
   }
 
+  /** UNIGRAM-LM TOKENIZER training (Kudo 2018, arXiv:1804.10959) in
+    * the hard-EM (Viterbi) variant over the bounded word-frequency
+    * table — the OTHER tokenizer a data-pipeline team compares against
+    * BPE before committing a 100 TB tokenization run. Seed = the top
+    * (vocabSize − 26) substrings of length ≤ maxPieceLen by
+    * frequency-weighted occurrence count plus all 26 single characters
+    * (coverage guarantee); then `iters` rounds of { Viterbi-segment
+    * every vocab word under the current piece log-probs; re-estimate
+    * counts from usage, pruning unused multi-char pieces } — the
+    * SentencePiece E/M loop with hard assignments.
+    *
+    * DETERMINISM: piece log-probs are INTEGER micro-nats
+    * (`round(ln(cnt/total)·1e6)`), computed ONCE here and inlined as
+    * literals into BOTH the engine encode and the DuckDB oracle — the
+    * downstream Viterbi DP is integer arithmetic, so the argmax can
+    * never diverge between engines on a ULP (the trainCentroids
+    * rounding stance, strengthened to exact integers).
+    *
+    * Scale shape: the ONE corpus-scale pass is the word-frequency
+    * aggregate (bpeTrain's stance); the EM loop runs driver-side on
+    * the ≤ maxWords (word, freq) table — bounded model state, exactly
+    * like the k-means/PQ/OPQ family, covered by determinism +
+    * property specs while [[unigramTrainedOracle]] replays the
+    * corpus-scale ENCODE exactly downstream of the model. */
+  private[graft] def trainUnigram(wordFreqs: Seq[(String, Long)],
+                                  vocabSize: Int = 120,
+                                  maxPieceLen: Int = 4,
+                                  iters: Int = 2)
+      : Seq[(String, Long, Long)] = {
+    val chars = ('a' to 'z').map(_.toString)
+    val seed = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, f) <- wordFreqs; i <- 0 until w.length;
+         l <- 1 to math.min(maxPieceLen, w.length - i)) {
+      val p = w.substring(i, i + l)
+      seed(p) = seed.getOrElse(p, 0L) + f
+    }
+    val multi = seed.iterator.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, vocabSize - chars.length))
+    var cnt: Map[String, Long] =
+      (chars.map(c => c -> math.max(seed.getOrElse(c, 0L), 1L)) ++
+        multi).toMap
+    def lpOf(c: Map[String, Long]): Map[String, Long] = {
+      val t = c.values.sum.toDouble
+      c.map { case (p, n) => p -> math.round(math.log(n / t) * 1e6) }
+    }
+    var lp = lpOf(cnt)
+    for (_ <- 1 to iters) {
+      val usage = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, f) <- wordFreqs; p <- viterbiPieces(w, lp, maxPieceLen))
+        usage(p) = usage.getOrElse(p, 0L) + f
+      cnt = cnt.flatMap { case (p, _) =>
+        val u = usage.getOrElse(p, 0L)
+        // single chars never leave the vocab (coverage of words beyond
+        // the training table); unused multi-char pieces are pruned
+        if (p.length == 1) Some(p -> math.max(u, 1L))
+        else if (u > 0) Some(p -> u)
+        else None
+      }
+      lp = lpOf(cnt)
+    }
+    cnt.toSeq.map { case (p, c) => (p, c, lp(p)) }
+      .sortBy { case (p, c, _) => (-c, p) }
+  }
+
+  /** The trainer's Viterbi segmentation — the SAME integer-score DP
+    * the engine encode and the oracle replay: `d[i] = max_j d[j] +
+    * lp(word[j..i))`, ties → fewer pieces, then the smaller j (the
+    * longer final piece). All single characters are in the vocab, so
+    * every [a-z]+ word is segmentable. */
+  private[graft] def viterbiPieces(w: String, lp: Map[String, Long],
+                                   maxPieceLen: Int): Seq[String] = {
+    val n = w.length
+    val ds = new Array[Long](n + 1)
+    val dc = new Array[Long](n + 1)
+    val bk = new Array[Int](n + 1)
+    for (i <- 1 to n) {
+      var bs = Long.MinValue; var bc = 0L; var bj = -1
+      for (j <- math.max(0, i - maxPieceLen) until i) {
+        lp.get(w.substring(j, i)) match {
+          case Some(v) =>
+            val s = ds(j) + v; val c = dc(j) + 1
+            if (bj < 0 || s > bs || (s == bs && c < bc)) {
+              bs = s; bc = c; bj = j
+            }
+          case None => ()
+        }
+      }
+      ds(i) = bs; dc(i) = bc; bk(i) = bj
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = n
+    while (i > 0) { out.prepend(w.substring(bk(i), i)); i = bk(i) }
+    out.toSeq
+  }
+
+  /** The corpus word-frequency table the unigram trainer consumes —
+    * the SAME one corpus-scale pass bpeTrain makes (top `maxWords`
+    * alphabetic words by frequency, deterministic order). */
+  private def unigramWordFreqs(docs: DataFrame,
+                               maxWords: Int): Seq[(String, Long)] =
+    docs
+      .select(explode(TextShingles.words(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** One trained unigram model per (sfDir, params) per JVM — the
+    * in-process versioned-vocab doctrine, same as
+    * [[sharedBpeRulesDir]]. */
+  private val sharedUnigramModels = new java.util.concurrent
+    .ConcurrentHashMap[(String, Int, Int, Int, Int), Map[String, Long]]()
+  private def sharedUnigramLp(spark: SparkSession, sfDir: String,
+                              vocabSize: Int, maxPieceLen: Int,
+                              iters: Int, maxWords: Int): Map[String, Long] =
+    sharedUnigramModels.computeIfAbsent(
+      (sfDir, vocabSize, maxPieceLen, iters, maxWords), { _ =>
+        trainUnigram(
+          unigramWordFreqs(Tables.load(spark, sfDir, "documents"), maxWords),
+          vocabSize, maxPieceLen, iters)
+          .map { case (p, _, l) => p -> l }.toMap
+      })
+
+  /** The MAP-ONLY corpus encode under a trained unigram model: one
+    * integer-score Viterbi DP per word (the piece log-probs ride as a
+    * broadcast map literal), per-doc token totals and the
+    * chars-per-token compression — [[bpeEncode]]'s exact output shape,
+    * so the two tokenizers compare row for row. No joins, no shuffle
+    * beyond the per-doc aggregate. */
+  private[graft] def unigramEncodeWithModel(docs: DataFrame,
+                                            lp: Map[String, Long],
+                                            maxPieceLen: Int = 4)
+      : DataFrame = {
+    val lpMap = typedLit(lp)
+    val dp = aggregate(
+      sequence(lit(1), length(col("word"))),
+      array(struct(lit(0L).as("s"), lit(0L).as("c"))),
+      (acc, i) => {
+        val cands = filter(
+          transform(
+            sequence(greatest(lit(1), i - lit(maxPieceLen) + lit(1)), i),
+            j => struct(
+              (element_at(acc, j).getField("s")
+                + element_at(lpMap, col("word").substr(j, i - j + lit(1))))
+                .as("s"),
+              (element_at(acc, j).getField("c") + lit(1L)).as("c"),
+              j.cast("long").as("j"))),
+          c => c.getField("s").isNotNull)
+        val best = aggregate(
+          slice(cands, lit(2), size(cands)), element_at(cands, 1),
+          (p, q) => when(
+            q.getField("s") > p.getField("s")
+              || (q.getField("s") === p.getField("s")
+                && (q.getField("c") < p.getField("c")
+                  || (q.getField("c") === p.getField("c")
+                    && q.getField("j") < p.getField("j")))), q)
+            .otherwise(p))
+        concat(acc, array(struct(best.getField("s").as("s"),
+          best.getField("c").as("c"))))
+      })
+    docs
+      .select(col("doc_id"),
+        explode(TextShingles.words(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .select(col("doc_id"),
+        length(col("word")).cast("long").as("n_chars"),
+        element_at(dp, -1).getField("c").as("n_toks"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_chars").as("n_chars"),
+        sum("n_toks").as("n_tokens"))
+      .withColumn("compression",
+        round(col("n_chars") / col("n_tokens").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** §2 #243 — UNIGRAM-LM ENCODE: train the unigram tokenizer
+    * (driver-side EM over the bounded vocab, one training per corpus
+    * per JVM) and encode the whole corpus — [[bpeEncode]]'s twin, same
+    * output schema, so a pipeline prices the two tokenizers off
+    * identical tables. */
+  def unigramEncode(spark: SparkSession, sfDir: String,
+                    vocabSize: Int = 120, maxPieceLen: Int = 4,
+                    iters: Int = 2, maxWords: Int = 2000): DataFrame =
+    unigramEncodeWithModel(Tables.load(spark, sfDir, "documents"),
+      sharedUnigramLp(spark, sfDir, vocabSize, maxPieceLen, iters,
+        maxWords),
+      maxPieceLen)
+
+  /** The DuckDB CTE chain replaying [[unigramEncodeWithModel]] for a
+    * GIVEN model: words split identically, then the SAME integer
+    * Viterbi DP as a list_reduce fold with the piece micro-nat scores
+    * inlined as one CASE. Ends at `$encName` (doc_id, n_chars,
+    * n_toks). Shared by the encode and fertility oracles so the two
+    * replays cannot drift. */
+  private def unigramEncCte(lp: Map[String, Long], maxPieceLen: Int,
+                            encName: String): String = {
+    val caseArms = lp.toSeq.sortBy(_._1).map { case (p, v) =>
+      s"WHEN '$p' THEN CAST($v AS BIGINT)"
+    }.mkString(" ")
+    val lpCase = (s: String) => s"(CASE $s $caseArms ELSE NULL END)"
+    s"""${encName}_dw AS (SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+         FROM documents),
+       $encName AS (SELECT doc_id,
+           CAST(length(word) AS BIGINT) AS n_chars,
+           (list_reduce(
+              list_prepend(
+                [{'s': CAST(0 AS BIGINT), 'c': CAST(0 AS BIGINT)}],
+                [[{'s': CAST(i AS BIGINT), 'c': CAST(0 AS BIGINT)}]
+                 for i in range(1, length(word) + 1)]),
+              (a, x) -> list_append(a,
+                list_transform([
+                  list_reduce(
+                    list_filter(
+                      [{'s': a[j].s +
+                          ${lpCase("word[j:CAST(x[1].s AS INTEGER)]")},
+                        'c': a[j].c + 1, 'j': CAST(j AS BIGINT)}
+                       for j in range(
+                         greatest(1, CAST(x[1].s AS INTEGER)
+                                     - $maxPieceLen + 1),
+                         CAST(x[1].s AS INTEGER) + 1)],
+                      cc -> cc.s IS NOT NULL),
+                    (p, q) -> CASE WHEN q.s > p.s
+                        OR (q.s = p.s AND (q.c < p.c
+                        OR (q.c = p.c AND q.j < p.j)))
+                      THEN q ELSE p END)],
+                  b -> {'s': b.s, 'c': b.c})[1])
+           ))[-1].c AS n_toks
+         FROM ${encName}_dw
+         WHERE regexp_matches(word, '^[a-z]+$$'))"""
+  }
+
+  /** DuckDB oracle for [[unigramEncode]]: trains the SAME model (the
+    * deterministic driver-side trainer — the ivfTrainedOracle stance)
+    * and replays the corpus encode exactly via [[unigramEncCte]]. */
+  def unigramTrainedOracle(vocabSize: Int = 120, maxPieceLen: Int = 4,
+                           iters: Int = 2,
+                           maxWords: Int = 2000): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val lp = sharedUnigramLp(spark, sfDir, vocabSize, maxPieceLen, iters,
+      maxWords)
+    s"""WITH ${unigramEncCte(lp, maxPieceLen, "uenc")}
+       SELECT doc_id, count(*) AS n_words,
+              CAST(sum(n_chars) AS BIGINT) AS n_chars,
+              CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+              round(CAST(sum(n_chars) AS DOUBLE) / sum(n_toks), 4)
+                AS compression
+       FROM uenc GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** §2 #244 — TOKENIZER FERTILITY COMPARISON: [[bpeFertility]]'s
+    * per-language health table computed for BOTH tokenizers (BPE and
+    * unigram) off identical corpus passes — the decision table a
+    * multilingual pipeline reads before committing a mix: which
+    * tokenizer over-fragments which language, at what
+    * chars-per-token. */
+  def tokenizerFertility(spark: SparkSession, sfDir: String,
+                         nMerges: Int = 5, maxWords: Int = 2000,
+                         vocabSize: Int = 120, maxPieceLen: Int = 4,
+                         iters: Int = 2): DataFrame = {
+    val langs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+    def roll(enc: DataFrame, name: String) = enc
+      .join(langs, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_tokens").as("n_tokens"), sum("n_chars").as("n_chars"))
+      .withColumn("tokenizer", lit(name))
+    roll(bpeEncode(spark, sfDir, nMerges, maxWords), "bpe")
+      .unionByName(roll(
+        unigramEncode(spark, sfDir, vocabSize, maxPieceLen, iters,
+          maxWords), "unigram"))
+      .select(col("lang"), col("tokenizer"), col("n_docs"),
+        col("n_words"), col("n_tokens"), col("n_chars"),
+        round(col("n_tokens") / col("n_words").cast("double"), 4)
+          .as("fertility"),
+        round(col("n_chars") / col("n_tokens").cast("double"), 4)
+          .as("chars_per_token"))
+      .orderBy("lang", "tokenizer")
+  }
+
+  /** DuckDB oracle for [[tokenizerFertility]]: the BPE replay
+    * ([[bpeEncodeCtes]]) and the unigram replay ([[unigramEncCte]])
+    * rolled up by language, one UNION ALL branch per tokenizer. */
+  def tokenizerFertilityOracle(nMerges: Int = 5, maxWords: Int = 2000,
+                               vocabSize: Int = 120, maxPieceLen: Int = 4,
+                               iters: Int = 2): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val lp = sharedUnigramLp(spark, sfDir, vocabSize, maxPieceLen, iters,
+      maxWords)
+    def branch(encName: String, tok: String) =
+      s"""SELECT d.lang, '$tok' AS tokenizer,
+            count(*) AS n_docs,
+            CAST(sum(p.n_words) AS BIGINT) AS n_words,
+            CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+            CAST(sum(p.n_chars) AS BIGINT) AS n_chars,
+            round(CAST(sum(p.n_tokens) AS DOUBLE) / sum(p.n_words), 4)
+              AS fertility,
+            round(CAST(sum(p.n_chars) AS DOUBLE) / sum(p.n_tokens), 4)
+              AS chars_per_token
+          FROM (SELECT doc_id, count(*) AS n_words,
+                  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+                FROM $encName GROUP BY doc_id) p
+          JOIN documents d USING (doc_id)
+          GROUP BY d.lang"""
+    s"""${bpeEncodeCtes(nMerges, maxWords)},
+        ${unigramEncCte(lp, maxPieceLen, "uenc")}
+       SELECT * FROM (${branch("enc", "bpe")}
+                      UNION ALL ${branch("uenc", "unigram")})
+       ORDER BY lang, tokenizer"""
+  }
+
   /** §2 #161 — CHARACTER-ENTROPY GATE: Shannon entropy (bits/char) of
     * each document's code-point distribution beside the funnel's ratio
     * features — the standard gibberish/boilerplate detector (natural

@@ -645,6 +645,57 @@ class TextAnalysisSpec extends SparkSpec {
     got.values.foreach { case (_, _, _, _, fert, _) => assert(fert >= 1.0) }
   }
 
+  test("unigram tokenizer: deterministic hard-EM training, full " +
+      "coverage, engine DP equals the trainer's Viterbi, EM uses the " +
+      "multi-char pieces it keeps") {
+    val wf = Seq(("thequick", 10L), ("thebrown", 8L), ("quick", 6L),
+      ("fox", 5L), ("the", 20L), ("lazy", 3L), ("dog", 2L))
+    val m1 = TextAnalysis.trainUnigram(wf)
+    val m2 = TextAnalysis.trainUnigram(wf)
+    assert(m1 == m2, "training must be run-to-run deterministic")
+    val lp = m1.map { case (p, _, l) => p -> l }.toMap
+    // coverage: every single char survives EM, so ANY [a-z]+ word
+    // segments — including one the trainer never saw
+    ('a' to 'z').foreach(c => assert(lp.contains(c.toString), s"$c"))
+    val unseen = TextAnalysis.viterbiPieces("zzyzx", lp, 4)
+    assert(unseen.mkString == "zzyzx")
+    // counts are positive and probs negative; multi-char pieces exist
+    m1.foreach { case (p, c, l) => assert(c >= 1 && l < 0, s"$p") }
+    assert(m1.exists(_._1.length > 1),
+      "EM must keep at least one multi-char piece on this corpus")
+    // the trained model actually compresses: frequent words segment
+    // into fewer pieces than characters
+    val pcs = TextAnalysis.viterbiPieces("thequick", lp, 4)
+    assert(pcs.mkString == "thequick" && pcs.length < 8, pcs.toString)
+    // engine DP == trainer Viterbi token count, word for word
+    import spark.implicits._
+    val docs = wf.zipWithIndex
+      .map { case ((w, _), i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = TextAnalysis.unigramEncodeWithModel(docs, lp).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    wf.zipWithIndex.foreach { case ((w, _), i) =>
+      assert(got(i.toLong) ==
+        TextAnalysis.viterbiPieces(w, lp, 4).length.toLong,
+        s"word $w: engine DP disagrees with the trainer's Viterbi")
+    }
+    // fixture form: bpe-comparable shape, sane metrics, deterministic
+    val fx = TextAnalysis.unigramEncode(spark, sf).collect()
+    assert(fx.nonEmpty)
+    fx.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(1), "at least one token per word")
+      assert(r.getLong(3) <= r.getLong(2), "at most one token per char")
+    }
+    val comparison = TextAnalysis.tokenizerFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(6)).toMap
+    val langs = comparison.keys.map(_._1).toSet
+    langs.foreach { l =>
+      assert(comparison.contains((l, "bpe"))
+        && comparison.contains((l, "unigram")),
+        s"both tokenizers must be priced for $l")
+      assert(comparison((l, "unigram")) >= 1.0)
+    }
+  }
+
   test("bpe rules artifact: encode off the artifact equals train-inline") {
     val dir = graft.operators.ExportImport.scratch("bpe-rules-spec")
     TextAnalysis.bpeRulesToDir(spark, sf, dir)
