@@ -87,7 +87,7 @@ object Bench {
       "inverted_index", "source_mix_report", "source_kl", "source_psi", "tfidf_embed",
       "bpe_train", "bpe_encode",
       "bpe_fertility", "bpe_encode_artifact",
-      "unigram_encode", "tokenizer_fertility",
+      "unigram_encode", "unigram_encode_artifact", "tokenizer_fertility",
       "char_entropy", "zipf_fit", "lang_confusion", "corpus_report",
       "kmv_distinct", "hll_distinct", "cms_topk",
       "hdr_quantiles", "source_overlap_hll", "source_jaccard_kmv",

@@ -226,6 +226,8 @@ object SparkEntry {
     "bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "bpe_fertility" -> ((s, d) => TextAnalysis.bpeFertility(s, d)),
     "unigram_encode" -> ((s, d) => TextAnalysis.unigramEncode(s, d)),
+    "unigram_encode_artifact" ->
+      ((s, d) => TextAnalysis.unigramEncodeArtifact(s, d)),
     "tokenizer_fertility" ->
       ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
     "bpe_encode_artifact" -> ((s, d) => TextAnalysis.bpeEncodeArtifact(s, d)),
@@ -1071,6 +1073,7 @@ object SparkEntry {
     "bpe_encode" -> TextAnalysis.bpeEncodeOracle(),
     "bpe_fertility" -> TextAnalysis.bpeFertilityOracle(),
     "unigram_encode" -> TextAnalysis.unigramTrainedOracle(),
+    "unigram_encode_artifact" -> TextAnalysis.unigramTrainedOracle(),
     "tokenizer_fertility" -> TextAnalysis.tokenizerFertilityOracle(),
     // artifact-fed encode is output-identical to bpe_encode by
     // construction — same oracle

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -1839,13 +1839,17 @@ object TextAnalysis {
     * chars-per-token compression — [[bpeEncode]]'s exact output shape,
     * so the two tokenizers compare row for row. No joins, no shuffle
     * beyond the per-doc aggregate. */
-  private[graft] def unigramEncodeWithModel(docs: DataFrame,
-                                            lp: Map[String, Long],
-                                            maxPieceLen: Int = 4)
-      : DataFrame = {
+  /** The integer Viterbi DP as a Column function of ANY word column —
+    * token count of the best segmentation under the piece micro-nat
+    * map. Column-API lambdas get fresh variable names, so this nests
+    * safely inside an outer fold (the streaming twin folds it over the
+    * per-doc word array). */
+  private[graft] def unigramDpTokens(lp: Map[String, Long],
+                                     maxPieceLen: Int = 4)
+                                    (word: Column): Column = {
     val lpMap = typedLit(lp)
     val dp = aggregate(
-      sequence(lit(1), length(col("word"))),
+      sequence(lit(1), length(word)),
       array(struct(lit(0L).as("s"), lit(0L).as("c"))),
       (acc, i) => {
         val cands = filter(
@@ -1853,7 +1857,7 @@ object TextAnalysis {
             sequence(greatest(lit(1), i - lit(maxPieceLen) + lit(1)), i),
             j => struct(
               (element_at(acc, j).getField("s")
-                + element_at(lpMap, col("word").substr(j, i - j + lit(1))))
+                + element_at(lpMap, word.substr(j, i - j + lit(1))))
                 .as("s"),
               (element_at(acc, j).getField("c") + lit(1L)).as("c"),
               j.cast("long").as("j"))),
@@ -1870,13 +1874,20 @@ object TextAnalysis {
         concat(acc, array(struct(best.getField("s").as("s"),
           best.getField("c").as("c"))))
       })
+    element_at(dp, -1).getField("c")
+  }
+
+  private[graft] def unigramEncodeWithModel(docs: DataFrame,
+                                            lp: Map[String, Long],
+                                            maxPieceLen: Int = 4)
+      : DataFrame = {
     docs
       .select(col("doc_id"),
         explode(TextShingles.words(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .select(col("doc_id"),
         length(col("word")).cast("long").as("n_chars"),
-        element_at(dp, -1).getField("c").as("n_toks"))
+        unigramDpTokens(lp, maxPieceLen)(col("word")).as("n_toks"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_chars").as("n_chars"),
         sum("n_toks").as("n_tokens"))
@@ -1896,6 +1907,62 @@ object TextAnalysis {
     unigramEncodeWithModel(Tables.load(spark, sfDir, "documents"),
       sharedUnigramLp(spark, sfDir, vocabSize, maxPieceLen, iters,
         maxWords),
+      maxPieceLen)
+
+  /** TOKENIZER ARTIFACT for the unigram family ([[bpeRulesToDir]]'s
+    * doctrine): the trained model as a tiny versioned parquet —
+    * (piece, cnt, lp) rows of model state, train ONCE per corpus
+    * version, every encode (batch, backfill, stream) reads the
+    * artifact instead of re-paying the vocabulary pass + EM. */
+  def unigramModelToDir(spark: SparkSession, sfDir: String, dir: String,
+                        vocabSize: Int = 120, maxPieceLen: Int = 4,
+                        iters: Int = 2, maxWords: Int = 2000): Unit = {
+    import spark.implicits._
+    trainUnigram(
+      unigramWordFreqs(Tables.load(spark, sfDir, "documents"), maxWords),
+      vocabSize, maxPieceLen, iters)
+      .toDF("piece", "cnt", "lp")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Read a [[unigramModelToDir]] artifact back to the (piece → lp)
+    * map the encode consumes (schema-checked, loud on anything else). */
+  def readUnigramModel(spark: SparkSession, dir: String): Map[String, Long] = {
+    val df = spark.read.parquet(dir)
+    require(df.columns.toSeq == Seq("piece", "cnt", "lp"),
+      s"not a unigram model artifact: ${df.columns.mkString(", ")}")
+    df.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+  }
+
+  /** Per-session registry of unigram model artifacts (one train per
+    * (sfDir, params) per JVM — the versioned-vocab doctrine). */
+  private val sharedUnigramDirs = new java.util.concurrent
+    .ConcurrentHashMap[(String, Int, Int, Int, Int), String]()
+  private lazy val unigramNs = java.util.UUID.randomUUID().toString
+  def sharedUnigramModelDir(spark: SparkSession, sfDir: String,
+                            vocabSize: Int = 120, maxPieceLen: Int = 4,
+                            iters: Int = 2, maxWords: Int = 2000): String =
+    sharedUnigramDirs.computeIfAbsent(
+      (sfDir, vocabSize, maxPieceLen, iters, maxWords), { _ =>
+        val dir = ExportImport.scratch(
+          s"unigram-model/$unigramNs/v$vocabSize-l$maxPieceLen-i$iters" +
+            s"-${math.abs(sfDir.hashCode)}")
+        unigramModelToDir(spark, sfDir, dir, vocabSize, maxPieceLen,
+          iters, maxWords)
+        dir
+      })
+
+  /** §2 #245 — UNIGRAM ENCODE FROM THE MODEL ARTIFACT: identical
+    * output to [[unigramEncode]] (same DP, same model — the #122c
+    * stance one tokenizer over), with training replaced by a
+    * vocab-sized artifact read. */
+  def unigramEncodeArtifact(spark: SparkSession, sfDir: String,
+                            vocabSize: Int = 120, maxPieceLen: Int = 4,
+                            iters: Int = 2,
+                            maxWords: Int = 2000): DataFrame =
+    unigramEncodeWithModel(Tables.load(spark, sfDir, "documents"),
+      readUnigramModel(spark, sharedUnigramModelDir(spark, sfDir,
+        vocabSize, maxPieceLen, iters, maxWords)),
       maxPieceLen)
 
   /** The DuckDB CTE chain replaying [[unigramEncodeWithModel]] for a

@@ -56,4 +56,29 @@ object StreamEncode {
       .withColumn("compression",
         round(col("n_chars") / col("n_tokens").cast("double"), 4))
   }
+
+  /** Continuous tokenization off the UNIGRAM model artifact
+    * ([[graft.operators.TextAnalysis.unigramModelToDir]]) — the #243
+    * tokenizer's streaming twin, same stance as [[encoded]]: stateless
+    * map-only (append mode, no watermark, no state store), the batch
+    * explode+re-aggregate replaced by ONE per-row fold summing the
+    * integer Viterbi DP over the word array. StreamingSpec proves
+    * per-doc equality with `unigramEncodeWithModel` on the same
+    * artifact. */
+  def unigramEncoded(docs: DataFrame, lp: Map[String, Long],
+                     maxPieceLen: Int = 4): DataFrame = {
+    val dpOf = graft.operators.TextAnalysis
+      .unigramDpTokens(lp, maxPieceLen) _
+    docs
+      .withColumn("w", graft.functions.TextShingles.words(col("text")))
+      .withColumn("kept", expr("filter(w, x -> x rlike '^[a-z]+$')"))
+      .filter(size(col("kept")) > 0)
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_words"),
+        expr("aggregate(kept, 0L, (a, x) -> a + length(x))").as("n_chars"),
+        aggregate(col("kept"), lit(0L), (a, x) => a + dpOf(x))
+          .as("n_tokens"))
+      .withColumn("compression",
+        round(col("n_chars") / col("n_tokens").cast("double"), 4))
+  }
 }

@@ -1218,6 +1218,28 @@ class StreamingSpec extends SparkSpec {
       s"per-doc mismatch: ${got.toSet.diff(batch.toSet).take(3)}")
   }
 
+  test("streaming unigram encode off the model artifact equals batch " +
+      "per doc") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.{DocIngest, StreamEncode}
+    val lp = TextAnalysis.readUnigramModel(spark,
+      TextAnalysis.sharedUnigramModelDir(spark, sf))
+    val q = StreamEncode
+      .unigramEncoded(DocIngest.readDocStream(spark, sf), lp)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_unigram").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))
+    val got = spark.table("stream_unigram").collect().map(key).toMap
+    val batch = TextAnalysis.unigramEncodeWithModel(
+      Tables.load(spark, sf, "documents"), lp).collect().map(key).toMap
+    assert(got == batch,
+      s"per-doc mismatch: ${got.toSet.diff(batch.toSet).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("streaming HDR quantile card equals the batch estimate leg") {
     import graft.streaming.{DocIngest, StreamQuantiles}
     val outDir = graft.operators.ExportImport.scratch("stream-quant")

@@ -685,6 +685,15 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getLong(3) >= r.getLong(1), "at least one token per word")
       assert(r.getLong(3) <= r.getLong(2), "at most one token per char")
     }
+    // model artifact: encode off the artifact equals train-inline, and
+    // a non-artifact dir fails loudly
+    val fromArtifact = TextAnalysis.unigramEncodeArtifact(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(fromArtifact == fx.map(_.toString).toSeq)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.readUnigramModel(spark,
+        TextAnalysis.sharedBpeRulesDir(spark, sf))
+    }
     val comparison = TextAnalysis.tokenizerFertility(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(6)).toMap
     val langs = comparison.keys.map(_._1).toSet
