@@ -104,7 +104,7 @@ object Bench {
       "mixture_sample", "mixture_temperature", "mixture_upsample",
       "weighted_sample",
       "tfidf_topterms", "shard_assign", "dsir_weights",
-      "bm25_search", "retrieval_fuse"),
+      "bm25_search", "retrieval_fuse", "retrieval_fuse_indexed"),
     "io" -> Seq(
       "xml_roundtrip", "csv_roundtrip", "orc_roundtrip",
       "fixed_width_roundtrip", "xlsx_roundtrip",

@@ -220,6 +220,8 @@ object SparkEntry {
     "scd2_intervals" -> (MergeImport.scd2Intervals _),
     "bm25_search" -> (Curation.bm25Search _),
     "retrieval_fuse" -> (Curation.retrievalFuse _),
+    "retrieval_fuse_indexed" ->
+      ((s, d) => Curation.retrievalFuseIndexed(s, d)),
     "doc_containment" -> (Dedup.docContainment _),
     "inverted_index" -> (TextAnalysis.invertedIndex _),
     "bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
@@ -1067,6 +1069,7 @@ object SparkEntry {
     "scd2_intervals" -> MergeImport.scd2Oracle,
     "bm25_search" -> Curation.bm25Oracle(),
     "retrieval_fuse" -> Curation.rrfOracle(),
+    "retrieval_fuse_indexed" -> Curation.rrfIndexedOracle(),
     "doc_containment" -> Dedup.containmentOracle(),
     "inverted_index" -> TextAnalysis.invertedIndexOracle,
     "bpe_train" -> TextAnalysis.bpeTrainOracle(),

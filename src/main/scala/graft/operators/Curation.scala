@@ -1018,10 +1018,82 @@ object Curation {
       Similarity.annBruteforce(spark, sfDir, nQueries = 1, k = 20)
         .select(col("neighbor_id").as("doc_id"), col("rnk").as("rank")))
 
+  /** §2 #246 — HYBRID FUSION IN ITS SERVING FORM: the same RRF combine
+    * with the vector leg served FROM THE IVF INDEX ARTIFACT
+    * ([[Similarity.annIvfIndexed]]'s build-once/probe path) instead of
+    * the brute scan — the shape a production RAG pipeline runs: BM25's
+    * one corpus scan + the index probe, fused for pennies. At
+    * nProbe = nCells the vector leg equals the brute one, so the fused
+    * table is IDENTICAL to [[retrievalFuse]] (spec-pinned). */
+  def retrievalFuseIndexed(spark: SparkSession, sfDir: String,
+                           nProbe: Int = 4): DataFrame =
+    rrfFuseFrom(
+      rankedBy(bm25Search(spark, sfDir), col("score")),
+      Similarity.annIvfIndexed(spark, sfDir, nProbe = nProbe,
+        nQueries = 1, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rnk").as("rank")))
+
   /** DuckDB oracle for [[retrievalFuse]]: the #109 BM25 replay and the
     * brute cosine leg as CTEs, ranked identically, fused with the same
     * fixed-order reciprocal sum. */
   def rrfOracle(kc: Int = 60, kLeg: Int = 20, k: Int = 10): String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    rrfOracleOver(
+      s"""vec AS (SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+              AS INTEGER) AS vec_rank
+          FROM (SELECT c.vec_id AS doc_id,
+                  ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+                    AS cos
+                FROM nvv q JOIN nvv c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id = 0)
+          QUALIFY vec_rank <= $kLeg)""", kc, kLeg, k)
+  }
+
+  /** DuckDB oracle for [[retrievalFuseIndexed]]: the same fuse
+    * skeleton with the vector leg replayed through the static-IVF
+    * assignment/probe CTEs ([[Similarity.ivfStaticOracle]]'s
+    * machinery) — every stage of the served form exact. */
+  def rrfIndexedOracle(nProbe: Int = 4, kc: Int = 60, kLeg: Int = 20,
+                       k: Int = 10): String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val centRows = Similarity.staticCentroids().zipWithIndex
+      .map { case (c, i) => s"(${i}, ${c.mkString("[", ", ", "]")})" }
+      .mkString(", ")
+    rrfOracleOver(
+      s"""cents(cell, cv) AS (VALUES $centRows),
+        rankedv AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              ${dot("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+          FROM nvv v, cents c),
+        assignedv AS (SELECT cell, vec_id AS neighbor_id,
+                        embedding AS e_c, nrm AS n_c
+                      FROM rankedv WHERE crnk = 1),
+        probesv AS (SELECT cell, vec_id AS query_id, embedding AS e_q,
+                      nrm AS n_q
+                    FROM rankedv WHERE crnk <= $nProbe AND vec_id = 0),
+        vec AS (SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+              AS INTEGER) AS vec_rank
+          FROM (SELECT a.neighbor_id AS doc_id,
+                  ${dot("p.e_q", "a.e_c")} / (p.n_q * a.n_c) AS cos
+                FROM probesv p JOIN assignedv a ON p.cell = a.cell
+                WHERE p.query_id <> a.neighbor_id)
+          QUALIFY vec_rank <= $kLeg)""", kc, kLeg, k)
+  }
+
+  /** The shared RRF-oracle skeleton: the BM25 lex CTEs + the caller's
+    * vector-leg CTE chain (must define `vec(doc_id, vec_rank)`; `nvv`
+    * — normed vectors — is provided) + the fixed-order reciprocal
+    * fuse. One definition, so the brute and artifact-served replays
+    * cannot drift in the combine arithmetic. */
+  private def rrfOracleOver(vecCtes: String, kc: Int, kLeg: Int,
+                            k: Int): String = {
     val dot = (a: String, b: String) =>
       s"""list_reduce(list_transform(list_zip($a, $b),
           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
@@ -1033,15 +1105,7 @@ object Curation {
         nvv AS (SELECT vec_id, embedding,
             sqrt(${dot("embedding", "embedding")}) AS nrm
           FROM embeddings),
-        vec AS (SELECT doc_id,
-            CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
-              AS INTEGER) AS vec_rank
-          FROM (SELECT c.vec_id AS doc_id,
-                  ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
-                    AS cos
-                FROM nvv q JOIN nvv c ON c.vec_id <> q.vec_id
-                WHERE q.vec_id = 0)
-          QUALIFY vec_rank <= $kLeg)
+        $vecCtes
        SELECT doc_id, lex_rank, vec_rank,
          round(coalesce(1.0 / ($kc + lex_rank), 0.0)
                + coalesce(1.0 / ($kc + vec_rank), 0.0), 6) AS rrf6

@@ -362,6 +362,15 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     fx.foreach(r => assert(lexIds.contains(r.getLong(0))
       || vecIds.contains(r.getLong(0))))
+    // serving form: at full probes the artifact vector leg equals the
+    // brute one, so the fused table is identical (the ann_mmr_indexed
+    // equality stance applied to fusion); production probes still
+    // return a fused top-k
+    val servedFull = Curation.retrievalFuseIndexed(spark, sf, nProbe = 16)
+      .collect().map(_.toString).toSeq
+    assert(servedFull == fx.map(_.toString).toSeq,
+      "full-probe served fusion must equal the brute fusion")
+    assert(Curation.retrievalFuseIndexed(spark, sf).collect().length <= 10)
   }
 
   test("shard_assign: balanced Knuth shards, exact heads in (hash, id) order, no window") {
