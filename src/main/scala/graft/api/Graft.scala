@@ -18,6 +18,16 @@ import org.apache.spark.sql.types.StructType
   * the driver-oracle queries and the spec suite; nothing here is bound
   * to the test fixtures. (The fixture-bound `SparkEntry.queries` wrappers
   * exist only so the DuckDB correctness gate can replay them.)
+  *
+  * A note on trailing sorts: the gate-path wrappers end most results
+  * with an `orderBy` because the correctness harness hashes sorted
+  * output. On bounded report outputs that sort is free; on
+  * corpus-sized outputs (e.g. a per-document dedup table) it is one
+  * extra global sort a production caller feeding a downstream job
+  * should simply not ask for — the facade cores here return unsorted
+  * frames wherever determinism doesn't require the order, and callers
+  * needing a stable file layout should prefer `sortWithinPartitions`
+  * or a partitioned write over a global `orderBy`.
   */
 object Graft {
 
