@@ -1032,6 +1032,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rotMarker() == 1L)
     assert(Similarity.annServeFromPqIndex(spark, dir, queries)
       .collect().nonEmpty, "post-recovery serve must work")
+    // the two encoding modes COMPOSE: a residual + OPQ leg (rotation
+    // trained on the residual space) carries both markers, serves
+    // k-deep, survives a pure re-sync bit-identically, and its drift
+    // monitor reads the rotated-residual space without error
+    Similarity.ivfPqIndexAdd(spark, dir, retrain = true,
+      residual = Some(true), opq = Some(true))
+    def resMarker(): Long = graft.streaming.StreamIO.readMarker(
+      s"$dir/codebooks", "_residual", conf).getOrElse(0L)
+    assert(rotMarker() == 1L && resMarker() == 1L)
+    val composed = Similarity.annServeFromPqIndex(spark, dir, queries)
+      .collect().map(_.toString).toSeq
+    assert(composed.nonEmpty)
+    composed.groupBy(_.split(",")(0)).foreach { case (_, rows) =>
+      assert(rows.length == 5, "k-deep per query on the composed leg")
+    }
+    Similarity.ivfPqIndexAdd(spark, dir) // pure re-sync
+    assert(Similarity.annServeFromPqIndex(spark, dir, queries)
+      .collect().map(_.toString).toSeq == composed)
+    assert(Similarity.pqDriftFromIndex(spark, dir).collect().nonEmpty)
   }
 
   test("ann_ivfpq_residual_indexed: the residual leg serves identically " +
