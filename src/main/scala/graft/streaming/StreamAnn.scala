@@ -135,4 +135,33 @@ object StreamAnn {
         ()
       }
       .start()
+
+  /** Continuous MMR serving from the artifact: each query micro-batch
+    * takes its shortlist from the probed inverted lists and runs the
+    * greedy diversity re-rank ([[Similarity.annMmrFromIndex]]) — the
+    * serving ladder's diversity rung closed against the same
+    * maintenance loop. MMR is per-query independent (shortlist, pair,
+    * and pick frames all key on query_id), so the streamed batches
+    * equal the batch operator on the same rows (StreamingSpec). The
+    * per-batch frames the greedy rounds persist are KB-sized; the body
+    * releases them after the write so a long-lived stream never
+    * accumulates cache entries. Same replay-idempotent `batch_id=N`
+    * partitions and the same concurrency caveat as
+    * [[applyStreamFromIndex]]. */
+  def applyStreamMmrFromIndex(queries: DataFrame, indexDir: String,
+                              outDir: String, checkpoint: String,
+                              nProbe: Int = 4, k: Int = 5,
+                              lambda: Double = 0.7): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Similarity.annMmrFromIndex(batch.sparkSession, indexDir,
+              batch, nProbe, k, lambda = lambda)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          graft.operators.TransientCaches.release()
+        }
+        ()
+      }
+      .start()
 }

@@ -551,6 +551,42 @@ class StreamingSpec extends SparkSpec {
       "streamed index deltas must be visible to the sq8 serving loop")
   }
 
+  test("stream MMR from the index artifact equals the batch MMR serve " +
+      "per query across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val root = graft.operators.ExportImport.scratch("stream-ann-mmr")
+    val (dir, outDir, ckpt) = (root + "/idx", root + "/out", root + "/ckpt")
+    Seq(dir, outDir, ckpt).foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(d,
+        spark.sparkContext.hadoopConfiguration))
+    Similarity.ivfIndexToDir(spark, sf, dir)
+    val qRows = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") < 4).select(col("vec_id"), col("embedding"))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamAnn.applyStreamMmrFromIndex(
+      input.toDF().toDF("vec_id", "embedding"), dir, outDir, ckpt)
+    try {
+      // two micro-batches: MMR is per-query independent, so batch
+      // boundaries must not change any query's greedy picks
+      val all = qRows.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      input.addData(all.take(2).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(all.drop(2).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getDouble(4))
+    val got = spark.read.parquet(outDir).collect().map(key).toSet
+    val want = Similarity.annMmrFromIndex(spark, dir, qRows)
+      .collect().map(key).toSet
+    assert(got == want && got.nonEmpty,
+      s"stream-vs-batch MMR mismatch: ${got.diff(want).take(3)}")
+  }
+
   test("stream ann from the PQ leg equals the batch IVFADC serve, sees " +
       "live deltas exactly, and refuses a compaction-stale scan table") {
     import spark.implicits._
