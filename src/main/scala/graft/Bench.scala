@@ -208,9 +208,18 @@ object Bench {
       def v1(f: String => Option[Long]) =
         names.map(n => f(n).map(enc1).getOrElse(Err1)).mkString
       val famS = fam.map { case (f, s) => f"$f=$s%.1f" }.mkString("|")
-      // up to 3 retry pairs, ";"-joined (r14: outliers arrive as a
-      // family — one slot left r13's second outlier unadjudicated)
-      val retryS = retry.map { case (q, f, a) => s"$q|$f|$a" }.mkString(";")
+      // up to 3 retry triples, ";"-joined (r14: outliers arrive as a
+      // family — one slot left r13's second outlier unadjudicated).
+      // COMPACT FORM (r18, the line hit its budget at 228 queries):
+      // `i<order-index>|<enc2 first cs>|<enc2 retry cs>` — the index
+      // resolves through docs/BENCH_ORDER.md exactly like the vectors
+      // (fp-guarded), and the g1 2-char code's ~1.1% step is far
+      // inside the noise the retry adjudicates. ~11 chars/slot vs the
+      // old ~43 (full query name + decimal centiseconds).
+      val retryS = retry.map { case (q, f, a) =>
+        def e(v: Long) = if (v < 0) Err2 else enc2(v.toDouble)
+        s"i${names.indexOf(q)}|${e(f)}|${e(a)}"
+      }.mkString(";")
       val sh = v1(n => adj.get(n).map(_._3 / 1000000L))
       val gc = v1(n => adj.get(n).map(_._2))
       val cpu = v2(n => adj.get(n).map(_._1 / 10000000.0))

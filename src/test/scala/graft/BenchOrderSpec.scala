@@ -78,6 +78,20 @@ class BenchOrderSpec extends AnyFunSuite {
     assert(line.length <= 1800,
       s"tail line ${line.length} chars — the driver window keeps 2000" +
         " minus the sbt [success] trailer; 1800 is the budget")
+    // the compact retry form (r18): order-index + two g1 codes per
+    // slot, errored retry = the zz sentinel
+    val retryS = "\"retry\":\"([^\"]*)\"".r
+      .findFirstMatchIn(line).get.group(1)
+    retryS.split(";").foreach { slot =>
+      assert(slot.matches("i\\d+\\|[0-9a-z]{2}\\|[0-9a-z]{2}"), slot)
+    }
+    val errLine = Bench.TailCodec.buildLine(names, wallCs, adj, fam,
+      Seq(("dedup_exact", 9999999L, -100L)),
+      99.99, 99.99, 99999999L, "x", 99, 99999.9, "o", "ffffffff")
+    assert(errLine.contains(s"i${names.indexOf("dedup_exact")}|"),
+      "retry slot must carry the order index")
+    assert("\"retry\":\"([^\"]*)\"".r.findFirstMatchIn(errLine).get
+      .group(1).endsWith("|zz"), "errored retry must be the zz sentinel")
     // the four vectors decode to exactly one entry per query
     val w = "\"w\":\"([0-9a-z]+)\"".r.findFirstMatchIn(line).get.group(1)
     assert(w.length == names.size * 2, "wall vector is 2 chars/query")
