@@ -589,6 +589,98 @@ out += ["",
         "table economics:",
         "  run per corpus decision, never on a serving path.",
         "",
+        "## r17 driver outliers, adjudicated (r17 judge + r18)",
+        "",
+        "- the five r17 driver-sweep spikes (leakage_safe_split 56.2, "
+        "dedup_clusters",
+        "  29.8, dedup_survivorship 23.6, dedup_corpus 17.1, "
+        "dedup_audit_composed",
+        "  24.4 s) were adjudicated CLEAR by the r17 judge's own full "
+        "re-run on the",
+        "  same box/code/data (6.6-7.9 s each — the documented "
+        "driver-box GC",
+        "  amplification signature, plans unchanged); this r18 sweep "
+        "re-measures the",
+        "  family at 6.5-8.5 s, consistent.",
+        "- media_jpeg_stats (the r17 WATCH: recurring first-run spikes "
+        "that a retry",
+        "  always cleared) is ROOT-CAUSED and FIXED in r18: "
+        "javax.imageio defaults",
+        "  to FILE-backed stream caches, so every per-row encode and "
+        "decode created",
+        "  and deleted a temp file on executor disk — per-row I/O "
+        "that tracks disk/",
+        "  box state, exactly the flappy signature. "
+        "ImageIO.setUseCache(false) at",
+        "  JpegCodec init: 3.5 -> 0.8 s at sf0.1 solo, "
+        "0.44/0.37/1.07 s in this",
+        "  sweep (was 0.93/0.59/1.68), plus a Bench codec warmup so "
+        "first-compile",
+        "  latency cannot land in the measurement. The WATCH closes.",
+        "",
+        "## r18 additions, priced (builder 3-SF sweep: 228 queries, "
+        "0 errors,",
+        "## 276.6/246.5/404.5 s; sweep-wide note: the first sf0.1 "
+        "pass of this",
+        "## sweep read 432.7 s with emb_cold 0.76 and all three "
+        "in-run retries",
+        "## clearing 2-4x — the quiet-box repeat published here reads "
+        "404.5 s at",
+        "## emb_cold 0.60, common-220 ratio 1.06x vs the r17 builder "
+        "sweep (noise);",
+        "## the one >2x row, media_roundtrip 2.91 s, measured 0.75 s "
+        "in the first",
+        "## pass on identical code — flappy scratch-disk I/O, "
+        "retry-adjudicated",
+        "",
+        "- gopher_report 0.51/0.51/0.38 s — FLAT (deferred from r17, "
+        "now priced):",
+        "  one map-only flags pass + a 7-row boolean explode + one "
+        "7-group agg,",
+        "  the gopher_quality shape with a tiny rollup on top.",
+        "- ann_mmr_indexed 10.2/8.6/9.4 s — FLAT: the index build + "
+        "k greedy",
+        "  rounds are fixed-cost (the ann_mmr shape plus the "
+        "artifact build);",
+        "  the served stage-1 reads ~nProbe/nCells of the corpus BY "
+        "LAYOUT, so at",
+        "  100 TB this form's scan bill is 4/16ths of the brute "
+        "ann_mmr's while",
+        "  the selection cost is unchanged.",
+        "- ann_ivfpq_opq_indexed 8.0/8.8/15.0 s — training-dominated "
+        "(coarse",
+        "  k-means + the OPQ Procrustes alternation + codebooks + "
+        "artifact build,",
+        "  paid once per corpus version); the serve itself adds one "
+        "d x d mat-vec",
+        "  per query over the standard ADC scan. Buys the best "
+        "sub-sq8 recall rung:",
+        "  0.84 recall@5 at identical 8-nibble storage "
+        "(ann_recall_eval_pq).",
+        "- retrieval_fuse 0.91/0.85/0.82 s and retrieval_fuse_indexed "
+        "2.62/1.83/2.33 s",
+        "  — FLAT: fusion is a two-bounded-list join + k-row "
+        "TakeOrdered; the legs",
+        "  (one BM25 scan; the brute or artifact-probed vector list) "
+        "carry the",
+        "  corpus-scale cost, and the indexed form's extra is the "
+        "artifact build.",
+        "- unigram_encode 0.64/0.64/0.63 s — FLAT across 100x data: "
+        "the integer",
+        "  Viterbi DP is one map-only fold per word over a broadcast "
+        "piece map",
+        "  (vs bpe_encode's 2.8 s nested literal folds at sf0.1); "
+        "training is",
+        "  driver-side over the bounded vocab. unigram_encode_artifact "
+        "1.15/0.73/",
+        "  0.90 s pays a vocab-sized artifact read instead of "
+        "training.",
+        "- tokenizer_fertility 2.55/1.87/1.67 s — both tokenizers' "
+        "encodes + one",
+        "  doc_id join + tiny per-language aggs; sub-linear (the "
+        "shared train",
+        "  caches amortize across the sweep).",
+        "",
         "## Super-linear rows, priced (r12) — and the r13 planned "
         "headline",
         "",
