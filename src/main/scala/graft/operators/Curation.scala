@@ -662,10 +662,13 @@ object Curation {
       .withColumn("alpha_ratio", expr(
         "CAST(size(filter(words, w -> w rlike '[a-zA-Z]')) AS DOUBLE)")
         / col("n_words"))
-      // stop-word hit is case-insensitive ('The', 'AND' count)
+      // stop-word hit is case-insensitive ('The', 'AND' count); the
+      // lowered array is hoisted to its own column so the corpus-scale
+      // pass lowercases each document ONCE, not once per stop word
+      .withColumn("words_lc", expr("transform(words, w -> lower(w))"))
       .withColumn("n_stop", expr(
         """size(filter(array('the','be','to','of','and','that','have','with'),
-             s -> array_contains(transform(words, w -> lower(w)), s)))"""))
+             s -> array_contains(words_lc, s)))"""))
       .withColumn("f_words",
         !(col("n_words") >= minWords && col("n_words") <= maxWords))
       .withColumn("f_mean",
@@ -1036,10 +1039,13 @@ object Curation {
   /** DuckDB oracle for [[retrievalFuse]]: the #109 BM25 replay and the
     * brute cosine leg as CTEs, ranked identically, fused with the same
     * fixed-order reciprocal sum. */
+  /** The DuckDB dot-product fragment the retrieval oracles share. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+
   def rrfOracle(kc: Int = 60, kLeg: Int = 20, k: Int = 10): String = {
-    val dot = (a: String, b: String) =>
-      s"""list_reduce(list_transform(list_zip($a, $b),
-          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val dot = dotSql _
     rrfOracleOver(
       s"""vec AS (SELECT doc_id,
             CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
@@ -1058,9 +1064,7 @@ object Curation {
     * machinery) — every stage of the served form exact. */
   def rrfIndexedOracle(nProbe: Int = 4, kc: Int = 60, kLeg: Int = 20,
                        k: Int = 10): String = {
-    val dot = (a: String, b: String) =>
-      s"""list_reduce(list_transform(list_zip($a, $b),
-          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val dot = dotSql _
     val centRows = Similarity.staticCentroids().zipWithIndex
       .map { case (c, i) => s"(${i}, ${c.mkString("[", ", ", "]")})" }
       .mkString(", ")
@@ -1094,9 +1098,7 @@ object Curation {
     * cannot drift in the combine arithmetic. */
   private def rrfOracleOver(vecCtes: String, kc: Int, kLeg: Int,
                             k: Int): String = {
-    val dot = (a: String, b: String) =>
-      s"""list_reduce(list_transform(list_zip($a, $b),
-          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val dot = dotSql _
     s"""WITH lexs AS (${bm25Oracle(k = kLeg).replace("ORDER BY score DESC, doc_id LIMIT " + kLeg, "")}),
         lex AS (SELECT doc_id,
             CAST(row_number() OVER (ORDER BY score DESC, doc_id)

@@ -3151,11 +3151,16 @@ object Similarity {
     * rounds UNROLLED (sel1..selK + cumulative selected sets): the same
     * shortlist/pair arithmetic, the same `λ·cosq − (1−λ)·max` formula
     * with the same literal λ, the same (mmr DESC, id) tie-break. */
+  /** The DuckDB dot-product fragment the MMR oracle builders share
+    * (the file's older oracles predate the helper and keep their local
+    * copies — consolidation tracked as cleanup, not a defect). */
+  private def mmrDotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+
   def mmrOracle(nQueries: Int = 10, k: Int = 5, shortlistFactor: Int = 8,
                 lambda: Double = 0.7): String = {
-    val dot = (a: String, b: String) =>
-      s"""list_reduce(list_transform(list_zip($a, $b),
-          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val dot = mmrDotSql _
     mmrOracleOver(
       s"""short AS (SELECT query_id, cand_id, cosq FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -3176,9 +3181,7 @@ object Similarity {
   def mmrIndexedOracle(nProbe: Int = 4, nQueries: Int = 10, k: Int = 5,
                        shortlistFactor: Int = 8,
                        lambda: Double = 0.7): String = {
-    val dot = (a: String, b: String) =>
-      s"""list_reduce(list_transform(list_zip($a, $b),
-          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val dot = mmrDotSql _
     val centRows = staticCentroids().zipWithIndex.map { case (c, i) =>
       s"(${i}, ${c.mkString("[", ", ", "]")})"
     }.mkString(", ")
@@ -3212,9 +3215,7 @@ object Similarity {
     * drift in the selection arithmetic. */
   private def mmrOracleOver(shortCtes: String, k: Int,
                             lambda: Double): String = {
-    val dot = (a: String, b: String) =>
-      s"""list_reduce(list_transform(list_zip($a, $b),
-          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val dot = mmrDotSql _
     val lam = lambda.toString
     val oneMinus = (1.0 - lambda).toString
     // k = 1 has no later rounds: emit NO trailing CTE (a dangling
@@ -4844,15 +4845,33 @@ object Similarity {
     def storedRotMode(): Option[Boolean] =
       if (fs.exists(cbPath)) Some(readPqRotationMode(spark, dir)) else None
     val rotMode: Boolean =
-      if (reuseStored) {
+      if (codebooks.isDefined) {
+        // an explicit model pair IS the unit: its rotation mode is
+        // whether a rotation came with it (the codebooks were trained
+        // in that rotation's space). The stored mode CANNOT leak in
+        // here — inheriting _rotation=1 while encoding with an
+        // unrotated external model would write a unit whose marker
+        // and codes disagree, exactly the silent mismatch the marker
+        // doctrine exists to prevent.
+        require(opq.forall(_ == rotation.isDefined),
+          "opq contradicts the explicit model pair: pass the rotation " +
+            "together with its codebooks (they are one unit), or drop " +
+            "the opq flag")
+        require(rotation.isDefined || opq.isDefined ||
+            !storedRotMode().getOrElse(false),
+          s"PQ leg at $dir is OPQ-rotated but the explicit codebooks " +
+            "came without a rotation — refusing the silent downgrade. " +
+            "Pass rotation = Some(R) to stay OPQ, or opq = Some(false) " +
+            "to deliberately re-key unrotated.")
+        rotation.isDefined
+      } else if (reuseStored) {
         val m = storedRotMode().getOrElse(false)
         require(opq.forall(_ == m),
           s"PQ leg at $dir is ${if (m) "OPQ-rotated" else "unrotated"}; " +
             "a re-sync cannot change the rotation mode. Pass retrain = " +
             "true to re-train in the new mode.")
         m
-      } else rotation.isDefined ||
-        opq.orElse(storedRotMode()).getOrElse(false)
+      } else opq.orElse(storedRotMode()).getOrElse(false)
     // residual mode subtracts the artifact's own centroid per the
     // STORED cell assignment — the exact quantity serving adds back
     lazy val cents = readIvfCentroids(spark, dir)
@@ -4927,11 +4946,17 @@ object Similarity {
       }.toSeq.toDF("m", "cell", "codeword")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
       // the rotation member lands inside the unit too (d×d doubles of
-      // model state), before the baseline and markers
-      rot.foreach { r =>
-        r.zipWithIndex.map { case (row, j) => (j, row.toSeq) }.toSeq
-          .toDF("j", "rv")
-          .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
+      // model state), before the baseline and markers; a unit trained
+      // WITHOUT a rotation removes any stale member from a previous
+      // OPQ vintage (readers key on the marker, but a dead member
+      // invites exactly the manual-surgery tear readPqRotation guards)
+      rot match {
+        case Some(r) =>
+          r.zipWithIndex.map { case (row, j) => (j, row.toSeq) }.toSeq
+            .toDF("j", "rv")
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
+        case None =>
+          StreamIO.deleteRecursively(s"$dir/rotation", conf)
       }
       // the distortion baseline pins in the ENCODING space (residual
       // distortion is what a residual leg's ADC loses; a rotated leg's

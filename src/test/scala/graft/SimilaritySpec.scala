@@ -1032,6 +1032,27 @@ class SimilaritySpec extends SparkSpec {
     assert(rotMarker() == 1L)
     assert(Similarity.annServeFromPqIndex(spark, dir, queries)
       .collect().nonEmpty, "post-recovery serve must work")
+    // the explicit-model path cannot write a marker/codes mismatch:
+    // external codebooks without their rotation on a stored-OPQ leg
+    // refuse (silent downgrade), external codebooks with opq=true but
+    // no rotation refuse (the pair is one unit); a deliberate
+    // opq=Some(false) re-key succeeds, clears the marker AND removes
+    // the stale rotation/ member, and serves unrotated
+    val extCbs = Similarity.readPqCodebooks(spark, dir)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexAdd(spark, dir, Some(extCbs))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexAdd(spark, dir, Some(extCbs), opq = Some(true))
+    }
+    Similarity.ivfPqIndexAdd(spark, dir, Some(extCbs), opq = Some(false))
+    assert(rotMarker() == 0L, "deliberate re-key must clear the marker")
+    val (rfs, rp) = graft.streaming.StreamIO.fsFor(s"$dir/rotation", conf)
+    assert(!rfs.exists(rp), "stale rotation member must be removed")
+    assert(Similarity.annServeFromPqIndex(spark, dir, queries)
+      .collect().nonEmpty, "unrotated re-keyed leg must serve")
+    // restore the OPQ leg for the composition checks below
+    Similarity.ivfPqIndexAdd(spark, dir, retrain = true, opq = Some(true))
     // the two encoding modes COMPOSE: a residual + OPQ leg (rotation
     // trained on the residual space) carries both markers, serves
     // k-deep, survives a pure re-sync bit-identically, and its drift

@@ -44,17 +44,20 @@ class WindowLintSpec extends org.scalatest.funsuite.AnyFunSuite {
     val root = Paths.get("src/main/scala/graft")
     val pat = java.util.regex.Pattern.compile(
       """Window\s*\.\s*(orderBy|rowsBetween|rangeBetween)\(""")
-    val found = Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .flatMap { p =>
-        val text = new String(Files.readAllBytes(p), "UTF-8")
-        // frame-bound constants (Window.unboundedPreceding etc.) are
-        // not chain starts; the pattern above already excludes them
-        val m = pat.matcher(text)
-        var n = 0
-        while (m.find()) n += 1
-        if (n > 0) Some(root.relativize(p).toString -> n) else None
-      }.toMap
+    val walk = Files.walk(root)
+    val found =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala"))
+        .flatMap { p =>
+          val text = new String(Files.readAllBytes(p), "UTF-8")
+          // frame-bound constants (Window.unboundedPreceding etc.) are
+          // not chain starts; the pattern above already excludes them
+          val m = pat.matcher(text)
+          var n = 0
+          while (m.find()) n += 1
+          if (n > 0) Some(root.relativize(p).toString -> n) else None
+        }.toMap
+      finally walk.close()
     assert(found == allow,
       s"unpartitioned Window sites changed.\n  found: $found\n  " +
         s"allow: $allow\nA new single-partition window must either be " +
