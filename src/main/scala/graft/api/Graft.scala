@@ -181,6 +181,36 @@ object Graft {
   def bpeEncode(docs: DataFrame, rules: DataFrame): DataFrame =
     graft.operators.TextAnalysis.bpeEncodeFromRules(docs, rules)
 
+  /** Train the unigram-LM tokenizer (Kudo 2018, hard-EM over a bounded
+    * word-frequency table) and persist the (piece, cnt, lp) model as a
+    * versioned artifact — the BPE-rules doctrine for the other
+    * tokenizer. */
+  def unigramModelToDir(spark: SparkSession, sfDir: String, dir: String,
+                        vocabSize: Int = 120, maxPieceLen: Int = 4,
+                        iters: Int = 2, maxWords: Int = 2000): Unit =
+    graft.operators.TextAnalysis.unigramModelToDir(spark, sfDir, dir,
+      vocabSize, maxPieceLen, iters, maxWords)
+
+  /** Read a unigram model artifact back to the (piece → integer
+    * micro-nat log-prob) map the encode consumes (schema-checked). */
+  def readUnigramModel(spark: SparkSession, dir: String): Map[String, Long] =
+    graft.operators.TextAnalysis.readUnigramModel(spark, dir)
+
+  /** Train the unigram model on ANY (doc_id, text) frame, returning
+    * the (piece → micro-nat log-prob) map [[unigramEncode]] consumes. */
+  def trainUnigram(docs: DataFrame, vocabSize: Int = 120,
+                   maxPieceLen: Int = 4, iters: Int = 2,
+                   maxWords: Int = 2000): Map[String, Long] =
+    graft.operators.TextAnalysis.unigramTrainFrom(docs, vocabSize,
+      maxPieceLen, iters, maxWords)
+
+  /** Encode ANY (doc_id, text) frame under a unigram model — one
+    * integer-exact Viterbi DP per word, map-only. */
+  def unigramEncode(docs: DataFrame, lp: Map[String, Long],
+                    maxPieceLen: Int = 4): DataFrame =
+    graft.operators.TextAnalysis.unigramEncodeWithModel(docs, lp,
+      maxPieceLen)
+
   /** Closed-form LSH banding S-curve table (s50 + collision
     * probability grid per (bands, rows) scheme) — read before choosing
     * dedup_minhash's banding at corpus scale. */

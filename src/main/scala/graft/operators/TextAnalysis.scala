@@ -1909,6 +1909,15 @@ object TextAnalysis {
         maxWords),
       maxPieceLen)
 
+  /** [[trainUnigram]] over ANY (doc_id, text) frame, returning the
+    * (piece → integer micro-nat log-prob) map the encode consumes —
+    * the facade's frame-first training entry. */
+  def unigramTrainFrom(docs: DataFrame, vocabSize: Int = 120,
+                       maxPieceLen: Int = 4, iters: Int = 2,
+                       maxWords: Int = 2000): Map[String, Long] =
+    trainUnigram(unigramWordFreqs(docs, maxWords), vocabSize,
+      maxPieceLen, iters).map { case (p, _, l) => p -> l }.toMap
+
   /** TOKENIZER ARTIFACT for the unigram family ([[bpeRulesToDir]]'s
     * doctrine): the trained model as a tiny versioned parquet —
     * (piece, cnt, lp) rows of model state, train ONCE per corpus

@@ -23,6 +23,44 @@ class UsageSpec extends SparkSpec {
       == Seq((1L, "alpha", 1.5), (2L, "beta & <co>", -2.0)))
   }
 
+  test("facade: unigram tokenizer, RRF fusion, and indexed MMR on " +
+      "ad-hoc frames") {
+    // unigram: train + encode on a corpus that looks nothing like the
+    // fixtures; every word must segment (single-char coverage)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox again and again and again"),
+      (3L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val lp = Graft.trainUnigram(docs, maxWords = 100)
+    val enc = Graft.unigramEncode(docs, lp).collect()
+    assert(enc.length == 3)
+    enc.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(1), "≥ 1 token per word")
+      assert(r.getLong(3) <= r.getLong(2), "≤ 1 token per char")
+    }
+    // RRF: both-list doc wins on ad-hoc ranked lists
+    val lex = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val vec = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
+    assert(Graft.rrfFuse(lex, vec).collect().head.getLong(0) == 2L)
+    // indexed MMR over an ad-hoc embedding corpus (8-dim, not the
+    // fixture's 64): build the artifact, MMR-select from it
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 40L)
+      .map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = graft.operators.ExportImport.scratch("usage-mmr-idx")
+    graft.streaming.StreamIO.deleteRecursively(dir,
+      spark.sparkContext.hadoopConfiguration)
+    Graft.buildIvfIndexFrom(spark, corpus, dir, nCells = 4)
+    val picks = Graft.mmrSelectFromIndex(spark, dir,
+      corpus.filter(col("vec_id") < 2), nProbe = 4, k = 3).collect()
+    assert(picks.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L))
+    picks.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3))
+    }
+  }
+
   test("facade: upsert + snapshotDiff on a toy ledger") {
     val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
     val incoming = Seq((2L, 25L), (3L, 30L)).toDF("k", "v")
