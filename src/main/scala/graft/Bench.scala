@@ -72,6 +72,7 @@ object Bench {
       "semantic_dedup_incremental", "hard_negatives",
       "embedding_dedup", "embedding_quantize", "quantize_eval",
       "embedding_class_stats", "embedding_outliers", "embedding_pca",
+      "embedding_whiten",
       "ivf_probe_sweep", "pq_shortlist_sweep",
       "pq_shortlist_sweep_residual", "pq_bits_sweep",
       "ann_recall_eval_pq", "opq_rotate",

@@ -249,6 +249,7 @@ object SparkEntry {
     "events_ewma" -> (Analytics.eventsEwma _),
     "join_skew_salted" -> ((s, d) => Analytics.joinSkewSalted(s, d)),
     "embedding_pca" -> ((s, d) => Similarity.embeddingPca(s, d)),
+    "embedding_whiten" -> ((s, d) => Similarity.embeddingWhiten(s, d)),
     "ivf_probe_sweep" -> ((s, d) => Similarity.ivfProbeSweep(s, d)),
     "pq_shortlist_sweep" -> ((s, d) => Similarity.pqShortlistSweep(s, d)),
     "ann_recall_eval_pq" -> ((s, d) => Similarity.annRecallEvalPq(s, d)),
@@ -1104,6 +1105,7 @@ object SparkEntry {
     "events_ewma" -> Analytics.eventsEwmaOracle,
     "join_skew_salted" -> Analytics.joinSkewSaltedOracle,
     "embedding_pca" -> Similarity.embeddingPcaOracle(),
+    "embedding_whiten" -> Similarity.embeddingWhitenOracle(),
     "ivf_probe_sweep" -> Similarity.ivfProbeSweepOracle(),
     "pq_shortlist_sweep" -> Similarity.pqShortlistSweepOracle(),
     "ann_recall_eval_pq" -> Similarity.annRecallEvalPqOracle(),

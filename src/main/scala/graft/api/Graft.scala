@@ -445,6 +445,21 @@ object Graft {
     graft.operators.Similarity.annMmrFromIndex(spark, dir, queries,
       nProbe, k, lambda = lambda)
 
+  /** Train the all-but-the-top whitening model (Mu et al. 2018): μ +
+    * the top principal component of ANY (embedding) frame — two
+    * d-vectors of model state. */
+  def trainWhitening(vectors: DataFrame,
+                     iters: Int = 5): (Array[Double], Array[Double]) =
+    graft.operators.Similarity.trainWhitening(vectors, iters)
+
+  /** Apply the whitening transform to ANY (vec_id, embedding) frame:
+    * μ-center and remove the top component — map-only; the measured
+    * effect is [[graft.operators.Similarity.embeddingWhitenFrom]]'s
+    * report (driver query `embedding_whiten`). */
+  def whitenEmbeddings(vectors: DataFrame, mu: Array[Double],
+                       pc: Array[Double]): DataFrame =
+    graft.operators.Similarity.whitenVectors(vectors, mu, pc)
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
     * retrieval lists — the hybrid (BM25 + ANN) combiner. Both inputs
     * are (doc_id, rank); kc = 60 is the published constant. Build the

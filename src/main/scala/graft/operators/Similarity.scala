@@ -6079,6 +6079,155 @@ object Similarity {
                    iters: Int = 5): DataFrame =
     embeddingPcaFrom(Tables.load(spark, sfDir, "embeddings"), iters)
 
+  /** Train the whitening model (μ + top principal component) over ANY
+    * (embedding) frame — [[trainPc1]] exposed for the facade. */
+  def trainWhitening(v: DataFrame,
+                     iters: Int = 5): (Array[Double], Array[Double]) =
+    withTrainCache(v.select(col("embedding")))(trainPc1(_, iters))
+
+  /** The all-but-the-top TRANSFORM for pipeline use: μ-center ANY
+    * (vec_id, embedding) frame and remove the top component —
+    * `w = (x − μ) − ((x − μ)·pc)·pc`, map-only over broadcast model
+    * state (two d-vectors). Output embeddings are `array<double>` in
+    * the whitened space, ready for any cosine consumer. */
+  def whitenVectors(v: DataFrame, mu: Array[Double],
+                    pc: Array[Double]): DataFrame = {
+    val muArr = array(mu.map(lit): _*)
+    val pcArr = array(pc.map(lit): _*)
+    v.select(col("vec_id"),
+        zip_with(col("embedding"), muArr, (a, b) => a - b).as("diff"))
+      .withColumn("s", graft.functions.VectorFunctions.dot(col("diff"), pcArr))
+      .select(col("vec_id"),
+        zip_with(col("diff"), pcArr, (d, p) => d - col("s") * p)
+          .as("embedding"))
+  }
+
+  /** Generic core: ALL-BUT-THE-TOP WHITENING REPORT (Mu et al., ICLR
+    * 2018) over ANY (embedding) frame — the measured answer to "is the
+    * dominant common direction worth projecting out before cosine
+    * retrieval": one row comparing the corpus BEFORE vs AFTER removing
+    * μ and the top principal component — the mean |cos| to that
+    * component (the anisotropy the paper targets; after ≈ 0 up to the
+    * component's 1e-6 quantization), its explained-variance share
+    * (after ≈ 0), and the total variance (after = before − λ, the
+    * removed direction's mass). The #180 report DESCRIBES the bias;
+    * this prices removing it, and [[whitenVectors]] is the transform a
+    * pipeline then applies.
+    *
+    * Determinism: all means/shares are decimal sums of 8-dp-rounded
+    * per-row terms over exact left-fold dots (the embeddingPca
+    * arithmetic), μ/pc are 1e-6-quantized trained literals — every
+    * double digit-equal in the oracle.
+    *
+    * Scale shape: training = `iters` bounded aggregate passes; the
+    * report = ONE map-only diff/project pass + a 1-row aggregate; the
+    * transform itself is map-only. Nothing corpus-sized moves. */
+  def embeddingWhitenFrom(v: DataFrame, iters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (mu, pc) = trainWhitening(v, iters)
+    val muArr = array(mu.map(lit): _*)
+    val pcArr = array(pc.map(lit): _*)
+    // ‖pc‖ as a driver-side literal (pc is 1e-6-quantized, so its norm
+    // is ~1 but not exactly 1 — the cosine uses the exact norm)
+    val pcN = math.sqrt(pc.map(x => x * x).sum)
+    def dec(c: Column) = round(c, 8).cast(DecimalType(28, 8))
+    val scored = v
+      .select(zip_with(col("embedding"), muArr, (a, b) => a - b).as("diff"))
+      .withColumn("s",
+        graft.functions.VectorFunctions.dot(col("diff"), pcArr))
+      .withColumn("w",
+        zip_with(col("diff"), pcArr, (d, p) => d - col("s") * p))
+      .withColumn("s2",
+        graft.functions.VectorFunctions.dot(col("w"), pcArr))
+      .withColumn("nd2",
+        graft.functions.VectorFunctions.dot(col("diff"), col("diff")))
+      .withColumn("nw2",
+        graft.functions.VectorFunctions.dot(col("w"), col("w")))
+      .withColumn("cos_b",
+        when(col("nd2") > 0, abs(col("s")) / (sqrt(col("nd2")) * lit(pcN)))
+          .otherwise(lit(0.0)))
+      .withColumn("cos_a",
+        when(col("nw2") > 0, abs(col("s2")) / (sqrt(col("nw2")) * lit(pcN)))
+          .otherwise(lit(0.0)))
+    scored.agg(
+      count(lit(1)).as("n_vecs"),
+      sum(dec(col("cos_b"))).as("cb"), sum(dec(col("cos_a"))).as("ca"),
+      sum(dec(col("s") * col("s"))).as("ssb"),
+      sum(dec(col("s2") * col("s2"))).as("ssa"),
+      sum(dec(col("nd2"))).as("tvb"), sum(dec(col("nw2"))).as("tva"))
+      .select(col("n_vecs"),
+        round(col("cb").cast("double") / col("n_vecs"), 4)
+          .as("mean_abs_cos_before4"),
+        round(col("ca").cast("double") / col("n_vecs"), 4)
+          .as("mean_abs_cos_after4"),
+        round(col("ssb").cast("double") / col("tvb").cast("double"), 6)
+          .as("ev_share_before6"),
+        round(col("ssa").cast("double") / col("tva").cast("double"), 6)
+          .as("ev_share_after6"),
+        round(col("tvb").cast("double") / col("n_vecs"), 6)
+          .as("var_total_before6"),
+        round(col("tva").cast("double") / col("n_vecs"), 6)
+          .as("var_total_after6"))
+  }
+
+  /** §2 #247 — whitening report of the embeddings table. */
+  def embeddingWhiten(spark: SparkSession, sfDir: String,
+                      iters: Int = 5): DataFrame =
+    embeddingWhitenFrom(Tables.load(spark, sfDir, "embeddings"), iters)
+
+  /** DuckDB oracle for [[embeddingWhiten]]: μ/pc/‖pc‖ inlined as
+    * trained literals, the projection and every decimal sum replayed
+    * with identical arithmetic. */
+  def embeddingWhitenOracle(iters: Int = 5): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val (mu, pc) = trainPc1(
+      graft.Tables.load(spark, sfDir, "embeddings").select(col("embedding")),
+      iters)
+    val muL = mu.mkString("[", ", ", "]")
+    val pcL = pc.mkString("[", ", ", "]")
+    val pcN = math.sqrt(pc.map(x => x * x).sum)
+    val dotQ = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    s"""WITH diff AS (SELECT list_transform(list_zip(embedding, $muL),
+            x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS diff
+          FROM embeddings),
+        sc AS (SELECT diff, ${dotQ("diff", pcL)} AS s FROM diff),
+        ww AS (SELECT diff, s,
+            list_transform(list_zip(diff, $pcL),
+              x -> CAST(x[1] AS DOUBLE) - s * CAST(x[2] AS DOUBLE)) AS w
+          FROM sc),
+        m AS (SELECT s, ${dotQ("w", pcL)} AS s2,
+            ${dotQ("diff", "diff")} AS nd2, ${dotQ("w", "w")} AS nw2
+          FROM ww),
+        cc AS (SELECT s, s2, nd2, nw2,
+            CASE WHEN nd2 > 0 THEN abs(s) / (sqrt(nd2) * $pcN)
+                 ELSE 0.0 END AS cos_b,
+            CASE WHEN nw2 > 0 THEN abs(s2) / (sqrt(nw2) * $pcN)
+                 ELSE 0.0 END AS cos_a
+          FROM m)
+       SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         round(CAST(sum(CAST(round(cos_b, 8) AS DECIMAL(28,8))) AS DOUBLE)
+               / count(*), 4) AS mean_abs_cos_before4,
+         round(CAST(sum(CAST(round(cos_a, 8) AS DECIMAL(28,8))) AS DOUBLE)
+               / count(*), 4) AS mean_abs_cos_after4,
+         round(CAST(sum(CAST(round(s*s, 8) AS DECIMAL(28,8))) AS DOUBLE)
+               / CAST(sum(CAST(round(nd2, 8) AS DECIMAL(28,8))) AS DOUBLE),
+               6) AS ev_share_before6,
+         round(CAST(sum(CAST(round(s2*s2, 8) AS DECIMAL(28,8))) AS DOUBLE)
+               / CAST(sum(CAST(round(nw2, 8) AS DECIMAL(28,8))) AS DOUBLE),
+               6) AS ev_share_after6,
+         round(CAST(sum(CAST(round(nd2, 8) AS DECIMAL(28,8))) AS DOUBLE)
+               / count(*), 6) AS var_total_before6,
+         round(CAST(sum(CAST(round(nw2, 8) AS DECIMAL(28,8))) AS DOUBLE)
+               / count(*), 6) AS var_total_after6
+       FROM cc"""
+  }
+
   /** DuckDB oracle for [[embeddingPca]]: μ and the trained component
     * inlined as literals (the semanticDedup stance — the same training
     * code runs once per session), variance/λ recomputed FROM DATA with

@@ -1313,6 +1313,43 @@ class SimilaritySpec extends SparkSpec {
     assert(again == byPos.map { case (k, v) => k -> v._2 })
   }
 
+  test("embedding_whiten: planted dominant direction collapses to ~0 " +
+      "anisotropy; transform and report agree; fixture invariants hold") {
+    import spark.implicits._
+    // planted bias: every vector = t·(0.6, 0.8, 0, 0) + small noise on
+    // the other dims → before: high mean |cos| to pc1 and ev_share ≈ 1;
+    // after: both ≈ 0 (up to the component's 1e-6 quantization)
+    val vecs = Seq(-2f, -1f, 0f, 1f, 2f).zipWithIndex.map { case (t, i) =>
+      (i.toLong, Array(0.6f * t, 0.8f * t, 0.01f * i, 0.02f * (i % 2)))
+    }.toDF("vec_id", "embedding")
+    val rep = Similarity.embeddingWhitenFrom(vecs).collect().head
+    assert(rep.getLong(0) == 5L)
+    // 4 of the 5 vectors lie along the planted direction (|cos| ~1);
+    // the t=0 vector is noise-dominated (|cos| ~0) -> mean ~0.8
+    assert(rep.getDouble(1) > 0.75, s"planted bias must dominate: $rep")
+    assert(rep.getDouble(2) < 0.01, s"whitened anisotropy ~0: $rep")
+    assert(rep.getDouble(3) > 0.99 && rep.getDouble(4) < 1e-4, rep.toString)
+    assert(rep.getDouble(6) < rep.getDouble(5),
+      "removing the top direction must remove variance")
+    // the transform itself: whitened vectors are orthogonal to pc up
+    // to the 1e-6 quantization, and re-whitening is a no-op direction
+    val (mu, pc) = Similarity.trainWhitening(vecs)
+    val w = Similarity.whitenVectors(vecs, mu, pc)
+    val pcArr = org.apache.spark.sql.functions.array(pc.map(
+      org.apache.spark.sql.functions.lit): _*)
+    val resid = w.select(graft.functions.VectorFunctions
+      .dot(org.apache.spark.sql.functions.col("embedding"), pcArr)
+      .as("r")).collect().map(_.getDouble(0))
+    assert(resid.forall(r => math.abs(r) < 1e-4),
+      s"whitened vectors must be ~orthogonal to pc: ${resid.toSeq}")
+    // fixture: report invariants on the real corpus
+    val fx = Similarity.embeddingWhiten(spark, sf).collect().head
+    assert(fx.getDouble(2) <= fx.getDouble(1) + 1e-9)
+    assert(fx.getDouble(4) <= fx.getDouble(3) + 1e-9)
+    assert(fx.getDouble(6) <= fx.getDouble(5) + 1e-9)
+    assert(fx.getDouble(4) < 1e-4, s"post-whitening ev share ~0: $fx")
+  }
+
   test("embedding_class_stats: partitions the corpus, cosines bounded") {
     import org.apache.spark.sql.functions._
     val rows = Similarity.embeddingClassStats(spark, sf).collect()
