@@ -219,9 +219,12 @@ object SparkEntry {
     "retention_cohorts" -> (Analytics.retentionCohorts _),
     "scd2_intervals" -> (MergeImport.scd2Intervals _),
     "bm25_search" -> (Curation.bm25Search _),
+    "bm25_indexed" -> (Curation.bm25Indexed _),
     "retrieval_fuse" -> (Curation.retrievalFuse _),
     "retrieval_fuse_indexed" ->
       ((s, d) => Curation.retrievalFuseIndexed(s, d)),
+    "retrieval_fuse_served" ->
+      ((s, d) => Curation.retrievalFuseServed(s, d)),
     "doc_containment" -> (Dedup.docContainment _),
     "inverted_index" -> (TextAnalysis.invertedIndex _),
     "bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
@@ -1069,8 +1072,10 @@ object SparkEntry {
     "retention_cohorts" -> Analytics.retentionOracle,
     "scd2_intervals" -> MergeImport.scd2Oracle,
     "bm25_search" -> Curation.bm25Oracle(),
+    "bm25_indexed" -> Curation.bm25IndexedOracle(),
     "retrieval_fuse" -> Curation.rrfOracle(),
     "retrieval_fuse_indexed" -> Curation.rrfIndexedOracle(),
+    "retrieval_fuse_served" -> Curation.rrfServedOracle(),
     "doc_containment" -> Dedup.containmentOracle(),
     "inverted_index" -> TextAnalysis.invertedIndexOracle,
     "bpe_train" -> TextAnalysis.bpeTrainOracle(),

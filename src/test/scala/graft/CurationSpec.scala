@@ -288,7 +288,10 @@ class CurationSpec extends SparkSpec {
         "wo...rd " + Seq.fill(52)("word").mkString(" "))),
       // '* ' bullets and '…' line-ends count toward their rules
       (4L, (0 until 10).map(_ => "* " + ok).mkString("\n")),
-      (5L, Seq(ok + "…", ok + "…", ok, ok).mkString("\n"))
+      (5L, Seq(ok + "…", ok + "…", ok, ok).mkString("\n")),
+      // whitespace-only page: n_words = 0 — ratios are DEFINED 0.0 and
+      // keep is a real false, never a divide-by-zero NULL (ADVICE-r19)
+      (6L, "  \n \n  ")
     ).toDF("doc_id", "text")
     val got = Curation.gopherQualityFrom(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -302,6 +305,11 @@ class CurationSpec extends SparkSpec {
       "star bullets count")
     assert(!got(5L).getBoolean(9) && got(5L).getDouble(6) > 0.3,
       "unicode ellipsis line-ends count")
+    assert(!got(6L).isNullAt(9) && !got(6L).getBoolean(9),
+      "whitespace-only doc must be a real false, not NULL")
+    assert(got(6L).getInt(1) == 0 && got(6L).getDouble(3) == 0.0
+      && got(6L).getDouble(4) == 0.0 && got(6L).getDouble(7) == 0.0,
+      "empty-doc ratios are defined as 0.0")
     // threshold threading: a loosened report must re-rank the knobs
     val strict = Curation.gopherReportFrom(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -427,6 +435,52 @@ class CurationSpec extends SparkSpec {
     val plan = planOf(Curation.bm25Search(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must be a heap merge:\n$plan")
+  }
+
+  test("bm25_indexed: artifact-served list equals the brute search, " +
+      "postings probe is pruned, missing marker refuses") {
+    // the fixture's top-20 all contain >= 1 query term, so the
+    // postings representation returns the identical frame (scores
+    // bit-identical: absent terms add exactly +0.0 in both forms)
+    val brute = Curation.bm25Search(spark, sf).collect().map(_.toString)
+    val served = Curation.bm25Indexed(spark, sf).collect().map(_.toString)
+    assert(served.toSeq == brute.toSeq,
+      "artifact-served BM25 must equal the brute top-k on the fixture")
+    // the query-time scan touches ONLY the query terms' postings: the
+    // term IN (...) filter reaches the parquet scan as a pushed filter
+    val dir = graft.operators.Curation.sharedBm25StatsDir(spark, sf)
+    val probe = Curation.bm25FromIndex(spark, dir,
+      Seq("data", "filter", "join"))
+    val plan = planOf(probe)
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"term filter must push into the postings scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a heap merge:\n$plan")
+    // a directory without the _bm25_version marker (crashed or absent
+    // build) refuses loudly
+    val empty = graft.operators.ExportImport.scratch("bm25-stats/empty")
+    val err = intercept[IllegalArgumentException] {
+      Curation.bm25FromIndex(spark, empty, Seq("data"))
+    }
+    assert(err.getMessage.contains("_bm25_version"))
+    // the artifact meta holds the exact corpus scalars
+    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    val docs = Tables.load(spark, sf, "documents")
+      .selectExpr("count(*)", "sum(size(split(lower(trim(text)), '\\\\s+')))")
+      .collect().head
+    assert(meta.getLong(0) == docs.getLong(0)
+      && meta.getLong(1) == docs.getLong(1))
+  }
+
+  test("retrieval_fuse_served: both-legs-artifact fusion equals the " +
+      "brute fusion at full probes") {
+    val brute = Curation.retrievalFuse(spark, sf).collect().map(_.toString)
+    val served = Curation.retrievalFuseServed(spark, sf, nProbe = 16)
+      .collect().map(_.toString)
+    assert(served.toSeq == brute.toSeq,
+      "full-probe both-legs-served fusion must equal the brute fusion")
+    // production probes still return a fused top-k
+    assert(Curation.retrievalFuseServed(spark, sf).collect().length <= 10)
   }
 
   test("mixture_temperature: sqrt flattens a 4:1 corpus to 2:1 budgets") {
