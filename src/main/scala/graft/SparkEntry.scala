@@ -164,6 +164,7 @@ object SparkEntry {
     "ann_ivfsq8_indexed" -> ((s, d) => Similarity.annIvfSq8Indexed(s, d)),
     "ann_mmr" -> ((s, d) => Similarity.annMmr(s, d)),
     "ann_mmr_indexed" -> ((s, d) => Similarity.annMmrIndexed(s, d)),
+    "ann_mmr_sq8_indexed" -> ((s, d) => Similarity.annMmrSq8Indexed(s, d)),
     "ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
     "ann_ivfpq_residual" -> ((s, d) => Similarity.annIvfPqResidual(s, d)),
     "ann_ivfpq_indexed" -> ((s, d) => Similarity.annIvfPqIndexed(s, d)),
@@ -253,6 +254,7 @@ object SparkEntry {
     "join_skew_salted" -> ((s, d) => Analytics.joinSkewSalted(s, d)),
     "embedding_pca" -> ((s, d) => Similarity.embeddingPca(s, d)),
     "embedding_whiten" -> ((s, d) => Similarity.embeddingWhiten(s, d)),
+    "whiten_recall_eval" -> ((s, d) => Similarity.whitenRecallEval(s, d)),
     "ivf_probe_sweep" -> ((s, d) => Similarity.ivfProbeSweep(s, d)),
     "pq_shortlist_sweep" -> ((s, d) => Similarity.pqShortlistSweep(s, d)),
     "ann_recall_eval_pq" -> ((s, d) => Similarity.annRecallEvalPq(s, d)),
@@ -653,6 +655,7 @@ object SparkEntry {
     "ann_ivfsq8_indexed" -> Similarity.ivfSq8StaticOracle(),
     "ann_mmr" -> Similarity.mmrOracle(),
     "ann_mmr_indexed" -> Similarity.mmrIndexedOracle(),
+    "ann_mmr_sq8_indexed" -> Similarity.mmrSq8IndexedOracle(),
     "ann_ivfpq" -> Similarity.ivfPqTrainedOracle(),
     "ann_ivfpq_residual" -> Similarity.ivfPqResidualTrainedOracle(),
     "ann_ivfpq_indexed" -> Similarity.ivfPqTrainedOracle(),
@@ -1111,6 +1114,7 @@ object SparkEntry {
     "join_skew_salted" -> Analytics.joinSkewSaltedOracle,
     "embedding_pca" -> Similarity.embeddingPcaOracle(),
     "embedding_whiten" -> Similarity.embeddingWhitenOracle(),
+    "whiten_recall_eval" -> Similarity.whitenRecallEvalOracle(),
     "ivf_probe_sweep" -> Similarity.ivfProbeSweepOracle(),
     "pq_shortlist_sweep" -> Similarity.pqShortlistSweepOracle(),
     "ann_recall_eval_pq" -> Similarity.annRecallEvalPqOracle(),

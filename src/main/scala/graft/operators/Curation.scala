@@ -1150,6 +1150,37 @@ object Curation {
       .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
         round(col("rrf"), 6).as("rrf6"))
 
+  /** QUERY-KEYED RRF fuse — [[rrfFuseFrom]] generalized to a BATCH of
+    * vector queries sharing one lexical list (the continuous-serving
+    * shape: a stream's term query is fixed per deployment, each
+    * micro-batch carries many query vectors): `lex` is the shared
+    * (doc_id, rank) list, `vec` is (query_id, doc_id, rank); the
+    * combine arithmetic and (rrf DESC, doc_id) order are
+    * [[rrfFuseFrom]]'s exactly, per query (StreamingSpec pins the
+    * single-query equality). Every frame is bounded — |queries| × kLeg
+    * rows — so the per-query window is over report-sized state, never
+    * the corpus. */
+  def rrfFuseByQuery(lex: DataFrame, vec: DataFrame, kc: Int = 60,
+                     k: Int = 10): DataFrame = {
+    val lexQ = vec.select(col("query_id")).distinct()
+      .crossJoin(broadcast(lex.select(col("doc_id"),
+        col("rank").as("lex_rank"))))
+    val fused = lexQ
+      .join(vec.select(col("query_id"), col("doc_id"),
+        col("rank").as("vec_rank")),
+        Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kc) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(kc) + col("vec_rank")), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("vec_rank"), round(col("rrf"), 6).as("rrf6"))
+      .orderBy(col("query_id"), col("rrf6").desc, col("doc_id"))
+  }
+
   /** (doc_id, rank) from a bounded scored list: 1-based rank by
     * (score DESC, doc_id). The window is single-partition over a
     * ≤ top-k frame by contract (WindowLintSpec allowlist) — never over

@@ -3129,6 +3129,133 @@ object Similarity {
     mmrRerank(short, assigned.select("cand_id", "e_c", "n_c"), k, lambda)
   }
 
+  /** MMR with its stage-1 shortlist from the SQ8 SCAN (VERDICT-r18
+    * #4 — compose the diversity re-rank with the cheap scan leg): the
+    * probed cells are scored with [[graft.functions.Sq8Dequant]]'s
+    * 1-byte/dim serving vectors, a WIDER sq8 pre-shortlist
+    * (preFactor·f·k, the [[annServeSq8FromIndex]] two-stage stance) is
+    * exact-rescored and cut to the standard f·k, and stages 2–3 are
+    * [[mmrRerank]] unchanged — so the greedy selection runs over EXACT
+    * cosines while the corpus-scale scan reads 4× less. At full probes
+    * the final shortlist equals the brute one whenever the exact
+    * top-f·k all sit inside the sq8 top-preFactor·f·k (the fixture
+    * does — SimilaritySpec pins picks identical to [[annMmrFrames]]). */
+  def annMmrSq8FromIndex(spark: SparkSession, dir: String,
+                         queryFrame: DataFrame, nProbe: Int = 4,
+                         k: Int = 5, shortlistFactor: Int = 8,
+                         lambda: Double = 0.7,
+                         preFactor: Int = 2): DataFrame = {
+    val cents = readIvfCentroids(spark, dir)
+    val assigned = readIvfAssigned(spark, dir)
+      .select(col("cell"), col("vec_id").as("cand_id"),
+        col("embedding").as("e_c"), col("nrm").as("n_c"))
+    val scan = assigned.select(col("cell"), col("cand_id"),
+      graft.functions.Sq8Dequant.dequant(col("e_c")).as("d"))
+      .withColumn("n_d", l2norm(col("d")))
+    val probes = queryFrame
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        l2norm(col("embedding")).as("n_q"),
+        explode(graft.functions.VectorQuantize
+          .nearestCells(col("embedding"), cents, nProbe)).as("cell"))
+    val pre = scan.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineWithNorms(dot(col("e_q"), col("d")), col("n_q"), col("n_d"))
+          .as("score"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.topkByScore(
+        col("cand_id"), col("score"),
+        preFactor * shortlistFactor * k).as("top"))
+      .select(col("query_id"), explode(col("top.neighbor_id"))
+        .as("cand_id"))
+    val short = pre
+      .join(assigned.select(col("cand_id"), col("e_c"), col("n_c")),
+        Seq("cand_id"))
+      .join(broadcast(probes.select("query_id", "e_q", "n_q").distinct()),
+        Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"),
+          col("n_c")).as("cosq"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.topkByScore(
+        col("cand_id"), col("cosq"), shortlistFactor * k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.neighbor_id").as("cand_id"),
+        col("e.cos").as("cosq"))
+    mmrRerank(short, assigned.select("cand_id", "e_c", "n_c"), k, lambda)
+  }
+
+  /** §2 #250 — MMR OVER THE SQ8 SCAN, FROM THE ARTIFACT: the standard
+    * IVF build (static quantizer) served through
+    * [[annMmrSq8FromIndex]] — the diversity re-rank at the 4×-cheaper
+    * candidate-scan price with zero new lifecycle surface (sq8
+    * encoding is deterministic per vector; nothing new to train,
+    * snapshot or monitor). */
+  def annMmrSq8Indexed(spark: SparkSession, sfDir: String,
+                       nProbe: Int = 4, nQueries: Int = 10, k: Int = 5,
+                       shortlistFactor: Int = 8, lambda: Double = 0.7,
+                       preFactor: Int = 2): DataFrame = {
+    val dir = ExportImport.scratch(
+      s"ivf-index/run-${java.util.UUID.randomUUID()}")
+    ivfIndexToDir(spark, sfDir, dir)
+    annMmrSq8FromIndex(spark, dir,
+      Tables.load(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding")),
+      nProbe, k, shortlistFactor, lambda, preFactor)
+  }
+
+  /** DuckDB replay for [[annMmrSq8Indexed]]: [[mmrOracleOver]]'s
+    * greedy rounds fed by the sq8 two-stage shortlist — static-IVF
+    * assignment/probe CTEs, the shared sq8 dequant body scoring the
+    * pre-shortlist, exact rescore cut to f·k — every stage of the
+    * served form exact. */
+  def mmrSq8IndexedOracle(nProbe: Int = 4, nQueries: Int = 10,
+                          k: Int = 5, shortlistFactor: Int = 8,
+                          lambda: Double = 0.7,
+                          preFactor: Int = 2): String = {
+    val dot = mmrDotSql _
+    val centRows = staticCentroids().zipWithIndex.map { case (c, i) =>
+      s"(${i}, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    mmrOracleOver(
+      s"""cents(cell, cv) AS (VALUES $centRows),
+        ranked AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              ${dot("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+          FROM nv v, cents c),
+        assigned AS (SELECT cell, vec_id AS cand_id, embedding AS e_c,
+                       nrm AS n_c FROM ranked WHERE crnk = 1),
+        dq AS ($sq8DequantCteBody),
+        acand AS (SELECT a.cell, a.cand_id, d.d,
+                    sqrt(${dot("d.d", "d.d")}) AS n_d
+                  FROM assigned a JOIN dq d ON d.vec_id = a.cand_id),
+        probes AS (SELECT cell, vec_id AS query_id, embedding AS e_q,
+                     nrm AS n_q
+                   FROM ranked WHERE crnk <= $nProbe
+                     AND vec_id < $nQueries),
+        pre AS (SELECT query_id, cand_id FROM (
+            SELECT p.query_id, n.cand_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                (${dot("p.e_q", "n.d")} / (p.n_q * n.n_d)) DESC,
+                n.cand_id) AS r
+            FROM probes p JOIN acand n ON n.cell = p.cell
+            WHERE n.cand_id <> p.query_id)
+          WHERE r <= ${preFactor * shortlistFactor * k}),
+        short AS (SELECT query_id, cand_id, cosq FROM (
+            SELECT pr.query_id, pr.cand_id,
+              ${dot("qv.embedding", "cv.embedding")}
+                / (qv.nrm * cv.nrm) AS cosq,
+              row_number() OVER (PARTITION BY pr.query_id ORDER BY
+                ${dot("qv.embedding", "cv.embedding")}
+                  / (qv.nrm * cv.nrm) DESC, pr.cand_id) AS r
+            FROM pre pr
+            JOIN nv qv ON qv.vec_id = pr.query_id
+            JOIN nv cv ON cv.vec_id = pr.cand_id)
+          WHERE r <= ${shortlistFactor * k})""", k, lambda)
+  }
+
   /** §2 #240 — MMR FROM THE ARTIFACT: build the standard IVF index once
     * (static quantizer, the [[annIvfIndexed]] stance), then MMR-select
     * the query set through [[annMmrFromIndex]] at production probes —
@@ -3970,8 +4097,13 @@ object Similarity {
     * oracle that replays int8 serving ([[sq8Oracle]], the recall
     * table, [[ivfSq8OracleFor]]), so the clamp/round arithmetic cannot
     * drift between the variants it prices. */
-  private def sq8DequantCteBody: String =
-    """SELECT vec_id,
+  private def sq8DequantCteBody: String = sq8DequantCteBodyOver("embeddings")
+
+  /** [[sq8DequantCteBody]] over an arbitrary (vec_id, embedding)
+    * source CTE/table — the whitened-space replay reuses the exact
+    * clamp/round arithmetic over its transformed corpus. */
+  private def sq8DequantCteBodyOver(src: String): String =
+    s"""SELECT vec_id,
                  list_transform(embedding,
                    v -> least(greatest(
                           round(CAST(v AS DOUBLE) * scale), -127.0),
@@ -3984,7 +4116,7 @@ object Similarity {
                                list_transform(embedding,
                                  v -> abs(CAST(v AS DOUBLE)))),
                                (a, b) -> greatest(a, b)) AS maxabs
-                           FROM embeddings))"""
+                           FROM $src))"""
 
   /** PQ codebooks: one k-means quantizer PER SUB-SPACE. Unlike the IVF
     * coarse quantizer these are PLAIN L2 k-means — codewords keep their
@@ -5575,7 +5707,8 @@ object Similarity {
     opqOracleFor(r, cbs, nQueries, k)
   }
 
-  private[graft] def opqRotCte(r: Array[Array[Double]]): String = {
+  private[graft] def opqRotCte(r: Array[Array[Double]],
+                               src: String = "embeddings"): String = {
     val dot = (a: String, b: String) =>
       s"""list_reduce(list_transform(list_zip($a, $b),
           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
@@ -5585,7 +5718,7 @@ object Similarity {
     s"""rr(j, rv) AS (VALUES $rRows),
         rot AS (SELECT vec_id, list(rd ORDER BY j) AS embedding FROM (
             SELECT e.vec_id, r.j, ${dot("e.embedding", "r.rv")} AS rd
-            FROM embeddings e, rr r) GROUP BY vec_id)"""
+            FROM $src e, rr r) GROUP BY vec_id)"""
   }
 
   private def opqOracleFor(r: Array[Array[Double]],
@@ -6226,6 +6359,228 @@ object Similarity {
          round(CAST(sum(CAST(round(nw2, 8) AS DECIMAL(28,8))) AS DOUBLE)
                / count(*), 6) AS var_total_after6
        FROM cc"""
+  }
+
+  /** §2 #251 — WHITENED RETRIEVAL RECALL (VERDICT-r18 #3: measure,
+    * don't claim): the #226 recall-table stance applied to the
+    * all-but-the-top transform — does Mu 2018's anisotropy removal
+    * change the neighbor structure on THIS corpus, and does the
+    * serving ladder (IVF probe, sq8 scan, OPQ-rotated ADC) still
+    * recover its ground truth after the transform? Truth is the EXACT
+    * whitened-space brute top-k; rows:
+    *  - `brute_raw` — the raw-space brute list scored against the
+    *    whitened truth: the overlap IS the measured geometry change
+    *    (1.0 = whitening moved nothing; the fixture measures ~0.5 at
+    *    sf0.01 — the transform is not a no-op here).
+    *  - `ivf_whitened` / `sq8_whitened` / `pq_opq_whitened` — each
+    *    serving rung re-trained/re-encoded IN whitened space vs the
+    *    whitened truth: the #226 ladder's recall after the transform,
+    *    directly comparable to its raw rows (and `pq_opq_whitened`
+    *    answers the OPQ-composition question with a number).
+    * All trained state (μ/pc, whitened centroids, whitened
+    * rotation+codebooks) is deterministic and inlined by the oracle —
+    * every stage replayed exactly (the decon_recall_eval stance).
+    *
+    * Scale shape: the transform is map-only over two broadcast
+    * d-vectors; each rung keeps its own proven plan (broadcast probes,
+    * bounded TopK, shortlist-equi-join rerank); the eval is priced as
+    * an eval — run per corpus version, not per query. */
+  def whitenRecallEval(spark: SparkSession, sfDir: String,
+                       nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val vRaw = vectors(spark, sfDir)
+    val (mu, pc) = trainWhitening(vRaw)
+    val w = whitenVectors(vRaw.select(col("vec_id"), col("embedding")),
+        mu, pc)
+      .withColumn("nrm", l2norm(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TransientCaches.register(w)
+    val centsW = trainCentroids(w, 16)
+    val (rW, cbsWO) = trainOpqRotation(w)
+    val wq = w.filter(col("vec_id") < nQueries)
+    val key = Seq("query_id", "neighbor_id")
+    val truth = rankTopK(
+      w.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("e_c"), col("nrm").as("n_c"))
+        .join(broadcast(wq.select(col("vec_id").as("query_id"),
+          col("embedding").as("e_q"), col("nrm").as("n_q"))),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"),
+            col("n_c")).as("cos")), k)
+      .select(key.head, key.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TransientCaches.register(truth)
+    def one(variant: String, edges: DataFrame): DataFrame = {
+      val hits = edges.select(key.head, key.tail: _*).join(truth, key)
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+        .select(lit(variant).as("variant"), col("n_truth"), col("n_hit"),
+          round(col("n_hit") / col("n_truth"), 4).as("recall"))
+    }
+    one("brute_raw", annBruteforce(spark, sfDir, nQueries, k))
+      .unionByName(one("ivf_whitened", ivfServe(w, wq, centsW, 4, k)))
+      .unionByName(one("sq8_whitened", annSq8With(w, nQueries, k)))
+      .unionByName(one("pq_opq_whitened",
+        annPqOpqWith(w, rW, cbsWO, nQueries, k)))
+      .orderBy("variant")
+  }
+
+  /** DuckDB oracle for [[whitenRecallEval]]: μ/pc, the
+    * whitened-trained centroids, and the whitened rotation+codebooks
+    * inlined as literals; the whitened corpus built by one CTE (the
+    * exact [[whitenVectors]] arithmetic) and every rung's stage —
+    * argmax assignment, sq8 clamp/round, rotated encode, ADC
+    * shortlist, exact whitened-space rerank — replayed off it. */
+  def whitenRecallEvalOracle(nQueries: Int = 10, k: Int = 5): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val vRaw = vectors(spark, sfDir)
+    val (mu, pc) = trainWhitening(vRaw)
+    val w = whitenVectors(vRaw.select(col("vec_id"), col("embedding")),
+        mu, pc)
+      .withColumn("nrm", l2norm(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (centsW, rW, cbsWO) =
+      try {
+        val c = trainCentroids(w, 16)
+        val (r, cb) = trainOpqRotation(w)
+        (c, r, cb)
+      } finally w.unpersist(blocking = false)
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val muL = mu.mkString("[", ", ", "]")
+    val pcL = pc.mkString("[", ", ", "]")
+    val centRows = centsW.zipWithIndex.map { case (c, i) =>
+      s"(${i}, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    val nSub = cbsWO.length
+    val sub = cbsWO.head.head.length
+    val (cbRows, cbLit) = pqCbLits(cbsWO)
+    val codePivot = (0 until nSub)
+      .map(m => s"max(CASE WHEN m = $m THEN kk END) AS c$m").mkString(", ")
+    val adc = (0 until nSub).map { m =>
+      val lo = m * sub + 1
+      val hi = (m + 1) * sub
+      s"${dot(s"q.embedding[$lo:$hi]", s"cbl.cb[${m + 1}][n.c$m + 1]")}"
+    }.mkString(" + ")
+    def hit(shortCte: String) =
+      s"""(SELECT CAST(count(*) AS BIGINT)
+            FROM $shortCte s
+            JOIN truthw t ON t.query_id = s.query_id
+                         AND t.neighbor_id = s.neighbor_id)"""
+    def rerank(preCte: String, outCte: String) =
+      s"""$outCte AS (SELECT query_id, neighbor_id FROM (
+            SELECT s.query_id, s.neighbor_id,
+              row_number() OVER (PARTITION BY s.query_id ORDER BY
+                ${dot("qv.embedding", "cv.embedding")}
+                  / (qv.nrm * cv.nrm) DESC, s.neighbor_id) AS rnk
+            FROM $preCte s
+            JOIN nw qv ON qv.vec_id = s.query_id
+            JOIN nw cv ON cv.vec_id = s.neighbor_id)
+          WHERE rnk <= $k)"""
+    s"""WITH wd AS (SELECT vec_id,
+            list_transform(list_zip(embedding, $muL),
+              x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS diff
+          FROM embeddings),
+        wemb AS (SELECT vec_id,
+            list_transform(list_zip(diff, $pcL),
+              x -> CAST(x[1] AS DOUBLE) - s * CAST(x[2] AS DOUBLE))
+              AS embedding
+          FROM (SELECT vec_id, diff, ${dot("diff", pcL)} AS s FROM wd)),
+        nw AS (SELECT vec_id, embedding,
+                 sqrt(${dot("embedding", "embedding")}) AS nrm
+               FROM wemb),
+        nv AS (SELECT vec_id, embedding,
+                 sqrt(${dot("embedding", "embedding")}) AS nrm
+               FROM embeddings),
+        truthw AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+                  DESC, c.vec_id) AS rnk
+            FROM nw q JOIN nw c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < $nQueries)
+          WHERE rnk <= $k),
+        bruteraw AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+                  DESC, c.vec_id) AS rnk
+            FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < $nQueries)
+          WHERE rnk <= $k),
+        cents(cell, cv) AS (VALUES $centRows),
+        rankedw AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              ${dot("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+          FROM nw v, cents c),
+        assignedw AS (SELECT cell, vec_id AS neighbor_id,
+                        embedding AS e_c, nrm AS n_c
+                      FROM rankedw WHERE crnk = 1),
+        probesw AS (SELECT cell, vec_id AS query_id, embedding AS e_q,
+                      nrm AS n_q
+                    FROM rankedw WHERE crnk <= 4
+                      AND vec_id < $nQueries),
+        ivfw AS (SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, a.neighbor_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                ${dot("p.e_q", "a.e_c")} / (p.n_q * a.n_c) DESC,
+                a.neighbor_id) AS rnk
+            FROM probesw p JOIN assignedw a ON p.cell = a.cell
+            WHERE p.query_id <> a.neighbor_id)
+          WHERE rnk <= $k),
+        dqw AS (${sq8DequantCteBodyOver("wemb")}),
+        sq8pre AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                (${dot("q.embedding", "d.d")}
+                   / (q.nrm * sqrt(${dot("d.d", "d.d")}))) DESC,
+                d.vec_id) AS r
+            FROM nw q, dqw d
+            WHERE q.vec_id < $nQueries AND d.vec_id <> q.vec_id)
+          WHERE r <= ${8 * k}),
+        ${rerank("sq8pre", "sq8w")},
+        ${opqRotCte(rW, "wemb")},
+        cb(m, kk, cv, bias) AS (VALUES $cbRows),
+        cbl AS (SELECT $cbLit AS cb),
+        sub AS (SELECT vec_id, mm.m AS m,
+                  embedding[mm.m * $sub + 1 : (mm.m + 1) * $sub] AS s
+                FROM rot,
+                     (SELECT unnest(range(0, $nSub)) AS m) mm),
+        coded AS (SELECT vec_id, m, kk FROM (
+                    SELECT sub.vec_id, sub.m, cb.kk,
+                      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                        ORDER BY (${dot("sub.s", "cb.cv")} + cb.bias)
+                          DESC, cb.kk) AS r
+                    FROM sub JOIN cb ON cb.m = sub.m)
+                  WHERE r = 1),
+        codes AS (SELECT vec_id, $codePivot FROM coded GROUP BY 1),
+        opqpre AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ($adc) DESC, n.vec_id) AS r
+            FROM rot q, codes n, cbl
+            WHERE q.vec_id < $nQueries AND n.vec_id <> q.vec_id)
+          WHERE r <= ${8 * k}),
+        ${rerank("opqpre", "opqw")},
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truthw)
+       SELECT variant, n_truth, n_hit,
+         round(CAST(n_hit AS DOUBLE) / n_truth, 4) AS recall
+       FROM (
+         SELECT 'brute_raw' AS variant, nt.n_truth,
+           ${hit("bruteraw")} AS n_hit FROM nt
+         UNION ALL SELECT 'ivf_whitened', nt.n_truth,
+           ${hit("ivfw")} FROM nt
+         UNION ALL SELECT 'sq8_whitened', nt.n_truth,
+           ${hit("sq8w")} FROM nt
+         UNION ALL SELECT 'pq_opq_whitened', nt.n_truth,
+           ${hit("opqw")} FROM nt)
+       ORDER BY variant"""
   }
 
   /** DuckDB oracle for [[embeddingPca]]: μ and the trained component

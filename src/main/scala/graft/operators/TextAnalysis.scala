@@ -2068,8 +2068,21 @@ object TextAnalysis {
                          nMerges: Int = 5, maxWords: Int = 2000,
                          vocabSize: Int = 120, maxPieceLen: Int = 4,
                          iters: Int = 2): DataFrame = {
-    val langs = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), col("lang"))
+    val docs = Tables.load(spark, sfDir, "documents")
+    val langs = docs.select(col("doc_id"), col("lang"))
+    // skipped mass per language (VERDICT-r18 #5): both encodes admit
+    // only lowercase-folded [a-z]+ words (TextShingles.words lowers,
+    // so mixed case IS covered) — everything else (digits,
+    // punctuation-bearing tokens) is silently outside the table
+    // without this column. Tokenizer-independent by construction
+    // (same word filter), reported on every row so the table states
+    // its own coverage.
+    val skipped = docs
+      .select(col("lang"),
+        explode(TextShingles.words(col("text"))).as("word"))
+      .groupBy("lang")
+      .agg(sum(when(col("word").rlike("^[a-z]+$"), 0L).otherwise(1L))
+        .as("n_skipped_words"))
     def roll(enc: DataFrame, name: String) = enc
       .join(langs, "doc_id")
       .groupBy("lang")
@@ -2080,12 +2093,17 @@ object TextAnalysis {
       .unionByName(roll(
         unigramEncode(spark, sfDir, vocabSize, maxPieceLen, iters,
           maxWords), "unigram"))
+      .join(skipped, Seq("lang"))
       .select(col("lang"), col("tokenizer"), col("n_docs"),
         col("n_words"), col("n_tokens"), col("n_chars"),
         round(col("n_tokens") / col("n_words").cast("double"), 4)
           .as("fertility"),
         round(col("n_chars") / col("n_tokens").cast("double"), 4)
-          .as("chars_per_token"))
+          .as("chars_per_token"),
+        col("n_skipped_words"),
+        round(col("n_skipped_words")
+          / (col("n_skipped_words") + col("n_words")).cast("double"), 4)
+          .as("skipped_share"))
       .orderBy("lang", "tokenizer")
   }
 
@@ -2119,9 +2137,22 @@ object TextAnalysis {
           JOIN documents d USING (doc_id)
           GROUP BY d.lang"""
     s"""${bpeEncodeCtes(nMerges, maxWords)},
-        ${unigramEncCte(lp, maxPieceLen, "uenc")}
-       SELECT * FROM (${branch("enc", "bpe")}
-                      UNION ALL ${branch("uenc", "unigram")})
+        ${unigramEncCte(lp, maxPieceLen, "uenc")},
+        skipped AS (
+          SELECT lang,
+            CAST(sum(CASE WHEN regexp_matches(word, '^[a-z]+$$')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_skipped_words
+          FROM (SELECT lang,
+                  unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                    AS word
+                FROM documents)
+          GROUP BY lang)
+       SELECT t.*, s.n_skipped_words,
+         round(CAST(s.n_skipped_words AS DOUBLE)
+               / (s.n_skipped_words + t.n_words), 4) AS skipped_share
+       FROM (${branch("enc", "bpe")}
+             UNION ALL ${branch("uenc", "unigram")}) t
+       JOIN skipped s USING (lang)
        ORDER BY lang, tokenizer"""
   }
 

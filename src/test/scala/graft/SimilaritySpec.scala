@@ -470,6 +470,27 @@ class SimilaritySpec extends SparkSpec {
     assert(served.map(_._1).distinct.length == 10)
   }
 
+  test("ann_mmr_sq8_indexed: full probes over the sq8 scan reproduce " +
+      "the brute MMR picks exactly; production probes stay k-deep") {
+    // nProbe = nCells ⇒ every list probed; the exact top-f·k all sit
+    // inside the sq8 top-2f·k on the fixture ⇒ the exact-rescored
+    // shortlist IS the brute shortlist ⇒ identical greedy picks (the
+    // ann_ivfsq8 equality stance composed with the MMR one)
+    val full = Similarity.annMmrSq8Indexed(spark, sf, nProbe = 16)
+      .collect().map(_.toString).toSeq
+    val brute = Similarity.annMmr(spark, sf).collect()
+      .map(_.toString).toSeq
+    assert(full == brute,
+      "full-probe sq8-scan MMR must equal brute MMR")
+    // production point: k dense ranks per query off the cheap scan
+    val served = Similarity.annMmrSq8Indexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+    served.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to 5), s"query $q ranks")
+    }
+    assert(served.map(_._1).distinct.length == 10)
+  }
+
   test("ann_ivf: trained centroids are unit-norm and deterministic") {
     val v = Tables.load(spark, sf, "embeddings")
       .selectExpr("vec_id", "label", "embedding",

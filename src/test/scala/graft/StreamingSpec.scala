@@ -551,6 +551,63 @@ class StreamingSpec extends SparkSpec {
       "streamed index deltas must be visible to the sq8 serving loop")
   }
 
+  test("stream fuse: continuous hybrid retrieval off the two artifacts " +
+      "equals the batch fusion per query; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Curation, Similarity}
+    val root = graft.operators.ExportImport.scratch("stream-fuse")
+    val (idx, bm25Dir, outDir, ckpt) =
+      (root + "/idx", root + "/bm25", root + "/out", root + "/ckpt")
+    Seq(idx, bm25Dir, outDir, ckpt).foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(d,
+        spark.sparkContext.hadoopConfiguration))
+    Similarity.ivfIndexToDir(spark, sf, idx)
+    Curation.bm25StatsToDir(spark, sf, bm25Dir)
+    val terms = Seq("data", "filter", "join")
+    val qRows = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamFuse.applyStreamFromIndexes(
+      input.toDF().toDF("vec_id", "embedding"), bm25Dir, idx, terms,
+      outDir, ckpt)
+    try {
+      input.addData(qRows.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.mkString("|")
+    val gotDf = spark.read.parquet(outDir)
+      .select("query_id", "doc_id", "lex_rank", "vec_rank", "rrf6")
+    val got = gotDf.collect().map(key).toSet
+    // per-query equality with the batch composition over the SAME legs
+    val want = Curation.rrfFuseByQuery(
+      Curation.rankedBy(
+        Curation.bm25FromIndex(spark, bm25Dir, terms), col("score")),
+      Similarity.annServeFromIndex(spark, idx, qRows, 4, 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rnk").as("rank")))
+      .collect().map(key).toSet
+    assert(got == want && got.nonEmpty)
+    // query 0's streamed slice IS the batch operator's fused table
+    // (retrieval_fuse_served builds its own artifacts, but the static
+    // quantizer and the corpus stats are deterministic — same legs,
+    // same combine): the streaming twin equals the oracle-checked form
+    val slice0 = gotDf.filter(col("query_id") === 0L)
+      .select("doc_id", "lex_rank", "vec_rank", "rrf6")
+      .collect().map(key).toSet
+    val batch0 = Curation.retrievalFuseServed(spark, sf)
+      .collect().map(key).toSet
+    assert(slice0 == batch0,
+      "streamed query-0 fusion must equal retrieval_fuse_served")
+    // replay idempotence: re-running a batch id overwrites, never dups
+    val before = spark.read.parquet(outDir).count()
+    graft.streaming.StreamFuse.applyBatch(
+      qRows, 0L, bm25Dir, idx, terms, outDir, 4, 20, 10)
+    assert(spark.read.parquet(outDir).count() == before,
+      "replayed batch must not duplicate fused rows")
+  }
+
   test("stream MMR from the index artifact equals the batch MMR serve " +
       "per query across micro-batches") {
     import spark.implicits._

@@ -705,6 +705,47 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tokenizers on mixed-case text: case folds before both encodes; " +
+      "fertility reports the skipped mass exactly") {
+    import spark.implicits._
+    // mixed-case words fold to their lowercase twins BEFORE the
+    // [a-z]+ admission filter — 'The'/'QUICK' encode exactly like
+    // 'the'/'quick'; digit/punctuation tokens are skipped, and the
+    // fertility table must say so instead of silently describing a
+    // subset (VERDICT-r18 #5)
+    val mixed = Seq((1L, "The QUICK brown FOX likes 42 data-sets"),
+      (2L, "the quick brown fox likes 42 data-sets"))
+      .toDF("doc_id", "text")
+    val lp = TextAnalysis.unigramTrainFrom(mixed)
+    val uni = TextAnalysis.unigramEncodeWithModel(mixed, lp).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(uni(0) == uni(1),
+      "mixed-case doc must encode identically to its lowercased twin")
+    assert(uni(0)._1 == 5L, "5 encodable words (42 and data-sets skip)")
+    val bpe = TextAnalysis.bpeEncodeFromRules(mixed,
+      TextAnalysis.readBpeRules(spark,
+        TextAnalysis.sharedBpeRulesDir(spark, sf))).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bpe(0) == bpe(1), "BPE likewise case-folds before encoding")
+    // fertility's skipped columns: fixture corpus, exact reference
+    val words = Tables.load(spark, sf, "documents")
+      .selectExpr("lang", "explode(split(lower(trim(text)), '\\\\s+')) AS w")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val refSkipped = words.groupBy(_._1).map { case (l, ws) =>
+      l -> ws.count(w => !w._2.matches("^[a-z]+$")).toLong
+    }
+    val fert = TextAnalysis.tokenizerFertility(spark, sf).collect()
+    fert.foreach { r =>
+      val (lang, nWords) = (r.getString(0), r.getLong(3))
+      val (nSkip, share) = (r.getLong(8), r.getDouble(9))
+      assert(nSkip == refSkipped(lang),
+        s"$lang skipped: $nSkip vs ${refSkipped(lang)}")
+      val expect = BigDecimal(nSkip.toDouble / (nSkip + nWords))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(share == expect, s"$lang skipped_share")
+    }
+  }
+
   test("bpe rules artifact: encode off the artifact equals train-inline") {
     val dir = graft.operators.ExportImport.scratch("bpe-rules-spec")
     TextAnalysis.bpeRulesToDir(spark, sf, dir)
