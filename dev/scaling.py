@@ -618,6 +618,63 @@ out += ["",
         "first-compile",
         "  latency cannot land in the measurement. The WATCH closes.",
         "",
+        "## r19 additions, priced (builder 3-SF sweep: 233 queries, "
+        "0 errors,",
+        "## 240.7/291.0/425.0 s; the dedup prefix-join standalones "
+        "read",
+        "## 3.8-9.7 s across SFs under the new documents-page + "
+        "real-schema",
+        "## warmup — at or under the builder reference, the r18 "
+        "first-run",
+        "## elevation class did not recur in-sweep)",
+        "",
+        "- embedding_whiten 0.94/1.33/1.20 s — FLAT (the r18 deferral "
+        "priced):",
+        "  training is `iters` bounded aggregate passes over the "
+        "cached vectors,",
+        "  the report one map-only diff/project pass + a 1-row agg. "
+        "The transform",
+        "  itself (whitenVectors) is map-only over two broadcast "
+        "d-vectors.",
+        "- whiten_recall_eval 6.1/7.7/11.3 s — an EVAL, priced as one "
+        "(the",
+        "  ann_recall_eval_pq stance): it trains whitening + whitened "
+        "centroids +",
+        "  the whitened OPQ rotation/codebooks and runs four serving "
+        "pipelines",
+        "  against a persisted whitened brute truth, once per corpus "
+        "version.",
+        "  Measured answers: raw-vs-whitened neighbor overlap 0.82, "
+        "ivf 0.86,",
+        "  sq8 1.00, pq+opq 0.76 recall@5 at sf0.01.",
+        "- bm25_indexed 1.5/1.3/2.3 s vs bm25_search 0.7/0.5/0.8 s — "
+        "the in-query",
+        "  delta IS the artifact build (one corpus pass + postings "
+        "write), paid",
+        "  once per corpus version in production; the query-time scan "
+        "reads only",
+        "  the query terms' posting row-groups (PushedFilters: "
+        "In(term..) at the",
+        "  scan, spec-pinned). retrieval_fuse_served 1.6/1.9/2.2 s — "
+        "both legs'",
+        "  builds in-query; the fuse itself is a two-bounded-list "
+        "join.",
+        "- ann_mmr_sq8_indexed 11.1/15.7/14.1 s — FLAT across 100x "
+        "data but ~1.5x",
+        "  ann_mmr_indexed's wall AT THESE SFs: the sq8 leg adds a "
+        "dequant pass,",
+        "  a 2x-wider bounded TopK and an exact-rescore equi-join, "
+        "fixed costs",
+        "  that dominate while the corpus is small. The rung exists "
+        "for the",
+        "  regime where the candidate scan is the bill: stage 1 reads "
+        "1 byte/dim",
+        "  of the probed cells (4x less than float32), which wins "
+        "when inverted",
+        "  lists outgrow cache/bandwidth, not at 6 MB of vectors. "
+        "Picks are",
+        "  spec-identical to brute MMR at full probes.",
+        "",
         "## r18 additions, priced (builder 3-SF sweep: 228 queries, "
         "0 errors,",
         "## 276.6/246.5/404.5 s; sweep-wide note: the first sf0.1 "
