@@ -105,7 +105,7 @@ object Bench {
       "mixture_sample", "mixture_temperature", "mixture_upsample",
       "weighted_sample",
       "tfidf_topterms", "shard_assign", "dsir_weights",
-      "bm25_search", "bm25_indexed", "retrieval_fuse",
+      "bm25_search", "bm25_indexed", "bm25_incremental", "retrieval_fuse",
       "retrieval_fuse_indexed", "retrieval_fuse_served"),
     "io" -> Seq(
       "xml_roundtrip", "csv_roundtrip", "orc_roundtrip",

@@ -221,6 +221,7 @@ object SparkEntry {
     "scd2_intervals" -> (MergeImport.scd2Intervals _),
     "bm25_search" -> (Curation.bm25Search _),
     "bm25_indexed" -> (Curation.bm25Indexed _),
+    "bm25_incremental" -> (Curation.bm25Incremental _),
     "retrieval_fuse" -> (Curation.retrievalFuse _),
     "retrieval_fuse_indexed" ->
       ((s, d) => Curation.retrievalFuseIndexed(s, d)),
@@ -1076,6 +1077,7 @@ object SparkEntry {
     "scd2_intervals" -> MergeImport.scd2Oracle,
     "bm25_search" -> Curation.bm25Oracle(),
     "bm25_indexed" -> Curation.bm25IndexedOracle(),
+    "bm25_incremental" -> Curation.bm25IndexedOracle(),
     "retrieval_fuse" -> Curation.rrfOracle(),
     "retrieval_fuse_indexed" -> Curation.rrfIndexedOracle(),
     "retrieval_fuse_served" -> Curation.rrfServedOracle(),

@@ -469,6 +469,37 @@ object Graft {
               k: Int = 10): DataFrame =
     graft.operators.Curation.rrfFuseFrom(lex, vec, kc, k)
 
+  /** [[rrfFuse]] for a BATCH of vector queries sharing one lexical
+    * list: `vec` is (query_id, doc_id, rank), the fuse runs per
+    * query — the continuous-serving shape
+    * ([[graft.streaming.StreamFuse]]). */
+  def rrfFuseByQuery(lex: DataFrame, vec: DataFrame, kc: Int = 60,
+                     k: Int = 10): DataFrame =
+    graft.operators.Curation.rrfFuseByQuery(lex, vec, kc, k)
+
+  /** Build the BM25 corpus-statistics artifact (postings with tf and
+    * denormalized doc length + the n_docs/sum_dl meta, marker-gated)
+    * over ANY (doc_id, text) frame — one corpus pass; every lexical
+    * query then reads only its terms' posting row-groups. */
+  def buildBm25Stats(spark: SparkSession, docs: DataFrame,
+                     dir: String): Unit =
+    graft.operators.Curation.bm25StatsBuild(spark, docs, dir)
+
+  /** Append a delta batch of NEW documents (ids disjoint from the
+    * base) to a BM25 stats artifact — cost ∝ increment, serves exactly
+    * like a full rebuild; replay-idempotent per batchId. Continuous
+    * form: [[graft.streaming.StreamBm25Index]]. */
+  def appendBm25Stats(spark: SparkSession, dir: String, docs: DataFrame,
+                      batchId: Long = 0L): Unit =
+    graft.operators.Curation.bm25StatsAppend(spark, dir, docs, batchId)
+
+  /** BM25 top-k for a fixed term bag, served from a
+    * [[buildBm25Stats]] artifact: a pruned postings probe + one
+    * broadcast meta row — no corpus-scale scan at query time. */
+  def bm25FromIndex(spark: SparkSession, dir: String,
+                    terms: Seq[String], k: Int = 20): DataFrame =
+    graft.operators.Curation.bm25FromIndex(spark, dir, terms, k)
+
   /** Append new (vec_id, embedding) vectors to an IVF index artifact
     * using its own centroids — map-only assignment over the delta,
     * existing partitions untouched. */

@@ -472,6 +472,40 @@ class CurationSpec extends SparkSpec {
       && meta.getLong(1) == docs.getLong(1))
   }
 
+  test("bm25_incremental: append equals rebuild — postings set, meta " +
+      "sums, and the served list; replay never double-counts") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val terms = Seq("data", "filter", "join")
+    // maintained artifact: base slice + one delta batch
+    val incr = graft.operators.ExportImport.scratch("bm25-incr-spec")
+    Curation.bm25StatsBuild(spark, docs.filter(col("doc_id") % 10 < 8),
+      incr)
+    Curation.bm25StatsAppend(spark, incr,
+      docs.filter(col("doc_id") % 10 >= 8), batchId = 7L)
+    // full rebuild over the whole corpus
+    val full = graft.operators.ExportImport.scratch("bm25-full-spec")
+    Curation.bm25StatsBuild(spark, docs, full)
+    val servedIncr = Curation.bm25FromIndex(spark, incr, terms)
+      .collect().map(_.toString).toSeq
+    val servedFull = Curation.bm25FromIndex(spark, full, terms)
+      .collect().map(_.toString).toSeq
+    assert(servedIncr == servedFull,
+      "maintained artifact must serve exactly like a full rebuild")
+    // replay of the delta batch overwrites its subtree — serving
+    // unchanged, documents never double-counted
+    Curation.bm25StatsAppend(spark, incr,
+      docs.filter(col("doc_id") % 10 >= 8), batchId = 7L)
+    assert(Curation.bm25FromIndex(spark, incr, terms)
+      .collect().map(_.toString).toSeq == servedFull,
+      "replayed delta batch must leave the artifact unchanged")
+    // appending to a dir that was never built refuses loudly
+    val bad = graft.operators.ExportImport.scratch("bm25-incr-bad")
+    intercept[IllegalArgumentException] {
+      Curation.bm25StatsAppend(spark, bad, docs.limit(1))
+    }
+  }
+
   test("retrieval_fuse_served: both-legs-artifact fusion equals the " +
       "brute fusion at full probes") {
     val brute = Curation.retrievalFuse(spark, sf).collect().map(_.toString)

@@ -608,6 +608,43 @@ class StreamingSpec extends SparkSpec {
       "replayed batch must not duplicate fused rows")
   }
 
+  test("stream bm25 maintainer: ingested documents become servable; " +
+      "maintained artifact equals the full rebuild") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Curation
+    val root = graft.operators.ExportImport.scratch("stream-bm25")
+    val (dir, full, ckpt) = (root + "/idx", root + "/full", root + "/ckpt")
+    Seq(dir, full, ckpt).foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(d,
+        spark.sparkContext.hadoopConfiguration))
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val terms = Seq("data", "filter", "join")
+    // base artifact on the first slice; stream the rest in two batches
+    Curation.bm25StatsBuild(spark, docs.filter(col("doc_id") % 3 === 0),
+      dir)
+    val rest = docs.filter(col("doc_id") % 3 =!= 0).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = rest.partition(_._1 % 3 == 1)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamBm25Index.start(
+      input.toDF().toDF("doc_id", "text"), dir, ckpt)
+    try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    Curation.bm25StatsBuild(spark, docs, full)
+    val got = Curation.bm25FromIndex(spark, dir, terms)
+      .collect().map(_.toString).toSeq
+    val want = Curation.bm25FromIndex(spark, full, terms)
+      .collect().map(_.toString).toSeq
+    assert(got == want && got.nonEmpty,
+      "maintained lexical artifact must serve like a full rebuild")
+  }
+
   test("stream MMR from the index artifact equals the batch MMR serve " +
       "per query across micro-batches") {
     import spark.implicits._

@@ -43,6 +43,24 @@ class UsageSpec extends SparkSpec {
     val lex = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
     val vec = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
     assert(Graft.rrfFuse(lex, vec).collect().head.getLong(0) == 2L)
+    // query-keyed fuse: each query's single-list twin matches rrfFuse
+    val vecQ = Seq((7L, 2L, 1), (7L, 3L, 2)).toDF("query_id", "doc_id",
+      "rank")
+    val byQ = Graft.rrfFuseByQuery(lex, vecQ).collect()
+    assert(byQ.forall(_.getLong(0) == 7L)
+      && byQ.head.getLong(1) == 2L)
+    // BM25 artifact lifecycle on an ad-hoc corpus: build on a slice,
+    // append the rest, serve — equals a one-shot build over everything
+    val bmDir = graft.operators.ExportImport.scratch("usage-bm25")
+    val bmFull = graft.operators.ExportImport.scratch("usage-bm25-full")
+    Graft.buildBm25Stats(spark, docs.filter(col("doc_id") < 3), bmDir)
+    Graft.appendBm25Stats(spark, bmDir, docs.filter(col("doc_id") >= 3))
+    Graft.buildBm25Stats(spark, docs, bmFull)
+    val servedIncr = Graft.bm25FromIndex(spark, bmDir, Seq("quick", "box"))
+      .collect().map(_.toString).toSeq
+    assert(servedIncr == Graft.bm25FromIndex(spark, bmFull,
+      Seq("quick", "box")).collect().map(_.toString).toSeq)
+    assert(servedIncr.nonEmpty)
     // indexed MMR over an ad-hoc embedding corpus (8-dim, not the
     // fixture's 64): build the artifact, MMR-select from it
     val rnd = new scala.util.Random(7)
