@@ -474,8 +474,9 @@ object Graft {
     * query — the continuous-serving shape
     * ([[graft.streaming.StreamFuse]]). */
   def rrfFuseByQuery(lex: DataFrame, vec: DataFrame, kc: Int = 60,
-                     k: Int = 10): DataFrame =
-    graft.operators.Curation.rrfFuseByQuery(lex, vec, kc, k)
+                     k: Int = 10,
+                     queryIds: Option[DataFrame] = None): DataFrame =
+    graft.operators.Curation.rrfFuseByQuery(lex, vec, kc, k, queryIds)
 
   /** Build the BM25 corpus-statistics artifact (postings with tf and
     * denormalized doc length + the n_docs/sum_dl meta, marker-gated)

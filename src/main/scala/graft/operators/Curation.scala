@@ -1016,21 +1016,39 @@ object Curation {
   /** [[bm25StatsToDir]] over an explicit (doc_id, text) frame. */
   def bm25StatsBuild(spark: SparkSession, docs: DataFrame,
                      dir: String): Unit = {
-    val withLen = docs.select(col("doc_id"),
-      TextShingles.words(col("text")).as("w"))
-      .select(col("doc_id"), col("w"),
-        size(col("w")).cast("long").as("dl"))
-    withLen
-      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-      .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"))
-      .repartition(col("term"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode("overwrite").parquet(s"$dir/postings")
-    withLen.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    writeBm25Unit(spark, docs, s"$dir/postings", s"$dir/meta")
     graft.streaming.StreamIO.writeMarker(dir, "_bm25_version", 1L,
       spark.sparkContext.hadoopConfiguration)
+  }
+
+  /** One (postings, meta) unit — the SINGLE transform pipeline the
+    * base build and every delta append share, so the two paths cannot
+    * drift (append == rebuild is the operator's oracle-checked
+    * invariant). ONE tokenizing corpus pass total: the meta scalars
+    * are derived from the postings JUST WRITTEN (every document owns
+    * ≥ 1 posting row — an all-whitespace page contributes the empty
+    * term — and carries its dl on each, so distinct (doc_id, dl) is
+    * exactly the document table), a compressed-artifact read instead
+    * of a second tokenize scan. Meta lands AFTER postings: for a
+    * delta batch the meta row IS the commit record the readers key on
+    * ([[readBm25Postings]]), so a crash between the two writes leaves
+    * an invisible delta, never a torn one. */
+  private def writeBm25Unit(spark: SparkSession, docs: DataFrame,
+                            postingsPath: String,
+                            metaPath: String): Unit = {
+    docs.select(col("doc_id"), TextShingles.words(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .select("term", "doc_id", "dl", "tf")
+      .repartition(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(postingsPath)
+    spark.read.parquet(postingsPath)
+      .select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(metaPath)
   }
 
   /** INCREMENTAL BM25 stats maintenance — the [[Similarity.ivfIndexAppend]]
@@ -1053,56 +1071,61 @@ object Curation {
       spark.sparkContext.hadoopConfiguration).nonEmpty,
       s"no BM25 stats artifact at $dir — run bm25StatsToDir first")
     if (docs.isEmpty) return
-    val withLen = docs.select(col("doc_id"),
-      TextShingles.words(col("text")).as("w"))
-      .select(col("doc_id"), col("w"),
-        size(col("w")).cast("long").as("dl"))
-    withLen
-      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-      .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"))
-      .repartition(col("term"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode("overwrite")
-      .parquet(s"$dir/stream/batch_id=$batchId")
-    withLen.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/meta_stream/batch_id=$batchId")
+    writeBm25Unit(spark, docs, s"$dir/stream/batch_id=$batchId",
+      s"$dir/meta_stream/batch_id=$batchId")
   }
 
-  /** The artifact's postings: base build plus every `stream/batch_id=N`
-    * delta landed so far (the [[Similarity.readIvfAssigned]] stance) —
-    * serving sees continuously-ingested documents with no code
-    * change. */
+  /** The artifact's postings: base build plus every COMMITTED
+    * `stream/batch_id=N` delta (the [[Similarity.readIvfAssigned]]
+    * stance) — serving sees continuously-ingested documents with no
+    * code change. A batch is committed iff its meta increment landed
+    * ([[writeBm25Unit]] writes meta LAST): a crash between the two
+    * writes leaves a postings subtree the readers EXCLUDE, so the
+    * served idf/avgdl can never disagree with the served postings. */
   private def readBm25Postings(spark: SparkSession,
                                dir: String): DataFrame = {
     val base = spark.read.parquet(s"$dir/postings")
-    unionDeltas(spark, base, s"$dir/stream")
+    val committed = batchIdsUnder(spark, s"$dir/meta_stream")
+    unionDeltas(spark, base, s"$dir/stream", committed)
   }
 
   /** The artifact's corpus scalars: every landed meta row (base + one
-    * per delta batch) SUMMED at read — an append never rewrites the
-    * base meta, and the sum is exact (integers). */
+    * per committed delta batch) SUMMED at read — an append never
+    * rewrites the base meta, and the sum is exact (integers). */
   private def readBm25Meta(spark: SparkSession, dir: String): DataFrame = {
     val base = spark.read.parquet(s"$dir/meta")
-    unionDeltas(spark, base, s"$dir/meta_stream")
+    unionDeltas(spark, base, s"$dir/meta_stream",
+      batchIdsUnder(spark, s"$dir/meta_stream"))
       .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
   }
 
-  /** base ∪ the delta root's `batch_id=N` subtrees (column-aligned;
-    * absent/empty delta root = base alone — a fileless root would trip
-    * parquet schema inference). */
-  private def unionDeltas(spark: SparkSession, base: DataFrame,
-                          deltaRoot: String): DataFrame = {
+  /** The `batch_id=N` values present under a delta root (bounded by
+    * batch count — maintainer metadata, not data). */
+  private def batchIdsUnder(spark: SparkSession,
+                            deltaRoot: String): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(deltaRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasDeltas = fs.exists(root) && fs.listStatus(root)
-      .exists(_.getPath.getName.startsWith("batch_id="))
-    if (hasDeltas)
-      base.unionByName(spark.read.parquet(deltaRoot)
-        .select(base.columns.map(col).toSeq: _*))
-    else base
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
   }
+
+  /** base ∪ the delta root's subtrees for the given COMMITTED batch
+    * ids (column-aligned; no committed batches = base alone — a
+    * fileless root would trip parquet schema inference). */
+  private def unionDeltas(spark: SparkSession, base: DataFrame,
+                          deltaRoot: String,
+                          committed: Seq[Long]): DataFrame =
+    if (committed.isEmpty) base
+    else {
+      val present = batchIdsUnder(spark, deltaRoot)
+        .filter(committed.toSet)
+      if (present.isEmpty) base
+      else base.unionByName(spark.read.parquet(deltaRoot)
+        .filter(col("batch_id").isin(present: _*))
+        .select(base.columns.map(col).toSeq: _*))
+    }
 
   /** BM25 SERVED FROM THE ARTIFACT: identical output to
     * [[bm25SearchFrom]] on any query whose top-k all contain at least
@@ -1248,10 +1271,20 @@ object Curation {
     * [[rrfFuseFrom]]'s exactly, per query (StreamingSpec pins the
     * single-query equality). Every frame is bounded — |queries| × kLeg
     * rows — so the per-query window is over report-sized state, never
-    * the corpus. */
+    * the corpus.
+    *
+    * `queryIds`: the FULL (query_id) set of the batch. Pass it
+    * whenever a query can legitimately have an empty vector list (a
+    * sparse index whose probed cells hold nothing) — such a query
+    * still gets its lex-only fused top-k, exactly as [[rrfFuseFrom]]
+    * with an empty vec leg would. Defaults to the ids present in
+    * `vec` (every query matched something). */
   def rrfFuseByQuery(lex: DataFrame, vec: DataFrame, kc: Int = 60,
-                     k: Int = 10): DataFrame = {
-    val lexQ = vec.select(col("query_id")).distinct()
+                     k: Int = 10,
+                     queryIds: Option[DataFrame] = None): DataFrame = {
+    val lexQ = queryIds
+      .map(_.select(col("query_id")).distinct())
+      .getOrElse(vec.select(col("query_id")).distinct())
       .crossJoin(broadcast(lex.select(col("doc_id"),
         col("rank").as("lex_rank"))))
     val fused = lexQ
@@ -1406,12 +1439,16 @@ object Curation {
     val dot = dotSql _
     // the artifact-served lexical leg carries only documents holding
     // >= 1 query term (postings semantics, [[bm25FromIndex]]); the
-    // brute leg scores every document
+    // brute leg scores every document. The predicate is DERIVED from
+    // the default term list (the bm25IndexedOracle stance), so a term
+    // count change can never leave it filtering on stale tf columns.
+    val defaultTerms = Seq("data", "filter", "join")
     val lexBody =
       if (lexMatchedOnly)
-        s"""SELECT * FROM (${bm25OracleBody()}) s
-            WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0"""
-      else bm25OracleBody()
+        s"""SELECT * FROM (${bm25OracleBody(defaultTerms)}) s
+            WHERE ${defaultTerms.indices.map(i => s"tf_$i > 0")
+              .mkString(" OR ")}"""
+      else bm25OracleBody(defaultTerms)
     s"""WITH lexs AS ($lexBody),
         lex AS (SELECT doc_id,
             CAST(row_number() OVER (ORDER BY score DESC, doc_id)

@@ -6370,8 +6370,9 @@ object Similarity {
     * whitened-space brute top-k; rows:
     *  - `brute_raw` — the raw-space brute list scored against the
     *    whitened truth: the overlap IS the measured geometry change
-    *    (1.0 = whitening moved nothing; the fixture measures ~0.5 at
-    *    sf0.01 — the transform is not a no-op here).
+    *    (1.0 = whitening moved nothing; the fixture measures 0.82 at
+    *    sf0.01 — the transform is real but modest on this
+    *    near-isotropic corpus).
     *  - `ivf_whitened` / `sq8_whitened` / `pq_opq_whitened` — each
     *    serving rung re-trained/re-encoded IN whitened space vs the
     *    whitened truth: the #226 ladder's recall after the transform,

@@ -46,7 +46,10 @@ object StreamFuse {
         nProbe, kLeg)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rnk").as("rank"))
-    Curation.rrfFuseByQuery(lex, vec, k = k)
+    // the batch's FULL query set rides along: a query whose probe
+    // found nothing still gets its lex-only fused list
+    Curation.rrfFuseByQuery(lex, vec, k = k,
+        queryIds = Some(batch.select(col("vec_id").as("query_id"))))
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
   }
 

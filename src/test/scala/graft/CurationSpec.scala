@@ -357,6 +357,22 @@ class CurationSpec extends SparkSpec {
     // self-fusion preserves the list's own order (monotone reciprocal)
     val self = Curation.rrfFuseFrom(lex, lex).collect().map(_.getLong(0))
     assert(self.toSeq == Seq(10L, 20L, 30L))
+    // query-keyed fuse: a query whose vector leg came back EMPTY still
+    // gets its lex-only fused list when the batch's query set rides
+    // along (the StreamFuse contract) — per-query rows match the
+    // single-query rrfFuseFrom twins
+    val vecQ = Seq((7L, 20L, 1), (7L, 40L, 2), (7L, 10L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val ids = Seq(7L, 8L).toDF("query_id")
+    val byQ = Curation.rrfFuseByQuery(lex, vecQ, queryIds = Some(ids))
+      .collect()
+    val q7 = byQ.filter(_.getLong(0) == 7L).map(r => r.toSeq.drop(1).toList)
+    val q8 = byQ.filter(_.getLong(0) == 8L).map(r => r.toSeq.drop(1).toList)
+    assert(q7.toSeq == Curation.rrfFuseFrom(lex, vec).collect()
+      .map(_.toSeq.toList).toSeq, "vec-backed query equals rrfFuseFrom")
+    assert(q8.toSeq == Curation.rrfFuseFrom(lex,
+        vec.filter(lit(false))).collect().map(_.toSeq.toList).toSeq
+      && q8.nonEmpty, "vec-less query gets the lex-only fusion")
     // fixture form: ≤ k rows, deterministic, and the fused set is a
     // subset of the two legs' union
     val fx = Curation.retrievalFuse(spark, sf).collect()
