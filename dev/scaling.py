@@ -618,17 +618,27 @@ out += ["",
         "first-compile",
         "  latency cannot land in the measurement. The WATCH closes.",
         "",
-        "## r19 additions, priced (builder 3-SF sweep: 233 queries, "
+        "## r19 additions, priced (builder 3-SF sweep: 234 queries, "
         "0 errors,",
-        "## 240.7/291.0/425.0 s; the dedup prefix-join standalones "
-        "read",
-        "## 3.8-9.7 s across SFs under the new documents-page + "
-        "real-schema",
-        "## warmup — at or under the builder reference, the r18 "
-        "first-run",
-        "## elevation class did not recur in-sweep)",
+        "## 283.0/240.5/382.6 s — sf0.1 total AT the r18 driver's "
+        "379.2 s; the",
+        "## dedup prefix-join standalones read 3.7-7.1 s across SFs "
+        "under the new",
+        "## documents-page + real-schema warmup — at or under the "
+        "builder",
+        "## reference, the r18 first-run elevation class did not "
+        "recur in-sweep)",
         "",
-        "- embedding_whiten 0.94/1.33/1.20 s — FLAT (the r18 deferral "
+        "- bm25_incremental 1.67/1.62/2.28 s — the whole maintenance "
+        "path",
+        "  end-to-end (base build on 80% + one delta append + serve), "
+        "~the",
+        "  bm25_indexed build cost: the delta pass is priced ∝ "
+        "increment and the",
+        "  maintained artifact serves exactly like the rebuild (the "
+        "oracle IS the",
+        "  full-corpus replay).",
+        "- embedding_whiten 1.26/1.02/1.04 s — FLAT (the r18 deferral "
         "priced):",
         "  training is `iters` bounded aggregate passes over the "
         "cached vectors,",
@@ -636,7 +646,7 @@ out += ["",
         "The transform",
         "  itself (whitenVectors) is map-only over two broadcast "
         "d-vectors.",
-        "- whiten_recall_eval 6.1/7.7/11.3 s — an EVAL, priced as one "
+        "- whiten_recall_eval 8.2/5.7/9.3 s — an EVAL, priced as one "
         "(the",
         "  ann_recall_eval_pq stance): it trains whitening + whitened "
         "centroids +",
@@ -647,7 +657,7 @@ out += ["",
         "  Measured answers: raw-vs-whitened neighbor overlap 0.82, "
         "ivf 0.86,",
         "  sq8 1.00, pq+opq 0.76 recall@5 at sf0.01.",
-        "- bm25_indexed 1.5/1.3/2.3 s vs bm25_search 0.7/0.5/0.8 s — "
+        "- bm25_indexed 1.2/1.3/2.2 s vs bm25_search 0.6/0.5/0.9 s — "
         "the in-query",
         "  delta IS the artifact build (one corpus pass + postings "
         "write), paid",
@@ -655,11 +665,11 @@ out += ["",
         "reads only",
         "  the query terms' posting row-groups (PushedFilters: "
         "In(term..) at the",
-        "  scan, spec-pinned). retrieval_fuse_served 1.6/1.9/2.2 s — "
+        "  scan, spec-pinned). retrieval_fuse_served 1.9/1.7/2.0 s — "
         "both legs'",
         "  builds in-query; the fuse itself is a two-bounded-list "
         "join.",
-        "- ann_mmr_sq8_indexed 11.1/15.7/14.1 s — FLAT across 100x "
+        "- ann_mmr_sq8_indexed 14.6/11.9/12.9 s — FLAT across 100x "
         "data but ~1.5x",
         "  ann_mmr_indexed's wall AT THESE SFs: the sq8 leg adds a "
         "dequant pass,",
