@@ -520,6 +520,33 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.bm25StatsAppend(spark, bad, docs.limit(1))
     }
+    // TORN APPEND: a crash between the postings write and the meta
+    // write (the commit record) must leave an INVISIBLE delta — the
+    // served list stays the committed artifact's, never a mix whose
+    // idf/avgdl disagree with its postings
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaDelta = new org.apache.hadoop.fs.Path(
+      s"$incr/meta_stream/batch_id=7")
+    val before = Curation.bm25FromIndex(spark, incr, terms)
+      .collect().map(_.toString).toSeq
+    metaDelta.getFileSystem(conf).delete(metaDelta, true)
+    val torn = Curation.bm25FromIndex(spark, incr, terms)
+      .collect().map(_.toString).toSeq
+    val baseOnly = {
+      val b = graft.operators.ExportImport.scratch("bm25-base-spec")
+      Curation.bm25StatsBuild(spark, docs.filter(col("doc_id") % 10 < 8),
+        b)
+      Curation.bm25FromIndex(spark, b, terms)
+        .collect().map(_.toString).toSeq
+    }
+    assert(torn == baseOnly && torn != before,
+      "uncommitted delta (postings without meta) must be excluded")
+    // re-running the append commits it again — serving returns to full
+    Curation.bm25StatsAppend(spark, incr,
+      docs.filter(col("doc_id") % 10 >= 8), batchId = 7L)
+    assert(Curation.bm25FromIndex(spark, incr, terms)
+      .collect().map(_.toString).toSeq == servedFull,
+      "re-appending the torn batch must recommit it")
   }
 
   test("retrieval_fuse_served: both-legs-artifact fusion equals the " +
