@@ -45,6 +45,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bm25FromIndex == brute bm25SearchFrom restricted to matched " +
+      "docs, arbitrary corpora and term bags") {
+    import spark.implicits._
+    val wordPool = Seq("data", "filter", "join", "spark", "row", "col",
+      "the", "a")
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf(wordPool)).map(_.mkString(" "))
+    (1L to 5L).foreach { seed =>
+      val texts = sample(Gen.listOfN(12, docGen), seed)
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val terms = sample(Gen.pick(2, wordPool.take(6)), seed).toSeq
+      val dir = graft.operators.ExportImport.scratch(s"bm25-prop-$seed")
+      graft.operators.Curation.bm25StatsBuild(spark, docs, dir)
+      val served = graft.operators.Curation
+        .bm25FromIndex(spark, dir, terms, k = 12)
+        .collect().map(_.toString).toSeq
+      // brute scores EVERY doc; the artifact's postings semantics keep
+      // exactly the docs holding >= 1 query term, scores bit-identical
+      val tfIdx = terms.indices
+      val brute = graft.operators.Curation
+        .bm25SearchFrom(docs, terms, k = 12)
+        .collect()
+        .filter(r => tfIdx.exists(i => r.getLong(2 + i) > 0))
+        .map(_.toString).toSeq
+      assert(served == brute, s"seed=$seed terms=$terms")
+    }
+  }
+
   test("WordShingles == naive sliding-window distinct, arbitrary word lists") {
     import spark.implicits._
     (1L to 30L).foreach { seed =>
