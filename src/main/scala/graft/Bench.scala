@@ -65,14 +65,14 @@ object Bench {
       "ann_lsh", "ann_sign_sketch", "ann_ivf", "ann_ivf_static",
       "ann_ivf_indexed",
       "ann_pq", "ann_sq8", "ann_ivfsq8", "ann_ivfsq8_indexed", "ann_mmr",
-      "ann_mmr_indexed", "ann_mmr_sq8_indexed",
+      "ann_mmr_indexed", "ann_mmr_sq8_indexed", "ann_mmr_pq_indexed",
       "ann_ivfpq", "ann_ivfpq_residual",
       "ann_ivfpq_indexed", "ann_ivfpq_opq_indexed",
       "ann_ivfpq_residual_indexed", "semantic_dedup",
       "semantic_dedup_incremental", "hard_negatives",
       "embedding_dedup", "embedding_quantize", "quantize_eval",
       "embedding_class_stats", "embedding_outliers", "embedding_pca",
-      "embedding_whiten", "whiten_recall_eval",
+      "embedding_whiten", "whiten_recall_eval", "ann_ivf_whitened_indexed",
       "ivf_probe_sweep", "pq_shortlist_sweep",
       "pq_shortlist_sweep_residual", "pq_bits_sweep",
       "ann_recall_eval_pq", "opq_rotate",
@@ -106,7 +106,8 @@ object Bench {
       "weighted_sample",
       "tfidf_topterms", "shard_assign", "dsir_weights",
       "bm25_search", "bm25_indexed", "bm25_incremental", "retrieval_fuse",
-      "retrieval_fuse_indexed", "retrieval_fuse_served"),
+      "retrieval_fuse_indexed", "retrieval_fuse_served",
+      "retrieval_fuse_sq8"),
     "io" -> Seq(
       "xml_roundtrip", "csv_roundtrip", "orc_roundtrip",
       "fixed_width_roundtrip", "xlsx_roundtrip",

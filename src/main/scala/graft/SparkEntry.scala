@@ -165,6 +165,9 @@ object SparkEntry {
     "ann_mmr" -> ((s, d) => Similarity.annMmr(s, d)),
     "ann_mmr_indexed" -> ((s, d) => Similarity.annMmrIndexed(s, d)),
     "ann_mmr_sq8_indexed" -> ((s, d) => Similarity.annMmrSq8Indexed(s, d)),
+    "ann_ivf_whitened_indexed" ->
+      ((s, d) => Similarity.annIvfWhitenedIndexed(s, d)),
+    "ann_mmr_pq_indexed" -> ((s, d) => Similarity.annMmrPqIndexed(s, d)),
     "ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
     "ann_ivfpq_residual" -> ((s, d) => Similarity.annIvfPqResidual(s, d)),
     "ann_ivfpq_indexed" -> ((s, d) => Similarity.annIvfPqIndexed(s, d)),
@@ -227,6 +230,8 @@ object SparkEntry {
       ((s, d) => Curation.retrievalFuseIndexed(s, d)),
     "retrieval_fuse_served" ->
       ((s, d) => Curation.retrievalFuseServed(s, d)),
+    "retrieval_fuse_sq8" ->
+      ((s, d) => Curation.retrievalFuseSq8(s, d)),
     "doc_containment" -> (Dedup.docContainment _),
     "inverted_index" -> (TextAnalysis.invertedIndex _),
     "bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
@@ -657,6 +662,8 @@ object SparkEntry {
     "ann_mmr" -> Similarity.mmrOracle(),
     "ann_mmr_indexed" -> Similarity.mmrIndexedOracle(),
     "ann_mmr_sq8_indexed" -> Similarity.mmrSq8IndexedOracle(),
+    "ann_ivf_whitened_indexed" -> Similarity.ivfWhitenedOracle(),
+    "ann_mmr_pq_indexed" -> Similarity.mmrPqIndexedOracle(),
     "ann_ivfpq" -> Similarity.ivfPqTrainedOracle(),
     "ann_ivfpq_residual" -> Similarity.ivfPqResidualTrainedOracle(),
     "ann_ivfpq_indexed" -> Similarity.ivfPqTrainedOracle(),
@@ -1081,6 +1088,7 @@ object SparkEntry {
     "retrieval_fuse" -> Curation.rrfOracle(),
     "retrieval_fuse_indexed" -> Curation.rrfIndexedOracle(),
     "retrieval_fuse_served" -> Curation.rrfServedOracle(),
+    "retrieval_fuse_sq8" -> Curation.rrfSq8Oracle(),
     "doc_containment" -> Dedup.containmentOracle(),
     "inverted_index" -> TextAnalysis.invertedIndexOracle,
     "bpe_train" -> TextAnalysis.bpeTrainOracle(),

@@ -508,6 +508,47 @@ object Graft {
                      vectors: DataFrame): Unit =
     graft.operators.Similarity.ivfIndexAppend(spark, dir, vectors)
 
+  /** Build a WHITENED IVF index artifact over ANY raw (vec_id,
+    * embedding) frame: μ/pc trained and persisted as a
+    * `_whiten`-marked member, inverted lists stored in whitened space
+    * with centroids trained there — the artifact owns the transform,
+    * so serving and appends take RAW vectors ([[annServeWhitenedFromIndex]],
+    * [[appendWhitenedIvfIndex]]) and every raw-space verb refuses it
+    * loudly. */
+  def buildWhitenedIvfIndex(spark: SparkSession, vectors: DataFrame,
+                            dir: String, nCells: Int = 16,
+                            iters: Int = 5): Unit =
+    graft.operators.Similarity.ivfWhitenIndexBuild(spark, vectors, dir,
+      nCells, iters)
+
+  /** Serve RAW (vec_id, embedding) queries from a whitened artifact —
+    * the stored μ/pc transform the batch, then the standard probe runs
+    * in whitened space. Continuous form:
+    * [[graft.streaming.StreamAnn.applyStreamWhitenedFromIndex]]. */
+  def annServeWhitenedFromIndex(spark: SparkSession, dir: String,
+                                queries: DataFrame, nProbe: Int = 4,
+                                k: Int = 5): DataFrame =
+    graft.operators.Similarity.annServeWhitenedFromIndex(spark, dir,
+      queries, nProbe, k)
+
+  /** Append RAW vectors to a whitened artifact: whitened with the
+    * STORED model, assigned with the artifact's own centroids — the
+    * transform is versioned with the index, a delta never re-fits it. */
+  def appendWhitenedIvfIndex(spark: SparkSession, dir: String,
+                             vectors: DataFrame): Unit =
+    graft.operators.Similarity.ivfWhitenIndexAppend(spark, dir, vectors)
+
+  /** [[mmrSelect]] served from the artifact's PQ leg: the stage-1
+    * shortlist comes from the ADC scan of the probed `codes/` cells
+    * (8 ints per candidate), exact-rescored before the greedy rounds —
+    * the diversity re-rank at the 32×-compressed scan price. */
+  def mmrSelectFromPqIndex(spark: SparkSession, dir: String,
+                           queries: DataFrame, nProbe: Int = 4,
+                           k: Int = 5, lambda: Double = 0.7,
+                           preFactor: Int = 2): DataFrame =
+    graft.operators.Similarity.annMmrPqFromIndex(spark, dir, queries,
+      nProbe, k, lambda = lambda, preFactor = preFactor)
+
   /** Majority-vote label propagation: non-seed vectors (vec_id %
     * seedMod != 0) take the majority label of their k nearest seeds;
     * per-class accuracy evaluation against held-back labels. */

@@ -1359,6 +1359,25 @@ object Curation {
         nQueries = 1, k = 20)
         .select(col("neighbor_id").as("doc_id"), col("rnk").as("rank")))
 
+  /** §2 #255 — HYBRID FUSION OVER THE SQ8 SCAN: [[retrievalFuseServed]]
+    * with the vector leg through the sq8 serving rung
+    * ([[Similarity.annIvfSq8Indexed]]: probed cells scored at
+    * 1 byte/dim, bounded shortlist, exact re-rank) — the fused RAG
+    * path with the corpus-scale candidate scan 4× cheaper while the
+    * ranks the fuse consumes stay exact-rescored. The lexical leg
+    * serves from the BM25 stats artifact unchanged; fusion only sees
+    * (doc_id, rank), which is the whole point of the seam. At full
+    * probes the fused table equals [[retrievalFuseServed]] whenever
+    * the exact top-kLeg all sit inside the sq8 shortlist (the fixture
+    * does — CurationSpec pins it). */
+  def retrievalFuseSq8(spark: SparkSession, sfDir: String,
+                       nProbe: Int = 4): DataFrame =
+    rrfFuseFrom(
+      rankedBy(bm25Indexed(spark, sfDir), col("score")),
+      Similarity.annIvfSq8Indexed(spark, sfDir, nProbe = nProbe,
+        nQueries = 1, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rnk").as("rank")))
+
   /** DuckDB oracle for [[retrievalFuse]]: the #109 BM25 replay and the
     * brute cosine leg as CTEs, ranked identically, fused with the same
     * fixed-order reciprocal sum. */
@@ -1426,6 +1445,60 @@ object Curation {
                   ${dot("p.e_q", "a.e_c")} / (p.n_q * a.n_c) AS cos
                 FROM probesv p JOIN assignedv a ON p.cell = a.cell
                 WHERE p.query_id <> a.neighbor_id)
+          QUALIFY vec_rank <= $kLeg)"""
+  }
+
+  /** DuckDB oracle for [[retrievalFuseSq8]]: the served fuse skeleton
+    * with the vector leg replayed through the sq8 two-stage CTEs —
+    * static-IVF assignment/probe, the shared dequant body
+    * ([[Similarity.sq8DequantCteBody]]) scoring the shortlist, exact
+    * re-rank to kLeg — every stage of the cheap-scan leg exact. */
+  def rrfSq8Oracle(nProbe: Int = 4, kc: Int = 60, kLeg: Int = 20,
+                   k: Int = 10): String =
+    rrfOracleOver(sq8VecLegCtes(nProbe, kLeg), kc, kLeg, k,
+      lexMatchedOnly = true)
+
+  /** The sq8-scan vector-leg CTE chain (assignment → dequant scan →
+    * bounded shortlist → exact re-rank → ranked `vec` list) —
+    * [[ivfVecLegCtes]] one scan rung down, mirroring
+    * [[Similarity.annServeSq8FromIndex]]'s two stages with the
+    * serving default shortlistFactor = 8. */
+  private def sq8VecLegCtes(nProbe: Int, kLeg: Int): String = {
+    val dot = dotSql _
+    val centRows = Similarity.staticCentroids().zipWithIndex
+      .map { case (c, i) => s"(${i}, ${c.mkString("[", ", ", "]")})" }
+      .mkString(", ")
+    s"""cents(cell, cv) AS (VALUES $centRows),
+        rankedv AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              ${dot("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+          FROM nvv v, cents c),
+        dqv AS (${Similarity.sq8DequantCteBody}),
+        acandv AS (SELECT a.cell, d.vec_id, d.d FROM dqv d
+                   JOIN (SELECT vec_id, cell FROM rankedv WHERE crnk = 1) a
+                     ON a.vec_id = d.vec_id),
+        probesv AS (SELECT cell, vec_id AS query_id, embedding AS e_q
+                    FROM rankedv WHERE crnk <= $nProbe AND vec_id = 0),
+        shortv AS (SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, n.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                (${dot("p.e_q", "n.d")}
+                   / (sqrt(${dot("p.e_q", "p.e_q")})
+                      * sqrt(${dot("n.d", "n.d")}))) DESC,
+                n.vec_id) AS r
+            FROM probesv p, acandv n
+            WHERE n.cell = p.cell AND n.vec_id <> p.query_id)
+          WHERE r <= ${8 * kLeg}),
+        vec AS (SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+              AS INTEGER) AS vec_rank
+          FROM (SELECT s.neighbor_id AS doc_id,
+                  ${dot("qv.embedding", "cv.embedding")} / (qv.nrm * cv.nrm)
+                    AS cos
+                FROM shortv s
+                JOIN nvv qv ON qv.vec_id = s.query_id
+                JOIN nvv cv ON cv.vec_id = s.neighbor_id)
           QUALIFY vec_rank <= $kLeg)"""
   }
 

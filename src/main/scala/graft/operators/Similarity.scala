@@ -1818,6 +1818,7 @@ object Similarity {
     * cadence). */
   def ivfIndexAppend(spark: SparkSession, dir: String,
                      vectors: DataFrame): Unit = {
+    requireRawIndex(spark, dir)
     val cents = readIvfCentroids(spark, dir)
     assignWithCentroids(vectors, cents)
       .write.mode("append").partitionBy("cell")
@@ -1938,6 +1939,12 @@ object Similarity {
     * per query. Returns the new quantizer version. */
   def ivfIndexRebuild(spark: SparkSession, dir: String, nCells: Int = 0,
                       iters: Int = 3): Long = {
+    // a whitened artifact's honest retrain re-fits μ/pc too (the
+    // distribution that drifted is the RAW one the transform was
+    // trained on) and the swap below would drop the whiten/ member —
+    // leaving whitened rows behind a raw-looking root. Rebuild those
+    // from the raw corpus via ivfWhitenIndexToDir instead.
+    requireRawIndex(spark, dir)
     import graft.streaming.StreamIO
     val conf = spark.sparkContext.hadoopConfiguration
     val staged = s"$dir.rebuild-staging"
@@ -2855,11 +2862,39 @@ object Similarity {
     } else base
   }
 
+  /** Refuse RAW-SPACE access to a whitened artifact: an
+    * [[ivfWhitenIndexToDir]] build stores every inverted-list row in
+    * whitened space, so scoring raw queries (or appending raw
+    * vectors) against it silently mixes two geometries — the exact
+    * failure the `_rotation` marker doctrine exists to prevent, one
+    * transform earlier in the pipeline. Raw artifacts (no `_whiten`
+    * marker) pass untouched; whitened callers go through
+    * [[annServeWhitenedFromIndex]] / [[ivfWhitenIndexAppend]], which
+    * apply the stored transform. */
+  private def requireRawIndex(spark: SparkSession, dir: String): Unit =
+    require(!graft.streaming.StreamIO.readMarker(dir, "_whiten",
+        spark.sparkContext.hadoopConfiguration).contains(1L),
+      s"index artifact at $dir carries _whiten = 1 (its rows are " +
+        "stored in whitened space) — raw-space serving or maintenance " +
+        "would silently mix geometries. Serve through " +
+        "annServeWhitenedFromIndex / append through " +
+        "ivfWhitenIndexAppend (they apply the stored transform).")
+
   /** Serve (vec_id, embedding) queries straight from the index
     * artifact: no re-train, no corpus re-assignment — broadcast probes
     * join the cell-partitioned inverted lists. */
   def annServeFromIndex(spark: SparkSession, dir: String, queries: DataFrame,
                         nProbe: Int = 4, k: Int = 5): DataFrame = {
+    requireRawIndex(spark, dir)
+    serveFromIndexUnchecked(spark, dir, queries, nProbe, k)
+  }
+
+  /** The probe/rank body [[annServeFromIndex]] guards — shared with
+    * [[annServeWhitenedFromIndex]], whose queries arrive ALREADY in
+    * the artifact's (whitened) space. */
+  private def serveFromIndexUnchecked(spark: SparkSession, dir: String,
+                                      queries: DataFrame, nProbe: Int,
+                                      k: Int): DataFrame = {
     val cents = readIvfCentroids(spark, dir)
     val assigned = readIvfAssigned(spark, dir)
       .select(col("cell"), col("vec_id").as("neighbor_id"),
@@ -2909,6 +2944,7 @@ object Similarity {
   def annServeSq8FromIndex(spark: SparkSession, dir: String,
                            queries: DataFrame, nProbe: Int = 4, k: Int = 5,
                            shortlistFactor: Int = 8): DataFrame = {
+    requireRawIndex(spark, dir)
     val cents = readIvfCentroids(spark, dir)
     val assigned = readIvfAssigned(spark, dir)
       .select(col("cell"), col("vec_id").as("neighbor_id"),
@@ -3106,6 +3142,7 @@ object Similarity {
   def annMmrFromIndex(spark: SparkSession, dir: String, queryFrame: DataFrame,
                       nProbe: Int = 4, k: Int = 5, shortlistFactor: Int = 8,
                       lambda: Double = 0.7): DataFrame = {
+    requireRawIndex(spark, dir)
     val cents = readIvfCentroids(spark, dir)
     val assigned = readIvfAssigned(spark, dir)
       .select(col("cell"), col("vec_id").as("cand_id"),
@@ -3145,6 +3182,7 @@ object Similarity {
                          k: Int = 5, shortlistFactor: Int = 8,
                          lambda: Double = 0.7,
                          preFactor: Int = 2): DataFrame = {
+    requireRawIndex(spark, dir)
     val cents = readIvfCentroids(spark, dir)
     val assigned = readIvfAssigned(spark, dir)
       .select(col("cell"), col("vec_id").as("cand_id"),
@@ -3244,6 +3282,89 @@ object Similarity {
             WHERE n.cand_id <> p.query_id)
           WHERE r <= ${preFactor * shortlistFactor * k}),
         short AS (SELECT query_id, cand_id, cosq FROM (
+            SELECT pr.query_id, pr.cand_id,
+              ${dot("qv.embedding", "cv.embedding")}
+                / (qv.nrm * cv.nrm) AS cosq,
+              row_number() OVER (PARTITION BY pr.query_id ORDER BY
+                ${dot("qv.embedding", "cv.embedding")}
+                  / (qv.nrm * cv.nrm) DESC, pr.cand_id) AS r
+            FROM pre pr
+            JOIN nv qv ON qv.vec_id = pr.query_id
+            JOIN nv cv ON cv.vec_id = pr.cand_id)
+          WHERE r <= ${shortlistFactor * k})""", k, lambda)
+  }
+
+  /** DuckDB replay for [[annMmrPqIndexed]]: [[mmrOracleOver]]'s greedy
+    * rounds fed by the ADC two-stage shortlist — both trained models
+    * inlined (the [[ivfPqTrainedOracle]] stance), coarse assignment /
+    * probing / PQ encoding / ADC pre-shortlist / exact rescore cut to
+    * f·k, every stage of the served form exact. */
+  def mmrPqIndexedOracle(nCells: Int = 16, nProbe: Int = 4,
+                         nQueries: Int = 10, k: Int = 5,
+                         shortlistFactor: Int = 8,
+                         lambda: Double = 0.7,
+                         preFactor: Int = 2): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val v = vectors(spark, sfDir)
+    val (cents, cbs) =
+      withTrainCache(v)(vc => (trainCentroids(vc, nCells),
+        trainPqCodebooks(vc)))
+    val nSub = cbs.length
+    val sub = cbs.head.head.length
+    val dot = mmrDotSql _
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"(${i}, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    val (cbRows, cbLit) = pqCbLits(cbs)
+    val codePivot = (0 until nSub)
+      .map(m => s"max(CASE WHEN m = $m THEN kk END) AS c$m").mkString(", ")
+    val adc = (0 until nSub).map { m =>
+      val lo = m * sub + 1
+      val hi = (m + 1) * sub
+      s"${dot(s"p.e_s[$lo:$hi]", s"cbl.cb[${m + 1}][n.c$m + 1]")}"
+    }.mkString(" + ")
+    mmrOracleOver(
+      s"""cents(cell, cv) AS (VALUES $centRows),
+        cb(m, kk, cv, bias) AS (VALUES $cbRows),
+        cbl AS (SELECT $cbLit AS cb),
+        ranked AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              ${dot("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+          FROM nv v, cents c),
+        sub AS (SELECT vec_id, mm.m AS m,
+                  embedding[mm.m * $sub + 1 : (mm.m + 1) * $sub] AS s
+                FROM embeddings,
+                     (SELECT unnest(range(0, $nSub)) AS m) mm),
+        coded AS (SELECT vec_id, m, kk FROM (
+                    SELECT sub.vec_id, sub.m, cb.kk,
+                      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                        ORDER BY (${dot("sub.s", "cb.cv")} + cb.bias) DESC,
+                          cb.kk) AS r
+                    FROM sub JOIN cb ON cb.m = sub.m)
+                  WHERE r = 1),
+        codes AS MATERIALIZED (SELECT vec_id, $codePivot
+                               FROM coded GROUP BY 1),
+        acodes AS (SELECT a.cell, c.* FROM codes c
+                   JOIN (SELECT vec_id, cell FROM ranked WHERE crnk = 1) a
+                     ON a.vec_id = c.vec_id),
+        probes AS (SELECT cell, vec_id AS query_id, embedding AS e_s
+               FROM ranked WHERE crnk <= $nProbe AND vec_id < $nQueries),
+        pre AS MATERIALIZED (SELECT query_id, cand_id FROM (
+            SELECT p.query_id, n.vec_id AS cand_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                ($adc) DESC, n.vec_id) AS r
+            FROM probes p, acodes n, cbl
+            WHERE n.cell = p.cell AND n.vec_id <> p.query_id)
+          WHERE r <= ${preFactor * shortlistFactor * k}),
+        -- MATERIALIZED: the greedy skeleton references short/pairs once
+        -- per unrolled round; inlining would re-evaluate the full PQ
+        -- encode + ADC chain 2k+ times and exhaust the checker's memory
+        short AS MATERIALIZED (SELECT query_id, cand_id, cosq FROM (
             SELECT pr.query_id, pr.cand_id,
               ${dot("qv.embedding", "cv.embedding")}
                 / (qv.nrm * cv.nrm) AS cosq,
@@ -4097,7 +4218,10 @@ object Similarity {
     * oracle that replays int8 serving ([[sq8Oracle]], the recall
     * table, [[ivfSq8OracleFor]]), so the clamp/round arithmetic cannot
     * drift between the variants it prices. */
-  private def sq8DequantCteBody: String = sq8DequantCteBodyOver("embeddings")
+  // private[graft]: Curation's fused-retrieval oracle replays the sq8
+  // vector leg with the SAME clamp/round body (the shared-body stance)
+  private[graft] def sq8DequantCteBody: String =
+    sq8DequantCteBodyOver("embeddings")
 
   /** [[sq8DequantCteBody]] over an arbitrary (vec_id, embedding)
     * source CTE/table — the whitened-space replay reuses the exact
@@ -4941,6 +5065,11 @@ object Similarity {
                     rotation: Option[Array[Array[Double]]] = None,
                     opq: Option[Boolean] = None)
       : Unit = {
+    // the PQ serving path scores RAW queries (annServeFromPqIndex is
+    // requireRawIndex-guarded); a PQ leg over a whitened artifact
+    // would be unreachable by construction — refuse the build, not
+    // just the serve
+    requireRawIndex(spark, dir)
     import graft.streaming.StreamIO
     val conf = spark.sparkContext.hadoopConfiguration
     val base = spark.read.parquet(s"$dir/assigned")
@@ -5228,6 +5357,34 @@ object Similarity {
   def annServeFromPqIndex(spark: SparkSession, dir: String,
                           queries: DataFrame, nProbe: Int = 4, k: Int = 5,
                           shortlistFactor: Int = 0): DataFrame = {
+    val (cand, q, all) = pqAdcCandidates(spark, dir, queries, nProbe, k,
+      shortlistFactor)
+    rankTopK(
+      cand
+        .join(all.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("e_c"), col("nrm").as("n_c")),
+          Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"),
+            col("n_c")).as("cos")),
+      k)
+  }
+
+  /** The PQ leg's CANDIDATE machinery, shared by the top-k serve
+    * ([[annServeFromPqIndex]]) and the MMR-over-ADC form
+    * ([[annMmrPqFromIndex]]): every staleness/mode/rotation guard, the
+    * ADC scan of the probed `codes/` cells cut to a bounded TopK, and
+    * live deltas routed straight to the exact stage (fresh-buffer
+    * semantics). Returns (candidates (query_id, neighbor_id),
+    * q (query_id, e_q, n_q), assigned-with-deltas) — the exact stage
+    * differs per caller (rank-k vs rescore-then-greedy), the bill that
+    * touches the corpus does not. */
+  private def pqAdcCandidates(spark: SparkSession, dir: String,
+                              queries: DataFrame, nProbe: Int, k: Int,
+                              shortlistFactor: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    requireRawIndex(spark, dir)
     require(shortlistFactor >= 0,
       s"shortlistFactor must be positive (or 0 = mode-aware default): " +
         s"$shortlistFactor")
@@ -5302,24 +5459,84 @@ object Similarity {
         col("neighbor_id"), col("score"), shortlist).as("top"))
       .select(col("query_id"), explode(col("top.neighbor_id"))
         .as("neighbor_id"))
-    // fresh path: live deltas in probed cells go straight to re-rank
-    // (codes cover the base only, so the two legs are disjoint)
+    // fresh path: live deltas in probed cells go straight to the exact
+    // stage (codes cover the base only, so the two legs are disjoint)
     val all = readIvfAssignedWithBatchId(spark, dir)
     val fresh = all.filter(col("batch_id").isNotNull)
       .select(col("cell"), col("vec_id").as("neighbor_id"))
       .join(broadcast(probes.select("cell", "query_id")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
-    rankTopK(
-      short.unionByName(fresh)
-        .join(all.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("e_c"), col("nrm").as("n_c")),
-          Seq("neighbor_id"))
-        .join(broadcast(q), Seq("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"),
-            col("n_c")).as("cos")),
-      k)
+    (short.unionByName(fresh), q, all)
+  }
+
+  /** MMR with its stage-1 shortlist from the ADC SCAN of the PQ leg
+    * (the VERDICT-r18 #4 composition taken to its cheapest rung): the
+    * probed `codes/` cells are ADC-scored (8 ints per candidate — the
+    * 32×-compressed read path), a WIDER pre-shortlist (preFactor·f·k,
+    * the [[annMmrSq8FromIndex]] two-stage stance) is exact-rescored
+    * and cut to the standard f·k, and stages 2–3 are [[mmrRerank]]
+    * unchanged — the diversity re-rank with the corpus-scale scan at
+    * ADC price while the greedy selection runs over EXACT cosines.
+    * Live deltas join the exact pool unpruned (fresh-buffer
+    * semantics). At full probes the picks equal the brute [[annMmr]]
+    * whenever the exact top-f·k all sit inside the ADC
+    * top-preFactor·f·k — ADC's 4-bit codes are a far coarser sketch
+    * than sq8's bytes, so that takes a WIDER preFactor (8 on the
+    * fixture where sq8 needed 2; SimilaritySpec pins the equality at
+    * that budget, [[pqShortlistSweep]] prices the operating points). */
+  def annMmrPqFromIndex(spark: SparkSession, dir: String,
+                        queryFrame: DataFrame, nProbe: Int = 4,
+                        k: Int = 5, shortlistFactor: Int = 8,
+                        lambda: Double = 0.7,
+                        preFactor: Int = 2): DataFrame = {
+    require(shortlistFactor > 0 && preFactor > 0,
+      s"MMR needs explicit positive factors: f=$shortlistFactor, " +
+        s"pre=$preFactor")
+    val (cand, q, all) = pqAdcCandidates(spark, dir, queryFrame, nProbe,
+      k, preFactor * shortlistFactor)
+    val cEmb = all.select(col("vec_id").as("cand_id"),
+      col("embedding").as("e_c"), col("nrm").as("n_c"))
+    val short = cand
+      .select(col("query_id"), col("neighbor_id").as("cand_id"))
+      .join(cEmb, Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"),
+          col("n_c")).as("cosq"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.topkByScore(
+        col("cand_id"), col("cosq"), shortlistFactor * k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.neighbor_id").as("cand_id"),
+        col("e.cos").as("cosq"))
+    mmrRerank(short, cEmb, k, lambda)
+  }
+
+  /** §2 #254 — MMR OVER THE ADC SCAN, FROM THE ARTIFACT: train both
+    * models once (the [[annIvfPqIndexed]] doctrine), build the IVF
+    * artifact + its PQ leg, then MMR-select the standard query set
+    * through [[annMmrPqFromIndex]] — the serving ladder's diversity
+    * rung at its cheapest candidate-scan price (raw exact probe →
+    * sq8 → ADC, each spec-pinned equal to the brute greedy at full
+    * probes on the fixture). */
+  def annMmrPqIndexed(spark: SparkSession, sfDir: String,
+                      nProbe: Int = 4, nQueries: Int = 10, k: Int = 5,
+                      shortlistFactor: Int = 8, lambda: Double = 0.7,
+                      preFactor: Int = 2): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val (cents, cbs) =
+      withTrainCache(v)(vc => (trainCentroids(vc, 16),
+        trainPqCodebooks(vc)))
+    val dir = ExportImport.scratch(
+      s"ivfpq-index/run-${java.util.UUID.randomUUID()}")
+    ivfIndexBuild(spark, v.select("vec_id", "embedding"), dir, cents)
+    ivfPqIndexAdd(spark, dir, Some(cbs))
+    annMmrPqFromIndex(spark, dir,
+      Tables.load(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding")),
+      nProbe, k, shortlistFactor, lambda, preFactor)
   }
 
   /** §2 #222 — IVFADC serving FROM THE ARTIFACT: train both models
@@ -6620,5 +6837,202 @@ object Similarity {
          round(CAST(vv AS DOUBLE) / cnt, 6) AS var6,
          round(CAST(ss AS DOUBLE) / CAST(tv AS DOUBLE), 6) AS ev_share6
        FROM pv CROSS JOIN lam CROSS JOIN tv ORDER BY pos"""
+  }
+
+  /** The WHITENED INDEX LEG: an IVF artifact whose inverted lists
+    * store the corpus AFTER the all-but-the-top transform, with the
+    * trained μ/pc persisted as a `whiten/` member behind a `_whiten`
+    * root marker — so a pipeline can serve whitened retrieval (the
+    * geometry [[whitenRecallEval]] measures) WITHOUT hand-wiring
+    * [[whitenVectors]] before every build and query: the artifact
+    * carries its own transform, [[annServeWhitenedFromIndex]] applies
+    * it to incoming raw queries, and [[ivfWhitenIndexAppend]] to
+    * incoming raw deltas (VERDICT-r18 missing #3's serving half).
+    *
+    * MARKER ORDER deviates from the lands-last doctrine DELIBERATELY:
+    * `whiten/` then `_whiten` land BEFORE any index rows, because the
+    * marker here guards the GEOMETRY of the rows that follow — with
+    * marker-last, a crash after `assigned/` would leave whitened rows
+    * behind a raw-looking root that [[annServeFromIndex]] happily
+    * serves raw queries against. With marker-first every crash prefix
+    * is refused by BOTH paths: no marker + no centroids (only
+    * `whiten/` present) refuses raw serving on the missing centroids
+    * and whitened serving on the missing marker; marker + no
+    * centroids refuses raw serving on the marker
+    * ([[annServeFromIndex]]'s requireRawIndex) and whitened serving
+    * on the missing centroids.
+    *
+    * Maintenance contract (v1): whitened serve + whitened append +
+    * compaction. Rebuild and the PQ leg refuse
+    * (requireRawIndex): a whitened artifact's honest retrain re-fits
+    * μ/pc from the raw corpus — [[ivfWhitenIndexToDir]] again — and
+    * the PQ serving path scores raw queries by construction.
+    *
+    * Scale shape: training adds `iters` bounded aggregate passes (two
+    * d-vectors of model state); the transform is map-only over those
+    * broadcast vectors; everything downstream keeps the raw artifact's
+    * proven plan (cell-partitioned lists, broadcast probes, bounded
+    * TopK). */
+  def ivfWhitenIndexToDir(spark: SparkSession, sfDir: String, dir: String,
+                          nCells: Int = 16, iters: Int = 5): Unit =
+    ivfWhitenIndexBuild(spark,
+      Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding")), dir, nCells, iters)
+
+  /** [[ivfWhitenIndexToDir]] over an explicit (vec_id, embedding) RAW
+    * corpus frame: train μ/pc, land `whiten/` + `_whiten` (marker
+    * FIRST — see the geometry-guard ordering above), then the standard
+    * index build over the whitened rows with centroids trained in
+    * whitened space. */
+  def ivfWhitenIndexBuild(spark: SparkSession, vecs: DataFrame,
+                          dir: String, nCells: Int = 16,
+                          iters: Int = 5): Unit = {
+    import spark.implicits._
+    val raw = vecs.select(col("vec_id"), col("embedding"))
+    val (mu, pc) = trainWhitening(raw, iters)
+    Seq(("mu", mu.toSeq), ("pc", pc.toSeq)).toDF("kind", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/whiten")
+    graft.streaming.StreamIO.writeMarker(dir, "_whiten", 1L,
+      spark.sparkContext.hadoopConfiguration)
+    val w = whitenVectors(raw, mu, pc)
+    val cents = withTrainCache(w)(trainCentroids(_, nCells))
+    ivfIndexBuild(spark, w, dir, cents)
+  }
+
+  /** The stored whitening model (μ + pc: two d-vectors — model state,
+    * never data). Refuses a raw artifact (no `_whiten` marker) and a
+    * torn one (`_whiten` = 1 but `whiten/` missing — only manual
+    * surgery can produce it given the build order, the
+    * [[readPqRotation]] stance). */
+  def readWhitenModel(spark: SparkSession,
+                      dir: String): (Array[Double], Array[Double]) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(graft.streaming.StreamIO.readMarker(dir, "_whiten", conf)
+        .contains(1L),
+      s"index artifact at $dir carries no _whiten marker — its rows " +
+        "are raw-space; serve through annServeFromIndex, or build a " +
+        "whitened artifact with ivfWhitenIndexToDir.")
+    val (fs, wp) = graft.streaming.StreamIO.fsFor(s"$dir/whiten", conf)
+    require(fs.exists(wp),
+      s"index artifact at $dir carries _whiten = 1 but whiten/ is " +
+        "missing — the unit is torn. Rebuild with ivfWhitenIndexToDir.")
+    val rows = spark.read.parquet(s"$dir/whiten").collect()
+      .map(r => r.getAs[String]("kind") ->
+        r.getAs[Seq[Double]]("v").toArray).toMap
+    (rows("mu"), rows("pc"))
+  }
+
+  /** Serve RAW (vec_id, embedding) queries from a whitened artifact:
+    * the stored μ/pc transform the query batch (map-only over two
+    * broadcast d-vectors), then the standard probe/rank body runs in
+    * whitened space — the caller never touches the transform. */
+  def annServeWhitenedFromIndex(spark: SparkSession, dir: String,
+                                queries: DataFrame, nProbe: Int = 4,
+                                k: Int = 5): DataFrame = {
+    val (mu, pc) = readWhitenModel(spark, dir)
+    serveFromIndexUnchecked(spark, dir,
+      whitenVectors(queries.select(col("vec_id"), col("embedding")),
+        mu, pc),
+      nProbe, k)
+  }
+
+  /** Incremental maintenance of the whitened artifact: a RAW delta
+    * batch is whitened with the STORED model (the transform is
+    * versioned with the index, exactly like the quantizer), assigned
+    * with the artifact's own centroids, and appended to the
+    * cell-partitioned lists — the [[ivfIndexAppend]] cadence one
+    * transform earlier. Map-only over the delta; base partitions
+    * untouched. */
+  def ivfWhitenIndexAppend(spark: SparkSession, dir: String,
+                           vectors: DataFrame): Unit = {
+    val (mu, pc) = readWhitenModel(spark, dir)
+    val cents = readIvfCentroids(spark, dir)
+    assignWithCentroids(
+      whitenVectors(vectors.select(col("vec_id"), col("embedding")),
+        mu, pc), cents)
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/assigned")
+  }
+
+  /** §2 #253 — WHITENED IVF SERVING FROM THE ARTIFACT: build the
+    * whitened artifact once (μ/pc + whitened-space centroids + whitened
+    * inverted lists), then serve the standard RAW query set from it —
+    * the serving form of the geometry [[whitenRecallEval]] priced
+    * (its `ivf_whitened` rung, 0.86 recall of the whitened truth at
+    * sf0.01), with the transform applied BY the artifact instead of
+    * hand-wired by the pipeline. */
+  def annIvfWhitenedIndexed(spark: SparkSession, sfDir: String,
+                            nProbe: Int = 4, nQueries: Int = 10,
+                            k: Int = 5): DataFrame = {
+    val dir = ExportImport.scratch(
+      s"ivf-whiten-index/run-${java.util.UUID.randomUUID()}")
+    ivfWhitenIndexToDir(spark, sfDir, dir)
+    annServeWhitenedFromIndex(spark, dir,
+      Tables.load(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding")),
+      nProbe, k)
+  }
+
+  /** DuckDB oracle for [[annIvfWhitenedIndexed]]: μ/pc and the
+    * whitened-space centroids inlined as trained literals (all
+    * deterministic — the [[whitenRecallEvalOracle]] stance); the
+    * whitened corpus is one CTE (the exact [[whitenVectors]]
+    * arithmetic) and the [[ivfOracleFor]] assignment/probe/rank replay
+    * runs off it — queries whitened by the SAME CTE, because a served
+    * query is a corpus row transformed with the same stored model. */
+  def ivfWhitenedOracle(nProbe: Int = 4, nQueries: Int = 10,
+                        k: Int = 5, nCells: Int = 16,
+                        iters: Int = 5): String = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.Tables.configure(SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")).getOrCreate())
+    val sfDir = sys.props.getOrElse("graft.oracle.sfdir",
+      "/root/testdata/sf0.01")
+    val raw = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val (mu, pc) = trainWhitening(raw, iters)
+    val w = whitenVectors(raw, mu, pc)
+    val cents = withTrainCache(w)(trainCentroids(_, nCells))
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+    val muL = mu.mkString("[", ", ", "]")
+    val pcL = pc.mkString("[", ", ", "]")
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      s"(${i}, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    s"""WITH wd AS (SELECT vec_id,
+            list_transform(list_zip(embedding, $muL),
+              x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS diff
+          FROM embeddings),
+        wemb AS (SELECT vec_id,
+            list_transform(list_zip(diff, $pcL),
+              x -> CAST(x[1] AS DOUBLE) - s * CAST(x[2] AS DOUBLE))
+              AS embedding
+          FROM (SELECT vec_id, diff, ${dot("diff", pcL)} AS s FROM wd)),
+        nw AS (SELECT vec_id, embedding,
+                 sqrt(${dot("embedding", "embedding")}) AS nrm
+               FROM wemb),
+        cents(cell, cv) AS (VALUES $centRows),
+        ranked AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              ${dot("v.embedding", "c.cv")} DESC, c.cell) AS crnk
+          FROM nw v, cents c),
+        assigned AS (SELECT cell, vec_id AS neighbor_id, embedding AS e_c,
+                       nrm AS n_c FROM ranked WHERE crnk = 1),
+        probes AS (SELECT cell, vec_id AS query_id, embedding AS e_q,
+                     nrm AS n_q
+                   FROM ranked WHERE crnk <= $nProbe AND vec_id < $nQueries)
+        SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos6 FROM (
+          SELECT p.query_id, a.neighbor_id,
+            ${dot("p.e_q", "a.e_c")} / (p.n_q * a.n_c) AS cos,
+            CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY
+              ${dot("p.e_q", "a.e_c")} / (p.n_q * a.n_c) DESC,
+              a.neighbor_id) AS INTEGER) AS rnk
+          FROM probes p JOIN assigned a ON p.cell = a.cell
+          WHERE p.query_id <> a.neighbor_id)
+        WHERE rnk <= $k ORDER BY query_id, rnk"""
   }
 }

@@ -136,6 +136,31 @@ object StreamAnn {
       }
       .start()
 
+  /** Continuous WHITENED serving from a whitened artifact
+    * ([[Similarity.ivfWhitenIndexToDir]]): each micro-batch of RAW
+    * query vectors is transformed with the artifact's stored μ/pc and
+    * probed against the whitened inverted lists
+    * ([[Similarity.annServeWhitenedFromIndex]]) — the whitened
+    * geometry's continuous loop, with the transform owned by the
+    * artifact rather than wired into every producer. A raw artifact
+    * fails loudly at the first batch (readWhitenModel's marker
+    * doctrine). Same replay-idempotent `batch_id=N` output partitions
+    * and the same concurrency caveat as [[applyStreamFromIndex]]. */
+  def applyStreamWhitenedFromIndex(queries: DataFrame, indexDir: String,
+                                   outDir: String, checkpoint: String,
+                                   nProbe: Int = 4,
+                                   k: Int = 5): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          Similarity.annServeWhitenedFromIndex(batch.sparkSession,
+              indexDir, batch, nProbe, k)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** Continuous MMR serving from the artifact: each query micro-batch
     * takes its shortlist from the probed inverted lists and runs the
     * greedy diversity re-rank ([[Similarity.annMmrFromIndex]]) — the

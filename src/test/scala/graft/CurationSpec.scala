@@ -560,6 +560,22 @@ class CurationSpec extends SparkSpec {
     assert(Curation.retrievalFuseServed(spark, sf).collect().length <= 10)
   }
 
+  test("retrieval_fuse_sq8: fusion over the sq8 vector leg equals the " +
+      "both-legs-served fusion at full probes") {
+    // full probes + exact re-rank to kLeg: the sq8 leg's ranked list
+    // equals the exact one whenever the exact top-kLeg all sit inside
+    // the sq8 top-8·kLeg (the ann_ivfsq8 equality stance feeding the
+    // fuse); the lexical leg is the same artifact-served list
+    val served = Curation.retrievalFuseServed(spark, sf, nProbe = 16)
+      .collect().map(_.toString)
+    val sq8 = Curation.retrievalFuseSq8(spark, sf, nProbe = 16)
+      .collect().map(_.toString)
+    assert(sq8.toSeq == served.toSeq,
+      "full-probe sq8-leg fusion must equal the exact-leg fusion")
+    // production probes still return a fused top-k
+    assert(Curation.retrievalFuseSq8(spark, sf).collect().length <= 10)
+  }
+
   test("mixture_temperature: sqrt flattens a 4:1 corpus to 2:1 budgets") {
     import spark.implicits._
     // src a: 4 docs x 100 tokens = 400; src b: 1 doc x 100 = 100

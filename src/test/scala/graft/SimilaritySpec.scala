@@ -491,6 +491,31 @@ class SimilaritySpec extends SparkSpec {
     assert(served.map(_._1).distinct.length == 10)
   }
 
+  test("ann_mmr_pq_indexed: full probes over the ADC scan reproduce the " +
+      "brute MMR picks exactly; production probes stay k-deep") {
+    // nProbe = nCells ⇒ every list probed; ADC is a far coarser sketch
+    // than sq8 (8 4-bit codes vs 64 bytes), so the exact top-f·k only
+    // all sit inside the ADC top-preFactor·f·k at a WIDER preFactor —
+    // 8 on the fixture where sq8 needed 2 (measured: preFactor 2
+    // agrees on every rank-1 pick but drops deeper shortlist members).
+    // Same equality stance, honest budget — production operating
+    // points read pq_shortlist_sweep, not this pin.
+    val full = Similarity.annMmrPqIndexed(spark, sf, nProbe = 16,
+        preFactor = 8)
+      .collect().map(_.toString).toSeq
+    val brute = Similarity.annMmr(spark, sf).collect()
+      .map(_.toString).toSeq
+    assert(full == brute,
+      "full-probe ADC-scan MMR must equal brute MMR")
+    // production point: k dense ranks per query off the compressed scan
+    val served = Similarity.annMmrPqIndexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+    served.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to 5), s"query $q ranks")
+    }
+    assert(served.map(_._1).distinct.length == 10)
+  }
+
   test("ann_ivf: trained centroids are unit-norm and deterministic") {
     val v = Tables.load(spark, sf, "embeddings")
       .selectExpr("vec_id", "label", "embedding",
@@ -1369,6 +1394,81 @@ class SimilaritySpec extends SparkSpec {
     assert(fx.getDouble(4) <= fx.getDouble(3) + 1e-9)
     assert(fx.getDouble(6) <= fx.getDouble(5) + 1e-9)
     assert(fx.getDouble(4) < 1e-4, s"post-whitening ev share ~0: $fx")
+  }
+
+  test("ann_ivf_whitened_indexed: artifact serving equals the hand-wired " +
+      "transform pipeline; the _whiten marker refuses every raw-space path") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = graft.operators.ExportImport.scratch("ivf-whiten-spec")
+    graft.streaming.StreamIO.deleteRecursively(dir, conf)
+    Similarity.ivfWhitenIndexToDir(spark, sf, dir)
+    val raw = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val queries = raw.filter(col("vec_id") < 10)
+    val served = Similarity.annServeWhitenedFromIndex(spark, dir, queries)
+      .collect().map(_.toString).toSeq
+    // hand-wired: the exact pipeline the artifact spares a caller —
+    // stored model + stored centroids, transform and probe inline
+    val (mu, pc) = Similarity.readWhitenModel(spark, dir)
+    val cents = Similarity.readIvfCentroids(spark, dir)
+    def whitened(df: org.apache.spark.sql.DataFrame) =
+      Similarity.whitenVectors(df, mu, pc).withColumn("nrm",
+        graft.functions.VectorFunctions.l2norm(col("embedding")))
+    val live = Similarity
+      .ivfServe(whitened(raw), whitened(queries), cents, 4, 5)
+      .collect().map(_.toString).toSeq
+    assert(served == live && served.nonEmpty,
+      "artifact round-trip must not change a single ranked row")
+    // every raw-space entry refuses the whitened artifact loudly
+    Seq[(String, () => Any)](
+      "serve" -> (() =>
+        Similarity.annServeFromIndex(spark, dir, queries).collect()),
+      "append" -> (() => Similarity.ivfIndexAppend(spark, dir, queries)),
+      "pq-leg" -> (() => Similarity.ivfPqIndexAdd(spark, dir)),
+      "rebuild" -> (() => Similarity.ivfIndexRebuild(spark, dir))
+    ).foreach { case (name, f) =>
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("_whiten"), s"$name: ${e.getMessage}")
+    }
+    // ... and the whitened serve refuses a raw artifact
+    val rawDir = graft.operators.ExportImport.scratch("ivf-raw-vs-whiten")
+    graft.streaming.StreamIO.deleteRecursively(rawDir, conf)
+    Similarity.ivfIndexToDir(spark, sf, rawDir)
+    val e = intercept[IllegalArgumentException](
+      Similarity.annServeWhitenedFromIndex(spark, rawDir, queries))
+    assert(e.getMessage.contains("_whiten"), e.getMessage)
+  }
+
+  test("ivfWhitenIndexAppend: a raw delta whitened with the STORED model " +
+      "serves identically to combined assignment under the same models") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val raw = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val isDelta = col("vec_id") % 5 === 0
+    val dir = graft.operators.ExportImport.scratch("ivf-whiten-inc")
+    graft.streaming.StreamIO.deleteRecursively(dir, conf)
+    Similarity.ivfWhitenIndexBuild(spark, raw.filter(!isDelta), dir)
+    Similarity.ivfWhitenIndexAppend(spark, dir, raw.filter(isDelta))
+    val queries = raw.filter(col("vec_id") < 10)
+    val appended = Similarity.annServeWhitenedFromIndex(spark, dir, queries)
+      .collect().map(_.toString).toSeq
+    // truth: the artifact's own (base-trained, versioned) model over
+    // the COMBINED set — the transform travels with the index, so a
+    // delta never re-fits it (the quantizer-append doctrine one
+    // transform earlier)
+    val (mu, pc) = Similarity.readWhitenModel(spark, dir)
+    val cents = Similarity.readIvfCentroids(spark, dir)
+    def whitened(df: org.apache.spark.sql.DataFrame) =
+      Similarity.whitenVectors(df, mu, pc).withColumn("nrm",
+        graft.functions.VectorFunctions.l2norm(col("embedding")))
+    val truth = Similarity
+      .ivfServe(whitened(raw), whitened(queries), cents, 4, 5)
+      .collect().map(_.toString).toSeq
+    assert(appended == truth,
+      "append must serve identically to combined assignment under the " +
+        "stored model")
   }
 
   test("embedding_class_stats: partitions the corpus, cosines bounded") {

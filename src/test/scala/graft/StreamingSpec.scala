@@ -551,6 +551,54 @@ class StreamingSpec extends SparkSpec {
       "streamed index deltas must be visible to the sq8 serving loop")
   }
 
+  test("stream whitened ann from the whitened artifact equals the batch " +
+      "whitened serve; a raw artifact refuses at the first batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val root = graft.operators.ExportImport.scratch("stream-ann-whiten")
+    val (dir, outDir, ckpt) = (root + "/idx", root + "/out", root + "/ckpt")
+    Seq(dir, outDir, ckpt).foreach(d =>
+      graft.streaming.StreamIO.deleteRecursively(d,
+        spark.sparkContext.hadoopConfiguration))
+    Similarity.ivfWhitenIndexToDir(spark, sf, dir)
+    val qRows = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamAnn.applyStreamWhitenedFromIndex(
+      input.toDF().toDF("vec_id", "embedding"), dir, outDir, ckpt)
+    try {
+      input.addData(qRows.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val got = spark.read.parquet(outDir).collect().map(key).toSet
+    val want = Similarity.annServeWhitenedFromIndex(spark, dir, qRows)
+      .collect().map(key).toSet
+    assert(got == want && got.nonEmpty,
+      "streamed whitened serving must equal the batch artifact serve")
+    // a RAW artifact refuses the whitened loop loudly (marker doctrine)
+    val rawDir = root + "/raw-idx"
+    Similarity.ivfIndexToDir(spark, sf, rawDir)
+    val input2 = MemoryStream[(Long, Array[Float])]
+    val q2 = graft.streaming.StreamAnn.applyStreamWhitenedFromIndex(
+      input2.toDF().toDF("vec_id", "embedding"), rawDir,
+      root + "/out2", root + "/ckpt2")
+    try {
+      input2.addData(qRows.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq: _*)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q2.processAllAvailable())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(msgs.exists(_.contains("_whiten")),
+        s"raw artifact must refuse the whitened loop: $msgs")
+    } finally q2.stop()
+  }
+
   test("stream fuse: continuous hybrid retrieval off the two artifacts " +
       "equals the batch fusion per query; replay idempotent") {
     import spark.implicits._
