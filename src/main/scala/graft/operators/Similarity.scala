@@ -3068,57 +3068,85 @@ object Similarity {
     * (cand_id, e_c, n_c) candidate-embedding source — shared by the
     * brute form ([[annMmrFrames]]) and the artifact-served form
     * ([[annMmrFromIndex]]), so the greedy selection arithmetic cannot
-    * drift between them. Persists the shortlist and pair frames
-    * (KB-sized model state) so the k rounds never touch the corpus. */
+    * drift between them.
+    *
+    * The shortlist is BOUNDED by construction (≤ nQueries ×
+    * shortlistFactor·k rows — its producer is always a bounded TopK
+    * aggregate), so the pair similarities and the k greedy rounds are
+    * model-state work, not data work: they run on the DRIVER over the
+    * collected shortlist + its ≤ nQueries·f·k candidate vectors. The
+    * previous DataFrame formulation spent ~30 scheduled jobs (~1100
+    * shuffle tasks of KB frames) per call on the same arithmetic —
+    * pure round-trip overhead at any scale, since the per-round state
+    * never exceeds the shortlist. Corpus-scale work stays in stage 1,
+    * exactly as before: the only distributed reads here are the
+    * shortlist aggregate itself and one In-pruned candidate-vector
+    * fetch. Arithmetic is bit-identical: the same left-fold
+    * double-cast dot ([[graft.functions.DotProduct]]'s contract), the
+    * same cos = dot/(n_a·n_b), msim = max(cab) over selected,
+    * mmr = λ·cosq − (1−λ)·msim, tie-break (mmr desc, cand_id asc). */
   private def mmrRerank(shortRaw: DataFrame, cEmb: DataFrame, k: Int,
                         lambda: Double): DataFrame = {
-    val short = shortRaw
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    TransientCaches.register(short)
-    // stage 2 — candidate-candidate similarities WITHIN the shortlist
-    val pairs = short.select(col("query_id"), col("cand_id").as("a_id"))
-      .join(cEmb.select(col("cand_id").as("a_id"), col("e_c").as("e_a"),
-        col("n_c").as("n_a")), Seq("a_id"))
-      .join(short.select(col("query_id"), col("cand_id").as("b_id"))
-        .join(cEmb.select(col("cand_id").as("b_id"), col("e_c").as("e_b"),
-          col("n_c").as("n_b")), Seq("b_id")), Seq("query_id"))
-      .filter(col("a_id") =!= col("b_id"))
-      .select(col("query_id"), col("a_id"), col("b_id"),
-        cosineWithNorms(dot(col("e_a"), col("e_b")), col("n_a"), col("n_b"))
-          .as("cab"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    TransientCaches.register(pairs)
-    // stage 3 — k greedy rounds over the bounded cached frames
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("mmr").desc, col("cand_id"))
-    var selected: DataFrame = null
-    var remaining = short
-    for (r <- 1 to k) {
-      val withSim =
-        if (selected == null) remaining.withColumn("msim", lit(0.0))
-        else remaining.join(
-          pairs.join(selected.select(col("query_id"),
-            col("cand_id").as("b_id")), Seq("query_id", "b_id"))
-            .groupBy(col("query_id"), col("a_id").as("cand_id"))
-            .agg(max(col("cab")).as("msim")),
-          Seq("query_id", "cand_id"))
-      // each pick is <= nQueries rows; persisting it keeps round r's
-      // window/join work computed ONCE instead of re-evaluated through
-      // every later round's msim/anti-join lineage (O(k^2) otherwise)
-      val pick = withSim
-        .withColumn("mmr",
-          lit(lambda) * col("cosq") - lit(1.0 - lambda) * col("msim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("cand_id"),
-          lit(r).cast("int").as("rnk"), col("cosq"), col("mmr"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      TransientCaches.register(pick)
-      selected = if (selected == null) pick else selected.unionByName(pick)
-      remaining = remaining.join(pick.select("query_id", "cand_id"),
-        Seq("query_id", "cand_id"), "left_anti")
+    val spark = shortRaw.sparkSession
+    val shortRows = shortRaw
+      .select(col("query_id").cast("long"), col("cand_id").cast("long"),
+        col("cosq").cast("double"))
+      .collect()
+    require(shortRows.length <= 2000000,
+      s"MMR shortlist collected ${shortRows.length} rows — the bounded " +
+        "TopK contract (nQueries x shortlistFactor x k) was violated " +
+        "upstream; refusing a corpus-scale driver collect")
+    val candIds = shortRows.map(_.getLong(1)).distinct
+    // one In-pruned fetch of the shortlisted candidates' vectors; the
+    // fold below casts per element, so float and double corpora agree
+    // with the distributed dot's per-element double-cast contract
+    val embRows = cEmb
+      .filter(col("cand_id").isin(candIds.map(Long.box).toSeq: _*))
+      .select(col("cand_id").cast("long"), col("e_c"),
+        col("n_c").cast("double"))
+      .collect()
+    val emb = new scala.collection.mutable.HashMap[Long, (Array[Double], Double)]
+    embRows.foreach { r =>
+      val a = r.getSeq[Any](1).iterator.map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+        case x => x.asInstanceOf[Number].doubleValue()
+      }.toArray
+      emb.put(r.getLong(0), (a, r.getDouble(2)))
     }
-    selected
+    def cos(aId: Long, bId: Long): Double = {
+      val (ea, na) = emb(aId)
+      val (eb, nb) = emb(bId)
+      var s = 0.0
+      var i = 0
+      val n = math.min(ea.length, eb.length)
+      while (i < n) { s += ea(i) * eb(i); i += 1 }
+      s / (na * nb)
+    }
+    // greedy per query over the bounded shortlist — identical rounds
+    // to the old per-round window/join formulation
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Double, Double)]
+    shortRows.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      var remaining = rows.map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      var selected = List.empty[Long]
+      var r = 1
+      while (r <= k && remaining.nonEmpty) {
+        val scoredRound = remaining.map { case (cid, cosq) =>
+          val msim =
+            if (selected.isEmpty) 0.0
+            else selected.iterator.map(b => cos(cid, b)).max
+          (cid, cosq, lambda * cosq - (1.0 - lambda) * msim)
+        }
+        val (cid, cosq, mmr) = scoredRound.minBy(t => (-t._3, t._1))
+        out += ((qid, cid, r, cosq, mmr))
+        selected ::= cid
+        remaining = remaining.filterNot(_._1 == cid)
+        r += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("query_id", "cand_id", "rnk", "cosq", "mmr")
       .select(col("query_id"), col("cand_id").as("neighbor_id"), col("rnk"),
         round(col("cosq"), 6).as("cos6"), round(col("mmr"), 6).as("mmr6"))
       .orderBy("query_id", "rnk")
