@@ -1021,8 +1021,15 @@ object Dedup {
     val prevCheckpointDir = sc.getCheckpointDir
     checkpointDir.foreach(d =>
       sc.setCheckpointDir(s"$d/run-${java.util.UUID.randomUUID()}"))
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both edge directions from ONE evaluation of the pair lineage: the
+    // union-of-two-selects form computed the (possibly corpus-scale
+    // prefix-join) pair plan TWICE inside the materializing count below
+    // — explode emits src→dst and dst→src per pair row in a single scan
+    val edgesWide = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // only nodes touching an edge can ever change label — iterate over
     // THOSE (typically a small fraction of the corpus); untouched nodes
@@ -1033,7 +1040,34 @@ object Dedup {
     // scans of an unmaterialized cached frame inside one job each
     // recompute the (expensive) pair lineage — eager-populating once
     // makes every later consumer a cache read
-    edges.count()
+    val edgeCnt = edgesWide.count()
+    // SCALE-ADAPTIVE round partitioning (guide §2: derive partitioning
+    // from input size, never a constant): every per-round frame is
+    // bounded by the edge set, so plan the rounds' shuffles at
+    // ~1M edge rows per task instead of the session default — a tiny
+    // near-dup graph propagates in single-task rounds (the session
+    // default sprayed each KB-sized round over defaultParallelism
+    // tasks), while a 100 TB pair table still gets one task per ~1M
+    // rows. Scoped to THIS loop's plan-time and restored in the
+    // finally below; the returned frame plans lazily after restore.
+    val sess = pairs.sparkSession
+    val prevShufflePartitions = sess.conf.get("spark.sql.shuffle.partitions")
+    val roundPartitions = math.max(1L,
+      math.min(edgeCnt / 1000000L + 1L, 200000L)).toInt
+    sess.conf.set("spark.sql.shuffle.partitions", roundPartitions)
+    // the edge cache inherits the pair plan's partitioning (one tiny
+    // block per session-default shuffle partition); every round scans
+    // it several times, so when it is far wider than the round
+    // partitioning, re-persist it compacted — each later scan then
+    // launches roundPartitions tasks instead of the pair plan's width
+    val edges =
+      if (edgesWide.rdd.getNumPartitions > roundPartitions * 4) {
+        val e = edgesWide.repartition(roundPartitions)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        e.count()
+        edgesWide.unpersist(blocking = false)
+        e
+      } else edgesWide
     val touched = edges.select(col("src").as("id")).distinct()
     var labels = touched.select(col("id"), col("id").as("lbl"))
     var prevCached: Option[DataFrame] = None
@@ -1112,6 +1146,9 @@ object Dedup {
       // before, the per-run dir stays set — still isolated per run,
       // and its files are reaped by the ContextCleaner.)
       if (checkpointDir.isDefined) prevCheckpointDir.foreach(sc.setCheckpointDir)
+      // restore the session's shuffle partitioning the same way — the
+      // scale-adaptive round value is for the loop's plans only
+      sess.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
     }
     // format: on
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))

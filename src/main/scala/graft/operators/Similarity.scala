@@ -136,14 +136,37 @@ object Similarity {
     val cents = staticCentroids()
     def cellsOf(n: Int) =
       graft.functions.VectorQuantize.nearestCells(col("embedding"), cents, n)
+    // SALTED cell join (guide §2.5): the join key has only nCells
+    // distinct values, so the pair-scoring stage — whose cost is pair
+    // COMPUTE, not shuffle bytes (AQE coalesces it by bytes down to a
+    // handful of tasks) — was capped at nCells-way parallelism on any
+    // cluster. Each candidate lands in ONE deterministic sub-bucket
+    // (hash of its id), every probe visits all sub-buckets of its
+    // probed cells: the scored pair set is IDENTICAL, spread over
+    // nCells × nSalts partitions. nSalts derives from the session's
+    // parallelism (scale-adaptive, never a constant).
+    val nSalts = math.max(1,
+      2 * v.sparkSession.sparkContext.defaultParallelism / cents.length)
     val assigned = v.select(element_at(cellsOf(1), 1).as("cell"),
       col("vec_id").as("neighbor_id"), col("embedding").as("e_c"),
       col("nrm").as("n_c"))
+      .withColumn("salt",
+        pmod(xxhash64(col("neighbor_id")), lit(nSalts.toLong)).cast("int"))
     val probes = v.select(col("vec_id").as("query_id"),
       col("embedding").as("e_q"), col("nrm").as("n_q"),
       explode(cellsOf(nProbe)).as("cell"))
+      .withColumn("salt",
+        explode(typedLit(List.range(0, nSalts))))
+    // explicit partition count: AQE's BYTE-based coalescing would fold
+    // this exchange to a handful of tasks (the shuffle is MBs while the
+    // stage cost is the quadratic pair compute) — user-specified
+    // repartition counts are exempt from coalescing, and both sides
+    // sharing key+count means the join adds no further exchange
+    val parts = cents.length * nSalts
     mutualFlag(rankTopK(
-      assigned.join(probes, Seq("cell"))
+      assigned.repartition(parts, col("cell"), col("salt"))
+        .join(probes.repartition(parts, col("cell"), col("salt")),
+          Seq("cell", "salt"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
           cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"), col("n_c"))
@@ -1233,8 +1256,22 @@ object Similarity {
     val probes = v.select(col("vec_id").as("query_id"),
       col("embedding").as("e_q"), col("nrm").as("n_q"),
       explode(cellsOf(cents.length)).as("cell"))
+    // salted exactly like [[knnGraphAnn]]: the nCells-key join caps the
+    // pair-compute stage at nCells tasks; sub-bucketing the candidate
+    // side spreads the identical pair set over the session's cores
+    val nSalts = math.max(1,
+      2 * vecs.sparkSession.sparkContext.defaultParallelism / cents.length)
+    val assignedS = assigned.withColumn("salt",
+      pmod(xxhash64(col("neighbor_id")), lit(nSalts.toLong)).cast("int"))
+    val probesS = probes.withColumn("salt",
+      explode(typedLit(List.range(0, nSalts))))
+    // explicit count so AQE's byte-based coalescing cannot fold the
+    // pair-compute stage (see [[knnGraphAnn]])
+    val parts = cents.length * nSalts
     rankTopKFull(
-      assigned.join(probes, Seq("cell"))
+      assignedS.repartition(parts, col("cell"), col("salt"))
+        .join(probesS.repartition(parts, col("cell"), col("salt")),
+          Seq("cell", "salt"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
           cosineWithNorms(dot(col("e_q"), col("e_c")), col("n_q"),
@@ -1600,7 +1637,8 @@ object Similarity {
   }
 
   private[graft] def trainCentroids(v: DataFrame, nCells: Int,
-                                    iters: Int = 3): Array[Array[Double]] = {
+                                    iters: Int = 3): Array[Array[Double]] =
+      memoModel(v, s"cents|$nCells|$iters") {
     import v.sparkSession.implicits._
     // init = the nCells FIRST vectors BY ID (a bounded global TopK,
     // not `vec_id < nCells`): on a corpus whose id space has holes or
@@ -1661,6 +1699,40 @@ object Similarity {
   private def withTrainCache[M](v: DataFrame)(train: DataFrame => M): M = {
     v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try train(v) finally v.unpersist(blocking = false)
+  }
+
+  /** PER-JVM SHARED TRAIN CACHE — the memo the training scaladocs
+    * promise ("one training per corpus per JVM", the [[sharedKnnEdgesDir]]
+    * / [[graft.operators.TextAnalysis.sharedUnigramModelDir]] doctrine
+    * applied to model ARRAYS instead of artifact directories). Keyed by
+    * the training input's CANONICALIZED logical plan plus the
+    * hyper-params: two trainings share a model iff they read the same
+    * source through the same transformations with the same knobs —
+    * parquet relations compare by root path, LocalRelations by their
+    * rows, ad-hoc RDD-backed frames never compare equal (always train
+    * fresh). Training is deterministic by contract (init by first ids,
+    * per-iteration 1e-6 mean quantization), so a memo hit returns
+    * bit-identical model state to a fresh run — callers, specs and
+    * oracles cannot observe the difference, only the wall clock can
+    * (a session was re-paying the identical k-means/Procrustes bill
+    * once per query; a deployment trains once per corpus version). */
+  private val trainedModels = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), AnyRef]()
+  private def memoModel[T <: AnyRef](v: DataFrame, params: String)
+                                    (train: => T): T = {
+    // get/put, NOT computeIfAbsent: the OPQ trainer calls the PQ
+    // trainer on its rotated frame mid-computation, and nested updates
+    // of one ConcurrentHashMap throw "Recursive update". A concurrent
+    // duplicate training is harmless — training is deterministic, both
+    // threads produce the identical model and last-put wins.
+    val key = (v.queryExecution.analyzed.canonicalized, params)
+    val hit = trainedModels.get(key)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val m = train
+      trainedModels.put(key, m)
+      m
+    }
   }
 
   /** §2 #66 — oracle-checked IVF variant: same map-only assignment and
@@ -4281,7 +4353,8 @@ object Similarity {
     * trained model. */
   private[graft] def trainPqCodebooks(v: DataFrame, m: Int = 8, k: Int = 16,
                                       sub: Int = 8,
-                                      iters: Int = 3): Array[Array[Array[Double]]] = {
+                                      iters: Int = 3): Array[Array[Array[Double]]] =
+      memoModel(v, s"pq|$m|$k|$sub|$iters") {
     import v.sparkSession.implicits._
     // init: first k vectors BY ID (one bounded collect), sliced per
     // sub-space driver-side — the [[trainCentroids]] sparse-id stance:
@@ -5855,7 +5928,8 @@ object Similarity {
   private[graft] def trainOpqRotation(v: DataFrame, m: Int = 8,
                                       k: Int = 16, sub: Int = 8,
                                       iters: Int = 2)
-      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+      memoModel(v, s"opq|$m|$k|$sub|$iters") {
     val d = m * sub
     var r: Array[Array[Double]] =
       Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
@@ -6391,7 +6465,8 @@ object Similarity {
     * significant loading so the eigenvector's inherent ± ambiguity
     * can't flip between runs. */
   private[graft] def trainPc1(v: DataFrame,
-                              iters: Int = 5): (Array[Double], Array[Double]) = {
+                              iters: Int = 5): (Array[Double], Array[Double]) =
+      memoModel(v, s"pc1|$iters") {
     val mu = v.select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("pos").agg(round(avg(col("x")), 6).as("m"))
       .orderBy("pos").collect().map(_.getDouble(1))
