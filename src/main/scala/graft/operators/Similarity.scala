@@ -346,6 +346,12 @@ object Similarity {
                     k: Int = 5): DataFrame = {
     val cents = staticCentroids()
     val v = vectors(spark, sfDir)
+    // NOTE (r19 opt round): persisting this truth across the 16
+    // branches was tried and MEASURED NEUTRAL-TO-WORSE — the single
+    // final action already shares the identical truth subplan across
+    // branches via ReusedExchange (the crossPairsFrom doctrine), so a
+    // cache only adds a materialization barrier + per-branch cache
+    // scans (90 -> 170 jobs, wall unchanged at sf0.1).
     val truth = annBruteforce(spark, sfDir, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
     val key = Seq("query_id", "neighbor_id")
