@@ -1051,6 +1051,63 @@ object Dedup {
     // rows. Scoped to THIS loop's plan-time and restored in the
     // finally below; the returned frame plans lazily after restore.
     val sess = pairs.sparkSession
+    // DRIVER FAST PATH (r19 opt, guide §1.2/§5): connected components
+    // over a BOUNDED long-id edge set are model-state work — the
+    // distributed loop costs ~30 scheduled AQE stage-jobs of KB frames
+    // even for a 2-round converge (measured ~3 s of pure round-trip
+    // overhead per cluster-forming query at sf0.1). When the measured
+    // edge count fits the driver (≤ 2M directed rows ≈ 32 MB of longs)
+    // and no durable checkpointing was requested, run union-find on
+    // the collected edges instead: identical components, identical
+    // (min-id canonical, sizes, flags) output — only the wall clock
+    // can tell. Corpus-scale singleton attachment stays distributed
+    // (one broadcast anti-join). Past the bound, or with a
+    // checkpointDir (the multi-hour durable form a cluster run uses,
+    // spec-pinned to write round files), the proven pointer-halving
+    // loop below runs unchanged — so at 100 TB nothing collects.
+    val longIds = Seq("src", "dst").forall(c =>
+      edgesWide.schema(c).dataType ==
+        org.apache.spark.sql.types.LongType)
+    if (checkpointDir.isEmpty && longIds && edgeCnt <= 2000000L) {
+      val parent = new scala.collection.mutable.HashMap[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edgesWide.select(col("src"), col("dst")).collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(if (ra < rb) rb else ra) =
+          if (ra < rb) ra else rb
+      }
+      edgesWide.unpersist(blocking = false)
+      // min-id per component (roots are not necessarily minimal under
+      // path compression order — aggregate explicitly), then sizes
+      val ids = parent.keys.toArray
+      val minOf = new scala.collection.mutable.HashMap[Long, Long]
+      val sizeOf = new scala.collection.mutable.HashMap[Long, Long]
+      ids.foreach { id =>
+        val r = find(id)
+        minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), id)
+        sizeOf(r) = sizeOf.getOrElse(r, 0L) + 1L
+      }
+      lastPropagationRounds = 0
+      import sess.implicits._
+      val clusteredLocal = ids.toSeq.map { id =>
+        val r = find(id)
+        (id, minOf(r), sizeOf(r), id == minOf(r))
+      }.toDF("doc_id", "cluster_id", "n_members", "is_canonical")
+      val touchedLocal = ids.toSeq.toDF("id")
+      val singletons = nodes.select(col("doc_id").as("id"))
+        .join(broadcast(touchedLocal), Seq("id"), "left_anti")
+        .select(col("id").as("doc_id"), col("id").as("cluster_id"),
+          lit(1L).as("n_members"), lit(true).as("is_canonical"))
+      return clusteredLocal.unionByName(singletons).orderBy("doc_id")
+    }
     val prevShufflePartitions = sess.conf.get("spark.sql.shuffle.partitions")
     val roundPartitions = math.max(1L,
       math.min(edgeCnt / 1000000L + 1L, 200000L)).toInt
