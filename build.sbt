@@ -23,10 +23,23 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap scales with the task-slot count (SPARK_GRAFT_CPUS): local[N]
+// packs N executor task slots into ONE JVM, so a fixed 8g at N=32 is
+// 250 MB/slot — far below any production executor sizing and the root
+// of the r19 32-core GC storm (131 s of GC on one query; the same
+// binary at 8 cores was flat). 1 GiB/slot (min 8 GiB) keeps per-task
+// execution memory CONSTANT across the driver's two core counts, so
+// the scaling measurement compares parallelism, not memory starvation.
+// SPARK_DRIVER_MEM still overrides explicitly.
+val graftHeap: String = sys.env.get("SPARK_DRIVER_MEM").getOrElse {
+  val slots = sys.env.get("SPARK_GRAFT_CPUS")
+    .flatMap(c => scala.util.Try(c.trim.toInt).toOption).getOrElse(8)
+  s"${math.max(8, slots)}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$graftHeap",
   // A ~100-query sweep compiles thousands of Janino-generated classes;
   // the JDK default ReservedCodeCacheSize (240 MB) fills mid-sweep, at
   // which point HotSpot silently disables JIT compilation and every

@@ -338,17 +338,16 @@ object Bench {
       try operators.Dedup.dedupCorpusKept(warmDocs, 0.3).count()
       catch { case _: Throwable => () }
     }
-    // pre-touch the dedup family's real inputs (VERDICT-r18 #7: the
-    // prefix-join standalones spiked first-run, wall >> cpu — cold
-    // text-column pages + real-schema codegen, not plan): decompress
-    // the documents text pages (the embCold stance — sum(length)
-    // forces the data pages open; count(*) would answer from footers)
-    // and run the honest shingle→prefix→verify join once over a ~0.1%
-    // slice of the REAL table so every class in the hot path is
-    // JIT-compiled against the real parquet schema before timing.
+    // JIT pre-touch for the dedup family (VERDICT-r18 #7): run the
+    // honest shingle→prefix→verify join once over a ~0.1% slice of the
+    // REAL table so every class in the hot path is JIT-compiled against
+    // the real parquet schema before timing. The r19 full-table
+    // sum(length(text)) scan that preceded this was DROPPED (VERDICT-r19
+    // #7): page-cache-warming the whole documents table goes beyond JIT
+    // warmup and flattered every scan-bound query at bench SF — the
+    // slice below still opens real text pages for the codegen classes,
+    // which is all the warmup was prescribed to do.
     try {
-      Tables.load(spark, sfDir, "documents")
-        .selectExpr("sum(length(text))").collect()
       operators.Dedup.dedupCorpusKept(
         Tables.load(spark, sfDir, "documents")
           .filter("doc_id % 997 = 0"), 0.3).count()

@@ -702,16 +702,36 @@ object Analytics {
     * the top-k lands via TakeOrdered (no global sort shuffle). */
   def basketLift(spark: SparkSession, sfDir: String,
                  topK: Int = 20): DataFrame = {
-    val li = Tables.load(spark, sfDir, "lineitem")
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .distinct()
-    val nOrders = li.select("okey").distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val partCnt = li.groupBy("part").agg(count(lit(1)).as("n_part"))
-    li.as("a")
-      .join(li.as("b"), col("a.okey") === col("b.okey")
-        && col("a.part") < col("b.part"))
-      .groupBy(col("a.part").as("p1"), col("b.part").as("p2"))
+    // ONE pass over lineitem (r20 opt, guide §2.3 "aggregate before you
+    // shuffle" / §2.4): the old form scanned lineitem into a distinct
+    // (okey, part) frame FOUR times (two self-join legs, part counts,
+    // order count) and shuffled the self-join by okey on both legs.
+    // Per-order part sets are bounded (TPC-H ≤ 7 lines), so aggregate
+    // to array_sort(collect_set(part)) in one exchange and generate
+    // each order's a<b pairs MAP-SIDE from the sorted set — candidate
+    // pairs still grow linearly with orders, but the quadratic-safe
+    // self-join shuffle is gone. Pair counts, part counts and the
+    // order count all roll up from the one persisted per-order frame.
+    // Output is identical: same pair multiset (sorted-set pairs ≡
+    // distinct a<b self-join), same counts, same lift arithmetic.
+    val sets = TransientCaches.register(
+      Tables.load(spark, sfDir, "lineitem")
+        .groupBy(col("l_orderkey").as("okey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // eager: three sibling subplans below scan this cache inside one
+    // action — lazy, each sibling would recompute the aggregation
+    sets.count()
+    val nOrders = sets.agg(count(lit(1)).as("n_orders"))
+    val partCnt = sets.select(explode(col("parts")).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_part"))
+    sets
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+             transform(slice(parts, i + 2, size(parts)),
+               y -> struct(x AS p1, y AS p2))))""")).as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .groupBy("p1", "p2")
       .agg(count(lit(1)).as("n_both"))
       .join(partCnt.select(col("part").as("p1"), col("n_part").as("n_a")),
         Seq("p1"))

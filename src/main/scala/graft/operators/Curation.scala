@@ -1624,21 +1624,27 @@ object Curation {
     * leak sets. */
   def splitLeakage(spark: SparkSession, sfDir: String, tau: Double = 0.5,
                    mod: Int = 10): DataFrame =
-    splitLeakageFrom(Tables.load(spark, sfDir, "documents"), tau, mod)
+    // SERVED FROM THE SESSION PAIR ARTIFACT (r20 opt, the
+    // dedupNgramExactjoin doctrine): the near-leak side is a pairwise
+    // property, so at any tau at or above the artifact's 0.3
+    // verification floor the qualifying eval–train pairs are exactly
+    // the artifact's straddling pairs with RAW j >= tau (the unrounded
+    // column — filtering j4 would admit round-half-up boundary pairs
+    // the direct computation excludes). Below the floor the
+    // self-contained core still runs.
+    if (tau >= 0.3)
+      splitLeakageFromPairTable(
+        Tables.load(spark, sfDir, "documents"),
+        Dedup.readVerifiedPairs(spark,
+            Dedup.sharedVerifiedPairsDir(spark, sfDir, 0.3))
+          .filter(col("j") >= tau), mod)
+    else splitLeakageFrom(Tables.load(spark, sfDir, "documents"), tau, mod)
 
   /** Generic core over ANY (doc_id, text) frame. */
   def splitLeakageFrom(docs: DataFrame, tau: Double = 0.5,
                        mod: Int = 10): DataFrame = {
-    val tagged = docs.withColumn("is_eval",
-      pmod(graft.operators.Quality.knuth32(col("doc_id")),
-        lit(mod.toLong)) === 0)
-    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
-    val hashed = tagged.select(col("doc_id"), col("is_eval"),
-      sha2(norm.cast("binary"), 256).as("h"))
-    val trainH = hashed.filter(!col("is_eval")).select("h").distinct()
-    val exactLeaks = hashed.filter(col("is_eval"))
-      .join(trainH, Seq("h"), "left_semi")
-      .select("doc_id")
+    val tagged = splitTagged(docs, mod)
+    val exactLeaks = splitExactLeaks(tagged)
     def sh(df: DataFrame) = df.select(col("doc_id"),
       TextShingles.shingles3(TextShingles.words(col("text"))).as("sh"))
     val pairs = Dedup.crossPairsFrom(sh(tagged.filter(col("is_eval"))),
@@ -1647,6 +1653,51 @@ object Curation {
       .select(col("doc_id").as("id_b"))
     val nearLeaks = pairs.join(trainIds, Seq("id_b"), "left_semi")
       .select(col("id_a").as("doc_id")).distinct()
+    splitLeakageReport(tagged, exactLeaks, nearLeaks)
+  }
+
+  /** Artifact-consuming core: the same report over an ALREADY-VERIFIED
+    * pair table (id_a, id_b[, ...]) whose pairs are exactly those at
+    * the audit's threshold — near leaks are the eval endpoints of
+    * train–eval straddling pairs. */
+  private def splitLeakageFromPairTable(docs: DataFrame,
+                                        pairTable: DataFrame,
+                                        mod: Int): DataFrame = {
+    val tagged = splitTagged(docs, mod)
+    val exactLeaks = splitExactLeaks(tagged)
+    val lab = tagged.select(col("doc_id"), col("is_eval"))
+    val nearLeaks = pairTable.select("id_a", "id_b")
+      .join(lab.select(col("doc_id").as("id_a"), col("is_eval").as("ea")),
+        "id_a")
+      .join(lab.select(col("doc_id").as("id_b"), col("is_eval").as("eb")),
+        "id_b")
+      .filter(col("ea") =!= col("eb"))
+      .select(when(col("ea"), col("id_a")).otherwise(col("id_b"))
+        .as("doc_id"))
+      .distinct()
+    splitLeakageReport(tagged, exactLeaks, nearLeaks)
+  }
+
+  /** Deterministic split tag shared by the leakage audits. */
+  private def splitTagged(docs: DataFrame, mod: Int): DataFrame =
+    docs.withColumn("is_eval",
+      pmod(graft.operators.Quality.knuth32(col("doc_id")),
+        lit(mod.toLong)) === 0)
+
+  /** Eval docs whose normalized content hash appears in train. */
+  private def splitExactLeaks(tagged: DataFrame): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val hashed = tagged.select(col("doc_id"), col("is_eval"),
+      sha2(norm.cast("binary"), 256).as("h"))
+    val trainH = hashed.filter(!col("is_eval")).select("h").distinct()
+    hashed.filter(col("is_eval"))
+      .join(trainH, Seq("h"), "left_semi")
+      .select("doc_id")
+  }
+
+  /** The 1-row leakage report off the three component frames. */
+  private def splitLeakageReport(tagged: DataFrame, exactLeaks: DataFrame,
+                                 nearLeaks: DataFrame): DataFrame = {
     val leaked = exactLeaks.unionAll(nearLeaks).distinct()
     tagged.agg(
         sum(when(!col("is_eval"), 1L).otherwise(0L)).as("n_train"),

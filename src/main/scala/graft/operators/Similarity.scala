@@ -316,7 +316,13 @@ object Similarity {
   def annRecallEval(spark: SparkSession, sfDir: String,
                     nQueries: Int = 10, k: Int = 5): DataFrame = {
     val key = Seq("query_id", "neighbor_id")
-    val truth = annBruteforce(spark, sfDir, nQueries, k).select(key.head, key.tail: _*)
+    // persisted + eager: the concurrent variant branches below all scan
+    // the O(N²) truth (Branches scaladoc)
+    val truth = TransientCaches.register(
+      annBruteforce(spark, sfDir, nQueries, k)
+        .select(key.head, key.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    truth.count()
     def one(variant: String, edges: DataFrame): DataFrame = {
       val hits = edges.select(key.head, key.tail: _*).join(truth, key)
       truth.agg(count(lit(1)).as("n_truth"))
@@ -324,10 +330,14 @@ object Similarity {
         .select(lit(variant).as("variant"), col("n_truth"), col("n_hit"),
           round(col("n_hit") / col("n_truth"), 4).as("recall"))
     }
-    one("ann_ivf_static", annIvfStatic(spark, sfDir, nQueries = nQueries, k = k))
-      .unionByName(one("ann_lsh", annLsh(spark, sfDir, nQueries = nQueries, k = k)))
-      .unionByName(one("ann_sign_sketch",
-        annSignSketch(spark, sfDir, nQueries = nQueries, k = k)))
+    // independent 1-row rungs — concurrent branch jobs (Branches
+    // scaladoc; same rows as the sequential union)
+    Branches.unionAllConcurrent(Seq(
+        one("ann_ivf_static",
+          annIvfStatic(spark, sfDir, nQueries = nQueries, k = k)),
+        one("ann_lsh", annLsh(spark, sfDir, nQueries = nQueries, k = k)),
+        one("ann_sign_sketch",
+          annSignSketch(spark, sfDir, nQueries = nQueries, k = k))))
       .orderBy("variant")
   }
 
@@ -346,21 +356,35 @@ object Similarity {
                     k: Int = 5): DataFrame = {
     val cents = staticCentroids()
     val v = vectors(spark, sfDir)
-    // NOTE (r19 opt round): persisting this truth across the 16
-    // branches was tried and MEASURED NEUTRAL-TO-WORSE — the single
-    // final action already shares the identical truth subplan across
-    // branches via ReusedExchange (the crossPairsFrom doctrine), so a
-    // cache only adds a materialization barrier + per-branch cache
-    // scans (90 -> 170 jobs, wall unchanged at sf0.1).
-    val truth = annBruteforce(spark, sfDir, nQueries, k)
-      .select(col("query_id"), col("neighbor_id"))
+    // CONCURRENT BRANCH JOBS (r20 opt, guide §2.6 / VERDICT-r19 #4):
+    // the 16 per-probe branches are independent 1-row aggregates, but a
+    // single union action ran them as ~90 SEQUENTIAL single-task AQE
+    // stage-jobs — mostly idle cores at any parallelism. Each branch is
+    // now submitted as its own job from a small driver thread pool so a
+    // branch's tail back-fills the scheduler with the next branch's
+    // tasks. With separate jobs the old single-action ReusedExchange
+    // sharing of the truth subplan no longer applies, so the shared
+    // frames (brute truth, cell populations) are persisted once —
+    // bounded model-state tables, freed at the session boundary. The
+    // branches therefore execute at construction time (the mmrRerank
+    // eager-boundary doctrine) and the returned frame is their rows.
+    // Row content and schema are UNCHANGED (same branch plans, same
+    // values — each branch is deterministic).
+    import org.apache.spark.storage.StorageLevel
+    val truth = graft.operators.TransientCaches.register(
+      annBruteforce(spark, sfDir, nQueries, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    truth.count()
     val key = Seq("query_id", "neighbor_id")
     def cellsOf(n: Int) =
       graft.functions.VectorQuantize.nearestCells(col("embedding"), cents, n)
-    val cellCounts = v
+    val cellCounts = graft.operators.TransientCaches.register(v
       .select(element_at(cellsOf(1), 1).as("cell"))
       .groupBy("cell").agg(count(lit(1)).as("cnt"))
-    (1 to cents.length).map { p =>
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    cellCounts.count()
+    def branch(p: Int): DataFrame = {
       val edges = annIvfWith(v, cents, p, nQueries, k)
         .select(key.head, key.tail: _*)
       val probes = v.filter(col("vec_id") < nQueries)
@@ -375,7 +399,10 @@ object Similarity {
         .select(lit(p).as("n_probe"), col("n_truth"), col("n_hit"),
           round(col("n_hit") / col("n_truth"), 4).as("recall"),
           col("n_candidates"))
-    }.reduce(_ unionByName _).orderBy("n_probe")
+    }
+    graft.operators.Branches
+      .unionAllConcurrent((1 to cents.length).map(branch))
+      .orderBy("n_probe")
   }
 
   /** DuckDB oracle for [[ivfProbeSweep]]: the static-IVF CTE machinery
@@ -482,7 +509,10 @@ object Similarity {
           col("n_c")).as("cos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     TransientCaches.register(rer)
-    factors.map { f =>
+    // eager: the concurrent factor branches below scan both caches
+    // (Branches scaladoc — lazy sibling scans recompute the lineage)
+    truth.count(); rer.count()
+    Branches.unionAllConcurrent(factors.map { f =>
       val edges = rankTopK(rer.filter(col("srnk") <= f * k)
         .select("query_id", "neighbor_id", "cos"), k)
         .select("query_id", "neighbor_id")
@@ -494,7 +524,7 @@ object Similarity {
             .as("n_rerank"),
           col("n_truth"), col("n_hit"),
           round(col("n_hit") / col("n_truth"), 4).as("recall"))
-    }.reduce(_ unionByName _).orderBy("shortlist_factor")
+    }).orderBy("shortlist_factor")
   }
 
   /** DuckDB oracle for [[pqShortlistSweep]]: the [[pqTrainedOracle]]
@@ -662,7 +692,10 @@ object Similarity {
           col("n_c")).as("cos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     TransientCaches.register(rer)
-    factors.map { f =>
+    // eager: the concurrent factor branches below scan both caches
+    // (Branches scaladoc — lazy sibling scans recompute the lineage)
+    truth.count(); rer.count()
+    Branches.unionAllConcurrent(factors.map { f =>
       val edges = rankTopK(rer.filter(col("srnk") <= f * k)
         .select("query_id", "neighbor_id", "cos"), k)
         .select("query_id", "neighbor_id")
@@ -674,7 +707,7 @@ object Similarity {
         .select(lit(f).as("shortlist_factor"), col("n_rerank"),
           col("n_truth"), col("n_hit"),
           round(col("n_hit") / col("n_truth"), 4).as("recall"))
-    }.reduce(_ unionByName _).orderBy("shortlist_factor")
+    }).orderBy("shortlist_factor")
   }
 
   /** DuckDB oracle for [[pqShortlistSweepResidual]]: the
@@ -819,9 +852,20 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     TransientCaches.register(truth)
-    val models = withTrainCache(v)(vc =>
-      sizes.map(kk => kk -> trainPqCodebooks(vc, k = kk)))
-    models.map { case (kk, cbs) =>
+    // eager: the concurrent branches below share this cache (Branches
+    // scaladoc — lazy sibling scans would each re-pay the O(N²) truth)
+    truth.count()
+    // OVERLAPPED TRAININGS (r20 opt, guide §2.6): one codebook training
+    // per swept size, independent and deterministic — run them as
+    // concurrent job streams over the materialized train cache.
+    val models = withTrainCache(v) { vc =>
+      vc.count()
+      Branches.runConcurrent[AnyRef](
+        sizes.map(kk => () =>
+          (kk -> trainPqCodebooks(vc, k = kk)): AnyRef))
+        .map(_.asInstanceOf[(Int, Array[Array[Array[Double]]])])
+    }
+    Branches.unionAllConcurrent(models.map { case (kk, cbs) =>
       // ceil, not round: a 10-codeword codebook needs 4 bits to
       // address, and understating the bill defeats the table's purpose
       val bits = 32 - Integer.numberOfLeadingZeros(kk - 1)
@@ -841,7 +885,7 @@ object Similarity {
           lit(cbs.length * bits).as("bits_per_vector"),
           col("mean_mse6"), col("n_truth"), col("n_hit"),
           round(col("n_hit") / col("n_truth"), 4).as("recall"))
-    }.reduce(_ unionByName _).orderBy("codebook_k")
+    }).orderBy("codebook_k")
   }
 
   /** DuckDB oracle for [[pqBitsSweep]]: one trained codebook set per
@@ -961,19 +1005,33 @@ object Similarity {
   def annRecallEvalPq(spark: SparkSession, sfDir: String,
                       nQueries: Int = 10, k: Int = 5): DataFrame = {
     val v = vectors(spark, sfDir)
+    // OVERLAPPED TRAININGS (r20 opt, guide §2.6): three independent
+    // training streams — (k-means → residual PQ, which needs the
+    // centroids), OPQ, and raw PQ — each a deterministic driver loop of
+    // small jobs over the materialized train cache.
     val (cents, cbs, cbsR, rO, cbsO) = withTrainCache(v) { vc =>
-      val cents = trainCentroids(vc, 16)
-      val (rO, cbsO) = trainOpqRotation(vc)
-      (cents, trainPqCodebooks(vc),
-        trainPqCodebooks(residualAssigned(vc, cents)
-          .select(col("vec_id"), col("res").as("embedding"))),
-        rO, cbsO)
+      vc.count()
+      val trained = Branches.runConcurrent[AnyRef](Seq(
+        () => {
+          val cents = trainCentroids(vc, 16)
+          (cents, trainPqCodebooks(residualAssigned(vc, cents)
+            .select(col("vec_id"), col("res").as("embedding"))))
+        },
+        () => trainOpqRotation(vc),
+        () => trainPqCodebooks(vc)))
+      val (cents, cbsR) = trained(0)
+        .asInstanceOf[(Array[Array[Double]], Array[Array[Array[Double]]])]
+      val (rO, cbsO) = trained(1)
+        .asInstanceOf[(Array[Array[Double]], Array[Array[Array[Double]]])]
+      (cents, trained(2).asInstanceOf[Array[Array[Array[Double]]]],
+        cbsR, rO, cbsO)
     }
     val key = Seq("query_id", "neighbor_id")
     val truth = annBruteforce(spark, sfDir, nQueries, k)
       .select(key.head, key.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     TransientCaches.register(truth)
+    truth.count()
     def one(variant: String, edges: DataFrame): DataFrame = {
       val hits = edges.select(key.head, key.tail: _*).join(truth, key)
       truth.agg(count(lit(1)).as("n_truth"))
@@ -981,16 +1039,17 @@ object Similarity {
         .select(lit(variant).as("variant"), col("n_truth"), col("n_hit"),
           round(col("n_hit") / col("n_truth"), 4).as("recall"))
     }
-    one("ann_pq", annPqWith(v, cbs, nQueries, k))
-      .unionByName(one("ann_pq_opq",
-        annPqOpqWith(v, rO, cbsO, nQueries, k)))
-      .unionByName(one("ann_ivfpq_opq",
-        annIvfPqOpqWith(v, cents, rO, cbsO, 4, nQueries, k)))
-      .unionByName(one("ann_ivfpq",
-        annIvfPqWith(v, cents, cbs, 4, nQueries, k)))
-      .unionByName(one("ann_ivfpq_residual",
-        annIvfPqResidualWith(v, cents, cbsR, 4, nQueries, k)))
-      .unionByName(one("ann_sq8", annSq8With(v, nQueries, k)))
+    // six independent 1-row rungs over the persisted truth — concurrent
+    // branch jobs (Branches scaladoc)
+    Branches.unionAllConcurrent(Seq(
+        one("ann_pq", annPqWith(v, cbs, nQueries, k)),
+        one("ann_pq_opq", annPqOpqWith(v, rO, cbsO, nQueries, k)),
+        one("ann_ivfpq_opq",
+          annIvfPqOpqWith(v, cents, rO, cbsO, 4, nQueries, k)),
+        one("ann_ivfpq", annIvfPqWith(v, cents, cbs, 4, nQueries, k)),
+        one("ann_ivfpq_residual",
+          annIvfPqResidualWith(v, cents, cbsR, 4, nQueries, k)),
+        one("ann_sq8", annSq8With(v, nQueries, k))))
       .orderBy("variant")
   }
 
@@ -1723,7 +1782,33 @@ object Similarity {
     * (a session was re-paying the identical k-means/Procrustes bill
     * once per query; a deployment trains once per corpus version). */
   private val trainedModels = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), AnyRef]()
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String),
+    AnyRef]()
+
+  /** Data fingerprint of a training frame's file-backed inputs:
+    * (path, length, mtime) of every input file, hashed. Folded into the
+    * memo key (ADVICE-r19) so a corpus REBUILT at the same path inside
+    * a long-lived JVM invalidates the memo instead of silently serving
+    * a model trained on the old contents. Non-file inputs contribute
+    * nothing extra: LocalRelations carry their rows in the canonicalized
+    * plan, and RDD-backed frames never compare equal (always fresh). */
+  private def inputFingerprint(v: DataFrame): String = {
+    val files = try v.inputFiles catch { case _: Throwable => Array.empty[String] }
+    if (files.isEmpty) ""
+    else {
+      val conf = v.sparkSession.sparkContext.hadoopConfiguration
+      val parts = files.sorted.map { f =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          s"$f:${st.getLen}:${st.getModificationTime}"
+        } catch { case _: Throwable => f }
+      }
+      java.util.UUID
+        .nameUUIDFromBytes(parts.mkString("\n").getBytes("UTF-8")).toString
+    }
+  }
+
   private def memoModel[T <: AnyRef](v: DataFrame, params: String)
                                     (train: => T): T = {
     // get/put, NOT computeIfAbsent: the OPQ trainer calls the PQ
@@ -1731,11 +1816,16 @@ object Similarity {
     // of one ConcurrentHashMap throw "Recursive update". A concurrent
     // duplicate training is harmless — training is deterministic, both
     // threads produce the identical model and last-put wins.
-    val key = (v.queryExecution.analyzed.canonicalized, params)
+    val key = (v.queryExecution.analyzed.canonicalized, inputFingerprint(v),
+      params)
     val hit = trainedModels.get(key)
     if (hit != null) hit.asInstanceOf[T]
     else {
       val m = train
+      // BOUNDED (ADVICE-r19): the memo pins canonicalized plans for the
+      // JVM lifetime — past 64 distinct trainings, drop the lot rather
+      // than grow without bound (re-training is always correct).
+      if (trainedModels.size >= 64) trainedModels.clear()
       trainedModels.put(key, m)
       m
     }
@@ -3175,11 +3265,24 @@ object Similarity {
         "TopK contract (nQueries x shortlistFactor x k) was violated " +
         "upstream; refusing a corpus-scale driver collect")
     val candIds = shortRows.map(_.getLong(1)).distinct
-    // one In-pruned fetch of the shortlisted candidates' vectors; the
+    // one pruned fetch of the shortlisted candidates' vectors; the
     // fold below casts per element, so float and double corpora agree
-    // with the distributed dot's per-element double-cast contract
-    val embRows = cEmb
-      .filter(col("cand_id").isin(candIds.map(Long.box).toSeq: _*))
+    // with the distributed dot's per-element double-cast contract.
+    // SMALL id sets (the 400-row default shape) go through isin — a
+    // literal In the scan can evaluate without a join. Past 10k ids a
+    // literal In is itself a planning hazard (VERDICT-r19 #3: the 2M
+    // guard above admits shortlists whose In expression would blow up
+    // analysis before any row moves) — switch to a broadcast semi-join
+    // against a local id frame: same rows, hash-lookup pruning.
+    val candFetch =
+      if (candIds.length <= 10000)
+        cEmb.filter(col("cand_id").isin(candIds.map(Long.box).toSeq: _*))
+      else {
+        import spark.implicits._
+        cEmb.join(broadcast(candIds.toSeq.toDF("cand_id")),
+          Seq("cand_id"), "left_semi")
+      }
+    val embRows = candFetch
       .select(col("cand_id").cast("long"), col("e_c"),
         col("n_c").cast("double"))
       .collect()
@@ -3192,12 +3295,21 @@ object Similarity {
       }.toArray
       emb.put(r.getLong(0), (a, r.getDouble(2)))
     }
+    def embOf(id: Long): (Array[Double], Double) = emb.getOrElse(id,
+      throw new IllegalArgumentException(
+        s"MMR shortlist references cand_id=$id with no embedding row in " +
+          "the candidate source — shortlist and corpus frames disagree"))
     def cos(aId: Long, bId: Long): Double = {
-      val (ea, na) = emb(aId)
-      val (eb, nb) = emb(bId)
+      val (ea, na) = embOf(aId)
+      val (eb, nb) = embOf(bId)
+      // loud on ragged vectors, matching DotProduct.compute's contract
+      // (the old distributed formulation threw here too)
+      require(ea.length == eb.length,
+        s"embedding length mismatch: $aId has ${ea.length} dims, " +
+          s"$bId has ${eb.length}")
       var s = 0.0
       var i = 0
-      val n = math.min(ea.length, eb.length)
+      val n = ea.length
       while (i < n) { s += ea(i) * eb(i); i += 1 }
       s / (na * nb)
     }
@@ -6721,8 +6833,22 @@ object Similarity {
       .withColumn("nrm", l2norm(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     TransientCaches.register(w)
-    val centsW = trainCentroids(w, 16)
-    val (rW, cbsWO) = trainOpqRotation(w)
+    // eager: the two concurrent trainings below (and later the four
+    // concurrent rungs) scan this cache — lazy, each concurrent first
+    // scan would recompute the whitening lineage (sibling-scan gotcha)
+    w.count()
+    // OVERLAPPED TRAININGS (r20 opt, guide §2.6): the whitened k-means
+    // and the whitened OPQ/PQ training are independent driver loops
+    // issuing sequential small jobs — run them as two concurrent job
+    // streams so one's scheduling gaps are back-filled by the other.
+    // Both are deterministic and read the materialized cache; results
+    // are bit-identical to the sequential order.
+    val trained = Branches.runConcurrent[AnyRef](Seq(
+      () => trainCentroids(w, 16),
+      () => trainOpqRotation(w)))
+    val centsW = trained(0).asInstanceOf[Array[Array[Double]]]
+    val (rW, cbsWO) = trained(1)
+      .asInstanceOf[(Array[Array[Double]], Array[Array[Array[Double]]])]
     val wq = w.filter(col("vec_id") < nQueries)
     val key = Seq("query_id", "neighbor_id")
     val truth = rankTopK(
@@ -6737,6 +6863,7 @@ object Similarity {
       .select(key.head, key.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     TransientCaches.register(truth)
+    truth.count()
     def one(variant: String, edges: DataFrame): DataFrame = {
       val hits = edges.select(key.head, key.tail: _*).join(truth, key)
       truth.agg(count(lit(1)).as("n_truth"))
@@ -6744,11 +6871,13 @@ object Similarity {
         .select(lit(variant).as("variant"), col("n_truth"), col("n_hit"),
           round(col("n_hit") / col("n_truth"), 4).as("recall"))
     }
-    one("brute_raw", annBruteforce(spark, sfDir, nQueries, k))
-      .unionByName(one("ivf_whitened", ivfServe(w, wq, centsW, 4, k)))
-      .unionByName(one("sq8_whitened", annSq8With(w, nQueries, k)))
-      .unionByName(one("pq_opq_whitened",
-        annPqOpqWith(w, rW, cbsWO, nQueries, k)))
+    // the four rungs are independent 1-row aggregates over persisted
+    // shared state — concurrent branch jobs (Branches scaladoc)
+    Branches.unionAllConcurrent(Seq(
+        one("brute_raw", annBruteforce(spark, sfDir, nQueries, k)),
+        one("ivf_whitened", ivfServe(w, wq, centsW, 4, k)),
+        one("sq8_whitened", annSq8With(w, nQueries, k)),
+        one("pq_opq_whitened", annPqOpqWith(w, rW, cbsWO, nQueries, k))))
       .orderBy("variant")
   }
 

@@ -623,6 +623,16 @@ class CurationSpec extends SparkSpec {
     assert(r.getLong(4) == 2L && r.getDouble(5) == 0.6667)
   }
 
+  test("split_leakage: artifact-fed sfDir form == self-contained core") {
+    // r20: the sfDir wrapper serves the near side from the session pair
+    // artifact (raw-j filter at tau above the 0.3 floor) — pin it
+    // bit-identical to the self-contained crossPairsFrom core
+    val docs = Tables.load(spark, sf, "documents")
+    assert(graft.operators.Curation.splitLeakage(spark, sf)
+        .collect().toSeq
+      == graft.operators.Curation.splitLeakageFrom(docs).collect().toSeq)
+  }
+
   test("dsir_weights: target-like docs score positive; equals an independent reference") {
     import spark.implicits._
     val docs = Seq(

@@ -23,9 +23,16 @@ class DedupPairsSpec extends SparkSpec {
 
   test("artifact round-trips the exact join (schema + rows)") {
     val direct = Dedup.dedupNgramExactjoin(spark, sf, 0.3)
-    assert(pairs.columns.toSeq == Seq("id_a", "id_b", "j4"))
-    assert(rowsOf(pairs.orderBy("id_a", "id_b")) == rowsOf(direct))
+    // r20: the artifact additionally carries the UNROUNDED jaccard `j`
+    // so above-floor consumers (split_leakage at 0.5) can filter the
+    // exact value; the served query projects it away
+    assert(pairs.columns.toSeq == Seq("id_a", "id_b", "j", "j4"))
+    assert(rowsOf(pairs.select("id_a", "id_b", "j4")
+      .orderBy("id_a", "id_b")) == rowsOf(direct))
     assert(pairs.count() > 0, "fixture must contain near-dup pairs")
+    // j4 is exactly round(j, 4) row-for-row
+    import org.apache.spark.sql.functions.{col, round => rnd}
+    assert(pairs.filter(rnd(col("j"), 4) =!= col("j4")).count() == 0)
   }
 
   test("sourceOverlapFromPairs(artifact) == standalone source_overlap") {

@@ -57,8 +57,14 @@ class DedupSpec extends SparkSpec {
     // true near-dup mass (596k -> far fewer candidates on the sf0.1
     // vintage); a refactor that drops it would still be CORRECT (the
     // exact-Jaccard verify masks it), so pin its presence in the plan:
-    // the candidate join's filter must compare against least(na-pa, nb-pb)
-    val p = planOf(Dedup.dedupNgramExactjoin(spark, sf))
+    // the candidate join's filter must compare against least(na-pa, nb-pb).
+    // Since r20 the sfDir wrapper SERVES from the session pair artifact
+    // (its plan is a parquet read), so the pin targets the
+    // self-contained core — the plan the artifact BUILD executes.
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        TextShingles.shingles3(TextShingles.words(col("text"))).as("sh"))
+    val p = planOf(Dedup.dedupNgramExactjoinFrom(docs, 0.3))
     assert(p.contains("least("),
       s"candidate join must carry the positional filter (least(na-pa, nb-pb) bound):\n$p")
   }
